@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Deduplication operators for the LLM-data-pipeline surface: exact
+  * (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+  * and exact n-gram Jaccard for candidate verification.
+  *
+  * Scale design (100 TB): exact dedup is one hash shuffle on the
+  * fingerprint; MinHash+LSH replaces the O(n²) pairwise compare with a
+  * bucket join on band signatures — only same-bucket docs pair up. All
+  * hashing is md5 (present on both Spark and the DuckDB oracle), and
+  * minhash takes the *string*-min of md5, which is deterministic and
+  * engine-independent (no Murmur mismatch).
+  */
+object Dedup {
+
+  /** 2-word shingles of `text` (guarded for short docs). */
+  private def shingles2(text: Column): Column = {
+    val w = split(text, " ")
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array(text))
+  }
+
+  private val shingles2Sql =
+    """CASE WHEN len(string_split(text, ' ')) >= 2
+      |  THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+      |         i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1]))
+      |  ELSE [text] END""".stripMargin
+
+  private val NumHashes = 8
+
+  /** Exact dedup: md5-fingerprint group, deterministic survivor (lowest
+    * doc_id), duplicate count exposed per doc. */
+  val exact = OracleQuery(
+    "dedup_exact",
+    (s, d) => {
+      val w = Window.partitionBy(col("fp"))
+      Tables.documents(s, d)
+        .withColumn("fp", md5(col("text")))
+        .withColumn("dup_count", count(lit(1)).over(w))
+        .withColumn("survivor", (col("doc_id") === min(col("doc_id")).over(w)).cast("int"))
+        .select(col("doc_id"), col("fp"), col("dup_count"), col("survivor"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, fp, CAST(dup_count AS BIGINT) AS dup_count, survivor FROM (
+      |  SELECT doc_id, md5(text) AS fp,
+      |         count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+      |         CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS survivor
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin))
+
+  /** MinHash signatures: 8 hashes = string-min of seeded md5 over the
+    * 2-word shingle set. */
+  val minhashSig = OracleQuery(
+    "minhash_signature",
+    (s, d) => minhashFrame(Tables.documents(s, d)).orderBy(col("doc_id")),
+    Some(s"""$minhashCte
+      |SELECT * FROM sig ORDER BY doc_id""".stripMargin))
+
+  private def minhashFrame(docs: DataFrame): DataFrame = {
+    val sh = explode(shingles2(col("text")))
+    val exploded = docs.select(col("doc_id"), sh.as("sh"))
+    val aggs = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"m$i"))
+    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def minhashCte: String = {
+    val mins = (0 until NumHashes)
+      .map(i => s"min(md5('$i:' || sh)) AS m$i").mkString(",\n    ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest($shingles2Sql) AS sh FROM documents
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  /** MinHash + LSH near-dup pairs: band the 8-hash signature into 2 bands
+    * of 4 (md5 strings are fixed-width → concat is injective), bucket-join
+    * on (band_idx, band_value), then estimate Jaccard as the fraction of
+    * matching minhashes. A band match guarantees est ≥ 0.5. */
+  val minhashLsh = OracleQuery(
+    "dedup_minhash_lsh",
+    (s, d) => {
+      val sig = minhashFrame(Tables.documents(s, d))
+      val bandCols = (0 until NumHashes).grouped(4).zipWithIndex.map { case (g, bi) =>
+        concat(g.map(i => col(s"m$i")): _*).as(s"b$bi")
+      }.toSeq
+      val banded = sig.select(col("doc_id") +: bandCols: _*)
+      val bands = banded.select(col("doc_id"),
+          explode(map(lit(0), col("b0"), lit(1), col("b1"))).as(Seq("band_idx", "band_val")))
+      val a = bands.as("a")
+      val b = bands.as("b")
+      val cand = a.join(b,
+          col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "a_id" else s"a_$c"): _*)
+      val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "b_id" else s"b_$c"): _*)
+      val matches = (0 until NumHashes)
+        .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+        .reduceLeft(_ + _)
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("est_jaccard", matches.cast("double") / lit(NumHashes.toDouble))
+        .select(col("a_id"), col("b_id"), col("est_jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some {
+      val bandVal = (bi: Int) => (0 until 4).map(i => s"m${bi * 4 + i}").mkString(" || ")
+      val matches = (0 until NumHashes)
+        .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""$minhashCte,
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_idx, ${bandVal(0)} AS band_val FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band_idx, ${bandVal(1)} AS band_val FROM sig
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |)
+        |SELECT a_id, b_id, CAST($matches AS DOUBLE) / 8.0 AS est_jaccard
+        |FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
+        |ORDER BY a_id, b_id""".stripMargin
+    })
+
+  /** Exact word-level Jaccard over a bounded candidate set (doc_id < 60):
+    * distinct-token self-join → |A∩B| / (|A|+|B|−|A∩B|), exact double
+    * division. The LSH query above is the scale path; this is the
+    * verifier. */
+  val jaccard = OracleQuery(
+    "dedup_jaccard",
+    (s, d) => {
+      val toks = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = toks.as("a").join(toks.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.toDF("a_id", "a_sz"), "a_id")
+        .join(sizes.toDF("b_id", "b_sz"), "b_id")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents WHERE doc_id < 60
+      |), sizes AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS inter
+      |  FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT a_id, b_id, jaccard FROM (
+      |  SELECT a_id, b_id,
+      |         CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+      |  FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id)
+      |WHERE jaccard >= 0.6
+      |ORDER BY a_id, b_id""".stripMargin))
+
+  val all: Seq[OracleQuery] = Seq(exact, minhashSig, minhashLsh, jaccard)
+}

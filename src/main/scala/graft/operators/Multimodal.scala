@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, and a decode/feature-extract stage as a
+  * partition-local transform.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB ([[StubDecoder]]); the Spark-side
+  * plumbing — binary schema, batched partition-local processing, fixed
+  * feature shape — is real and tested. Swapping the stub for a JNI/codec
+  * call changes nothing structurally.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, content: Array[Byte], media_type: String)
+  final case class MediaFeatures(
+      doc_id: Long, media_type: String, byte_len: Long,
+      width: Int, height: Int, features: Array[Float])
+
+  /** STUB decoder: stands in for an image/audio codec. Deterministic so
+    * the pipeline is testable; partition-local so a real decoder slots in
+    * with the same batching shape. */
+  object StubDecoder {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val len = r.content.length.toLong
+      // ??? real codec goes here — fake dims/features from the bytes
+      val width = (len % 640).toInt
+      val height = (len * 7 % 480).toInt
+      val feats = Array.tabulate(4)(i => ((len + i * 31) % 256).toFloat / 255f)
+      MediaFeatures(r.doc_id, r.media_type, len, width, height, feats)
+    }
+  }
+
+  /** documents.text reinterpreted as an opaque binary payload — the
+    * binary-column ingestion path. */
+  def asMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"),
+        lit("text/plain").as("media_type"))
+      .as[MediaRecord]
+  }
+
+  /** Decode / feature-extract over partitions (the mapInPandas analog:
+    * batched, partition-local, fixed output schema). */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(StubDecoder.decode))
+  }
+
+  /** Oracle-checkable slice of the multimodal path: binary length, content
+    * hash, and the stub "decode" dims (pure integer arithmetic → exact in
+    * both engines). */
+  val features = OracleQuery(
+    "multimodal_features",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("byte_len", octet_length(col("text")).cast("long"))
+        .select(
+          col("doc_id"),
+          col("byte_len"),
+          md5(col("text")).as("content_hash"),
+          (col("byte_len") % 640).cast("int").as("width"),
+          (col("byte_len") * 7 % 480).cast("int").as("height"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+      |  md5(text) AS content_hash,
+      |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT) AS width,
+      |  CAST(octet_length(CAST(text AS BLOB)) * 7 % 480 AS INT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[OracleQuery] = Seq(features)
+}

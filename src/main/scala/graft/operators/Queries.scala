@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.config.{FilterSpec, LtssConfig}
+import graft.functions.DetMath
+
+/** One oracle-checked query: the Spark implementation plus (optionally)
+  * the equivalent DuckDB SQL the driver runs over the same parquet. */
+final case class OracleQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    sql: Option[String])
+
+/** The LTSS query surface (SURVEY.md §2.2) — the queries the reference's
+  * schema/index design exists to serve, answered natively by Spark over the
+  * `events` table mapped to the LTSS shape (FIXTURES.md §B).
+  *
+  * Every query ends in a total deterministic ORDER BY and uses the
+  * [[graft.functions.DetMath]] rules so the DuckDB oracle hash-matches.
+  */
+object Queries {
+
+  /** Shared CTE: the events→LTSS mapping in DuckDB SQL (mirror of
+    * [[Transform.eventsToLtss]] with location disabled). */
+  private val ltssCte =
+    """WITH ltss AS (
+      |  SELECT ts AS time,
+      |         event_type || '.' || CAST(user_id AS VARCHAR) AS entity_id,
+      |         printf('%.2f', value) AS state,
+      |         props AS attributes
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      |    AND value IS NOT NULL AND printf('%.2f', value) <> 'unknown'
+      |)""".stripMargin
+
+  private def ltss(s: SparkSession, dir: String): DataFrame =
+    Transform.eventsToLtss(Tables.events(s, dir), LtssConfig(enableLocation = false))
+
+  // ---------------------------------------------------------------- queries
+
+  /** P1–P4: the full ingest projection (reference models.py:47-72). */
+  val project = OracleQuery(
+    "ltss_project",
+    (s, d) => ltss(s, d).orderBy(col("entity_id"), col("time"), col("state")),
+    Some(s"""$ltssCte
+      |SELECT time, entity_id, state, attributes FROM ltss
+      |ORDER BY entity_id, time, state""".stripMargin))
+
+  /** S2+F2: validity + include/exclude entity filter (reference
+    * __init__.py:253-254; HA include/exclude semantics README.md:71-101). */
+  val entityFilterQ = {
+    val cfg = LtssConfig(
+      include = FilterSpec(domains = Seq("click", "purchase"), entityGlobs = Seq("error.1*")),
+      exclude = FilterSpec(entities = Seq("click.13")),
+      enableLocation = false)
+    OracleQuery(
+      "ltss_filter",
+      (s, d) =>
+        Transform.eventsToLtss(Tables.events(s, d), cfg)
+          .select(col("entity_id"), col("time"), col("state"))
+          .orderBy(col("entity_id"), col("time"), col("state")),
+      Some(s"""$ltssCte
+        |SELECT entity_id, time, state FROM ltss
+        |WHERE entity_id <> 'click.13'
+        |  AND (regexp_matches(entity_id, '^(?:error\\.1.*)$$')
+        |       OR split_part(entity_id, '.', 1) IN ('click', 'purchase'))
+        |ORDER BY entity_id, time, state""".stripMargin))
+  }
+
+  /** The composite-index query (reference models.py:78-80): per-entity
+    * time-range history, newest first. Filter + time predicate push down
+    * to the parquet scan. */
+  val history = OracleQuery(
+    "ltss_history",
+    (s, d) =>
+      ltss(s, d)
+        .filter(col("entity_id") === "click.7" &&
+          col("time").between(lit("2024-01-05 00:00:00"), lit("2024-01-20 00:00:00")))
+        .orderBy(col("time").desc, col("state")),
+    Some(s"""$ltssCte
+      |SELECT time, entity_id, state, attributes FROM ltss
+      |WHERE entity_id = 'click.7'
+      |  AND time BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+      |ORDER BY time DESC, state""".stripMargin))
+
+  /** Latest state per entity (reference index `(entity_id, time DESC)`,
+    * models.py:78-80) — row_number window, deterministic tie-break. */
+  val latest = OracleQuery(
+    "ltss_latest",
+    (s, d) => {
+      val w = Window.partitionBy(col("entity_id")).orderBy(col("time").desc, col("state").desc)
+      ltss(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("entity_id"), col("time").as("last_time"), col("state").as("last_state"))
+        .orderBy(col("entity_id"))
+    },
+    Some(s"""$ltssCte
+      |SELECT entity_id, time AS last_time, state AS last_state FROM (
+      |  SELECT entity_id, time, state,
+      |         row_number() OVER (PARTITION BY entity_id ORDER BY time DESC, state DESC) AS rn
+      |  FROM ltss) WHERE rn = 1
+      |ORDER BY entity_id""".stripMargin))
+
+  /** State transitions: previous-state per entity via lag. */
+  val transitions = OracleQuery(
+    "ltss_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("entity_id")).orderBy(col("time"), col("state"))
+      ltss(s, d)
+        .withColumn("prev_state", lag(col("state"), 1).over(w))
+        .filter(col("prev_state").isNotNull && col("prev_state") =!= col("state"))
+        .select(col("entity_id"), col("time"), col("prev_state"), col("state"))
+        .orderBy(col("entity_id"), col("time"), col("state"))
+    },
+    Some(s"""$ltssCte
+      |SELECT entity_id, time, prev_state, state FROM (
+      |  SELECT entity_id, time, state,
+      |         lag(state) OVER (PARTITION BY entity_id ORDER BY time, state) AS prev_state
+      |  FROM ltss)
+      |WHERE prev_state IS NOT NULL AND prev_state <> state
+      |ORDER BY entity_id, time, state""".stripMargin))
+
+  /** Time bucketing / downsampling (TimescaleDB `time_bucket` analog;
+    * reference chunks the hypertable on `time`, __init__.py:337-344).
+    * 1-hour buckets × entity domain, numeric aggs over the (string) state. */
+  val timeBucketAgg = {
+    val hourUs = 3600000000L
+    OracleQuery(
+      "ltss_time_bucket",
+      (s, d) => {
+        val l = ltss(s, d)
+          .withColumn("bucket", DetMath.timeBucket(col("time"), hourUs))
+          .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+          .withColumn("sv", col("state").cast("decimal(12,2)"))
+        l.groupBy(col("bucket"), col("domain"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("sv")).as("sum_dec"),
+            min(col("sv")).as("min_state"),
+            max(col("sv")).as("max_state"))
+          .withColumn("avg_state", DetMath.avgFromSum(col("sum_dec"), col("n")))
+          .select(col("bucket"), col("domain"), col("n"),
+            col("sum_dec").cast("double").as("sum_state"),
+            col("min_state").cast("double").as("min_state"),
+            col("max_state").cast("double").as("max_state"),
+            col("avg_state"))
+          .orderBy(col("bucket"), col("domain"))
+      },
+      Some(s"""$ltssCte
+        |SELECT bucket, domain, n,
+        |       CAST(sum_state AS DOUBLE) AS sum_state,
+        |       CAST(min_state AS DOUBLE) AS min_state,
+        |       CAST(max_state AS DOUBLE) AS max_state,
+        |       CAST(sum_state AS DOUBLE) / CAST(n AS DOUBLE) AS avg_state
+        |FROM (
+        |  SELECT ${DetMath.timeBucketSql("time", hourUs)} AS bucket,
+        |         split_part(entity_id, '.', 1) AS domain,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         SUM(CAST(state AS DECIMAL(12,2))) AS sum_state,
+        |         MIN(CAST(state AS DECIMAL(12,2))) AS min_state,
+        |         MAX(CAST(state AS DECIMAL(12,2))) AS max_state
+        |  FROM ltss GROUP BY 1, 2)
+        |ORDER BY bucket, domain""".stripMargin))
+  }
+
+  /** JSON attribute predicate + extraction (reference GIN index on JSONB,
+    * models.py:75-77): `attributes->>'k' >= 90`. */
+  val jsonAttr = OracleQuery(
+    "ltss_json_attr",
+    (s, d) =>
+      ltss(s, d)
+        .withColumn("k", get_json_object(col("attributes"), "$.k").cast("long"))
+        .filter(col("k") >= 90)
+        .select(col("entity_id"), col("time"), col("state"), col("k"))
+        .orderBy(col("entity_id"), col("time"), col("state")),
+    Some(s"""$ltssCte
+      |SELECT entity_id, time, state, CAST(json_extract_string(attributes, '$$.k') AS BIGINT) AS k
+      |FROM ltss
+      |WHERE CAST(json_extract_string(attributes, '$$.k') AS BIGINT) >= 90
+      |ORDER BY entity_id, time, state""".stripMargin))
+
+  /** Geo surface (reference PostGIS point column, models.py:44,56-62):
+    * deterministic lat/lon enrichment → JSON attributes → extraction via
+    * the real P3 path → WKT rendering + squared-degree distance filter. */
+  val geoWkt = OracleQuery(
+    "ltss_geo",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
+      e.withColumn("attrs", to_json(struct(col("lat").as("latitude"), col("lon").as("longitude"))))
+        .withColumn("wkt", Transform.locationWkt(col("attrs")))
+        .withColumn("dist2",
+          (Transform.latCol(col("attrs")) - 0.5) * (Transform.latCol(col("attrs")) - 0.5) +
+            (Transform.lonCol(col("attrs")) - 0.5) * (Transform.lonCol(col("attrs")) - 0.5))
+        .filter(col("dist2") <= 10000.0)
+        .select(col("event_id"), col("wkt"), col("dist2"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      |       'SRID=4326;POINT(' || CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR) || ')' AS wkt,
+      |       (lat-0.5)*(lat-0.5) + (lon-0.5)*(lon-0.5) AS dist2
+      |FROM (SELECT event_id,
+      |             CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |             CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      |      FROM events)
+      |WHERE (lat-0.5)*(lat-0.5) + (lon-0.5)*(lon-0.5) <= 10000.0
+      |ORDER BY event_id""".stripMargin))
+
+  /** Sessionization: 30-min-gap sessions per entity (lag + conditional sum). */
+  val sessionize = OracleQuery(
+    "ltss_sessionize",
+    (s, d) => {
+      val gapUs = 1800000000L
+      val w = Window.partitionBy(col("entity_id")).orderBy(col("time"), col("state"))
+      ltss(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("time")), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull || unix_micros(col("time")) - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("is_new")).as("n_sessions"))
+        .orderBy(col("entity_id"))
+    },
+    Some(s"""$ltssCte
+      |SELECT entity_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(is_new) AS BIGINT) AS n_sessions
+      |FROM (
+      |  SELECT entity_id,
+      |         CASE WHEN prev_us IS NULL OR epoch_us(time) - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM (SELECT entity_id, time,
+      |               lag(epoch_us(time)) OVER (PARTITION BY entity_id ORDER BY time, state) AS prev_us
+      |        FROM ltss))
+      |GROUP BY entity_id ORDER BY entity_id""".stripMargin))
+
+  /** PK (time, entity_id) uniqueness invariant (reference
+    * migrations.py:88-95) as a deterministic dedup + per-domain count. */
+  val dedupPk = OracleQuery(
+    "ltss_dedup_pk",
+    (s, d) =>
+      Transform.dedupByPk(ltss(s, d), Seq(col("state"), col("attributes")))
+        .groupBy(split(col("entity_id"), "\\.").getItem(0).as("domain"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("domain")),
+    Some(s"""$ltssCte
+      |SELECT split_part(entity_id, '.', 1) AS domain, CAST(count(*) AS BIGINT) AS n
+      |FROM (
+      |  SELECT entity_id, row_number() OVER (PARTITION BY time, entity_id ORDER BY state, attributes) AS rn
+      |  FROM ltss) WHERE rn = 1
+      |GROUP BY 1 ORDER BY domain""".stripMargin))
+
+  val all: Seq[OracleQuery] = Seq(
+    project, entityFilterQ, history, latest, transitions,
+    timeBucketAgg, jsonAttr, geoWkt, sessionize, dedupPk)
+}

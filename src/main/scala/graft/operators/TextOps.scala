@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for the LLM-data-pipeline surface (north-star
+  * extension, BASELINE.json): quality scoring, language-ID heuristic,
+  * token counting (whitespace + BPE-ish regex), document fingerprinting.
+  * All pure `Column` expressions over the `documents` table — codegen'd,
+  * shuffle-free (per-row), so they scale linearly at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the `text` column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish pre-tokenizer regex: letter runs | digit runs | single
+    * non-alphanumeric. Same class semantics in Java regex and RE2. */
+  val BpeTokenRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  // --------------------------------------------------------------- queries
+
+  /** Per-doc quality metrics: token count, distinct tokens, avg token
+    * length (exact double division), stopword ratio. */
+  val textStats = OracleQuery(
+    "text_stats",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val t = tokens(col("text"))
+      docs.select(
+          col("doc_id"),
+          col("n_chars"),
+          length(col("text")).cast("long").as("len_chars"),
+          size(t).cast("long").as("n_tokens"),
+          size(array_distinct(t)).cast("long").as("n_uniq_tokens"),
+          ((length(col("text")) - size(t) + 1).cast("double") / size(t).cast("double"))
+            .as("avg_token_len"),
+          (size(filter(t, w => w.isin("the", "a"))).cast("double") / size(t).cast("double"))
+            .as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, n_chars,
+      |  CAST(length(text) AS BIGINT) AS len_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+      |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Language-ID heuristic: stopword-marker hit counts per language with a
+    * deterministic argmax (ties broken by fixed language order). */
+  val langId = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and", "of"),
+      "es" -> Seq("el", "la", "los", "y"),
+      "de" -> Seq("der", "die", "das", "und"),
+      "fr" -> Seq("le", "les", "et", "une"))
+    OracleQuery(
+      "lang_id",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val scored = markers.foldLeft(Tables.documents(s, d)) { case (df, (lang, ws)) =>
+          df.withColumn(s"c_$lang", size(filter(t, w => w.isin(ws: _*))).cast("long"))
+        }
+        val best = markers.map(_._1).foldRight(lit("und")) { case (lang, acc) =>
+          when(col(s"c_$lang") > 0 &&
+            markers.map(_._1).filter(_ < lang).map(l2 => col(s"c_$lang") > col(s"c_$l2"))
+              .foldLeft(lit(true))(_ && _) &&
+            markers.map(_._1).filter(_ > lang).map(l2 => col(s"c_$lang") >= col(s"c_$l2"))
+              .foldLeft(lit(true))(_ && _),
+            lit(lang)).otherwise(acc)
+        }
+        scored.select(col("doc_id"), col("lang"), best.as("predicted_lang"))
+          .withColumn("is_match", (col("lang") === col("predicted_lang")).cast("int"))
+          .orderBy(col("doc_id"))
+      }, {
+        val cnts = markers.map { case (lang, ws) =>
+          val in = ws.map(w => s"'$w'").mkString(", ")
+          s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($in))) AS BIGINT) AS c_$lang"
+        }.mkString(",\n  ")
+        val langs = markers.map(_._1)
+        val best = langs.foldRight("'und'") { case (lang, acc) =>
+          val beatsEarlier = langs.filter(_ < lang).map(l2 => s"c_$lang > c_$l2")
+          val tiesLater = langs.filter(_ > lang).map(l2 => s"c_$lang >= c_$l2")
+          val conds = (s"c_$lang > 0" +: (beatsEarlier ++ tiesLater)).mkString(" AND ")
+          s"CASE WHEN $conds THEN '$lang' ELSE $acc END"
+        }
+        Some(s"""WITH scored AS (SELECT doc_id, lang,
+          |  $cnts
+          |FROM documents)
+          |SELECT doc_id, lang, predicted_lang,
+          |       CAST(lang = predicted_lang AS INT) AS is_match
+          |FROM (SELECT doc_id, lang, $best AS predicted_lang FROM scored)
+          |ORDER BY doc_id""".stripMargin)
+      })
+  }
+
+  /** Token counting: whitespace count vs BPE-ish regex count. */
+  val tokenCount = OracleQuery(
+    "token_count",
+    (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(BpeTokenRegex), lit(0))).cast("long")
+            .as("bpe_tokens"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '$BpeTokenRegex')) AS BIGINT) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Document fingerprints: exact md5 + min-shingle fingerprint
+    * (winnowing-style: min over md5 of 5-word shingles). */
+  val fingerprint = OracleQuery(
+    "doc_fingerprint",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = tokens(col("text"))
+      val shingles = transform(
+        sequence(lit(1), greatest(size(w) - 4, lit(1))),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
+          element_at(w, i + 3), element_at(w, i + 4)))
+      docs.select(
+          col("doc_id"),
+          md5(col("text")).as("exact_fp"),
+          array_min(transform(shingles, sh => md5(sh))).as("min_shingle_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, md5(text) AS exact_fp,
+      |  list_min(list_transform(
+      |    list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 4, 1)),
+      |      i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1],
+      |                     string_split(text,' ')[i+2], string_split(text,' ')[i+3],
+      |                     string_split(text,' ')[i+4])),
+      |    sh -> md5(sh))) AS min_shingle_fp
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** 16-bit SimHash from the high bit of each md5 hex digit, majority-
+    * voted over (duplicated) tokens; rendered as a 16-char bitstring. */
+  val simhash = OracleQuery(
+    "simhash",
+    (s, d) => {
+      val w = tokens(col("text"))
+      val bits = (1 to 16).map { j =>
+        // +1 if hex digit j of md5(token) has its high bit set, else -1
+        val weight = (tok: Column) =>
+          when(substring(md5(tok), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+            .otherwise(-1)
+        val s0 = aggregate(w, lit(0), (acc, tok) => acc + weight(tok))
+        when(s0 > 0, lit("1")).otherwise(lit("0"))
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(bits: _*).as("simhash16"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val bitExprs = (1 to 16).map { j =>
+        s"""CASE WHEN list_sum(list_transform(string_split(text, ' '),
+           |  t -> CASE WHEN substring(md5(t), $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+           |THEN '1' ELSE '0' END""".stripMargin
+      }.mkString(" || ")
+      s"""SELECT doc_id, $bitExprs AS simhash16
+        |FROM documents ORDER BY doc_id""".stripMargin
+    })
+
+  val all: Seq[OracleQuery] = Seq(textStats, langId, tokenCount, fingerprint, simhash)
+}

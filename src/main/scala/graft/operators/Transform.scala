@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.config.{EntityFilter, LtssConfig}
+
+/** The ingest-pipeline operators of the reference, as Column-based
+  * DataFrame transforms (SURVEY.md §2.1 rows S2/F2/P1–P4). All of them are
+  * pure `Column` expressions — no UDFs — so Catalyst keeps them inside
+  * whole-stage codegen and can push the filters into the parquet scan.
+  */
+object Transform {
+
+  /** U+FFFD replacement char used for NUL sanitization
+    * (reference models.py:67: `state.replace("\x00", "�")`). */
+  val ReplacementChar = "�"
+
+  // ---------------------------------------------------------------- S2
+  /** Validity filter: drop events with null entity_id, null state, or
+    * state == "unknown" (reference __init__.py:253). */
+  def validity(entityId: Column, state: Column): Column =
+    entityId.isNotNull && state.isNotNull && state =!= "unknown"
+
+  // ---------------------------------------------------------------- F2
+  /** Include/exclude entity filter compiled from config (reference
+    * __init__.py:76,254); see [[graft.config.EntityFilter]]. */
+  def entityFilter(cfg: LtssConfig, entityId: Column): Column =
+    EntityFilter(cfg).column(entityId)
+
+  // ---------------------------------------------------------------- P2
+  /** NUL sanitization (reference models.py:67) — PostgreSQL text can't
+    * store NUL; the reference substitutes U+FFFD. */
+  def sanitize(c: Column): Column = regexp_replace(c, "\u0000", ReplacementChar)
+
+  // ---------------------------------------------------------------- P3
+  /** Geo point extraction (reference models.py:56-62): lat/lon are read
+    * from the JSON attributes; the point is emitted only when BOTH are
+    * truthy — Python truthiness means lat=0 or lon=0 yields NULL
+    * ("Null Island" trap, SURVEY.md §7.4). */
+  def latCol(attrs: Column): Column = get_json_object(attrs, "$.latitude").cast("double")
+  def lonCol(attrs: Column): Column = get_json_object(attrs, "$.longitude").cast("double")
+
+  def locationStruct(attrs: Column): Column = {
+    val lat = latCol(attrs)
+    val lon = lonCol(attrs)
+    when(lat.isNotNull && lon.isNotNull && lat =!= 0d && lon =!= 0d,
+      struct(lon.as("lon"), lat.as("lat")))
+  }
+
+  /** WKT rendering `SRID=4326;POINT(lon lat)` (reference models.py:61). */
+  def locationWkt(attrs: Column): Column = {
+    val lat = latCol(attrs)
+    val lon = lonCol(attrs)
+    when(lat.isNotNull && lon.isNotNull && lat =!= 0d && lon =!= 0d,
+      concat(lit("SRID=4326;POINT("), lon.cast("string"), lit(" "), lat.cast("string"), lit(")")))
+  }
+
+  /** Pop `latitude`/`longitude` out of the JSON attributes (reference
+    * models.py:59-60 — the keys are *removed* whether or not a point is
+    * produced). Textual top-level-key removal for scalar values, which is
+    * the shape HA produces; leaves other keys' text untouched (so no JSON
+    * canonicalization surprises, SURVEY.md §7.4). */
+  def popLatLon(attrs: Column): Column = {
+    val dropped = regexp_replace(
+      attrs,
+      """"(?:latitude|longitude)"\s*:\s*(?:-?[0-9][0-9.eE+\-]*|"[^"]*"|null|true|false)\s*,?\s*""",
+      "")
+    // removing a trailing member leaves `, }` — clean it up
+    regexp_replace(regexp_replace(dropped, """,\s*}""", "}"), """,\s*]""", "]")
+  }
+
+  // ---------------------------------------------------------------- P1 (+P4)
+  /** Event → LTSS row projection (reference models.py:47-72). Maps the
+    * driver's `events` table onto the LTSS shape (FIXTURES.md §B):
+    * entity_id := event_type '.' user_id, time := ts,
+    * state := stringified value (NUL-sanitized), attributes := props.
+    */
+  def eventsToLtss(events: DataFrame, cfg: LtssConfig = LtssConfig()): DataFrame = {
+    val entityId = concat(col("event_type"), lit("."), col("user_id").cast("string"))
+    val state = sanitize(format_string("%.2f", col("value")))
+    val base = events
+      .withColumn("entity_id", entityId)
+      .withColumn("state", state)
+      .filter(validity(col("entity_id"), col("state")))
+      .filter(entityFilter(cfg, col("entity_id")))
+    val projected =
+      if (cfg.enableLocation)
+        base.select(
+          col("ts").as("time"),
+          col("entity_id"),
+          col("state"),
+          popLatLon(col("props")).as("attributes"),
+          locationStruct(col("props")).as("location"))
+      else
+        base.select(
+          col("ts").as("time"),
+          col("entity_id"),
+          col("state"),
+          col("props").as("attributes"))
+    projected
+  }
+
+  /** PK `(time, entity_id)` uniqueness invariant (reference
+    * migrations.py:88-95): deterministic dedup — survivor is the
+    * first row by the given tie-break ordering, expressed as a
+    * row_number window so results are reproducible (unlike
+    * `dropDuplicates`, which keeps an arbitrary row). */
+  def dedupByPk(df: DataFrame, tieBreak: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("time"), col("entity_id")).orderBy(tieBreak: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}
