@@ -77,7 +77,9 @@ object Transform {
     */
   def eventsToLtss(events: DataFrame, cfg: LtssConfig = LtssConfig()): DataFrame = {
     val entityId = concat(col("event_type"), lit("."), col("user_id").cast("string"))
-    val state = sanitize(format_string("%.2f", col("value")))
+    // format_string renders a NULL arg as the string "null" — keep the
+    // stringification null-preserving so the validity filter (S2) drops it
+    val state = when(col("value").isNotNull, sanitize(format_string("%.2f", col("value"))))
     val base = events
       .withColumn("entity_id", entityId)
       .withColumn("state", state)

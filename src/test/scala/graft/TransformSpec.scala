@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.config.{FilterSpec, LtssConfig}
+import graft.operators.Transform
+import graft.schema.StateEvent
+
+/** FIXTURES.md §A.2 edge cases — the reference semantics every unit
+  * suite must include. */
+class TransformSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def mkEvents(rows: (String, String, String)*) =
+    // (event_type, value-as-state source, props)
+    rows.zipWithIndex.map { case ((et, v, props), i) =>
+      StateEvent(i.toLong, ts("2024-01-01 00:00:00"), i.toLong, et,
+        Option(v).map(_.toDouble), props)
+    }.toDS.toDF
+
+  test("validity filter drops null entity_id / null state / 'unknown' (S2)") {
+    val df = Seq(
+      ("a", Some("on")), ("b", None), (null, Some("on")), ("c", Some("unknown")))
+      .toDF("entity_id", "state")
+    val kept = df.filter(Transform.validity(col("entity_id"), col("state")))
+      .select("entity_id").as[String].collect()
+    assert(kept.toSet == Set("a"))
+  }
+
+  test("NUL sanitization replaces \\u0000 with U+FFFD (P2, models.py:67)") {
+    val out = Seq("a\u0000b", "clean").toDF("s")
+      .select(Transform.sanitize(col("s")).as("s")).as[String].collect()
+    assert(out.toSet == Set("a�b", "clean"))
+  }
+
+  test("geo extraction: both lat+lon truthy → point; 0/missing → NULL (P3, models.py:56-62)") {
+    val cases = Seq(
+      ("""{"latitude": 57.7, "longitude": 11.97}""", Some((11.97, 57.7))),
+      ("""{"latitude": 0, "longitude": 11.97}""", None), // Null Island truthiness
+      ("""{"latitude": 57.7, "longitude": 0}""", None),
+      ("""{"latitude": 57.7}""", None), // one present → still NULL
+      ("""{"k": 1}""", None))
+    val df = cases.map(_._1).toDF("attrs")
+      .select(col("attrs"), Transform.locationStruct(col("attrs")).as("loc"))
+    val got = df.collect().map(r => Option(r.getStruct(1)).map(s => (s.getDouble(0), s.getDouble(1))))
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("WKT rendering matches the reference format (models.py:61)") {
+    val wkt = Seq("""{"latitude": 57.7, "longitude": 11.97}""").toDF("attrs")
+      .select(Transform.locationWkt(col("attrs"))).as[String].head()
+    assert(wkt == "SRID=4326;POINT(11.97 57.7)")
+  }
+
+  test("popLatLon removes lat/lon keys and keeps others (models.py:59-60)") {
+    val out = Seq(
+      """{"latitude": 57.7, "longitude": 11.97, "unit": "C"}""",
+      """{"unit": "C", "latitude": 57.7}""",
+      """{"latitude": 0, "longitude": 0}""",
+      """{"k": 87}""").toDF("attrs")
+      .select(Transform.popLatLon(col("attrs")).as("a")).as[String].collect()
+    assert(get_json(out(0), "latitude").isEmpty && get_json(out(0), "longitude").isEmpty)
+    assert(get_json(out(0), "unit").contains("C"))
+    assert(get_json(out(1), "latitude").isEmpty && get_json(out(1), "unit").contains("C"))
+    assert(out(2).replaceAll("\\s", "") == "{}")
+    assert(out(3) == """{"k": 87}""")
+  }
+
+  private def get_json(json: String, key: String): Option[String] = {
+    import spark.implicits._
+    Seq(json).toDF("j")
+      .select(get_json_object(col("j"), s"$$.$key")).as[String].collect().headOption.flatMap(Option(_))
+  }
+
+  test("eventsToLtss projects schema ±location (capability matrix, FIXTURES.md §A.4)") {
+    val ev = mkEvents(("sensor", "21.5", """{"latitude": 1.5, "longitude": 2.5, "u": "C"}"""))
+    val withLoc = Transform.eventsToLtss(ev, LtssConfig(enableLocation = true))
+    val noLoc = Transform.eventsToLtss(ev, LtssConfig(enableLocation = false))
+    assert(withLoc.schema.fieldNames.toSeq == Seq("time", "entity_id", "state", "attributes", "location"))
+    assert(noLoc.schema.fieldNames.toSeq == Seq("time", "entity_id", "state", "attributes"))
+    val row = withLoc.head()
+    assert(row.getAs[String]("entity_id") == "sensor.0")
+    assert(row.getAs[String]("state") == "21.50")
+    val loc = row.getAs[Row]("location")
+    assert(loc.getDouble(0) == 2.5 && loc.getDouble(1) == 1.5)
+    // popped keys are gone from attributes, other keys stay
+    assert(get_json(row.getAs[String]("attributes"), "latitude").isEmpty)
+    assert(get_json(row.getAs[String]("attributes"), "u").contains("C"))
+  }
+
+  test("dedupByPk keeps exactly one deterministic row per (time, entity_id)") {
+    val t = ts("2024-01-01 00:00:00")
+    val df = Seq(
+      (t, "a", "1"), (t, "a", "2"), (t, "b", "9"))
+      .toDF("time", "entity_id", "state")
+    val out = Transform.dedupByPk(df, Seq(col("state")))
+      .orderBy("entity_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("state") == "1") // lowest tie-break survives
+  }
+}
+
+/** HA include/exclude entity-filter semantics (FIXTURES.md §A.3). */
+class EntityFilterSpec extends SparkSpec {
+  import graft.config.EntityFilter
+
+  private val cfg = LtssConfig(
+    include = FilterSpec(
+      domains = Seq("sensor"),
+      entities = Seq("person.john_doe"),
+      entityGlobs = Seq("sensor.weather_*")),
+    exclude = FilterSpec(entities = Seq("sensor.noisy")))
+  private val f = EntityFilter(cfg)
+
+  test("domain include") { assert(f.accepts("sensor.x")) }
+  test("exact entity include") { assert(f.accepts("person.john_doe")) }
+  test("glob include") { assert(f.accepts("sensor.weather_oslo")) }
+  test("exclude overrides include") { assert(!f.accepts("sensor.noisy")) }
+  test("non-included domain out") { assert(!f.accepts("light.kitchen")) }
+  test("empty filter accepts all") {
+    assert(EntityFilter(LtssConfig()).accepts("anything.at_all"))
+  }
+  test("exclude-only keeps the rest") {
+    val g = EntityFilter(LtssConfig(exclude = FilterSpec(domains = Seq("light"))))
+    assert(g.accepts("sensor.x") && !g.accepts("light.x"))
+  }
+
+  test("Column predicate agrees with the Scala predicate") {
+    import spark.implicits._
+    val ids = Seq("sensor.x", "person.john_doe", "sensor.weather_oslo", "sensor.noisy",
+      "light.kitchen", "sensor.weather_noisy", "person.jane")
+    val viaCol = ids.toDF("entity_id")
+      .filter(f.column(org.apache.spark.sql.functions.col("entity_id")))
+      .as[String].collect().toSet
+    assert(viaCol == ids.filter(f.accepts).toSet)
+  }
+
+  test("globToRegex compiles fnmatch wildcards") {
+    assert("sensor\\.weather_.*" == EntityFilter.globToRegex("sensor.weather_*"))
+    assert(EntityFilter.globToRegex("a?c") == "a.c")
+    assert(EntityFilter.globToRegex("x[ab]y") == "x[ab]y")
+  }
+}
