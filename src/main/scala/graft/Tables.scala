@@ -9,6 +9,15 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Local-mode parallelism fix for compute-heavy scans: the test tables
+    * are single small parquet files, so Spark plans ONE scan task and a
+    * per-row-expensive pipeline (minhash, JSON parse) runs on one core.
+    * On a real cluster file splits/many files provide this parallelism —
+    * here we buy it with one round-robin shuffle, only in front of
+    * genuinely heavy per-row compute. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   /** events.ts is nanosecond-precision parquet, which Spark 4 refuses as
     * TimestampType; sessions set `spark.sql.legacy.parquet.nanosAsLong`
     * and this loader truncates ns → µs (matching DuckDB's ns→µs cast,

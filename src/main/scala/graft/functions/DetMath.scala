@@ -42,11 +42,16 @@ object DetMath {
   // Left-associated explicit sums — identical fp order on Spark & DuckDB.
   // ------------------------------------------------------------------
 
-  /** Dot product as a left-assoc chain of `+` over per-index products. */
+  /** Dot product as a sequential left fold over per-index products.
+    * `aggregate` folds left-to-right starting from 0.0 — the same fp
+    * order as SQL's left-associated `+` chain (0.0 + x ≡ x), so the
+    * result is bit-identical to [[dotSql]] while keeping the expression
+    * tree small (the unrolled 64-term form triples codegen time). */
   def dotCol(a: Column, b: Column, dim: Int): Column =
-    (1 to dim)
-      .map(i => element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduceLeft(_ + _)
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
 
   def dotSql(a: String, b: String, dim: Int): String =
     (1 to dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")

@@ -13,8 +13,14 @@ import graft.Tables
   * fingerprint; MinHash+LSH replaces the O(n²) pairwise compare with a
   * bucket join on band signatures — only same-bucket docs pair up. All
   * hashing is md5 (present on both Spark and the DuckDB oracle), and
-  * minhash takes the *string*-min of md5, which is deterministic and
-  * engine-independent (no Murmur mismatch).
+  * minhash takes the *string*-min of fixed-width hex slices, which is
+  * deterministic and engine-independent (no Murmur mismatch).
+  *
+  * Cost shape: 8 minhashes come from TWO md5 evaluations per shingle
+  * (the 32-hex digest sliced into four 8-hex chunks ≈ four independent
+  * 32-bit hashes), and the LSH join carries the signature columns through
+  * the band explode so the signature aggregate is computed once, not
+  * re-joined per side.
   */
 object Dedup {
 
@@ -55,82 +61,85 @@ object Dedup {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin))
 
-  /** MinHash signatures: 8 hashes = string-min of seeded md5 over the
-    * 2-word shingle set. */
+  /** MinHash signature frame: doc_id, m0..m7 (8-hex-char string mins). */
+  private def minhashFrame(docs: DataFrame): DataFrame = {
+    val hashed = Tables.fanOut(docs)
+      .select(col("doc_id"), explode(shingles2(col("text"))).as("sh"))
+      .select(col("doc_id"),
+        md5(concat(lit("0:"), col("sh"))).as("h0"),
+        md5(concat(lit("1:"), col("sh"))).as("h1"))
+    val aggs = (0 until 4).map(i => min(substring(col("h0"), i * 8 + 1, 8)).as(s"m$i")) ++
+      (0 until 4).map(i => min(substring(col("h1"), i * 8 + 1, 8)).as(s"m${i + 4}"))
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def minhashCte: String = {
+    val mins = ((0 until 4).map(i => s"min(substring(h0, ${i * 8 + 1}, 8)) AS m$i") ++
+      (0 until 4).map(i => s"min(substring(h1, ${i * 8 + 1}, 8)) AS m${i + 4}"))
+      .mkString(",\n    ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest($shingles2Sql) AS sh FROM documents
+       |), hs AS (
+       |  SELECT doc_id, md5('0:' || sh) AS h0, md5('1:' || sh) AS h1 FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM hs GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  /** MinHash signatures: 8 hashes per doc. */
   val minhashSig = OracleQuery(
     "minhash_signature",
     (s, d) => minhashFrame(Tables.documents(s, d)).orderBy(col("doc_id")),
     Some(s"""$minhashCte
       |SELECT * FROM sig ORDER BY doc_id""".stripMargin))
 
-  private def minhashFrame(docs: DataFrame): DataFrame = {
-    val sh = explode(shingles2(col("text")))
-    val exploded = docs.select(col("doc_id"), sh.as("sh"))
-    val aggs = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"m$i"))
-    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
-
-  private def minhashCte: String = {
-    val mins = (0 until NumHashes)
-      .map(i => s"min(md5('$i:' || sh)) AS m$i").mkString(",\n    ")
-    s"""WITH sh AS (
-       |  SELECT doc_id, unnest($shingles2Sql) AS sh FROM documents
-       |), sig AS (
-       |  SELECT doc_id,
-       |    $mins
-       |  FROM sh GROUP BY doc_id
-       |)""".stripMargin
-  }
-
-  /** MinHash + LSH near-dup pairs: band the 8-hash signature into 2 bands
-    * of 4 (md5 strings are fixed-width → concat is injective), bucket-join
-    * on (band_idx, band_value), then estimate Jaccard as the fraction of
-    * matching minhashes. A band match guarantees est ≥ 0.5. */
+  /** MinHash + LSH near-dup pairs: the 8-hash signature banded into 2
+    * bands of 4 (fixed-width hex → concat is injective), bucket-join on
+    * (band_idx, band_val), Jaccard estimated as the fraction of matching
+    * minhashes. A band match guarantees est ≥ 0.5. */
   val minhashLsh = OracleQuery(
     "dedup_minhash_lsh",
     (s, d) => {
       val sig = minhashFrame(Tables.documents(s, d))
-      val bandCols = (0 until NumHashes).grouped(4).zipWithIndex.map { case (g, bi) =>
-        concat(g.map(i => col(s"m$i")): _*).as(s"b$bi")
-      }.toSeq
-      val banded = sig.select(col("doc_id") +: bandCols: _*)
-      val bands = banded.select(col("doc_id"),
-          explode(map(lit(0), col("b0"), lit(1), col("b1"))).as(Seq("band_idx", "band_val")))
-      val a = bands.as("a")
-      val b = bands.as("b")
-      val cand = a.join(b,
-          col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "a_id" else s"a_$c"): _*)
-      val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "b_id" else s"b_$c"): _*)
+      val ms = (0 until NumHashes).map(i => col(s"m$i"))
+      // signature columns ride along with the banded rows: one aggregate,
+      // one self-join, no re-join against the signature frame
+      val bands = sig.select(
+        (col("doc_id") +: ms) :+
+          explode(map(
+            lit(0), concat(ms.take(4): _*),
+            lit(1), concat(ms.drop(4): _*))).as(Seq("band_idx", "band_val")): _*)
+      def pfx(p: String)(df: DataFrame): DataFrame =
+        df.toDF(df.columns.map(c => if (c.startsWith("band")) c else s"$p$c"): _*)
+      val a = pfx("a_")(bands)
+      val b = pfx("b_")(bands)
       val matches = (0 until NumHashes)
         .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
         .reduceLeft(_ + _)
-      cand.join(sa, "a_id").join(sb, "b_id")
-        .withColumn("est_jaccard", matches.cast("double") / lit(NumHashes.toDouble))
-        .select(col("a_id"), col("b_id"), col("est_jaccard"))
+      a.join(b, Seq("band_idx", "band_val"))
+        .filter(col("a_doc_id") < col("b_doc_id"))
+        .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
+          (matches.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
+        .distinct()
         .orderBy(col("a_id"), col("b_id"))
     },
     Some {
+      val sigCols = (0 until NumHashes).map(i => s"m$i").mkString(", ")
       val bandVal = (bi: Int) => (0 until 4).map(i => s"m${bi * 4 + i}").mkString(" || ")
       val matches = (0 until NumHashes)
-        .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
       s"""$minhashCte,
         |bands AS (
-        |  SELECT doc_id, 0 AS band_idx, ${bandVal(0)} AS band_val FROM sig
+        |  SELECT doc_id, $sigCols, 0 AS band_idx, ${bandVal(0)} AS band_val FROM sig
         |  UNION ALL
-        |  SELECT doc_id, 1 AS band_idx, ${bandVal(1)} AS band_val FROM sig
-        |),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM bands a JOIN bands b
-        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |  SELECT doc_id, $sigCols, 1 AS band_idx, ${bandVal(1)} AS band_val FROM sig
         |)
-        |SELECT a_id, b_id, CAST($matches AS DOUBLE) / 8.0 AS est_jaccard
-        |FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
+        |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST($matches AS DOUBLE) / 8.0 AS est_jaccard
+        |FROM bands a JOIN bands b
+        |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
         |ORDER BY a_id, b_id""".stripMargin
     })
 

@@ -189,7 +189,7 @@ object Queries {
   val geoWkt = OracleQuery(
     "ltss_geo",
     (s, d) => {
-      val e = Tables.events(s, d)
+      val e = Tables.fanOut(Tables.events(s, d))
         .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
         .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
       e.withColumn("attrs", to_json(struct(col("lat").as("latitude"), col("lon").as("longitude"))))
