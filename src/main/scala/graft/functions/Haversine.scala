@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Great-circle distance in km (the PostGIS `ST_Distance`-over-geography
+  * analog for the reference's location column, models.py:44).
+  *
+  * A native Catalyst expression with `doGenCode` — the generated code is a
+  * static method call, so the whole-stage codegen span stays unbroken
+  * (unlike a Scala UDF, which boxes and breaks the span).
+  */
+case class Haversine(
+    lat1: Expression, lon1: Expression,
+    lat2: Expression, lon2: Expression)
+  extends QuaternaryExpression with Serializable {
+
+  override def first: Expression = lat1
+  override def second: Expression = lon1
+  override def third: Expression = lat2
+  override def fourth: Expression = lon2
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == DoubleType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"haversine_km expects 4 DOUBLE args, got ${children.map(_.dataType.simpleString).mkString(", ")}")
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoMath.haversineKm(
+      a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.GeoMath.haversineKm($a, $b, $c, $d)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(lat1 = newFirst, lon1 = newSecond, lat2 = newThird, lon2 = newFourth)
+
+  override def prettyName: String = "haversine_km"
+}
+
+object Haversine {
+  /** Column-API entry point — resolves through the registered function
+    * (see [[graft.plans.GraftExtensions.install]]). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    call_function("haversine_km", lat1, lon1, lat2, lon2)
+}
+
+/** Static math target for both interpreted eval and generated code. */
+object GeoMath {
+  final val EarthRadiusKm = 6371.0088
+
+  def haversineKm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.pow(math.sin(dLat / 2), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.pow(math.sin(dLon / 2), 2)
+    2 * EarthRadiusKm * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+}

@@ -84,5 +84,41 @@ object Similarity {
       |WHERE rank_in_cluster <= 3
       |ORDER BY cid, rank_in_cluster""".stripMargin))
 
-  val all: Seq[OracleQuery] = Seq(cosineTopk, ivf)
+  /** Embedding-cosine near-dup detection with random-hyperplane-style
+    * LSH: bucket = the sign pattern of the first 8 dimensions (axis-
+    * aligned hyperplanes — deterministic and SQL-expressible), candidates
+    * join within buckets only, exact cosine verifies. At 100 TB the
+    * bucket join touches ~1/256 of the pair space; recall loss is the
+    * usual LSH trade and is identical in the oracle. */
+  val embedNearDup = {
+    def bucketSqlOf(v: String) = (1 to 8)
+      .map(i => s"CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    OracleQuery(
+      "dedup_embedding",
+      (s, d) => {
+        val bucket = concat((1 to 8).map(i =>
+          when(element_at(col("embedding"), i) >= 0f, "1").otherwise("0")): _*)
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+        val a = e.toDF("a_id", "a_e", "bucket")
+        val b = e.toDF("b_id", "b_e", "bucket")
+        a.join(b, "bucket")
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("cosine", DetMath.cosineCol(col("a_e"), col("b_e"), Dim))
+          .filter(col("cosine") >= 0.2)
+          .select(col("a_id"), col("b_id"), col("cosine"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${bucketSqlOf("embedding")} AS bucket
+        |  FROM embeddings
+        |)
+        |SELECT a_id, b_id, cosine FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         ${DetMath.cosineSql("a.embedding", "b.embedding", Dim)} AS cosine
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.2
+        |ORDER BY a_id, b_id""".stripMargin))
+  }
+
+  val all: Seq[OracleQuery] = Seq(cosineTopk, ivf, embedNearDup)
 }

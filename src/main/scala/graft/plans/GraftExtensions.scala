@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, MicrosToTimestamp, Pmod, Subtract, UnixMicros}
+import graft.functions.Haversine
+
+/** Catalyst extension point: registers graft's SQL functions so the full
+  * surface is reachable from `spark.sql(...)`, not only the Column API.
+  *
+  *  - `time_bucket(width_us, ts)` — the TimescaleDB function the
+  *    reference's hypertable serves (README.md:112-113), lowered to pure
+  *    epoch arithmetic (`ts - ts % width`), i.e. it stays inside
+  *    whole-stage codegen and costs one subtraction, not a UDF call.
+  *  - `haversine_km(lat1, lon1, lat2, lon2)` — geo distance over the
+  *    extracted location points.
+  *
+  * Usable two ways: `SparkSession.builder.withExtensions(new
+  * GraftExtensions)` at session build, or [[GraftExtensions.install]] on
+  * a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.timeBucketFn)
+    ext.injectFunction(GraftExtensions.haversineFn)
+  }
+}
+
+object GraftExtensions {
+
+  private def timeBucketExpr(args: Seq[Expression]): Expression = args match {
+    case Seq(width, ts) =>
+      val us = UnixMicros(ts)
+      MicrosToTimestamp(Subtract(us, Pmod(us, width)))
+    case other =>
+      throw new IllegalArgumentException(
+        s"time_bucket expects (width_us, ts), got ${other.size} args")
+  }
+
+  val timeBucketFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("time_bucket"),
+    new ExpressionInfo(classOf[MicrosToTimestamp].getName, "time_bucket"),
+    timeBucketExpr)
+
+  val haversineFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("haversine_km"),
+    new ExpressionInfo(classOf[Haversine].getName, "haversine_km"),
+    (args: Seq[Expression]) => Haversine(args(0), args(1), args(2), args(3)))
+
+  /** Idempotent registration on an already-built session. */
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("time_bucket", timeBucketExpr, "builtin")
+    reg.createOrReplaceTempFunction("haversine_km",
+      args => Haversine(args(0), args(1), args(2), args(3)), "builtin")
+  }
+}
