@@ -33,16 +33,25 @@ object LtssConfig {
 
 /** Include/exclude entity filtering with Home Assistant semantics
   * (reference __init__.py:76 `convert_include_exclude_filter`; behavior
-  * documented in README.md:71-101).
+  * documented in README.md:71-101). Mirrors HA's `generate_filter` case
+  * structure exactly:
   *
-  * Decision order (HA `EntityFilter` semantics):
-  *   - excluded by exact entity / glob / domain loses to an *explicit*
-  *     include at higher granularity;
-  *   - granularity order: exact entity > glob > domain;
-  *   - with only includes: anything not included is dropped;
-  *   - with only excludes: anything not excluded is kept;
-  *   - with both: include-first — an entity passes if included at any
-  *     level and not excluded at an equal-or-finer level that wins.
+  *   - Case 1 — no includes, no excludes: pass everything.
+  *   - Case 2 — includes only: pass iff included by entity, glob, or
+  *     domain.
+  *   - Case 3 — excludes only: pass iff not excluded by entity, glob, or
+  *     domain.
+  *   - Case 4a — both, with include domains/globs present: an exact
+  *     include entity always passes (even if also exclude-listed);
+  *     otherwise pass iff not exclude-listed by entity AND (domain
+  *     included and no exclude-glob match, OR include-glob match and
+  *     neither exclude-domain nor exclude-glob match).
+  *   - Case 4b — both, include has only entities, exclude has
+  *     domains/globs: if the entity matches an exclude domain or glob it
+  *     passes only when exactly include-listed; otherwise it passes
+  *     unless exclude-listed by entity.
+  *   - Case 4c — both, only entity lists on both sides: pass iff
+  *     include-listed (exclude entities are ignored).
   *
   * Implemented both as a pure Scala predicate (unit parity with the
   * reference) and as a Catalyst [[Column]] so the predicate participates
@@ -77,20 +86,14 @@ final class EntityFilter(include: FilterSpec, exclude: FilterSpec) extends Seria
     val incD = incDomains.contains(d)
     val excD = excDomains.contains(d)
 
-    if (!haveInc && !haveExc) true
-    else if (haveInc && !haveExc) incE || incG || incD
-    else if (!haveInc && haveExc) !(excE || excG || excD)
-    else {
-      // both: HA include/exclude precedence (finer include wins over
-      // coarser exclude; explicit exclude at same granularity wins)
-      if (incE) !excE
-      else if (excE) false
-      else if (incG) !excG
-      else if (excG) false
-      else if (incD || incG) !excG
-      else if (incDomains.nonEmpty || incGlobRes.nonEmpty) false
-      else !(excD || excG)
-    }
+    if (!haveInc && !haveExc) true // case 1
+    else if (haveInc && !haveExc) incE || incG || incD // case 2
+    else if (!haveInc && haveExc) !(excE || excG || excD) // case 3
+    else if (incDomains.nonEmpty || incGlobRes.nonEmpty) // case 4a
+      incE || (!excE && ((incD && !excG) || (incG && !excD && !excG)))
+    else if (excDomains.nonEmpty || excGlobRes.nonEmpty) // case 4b
+      (if (excD || excG) incE else !excE)
+    else incE // case 4c
   }
 
   /** The same predicate as a Catalyst Column over `entity_id` — stays in
@@ -106,18 +109,14 @@ final class EntityFilter(include: FilterSpec, exclude: FilterSpec) extends Seria
     val incD = if (incDomains.nonEmpty) d.isInCollection(incDomains) else lit(false)
     val excD = if (excDomains.nonEmpty) d.isInCollection(excDomains) else lit(false)
 
-    if (!haveInc && !haveExc) lit(true)
-    else if (haveInc && !haveExc) incE || incG || incD
-    else if (!haveInc && haveExc) !(excE || excG || excD)
-    else {
-      when(incE, !excE)
-        .when(excE, lit(false))
-        .when(incG, !excG)
-        .when(excG, lit(false))
-        .when(incD, !excG)
-        .otherwise(
-          if (incDomains.nonEmpty || incGlobRes.nonEmpty) lit(false) else !(excD || excG))
-    }
+    if (!haveInc && !haveExc) lit(true) // case 1
+    else if (haveInc && !haveExc) incE || incG || incD // case 2
+    else if (!haveInc && haveExc) !(excE || excG || excD) // case 3
+    else if (incDomains.nonEmpty || incGlobRes.nonEmpty) // case 4a
+      incE || (!excE && ((incD && !excG) || (incG && !excD && !excG)))
+    else if (excDomains.nonEmpty || excGlobRes.nonEmpty) // case 4b
+      when(excD || excG, incE).otherwise(!excE)
+    else incE // case 4c
   }
 }
 

@@ -29,11 +29,12 @@ object Queries {
     """WITH ltss AS (
       |  SELECT ts AS time,
       |         event_type || '.' || CAST(user_id AS VARCHAR) AS entity_id,
-      |         printf('%.2f', value) AS state,
+      |         CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS state,
       |         props AS attributes
       |  FROM events
       |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
-      |    AND value IS NOT NULL AND printf('%.2f', value) <> 'unknown'
+      |    AND value IS NOT NULL
+      |    AND CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) <> 'unknown'
       |)""".stripMargin
 
   private def ltss(s: SparkSession, dir: String): DataFrame =

@@ -77,9 +77,13 @@ object Transform {
     */
   def eventsToLtss(events: DataFrame, cfg: LtssConfig = LtssConfig()): DataFrame = {
     val entityId = concat(col("event_type"), lit("."), col("user_id").cast("string"))
-    // format_string renders a NULL arg as the string "null" — keep the
-    // stringification null-preserving so the validity filter (S2) drops it
-    val state = when(col("value").isNotNull, sanitize(format_string("%.2f", col("value"))))
+    // Stringify via exact DECIMAL so both engines apply one rounding rule:
+    // Spark's double→decimal cast (BigDecimal.valueOf + HALF_UP) and
+    // DuckDB's agree on the shortest-repr of the double, unlike
+    // format_string("%.2f") (half-up) vs printf('%.2f') (half-even),
+    // which disagree on ties like 0.125. NULL value stays NULL so the
+    // validity filter (S2) drops it.
+    val state = sanitize(col("value").cast("decimal(12,2)").cast("string"))
     val base = events
       .withColumn("entity_id", entityId)
       .withColumn("state", state)

@@ -127,14 +127,81 @@ class EntityFilterSpec extends SparkSpec {
     assert(g.accepts("sensor.x") && !g.accepts("light.x"))
   }
 
-  test("Column predicate agrees with the Scala predicate") {
+  // HA generate_filter case-4 sub-cases (reference delegates to HA's
+  // convert_include_exclude_filter, __init__.py:76)
+  test("case 4a: entity in both include and exclude entities is included") {
+    val g = EntityFilter(LtssConfig(
+      include = FilterSpec(domains = Seq("sensor"), entities = Seq("light.x")),
+      exclude = FilterSpec(entities = Seq("light.x"))))
+    assert(g.accepts("light.x"))
+  }
+  test("case 4a: include-glob match is rejected by exclude domain and exclude glob") {
+    val g = EntityFilter(LtssConfig(
+      include = FilterSpec(entityGlobs = Seq("*.weather")),
+      exclude = FilterSpec(domains = Seq("bad"), entityGlobs = Seq("worse.*"))))
+    assert(g.accepts("good.weather"))
+    assert(!g.accepts("bad.weather"))
+    assert(!g.accepts("worse.weather"))
+  }
+  test("case 4a: include-domain match survives exclude domain but not exclude glob") {
+    val g = EntityFilter(LtssConfig(
+      include = FilterSpec(domains = Seq("sensor")),
+      exclude = FilterSpec(domains = Seq("sensor"), entityGlobs = Seq("sensor.temp_*"))))
+    assert(g.accepts("sensor.humidity"))
+    assert(!g.accepts("sensor.temp_1"))
+  }
+  test("case 4b: excluded-by-domain/glob passes only when exactly include-listed") {
+    val g = EntityFilter(LtssConfig(
+      include = FilterSpec(entities = Seq("light.keep")),
+      exclude = FilterSpec(domains = Seq("light"))))
+    assert(g.accepts("light.keep"))
+    assert(!g.accepts("light.other"))
+    assert(g.accepts("sensor.x")) // unlisted, not excluded → passes
+  }
+  test("case 4b: not excluded by domain/glob → passes unless exclude-listed") {
+    val g = EntityFilter(LtssConfig(
+      include = FilterSpec(entities = Seq("light.keep")),
+      exclude = FilterSpec(domains = Seq("fan"), entities = Seq("sensor.noisy"))))
+    assert(g.accepts("sensor.quiet"))
+    assert(!g.accepts("sensor.noisy"))
+  }
+  test("case 4c: only entity lists on both sides → include list only") {
+    val g = EntityFilter(LtssConfig(
+      include = FilterSpec(entities = Seq("a.b")),
+      exclude = FilterSpec(entities = Seq("c.d"))))
+    assert(g.accepts("a.b") && !g.accepts("c.d") && !g.accepts("e.f"))
+  }
+
+  test("Column predicate agrees with the Scala predicate across all filter cases") {
     import spark.implicits._
     val ids = Seq("sensor.x", "person.john_doe", "sensor.weather_oslo", "sensor.noisy",
-      "light.kitchen", "sensor.weather_noisy", "person.jane")
-    val viaCol = ids.toDF("entity_id")
-      .filter(f.column(org.apache.spark.sql.functions.col("entity_id")))
-      .as[String].collect().toSet
-    assert(viaCol == ids.filter(f.accepts).toSet)
+      "light.kitchen", "light.keep", "light.other", "light.x", "sensor.weather_noisy",
+      "person.jane", "good.weather", "bad.weather", "worse.weather", "sensor.humidity",
+      "sensor.temp_1", "sensor.quiet", "fan.f1", "a.b", "c.d", "e.f")
+    val configs = Seq(
+      LtssConfig(), // case 1
+      LtssConfig(include = FilterSpec(domains = Seq("sensor"), entityGlobs = Seq("*.weather"))), // 2
+      LtssConfig(exclude = FilterSpec(domains = Seq("light"), entities = Seq("a.b"))), // 3
+      cfg, // 4a (fixture)
+      LtssConfig(
+        include = FilterSpec(domains = Seq("sensor"), entities = Seq("light.x")),
+        exclude = FilterSpec(entities = Seq("light.x", "sensor.noisy"), entityGlobs = Seq("sensor.temp_*"))), // 4a
+      LtssConfig(
+        include = FilterSpec(entityGlobs = Seq("*.weather")),
+        exclude = FilterSpec(domains = Seq("bad"), entityGlobs = Seq("worse.*"))), // 4a glob-only include
+      LtssConfig(
+        include = FilterSpec(entities = Seq("light.keep")),
+        exclude = FilterSpec(domains = Seq("light"), entities = Seq("sensor.noisy"))), // 4b
+      LtssConfig(
+        include = FilterSpec(entities = Seq("a.b")),
+        exclude = FilterSpec(entities = Seq("c.d")))) // 4c
+    for (c <- configs) {
+      val g = EntityFilter(c)
+      val viaCol = ids.toDF("entity_id")
+        .filter(g.column(org.apache.spark.sql.functions.col("entity_id")))
+        .as[String].collect().toSet
+      assert(viaCol == ids.filter(g.accepts).toSet, s"config $c")
+    }
   }
 
   test("globToRegex compiles fnmatch wildcards") {
