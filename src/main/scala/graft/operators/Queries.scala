@@ -212,6 +212,120 @@ object Queries {
       |WHERE (lat-0.5)*(lat-0.5) + (lon-0.5)*(lon-0.5) <= 10000.0
       |ORDER BY event_id""".stripMargin))
 
+  /** The location-enabled ingest path end-to-end (the reference's
+    * signature feature, models.py:47-72): deterministic lat/lon/nested
+    * attribute enrichment → the REAL `eventsToLtss(enableLocation=true)`
+    * projection (locationStruct + popLatLon together) → WKT render.
+    * Edge cases by event_id % 4: 0 = both present (point + both popped);
+    * 1 = lat 0 (Null-Island truthiness → no point, keys still popped);
+    * 2 = only lat (no point, the one key popped); 3 = neither key.
+    * The nested `zone.latitude` must SURVIVE the pop (attrs.pop is
+    * top-level only) — the oracle constructs the expected post-pop JSON
+    * independently, so a depth-unanchored pop turns this row red. */
+  val projectLocation = OracleQuery(
+    "ltss_project_location",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val m = col("event_id") % 4
+      val latE = (col("user_id") % 180 - 90).cast("double") + 0.5
+      val lonE = (col("event_id") % 360 - 180).cast("double") + 0.5
+      val latV = when(m === 1, lit(0.0)).when(m === 0 || m === 2, latE)
+      val lonV = when(m === 0 || m === 1, lonE)
+      val attrs = to_json(struct(
+        latV.as("latitude"),
+        lonV.as("longitude"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        struct(lit(1.5).as("latitude")).as("zone")))
+      val projected = Transform.eventsToLtss(
+        ev.withColumn("props", attrs), LtssConfig(enableLocation = true))
+      projected
+        .withColumn("wkt",
+          when(col("location").isNotNull,
+            concat(lit("SRID=4326;POINT("), col("location.lon").cast("string"),
+              lit(" "), col("location.lat").cast("string"), lit(")"))))
+        .select(col("time"), col("entity_id"), col("state"), col("attributes"), col("wkt"))
+        .orderBy(col("entity_id"), col("time"), col("state"))
+    },
+    Some("""WITH base AS (
+      |  SELECT ts, event_id, user_id, event_type, value,
+      |         event_id % 4 AS m,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS latv,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lonv,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      |    AND value IS NOT NULL
+      |    AND CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) <> 'unknown'
+      |)
+      |SELECT ts AS time,
+      |       event_type || '.' || CAST(user_id AS VARCHAR) AS entity_id,
+      |       CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS state,
+      |       '{"k":' || CAST(k AS VARCHAR) || ',"zone":{"latitude":1.5}}' AS attributes,
+      |       CASE WHEN m = 0
+      |            THEN 'SRID=4326;POINT(' || CAST(lonv AS VARCHAR) || ' ' || CAST(latv AS VARCHAR) || ')'
+      |       END AS wkt
+      |FROM base
+      |ORDER BY entity_id, time, state""".stripMargin))
+
+  /** Geo distance surface: `haversine_km` — the registered native
+    * Catalyst expression (functions/Haversine.scala) — as a radius query
+    * around a point. Distances floor to whole km on both sides because
+    * libm sin/cos/asin may differ from java.lang.Math by an ulp. */
+  val geoDistance = OracleQuery(
+    "ltss_geo_distance",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      Tables.events(s, d)
+        .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
+        .withColumn("dist_km",
+          graft.functions.Haversine.haversineKm(col("lat"), col("lon"), lit(57.7), lit(11.97)))
+        .filter(col("dist_km") <= 2000.0)
+        .select(col("event_id"), col("lat"), col("lon"),
+          floor(col("dist_km")).cast("long").as("dist_km_floor"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH pts AS (
+      |  SELECT event_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      |  FROM events
+      |), d AS (
+      |  SELECT event_id, lat, lon,
+      |         2 * 6371.0088 * asin(least(1.0, sqrt(
+      |           pow(sin(radians(57.7 - lat) / 2), 2)
+      |           + cos(radians(lat)) * cos(radians(57.7))
+      |             * pow(sin(radians(11.97 - lon) / 2), 2)))) AS dist_km
+      |  FROM pts
+      |)
+      |SELECT event_id, lat, lon, CAST(floor(dist_km) AS BIGINT) AS dist_km_floor
+      |FROM d WHERE dist_km <= 2000.0
+      |ORDER BY event_id""".stripMargin))
+
+  /** The SQL-registered `time_bucket` function (GraftExtensions), driven
+    * through `spark.sql` — proves the SparkSessionExtensions surface, not
+    * just the Column API. Day buckets over the LTSS mapping. */
+  val timeBucketSqlQ = {
+    val dayUs = 86400000000L
+    OracleQuery(
+      "ltss_time_bucket_sql",
+      (s, d) => {
+        graft.plans.GraftExtensions.install(s)
+        ltss(s, d).createOrReplaceTempView("ltss_v")
+        s.sql(s"""SELECT time_bucket(${dayUs}L, time) AS bucket,
+                 |       count(*) AS n,
+                 |       CAST(min(CAST(state AS DECIMAL(12,2))) AS DOUBLE) AS min_state,
+                 |       CAST(max(CAST(state AS DECIMAL(12,2))) AS DOUBLE) AS max_state
+                 |FROM ltss_v GROUP BY bucket ORDER BY bucket""".stripMargin)
+      },
+      Some(s"""$ltssCte
+        |SELECT ${DetMath.timeBucketSql("time", dayUs)} AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(CAST(state AS DECIMAL(12,2))) AS DOUBLE) AS min_state,
+        |       CAST(max(CAST(state AS DECIMAL(12,2))) AS DOUBLE) AS max_state
+        |FROM ltss GROUP BY bucket ORDER BY bucket""".stripMargin))
+  }
+
   /** Sessionization: 30-min-gap sessions per entity (lag + conditional sum). */
   val sessionize = OracleQuery(
     "ltss_sessionize",
@@ -256,5 +370,6 @@ object Queries {
 
   val all: Seq[OracleQuery] = Seq(
     project, entityFilterQ, history, latest, transitions,
-    timeBucketAgg, jsonAttr, geoWkt, sessionize, dedupPk)
+    timeBucketAgg, jsonAttr, geoWkt, sessionize, dedupPk,
+    projectLocation, geoDistance, timeBucketSqlQ)
 }

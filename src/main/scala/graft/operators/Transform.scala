@@ -57,16 +57,24 @@ object Transform {
 
   /** Pop `latitude`/`longitude` out of the JSON attributes (reference
     * models.py:59-60 — the keys are *removed* whether or not a point is
-    * produced). Textual top-level-key removal for scalar values, which is
-    * the shape HA produces; leaves other keys' text untouched (so no JSON
-    * canonicalization surprises, SURVEY.md §7.4). */
+    * produced, and only at the *top level*: `attrs.pop` can't see nested
+    * dicts). Structure-aware scan via the [[graft.functions.PopLatLon]]
+    * native expression — nested `latitude` keys survive, object/array
+    * values are removed whole, remaining member text is kept verbatim. */
   def popLatLon(attrs: Column): Column = {
-    val dropped = regexp_replace(
-      attrs,
-      """"(?:latitude|longitude)"\s*:\s*(?:-?[0-9][0-9.eE+\-]*|"[^"]*"|null|true|false)\s*,?\s*""",
-      "")
-    // removing a trailing member leaves `, }` — clean it up
-    regexp_replace(regexp_replace(dropped, """,\s*}""", "}"), """,\s*]""", "]")
+    graft.plans.GraftExtensions.install(org.apache.spark.sql.SparkSession.active)
+    call_function("pop_latlon", attrs)
+  }
+
+  /** P4 error branch (reference __init__.py:212-216): events whose
+    * attributes fail JSON encoding are dropped with a warning, not
+    * failed. In the Spark shape attributes arrive as text, so the analog
+    * is "drop rows whose attributes are not valid JSON"; NULL attributes
+    * (no attrs dict) are kept. Apply in the ingest stream before the
+    * sink; the warn side is the caller's (foreachBatch counts drops). */
+  def validJsonAttrs(attrs: Column): Column = {
+    graft.plans.GraftExtensions.install(org.apache.spark.sql.SparkSession.active)
+    attrs.isNull || call_function("is_valid_json", attrs)
   }
 
   // ---------------------------------------------------------------- P1 (+P4)

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, MicrosToTimestamp, Pmod, Subtract, UnixMicros}
-import graft.functions.Haversine
+import graft.functions.{Haversine, IsValidJson, PopLatLon}
 
 /** Catalyst extension point: registers graft's SQL functions so the full
   * surface is reachable from `spark.sql(...)`, not only the Column API.
@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.timeBucketFn)
     ext.injectFunction(GraftExtensions.haversineFn)
+    ext.injectFunction(GraftExtensions.popLatLonFn)
+    ext.injectFunction(GraftExtensions.isValidJsonFn)
   }
 }
 
@@ -47,11 +49,25 @@ object GraftExtensions {
     new ExpressionInfo(classOf[Haversine].getName, "haversine_km"),
     (args: Seq[Expression]) => Haversine(args(0), args(1), args(2), args(3)))
 
+  val popLatLonFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pop_latlon"),
+    new ExpressionInfo(classOf[PopLatLon].getName, "pop_latlon"),
+    (args: Seq[Expression]) => PopLatLon(args.head))
+
+  val isValidJsonFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("is_valid_json"),
+    new ExpressionInfo(classOf[IsValidJson].getName, "is_valid_json"),
+    (args: Seq[Expression]) => IsValidJson(args.head))
+
   /** Idempotent registration on an already-built session. */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("time_bucket", timeBucketExpr, "builtin")
+    reg.createOrReplaceTempFunction("time_bucket", timeBucketExpr, "built-in")
     reg.createOrReplaceTempFunction("haversine_km",
-      args => Haversine(args(0), args(1), args(2), args(3)), "builtin")
+      args => Haversine(args(0), args(1), args(2), args(3)), "built-in")
+    reg.createOrReplaceTempFunction("pop_latlon",
+      args => PopLatLon(args.head), "built-in")
+    reg.createOrReplaceTempFunction("is_valid_json",
+      args => IsValidJson(args.head), "built-in")
   }
 }

@@ -68,6 +68,32 @@ class TransformSpec extends SparkSpec {
     assert(out(3) == """{"k": 87}""")
   }
 
+  test("popLatLon is anchored to the top level (models.py:59-60 pops only top-level keys)") {
+    import graft.functions.JsonOps
+    // nested latitude survives; top-level one goes
+    assert(JsonOps.popLatLon("""{"zone": {"latitude": 1.5}, "latitude": 2.5}""")
+      == """{"zone": {"latitude": 1.5}}""")
+    // object/array-valued members are removed whole
+    assert(JsonOps.popLatLon("""{"latitude": [1, 2], "k": 1}""") == """{"k": 1}""")
+    assert(JsonOps.popLatLon("""{"latitude": {"deg": 57, "min": 42}, "k": 1}""") == """{"k": 1}""")
+    // string values containing braces/escapes don't confuse the scan
+    assert(JsonOps.popLatLon("""{"s": "a{b}\"c", "longitude": "x,y"}""") == """{"s": "a{b}\"c"}""")
+    // non-object / malformed input passes through unchanged
+    assert(JsonOps.popLatLon("""[1, 2]""") == """[1, 2]""")
+    assert(JsonOps.popLatLon("""{"latitude": """) == """{"latitude": """)
+    assert(JsonOps.popLatLon("null") == "null")
+  }
+
+  test("drop-on-unserializable attributes (P4, __init__.py:212-216)") {
+    val df = Seq(
+      ("a", """{"k": 1}"""), ("b", """not json"""), ("c", """{"k": """),
+      ("d", null.asInstanceOf[String]), ("e", """{"k": 1} trailing"""))
+      .toDF("entity_id", "attributes")
+    val kept = df.filter(Transform.validJsonAttrs(col("attributes")))
+      .select("entity_id").as[String].collect().toSet
+    assert(kept == Set("a", "d")) // invalid JSON dropped, absent attrs kept
+  }
+
   private def get_json(json: String, key: String): Option[String] = {
     import spark.implicits._
     Seq(json).toDF("j")
