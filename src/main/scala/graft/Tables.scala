@@ -12,11 +12,18 @@ object Tables {
   /** Local-mode parallelism fix for compute-heavy scans: the test tables
     * are single small parquet files, so Spark plans ONE scan task and a
     * per-row-expensive pipeline (minhash, JSON parse) runs on one core.
-    * On a real cluster file splits/many files provide this parallelism —
-    * here we buy it with one round-robin shuffle, only in front of
-    * genuinely heavy per-row compute. */
-  def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    * On a real cluster file splits/many files provide this parallelism,
+    * so the repartition is GATED: it only fires when the scan plans
+    * fewer partitions than the session's parallelism. At 100 TB the scan
+    * has thousands of splits and this is a no-op — no shuffle of the
+    * fact table in front of a map-only stage. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parallelism = math.min(target, spark.sparkContext.defaultParallelism)
+    if (df.rdd.getNumPartitions >= parallelism) df
+    else df.repartition(target)
+  }
 
   /** events.ts is nanosecond-precision parquet, which Spark 4 refuses as
     * TimestampType; sessions set `spark.sql.legacy.parquet.nanosAsLong`

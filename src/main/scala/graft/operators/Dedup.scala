@@ -95,10 +95,24 @@ object Dedup {
     Some(s"""$minhashCte
       |SELECT * FROM sig ORDER BY doc_id""".stripMargin))
 
+  /** Per-bucket skew cap for the LSH join: buckets larger than this are
+    * excluded from pair generation (a hot band value — e.g. boilerplate
+    * docs sharing a signature band — would otherwise make one reducer
+    * quadratic). Capped buckets are the candidate set for the exact
+    * Jaccard verifier path instead. Non-binding at test SFs. */
+  val MaxLshBucket = 1000
+
   /** MinHash + LSH near-dup pairs: the 8-hash signature banded into 2
     * bands of 4 (fixed-width hex → concat is injective), bucket-join on
     * (band_idx, band_val), Jaccard estimated as the fraction of matching
-    * minhashes. A band match guarantees est ≥ 0.5. */
+    * minhashes. A band match guarantees est ≥ 0.5.
+    *
+    * Scale shape: the banded signature frame is PERSISTED before the
+    * self-join — the shingle→md5→groupBy signature aggregate (the most
+    * expensive stage) executes once and both join sides scan the cache
+    * (ReuseExchange is plan-shape-sensitive; the cache is not). Bucket
+    * sizes are counted and oversized buckets dropped (see
+    * [[MaxLshBucket]]) so a single hot band value cannot go O(b²). */
   val minhashLsh = OracleQuery(
     "dedup_minhash_lsh",
     (s, d) => {
@@ -111,10 +125,16 @@ object Dedup {
           explode(map(
             lit(0), concat(ms.take(4): _*),
             lit(1), concat(ms.drop(4): _*))).as(Seq("band_idx", "band_val")): _*)
+      val wBucket = Window.partitionBy(col("band_idx"), col("band_val"))
+      val guarded = bands
+        .withColumn("bsz", count(lit(1)).over(wBucket))
+        .filter(col("bsz") <= MaxLshBucket)
+        .drop("bsz")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def pfx(p: String)(df: DataFrame): DataFrame =
         df.toDF(df.columns.map(c => if (c.startsWith("band")) c else s"$p$c"): _*)
-      val a = pfx("a_")(bands)
-      val b = pfx("b_")(bands)
+      val a = pfx("a_")(guarded)
+      val b = pfx("b_")(guarded)
       val matches = (0 until NumHashes)
         .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
         .reduceLeft(_ + _)
@@ -135,10 +155,15 @@ object Dedup {
         |  SELECT doc_id, $sigCols, 0 AS band_idx, ${bandVal(0)} AS band_val FROM sig
         |  UNION ALL
         |  SELECT doc_id, $sigCols, 1 AS band_idx, ${bandVal(1)} AS band_val FROM sig
+        |),
+        |guarded AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bsz FROM bands)
+        |  WHERE bsz <= $MaxLshBucket
         |)
         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
         |       CAST($matches AS DOUBLE) / 8.0 AS est_jaccard
-        |FROM bands a JOIN bands b
+        |FROM guarded a JOIN guarded b
         |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
         |ORDER BY a_id, b_id""".stripMargin
     })

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.DetMath
@@ -84,41 +85,148 @@ object Similarity {
       |WHERE rank_in_cluster <= 3
       |ORDER BY cid, rank_in_cluster""".stripMargin))
 
-  /** Embedding-cosine near-dup detection with random-hyperplane-style
-    * LSH: bucket = the sign pattern of the first 8 dimensions (axis-
-    * aligned hyperplanes — deterministic and SQL-expressible), candidates
-    * join within buckets only, exact cosine verifies. At 100 TB the
-    * bucket join touches ~1/256 of the pair space; recall loss is the
-    * usual LSH trade and is identical in the oracle. */
-  val embedNearDup = {
-    def bucketSqlOf(v: String) = (1 to 8)
-      .map(i => s"CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-    OracleQuery(
-      "dedup_embedding",
-      (s, d) => {
-        val bucket = concat((1 to 8).map(i =>
-          when(element_at(col("embedding"), i) >= 0f, "1").otherwise("0")): _*)
-        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), bucket.as("bucket"))
-        val a = e.toDF("a_id", "a_e", "bucket")
-        val b = e.toDF("b_id", "b_e", "bucket")
-        a.join(b, "bucket")
-          .filter(col("a_id") < col("b_id"))
-          .withColumn("cosine", DetMath.cosineCol(col("a_e"), col("b_e"), Dim))
-          .filter(col("cosine") >= 0.2)
-          .select(col("a_id"), col("b_id"), col("cosine"))
-          .orderBy(col("a_id"), col("b_id"))
-      },
-      Some(s"""WITH e AS (
-        |  SELECT vec_id, embedding, ${bucketSqlOf("embedding")} AS bucket
-        |  FROM embeddings
-        |)
-        |SELECT a_id, b_id, cosine FROM (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |         ${DetMath.cosineSql("a.embedding", "b.embedding", Dim)} AS cosine
-        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-        |WHERE cosine >= 0.2
-        |ORDER BY a_id, b_id""".stripMargin))
+  // ------------------------------------------------------------------
+  // Embedding-cosine near-dup via hyperplane LSH, parameterized for scale.
+  //
+  // bucket(band b) = sign pattern of dims [b·width+1, (b+1)·width] —
+  // axis-aligned hyperplanes, exact on both engines (a sign bit has no
+  // fp-parity risk, unlike random-projection dots whose libm rounding
+  // could flip a sign between engines and break the oracle). Candidates
+  // share ANY band's bucket (banded OR-amplification: more bands = more
+  // recall, wider bands = smaller buckets).
+  //
+  // What happens at n = 10¹⁰: pick width ≈ log₂(n / targetBucketSize)
+  // (e.g. n=10¹⁰, target 10⁴ per bucket → width 20) so the per-bucket
+  // all-pairs term stays bounded, and add bands to buy recall back —
+  // cost is linear in bands, quadratic only within buckets. Production
+  // deployments replace axis-aligned planes with seeded random
+  // hyperplanes generated on the driver and broadcast (no oracle needs
+  // to reproduce them); the plan shape is identical.
+  // ------------------------------------------------------------------
+
+  /** Candidate pairs sharing any band bucket, deduped before the exact
+    * cosine so each pair's verification runs once. */
+  def embedNearDupFrame(
+      emb: org.apache.spark.sql.DataFrame,
+      width: Int,
+      nBands: Int,
+      minCosine: Double): org.apache.spark.sql.DataFrame = {
+    def signBucket(b: Int): Column = concat((b * width + 1 to (b + 1) * width).map(i =>
+      when(element_at(col("embedding"), i) >= 0f, "1").otherwise("0")): _*)
+    val bandEntries = (0 until nBands).flatMap(b => Seq(lit(b), signBucket(b)))
+    val banded = emb.select(col("vec_id"), col("embedding"),
+      explode(map(bandEntries: _*)).as(Seq("band_idx", "bucket")))
+    val a = banded.toDF("a_id", "a_e", "band_idx", "bucket")
+    val b = banded.toDF("b_id", "b_e", "band_idx", "bucket")
+    a.join(b, Seq("band_idx", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("a_e"), col("b_id"), col("b_e"))
+      .dropDuplicates("a_id", "b_id") // OR-amplification dedup, pre-verify
+      .withColumn("cosine", DetMath.cosineCol(col("a_e"), col("b_e"), Dim))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
   }
 
-  val all: Seq[OracleQuery] = Seq(cosineTopk, ivf, embedNearDup)
+  private def bucketSqlOf(v: String, b: Int, width: Int) =
+    (b * width + 1 to (b + 1) * width)
+      .map(i => s"CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  private def embedNearDupSql(width: Int, nBands: Int, minCosine: Double): String = {
+    val bandSelects = (0 until nBands).map(b =>
+      s"SELECT vec_id, $b AS band_idx, ${bucketSqlOf("embedding", b, width)} AS bucket FROM embeddings")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH bands AS (
+      |  $bandSelects
+      |), pairs AS (
+      |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |)
+      |SELECT a_id, b_id, cosine FROM (
+      |  SELECT p.a_id, p.b_id,
+      |         ${DetMath.cosineSql("ea.embedding", "eb.embedding", Dim)} AS cosine
+      |  FROM pairs p
+      |  JOIN embeddings ea ON ea.vec_id = p.a_id
+      |  JOIN embeddings eb ON eb.vec_id = p.b_id)
+      |WHERE cosine >= $minCosine
+      |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Single-band 8-plane variant (256 buckets — fine at test SF). */
+  val embedNearDup = OracleQuery(
+    "dedup_embedding",
+    (s, d) => embedNearDupFrame(Tables.embeddings(s, d), width = 8, nBands = 1, minCosine = 0.2),
+    Some(embedNearDupSql(width = 8, nBands = 1, minCosine = 0.2)))
+
+  /** Banded OR-amplified variant: 2 bands × 8 planes over dims 1–16.
+    * Same verify threshold; recall ≥ the single-band variant. */
+  val embedNearDupBanded = OracleQuery(
+    "dedup_embedding_banded",
+    (s, d) => embedNearDupFrame(Tables.embeddings(s, d), width = 8, nBands = 2, minCosine = 0.2),
+    Some(embedNearDupSql(width = 8, nBands = 2, minCosine = 0.2)))
+
+  /** The IVF probe path (the point of IVF: answer a query by scanning
+    * only its cluster, 1/k of the data). The assignment is materialized
+    * as a parquet layout PARTITIONED BY cid — the 100 TB shape, where
+    * the probe becomes partition pruning — and the probe plan reads only
+    * the chosen cluster's partition. Centroid selection for the probe
+    * list is a driver-side argmax over the (tiny) centroid set, exactly
+    * as real IVF planners do. */
+  val ivfProbe = OracleQuery(
+    "sim_ivf_probe",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      // probe list: nearest centroid to the query (4-row driver argmax)
+      val qc = cents.crossJoin(broadcast(q))
+        .withColumn("qcos", DetMath.cosineCol(col("ce"), col("qe"), Dim))
+        .orderBy(col("qcos").desc, col("cid"))
+        .select(col("cid")).head().getLong(0)
+      // assignment, materialized once as a cid-partitioned layout
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("cos", DetMath.cosineCol(col("embedding"), col("ce"), Dim))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      val layoutPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      assigned.write.mode("overwrite").partitionBy("cid").parquet(layoutPath)
+      // the probe: cid filter partition-prunes the layout scan
+      s.read.parquet(layoutPath)
+        .filter(col("cid") === qc && col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cosine", DetMath.cosineCol(col("embedding"), col("qe"), Dim))
+        .select(col("cid"), col("vec_id"), col("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(5)
+    },
+    Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 4),
+      |qcid AS (
+      |  SELECT cid FROM (
+      |    SELECT cid, ${DetMath.cosineSql("ce", "qe", Dim)} AS qcos FROM cents, q)
+      |  ORDER BY qcos DESC, cid LIMIT 1
+      |), scored AS (
+      |  SELECT e.vec_id, c.cid, ${DetMath.cosineSql("e.embedding", "c.ce", Dim)} AS cos
+      |  FROM embeddings e, cents c
+      |), assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |    FROM scored) WHERE rn = 1
+      |)
+      |SELECT cid, vec_id, cosine FROM (
+      |  SELECT a.cid, a.vec_id,
+      |         ${DetMath.cosineSql("e.embedding", "q.qe", Dim)} AS cosine
+      |  FROM assigned a
+      |  JOIN qcid ON a.cid = qcid.cid
+      |  JOIN embeddings e ON e.vec_id = a.vec_id, q
+      |  WHERE a.vec_id <> 0)
+      |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin))
+
+  val all: Seq[OracleQuery] = Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, ivfProbe)
 }
