@@ -1,6 +1,25 @@
 package graft
+
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: every SparkEntry query timed on the SF dir, one
+  * JSON result line printed AND written to bench_out.json (sbt's [info]
+  * prefix on stdout defeats line parsers — the file is authoritative).
+  * A failed query is reported in an `errors` object with its elapsed
+  * time still counted in the total; it is never silently subtracted. */
 object Bench {
+
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,13 +37,25 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch {
+          case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").replace('\n', ' ').take(160))
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => q(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => q(k) + ":" + q(e) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val nFailed = results.count(_._3.isDefined)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errs,"failed":$nFailed,"sf":${q(sfDir)}}"""
+    println(line)
+    Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    if (nFailed > 0) System.err.println(s"[bench] $nFailed quer(ies) FAILED — see errors field")
     spark.stop()
   }
 }

@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.sql.{Connection, DriverManager, SQLException}
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import graft.config.LtssConfig
@@ -41,18 +42,73 @@ object LtssSink {
       .partitionBy("chunk")
       .parquet(path)
 
+  /** D1 + L1: startup bootstrap, mirroring the reference's
+    * `_setup_connection`/`_create_table` (__init__.py:257-344) and its
+    * connect-retry loop (__init__.py:124-139, ≤10 tries × 3 s):
+    * connect with bounded retry (throwing the last error once exhausted —
+    * the analog of the reference's give-up + user notification,
+    * __init__.py:141-153), introspect the catalog, and create the table
+    * with explicit column types and the composite PK `(time, entity_id)`
+    * (migrations.py:88-95) only if missing. Returning normally IS the
+    * readiness signal a caller can await. `connect`/`sleep` are
+    * injectable for tests. */
+  def bootstrapJdbc(
+      cfg: LtssConfig,
+      table: String = "ltss",
+      attributesType: String = "CLOB",
+      locationType: String = "VARCHAR(255)",
+      maxRetries: Int = 10,
+      retryWaitMs: Long = 3000L,
+      sleep: Long => Unit = Thread.sleep,
+      connect: String => Connection = url => DriverManager.getConnection(url)): Unit = {
+    var attempt = 0
+    var conn: Connection = null
+    while (conn == null) {
+      try conn = connect(cfg.dbUrl)
+      catch {
+        case e: SQLException =>
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+          sleep(retryWaitMs)
+      }
+    }
+    try {
+      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      var exists = false
+      while (!exists && rs.next()) exists = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+      rs.close()
+      if (!exists) {
+        // location column only when the config enables it — the analog of
+        // the reference's PostGIS-presence adaptivity (__init__.py:319-328)
+        val locCol = if (cfg.enableLocation) s", location $locationType" else ""
+        val ddl = s"CREATE TABLE $table (" +
+          "time TIMESTAMP NOT NULL, " +
+          "entity_id VARCHAR(255) NOT NULL, " +
+          "state VARCHAR(255), " +
+          s"attributes $attributesType$locCol, " +
+          "PRIMARY KEY (time, entity_id))"
+        val st = conn.createStatement()
+        try st.execute(ddl)
+        finally st.close()
+      }
+    } finally conn.close()
+  }
+
   /** JDBC append with the reference's retry envelope (≤10 tries, 3 s —
-    * __init__.py:53,201-244). Transient failures retry the whole batch
-    * (at-least-once, matching checkpointed streaming semantics); after
-    * maxRetries the batch is dropped with a log, like the reference's
-    * give-up-and-drop path. */
+    * __init__.py:53,201-244). Transient (connection-class) failures retry
+    * the whole batch. Once retries are exhausted — or on a non-transient
+    * error — the default is to RETHROW so a streaming caller's checkpoint
+    * does not advance past lost data (at-least-once); `dropOnFailure =
+    * true` opts into the reference's log-and-drop behavior
+    * (__init__.py:229-235) for callers that prefer availability. */
   def writeJdbc(
       ltss: DataFrame,
       cfg: LtssConfig,
       table: String = "ltss",
       maxRetries: Int = 10,
       retryWaitMs: Long = 3000L,
-      sleep: Long => Unit = Thread.sleep): Unit = {
+      sleep: Long => Unit = Thread.sleep,
+      dropOnFailure: Boolean = false): Unit = {
     var attempt = 0
     var done = false
     while (!done) {
@@ -63,22 +119,35 @@ object LtssSink {
           .jdbc(cfg.dbUrl, table, new java.util.Properties())
         done = true
       } catch {
-        case e: java.sql.SQLTransientException if attempt < maxRetries =>
-          attempt += 1; sleep(retryWaitMs)
-        case e: java.sql.SQLException if attempt < maxRetries && isTransient(e) =>
+        case e: Exception if attempt < maxRetries && isTransient(e) =>
           attempt += 1; sleep(retryWaitMs)
         case e: Exception =>
-          // non-transient (or retries exhausted): log + drop, as the
-          // reference does for SQLAlchemyError (__init__.py:229-235)
-          System.err.println(s"[ltss-sink] dropping batch after $attempt retries: ${e.getMessage}")
-          done = true
+          if (dropOnFailure) {
+            System.err.println(
+              s"[ltss-sink] dropping batch after $attempt retries: ${e.getMessage}")
+            done = true
+          } else throw e
       }
     }
   }
 
-  /** Connection-level failures the reference treats as OperationalError. */
-  private def isTransient(e: java.sql.SQLException): Boolean = {
-    val s = Option(e.getSQLState).getOrElse("")
-    s.startsWith("08") || s.startsWith("53") || s == "57P03"
+  /** Connection-level failures the reference treats as OperationalError.
+    * Executor-side failures surface wrapped in SparkException — walk the
+    * cause chain to find the SQLException that classifies them. */
+  private def isTransient(t: Throwable): Boolean = {
+    var cur: Throwable = t
+    var depth = 0
+    while (cur != null && depth < 10) {
+      cur match {
+        case _: java.sql.SQLTransientException => return true
+        case e: SQLException =>
+          val s = Option(e.getSQLState).getOrElse("")
+          if (s.startsWith("08") || s.startsWith("53") || s == "57P03") return true
+        case _ => ()
+      }
+      cur = cur.getCause
+      depth += 1
+    }
+    false
   }
 }

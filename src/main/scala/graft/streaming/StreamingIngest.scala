@@ -34,21 +34,38 @@ object StreamingIngest {
     Transform.eventsToLtss(events, cfg)
 
   /** Start the ingest: foreachBatch into the chunked parquet layout (or
-    * JDBC when cfg.dbUrl is a jdbc: URL), checkpointed. */
+    * JDBC when cfg.dbUrl is a jdbc: URL), checkpointed. JDBC targets are
+    * bootstrapped first (D1/L1: connect-retry + adaptive CREATE TABLE —
+    * returning from bootstrap is the readiness signal, reference
+    * __init__.py:124-162,315-344). Each batch drops rows whose
+    * attributes are not valid JSON with a warning (P4 error branch,
+    * __init__.py:212-216) before the sink; JDBC write failures propagate
+    * so the checkpoint never advances past lost data (at-least-once). */
   def start(
       events: DataFrame,
       cfg: LtssConfig,
       outPath: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String): StreamingQuery = {
+    if (cfg.dbUrl.startsWith("jdbc:")) LtssSink.bootstrapJdbc(cfg)
     toLtss(events, cfg).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (cfg.dbUrl.startsWith("jdbc:")) LtssSink.writeJdbc(batch, cfg)
-        else LtssSink.writeParquet(batch, outPath, cfg)
+        import org.apache.spark.sql.functions.col
+        batch.persist()
+        try {
+          val ok = Transform.validJsonAttrs(col("attributes"))
+          val bad = batch.filter(!ok).count()
+          if (bad > 0)
+            System.err.println(s"[ltss-ingest] dropping $bad row(s) with non-JSON attributes")
+          val valid = batch.filter(ok)
+          if (cfg.dbUrl.startsWith("jdbc:")) LtssSink.writeJdbc(valid, cfg)
+          else LtssSink.writeParquet(valid, outPath, cfg)
+        } finally batch.unpersist()
       }
       .start()
+  }
 
   /** Graceful shutdown: drain everything available, then stop — the
     * analog of the reference's sentinel + join (__init__.py:164-171). */

@@ -58,14 +58,77 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 1)
   }
 
-  test("jdbc sink: non-transient failure drops batch; retry path bounded") {
-    // no database in the container: a bogus jdbc URL must not throw —
-    // the reference's log-and-drop path (__init__.py:229-235)
+  test("jdbc sink: non-transient failure rethrows by default, drops only on opt-in") {
     import spark.implicits._
     val df = Seq(("a", 1)).toDF("entity_id", "v")
-    var slept = 0L
-    LtssSink.writeJdbc(df, LtssConfig(dbUrl = "jdbc:invalid://nowhere"),
-      maxRetries = 2, retryWaitMs = 1, sleep = ms => slept += ms)
+    val cfg = LtssConfig(dbUrl = "jdbc:invalid://nowhere")
+    // default: rethrow, so a streaming checkpoint can't advance past loss
+    assertThrows[Exception] {
+      LtssSink.writeJdbc(df, cfg, maxRetries = 2, retryWaitMs = 1, sleep = _ => ())
+    }
+    // opt-in: the reference's log-and-drop path (__init__.py:229-235)
+    LtssSink.writeJdbc(df, cfg, maxRetries = 2, retryWaitMs = 1, sleep = _ => (),
+      dropOnFailure = true)
     succeed
+  }
+
+  test("jdbc bootstrap creates the ltss table with PK, idempotently; writes append (D1)") {
+    val url = s"jdbc:derby:memory:graftd1_${System.nanoTime()};create=true"
+    val cfg = LtssConfig(dbUrl = url, enableLocation = true)
+    // CLOB location: Spark's Derby dialect binds NULL strings as CLOB,
+    // which Derby refuses to coerce into VARCHAR columns
+    LtssSink.bootstrapJdbc(cfg, locationType = "CLOB") // creates
+    LtssSink.bootstrapJdbc(cfg, locationType = "CLOB") // introspects, skips — must not throw
+    import spark.implicits._
+    val rows = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "sensor.1", "1.00", """{"k":1}""", null: String),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "sensor.2", "2.00", """{"k":2}""", null: String))
+      .toDF("time", "entity_id", "state", "attributes", "location")
+    LtssSink.writeJdbc(rows, cfg, retryWaitMs = 1)
+    val back = spark.read.jdbc(url, "ltss", new java.util.Properties())
+    assert(back.count() == 2)
+    assert(back.columns.map(_.toLowerCase).toSet ==
+      Set("time", "entity_id", "state", "attributes", "location"))
+    // PK (time, entity_id) is enforced: duplicate insert fails non-transiently
+    assertThrows[Exception] {
+      LtssSink.writeJdbc(rows, cfg, maxRetries = 1, retryWaitMs = 1, sleep = _ => ())
+    }
+  }
+
+  test("jdbc bootstrap: bounded connect-retry then readiness / give-up (L1)") {
+    var attempts = 0
+    var slept = 0L
+    def flaky(failures: Int): String => java.sql.Connection = { url =>
+      attempts += 1
+      if (attempts <= failures) throw new java.sql.SQLTransientConnectionException("down")
+      java.sql.DriverManager.getConnection(url)
+    }
+    val url = s"jdbc:derby:memory:graftl1_${System.nanoTime()};create=true"
+    // recovers after 2 failures → ready
+    LtssSink.bootstrapJdbc(LtssConfig(dbUrl = url), retryWaitMs = 3,
+      sleep = ms => slept += ms, connect = flaky(2))
+    assert(attempts == 3 && slept == 6)
+    // never recovers → throws the last connect error after maxRetries
+    attempts = 0; slept = 0
+    assertThrows[java.sql.SQLException] {
+      LtssSink.bootstrapJdbc(LtssConfig(dbUrl = url), maxRetries = 4, retryWaitMs = 3,
+        sleep = ms => slept += ms, connect = _ => throw new java.sql.SQLTransientConnectionException("down"))
+    }
+    assert(slept == 9) // maxRetries-1 waits, like the reference's loop
+  }
+
+  test("stream drops rows with non-JSON attributes, keeps the rest (P4, __init__.py:212-216)") {
+    val in = tmp("ltss-in3"); val out = tmp("ltss-out3"); val ckpt = tmp("ltss-ckpt3")
+    Files.writeString(java.nio.file.Paths.get(in, "b1.json"),
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":1,"event_type":"a","value":1.0,"props":"{\"k\": 1}"}
+        |{"event_id":2,"ts":"2024-01-01T00:00:01Z","user_id":2,"event_type":"a","value":2.0,"props":"not json"}
+        |{"event_id":3,"ts":"2024-01-01T00:00:02Z","user_id":3,"event_type":"a","value":3.0,"props":"{\"k\": "}
+        |""".stripMargin)
+    val q = StreamingIngest.start(
+      StreamingIngest.readJsonEvents(spark, in), LtssConfig(enableLocation = false), out, ckpt)
+    StreamingIngest.drainAndStop(q)
+    val stored = spark.read.parquet(out)
+    assert(stored.select("entity_id").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq == Seq("a.1"))
   }
 }
