@@ -42,16 +42,16 @@ object DetMath {
   // Left-associated explicit sums — identical fp order on Spark & DuckDB.
   // ------------------------------------------------------------------
 
-  /** Dot product as a sequential left fold over per-index products.
-    * `aggregate` folds left-to-right starting from 0.0 — the same fp
-    * order as SQL's left-associated `+` chain (0.0 + x ≡ x), so the
-    * result is bit-identical to [[dotSql]] while keeping the expression
-    * tree small (the unrolled 64-term form triples codegen time). */
-  def dotCol(a: Column, b: Column, dim: Int): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Dot product via the native [[DotF64]] kernel (registered as
+    * `dot_f64`): a compiled sequential loop `acc += a[i]·b[i]` in
+    * doubles — the same fp order as SQL's left-associated `+` chain
+    * (0.0 + x ≡ x), so the result is bit-identical to [[dotSql]], and
+    * unlike the `aggregate`/`zip_with` higher-order form it stays inside
+    * whole-stage codegen. */
+  def dotCol(a: Column, b: Column, dim: Int): Column = {
+    graft.plans.GraftExtensions.install(org.apache.spark.sql.SparkSession.active)
+    call_function("dot_f64", a, b)
+  }
 
   def dotSql(a: String, b: String, dim: Int): String =
     (1 to dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
@@ -63,4 +63,14 @@ object DetMath {
 
   def cosineSql(a: String, b: String, dim: Int): String =
     s"(${dotSql(a, b, dim)}) / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)}))"
+
+  /** Precomputed L2 norm — compute once per VECTOR, not once per PAIR:
+    * `dot/(na*nb)` is the same expression tree as [[cosineCol]] (sqrt of
+    * the self-dot, then one multiply), so values stay bit-identical while
+    * the n² verify stage stops paying 2 of its 3 dot products. */
+  def normCol(e: Column, dim: Int): Column = sqrt(dotCol(e, e, dim))
+  def normSql(e: String, dim: Int): String = s"sqrt(${dotSql(e, e, dim)})"
+
+  def cosinePre(dot: Column, na: Column, nb: Column): Column = dot / (na * nb)
+  def cosinePreSql(dot: String, na: String, nb: String): String = s"($dot) / ($na * $nb)"
 }

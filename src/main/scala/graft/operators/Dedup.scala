@@ -24,15 +24,8 @@ import graft.Tables
   */
 object Dedup {
 
-  /** 2-word shingles of `text` (guarded for short docs). */
-  private def shingles2(text: Column): Column = {
-    val w = split(text, " ")
-    when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(array(text))
-  }
-
+  /** 2-word shingles (DuckDB side; the Spark side computes the same
+    * shingling inside the [[graft.functions.MinHash8]] kernel). */
   private val shingles2Sql =
     """CASE WHEN len(string_split(text, ' ')) >= 2
       |  THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
@@ -61,30 +54,37 @@ object Dedup {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin))
 
-  /** MinHash signature frame: doc_id, m0..m7 (8-hex-char string mins). */
+  /** MinHash signature frame: doc_id, m0..m7 (8-hex-char string mins).
+    *
+    * SHUFFLE-FREE and CODEGEN-NATIVE: the whole signature is computed
+    * row-locally by the [[graft.functions.MinHash8]] native expression
+    * (one compiled pass: shingle spans → 2×md5 → running slice-mins) —
+    * no explode, no groupBy, no interpreted higher-order functions. At
+    * 100 TB the signature stage is a pure map with no exchange at all;
+    * only the LSH band join shuffles. */
   private def minhashFrame(docs: DataFrame): DataFrame = {
-    val hashed = Tables.fanOut(docs)
-      .select(col("doc_id"), explode(shingles2(col("text"))).as("sh"))
-      .select(col("doc_id"),
-        md5(concat(lit("0:"), col("sh"))).as("h0"),
-        md5(concat(lit("1:"), col("sh"))).as("h1"))
-    val aggs = (0 until 4).map(i => min(substring(col("h0"), i * 8 + 1, 8)).as(s"m$i")) ++
-      (0 until 4).map(i => min(substring(col("h1"), i * 8 + 1, 8)).as(s"m${i + 4}"))
-    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    graft.plans.GraftExtensions.install(docs.sparkSession)
+    val base = Tables.fanOut(docs)
+      .select(col("doc_id"), call_function("minhash8", col("text")).as("sig"))
+    val mins = (0 until NumHashes).map(i => element_at(col("sig"), i + 1).as(s"m$i"))
+    base.select(col("doc_id") +: mins: _*)
   }
 
   private def minhashCte: String = {
-    val mins = ((0 until 4).map(i => s"min(substring(h0, ${i * 8 + 1}, 8)) AS m$i") ++
-      (0 until 4).map(i => s"min(substring(h1, ${i * 8 + 1}, 8)) AS m${i + 4}"))
+    val mins = ((0 until 4).map(i =>
+      s"list_aggregate(list_transform(h0s, h -> substring(h, ${i * 8 + 1}, 8)), 'min') AS m$i") ++
+      (0 until 4).map(i =>
+        s"list_aggregate(list_transform(h1s, h -> substring(h, ${i * 8 + 1}, 8)), 'min') AS m${i + 4}"))
       .mkString(",\n    ")
-    s"""WITH sh AS (
-       |  SELECT doc_id, unnest($shingles2Sql) AS sh FROM documents
-       |), hs AS (
-       |  SELECT doc_id, md5('0:' || sh) AS h0, md5('1:' || sh) AS h1 FROM sh
+    s"""WITH hs AS (
+       |  SELECT doc_id,
+       |         list_transform(shl, s -> md5('0:' || s)) AS h0s,
+       |         list_transform(shl, s -> md5('1:' || s)) AS h1s
+       |  FROM (SELECT doc_id, $shingles2Sql AS shl FROM documents)
        |), sig AS (
        |  SELECT doc_id,
        |    $mins
-       |  FROM hs GROUP BY doc_id
+       |  FROM hs
        |)""".stripMargin
   }
 

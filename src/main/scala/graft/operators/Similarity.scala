@@ -14,7 +14,9 @@ import graft.functions.DetMath
   * probe only the query's cluster — at 100 TB the assignment is a
   * one-shuffle materialized layout and probes touch 1/k of the data.
   *
-  * All vector math via [[DetMath]] left-assoc chains for oracle parity.
+  * All vector math via [[DetMath]] left-assoc chains for oracle parity,
+  * and every path precomputes per-vector L2 norms ([[DetMath.normCol]])
+  * so pairwise stages pay one dot product, not three.
   */
 object Similarity {
 
@@ -25,18 +27,24 @@ object Similarity {
     "sim_cosine_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        .withColumn("nrm", DetMath.normCol(col("embedding"), Dim))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
       emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .withColumn("cosine", DetMath.cosineCol(col("embedding"), col("qe"), Dim))
+        .withColumn("cosine", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("qe"), Dim), col("nrm"), col("qn")))
         .select(col("vec_id"), col("label"), col("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
     },
-    Some(s"""SELECT e.vec_id, e.label,
-      |  ${DetMath.cosineSql("e.embedding", "q.qe", Dim)} AS cosine
-      |FROM embeddings e,
-      |     (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+    Some(s"""WITH e AS (
+      |  SELECT vec_id, label, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm
+      |  FROM embeddings
+      |), q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0)
+      |SELECT e.vec_id, e.label,
+      |  ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "q.qe", Dim), "e.nrm", "q.qn")} AS cosine
+      |FROM e, q
       |WHERE e.vec_id <> 0
       |ORDER BY cosine DESC, e.vec_id
       |LIMIT 10""".stripMargin))
@@ -48,10 +56,12 @@ object Similarity {
     "sim_ivf",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
+        .withColumn("nrm", DetMath.normCol(col("embedding"), Dim))
       val cents = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
       val scored = emb.crossJoin(broadcast(cents))
-        .withColumn("cos", DetMath.cosineCol(col("embedding"), col("ce"), Dim))
+        .withColumn("cos", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("ce"), Dim), col("nrm"), col("cn")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
       val assigned = scored
@@ -67,10 +77,12 @@ object Similarity {
         .select(col("cid"), col("cluster_size"), col("rank_in_cluster"), col("vec_id"), col("cos"))
         .orderBy(col("cid"), col("rank_in_cluster"))
     },
-    Some(s"""WITH scored AS (
+    Some(s"""WITH e AS (
+      |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm FROM embeddings
+      |), scored AS (
       |  SELECT e.vec_id, c.vec_id AS cid,
-      |    ${DetMath.cosineSql("e.embedding", "c.embedding", Dim)} AS cos
-      |  FROM embeddings e, embeddings c WHERE c.vec_id < 4
+      |    ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "c.embedding", Dim), "e.nrm", "c.nrm")} AS cos
+      |  FROM e, e c WHERE c.vec_id < 4
       |), assigned AS (
       |  SELECT vec_id, cid, cos FROM (
       |    SELECT vec_id, cid, cos,
@@ -105,24 +117,37 @@ object Similarity {
   // ------------------------------------------------------------------
 
   /** Candidate pairs sharing any band bucket, deduped before the exact
-    * cosine so each pair's verification runs once. */
+    * cosine so each pair's verification runs once.
+    *
+    * The LSH join and the pair dedup move ONLY (vec_id, bucket) — the
+    * 64-float vectors never ride through the candidate shuffle. Vectors
+    * and precomputed norms re-attach via vec_id equi-joins afterwards:
+    * AQE broadcasts them at small scale; at 100 TB they hash-join
+    * co-partitioned on vec_id. With norms precomputed, each surviving
+    * pair pays exactly one dot product. */
   def embedNearDupFrame(
-      emb: org.apache.spark.sql.DataFrame,
+      emb: DataFrame,
       width: Int,
       nBands: Int,
-      minCosine: Double): org.apache.spark.sql.DataFrame = {
+      minCosine: Double): DataFrame = {
     def signBucket(b: Int): Column = concat((b * width + 1 to (b + 1) * width).map(i =>
       when(element_at(col("embedding"), i) >= 0f, "1").otherwise("0")): _*)
     val bandEntries = (0 until nBands).flatMap(b => Seq(lit(b), signBucket(b)))
-    val banded = emb.select(col("vec_id"), col("embedding"),
+    val e = emb.select(col("vec_id"), col("embedding"),
+      DetMath.normCol(col("embedding"), Dim).as("nrm"))
+    val banded = emb.select(col("vec_id"),
       explode(map(bandEntries: _*)).as(Seq("band_idx", "bucket")))
-    val a = banded.toDF("a_id", "a_e", "band_idx", "bucket")
-    val b = banded.toDF("b_id", "b_e", "band_idx", "bucket")
-    a.join(b, Seq("band_idx", "bucket"))
+    val a = banded.toDF("a_id", "band_idx", "bucket")
+    val b = banded.toDF("b_id", "band_idx", "bucket")
+    val pairs = a.join(b, Seq("band_idx", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("a_e"), col("b_id"), col("b_e"))
-      .dropDuplicates("a_id", "b_id") // OR-amplification dedup, pre-verify
-      .withColumn("cosine", DetMath.cosineCol(col("a_e"), col("b_e"), Dim))
+      .select(col("a_id"), col("b_id"))
+      .distinct() // OR-amplification dedup — ids only, pre-verify
+    pairs
+      .join(e.toDF("a_id", "a_e", "a_n"), "a_id")
+      .join(e.toDF("b_id", "b_e", "b_n"), "b_id")
+      .withColumn("cosine", DetMath.cosinePre(
+        DetMath.dotCol(col("a_e"), col("b_e"), Dim), col("a_n"), col("b_n")))
       .filter(col("cosine") >= minCosine)
       .select(col("a_id"), col("b_id"), col("cosine"))
       .orderBy(col("a_id"), col("b_id"))
@@ -136,7 +161,9 @@ object Similarity {
     val bandSelects = (0 until nBands).map(b =>
       s"SELECT vec_id, $b AS band_idx, ${bucketSqlOf("embedding", b, width)} AS bucket FROM embeddings")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH bands AS (
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm FROM embeddings
+      |), bands AS (
       |  $bandSelects
       |), pairs AS (
       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
@@ -145,10 +172,10 @@ object Similarity {
       |)
       |SELECT a_id, b_id, cosine FROM (
       |  SELECT p.a_id, p.b_id,
-      |         ${DetMath.cosineSql("ea.embedding", "eb.embedding", Dim)} AS cosine
+      |         ${DetMath.cosinePreSql(DetMath.dotSql("ea.embedding", "eb.embedding", Dim), "ea.nrm", "eb.nrm")} AS cosine
       |  FROM pairs p
-      |  JOIN embeddings ea ON ea.vec_id = p.a_id
-      |  JOIN embeddings eb ON eb.vec_id = p.b_id)
+      |  JOIN e ea ON ea.vec_id = p.a_id
+      |  JOIN e eb ON eb.vec_id = p.b_id)
       |WHERE cosine >= $minCosine
       |ORDER BY a_id, b_id""".stripMargin
   }
@@ -172,26 +199,31 @@ object Similarity {
     * the probe becomes partition pruning — and the probe plan reads only
     * the chosen cluster's partition. Centroid selection for the probe
     * list is a driver-side argmax over the (tiny) centroid set, exactly
-    * as real IVF planners do. */
+    * as real IVF planners do. Norms ride along in the layout so probes
+    * never recompute them. */
   val ivfProbe = OracleQuery(
     "sim_ivf_probe",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
+        .withColumn("nrm", DetMath.normCol(col("embedding"), Dim))
       val cents = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
       // probe list: nearest centroid to the query (4-row driver argmax)
       val qc = cents.crossJoin(broadcast(q))
-        .withColumn("qcos", DetMath.cosineCol(col("ce"), col("qe"), Dim))
+        .withColumn("qcos", DetMath.cosinePre(
+          DetMath.dotCol(col("ce"), col("qe"), Dim), col("cn"), col("qn")))
         .orderBy(col("qcos").desc, col("cid"))
         .select(col("cid")).head().getLong(0)
       // assignment, materialized once as a cid-partitioned layout
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
       val assigned = emb.crossJoin(broadcast(cents))
-        .withColumn("cos", DetMath.cosineCol(col("embedding"), col("ce"), Dim))
+        .withColumn("cos", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("ce"), Dim), col("nrm"), col("cn")))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
       val layoutPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
         d.replaceAll("[^a-zA-Z0-9]", "_")
       assigned.write.mode("overwrite").partitionBy("cid").parquet(layoutPath)
@@ -199,20 +231,25 @@ object Similarity {
       s.read.parquet(layoutPath)
         .filter(col("cid") === qc && col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .withColumn("cosine", DetMath.cosineCol(col("embedding"), col("qe"), Dim))
+        .withColumn("cosine", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("qe"), Dim), col("nrm"), col("qn")))
         .select(col("cid"), col("vec_id"), col("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(5)
     },
-    Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-      |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 4),
+    Some(s"""WITH e AS (
+      |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm FROM embeddings
+      |), q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+      |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 4),
       |qcid AS (
       |  SELECT cid FROM (
-      |    SELECT cid, ${DetMath.cosineSql("ce", "qe", Dim)} AS qcos FROM cents, q)
+      |    SELECT cid, ${DetMath.cosinePreSql(DetMath.dotSql("ce", "qe", Dim), "cn", "qn")} AS qcos
+      |    FROM cents, q)
       |  ORDER BY qcos DESC, cid LIMIT 1
       |), scored AS (
-      |  SELECT e.vec_id, c.cid, ${DetMath.cosineSql("e.embedding", "c.ce", Dim)} AS cos
-      |  FROM embeddings e, cents c
+      |  SELECT e.vec_id, c.cid,
+      |    ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "c.ce", Dim), "e.nrm", "c.cn")} AS cos
+      |  FROM e, cents c
       |), assigned AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT vec_id, cid,
@@ -221,10 +258,10 @@ object Similarity {
       |)
       |SELECT cid, vec_id, cosine FROM (
       |  SELECT a.cid, a.vec_id,
-      |         ${DetMath.cosineSql("e.embedding", "q.qe", Dim)} AS cosine
+      |         ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "q.qe", Dim), "e.nrm", "q.qn")} AS cosine
       |  FROM assigned a
       |  JOIN qcid ON a.cid = qcid.cid
-      |  JOIN embeddings e ON e.vec_id = a.vec_id, q
+      |  JOIN e ON e.vec_id = a.vec_id, q
       |  WHERE a.vec_id <> 0)
       |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin))
 

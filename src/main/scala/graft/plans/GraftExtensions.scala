@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, MicrosToTimestamp, Pmod, Subtract, UnixMicros}
-import graft.functions.{Haversine, IsValidJson, PopLatLon}
+import graft.functions.{DotF64, Haversine, IsValidJson, MinHash8, PopLatLon}
 
 /** Catalyst extension point: registers graft's SQL functions so the full
   * surface is reachable from `spark.sql(...)`, not only the Column API.
@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.haversineFn)
     ext.injectFunction(GraftExtensions.popLatLonFn)
     ext.injectFunction(GraftExtensions.isValidJsonFn)
+    ext.injectFunction(GraftExtensions.minhash8Fn)
+    ext.injectFunction(GraftExtensions.dotF64Fn)
   }
 }
 
@@ -59,6 +61,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[IsValidJson].getName, "is_valid_json"),
     (args: Seq[Expression]) => IsValidJson(args.head))
 
+  val minhash8Fn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash8"),
+    new ExpressionInfo(classOf[MinHash8].getName, "minhash8"),
+    (args: Seq[Expression]) => MinHash8(args.head))
+
+  val dotF64Fn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_f64"),
+    new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
+    (args: Seq[Expression]) => DotF64(args(0), args(1)))
+
   /** Idempotent registration on an already-built session. */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -69,5 +81,9 @@ object GraftExtensions {
       args => PopLatLon(args.head), "built-in")
     reg.createOrReplaceTempFunction("is_valid_json",
       args => IsValidJson(args.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash8",
+      args => MinHash8(args.head), "built-in")
+    reg.createOrReplaceTempFunction("dot_f64",
+      args => DotF64(args(0), args(1)), "built-in")
   }
 }
