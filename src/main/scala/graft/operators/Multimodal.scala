@@ -74,5 +74,43 @@ object Multimodal {
       |  CAST(octet_length(CAST(text AS BLOB)) * 7 % 480 AS INT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[OracleQuery] = Seq(features)
+  /** Frame sampling (the video/audio frame-extraction analog): fixed
+    * 64-char frames sampled every 256 chars of the payload, each frame
+    * fingerprinted. The plumbing — per-record frame fan-out via
+    * `explode(sequence(...))`, frame addressing arithmetic, per-frame
+    * hash — is exactly what a real codec-backed sampler needs; only the
+    * "decode" (here: substring) is the stub. Map-side only: no shuffle
+    * until the final presentation sort. */
+  val frameSample = {
+    val frameLen = 64
+    val stride = 256
+    OracleQuery(
+      "multimodal_framesample",
+      (s, d) => {
+        val doc = Tables.documents(s, d)
+          .withColumn("len", length(col("text")))
+          .withColumn("nframes",
+            greatest(lit(1L), floor((col("len") - frameLen) / lit(stride.toDouble)) + 1L))
+        doc
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0L), col("nframes") - 1)).as("frame_idx"))
+          .withColumn("frame",
+            col("text").substr(col("frame_idx") * stride + 1, lit(frameLen)))
+          .select(col("doc_id"), col("frame_idx"),
+            md5(col("frame")).as("frame_hash"),
+            length(col("frame")).as("frame_len"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some(s"""SELECT doc_id, fi AS frame_idx,
+        |       md5(substring(text, CAST(fi * $stride + 1 AS INT), $frameLen)) AS frame_hash,
+        |       length(substring(text, CAST(fi * $stride + 1 AS INT), $frameLen)) AS frame_len
+        |FROM (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0,
+        |           greatest(1, CAST(floor((length(text) - $frameLen) / $stride.0) AS BIGINT) + 1) - 1)) AS fi
+        |  FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin))
+  }
+
+  val all: Seq[OracleQuery] = Seq(features, frameSample)
 }

@@ -31,6 +31,31 @@ object LtssSink {
     to_date(timestamp_micros(unix_micros(col("time")) - pmod(unix_micros(col("time")), lit(us))))
   }
 
+  /** The chunk partition value covering a timestamp (UTC). */
+  def chunkDateOf(ts: java.sql.Timestamp, cfg: LtssConfig): java.time.LocalDate = {
+    val epochUs = ts.getTime * 1000L
+    val floored = epochUs - java.lang.Math.floorMod(epochUs, cfg.chunkTimeIntervalUs)
+    java.time.Instant.ofEpochMilli(floored / 1000L).atZone(java.time.ZoneOffset.UTC).toLocalDate
+  }
+
+  /** Time-range scan of the chunked layout with CHUNK EXCLUSION: the
+    * time predicate is widened to a `chunk` partition predicate, so the
+    * scan partition-prunes to the covered chunks before any file is
+    * opened — the TimescaleDB hypertable chunk-exclusion analog
+    * (reference __init__.py:337-344). */
+  def chunkScan(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      from: java.sql.Timestamp,
+      to: java.sql.Timestamp,
+      cfg: LtssConfig = LtssConfig()): DataFrame = {
+    val lo = java.sql.Date.valueOf(chunkDateOf(from, cfg))
+    val hi = java.sql.Date.valueOf(chunkDateOf(to, cfg))
+    spark.read.parquet(path)
+      .filter(col("chunk").between(lit(lo), lit(hi)))
+      .filter(col("time").between(lit(from), lit(to)))
+  }
+
   /** Write LTSS rows as a time-chunked, entity-sorted parquet layout. */
   def writeParquet(ltss: DataFrame, path: String, cfg: LtssConfig = LtssConfig()): Unit =
     ltss

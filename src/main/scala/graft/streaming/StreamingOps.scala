@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Stateful streaming views over the LTSS stream — the extensions the
+  * reference's append-only design leaves to the query layer (SURVEY.md
+  * §2.2 "streaming semantics" row). Kept OUT of the oracle-checked set
+  * (no DuckDB analog for continuous queries); verified by unit tests.
+  *
+  * Scale notes: both operators shuffle once on their grouping key and
+  * keep per-key state in the state store — at 100 TB of history the
+  * state is bounded by |entities| (latest-state) and |open windows|
+  * (watermarked counts), not by input volume.
+  */
+object StreamingOps {
+
+  final case class LtssEvent(time: java.sql.Timestamp, entity_id: String, state: String)
+  final case class LatestState(entity_id: String, last_time: java.sql.Timestamp, last_state: String)
+
+  /** Continuously-maintained latest-state-per-entity (the streaming twin
+    * of the batch `ltss_latest` query): `mapGroupsWithState` keeps one
+    * (time, state) per entity, ties broken on state like the batch
+    * window's (time DESC, state DESC) ordering. Emit in update mode. */
+  def latestState(ltss: DataFrame): Dataset[LatestState] = {
+    import ltss.sparkSession.implicits._
+    ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
+      .groupByKey(_.entity_id)
+      .mapGroupsWithState[LatestState, LatestState](GroupStateTimeout.NoTimeout) {
+        (key, events, st) =>
+          val prev = st.getOption.map(s => LtssEvent(s.last_time, key, s.last_state))
+          val best = (events ++ prev.iterator)
+            .maxBy(e => (e.time.getTime, e.state))
+          val out = LatestState(key, best.time, best.state)
+          st.update(out)
+          out
+      }
+  }
+
+  /** Watermarked tumbling-window counts per domain (the streaming twin of
+    * `ltss_time_bucket`): event-time windows, late data admitted up to
+    * the watermark, append-mode emission once a window closes. */
+  def windowedCounts(
+      ltss: DataFrame,
+      windowWidth: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    ltss.withWatermark("time", watermark)
+      .groupBy(
+        window(col("time"), windowWidth),
+        split(col("entity_id"), "\\.").getItem(0).as("domain"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("domain"), col("n"))
+}

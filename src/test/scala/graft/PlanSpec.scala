@@ -29,6 +29,25 @@ class PlanSpec extends SparkSpec {
       s"signature aggregate leaked past the cache; plan:\n$plan")
   }
 
+  test("chunkScan partition-prunes the chunked layout (hypertable chunk exclusion)") {
+    import spark.implicits._
+    import graft.sources.LtssSink
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val out = java.nio.file.Files.createTempDirectory("graft-chunks").toString
+    val df = Seq(
+      (ts("2024-01-05 00:00:00"), "a.1", "1", "{}"),
+      (ts("2024-03-20 00:00:00"), "a.1", "2", "{}"),
+      (ts("2024-06-25 00:00:00"), "a.1", "3", "{}"))
+      .toDF("time", "entity_id", "state", "attributes")
+    LtssSink.writeParquet(df, out)
+    val scan = LtssSink.chunkScan(spark, out,
+      ts("2024-01-01 00:00:00"), ts("2024-01-31 00:00:00"))
+    assert(scan.collect().map(_.getAs[String]("state")).toSeq == Seq("1"))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("chunk"),
+      s"expected a chunk partition filter on the layout scan; plan:\n$plan")
+  }
+
   test("IVF probe scan is partition-pruned to the query's cluster") {
     val df = Similarity.ivfProbe.run(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString

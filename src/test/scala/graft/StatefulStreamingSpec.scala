@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+/** Stateful streaming views (watermark + mapGroupsWithState) — no DuckDB
+  * oracle applies to continuous queries, so these are unit-verified. */
+class StatefulStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("streaming latest-state-per-entity maintains state across batches") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.latestState(df).writeStream
+      .format("memory").queryName("latest_t").outputMode("update").start()
+    try {
+      ms.addData(
+        (ts("2024-01-01 10:00:00"), "a.1", "1"),
+        (ts("2024-01-01 11:00:00"), "a.1", "2"))
+      q.processAllAvailable()
+      // out-of-order late event for a.1 must NOT displace the newer state;
+      // first event for b.1 creates its state
+      ms.addData(
+        (ts("2024-01-01 10:30:00"), "a.1", "9"),
+        (ts("2024-01-01 09:00:00"), "b.1", "5"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table("latest_t")
+      .groupBy($"entity_id")
+      .agg(max(struct($"last_time", $"last_state")).as("s"))
+      .select($"entity_id", $"s.last_time", $"s.last_state")
+      .as[(String, java.sql.Timestamp, String)].collect().toSet
+    assert(latest == Set(
+      ("a.1", ts("2024-01-01 11:00:00"), "2"),
+      ("b.1", ts("2024-01-01 09:00:00"), "5")))
+  }
+
+  test("watermarked windowed counts emit once the window closes (append mode)") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val df = ms.toDF.toDF("time", "entity_id")
+    val q = StreamingOps.windowedCounts(df, windowWidth = "1 hour", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wc_t").outputMode("append").start()
+    try {
+      ms.addData(
+        (ts("2024-01-01 10:05:00"), "a.1"),
+        (ts("2024-01-01 10:20:00"), "a.2"),
+        (ts("2024-01-01 10:40:00"), "b.1"))
+      q.processAllAvailable()
+      // advance event time past the window end so the watermark closes it
+      ms.addData((ts("2024-01-01 12:01:00"), "c.1"))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 13:30:00"), "c.1")) // one more batch to flush
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("wc_t")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(rows.contains((ts("2024-01-01 10:00:00"), "a", 2L)))
+    assert(rows.contains((ts("2024-01-01 10:00:00"), "b", 1L)))
+  }
+}
