@@ -368,8 +368,96 @@ object Queries {
       |  FROM ltss) WHERE rn = 1
       |GROUP BY 1 ORDER BY domain""".stripMargin))
 
+  /** Skew-safe aggregation patterns over a HOT grouping key (5 domains
+    * fan into 32+ reducers → one reducer per domain would be quadratic-
+    * hot at 100 TB):
+    * exact distinct-count is decomposed into distinct-pairs (shuffle on
+    * (domain, state) — no hot key) then a count per domain; the additive
+    * stats run through an explicit salt phase (groupBy(domain, salt) →
+    * partial, then merge) — results provably identical to the direct
+    * GROUP BY the oracle runs. */
+  val domainStatsSalted = OracleQuery(
+    "ltss_domain_stats_salted",
+    (s, d) => {
+      val l = ltss(s, d)
+        .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+        .withColumn("sv", col("state").cast("decimal(12,2)"))
+        .withColumn("salt", pmod(crc32(col("entity_id")), lit(16)))
+      val partial = l.groupBy(col("domain"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(col("sv")).as("psum"),
+          min(col("sv")).as("pmin"), max(col("sv")).as("pmax"))
+      val stats = partial.groupBy(col("domain"))
+        .agg(sum(col("pn")).as("n"), sum(col("psum")).as("sum_dec"),
+          min(col("pmin")).as("min_state"), max(col("pmax")).as("max_state"))
+      val distinctStates = l.select(col("domain"), col("state")).distinct()
+        .groupBy(col("domain")).agg(count(lit(1)).as("n_distinct_states"))
+      stats.join(distinctStates, "domain")
+        .select(col("domain"), col("n"),
+          col("sum_dec").cast("double").as("sum_state"),
+          col("min_state").cast("double").as("min_state"),
+          col("max_state").cast("double").as("max_state"),
+          col("n_distinct_states"))
+        .orderBy(col("domain"))
+    },
+    Some(s"""$ltssCte
+      |SELECT split_part(entity_id, '.', 1) AS domain,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(state AS DECIMAL(12,2))) AS DOUBLE) AS sum_state,
+      |       CAST(MIN(CAST(state AS DECIMAL(12,2))) AS DOUBLE) AS min_state,
+      |       CAST(MAX(CAST(state AS DECIMAL(12,2))) AS DOUBLE) AS max_state,
+      |       CAST(count(DISTINCT state) AS BIGINT) AS n_distinct_states
+      |FROM ltss GROUP BY 1 ORDER BY domain""".stripMargin))
+
+  /** As-of join — THE time-series join Spark lacks natively: for every
+    * `click` event, the latest `purchase` state of the same user at or
+    * before the click. Implemented as the scalable merge shape: union
+    * the two sides, ONE shuffle on the join key, and a running
+    * last-non-null window — no per-row range probe, no point lookups.
+    * At 100 TB this is one hash exchange + a sort within partitions,
+    * the same cost class as any windowed query. */
+  val asofJoin = OracleQuery(
+    "ltss_asof_join",
+    (s, d) => {
+      val parts = split(col("entity_id"), "\\.")
+      val evs = ltss(s, d)
+        .withColumn("domain", parts.getItem(0))
+        .withColumn("uid", parts.getItem(1).cast("long"))
+        .filter(col("domain").isin("click", "purchase"))
+        // purchases sort before clicks at the same instant (<= semantics)
+        .withColumn("ord", when(col("domain") === "purchase", 0).otherwise(1))
+        .withColumn("pstate", when(col("domain") === "purchase", col("state")))
+        .withColumn("ptime", when(col("domain") === "purchase", col("time")))
+      val w = Window.partitionBy(col("uid")).orderBy(col("time"), col("ord"), col("state"))
+      evs
+        .withColumn("asof_state", last(col("pstate"), ignoreNulls = true).over(w))
+        .withColumn("asof_time", last(col("ptime"), ignoreNulls = true).over(w))
+        .filter(col("domain") === "click")
+        .select(col("uid"), col("time"), col("state").as("click_state"),
+          col("asof_time"), col("asof_state"))
+        .orderBy(col("uid"), col("time"), col("click_state"))
+    },
+    Some(s"""$ltssCte
+      |SELECT uid, time, click_state, asof_time, asof_state FROM (
+      |  SELECT uid, time, state AS click_state, domain,
+      |         last_value(ptime IGNORE NULLS)
+      |           OVER (PARTITION BY uid ORDER BY time, ord, state) AS asof_time,
+      |         last_value(pstate IGNORE NULLS)
+      |           OVER (PARTITION BY uid ORDER BY time, ord, state) AS asof_state
+      |  FROM (
+      |    SELECT time, state,
+      |           split_part(entity_id, '.', 1) AS domain,
+      |           CAST(split_part(entity_id, '.', 2) AS BIGINT) AS uid,
+      |           CASE WHEN split_part(entity_id, '.', 1) = 'purchase' THEN 0 ELSE 1 END AS ord,
+      |           CASE WHEN split_part(entity_id, '.', 1) = 'purchase' THEN state END AS pstate,
+      |           CASE WHEN split_part(entity_id, '.', 1) = 'purchase' THEN time END AS ptime
+      |    FROM ltss
+      |    WHERE split_part(entity_id, '.', 1) IN ('click', 'purchase')))
+      |WHERE domain = 'click'
+      |ORDER BY uid, time, click_state""".stripMargin))
+
   val all: Seq[OracleQuery] = Seq(
     project, entityFilterQ, history, latest, transitions,
     timeBucketAgg, jsonAttr, geoWkt, sessionize, dedupPk,
-    projectLocation, geoDistance, timeBucketSqlQ)
+    projectLocation, geoDistance, timeBucketSqlQ,
+    domainStatsSalted, asofJoin)
 }
