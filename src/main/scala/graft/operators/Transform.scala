@@ -77,6 +77,18 @@ object Transform {
     attrs.isNull || call_function("is_valid_json", attrs)
   }
 
+  // ---------------------------------------------------------------- P4
+  /** Attribute JSON encoding for STRUCTURED attribute columns — the
+    * analog of the reference's HA `JSONEncoder` passed as the engine
+    * json_serializer (__init__.py:263-267), which renders datetimes as
+    * ISO-8601 (`datetime.isoformat()`: `2024-01-01T10:00:00.123456+00:00`)
+    * and sets as lists. Spark's type system has only arrays, so set→list
+    * is inherent at ingest; timestamps get the same ISO text via the
+    * formatter option. String attribute payloads (the usual LTSS path)
+    * pass through untouched — this is for typed event sources. */
+  def encodeAttrs(attrs: Column): Column =
+    to_json(attrs, Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"))
+
   // ---------------------------------------------------------------- P1 (+P4)
   /** Event → LTSS row projection (reference models.py:47-72). Maps the
     * driver's `events` table onto the LTSS shape (FIXTURES.md §B):

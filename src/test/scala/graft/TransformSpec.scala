@@ -84,6 +84,17 @@ class TransformSpec extends SparkSpec {
     assert(JsonOps.popLatLon("null") == "null")
   }
 
+  test("encodeAttrs renders timestamps ISO-8601 and arrays as lists (P4, JSONEncoder parity)") {
+    val out = Seq(1)
+      .toDF("x")
+      .select(Transform.encodeAttrs(struct(
+        lit(ts("2024-01-01 10:00:00.123456")).as("t"),
+        array(lit("a"), lit("b")).as("tags"),
+        lit("C").as("u"))).as("j"))
+      .as[String].head()
+    assert(out == """{"t":"2024-01-01T10:00:00.123456+00:00","tags":["a","b"],"u":"C"}""")
+  }
+
   test("drop-on-unserializable attributes (P4, __init__.py:212-216)") {
     val df = Seq(
       ("a", """{"k": 1}"""), ("b", """not json"""), ("c", """{"k": """),
