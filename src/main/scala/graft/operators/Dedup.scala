@@ -132,7 +132,7 @@ object Dedup {
         .drop("bsz")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def pfx(p: String)(df: DataFrame): DataFrame =
-        df.toDF(df.columns.map(c => if (c.startsWith("band")) c else s"$p$c"): _*)
+        df.toDF(df.columns.toIndexedSeq.map(c => if (c.startsWith("band")) c else s"$p$c"): _*)
       val a = pfx("a_")(guarded)
       val b = pfx("b_")(guarded)
       val matches = (0 until NumHashes)
