@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Dataset-curation operators a training-data pipeline needs at scale:
+  * deterministic sampling, split assignment, and per-group top-k. All
+  * decisions hash on stable keys (first hex chars of md5 — identical
+  * text on every engine and every run, no RNG state), so a 100 TB job
+  * can be re-run, resumed, or audited with identical membership; all
+  * three are map-side except the final presentation sort / one window.
+  */
+object Sampling {
+
+  /** Deterministic 25% sample: first hex char of md5(doc_id) in 0-3.
+    * Membership is a pure function of the key — no seed plumbing, no
+    * sampleBy state, stable under re-runs and cluster re-sizing. */
+  val sampleHash = OracleQuery(
+    "sample_hash",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1", "2", "3"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang, n_chars
+      |FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+      |ORDER BY doc_id""".stripMargin))
+
+  /** Deterministic train/val/test split (12/2/2 sixteenths by the first
+    * hex char of md5(doc_id)), reported as per-language counts — the
+    * audit query of a split manifest. */
+  val datasetSplit = OracleQuery(
+    "dataset_split",
+    (s, d) => {
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(h.isin("c", "d"), "val").when(h.isin("e", "f"), "test").otherwise("train"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("split"))
+    },
+    Some("""SELECT lang, split, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT lang,
+      |         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+      |              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+      |              ELSE 'train' END AS split
+      |  FROM documents)
+      |GROUP BY lang, split
+      |ORDER BY lang, split""".stripMargin))
+
+  /** Top-2 longest documents per language: one shuffle on the group key,
+    * rank inside the partition — the grouped twin of the global top-k
+    * (`topk_orders`' TakeOrdered). */
+  val topkPerGroup = OracleQuery(
+    "topk_per_group",
+    (s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some("""SELECT lang, rk, doc_id, n_chars FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 2
+      |ORDER BY lang, rk""".stripMargin))
+
+  val all: Seq[OracleQuery] = Seq(sampleHash, datasetSplit, topkPerGroup)
+}
