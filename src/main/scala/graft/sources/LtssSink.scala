@@ -31,6 +31,21 @@ object LtssSink {
     to_date(timestamp_micros(unix_micros(col("time")) - pmod(unix_micros(col("time")), lit(us))))
   }
 
+  /** Render the `location` struct as WKT text for relational targets —
+    * the reference stores `SRID=4326;POINT(lon lat)` into the geometry
+    * column (models.py:61); Spark's JDBC writer has no struct mapping,
+    * so the WKT string IS the wire format. Parquet targets keep the
+    * typed struct. No-op when the column is absent or already a string. */
+  def locationToWkt(ltss: DataFrame): DataFrame =
+    ltss.schema.fields.find(_.name == "location") match {
+      case Some(f) if f.dataType.typeName == "struct" =>
+        ltss.withColumn("location",
+          when(col("location").isNotNull,
+            concat(lit("SRID=4326;POINT("), col("location.lon").cast("string"),
+              lit(" "), col("location.lat").cast("string"), lit(")"))))
+      case _ => ltss
+    }
+
   /** The chunk partition value covering a timestamp (UTC). */
   def chunkDateOf(ts: java.sql.Timestamp, cfg: LtssConfig): java.time.LocalDate = {
     val epochUs = ts.getTime * 1000L

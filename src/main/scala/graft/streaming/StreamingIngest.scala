@@ -60,7 +60,7 @@ object StreamingIngest {
           if (bad > 0)
             System.err.println(s"[ltss-ingest] dropping $bad row(s) with non-JSON attributes")
           val valid = batch.filter(ok)
-          if (cfg.dbUrl.startsWith("jdbc:")) LtssSink.writeJdbc(valid, cfg)
+          if (cfg.dbUrl.startsWith("jdbc:")) LtssSink.writeJdbc(LtssSink.locationToWkt(valid), cfg)
           else LtssSink.writeParquet(valid, outPath, cfg)
         } finally batch.unpersist()
       }

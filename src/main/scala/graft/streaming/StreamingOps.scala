@@ -38,6 +38,16 @@ object StreamingOps {
       }
   }
 
+  /** The PK `(time, entity_id)` uniqueness invariant applied IN-STREAM
+    * (the streaming twin of `Transform.dedupByPk`, reference
+    * migrations.py:88-95): duplicates arriving within the watermark are
+    * dropped before the sink, so the store never sees the PK conflict
+    * the reference logs-and-drops. State is bounded by the watermark
+    * horizon, not by history size. */
+  def dedupByPkStream(ltss: DataFrame, watermark: String = "1 hour"): DataFrame =
+    ltss.withWatermark("time", watermark)
+      .dropDuplicatesWithinWatermark("time", "entity_id")
+
   /** Watermarked tumbling-window counts per domain (the streaming twin of
     * `ltss_time_bucket`): event-time windows, late data admitted up to
     * the watermark, append-mode emission once a window closes. */

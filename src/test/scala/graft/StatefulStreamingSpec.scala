@@ -39,6 +39,26 @@ class StatefulStreamingSpec extends SparkSpec {
       ("b.1", ts("2024-01-01 09:00:00"), "5")))
   }
 
+  test("in-stream PK dedup drops duplicate (time, entity_id) within the watermark") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = graft.streaming.StreamingOps.dedupByPkStream(df).writeStream
+      .format("memory").queryName("dedup_t").outputMode("append").start()
+    try {
+      ms.addData(
+        (ts("2024-01-01 10:00:00"), "a.1", "1"),
+        (ts("2024-01-01 10:00:00"), "a.1", "1-dup"),
+        (ts("2024-01-01 10:00:00"), "b.1", "2"))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 10:00:00"), "a.1", "1-later-dup"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val keys = spark.table("dedup_t")
+      .select($"entity_id").as[String].collect().sorted.toSeq
+    assert(keys == Seq("a.1", "b.1")) // one survivor per PK
+  }
+
   test("watermarked windowed counts emit once the window closes (append mode)") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String)]

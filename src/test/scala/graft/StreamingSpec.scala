@@ -117,6 +117,36 @@ class StreamingSpec extends SparkSpec {
     assert(slept == 9) // maxRetries-1 waits, like the reference's loop
   }
 
+  test("end-to-end: stream → bootstrap → JDBC sink lands rows in the database") {
+    val in = tmp("ltss-in4"); val ckpt = tmp("ltss-ckpt4")
+    Files.writeString(java.nio.file.Paths.get(in, "b1.json"),
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":1,"event_type":"a","value":1.5,"props":"{\"k\": 1}"}
+        |{"event_id":2,"ts":"2024-01-01T00:00:01Z","user_id":2,"event_type":"a","value":2.5,"props":"{\"k\": 2}"}
+        |""".stripMargin)
+    val url = s"jdbc:derby:memory:grafte2e_${System.nanoTime()};create=true"
+    val cfg = LtssConfig(dbUrl = url, enableLocation = false)
+    val q = StreamingIngest.start(StreamingIngest.readJsonEvents(spark, in), cfg, "", ckpt)
+    StreamingIngest.drainAndStop(q)
+    val back = spark.read.jdbc(url, "ltss", new java.util.Properties())
+    assert(back.count() == 2)
+    assert(back.select("entity_id").collect().map(_.getString(0)).sorted.toSeq == Seq("a.1", "a.2"))
+  }
+
+  test("locationToWkt renders the struct as the reference's WKT wire format (models.py:61)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct, lit, when}
+    val df = Seq((1, Some((11.97, 57.7))), (2, None)).toDF("id", "raw")
+      .withColumn("location",
+        when(col("raw").isNotNull,
+          struct(col("raw._1").as("lon"), col("raw._2").as("lat"))))
+      .drop("raw")
+    val out = LtssSink.locationToWkt(df).orderBy("id")
+      .select("location").as[String].collect().toSeq
+    assert(out == Seq("SRID=4326;POINT(11.97 57.7)", null))
+    // string/absent location columns pass through untouched
+    assert(LtssSink.locationToWkt(df.drop("location")).columns.toSeq == Seq("id"))
+  }
+
   test("stream drops rows with non-JSON attributes, keeps the rest (P4, __init__.py:212-216)") {
     val in = tmp("ltss-in3"); val out = tmp("ltss-out3"); val ckpt = tmp("ltss-ckpt3")
     Files.writeString(java.nio.file.Paths.get(in, "b1.json"),
