@@ -29,6 +29,55 @@ final case class LtssConfig(
 
 object LtssConfig {
   val DefaultChunkUs: Long = 2592000000000L // 30 days (µs)
+
+  /** Parse the reference's CONFIG_SCHEMA shape (__init__.py:55-67,
+    * README.md:59-101): required `db_url`, optional positive
+    * `chunk_time_interval` (µs, default 30 days), optional `include` /
+    * `exclude` sections with `domains`/`entities`/`entity_globs` string
+    * lists. Unknown keys are rejected, as the reference's voluptuous
+    * schema does. `enable_location` is this engine's stand-in for the
+    * reference's PostGIS auto-detection (__init__.py:303-328). */
+  def fromMap(conf: Map[String, Any]): LtssConfig = {
+    val allowed = Set("db_url", "chunk_time_interval", "include", "exclude", "enable_location")
+    val unknown = conf.keySet -- allowed
+    require(unknown.isEmpty, s"unknown config keys: ${unknown.mkString(", ")}")
+
+    val dbUrl = conf.get("db_url") match {
+      case Some(s: String) if s.nonEmpty => s
+      case _ => throw new IllegalArgumentException("db_url is required and must be a string")
+    }
+    val chunk = conf.get("chunk_time_interval") match {
+      case None => DefaultChunkUs
+      case Some(n: Int) => n.toLong
+      case Some(n: Long) => n
+      case Some(x) =>
+        throw new IllegalArgumentException(s"chunk_time_interval must be an integer, got $x")
+    }
+    require(chunk > 0, "chunk_time_interval must be positive")
+
+    def filterSpec(key: String): FilterSpec = conf.get(key) match {
+      case None => FilterSpec()
+      case Some(m: Map[_, _]) =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        val unknownF = mm.keySet -- Set("domains", "entities", "entity_globs")
+        require(unknownF.isEmpty, s"unknown $key keys: ${unknownF.mkString(", ")}")
+        def strings(k: String): Seq[String] = mm.get(k) match {
+          case None => Nil
+          case Some(xs: Seq[_]) => xs.map(_.toString)
+          case Some(x) =>
+            throw new IllegalArgumentException(s"$key.$k must be a string list, got $x")
+        }
+        FilterSpec(strings("domains"), strings("entities"), strings("entity_globs"))
+      case Some(x) => throw new IllegalArgumentException(s"$key must be a section, got $x")
+    }
+
+    val enableLocation = conf.get("enable_location") match {
+      case None => true
+      case Some(b: Boolean) => b
+      case Some(x) => throw new IllegalArgumentException(s"enable_location must be boolean, got $x")
+    }
+    LtssConfig(dbUrl, chunk, filterSpec("include"), filterSpec("exclude"), enableLocation)
+  }
 }
 
 /** Include/exclude entity filtering with Home Assistant semantics

@@ -87,6 +87,35 @@ object Queries {
       |  AND time BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
       |ORDER BY time DESC, state""".stripMargin))
 
+  /** The composite-index query over the REAL storage layout: events are
+    * projected and written through the chunked sink once (the ingest
+    * path), then the history query runs against the layout — where the
+    * time predicate partition-prunes chunks (hypertable chunk exclusion)
+    * and the entity/time predicates push into the parquet scan, which
+    * the derived events-view above cannot offer. This is the
+    * ingest→layout→indexed-query loop the reference's whole physical
+    * design exists for (models.py:78-80, __init__.py:337-344). */
+  val historyLayout = OracleQuery(
+    "ltss_history_layout",
+    (s, d) => {
+      import graft.sources.LtssSink
+      val layoutPath = s"${System.getProperty("java.io.tmpdir")}/graft_ltss_layout_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      LtssSink.writeParquet(ltss(s, d), layoutPath, LtssConfig(),
+        org.apache.spark.sql.SaveMode.Overwrite)
+      val from = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+      val to = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+      LtssSink.chunkScan(s, layoutPath, from, to)
+        .filter(col("entity_id") === "click.7")
+        .select(col("time"), col("entity_id"), col("state"), col("attributes"))
+        .orderBy(col("time").desc, col("state"))
+    },
+    Some(s"""$ltssCte
+      |SELECT time, entity_id, state, attributes FROM ltss
+      |WHERE entity_id = 'click.7'
+      |  AND time BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+      |ORDER BY time DESC, state""".stripMargin))
+
   /** Latest state per entity (reference index `(entity_id, time DESC)`,
     * models.py:78-80) — row_number window, deterministic tie-break. */
   val latest = OracleQuery(
@@ -456,7 +485,7 @@ object Queries {
       |ORDER BY uid, time, click_state""".stripMargin))
 
   val all: Seq[OracleQuery] = Seq(
-    project, entityFilterQ, history, latest, transitions,
+    project, entityFilterQ, history, historyLayout, latest, transitions,
     timeBucketAgg, jsonAttr, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, timeBucketSqlQ,
     domainStatsSalted, asofJoin)

@@ -72,13 +72,17 @@ object LtssSink {
   }
 
   /** Write LTSS rows as a time-chunked, entity-sorted parquet layout. */
-  def writeParquet(ltss: DataFrame, path: String, cfg: LtssConfig = LtssConfig()): Unit =
+  def writeParquet(
+      ltss: DataFrame,
+      path: String,
+      cfg: LtssConfig = LtssConfig(),
+      mode: SaveMode = SaveMode.Append): Unit =
     ltss
       .withColumn("chunk", chunkCol(cfg))
       .repartition(col("chunk"))
       .sortWithinPartitions(col("entity_id"), col("time"))
       .write
-      .mode(SaveMode.Append)
+      .mode(mode)
       .partitionBy("chunk")
       .parquet(path)
 

@@ -241,6 +241,29 @@ class EntityFilterSpec extends SparkSpec {
     }
   }
 
+  test("fromMap parses the reference CONFIG_SCHEMA shape (__init__.py:55-67)") {
+    val cfg = LtssConfig.fromMap(Map(
+      "db_url" -> "jdbc:postgresql://h/db",
+      "chunk_time_interval" -> 86400000000L,
+      "include" -> Map("domains" -> Seq("sensor"), "entity_globs" -> Seq("sensor.weather_*")),
+      "exclude" -> Map("entities" -> Seq("sensor.noisy"))))
+    assert(cfg.dbUrl == "jdbc:postgresql://h/db")
+    assert(cfg.chunkTimeIntervalUs == 86400000000L)
+    assert(cfg.include.domains == Seq("sensor") && cfg.include.entityGlobs == Seq("sensor.weather_*"))
+    assert(cfg.exclude.entities == Seq("sensor.noisy"))
+    assert(cfg.enableLocation) // defaults on, like PostGIS auto-detection
+    // defaults
+    assert(LtssConfig.fromMap(Map("db_url" -> "x")).chunkTimeIntervalUs == LtssConfig.DefaultChunkUs)
+    // schema violations fail like voluptuous does
+    assertThrows[IllegalArgumentException](LtssConfig.fromMap(Map()))
+    assertThrows[IllegalArgumentException](
+      LtssConfig.fromMap(Map("db_url" -> "x", "chunk_time_interval" -> -1)))
+    assertThrows[IllegalArgumentException](
+      LtssConfig.fromMap(Map("db_url" -> "x", "bogus" -> 1)))
+    assertThrows[IllegalArgumentException](
+      LtssConfig.fromMap(Map("db_url" -> "x", "include" -> Map("bogus" -> Seq("a")))))
+  }
+
   test("globToRegex compiles fnmatch wildcards") {
     assert("sensor\\.weather_.*" == EntityFilter.globToRegex("sensor.weather_*"))
     assert(EntityFilter.globToRegex("a?c") == "a.c")
