@@ -111,8 +111,11 @@ object LtssSink {
       try conn = connect(cfg.dbUrl)
       catch {
         case e: SQLException =>
+          // the reference retries any connect failure; we retry only
+          // connection-class errors and fail fast on non-transient ones
+          // (bad URL, missing database, auth) — waiting can't fix those
           attempt += 1
-          if (attempt >= maxRetries) throw e
+          if (!isTransient(e) || attempt >= maxRetries) throw e
           sleep(retryWaitMs)
       }
     }

@@ -132,6 +132,19 @@ class StreamingSpec extends SparkSpec {
     assert(back.select("entity_id").collect().map(_.getString(0)).sorted.toSeq == Seq("a.1", "a.2"))
   }
 
+  test("sink failure fails the streaming query — checkpoint cannot advance past loss") {
+    val in = tmp("ltss-in5"); val ckpt = tmp("ltss-ckpt5")
+    Files.writeString(java.nio.file.Paths.get(in, "b1.json"),
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":1,"event_type":"a","value":1.0,"props":"{}"}""")
+    // unreachable JDBC target, but a registered driver scheme (derby URL
+    // with no create → connect fails): bootstrap gives up by THROWING,
+    // before any stream starts — the readiness contract (L1)
+    val cfg = LtssConfig(dbUrl = "jdbc:derby:memory:absent_db_no_create")
+    assertThrows[java.sql.SQLException] {
+      StreamingIngest.start(StreamingIngest.readJsonEvents(spark, in), cfg, "", ckpt)
+    }
+  }
+
   test("locationToWkt renders the struct as the reference's WKT wire format (models.py:61)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, struct, lit, when}
