@@ -397,6 +397,93 @@ object Queries {
       |  FROM ltss) WHERE rn = 1
       |GROUP BY 1 ORDER BY domain""".stripMargin))
 
+  /** Per-domain discrete percentiles (p50/p95) of the numeric state —
+    * the Grafana-style telemetry rollup the reference's SQL surface
+    * serves (README.md:24-26). DISCRETE selection (value at row
+    * ceil(q·n), one window + one filter) rather than interpolated
+    * percentile_cont: engines differ in interpolation formula
+    * association (lo + f·(hi−lo) vs (1−f)·lo + f·hi), which breaks
+    * bit-exact comparison; row selection is exact everywhere and is one
+    * shuffle on the domain key at any scale. */
+  val percentiles = OracleQuery(
+    "ltss_percentiles",
+    (s, d) => {
+      val l = ltss(s, d)
+        .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+        .withColumn("sv", col("state").cast("decimal(12,2)"))
+      val w = Window.partitionBy(col("domain")).orderBy(col("sv"), col("entity_id"), col("time"))
+      val ranked = l
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("domain"))))
+      ranked
+        .groupBy(col("domain"), col("n"))
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.5), col("sv"))).as("p50_dec"),
+          max(when(col("rn") === ceil(col("n") * 0.95), col("sv"))).as("p95_dec"))
+        .select(col("domain"), col("n"),
+          col("p50_dec").cast("double").as("p50"),
+          col("p95_dec").cast("double").as("p95"))
+        .orderBy(col("domain"))
+    },
+    Some(s"""$ltssCte
+      |SELECT domain, n,
+      |       CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN sv END) AS DOUBLE) AS p50,
+      |       CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN sv END) AS DOUBLE) AS p95
+      |FROM (
+      |  SELECT domain, sv,
+      |         row_number() OVER (PARTITION BY domain ORDER BY sv, entity_id, time) AS rn,
+      |         CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n
+      |  FROM (
+      |    SELECT split_part(entity_id, '.', 1) AS domain, entity_id, time,
+      |           CAST(state AS DECIMAL(12,2)) AS sv
+      |    FROM ltss))
+      |GROUP BY domain, n
+      |ORDER BY domain""".stripMargin))
+
+  /** Fixed-bucket value histogram per domain (dashboard heat strip):
+    * bucket = floor(sv / 20), pure arithmetic — exact on both engines,
+    * map-side except one count shuffle. */
+  val histogram = OracleQuery(
+    "ltss_histogram",
+    (s, d) =>
+      ltss(s, d)
+        .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+        .withColumn("bucket", floor(col("state").cast("decimal(12,2)") / 20).cast("long"))
+        .groupBy(col("domain"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("domain"), col("bucket")),
+    Some(s"""$ltssCte
+      |SELECT split_part(entity_id, '.', 1) AS domain,
+      |       CAST(floor(CAST(state AS DECIMAL(12,2)) / 20) AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM ltss GROUP BY 1, 2 ORDER BY domain, bucket""".stripMargin))
+
+  /** Domain × hour-of-day activity pivot (the classic dashboard matrix):
+    * Spark `pivot` with a FIXED column list — never the implicit-distinct
+    * form, which adds a blocking distinct job at scale. */
+  val pivotHours = OracleQuery(
+    "ltss_pivot_hours",
+    (s, d) => {
+      val hours = (0 to 23).map(h => f"h$h%02d")
+      val l = ltss(s, d)
+        .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+        .withColumn("hour", format_string("h%02d", hour(col("time"))))
+      l.groupBy(col("domain"))
+        .pivot("hour", hours)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("domain"))
+    },
+    Some {
+      val cols = (0 to 23)
+        .map(h => f"CAST(count(*) FILTER (WHERE hour(time) = $h) AS BIGINT) AS h$h%02d")
+        .mkString(",\n      |       ")
+      s"""$ltssCte
+        |SELECT split_part(entity_id, '.', 1) AS domain,
+        |       $cols
+        |FROM ltss GROUP BY 1 ORDER BY domain""".stripMargin
+    })
+
   /** Skew-safe aggregation patterns over a HOT grouping key (5 domains
     * fan into 32+ reducers → one reducer per domain would be quadratic-
     * hot at 100 TB):
@@ -488,5 +575,5 @@ object Queries {
     project, entityFilterQ, history, historyLayout, latest, transitions,
     timeBucketAgg, jsonAttr, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, timeBucketSqlQ,
-    domainStatsSalted, asofJoin)
+    domainStatsSalted, asofJoin, percentiles, histogram, pivotHours)
 }
