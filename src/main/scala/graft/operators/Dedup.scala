@@ -113,59 +113,136 @@ object Dedup {
     * (ReuseExchange is plan-shape-sensitive; the cache is not). Bucket
     * sizes are counted and oversized buckets dropped (see
     * [[MaxLshBucket]]) so a single hot band value cannot go O(b²). */
+  /** The banded/guarded LSH pair frame shared by the pair query and the
+    * clustering stage. */
+  private def lshPairFrame(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashFrame(Tables.documents(s, d))
+    val ms = (0 until NumHashes).map(i => col(s"m$i"))
+    // signature columns ride along with the banded rows: one aggregate,
+    // one self-join, no re-join against the signature frame
+    val bands = sig.select(
+      (col("doc_id") +: ms) :+
+        explode(map(
+          lit(0), concat(ms.take(4): _*),
+          lit(1), concat(ms.drop(4): _*))).as(Seq("band_idx", "band_val")): _*)
+    val wBucket = Window.partitionBy(col("band_idx"), col("band_val"))
+    val guarded = bands
+      .withColumn("bsz", count(lit(1)).over(wBucket))
+      .filter(col("bsz") <= MaxLshBucket)
+      .drop("bsz")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pfx(p: String)(df: DataFrame): DataFrame =
+      df.toDF(df.columns.toIndexedSeq.map(c => if (c.startsWith("band")) c else s"$p$c"): _*)
+    val a = pfx("a_")(guarded)
+    val b = pfx("b_")(guarded)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduceLeft(_ + _)
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("a_doc_id") < col("b_doc_id"))
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
+        (matches.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** DuckDB CTE chain shared by the LSH pair query and the clustering
+    * query: bands → size-guarded buckets. */
+  private def lshGuardedCte: String = {
+    val sigCols = (0 until NumHashes).map(i => s"m$i").mkString(", ")
+    val bandVal = (bi: Int) => (0 until 4).map(i => s"m${bi * 4 + i}").mkString(" || ")
+    s"""$minhashCte,
+      |bands AS (
+      |  SELECT doc_id, $sigCols, 0 AS band_idx, ${bandVal(0)} AS band_val FROM sig
+      |  UNION ALL
+      |  SELECT doc_id, $sigCols, 1 AS band_idx, ${bandVal(1)} AS band_val FROM sig
+      |),
+      |guarded AS (
+      |  SELECT * FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bsz FROM bands)
+      |  WHERE bsz <= $MaxLshBucket
+      |)""".stripMargin
+  }
+
   val minhashLsh = OracleQuery(
     "dedup_minhash_lsh",
-    (s, d) => {
-      val sig = minhashFrame(Tables.documents(s, d))
-      val ms = (0 until NumHashes).map(i => col(s"m$i"))
-      // signature columns ride along with the banded rows: one aggregate,
-      // one self-join, no re-join against the signature frame
-      val bands = sig.select(
-        (col("doc_id") +: ms) :+
-          explode(map(
-            lit(0), concat(ms.take(4): _*),
-            lit(1), concat(ms.drop(4): _*))).as(Seq("band_idx", "band_val")): _*)
-      val wBucket = Window.partitionBy(col("band_idx"), col("band_val"))
-      val guarded = bands
-        .withColumn("bsz", count(lit(1)).over(wBucket))
-        .filter(col("bsz") <= MaxLshBucket)
-        .drop("bsz")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def pfx(p: String)(df: DataFrame): DataFrame =
-        df.toDF(df.columns.toIndexedSeq.map(c => if (c.startsWith("band")) c else s"$p$c"): _*)
-      val a = pfx("a_")(guarded)
-      val b = pfx("b_")(guarded)
-      val matches = (0 until NumHashes)
-        .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
-        .reduceLeft(_ + _)
-      a.join(b, Seq("band_idx", "band_val"))
-        .filter(col("a_doc_id") < col("b_doc_id"))
-        .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
-          (matches.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
-        .distinct()
-        .orderBy(col("a_id"), col("b_id"))
-    },
+    (s, d) => lshPairFrame(s, d),
     Some {
-      val sigCols = (0 until NumHashes).map(i => s"m$i").mkString(", ")
-      val bandVal = (bi: Int) => (0 until 4).map(i => s"m${bi * 4 + i}").mkString(" || ")
       val matches = (0 until NumHashes)
         .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
-      s"""$minhashCte,
-        |bands AS (
-        |  SELECT doc_id, $sigCols, 0 AS band_idx, ${bandVal(0)} AS band_val FROM sig
-        |  UNION ALL
-        |  SELECT doc_id, $sigCols, 1 AS band_idx, ${bandVal(1)} AS band_val FROM sig
-        |),
-        |guarded AS (
-        |  SELECT * FROM (
-        |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bsz FROM bands)
-        |  WHERE bsz <= $MaxLshBucket
-        |)
+      s"""$lshGuardedCte
         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
         |       CAST($matches AS DOUBLE) / 8.0 AS est_jaccard
         |FROM guarded a JOIN guarded b
         |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
         |ORDER BY a_id, b_id""".stripMargin
+    })
+
+  /** Connected-component clustering of the LSH near-dup pairs with
+    * canonical (min-doc_id) representative selection — the final stage
+    * of the dedup pipeline: signature → candidate pairs → clusters →
+    * keep one doc per cluster. Min-label propagation to fixpoint: each
+    * iteration is one join + one aggregate shuffle, `localCheckpoint`
+    * truncates the growing lineage, and the loop's driver-side decision
+    * is an aggregated emptiness check, not a data collect. Iteration
+    * count is bounded by cluster diameter — near-dup clusters are tiny,
+    * so this converges in a handful of rounds at any corpus size. */
+  val clusters = OracleQuery(
+    "dedup_clusters",
+    (s, d) => {
+      val edges = lshPairFrame(s, d).select(col("a_id"), col("b_id"))
+      // materialize the edge set once — every iteration joins it, and
+      // without this the band join re-executes per round
+      val symRaw = edges.union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .toDF("src", "dst")
+        .localCheckpoint(true)
+      // the iterated subgraph is |docs with a near-dup| — orders of
+      // magnitude smaller than the corpus — so size the iteration's
+      // parallelism to IT, not to the session default
+      val maxParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val parts = math.max(1L, math.min(maxParts.toLong, symRaw.count() / 100000L + 1L)).toInt
+      val sym = symRaw.repartition(parts, col("dst")).localCheckpoint(true)
+      val nodes = sym.select(col("src").as("id")).distinct()
+      var labels = nodes.withColumn("label", col("id"))
+        .repartition(parts, col("id")).localCheckpoint(true)
+      var converged = false
+      while (!converged) {
+        val nbr = sym.join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+        val next = labels.join(nbr, col("id") === col("src"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .repartition(parts, col("id"))
+          .localCheckpoint(true)
+        converged = next.withColumnRenamed("label", "nl")
+          .join(labels.withColumnRenamed("label", "ol"), "id")
+          .filter(col("nl") =!= col("ol"))
+          .isEmpty
+        labels = next
+      }
+      labels
+        .select(col("id").as("doc_id"), col("label").as("cluster"),
+          (col("id") === col("label")).cast("int").as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val cte = lshGuardedCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$cte,
+        |edges AS (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM guarded a JOIN guarded b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |),
+        |sym AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |r(id, rid) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT sym.src, r.rid FROM sym JOIN r ON sym.dst = r.id
+        |)
+        |SELECT id AS doc_id, min(rid) AS cluster,
+        |       CAST(id = min(rid) AS INT) AS is_canonical
+        |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
     })
 
   /** Exact word-level Jaccard over a bounded candidate set (doc_id < 60):
@@ -208,5 +285,5 @@ object Dedup {
       |WHERE jaccard >= 0.6
       |ORDER BY a_id, b_id""".stripMargin))
 
-  val all: Seq[OracleQuery] = Seq(exact, minhashSig, minhashLsh, jaccard)
+  val all: Seq[OracleQuery] = Seq(exact, minhashSig, minhashLsh, jaccard, clusters)
 }

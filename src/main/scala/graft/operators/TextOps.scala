@@ -165,5 +165,36 @@ object TextOps {
         |FROM documents ORDER BY doc_id""".stripMargin
     })
 
-  val all: Seq[OracleQuery] = Seq(textStats, langId, tokenCount, fingerprint, simhash)
+  /** Boilerplate cleaning (training-data curation): strip HTML-ish tags,
+    * URLs, and collapse whitespace runs. Regex kept to constructs with
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB) —
+    * character classes, `*`/`+`, no backrefs/lookarounds. Per-row,
+    * shuffle-free. */
+  val textClean = OracleQuery(
+    "text_clean",
+    (s, d) => {
+      val cleaned =
+        trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), "<[^>]*>", " "),
+            "https?://[^ ]+", " "),
+          "  +", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          cleaned.as("clean_text"),
+          length(cleaned).cast("long").as("clean_len"),
+          md5(cleaned).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, clean_text,
+      |       CAST(length(clean_text) AS BIGINT) AS clean_len,
+      |       md5(clean_text) AS clean_hash
+      |FROM (
+      |  SELECT doc_id,
+      |         trim(regexp_replace(regexp_replace(regexp_replace(text,
+      |           '<[^>]*>', ' ', 'g'), 'https?://[^ ]+', ' ', 'g'), '  +', ' ', 'g')) AS clean_text
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[OracleQuery] = Seq(textStats, langId, tokenCount, fingerprint, simhash, textClean)
 }
