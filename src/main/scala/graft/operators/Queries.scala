@@ -215,7 +215,9 @@ object Queries {
 
   /** Geo surface (reference PostGIS point column, models.py:44,56-62):
     * deterministic lat/lon enrichment → JSON attributes → extraction via
-    * the real P3 path → WKT rendering + squared-degree distance filter. */
+    * the real P3 path → WKT rendering + squared-degree distance filter.
+    * The JSON is parsed ONCE per row (`json_tuple`) and point/WKT derive
+    * from the parsed columns — the hot-path form of P3. */
   val geoWkt = OracleQuery(
     "ltss_geo",
     (s, d) => {
@@ -223,10 +225,13 @@ object Queries {
         .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
         .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
       e.withColumn("attrs", to_json(struct(col("lat").as("latitude"), col("lon").as("longitude"))))
-        .withColumn("wkt", Transform.locationWkt(col("attrs")))
+        .select(col("event_id"),
+          json_tuple(col("attrs"), "latitude", "longitude").as(Seq("jlat", "jlon")))
+        .select(col("event_id"),
+          col("jlat").cast("double").as("glat"), col("jlon").cast("double").as("glon"))
+        .withColumn("wkt", Transform.locationWktFrom(col("glat"), col("glon")))
         .withColumn("dist2",
-          (Transform.latCol(col("attrs")) - 0.5) * (Transform.latCol(col("attrs")) - 0.5) +
-            (Transform.lonCol(col("attrs")) - 0.5) * (Transform.lonCol(col("attrs")) - 0.5))
+          (col("glat") - 0.5) * (col("glat") - 0.5) + (col("glon") - 0.5) * (col("glon") - 0.5))
         .filter(col("dist2") <= 10000.0)
         .select(col("event_id"), col("wkt"), col("dist2"))
         .orderBy(col("event_id"))

@@ -40,20 +40,22 @@ object Transform {
   def latCol(attrs: Column): Column = get_json_object(attrs, "$.latitude").cast("double")
   def lonCol(attrs: Column): Column = get_json_object(attrs, "$.longitude").cast("double")
 
-  def locationStruct(attrs: Column): Column = {
-    val lat = latCol(attrs)
-    val lon = lonCol(attrs)
+  /** Truthiness-gated point from ALREADY-EXTRACTED lat/lon columns — the
+    * hot-path form: parse the JSON once (e.g. one `json_tuple`) and
+    * derive point + WKT from the parsed columns, instead of re-parsing
+    * attrs per expression. */
+  def locationStructFrom(lat: Column, lon: Column): Column =
     when(lat.isNotNull && lon.isNotNull && lat =!= 0d && lon =!= 0d,
       struct(lon.as("lon"), lat.as("lat")))
-  }
 
   /** WKT rendering `SRID=4326;POINT(lon lat)` (reference models.py:61). */
-  def locationWkt(attrs: Column): Column = {
-    val lat = latCol(attrs)
-    val lon = lonCol(attrs)
+  def locationWktFrom(lat: Column, lon: Column): Column =
     when(lat.isNotNull && lon.isNotNull && lat =!= 0d && lon =!= 0d,
       concat(lit("SRID=4326;POINT("), lon.cast("string"), lit(" "), lat.cast("string"), lit(")")))
-  }
+
+  def locationStruct(attrs: Column): Column = locationStructFrom(latCol(attrs), lonCol(attrs))
+
+  def locationWkt(attrs: Column): Column = locationWktFrom(latCol(attrs), lonCol(attrs))
 
   /** Pop `latitude`/`longitude` out of the JSON attributes (reference
     * models.py:59-60 — the keys are *removed* whether or not a point is
