@@ -576,9 +576,31 @@ object Queries {
       |WHERE domain = 'click'
       |ORDER BY uid, time, click_state""".stripMargin))
 
+  /** Sketch-based rollups — the approximate forms a 100 TB deployment
+    * reaches for when exact is too expensive: HLL++ distinct counts (one
+    * map-side sketch per partition, merged — no distinct-pair shuffle)
+    * and approximate quantiles (Greenwald-Khanna, single pass). Sketch
+    * internals are engine-specific, so there is NO DuckDB oracle — the
+    * driver records the weaker rows-only check, by design. Exact twins:
+    * `ltss_domain_stats_salted` (distinct), `ltss_percentiles`. */
+  val sketches = OracleQuery(
+    "ltss_sketches",
+    (s, d) =>
+      ltss(s, d)
+        .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+        .withColumn("sv", col("state").cast("double"))
+        .groupBy(col("domain"))
+        .agg(
+          approx_count_distinct(col("state"), 0.01).as("approx_distinct_states"),
+          approx_count_distinct(col("entity_id"), 0.01).as("approx_distinct_entities"),
+          percentile_approx(col("sv"), lit(0.5), lit(10000)).as("p50_approx"),
+          percentile_approx(col("sv"), lit(0.95), lit(10000)).as("p95_approx"))
+        .orderBy(col("domain")),
+    None)
+
   val all: Seq[OracleQuery] = Seq(
     project, entityFilterQ, history, historyLayout, latest, transitions,
     timeBucketAgg, jsonAttr, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, timeBucketSqlQ,
-    domainStatsSalted, asofJoin, percentiles, histogram, pivotHours)
+    domainStatsSalted, asofJoin, percentiles, histogram, pivotHours, sketches)
 }
