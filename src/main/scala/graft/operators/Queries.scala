@@ -576,6 +576,51 @@ object Queries {
       |WHERE domain = 'click'
       |ORDER BY uid, time, click_state""".stripMargin))
 
+  /** Range (interval) join — clicks within one hour AFTER a purchase by
+    * the same user. A naive `ON uid = uid AND time BETWEEN ...` plans as
+    * a nested-loop at scale; this is the BUCKETED form: each purchase
+    * window [t, t+1h] explodes into its (at most 2) hour buckets, the
+    * join is a plain equi-join on (uid, bucket) — one hash shuffle —
+    * and the exact containment predicate filters after. Each matching
+    * pair lands in exactly one bucket (the click's), so no dedup pass
+    * is needed. */
+  val rangeJoin = {
+    val hourUs = 3600000000L
+    OracleQuery(
+      "ltss_range_join",
+      (s, d) => {
+        val parts = split(col("entity_id"), "\\.")
+        val base = ltss(s, d)
+          .withColumn("domain", parts.getItem(0))
+          .withColumn("uid", parts.getItem(1).cast("long"))
+        val pBucket = expr(s"unix_micros(time) div $hourUs")
+        val purchases = base.filter(col("domain") === "purchase")
+          .select(col("uid"), col("time").as("p_time"), col("state").as("p_state"),
+            explode(array(pBucket, pBucket + 1)).as("bucket"))
+        val clicks = base.filter(col("domain") === "click")
+          .select(col("uid"), col("time").as("c_time"), col("state").as("c_state"),
+            expr(s"unix_micros(time) div $hourUs").as("bucket"))
+        clicks.join(purchases, Seq("uid", "bucket"))
+          .filter(unix_micros(col("c_time")) >= unix_micros(col("p_time")) &&
+            unix_micros(col("c_time")) <= unix_micros(col("p_time")) + hourUs)
+          .select(col("uid"), col("p_time"), col("c_time"), col("p_state"), col("c_state"))
+          .orderBy(col("uid"), col("p_time"), col("c_time"), col("p_state"), col("c_state"))
+      },
+      Some(s"""$ltssCte
+        |SELECT p.uid, p.p_time, c.c_time, p.p_state, c.c_state FROM (
+        |  SELECT CAST(split_part(entity_id, '.', 2) AS BIGINT) AS uid,
+        |         time AS p_time, state AS p_state
+        |  FROM ltss WHERE split_part(entity_id, '.', 1) = 'purchase') p
+        |JOIN (
+        |  SELECT CAST(split_part(entity_id, '.', 2) AS BIGINT) AS uid,
+        |         time AS c_time, state AS c_state
+        |  FROM ltss WHERE split_part(entity_id, '.', 1) = 'click') c
+        |  ON c.uid = p.uid
+        | AND epoch_us(c.c_time) >= epoch_us(p.p_time)
+        | AND epoch_us(c.c_time) <= epoch_us(p.p_time) + $hourUs
+        |ORDER BY p.uid, p_time, c_time, p_state, c_state""".stripMargin))
+  }
+
   /** Sketch-based rollups — the approximate forms a 100 TB deployment
     * reaches for when exact is too expensive: HLL++ distinct counts (one
     * map-side sketch per partition, merged — no distinct-pair shuffle)
@@ -602,5 +647,5 @@ object Queries {
     project, entityFilterQ, history, historyLayout, latest, transitions,
     timeBucketAgg, jsonAttr, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, timeBucketSqlQ,
-    domainStatsSalted, asofJoin, percentiles, histogram, pivotHours, sketches)
+    domainStatsSalted, asofJoin, rangeJoin, percentiles, histogram, pivotHours, sketches)
 }
