@@ -50,7 +50,7 @@ object DetMath {
     * whole-stage codegen. */
   def dotCol(a: Column, b: Column, dim: Int): Column = {
     graft.plans.GraftExtensions.install(org.apache.spark.sql.SparkSession.active)
-    call_function("dot_f64", a, b)
+    call_function("dot_f64", a, b, lit(dim))
   }
 
   def dotSql(a: String, b: String, dim: Int): String =

@@ -14,42 +14,60 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * verify stage that is the hot loop. This kernel is one compiled loop;
   * the fp result is bit-identical to the left-fold (sequential
   * `acc += a[i]·b[i]` in doubles, same order, float→double widening
-  * exact), so the DuckDB oracle's left-assoc `+` chain still matches. */
+  * exact), so the DuckDB oracle's left-assoc `+` chain still matches —
+  * INCLUDING its null semantics: an array shorter than `dim` or a null
+  * element makes the SQL `a[i]` term NULL and the whole sum NULL, so
+  * the kernel returns null for those inputs rather than silently
+  * truncating. */
 object VectorMath {
-  def dotF64(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Boxed result: null when either array is shorter than `dim` or any
+    * read element is null — matching SQL null propagation. */
+  def dotF64OrNull(a: ArrayData, b: ArrayData, dim: Int): java.lang.Double = {
+    if (a.numElements() < dim || b.numElements() < dim) return null
     var acc = 0.0
     var i = 0
-    while (i < n) {
+    while (i < dim) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 }
 
-/** `dot_f64(a, b)` over two ARRAY<FLOAT> columns → DOUBLE. */
-case class DotF64(left: Expression, right: Expression)
+/** `dot_f64(a, b, dim)` over two ARRAY<FLOAT> columns → DOUBLE. */
+case class DotF64(left: Expression, right: Expression, dim: Int)
   extends BinaryExpression with Serializable {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
     })
-    if (ok) TypeCheckResult.TypeCheckSuccess
+    if (ok && dim > 0) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"dot_f64 expects (ARRAY<FLOAT>, ARRAY<FLOAT>), got " +
-        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+      s"dot_f64 expects (ARRAY<FLOAT>, ARRAY<FLOAT>, dim > 0), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}, dim=$dim")
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorMath.dotF64(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VectorMath.dotF64OrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], dim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.dotF64($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("dotBoxed")
+      s"""
+         |java.lang.Double $boxed = graft.functions.VectorMath.dotF64OrNull($a, $b, $dim);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.doubleValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -113,8 +113,14 @@ object Dedup {
     * (ReuseExchange is plan-shape-sensitive; the cache is not). Bucket
     * sizes are counted and oversized buckets dropped (see
     * [[MaxLshBucket]]) so a single hot band value cannot go O(b²). */
-  /** The banded/guarded LSH pair frame shared by the pair query and the
-    * clustering stage. */
+  /** The previous call's persisted band frame — unpersisted when a new
+    * one is built, so sequential query runs don't accumulate pinned
+    * caches for the session's lifetime. */
+  private var lastGuarded: Option[DataFrame] = None
+
+  /** The banded/guarded LSH candidate frame shared by the pair query and
+    * the clustering stage. UNSORTED — presentation ordering is applied
+    * only by the terminal query, not paid by intermediate consumers. */
   private def lshPairFrame(s: SparkSession, d: String): DataFrame = {
     val sig = minhashFrame(Tables.documents(s, d))
     val ms = (0 until NumHashes).map(i => col(s"m$i"))
@@ -131,6 +137,13 @@ object Dedup {
       .filter(col("bsz") <= MaxLshBucket)
       .drop("bsz")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized {
+      // identical plans share one cache entry (Spark's cache manager
+      // canonicalizes), so only unpersist when the plan really changed
+      lastGuarded.filterNot(_.queryExecution.analyzed.sameResult(guarded.queryExecution.analyzed))
+        .foreach(_.unpersist(blocking = false))
+      lastGuarded = Some(guarded)
+    }
     def pfx(p: String)(df: DataFrame): DataFrame =
       df.toDF(df.columns.toIndexedSeq.map(c => if (c.startsWith("band")) c else s"$p$c"): _*)
     val a = pfx("a_")(guarded)
@@ -143,7 +156,6 @@ object Dedup {
       .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
         (matches.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
       .distinct()
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** DuckDB CTE chain shared by the LSH pair query and the clustering
@@ -166,7 +178,7 @@ object Dedup {
 
   val minhashLsh = OracleQuery(
     "dedup_minhash_lsh",
-    (s, d) => lshPairFrame(s, d),
+    (s, d) => lshPairFrame(s, d).orderBy(col("a_id"), col("b_id")),
     Some {
       val matches = (0 until NumHashes)
         .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")

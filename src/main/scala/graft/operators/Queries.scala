@@ -29,12 +29,12 @@ object Queries {
     """WITH ltss AS (
       |  SELECT ts AS time,
       |         event_type || '.' || CAST(user_id AS VARCHAR) AS entity_id,
-      |         CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS state,
+      |         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS state,
       |         props AS attributes
       |  FROM events
       |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
       |    AND value IS NOT NULL
-      |    AND CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) <> 'unknown'
+      |    AND CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) <> 'unknown'
       |)""".stripMargin
 
   private def ltss(s: SparkSession, dir: String): DataFrame =
@@ -99,12 +99,15 @@ object Queries {
     "ltss_history_layout",
     (s, d) => {
       import graft.sources.LtssSink
-      val layoutPath = s"${System.getProperty("java.io.tmpdir")}/graft_ltss_layout_" +
-        d.replaceAll("[^a-zA-Z0-9]", "_")
+      val layoutPath = graft.ScratchDirs.path("ltss_layout", d)
       LtssSink.writeParquet(ltss(s, d), layoutPath, LtssConfig(),
         org.apache.spark.sql.SaveMode.Overwrite)
-      val from = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
-      val to = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+      // instants constructed in UTC explicitly — Timestamp.valueOf parses
+      // in the JVM default timezone, which need not match the session tz
+      def utc(t: String) = java.sql.Timestamp.from(
+        java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC))
+      val from = utc("2024-01-05T00:00:00")
+      val to = utc("2024-01-20T00:00:00")
       LtssSink.chunkScan(s, layoutPath, from, to)
         .filter(col("entity_id") === "click.7")
         .select(col("time"), col("entity_id"), col("state"), col("attributes"))
@@ -289,11 +292,11 @@ object Queries {
       |  FROM events
       |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
       |    AND value IS NOT NULL
-      |    AND CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) <> 'unknown'
+      |    AND CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) <> 'unknown'
       |)
       |SELECT ts AS time,
       |       event_type || '.' || CAST(user_id AS VARCHAR) AS entity_id,
-      |       CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS state,
+      |       CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS state,
       |       '{"k":' || CAST(k AS VARCHAR) || ',"zone":{"latitude":1.5}}' AS attributes,
       |       CASE WHEN m = 0
       |            THEN 'SRID=4326;POINT(' || CAST(lonv AS VARCHAR) || ' ' || CAST(latv AS VARCHAR) || ')'

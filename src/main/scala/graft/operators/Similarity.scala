@@ -224,11 +224,14 @@ object Similarity {
           DetMath.dotCol(col("embedding"), col("ce"), Dim), col("nrm"), col("cn")))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
-      val layoutPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
-        d.replaceAll("[^a-zA-Z0-9]", "_")
+      val layoutPath = graft.ScratchDirs.path("ivf", d)
       assigned.write.mode("overwrite").partitionBy("cid").parquet(layoutPath)
-      // the probe: cid filter partition-prunes the layout scan
+      // the probe: cid filter partition-prunes the layout scan. The
+      // partition column round-trips through directory names and is
+      // inferred as INT — cast back to the written BIGINT so the output
+      // schema matches the oracle's
       s.read.parquet(layoutPath)
+        .withColumn("cid", col("cid").cast("long"))
         .filter(col("cid") === qc && col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .withColumn("cosine", DetMath.cosinePre(

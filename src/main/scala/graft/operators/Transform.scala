@@ -104,8 +104,10 @@ object Transform {
     // DuckDB's agree on the shortest-repr of the double, unlike
     // format_string("%.2f") (half-up) vs printf('%.2f') (half-even),
     // which disagree on ties like 0.125. NULL value stays NULL so the
-    // validity filter (S2) drops it.
-    val state = sanitize(col("value").cast("decimal(12,2)").cast("string"))
+    // validity filter (S2) drops it. DECIMAL(18,2) so magnitudes up to
+    // 10^16 stringify instead of overflowing to NULL (a non-ANSI cast
+    // would silently drop the event; DuckDB would error).
+    val state = sanitize(col("value").cast("decimal(18,2)").cast("string"))
     val base = events
       .withColumn("entity_id", entityId)
       .withColumn("state", state)

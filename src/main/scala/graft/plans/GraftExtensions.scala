@@ -69,7 +69,8 @@ object GraftExtensions {
   val dotF64Fn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("dot_f64"),
     new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
-    (args: Seq[Expression]) => DotF64(args(0), args(1)))
+    (args: Seq[Expression]) => DotF64(args(0), args(1),
+      args(2).eval().asInstanceOf[Number].intValue()))
 
   /** Idempotent registration on an already-built session. */
   def install(spark: SparkSession): Unit = {
@@ -84,6 +85,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("minhash8",
       args => MinHash8(args.head), "built-in")
     reg.createOrReplaceTempFunction("dot_f64",
-      args => DotF64(args(0), args(1)), "built-in")
+      args => DotF64(args(0), args(1), args(2).eval().asInstanceOf[Number].intValue()),
+      "built-in")
   }
 }

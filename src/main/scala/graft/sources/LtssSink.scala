@@ -25,10 +25,15 @@ import graft.config.LtssConfig
 object LtssSink {
 
   /** Derived chunk column (partition key), e.g. `chunk=2024-01-01` for a
-    * 30-day interval. */
+    * 30-day interval. Pure epoch arithmetic — the UTC day of the chunk
+    * start — NOT `to_date` on a timestamp, which renders in the session
+    * timezone and would disagree with [[chunkDateOf]]'s pruning bounds
+    * on any non-UTC session. */
   def chunkCol(cfg: LtssConfig) = {
     val us = cfg.chunkTimeIntervalUs
-    to_date(timestamp_micros(unix_micros(col("time")) - pmod(unix_micros(col("time")), lit(us))))
+    val dayUs = 86400000000L
+    val floored = unix_micros(col("time")) - pmod(unix_micros(col("time")), lit(us))
+    date_add(lit(java.sql.Date.valueOf("1970-01-01")), (floored / lit(dayUs)).cast("int"))
   }
 
   /** Render the `location` struct as WKT text for relational targets —
@@ -96,15 +101,27 @@ object LtssSink {
     * (migrations.py:88-95) only if missing. Returning normally IS the
     * readiness signal a caller can await. `connect`/`sleep` are
     * injectable for tests. */
+  /** Per-backend column types for the dynamic columns — the analog of
+    * the reference's Postgres-specific DDL (`attributes JSONB`,
+    * `__init__.py:315-344`). `null` arguments to [[bootstrapJdbc]]
+    * resolve through this; explicit arguments override. */
+  def defaultTypesFor(url: String): (String, String) =
+    if (url.startsWith("jdbc:postgresql")) ("JSONB", "VARCHAR(255)")
+    else if (url.startsWith("jdbc:derby")) ("CLOB", "CLOB")
+    else ("VARCHAR(32000)", "VARCHAR(255)")
+
   def bootstrapJdbc(
       cfg: LtssConfig,
       table: String = "ltss",
-      attributesType: String = "CLOB",
-      locationType: String = "VARCHAR(255)",
+      attributesType: String = null,
+      locationType: String = null,
       maxRetries: Int = 10,
       retryWaitMs: Long = 3000L,
       sleep: Long => Unit = Thread.sleep,
       connect: String => Connection = url => DriverManager.getConnection(url)): Unit = {
+    val (defAttrs, defLoc) = defaultTypesFor(cfg.dbUrl)
+    val attrsType = Option(attributesType).getOrElse(defAttrs)
+    val locType = Option(locationType).getOrElse(defLoc)
     var attempt = 0
     var conn: Connection = null
     while (conn == null) {
@@ -120,19 +137,24 @@ object LtssSink {
       }
     }
     try {
-      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
-      var exists = false
-      while (!exists && rs.next()) exists = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
-      rs.close()
+      // exact-name catalog probe (case variants cover folding dialects) —
+      // not a full-catalog scan, and not fooled by same-named tables it
+      // would never write to
+      def probe(name: String): Boolean = {
+        val rs = conn.getMetaData.getTables(null, null, name, Array("TABLE"))
+        try rs.next()
+        finally rs.close()
+      }
+      val exists = probe(table) || probe(table.toUpperCase) || probe(table.toLowerCase)
       if (!exists) {
         // location column only when the config enables it — the analog of
         // the reference's PostGIS-presence adaptivity (__init__.py:319-328)
-        val locCol = if (cfg.enableLocation) s", location $locationType" else ""
+        val locCol = if (cfg.enableLocation) s", location $locType" else ""
         val ddl = s"CREATE TABLE $table (" +
           "time TIMESTAMP NOT NULL, " +
           "entity_id VARCHAR(255) NOT NULL, " +
           "state VARCHAR(255), " +
-          s"attributes $attributesType$locCol, " +
+          s"attributes $attrsType$locCol, " +
           "PRIMARY KEY (time, entity_id))"
         val st = conn.createStatement()
         try st.execute(ddl)
@@ -147,7 +169,15 @@ object LtssSink {
     * error — the default is to RETHROW so a streaming caller's checkpoint
     * does not advance past lost data (at-least-once); `dropOnFailure =
     * true` opts into the reference's log-and-drop behavior
-    * (__init__.py:229-235) for callers that prefer availability. */
+    * (__init__.py:229-235) for callers that prefer availability.
+    *
+    * INTEGRITY violations (SQLState 23xxx — duplicate PK) are the
+    * expected face of at-least-once + the `(time, entity_id)` PK: a
+    * replayed batch re-inserting committed rows. They are logged and
+    * treated as done, matching the reference's drop-on-PK-conflict
+    * (__init__.py:229-231) — rethrowing would wedge the stream in a
+    * permanent replay loop. Exactly-once targets should stage + upsert
+    * (`INSERT ... ON CONFLICT DO NOTHING`) instead. */
   def writeJdbc(
       ltss: DataFrame,
       cfg: LtssConfig,
@@ -166,6 +196,10 @@ object LtssSink {
           .jdbc(cfg.dbUrl, table, new java.util.Properties())
         done = true
       } catch {
+        case e: Exception if isConflict(e) =>
+          System.err.println(
+            s"[ltss-sink] PK conflict (replayed batch) — treating as committed: ${e.getMessage}")
+          done = true
         case e: Exception if attempt < maxRetries && isTransient(e) =>
           attempt += 1; sleep(retryWaitMs)
         case e: Exception =>
@@ -176,6 +210,22 @@ object LtssSink {
           } else throw e
       }
     }
+  }
+
+  /** Integrity-constraint violations (duplicate PK on replay). */
+  private def isConflict(t: Throwable): Boolean = {
+    var cur: Throwable = t
+    var depth = 0
+    while (cur != null && depth < 10) {
+      cur match {
+        case _: java.sql.SQLIntegrityConstraintViolationException => return true
+        case e: SQLException if Option(e.getSQLState).exists(_.startsWith("23")) => return true
+        case _ => ()
+      }
+      cur = cur.getCause
+      depth += 1
+    }
+    false
   }
 
   /** Connection-level failures the reference treats as OperationalError.

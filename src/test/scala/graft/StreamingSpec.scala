@@ -75,10 +75,10 @@ class StreamingSpec extends SparkSpec {
   test("jdbc bootstrap creates the ltss table with PK, idempotently; writes append (D1)") {
     val url = s"jdbc:derby:memory:graftd1_${System.nanoTime()};create=true"
     val cfg = LtssConfig(dbUrl = url, enableLocation = true)
-    // CLOB location: Spark's Derby dialect binds NULL strings as CLOB,
-    // which Derby refuses to coerce into VARCHAR columns
-    LtssSink.bootstrapJdbc(cfg, locationType = "CLOB") // creates
-    LtssSink.bootstrapJdbc(cfg, locationType = "CLOB") // introspects, skips — must not throw
+    // Derby defaults resolve to CLOB columns (Spark's Derby dialect binds
+    // NULL strings as CLOB, which Derby refuses to coerce into VARCHAR)
+    LtssSink.bootstrapJdbc(cfg) // creates
+    LtssSink.bootstrapJdbc(cfg) // introspects, skips — must not throw
     import spark.implicits._
     val rows = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "sensor.1", "1.00", """{"k":1}""", null: String),
@@ -89,10 +89,12 @@ class StreamingSpec extends SparkSpec {
     assert(back.count() == 2)
     assert(back.columns.map(_.toLowerCase).toSet ==
       Set("time", "entity_id", "state", "attributes", "location"))
-    // PK (time, entity_id) is enforced: duplicate insert fails non-transiently
-    assertThrows[Exception] {
-      LtssSink.writeJdbc(rows, cfg, maxRetries = 1, retryWaitMs = 1, sleep = _ => ())
-    }
+    // PK (time, entity_id) is enforced; a replayed batch's duplicate
+    // insert is classified as a conflict and treated as committed
+    // (reference drop-on-PK-conflict, __init__.py:229-231) — no throw,
+    // no duplicate rows
+    LtssSink.writeJdbc(rows, cfg, maxRetries = 1, retryWaitMs = 1, sleep = _ => ())
+    assert(spark.read.jdbc(url, "ltss", new java.util.Properties()).count() == 2)
   }
 
   test("jdbc bootstrap: bounded connect-retry then readiness / give-up (L1)") {
