@@ -36,6 +36,57 @@ object LtssSink {
     date_add(lit(java.sql.Date.valueOf("1970-01-01")), (floored / lit(dayUs)).cast("int"))
   }
 
+  /** Retention: drop whole chunks older than the cutoff — the
+    * TimescaleDB `drop_chunks` analog (the retention policy every LTSS
+    * deployment pairs with its hypertable). Deletion is partition-dir
+    * removal: no scan, no rewrite, O(#dropped chunks) filesystem calls,
+    * exactly like chunk-wise retention in the reference's target store.
+    * Returns the dropped chunk values. */
+  def dropChunks(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      olderThan: java.sql.Timestamp,
+      cfg: LtssConfig = LtssConfig()): Seq[String] = {
+    val cutoff = chunkDateOf(olderThan, cfg).toString
+    val root = new java.io.File(path)
+    val dropped = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+      .filter(_.getName.stripPrefix("chunk=") < cutoff)
+    dropped.foreach { dir =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+    dropped.map(_.getName.stripPrefix("chunk=")).toSeq.sorted
+  }
+
+  /** Compaction: rewrite one chunk's files into `targetFiles` sorted
+    * files (streaming micro-batches leave many small files per chunk;
+    * parquet scan efficiency wants few large ones). Only the addressed
+    * chunk is touched — the rewrite is chunk-local, like TimescaleDB
+    * recompression, so compaction can run incrementally behind ingest. */
+  def compactChunk(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      chunk: String,
+      targetFiles: Int = 1): Unit = {
+    val chunkPath = s"$path/chunk=$chunk"
+    val staged = chunkPath + ".compact_tmp"
+    spark.read.parquet(chunkPath)
+      .repartition(targetFiles)
+      .sortWithinPartitions(col("entity_id"), col("time"))
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    val dir = new java.io.File(chunkPath)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(dir)
+    require(new java.io.File(staged).renameTo(dir), s"compaction rename failed for $chunkPath")
+  }
+
   /** Render the `location` struct as WKT text for relational targets —
     * the reference stores `SRID=4326;POINT(lon lat)` into the geometry
     * column (models.py:61); Spark's JDBC writer has no struct mapping,

@@ -48,6 +48,39 @@ class PlanSpec extends SparkSpec {
       s"expected a chunk partition filter on the layout scan; plan:\n$plan")
   }
 
+  test("dropChunks removes only expired chunk partitions; compactChunk merges files losslessly") {
+    import spark.implicits._
+    import graft.sources.LtssSink
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val out = java.nio.file.Files.createTempDirectory("graft-retention").toString
+    val df = Seq(
+      (ts("2024-01-05 00:00:00"), "a.1", "1", "{}"),
+      (ts("2024-03-20 00:00:00"), "a.1", "2", "{}"),
+      (ts("2024-06-25 00:00:00"), "b.1", "3", "{}"))
+      .toDF("time", "entity_id", "state", "attributes")
+    LtssSink.writeParquet(df, out)
+    // write a second increment into the same newest chunk → multiple files
+    LtssSink.writeParquet(df.filter($"state" === "3"), out)
+    val chunks = new java.io.File(out).listFiles().filter(_.getName.startsWith("chunk=")).map(_.getName)
+    assert(chunks.length == 3)
+
+    // retention: drop chunks ENTIRELY before the cutoff (the chunk
+    // containing the cutoff survives, like TimescaleDB drop_chunks)
+    val dropped = LtssSink.dropChunks(spark, out, ts("2024-05-01 00:00:00"))
+    assert(dropped.length == 2)
+    assert(spark.read.parquet(out).select("state").as[String].collect().sorted.toSeq == Seq("3", "3"))
+
+    // compaction: many files → one, same rows
+    val newest = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("chunk=")).head.getName.stripPrefix("chunk=")
+    val before = new java.io.File(s"$out/chunk=$newest").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 2)
+    LtssSink.compactChunk(spark, out, newest)
+    val after = new java.io.File(s"$out/chunk=$newest").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == 1)
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("IVF probe scan is partition-pruned to the query's cluster") {
     val df = Similarity.ivfProbe.run(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
