@@ -196,5 +196,88 @@ object TextOps {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[OracleQuery] = Seq(textStats, langId, tokenCount, fingerprint, simhash, textClean)
+  /** Corpus vocabulary: top-50 tokens by frequency (vocab building /
+    * stopword discovery). One explode + one count shuffle + TakeOrdered;
+    * at 100 TB the partial aggregation combines map-side, so the shuffle
+    * carries distinct tokens, not token occurrences. */
+  val vocabTopk = OracleQuery(
+    "vocab_topk",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(50),
+    Some("""SELECT token, CAST(count(*) AS BIGINT) AS freq
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token
+      |ORDER BY freq DESC, token
+      |LIMIT 50""".stripMargin))
+
+  /** URL extraction stats over deterministically-enriched text (the
+    * synthetic corpus has no URLs, so each doc gets doc_id-derived ones
+    * appended — the extraction path is what's under test). Same regex
+    * class semantics in Java regex and RE2. */
+  val urlStats = OracleQuery(
+    "url_stats",
+    (s, d) => {
+      val enriched = concat(col("text"),
+        lit(" http://site"), col("doc_id") % 20, lit(".example.com/p/"), col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(lit(" https://cdn"), col("doc_id") % 5, lit(".example.net/x")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .withColumn("urls", regexp_extract_all(enriched, lit("https?://[^ ]+"), lit(0)))
+        .select(col("doc_id"),
+          size(col("urls")).cast("long").as("n_urls"),
+          element_at(col("urls"), 1).as("first_url"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      |       CAST(len(urls) AS BIGINT) AS n_urls,
+      |       urls[1] AS first_url
+      |FROM (
+      |  SELECT doc_id,
+      |         regexp_extract_all(
+      |           text || ' http://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+      |                || CASE WHEN doc_id % 3 = 0
+      |                        THEN ' https://cdn' || CAST(doc_id % 5 AS VARCHAR) || '.example.net/x'
+      |                        ELSE '' END,
+      |           'https?://[^ ]+', 0) AS urls
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin))
+
+  /** PII redaction (curation hygiene): emails and long digit runs masked
+    * with fixed placeholders; emits the redacted text hash plus match
+    * counts so the redaction is auditable. Deterministic enrichment
+    * supplies the PII (none in the synthetic corpus). */
+  val textRedact = OracleQuery(
+    "text_redact",
+    (s, d) => {
+      val enriched = concat(col("text"),
+        lit(" user"), col("doc_id"), lit("@mail.example.org call 555123"), col("doc_id") % 1000)
+      val redacted = regexp_replace(
+        regexp_replace(enriched, "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "[EMAIL]"),
+        "[0-9]{6,}", "[NUM]")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(redacted).as("redacted_hash"),
+          (size(split(enriched, "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+")) - 1).cast("long").as("n_emails"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, md5(redacted) AS redacted_hash, n_emails FROM (
+      |  SELECT doc_id,
+      |         regexp_replace(regexp_replace(enriched,
+      |           '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '[EMAIL]', 'g'), '[0-9]{6,}', '[NUM]', 'g') AS redacted,
+      |         CAST(len(string_split_regex(enriched, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+')) - 1 AS BIGINT) AS n_emails
+      |  FROM (
+      |    SELECT doc_id,
+      |           text || ' user' || CAST(doc_id AS VARCHAR) || '@mail.example.org call 555123'
+      |                || CAST(doc_id % 1000 AS VARCHAR) AS enriched
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[OracleQuery] =
+    Seq(textStats, langId, tokenCount, fingerprint, simhash, textClean,
+      vocabTopk, urlStats, textRedact)
 }
