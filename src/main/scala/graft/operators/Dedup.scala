@@ -202,12 +202,12 @@ object Dedup {
   val clusters = OracleQuery(
     "dedup_clusters",
     (s, d) => {
-      val edges = lshPairFrame(s, d).select(col("a_id"), col("b_id"))
-      // materialize the edge set once — every iteration joins it, and
-      // without this the band join re-executes per round
+      // materialize the edge set once BEFORE mirroring — the union would
+      // otherwise execute the pair join twice, and every iteration joins
+      // the result
+      val edges = lshPairFrame(s, d).select(col("a_id"), col("b_id")).localCheckpoint(true)
       val symRaw = edges.union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         .toDF("src", "dst")
-        .localCheckpoint(true)
       // the iterated subgraph is |docs with a near-dup| — orders of
       // magnitude smaller than the corpus — so size the iteration's
       // parallelism to IT, not to the session default

@@ -268,5 +268,47 @@ object Similarity {
       |  WHERE a.vec_id <> 0)
       |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin))
 
-  val all: Seq[OracleQuery] = Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, ivfProbe)
+  /** Int8 embedding quantization (the 4× storage/bandwidth reduction a
+    * 100 TB vector corpus wants before ANN indexing): code = floor(
+    * clamp(v,−1,1)·127 + 0.5) per dimension — floor(x+0.5) instead of
+    * round() because the engines' round() tie rules differ — plus the
+    * max absolute reconstruction error as the audit metric. Map-side
+    * only. */
+  val embedQuantize = OracleQuery(
+    "embed_quantize",
+    (s, d) => {
+      val q = transform(col("embedding"), v => {
+        val c = greatest(lit(-1.0d), least(lit(1.0d), v.cast("double")))
+        floor(c * 127.0d + 0.5d).cast("int")
+      })
+      val err = aggregate(
+        zip_with(col("embedding"), col("codes"), (v, c) => {
+          val clamped = greatest(lit(-1.0d), least(lit(1.0d), v.cast("double")))
+          abs(clamped - c.cast("double") / 127.0d)
+        }),
+        lit(0.0d), (acc, e) => greatest(acc, e))
+      Tables.embeddings(s, d)
+        .withColumn("codes", q)
+        .withColumn("max_abs_err", err)
+        .select(col("vec_id"), element_at(col("codes"), 1).as("c1"),
+          element_at(col("codes"), 2).as("c2"), col("max_abs_err"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT vec_id, codes[1] AS c1, codes[2] AS c2,
+      |       list_aggregate(errs, 'max') AS max_abs_err
+      |FROM (
+      |  SELECT vec_id, codes,
+      |         list_transform(range_pairs.idx, i ->
+      |           abs(greatest(-1.0, least(1.0, CAST(embedding[i] AS DOUBLE)))
+      |               - CAST(codes[i] AS DOUBLE) / 127.0)) AS errs
+      |  FROM (
+      |    SELECT vec_id, embedding,
+      |           list_transform(embedding, v ->
+      |             CAST(floor(greatest(-1.0, least(1.0, CAST(v AS DOUBLE))) * 127.0 + 0.5) AS INT)) AS codes,
+      |           {'idx': generate_series(1, len(embedding))} AS range_pairs
+      |    FROM embeddings))
+      |ORDER BY vec_id""".stripMargin))
+
+  val all: Seq[OracleQuery] =
+    Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, ivfProbe, embedQuantize)
 }
