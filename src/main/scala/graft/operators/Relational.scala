@@ -158,6 +158,27 @@ object Relational {
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin))
 
+  /** CUBE over (status, priority): all four grouping sets in one pass —
+    * Catalyst expands the cube into a single aggregate over the grouped
+    * expand, one shuffle regardless of grouping-set count. */
+  val cubeAgg = OracleQuery(
+    "cube_orders",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority")),
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin))
+
   /** Set operations: INTERSECT / EXCEPT branches tagged + unioned. */
   val setOps = OracleQuery(
     "set_ops",
@@ -226,5 +247,6 @@ object Relational {
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
 
   val all: Seq[OracleQuery] = Seq(
-    q1, q3, q5, semiJoin, antiJoin, rollupAgg, setOps, topkOrders, windowRunning, partJoin)
+    q1, q3, q5, semiJoin, antiJoin, rollupAgg, cubeAgg, setOps, topkOrders,
+    windowRunning, partJoin)
 }
