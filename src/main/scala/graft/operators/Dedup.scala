@@ -257,6 +257,88 @@ object Dedup {
         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
     })
 
+  /** The CAPPED-BUCKET FALLBACK path: docs in LSH buckets that exceed
+    * the cap skip the banded pair join (see [[MaxLshBucket]]) and are
+    * verified here by exact word-level Jaccard instead — bounded
+    * per-bucket work with an exact answer for exactly the hot keys the
+    * scale guard excluded. The cap is a parameter; the oracle query uses
+    * a demo cap of 2 (the fixture's hot buckets hold 3 docs) with a hard
+    * upper bound of 50 so the exact verify itself stays bounded. */
+  def lshOverflowVerify(
+      s: SparkSession, d: String, cap: Int, hardMax: Int, minJaccard: Double): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sig = minhashFrame(docs)
+    val ms = (0 until NumHashes).map(i => col(s"m$i"))
+    val bands = sig.select(col("doc_id"),
+      explode(map(
+        lit(0), concat(ms.take(4): _*),
+        lit(1), concat(ms.drop(4): _*))).as(Seq("band_idx", "band_val")))
+    val wBucket = Window.partitionBy(col("band_idx"), col("band_val"))
+    val hot = bands
+      .withColumn("bsz", count(lit(1)).over(wBucket))
+      .filter(col("bsz") > cap && col("bsz") <= hardMax)
+    val pairs = hot.select(col("band_idx"), col("band_val"), col("doc_id").as("a_id"))
+      .join(hot.select(col("band_idx"), col("band_val"), col("doc_id").as("b_id")),
+        Seq("band_idx", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val toks = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(toks.toDF("a_id", "w"), "a_id")
+      .join(toks.toDF("b_id", "w"), Seq("b_id", "w"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("a_id", "a_sz"), "a_id")
+      .join(sizes.toDF("b_id", "b_sz"), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val overflowVerify = OracleQuery(
+    "dedup_lsh_overflow_verify",
+    (s, d) => lshOverflowVerify(s, d, cap = 2, hardMax = 50, minJaccard = 0.6),
+    Some {
+      val bandVal = (bi: Int) => (0 until 4).map(i => s"m${bi * 4 + i}").mkString(" || ")
+      s"""$minhashCte,
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_idx, ${bandVal(0)} AS band_val FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band_idx, ${bandVal(1)} AS band_val FROM sig
+        |),
+        |hot AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bsz FROM bands)
+        |  WHERE bsz > 2 AND bsz <= 50
+        |),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM hot a JOIN hot b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents
+        |), sizes AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id
+        |), inter AS (
+        |  SELECT p.a_id, p.b_id, CAST(count(*) AS BIGINT) AS inter
+        |  FROM pairs p
+        |  JOIN toks ta ON ta.doc_id = p.a_id
+        |  JOIN toks tb ON tb.doc_id = p.b_id AND tb.w = ta.w
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, jaccard FROM (
+        |  SELECT a_id, b_id,
+        |         CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+        |  FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id)
+        |WHERE jaccard >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin
+    })
+
   /** Exact word-level Jaccard over a bounded candidate set (doc_id < 60):
     * distinct-token self-join → |A∩B| / (|A|+|B|−|A∩B|), exact double
     * division. The LSH query above is the scale path; this is the
@@ -297,5 +379,5 @@ object Dedup {
       |WHERE jaccard >= 0.6
       |ORDER BY a_id, b_id""".stripMargin))
 
-  val all: Seq[OracleQuery] = Seq(exact, minhashSig, minhashLsh, jaccard, clusters)
+  val all: Seq[OracleQuery] = Seq(exact, minhashSig, minhashLsh, jaccard, clusters, overflowVerify)
 }
