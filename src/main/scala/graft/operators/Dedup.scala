@@ -98,9 +98,35 @@ object Dedup {
   /** Per-bucket skew cap for the LSH join: buckets larger than this are
     * excluded from pair generation (a hot band value — e.g. boilerplate
     * docs sharing a signature band — would otherwise make one reducer
-    * quadratic). Capped buckets are the candidate set for the exact
-    * Jaccard verifier path instead. Non-binding at test SFs. */
+    * quadratic). Capped buckets route to [[lshOverflowVerify]], whose
+    * own hard bound drops truly degenerate bands (see its doc) — the
+    * three-tier policy is: banded join below the cap, exact verify up
+    * to the hard bound, deliberate drop above it. Non-binding at test
+    * SFs. */
   val MaxLshBucket = 1000
+
+  /** The ONE definition of banding: the 8-slot signature splits into 2
+    * bands of 4 fixed-width hex mins (concat is injective). Shared by
+    * the pair join, the overflow verifier, and the SQL oracles so a
+    * band-shape change cannot make the paths disagree. */
+  private def bandedExplode: Column = {
+    val ms = (0 until NumHashes).map(i => col(s"m$i"))
+    explode(map(
+      lit(0), concat(ms.take(4): _*),
+      lit(1), concat(ms.drop(4): _*)))
+  }
+
+  private def bandValSql(bi: Int): String =
+    (0 until 4).map(i => s"m${bi * 4 + i}").mkString(" || ")
+
+  /** DuckDB bands CTE body; `extraCols` rides the signature columns
+    * along when the consumer needs them. */
+  private def bandsCteSql(extraCols: String): String =
+    s"""bands AS (
+       |  SELECT doc_id$extraCols, 0 AS band_idx, ${bandValSql(0)} AS band_val FROM sig
+       |  UNION ALL
+       |  SELECT doc_id$extraCols, 1 AS band_idx, ${bandValSql(1)} AS band_val FROM sig
+       |)""".stripMargin
 
   /** MinHash + LSH near-dup pairs: the 8-hash signature banded into 2
     * bands of 4 (fixed-width hex → concat is injective), bucket-join on
@@ -127,10 +153,7 @@ object Dedup {
     // signature columns ride along with the banded rows: one aggregate,
     // one self-join, no re-join against the signature frame
     val bands = sig.select(
-      (col("doc_id") +: ms) :+
-        explode(map(
-          lit(0), concat(ms.take(4): _*),
-          lit(1), concat(ms.drop(4): _*))).as(Seq("band_idx", "band_val")): _*)
+      (col("doc_id") +: ms) :+ bandedExplode.as(Seq("band_idx", "band_val")): _*)
     val wBucket = Window.partitionBy(col("band_idx"), col("band_val"))
     val guarded = bands
       .withColumn("bsz", count(lit(1)).over(wBucket))
@@ -161,14 +184,9 @@ object Dedup {
   /** DuckDB CTE chain shared by the LSH pair query and the clustering
     * query: bands → size-guarded buckets. */
   private def lshGuardedCte: String = {
-    val sigCols = (0 until NumHashes).map(i => s"m$i").mkString(", ")
-    val bandVal = (bi: Int) => (0 until 4).map(i => s"m${bi * 4 + i}").mkString(" || ")
+    val sigCols = (0 until NumHashes).map(i => s", m$i").mkString
     s"""$minhashCte,
-      |bands AS (
-      |  SELECT doc_id, $sigCols, 0 AS band_idx, ${bandVal(0)} AS band_val FROM sig
-      |  UNION ALL
-      |  SELECT doc_id, $sigCols, 1 AS band_idx, ${bandVal(1)} AS band_val FROM sig
-      |),
+      |${bandsCteSql(sigCols)},
       |guarded AS (
       |  SELECT * FROM (
       |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bsz FROM bands)
@@ -260,23 +278,25 @@ object Dedup {
   /** The CAPPED-BUCKET FALLBACK path: docs in LSH buckets that exceed
     * the cap skip the banded pair join (see [[MaxLshBucket]]) and are
     * verified here by exact word-level Jaccard instead — bounded
-    * per-bucket work with an exact answer for exactly the hot keys the
-    * scale guard excluded. The cap is a parameter; the oracle query uses
-    * a demo cap of 2 (the fixture's hot buckets hold 3 docs) with a hard
-    * upper bound of 50 so the exact verify itself stays bounded. */
+    * per-bucket work with an exact answer for the hot keys the scale
+    * guard excluded. Buckets above `hardMax` are DELIBERATELY dropped
+    * from dedup altogether: a band value shared by more docs than that
+    * is boilerplate, and pairing inside it is neither meaningful nor
+    * affordable — the three-tier policy of [[MaxLshBucket]]. The oracle
+    * query uses a demo cap of 2 (the fixture's hot buckets hold 3 docs)
+    * with a hard bound of 50. */
   def lshOverflowVerify(
       s: SparkSession, d: String, cap: Int, hardMax: Int, minJaccard: Double): DataFrame = {
     val docs = Tables.documents(s, d)
     val sig = minhashFrame(docs)
-    val ms = (0 until NumHashes).map(i => col(s"m$i"))
-    val bands = sig.select(col("doc_id"),
-      explode(map(
-        lit(0), concat(ms.take(4): _*),
-        lit(1), concat(ms.drop(4): _*))).as(Seq("band_idx", "band_val")))
+    val bands = sig.select(col("doc_id"), bandedExplode.as(Seq("band_idx", "band_val")))
     val wBucket = Window.partitionBy(col("band_idx"), col("band_val"))
+    // materialized once — it feeds both sides of the pair join, and the
+    // signature+window subtree is the expensive part
     val hot = bands
       .withColumn("bsz", count(lit(1)).over(wBucket))
       .filter(col("bsz") > cap && col("bsz") <= hardMax)
+      .localCheckpoint(true)
     val pairs = hot.select(col("band_idx"), col("band_val"), col("doc_id").as("a_id"))
       .join(hot.select(col("band_idx"), col("band_val"), col("doc_id").as("b_id")),
         Seq("band_idx", "band_val"))
@@ -303,13 +323,8 @@ object Dedup {
     "dedup_lsh_overflow_verify",
     (s, d) => lshOverflowVerify(s, d, cap = 2, hardMax = 50, minJaccard = 0.6),
     Some {
-      val bandVal = (bi: Int) => (0 until 4).map(i => s"m${bi * 4 + i}").mkString(" || ")
       s"""$minhashCte,
-        |bands AS (
-        |  SELECT doc_id, 0 AS band_idx, ${bandVal(0)} AS band_val FROM sig
-        |  UNION ALL
-        |  SELECT doc_id, 1 AS band_idx, ${bandVal(1)} AS band_val FROM sig
-        |),
+        |${bandsCteSql("")},
         |hot AS (
         |  SELECT * FROM (
         |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bsz FROM bands)

@@ -36,55 +36,71 @@ object LtssSink {
     date_add(lit(java.sql.Date.valueOf("1970-01-01")), (floored / lit(dayUs)).cast("int"))
   }
 
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   /** Retention: drop whole chunks older than the cutoff — the
     * TimescaleDB `drop_chunks` analog (the retention policy every LTSS
     * deployment pairs with its hypertable). Deletion is partition-dir
-    * removal: no scan, no rewrite, O(#dropped chunks) filesystem calls,
-    * exactly like chunk-wise retention in the reference's target store.
-    * Returns the dropped chunk values. */
+    * removal via the Hadoop filesystem (works on HDFS/S3A paths like
+    * every other sink API): no scan, no rewrite, O(#dropped chunks)
+    * calls. A failed delete THROWS rather than reporting the chunk as
+    * dropped. Returns the dropped chunk values. */
   def dropChunks(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       olderThan: java.sql.Timestamp,
       cfg: LtssConfig = LtssConfig()): Seq[String] = {
+    val (fs, root) = hadoopFs(spark, path)
+    if (!fs.exists(root)) return Nil
     val cutoff = chunkDateOf(olderThan, cfg).toString
-    val root = new java.io.File(path)
-    val dropped = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
-      .filter(_.getName.stripPrefix("chunk=") < cutoff)
-    dropped.foreach { dir =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("chunk="))
+      .filter(_.getPath.getName.stripPrefix("chunk=") < cutoff)
+      .map { st =>
+        if (!fs.delete(st.getPath, true))
+          throw new java.io.IOException(s"retention failed to delete ${st.getPath}")
+        st.getPath.getName.stripPrefix("chunk=")
       }
-      rm(dir)
-    }
-    dropped.map(_.getName.stripPrefix("chunk=")).toSeq.sorted
+      .sorted
   }
 
   /** Compaction: rewrite one chunk's files into `targetFiles` sorted
     * files (streaming micro-batches leave many small files per chunk;
-    * parquet scan efficiency wants few large ones). Only the addressed
-    * chunk is touched — the rewrite is chunk-local, like TimescaleDB
-    * recompression, so compaction can run incrementally behind ingest. */
+    * parquet scan efficiency wants few large ones). Chunk-local, like
+    * TimescaleDB recompression, so compaction runs incrementally behind
+    * ingest. Crash-safe swap: the compacted copy is staged under a
+    * DOT-prefixed dir (invisible to partition discovery — readers never
+    * see chunk rows twice), the live dir is renamed aside, the staged
+    * copy renamed in, and only then is the retired copy deleted — any
+    * crash leaves the data recoverable in a hidden dir, never
+    * double-counted. A concurrent reader can observe the chunk absent
+    * for the instant between the two renames; pair with a table format
+    * (Delta/Iceberg) where that window must be zero. */
   def compactChunk(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       chunk: String,
       targetFiles: Int = 1): Unit = {
-    val chunkPath = s"$path/chunk=$chunk"
-    val staged = chunkPath + ".compact_tmp"
-    spark.read.parquet(chunkPath)
+    val (fs, root) = hadoopFs(spark, path)
+    val chunkDir = new org.apache.hadoop.fs.Path(root, s"chunk=$chunk")
+    val staged = new org.apache.hadoop.fs.Path(root, s".compact_staged_chunk_$chunk")
+    val retired = new org.apache.hadoop.fs.Path(root, s".compact_retired_chunk_$chunk")
+    fs.delete(staged, true)
+    fs.delete(retired, true)
+    spark.read.parquet(chunkDir.toString)
       .repartition(targetFiles)
       .sortWithinPartitions(col("entity_id"), col("time"))
-      .write.mode(SaveMode.Overwrite).parquet(staged)
-    val dir = new java.io.File(chunkPath)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(dir)
-    require(new java.io.File(staged).renameTo(dir), s"compaction rename failed for $chunkPath")
+      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    if (!fs.rename(chunkDir, retired))
+      throw new java.io.IOException(s"compaction could not retire $chunkDir")
+    if (!fs.rename(staged, chunkDir))
+      throw new java.io.IOException(
+        s"compaction could not swap in $staged — original preserved at $retired")
+    fs.delete(retired, true)
+    ()
   }
 
   /** Render the `location` struct as WKT text for relational targets —
