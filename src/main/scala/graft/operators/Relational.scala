@@ -139,6 +139,27 @@ object Relational {
       |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** Left outer join: per-customer order count, keeping order-less
+    * customers (count 0) — the null-extension semantics semi/anti can't
+    * show. Aggregate-then-join so the outer side stays one row per key
+    * before the join. */
+  val outerJoin = OracleQuery(
+    "join_outer",
+    (s, d) => {
+      val counts = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      Tables.customer(s, d)
+        .join(counts, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment, CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders
+      |FROM customer
+      |LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin))
+
   /** ROLLUP over (status, priority) with subtotal + grand-total rows. */
   val rollupAgg = OracleQuery(
     "rollup_orders",
@@ -247,6 +268,6 @@ object Relational {
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
 
   val all: Seq[OracleQuery] = Seq(
-    q1, q3, q5, semiJoin, antiJoin, rollupAgg, cubeAgg, setOps, topkOrders,
+    q1, q3, q5, semiJoin, antiJoin, outerJoin, rollupAgg, cubeAgg, setOps, topkOrders,
     windowRunning, partJoin)
 }
