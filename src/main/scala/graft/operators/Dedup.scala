@@ -144,21 +144,20 @@ object Dedup {
     * caches for the session's lifetime. */
   private var lastGuarded: Option[DataFrame] = None
 
-  /** The banded/guarded LSH candidate frame shared by the pair query and
-    * the clustering stage. UNSORTED — presentation ordering is applied
-    * only by the terminal query, not paid by intermediate consumers. */
-  private def lshPairFrame(s: SparkSession, d: String): DataFrame = {
+  /** The persisted banded signature frame (size-guarded, signature
+    * columns riding along) shared by the pair join, the clustering
+    * stage, and the overflow verifier — the signature + band-count
+    * subtree executes once per dataset, and every consumer scans the
+    * cache. */
+  private def guardedBands(s: SparkSession, d: String): DataFrame = {
     val sig = minhashFrame(Tables.documents(s, d))
     val ms = (0 until NumHashes).map(i => col(s"m$i"))
-    // signature columns ride along with the banded rows: one aggregate,
-    // one self-join, no re-join against the signature frame
     val bands = sig.select(
       (col("doc_id") +: ms) :+ bandedExplode.as(Seq("band_idx", "band_val")): _*)
     val wBucket = Window.partitionBy(col("band_idx"), col("band_val"))
     val guarded = bands
       .withColumn("bsz", count(lit(1)).over(wBucket))
       .filter(col("bsz") <= MaxLshBucket)
-      .drop("bsz")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     synchronized {
       // identical plans share one cache entry (Spark's cache manager
@@ -167,6 +166,14 @@ object Dedup {
         .foreach(_.unpersist(blocking = false))
       lastGuarded = Some(guarded)
     }
+    guarded
+  }
+
+  /** The banded/guarded LSH candidate frame shared by the pair query and
+    * the clustering stage. UNSORTED — presentation ordering is applied
+    * only by the terminal query, not paid by intermediate consumers. */
+  private def lshPairFrame(s: SparkSession, d: String): DataFrame = {
+    val guarded = guardedBands(s, d).drop("bsz")
     def pfx(p: String)(df: DataFrame): DataFrame =
       df.toDF(df.columns.toIndexedSeq.map(c => if (c.startsWith("band")) c else s"$p$c"): _*)
     val a = pfx("a_")(guarded)
@@ -287,16 +294,14 @@ object Dedup {
     * with a hard bound of 50. */
   def lshOverflowVerify(
       s: SparkSession, d: String, cap: Int, hardMax: Int, minJaccard: Double): DataFrame = {
+    require(hardMax <= MaxLshBucket, "the verify range must sit inside the guard range")
     val docs = Tables.documents(s, d)
-    val sig = minhashFrame(docs)
-    val bands = sig.select(col("doc_id"), bandedExplode.as(Seq("band_idx", "band_val")))
-    val wBucket = Window.partitionBy(col("band_idx"), col("band_val"))
-    // materialized once — it feeds both sides of the pair join, and the
-    // signature+window subtree is the expensive part
-    val hot = bands
-      .withColumn("bsz", count(lit(1)).over(wBucket))
+    // derived from the SAME cached guarded frame as the pair join — the
+    // verify range is a subset of the guard range, so the bucket sizes
+    // there are exact, and the signature computes once per dataset
+    val hot = guardedBands(s, d)
       .filter(col("bsz") > cap && col("bsz") <= hardMax)
-      .localCheckpoint(true)
+      .select(col("doc_id"), col("band_idx"), col("band_val"))
     val pairs = hot.select(col("band_idx"), col("band_val"), col("doc_id").as("a_id"))
       .join(hot.select(col("band_idx"), col("band_val"), col("doc_id").as("b_id")),
         Seq("band_idx", "band_val"))
