@@ -31,10 +31,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (executor threads, IO stack, codegen compiler)
-    // so startup cost isn't attributed to the first query
+    // warm the session (executor threads, IO stack, parquet footers,
+    // codegen compiler for the common plan shapes) so startup cost isn't
+    // attributed to the first queries
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    graft.plans.GraftExtensions.install(spark)
+    spark.range(100).selectExpr("id % 7 AS k", "id AS v")
+      .groupBy("k").count()
+      .orderBy(org.apache.spark.sql.functions.col("k"))
+      .collect() // shuffle + agg + sort codegen paths
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
