@@ -81,6 +81,23 @@ class PlanSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("range join plans as an equi-join on bucket keys — never a nested loop") {
+    val df = graft.operators.Queries.rangeJoin.run(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval predicate leaked into a nested-loop join; plan:\n$plan")
+    assert(plan.contains("Join") && plan.contains("bucket"),
+      s"expected a bucket equi-join; plan:\n$plan")
+  }
+
+  test("as-of join plans as one exchange + window — no join operator at all") {
+    val df = graft.operators.Queries.asofJoin.run(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of should be the union+window shape; plan:\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"expected a window operator; plan:\n$plan")
+  }
+
   test("IVF probe scan is partition-pruned to the query's cluster") {
     val df = Similarity.ivfProbe.run(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
