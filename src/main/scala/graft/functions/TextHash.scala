@@ -94,6 +94,112 @@ object TextHash {
     }
     new GenericArrayData(mins.map(m => if (m == null) null else UTF8String.fromString(m)))
   }
+
+  /** 16-bit SimHash kernel: ONE md5 per token, all 16 bits derived from
+    * the digest's first 16 hex digits in the same pass.
+    *
+    * Semantics (bit-compatible with the DuckDB oracle in
+    * operators/TextOps.scala): tokens = text split on single spaces
+    * (empties preserved); bit j∈[1,16] counts +1 when hex digit j of
+    * md5(token) has its high bit set (digit ≥ 8), else −1; the output
+    * character is '1' when the sum over tokens is > 0. The composed
+    * form evaluated `md5(token)` 16 times per token inside an
+    * interpreted `aggregate` higher-order function — a 16× constant
+    * factor plus interpretation overhead on a 100 TB map stage. */
+  def simhash16(text: UTF8String): UTF8String = {
+    if (text == null) return null
+    val bytes = text.getBytes
+    val counts = new Array[Int](16)
+    def addToken(from: Int, len: Int): Unit = {
+      val md = digest.get()
+      md.reset()
+      md.update(bytes, from, len)
+      val d = md.digest()
+      var j = 0
+      while (j < 16) {
+        // hex digit j = high nibble of byte j/2 when j is even
+        val nib = if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf else d(j >> 1) & 0xf
+        counts(j) += (if ((nib & 8) != 0) 1 else -1)
+        j += 1
+      }
+    }
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        addToken(start, i - start)
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Byte](16)
+    var j = 0
+    while (j < 16) {
+      out(j) = if (counts(j) > 0) '1'.toByte else '0'.toByte
+      j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Min-shingle fingerprint kernel (winnowing-style): min over md5 of
+    * k-word shingles, ONE md5 per shingle in one compiled pass.
+    *
+    * Semantics (bit-compatible with the DuckDB oracle in
+    * operators/TextOps.scala): tokens split on single spaces (empties
+    * preserved); when the doc has ≥ k tokens there are n−k+1 shingles of
+    * k adjacent tokens joined by single spaces — i.e. the contiguous
+    * byte span from the start of token i to the end of token i+k−1;
+    * with < k tokens the single shingle is the whole text (concat_ws
+    * skips the missing tokens). Digests compare as unsigned bytes, which
+    * equals lowercase-hex lexicographic order; only the min is hexified. */
+  def minShingleFp(text: UTF8String, k: Int): UTF8String = {
+    if (text == null) return null
+    val bytes = text.getBytes
+    // token start offsets (single-space split; 0x20 never occurs inside
+    // a multi-byte UTF-8 sequence, so byte scanning is codepoint-safe)
+    var n = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' '.toByte) n += 1; i += 1 }
+    val starts = new Array[Int](n)
+    var idx = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) { starts(idx) = i + 1; idx += 1 }
+      i += 1
+    }
+    def tokenEnd(t: Int): Int = if (t < n - 1) starts(t + 1) - 1 else bytes.length
+    val md = digest.get()
+    var min: Array[Byte] = null
+    def addSpan(from: Int, to: Int): Unit = {
+      md.reset()
+      md.update(bytes, from, to - from)
+      val d = md.digest()
+      if (min == null) min = d
+      else {
+        var c = 0
+        var stop = false
+        while (c < 16 && !stop) {
+          val cmp = (d(c) & 0xff) - (min(c) & 0xff)
+          if (cmp < 0) { min = d; stop = true }
+          else if (cmp > 0) stop = true
+          else c += 1
+        }
+      }
+    }
+    if (n <= k) addSpan(0, bytes.length)
+    else {
+      var t = 0
+      while (t <= n - k) { addSpan(starts(t), tokenEnd(t + k - 1)); t += 1 }
+    }
+    val out = new Array[Byte](32)
+    i = 0
+    while (i < 16) {
+      out(i * 2) = HEX((min(i) >> 4) & 0xf).toByte
+      out(i * 2 + 1) = HEX(min(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
 }
 
 /** `minhash8(text)` as a native expression: codegen emits one static
@@ -117,4 +223,54 @@ case class MinHash8(child: Expression) extends UnaryExpression with Serializable
     copy(child = newChild)
 
   override def prettyName: String = "minhash8"
+}
+
+/** `simhash16(text)` as a native expression — one compiled pass, one md5
+  * per token (vs 16 in the composed `aggregate` HOF form). */
+case class SimHash16(child: Expression) extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash16 expects STRING, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhash16(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhash16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash16"
+}
+
+/** `min_shingle_fp(text, k)` as a native expression — one md5 per shingle
+  * in a compiled loop (vs an interpreted `transform`-of-md5 + array_min
+  * with an intermediate array per doc). `k` is a literal. */
+case class MinShingleFp(child: Expression, k: Int)
+    extends UnaryExpression with Serializable {
+
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"min_shingle_fp expects STRING, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minShingleFp(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minShingleFp($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "min_shingle_fp"
 }

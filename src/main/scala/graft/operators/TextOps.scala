@@ -112,20 +112,21 @@ object TextOps {
       |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Document fingerprints: exact md5 + min-shingle fingerprint
-    * (winnowing-style: min over md5 of 5-word shingles). */
+    * (winnowing-style: min over md5 of 5-word shingles). The shingle min
+    * is the [[graft.functions.MinShingleFp]] native kernel — one md5 per
+    * shingle in a compiled loop, vs the composed `transform`-of-md5 +
+    * `array_min` form that evaluates interpreted with an intermediate
+    * array per doc. */
   val fingerprint = OracleQuery(
     "doc_fingerprint",
     (s, d) => {
-      val docs = Tables.documents(s, d)
-      val w = tokens(col("text"))
-      val shingles = transform(
-        sequence(lit(1), greatest(size(w) - 4, lit(1))),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
-          element_at(w, i + 3), element_at(w, i + 4)))
-      docs.select(
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      Tables.documents(s, d)
+        .select(
           col("doc_id"),
           md5(col("text")).as("exact_fp"),
-          array_min(transform(shingles, sh => md5(sh))).as("min_shingle_fp"))
+          columnOf(graft.functions.MinShingleFp(expressionOf(col("text")), 5))
+            .as("min_shingle_fp"))
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id, md5(text) AS exact_fp,
@@ -138,21 +139,17 @@ object TextOps {
       |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** 16-bit SimHash from the high bit of each md5 hex digit, majority-
-    * voted over (duplicated) tokens; rendered as a 16-char bitstring. */
+    * voted over (duplicated) tokens; rendered as a 16-char bitstring.
+    * The [[graft.functions.SimHash16]] native kernel hashes each token
+    * ONCE and derives all 16 bits in a compiled pass — the composed form
+    * evaluated md5 16× per token inside an interpreted `aggregate` HOF. */
   val simhash = OracleQuery(
     "simhash",
     (s, d) => {
-      val w = tokens(col("text"))
-      val bits = (1 to 16).map { j =>
-        // +1 if hex digit j of md5(token) has its high bit set, else -1
-        val weight = (tok: Column) =>
-          when(substring(md5(tok), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-            .otherwise(-1)
-        val s0 = aggregate(w, lit(0), (acc, tok) => acc + weight(tok))
-        when(s0 > 0, lit("1")).otherwise(lit("0"))
-      }
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
       Tables.documents(s, d)
-        .select(col("doc_id"), concat(bits: _*).as("simhash16"))
+        .select(col("doc_id"),
+          columnOf(graft.functions.SimHash16(expressionOf(col("text")))).as("simhash16"))
         .orderBy(col("doc_id"))
     },
     Some {

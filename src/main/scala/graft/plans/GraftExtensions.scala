@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, MicrosToTimestamp, Pmod, Subtract, UnixMicros}
-import graft.functions.{DotF64, Haversine, IsValidJson, MinHash8, PopLatLon}
+import graft.functions.{DotF64, Haversine, IsValidJson, MinHash8, MinShingleFp, PopLatLon, SimHash16}
 
 /** Catalyst extension point: registers graft's SQL functions so the full
   * surface is reachable from `spark.sql(...)`, not only the Column API.
@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.isValidJsonFn)
     ext.injectFunction(GraftExtensions.minhash8Fn)
     ext.injectFunction(GraftExtensions.dotF64Fn)
+    ext.injectFunction(GraftExtensions.simhash16Fn)
+    ext.injectFunction(GraftExtensions.minShingleFpFn)
   }
 }
 
@@ -72,6 +74,17 @@ object GraftExtensions {
     (args: Seq[Expression]) => DotF64(args(0), args(1),
       args(2).eval().asInstanceOf[Number].intValue()))
 
+  val simhash16Fn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash16"),
+    new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+    (args: Seq[Expression]) => SimHash16(args.head))
+
+  val minShingleFpFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("min_shingle_fp"),
+    new ExpressionInfo(classOf[MinShingleFp].getName, "min_shingle_fp"),
+    (args: Seq[Expression]) => MinShingleFp(args(0),
+      args(1).eval().asInstanceOf[Number].intValue()))
+
   /** Idempotent registration on an already-built session. */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -86,6 +99,11 @@ object GraftExtensions {
       args => MinHash8(args.head), "built-in")
     reg.createOrReplaceTempFunction("dot_f64",
       args => DotF64(args(0), args(1), args(2).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    reg.createOrReplaceTempFunction("simhash16",
+      args => SimHash16(args.head), "built-in")
+    reg.createOrReplaceTempFunction("min_shingle_fp",
+      args => MinShingleFp(args(0), args(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
   }
 }
