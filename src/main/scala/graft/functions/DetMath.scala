@@ -42,15 +42,18 @@ object DetMath {
   // Left-associated explicit sums — identical fp order on Spark & DuckDB.
   // ------------------------------------------------------------------
 
-  /** Dot product via the native [[DotF64]] kernel (registered as
-    * `dot_f64`): a compiled sequential loop `acc += a[i]·b[i]` in
-    * doubles — the same fp order as SQL's left-associated `+` chain
-    * (0.0 + x ≡ x), so the result is bit-identical to [[dotSql]], and
-    * unlike the `aggregate`/`zip_with` higher-order form it stays inside
-    * whole-stage codegen. */
+  /** Dot product via the native [[DotF64]] kernel: a compiled sequential
+    * loop `acc += a[i]·b[i]` in doubles — the same fp order as SQL's
+    * left-associated `+` chain (0.0 + x ≡ x), so the result is
+    * bit-identical to [[dotSql]], and unlike the `aggregate`/`zip_with`
+    * higher-order form it stays inside whole-stage codegen. The
+    * expression is embedded DIRECTLY (no `SparkSession.active` registry
+    * install — that would resolve against the wrong session in a
+    * multi-session application); `dot_f64` stays SQL-reachable via
+    * [[graft.plans.GraftExtensions]]. */
   def dotCol(a: Column, b: Column, dim: Int): Column = {
-    graft.plans.GraftExtensions.install(org.apache.spark.sql.SparkSession.active)
-    call_function("dot_f64", a, b, lit(dim))
+    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+    columnOf(DotF64(expressionOf(a), expressionOf(b), dim))
   }
 
   def dotSql(a: String, b: String, dim: Int): String =

@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Great-circle distance in km (the PostGIS `ST_Distance`-over-geography
@@ -49,10 +48,15 @@ case class Haversine(
 }
 
 object Haversine {
-  /** Column-API entry point — resolves through the registered function
-    * (see [[graft.plans.GraftExtensions.install]]). */
-  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
-    call_function("haversine_km", lat1, lon1, lat2, lon2)
+  /** Column-API entry point — embeds the expression directly so it
+    * resolves in whatever session analyzes the plan (no registry
+    * dependency; SQL users go through
+    * [[graft.plans.GraftExtensions]]). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+    columnOf(Haversine(
+      expressionOf(lat1), expressionOf(lon1), expressionOf(lat2), expressionOf(lon2)))
+  }
 }
 
 /** Static math target for both interpreted eval and generated code. */

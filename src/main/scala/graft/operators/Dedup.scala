@@ -63,9 +63,10 @@ object Dedup {
     * 100 TB the signature stage is a pure map with no exchange at all;
     * only the LSH band join shuffles. */
   private def minhashFrame(docs: DataFrame): DataFrame = {
-    graft.plans.GraftExtensions.install(docs.sparkSession)
+    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
     val base = Tables.fanOut(docs)
-      .select(col("doc_id"), call_function("minhash8", col("text")).as("sig"))
+      .select(col("doc_id"),
+        columnOf(graft.functions.MinHash8(expressionOf(col("text")))).as("sig"))
     val mins = (0 until NumHashes).map(i => element_at(col("sig"), i + 1).as(s"m$i"))
     base.select(col("doc_id") +: mins: _*)
   }

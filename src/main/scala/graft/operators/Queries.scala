@@ -33,7 +33,7 @@ object Queries {
       |         props AS attributes
       |  FROM events
       |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
-      |    AND value IS NOT NULL
+      |    AND value IS NOT NULL AND abs(value) < 1e16
       |    AND CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) <> 'unknown'
       |)""".stripMargin
 
@@ -298,7 +298,7 @@ object Queries {
       |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |  FROM events
       |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
-      |    AND value IS NOT NULL
+      |    AND value IS NOT NULL AND abs(value) < 1e16
       |    AND CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) <> 'unknown'
       |)
       |SELECT ts AS time,

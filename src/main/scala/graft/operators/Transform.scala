@@ -64,8 +64,8 @@ object Transform {
     * native expression — nested `latitude` keys survive, object/array
     * values are removed whole, remaining member text is kept verbatim. */
   def popLatLon(attrs: Column): Column = {
-    graft.plans.GraftExtensions.install(org.apache.spark.sql.SparkSession.active)
-    call_function("pop_latlon", attrs)
+    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+    columnOf(graft.functions.PopLatLon(expressionOf(attrs)))
   }
 
   /** P4 error branch (reference __init__.py:212-216): events whose
@@ -75,8 +75,8 @@ object Transform {
     * (no attrs dict) are kept. Apply in the ingest stream before the
     * sink; the warn side is the caller's (foreachBatch counts drops). */
   def validJsonAttrs(attrs: Column): Column = {
-    graft.plans.GraftExtensions.install(org.apache.spark.sql.SparkSession.active)
-    attrs.isNull || call_function("is_valid_json", attrs)
+    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+    attrs.isNull || columnOf(graft.functions.IsValidJson(expressionOf(attrs)))
   }
 
   // ---------------------------------------------------------------- P4
@@ -107,7 +107,15 @@ object Transform {
     // validity filter (S2) drops it. DECIMAL(18,2) so magnitudes up to
     // 10^16 stringify instead of overflowing to NULL (a non-ANSI cast
     // would silently drop the event; DuckDB would error).
-    val state = sanitize(col("value").cast("decimal(18,2)").cast("string"))
+    // explicit magnitude policy: |value| >= 10^16 overflows DECIMAL(18,2) —
+    // ANSI Spark would error, non-ANSI would silently NULL, and DuckDB
+    // errors. The when-guard evaluates the cast ONLY in range (CaseWhen
+    // branches are lazy, so no ANSI error even when a local relation is
+    // folded at optimization time); out-of-range → NULL state → the
+    // validity filter drops the row, and the oracle CTE's matching
+    // `abs(value) < 1e16` predicate drops it on the DuckDB side.
+    val safeValue = when(abs(col("value")) < 1e16, col("value"))
+    val state = sanitize(safeValue.cast("decimal(18,2)").cast("string"))
     val base = events
       .withColumn("entity_id", entityId)
       .withColumn("state", state)

@@ -33,7 +33,12 @@ object LtssSink {
     val us = cfg.chunkTimeIntervalUs
     val dayUs = 86400000000L
     val floored = unix_micros(col("time")) - pmod(unix_micros(col("time")), lit(us))
-    date_add(lit(java.sql.Date.valueOf("1970-01-01")), (floored / lit(dayUs)).cast("int"))
+    // integer FLOOR division (pmod is non-negative) — a double `/` with
+    // cast-to-int truncates toward zero, which disagrees with
+    // chunkDateOf's floorMod for pre-1970 timestamps under sub-day chunk
+    // intervals and loses precision for far-future epochs
+    val days = ((floored - pmod(floored, lit(dayUs))) / lit(dayUs)).cast("long")
+    date_add(lit(java.sql.Date.valueOf("1970-01-01")), days.cast("int"))
   }
 
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) = {

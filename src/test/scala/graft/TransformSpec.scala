@@ -127,6 +127,30 @@ class TransformSpec extends SparkSpec {
     assert(get_json(row.getAs[String]("attributes"), "u").contains("C"))
   }
 
+  test("extreme |value| >= 1e16 is an explicit drop, not an ANSI cast error (overflow policy)") {
+    val ev = mkEvents(
+      ("a", "1.5", "{}"),
+      ("a", "1.0E16", "{}"),
+      ("a", "-2.0E17", "{}"))
+    val out = Transform.eventsToLtss(ev, LtssConfig(enableLocation = false))
+    assert(out.collect().map(_.getAs[String]("state")).toSeq == Seq("1.50"))
+  }
+
+  test("chunkCol and chunkDateOf agree for pre-1970 times under sub-day chunk intervals") {
+    import graft.sources.LtssSink
+    val cfg = LtssConfig(chunkTimeIntervalUs = 6L * 3600L * 1000000L) // 6h chunks
+    val times = Seq(
+      "1969-12-31 22:30:00", "1969-12-30 01:15:00", "1970-01-01 03:59:59",
+      "2024-06-15 13:00:00", "2200-01-01 00:00:01")
+    val df = times.map(t => Tuple1(java.sql.Timestamp.valueOf(t))).toDF("time")
+      .select(col("time"), LtssSink.chunkCol(cfg).as("chunk"))
+    df.collect().foreach { r =>
+      val expected = LtssSink.chunkDateOf(r.getTimestamp(0), cfg).toString
+      assert(r.getDate(1).toString == expected,
+        s"writer chunk ${r.getDate(1)} != pruner chunk $expected for ${r.getTimestamp(0)}")
+    }
+  }
+
   test("dedupByPk keeps exactly one deterministic row per (time, entity_id)") {
     val t = ts("2024-01-01 00:00:00")
     val df = Seq(
