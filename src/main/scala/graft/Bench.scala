@@ -49,6 +49,7 @@ object Bench {
     // and the queries exist to measure the pruned/cached READ
     graft.operators.Dedup.warmShared(spark, sfDir)
     graft.operators.Queries.ltssLayoutPath(spark, sfDir)
+    graft.operators.Queries.ltssAttrLayoutPath(spark, sfDir)
     graft.operators.Similarity.ivfLayoutPath(spark, sfDir)
     // compile the label-propagation loop's codegen shapes on a 2-edge
     // graph (generated classes are shape-keyed, so the real run hits

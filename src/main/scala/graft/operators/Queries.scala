@@ -223,6 +223,33 @@ object Queries {
       |WHERE CAST(json_extract_string(attributes, '$$.k') AS BIGINT) >= 90
       |ORDER BY entity_id, time, state""".stripMargin))
 
+  /** The attr-key-materialized layout: `k` extracted to a typed column
+    * at ingest (LtssSink attrKeys), once per JVM. */
+  def ltssAttrLayoutPath(s: SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("ltss_layout_attrk", d) { p =>
+      graft.sources.LtssSink.writeParquet(ltss(s, d), p, LtssConfig(),
+        org.apache.spark.sql.SaveMode.Overwrite, attrKeys = Seq("k" -> "long"))
+    }
+
+  /** The JSON-attribute predicate over the MATERIALIZED-KEY layout — the
+    * GIN-expression-index analog (reference models.py:75-77): the ingest
+    * path extracted `attributes->>'k'` to the typed column `attr_k`, so
+    * the predicate pushes into the parquet scan (row-group min/max
+    * pruning; asserted by PlanSpec) instead of re-parsing JSON per row
+    * per query, which is what [[jsonAttr]] must do on the raw stream. */
+  val jsonAttrLayout = OracleQuery(
+    "ltss_json_attr_layout",
+    (s, d) =>
+      s.read.parquet(ltssAttrLayoutPath(s, d))
+        .filter(col("attr_k") >= 90)
+        .select(col("entity_id"), col("time"), col("state"), col("attr_k").as("k"))
+        .orderBy(col("entity_id"), col("time"), col("state")),
+    Some(s"""$ltssCte
+      |SELECT entity_id, time, state, CAST(json_extract_string(attributes, '$$.k') AS BIGINT) AS k
+      |FROM ltss
+      |WHERE CAST(json_extract_string(attributes, '$$.k') AS BIGINT) >= 90
+      |ORDER BY entity_id, time, state""".stripMargin))
+
   /** Geo surface (reference PostGIS point column, models.py:44,56-62):
     * deterministic lat/lon enrichment → JSON attributes → extraction via
     * the real P3 path → WKT rendering + squared-degree distance filter.
@@ -655,7 +682,7 @@ object Queries {
 
   val all: Seq[OracleQuery] = Seq(
     project, entityFilterQ, history, historyLayout, latest, transitions,
-    timeBucketAgg, jsonAttr, geoWkt, sessionize, dedupPk,
+    timeBucketAgg, jsonAttr, jsonAttrLayout, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, timeBucketSqlQ,
     domainStatsSalted, asofJoin, rangeJoin, percentiles, histogram, pivotHours, sketches)
 }

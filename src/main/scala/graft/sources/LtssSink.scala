@@ -130,31 +130,112 @@ object LtssSink {
     java.time.Instant.ofEpochMilli(floored / 1000L).atZone(java.time.ZoneOffset.UTC).toLocalDate
   }
 
+  // ------------------------------------------------------------ layout marker
+
+  /** Layout metadata recorded next to the data (underscore prefix →
+    * invisible to partition discovery). The `set_chunk_time_interval`
+    * analog: the reference re-applies the configured interval on every
+    * startup (reference __init__.py:284-300); a parquet layout cannot
+    * rechunk in place, so the interval (and any materialized attribute
+    * keys) used at write time are RECORDED and later appends with a
+    * different configuration are refused — silently mixing partition
+    * widths in one directory would corrupt [[chunkScan]]'s pruning
+    * bounds for the old chunks. */
+  final case class LayoutMarker(
+      chunkTimeIntervalUs: Long,
+      attrKeys: Seq[(String, String)])
+
+  private val MarkerName = "_ltss_layout.json"
+
+  def readLayoutMarker(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[LayoutMarker] = {
+    val (fs, root) = hadoopFs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(root, MarkerName)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val interval = "\"chunkTimeIntervalUs\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(text).map(_.group(1).toLong)
+      .getOrElse(throw new java.io.IOException(s"malformed layout marker at $p: $text"))
+    val keys = "\\[\"([^\"]+)\",\"([^\"]+)\"\\]".r
+      .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toSeq
+    Some(LayoutMarker(interval, keys))
+  }
+
+  private def writeLayoutMarker(
+      spark: org.apache.spark.sql.SparkSession, path: String, m: LayoutMarker): Unit = {
+    val (fs, root) = hadoopFs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(root, MarkerName)
+    val keys = m.attrKeys.map { case (k, t) => s"""["$k","$t"]""" }.mkString("[", ",", "]")
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"chunkTimeIntervalUs":${m.chunkTimeIntervalUs},"attrKeys":$keys}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Time-range scan of the chunked layout with CHUNK EXCLUSION: the
     * time predicate is widened to a `chunk` partition predicate, so the
     * scan partition-prunes to the covered chunks before any file is
     * opened — the TimescaleDB hypertable chunk-exclusion analog
-    * (reference __init__.py:337-344). */
+    * (reference __init__.py:337-344). The pruning bounds use the
+    * interval RECORDED in the layout marker when present — the caller's
+    * cfg cannot silently mis-prune a layout written with a different
+    * interval. */
   def chunkScan(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       from: java.sql.Timestamp,
       to: java.sql.Timestamp,
       cfg: LtssConfig = LtssConfig()): DataFrame = {
-    val lo = java.sql.Date.valueOf(chunkDateOf(from, cfg))
-    val hi = java.sql.Date.valueOf(chunkDateOf(to, cfg))
+    val effective = readLayoutMarker(spark, path)
+      .map(m => cfg.copy(chunkTimeIntervalUs = m.chunkTimeIntervalUs))
+      .getOrElse(cfg)
+    val lo = java.sql.Date.valueOf(chunkDateOf(from, effective))
+    val hi = java.sql.Date.valueOf(chunkDateOf(to, effective))
     spark.read.parquet(path)
       .filter(col("chunk").between(lit(lo), lit(hi)))
       .filter(col("time").between(lit(from), lit(to)))
   }
 
-  /** Write LTSS rows as a time-chunked, entity-sorted parquet layout. */
+  /** Write LTSS rows as a time-chunked, entity-sorted parquet layout.
+    *
+    * `attrKeys` materializes configured JSON attribute keys as TYPED
+    * COLUMNS `attr_<key>` at ingest (the GIN-expression-index analog of
+    * the reference's JSONB index, models.py:75-77): predicates on the
+    * extracted column push into the parquet scan instead of re-parsing
+    * the JSON per row per query.
+    *
+    * An existing layout's marker is authoritative: appending with a
+    * different chunk interval or attribute-key set throws (rewrite with
+    * SaveMode.Overwrite to rechunk). */
   def writeParquet(
       ltss: DataFrame,
       path: String,
       cfg: LtssConfig = LtssConfig(),
-      mode: SaveMode = SaveMode.Append): Unit =
-    ltss
+      mode: SaveMode = SaveMode.Append,
+      attrKeys: Seq[(String, String)] = Nil): Unit = {
+    val spark = ltss.sparkSession
+    if (mode != SaveMode.Overwrite) {
+      readLayoutMarker(spark, path).foreach { m =>
+        if (m.chunkTimeIntervalUs != cfg.chunkTimeIntervalUs)
+          throw new IllegalStateException(
+            s"layout at $path was written with chunk_time_interval " +
+              s"${m.chunkTimeIntervalUs} µs; refusing to append with " +
+              s"${cfg.chunkTimeIntervalUs} µs — mixed chunk widths would break " +
+              "chunk exclusion. Rewrite the layout (SaveMode.Overwrite) to rechunk.")
+        if (m.attrKeys != attrKeys)
+          throw new IllegalStateException(
+            s"layout at $path materializes attribute keys ${m.attrKeys}; " +
+              s"refusing to append with $attrKeys — rewrite the layout to change them.")
+      }
+    }
+    val enriched = attrKeys.foldLeft(ltss) { case (df, (k, tpe)) =>
+      df.withColumn(s"attr_$k", get_json_object(col("attributes"), s"$$.$k").cast(tpe))
+    }
+    enriched
       .withColumn("chunk", chunkCol(cfg))
       .repartition(col("chunk"))
       .sortWithinPartitions(col("entity_id"), col("time"))
@@ -162,6 +243,8 @@ object LtssSink {
       .mode(mode)
       .partitionBy("chunk")
       .parquet(path)
+    writeLayoutMarker(spark, path, LayoutMarker(cfg.chunkTimeIntervalUs, attrKeys))
+  }
 
   /** D1 + L1: startup bootstrap, mirroring the reference's
     * `_setup_connection`/`_create_table` (__init__.py:257-344) and its
@@ -245,11 +328,14 @@ object LtssSink {
     *
     * INTEGRITY violations (SQLState 23xxx — duplicate PK) are the
     * expected face of at-least-once + the `(time, entity_id)` PK: a
-    * replayed batch re-inserting committed rows. They are logged and
-    * treated as done, matching the reference's drop-on-PK-conflict
-    * (__init__.py:229-231) — rethrowing would wedge the stream in a
-    * permanent replay loop. Exactly-once targets should stage + upsert
-    * (`INSERT ... ON CONFLICT DO NOTHING`) instead. */
+    * replayed batch re-inserting committed rows (reference
+    * drop-on-PK-conflict, __init__.py:229-231). A conflict does NOT mean
+    * the whole batch is committed — Spark's JDBC writer commits per
+    * PARTITION, so an earlier attempt may have committed only some
+    * partitions. On conflict the batch is ANTI-JOINED against the rows
+    * already in the table for its (time) key range and the remainder is
+    * retried — the checkpoint advances only once every partition's rows
+    * are durable, never past lost data. */
   def writeJdbc(
       ltss: DataFrame,
       cfg: LtssConfig,
@@ -257,21 +343,26 @@ object LtssSink {
       maxRetries: Int = 10,
       retryWaitMs: Long = 3000L,
       sleep: Long => Unit = Thread.sleep,
-      dropOnFailure: Boolean = false): Unit = {
+      dropOnFailure: Boolean = false,
+      maxConflictRounds: Int = 3): Unit = {
     var attempt = 0
+    var conflictRounds = 0
+    var batch = ltss
     var done = false
     while (!done) {
       try {
-        ltss.write
+        batch.write
           .mode(SaveMode.Append)
           .option("batchsize", 1000)
           .jdbc(cfg.dbUrl, table, new java.util.Properties())
         done = true
       } catch {
-        case e: Exception if isConflict(e) =>
+        case e: Exception if isConflict(e) && conflictRounds < maxConflictRounds =>
+          conflictRounds += 1
           System.err.println(
-            s"[ltss-sink] PK conflict (replayed batch) — treating as committed: ${e.getMessage}")
-          done = true
+            s"[ltss-sink] PK conflict (replayed batch) — retrying the not-yet-committed " +
+              s"remainder (round $conflictRounds): ${e.getMessage}")
+          batch = withoutCommittedRows(batch, cfg, table)
         case e: Exception if attempt < maxRetries && isTransient(e) =>
           attempt += 1; sleep(retryWaitMs)
         case e: Exception =>
@@ -284,8 +375,24 @@ object LtssSink {
     }
   }
 
+  /** The batch minus rows whose `(time, entity_id)` PK already exists in
+    * the table — the replay-safe remainder after a PK conflict. The
+    * existing-key read is bounded to the batch's time range (the
+    * predicate pushes down to the database, so at scale this reads one
+    * chunk's keys, not the table). */
+  private def withoutCommittedRows(
+      batch: DataFrame, cfg: LtssConfig, table: String): DataFrame = {
+    val spark = batch.sparkSession
+    val bounds = batch.agg(min(col("time")).as("lo"), max(col("time")).as("hi")).head()
+    if (bounds.isNullAt(0)) return batch // empty batch
+    val existing = spark.read.jdbc(cfg.dbUrl, table, new java.util.Properties())
+      .filter(col("time").between(lit(bounds.getTimestamp(0)), lit(bounds.getTimestamp(1))))
+      .select(col("time"), col("entity_id"))
+    batch.join(existing, Seq("time", "entity_id"), "left_anti")
+  }
+
   /** Integrity-constraint violations (duplicate PK on replay). */
-  private def isConflict(t: Throwable): Boolean = {
+  private[graft] def isConflict(t: Throwable): Boolean = {
     var cur: Throwable = t
     var depth = 0
     while (cur != null && depth < 10) {
@@ -303,7 +410,7 @@ object LtssSink {
   /** Connection-level failures the reference treats as OperationalError.
     * Executor-side failures surface wrapped in SparkException — walk the
     * cause chain to find the SQLException that classifies them. */
-  private def isTransient(t: Throwable): Boolean = {
+  private[graft] def isTransient(t: Throwable): Boolean = {
     var cur: Throwable = t
     var depth = 0
     while (cur != null && depth < 10) {

@@ -81,6 +81,48 @@ class PlanSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("layout marker guards appends: changed chunk interval or attr keys fail loudly") {
+    import spark.implicits._
+    import graft.sources.LtssSink
+    import graft.config.LtssConfig
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val out = java.nio.file.Files.createTempDirectory("graft-marker").toString
+    val df = Seq(
+      (ts("2024-01-05 00:00:00"), "a.1", "1", """{"k": 7}"""),
+      (ts("2024-03-20 00:00:00"), "a.1", "2", """{"k": 8}"""))
+      .toDF("time", "entity_id", "state", "attributes")
+    LtssSink.writeParquet(df, out) // default 30-day interval
+    assert(LtssSink.readLayoutMarker(spark, out).get.chunkTimeIntervalUs ==
+      LtssConfig.DefaultChunkUs)
+    // same interval appends fine
+    LtssSink.writeParquet(df.filter($"state" === "2"), out)
+    // different interval refused — mixed widths would break chunk exclusion
+    val narrow = LtssConfig(chunkTimeIntervalUs = 86400000000L)
+    val e = intercept[IllegalStateException] { LtssSink.writeParquet(df, out, narrow) }
+    assert(e.getMessage.contains("chunk_time_interval"))
+    // different materialized attr keys refused
+    intercept[IllegalStateException] {
+      LtssSink.writeParquet(df, out, attrKeys = Seq("k" -> "long"))
+    }
+    // a scan under the WRONG caller cfg still prunes with the recorded
+    // interval: the Jan chunk row is found even though the caller's
+    // 1-day-interval bounds would name different chunk values
+    val scanned = LtssSink.chunkScan(spark, out,
+      ts("2024-01-01 00:00:00"), ts("2024-01-31 00:00:00"), narrow)
+    assert(scanned.collect().map(_.getAs[String]("state")).toSeq == Seq("1"))
+    // Overwrite rechunks and rewrites the marker
+    LtssSink.writeParquet(df, out, narrow, org.apache.spark.sql.SaveMode.Overwrite)
+    assert(LtssSink.readLayoutMarker(spark, out).get.chunkTimeIntervalUs == 86400000000L)
+  }
+
+  test("ltss_json_attr_layout pushes the attr_k predicate into the parquet scan") {
+    val df = graft.operators.Queries.jsonAttrLayout.run(spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("attr_k"),
+      s"expected the attr_k predicate in PushedFilters; plan:\n$plan")
+  }
+
   test("range join plans as an equi-join on bucket keys — never a nested loop") {
     val df = graft.operators.Queries.rangeJoin.run(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
