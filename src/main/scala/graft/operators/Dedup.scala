@@ -101,9 +101,10 @@ object Dedup {
     * docs sharing a signature band — would otherwise make one reducer
     * quadratic). Capped buckets route to [[lshOverflowVerify]], whose
     * own hard bound drops truly degenerate bands (see its doc) — the
-    * three-tier policy is: banded join below the cap, exact verify up
-    * to the hard bound, deliberate drop above it. Non-binding at test
-    * SFs. */
+    * three-tier policy is: banded join ≤ this cap, exact verify in
+    * (cap, hardMax], deliberate drop above hardMax. The routing at THIS
+    * cap (not just a demo cap) is pinned by `DedupSkewSpec` with a
+    * synthesized >1000-doc hot band. */
   val MaxLshBucket = 1000
 
   /** The ONE definition of banding: the 8-slot signature splits into 2
@@ -145,11 +146,13 @@ object Dedup {
     * caches for the session's lifetime. */
   private var lastGuarded: Option[DataFrame] = None
 
-  /** The persisted banded signature frame (size-guarded, signature
-    * columns riding along) shared by the pair join, the clustering
-    * stage, and the overflow verifier — the signature + band-count
-    * subtree executes once per dataset, and every consumer scans the
-    * cache. */
+  /** The persisted banded signature frame — ALL buckets, each row
+    * carrying its bucket size `bsz` — shared by the pair join, the
+    * clustering stage, and the overflow verifier: the signature +
+    * band-count subtree executes once per dataset and every consumer
+    * scans the cache, applying its own tier of the size policy
+    * ([[MaxLshBucket]]). Cached UNFILTERED so the overflow verifier can
+    * see the hot buckets the pair join excludes. */
   private def guardedBands(s: SparkSession, d: String): DataFrame = {
     val sig = minhashFrame(Tables.documents(s, d))
     val ms = (0 until NumHashes).map(i => col(s"m$i"))
@@ -158,7 +161,6 @@ object Dedup {
     val wBucket = Window.partitionBy(col("band_idx"), col("band_val"))
     val guarded = bands
       .withColumn("bsz", count(lit(1)).over(wBucket))
-      .filter(col("bsz") <= MaxLshBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     synchronized {
       // identical plans share one cache entry (Spark's cache manager
@@ -186,7 +188,8 @@ object Dedup {
     * so the clustering path skips a whole shuffle and the match-count
     * expression. */
   private def lshCandidateEdges(s: SparkSession, d: String): DataFrame = {
-    val guarded = guardedBands(s, d).select(col("doc_id"), col("band_idx"), col("band_val"))
+    val guarded = guardedBands(s, d).filter(col("bsz") <= MaxLshBucket)
+      .select(col("doc_id"), col("band_idx"), col("band_val"))
     guarded.toDF("a_id", "band_idx", "band_val")
       .join(guarded.toDF("b_id", "band_idx", "band_val"), Seq("band_idx", "band_val"))
       .filter(col("a_id") < col("b_id"))
@@ -197,7 +200,7 @@ object Dedup {
     * the clustering stage. UNSORTED — presentation ordering is applied
     * only by the terminal query, not paid by intermediate consumers. */
   private def lshPairFrame(s: SparkSession, d: String): DataFrame = {
-    val guarded = guardedBands(s, d).drop("bsz")
+    val guarded = guardedBands(s, d).filter(col("bsz") <= MaxLshBucket).drop("bsz")
     def pfx(p: String)(df: DataFrame): DataFrame =
       df.toDF(df.columns.toIndexedSeq.map(c => if (c.startsWith("band")) c else s"$p$c"): _*)
     val a = pfx("a_")(guarded)
@@ -350,11 +353,10 @@ object Dedup {
     * with a hard bound of 50. */
   def lshOverflowVerify(
       s: SparkSession, d: String, cap: Int, hardMax: Int, minJaccard: Double): DataFrame = {
-    require(hardMax <= MaxLshBucket, "the verify range must sit inside the guard range")
     val docs = Tables.documents(s, d)
-    // derived from the SAME cached guarded frame as the pair join — the
-    // verify range is a subset of the guard range, so the bucket sizes
-    // there are exact, and the signature computes once per dataset
+    // derived from the SAME cached band frame as the pair join (cached
+    // unfiltered, so hot buckets ABOVE the pair join's MaxLshBucket cap
+    // are visible here); the signature computes once per dataset
     val hot = guardedBands(s, d)
       .filter(col("bsz") > cap && col("bsz") <= hardMax)
       .select(col("doc_id"), col("band_idx"), col("band_val"))

@@ -125,14 +125,17 @@ object Similarity {
     * AQE broadcasts them at small scale; at 100 TB they hash-join
     * co-partitioned on vec_id. With norms precomputed, each surviving
     * pair pays exactly one dot product. */
-  def embedNearDupFrame(
+  /** The shared candidate→verify pipeline: `bucketOf(b)` supplies each
+    * band's bucket expression; everything downstream (banded explode,
+    * id-only candidate join, OR-amplification dedup, vector re-attach,
+    * one-dot verify) is identical for axis-aligned and random-plane
+    * bucketing. */
+  private def nearDupPipeline(
       emb: DataFrame,
-      width: Int,
       nBands: Int,
+      bucketOf: Int => Column,
       minCosine: Double): DataFrame = {
-    def signBucket(b: Int): Column = concat((b * width + 1 to (b + 1) * width).map(i =>
-      when(element_at(col("embedding"), i) >= 0f, "1").otherwise("0")): _*)
-    val bandEntries = (0 until nBands).flatMap(b => Seq(lit(b), signBucket(b)))
+    val bandEntries = (0 until nBands).flatMap(b => Seq(lit(b), bucketOf(b)))
     val e = emb.select(col("vec_id"), col("embedding"),
       DetMath.normCol(col("embedding"), Dim).as("nrm"))
     val banded = emb.select(col("vec_id"),
@@ -151,6 +154,43 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
       .select(col("a_id"), col("b_id"), col("cosine"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def embedNearDupFrame(
+      emb: DataFrame,
+      width: Int,
+      nBands: Int,
+      minCosine: Double): DataFrame = {
+    def signBucket(b: Int): Column = concat((b * width + 1 to (b + 1) * width).map(i =>
+      when(element_at(col("embedding"), i) >= 0f, "1").otherwise("0")): _*)
+    nearDupPipeline(emb, nBands, signBucket, minCosine)
+  }
+
+  /** The production bucketing: SEEDED RANDOM hyperplanes. nBands×width
+    * Gaussian planes are generated ON THE DRIVER from `seed` and embedded
+    * as array literals (they ship with the plan — no side channel, no
+    * refit between runs); a band's bucket is the sign pattern of the
+    * plane dots, computed by the same codegen'd [[graft.functions.DotF64]]
+    * kernel as the verify stage. Random planes decorrelate the buckets
+    * from the embedding's coordinate system, so recall at equal bucket
+    * counts is ≥ the axis-aligned variant's (pinned by SimilaritySpec on
+    * the fixture). The axis-aligned variant remains the ORACLE path —
+    * sign(random dot) could flip between engines' libm rounding, while a
+    * sign bit of a raw coordinate cannot. Plan shape is identical:
+    * id-only candidate shuffle, vectors re-attach by key. */
+  def embedNearDupRandom(
+      emb: DataFrame,
+      seed: Long,
+      width: Int,
+      nBands: Int,
+      minCosine: Double): DataFrame = {
+    val rng = new java.util.Random(seed)
+    val planes = Array.fill(nBands * width)(Array.fill(Dim)(rng.nextGaussian().toFloat))
+    def planeBit(p: Array[Float]): Column =
+      when(DetMath.dotCol(col("embedding"), typedlit(p.toSeq), Dim) >= 0d, "1").otherwise("0")
+    def bucket(b: Int): Column =
+      concat((0 until width).map(j => planeBit(planes(b * width + j))): _*)
+    nearDupPipeline(emb, nBands, bucket, minCosine)
   }
 
   private def bucketSqlOf(v: String, b: Int, width: Int) =
@@ -192,6 +232,19 @@ object Similarity {
     "dedup_embedding_banded",
     (s, d) => embedNearDupFrame(Tables.embeddings(s, d), width = 8, nBands = 2, minCosine = 0.2),
     Some(embedNearDupSql(width = 8, nBands = 2, minCosine = 0.2)))
+
+  /** Seeded random-hyperplane variant (the production bucketing; see
+    * [[embedNearDupRandom]]). No DuckDB oracle BY DESIGN: the bucket
+    * depends on sign(Gaussian-plane · embedding), and libm rounding
+    * differences between engines could flip a near-zero sign — the
+    * verified cosine output is exact, but the candidate SET isn't
+    * engine-portable. The driver records the weaker rows-only check;
+    * recall ≥ axis-aligned is pinned by SimilaritySpec instead. */
+  val embedNearDupRandomQ = OracleQuery(
+    "dedup_embedding_random",
+    (s, d) => embedNearDupRandom(Tables.embeddings(s, d),
+      seed = 42L, width = 8, nBands = 2, minCosine = 0.2),
+    None)
 
   /** The IVF probe path (the point of IVF: answer a query by scanning
     * only its cluster, 1/k of the data). The assignment is materialized
@@ -320,5 +373,6 @@ object Similarity {
       |ORDER BY vec_id""".stripMargin))
 
   val all: Seq[OracleQuery] =
-    Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, ivfProbe, embedQuantize)
+    Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, embedNearDupRandomQ,
+      ivfProbe, embedQuantize)
 }

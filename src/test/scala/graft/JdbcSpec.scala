@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.SQLException
+import graft.config.LtssConfig
+import graft.sources.LtssSink
+
+/** JDBC sink failure-classification and replay semantics, driven by the
+  * Postgres SQLSTATE classes the production target emits (the reference
+  * sink is Postgres/TimescaleDB, __init__.py:201-244) and exercised
+  * end-to-end against embedded Derby. */
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def sqlEx(state: String) = new SQLException(s"state $state", state)
+  private def wrapped(state: String) = new RuntimeException(
+    "Job aborted", new RuntimeException("task failed", sqlEx(state)))
+
+  test("SQLSTATE classifier: Postgres transient / conflict / fail-fast classes") {
+    // 08xxx connection failures, 53xxx resource exhaustion, 57P03
+    // cannot_connect_now → transient (retryable)
+    for (s <- Seq("08000", "08003", "08006", "53000", "53300", "57P03")) {
+      assert(LtssSink.isTransient(sqlEx(s)), s"$s should classify transient")
+      assert(LtssSink.isTransient(wrapped(s)), s"wrapped $s should classify transient")
+      assert(!LtssSink.isConflict(sqlEx(s)), s"$s is not a conflict")
+    }
+    // 23xxx integrity violations (23505 = unique_violation) → conflict
+    for (s <- Seq("23000", "23505")) {
+      assert(LtssSink.isConflict(sqlEx(s)), s"$s should classify conflict")
+      assert(LtssSink.isConflict(wrapped(s)), s"wrapped $s should classify conflict")
+      assert(!LtssSink.isTransient(sqlEx(s)), s"$s is not transient")
+    }
+    // 28xxx auth, 42xxx syntax, 3D000 missing database → neither:
+    // waiting cannot fix these, the write must fail fast
+    for (s <- Seq("28000", "28P01", "42601", "3D000")) {
+      assert(!LtssSink.isTransient(sqlEx(s)), s"$s must fail fast")
+      assert(!LtssSink.isConflict(sqlEx(s)), s"$s is not a conflict")
+    }
+    // JDBC standard exception subclasses classify without a state string
+    assert(LtssSink.isTransient(new java.sql.SQLTransientConnectionException("down")))
+    assert(LtssSink.isConflict(
+      new java.sql.SQLIntegrityConstraintViolationException("dup")))
+  }
+
+  test("bootstrap retries each transient class, fails fast on auth (Postgres states)") {
+    for (s <- Seq("08006", "53300", "57P03")) {
+      var attempts = 0
+      val url = s"jdbc:derby:memory:graftc_${System.nanoTime()};create=true"
+      LtssSink.bootstrapJdbc(LtssConfig(dbUrl = url), retryWaitMs = 1, sleep = _ => (),
+        connect = { u =>
+          attempts += 1
+          if (attempts <= 2) throw sqlEx(s)
+          java.sql.DriverManager.getConnection(u)
+        })
+      assert(attempts == 3, s"state $s should have been retried twice then connect")
+    }
+    // auth failure: no retry, the first error surfaces
+    var attempts = 0
+    val thrown = intercept[SQLException] {
+      LtssSink.bootstrapJdbc(LtssConfig(dbUrl = "jdbc:derby:memory:na"), retryWaitMs = 1,
+        sleep = _ => (), connect = { _ => attempts += 1; throw sqlEx("28P01") })
+    }
+    assert(attempts == 1 && thrown.getSQLState == "28P01")
+  }
+
+  test("PK-conflict replay retries the uncommitted remainder — partial commits are not dropped") {
+    val url = s"jdbc:derby:memory:graftpc_${System.nanoTime()};create=true"
+    val cfg = LtssConfig(dbUrl = url, enableLocation = false)
+    LtssSink.bootstrapJdbc(cfg)
+    def row(t: String, e: String, st: String) = (ts(t), e, st, s"""{"v":"$st"}""")
+    // an earlier attempt committed SOME of the batch (Spark's JDBC write
+    // commits per partition): rows 1-2 are already in the table
+    LtssSink.writeJdbc(
+      Seq(row("2024-01-01 00:00:00", "a.1", "1"), row("2024-01-01 00:00:01", "a.2", "2"))
+        .toDF("time", "entity_id", "state", "attributes"),
+      cfg, retryWaitMs = 1)
+    // the replayed FULL batch holds the committed rows plus never-committed
+    // ones, spread over several partitions → the write conflicts; the sink
+    // must land the remainder instead of declaring the batch done
+    val replay = Seq(
+      row("2024-01-01 00:00:00", "a.1", "1"), row("2024-01-01 00:00:01", "a.2", "2"),
+      row("2024-01-01 00:00:02", "a.3", "3"), row("2024-01-01 00:00:03", "a.4", "4"))
+      .toDF("time", "entity_id", "state", "attributes").repartition(3)
+    LtssSink.writeJdbc(replay, cfg, maxRetries = 1, retryWaitMs = 1, sleep = _ => ())
+    val back = spark.read.jdbc(url, "ltss", new java.util.Properties())
+    assert(back.count() == 4, "never-committed rows were dropped on conflict")
+    assert(back.select("entity_id").as[String].collect().sorted.toSeq ==
+      Seq("a.1", "a.2", "a.3", "a.4"))
+  }
+
+  test("conflict that persists past maxConflictRounds rethrows (no infinite replay loop)") {
+    val url = s"jdbc:derby:memory:graftcl_${System.nanoTime()};create=true"
+    val cfg = LtssConfig(dbUrl = url, enableLocation = false)
+    LtssSink.bootstrapJdbc(cfg)
+    val base = Seq((ts("2024-01-01 00:00:00"), "a.1", "1", "{}"))
+      .toDF("time", "entity_id", "state", "attributes")
+    LtssSink.writeJdbc(base, cfg, retryWaitMs = 1)
+    // a batch that conflicts WITHIN ITSELF: two rows, same PK — the
+    // anti-join removes nothing new after round 1, rounds exhaust, throw
+    val selfDup = Seq(
+      (ts("2024-02-01 00:00:00"), "b.1", "1", "{}"),
+      (ts("2024-02-01 00:00:00"), "b.1", "2", "{}"))
+      .toDF("time", "entity_id", "state", "attributes").repartition(1)
+    assertThrows[Exception] {
+      LtssSink.writeJdbc(selfDup, cfg, maxRetries = 0, retryWaitMs = 1, sleep = _ => (),
+        maxConflictRounds = 2)
+    }
+  }
+}

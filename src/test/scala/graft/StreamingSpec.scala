@@ -90,9 +90,9 @@ class StreamingSpec extends SparkSpec {
     assert(back.columns.map(_.toLowerCase).toSet ==
       Set("time", "entity_id", "state", "attributes", "location"))
     // PK (time, entity_id) is enforced; a replayed batch's duplicate
-    // insert is classified as a conflict and treated as committed
-    // (reference drop-on-PK-conflict, __init__.py:229-231) — no throw,
-    // no duplicate rows
+    // insert is classified as a conflict, the already-committed keys are
+    // anti-joined away, and the (empty) remainder retried — no throw,
+    // no duplicate rows (reference drop-on-PK-conflict, __init__.py:229-231)
     LtssSink.writeJdbc(rows, cfg, maxRetries = 1, retryWaitMs = 1, sleep = _ => ())
     assert(spark.read.jdbc(url, "ltss", new java.util.Properties()).count() == 2)
   }
