@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.DetMath
+import graft.operators.Similarity
+
+/** Recall characteristics of the embedding-LSH variants on the fixture:
+  * the seeded random-hyperplane bucketing (production shape) must recall
+  * at least as many true near-dup pairs as the axis-aligned bucketing at
+  * EQUAL bucket counts (same width × bands), and its verified pairs must
+  * be a subset of the brute-force ground truth. */
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val minCosine = 0.2
+
+  /** Brute-force ground truth: every pair with cosine ≥ threshold. */
+  private lazy val truth: Set[(Long, Long)] = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), DetMath.normCol(col("embedding"), 64).as("nrm"))
+    val a = emb.toDF("a_id", "a_e", "a_n")
+    val b = emb.toDF("b_id", "b_e", "b_n")
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", DetMath.cosinePre(
+        DetMath.dotCol(col("a_e"), col("b_e"), 64), col("a_n"), col("b_n")))
+      .filter(col("cosine") >= minCosine)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("random-hyperplane LSH recalls >= axis-aligned at equal bucket counts") {
+    val emb = Tables.embeddings(spark, dir)
+    val axis = pairsOf(Similarity.embedNearDupFrame(emb, width = 8, nBands = 2, minCosine))
+    val rand = pairsOf(Similarity.embedNearDupRandom(emb, seed = 42L, width = 8, nBands = 2, minCosine))
+    assert(axis.subsetOf(truth) && rand.subsetOf(truth),
+      "verified pairs must be true near-dups (the exact cosine filter guarantees precision)")
+    assert(rand.size >= axis.size,
+      s"random planes recalled ${rand.size} true pairs, axis-aligned ${axis.size} " +
+        s"(ground truth ${truth.size})")
+  }
+
+  test("random-hyperplane bucketing is deterministic per seed") {
+    val emb = Tables.embeddings(spark, dir)
+    val once = pairsOf(Similarity.embedNearDupRandom(emb, 7L, 8, 2, minCosine))
+    val again = pairsOf(Similarity.embedNearDupRandom(emb, 7L, 8, 2, minCosine))
+    assert(once == again)
+  }
+}
