@@ -52,12 +52,16 @@ object Bench {
     graft.operators.Queries.ltssAttrLayoutPath(spark, sfDir)
     graft.operators.Similarity.ivfLayoutPath(spark, sfDir)
     // compile the label-propagation loop's codegen shapes on a 2-edge
-    // graph (generated classes are shape-keyed, so the real run hits
-    // the compiler cache)
+    // graph (generated classes are shape-keyed, so the real run hits the
+    // compiler cache) — under the SAME AQE-off setting the real loop
+    // uses, since AQE wrappers change the codegen boundaries
     locally {
       import spark.implicits._
-      graft.operators.Dedup.connectedComponents(
+      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try graft.operators.Dedup.connectedComponents(
         Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id"))._1.count()
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       ()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -27,14 +27,15 @@ object Queries {
     * [[Transform.eventsToLtss]] with location disabled). */
   private val ltssCte =
     """WITH ltss AS (
-      |  SELECT ts AS time,
-      |         event_type || '.' || CAST(user_id AS VARCHAR) AS entity_id,
-      |         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS state,
-      |         props AS attributes
-      |  FROM events
-      |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
-      |    AND value IS NOT NULL AND abs(value) < 1e16
-      |    AND CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) <> 'unknown'
+      |  SELECT time, entity_id, state, attributes FROM (
+      |    SELECT ts AS time,
+      |           event_type || '.' || CAST(user_id AS VARCHAR) AS entity_id,
+      |           CASE WHEN abs(value) < 1e16
+      |                THEN CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) END AS state,
+      |           props AS attributes
+      |    FROM events
+      |    WHERE event_type IS NOT NULL AND user_id IS NOT NULL)
+      |  WHERE state IS NOT NULL AND state <> 'unknown'
       |)""".stripMargin
 
   private def ltss(s: SparkSession, dir: String): DataFrame =
@@ -207,6 +208,16 @@ object Queries {
         |ORDER BY bucket, domain""".stripMargin))
   }
 
+  /** ONE oracle for both JSON-attribute queries — the raw-parse and
+    * materialized-layout paths must stay answer-equivalent by
+    * construction. */
+  private val jsonAttrOracleSql =
+    s"""$ltssCte
+      |SELECT entity_id, time, state, CAST(json_extract_string(attributes, '$$.k') AS BIGINT) AS k
+      |FROM ltss
+      |WHERE CAST(json_extract_string(attributes, '$$.k') AS BIGINT) >= 90
+      |ORDER BY entity_id, time, state""".stripMargin
+
   /** JSON attribute predicate + extraction (reference GIN index on JSONB,
     * models.py:75-77): `attributes->>'k' >= 90`. */
   val jsonAttr = OracleQuery(
@@ -217,11 +228,7 @@ object Queries {
         .filter(col("k") >= 90)
         .select(col("entity_id"), col("time"), col("state"), col("k"))
         .orderBy(col("entity_id"), col("time"), col("state")),
-    Some(s"""$ltssCte
-      |SELECT entity_id, time, state, CAST(json_extract_string(attributes, '$$.k') AS BIGINT) AS k
-      |FROM ltss
-      |WHERE CAST(json_extract_string(attributes, '$$.k') AS BIGINT) >= 90
-      |ORDER BY entity_id, time, state""".stripMargin))
+    Some(jsonAttrOracleSql))
 
   /** The attr-key-materialized layout: `k` extracted to a typed column
     * at ingest (LtssSink attrKeys), once per JVM. */
@@ -244,11 +251,7 @@ object Queries {
         .filter(col("attr_k") >= 90)
         .select(col("entity_id"), col("time"), col("state"), col("attr_k").as("k"))
         .orderBy(col("entity_id"), col("time"), col("state")),
-    Some(s"""$ltssCte
-      |SELECT entity_id, time, state, CAST(json_extract_string(attributes, '$$.k') AS BIGINT) AS k
-      |FROM ltss
-      |WHERE CAST(json_extract_string(attributes, '$$.k') AS BIGINT) >= 90
-      |ORDER BY entity_id, time, state""".stripMargin))
+    Some(jsonAttrOracleSql))
 
   /** Geo surface (reference PostGIS point column, models.py:44,56-62):
     * deterministic lat/lon enrichment → JSON attributes → extraction via
@@ -318,24 +321,25 @@ object Queries {
         .orderBy(col("entity_id"), col("time"), col("state"))
     },
     Some("""WITH base AS (
-      |  SELECT ts, event_id, user_id, event_type, value,
+      |  SELECT ts, event_id, user_id, event_type,
+      |         CASE WHEN abs(value) < 1e16
+      |              THEN CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) END AS state,
       |         event_id % 4 AS m,
       |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS latv,
       |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lonv,
       |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |  FROM events
       |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
-      |    AND value IS NOT NULL AND abs(value) < 1e16
-      |    AND CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) <> 'unknown'
       |)
       |SELECT ts AS time,
       |       event_type || '.' || CAST(user_id AS VARCHAR) AS entity_id,
-      |       CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS state,
+      |       state,
       |       '{"k":' || CAST(k AS VARCHAR) || ',"zone":{"latitude":1.5}}' AS attributes,
       |       CASE WHEN m = 0
       |            THEN 'SRID=4326;POINT(' || CAST(lonv AS VARCHAR) || ' ' || CAST(latv AS VARCHAR) || ')'
       |       END AS wkt
       |FROM base
+      |WHERE state IS NOT NULL AND state <> 'unknown'
       |ORDER BY entity_id, time, state""".stripMargin))
 
   /** Geo distance surface: `haversine_km` — the registered native

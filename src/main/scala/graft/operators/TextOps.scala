@@ -147,9 +147,12 @@ object TextOps {
     "simhash",
     (s, d) => {
       import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      // null text → all-zero hash, matching the oracle's CASE ... ELSE '0'
+      // (the kernel itself propagates null, like every Spark expression)
       Tables.documents(s, d)
         .select(col("doc_id"),
-          columnOf(graft.functions.SimHash16(expressionOf(col("text")))).as("simhash16"))
+          coalesce(columnOf(graft.functions.SimHash16(expressionOf(col("text")))),
+            lit("0" * 16)).as("simhash16"))
         .orderBy(col("doc_id"))
     },
     Some {

@@ -33,11 +33,14 @@ object LtssSink {
     val us = cfg.chunkTimeIntervalUs
     val dayUs = 86400000000L
     val floored = unix_micros(col("time")) - pmod(unix_micros(col("time")), lit(us))
-    // integer FLOOR division (pmod is non-negative) — a double `/` with
-    // cast-to-int truncates toward zero, which disagrees with
-    // chunkDateOf's floorMod for pre-1970 timestamps under sub-day chunk
-    // intervals and loses precision for far-future epochs
-    val days = ((floored - pmod(floored, lit(dayUs))) / lit(dayUs)).cast("long")
+    // exact integer FLOOR division (pmod is non-negative, so subtracting
+    // it floors): LONG `div`, never a double `/` — double division loses
+    // exactness past 2^53 µs and its cast-to-int truncates toward zero,
+    // both of which disagree with chunkDateOf's floorMod arithmetic
+    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+    val flooredDay = floored - pmod(floored, lit(dayUs))
+    val days = columnOf(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      expressionOf(flooredDay), expressionOf(lit(dayUs))))
     date_add(lit(java.sql.Date.valueOf("1970-01-01")), days.cast("int"))
   }
 
@@ -218,8 +221,15 @@ object LtssSink {
       mode: SaveMode = SaveMode.Append,
       attrKeys: Seq[(String, String)] = Nil): Unit = {
     val spark = ltss.sparkSession
+    // keys become identifiers in both the column name and the hand-built
+    // marker JSON — restrict to identifier characters up front
+    attrKeys.foreach { case (k, _) =>
+      require(k.matches("[A-Za-z0-9_]+"),
+        s"materialized attribute key '$k' must match [A-Za-z0-9_]+")
+    }
+    val marker = readLayoutMarker(spark, path)
     if (mode != SaveMode.Overwrite) {
-      readLayoutMarker(spark, path).foreach { m =>
+      marker.foreach { m =>
         if (m.chunkTimeIntervalUs != cfg.chunkTimeIntervalUs)
           throw new IllegalStateException(
             s"layout at $path was written with chunk_time_interval " +
@@ -232,6 +242,17 @@ object LtssSink {
               s"refusing to append with $attrKeys — rewrite the layout to change them.")
       }
     }
+    // a marker-less layout WITH existing chunks predates the marker (or
+    // lost it): its true chunk widths are unknown, so an append must NOT
+    // stamp this writer's interval as authoritative — that would make
+    // chunkScan prune the legacy chunks with the wrong bounds. The
+    // layout stays marker-less (scans fall back to the caller's cfg, as
+    // before the marker existed) until an Overwrite rebuilds it.
+    val legacyUnmarked = mode != SaveMode.Overwrite && marker.isEmpty && {
+      val (fs, root) = hadoopFs(spark, path)
+      fs.exists(root) && fs.listStatus(root)
+        .exists(st => st.isDirectory && st.getPath.getName.startsWith("chunk="))
+    }
     val enriched = attrKeys.foldLeft(ltss) { case (df, (k, tpe)) =>
       df.withColumn(s"attr_$k", get_json_object(col("attributes"), s"$$.$k").cast(tpe))
     }
@@ -243,7 +264,8 @@ object LtssSink {
       .mode(mode)
       .partitionBy("chunk")
       .parquet(path)
-    writeLayoutMarker(spark, path, LayoutMarker(cfg.chunkTimeIntervalUs, attrKeys))
+    if (!legacyUnmarked)
+      writeLayoutMarker(spark, path, LayoutMarker(cfg.chunkTimeIntervalUs, attrKeys))
   }
 
   /** D1 + L1: startup bootstrap, mirroring the reference's
@@ -357,12 +379,36 @@ object LtssSink {
           .jdbc(cfg.dbUrl, table, new java.util.Properties())
         done = true
       } catch {
-        case e: Exception if isConflict(e) && conflictRounds < maxConflictRounds =>
-          conflictRounds += 1
-          System.err.println(
-            s"[ltss-sink] PK conflict (replayed batch) — retrying the not-yet-committed " +
-              s"remainder (round $conflictRounds): ${e.getMessage}")
-          batch = withoutCommittedRows(batch, cfg, table)
+        case e: Exception if isConflict(e) =>
+          if (conflictRounds >= maxConflictRounds) {
+            // exhausted rounds mean the anti-join keeps failing to match
+            // the committed rows — almost always a key-comparability gap
+            // between Spark and the target (timestamp precision
+            // truncation, entity_id collation/case folding) or a batch
+            // that conflicts within itself. Default is a deliberate LOUD
+            // failure rather than the old conflict-means-committed
+            // assumption (which silently dropped uncommitted
+            // partitions); fix the key round-trip (µs-precision
+            // timestamps, binary collation) or dedup the batch by PK
+            // before the sink. dropOnFailure keeps its availability
+            // contract and drops the batch with a log line instead.
+            if (dropOnFailure) {
+              System.err.println(
+                s"[ltss-sink] dropping batch after $maxConflictRounds conflict rounds " +
+                  s"(dropOnFailure): ${e.getMessage}")
+              done = true
+            } else throw new IllegalStateException(
+              s"PK conflicts persisted after $maxConflictRounds remainder retries — " +
+                "the (time, entity_id) keys read back from the database do not match " +
+                "the batch's (timestamp precision? collation?), or the batch " +
+                "duplicates its own PKs. Not advancing past possibly-lost data.", e)
+          } else {
+            conflictRounds += 1
+            System.err.println(
+              s"[ltss-sink] PK conflict (replayed batch) — retrying the not-yet-committed " +
+                s"remainder (round $conflictRounds): ${e.getMessage}")
+            batch = withoutCommittedRows(batch, cfg, table)
+          }
         case e: Exception if attempt < maxRetries && isTransient(e) =>
           attempt += 1; sleep(retryWaitMs)
         case e: Exception =>

@@ -65,10 +65,12 @@ class KernelSpec extends SparkSpec {
       composedSimhash(col("text")).as("composed"))
     val bad = df.filter(col("kernel") =!= col("composed")).collect()
     assert(bad.isEmpty, s"mismatches: ${bad.mkString("; ")}")
-    // null text → null result
-    val n = Seq[Option[String]](None).toDF("text")
-      .select(columnOf(SimHash16(expressionOf(col("text"))))).head()
-    assert(n.isNullAt(0))
+    // the kernel propagates null; the QUERY's coalesce restores the
+    // composed/oracle behavior (CASE ... ELSE '0' → all-zero hash)
+    val n = Seq[Option[String]](None).toDF("text").select(
+      coalesce(columnOf(SimHash16(expressionOf(col("text")))), lit("0" * 16)).as("kernel"),
+      composedSimhash(col("text")).as("composed")).head()
+    assert(n.getString(0) == "0000000000000000" && n.getString(0) == n.getString(1))
   }
 
   test("min_shingle_fp kernel is bit-identical to the composed transform form") {

@@ -115,6 +115,26 @@ class PlanSpec extends SparkSpec {
     assert(LtssSink.readLayoutMarker(spark, out).get.chunkTimeIntervalUs == 86400000000L)
   }
 
+  test("appending to a legacy marker-less layout does not stamp the appender's interval") {
+    import spark.implicits._
+    import graft.sources.LtssSink
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val out = java.nio.file.Files.createTempDirectory("graft-legacy").toString
+    val df = Seq((ts("2024-01-05 00:00:00"), "a.1", "1", "{}"))
+      .toDF("time", "entity_id", "state", "attributes")
+    // simulate a pre-marker layout: write, then delete the marker
+    LtssSink.writeParquet(df, out)
+    new java.io.File(out, "_ltss_layout.json").delete()
+    // append must succeed but must NOT record this writer's interval as
+    // authoritative — the legacy chunks' true widths are unknown
+    LtssSink.writeParquet(df, out)
+    assert(LtssSink.readLayoutMarker(spark, out).isEmpty)
+    assert(spark.read.parquet(out).count() == 2)
+    // an Overwrite rebuild re-establishes the marker
+    LtssSink.writeParquet(df, out, mode = org.apache.spark.sql.SaveMode.Overwrite)
+    assert(LtssSink.readLayoutMarker(spark, out).nonEmpty)
+  }
+
   test("ltss_json_attr_layout pushes the attr_k predicate into the parquet scan") {
     val df = graft.operators.Queries.jsonAttrLayout.run(spark, "/root/testdata/sf0.001")
     assert(df.count() > 0)

@@ -141,7 +141,9 @@ class TransformSpec extends SparkSpec {
     val cfg = LtssConfig(chunkTimeIntervalUs = 6L * 3600L * 1000000L) // 6h chunks
     val times = Seq(
       "1969-12-31 22:30:00", "1969-12-30 01:15:00", "1970-01-01 03:59:59",
-      "2024-06-15 13:00:00", "2200-01-01 00:00:01")
+      "2024-06-15 13:00:00", "2200-01-01 00:00:01",
+      // past 2^53 µs (~year 2255): exact only under true integer division
+      "2300-07-04 18:00:00", "3000-01-01 00:00:01")
     val df = times.map(t => Tuple1(java.sql.Timestamp.valueOf(t))).toDF("time")
       .select(col("time"), LtssSink.chunkCol(cfg).as("chunk"))
     df.collect().foreach { r =>
