@@ -277,7 +277,96 @@ object TextOps {
       |    FROM documents))
       |ORDER BY doc_id""".stripMargin))
 
+  /** Benchmark-contamination check (decontamination — the step every
+    * training corpus runs against its eval sets): a doc is contaminated
+    * when it shares any distinct 3-word shingle with the benchmark set
+    * (here the deterministic pseudo-benchmark doc_id % 100 == 0; in
+    * production a separate table). Scale shape: distinct shingles
+    * explode once per side, the benchmark side is tiny and broadcasts,
+    * and the overlap count is one map-side-combined aggregation — no
+    * quadratic pass, no full-corpus shuffle of the text. */
+  val contamination = OracleQuery(
+    "contamination_check",
+    (s, d) => {
+      val w = tokens(col("text"))
+      val sh3 = transform(
+        sequence(lit(1), greatest(size(w) - 2, lit(1))),
+        i => concat_ws(" ", try_element_at(w, i), try_element_at(w, i + 1),
+          try_element_at(w, i + 2)))
+      val shingles = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(sh3)).as("sh"))
+      val bench = shingles.filter(col("doc_id") % 100 === 0).select(col("sh")).distinct()
+      val hits = shingles.filter(col("doc_id") % 100 =!= 0)
+        .join(broadcast(bench), "sh")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      Tables.documents(s, d).filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)) > 0).cast("int").as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |           generate_series(1, greatest(len(w) - 2, 1)),
+      |           i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |), bench AS (
+      |  SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0
+      |), hits AS (
+      |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+      |  FROM sh s JOIN bench b ON s.sh = b.sh
+      |  WHERE s.doc_id % 100 <> 0
+      |  GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |       COALESCE(h.n_overlap, 0) AS n_overlap,
+      |       CAST(COALESCE(h.n_overlap, 0) > 0 AS INT) AS contaminated
+      |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      |WHERE d.doc_id % 100 <> 0
+      |ORDER BY d.doc_id""".stripMargin))
+
+  /** Within-doc repetition ratio (the Gopher/C4-style boilerplate
+    * signal): fraction of 2-gram occurrences that are repeats of an
+    * earlier 2-gram in the same doc. Pure per-row expressions —
+    * map-side, shuffle-free, linear at any corpus size. */
+  val repetition = OracleQuery(
+    "repetition_ratio",
+    (s, d) => {
+      val w = tokens(col("text"))
+      val grams = when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws(" ", try_element_at(w, i), try_element_at(w, i + 1))))
+        .otherwise(array())
+      Tables.documents(s, d)
+        .withColumn("n_2grams", size(grams).cast("long"))
+        .withColumn("n_uniq_2grams", size(array_distinct(grams)).cast("long"))
+        .select(col("doc_id"), col("n_2grams"), col("n_uniq_2grams"),
+          when(col("n_2grams") > 0,
+            (col("n_2grams") - col("n_uniq_2grams")).cast("double") /
+              col("n_2grams").cast("double"))
+            .otherwise(lit(0.0d)).as("dup_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, n_2grams, n_uniq_2grams,
+      |       CASE WHEN n_2grams > 0
+      |            THEN CAST(n_2grams - n_uniq_2grams AS DOUBLE) / CAST(n_2grams AS DOUBLE)
+      |            ELSE 0.0 END AS dup_ratio
+      |FROM (
+      |  SELECT doc_id,
+      |         CAST(len(grams) AS BIGINT) AS n_2grams,
+      |         CAST(len(list_distinct(grams)) AS BIGINT) AS n_uniq_2grams
+      |  FROM (
+      |    SELECT doc_id,
+      |           CASE WHEN len(w) >= 2
+      |                THEN list_transform(generate_series(1, len(w) - 1),
+      |                       i -> concat_ws(' ', w[i], w[i+1]))
+      |                ELSE [] END AS grams
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
+      |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(textStats, langId, tokenCount, fingerprint, simhash, textClean,
-      vocabTopk, urlStats, textRedact)
+      vocabTopk, urlStats, textRedact, contamination, repetition)
 }
