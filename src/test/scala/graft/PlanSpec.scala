@@ -210,6 +210,16 @@ class PlanSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("contamination check broadcasts the benchmark side — no full-corpus shuffle join") {
+    val df = graft.operators.TextOps.contamination.run(spark, "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the benchmark shingle set to broadcast; plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus-side shingles must not shuffle into a merge join; plan:\n$plan")
+  }
+
   test("IVF probe scan is partition-pruned to the query's cluster") {
     val df = Similarity.ivfProbe.run(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
