@@ -45,7 +45,8 @@ object StreamingIngest {
       events: DataFrame,
       cfg: LtssConfig,
       outPath: String,
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String,
+      attrKeys: Seq[(String, String)] = Nil): StreamingQuery = {
     if (cfg.dbUrl.startsWith("jdbc:")) LtssSink.bootstrapJdbc(cfg)
     toLtss(events, cfg).writeStream
       .outputMode("append")
@@ -61,7 +62,11 @@ object StreamingIngest {
             System.err.println(s"[ltss-ingest] dropping $bad row(s) with non-JSON attributes")
           val valid = batch.filter(ok)
           if (cfg.dbUrl.startsWith("jdbc:")) LtssSink.writeJdbc(LtssSink.locationToWkt(valid), cfg)
-          else LtssSink.writeParquet(valid, outPath, cfg)
+          // attrKeys: the materialized-key layout (GIN-expression-index
+          // analog) is produced BY INGEST — the sink extracts the typed
+          // attr_<key> columns per batch and the marker guard keeps every
+          // batch's configuration consistent
+          else LtssSink.writeParquet(valid, outPath, cfg, attrKeys = attrKeys)
         } finally batch.unpersist()
       }
       .start()

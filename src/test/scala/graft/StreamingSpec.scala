@@ -46,6 +46,30 @@ class StreamingSpec extends SparkSpec {
     assert(r2.getAs[org.apache.spark.sql.Row]("location") == null)
   }
 
+  test("ingest stream materializes configured attribute keys as typed columns (GIN analog)") {
+    import spark.implicits._
+    val in = tmp("ltss-in-ak"); val out = tmp("ltss-out-ak"); val ckpt = tmp("ltss-ckpt-ak")
+    Files.writeString(java.nio.file.Paths.get(in, "b1.json"),
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":1,"event_type":"a","value":1.0,"props":"{\"k\": 95}"}
+        |{"event_id":2,"ts":"2024-01-01T00:00:01Z","user_id":2,"event_type":"a","value":2.0,"props":"{\"k\": 10}"}
+        |{"event_id":3,"ts":"2024-01-01T00:00:02Z","user_id":3,"event_type":"a","value":3.0,"props":"{}"}
+        |""".stripMargin)
+    val cfg = LtssConfig(enableLocation = false)
+    val q = StreamingIngest.start(StreamingIngest.readJsonEvents(spark, in), cfg, out, ckpt,
+      attrKeys = Seq("k" -> "long"))
+    StreamingIngest.drainAndStop(q)
+    val stored = spark.read.parquet(out)
+    assert(stored.columns.contains("attr_k"))
+    // typed column round-trips; absent key → null; predicate answers
+    // without re-parsing JSON
+    assert(stored.filter(col("attr_k") >= 90).select("entity_id").as[String].collect().toSeq
+      == Seq("a.1"))
+    assert(stored.filter(col("attr_k").isNull).count() == 1)
+    // the marker records the key set, so a mismatched later batch fails loudly
+    assert(graft.sources.LtssSink.readLayoutMarker(spark, out).get.attrKeys
+      == Seq("k" -> "long"))
+  }
+
   test("restart with same checkpoint does not duplicate processed input") {
     val in = tmp("ltss-in2"); val out = tmp("ltss-out2"); val ckpt = tmp("ltss-ckpt2")
     Files.writeString(java.nio.file.Paths.get(in, "b1.json"),
