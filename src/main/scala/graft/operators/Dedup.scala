@@ -366,7 +366,12 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
-    val toks = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    // only HOT docs' tokens are needed — semi-join before the explode so
+    // the verifier never token-explodes the whole corpus (at scale the
+    // hot set is a vanishing fraction of the documents table)
+    val toks = docs
+      .join(hot.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(toks.toDF("a_id", "w"), "a_id")

@@ -139,13 +139,26 @@ object Transform {
   }
 
   /** PK `(time, entity_id)` uniqueness invariant (reference
-    * migrations.py:88-95): deterministic dedup — survivor is the
-    * first row by the given tie-break ordering, expressed as a
-    * row_number window so results are reproducible (unlike
-    * `dropDuplicates`, which keeps an arbitrary row). */
+    * migrations.py:88-95): deterministic dedup — survivor is the first
+    * row by the given tie-break ordering (remaining columns break full
+    * ties, so the survivor is total-order deterministic, unlike
+    * `dropDuplicates`, which keeps an arbitrary row).
+    *
+    * Implemented as ONE hash aggregate taking the lexicographic struct
+    * MIN over (tieBreak ++ value columns): aggregates combine partially
+    * map-side and never sort within groups — at 100 TB this shuffles
+    * one combined row per duplicated PK instead of sorting every
+    * reducer partition the way the row_number-window form does. */
   def dedupByPk(df: DataFrame, tieBreak: Seq[Column]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("time"), col("entity_id")).orderBy(tieBreak: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val valueCols = df.columns.filterNot(c => c == "time" || c == "entity_id").toSeq
+    val packed = struct(
+      (tieBreak ++ valueCols.map(col)).zipWithIndex.map { case (c, i) => c.as(s"f$i") }: _*)
+    df.groupBy(col("time"), col("entity_id"))
+      .agg(min(packed).as("__p"))
+      .select(col("time") +: col("entity_id") +:
+        valueCols.zipWithIndex.map { case (name, j) =>
+          col("__p").getField(s"f${tieBreak.size + j}").as(name)
+        }: _*)
+      .select(df.columns.map(col).toIndexedSeq: _*) // original column order
   }
 }
