@@ -377,6 +377,27 @@ object Queries {
       |FROM d WHERE dist_km <= 2000.0
       |ORDER BY event_id""".stripMargin))
 
+  /** Geo bounding-box query (the `ST_MakeEnvelope && location` /
+    * index-backed region query of the PostGIS surface): pure range
+    * predicates on the extracted lat/lon — sargable, pushes into the
+    * scan, no trig. Nordic-region box over the enriched points. */
+  val geoBbox = OracleQuery(
+    "ltss_geo_bbox",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
+        .filter(col("lat").between(55.0, 71.0) && col("lon").between(4.0, 31.0))
+        .select(col("event_id"), col("lat"), col("lon"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id, lat, lon FROM (
+      |  SELECT event_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      |  FROM events)
+      |WHERE lat BETWEEN 55.0 AND 71.0 AND lon BETWEEN 4.0 AND 31.0
+      |ORDER BY event_id""".stripMargin))
+
   /** The SQL-registered `time_bucket` function (GraftExtensions), driven
     * through `spark.sql` — proves the SparkSessionExtensions surface, not
     * just the Column API. Day buckets over the LTSS mapping. */
@@ -687,6 +708,6 @@ object Queries {
   val all: Seq[OracleQuery] = Seq(
     project, entityFilterQ, history, historyLayout, latest, transitions,
     timeBucketAgg, jsonAttr, jsonAttrLayout, geoWkt, sessionize, dedupPk,
-    projectLocation, geoDistance, timeBucketSqlQ,
+    projectLocation, geoDistance, geoBbox, timeBucketSqlQ,
     domainStatsSalted, asofJoin, rangeJoin, percentiles, histogram, pivotHours, sketches)
 }

@@ -331,6 +331,63 @@ object Similarity {
       |  WHERE a.vec_id <> 0)
       |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin))
 
+  /** Multi-probe IVF (the standard recall knob: nprobe = 2): the query
+    * scans its TWO nearest centroids' partitions instead of one —
+    * partition pruning still applies (an IN-list of partition values),
+    * recall rises at 2/k scan cost. Same materialized layout as
+    * [[ivfProbe]]. */
+  val ivfProbe2 = OracleQuery(
+    "sim_ivf_probe2",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("nrm", DetMath.normCol(col("embedding"), Dim))
+      val cents = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val probeCids = cents.crossJoin(broadcast(q))
+        .withColumn("qcos", DetMath.cosinePre(
+          DetMath.dotCol(col("ce"), col("qe"), Dim), col("cn"), col("qn")))
+        .orderBy(col("qcos").desc, col("cid"))
+        .select(col("cid")).head(2).map(_.getLong(0)).toSeq
+      s.read.parquet(ivfLayoutPath(s, d))
+        .withColumn("cid", col("cid").cast("long"))
+        .filter(col("cid").isin(probeCids: _*) && col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cosine", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("qe"), Dim), col("nrm"), col("qn")))
+        .select(col("cid"), col("vec_id"), col("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(5)
+    },
+    Some(s"""WITH e AS (
+      |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm FROM embeddings
+      |), q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+      |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 4),
+      |qcid AS (
+      |  SELECT cid FROM (
+      |    SELECT cid, ${DetMath.cosinePreSql(DetMath.dotSql("ce", "qe", Dim), "cn", "qn")} AS qcos
+      |    FROM cents, q)
+      |  ORDER BY qcos DESC, cid LIMIT 2
+      |), scored AS (
+      |  SELECT e.vec_id, c.cid,
+      |    ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "c.ce", Dim), "e.nrm", "c.cn")} AS cos
+      |  FROM e, cents c
+      |), assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |    FROM scored) WHERE rn = 1
+      |)
+      |SELECT cid, vec_id, cosine FROM (
+      |  SELECT a.cid, a.vec_id,
+      |         ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "q.qe", Dim), "e.nrm", "q.qn")} AS cosine
+      |  FROM assigned a
+      |  JOIN qcid ON a.cid = qcid.cid
+      |  JOIN e ON e.vec_id = a.vec_id, q
+      |  WHERE a.vec_id <> 0)
+      |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin))
+
   /** Int8 embedding quantization (the 4× storage/bandwidth reduction a
     * 100 TB vector corpus wants before ANN indexing): code = floor(
     * clamp(v,−1,1)·127 + 0.5) per dimension — floor(x+0.5) instead of
@@ -374,5 +431,5 @@ object Similarity {
 
   val all: Seq[OracleQuery] =
     Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, embedNearDupRandomQ,
-      ivfProbe, embedQuantize)
+      ivfProbe, ivfProbe2, embedQuantize)
 }

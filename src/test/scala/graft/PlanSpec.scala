@@ -210,6 +210,36 @@ class PlanSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("bucketed tables co-locate the fact join: no shuffle exchange on either side") {
+    import spark.implicits._
+    // the 100 TB shape for a repeated big-big join: both sides bucketed
+    // on the join key at write time, so the sort-merge join needs no
+    // exchange at read time (bucketing ≙ pre-shuffled storage)
+    val bcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val n = System.nanoTime()
+      val facts = s"graft_facts_$n"
+      val dims = s"graft_dims_$n"
+      spark.range(0, 1000).select($"id" % 50 as "k", $"id" as "v")
+        .write.bucketBy(8, "k").sortBy("k").saveAsTable(facts)
+      spark.range(0, 50).select($"id" as "k",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("d"), $"id") as "name")
+        .write.bucketBy(8, "k").sortBy("k").saveAsTable(dims)
+      try {
+        val joined = spark.table(facts).join(spark.table(dims), "k")
+        assert(joined.count() == 1000)
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed join must not shuffle either side; plan:\n$plan")
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS $facts")
+        spark.sql(s"DROP TABLE IF EXISTS $dims")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastWas)
+  }
+
   test("contamination check broadcasts the benchmark side — no full-corpus shuffle join") {
     val df = graft.operators.TextOps.contamination.run(spark, "/root/testdata/sf0.001")
     df.count()
