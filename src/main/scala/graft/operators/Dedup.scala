@@ -422,6 +422,56 @@ object Dedup {
         |ORDER BY a_id, b_id""".stripMargin
     })
 
+  /** Cross-modal dedup agreement (a curation QA signal): every MinHash-LSH
+    * candidate pair joined to its docs' EMBEDDINGS (vec_id ≙ doc_id) and
+    * scored by exact cosine — pairs where the lexical estimate and the
+    * embedding disagree (high est_jaccard, low cosine, or vice versa)
+    * are the ones a pipeline audits before deleting. Scale shape: the
+    * pair set is already banded/capped; embeddings re-attach by two
+    * key equi-joins (broadcast at small scale, co-partitioned hash at
+    * 100 TB) — never a cross join. */
+  val crosscheck = OracleQuery(
+    "dedup_crosscheck",
+    (s, d) => {
+      import graft.functions.DetMath
+      val dim = 64
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding"), DetMath.normCol(col("embedding"), dim).as("nrm"))
+      lshPairFrame(s, d)
+        .join(e.toDF("a_id", "a_e", "a_n"), "a_id")
+        .join(e.toDF("b_id", "b_e", "b_n"), "b_id")
+        .withColumn("cosine", DetMath.cosinePre(
+          DetMath.dotCol(col("a_e"), col("b_e"), dim), col("a_n"), col("b_n")))
+        .select(col("a_id"), col("b_id"), col("est_jaccard"), col("cosine"),
+          ((col("est_jaccard") >= 0.5) === (col("cosine") >= 0.2)).cast("int").as("agree"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some {
+      import graft.functions.DetMath
+      val dim = 64
+      val matches = (0 until NumHashes)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""$lshGuardedCte,
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST($matches AS DOUBLE) / 8.0 AS est_jaccard
+        |  FROM guarded a JOIN guarded b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |), emb AS (
+        |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", dim)} AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT a_id, b_id, est_jaccard, cosine,
+        |       CAST((est_jaccard >= 0.5) = (cosine >= 0.2) AS INT) AS agree
+        |FROM (
+        |  SELECT p.a_id, p.b_id, p.est_jaccard,
+        |         ${DetMath.cosinePreSql(DetMath.dotSql("ea.embedding", "eb.embedding", dim), "ea.nrm", "eb.nrm")} AS cosine
+        |  FROM pairs p
+        |  JOIN emb ea ON ea.vec_id = p.a_id
+        |  JOIN emb eb ON eb.vec_id = p.b_id)
+        |ORDER BY a_id, b_id""".stripMargin
+    })
+
   /** Exact word-level Jaccard over a bounded candidate set (doc_id < 60):
     * distinct-token self-join → |A∩B| / (|A|+|B|−|A∩B|), exact double
     * division. The LSH query above is the scale path; this is the
@@ -462,5 +512,6 @@ object Dedup {
       |WHERE jaccard >= 0.6
       |ORDER BY a_id, b_id""".stripMargin))
 
-  val all: Seq[OracleQuery] = Seq(exact, minhashSig, minhashLsh, jaccard, clusters, overflowVerify)
+  val all: Seq[OracleQuery] =
+    Seq(exact, minhashSig, minhashLsh, jaccard, clusters, overflowVerify, crosscheck)
 }

@@ -366,7 +366,64 @@ object TextOps {
       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
       |ORDER BY doc_id""".stripMargin))
 
+  /** Composite quality filter (the C4/Gopher-style rule cascade that
+    * decides keep/drop per doc, with the FIRST failing rule as the
+    * auditable reason): too short → too repetitive → too few stopwords →
+    * ok. All signals are per-row expressions already used by
+    * [[textStats]]/[[repetition]] — map-side, shuffle-free; the output
+    * is the curation manifest a 100 TB pipeline writes next to the
+    * corpus. */
+  val qualityFilter = OracleQuery(
+    "quality_filter",
+    (s, d) => {
+      val w = tokens(col("text"))
+      val grams = when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws(" ", try_element_at(w, i), try_element_at(w, i + 1))))
+        .otherwise(array())
+      val nTok = size(w).cast("long")
+      val dupRatio = when(size(grams) > 0,
+        (size(grams) - size(array_distinct(grams))).cast("double") /
+          size(grams).cast("double")).otherwise(lit(0.0d))
+      val swRatio = size(filter(w, x => x.isin("the", "a"))).cast("double") /
+        size(w).cast("double")
+      val verdict = when(nTok < 20, "too_short")
+        .when(dupRatio > 0.05, "too_repetitive")
+        .when(swRatio < 0.01, "low_stopword")
+        .otherwise("ok")
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTok.as("n_tokens"), dupRatio.as("dup_ratio"),
+          swRatio.as("stopword_ratio"), verdict.as("verdict"),
+          (verdict === "ok").cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, n_tokens, dup_ratio, stopword_ratio, verdict,
+      |       CAST(verdict = 'ok' AS INT) AS keep
+      |FROM (
+      |  SELECT doc_id, n_tokens, dup_ratio, stopword_ratio,
+      |         CASE WHEN n_tokens < 20 THEN 'too_short'
+      |              WHEN dup_ratio > 0.05 THEN 'too_repetitive'
+      |              WHEN stopword_ratio < 0.01 THEN 'low_stopword'
+      |              ELSE 'ok' END AS verdict
+      |  FROM (
+      |    SELECT doc_id,
+      |           CAST(len(w) AS BIGINT) AS n_tokens,
+      |           CASE WHEN len(grams) > 0
+      |                THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+      |                     / CAST(len(grams) AS DOUBLE)
+      |                ELSE 0.0 END AS dup_ratio,
+      |           CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE)
+      |             / CAST(len(w) AS DOUBLE) AS stopword_ratio
+      |    FROM (
+      |      SELECT doc_id, w,
+      |             CASE WHEN len(w) >= 2
+      |                  THEN list_transform(generate_series(1, len(w) - 1),
+      |                         i -> concat_ws(' ', w[i], w[i+1]))
+      |                  ELSE [] END AS grams
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))))
+      |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(textStats, langId, tokenCount, fingerprint, simhash, textClean,
-      vocabTopk, urlStats, textRedact, contamination, repetition)
+      vocabTopk, urlStats, textRedact, contamination, repetition, qualityFilter)
 }
