@@ -48,6 +48,23 @@ object StreamingOps {
     ltss.withWatermark("time", watermark)
       .dropDuplicatesWithinWatermark("time", "entity_id")
 
+  /** Gap-based SESSION windows per entity (the streaming twin of the
+    * batch `ltss_sessionize` query): Spark's native `session_window`
+    * merges events within the gap into one growing window per key;
+    * sessions emit in append mode once the watermark passes the gap.
+    * State is bounded by |open sessions|, not history size. */
+  def sessionized(
+      ltss: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    ltss.withWatermark("time", watermark)
+      .groupBy(session_window(col("time"), gap), col("entity_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("entity_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Watermarked tumbling-window counts per domain (the streaming twin of
     * `ltss_time_bucket`): event-time windows, late data admitted up to
     * the watermark, append-mode emission once a window closes. */

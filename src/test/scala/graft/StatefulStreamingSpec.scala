@@ -82,4 +82,34 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(rows.contains((ts("2024-01-01 10:00:00"), "a", 2L)))
     assert(rows.contains((ts("2024-01-01 10:00:00"), "b", 1L)))
   }
+
+  test("gap-based session windows merge within the gap and emit after the watermark") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val df = ms.toDF.toDF("time", "entity_id")
+    val q = StreamingOps.sessionized(df, gap = "30 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_t").outputMode("append").start()
+    try {
+      // a.1: two events 10 min apart (one session), then one 2h later
+      // (a second session); b.1: a single-event session
+      ms.addData(
+        (ts("2024-01-01 10:00:00"), "a.1"),
+        (ts("2024-01-01 10:10:00"), "a.1"),
+        (ts("2024-01-01 10:05:00"), "b.1"))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 12:00:00"), "a.1"))
+      q.processAllAvailable()
+      // advance the watermark far enough to close every session
+      ms.addData((ts("2024-01-01 20:00:00"), "z.1"))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 23:00:00"), "z.1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_t")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    assert(rows.contains(("a.1", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L)),
+      s"merged 2-event session missing: $rows")
+    assert(rows.contains(("a.1", ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00"), 1L)))
+    assert(rows.contains(("b.1", ts("2024-01-01 10:05:00"), ts("2024-01-01 10:35:00"), 1L)))
+  }
 }
