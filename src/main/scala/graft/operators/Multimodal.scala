@@ -112,5 +112,32 @@ object Multimodal {
         |ORDER BY doc_id, frame_idx""".stripMargin))
   }
 
-  val all: Seq[OracleQuery] = Seq(features, frameSample)
+  /** Resize (the image-downscale analog on a 1-D payload): 4:1
+    * nearest-neighbor stride sampling — keep the first of every 4 payload
+    * positions — with the resized length and content hash as the audit
+    * columns. The regex `(.).{0,3}` → `first char` is the deterministic
+    * stand-in where a real resampling codec would sit; per-row, map-side,
+    * linear. Same greedy-quantifier semantics in Java regex and RE2. */
+  val resize = OracleQuery(
+    "multimodal_resize",
+    (s, d) => {
+      val resized = regexp_replace(col("text"), "(.).{0,3}", "$1")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("orig_len"),
+          length(resized).cast("long").as("resized_len"),
+          md5(resized).as("resized_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      |       CAST(length(text) AS BIGINT) AS orig_len,
+      |       CAST(length(resized) AS BIGINT) AS resized_len,
+      |       md5(resized) AS resized_hash
+      |FROM (
+      |  SELECT doc_id, text,
+      |         regexp_replace(text, '(.).{0,3}', '\1', 'g') AS resized
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[OracleQuery] = Seq(features, frameSample, resize)
 }
