@@ -434,7 +434,7 @@ object Dedup {
     "dedup_crosscheck",
     (s, d) => {
       import graft.functions.DetMath
-      val dim = 64
+      val dim = Similarity.Dim
       val e = Tables.embeddings(s, d).select(col("vec_id"),
         col("embedding"), DetMath.normCol(col("embedding"), dim).as("nrm"))
       lshPairFrame(s, d)
@@ -448,7 +448,7 @@ object Dedup {
     },
     Some {
       import graft.functions.DetMath
-      val dim = 64
+      val dim = Similarity.Dim
       val matches = (0 until NumHashes)
         .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
       s"""$lshGuardedCte,

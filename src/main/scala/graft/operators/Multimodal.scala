@@ -115,13 +115,15 @@ object Multimodal {
   /** Resize (the image-downscale analog on a 1-D payload): 4:1
     * nearest-neighbor stride sampling — keep the first of every 4 payload
     * positions — with the resized length and content hash as the audit
-    * columns. The regex `(.).{0,3}` → `first char` is the deterministic
-    * stand-in where a real resampling codec would sit; per-row, map-side,
-    * linear. Same greedy-quantifier semantics in Java regex and RE2. */
+    * columns. The regex is the deterministic stand-in where a real
+    * resampling codec would sit; per-row, map-side, linear. `[\s\S]`
+    * instead of `.`: the engines' dot differ on line terminators (Java
+    * excludes CR, NEL, LS, PS; RE2 excludes only LF), while the explicit
+    * class matches EVERY character identically in both. */
   val resize = OracleQuery(
     "multimodal_resize",
     (s, d) => {
-      val resized = regexp_replace(col("text"), "(.).{0,3}", "$1")
+      val resized = regexp_replace(col("text"), "([\\s\\S])[\\s\\S]{0,3}", "$1")
       Tables.documents(s, d)
         .select(col("doc_id"),
           length(col("text")).cast("long").as("orig_len"),
@@ -135,7 +137,7 @@ object Multimodal {
       |       md5(resized) AS resized_hash
       |FROM (
       |  SELECT doc_id, text,
-      |         regexp_replace(text, '(.).{0,3}', '\1', 'g') AS resized
+      |         regexp_replace(text, '([\s\S])[\s\S]{0,3}', '\1', 'g') AS resized
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin))
 

@@ -72,39 +72,46 @@ object Sampling {
       |ORDER BY lang, rk""".stripMargin))
 
   /** Sequence packing (pretraining-style document concatenation): within
-    * each language, docs concatenate in doc_id order into one token
-    * stream that is cut into fixed 256-token training windows; each doc
+    * each (language, shard) stream, docs concatenate in doc_id order and
+    * the stream is cut into fixed 256-token training windows; each doc
     * reports its stream offset and the window its first token lands in.
-    * Scale shape: the running sum partitions BY LANGUAGE — packing is a
-    * per-shard sequential decision, so the window shuffles once on the
-    * shard key and never serializes the whole corpus through one
-    * partition. (A global stream would; shard-local packing is how
-    * production pipelines keep this parallel.) */
+    * Scale shape: the running sum partitions by (lang, shard) where
+    * shard = doc_id div 100k — packing is a per-shard sequential
+    * decision, so parallelism scales with corpus size (a corpus of 10¹⁰
+    * docs packs over ~10⁵ independent streams per language) instead of
+    * being capped at |languages| reducers, and no stream ever serializes
+    * the whole corpus through one partition. Shard-local packing is how
+    * production pipelines keep this parallel; each shard's windows are a
+    * self-contained training file. */
   val sequencePacking = {
     val budget = 256L
+    val shardDocs = 100000L
     OracleQuery(
       "sequence_packing",
       (s, d) => {
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
         Tables.documents(s, d)
+          .withColumn("shard", expr(s"doc_id div $shardDocs"))
           .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
           .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-          .select(col("lang"), col("doc_id"), col("n_tokens"), col("start_offset"),
+          .select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"),
+            col("start_offset"),
             (col("start_offset") / budget).cast("long").as("seq_id"))
-          .orderBy(col("lang"), col("doc_id"))
+          .orderBy(col("lang"), col("shard"), col("doc_id"))
       },
-      Some(s"""SELECT lang, doc_id, n_tokens, start_offset,
+      Some(s"""SELECT lang, shard, doc_id, n_tokens, start_offset,
         |       CAST(floor(start_offset / $budget) AS BIGINT) AS seq_id
         |FROM (
-        |  SELECT lang, doc_id, n_tokens,
+        |  SELECT lang, shard, doc_id, n_tokens,
         |         CAST(COALESCE(SUM(n_tokens) OVER (
-        |           PARTITION BY lang ORDER BY doc_id
+        |           PARTITION BY lang, shard ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
         |  FROM (
-        |    SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |    SELECT lang, doc_id // $shardDocs AS shard, doc_id,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |    FROM documents))
-        |ORDER BY lang, doc_id""".stripMargin))
+        |ORDER BY lang, shard, doc_id""".stripMargin))
   }
 
   val all: Seq[OracleQuery] = Seq(sampleHash, datasetSplit, topkPerGroup, sequencePacking)

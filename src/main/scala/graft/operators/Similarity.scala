@@ -20,7 +20,10 @@ import graft.functions.DetMath
   */
 object Similarity {
 
-  private val Dim = 64
+  /** Embedding dimensionality of the `embeddings` table (shared by every
+    * consumer of the vectors — e.g. [[Dedup.crosscheck]] — so a fixture
+    * change cannot silently truncate someone's dot products). */
+  val Dim = 64
 
   /** Brute-force cosine top-k: query = embedding of vec_id 0. */
   val cosineTopk = OracleQuery(
@@ -273,8 +276,11 @@ object Similarity {
       assigned.write.mode("overwrite").partitionBy("cid").parquet(p)
     }
 
-  val ivfProbe = OracleQuery(
-    "sim_ivf_probe",
+  /** One builder for single- and multi-probe: `nprobe` nearest centroids
+    * (the recall knob), everything else — centroid argmax, layout scan,
+    * verify — identical by construction so the variants cannot drift. */
+  private def ivfProbeQuery(name: String, nprobe: Int): OracleQuery = OracleQuery(
+    name,
     (s, d) => {
       val emb = Tables.embeddings(s, d)
         .withColumn("nrm", DetMath.normCol(col("embedding"), Dim))
@@ -282,20 +288,20 @@ object Similarity {
         .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"), col("nrm").as("qn"))
-      // probe list: nearest centroid to the query (4-row driver argmax)
-      val qc = cents.crossJoin(broadcast(q))
+      // probe list: nprobe nearest centroids to the query (4-row driver
+      // argmax, exactly as real IVF planners do)
+      val probeCids = cents.crossJoin(broadcast(q))
         .withColumn("qcos", DetMath.cosinePre(
           DetMath.dotCol(col("ce"), col("qe"), Dim), col("cn"), col("qn")))
         .orderBy(col("qcos").desc, col("cid"))
-        .select(col("cid")).head().getLong(0)
-      val layoutPath = ivfLayoutPath(s, d)
-      // the probe: cid filter partition-prunes the layout scan. The
+        .select(col("cid")).head(nprobe).map(_.getLong(0)).toSeq
+      // the probe: the cid IN-list partition-prunes the layout scan. The
       // partition column round-trips through directory names and is
       // inferred as INT — cast back to the written BIGINT so the output
       // schema matches the oracle's
-      s.read.parquet(layoutPath)
+      s.read.parquet(ivfLayoutPath(s, d))
         .withColumn("cid", col("cid").cast("long"))
-        .filter(col("cid") === qc && col("vec_id") =!= 0)
+        .filter(col("cid").isin(probeCids: _*) && col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .withColumn("cosine", DetMath.cosinePre(
           DetMath.dotCol(col("embedding"), col("qe"), Dim), col("nrm"), col("qn")))
@@ -311,7 +317,7 @@ object Similarity {
       |  SELECT cid FROM (
       |    SELECT cid, ${DetMath.cosinePreSql(DetMath.dotSql("ce", "qe", Dim), "cn", "qn")} AS qcos
       |    FROM cents, q)
-      |  ORDER BY qcos DESC, cid LIMIT 1
+      |  ORDER BY qcos DESC, cid LIMIT $nprobe
       |), scored AS (
       |  SELECT e.vec_id, c.cid,
       |    ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "c.ce", Dim), "e.nrm", "c.cn")} AS cos
@@ -331,62 +337,13 @@ object Similarity {
       |  WHERE a.vec_id <> 0)
       |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin))
 
+  val ivfProbe = ivfProbeQuery("sim_ivf_probe", nprobe = 1)
+
   /** Multi-probe IVF (the standard recall knob: nprobe = 2): the query
-    * scans its TWO nearest centroids' partitions instead of one —
-    * partition pruning still applies (an IN-list of partition values),
-    * recall rises at 2/k scan cost. Same materialized layout as
-    * [[ivfProbe]]. */
-  val ivfProbe2 = OracleQuery(
-    "sim_ivf_probe2",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .withColumn("nrm", DetMath.normCol(col("embedding"), Dim))
-      val cents = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qe"), col("nrm").as("qn"))
-      val probeCids = cents.crossJoin(broadcast(q))
-        .withColumn("qcos", DetMath.cosinePre(
-          DetMath.dotCol(col("ce"), col("qe"), Dim), col("cn"), col("qn")))
-        .orderBy(col("qcos").desc, col("cid"))
-        .select(col("cid")).head(2).map(_.getLong(0)).toSeq
-      s.read.parquet(ivfLayoutPath(s, d))
-        .withColumn("cid", col("cid").cast("long"))
-        .filter(col("cid").isin(probeCids: _*) && col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .withColumn("cosine", DetMath.cosinePre(
-          DetMath.dotCol(col("embedding"), col("qe"), Dim), col("nrm"), col("qn")))
-        .select(col("cid"), col("vec_id"), col("cosine"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-        .limit(5)
-    },
-    Some(s"""WITH e AS (
-      |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm FROM embeddings
-      |), q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
-      |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 4),
-      |qcid AS (
-      |  SELECT cid FROM (
-      |    SELECT cid, ${DetMath.cosinePreSql(DetMath.dotSql("ce", "qe", Dim), "cn", "qn")} AS qcos
-      |    FROM cents, q)
-      |  ORDER BY qcos DESC, cid LIMIT 2
-      |), scored AS (
-      |  SELECT e.vec_id, c.cid,
-      |    ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "c.ce", Dim), "e.nrm", "c.cn")} AS cos
-      |  FROM e, cents c
-      |), assigned AS (
-      |  SELECT vec_id, cid FROM (
-      |    SELECT vec_id, cid,
-      |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-      |    FROM scored) WHERE rn = 1
-      |)
-      |SELECT cid, vec_id, cosine FROM (
-      |  SELECT a.cid, a.vec_id,
-      |         ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "q.qe", Dim), "e.nrm", "q.qn")} AS cosine
-      |  FROM assigned a
-      |  JOIN qcid ON a.cid = qcid.cid
-      |  JOIN e ON e.vec_id = a.vec_id, q
-      |  WHERE a.vec_id <> 0)
-      |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin))
+    * scans its TWO nearest centroids' partitions — partition pruning
+    * still applies (an IN-list of partition values), recall rises at
+    * 2/k scan cost. */
+  val ivfProbe2 = ivfProbeQuery("sim_ivf_probe2", nprobe = 2)
 
   /** Int8 embedding quantization (the 4× storage/bandwidth reduction a
     * 100 TB vector corpus wants before ANN indexing): code = floor(

@@ -19,6 +19,20 @@ object TextOps {
     * non-alphanumeric. Same class semantics in Java regex and RE2. */
   val BpeTokenRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
+  /** The stopword set shared by every operator that measures stopword
+    * density ([[textStats]], [[qualityFilter]]) — one definition so a
+    * list change cannot silently diverge the published signals. */
+  val StopWords: Seq[String] = Seq("the", "a")
+
+  /** Adjacent-2-gram list of a token array (empty for <2 tokens) —
+    * shared by [[repetition]] and [[qualityFilter]] so the duplicate-
+    * 2-gram signal and the quality verdict measure the same thing. */
+  private def grams2(w: Column): Column =
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", try_element_at(w, i), try_element_at(w, i + 1))))
+      .otherwise(array())
+
   // --------------------------------------------------------------- queries
 
   /** Per-doc quality metrics: token count, distinct tokens, avg token
@@ -36,7 +50,7 @@ object TextOps {
           size(array_distinct(t)).cast("long").as("n_uniq_tokens"),
           ((length(col("text")) - size(t) + 1).cast("double") / size(t).cast("double"))
             .as("avg_token_len"),
-          (size(filter(t, w => w.isin("the", "a"))).cast("double") / size(t).cast("double"))
+          (size(filter(t, w => w.isin(StopWords: _*))).cast("double") / size(t).cast("double"))
             .as("stopword_ratio"))
         .orderBy(col("doc_id"))
     },
@@ -334,11 +348,7 @@ object TextOps {
   val repetition = OracleQuery(
     "repetition_ratio",
     (s, d) => {
-      val w = tokens(col("text"))
-      val grams = when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1),
-          i => concat_ws(" ", try_element_at(w, i), try_element_at(w, i + 1))))
-        .otherwise(array())
+      val grams = grams2(tokens(col("text")))
       Tables.documents(s, d)
         .withColumn("n_2grams", size(grams).cast("long"))
         .withColumn("n_uniq_2grams", size(array_distinct(grams)).cast("long"))
@@ -377,15 +387,12 @@ object TextOps {
     "quality_filter",
     (s, d) => {
       val w = tokens(col("text"))
-      val grams = when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1),
-          i => concat_ws(" ", try_element_at(w, i), try_element_at(w, i + 1))))
-        .otherwise(array())
+      val grams = grams2(w)
       val nTok = size(w).cast("long")
       val dupRatio = when(size(grams) > 0,
         (size(grams) - size(array_distinct(grams))).cast("double") /
           size(grams).cast("double")).otherwise(lit(0.0d))
-      val swRatio = size(filter(w, x => x.isin("the", "a"))).cast("double") /
+      val swRatio = size(filter(w, x => x.isin(StopWords: _*))).cast("double") /
         size(w).cast("double")
       val verdict = when(nTok < 20, "too_short")
         .when(dupRatio > 0.05, "too_repetitive")

@@ -47,6 +47,10 @@ object StreamingIngest {
       outPath: String,
       checkpoint: String,
       attrKeys: Seq[(String, String)] = Nil): StreamingQuery = {
+    require(attrKeys.isEmpty || !cfg.dbUrl.startsWith("jdbc:"),
+      "attrKeys materializes typed columns in the PARQUET layout only; a JDBC " +
+        "target's schema is fixed by bootstrapJdbc — drop the option or use a " +
+        "parquet outPath")
     if (cfg.dbUrl.startsWith("jdbc:")) LtssSink.bootstrapJdbc(cfg)
     toLtss(events, cfg).writeStream
       .outputMode("append")
