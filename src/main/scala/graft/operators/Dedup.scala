@@ -422,6 +422,89 @@ object Dedup {
         |ORDER BY a_id, b_id""".stripMargin
     })
 
+  /** SimHash near-dup pairs: 16-bit signatures banded into 4×4-bit
+    * blocks; by pigeonhole, any pair within hamming distance ≤ 3 shares
+    * at least one intact block, so candidates come from 4 cheap
+    * equi-joins on tiny band values (never an all-pairs hamming scan)
+    * and the exact hamming distance filters after. The banded-bucket
+    * plan shape is identical to the MinHash LSH join — one hash shuffle
+    * on (band_idx, band_val). The 16-bit width matches the
+    * oracle-reproducible [[graft.functions.SimHash16]]; at corpus scale
+    * the same shape runs with a 64-bit simhash and 16-bit bands so the
+    * band value space (2¹⁶ per band) keeps buckets small — the width is
+    * a parameter of the shape, not of the plan. */
+  val simhashPairs = {
+    val maxHamming = 3
+    // tighter cap than the MinHash join's: a 4-bit band has only 16
+    // possible values, so buckets fill ~60× faster than the 8-hex-char
+    // MinHash bands — the affordable bucket shrinks with the value
+    // space. At production width (64-bit simhash, 16-bit bands) the cap
+    // returns to MaxLshBucket.
+    val maxBucket = 50
+    OracleQuery(
+      "dedup_simhash",
+      (s, d) => {
+        import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+        val sh = coalesce(
+          columnOf(graft.functions.SimHash16(expressionOf(col("text")))), lit("0" * 16))
+        val sigs = Tables.documents(s, d).select(col("doc_id"), sh.as("sh"))
+        // the SAME per-bucket skew cap as the MinHash join: a dominant
+        // signature (boilerplate) would otherwise make one band bucket
+        // quadratic — over-cap buckets are excluded here and belong to
+        // the verify/drop tiers of the [[MaxLshBucket]] policy
+        val wBucket = Window.partitionBy(col("band_idx"), col("band_val"))
+        val banded = sigs.select(col("doc_id"), col("sh"),
+          explode(map((0 until 4).flatMap(b =>
+            Seq(lit(b), substring(col("sh"), b * 4 + 1, 4))): _*))
+            .as(Seq("band_idx", "band_val")))
+          .withColumn("bsz", count(lit(1)).over(wBucket))
+          .filter(col("bsz") <= maxBucket)
+          .drop("bsz")
+        val hamming = (1 to 16)
+          .map(j => when(substring(col("a_sh"), j, 1) =!= substring(col("b_sh"), j, 1), 1)
+            .otherwise(0))
+          .reduceLeft(_ + _)
+        banded.toDF("a_id", "a_sh", "band_idx", "band_val")
+          .join(banded.toDF("b_id", "b_sh", "band_idx", "band_val"),
+            Seq("band_idx", "band_val"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), hamming.as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= maxHamming)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some {
+        // recompute the 16-bit signature in SQL exactly as the `simhash`
+        // oracle does, then the same band join + exact hamming filter
+        val bitExprs = (1 to 16).map { j =>
+          s"""CASE WHEN list_sum(list_transform(string_split(text, ' '),
+             |  t -> CASE WHEN substring(md5(t), $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+             |THEN '1' ELSE '0' END""".stripMargin
+        }.mkString(" || ")
+        val bands = (0 until 4).map(b =>
+          s"SELECT doc_id, sh, $b AS band_idx, substring(sh, ${b * 4 + 1}, 4) AS band_val FROM sigs")
+          .mkString("\n  UNION ALL\n  ")
+        val hamming = (1 to 16)
+          .map(j => s"CASE WHEN substring(a.sh, $j, 1) <> substring(b.sh, $j, 1) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH sigs AS (
+          |  SELECT doc_id, $bitExprs AS sh FROM documents
+          |), bands AS (
+          |  $bands
+          |), guarded AS (
+          |  SELECT * FROM (
+          |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bsz FROM bands)
+          |  WHERE bsz <= $maxBucket
+          |)
+          |SELECT a_id, b_id, hamming FROM (
+          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, $hamming AS hamming
+          |  FROM guarded a JOIN guarded b
+          |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+          |WHERE hamming <= $maxHamming
+          |ORDER BY a_id, b_id""".stripMargin
+      })
+  }
+
   /** Cross-modal dedup agreement (a curation QA signal): every MinHash-LSH
     * candidate pair joined to its docs' EMBEDDINGS (vec_id ≙ doc_id) and
     * scored by exact cosine — pairs where the lexical estimate and the
@@ -513,5 +596,6 @@ object Dedup {
       |ORDER BY a_id, b_id""".stripMargin))
 
   val all: Seq[OracleQuery] =
-    Seq(exact, minhashSig, minhashLsh, jaccard, clusters, overflowVerify, crosscheck)
+    Seq(exact, minhashSig, minhashLsh, jaccard, clusters, overflowVerify, crosscheck,
+      simhashPairs)
 }
