@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The operators COMPOSED: one end-to-end curation DAG — quality filter →
+  * exact-dedup survivor selection → sequence packing — as a single
+  * declarative query. This is the shape a real corpus run takes (each
+  * stage's output feeds the next without materialization), and Catalyst
+  * plans the whole chain as one job graph: the per-row quality signals
+  * stay in the scan stage, the dedup window is one shuffle on the
+  * fingerprint, the packing window one shuffle on (lang, shard). The
+  * stage logic is shared with the standalone operators ([[TextOps]],
+  * [[Sampling]]) so the pipeline cannot drift from its parts. */
+object Pipeline {
+
+  val curate = {
+    val budget = 256L
+    val shardDocs = 100000L
+    OracleQuery(
+      "pipeline_curate",
+      (s, d) => {
+        val g = TextOps.gramStats
+        val nTok = element_at(g, 1)
+        val n2 = element_at(g, 2)
+        val nUniq = element_at(g, 3)
+        val dupRatio = when(n2 > 0,
+          (n2 - nUniq).cast("double") / n2.cast("double")).otherwise(lit(0.0d))
+        val swRatio = TextOps.stopwordCount.cast("double") / nTok.cast("double")
+        // stage 1: quality gate (same rules as quality_filter's verdict)
+        val kept = Tables.documents(s, d)
+          .withColumn("n_tokens", nTok)
+          .filter(nTok >= 20 && dupRatio <= 0.05 && swRatio >= 0.01)
+        // stage 2: exact-dedup survivors (min doc_id per fingerprint)
+        val wFp = Window.partitionBy(col("fp"))
+        val survivors = kept
+          .withColumn("fp", md5(col("text")))
+          .withColumn("mn", min(col("doc_id")).over(wFp))
+          .filter(col("doc_id") === col("mn"))
+        // stage 3: pack the surviving stream into training windows
+        val wPack = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+        survivors
+          .withColumn("shard", expr(s"doc_id div $shardDocs"))
+          .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(wPack), lit(0L)))
+          .select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"),
+            (col("start_offset") / budget).cast("long").as("seq_id"))
+          .orderBy(col("lang"), col("shard"), col("doc_id"))
+      },
+      Some(s"""WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |         CAST(len(w) AS BIGINT) AS n_tokens,
+        |         CASE WHEN len(grams) > 0
+        |              THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+        |                   / CAST(len(grams) AS DOUBLE)
+        |              ELSE 0.0 END AS dup_ratio,
+        |         CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE)
+        |           / CAST(len(w) AS DOUBLE) AS stopword_ratio
+        |  FROM (
+        |    SELECT doc_id, lang, text, w,
+        |           CASE WHEN len(w) >= 2
+        |                THEN list_transform(generate_series(1, len(w) - 1),
+        |                       i -> concat_ws(' ', w[i], w[i+1]))
+        |                ELSE [] END AS grams
+        |    FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents))
+        |), kept AS (
+        |  SELECT doc_id, lang, text, n_tokens FROM scored
+        |  WHERE n_tokens >= 20 AND dup_ratio <= 0.05 AND stopword_ratio >= 0.01
+        |), survivors AS (
+        |  SELECT doc_id, lang, n_tokens FROM (
+        |    SELECT doc_id, lang, n_tokens,
+        |           min(doc_id) OVER (PARTITION BY md5(text)) AS mn
+        |    FROM kept)
+        |  WHERE doc_id = mn
+        |)
+        |SELECT lang, shard, doc_id, n_tokens,
+        |       CAST(floor(start_offset / $budget) AS BIGINT) AS seq_id
+        |FROM (
+        |  SELECT lang, doc_id // $shardDocs AS shard, doc_id, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (
+        |           PARTITION BY lang, doc_id // $shardDocs ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM survivors)
+        |ORDER BY lang, shard, doc_id""".stripMargin))
+  }
+
+  val all: Seq[OracleQuery] = Seq(curate)
+}

@@ -24,14 +24,26 @@ object TextOps {
     * list change cannot silently diverge the published signals. */
   val StopWords: Seq[String] = Seq("the", "a")
 
-  /** Adjacent-2-gram list of a token array (empty for <2 tokens) —
-    * shared by [[repetition]] and [[qualityFilter]] so the duplicate-
-    * 2-gram signal and the quality verdict measure the same thing. */
-  private def grams2(w: Column): Column =
-    when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", try_element_at(w, i), try_element_at(w, i + 1))))
-      .otherwise(array())
+  /** [n_tokens, n_2grams, n_uniq_2grams] of the `text` column via the
+    * native [[graft.functions.Gram2Stats]] kernel — shared by
+    * [[repetition]], [[qualityFilter]] and the composed pipeline so the
+    * duplicate-2-gram signal and every consumer measure the same thing.
+    * The composed `transform(sequence(...))` + `array_distinct` form is
+    * an interpreted HOF costing ~ms per row — a 100 TB quality-gate
+    * bottleneck (and invisible to `count()`-based benching, which prunes
+    * unfiltered projections). */
+  private[operators] def gramStats: Column = {
+    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+    columnOf(graft.functions.Gram2Stats(expressionOf(col("text"))))
+  }
+
+  /** Stopword occurrences of `text` via the native
+    * [[graft.functions.TokenSetCount]] kernel (replaces the interpreted
+    * `size(filter(w, _.isin(...)))` HOF). */
+  private[operators] def stopwordCount: Column = {
+    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+    columnOf(graft.functions.TokenSetCount(expressionOf(col("text")), StopWords))
+  }
 
   // --------------------------------------------------------------- queries
 
@@ -50,7 +62,7 @@ object TextOps {
           size(array_distinct(t)).cast("long").as("n_uniq_tokens"),
           ((length(col("text")) - size(t) + 1).cast("double") / size(t).cast("double"))
             .as("avg_token_len"),
-          (size(filter(t, w => w.isin(StopWords: _*))).cast("double") / size(t).cast("double"))
+          (stopwordCount.cast("double") / size(t).cast("double"))
             .as("stopword_ratio"))
         .orderBy(col("doc_id"))
     },
@@ -73,9 +85,10 @@ object TextOps {
     OracleQuery(
       "lang_id",
       (s, d) => {
-        val t = tokens(col("text"))
+        import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
         val scored = markers.foldLeft(Tables.documents(s, d)) { case (df, (lang, ws)) =>
-          df.withColumn(s"c_$lang", size(filter(t, w => w.isin(ws: _*))).cast("long"))
+          df.withColumn(s"c_$lang",
+            columnOf(graft.functions.TokenSetCount(expressionOf(col("text")), ws)))
         }
         val best = markers.map(_._1).foldRight(lit("und")) { case (lang, acc) =>
           when(col(s"c_$lang") > 0 &&
@@ -348,10 +361,10 @@ object TextOps {
   val repetition = OracleQuery(
     "repetition_ratio",
     (s, d) => {
-      val grams = grams2(tokens(col("text")))
+      val g = gramStats
       Tables.documents(s, d)
-        .withColumn("n_2grams", size(grams).cast("long"))
-        .withColumn("n_uniq_2grams", size(array_distinct(grams)).cast("long"))
+        .withColumn("n_2grams", element_at(g, 2))
+        .withColumn("n_uniq_2grams", element_at(g, 3))
         .select(col("doc_id"), col("n_2grams"), col("n_uniq_2grams"),
           when(col("n_2grams") > 0,
             (col("n_2grams") - col("n_uniq_2grams")).cast("double") /
@@ -386,14 +399,13 @@ object TextOps {
   val qualityFilter = OracleQuery(
     "quality_filter",
     (s, d) => {
-      val w = tokens(col("text"))
-      val grams = grams2(w)
-      val nTok = size(w).cast("long")
-      val dupRatio = when(size(grams) > 0,
-        (size(grams) - size(array_distinct(grams))).cast("double") /
-          size(grams).cast("double")).otherwise(lit(0.0d))
-      val swRatio = size(filter(w, x => x.isin(StopWords: _*))).cast("double") /
-        size(w).cast("double")
+      val g = gramStats
+      val nTok = element_at(g, 1)
+      val n2 = element_at(g, 2)
+      val nUniq = element_at(g, 3)
+      val dupRatio = when(n2 > 0,
+        (n2 - nUniq).cast("double") / n2.cast("double")).otherwise(lit(0.0d))
+      val swRatio = stopwordCount.cast("double") / nTok.cast("double")
       val verdict = when(nTok < 20, "too_short")
         .when(dupRatio > 0.05, "too_repetitive")
         .when(swRatio < 0.01, "low_stopword")

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, MicrosToTimestamp, Pmod, Subtract, UnixMicros}
-import graft.functions.{DotF64, Haversine, IsValidJson, MinHash8, MinShingleFp, PopLatLon, SimHash16}
+import graft.functions.{DotF64, Gram2Stats, Haversine, IsValidJson, MinHash8, MinShingleFp, PopLatLon, SimHash16, TokenSetCount}
 
 /** Catalyst extension point: registers graft's SQL functions so the full
   * surface is reachable from `spark.sql(...)`, not only the Column API.
@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotF64Fn)
     ext.injectFunction(GraftExtensions.simhash16Fn)
     ext.injectFunction(GraftExtensions.minShingleFpFn)
+    ext.injectFunction(GraftExtensions.gram2StatsFn)
+    ext.injectFunction(GraftExtensions.tokenSetCountFn)
   }
 }
 
@@ -85,6 +87,19 @@ object GraftExtensions {
     (args: Seq[Expression]) => MinShingleFp(args(0),
       args(1).eval().asInstanceOf[Number].intValue()))
 
+  val gram2StatsFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("gram2_stats"),
+    new ExpressionInfo(classOf[Gram2Stats].getName, "gram2_stats"),
+    (args: Seq[Expression]) => Gram2Stats(args.head))
+
+  /** `token_set_count(text, word1, word2, ...)` — the word literals are
+    * folded into the expression instance at resolution time. */
+  val tokenSetCountFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("token_set_count"),
+    new ExpressionInfo(classOf[TokenSetCount].getName, "token_set_count"),
+    (args: Seq[Expression]) => TokenSetCount(args.head,
+      args.tail.map(_.eval().toString)))
+
   /** Idempotent registration on an already-built session. */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -105,5 +120,9 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("min_shingle_fp",
       args => MinShingleFp(args(0), args(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    reg.createOrReplaceTempFunction("gram2_stats",
+      args => Gram2Stats(args.head), "built-in")
+    reg.createOrReplaceTempFunction("token_set_count",
+      args => TokenSetCount(args.head, args.tail.map(_.eval().toString)), "built-in")
   }
 }

@@ -70,4 +70,20 @@ object KernelPropertySpec extends Properties("TextHashKernels") {
     val got = TextHash.minhash8(UTF8String.fromString(s))
     (0 until 8).map(i => got.getUTF8String(i).toString) == refMinhash8(s)
   }
+
+  property("gram2_stats kernel == reference") = forAll(doc) { s =>
+    val w = toks(s)
+    val grams = if (w.length < 2) Seq.empty[String]
+      else (0 until w.length - 1).map(i => s"${w(i)} ${w(i + 1)}")
+    val got = TextHash.gram2Stats(UTF8String.fromString(s))
+    (got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((w.length.toLong, grams.length.toLong, grams.distinct.length.toLong))
+  }
+
+  property("token_set_count kernel == reference") = forAll(doc) { s =>
+    val words = Seq("the", "a", "æøå")
+    val ref = toks(s).count(words.contains).toLong
+    TextHash.tokenSetCount(UTF8String.fromString(s),
+      words.map(_.getBytes("UTF-8")).toArray) == ref
+  }
 }
