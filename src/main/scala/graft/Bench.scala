@@ -7,7 +7,18 @@ import org.apache.spark.sql.SparkSession
   * JSON result line printed AND written to bench_out.json (sbt's [info]
   * prefix on stdout defeats line parsers — the file is authoritative).
   * A failed query is reported in an `errors` object with its elapsed
-  * time still counted in the total; it is never silently subtracted. */
+  * time still counted in the total; it is never silently subtracted.
+  *
+  * Timing semantics: each query is driven by `count()`, the same action
+  * every round (and the recorded baseline) used — numbers are
+  * comparable across rounds. Note count() PRUNES unfiltered
+  * projections, so for pure-map queries it measures the scan+filter
+  * skeleton, not the projection arithmetic; queries whose projections
+  * are load-bearing (filters, joins, windows, aggregates — most of the
+  * suite) evaluate fully. The projection hot loops are native kernels
+  * regardless (functions/TextHash.scala), measured explicitly by
+  * KernelPropertySpec and exercised end-to-end by `pipeline_curate`,
+  * where the quality signals sit in a filter and cannot be pruned. */
 object Bench {
 
   private def q(s: String): String = "\"" + s.flatMap {
