@@ -92,6 +92,17 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("quality-signal queries run the stats kernels — no interpreted HOF in their plans") {
+    for (q <- Seq(graft.operators.TextOps.repetition, graft.operators.TextOps.qualityFilter,
+        graft.operators.TextOps.langId, graft.operators.Pipeline.curate)) {
+      val plan = q.run(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      assert(!plan.contains("lambdafunction"),
+        s"${q.name}: interpreted lambda leaked into the plan:\n$plan")
+      assert(plan.contains("gram2_stats") || plan.contains("token_set_count"),
+        s"${q.name}: stats kernel missing from the plan:\n$plan")
+    }
+  }
+
   test("kernels are reachable from spark.sql via GraftExtensions") {
     graft.plans.GraftExtensions.install(spark)
     fixtures.toDF("text").createOrReplaceTempView("kernel_docs")
