@@ -181,6 +181,38 @@ object TextHash {
     new GenericArrayData(Array[Any](nTokens.toLong, n2, uniq))
   }
 
+  /** k-word shingle list in ONE compiled pass: each shingle is the
+    * contiguous byte span from token i's start to token i+k−1's end
+    * (single-space separation), so no concatenation happens at all —
+    * matching `concat_ws(' ', w[i], ..., w[i+k-1])` with out-of-range
+    * elements skipped. Fewer than k tokens → one shingle = the whole
+    * text. Replaces the interpreted `transform(sequence(...))` HOF in
+    * the shingle-explode operators. */
+  def shinglesK(text: UTF8String, k: Int): ArrayData = {
+    if (text == null) return null
+    val bytes = text.getBytes
+    var n = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' '.toByte) n += 1; i += 1 }
+    if (n <= k) return new GenericArrayData(Array[Any](text.copy()))
+    val starts = new Array[Int](n)
+    var idx = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) { starts(idx) = i + 1; idx += 1 }
+      i += 1
+    }
+    def tokenEnd(t: Int): Int = if (t < n - 1) starts(t + 1) - 1 else bytes.length
+    val out = new Array[Any](n - k + 1)
+    var t = 0
+    while (t <= n - k) {
+      out(t) = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, starts(t), tokenEnd(t + k - 1)))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of tokens contained in a fixed word set, one compiled pass —
     * replaces the interpreted `size(filter(w, _.isin(...)))` HOF in the
     * stopword-density signals. */
@@ -373,6 +405,32 @@ case class TokenSetCount(child: Expression, words: Seq[String])
     copy(child = newChild)
 
   override def prettyName: String = "token_set_count"
+}
+
+/** `shingles_k(text, k)` → ARRAY<STRING> of k-word shingles as a native
+  * expression — byte-span extraction, no per-element lambda. */
+case class ShinglesK(child: Expression, k: Int)
+    extends UnaryExpression with Serializable {
+
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingles_k expects STRING, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.shinglesK(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shinglesK($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingles_k"
 }
 
 /** `min_shingle_fp(text, k)` as a native expression — one md5 per shingle

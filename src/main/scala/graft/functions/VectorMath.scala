@@ -20,6 +20,35 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * the kernel returns null for those inputs rather than silently
   * truncating. */
 object VectorMath {
+
+  /** Int8 quantization kernel: codes = floor(clamp(v,−1,1)·127 + 0.5)
+    * per dimension plus the max absolute reconstruction error, ONE
+    * compiled pass. The composed form (`transform` + `zip_with` +
+    * `aggregate`) is three interpreted HOF traversals per vector with
+    * two intermediate arrays. fp ops mirror the SQL tree exactly:
+    * clamp = greatest(−1, least(1, v)), floor(x·127+0.5),
+    * err = |clamp − code/127.0|, max seeded at 0.0. Null element →
+    * null result (SQL null propagation). */
+  def quantizeI8(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    if (a == null) return null
+    val n = a.numElements()
+    val codes = new Array[Any](n)
+    var maxErr = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val v = a.getFloat(i).toDouble
+      val c = math.max(-1.0, math.min(1.0, v))
+      val code = math.floor(c * 127.0 + 0.5).toInt
+      codes(i) = code
+      val err = math.abs(c - code.toDouble / 127.0)
+      if (err > maxErr) maxErr = err
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new org.apache.spark.sql.catalyst.util.GenericArrayData(codes), maxErr))
+  }
+
   /** Boxed result: null when either array is shorter than `dim` or any
     * read element is null — matching SQL null propagation. */
   def dotF64OrNull(a: ArrayData, b: ArrayData, dim: Int): java.lang.Double = {
@@ -33,6 +62,47 @@ object VectorMath {
     }
     java.lang.Double.valueOf(acc)
   }
+}
+
+/** `quantize_i8(embedding)` → STRUCT<codes: ARRAY<INT>, max_abs_err:
+  * DOUBLE> as a native expression. */
+case class QuantizeI8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("codes", ArrayType(
+      org.apache.spark.sql.types.IntegerType)),
+    org.apache.spark.sql.types.StructField("max_abs_err", DoubleType)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_i8 expects ARRAY<FLOAT>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorMath.quantizeI8(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val row = ctx.freshName("qRow")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $row =
+         |  graft.functions.VectorMath.quantizeI8($a);
+         |if ($row == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $row;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "quantize_i8"
 }
 
 /** `dot_f64(a, b, dim)` over two ARRAY<FLOAT> columns → DOUBLE. */

@@ -354,21 +354,14 @@ object Similarity {
   val embedQuantize = OracleQuery(
     "embed_quantize",
     (s, d) => {
-      val q = transform(col("embedding"), v => {
-        val c = greatest(lit(-1.0d), least(lit(1.0d), v.cast("double")))
-        floor(c * 127.0d + 0.5d).cast("int")
-      })
-      val err = aggregate(
-        zip_with(col("embedding"), col("codes"), (v, c) => {
-          val clamped = greatest(lit(-1.0d), least(lit(1.0d), v.cast("double")))
-          abs(clamped - c.cast("double") / 127.0d)
-        }),
-        lit(0.0d), (acc, e) => greatest(acc, e))
+      // native QuantizeI8 kernel — one compiled pass (the composed
+      // transform + zip_with + aggregate form is three interpreted HOF
+      // traversals with two intermediate arrays per vector)
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
       Tables.embeddings(s, d)
-        .withColumn("codes", q)
-        .withColumn("max_abs_err", err)
-        .select(col("vec_id"), element_at(col("codes"), 1).as("c1"),
-          element_at(col("codes"), 2).as("c2"), col("max_abs_err"))
+        .withColumn("q", columnOf(graft.functions.QuantizeI8(expressionOf(col("embedding")))))
+        .select(col("vec_id"), element_at(col("q.codes"), 1).as("c1"),
+          element_at(col("q.codes"), 2).as("c2"), col("q.max_abs_err").as("max_abs_err"))
         .orderBy(col("vec_id"))
     },
     Some("""SELECT vec_id, codes[1] AS c1, codes[2] AS c2,

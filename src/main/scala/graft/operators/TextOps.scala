@@ -315,11 +315,9 @@ object TextOps {
   val contamination = OracleQuery(
     "contamination_check",
     (s, d) => {
-      val w = tokens(col("text"))
-      val sh3 = transform(
-        sequence(lit(1), greatest(size(w) - 2, lit(1))),
-        i => concat_ws(" ", try_element_at(w, i), try_element_at(w, i + 1),
-          try_element_at(w, i + 2)))
+      // native ShinglesK kernel: byte-span 3-grams, no interpreted HOF
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      val sh3 = columnOf(graft.functions.ShinglesK(expressionOf(col("text")), 3))
       val shingles = Tables.documents(s, d)
         .select(col("doc_id"), explode(array_distinct(sh3)).as("sh"))
       val bench = shingles.filter(col("doc_id") % 100 === 0).select(col("sh")).distinct()

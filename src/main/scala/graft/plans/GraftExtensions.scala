@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, MicrosToTimestamp, Pmod, Subtract, UnixMicros}
-import graft.functions.{DotF64, Gram2Stats, Haversine, IsValidJson, MinHash8, MinShingleFp, PopLatLon, SimHash16, TokenSetCount}
+import graft.functions.{DotF64, Gram2Stats, Haversine, IsValidJson, MinHash8, MinShingleFp, PopLatLon, QuantizeI8, ShinglesK, SimHash16, TokenSetCount}
 
 /** Catalyst extension point: registers graft's SQL functions so the full
   * surface is reachable from `spark.sql(...)`, not only the Column API.
@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minShingleFpFn)
     ext.injectFunction(GraftExtensions.gram2StatsFn)
     ext.injectFunction(GraftExtensions.tokenSetCountFn)
+    ext.injectFunction(GraftExtensions.shinglesKFn)
+    ext.injectFunction(GraftExtensions.quantizeI8Fn)
   }
 }
 
@@ -100,6 +102,17 @@ object GraftExtensions {
     (args: Seq[Expression]) => TokenSetCount(args.head,
       args.tail.map(_.eval().toString)))
 
+  val shinglesKFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingles_k"),
+    new ExpressionInfo(classOf[ShinglesK].getName, "shingles_k"),
+    (args: Seq[Expression]) => ShinglesK(args(0),
+      args(1).eval().asInstanceOf[Number].intValue()))
+
+  val quantizeI8Fn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("quantize_i8"),
+    new ExpressionInfo(classOf[QuantizeI8].getName, "quantize_i8"),
+    (args: Seq[Expression]) => QuantizeI8(args.head))
+
   /** Idempotent registration on an already-built session. */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -124,5 +137,10 @@ object GraftExtensions {
       args => Gram2Stats(args.head), "built-in")
     reg.createOrReplaceTempFunction("token_set_count",
       args => TokenSetCount(args.head, args.tail.map(_.eval().toString)), "built-in")
+    reg.createOrReplaceTempFunction("shingles_k",
+      args => ShinglesK(args(0), args(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    reg.createOrReplaceTempFunction("quantize_i8",
+      args => QuantizeI8(args.head), "built-in")
   }
 }

@@ -86,4 +86,32 @@ object KernelPropertySpec extends Properties("TextHashKernels") {
     TextHash.tokenSetCount(UTF8String.fromString(s),
       words.map(_.getBytes("UTF-8")).toArray) == ref
   }
+
+  property("shingles_k kernel == reference for k in 1..6") =
+    forAll(doc, Gen.choose(1, 6)) { (s, k) =>
+      val w = toks(s)
+      val ref =
+        if (w.length <= k) Seq(w.mkString(" "))
+        else (0 to w.length - k).map(i => w.slice(i, i + k).mkString(" "))
+      val got = TextHash.shinglesK(UTF8String.fromString(s), k)
+      (0 until got.numElements()).map(i => got.getUTF8String(i).toString) == ref
+    }
+
+  property("quantize_i8 kernel == reference") =
+    forAll(Gen.listOf(Gen.chooseNum(-2.0f, 2.0f))) { vs =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        vs.map(v => v: Any).toArray)
+      val got = graft.functions.VectorMath.quantizeI8(arr)
+      val codes = got.getArray(0)
+      val refCodes = vs.map { v =>
+        val c = math.max(-1.0, math.min(1.0, v.toDouble))
+        math.floor(c * 127.0 + 0.5).toInt
+      }
+      val refErr = vs.zip(refCodes).map { case (v, code) =>
+        val c = math.max(-1.0, math.min(1.0, v.toDouble))
+        math.abs(c - code.toDouble / 127.0)
+      }.foldLeft(0.0)(math.max)
+      (0 until codes.numElements()).map(codes.getInt) == refCodes &&
+        got.getDouble(1) == refErr
+    }
 }
