@@ -27,8 +27,11 @@ object VectorMath {
     * `aggregate`) is three interpreted HOF traversals per vector with
     * two intermediate arrays. fp ops mirror the SQL tree exactly:
     * clamp = greatest(−1, least(1, v)), floor(x·127+0.5),
-    * err = |clamp − code/127.0|, max seeded at 0.0. Null element →
-    * null result (SQL null propagation). */
+    * err = |clamp − code/127.0|, max seeded at 0.0. Per-element null/NaN
+    * semantics match the composed form it replaced: a NULL element
+    * yields a NULL code and is skipped by the error max (SQL
+    * least/greatest skip nulls); a NaN element clamps to 1.0 → code 127
+    * (Spark's least/greatest order NaN greater than every value). */
   def quantizeI8(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     if (a == null) return null
     val n = a.numElements()
@@ -36,13 +39,14 @@ object VectorMath {
     var maxErr = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i)) return null
-      val v = a.getFloat(i).toDouble
-      val c = math.max(-1.0, math.min(1.0, v))
-      val code = math.floor(c * 127.0 + 0.5).toInt
-      codes(i) = code
-      val err = math.abs(c - code.toDouble / 127.0)
-      if (err > maxErr) maxErr = err
+      if (!a.isNullAt(i)) {
+        val v = a.getFloat(i).toDouble
+        val c = if (v.isNaN) 1.0 else math.max(-1.0, math.min(1.0, v))
+        val code = math.floor(c * 127.0 + 0.5).toInt
+        codes(i) = code
+        val err = math.abs(c - code.toDouble / 127.0)
+        if (err > maxErr) maxErr = err
+      }
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

@@ -422,24 +422,34 @@ object Dedup {
         |ORDER BY a_id, b_id""".stripMargin
     })
 
-  /** SimHash near-dup pairs: 16-bit signatures banded into 4×4-bit
-    * blocks; by pigeonhole, any pair within hamming distance ≤ 3 shares
-    * at least one intact block, so candidates come from 4 cheap
-    * equi-joins on tiny band values (never an all-pairs hamming scan)
-    * and the exact hamming distance filters after. The banded-bucket
-    * plan shape is identical to the MinHash LSH join — one hash shuffle
-    * on (band_idx, band_val). The 16-bit width matches the
-    * oracle-reproducible [[graft.functions.SimHash16]]; at corpus scale
-    * the same shape runs with a 64-bit simhash and 16-bit bands so the
-    * band value space (2¹⁶ per band) keeps buckets small — the width is
-    * a parameter of the shape, not of the plan. */
+  private var lastSimhashSigs: Option[DataFrame] = None
+
+  /** SimHash near-dup pairs, TWO complementary tiers:
+    *
+    *  - **banded tier** (hamming 1–3 recall): 16-bit signatures split
+    *    into 4×4-bit blocks; by pigeonhole any pair within hamming ≤ 3
+    *    shares an intact block, so candidates come from equi-joins on
+    *    band values — capped per bucket, because a dominant signature
+    *    would make one bucket quadratic;
+    *  - **exact-signature star tier** (hamming-0 guarantee): every doc
+    *    with a non-minimal doc_id in its signature group pairs with the
+    *    group's min — LINEAR in group size and cap-independent, so
+    *    exact duplicates are NEVER lost no matter how hot their
+    *    buckets. Hot-bucket pairs at hamming 1–3 beyond the cap are the
+    *    deliberately-dropped tier (boilerplate), mirroring the MinHash
+    *    policy ([[MaxLshBucket]]).
+    *
+    * The 16-bit width matches the oracle-reproducible
+    * [[graft.functions.SimHash16]]; at corpus scale the same shape runs
+    * with a 64-bit simhash and 16-bit bands (band space 2¹⁶, cap back
+    * at [[MaxLshBucket]]) — width is a parameter, not a plan change.
+    * The signature frame is computed once (fanned-out scan, persisted)
+    * and shared by both tiers and both sides of the band join. */
   val simhashPairs = {
     val maxHamming = 3
     // tighter cap than the MinHash join's: a 4-bit band has only 16
     // possible values, so buckets fill ~60× faster than the 8-hex-char
-    // MinHash bands — the affordable bucket shrinks with the value
-    // space. At production width (64-bit simhash, 16-bit bands) the cap
-    // returns to MaxLshBucket.
+    // MinHash bands — the affordable bucket shrinks with the value space
     val maxBucket = 50
     OracleQuery(
       "dedup_simhash",
@@ -447,11 +457,15 @@ object Dedup {
         import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
         val sh = coalesce(
           columnOf(graft.functions.SimHash16(expressionOf(col("text")))), lit("0" * 16))
-        val sigs = Tables.documents(s, d).select(col("doc_id"), sh.as("sh"))
-        // the SAME per-bucket skew cap as the MinHash join: a dominant
-        // signature (boilerplate) would otherwise make one band bucket
-        // quadratic — over-cap buckets are excluded here and belong to
-        // the verify/drop tiers of the [[MaxLshBucket]] policy
+        val sigs = Tables.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"), sh.as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        synchronized {
+          lastSimhashSigs
+            .filterNot(_.queryExecution.analyzed.sameResult(sigs.queryExecution.analyzed))
+            .foreach(_.unpersist(blocking = false))
+          lastSimhashSigs = Some(sigs)
+        }
         val wBucket = Window.partitionBy(col("band_idx"), col("band_val"))
         val banded = sigs.select(col("doc_id"), col("sh"),
           explode(map((0 until 4).flatMap(b =>
@@ -464,13 +478,18 @@ object Dedup {
           .map(j => when(substring(col("a_sh"), j, 1) =!= substring(col("b_sh"), j, 1), 1)
             .otherwise(0))
           .reduceLeft(_ + _)
-        banded.toDF("a_id", "a_sh", "band_idx", "band_val")
+        val bandPairs = banded.toDF("a_id", "a_sh", "band_idx", "band_val")
           .join(banded.toDF("b_id", "b_sh", "band_idx", "band_val"),
             Seq("band_idx", "band_val"))
           .filter(col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"), hamming.as("hamming"))
-          .distinct()
           .filter(col("hamming") <= maxHamming)
+        val starPairs = sigs
+          .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(col("sh"))))
+          .filter(col("doc_id") =!= col("mn"))
+          .select(col("mn").as("a_id"), col("doc_id").as("b_id"), lit(0).as("hamming"))
+        bandPairs.union(starPairs)
+          .distinct()
           .orderBy(col("a_id"), col("b_id"))
       },
       Some {
@@ -495,12 +514,19 @@ object Dedup {
           |  SELECT * FROM (
           |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bsz FROM bands)
           |  WHERE bsz <= $maxBucket
+          |), band_pairs AS (
+          |  SELECT a_id, b_id, hamming FROM (
+          |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, $hamming AS hamming
+          |    FROM guarded a JOIN guarded b
+          |      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+          |  WHERE hamming <= $maxHamming
+          |), star_pairs AS (
+          |  SELECT mn AS a_id, doc_id AS b_id, 0 AS hamming FROM (
+          |    SELECT doc_id, min(doc_id) OVER (PARTITION BY sh) AS mn FROM sigs)
+          |  WHERE doc_id <> mn
           |)
-          |SELECT a_id, b_id, hamming FROM (
-          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, $hamming AS hamming
-          |  FROM guarded a JOIN guarded b
-          |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
-          |WHERE hamming <= $maxHamming
+          |SELECT DISTINCT a_id, b_id, hamming FROM (
+          |  SELECT * FROM band_pairs UNION ALL SELECT * FROM star_pairs)
           |ORDER BY a_id, b_id""".stripMargin
       })
   }

@@ -16,8 +16,8 @@ import graft.Tables
 object Pipeline {
 
   val curate = {
-    val budget = 256L
-    val shardDocs = 100000L
+    val budget = Sampling.PackBudget
+    val shardDocs = Sampling.ShardDocs
     OracleQuery(
       "pipeline_curate",
       (s, d) => {
@@ -28,10 +28,12 @@ object Pipeline {
         val dupRatio = when(n2 > 0,
           (n2 - nUniq).cast("double") / n2.cast("double")).otherwise(lit(0.0d))
         val swRatio = TextOps.stopwordCount.cast("double") / nTok.cast("double")
-        // stage 1: quality gate (same rules as quality_filter's verdict)
+        // stage 1: quality gate (the same shared thresholds as
+        // quality_filter's verdict — keep ⇔ verdict = 'ok')
         val kept = Tables.documents(s, d)
           .withColumn("n_tokens", nTok)
-          .filter(nTok >= 20 && dupRatio <= 0.05 && swRatio >= 0.01)
+          .filter(nTok >= TextOps.MinTokens && dupRatio <= TextOps.MaxDupRatio &&
+            swRatio >= TextOps.MinStopwordRatio)
         // stage 2: exact-dedup survivors (min doc_id per fingerprint)
         val wFp = Window.partitionBy(col("fp"))
         val survivors = kept
@@ -66,7 +68,8 @@ object Pipeline {
         |    FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents))
         |), kept AS (
         |  SELECT doc_id, lang, text, n_tokens FROM scored
-        |  WHERE n_tokens >= 20 AND dup_ratio <= 0.05 AND stopword_ratio >= 0.01
+        |  WHERE n_tokens >= ${TextOps.MinTokens} AND dup_ratio <= ${TextOps.MaxDupRatio}
+        |    AND stopword_ratio >= ${TextOps.MinStopwordRatio}
         |), survivors AS (
         |  SELECT doc_id, lang, n_tokens FROM (
         |    SELECT doc_id, lang, n_tokens,

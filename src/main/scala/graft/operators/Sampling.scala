@@ -83,9 +83,14 @@ object Sampling {
     * the whole corpus through one partition. Shard-local packing is how
     * production pipelines keep this parallel; each shard's windows are a
     * self-contained training file. */
+  /** Packing parameters shared with the composed [[Pipeline.curate]] —
+    * one definition so a retune cannot desynchronize the two. */
+  val PackBudget = 256L
+  val ShardDocs = 100000L
+
   val sequencePacking = {
-    val budget = 256L
-    val shardDocs = 100000L
+    val budget = PackBudget
+    val shardDocs = ShardDocs
     OracleQuery(
       "sequence_packing",
       (s, d) => {

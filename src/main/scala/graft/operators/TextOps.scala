@@ -24,6 +24,13 @@ object TextOps {
     * list change cannot silently diverge the published signals. */
   val StopWords: Seq[String] = Seq("the", "a")
 
+  /** Quality-gate thresholds shared by [[qualityFilter]] and the
+    * composed [[Pipeline.curate]] — one definition so a retune cannot
+    * desynchronize the standalone verdict from the pipeline's filter. */
+  val MinTokens = 20L
+  val MaxDupRatio = 0.05
+  val MinStopwordRatio = 0.01
+
   /** [n_tokens, n_2grams, n_uniq_2grams] of the `text` column via the
     * native [[graft.functions.Gram2Stats]] kernel — shared by
     * [[repetition]], [[qualityFilter]] and the composed pipeline so the
@@ -404,9 +411,9 @@ object TextOps {
       val dupRatio = when(n2 > 0,
         (n2 - nUniq).cast("double") / n2.cast("double")).otherwise(lit(0.0d))
       val swRatio = stopwordCount.cast("double") / nTok.cast("double")
-      val verdict = when(nTok < 20, "too_short")
-        .when(dupRatio > 0.05, "too_repetitive")
-        .when(swRatio < 0.01, "low_stopword")
+      val verdict = when(nTok < MinTokens, "too_short")
+        .when(dupRatio > MaxDupRatio, "too_repetitive")
+        .when(swRatio < MinStopwordRatio, "low_stopword")
         .otherwise("ok")
       Tables.documents(s, d)
         .select(col("doc_id"), nTok.as("n_tokens"), dupRatio.as("dup_ratio"),
@@ -414,13 +421,13 @@ object TextOps {
           (verdict === "ok").cast("int").as("keep"))
         .orderBy(col("doc_id"))
     },
-    Some("""SELECT doc_id, n_tokens, dup_ratio, stopword_ratio, verdict,
+    Some(s"""SELECT doc_id, n_tokens, dup_ratio, stopword_ratio, verdict,
       |       CAST(verdict = 'ok' AS INT) AS keep
       |FROM (
       |  SELECT doc_id, n_tokens, dup_ratio, stopword_ratio,
-      |         CASE WHEN n_tokens < 20 THEN 'too_short'
-      |              WHEN dup_ratio > 0.05 THEN 'too_repetitive'
-      |              WHEN stopword_ratio < 0.01 THEN 'low_stopword'
+      |         CASE WHEN n_tokens < $MinTokens THEN 'too_short'
+      |              WHEN dup_ratio > $MaxDupRatio THEN 'too_repetitive'
+      |              WHEN stopword_ratio < $MinStopwordRatio THEN 'low_stopword'
       |              ELSE 'ok' END AS verdict
       |  FROM (
       |    SELECT doc_id,

@@ -97,21 +97,29 @@ object KernelPropertySpec extends Properties("TextHashKernels") {
       (0 until got.numElements()).map(i => got.getUTF8String(i).toString) == ref
     }
 
-  property("quantize_i8 kernel == reference") =
-    forAll(Gen.listOf(Gen.chooseNum(-2.0f, 2.0f))) { vs =>
+  property("quantize_i8 kernel == reference (incl. NaN → clamp 1.0, like Spark least/greatest)") =
+    forAll(Gen.listOf(Gen.oneOf(Gen.chooseNum(-2.0f, 2.0f), Gen.const(Float.NaN)))) { vs =>
       val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
         vs.map(v => v: Any).toArray)
       val got = graft.functions.VectorMath.quantizeI8(arr)
       val codes = got.getArray(0)
-      val refCodes = vs.map { v =>
-        val c = math.max(-1.0, math.min(1.0, v.toDouble))
-        math.floor(c * 127.0 + 0.5).toInt
-      }
+      def clamp(v: Float): Double =
+        if (v.isNaN) 1.0 else math.max(-1.0, math.min(1.0, v.toDouble))
+      val refCodes = vs.map(v => math.floor(clamp(v) * 127.0 + 0.5).toInt)
       val refErr = vs.zip(refCodes).map { case (v, code) =>
-        val c = math.max(-1.0, math.min(1.0, v.toDouble))
-        math.abs(c - code.toDouble / 127.0)
+        math.abs(clamp(v) - code.toDouble / 127.0)
       }.foldLeft(0.0)(math.max)
       (0 until codes.numElements()).map(codes.getInt) == refCodes &&
         got.getDouble(1) == refErr
     }
+
+  property("quantize_i8: null element → null code, skipped by the error max") = {
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](0.5f, null, -3.0f))
+    val got = graft.functions.VectorMath.quantizeI8(arr)
+    val codes = got.getArray(0)
+    org.scalacheck.Prop(
+      codes.getInt(0) == 64 && codes.isNullAt(1) && codes.getInt(2) == -127 &&
+        got.getDouble(1) > 0.0)
+  }
 }
