@@ -459,21 +459,24 @@ object Dedup {
           columnOf(graft.functions.SimHash16(expressionOf(col("text")))), lit("0" * 16))
         val sigs = Tables.fanOut(Tables.documents(s, d))
           .select(col("doc_id"), sh.as("sh"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        synchronized {
-          lastSimhashSigs
-            .filterNot(_.queryExecution.analyzed.sameResult(sigs.queryExecution.analyzed))
-            .foreach(_.unpersist(blocking = false))
-          lastSimhashSigs = Some(sigs)
-        }
+        // ONE persisted frame feeds everything: the kernel + explode +
+        // bucket-size window execute once, then both band-join sides
+        // scan the cache and the star tier reads one band's rows (a
+        // full unfiltered doc_id→sh copy — band 0 of every doc)
         val wBucket = Window.partitionBy(col("band_idx"), col("band_val"))
-        val banded = sigs.select(col("doc_id"), col("sh"),
+        val sized = sigs.select(col("doc_id"), col("sh"),
           explode(map((0 until 4).flatMap(b =>
             Seq(lit(b), substring(col("sh"), b * 4 + 1, 4))): _*))
             .as(Seq("band_idx", "band_val")))
           .withColumn("bsz", count(lit(1)).over(wBucket))
-          .filter(col("bsz") <= maxBucket)
-          .drop("bsz")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        synchronized {
+          lastSimhashSigs
+            .filterNot(_.queryExecution.analyzed.sameResult(sized.queryExecution.analyzed))
+            .foreach(_.unpersist(blocking = false))
+          lastSimhashSigs = Some(sized)
+        }
+        val banded = sized.filter(col("bsz") <= maxBucket).drop("bsz")
         val hamming = (1 to 16)
           .map(j => when(substring(col("a_sh"), j, 1) =!= substring(col("b_sh"), j, 1), 1)
             .otherwise(0))
@@ -484,7 +487,8 @@ object Dedup {
           .filter(col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"), hamming.as("hamming"))
           .filter(col("hamming") <= maxHamming)
-        val starPairs = sigs
+        val starPairs = sized.filter(col("band_idx") === 0)
+          .select(col("doc_id"), col("sh"))
           .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(col("sh"))))
           .filter(col("doc_id") =!= col("mn"))
           .select(col("mn").as("a_id"), col("doc_id").as("b_id"), lit(0).as("hamming"))
