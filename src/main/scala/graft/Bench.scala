@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSession
   * time still counted in the total; it is never silently subtracted.
   *
   * Timing semantics: each query is driven by `count()`, the same action
-  * every round (and the recorded baseline) used — numbers are
-  * comparable across rounds. Note count() PRUNES unfiltered
+  * every round (and the recorded baseline) used, and reported as the
+  * per-query MEDIAN of 3 back-to-back runs (noise control; see the
+  * comment at the run loop) — totals remain sums of per-query numbers. Note count() PRUNES unfiltered
   * projections, so for pure-map queries it measures the scan+filter
   * skeleton, not the projection arithmetic; queries whose projections
   * are load-bearing (filters, joins, windows, aggregates — most of the
@@ -75,16 +76,31 @@ object Bench {
       finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       ()
     }
+    // Per-query MEDIAN of 3 back-to-back runs: single-shot timing on a
+    // shared machine showed ±0.5 s phantom swings on byte-identical code
+    // (r3→r4), which is the same order as the regressions being chased —
+    // the median keeps one-off scheduler/GC hiccups (and any residual
+    // first-run codegen compile) out of the number. A failed query stops
+    // its runs immediately and reports the failing run's elapsed time —
+    // never silently subtracted from the total.
+    val Runs = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var err: Option[String] = None
+      while (times.size < Runs && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
         catch {
           case e: Throwable =>
-            Some(s"${e.getClass.getSimpleName}: " +
+            err = Some(s"${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").replace('\n', ' ').take(160))
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+        times += (System.nanoTime() - t0) / 1e9
+      }
+      val elapsed =
+        if (err.isDefined) times.last
+        else times.sorted.apply(Runs / 2)
+      (name, elapsed, err)
     }
     val qs = results.map { case (k, v, _) => q(k) + ":" + v }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => q(k) + ":" + q(e) }
@@ -92,7 +108,8 @@ object Bench {
     val total = results.map(_._2).sum
     val nFailed = results.count(_._3.isDefined)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":$errs,"failed":$nFailed,"sf":${q(sfDir)}}"""
+      s""""errors":$errs,"failed":$nFailed,"runs_per_query":$Runs,""" +
+      s""""aggregation":"median","sf":${q(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     if (nFailed > 0) System.err.println(s"[bench] $nFailed quer(ies) FAILED — see errors field")

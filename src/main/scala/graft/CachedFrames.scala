@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Dataset-keyed registry of persisted shared frames (signature/band
+  * caches and similar per-dataset artifacts that several queries scan).
+  *
+  * Replaces the earlier single-slot caches, which thrashed when two
+  * datasets alternated (each call rebuilt + re-persisted the other
+  * dataset's frame): entries are keyed by (tag, session, dataset path) —
+  * mirroring [[ScratchDirs.materializedPath]]'s keying for on-disk
+  * layouts — so interleaved datasets each keep their cache entry warm.
+  * Keys are accessed LRU; past [[MaxEntries]] the stalest frame is
+  * unpersisted on evict, bounding pinned executor storage for a
+  * long-lived session that touches many datasets.
+  */
+object CachedFrames {
+
+  private[graft] val MaxEntries = 16
+
+  private val cache =
+    new java.util.LinkedHashMap[String, DataFrame](MaxEntries, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        if (this.size() > MaxEntries) {
+          e.getValue.unpersist(blocking = false)
+          true
+        } else false
+    }
+
+  /** Cache key scoped to the session: a stopped-and-replaced session's
+    * frames are dead (their session state is gone), so entries must not
+    * outlive it into a same-path lookup from a new session. */
+  private[graft] def sessionKey(s: SparkSession): String =
+    s"${s.sparkContext.applicationId}#${System.identityHashCode(s)}"
+
+  /** The persisted frame for `key`, built (and persisted
+    * MEMORY_AND_DISK) only on the first request — later callers get the
+    * SAME DataFrame instance, so downstream plans share one cache entry
+    * by construction instead of relying on plan canonicalization. */
+  def getOrBuild(key: String)(build: => DataFrame): DataFrame = synchronized {
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+      cache.put(key, df)
+      df
+    }
+  }
+
+  private[graft] def size: Int = synchronized(cache.size())
+}

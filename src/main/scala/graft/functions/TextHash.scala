@@ -141,6 +141,56 @@ object TextHash {
     UTF8String.fromBytes(out)
   }
 
+  /** 64-bit SimHash kernel — the scale-ready width (band space 2¹⁶ with
+    * 4×16-bit bands, vs 2⁴ for the 16-bit signature's 4-bit bands): ONE
+    * md5 per token, all 64 bits derived from the digest's first 8 bytes
+    * in the same compiled pass.
+    *
+    * Semantics (bit-compatible with the DuckDB oracle in
+    * operators/Dedup.scala): tokens = text split on single spaces
+    * (empties preserved); bit j∈[1,64] counts +1 when bit (4−((j−1) mod
+    * 4)) of hex digit ⌈j/4⌉ of md5(token) is set — i.e. the digest's
+    * first 64 bits read most-significant-first — else −1; the output
+    * character is '1' when the sum over tokens is > 0. Bits 1,5,9,…,61
+    * are exactly [[simhash16]]'s bits 1…16 (the high bit of each of the
+    * first 16 hex digits), so the widening refines the 16-bit signature
+    * rather than replacing its geometry. */
+  def simhash64(text: UTF8String): UTF8String = {
+    if (text == null) return null
+    val bytes = text.getBytes
+    val counts = new Array[Int](64)
+    def addToken(from: Int, len: Int): Unit = {
+      val md = digest.get()
+      md.reset()
+      md.update(bytes, from, len)
+      val d = md.digest()
+      var j = 0
+      while (j < 64) {
+        // bit j = bit (7 − (j mod 8)) of digest byte j/8 — the first 64
+        // digest bits in order, most-significant-first
+        val bit = (d(j >> 3) >> (7 - (j & 7))) & 1
+        counts(j) += (if (bit != 0) 1 else -1)
+        j += 1
+      }
+    }
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        addToken(start, i - start)
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Byte](64)
+    var j = 0
+    while (j < 64) {
+      out(j) = if (counts(j) > 0) '1'.toByte else '0'.toByte
+      j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
   /** Token/2-gram statistics kernel: [n_tokens, n_2grams, n_uniq_2grams]
     * in ONE compiled pass. The composed form — `transform(sequence(...))`
     * + `array_distinct` — is an interpreted higher-order function whose
@@ -350,6 +400,29 @@ case class SimHash16(child: Expression) extends UnaryExpression with Serializabl
     copy(child = newChild)
 
   override def prettyName: String = "simhash16"
+}
+
+/** `simhash64(text)` as a native expression — the 64-bit signature for
+  * scale-ready 4×16-bit banding; one compiled pass, one md5 per token. */
+case class SimHash64(child: Expression) extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects STRING, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
 }
 
 /** `gram2_stats(text)` → [n_tokens, n_2grams, n_uniq_2grams] as a native

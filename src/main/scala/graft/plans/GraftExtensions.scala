@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, MicrosToTimestamp, Pmod, Subtract, UnixMicros}
-import graft.functions.{DotF64, Gram2Stats, Haversine, IsValidJson, MinHash8, MinShingleFp, PopLatLon, QuantizeI8, ShinglesK, SimHash16, TokenSetCount}
+import graft.functions.{DotF64, Gram2Stats, Haversine, IsValidJson, MinHash8, MinShingleFp, PopLatLon, QuantizeI8, ShinglesK, SimHash16, SimHash64, TokenSetCount}
 
 /** Catalyst extension point: registers graft's SQL functions so the full
   * surface is reachable from `spark.sql(...)`, not only the Column API.
@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhash8Fn)
     ext.injectFunction(GraftExtensions.dotF64Fn)
     ext.injectFunction(GraftExtensions.simhash16Fn)
+    ext.injectFunction(GraftExtensions.simhash64Fn)
     ext.injectFunction(GraftExtensions.minShingleFpFn)
     ext.injectFunction(GraftExtensions.gram2StatsFn)
     ext.injectFunction(GraftExtensions.tokenSetCountFn)
@@ -83,6 +84,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
     (args: Seq[Expression]) => SimHash16(args.head))
 
+  val simhash64Fn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+    (args: Seq[Expression]) => SimHash64(args.head))
+
   val minShingleFpFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("min_shingle_fp"),
     new ExpressionInfo(classOf[MinShingleFp].getName, "min_shingle_fp"),
@@ -130,6 +136,8 @@ object GraftExtensions {
       "built-in")
     reg.createOrReplaceTempFunction("simhash16",
       args => SimHash16(args.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      args => SimHash64(args.head), "built-in")
     reg.createOrReplaceTempFunction("min_shingle_fp",
       args => MinShingleFp(args(0), args(1).eval().asInstanceOf[Number].intValue()),
       "built-in")

@@ -28,6 +28,16 @@ object KernelPropertySpec extends Properties("TextHashKernels") {
       if (sum > 0) '1' else '0'
     }.mkString
 
+  private def refSimhash64(s: String): String =
+    (1 to 64).map { j =>
+      val digit = (j - 1) / 4      // 0-based hex digit index
+      val mask = 8 >> ((j - 1) % 4)
+      val sum = toks(s).map { t =>
+        if ((Character.digit(md5Hex(t)(digit), 16) & mask) != 0) 1 else -1
+      }.sum
+      if (sum > 0) '1' else '0'
+    }.mkString
+
   private def refMinShingle(s: String, k: Int): String = {
     val w = toks(s)
     val shingles =
@@ -60,6 +70,17 @@ object KernelPropertySpec extends Properties("TextHashKernels") {
   property("simhash16 kernel == reference") = forAll(doc) { s =>
     TextHash.simhash16(UTF8String.fromString(s)).toString == refSimhash16(s)
   }
+
+  property("simhash64 kernel == reference") = forAll(doc) { s =>
+    TextHash.simhash64(UTF8String.fromString(s)).toString == refSimhash64(s)
+  }
+
+  property("simhash64 refines simhash16: bits 1,5,…,61 are the 16-bit signature") =
+    forAll(doc) { s =>
+      val wide = TextHash.simhash64(UTF8String.fromString(s)).toString
+      val narrow = TextHash.simhash16(UTF8String.fromString(s)).toString
+      (0 until 16).map(i => wide(i * 4)).mkString == narrow
+    }
 
   property("min_shingle_fp kernel == reference for k in 1..7") =
     forAll(doc, Gen.choose(1, 7)) { (s, k) =>
