@@ -345,6 +345,147 @@ object Similarity {
     * 2/k scan cost. */
   val ivfProbe2 = ivfProbeQuery("sim_ivf_probe2", nprobe = 2)
 
+  /** TRAINED IVF centroids via seeded Lloyd iterations (k-means) — the
+    * index-quality upgrade over [[ivf]]'s fixed demo centroids: init =
+    * the k lowest-vec_id vectors (deterministic), then [[KmIters]]
+    * rounds of assign (broadcast centroid join + argmax cosine, the same
+    * shape as [[ivf]]) and update.
+    *
+    * The update step is the novel bit, chosen for ORACLE PARITY AT ANY
+    * PARALLELISM: a float mean is partial-aggregation-order-dependent,
+    * so instead each centroid dimension is the sum of the vectors'
+    * int8-QUANTIZED codes ([[graft.functions.QuantizeI8]]) divided by
+    * 127·count — integer addition is exact and order-independent, the
+    * single division and the one double→float rounding are IEEE-
+    * identical on both engines, so the trained centroids are
+    * bit-reproducible with NO constraint on partitioning. (This is the
+    * same trick PQ/IVF trainers use to keep codebooks stable across
+    * runs.) Per iteration the update is one map-side-combined groupBy
+    * over k×Dim integer sums; the k centroid rows are collected to the
+    * driver and re-broadcast as literals — exactly how real IVF
+    * planners hold their codebook, and it keeps the per-iteration
+    * lineage flat.
+    *
+    * Output = the [[ivf]] cluster summary (sizes + top-3 members by
+    * cosine-to-centroid) computed from the FINAL assignment. */
+  val KmK = 4
+  val KmIters = 3
+
+  /** The full final assignment (vec_id, cid, cos) after `iters` Lloyd
+    * rounds — iters = 0 is the fixed-init assignment, so tests can pin
+    * that training improves the clustering objective. */
+  private[graft] def kmeansAssignments(
+      s: org.apache.spark.sql.SparkSession, d: String, iters: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+    // one materialization of (embedding, norm, codes): every assign
+    // scan and update agg reuses the stored blocks instead of
+    // re-reading + re-quantizing per iteration
+    val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", DetMath.normCol(col("embedding"), Dim))
+      .withColumn("q",
+        columnOf(graft.functions.QuantizeI8(expressionOf(col("embedding"))))
+          .getField("codes"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("q"))
+      .localCheckpoint(eager = false)
+    def withCn(c: DataFrame): DataFrame =
+      c.withColumn("cn", DetMath.normCol(col("ce"), Dim))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+      emb.crossJoin(broadcast(cents))
+        .withColumn("cos", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("ce"), Dim), col("nrm"), col("cn")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("q"), col("cid"), col("cos"))
+    }
+    var cents = withCn(emb.filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    for (_ <- 1 to iters) {
+      val aggs = count(lit(1)).as("cnt") +:
+        (1 to Dim).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
+      val rows = assign(cents).groupBy(col("cid"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      val trained = rows.toSeq.map { r =>
+        val cnt = r.getLong(1)
+        (r.getLong(0),
+          (1 to Dim).map(i => (r.getLong(i + 1) / (127.0 * cnt)).toFloat).toArray)
+      }
+      cents = withCn(trained.toDF("cid", "ce"))
+    }
+    assign(cents)
+  }
+
+  val ivfKmeans = OracleQuery(
+    "sim_ivf_kmeans",
+    (s, d) => {
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cid")).orderBy(col("cos").desc, col("vec_id"))
+      kmeansAssignments(s, d, KmIters)
+        .withColumn("rank_in_cluster", row_number().over(wc))
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))))
+        .filter(col("rank_in_cluster") <= 3)
+        .select(col("cid"), col("cluster_size"), col("rank_in_cluster"),
+          col("vec_id"), col("cos"))
+        .orderBy(col("cid"), col("rank_in_cluster"))
+    },
+    Some {
+      // the same Lloyd chain as CTEs: scored_i → a_i (argmax) → c_i
+      // (integer-code sums / 127·count, cast to REAL) — bit-identical to
+      // the Spark side because every arithmetic step is either exact
+      // (int sums) or a single IEEE op on identical inputs
+      val quantSql =
+        "list_transform(embedding, v -> CAST(floor(greatest(-1.0, least(1.0, " +
+          "CAST(v AS DOUBLE))) * 127.0 + 0.5) AS INT))"
+      def scoredCte(name: String, cents: String) =
+        s"""$name AS (
+           |  SELECT e.vec_id, e.codes, c.cid,
+           |    ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "c.ce", Dim), "e.nrm", "c.cn")} AS cos
+           |  FROM e, $cents c
+           |)""".stripMargin
+      def assignCte(name: String, scored: String) =
+        s"""$name AS (
+           |  SELECT vec_id, codes, cid, cos FROM (
+           |    SELECT vec_id, codes, cid, cos,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+           |    FROM $scored) WHERE rn = 1
+           |)""".stripMargin
+      def updateCte(name: String, assigned: String) = {
+        val dims = (1 to Dim).map(i =>
+          s"CAST(CAST(SUM(codes[$i]) AS DOUBLE) / (127.0 * COUNT(*)) AS REAL)")
+          .mkString(", ")
+        s"""$name AS (
+           |  SELECT cid, [$dims] AS ce FROM $assigned GROUP BY cid
+           |), ${name}n AS (
+           |  SELECT cid, ce, ${DetMath.normSql("ce", Dim)} AS cn FROM $name
+           |)""".stripMargin
+      }
+      val iters = (1 to KmIters).map { i =>
+        val prev = if (i == 1) "c0" else s"c${i - 1}n"
+        s"""${scoredCte(s"scored$i", prev)},
+           |${assignCte(s"a$i", s"scored$i")},
+           |${updateCte(s"c$i", s"a$i")}""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm,
+        |         $quantSql AS codes
+        |  FROM embeddings
+        |), c0 AS (
+        |  SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < $KmK
+        |),
+        |$iters,
+        |${scoredCte("scoredF", s"c${KmIters}n")},
+        |${assignCte("aF", "scoredF")}
+        |SELECT cid, cluster_size, rank_in_cluster, vec_id, cos FROM (
+        |  SELECT cid, vec_id, cos,
+        |         row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id) AS rank_in_cluster,
+        |         CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_size
+        |  FROM aF)
+        |WHERE rank_in_cluster <= 3
+        |ORDER BY cid, rank_in_cluster""".stripMargin
+    })
+
   /** Int8 embedding quantization (the 4× storage/bandwidth reduction a
     * 100 TB vector corpus wants before ANN indexing): code = floor(
     * clamp(v,−1,1)·127 + 0.5) per dimension — floor(x+0.5) instead of
@@ -381,5 +522,5 @@ object Similarity {
 
   val all: Seq[OracleQuery] =
     Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, embedNearDupRandomQ,
-      ivfProbe, ivfProbe2, embedQuantize)
+      ivfProbe, ivfProbe2, ivfKmeans, embedQuantize)
 }

@@ -41,6 +41,16 @@ class SimilaritySpec extends SparkSpec {
         s"(ground truth ${truth.size})")
   }
 
+  test("k-means training improves mean cosine-to-centroid over the fixed init") {
+    def meanCos(iters: Int): Double =
+      Similarity.kmeansAssignments(spark, dir, iters)
+        .agg(avg(col("cos"))).head().getDouble(0)
+    val init = meanCos(0)
+    val trained = meanCos(Similarity.KmIters)
+    assert(trained > init,
+      s"trained centroids must tighten clusters: init=$init trained=$trained")
+  }
+
   test("random-hyperplane bucketing is deterministic per seed") {
     val emb = Tables.embeddings(spark, dir)
     val once = pairsOf(Similarity.embedNearDupRandom(emb, 7L, 8, 2, minCosine))
