@@ -96,6 +96,26 @@ object LtssSink {
     val chunkDir = new org.apache.hadoop.fs.Path(root, s"chunk=$chunk")
     val staged = new org.apache.hadoop.fs.Path(root, s".compact_staged_chunk_$chunk")
     val retired = new org.apache.hadoop.fs.Path(root, s".compact_retired_chunk_$chunk")
+    // GENERATION STAMP: before any rename, the layout marker records the
+    // in-flight chunk under a bumped generation, so a reader (chunkScan)
+    // that arrives while the chunk dir is mid-swap — or after a crash
+    // between the two renames — detects the state instead of silently
+    // returning a partial layout. Cleared on success;
+    // [[recoverCompaction]] repairs any crash point. A marker-less
+    // legacy layout compacts unstamped, as before. The in-flight check
+    // runs BEFORE the leftover deletes below: when a previous compaction
+    // crashed mid-swap, those hidden dirs hold the only surviving copy
+    // of the chunk — deleting them here would destroy it.
+    val marker = readLayoutMarker(spark, path)
+    marker.foreach { m =>
+      m.compacting.foreach { c =>
+        throw new IllegalStateException(
+          s"layout at $path has an unfinished compaction of chunk '$c' " +
+            s"(generation ${m.generation}) — run recoverCompaction first")
+      }
+      writeLayoutMarker(spark, path,
+        m.copy(generation = m.generation + 1, compacting = Some(chunk)))
+    }
     fs.delete(staged, true)
     fs.delete(retired, true)
     spark.read.parquet(chunkDir.toString)
@@ -108,7 +128,55 @@ object LtssSink {
       throw new java.io.IOException(
         s"compaction could not swap in $staged — original preserved at $retired")
     fs.delete(retired, true)
+    marker.foreach(m => writeLayoutMarker(spark, path,
+      m.copy(generation = m.generation + 1, compacting = None)))
     ()
+  }
+
+  /** Repair a compaction interrupted at any point, using the marker's
+    * `compacting` stamp plus which of the live/staged/retired dirs
+    * survive. Every crash point lands in exactly one case:
+    *
+    *  1. live chunk intact (crash before the retire rename, or after the
+    *     swap-in completed): discard hidden leftovers;
+    *  2. live chunk missing, staged copy COMPLETE (`_SUCCESS` present —
+    *     crash between the two renames): finish the swap-in;
+    *  3. live chunk missing, staged absent/incomplete: restore the
+    *     retired original.
+    *
+    * Idempotent; clears the stamp at the end. Returns the action taken,
+    * or None when no compaction was in flight. */
+  def recoverCompaction(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[String] = {
+    val marker = readLayoutMarker(spark, path)
+    marker.flatMap(m => m.compacting).map { chunk =>
+      val (fs, root) = hadoopFs(spark, path)
+      val chunkDir = new org.apache.hadoop.fs.Path(root, s"chunk=$chunk")
+      val staged = new org.apache.hadoop.fs.Path(root, s".compact_staged_chunk_$chunk")
+      val retired = new org.apache.hadoop.fs.Path(root, s".compact_retired_chunk_$chunk")
+      val action =
+        if (fs.exists(chunkDir)) {
+          fs.delete(staged, true)
+          fs.delete(retired, true)
+          "discarded_leftovers"
+        } else if (fs.exists(staged) &&
+          fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))) {
+          if (!fs.rename(staged, chunkDir))
+            throw new java.io.IOException(s"recovery could not swap in $staged")
+          fs.delete(retired, true)
+          "completed_swap"
+        } else if (fs.exists(retired)) {
+          if (!fs.rename(retired, chunkDir))
+            throw new java.io.IOException(s"recovery could not restore $retired")
+          fs.delete(staged, true)
+          "restored_original"
+        } else
+          throw new java.io.IOException(
+            s"chunk '$chunk' of $path is unrecoverable: live, staged and " +
+              "retired copies are all missing")
+      writeLayoutMarker(spark, path, marker.get.copy(compacting = None))
+      action
+    }
   }
 
   /** Render the `location` struct as WKT text for relational targets —
@@ -146,7 +214,9 @@ object LtssSink {
     * bounds for the old chunks. */
   final case class LayoutMarker(
       chunkTimeIntervalUs: Long,
-      attrKeys: Seq[(String, String)])
+      attrKeys: Seq[(String, String)],
+      generation: Long = 0L,
+      compacting: Option[String] = None)
 
   private val MarkerName = "_ltss_layout.json"
 
@@ -164,18 +234,23 @@ object LtssSink {
       .getOrElse(throw new java.io.IOException(s"malformed layout marker at $p: $text"))
     val keys = "\\[\"([^\"]+)\",\"([^\"]+)\"\\]".r
       .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toSeq
-    Some(LayoutMarker(interval, keys))
+    val generation = "\"generation\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)
+    val compacting = "\"compacting\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(text).map(_.group(1))
+    Some(LayoutMarker(interval, keys, generation, compacting))
   }
 
-  private def writeLayoutMarker(
+  private[graft] def writeLayoutMarker(
       spark: org.apache.spark.sql.SparkSession, path: String, m: LayoutMarker): Unit = {
     val (fs, root) = hadoopFs(spark, path)
     val p = new org.apache.hadoop.fs.Path(root, MarkerName)
     val keys = m.attrKeys.map { case (k, t) => s"""["$k","$t"]""" }.mkString("[", ",", "]")
+    val compacting = m.compacting.map(c => s""","compacting":"$c"""").getOrElse("")
     val out = fs.create(p, true)
     try out.write(
-      s"""{"chunkTimeIntervalUs":${m.chunkTimeIntervalUs},"attrKeys":$keys}"""
-        .getBytes("UTF-8"))
+      (s"""{"chunkTimeIntervalUs":${m.chunkTimeIntervalUs},"attrKeys":$keys""" +
+        s""","generation":${m.generation}$compacting}""").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -193,7 +268,16 @@ object LtssSink {
       from: java.sql.Timestamp,
       to: java.sql.Timestamp,
       cfg: LtssConfig = LtssConfig()): DataFrame = {
-    val effective = readLayoutMarker(spark, path)
+    val marker = readLayoutMarker(spark, path)
+    marker.flatMap(_.compacting).foreach { c =>
+      // a mid-swap chunk may be absent from the directory listing for
+      // the instant between compaction's two renames — or forever, after
+      // a crash between them. Refuse to silently return a partial layout.
+      throw new IllegalStateException(
+        s"layout at $path has an unfinished compaction of chunk '$c' " +
+          s"(generation ${marker.get.generation}) — run recoverCompaction first")
+    }
+    val effective = marker
       .map(m => cfg.copy(chunkTimeIntervalUs = m.chunkTimeIntervalUs))
       .getOrElse(cfg)
     val lo = java.sql.Date.valueOf(chunkDateOf(from, effective))
@@ -230,6 +314,11 @@ object LtssSink {
     val marker = readLayoutMarker(spark, path)
     if (mode != SaveMode.Overwrite) {
       marker.foreach { m =>
+        m.compacting.foreach { c =>
+          throw new IllegalStateException(
+            s"layout at $path has an unfinished compaction of chunk '$c' — " +
+              "run recoverCompaction before appending")
+        }
         if (m.chunkTimeIntervalUs != cfg.chunkTimeIntervalUs)
           throw new IllegalStateException(
             s"layout at $path was written with chunk_time_interval " +
@@ -265,7 +354,8 @@ object LtssSink {
       .partitionBy("chunk")
       .parquet(path)
     if (!legacyUnmarked)
-      writeLayoutMarker(spark, path, LayoutMarker(cfg.chunkTimeIntervalUs, attrKeys))
+      writeLayoutMarker(spark, path, LayoutMarker(cfg.chunkTimeIntervalUs, attrKeys,
+        generation = marker.map(_.generation).getOrElse(0L)))
   }
 
   /** D1 + L1: startup bootstrap, mirroring the reference's

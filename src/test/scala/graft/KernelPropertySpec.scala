@@ -134,6 +134,61 @@ object KernelPropertySpec extends Properties("TextHashKernels") {
         got.getDouble(1) == refErr
     }
 
+  // --- width-change properties for the MinHash banding math: the LSH
+  // code derives w hashes as 8-hex slices of ⌈w/4⌉ prefixed digests
+  // (NumHashes = 8 today); these guard the widening path promised in
+  // operators/Dedup.scala — the construction below reproduces
+  // refMinhash8 exactly at w = 8.
+
+  private def minhashW(shingles: Set[String], w: Int): Seq[String] =
+    (0 until w / 4).flatMap { p =>
+      (0 until 4).map { slot =>
+        shingles.map(sh => md5Hex(s"$p:$sh").substring(slot * 8, slot * 8 + 8)).min
+      }
+    }
+
+  property("minhashW at w=8 == the production minhash8 construction") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.map(_.take(6))).map(_.take(8))) { toks =>
+      val text = toks.mkString(" ")
+      val w = toks.toArray
+      val shingles =
+        if (w.length < 2) Set(text)
+        else (0 until w.length - 1).map(i => s"${w(i)} ${w(i + 1)}").toSet
+      minhashW(shingles, 8) == refMinhash8(text)
+    }
+
+  property("band concat stays injective at any width: slots are always exactly 8 hex chars") =
+    forAll(doc) { s =>
+      val got = TextHash.minhash8(UTF8String.fromString(s))
+      (0 until 8).forall { i =>
+        val slot = got.getUTF8String(i).toString
+        slot.length == 8 && slot.forall(c => "0123456789abcdef".contains(c))
+      } // fixed-width alphabet-restricted slots → concat decodes uniquely
+    }
+
+  property("est-Jaccard stays unbiased and tightens as the signature widens (w=8 → w=16)") = {
+    // 120 deterministic set pairs: A and B share 20 elements and own 20
+    // each → |A∩B| = 20, |A∪B| = 60, true J = 1/3. Unbiasedness: the
+    // MEAN estimate over pairs approaches J at both widths; consistency:
+    // mean |err| at w=16 must not exceed w=8's (variance ∝ 1/w).
+    def pair(seed: Int, shared: Int, own: Int): (Set[String], Set[String]) = {
+      val s = (0 until shared).map(i => s"sh_${seed}_$i").toSet
+      val a = s ++ (0 until own).map(i => s"a_${seed}_$i")
+      val b = s ++ (0 until own).map(i => s"b_${seed}_$i")
+      (a, b)
+    }
+    def est(a: Set[String], b: Set[String], w: Int): Double =
+      minhashW(a, w).zip(minhashW(b, w)).count { case (x, y) => x == y }.toDouble / w
+    val pairs = (0 until 120).map(i => pair(i, shared = 20, own = 20))
+    val trueJ = 20.0 / 60.0
+    def meanEst(w: Int): Double = pairs.map { case (a, b) => est(a, b, w) }.sum / pairs.size
+    def meanAbsErr(w: Int): Double =
+      pairs.map { case (a, b) => math.abs(est(a, b, w) - trueJ) }.sum / pairs.size
+    org.scalacheck.Prop(
+      math.abs(meanEst(8) - trueJ) < 0.05 && math.abs(meanEst(16) - trueJ) < 0.05 &&
+        meanAbsErr(16) <= meanAbsErr(8) + 0.01)
+  }
+
   property("quantize_i8: null element → null code, skipped by the error max") = {
     val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array[Any](0.5f, null, -3.0f))

@@ -81,6 +81,61 @@ class PlanSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("compaction crash between renames: readers refuse via the generation stamp; recovery repairs") {
+    import spark.implicits._
+    import graft.sources.LtssSink
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString
+    val df = Seq(
+      (ts("2024-01-05 00:00:00"), "a.1", "1", "{}"),
+      (ts("2024-01-06 00:00:00"), "b.1", "2", "{}"))
+      .toDF("time", "entity_id", "state", "attributes")
+    LtssSink.writeParquet(df, out)
+    val chunk = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("chunk=")).head.getName.stripPrefix("chunk=")
+    val live = new java.io.File(s"$out/chunk=$chunk")
+    val staged = new java.io.File(s"$out/.compact_staged_chunk_$chunk")
+    val retired = new java.io.File(s"$out/.compact_retired_chunk_$chunk")
+    def stamp(): LtssSink.LayoutMarker = {
+      val m = LtssSink.readLayoutMarker(spark, out).get
+      LtssSink.writeLayoutMarker(spark, out,
+        m.copy(generation = m.generation + 1, compacting = Some(chunk)))
+      m
+    }
+
+    // CRASH POINT A: between the two renames (staged complete, live gone)
+    val m0 = stamp()
+    spark.read.parquet(live.toString).repartition(1)
+      .write.mode("overwrite").parquet(staged.toString)
+    assert(live.renameTo(retired))
+    val e = intercept[IllegalStateException] {
+      LtssSink.chunkScan(spark, out, ts("2024-01-01 00:00:00"), ts("2024-12-31 00:00:00"))
+    }
+    assert(e.getMessage.contains("unfinished compaction"))
+    intercept[IllegalStateException] { LtssSink.writeParquet(df, out) } // appends refuse too
+    intercept[IllegalStateException] { LtssSink.compactChunk(spark, out, chunk) }
+    assert(LtssSink.recoverCompaction(spark, out).contains("completed_swap"))
+    val m1 = LtssSink.readLayoutMarker(spark, out).get
+    assert(m1.compacting.isEmpty && m1.generation == m0.generation + 1)
+    assert(LtssSink.chunkScan(spark, out, ts("2024-01-01 00:00:00"), ts("2024-12-31 00:00:00"))
+      .select("state").as[String].collect().sorted.toSeq == Seq("1", "2"))
+
+    // CRASH POINT B: before the staged copy completed (no _SUCCESS)
+    stamp()
+    staged.mkdirs() // incomplete staging — no _SUCCESS
+    assert(live.renameTo(retired))
+    assert(LtssSink.recoverCompaction(spark, out).contains("restored_original"))
+    assert(spark.read.parquet(out).count() == 2)
+
+    // CRASH POINT C: before any rename (live intact, staged leftover)
+    stamp()
+    staged.mkdirs()
+    assert(LtssSink.recoverCompaction(spark, out).contains("discarded_leftovers"))
+    assert(!staged.exists())
+    assert(LtssSink.recoverCompaction(spark, out).isEmpty) // idempotent no-op
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("layout marker guards appends: changed chunk interval or attr keys fail loudly") {
     import spark.implicits._
     import graft.sources.LtssSink

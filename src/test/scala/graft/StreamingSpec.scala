@@ -70,6 +70,39 @@ class StreamingSpec extends SparkSpec {
       == Seq("k" -> "long"))
   }
 
+  test("restart with CHANGED attrKeys fails the stream loudly mid-stream, landing nothing") {
+    import spark.implicits._
+    val in = tmp("ltss-in-ak2"); val out = tmp("ltss-out-ak2"); val ckpt = tmp("ltss-ckpt-ak2")
+    Files.writeString(java.nio.file.Paths.get(in, "b1.json"),
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":1,"event_type":"a","value":1.0,"props":"{\"k\": 5}"}""")
+    val cfg = LtssConfig(enableLocation = false)
+    val q1 = StreamingIngest.start(StreamingIngest.readJsonEvents(spark, in), cfg, out, ckpt,
+      attrKeys = Seq("k" -> "long"))
+    StreamingIngest.drainAndStop(q1)
+    assert(spark.read.parquet(out).count() == 1)
+
+    // new input + restart with a DIFFERENT materialized key set: the
+    // layout marker guard must fail the QUERY (foreachBatch rethrows →
+    // the checkpoint does not advance), not silently mix schemas
+    Files.writeString(java.nio.file.Paths.get(in, "b2.json"),
+      """{"event_id":2,"ts":"2024-01-01T00:00:01Z","user_id":2,"event_type":"a","value":2.0,"props":"{\"j\": 7}"}""")
+    val q2 = StreamingIngest.start(StreamingIngest.readJsonEvents(spark, in), cfg, out, ckpt,
+      attrKeys = Seq("j" -> "long"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingIngest.drainAndStop(q2)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("materializes attribute keys")),
+      s"expected the marker guard's message; got: ${messages(e)}")
+    // nothing from the failed batch landed; the layout still has the
+    // original key set and the original row only
+    val stored = spark.read.parquet(out)
+    assert(stored.count() == 1)
+    assert(stored.filter(col("attr_k") === 5).count() == 1)
+    assert(LtssSink.readLayoutMarker(spark, out).get.attrKeys == Seq("k" -> "long"))
+  }
+
   test("restart with same checkpoint does not duplicate processed input") {
     val in = tmp("ltss-in2"); val out = tmp("ltss-out2"); val ckpt = tmp("ltss-ckpt2")
     Files.writeString(java.nio.file.Paths.get(in, "b1.json"),
