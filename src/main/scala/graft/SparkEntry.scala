@@ -13,7 +13,7 @@ import graft.operators._
 object SparkEntry {
 
   private val modules: Seq[OracleQuery] =
-    Queries.all ++ Relational.all ++ TextOps.all ++ Dedup.all ++
+    Queries.all ++ TimeSeries.all ++ Relational.all ++ TextOps.all ++ Dedup.all ++
       Similarity.all ++ Multimodal.all ++ Sampling.all ++ Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001 (SURVEY.md §7.2): the

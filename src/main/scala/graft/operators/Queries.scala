@@ -25,7 +25,7 @@ object Queries {
 
   /** Shared CTE: the events→LTSS mapping in DuckDB SQL (mirror of
     * [[Transform.eventsToLtss]] with location disabled). */
-  private val ltssCte =
+  private[operators] val ltssCte =
     """WITH ltss AS (
       |  SELECT time, entity_id, state, attributes FROM (
       |    SELECT ts AS time,
@@ -38,7 +38,7 @@ object Queries {
       |  WHERE state IS NOT NULL AND state <> 'unknown'
       |)""".stripMargin
 
-  private def ltss(s: SparkSession, dir: String): DataFrame =
+  private[operators] def ltss(s: SparkSession, dir: String): DataFrame =
     Transform.eventsToLtss(Tables.events(s, dir), LtssConfig(enableLocation = false))
 
   // ---------------------------------------------------------------- queries

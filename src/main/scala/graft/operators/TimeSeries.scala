@@ -1,0 +1,294 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The TimescaleDB hyperfunction surface — the continuous-aggregate /
+  * Grafana query vocabulary an LTSS deployment actually points at its
+  * hypertable (`time_bucket_gapfill` + `locf` + `interpolate`,
+  * `time_weight`, `counter_agg`/`rate`; reference delegates ALL query
+  * processing to PostgreSQL+TimescaleDB — custom_components/ltss
+  * /__init__.py:337-344 creates the hypertable, README.md points users at
+  * Grafana for querying). Re-expressed as declarative Spark plans:
+  *
+  *  - **gap-fill grid**: per-entity dense bucket axis via
+  *    `sequence(min_bucket, max_bucket, width)` + `explode` — generated
+  *    WHERE the entity's data lives (one groupBy for the bounds), never a
+  *    driver-side loop, never a cross join against a calendar table;
+  *  - **LOCF / interpolation**: one window per direction
+  *    (`last(_, ignoreNulls)` ascending, `first(_, ignoreNulls)` on a
+  *    [current, unbounded-following) frame) — no per-gap probes;
+  *  - **time-weighted average**: `lead` duration + exact DECIMAL
+  *    weighted sums (order-independent partial aggregation; the ONE
+  *    double division happens at the end, identically on both engines);
+  *  - **counter delta/rate**: `lag` + reset rule, then a map-side
+  *    combinable decimal sum per bucket.
+  *
+  * Every frame shuffles on (entity_id[, bucket]) only — the same key
+  * class as any windowed LTSS query, skew-free at 100 TB (entity
+  * cardinality grows with the fleet, buckets with time).
+  */
+object TimeSeries {
+
+  private val HourUs = 3600000000L
+  private val DayUs = 86400000000L
+
+  /** Epoch-µs hour bucket (non-negative timestamps; pmod keeps the
+    * arithmetic exact — see [[graft.functions.DetMath.timeBucket]]). */
+  private def bucketUs(ts: Column, widthUs: Long): Column =
+    unix_micros(ts) - pmod(unix_micros(ts), lit(widthUs))
+
+  // ------------------------------------------------------------ library API
+
+  /** Last observation per (entity, bucket): the downsample step every
+    * gap-fill starts from. Survivor is deterministic — max (time, value)
+    * per bucket via one row_number window. */
+  def bucketLast(ltss: DataFrame, widthUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("entity_id"), col("bus"))
+      .orderBy(col("time").desc, col("sv").desc)
+    ltss
+      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("bus", bucketUs(col("time"), widthUs))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("entity_id"), col("bus"), col("sv"))
+  }
+
+  /** Dense per-entity bucket grid spanning each entity's own observed
+    * range, left-joined to the observations: rows with null `sv` are the
+    * gaps. The series axis is generated per entity from its (min, max)
+    * bounds — `sequence` + `explode`, distributed with the entities. */
+  def gapGrid(obs: DataFrame, widthUs: Long): DataFrame = {
+    val grid = obs.groupBy(col("entity_id"))
+      .agg(min(col("bus")).as("lo"), max(col("bus")).as("hi"))
+      .select(col("entity_id"),
+        explode(sequence(col("lo"), col("hi"), lit(widthUs))).as("bus"))
+    grid.join(obs, Seq("entity_id", "bus"), "left")
+  }
+
+  /** LOCF gap-fill: carry the last observed value forward across gap
+    * buckets (TimescaleDB `locf(last(...))`). One ascending window. */
+  def gapfillLocf(ltss: DataFrame, widthUs: Long = HourUs): DataFrame = {
+    val w = Window.partitionBy(col("entity_id")).orderBy(col("bus"))
+    gapGrid(bucketLast(ltss, widthUs), widthUs)
+      .withColumn("filled", last(col("sv"), ignoreNulls = true).over(w))
+      .select(col("entity_id"), timestamp_micros(col("bus")).as("bucket"),
+        col("sv").cast("double").as("observed"),
+        col("filled").cast("double").as("locf"),
+        col("sv").isNull.cast("int").as("is_gap"))
+  }
+
+  /** Linear-interpolation gap-fill (TimescaleDB `interpolate`): each gap
+    * bucket draws the line between its nearest observations on either
+    * side. Two windows — previous via the default ascending frame, next
+    * via a [current row, unbounded following) frame — then one IEEE
+    * expression evaluated identically by the oracle. Grid endpoints are
+    * observations by construction, so interior gaps always have both
+    * neighbors. */
+  def gapfillInterpolate(ltss: DataFrame, widthUs: Long = HourUs): DataFrame = {
+    val wPrev = Window.partitionBy(col("entity_id")).orderBy(col("bus"))
+    val wNext = Window.partitionBy(col("entity_id")).orderBy(col("bus"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBus = when(col("sv").isNotNull, col("bus"))
+    val frac = (col("bus") - col("pb")).cast("double") /
+      (col("nb") - col("pb")).cast("double")
+    gapGrid(bucketLast(ltss, widthUs), widthUs)
+      .withColumn("pv", last(col("sv"), ignoreNulls = true).over(wPrev))
+      .withColumn("pb", last(obsBus, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("sv"), ignoreNulls = true).over(wNext))
+      .withColumn("nb", first(obsBus, ignoreNulls = true).over(wNext))
+      .select(col("entity_id"), timestamp_micros(col("bus")).as("bucket"),
+        col("sv").cast("double").as("observed"),
+        when(col("sv").isNotNull, col("sv").cast("double"))
+          .otherwise(col("pv").cast("double") +
+            (col("nv").cast("double") - col("pv").cast("double")) * frac)
+          .as("interp"),
+        col("sv").isNull.cast("int").as("is_gap"))
+  }
+
+  /** Time-weighted average per (entity, day) — TimescaleDB
+    * `time_weight('LOCF', ...)`: each observation holds until the next
+    * one, the interval is attributed to its STARTING bucket, and the
+    * average weights values by held duration. Weighted sums stay exact
+    * DECIMAL×BIGINT (order-independent, map-side combinable); the one
+    * double division is the final expression. */
+  def timeWeightedAvg(ltss: DataFrame, bucketWidthUs: Long = DayUs): DataFrame = {
+    val w = Window.partitionBy(col("entity_id")).orderBy(col("time"), col("sv"))
+    ltss
+      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("tus", unix_micros(col("time")))
+      .withColumn("nt", lead(col("tus"), 1).over(w))
+      .filter(col("nt").isNotNull)
+      .withColumn("dur", col("nt") - col("tus"))
+      .withColumn("bucket",
+        timestamp_micros(col("tus") - pmod(col("tus"), lit(bucketWidthUs))))
+      .groupBy(col("entity_id"), col("bucket"))
+      .agg(sum(col("sv") * col("dur")).as("wsum"), sum(col("dur")).as("dursum"))
+      // wsum exceeds 2^53 in cent-µs units, and DECIMAL→DOUBLE rounding
+      // differs between engines there (Spark converts the exact decimal,
+      // DuckDB scales an int128 through double ops). INT64→DOUBLE is
+      // correctly rounded everywhere, so the division inputs go through
+      // an exact BIGINT cents hop (|wsum| < 9.2e16 — guaranteed by the
+      // upstream |value| < 1e16 policy at any realistic duration).
+      .select(col("entity_id"), col("bucket"),
+        ((col("wsum") * 100).cast("long").cast("double") /
+          col("dursum").cast("double") / lit(100.0)).as("twa"),
+        col("dursum").as("covered_us"))
+  }
+
+  /** Counter delta/rate per (entity, hour) — TimescaleDB `counter_agg` +
+    * `delta`/`rate` semantics: a decrease means the counter reset, so the
+    * new reading counts in full. `lag` per entity, then one map-side
+    * combinable decimal sum per bucket; rate is the final double
+    * division by the bucket width. */
+  def counterRate(ltss: DataFrame, widthUs: Long = HourUs): DataFrame = {
+    val w = Window.partitionBy(col("entity_id")).orderBy(col("time"), col("sv"))
+    ltss
+      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("pv", lag(col("sv"), 1).over(w))
+      .filter(col("pv").isNotNull)
+      .withColumn("delta",
+        when(col("sv") >= col("pv"), col("sv") - col("pv")).otherwise(col("sv")))
+      .withColumn("bucket", timestamp_micros(bucketUs(col("time"), widthUs)))
+      .groupBy(col("entity_id"), col("bucket"))
+      .agg(sum(col("delta")).as("dsum"), count(lit(1)).as("n"))
+      .select(col("entity_id"), col("bucket"),
+        col("dsum").cast("double").as("delta_sum"),
+        (col("dsum").cast("double") / lit(widthUs / 1000000L).cast("double"))
+          .as("rate_per_s"),
+        col("n"))
+  }
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** Shared DuckDB CTE chain: click-domain LTSS rows → last observation
+    * per hour bucket → dense per-entity grid (mirrors [[bucketLast]] +
+    * [[gapGrid]]). */
+  private def gapfillCte(domain: String): String =
+    s"""$ltssBase,
+      |obs AS (
+      |  SELECT entity_id, bus, sv FROM (
+      |    SELECT entity_id, (epoch_us(time) // $HourUs) * $HourUs AS bus,
+      |           CAST(state AS DECIMAL(12,2)) AS sv, time,
+      |           row_number() OVER (
+      |             PARTITION BY entity_id, (epoch_us(time) // $HourUs) * $HourUs
+      |             ORDER BY time DESC, CAST(state AS DECIMAL(12,2)) DESC) AS rn
+      |    FROM base WHERE split_part(entity_id, '.', 1) = '$domain')
+      |  WHERE rn = 1
+      |),
+      |grid AS (
+      |  SELECT b.entity_id, unnest(generate_series(b.lo, b.hi, $HourUs)) AS bus
+      |  FROM (SELECT entity_id, min(bus) AS lo, max(bus) AS hi
+      |        FROM obs GROUP BY entity_id) b
+      |),
+      |joined AS (
+      |  SELECT g.entity_id, g.bus, o.sv
+      |  FROM grid g LEFT JOIN obs o ON o.entity_id = g.entity_id AND o.bus = g.bus
+      |)""".stripMargin
+
+  private val ltssBase = Queries.ltssCte.replace("WITH ltss AS", "WITH base AS")
+
+  val gapfillLocfQ = OracleQuery(
+    "ltss_gapfill_locf",
+    (s, d) => {
+      val l = Queries.ltss(s, d)
+        .filter(split(col("entity_id"), "\\.").getItem(0) === "click")
+      gapfillLocf(l).orderBy(col("entity_id"), col("bucket"))
+    },
+    Some(s"""${gapfillCte("click")}
+      |SELECT entity_id, make_timestamp(bus) AS bucket,
+      |       CAST(sv AS DOUBLE) AS observed,
+      |       CAST(last_value(sv IGNORE NULLS)
+      |              OVER (PARTITION BY entity_id ORDER BY bus) AS DOUBLE) AS locf,
+      |       CAST(sv IS NULL AS INT) AS is_gap
+      |FROM joined
+      |ORDER BY entity_id, bucket""".stripMargin))
+
+  val gapfillInterpQ = OracleQuery(
+    "ltss_gapfill_interp",
+    (s, d) => {
+      val l = Queries.ltss(s, d)
+        .filter(split(col("entity_id"), "\\.").getItem(0) === "click")
+      gapfillInterpolate(l).orderBy(col("entity_id"), col("bucket"))
+    },
+    Some(s"""${gapfillCte("click")}
+      |SELECT entity_id, make_timestamp(bus) AS bucket,
+      |       CAST(sv AS DOUBLE) AS observed,
+      |       CASE WHEN sv IS NOT NULL THEN CAST(sv AS DOUBLE)
+      |            ELSE CAST(pv AS DOUBLE) +
+      |                 (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE)) *
+      |                 (CAST(bus - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) END AS interp,
+      |       CAST(sv IS NULL AS INT) AS is_gap
+      |FROM (
+      |  SELECT entity_id, bus, sv,
+      |         last_value(sv IGNORE NULLS) OVER w AS pv,
+      |         last_value(CASE WHEN sv IS NOT NULL THEN bus END IGNORE NULLS)
+      |           OVER w AS pb,
+      |         first_value(sv IGNORE NULLS) OVER wf AS nv,
+      |         first_value(CASE WHEN sv IS NOT NULL THEN bus END IGNORE NULLS)
+      |           OVER wf AS nb
+      |  FROM joined
+      |  WINDOW w AS (PARTITION BY entity_id ORDER BY bus),
+      |         wf AS (PARTITION BY entity_id ORDER BY bus
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |ORDER BY entity_id, bucket""".stripMargin))
+
+  val timeWeightedQ = OracleQuery(
+    "ltss_time_weighted",
+    (s, d) => {
+      val l = Queries.ltss(s, d)
+        .filter(split(col("entity_id"), "\\.").getItem(0) === "click")
+      timeWeightedAvg(l).orderBy(col("entity_id"), col("bucket"))
+    },
+    Some(s"""$ltssBase
+      |SELECT entity_id, bucket,
+      |       CAST(CAST(wsum * 100 AS BIGINT) AS DOUBLE)
+      |         / CAST(dursum AS DOUBLE) / 100.0 AS twa,
+      |       CAST(dursum AS BIGINT) AS covered_us
+      |FROM (
+      |  SELECT entity_id, bucket, sum(sv * dur) AS wsum, sum(dur) AS dursum
+      |  FROM (
+      |    SELECT entity_id,
+      |           make_timestamp((tus // $DayUs) * $DayUs) AS bucket,
+      |           sv, nt - tus AS dur
+      |    FROM (
+      |      SELECT entity_id, CAST(state AS DECIMAL(12,2)) AS sv,
+      |             epoch_us(time) AS tus,
+      |             lead(epoch_us(time), 1) OVER (
+      |               PARTITION BY entity_id
+      |               ORDER BY time, CAST(state AS DECIMAL(12,2))) AS nt
+      |      FROM base WHERE split_part(entity_id, '.', 1) = 'click')
+      |    WHERE nt IS NOT NULL)
+      |  GROUP BY 1, 2)
+      |ORDER BY entity_id, bucket""".stripMargin))
+
+  val counterRateQ = OracleQuery(
+    "ltss_counter_rate",
+    (s, d) => {
+      val l = Queries.ltss(s, d)
+        .filter(split(col("entity_id"), "\\.").getItem(0) === "purchase")
+      counterRate(l).orderBy(col("entity_id"), col("bucket"))
+    },
+    Some(s"""$ltssBase
+      |SELECT entity_id, bucket,
+      |       CAST(sum(delta) AS DOUBLE) AS delta_sum,
+      |       CAST(sum(delta) AS DOUBLE) / 3600.0 AS rate_per_s,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM (
+      |  SELECT entity_id,
+      |         make_timestamp((epoch_us(time) // $HourUs) * $HourUs) AS bucket,
+      |         CASE WHEN sv >= pv THEN sv - pv ELSE sv END AS delta
+      |  FROM (
+      |    SELECT entity_id, time, CAST(state AS DECIMAL(12,2)) AS sv,
+      |           lag(CAST(state AS DECIMAL(12,2)), 1) OVER (
+      |             PARTITION BY entity_id
+      |             ORDER BY time, CAST(state AS DECIMAL(12,2))) AS pv
+      |    FROM base WHERE split_part(entity_id, '.', 1) = 'purchase')
+      |  WHERE pv IS NOT NULL)
+      |GROUP BY entity_id, bucket
+      |ORDER BY entity_id, bucket""".stripMargin))
+
+  val all: Seq[OracleQuery] =
+    Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ)
+}

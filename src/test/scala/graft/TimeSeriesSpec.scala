@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeries
+
+/** Pins the hyperfunction semantics on a hand-computed fixture: LOCF
+  * carry, interior linear interpolation, duration-weighted averaging,
+  * and counter-reset handling. */
+class TimeSeriesSpec extends SparkSpec {
+
+  private val H = 3600000000L // 1h in µs
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  /** (time, entity_id, state) rows in the LTSS shape. */
+  private def ltssOf(rows: Seq[(Timestamp, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("time", "entity_id", "state")
+  }
+
+  // one entity, observations at hours 0, 1, 4 (gap at 2 and 3)
+  private lazy val gappy = ltssOf(Seq(
+    (ts(0), "click.1", "10.00"),
+    (ts(1), "click.1", "20.00"),
+    (ts(4), "click.1", "50.00")))
+
+  test("gapfill LOCF carries the last observation across gap buckets") {
+    val out = TimeSeries.gapfillLocf(gappy, H).orderBy("bucket")
+      .select("locf", "is_gap").collect().map(r => (r.getDouble(0), r.getInt(1)))
+    assert(out.toSeq == Seq((10.0, 0), (20.0, 0), (20.0, 1), (20.0, 1), (50.0, 0)))
+  }
+
+  test("gapfill interpolation draws the line between neighbors") {
+    val out = TimeSeries.gapfillInterpolate(gappy, H).orderBy("bucket")
+      .select("interp").collect().map(_.getDouble(0))
+    // 20 → 50 over 3 hours: 30, 40 at the two gap buckets
+    assert(out.toSeq == Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+  }
+
+  test("gapfill grid is per-entity: entities span only their own range") {
+    val two = ltssOf(Seq(
+      (ts(0), "click.1", "1.00"), (ts(3), "click.1", "4.00"),
+      (ts(1), "click.2", "2.00"), (ts(2), "click.2", "3.00")))
+    val n = TimeSeries.gapfillLocf(two, H)
+      .groupBy("entity_id").count().orderBy("entity_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(n.toSeq == Seq(("click.1", 4L), ("click.2", 2L)))
+  }
+
+  test("bucketLast keeps the latest observation per bucket") {
+    val dup = ltssOf(Seq(
+      (ts(0, 10), "click.1", "1.00"),
+      (ts(0, 50), "click.1", "7.00")))
+    val out = TimeSeries.gapfillLocf(dup, H).select("observed").collect()
+    assert(out.map(_.getDouble(0)).toSeq == Seq(7.0))
+  }
+
+  test("time-weighted average weights values by held duration") {
+    // 10 held 1h, 20 held 3h → (10·1 + 20·3) / 4 = 17.5; last obs open-ended (dropped)
+    val out = TimeSeries.timeWeightedAvg(gappy).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("twa") == 17.5)
+    assert(out.head.getAs[Long]("covered_us") == 4 * H)
+  }
+
+  test("counter rate: decreases count as resets, increases as deltas") {
+    val counter = ltssOf(Seq(
+      (ts(0, 10), "purchase.1", "100.00"),
+      (ts(0, 20), "purchase.1", "150.00"), // +50
+      (ts(0, 30), "purchase.1", "30.00"),  // reset → +30
+      (ts(0, 40), "purchase.1", "40.00"))) // +10
+    val out = TimeSeries.counterRate(counter).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("delta_sum") == 90.0)
+    assert(out.head.getAs[Double]("rate_per_s") == 90.0 / 3600.0)
+    assert(out.head.getAs[Long]("n") == 3L)
+  }
+}
