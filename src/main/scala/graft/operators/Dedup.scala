@@ -168,6 +168,8 @@ object Dedup {
     * pipeline, not per query. */
   def warmShared(s: SparkSession, d: String): Unit = {
     guardedBands(s, d).count()
+    simhashBands(s, d, 16).count()
+    simhashBands(s, d, 64).count()
     ()
   }
 
@@ -468,16 +470,28 @@ object Dedup {
       bits: Int, maxBucket: Int, maxHamming: Int)(
       s: SparkSession, d: String): DataFrame = {
     val sized = simhashBands(s, d, bits)
-    val banded = sized.filter(col("bsz") <= maxBucket).drop("bsz")
-    val hamming = (1 to bits)
-      .map(j => when(substring(col("a_sh"), j, 1) =!= substring(col("b_sh"), j, 1), 1)
-        .otherwise(0))
+    // Pack the bit-string into 32-bit words ONCE per band row (before the
+    // self-join), so per-PAIR hamming is bit_count(xor) per word — a
+    // 64-term per-character CASE chain here ran per candidate pair and
+    // was the query's dominant cost at hot-bucket sizes (cap² pairs/bucket).
+    val nWords = (bits + 31) / 32
+    val wordCols = (0 until nWords).map { w =>
+      conv(substring(col("sh"), w * 32 + 1, math.min(32, bits - w * 32)), 2, 10)
+        .cast("long").as(s"w$w")
+    }
+    val banded = sized.filter(col("bsz") <= maxBucket)
+      .select(Seq(col("doc_id"), col("band_idx"), col("band_val")) ++ wordCols: _*)
+    def pfx(p: String)(df: DataFrame): DataFrame =
+      df.toDF(df.columns.toIndexedSeq
+        .map(c => if (c.startsWith("band")) c else s"$p$c"): _*)
+    val hamming = (0 until nWords)
+      .map(w => bit_count(col(s"a_w$w").bitwiseXOR(col(s"b_w$w"))))
       .reduceLeft(_ + _)
-    val bandPairs = banded.toDF("a_id", "a_sh", "band_idx", "band_val")
-      .join(banded.toDF("b_id", "b_sh", "band_idx", "band_val"),
-        Seq("band_idx", "band_val"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), hamming.as("hamming"))
+    val bandPairs = pfx("a_")(banded)
+      .join(pfx("b_")(banded), Seq("band_idx", "band_val"))
+      .filter(col("a_doc_id") < col("b_doc_id"))
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
+        hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
     val starPairs = sized.filter(col("band_idx") === 0)
       .select(col("doc_id"), col("sh"))

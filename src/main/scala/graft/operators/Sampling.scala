@@ -119,5 +119,51 @@ object Sampling {
         |ORDER BY lang, shard, doc_id""".stripMargin))
   }
 
-  val all: Seq[OracleQuery] = Seq(sampleHash, datasetSplit, topkPerGroup, sequencePacking)
+  /** Temperature-reweighted stratified sampling (the multilingual
+    * training-mixture op): per-language acceptance rate ∝ n_lang^(-1/2)
+    * (temperature τ=0.5), normalized so the smallest language keeps
+    * everything — upsampling-free downsampling toward a flatter mixture.
+    * Membership stays a pure hash function: doc accepted iff its first 6
+    * md5 hex chars fall below the language's INTEGER threshold
+    * floor(√(min_n/n_lang)·16⁶), compared as zero-padded hex strings —
+    * no float survives into the row decision, so both engines agree
+    * bit-for-bit. Scale shape: the per-language rate table is a
+    * broadcast (|languages| rows), the membership filter is map-side,
+    * and the audit aggregate map-side combines — one tiny shuffle for
+    * the rate table, one for the final counts. */
+  val sampleStratified = OracleQuery(
+    "sample_stratified",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val rates = counts
+        .withColumn("min_n", min(col("n_lang")).over(Window.partitionBy(lit(1))))
+        .withColumn("thr",
+          floor(sqrt(col("min_n").cast("double") / col("n_lang").cast("double"))
+            * 16777216.0).cast("long"))
+      val h6 = substring(md5(col("doc_id").cast("string")), 1, 6)
+      docs.join(broadcast(rates), "lang")
+        .filter(col("n_lang") === col("min_n") ||
+          h6 < format_string("%06x", col("thr")))
+        .groupBy(col("lang"), col("n_lang"), col("thr"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH counts AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY lang
+      |), rates AS (
+      |  SELECT lang, n_lang, min(n_lang) OVER () AS min_n,
+      |         CAST(floor(sqrt(CAST(min(n_lang) OVER () AS DOUBLE)
+      |           / CAST(n_lang AS DOUBLE)) * 16777216.0) AS BIGINT) AS thr
+      |  FROM counts
+      |)
+      |SELECT d.lang, r.n_lang, r.thr, CAST(count(*) AS BIGINT) AS n_sampled
+      |FROM documents d JOIN rates r ON d.lang = r.lang
+      |WHERE r.n_lang = r.min_n
+      |   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) < printf('%06x', r.thr)
+      |GROUP BY 1, 2, 3
+      |ORDER BY d.lang""".stripMargin))
+
+  val all: Seq[OracleQuery] =
+    Seq(sampleHash, datasetSplit, topkPerGroup, sequencePacking, sampleStratified)
 }

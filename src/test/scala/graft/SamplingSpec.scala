@@ -28,4 +28,24 @@ class SamplingSpec extends SparkSpec {
       (100000L, 1L, 0L, 0L), // new shard → stream offset resets
       (100001L, 1L, 3L, 0L)))
   }
+
+  test("stratified sampling keeps the smallest language whole and flattens the rest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-strat").toString
+    // en 400 docs, de 100 docs → de keeps all, en targets √(100/400)=50%
+    (1L to 400L).map(i => (i, "en", s"doc $i"))
+      .++((1001L to 1100L).map(i => (i, "de", s"doc $i")))
+      .toDF("doc_id", "lang", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Sampling.sampleStratified.run(spark, dir)
+      .select("lang", "n_lang", "n_sampled")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out("de") == (100L, 100L), "smallest language keeps every doc")
+    val (nEn, sEn) = out("en")
+    assert(nEn == 400L && sEn < 400L && math.abs(sEn - 200L) < 60L,
+      s"en should land near the 50% target, got $sEn/400")
+    // determinism: a second run produces identical membership counts
+    val again = Sampling.sampleStratified.run(spark, dir)
+      .select("lang", "n_sampled").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(again == out.map { case (l, (_, s)) => (l, s) })
+  }
 }
