@@ -42,18 +42,17 @@ object TimeSeries {
   // ------------------------------------------------------------ library API
 
   /** Last observation per (entity, bucket): the downsample step every
-    * gap-fill starts from. Survivor is deterministic — max (time, value)
-    * per bucket via one row_number window. */
-  def bucketLast(ltss: DataFrame, widthUs: Long): DataFrame = {
-    val w = Window.partitionBy(col("entity_id"), col("bus"))
-      .orderBy(col("time").desc, col("sv").desc)
+    * gap-fill starts from. Survivor is deterministic — the max
+    * (time, value) tuple per bucket — computed as ONE hash aggregate
+    * over a struct MAX: partials combine map-side and no per-bucket sort
+    * runs, unlike a row_number window (same shape argument as
+    * [[Transform.dedupPrimaryKey]]). */
+  def bucketLast(ltss: DataFrame, widthUs: Long): DataFrame =
     ltss
       .withColumn("sv", col("state").cast("decimal(12,2)"))
       .withColumn("bus", bucketUs(col("time"), widthUs))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("entity_id"), col("bus"), col("sv"))
-  }
+      .groupBy(col("entity_id"), col("bus"))
+      .agg(max(struct(col("time"), col("sv"))).getField("sv").as("sv"))
 
   /** Dense per-entity bucket grid spanning each entity's own observed
     * range, left-joined to the observations: rows with null `sv` are the
@@ -159,6 +158,24 @@ object TimeSeries {
           .as("rate_per_s"),
         col("n"))
   }
+
+  /** OHLC (candlestick) downsample per (entity, bucket) — the other
+    * standard Grafana panel over a hypertable (TimescaleDB
+    * `candlestick_agg`): open/close are the first/last observations by
+    * (time, value) order, high/low the extremes. ONE hash aggregate —
+    * open and close ride min/max STRUCT aggregates (map-side
+    * combinable, no window, no per-bucket sort). */
+  def ohlc(ltss: DataFrame, widthUs: Long = HourUs): DataFrame =
+    ltss
+      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("bucket", timestamp_micros(bucketUs(col("time"), widthUs)))
+      .groupBy(col("entity_id"), col("bucket"))
+      .agg(
+        min(struct(col("time"), col("sv"))).getField("sv").cast("double").as("open"),
+        max(col("sv")).cast("double").as("high"),
+        min(col("sv")).cast("double").as("low"),
+        max(struct(col("time"), col("sv"))).getField("sv").cast("double").as("close"),
+        count(lit(1)).as("n"))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -289,6 +306,29 @@ object TimeSeries {
       |GROUP BY entity_id, bucket
       |ORDER BY entity_id, bucket""".stripMargin))
 
+  val ohlcQ = OracleQuery(
+    "ltss_ohlc",
+    (s, d) => {
+      val l = Queries.ltss(s, d)
+        .filter(split(col("entity_id"), "\\.").getItem(0) === "click")
+      ohlc(l).orderBy(col("entity_id"), col("bucket"))
+    },
+    Some(s"""$ltssBase
+      |SELECT entity_id, bucket,
+      |       CAST(min(ts_sv).sv AS DOUBLE) AS open,
+      |       CAST(max(sv) AS DOUBLE) AS high,
+      |       CAST(min(sv) AS DOUBLE) AS low,
+      |       CAST(max(ts_sv).sv AS DOUBLE) AS close,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM (
+      |  SELECT entity_id,
+      |         make_timestamp((epoch_us(time) // $HourUs) * $HourUs) AS bucket,
+      |         CAST(state AS DECIMAL(12,2)) AS sv,
+      |         {'time': time, 'sv': CAST(state AS DECIMAL(12,2))} AS ts_sv
+      |  FROM base WHERE split_part(entity_id, '.', 1) = 'click')
+      |GROUP BY entity_id, bucket
+      |ORDER BY entity_id, bucket""".stripMargin))
+
   val all: Seq[OracleQuery] =
-    Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ)
+    Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ)
 }

@@ -66,6 +66,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.head.getAs[Long]("covered_us") == 4 * H)
   }
 
+  test("ohlc: open/close by time order, high/low extremes, one bucket row") {
+    val candle = ltssOf(Seq(
+      (ts(0, 5), "click.1", "12.00"),
+      (ts(0, 20), "click.1", "30.00"),
+      (ts(0, 40), "click.1", "4.00"),
+      (ts(0, 55), "click.1", "18.00")))
+    val out = TimeSeries.ohlc(candle).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[Double]("open"), r.getAs[Double]("high"),
+      r.getAs[Double]("low"), r.getAs[Double]("close"), r.getAs[Long]("n")) ==
+      ((12.0, 30.0, 4.0, 18.0, 4L)))
+  }
+
   test("counter rate: decreases count as resets, increases as deltas") {
     val counter = ltssOf(Seq(
       (ts(0, 10), "purchase.1", "100.00"),
