@@ -59,10 +59,32 @@ object TimeSeries {
     * gaps. The series axis is generated per entity from its (min, max)
     * bounds — `sequence` + `explode`, distributed with the entities. */
   def gapGrid(obs: DataFrame, widthUs: Long): DataFrame = {
-    val grid = obs.groupBy(col("entity_id"))
+    val bounds = obs.groupBy(col("entity_id"))
       .agg(min(col("bus")).as("lo"), max(col("bus")).as("hi"))
-      .select(col("entity_id"),
-        explode(sequence(col("lo"), col("hi"), lit(widthUs))).as("bus"))
+    // `sequence` materializes the whole axis as ONE array per row; for a
+    // sub-minute width over a multi-year entity that is a
+    // hundreds-of-MB allocation. When the width divides a day, explode
+    // the DAY axis first and generate in-day buckets per day row — the
+    // per-row array is bounded at max(86400s/width, span-days) and the
+    // fan-out distributes across the day rows. Alignment: lo/hi and the
+    // day starts are all multiples of widthUs (widthUs | DayUs), so the
+    // two-level axis enumerates exactly the single-level buckets.
+    val grid =
+      if (DayUs % widthUs == 0)
+        bounds
+          .select(col("entity_id"), col("lo"), col("hi"),
+            explode(sequence(
+              col("lo") - pmod(col("lo"), lit(DayUs)),
+              col("hi") - pmod(col("hi"), lit(DayUs)),
+              lit(DayUs))).as("day"))
+          .select(col("entity_id"),
+            explode(sequence(
+              greatest(col("lo"), col("day")),
+              least(col("hi"), col("day") + lit(DayUs - widthUs)),
+              lit(widthUs))).as("bus"))
+      else
+        bounds.select(col("entity_id"),
+          explode(sequence(col("lo"), col("hi"), lit(widthUs))).as("bus"))
     grid.join(obs, Seq("entity_id", "bus"), "left")
   }
 

@@ -50,6 +50,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(n.toSeq == Seq(("click.1", 4L), ("click.2", 2L)))
   }
 
+  test("gapfill grid spans day boundaries seamlessly (two-level day axis)") {
+    val span = ltssOf(Seq(
+      (Timestamp.valueOf("2024-01-01 22:00:00"), "click.1", "1.00"),
+      (Timestamp.valueOf("2024-01-03 02:00:00"), "click.1", "2.00")))
+    val out = TimeSeries.gapfillLocf(span, H).orderBy("bucket").collect()
+    assert(out.length == 29, "22:00 day1 .. 02:00 day3 inclusive = 29 hourly buckets")
+    assert(out.map(_.getAs[Double]("locf")).distinct.toSeq == Seq(1.0, 2.0))
+    assert(out.count(_.getAs[Int]("is_gap") == 0) == 2)
+  }
+
+  test("gapfill with a width that does not divide a day (single-level axis)") {
+    val w7h = 7L * 3600000000L
+    // 7h buckets are epoch-aligned: 2024-01-01 00:00/01:00 fall in the
+    // bucket starting 2023-12-31 19:00 (last obs 20.0), 04:00 in the
+    // adjacent 02:00 bucket (50.0) — two rows, no gap between them
+    val out = TimeSeries.gapfillLocf(gappy, w7h).orderBy("bucket").collect()
+    assert(out.map(r => (r.getAs[Double]("locf"), r.getAs[Int]("is_gap"))).toSeq ==
+      Seq((20.0, 0), (50.0, 0)))
+  }
+
   test("bucketLast keeps the latest observation per bucket") {
     val dup = ltssOf(Seq(
       (ts(0, 10), "click.1", "1.00"),
