@@ -78,4 +78,28 @@ object StreamingOps {
         split(col("entity_id"), "\\.").getItem(0).as("domain"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("domain"), col("n"))
+
+  /** Continuously-maintained OHLC candlesticks per (entity, window) —
+    * the streaming twin of the batch `ltss_ohlc` query, with the SAME
+    * aggregate shape: open/close ride lexicographic min/max STRUCT
+    * aggregates, which partial-combine incrementally in the state store
+    * exactly like they map-side-combine in batch (no per-window buffer
+    * of events, state is one struct pair + two extremes per open
+    * window). Append-mode emission once the watermark closes a window. */
+  def windowedOhlc(
+      ltss: DataFrame,
+      windowWidth: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val sv = col("state").cast("decimal(12,2)")
+    ltss.withWatermark("time", watermark)
+      .groupBy(window(col("time"), windowWidth), col("entity_id"))
+      .agg(
+        min(struct(col("time"), sv.as("sv"))).getField("sv").cast("double").as("open"),
+        max(sv).cast("double").as("high"),
+        min(sv).cast("double").as("low"),
+        max(struct(col("time"), sv.as("sv"))).getField("sv").cast("double").as("close"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("entity_id"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+  }
 }

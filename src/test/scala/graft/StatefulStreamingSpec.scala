@@ -112,4 +112,31 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(rows.contains(("a.1", ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00"), 1L)))
     assert(rows.contains(("b.1", ts("2024-01-01 10:05:00"), ts("2024-01-01 10:35:00"), 1L)))
   }
+
+  test("streaming OHLC: open/close by event time across batches, append on close") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.windowedOhlc(df).writeStream
+      .format("memory").queryName("ohlc_t").outputMode("append").start()
+    try {
+      // out-of-order within the window: close must follow EVENT time
+      ms.addData(
+        (ts("2024-01-01 10:40:00"), "a.1", "4.00"),
+        (ts("2024-01-01 10:05:00"), "a.1", "12.00"))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 10:55:00"), "a.1", "18.00"),
+        (ts("2024-01-01 10:20:00"), "a.1", "30.00"))
+      q.processAllAvailable()
+      // advance the watermark past the window to emit it
+      ms.addData((ts("2024-01-01 14:00:00"), "z.1", "0.00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ohlc_t")
+      .as[(java.sql.Timestamp, String, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    assert(rows.contains(
+      (ts("2024-01-01 10:00:00"), "a.1", 12.0, 30.0, 4.0, 18.0, 4L)),
+      s"expected candle missing: $rows")
+  }
 }
