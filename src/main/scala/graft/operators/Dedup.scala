@@ -624,6 +624,58 @@ object Dedup {
       })
   }
 
+  /** Cross-SOURCE overlap matrix (the provenance diagnostic a curation
+    * pipeline runs before mixing corpora — how much 3-gram content each
+    * source pair shares, as distinct-shingle intersection counts and
+    * Jaccard): docs reduce to distinct (source, shingle) rows, the
+    * intersection is a self-join per shingle, set sizes re-attach by
+    * broadcast. Scale shape: one distinct shuffle on (source, shingle);
+    * the per-shingle join group is bounded by |sources| (a constant), so
+    * the pair fan-out is linear in distinct shingles — never quadratic
+    * in docs; counts map-side combine and the counts table broadcasts
+    * (|sources| rows). The one double division runs on identical integer
+    * inputs on both engines. */
+  val sourceOverlap = OracleQuery(
+    "source_overlap",
+    (s, d) => {
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      val sh3 = columnOf(graft.functions.ShinglesK(expressionOf(col("text")), 3))
+      val srcSh = Tables.documents(s, d)
+        .select(col("source"), explode(array_distinct(sh3)).as("sh"))
+        .distinct()
+      val counts = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      srcSh.toDF("a_src", "sh").join(srcSh.toDF("b_src", "sh"), "sh")
+        .filter(col("a_src") < col("b_src"))
+        .groupBy(col("a_src"), col("b_src"))
+        .agg(count(lit(1)).as("shared"))
+        .join(broadcast(counts.toDF("a_src", "a_n")), "a_src")
+        .join(broadcast(counts.toDF("b_src", "b_n")), "b_src")
+        .select(col("a_src"), col("b_src"), col("a_n"), col("b_n"), col("shared"),
+          (col("shared").cast("double") /
+            (col("a_n") + col("b_n") - col("shared")).cast("double")).as("jaccard"))
+        .orderBy(col("a_src"), col("b_src"))
+    },
+    Some("""WITH sh AS (
+      |  SELECT DISTINCT source, sh FROM (
+      |    SELECT source, unnest(list_distinct(list_transform(
+      |             generate_series(1, greatest(len(w) - 2, 1)),
+      |             i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+      |    FROM (SELECT source, string_split(text, ' ') AS w FROM documents))
+      |), counts AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source
+      |), inter AS (
+      |  SELECT a.source AS a_src, b.source AS b_src,
+      |         CAST(count(*) AS BIGINT) AS shared
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT a_src, b_src, ca.n AS a_n, cb.n AS b_n, shared,
+      |       CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jaccard
+      |FROM inter
+      |JOIN counts ca ON ca.source = a_src
+      |JOIN counts cb ON cb.source = b_src
+      |ORDER BY a_src, b_src""".stripMargin))
+
   /** Cross-modal dedup agreement (a curation QA signal): every MinHash-LSH
     * candidate pair joined to its docs' EMBEDDINGS (vec_id ≙ doc_id) and
     * scored by exact cosine — pairs where the lexical estimate and the
@@ -716,5 +768,5 @@ object Dedup {
 
   val all: Seq[OracleQuery] =
     Seq(exact, minhashSig, minhashLsh, jaccard, clusters, overflowVerify, crosscheck,
-      simhashPairs, simhash64Pairs)
+      simhashPairs, simhash64Pairs, sourceOverlap)
 }

@@ -199,6 +199,76 @@ object TimeSeries {
         max(struct(col("time"), col("sv"))).getField("sv").cast("double").as("close"),
         count(lit(1)).as("n"))
 
+  final case class TsPoint(entity_id: String, time: java.sql.Timestamp, sv: Double)
+
+  /** Largest-Triangle-Three-Buckets downsample (TimescaleDB `lttb`
+    * hyperfunction — the dashboard renderer's downsample: keep the nOut
+    * points that preserve the series' visual shape). Selection is
+    * inherently SEQUENTIAL per series (each pick depends on the previous
+    * pick), so it runs as one compiled pass per entity via
+    * `groupByKey(entity).flatMapGroups` — parallelism scales with
+    * |entities|, and the per-task memory bound is ONE entity's series
+    * (the operator's contract: it renders a chart, so the input is a
+    * chart-sized slice — pre-bucket with [[bucketLast]] first for
+    * unbounded histories). No SQL oracle (DuckDB has no lttb; the
+    * sequential pick is not expressible) — rows-only by design, pinned
+    * by a hand-computed spec. */
+  def lttb(ltss: DataFrame, nOut: Int): DataFrame = {
+    import ltss.sparkSession.implicits._
+    ltss
+      .select(col("entity_id"), col("time"),
+        col("state").cast("decimal(12,2)").cast("double").as("sv"))
+      .as[TsPoint]
+      .groupByKey(_.entity_id)
+      .flatMapGroups { (_, it) =>
+        lttbSelect(it.toArray.sortBy(p => (p.time.getTime, p.sv)), nOut)
+      }
+      .toDF()
+  }
+
+  /** The sequential LTTB pick over one sorted series: endpoints always
+    * kept; each of the nOut−2 middle buckets contributes the point
+    * maximizing the triangle area with the PREVIOUS pick and the NEXT
+    * bucket's centroid. First-max tie-break → deterministic. */
+  private[graft] def lttbSelect(
+      arr: IndexedSeq[TsPoint], nOut: Int): Iterator[TsPoint] = {
+    val n = arr.length
+    if (nOut >= n || nOut < 3) return arr.iterator
+    val out = scala.collection.mutable.ArrayBuffer[TsPoint](arr(0))
+    val every = (n - 2).toDouble / (nOut - 2)
+    var a = 0
+    var i = 0
+    while (i < nOut - 2) {
+      val bStart = (i * every).toInt + 1
+      val bEnd = math.min(((i + 1) * every).toInt + 1, n - 1)
+      val nStart = bEnd
+      val nEnd = math.min(((i + 2) * every).toInt + 1, n)
+      var avgX = 0.0
+      var avgY = 0.0
+      var j = nStart
+      while (j < nEnd) { avgX += arr(j).time.getTime.toDouble; avgY += arr(j).sv; j += 1 }
+      val cnt = math.max(1, nEnd - nStart)
+      avgX /= cnt
+      avgY /= cnt
+      val ax = arr(a).time.getTime.toDouble
+      val ay = arr(a).sv
+      var best = bStart
+      var bestArea = -1.0
+      j = bStart
+      while (j < bEnd) {
+        val bx = arr(j).time.getTime.toDouble
+        val area = math.abs((ax - avgX) * (arr(j).sv - ay) - (ax - bx) * (avgY - ay))
+        if (area > bestArea) { bestArea = area; best = j }
+        j += 1
+      }
+      out += arr(best)
+      a = best
+      i += 1
+    }
+    out += arr(n - 1)
+    out.iterator
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   /** Shared DuckDB CTE chain: click-domain LTSS rows → last observation
@@ -351,6 +421,15 @@ object TimeSeries {
       |GROUP BY entity_id, bucket
       |ORDER BY entity_id, bucket""".stripMargin))
 
+  val lttbQ = OracleQuery(
+    "ltss_lttb",
+    (s, d) => {
+      val l = Queries.ltss(s, d)
+        .filter(split(col("entity_id"), "\\.").getItem(0) === "click")
+      lttb(l, nOut = 20).orderBy(col("entity_id"), col("time"), col("sv"))
+    },
+    None) // rows-only by design: the sequential pick has no SQL twin
+
   val all: Seq[OracleQuery] =
-    Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ)
+    Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ)
 }

@@ -100,6 +100,46 @@ class TimeSeriesSpec extends SparkSpec {
       ((12.0, 30.0, 4.0, 18.0, 4L)))
   }
 
+  test("lttb keeps endpoints and the shape-dominant spike per bucket") {
+    // 6 points → 4: middle indices 1..4 split into two buckets; the
+    // spikes (10 at h1, 9 at h4) maximize the triangle areas
+    val series = ltssOf(Seq(
+      (ts(0), "click.1", "0.00"),
+      (ts(1), "click.1", "10.00"),
+      (ts(2), "click.1", "1.00"),
+      (ts(3), "click.1", "1.00"),
+      (ts(4), "click.1", "9.00"),
+      (ts(5), "click.1", "0.00")))
+    val out = TimeSeries.lttb(series, 4).orderBy("time")
+      .select("sv").collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(0.0, 10.0, 9.0, 0.0))
+  }
+
+  test("lttb passes short series through and distributes per entity") {
+    val two = ltssOf(Seq(
+      (ts(0), "click.1", "1.00"), (ts(1), "click.1", "2.00"),
+      (ts(0), "click.2", "3.00")))
+    val out = TimeSeries.lttb(two, 4).collect()
+    assert(out.length == 3, "series shorter than nOut are kept whole")
+  }
+
+  test("lttbSelect invariants: size, endpoints, order, subset (100 random series)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 100) {
+      val n = 3 + rnd.nextInt(200)
+      val nOut = 3 + rnd.nextInt(30)
+      val arr = (0 until n).map { i =>
+        graft.operators.TimeSeries.TsPoint(
+          "e", new Timestamp(i * 60000L), rnd.nextInt(1000) / 10.0)
+      }
+      val out = graft.operators.TimeSeries.lttbSelect(arr, nOut).toSeq
+      assert(out.size == math.min(n, nOut), s"trial $trial size")
+      assert(out.head == arr.head && out.last == arr.last, s"trial $trial endpoints")
+      assert(out.map(_.time.getTime) == out.map(_.time.getTime).sorted, s"trial $trial order")
+      assert(out.forall(arr.contains), s"trial $trial subset")
+    }
+  }
+
   test("counter rate: decreases count as resets, increases as deltas") {
     val counter = ltssOf(Seq(
       (ts(0, 10), "purchase.1", "100.00"),
