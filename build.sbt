@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] + the persisted shared frames (band/signature caches)
+  // need old-gen headroom: at 8g the tail of an 81-query bench run sat
+  // in GC (window_running, the last query, read 3.1 s vs 0.1 s fresh).
+  // The bench host has 128 GiB; 24g keeps the full run GC-quiet.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

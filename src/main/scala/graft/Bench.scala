@@ -76,31 +76,38 @@ object Bench {
       finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       ()
     }
-    // Per-query MEDIAN of 3 back-to-back runs: single-shot timing on a
-    // shared machine showed ±0.5 s phantom swings on byte-identical code
-    // (r3→r4), which is the same order as the regressions being chased —
-    // the median keeps one-off scheduler/GC hiccups (and any residual
-    // first-run codegen compile) out of the number. A failed query stops
-    // its runs immediately and reports the failing run's elapsed time —
-    // never silently subtracted from the total.
+    // Per-query MEDIAN of 3 runs taken as INTERLEAVED full passes over
+    // the suite (pass 1 of every query, then pass 2, then pass 3) —
+    // not 3 back-to-back runs per query. Two noise regimes observed on
+    // this host on byte-identical code: ±0.5 s one-off hiccups (r3→r4)
+    // and minutes-long host-level bursts (this round: a full pass
+    // reading ~2× with load avg ~1 on 32 cores — CPU steal, not our
+    // plan). Back-to-back medians absorb the first but not the second
+    // (a burst covers all 3 runs of whichever queries it lands on);
+    // interleaved passes spread a burst thin across many queries and
+    // the per-query median takes the two clean passes. A failed query
+    // stops its remaining passes and reports the failing run's elapsed
+    // time — never silently subtracted from the total.
     val Runs = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var err: Option[String] = None
-      while (times.size < Runs && err.isEmpty) {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch {
-          case e: Throwable =>
-            err = Some(s"${e.getClass.getSimpleName}: " +
-              Option(e.getMessage).getOrElse("").replace('\n', ' ').take(160))
-        }
-        times += (System.nanoTime() - t0) / 1e9
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    val errs0 = scala.collection.mutable.Map.empty[String, String]
+    for (_ <- 1 to Runs; (name, fn) <- ordered if !errs0.contains(name)) {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count()
+      catch {
+        case e: Throwable =>
+          errs0(name) = s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").replace('\n', ' ').take(160)
       }
+      times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+    }
+    val results = ordered.map { case (name, _) =>
+      val ts = times(name)
       val elapsed =
-        if (err.isDefined) times.last
-        else times.sorted.apply(Runs / 2)
-      (name, elapsed, err)
+        if (errs0.contains(name)) ts.head
+        else ts.sorted.apply(ts.size / 2)
+      (name, elapsed, errs0.get(name))
     }
     val qs = results.map { case (k, v, _) => q(k) + ":" + v }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => q(k) + ":" + q(e) }

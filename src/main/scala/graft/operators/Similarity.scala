@@ -431,52 +431,7 @@ object Similarity {
         .orderBy(col("cid"), col("rank_in_cluster"))
     },
     Some {
-      // the same Lloyd chain as CTEs: scored_i → a_i (argmax) → c_i
-      // (integer-code sums / 127·count, cast to REAL) — bit-identical to
-      // the Spark side because every arithmetic step is either exact
-      // (int sums) or a single IEEE op on identical inputs
-      val quantSql =
-        "list_transform(embedding, v -> CAST(floor(greatest(-1.0, least(1.0, " +
-          "CAST(v AS DOUBLE))) * 127.0 + 0.5) AS INT))"
-      def scoredCte(name: String, cents: String) =
-        s"""$name AS (
-           |  SELECT e.vec_id, e.codes, c.cid,
-           |    ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "c.ce", Dim), "e.nrm", "c.cn")} AS cos
-           |  FROM e, $cents c
-           |)""".stripMargin
-      def assignCte(name: String, scored: String) =
-        s"""$name AS (
-           |  SELECT vec_id, codes, cid, cos FROM (
-           |    SELECT vec_id, codes, cid, cos,
-           |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-           |    FROM $scored) WHERE rn = 1
-           |)""".stripMargin
-      def updateCte(name: String, assigned: String) = {
-        val dims = (1 to Dim).map(i =>
-          s"CAST(CAST(SUM(codes[$i]) AS DOUBLE) / (127.0 * COUNT(*)) AS REAL)")
-          .mkString(", ")
-        s"""$name AS (
-           |  SELECT cid, [$dims] AS ce FROM $assigned GROUP BY cid
-           |), ${name}n AS (
-           |  SELECT cid, ce, ${DetMath.normSql("ce", Dim)} AS cn FROM $name
-           |)""".stripMargin
-      }
-      val iters = (1 to KmIters).map { i =>
-        val prev = if (i == 1) "c0" else s"c${i - 1}n"
-        s"""${scoredCte(s"scored$i", prev)},
-           |${assignCte(s"a$i", s"scored$i")},
-           |${updateCte(s"c$i", s"a$i")}""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (
-        |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm,
-        |         $quantSql AS codes
-        |  FROM embeddings
-        |), c0 AS (
-        |  SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < $KmK
-        |),
-        |$iters,
-        |${scoredCte("scoredF", s"c${KmIters}n")},
-        |${assignCte("aF", "scoredF")}
+      s"""$kmeansSqlChain
         |SELECT cid, cluster_size, rank_in_cluster, vec_id, cos FROM (
         |  SELECT cid, vec_id, cos,
         |         row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id) AS rank_in_cluster,
@@ -484,6 +439,97 @@ object Similarity {
         |  FROM aF)
         |WHERE rank_in_cluster <= 3
         |ORDER BY cid, rank_in_cluster""".stripMargin
+    })
+
+  /** The Lloyd chain as DuckDB CTEs, ending at `aF` (the final
+    * (vec_id, cid, cos) assignment) with `e` (vec_id, embedding, nrm,
+    * codes) in scope: scored_i → a_i (argmax) → c_i (integer-code sums /
+    * 127·count, cast to REAL) — bit-identical to [[kmeansAssignments]]
+    * because every arithmetic step is either exact (int sums) or a
+    * single IEEE op on identical inputs. Shared by the `sim_ivf_kmeans`
+    * summary and the `dedup_embedding_ivf` pair search. */
+  private def kmeansSqlChain: String = {
+    val quantSql =
+      "list_transform(embedding, v -> CAST(floor(greatest(-1.0, least(1.0, " +
+        "CAST(v AS DOUBLE))) * 127.0 + 0.5) AS INT))"
+    def scoredCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT e.vec_id, e.codes, c.cid,
+         |    ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "c.ce", Dim), "e.nrm", "c.cn")} AS cos
+         |  FROM e, $cents c
+         |)""".stripMargin
+    def assignCte(name: String, scored: String) =
+      s"""$name AS (
+         |  SELECT vec_id, codes, cid, cos FROM (
+         |    SELECT vec_id, codes, cid, cos,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |    FROM $scored) WHERE rn = 1
+         |)""".stripMargin
+    def updateCte(name: String, assigned: String) = {
+      val dims = (1 to Dim).map(i =>
+        s"CAST(CAST(SUM(codes[$i]) AS DOUBLE) / (127.0 * COUNT(*)) AS REAL)")
+        .mkString(", ")
+      s"""$name AS (
+         |  SELECT cid, [$dims] AS ce FROM $assigned GROUP BY cid
+         |), ${name}n AS (
+         |  SELECT cid, ce, ${DetMath.normSql("ce", Dim)} AS cn FROM $name
+         |)""".stripMargin
+    }
+    val iters = (1 to KmIters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}n"
+      s"""${scoredCte(s"scored$i", prev)},
+         |${assignCte(s"a$i", s"scored$i")},
+         |${updateCte(s"c$i", s"a$i")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm,
+      |         $quantSql AS codes
+      |  FROM embeddings
+      |), c0 AS (
+      |  SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < $KmK
+      |),
+      |$iters,
+      |${scoredCte("scoredF", s"c${KmIters}n")},
+      |${assignCte("aF", "scoredF")}""".stripMargin
+  }
+
+  /** IVF-bucketed embedding near-dup (the production path for embedding
+    * dedup over a 100 TB vector corpus: candidate pairs only WITHIN a
+    * trained cluster — (n/k)² per cluster instead of n² global — then
+    * exact cosine verification): the trained assignment bucketes ids,
+    * pairs form per cid, vectors re-attach by key equi-join, one DotF64
+    * per pair. At real k ≈ √n the candidate bound is n^1.5; recall
+    * misses only pairs straddling a cluster boundary — the standard IVF
+    * dedup trade, tightened by multi-probe if needed. */
+  val dedupEmbeddingIvf = OracleQuery(
+    "dedup_embedding_ivf",
+    (s, d) => {
+      val minCos = 0.2
+      val asg = kmeansAssignments(s, d, KmIters).select(col("vec_id"), col("cid"))
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding"), DetMath.normCol(col("embedding"), Dim).as("nrm"))
+      asg.toDF("a_id", "cid").join(asg.toDF("b_id", "cid"), "cid")
+        .filter(col("a_id") < col("b_id"))
+        .join(e.toDF("a_id", "a_e", "a_n"), "a_id")
+        .join(e.toDF("b_id", "b_e", "b_n"), "b_id")
+        .withColumn("cosine", DetMath.cosinePre(
+          DetMath.dotCol(col("a_e"), col("b_e"), Dim), col("a_n"), col("b_n")))
+        .filter(col("cosine") >= minCos)
+        .select(col("cid"), col("a_id"), col("b_id"), col("cosine"))
+        .orderBy(col("cid"), col("a_id"), col("b_id"))
+    },
+    Some {
+      val cos = DetMath.cosinePreSql(
+        DetMath.dotSql("ea.embedding", "eb.embedding", Dim), "ea.nrm", "eb.nrm")
+      s"""$kmeansSqlChain
+        |SELECT cid, a_id, b_id, cosine FROM (
+        |  SELECT a.cid AS cid, a.vec_id AS a_id, b.vec_id AS b_id, $cos AS cosine
+        |  FROM aF a
+        |  JOIN aF b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id)
+        |WHERE cosine >= 0.2
+        |ORDER BY cid, a_id, b_id""".stripMargin
     })
 
   /** Int8 embedding quantization (the 4× storage/bandwidth reduction a
@@ -522,5 +568,5 @@ object Similarity {
 
   val all: Seq[OracleQuery] =
     Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, embedNearDupRandomQ,
-      ivfProbe, ivfProbe2, ivfKmeans, embedQuantize)
+      ivfProbe, ivfProbe2, ivfKmeans, dedupEmbeddingIvf, embedQuantize)
 }

@@ -79,6 +79,64 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("domain"), col("n"))
 
+  final case class GapfillState(lastBus: Long, lastState: String)
+  final case class GapfillRow(
+      entity_id: String, bucket: java.sql.Timestamp, state: String, is_gap: Int)
+
+  /** Continuously-maintained LOCF gap-fill (the streaming twin of the
+    * batch `ltss_gapfill_locf` query): per entity, every hour bucket
+    * between consecutive observations emits a carried-forward row the
+    * moment the later observation arrives — a dashboard reading the sink
+    * sees a dense axis without re-running a batch gap-fill. State per
+    * entity is ONE (bucket, value) pair; emitted gap rows per event are
+    * bounded by the event gap, so state and output stay O(|entities|)
+    * and O(observed span) at any history size.
+    *
+    * Ordering contract: events are applied in event-time order WITHIN a
+    * batch; an event older than the entity's last emitted bucket cannot
+    * retro-fill (its buckets already emitted) and is dropped — the same
+    * at-most-once-per-bucket emission a live dashboard needs. Pair with
+    * [[dedupByPkStream]] upstream and a watermark sized to the expected
+    * disorder. */
+  def gapfillLocfStream(ltss: DataFrame, widthUs: Long = 3600000000L): Dataset[GapfillRow] = {
+    import ltss.sparkSession.implicits._
+    ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[GapfillState, GapfillRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (key, events, st) =>
+        val sorted = events.toSeq.sortBy(e => (e.time.getTime, e.state))
+        val out = scala.collection.mutable.ArrayBuffer.empty[GapfillRow]
+        var cur = st.getOption
+        for (e <- sorted) {
+          val bus = {
+            val us = e.time.getTime * 1000L
+            us - java.lang.Math.floorMod(us, widthUs)
+          }
+          cur match {
+            case Some(GapfillState(lastBus, lastState)) if bus > lastBus =>
+              var b = lastBus + widthUs
+              while (b < bus) {
+                out += GapfillRow(key, new java.sql.Timestamp(b / 1000L), lastState, 1)
+                b += widthUs
+              }
+              out += GapfillRow(key, new java.sql.Timestamp(bus / 1000L), e.state, 0)
+              cur = Some(GapfillState(bus, e.state))
+            case Some(GapfillState(lastBus, _)) if bus == lastBus =>
+              // same bucket: later observation replaces the carry value
+              // (no re-emission — the bucket row was already appended)
+              cur = Some(GapfillState(lastBus, e.state))
+            case Some(_) => () // older than the emitted frontier: drop
+            case None =>
+              out += GapfillRow(key, new java.sql.Timestamp(bus / 1000L), e.state, 0)
+              cur = Some(GapfillState(bus, e.state))
+          }
+        }
+        cur.foreach(st.update)
+        out.iterator
+      }
+  }
+
   /** Continuously-maintained OHLC candlesticks per (entity, window) —
     * the streaming twin of the batch `ltss_ohlc` query, with the SAME
     * aggregate shape: open/close ride lexicographic min/max STRUCT

@@ -113,6 +113,31 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(rows.contains(("b.1", ts("2024-01-01 10:05:00"), ts("2024-01-01 10:35:00"), 1L)))
   }
 
+  test("streaming LOCF gap-fill emits carried rows for skipped buckets") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.gapfillLocfStream(df).writeStream
+      .format("memory").queryName("gapfill_t").outputMode("append").start()
+    try {
+      ms.addData((ts("2024-01-01 10:10:00"), "a.1", "10"))
+      q.processAllAvailable()
+      // 3 buckets later → two gap rows carrying "10", then the new obs
+      ms.addData((ts("2024-01-01 13:20:00"), "a.1", "40"))
+      q.processAllAvailable()
+      // older than the emitted frontier → dropped, no duplicate buckets
+      ms.addData((ts("2024-01-01 11:30:00"), "a.1", "99"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("gapfill_t")
+      .as[(String, java.sql.Timestamp, String, Int)].collect().toSeq.sortBy(_._2.getTime)
+    assert(rows == Seq(
+      ("a.1", ts("2024-01-01 10:00:00"), "10", 0),
+      ("a.1", ts("2024-01-01 11:00:00"), "10", 1),
+      ("a.1", ts("2024-01-01 12:00:00"), "10", 1),
+      ("a.1", ts("2024-01-01 13:00:00"), "40", 0)))
+  }
+
   test("streaming OHLC: open/close by event time across batches, append on close") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, String)]
