@@ -137,6 +137,46 @@ object StreamingOps {
       }
   }
 
+  final case class CounterState(lastTime: Long, lastState: String)
+  final case class CounterDelta(
+      entity_id: String, time: java.sql.Timestamp, delta: Double)
+
+  /** Continuously-maintained counter deltas per entity (the streaming
+    * twin of the batch `ltss_counter_rate` query's reset rule): each
+    * arriving reading emits its delta vs the previous reading — a
+    * decrease means the counter reset, so the new reading counts in
+    * full. State is ONE (time, value) pair per entity. Same ordering
+    * contract as [[gapfillLocfStream]]: in-order per entity (sorted
+    * within batch; readings older than the state's frontier are
+    * dropped — their delta already emitted). Downstream, a windowed sum
+    * over the deltas is the rate. */
+  def counterDeltaStream(ltss: DataFrame): Dataset[CounterDelta] = {
+    import ltss.sparkSession.implicits._
+    ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[CounterState, CounterDelta](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (key, events, st) =>
+        val sorted = events.toSeq.sortBy(e => (e.time.getTime, e.state))
+        val out = scala.collection.mutable.ArrayBuffer.empty[CounterDelta]
+        var cur = st.getOption
+        for (e <- sorted) {
+          cur match {
+            case Some(CounterState(lastT, lastS)) if e.time.getTime > lastT =>
+              val (prev, now) = (BigDecimal(lastS), BigDecimal(e.state))
+              val d = if (now >= prev) now - prev else now
+              out += CounterDelta(key, e.time, d.toDouble)
+              cur = Some(CounterState(e.time.getTime, e.state))
+            case Some(_) => () // at/behind the frontier: already emitted
+            case None =>
+              cur = Some(CounterState(e.time.getTime, e.state))
+          }
+        }
+        cur.foreach(st.update)
+        out.iterator
+      }
+  }
+
   /** Continuously-maintained OHLC candlesticks per (entity, window) —
     * the streaming twin of the batch `ltss_ohlc` query, with the SAME
     * aggregate shape: open/close ride lexicographic min/max STRUCT

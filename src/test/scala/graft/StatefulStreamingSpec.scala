@@ -138,6 +138,28 @@ class StatefulStreamingSpec extends SparkSpec {
       ("a.1", ts("2024-01-01 13:00:00"), "40", 0)))
   }
 
+  test("streaming counter deltas: increases emit diffs, resets emit the new value") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.counterDeltaStream(df).writeStream
+      .format("memory").queryName("cdelta_t").outputMode("append").start()
+    try {
+      ms.addData(
+        (ts("2024-01-01 10:00:00"), "p.1", "100"),
+        (ts("2024-01-01 10:10:00"), "p.1", "150"))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 10:20:00"), "p.1", "30")) // reset
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 10:30:00"), "p.1", "40"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val deltas = spark.table("cdelta_t")
+      .as[(String, java.sql.Timestamp, Double)].collect().sortBy(_._2.getTime)
+      .map(_._3).toSeq
+    assert(deltas == Seq(50.0, 30.0, 10.0))
+  }
+
   test("streaming OHLC: open/close by event time across batches, append on close") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, String)]
