@@ -368,7 +368,10 @@ object Similarity {
     *
     * Output = the [[ivf]] cluster summary (sizes + top-3 members by
     * cosine-to-centroid) computed from the FINAL assignment. */
-  val KmK = 4
+  // k is a parameter (production sizes k ≈ √n); 8 at fixture scale keeps
+  // the oracle's Lloyd CTE chain affordable while exercising a non-toy
+  // cluster count — and halves the IVF-dedup per-cluster pair bound vs 4
+  val KmK = 8
   val KmIters = 3
 
   /** The full final assignment (vec_id, cid, cos) after `iters` Lloyd
