@@ -311,4 +311,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cid"),
       s"expected a cid partition filter on the layout scan; plan:\n$plan")
   }
+
+  test("stratified sampling broadcasts the rate table — membership filter is map-side") {
+    val df = graft.operators.Sampling.sampleStratified.run(spark, "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the per-language rate table to broadcast; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
+  test("gap-fill joins the dense grid without a cartesian or nested loop") {
+    val df = graft.operators.TimeSeries.gapfillLocfQ.run(spark, "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"grid-to-observation join must be an equi-join; plan:\n$plan")
+  }
+
+  test("IVF dedup pairs only within clusters — the pair join is an equi-join") {
+    val df = Similarity.dedupEmbeddingIvf.run(spark, "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the ONLY nested-loop joins allowed are the k-row centroid-scoring
+    // broadcasts inside the Lloyd iterations (each vector scores against
+    // all k centroids — that cross join IS the assignment step and its
+    // build side is k rows); the n-vs-n PAIR join must be a hash/merge
+    // equi-join on cid, never a cartesian
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    val kmeansScoringJoins = Similarity.KmIters + 2 // init assign + iters + final
+    assert(nlj <= kmeansScoringJoins,
+      s"unexpected nested-loop join beyond the centroid scoring ($nlj); plan:\n$plan")
+  }
 }
