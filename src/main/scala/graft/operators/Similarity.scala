@@ -376,8 +376,20 @@ object Similarity {
 
   /** The full final assignment (vec_id, cid, cos) after `iters` Lloyd
     * rounds — iters = 0 is the fixed-init assignment, so tests can pin
-    * that training improves the clustering objective. */
+    * that training improves the clustering objective.
+    *
+    * Dataset-keyed PERSISTED through [[graft.CachedFrames]]: a trained
+    * IVF index is a once-per-corpus artifact — the summary query, the
+    * cluster-bucketed dedup, and repeated runs all read one training,
+    * exactly like the signature/band caches. */
   private[graft] def kmeansAssignments(
+      s: org.apache.spark.sql.SparkSession, d: String, iters: Int): DataFrame =
+    graft.CachedFrames.getOrBuild(
+      s"kmeans_asg$iters|${graft.CachedFrames.sessionKey(s)}|$d") {
+      kmeansAssignmentsUncached(s, d, iters)
+    }
+
+  private def kmeansAssignmentsUncached(
       s: org.apache.spark.sql.SparkSession, d: String, iters: Int): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
