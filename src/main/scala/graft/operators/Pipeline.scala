@@ -88,5 +88,78 @@ object Pipeline {
         |ORDER BY lang, shard, doc_id""".stripMargin))
   }
 
-  val all: Seq[OracleQuery] = Seq(curate)
+  /** The curation DAG with the MIXTURE stage in the chain: quality gate →
+    * exact-dedup survivors → stratified temperature sampling (rates
+    * computed over the SURVIVOR language counts, not the raw corpus —
+    * dedup shifts the mixture, so sampling after it is the correct
+    * order) → sequence packing of the sampled stream. Still one
+    * declarative DAG: the rate table is a broadcast of |languages| rows,
+    * the membership filter map-side, and packing re-numbers the sampled
+    * stream with the same one-shuffle window. Thresholds shared with
+    * [[Sampling.sampleStratified]] ([[Sampling.stratRates]] /
+    * [[Sampling.stratAccept]]) so the composed stage cannot drift from
+    * the standalone operator. */
+  val curateMix = {
+    val budget = Sampling.PackBudget
+    val shardDocs = Sampling.ShardDocs
+    OracleQuery(
+      "pipeline_curate_mix",
+      (s, d) => {
+        val g = TextOps.gramStats
+        val nTok = element_at(g, 1)
+        val n2 = element_at(g, 2)
+        val nUniq = element_at(g, 3)
+        val dupRatio = when(n2 > 0,
+          (n2 - nUniq).cast("double") / n2.cast("double")).otherwise(lit(0.0d))
+        val swRatio = TextOps.stopwordCount.cast("double") / nTok.cast("double")
+        val kept = Tables.documents(s, d)
+          .withColumn("n_tokens", nTok)
+          .filter(nTok >= TextOps.MinTokens && dupRatio <= TextOps.MaxDupRatio &&
+            swRatio >= TextOps.MinStopwordRatio)
+        val wFp = Window.partitionBy(col("fp"))
+        val survivors = kept
+          .withColumn("fp", md5(col("text")))
+          .withColumn("mn", min(col("doc_id")).over(wFp))
+          .filter(col("doc_id") === col("mn"))
+          .select(col("lang"), col("doc_id"), col("n_tokens"))
+        val rates = Sampling.stratRates(
+          survivors.groupBy(col("lang")).agg(count(lit(1)).as("n_lang")))
+        val mixed = survivors.join(broadcast(rates), "lang")
+          .filter(Sampling.stratAccept)
+        val wPack = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+        mixed
+          .withColumn("shard", expr(s"doc_id div $shardDocs"))
+          .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(wPack), lit(0L)))
+          .select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"),
+            (col("start_offset") / budget).cast("long").as("seq_id"))
+          .orderBy(col("lang"), col("shard"), col("doc_id"))
+      },
+      Some {
+        // the curate oracle's CTE chain up to `survivors`, then the
+        // shared mixture predicate, then the same packing window
+        val base = curate.sql.get.split("\\n\\)\\nSELECT")(0)
+        s"""$base
+          |), counts AS (
+          |  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM survivors GROUP BY lang
+          |), rates AS (
+          |  ${Sampling.stratRatesSql}
+          |), mixed AS (
+          |  SELECT d.lang, d.doc_id, d.n_tokens
+          |  FROM survivors d JOIN rates r ON d.lang = r.lang
+          |  WHERE ${Sampling.stratAcceptSql}
+          |)
+          |SELECT lang, shard, doc_id, n_tokens,
+          |       CAST(floor(start_offset / $budget) AS BIGINT) AS seq_id
+          |FROM (
+          |  SELECT lang, doc_id // $shardDocs AS shard, doc_id, n_tokens,
+          |         CAST(COALESCE(SUM(n_tokens) OVER (
+          |           PARTITION BY lang, doc_id // $shardDocs ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+          |  FROM mixed)
+          |ORDER BY lang, shard, doc_id""".stripMargin
+      })
+  }
+
+  val all: Seq[OracleQuery] = Seq(curate, curateMix)
 }

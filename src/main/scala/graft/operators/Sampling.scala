@@ -131,36 +131,56 @@ object Sampling {
     * broadcast (|languages| rows), the membership filter is map-side,
     * and the audit aggregate map-side combines — one tiny shuffle for
     * the rate table, one for the final counts. */
+  /** Per-language (n_lang, min_n, thr) rate table from per-language
+    * counts — the τ=0.5 temperature thresholds, shared with the composed
+    * pipeline so the mixture stage cannot drift from the standalone
+    * sampler. */
+  private[operators] def stratRates(counts: org.apache.spark.sql.DataFrame) =
+    counts
+      .withColumn("min_n", min(col("n_lang")).over(Window.partitionBy(lit(1))))
+      .withColumn("thr",
+        floor(sqrt(col("min_n").cast("double") / col("n_lang").cast("double"))
+          * 16777216.0).cast("long"))
+
+  /** Membership predicate against the rate table's columns. */
+  private[operators] def stratAccept: org.apache.spark.sql.Column =
+    col("n_lang") === col("min_n") ||
+      substring(md5(col("doc_id").cast("string")), 1, 6) <
+        format_string("%06x", col("thr"))
+
+  /** DuckDB twin of [[stratRates]] over a `counts(lang, n_lang)` CTE. */
+  private[operators] val stratRatesSql =
+    """SELECT lang, n_lang, min(n_lang) OVER () AS min_n,
+      |         CAST(floor(sqrt(CAST(min(n_lang) OVER () AS DOUBLE)
+      |           / CAST(n_lang AS DOUBLE)) * 16777216.0) AS BIGINT) AS thr
+      |  FROM counts""".stripMargin
+
+  /** DuckDB twin of [[stratAccept]] for a doc aliased `d` joined to a
+    * rate row aliased `r`. */
+  private[operators] val stratAcceptSql =
+    """(r.n_lang = r.min_n
+      |   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) < printf('%06x', r.thr))""".stripMargin
+
   val sampleStratified = OracleQuery(
     "sample_stratified",
     (s, d) => {
       val docs = Tables.documents(s, d)
       val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-      val rates = counts
-        .withColumn("min_n", min(col("n_lang")).over(Window.partitionBy(lit(1))))
-        .withColumn("thr",
-          floor(sqrt(col("min_n").cast("double") / col("n_lang").cast("double"))
-            * 16777216.0).cast("long"))
-      val h6 = substring(md5(col("doc_id").cast("string")), 1, 6)
+      val rates = stratRates(counts)
       docs.join(broadcast(rates), "lang")
-        .filter(col("n_lang") === col("min_n") ||
-          h6 < format_string("%06x", col("thr")))
+        .filter(stratAccept)
         .groupBy(col("lang"), col("n_lang"), col("thr"))
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("lang"))
     },
-    Some("""WITH counts AS (
+    Some(s"""WITH counts AS (
       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY lang
       |), rates AS (
-      |  SELECT lang, n_lang, min(n_lang) OVER () AS min_n,
-      |         CAST(floor(sqrt(CAST(min(n_lang) OVER () AS DOUBLE)
-      |           / CAST(n_lang AS DOUBLE)) * 16777216.0) AS BIGINT) AS thr
-      |  FROM counts
+      |  $stratRatesSql
       |)
       |SELECT d.lang, r.n_lang, r.thr, CAST(count(*) AS BIGINT) AS n_sampled
       |FROM documents d JOIN rates r ON d.lang = r.lang
-      |WHERE r.n_lang = r.min_n
-      |   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) < printf('%06x', r.thr)
+      |WHERE $stratAcceptSql
       |GROUP BY 1, 2, 3
       |ORDER BY d.lang""".stripMargin))
 
