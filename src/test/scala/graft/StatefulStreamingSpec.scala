@@ -138,6 +138,36 @@ class StatefulStreamingSpec extends SparkSpec {
       ("a.1", ts("2024-01-01 13:00:00"), "40", 0)))
   }
 
+  test("streaming LOCF gap-fill state survives a checkpoint restart") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val in = tmp("gf-in"); val out = tmp("gf-out"); val ckpt = tmp("gf-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "time TIMESTAMP, entity_id STRING, state STRING")
+    def start() = StreamingOps
+      .gapfillLocfStream(spark.readStream.schema(schema).json(in))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    Files.writeString(Paths.get(in, "b1.json"),
+      """{"time":"2024-01-01T10:05:00Z","entity_id":"a.1","state":"10"}""")
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() == 1)
+    // restart from the checkpoint: the carried (bucket, value) state must
+    // resume — the 3-bucket jump emits the two gap rows from the OLD run's
+    // value, which only works if state was recovered
+    Files.writeString(Paths.get(in, "b2.json"),
+      """{"time":"2024-01-01T13:20:00Z","entity_id":"a.1","state":"40"}""")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("bucket").toString,
+        r.getAs[String]("state"), r.getAs[Int]("is_gap"))).sortBy(_._1).toSeq
+    assert(rows == Seq(
+      ("2024-01-01 10:00:00.0", "10", 0),
+      ("2024-01-01 11:00:00.0", "10", 1),
+      ("2024-01-01 12:00:00.0", "10", 1),
+      ("2024-01-01 13:00:00.0", "40", 0)))
+  }
+
   test("streaming counter deltas: increases emit diffs, resets emit the new value") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, String)]
