@@ -177,6 +177,47 @@ object StreamingOps {
       }
   }
 
+  final case class HeldInterval(
+      entity_id: String, bucket: java.sql.Timestamp, sv: Double, dur_us: Long)
+
+  /** Continuously-emitted HELD intervals per entity — the streaming
+    * feeder of the batch `ltss_time_weighted` query: when a new reading
+    * arrives, the PREVIOUS reading's hold interval closes and emits
+    * (value, duration), attributed to the bucket the interval STARTED in
+    * (same attribution rule as the batch op). A downstream windowed
+    * `sum(sv·dur)/sum(dur)` — map-side/state-store combinable — is then
+    * the continuously-maintained time-weighted average. State is one
+    * (time, value) pair per entity; same in-order contract as
+    * [[gapfillLocfStream]]. */
+  def heldIntervalStream(
+      ltss: DataFrame, bucketWidthUs: Long = 86400000000L): Dataset[HeldInterval] = {
+    import ltss.sparkSession.implicits._
+    ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[CounterState, HeldInterval](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (key, events, st) =>
+        val sorted = events.toSeq.sortBy(e => (e.time.getTime, e.state))
+        val out = scala.collection.mutable.ArrayBuffer.empty[HeldInterval]
+        var cur = st.getOption
+        for (e <- sorted) {
+          cur match {
+            case Some(CounterState(lastT, lastS)) if e.time.getTime > lastT =>
+              val startUs = lastT * 1000L
+              val bus = startUs - java.lang.Math.floorMod(startUs, bucketWidthUs)
+              out += HeldInterval(key, new java.sql.Timestamp(bus / 1000L),
+                BigDecimal(lastS).toDouble, e.time.getTime * 1000L - startUs)
+              cur = Some(CounterState(e.time.getTime, e.state))
+            case Some(_) => () // at/behind the frontier: interval already closed
+            case None =>
+              cur = Some(CounterState(e.time.getTime, e.state))
+          }
+        }
+        cur.foreach(st.update)
+        out.iterator
+      }
+  }
+
   /** Continuously-maintained OHLC candlesticks per (entity, window) —
     * the streaming twin of the batch `ltss_ohlc` query, with the SAME
     * aggregate shape: open/close ride lexicographic min/max STRUCT

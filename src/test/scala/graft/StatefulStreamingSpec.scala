@@ -190,6 +190,33 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(deltas == Seq(50.0, 30.0, 10.0))
   }
 
+  test("streaming held intervals close on the next reading, attributed to the start bucket") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.heldIntervalStream(df, bucketWidthUs = 3600000000L).writeStream
+      .format("memory").queryName("held_t").outputMode("append").start()
+    try {
+      ms.addData((ts("2024-01-01 10:10:00"), "a.1", "10"))
+      q.processAllAvailable() // open interval: nothing emits yet
+      assert(spark.table("held_t").count() == 0)
+      ms.addData((ts("2024-01-01 11:40:00"), "a.1", "20"))
+      q.processAllAvailable() // closes 10:10→11:40 @10, bucket 10:00
+      ms.addData((ts("2024-01-01 12:00:00"), "a.1", "30"))
+      q.processAllAvailable() // closes 11:40→12:00 @20, bucket 11:00
+    } finally q.stop()
+    val rows = spark.table("held_t")
+      .as[(String, java.sql.Timestamp, Double, Long)].collect().sortBy(_._2.getTime).toSeq
+    assert(rows == Seq(
+      ("a.1", ts("2024-01-01 10:00:00"), 10.0, 90L * 60 * 1000000),
+      ("a.1", ts("2024-01-01 11:00:00"), 20.0, 20L * 60 * 1000000)))
+    // windowed twa over the emitted intervals = the batch formula
+    val twa = spark.table("held_t").groupBy($"entity_id")
+      .agg((sum($"sv" * $"dur_us") / sum($"dur_us")).as("twa"))
+      .head().getAs[Double]("twa")
+    assert(math.abs(twa - (10.0 * 90 + 20.0 * 20) / 110.0) < 1e-9)
+  }
+
   test("streaming OHLC: open/close by event time across batches, append on close") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, String)]
