@@ -25,6 +25,18 @@ object Similarity {
     * change cannot silently truncate someone's dot products). */
   val Dim = 64
 
+  // k-means codebook size / Lloyd rounds for the trained IVF path.
+  // DECLARED BEFORE every OracleQuery val: the probe queries' oracle SQL
+  // strings are built during object init in declaration order, so a
+  // constant defined below them would still read as 0 inside their
+  // s-interpolations (the Spark closures, evaluated at run time, would
+  // not notice — only the SQL would silently train a 0-iteration chain).
+  // k is a parameter (production sizes k ≈ √n); 8 at fixture scale keeps
+  // the oracle's Lloyd CTE chain affordable while exercising a non-toy
+  // cluster count — and halves the IVF-dedup per-cluster pair bound vs 4.
+  val KmK = 8
+  val KmIters = 3
+
   /** Brute-force cosine top-k: query = embedding of vec_id 0. */
   val cosineTopk = OracleQuery(
     "sim_cosine_topk",
@@ -52,33 +64,59 @@ object Similarity {
       |ORDER BY cosine DESC, e.vec_id
       |LIMIT 10""".stripMargin))
 
-  /** IVF-style clustering: 4 fixed centroids (vec_id 0..3), every vector
-    * assigned to its max-cosine centroid (deterministic tie-break on
-    * centroid id), cluster sizes + top-3 members per cluster. */
+  /** Embeddings with the precomputed L2 norm every pairwise stage reuses. */
+  private def embNorm(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("nrm", DetMath.normCol(col("embedding"), Dim))
+
+  /** The UNTRAINED demo centroids (vec_id < 4) — kept only for
+    * `sim_ivf` oracle continuity and as the recall floor the trained
+    * index is pinned against; the probe/layout path uses
+    * [[kmeansCentroids]]. */
+  private[graft] def fixedCentroids(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+
+  /** Argmax-cosine assignment of every vector to its nearest centroid
+    * (deterministic tie-break on centroid id). Keeps `emb`'s columns
+    * plus (cid, cos); the centroid set is broadcast — the assignment
+    * never shuffles the vector side. Shared by the fixed-centroid demo,
+    * every Lloyd iteration, and the final trained assignment, so the
+    * variants cannot drift. */
+  private def assignTo(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cos", DetMath.cosinePre(
+        DetMath.dotCol(col("embedding"), col("ce"), Dim), col("nrm"), col("cn")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn", "ce", "cn")
+  }
+
+  /** Cluster summary (sizes + top-3 members by cosine-to-centroid) from
+    * an assignment frame (vec_id, cid, cos) — one body shared by the
+    * untrained `sim_ivf` and trained `sim_ivf_kmeans`. */
+  private def clusterSummary(assigned: DataFrame): DataFrame = {
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("cos").desc, col("vec_id"))
+    assigned
+      .withColumn("rank_in_cluster", row_number().over(wc))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))))
+      .filter(col("rank_in_cluster") <= 3)
+      .select(col("cid"), col("cluster_size"), col("rank_in_cluster"), col("vec_id"), col("cos"))
+      .orderBy(col("cid"), col("rank_in_cluster"))
+  }
+
+  /** IVF-style clustering with the 4 FIXED demo centroids (vec_id 0..3):
+    * the untrained twin of [[ivfKmeans]], kept for oracle continuity —
+    * same assignment + summary body, only the centroid source differs. */
   val ivf = OracleQuery(
     "sim_ivf",
     (s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .withColumn("nrm", DetMath.normCol(col("embedding"), Dim))
-      val cents = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-      val scored = emb.crossJoin(broadcast(cents))
-        .withColumn("cos", DetMath.cosinePre(
-          DetMath.dotCol(col("embedding"), col("ce"), Dim), col("nrm"), col("cn")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
-      val assigned = scored
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("cos"))
-      val wc = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cid")).orderBy(col("cos").desc, col("vec_id"))
-      assigned
-        .withColumn("rank_in_cluster", row_number().over(wc))
-        .withColumn("cluster_size", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))))
-        .filter(col("rank_in_cluster") <= 3)
-        .select(col("cid"), col("cluster_size"), col("rank_in_cluster"), col("vec_id"), col("cos"))
-        .orderBy(col("cid"), col("rank_in_cluster"))
+      val emb = embNorm(s, d)
+      clusterSummary(
+        assignTo(emb, fixedCentroids(emb)).select(col("vec_id"), col("cid"), col("cos")))
     },
     Some(s"""WITH e AS (
       |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm FROM embeddings
@@ -259,21 +297,18 @@ object Similarity {
     * never recompute them. */
   /** The cid-partitioned IVF assignment layout for a dataset,
     * materialized once per JVM (the index artifact probes partition-prune;
-    * Bench warm-up pre-builds it so the probe measures the pruned scan). */
+    * Bench warm-up pre-builds it so the probe measures the pruned scan).
+    * Built from the TRAINED [[kmeansAssignments]] — the probe path
+    * indexes the same codebook a real IVF deployment would train, not
+    * the fixed demo centroids. The vec_id equi-join re-attaches vectors
+    * and norms to the id-only assignment; at 100 TB both sides
+    * co-partition on vec_id. */
   def ivfLayoutPath(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.ScratchDirs.materializedPath("ivf", d) { p =>
-      val emb = Tables.embeddings(s, d)
-        .withColumn("nrm", DetMath.normCol(col("embedding"), Dim))
-      val cents = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
-      val assigned = emb.crossJoin(broadcast(cents))
-        .withColumn("cos", DetMath.cosinePre(
-          DetMath.dotCol(col("embedding"), col("ce"), Dim), col("nrm"), col("cn")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val asg = kmeansAssignments(s, d, KmIters).select(col("vec_id"), col("cid"))
+      embNorm(s, d).join(asg, "vec_id")
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
-      assigned.write.mode("overwrite").partitionBy("cid").parquet(p)
+        .write.mode("overwrite").partitionBy("cid").parquet(p)
     }
 
   /** One builder for single- and multi-probe: `nprobe` nearest centroids
@@ -282,19 +317,12 @@ object Similarity {
   private def ivfProbeQuery(name: String, nprobe: Int): OracleQuery = OracleQuery(
     name,
     (s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .withColumn("nrm", DetMath.normCol(col("embedding"), Dim))
-      val cents = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val emb = embNorm(s, d)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"), col("nrm").as("qn"))
-      // probe list: nprobe nearest centroids to the query (4-row driver
-      // argmax, exactly as real IVF planners do)
-      val probeCids = cents.crossJoin(broadcast(q))
-        .withColumn("qcos", DetMath.cosinePre(
-          DetMath.dotCol(col("ce"), col("qe"), Dim), col("cn"), col("qn")))
-        .orderBy(col("qcos").desc, col("cid"))
-        .select(col("cid")).head(nprobe).map(_.getLong(0)).toSeq
+      // probe list: nprobe nearest TRAINED centroids to the query (k-row
+      // driver argmax over the codebook, exactly as real IVF planners do)
+      val probeCids = probeCidsOf(kmeansCentroids(s, d, KmIters), q, nprobe)
       // the probe: the cid IN-list partition-prunes the layout scan. The
       // partition column round-trips through directory names and is
       // inferred as INT — cast back to the written BIGINT so the output
@@ -309,33 +337,57 @@ object Similarity {
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(5)
     },
-    Some(s"""WITH e AS (
-      |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm FROM embeddings
-      |), q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
-      |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 4),
+    // oracle: the same Lloyd chain as sim_ivf_kmeans (bit-identical
+    // trained centroids on both engines), probe list from the FINAL
+    // centroid CTE, probe scan from the final assignment aF
+    Some(s"""$kmeansSqlChain,
+      |q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
       |qcid AS (
       |  SELECT cid FROM (
       |    SELECT cid, ${DetMath.cosinePreSql(DetMath.dotSql("ce", "qe", Dim), "cn", "qn")} AS qcos
-      |    FROM cents, q)
+      |    FROM c${KmIters}n, q)
       |  ORDER BY qcos DESC, cid LIMIT $nprobe
-      |), scored AS (
-      |  SELECT e.vec_id, c.cid,
-      |    ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "c.ce", Dim), "e.nrm", "c.cn")} AS cos
-      |  FROM e, cents c
-      |), assigned AS (
-      |  SELECT vec_id, cid FROM (
-      |    SELECT vec_id, cid,
-      |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-      |    FROM scored) WHERE rn = 1
       |)
       |SELECT cid, vec_id, cosine FROM (
       |  SELECT a.cid, a.vec_id,
       |         ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "q.qe", Dim), "e.nrm", "q.qn")} AS cosine
-      |  FROM assigned a
+      |  FROM aF a
       |  JOIN qcid ON a.cid = qcid.cid
       |  JOIN e ON e.vec_id = a.vec_id, q
       |  WHERE a.vec_id <> 0)
       |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin))
+
+  /** The nprobe nearest centroids to a (broadcast) 1-row query frame —
+    * a k-row driver argmax shared by the probe queries and the recall
+    * test, so the production path and its pin use one selection rule. */
+  private[graft] def probeCidsOf(cents: DataFrame, q: DataFrame, nprobe: Int): Seq[Long] =
+    cents.crossJoin(broadcast(q))
+      .withColumn("qcos", DetMath.cosinePre(
+        DetMath.dotCol(col("ce"), col("qe"), Dim), col("cn"), col("qn")))
+      .orderBy(col("qcos").desc, col("cid"))
+      .select(col("cid")).head(nprobe).map(_.getLong(0)).toSeq
+
+  /** Probe top-k vec_ids for the vec_id-0 query against an arbitrary
+    * centroid frame, deriving the assignment on the fly — the recall
+    * harness behind SimilaritySpec's trained-vs-fixed pin. (The
+    * registered probe queries read the materialized layout instead; the
+    * candidate set is identical by construction — the layout IS the
+    * materialized assignment.) */
+  private[graft] def probeTopIds(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      cents: DataFrame, nprobe: Int, k: Int): Seq[Long] = {
+    val emb = embNorm(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val cids = probeCidsOf(cents, q, nprobe)
+    assignTo(emb, cents)
+      .filter(col("cid").isin(cids: _*) && col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", DetMath.cosinePre(
+        DetMath.dotCol(col("embedding"), col("qe"), Dim), col("nrm"), col("qn")))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .select(col("vec_id")).head(k).map(_.getLong(0)).toSeq
+  }
 
   val ivfProbe = ivfProbeQuery("sim_ivf_probe", nprobe = 1)
 
@@ -368,12 +420,6 @@ object Similarity {
     *
     * Output = the [[ivf]] cluster summary (sizes + top-3 members by
     * cosine-to-centroid) computed from the FINAL assignment. */
-  // k is a parameter (production sizes k ≈ √n); 8 at fixture scale keeps
-  // the oracle's Lloyd CTE chain affordable while exercising a non-toy
-  // cluster count — and halves the IVF-dedup per-cluster pair bound vs 4
-  val KmK = 8
-  val KmIters = 3
-
   /** The full final assignment (vec_id, cid, cos) after `iters` Lloyd
     * rounds — iters = 0 is the fixed-init assignment, so tests can pin
     * that training improves the clustering objective.
@@ -386,50 +432,64 @@ object Similarity {
       s: org.apache.spark.sql.SparkSession, d: String, iters: Int): DataFrame =
     graft.CachedFrames.getOrBuild(
       s"kmeans_asg$iters|${graft.CachedFrames.sessionKey(s)}|$d") {
-      kmeansAssignmentsUncached(s, d, iters)
+      assignTo(embWithCodes(s, d), kmeansCentroids(s, d, iters))
+        .select(col("vec_id"), col("cid"), col("cos"))
     }
 
-  private def kmeansAssignmentsUncached(
-      s: org.apache.spark.sql.SparkSession, d: String, iters: Int): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
-    // one materialization of (embedding, norm, codes): every assign
-    // scan and update agg reuses the stored blocks instead of
-    // re-reading + re-quantizing per iteration
-    val emb = Tables.embeddings(s, d)
-      .withColumn("nrm", DetMath.normCol(col("embedding"), Dim))
-      .withColumn("q",
-        columnOf(graft.functions.QuantizeI8(expressionOf(col("embedding"))))
-          .getField("codes"))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("q"))
-      .localCheckpoint(eager = false)
-    def withCn(c: DataFrame): DataFrame =
-      c.withColumn("cn", DetMath.normCol(col("ce"), Dim))
-    def assign(cents: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
-      emb.crossJoin(broadcast(cents))
-        .withColumn("cos", DetMath.cosinePre(
-          DetMath.dotCol(col("embedding"), col("ce"), Dim), col("nrm"), col("cn")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("q"), col("cid"), col("cos"))
+  /** One persisted materialization of (embedding, norm, codes) per
+    * dataset: every Lloyd assign scan and update agg reuses the stored
+    * blocks instead of re-reading + re-quantizing per iteration, and the
+    * trainer and the final assignment share the same frame. */
+  private def embWithCodes(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.CachedFrames.getOrBuild(
+      s"kmeans_emb|${graft.CachedFrames.sessionKey(s)}|$d") {
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      Tables.embeddings(s, d)
+        .withColumn("nrm", DetMath.normCol(col("embedding"), Dim))
+        .withColumn("q",
+          columnOf(graft.functions.QuantizeI8(expressionOf(col("embedding"))))
+            .getField("codes"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("q"))
     }
-    var cents = withCn(emb.filter(col("vec_id") < KmK)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
-    for (_ <- 1 to iters) {
-      val aggs = count(lit(1)).as("cnt") +:
-        (1 to Dim).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
-      val rows = assign(cents).groupBy(col("cid"))
-        .agg(aggs.head, aggs.tail: _*).collect()
-      val trained = rows.toSeq.map { r =>
-        val cnt = r.getLong(1)
-        (r.getLong(0),
-          (1 to Dim).map(i => (r.getLong(i + 1) / (127.0 * cnt)).toFloat).toArray)
+
+  /** The trained codebook — the FINAL (cid, ce, cn) centroid frame after
+    * `iters` Lloyd rounds, dataset-keyed like the assignment (a k-row
+    * local relation; the probe queries collect it for the driver-side
+    * probe argmax, exactly as real IVF planners hold their codebook). */
+  private[graft] def kmeansCentroids(
+      s: org.apache.spark.sql.SparkSession, d: String, iters: Int): DataFrame =
+    kmeansCentroidsK(s, d, KmK, iters)
+
+  /** Codebook trainer parameterized by k — the production path trains at
+    * [[KmK]]; the recall pin also trains a k=4 codebook so trained-vs-
+    * fixed compares EQUAL cluster counts (a k=8 index probes half the
+    * data per cluster, so raw recall against the k=4 demo would measure
+    * scan fraction, not index quality). */
+  private[graft] def kmeansCentroidsK(
+      s: org.apache.spark.sql.SparkSession, d: String, k: Int, iters: Int): DataFrame =
+    graft.CachedFrames.getOrBuild(
+      s"kmeans_cent${k}_$iters|${graft.CachedFrames.sessionKey(s)}|$d") {
+      import s.implicits._
+      val emb = embWithCodes(s, d)
+      def withCn(c: DataFrame): DataFrame =
+        c.withColumn("cn", DetMath.normCol(col("ce"), Dim))
+      var cents = withCn(emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      for (_ <- 1 to iters) {
+        val aggs = count(lit(1)).as("cnt") +:
+          (1 to Dim).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
+        val rows = assignTo(emb, cents).groupBy(col("cid"))
+          .agg(aggs.head, aggs.tail: _*).collect()
+        val trained = rows.toSeq.map { r =>
+          val cnt = r.getLong(1)
+          (r.getLong(0),
+            (1 to Dim).map(i => (r.getLong(i + 1) / (127.0 * cnt)).toFloat).toArray)
+        }
+        cents = withCn(trained.toDF("cid", "ce"))
       }
-      cents = withCn(trained.toDF("cid", "ce"))
+      cents
     }
-    assign(cents)
-  }
 
   val ivfKmeans = OracleQuery(
     "sim_ivf_kmeans",

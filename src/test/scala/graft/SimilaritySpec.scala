@@ -51,6 +51,25 @@ class SimilaritySpec extends SparkSpec {
       s"trained centroids must tighten clusters: init=$init trained=$trained")
   }
 
+  test("trained IVF probe recall >= fixed-centroid probe recall") {
+    // ground truth: brute-force top-5 neighbors of the vec_id-0 query
+    val truthTop = Similarity.cosineTopk.run(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).take(5).toSet
+    val embN = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), DetMath.normCol(col("embedding"), 64).as("nrm"))
+    def recall(cents: org.apache.spark.sql.DataFrame, nprobe: Int): Int =
+      Similarity.probeTopIds(spark, dir, cents, nprobe, k = 5)
+        .count(truthTop.contains)
+    val fixed4 = recall(Similarity.fixedCentroids(embN), 1)
+    val trained4 = recall(Similarity.kmeansCentroidsK(spark, dir, 4, Similarity.KmIters), 1)
+    val trained8np1 = recall(Similarity.kmeansCentroids(spark, dir, Similarity.KmIters), 1)
+    val trained8np2 = recall(Similarity.kmeansCentroids(spark, dir, Similarity.KmIters), 2)
+    info(s"recalls/5: fixed4np1=$fixed4 trained4np1=$trained4 trained8np1=$trained8np1 trained8np2=$trained8np2")
+    assert(trained4 >= fixed4,
+      s"trained index must not probe worse than the fixed demo centroids: " +
+        s"trained=$trained4/5 fixed=$fixed4/5")
+  }
+
   test("random-hyperplane bucketing is deterministic per seed") {
     val emb = Tables.embeddings(spark, dir)
     val once = pairsOf(Similarity.embedNearDupRandom(emb, 7L, 8, 2, minCosine))
