@@ -640,8 +640,15 @@ object Dedup {
     (s, d) => {
       import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
       val sh3 = columnOf(graft.functions.ShinglesK(expressionOf(col("text")), 3))
+      // shingles reduce to 60-bit md5-prefix fingerprints BEFORE the
+      // distinct: the shuffle carries an 8-byte long per shingle instead
+      // of the string. Any prefix collision merges the same shingles on
+      // the DuckDB side (same md5, same prefix — the long is a bijection
+      // of the oracle's 15-hex-char string), so counts stay parity-exact.
       val srcSh = Tables.documents(s, d)
         .select(col("source"), explode(array_distinct(sh3)).as("sh"))
+        .select(col("source"),
+          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("sh"))
         .distinct()
       val counts = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
       srcSh.toDF("a_src", "sh").join(srcSh.toDF("b_src", "sh"), "sh")
@@ -656,7 +663,7 @@ object Dedup {
         .orderBy(col("a_src"), col("b_src"))
     },
     Some("""WITH sh AS (
-      |  SELECT DISTINCT source, sh FROM (
+      |  SELECT DISTINCT source, substring(md5(sh), 1, 15) AS sh FROM (
       |    SELECT source, unnest(list_distinct(list_transform(
       |             generate_series(1, greatest(len(w) - 2, 1)),
       |             i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
