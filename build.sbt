@@ -26,12 +26,23 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap: SPARK_DRIVER_MEM wins; otherwise a quarter of physical RAM
+// capped at 24g. local[32] + the persisted shared frames (band/signature
+// caches) need old-gen headroom — at 8g the tail of an 81-query bench
+// run sat in GC (window_running, the last query, read 3.1 s vs 0.1 s
+// fresh) and the 128 GiB bench host sizes to the 24g cap — but a FIXED
+// 24g default would swap or OOM-kill smaller dev/CI hosts, so size to
+// the machine instead of baking in the bench host.
+val driverMem = sys.env.get("SPARK_DRIVER_MEM").getOrElse {
+  val memTotalKb =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .collectFirst { case l if l.startsWith("MemTotal:") => l.split("\\s+")(1).toLong }
+      .getOrElse(32L * 1024 * 1024)
+    catch { case _: Throwable => 32L * 1024 * 1024 } // non-Linux: assume 32 GiB
+  s"${math.max(2L, math.min(24L, memTotalKb / 4 / 1024 / 1024))}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] + the persisted shared frames (band/signature caches)
-  // need old-gen headroom: at 8g the tail of an 81-query bench run sat
-  // in GC (window_running, the last query, read 3.1 s vs 0.1 s fresh).
-  // The bench host has 128 GiB; 24g keeps the full run GC-quiet.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx$driverMem",
 )

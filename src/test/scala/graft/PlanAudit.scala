@@ -4,7 +4,8 @@ package graft
   * named queries: runMain graft.PlanAudit <sfDir> <query> [query ...] */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val (sfDir, names) = (args(0), args.drop(1).toSeq)
+    // flags (-v) are not query names — SparkEntry.queries("-v") would throw
+    val (sfDir, names) = (args(0), args.drop(1).toSeq.filterNot(_.startsWith("-")))
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
