@@ -55,14 +55,28 @@ object Bench {
       .orderBy(org.apache.spark.sql.functions.col("k"))
       .collect() // shuffle + agg + sort codegen paths
     // pre-materialize the SHARED per-dataset artifacts (signature/band
-    // cache, chunked LTSS layout, IVF assignment layout) so their
-    // one-time build isn't charged to whichever query alphabetically
-    // runs first — at scale these are built once by ingest/indexing,
-    // and the queries exist to measure the pruned/cached READ
-    graft.operators.Dedup.warmShared(spark, sfDir)
-    graft.operators.Queries.ltssLayoutPath(spark, sfDir)
-    graft.operators.Queries.ltssAttrLayoutPath(spark, sfDir)
-    graft.operators.Similarity.ivfLayoutPath(spark, sfDir)
+    // cache, chunked LTSS layout, trained k-means assignment, IVF
+    // assignment layout) so their one-time build isn't charged to
+    // whichever query alphabetically runs first — at scale these are
+    // built once by ingest/indexing, and the queries exist to measure
+    // the pruned/cached READ. The timed queries over these artifacts
+    // (sim_ivf_kmeans, dedup_embedding_ivf, the dedup_* band scans)
+    // therefore measure CACHED reads by design; each artifact's
+    // cold-build cost is timed here and reported separately in the
+    // `warm_build` field so the two are never conflated.
+    val warmBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def warmed(name: String)(build: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      build
+      warmBuilds(name) = (System.nanoTime() - t0) / 1e9
+    }
+    warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
+    warmed("ltss_layout")(graft.operators.Queries.ltssLayoutPath(spark, sfDir))
+    warmed("ltss_attr_layout")(graft.operators.Queries.ltssAttrLayoutPath(spark, sfDir))
+    warmed("kmeans_train")(
+      graft.operators.Similarity.kmeansAssignments(spark, sfDir,
+        graft.operators.Similarity.KmIters).count())
+    warmed("ivf_layout")(graft.operators.Similarity.ivfLayoutPath(spark, sfDir))
     // compile the label-propagation loop's codegen shapes on a 2-edge
     // graph (generated classes are shape-keyed, so the real run hits the
     // compiler cache) — under the SAME AQE-off setting the real loop
@@ -92,15 +106,25 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     val errs0 = scala.collection.mutable.Map.empty[String, String]
-    for (_ <- 1 to Runs; (name, fn) <- ordered if !errs0.contains(name)) {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch {
-        case e: Throwable =>
-          errs0(name) = s"${e.getClass.getSimpleName}: " +
-            Option(e.getMessage).getOrElse("").replace('\n', ' ').take(160)
+    // 1-minute system load average sampled before the first pass and
+    // after each pass: a host-level CPU-steal burst (the r5 driver-vs-
+    // committed 60 vs 45 s discrepancy) shows up as load >> 0 on an
+    // otherwise-idle box, making a contaminated run self-identifying
+    // instead of needing commit-timestamp forensics. -1.0 = unsupported.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadAvgs = scala.collection.mutable.ListBuffer(osBean.getSystemLoadAverage)
+    for (_ <- 1 to Runs) {
+      for ((name, fn) <- ordered if !errs0.contains(name)) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch {
+          case e: Throwable =>
+            errs0(name) = s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").replace('\n', ' ').take(160)
+        }
+        times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
       }
-      times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+      loadAvgs += osBean.getSystemLoadAverage
     }
     val results = ordered.map { case (name, _) =>
       val ts = times(name)
@@ -114,9 +138,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nFailed = results.count(_._3.isDefined)
+    val warm = warmBuilds.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    val loads = loadAvgs.mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"failed":$nFailed,"runs_per_query":$Runs,""" +
-      s""""aggregation":"median","sf":${q(sfDir)}}"""
+      s""""aggregation":"median","warm_build":$warm,"load_avg":$loads,""" +
+      s""""sf":${q(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     if (nFailed > 0) System.err.println(s"[bench] $nFailed quer(ies) FAILED — see errors field")
