@@ -213,11 +213,27 @@ object TimeSeries {
     * unbounded histories). No SQL oracle (DuckDB has no lttb; the
     * sequential pick is not expressible) — rows-only by design, pinned
     * by a hand-computed spec. */
-  def lttb(ltss: DataFrame, nOut: Int): DataFrame = {
-    import ltss.sparkSession.implicits._
-    ltss
-      .select(col("entity_id"), col("time"),
-        col("state").cast("decimal(12,2)").cast("double").as("sv"))
+  def lttb(ltss: DataFrame, nOut: Int): DataFrame = lttbPick(
+    ltss.select(col("entity_id"), col("time"),
+      col("state").cast("decimal(12,2)").cast("double").as("sv")), nOut)
+
+  /** LTTB over an UNBOUNDED history: [[bucketLast]] first (one map-side
+    * combinable aggregate bounds the per-entity series at span/width
+    * buckets), then the sequential pick. This is the composition the
+    * [[lttb]] contract prescribes for raw series — here it is enforced
+    * in the operator itself, so the per-task buffer is bounded by the
+    * bucket grid (render-scale), never by the raw observation count. */
+  def lttbBucketed(ltss: DataFrame, widthUs: Long, nOut: Int): DataFrame =
+    lttbPick(
+      bucketLast(ltss, widthUs).select(col("entity_id"),
+        timestamp_micros(col("bus")).as("time"),
+        col("sv").cast("double").as("sv")), nOut)
+
+  /** The distributed pick over a prepared (entity_id, time, sv) frame:
+    * one compiled pass per entity, buffer = that entity's input rows. */
+  private def lttbPick(pts: DataFrame, nOut: Int): DataFrame = {
+    import pts.sparkSession.implicits._
+    pts
       .as[TsPoint]
       .groupByKey(_.entity_id)
       .flatMapGroups { (_, it) =>
@@ -426,7 +442,11 @@ object TimeSeries {
     (s, d) => {
       val l = Queries.ltss(s, d)
         .filter(split(col("entity_id"), "\\.").getItem(0) === "click")
-      lttb(l, nOut = 20).orderBy(col("entity_id"), col("time"), col("sv"))
+      // the raw click series is unbounded — feed the pick through the
+      // bucket grid so the flagship query obeys lttb's own memory
+      // contract (buffer = 15-min buckets over the span, not raw rows)
+      lttbBucketed(l, widthUs = 15L * 60 * 1000000, nOut = 20)
+        .orderBy(col("entity_id"), col("time"), col("sv"))
     },
     None) // rows-only by design: the sequential pick has no SQL twin
 

@@ -123,6 +123,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.length == 3, "series shorter than nOut are kept whole")
   }
 
+  test("lttbBucketed bounds the pick input at the bucket grid, not raw rows") {
+    // deliberately oversized raw series: 5000 observations inside 10
+    // hours — the hourly grid reduces the pick's input to 10 rows
+    // (bucket-last survivors), so the per-task buffer is render-sized
+    // no matter how dense the raw series is
+    val dense = ltssOf((0 until 5000).map { i =>
+      (new Timestamp(ts(0).getTime + i * 7200L), "click.1", f"${i / 100.0}%.2f")
+    })
+    val out = TimeSeries.lttbBucketed(dense, H, nOut = 6)
+      .orderBy("time").collect()
+    assert(out.length == 6)
+    // every pick is a bucket-grid point: hour-aligned timestamp carrying
+    // that bucket's LAST raw observation
+    assert(out.forall(_.getAs[Timestamp]("time").getTime % 3600000L == 0))
+    val lastOfBucket = (0 until 10).map { h =>
+      (ts(h).getTime, (0 until 5000).filter { i =>
+        (ts(0).getTime + i * 7200L) / 3600000L == ts(h).getTime / 3600000L
+      }.max / 100.0)
+    }.toMap
+    assert(out.forall(r =>
+      lastOfBucket(r.getAs[Timestamp]("time").getTime) == r.getAs[Double]("sv")))
+    // endpoints of the bucket grid always kept
+    assert(out.head.getAs[Timestamp]("time") == ts(0))
+    assert(out.last.getAs[Timestamp]("time") == ts(9))
+  }
+
   test("lttbSelect invariants: size, endpoints, order, subset (100 random series)") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 100) {
