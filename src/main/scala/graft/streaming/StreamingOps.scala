@@ -16,6 +16,13 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   */
 object StreamingOps {
 
+  /** Event-time in epoch-µs, keeping the sub-millisecond component the
+    * batch twins see via `unix_micros` (`Timestamp.getTime` is
+    * ms-precision; the µs digit lives in `getNanos`). Using ms here
+    * would silently merge µs-distinct readings into false ties. */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+
   final case class LtssEvent(time: java.sql.Timestamp, entity_id: String, state: String)
   final case class LatestState(entity_id: String, last_time: java.sql.Timestamp, last_state: String)
 
@@ -31,7 +38,7 @@ object StreamingOps {
         (key, events, st) =>
           val prev = st.getOption.map(s => LtssEvent(s.last_time, key, s.last_state))
           val best = (events ++ prev.iterator)
-            .maxBy(e => (e.time.getTime, e.state))
+            .maxBy(e => (micros(e.time), e.state))
           val out = LatestState(key, best.time, best.state)
           st.update(out)
           out
@@ -97,7 +104,19 @@ object StreamingOps {
     * retro-fill (its buckets already emitted) and is dropped — the same
     * at-most-once-per-bucket emission a live dashboard needs. Pair with
     * [[dedupByPkStream]] upstream and a watermark sized to the expected
-    * disorder. */
+    * disorder.
+    *
+    * DIVERGENCE from the batch twin, by design: a bucket's row appends
+    * the moment its FIRST observation arrives (live emission — a
+    * dashboard should not wait an hour to see the bucket), and
+    * append-mode cannot retract it, so later same-bucket observations
+    * update only the CARRIED state. The batch `ltss_gapfill_locf` sees
+    * the whole bucket and keeps its LAST observation ([[
+    * graft.operators.TimeSeries.bucketLast]]); whenever a bucket holds
+    * more than one observation the emitted per-bucket value differs
+    * (first vs last) while the carry into later gap buckets agrees. For
+    * bucket-close (batch-parity) emission, aggregate the sink table —
+    * or use a windowed aggregate with a watermark instead of this op. */
   def gapfillLocfStream(ltss: DataFrame, widthUs: Long = 3600000000L): Dataset[GapfillRow] = {
     import ltss.sparkSession.implicits._
     ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
@@ -105,12 +124,12 @@ object StreamingOps {
       .flatMapGroupsWithState[GapfillState, GapfillRow](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) { (key, events, st) =>
-        val sorted = events.toSeq.sortBy(e => (e.time.getTime, e.state))
+        val sorted = events.toSeq.sortBy(e => (micros(e.time), e.state))
         val out = scala.collection.mutable.ArrayBuffer.empty[GapfillRow]
         var cur = st.getOption
         for (e <- sorted) {
           val bus = {
-            val us = e.time.getTime * 1000L
+            val us = micros(e.time)
             us - java.lang.Math.floorMod(us, widthUs)
           }
           cur match {
@@ -137,7 +156,76 @@ object StreamingOps {
       }
   }
 
-  final case class CounterState(lastTime: Long, lastState: String)
+  final case class InterpRow(
+      entity_id: String, bucket: java.sql.Timestamp, interp: Double, is_gap: Int)
+
+  /** Continuously-maintained LINEAR-INTERPOLATION gap-fill (the
+    * streaming twin of the batch `ltss_gapfill_interp` query, and the
+    * `interpolate` sibling of [[gapfillLocfStream]]): interior gap
+    * buckets cannot emit until their RIGHT neighbor exists, so they are
+    * held and emitted the moment the next observation arrives — each
+    * carries the value of the line between the two observations at that
+    * bucket's grid position, the same
+    * `pv + (nv - pv) · (b - pb) / (nb - pb)` IEEE expression the batch
+    * op evaluates. State per entity is the SAME one (bucket, value)
+    * pair as LOCF — interpolation needs no extra history because the
+    * left endpoint IS the carry. Numeric series only (values parse as
+    * decimals; that is the interpolation contract, as in TimescaleDB).
+    *
+    * Same ordering contract and same first-arrival divergence as
+    * [[gapfillLocfStream]]: the OBSERVED bucket row appends on first
+    * arrival with that observation's value (batch keeps the bucket's
+    * last), while gap rows — emitted only on bucket close — interpolate
+    * from the entity's latest carry value. */
+  def gapfillInterpStream(
+      ltss: DataFrame, widthUs: Long = 3600000000L): Dataset[InterpRow] = {
+    import ltss.sparkSession.implicits._
+    ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[GapfillState, InterpRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (key, events, st) =>
+        val sorted = events.toSeq.sortBy(e => (micros(e.time), e.state))
+        val out = scala.collection.mutable.ArrayBuffer.empty[InterpRow]
+        var cur = st.getOption
+        for (e <- sorted) {
+          val bus = {
+            val us = micros(e.time)
+            us - java.lang.Math.floorMod(us, widthUs)
+          }
+          cur match {
+            case Some(GapfillState(lastBus, lastState)) if bus > lastBus =>
+              val pv = BigDecimal(lastState).toDouble
+              val nv = BigDecimal(e.state).toDouble
+              var b = lastBus + widthUs
+              while (b < bus) {
+                val frac = (b - lastBus).toDouble / (bus - lastBus).toDouble
+                out += InterpRow(key, new java.sql.Timestamp(b / 1000L),
+                  pv + (nv - pv) * frac, 1)
+                b += widthUs
+              }
+              out += InterpRow(key, new java.sql.Timestamp(bus / 1000L), nv, 0)
+              cur = Some(GapfillState(bus, e.state))
+            case Some(GapfillState(lastBus, _)) if bus == lastBus =>
+              // same bucket: later observation replaces the left endpoint
+              // of the NEXT interpolation (no re-emission — append mode)
+              cur = Some(GapfillState(lastBus, e.state))
+            case Some(_) => () // older than the emitted frontier: drop
+            case None =>
+              out += InterpRow(key, new java.sql.Timestamp(bus / 1000L),
+                BigDecimal(e.state).toDouble, 0)
+              cur = Some(GapfillState(bus, e.state))
+          }
+        }
+        cur.foreach(st.update)
+        out.iterator
+      }
+  }
+
+  /** Per-entity reading frontier: `lastTimeUs` is event-time in epoch-µs
+    * (full precision via [[micros]], matching the batch ops'
+    * `unix_micros`). */
+  final case class CounterState(lastTimeUs: Long, lastState: String)
   final case class CounterDelta(
       entity_id: String, time: java.sql.Timestamp, delta: Double)
 
@@ -147,9 +235,18 @@ object StreamingOps {
     * decrease means the counter reset, so the new reading counts in
     * full. State is ONE (time, value) pair per entity. Same ordering
     * contract as [[gapfillLocfStream]]: in-order per entity (sorted
-    * within batch; readings older than the state's frontier are
+    * within batch; readings at or behind the state's frontier are
     * dropped — their delta already emitted). Downstream, a windowed sum
-    * over the deltas is the rate. */
+    * over the deltas is the rate.
+    *
+    * Tie rule, mirroring the batch op's (time, sv) window ordering:
+    * same-timestamp readings are applied in numeric-value order and a
+    * reading at the frontier TIME with a LARGER value still emits (the
+    * batch `lag` sees that pair too); an exact redelivery — same time,
+    * same value — is the only same-timestamp drop. A same-time SMALLER
+    * value cannot emit (its batch position precedes the already-applied
+    * frontier) — that one case diverges from a batch re-run and is the
+    * price of at-most-once emission. */
   def counterDeltaStream(ltss: DataFrame): Dataset[CounterDelta] = {
     import ltss.sparkSession.implicits._
     ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
@@ -157,19 +254,22 @@ object StreamingOps {
       .flatMapGroupsWithState[CounterState, CounterDelta](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) { (key, events, st) =>
-        val sorted = events.toSeq.sortBy(e => (e.time.getTime, e.state))
+        val sorted = events.toSeq.sortBy(e => (micros(e.time), BigDecimal(e.state)))
         val out = scala.collection.mutable.ArrayBuffer.empty[CounterDelta]
         var cur = st.getOption
         for (e <- sorted) {
+          val tUs = micros(e.time)
           cur match {
-            case Some(CounterState(lastT, lastS)) if e.time.getTime > lastT =>
+            case Some(CounterState(lastT, lastS))
+                if tUs > lastT ||
+                  (tUs == lastT && BigDecimal(e.state) > BigDecimal(lastS)) =>
               val (prev, now) = (BigDecimal(lastS), BigDecimal(e.state))
               val d = if (now >= prev) now - prev else now
               out += CounterDelta(key, e.time, d.toDouble)
-              cur = Some(CounterState(e.time.getTime, e.state))
-            case Some(_) => () // at/behind the frontier: already emitted
+              cur = Some(CounterState(tUs, e.state))
+            case Some(_) => () // at/behind the (time, value) frontier: already emitted
             case None =>
-              cur = Some(CounterState(e.time.getTime, e.state))
+              cur = Some(CounterState(tUs, e.state))
           }
         }
         cur.foreach(st.update)
@@ -187,8 +287,10 @@ object StreamingOps {
     * (same attribution rule as the batch op). A downstream windowed
     * `sum(sv·dur)/sum(dur)` — map-side/state-store combinable — is then
     * the continuously-maintained time-weighted average. State is one
-    * (time, value) pair per entity; same in-order contract as
-    * [[gapfillLocfStream]]. */
+    * (time, value) pair per entity; same in-order contract and
+    * same-timestamp tie rule as [[counterDeltaStream]] (ties apply in
+    * numeric order and close a zero-duration interval, exactly the
+    * zero-`dur` row the batch `lead` pair produces). */
   def heldIntervalStream(
       ltss: DataFrame, bucketWidthUs: Long = 86400000000L): Dataset[HeldInterval] = {
     import ltss.sparkSession.implicits._
@@ -197,20 +299,22 @@ object StreamingOps {
       .flatMapGroupsWithState[CounterState, HeldInterval](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) { (key, events, st) =>
-        val sorted = events.toSeq.sortBy(e => (e.time.getTime, e.state))
+        val sorted = events.toSeq.sortBy(e => (micros(e.time), BigDecimal(e.state)))
         val out = scala.collection.mutable.ArrayBuffer.empty[HeldInterval]
         var cur = st.getOption
         for (e <- sorted) {
+          val tUs = micros(e.time)
           cur match {
-            case Some(CounterState(lastT, lastS)) if e.time.getTime > lastT =>
-              val startUs = lastT * 1000L
-              val bus = startUs - java.lang.Math.floorMod(startUs, bucketWidthUs)
+            case Some(CounterState(lastT, lastS))
+                if tUs > lastT ||
+                  (tUs == lastT && BigDecimal(e.state) > BigDecimal(lastS)) =>
+              val bus = lastT - java.lang.Math.floorMod(lastT, bucketWidthUs)
               out += HeldInterval(key, new java.sql.Timestamp(bus / 1000L),
-                BigDecimal(lastS).toDouble, e.time.getTime * 1000L - startUs)
-              cur = Some(CounterState(e.time.getTime, e.state))
+                BigDecimal(lastS).toDouble, tUs - lastT)
+              cur = Some(CounterState(tUs, e.state))
             case Some(_) => () // at/behind the frontier: interval already closed
             case None =>
-              cur = Some(CounterState(e.time.getTime, e.state))
+              cur = Some(CounterState(tUs, e.state))
           }
         }
         cur.foreach(st.update)

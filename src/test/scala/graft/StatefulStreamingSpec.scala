@@ -168,6 +168,87 @@ class StatefulStreamingSpec extends SparkSpec {
       ("2024-01-01 13:00:00.0", "40", 0)))
   }
 
+  test("streaming interpolation gap-fill emits interior gaps on the right neighbor") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.gapfillInterpStream(df).writeStream
+      .format("memory").queryName("interp_t").outputMode("append").start()
+    try {
+      ms.addData((ts("2024-01-01 10:10:00"), "a.1", "10"))
+      q.processAllAvailable() // observed row only — no right neighbor yet
+      assert(spark.table("interp_t").count() == 1)
+      // 3 buckets later: 10 → 40 over 3 bucket steps → 20, 30 interior
+      ms.addData((ts("2024-01-01 13:20:00"), "a.1", "40"))
+      q.processAllAvailable()
+      // older than the emitted frontier → dropped
+      ms.addData((ts("2024-01-01 11:30:00"), "a.1", "99"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("interp_t")
+      .as[(String, java.sql.Timestamp, Double, Int)].collect().toSeq.sortBy(_._2.getTime)
+    assert(rows == Seq(
+      ("a.1", ts("2024-01-01 10:00:00"), 10.0, 0),
+      ("a.1", ts("2024-01-01 11:00:00"), 20.0, 1),
+      ("a.1", ts("2024-01-01 12:00:00"), 30.0, 1),
+      ("a.1", ts("2024-01-01 13:00:00"), 40.0, 0)))
+  }
+
+  test("streaming interpolation state survives a checkpoint restart") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val in = tmp("in-in"); val out = tmp("in-out"); val ckpt = tmp("in-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "time TIMESTAMP, entity_id STRING, state STRING")
+    def start() = StreamingOps
+      .gapfillInterpStream(spark.readStream.schema(schema).json(in))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    Files.writeString(Paths.get(in, "b1.json"),
+      """{"time":"2024-01-01T10:05:00Z","entity_id":"a.1","state":"10"}""")
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() == 1)
+    // restart from the checkpoint: the left endpoint (bucket, value) must
+    // resume — the interior gaps interpolate from the OLD run's value,
+    // which only works if state was recovered
+    Files.writeString(Paths.get(in, "b2.json"),
+      """{"time":"2024-01-01T13:20:00Z","entity_id":"a.1","state":"40"}""")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("bucket").toString,
+        r.getAs[Double]("interp"), r.getAs[Int]("is_gap"))).sortBy(_._1).toSeq
+    assert(rows == Seq(
+      ("2024-01-01 10:00:00.0", 10.0, 0),
+      ("2024-01-01 11:00:00.0", 20.0, 1),
+      ("2024-01-01 12:00:00.0", 30.0, 1),
+      ("2024-01-01 13:00:00.0", 40.0, 0)))
+  }
+
+  test("same-timestamp counter readings apply in value order (batch tie rule)") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.counterDeltaStream(df).writeStream
+      .format("memory").queryName("cdelta_tie_t").outputMode("append").start()
+    try {
+      // two readings at the SAME timestamp: batch (time, sv) ordering
+      // sees 100 then 150 → one +50 delta; the streaming op must too
+      ms.addData(
+        (ts("2024-01-01 10:00:00"), "p.1", "150"),
+        (ts("2024-01-01 10:00:00"), "p.1", "100"))
+      q.processAllAvailable()
+      // exact redelivery of the frontier reading → dropped
+      ms.addData((ts("2024-01-01 10:00:00"), "p.1", "150"))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 10:10:00"), "p.1", "170"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val deltas = spark.table("cdelta_tie_t")
+      .as[(String, java.sql.Timestamp, Double)].collect().sortBy(r => (r._2.getTime, r._3))
+      .map(_._3).toSeq
+    assert(deltas == Seq(50.0, 20.0))
+  }
+
   test("streaming counter deltas: increases emit diffs, resets emit the new value") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, String)]
