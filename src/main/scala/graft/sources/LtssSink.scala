@@ -469,6 +469,22 @@ object LtssSink {
           .jdbc(cfg.dbUrl, table, new java.util.Properties())
         done = true
       } catch {
+        case e: Exception if isConflict(e) && postgresDialect(cfg.dbUrl) =>
+          // Postgres fast path (the reference's actual target,
+          // __init__.py:229-231): one batched
+          // `INSERT ... ON CONFLICT DO NOTHING` statement lands the
+          // not-yet-committed remainder — the database skips committed
+          // PKs itself, so there is no key read-back and no
+          // key-comparability trap (timestamp precision, collation).
+          // A batch that duplicates its OWN PK keeps its first row and
+          // silently skips the rest — exactly the reference's
+          // drop-on-conflict. The anti-join replay below remains the
+          // generic-dialect fallback.
+          System.err.println(
+            s"[ltss-sink] PK conflict (replayed batch) — landing the remainder via " +
+              s"ON CONFLICT DO NOTHING: ${e.getMessage}")
+          insertIgnoreConflicts(batch, cfg.dbUrl, table, " ON CONFLICT DO NOTHING")
+          done = true
         case e: Exception if isConflict(e) =>
           if (conflictRounds >= maxConflictRounds) {
             // exhausted rounds mean the anti-join keeps failing to match
@@ -511,6 +527,67 @@ object LtssSink {
     }
   }
 
+  /** The sink dialect whose conflict handling the database can do itself. */
+  private[graft] def postgresDialect(url: String): Boolean =
+    url.startsWith("jdbc:postgresql:")
+
+  /** The conflict-tolerant insert statement: every column of the batch,
+    * positional binds, dialect suffix appended (Postgres:
+    * ` ON CONFLICT DO NOTHING`). */
+  private[graft] def insertSql(table: String, cols: Seq[String], suffix: String): String =
+    s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})$suffix"
+
+  /** Executor-side conflict-tolerant append: each partition opens one
+    * connection and drives ONE prepared statement in 1000-row batches.
+    * With the Postgres suffix the statement never conflicts — the
+    * database skips committed PKs. On a dialect whose suffix cannot
+    * express that (the embedded-Derby tests pass ""), a chunk that hits
+    * an integrity violation is replayed row-by-row swallowing per-row
+    * conflicts — same semantics, used only where the one-statement form
+    * is unavailable. */
+  private[graft] def insertIgnoreConflicts(
+      batch: DataFrame, url: String, table: String, suffix: String): Unit = {
+    val cols = batch.columns.toIndexedSeq
+    val sql = insertSql(table, cols, suffix)
+    batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val conn = DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val ps = conn.prepareStatement(sql)
+        try {
+          val chunk = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+          def flush(): Unit = if (chunk.nonEmpty) {
+            chunk.foreach { r =>
+              cols.indices.foreach(i => ps.setObject(i + 1, r.get(i)))
+              ps.addBatch()
+            }
+            try ps.executeBatch()
+            catch {
+              case e: SQLException if isConflict(e) =>
+                // no ON CONFLICT on this dialect: replay the chunk one
+                // row at a time, skipping only the conflicting rows
+                ps.clearBatch()
+                conn.rollback()
+                chunk.foreach { r =>
+                  cols.indices.foreach(i => ps.setObject(i + 1, r.get(i)))
+                  try { ps.executeUpdate(); () }
+                  catch { case e2: SQLException if isConflict(e2) => () }
+                }
+            }
+            conn.commit()
+            chunk.clear()
+          }
+          rows.foreach { r =>
+            chunk += r
+            if (chunk.size >= 1000) flush()
+          }
+          flush()
+        } finally ps.close()
+      } finally conn.close()
+    }
+  }
+
   /** The batch minus rows whose `(time, entity_id)` PK already exists in
     * the table — the replay-safe remainder after a PK conflict. The
     * existing-key read is bounded to the batch's time range (the
@@ -527,14 +604,24 @@ object LtssSink {
     batch.join(existing, Seq("time", "entity_id"), "left_anti")
   }
 
-  /** Integrity-constraint violations (duplicate PK on replay). */
+  /** Integrity-constraint violations (duplicate PK on replay). Walks the
+    * cause chain AND each SQLException's `getNextException` chain — a
+    * `BatchUpdateException` (batched insert) reports the real
+    * duplicate-key error through the latter, not through the cause. */
   private[graft] def isConflict(t: Throwable): Boolean = {
     var cur: Throwable = t
     var depth = 0
     while (cur != null && depth < 10) {
       cur match {
-        case _: java.sql.SQLIntegrityConstraintViolationException => return true
-        case e: SQLException if Option(e.getSQLState).exists(_.startsWith("23")) => return true
+        case e: SQLException =>
+          var se: SQLException = e
+          var d2 = 0
+          while (se != null && d2 < 10) {
+            if (se.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+              Option(se.getSQLState).exists(_.startsWith("23"))) return true
+            se = se.getNextException
+            d2 += 1
+          }
         case _ => ()
       }
       cur = cur.getCause
