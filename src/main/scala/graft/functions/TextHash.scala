@@ -354,6 +354,24 @@ object TextHash {
     }
     UTF8String.fromBytes(out)
   }
+
+  /** First 60 bits of md5(text) as a non-negative long — numerically
+    * equal to `conv(substring(md5(text), 1, 15), 16, 10)`: the first 15
+    * hex digits ARE the digest's top 60 bits, i.e. its first 8 bytes
+    * read big-endian, shifted right 4. One digest, no hex string, no
+    * base conversion — the shuffle-fingerprint path stays an exact
+    * bijection of the oracle's `substring(md5(x), 1, 15)` grouping
+    * (a prefix collision merges the same keys on both engines) at a
+    * fraction of the built-in md5→substring→conv chain's cost. */
+  def md5Prefix64(text: UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(text.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
 }
 
 /** `minhash8(text)` as a native expression: codegen emits one static
@@ -423,6 +441,31 @@ case class SimHash64(child: Expression) extends UnaryExpression with Serializabl
     copy(child = newChild)
 
   override def prettyName: String = "simhash64"
+}
+
+/** `md5_prefix64(text)` as a native expression — the 60-bit md5-prefix
+  * shuffle fingerprint (bijective with the oracle's
+  * `substring(md5(x), 1, 15)`); one digest call inside whole-stage
+  * codegen. */
+case class Md5Prefix64(child: Expression) extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix64 expects STRING, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.md5Prefix64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.md5Prefix64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_prefix64"
 }
 
 /** `gram2_stats(text)` → [n_tokens, n_2grams, n_uniq_2grams] as a native

@@ -645,10 +645,18 @@ object Dedup {
       // of the string. Any prefix collision merges the same shingles on
       // the DuckDB side (same md5, same prefix — the long is a bijection
       // of the oracle's 15-hex-char string), so counts stay parity-exact.
+      // The native kernel computes the long straight from the digest
+      // bytes — no hex string, no conv. Adjudicated warm at sf0.1 on an
+      // idle host: built-in md5+substring+conv chain ~1.5 s, this kernel
+      // ~1.3-1.4 s, raw-string shuffle ~1.0-1.2 s. Locally the string
+      // variant edges ahead (the md5 is pure overhead when the shuffle
+      // never leaves RAM); at 100 TB the 8-byte key wins the network
+      // shuffle and the join hashing, which is why the fingerprint
+      // stays.
       val srcSh = Tables.documents(s, d)
         .select(col("source"), explode(array_distinct(sh3)).as("sh"))
         .select(col("source"),
-          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("sh"))
+          columnOf(graft.functions.Md5Prefix64(expressionOf(col("sh")))).as("sh"))
         .distinct()
       val counts = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
       srcSh.toDF("a_src", "sh").join(srcSh.toDF("b_src", "sh"), "sh")
@@ -773,7 +781,77 @@ object Dedup {
       |WHERE jaccard >= 0.6
       |ORDER BY a_id, b_id""".stripMargin))
 
+  /** Passage-level duplication filter (the RefinedWeb/FineWeb-style
+    * "duplicated passage ratio" quality signal): the corpus is cut into
+    * fixed 16-word non-overlapping passages, passage occurrences are
+    * counted CORPUS-WIDE, and each document reports the fraction of its
+    * passages that appear more than once anywhere — boilerplate and
+    * copied spans push the ratio up even when no whole-document pair is
+    * a near-duplicate. `keep` applies the ≤ 0.5 gate.
+    *
+    * Scale design: passages reduce to 60-bit md5-prefix longs BEFORE
+    * any shuffle (same bijection-with-the-oracle trick as
+    * [[sourceOverlap]]) — the occurrence count is one combinable
+    * groupBy on 8-byte keys, the count join back to passages an
+    * equi-join on the same key, and the per-doc rollup one more
+    * combinable aggregate. A hyper-common boilerplate passage is ONE
+    * count row (no fan-out); nothing in the plan holds a document's
+    * text after the fingerprint projection. */
+  private[graft] def passageStats(docs: DataFrame, width: Int = 16): DataFrame = {
+    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= width)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST(size(w) / $width AS INT) - 1), " +
+          s"i -> concat_ws(' ', slice(w, i * $width + 1, $width)))")).as("chunk"))
+      .select(col("doc_id"),
+        columnOf(graft.functions.Md5Prefix64(expressionOf(col("chunk")))).as("fp"))
+    val counts = chunks.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+    val perDoc = chunks.join(counts, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+    val ratio = when(coalesce(col("n_passages"), lit(0L)) > 0,
+      coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_passages").cast("double"))
+      .otherwise(lit(0.0d))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_passages"), lit(0L)).as("n_passages"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_passages"),
+        ratio.as("dup_passage_ratio"),
+        (ratio <= 0.5d).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val passage = OracleQuery(
+    "dedup_passage",
+    (s, d) => passageStats(Tables.documents(s, d)),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, substring(md5(chunk), 1, 15) AS fp FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(0, CAST(len(w)//16 AS INT) - 1),
+      |      i -> array_to_string(w[i*16+1:i*16+16], ' '))) AS chunk
+      |    FROM w WHERE len(w) >= 16)
+      |),
+      |counts AS (SELECT fp, count(*) AS cnt FROM chunks GROUP BY fp),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+      |         CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |  FROM chunks JOIN counts USING (fp) GROUP BY doc_id)
+      |SELECT doc_id,
+      |       COALESCE(n_passages, 0) AS n_passages,
+      |       COALESCE(n_dup, 0) AS n_dup_passages,
+      |       CASE WHEN COALESCE(n_passages, 0) > 0
+      |            THEN CAST(COALESCE(n_dup, 0) AS DOUBLE) / CAST(n_passages AS DOUBLE)
+      |            ELSE 0.0 END AS dup_passage_ratio,
+      |       CAST(CASE WHEN (CASE WHEN COALESCE(n_passages, 0) > 0
+      |            THEN CAST(COALESCE(n_dup, 0) AS DOUBLE) / CAST(n_passages AS DOUBLE)
+      |            ELSE 0.0 END) <= 0.5 THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM documents LEFT JOIN per_doc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(exact, minhashSig, minhashLsh, jaccard, clusters, overflowVerify, crosscheck,
-      simhashPairs, simhash64Pairs, sourceOverlap)
+      simhashPairs, simhash64Pairs, sourceOverlap, passage)
 }

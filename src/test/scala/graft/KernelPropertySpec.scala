@@ -92,6 +92,11 @@ object KernelPropertySpec extends Properties("TextHashKernels") {
     (0 until 8).map(i => got.getUTF8String(i).toString) == refMinhash8(s)
   }
 
+  property("md5_prefix64 kernel == conv(substring(md5(x),1,15),16,10)") = forAll(doc) { s =>
+    val ref = BigInt(md5Hex(s).substring(0, 15), 16).toLong
+    TextHash.md5Prefix64(UTF8String.fromString(s)) == ref
+  }
+
   property("gram2_stats kernel == reference") = forAll(doc) { s =>
     val w = toks(s)
     val grams = if (w.length < 2) Seq.empty[String]
