@@ -199,6 +199,71 @@ object TimeSeries {
         max(struct(col("time"), col("sv"))).getField("sv").cast("double").as("close"),
         count(lit(1)).as("n"))
 
+  /** Discretized state-duration rollup (TimescaleDB `state_agg` +
+    * `duration_in`): each observation HOLDS until the next one (the
+    * hypertable's LOCF reading of a state change), and the held duration
+    * accumulates per (entity, state class). The reference's table stores
+    * HA states — binary sensors, climate modes — where "how long in each
+    * state" is the canonical dashboard panel; the synthetic values are
+    * continuous, so the class boundary is an explicit threshold CASE
+    * (exact DECIMAL compares — no float in the classification).
+    *
+    * Shape: one `lead` window per entity closes the intervals, then ONE
+    * map-side-combinable BIGINT sum per (entity, class) — the same key
+    * class as every LTSS rollup. The per-entity fraction is a window
+    * over the AGGREGATED frame (|entities|·|classes| rows), so the
+    * second pass is over render-scale data, never raw observations. */
+  def stateAgg(ltss: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("entity_id")).orderBy(col("time"), col("sv"))
+    val we = Window.partitionBy(col("entity_id"))
+    ltss
+      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("tus", unix_micros(col("time")))
+      .withColumn("nt", lead(col("tus"), 1).over(w))
+      .filter(col("nt").isNotNull)
+      .withColumn("state_class",
+        when(col("sv") < 20, lit("low"))
+          .when(col("sv") < 60, lit("mid"))
+          .otherwise(lit("high")))
+      .groupBy(col("entity_id"), col("state_class"))
+      .agg(sum(col("nt") - col("tus")).as("duration_us"),
+        count(lit(1)).as("n_intervals"))
+      // fraction = two exact BIGINTs through one IEEE division —
+      // identical on both engines.
+      .withColumn("fraction", col("duration_us").cast("double") /
+        sum(col("duration_us")).over(we).cast("double"))
+  }
+
+  /** Liveness/uptime rollup (TimescaleDB `heartbeat_agg` + `uptime`/
+    * `downtime`/`interpolated_uptime`): every event is a heartbeat that
+    * keeps the entity "live" for `livenessUs`; a longer silence is an
+    * outage. Within each entity's own observed span, live time is
+    * Σ min(gap, liveness) over consecutive heartbeats — the closed-form
+    * union of the overlapping liveness intervals, needing only the
+    * `lead` pair, never an interval merge. One window + one combinable
+    * aggregate per entity; entities with a single heartbeat have no
+    * span and drop out (TimescaleDB reports NULL uptime there). */
+  def heartbeat(ltss: DataFrame, livenessUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("entity_id")).orderBy(col("time"), col("sv"))
+    ltss
+      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("tus", unix_micros(col("time")))
+      .withColumn("nt", lead(col("tus"), 1).over(w))
+      .filter(col("nt").isNotNull)
+      .withColumn("gap", col("nt") - col("tus"))
+      .groupBy(col("entity_id"))
+      .agg(
+        (count(lit(1)) + 1).as("n_heartbeats"),
+        (max(col("nt")) - min(col("tus"))).as("span_us"),
+        sum(least(col("gap"), lit(livenessUs))).as("uptime_us"),
+        sum((col("gap") > livenessUs).cast("long")).as("n_outages"))
+      .select(col("entity_id"), col("n_heartbeats"), col("span_us"),
+        col("uptime_us"), (col("span_us") - col("uptime_us")).as("downtime_us"),
+        (col("uptime_us").cast("double") / col("span_us").cast("double"))
+          .as("uptime_ratio"),
+        col("n_outages"))
+  }
+
   final case class TsPoint(entity_id: String, time: java.sql.Timestamp, sv: Double)
 
   /** Largest-Triangle-Three-Buckets downsample (TimescaleDB `lttb`
@@ -450,6 +515,69 @@ object TimeSeries {
     },
     None) // rows-only by design: the sequential pick has no SQL twin
 
+  val stateAggQ = OracleQuery(
+    "ltss_state_agg",
+    (s, d) => {
+      val l = Queries.ltss(s, d)
+        .filter(split(col("entity_id"), "\\.").getItem(0) === "view")
+      stateAgg(l).orderBy(col("entity_id"), col("state_class"))
+    },
+    Some(s"""$ltssBase
+      |SELECT entity_id, state_class,
+      |       CAST(sum(dur) AS BIGINT) AS duration_us,
+      |       CAST(count(*) AS BIGINT) AS n_intervals,
+      |       CAST(sum(dur) AS DOUBLE)
+      |         / CAST(sum(sum(dur)) OVER (PARTITION BY entity_id) AS DOUBLE)
+      |         AS fraction
+      |FROM (
+      |  SELECT entity_id,
+      |         CASE WHEN sv < 20 THEN 'low'
+      |              WHEN sv < 60 THEN 'mid' ELSE 'high' END AS state_class,
+      |         nt - tus AS dur
+      |  FROM (
+      |    SELECT entity_id, CAST(state AS DECIMAL(12,2)) AS sv,
+      |           epoch_us(time) AS tus,
+      |           lead(epoch_us(time), 1) OVER (
+      |             PARTITION BY entity_id
+      |             ORDER BY time, CAST(state AS DECIMAL(12,2))) AS nt
+      |    FROM base WHERE split_part(entity_id, '.', 1) = 'view')
+      |  WHERE nt IS NOT NULL)
+      |GROUP BY entity_id, state_class
+      |ORDER BY entity_id, state_class""".stripMargin))
+
+  /** 48 h liveness: ~2/3 of the synthetic inter-event gaps are shorter
+    * (median 35 h), so entities report real uptime AND real outages. */
+  private val LivenessUs = 48L * 3600000000L
+
+  val heartbeatQ = OracleQuery(
+    "ltss_heartbeat",
+    (s, d) => {
+      val l = Queries.ltss(s, d)
+        .filter(split(col("entity_id"), "\\.").getItem(0) === "signup")
+      heartbeat(l, LivenessUs).orderBy(col("entity_id"))
+    },
+    Some(s"""$ltssBase
+      |SELECT entity_id,
+      |       CAST(count(*) + 1 AS BIGINT) AS n_heartbeats,
+      |       CAST(max(nt) - min(tus) AS BIGINT) AS span_us,
+      |       CAST(sum(least(nt - tus, $LivenessUs)) AS BIGINT) AS uptime_us,
+      |       CAST((max(nt) - min(tus)) - sum(least(nt - tus, $LivenessUs))
+      |            AS BIGINT) AS downtime_us,
+      |       CAST(sum(least(nt - tus, $LivenessUs)) AS DOUBLE)
+      |         / CAST(max(nt) - min(tus) AS DOUBLE) AS uptime_ratio,
+      |       CAST(sum(CASE WHEN nt - tus > $LivenessUs THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_outages
+      |FROM (
+      |  SELECT entity_id, epoch_us(time) AS tus,
+      |         lead(epoch_us(time), 1) OVER (
+      |           PARTITION BY entity_id
+      |           ORDER BY time, CAST(state AS DECIMAL(12,2))) AS nt
+      |  FROM base WHERE split_part(entity_id, '.', 1) = 'signup')
+      |WHERE nt IS NOT NULL
+      |GROUP BY entity_id
+      |ORDER BY entity_id""".stripMargin))
+
   val all: Seq[OracleQuery] =
-    Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ)
+    Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
+      stateAggQ, heartbeatQ)
 }

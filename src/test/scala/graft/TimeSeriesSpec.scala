@@ -178,4 +178,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.head.getAs[Double]("rate_per_s") == 90.0 / 3600.0)
     assert(out.head.getAs[Long]("n") == 3L)
   }
+
+  test("state_agg: held durations accumulate per state class") {
+    // low (10) held 1h, mid (30) held 2h, low (15) held 1h, last obs open
+    val s = ltssOf(Seq(
+      (ts(0), "view.1", "10.00"),
+      (ts(1), "view.1", "30.00"),
+      (ts(3), "view.1", "15.00"),
+      (ts(4), "view.1", "99.00")))
+    val out = TimeSeries.stateAgg(s).orderBy("state_class").collect().map(r =>
+      (r.getAs[String]("state_class"), r.getAs[Long]("duration_us"),
+        r.getAs[Long]("n_intervals"), r.getAs[Double]("fraction")))
+    assert(out.toSeq == Seq(("low", 2 * H, 2L, 0.5), ("mid", 2 * H, 1L, 0.5)))
+  }
+
+  test("heartbeat: liveness-clipped uptime, outage count, span") {
+    // heartbeats at 0h, 1h, 5h with 2h liveness: gaps 1h (live) + 4h
+    // (2h live + 2h down, one outage); span 5h
+    val s = ltssOf(Seq(
+      (ts(0), "signup.1", "1.00"),
+      (ts(1), "signup.1", "2.00"),
+      (ts(5), "signup.1", "3.00"),
+      (ts(2), "signup.2", "9.00"))) // single heartbeat: no span → dropped
+    val out = TimeSeries.heartbeat(s, 2 * H).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("entity_id") == "signup.1")
+    assert(r.getAs[Long]("n_heartbeats") == 3L)
+    assert(r.getAs[Long]("span_us") == 5 * H)
+    assert(r.getAs[Long]("uptime_us") == 3 * H)
+    assert(r.getAs[Long]("downtime_us") == 2 * H)
+    assert(r.getAs[Double]("uptime_ratio") == 0.6)
+    assert(r.getAs[Long]("n_outages") == 1L)
+  }
 }
