@@ -319,27 +319,33 @@ object TextOps {
     * explode once per side, the benchmark side is tiny and broadcasts,
     * and the overlap count is one map-side-combined aggregation — no
     * quadratic pass, no full-corpus shuffle of the text. */
-  val contamination = OracleQuery(
-    "contamination_check",
-    (s, d) => {
-      // native ShinglesK kernel: byte-span 3-grams, no interpreted HOF
-      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
-      val sh3 = columnOf(graft.functions.ShinglesK(expressionOf(col("text")), 3))
-      val shingles = Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(sh3)).as("sh"))
-      val bench = shingles.filter(col("doc_id") % 100 === 0).select(col("sh")).distinct()
-      val hits = shingles.filter(col("doc_id") % 100 =!= 0)
-        .join(broadcast(bench), "sh")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-      Tables.documents(s, d).filter(col("doc_id") % 100 =!= 0)
-        .select(col("doc_id"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-          (coalesce(col("n_overlap"), lit(0L)) > 0).cast("int").as("contaminated"))
-        .orderBy(col("doc_id"))
-    },
-    Some("""WITH sh AS (
+  /** Distinct per-doc 3-gram shingles via the native ShinglesK kernel
+    * (byte-span grams, no interpreted HOF), split into the benchmark
+    * docs (doc_id % 100 == 0 — the stand-in for the eval suite) and the
+    * corpus remainder. */
+  private def contaminationShingles(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+    val sh3 = columnOf(graft.functions.ShinglesK(expressionOf(col("text")), 3))
+    val shingles = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(sh3)).as("sh"))
+    (shingles.filter(col("doc_id") % 100 =!= 0),
+      shingles.filter(col("doc_id") % 100 === 0).select(col("sh")).distinct())
+  }
+
+  /** Per-doc overlap counts → the (doc_id, n_overlap, contaminated)
+    * audit frame over every non-benchmark doc. */
+  private def contaminationReport(
+      s: SparkSession, d: String, hits: DataFrame): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).cast("int").as("contaminated"))
+      .orderBy(col("doc_id"))
+
+  private val contaminationSql = """WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |           generate_series(1, greatest(len(w) - 2, 1)),
       |           i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
@@ -357,7 +363,52 @@ object TextOps {
       |       CAST(COALESCE(h.n_overlap, 0) > 0 AS INT) AS contaminated
       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
       |WHERE d.doc_id % 100 <> 0
-      |ORDER BY d.doc_id""".stripMargin))
+      |ORDER BY d.doc_id""".stripMargin
+
+  val contamination = OracleQuery(
+    "contamination_check",
+    (s, d) => {
+      val (corpus, bench) = contaminationShingles(s, d)
+      val hits = corpus.join(broadcast(bench), "sh")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      contaminationReport(s, d, hits)
+    },
+    Some(contaminationSql))
+
+  /** Decontamination at the shape the 100 TB corpus needs: when the
+    * benchmark suite's distinct shingles are too many to broadcast as
+    * STRINGS, a Bloom filter over their xxhash64 values (~1.2 bytes per
+    * shingle at 3% FPP) still broadcasts, and a map-side
+    * `might_contain` knocks out the ~everything that cannot match
+    * BEFORE any shuffle — Spark's own runtime-filter machinery
+    * (`BloomFilterAggregate` + `BloomFilterMightContain`, the pair
+    * `InjectRuntimeFilter` plants under joins), here placed explicitly.
+    * Survivors (true hits + the FP fraction) then verify through the
+    * exact string equi-join, so Bloom false positives NEVER reach the
+    * output and the oracle is the same exact SQL as
+    * [[contamination]]'s. The filter binary is ONE distributed
+    * aggregate collected to the driver — a per-benchmark-suite artifact
+    * like the IVF codebook, sized here for 1M shingles (~1 MB). */
+  val contaminationBloom = OracleQuery(
+    "contamination_bloom",
+    (s, d) => {
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      val (corpus, bench) = contaminationShingles(s, d)
+      val bfAgg = columnOf(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          expressionOf(xxhash64(col("sh"))), 1L << 20).toAggregateExpression())
+      val bf = bench.agg(bfAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+      val mightContain = columnOf(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          expressionOf(lit(bf)), expressionOf(xxhash64(col("sh")))))
+      // no broadcast hint on the verify join: the premise is a bench
+      // side too big to ship as strings — the join shuffles only the
+      // bloom survivors (AQE still picks broadcast when small is small)
+      val hits = corpus.filter(mightContain).join(bench, "sh")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      contaminationReport(s, d, hits)
+    },
+    Some(contaminationSql))
 
   /** Within-doc repetition ratio (the Gopher/C4-style boilerplate
     * signal): fraction of 2-gram occurrences that are repeats of an
@@ -449,5 +500,6 @@ object TextOps {
 
   val all: Seq[OracleQuery] =
     Seq(textStats, langId, tokenCount, fingerprint, simhash, textClean,
-      vocabTopk, urlStats, textRedact, contamination, repetition, qualityFilter)
+      vocabTopk, urlStats, textRedact, contamination, contaminationBloom,
+      repetition, qualityFilter)
 }

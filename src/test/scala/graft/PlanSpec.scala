@@ -305,6 +305,20 @@ class PlanSpec extends SparkSpec {
       s"corpus-side shingles must not shuffle into a merge join; plan:\n$plan")
   }
 
+  test("bloom decontamination: map-side might_contain prefilter below the verify join") {
+    val df = graft.operators.TextOps.contaminationBloom.run(spark, "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected the bloom prefilter in the corpus scan stage; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    // exact parity with the string-broadcast variant: bloom FPs never
+    // reach the output
+    val exact = graft.operators.TextOps.contamination
+      .run(spark, "/root/testdata/sf0.001").collect().toSeq
+    assert(df.collect().toSeq == exact)
+  }
+
   test("IVF probe scan is partition-pruned to the query's cluster") {
     val df = Similarity.ivfProbe.run(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
