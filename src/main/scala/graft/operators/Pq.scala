@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.DetMath
+
+/** Product quantization (PQ) over the embedding column — the memory-side
+  * scale path for ANN that IVF alone does not give: a 64-dim float
+  * vector (256 B) compresses to M=2 sub-codes (2 B at k=4 here; 8–16 B
+  * at production M=8–16, k=256), so a 100 TB vector corpus's index fits
+  * in cluster RAM and the query-time scan reads CODES, never raw
+  * vectors. The classic two-piece design (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011):
+  *
+  *  - **train**: an independent k-means codebook per subspace (here
+  *    spherical/cosine assignment, matching the corpus's cosine metric —
+  *    the same seeded Lloyd machinery as [[Similarity.kmeansCentroidsK]]
+  *    with the same integer-quantized-sum update, so centroids are
+  *    bit-reproducible at any parallelism and the DuckDB oracle replays
+  *    training exactly);
+  *  - **encode**: ONE broadcast of all M·k centroids (tagged by
+  *    subspace) fanned against each vector, then ONE map-side-combinable
+  *    struct-MAX argmax per subspace — no window, no shuffle-per-
+  *    subspace, no vec_id self-join to zip the sub-codes;
+  *  - **query (ADC)**: the query vector precomputes a dot-product table
+  *    against each sub-codebook (M·k scalars, in-plan via a 1-row
+  *    broadcast), and each database vector's approximate cosine is two
+  *    table lookups + one divide — the scan never touches a raw vector.
+  *
+  * adc_cosine = (dt0+dt1)/(|q|·sqrt(sq0+sq1)) is exactly cos(q, x̂) of
+  * the reconstruction x̂ (concatenated assigned centroids), so it is
+  * bounded to [-1, 1] by Cauchy–Schwarz — pinned in PqSpec.
+  *
+  * Reference anchor: the reference delegates similarity workloads to
+  * PostgreSQL (custom_components/ltss/models.py:75-80 builds the index
+  * FOR the query path); PQ is that philosophy at vector scale.
+  */
+object Pq {
+
+  /** M: number of subspaces; each covers Dim/M = 32 dims. */
+  val SubM = 2
+  val SubDim: Int = Similarity.Dim / SubM
+  /** Codebook size per subspace (production: 256; fixture-sized here so
+    * the DuckDB oracle replays the full Lloyd chain tractably). */
+  val PqK = 4
+  val PqIters = 2
+
+  private def off(m: Int): Int = m * SubDim + 1 // 1-based slice start
+
+  /** Per-subspace view of the persisted (embedding, codes) frame:
+    * (vec_id, emb, q, nrm) with 32-dim slices — the slices are cheap
+    * columnar projections over [[Similarity.embWithCodes]]'s one cached
+    * materialization, shared with the full-width IVF trainer. */
+  private def subEmb(s: SparkSession, d: String, m: Int): DataFrame =
+    Similarity.embWithCodes(s, d)
+      .select(col("vec_id"),
+        slice(col("embedding"), off(m), SubDim).as("emb"),
+        slice(col("q"), off(m), SubDim).as("q"))
+      .withColumn("nrm", DetMath.normCol(col("emb"), SubDim))
+
+  /** Trained sub-codebook for subspace `m`: (cid, ce, cn) after
+    * [[PqIters]] Lloyd rounds — init = the first [[PqK]] vectors'
+    * subvectors, assignment = argmax cosine (ties → lowest cid), update
+    * = int8-quantized coordinate sums / (127·count) so the update is
+    * order-independent and the oracle replays it bit-exactly. Collect is
+    * k rows per iteration — the codebook collect every PQ trainer does. */
+  private[graft] def pqCentroids(
+      s: SparkSession, d: String, m: Int): DataFrame =
+    graft.CachedFrames.getOrBuild(
+      s"pq_cent${m}_${PqK}_$PqIters|${graft.CachedFrames.sessionKey(s)}|$d") {
+      import s.implicits._
+      val emb = subEmb(s, d, m)
+      def withCn(c: DataFrame): DataFrame =
+        c.withColumn("cn", DetMath.normCol(col("ce"), SubDim))
+      var cents = withCn(emb.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("cid"), col("emb").as("ce")))
+      for (_ <- 1 to PqIters) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+        val aggs = count(lit(1)).as("cnt") +:
+          (1 to SubDim).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
+        val rows = emb.crossJoin(broadcast(cents))
+          .withColumn("cos", DetMath.cosinePre(
+            DetMath.dotCol(col("emb"), col("ce"), SubDim), col("nrm"), col("cn")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy(col("cid")).agg(aggs.head, aggs.tail: _*).collect()
+        val trained = rows.toSeq.map { r =>
+          val cnt = r.getLong(1)
+          (r.getLong(0),
+            (1 to SubDim).map(i => (r.getLong(i + 1) / (127.0 * cnt)).toFloat).toArray)
+        }
+        cents = withCn(trained.toDF("cid", "ce"))
+      }
+      cents
+    }
+
+  /** PQ encoding of the whole corpus: (vec_id, c0, c1). All M·k
+    * centroids broadcast ONCE (tagged by subspace), each vector fans to
+    * M·k scored rows map-side, and one hash aggregate takes the per-
+    * subspace struct-MAX argmax (ties → lowest cid, same rule as
+    * training) — partials combine map-side, no window sort, and the
+    * sub-codes land zipped without a vec_id self-join. */
+  private[graft] def pqCodes(s: SparkSession, d: String): DataFrame =
+    graft.CachedFrames.getOrBuild(
+      s"pq_codes_${PqK}_$PqIters|${graft.CachedFrames.sessionKey(s)}|$d") {
+      val cents = (0 until SubM).map(m =>
+        pqCentroids(s, d, m).withColumn("m", lit(m))).reduce(_ unionByName _)
+      val e = Similarity.embWithCodes(s, d).select(
+        (col("vec_id") +: (0 until SubM).map(m =>
+          slice(col("embedding"), off(m), SubDim).as(s"e$m"))): _*)
+      val withNrm = (0 until SubM).foldLeft(e)((df, m) =>
+        df.withColumn(s"n$m", DetMath.normCol(col(s"e$m"), SubDim)))
+      val cos = (0 until SubM).map { m =>
+        (col("m") === m) -> DetMath.cosinePre(
+          DetMath.dotCol(col(s"e$m"), col("ce"), SubDim), col(s"n$m"), col("cn"))
+      }.foldLeft(lit(null).cast("double"))((acc, c) => when(c._1, c._2).otherwise(acc))
+      val best = (0 until SubM).map(m =>
+        max(when(col("m") === m,
+          struct(col("cos"), (lit(PqK - 1) - col("cid")).as("r")))).as(s"b$m"))
+      withNrm.crossJoin(broadcast(cents))
+        .withColumn("cos", cos)
+        .groupBy(col("vec_id"))
+        .agg(best.head, best.tail: _*)
+        .select(col("vec_id") +: (0 until SubM).map(m =>
+          (lit(PqK - 1) - col(s"b$m").getField("r")).as(s"c$m")): _*)
+    }
+
+  // ------------------------------------------------------------ queries
+
+  /** Codes + reconstruction energy for every vector — the audit frame a
+    * PQ index ships with. recon_sq = Σ_m |centroid_m|² is the squared
+    * norm of the reconstruction (subspaces are orthogonal coordinate
+    * blocks), attached via two 4-row broadcast joins on the codes. */
+  val pqCodesQ = OracleQuery(
+    "sim_pq_codes",
+    (s, d) => {
+      val sq = (0 until SubM).map(m => pqCentroids(s, d, m)
+        .select(col("cid").as(s"c$m"),
+          DetMath.dotCol(col("ce"), col("ce"), SubDim).as(s"sq$m")))
+      (0 until SubM).foldLeft(pqCodes(s, d))((df, m) =>
+        df.join(broadcast(sq(m)), s"c$m"))
+        .select(col("vec_id"), col("c0"), col("c1"),
+          (col("sq0") + col("sq1")).as("recon_sq"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""$pqSqlChain
+      |SELECT p.vec_id, p.c0, p.c1, s0.sq + s1.sq AS recon_sq
+      |FROM pq p
+      |JOIN (SELECT cid, ${DetMath.dotSql("ce", "ce", SubDim)} AS sq
+      |      FROM c_0_${PqIters}n) s0 ON s0.cid = p.c0
+      |JOIN (SELECT cid, ${DetMath.dotSql("ce", "ce", SubDim)} AS sq
+      |      FROM c_1_${PqIters}n) s1 ON s1.cid = p.c1
+      |ORDER BY p.vec_id""".stripMargin))
+
+  /** ADC top-k for the query vector (vec_id 0): the query precomputes
+    * its dot table against each sub-codebook (M·k scalars, built
+    * in-plan from the k-row centroid frames crossed with the 1-row
+    * query), and every database vector scores as two lookups + one
+    * divide over its CODES — the scan reads 2 small ints per vector,
+    * never the raw floats. adc_cosine = cos(query, reconstruction). */
+  val pqTopkQ = OracleQuery(
+    "sim_pq_topk",
+    (s, d) => {
+      val q = Similarity.embWithCodes(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val dt = (0 until SubM).map(m => pqCentroids(s, d, m)
+        .crossJoin(broadcast(q))
+        .select(col("cid").as(s"c$m"),
+          DetMath.dotCol(slice(col("qe"), off(m), SubDim), col("ce"), SubDim)
+            .as(s"dt$m"),
+          DetMath.dotCol(col("ce"), col("ce"), SubDim).as(s"sq$m")))
+      (0 until SubM).foldLeft(pqCodes(s, d))((df, m) =>
+        df.join(broadcast(dt(m)), s"c$m"))
+        .crossJoin(broadcast(q.select(col("qn"))))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("c0"), col("c1"),
+          ((col("dt0") + col("dt1")) /
+            (col("qn") * sqrt(col("sq0") + col("sq1")))).as("adc_cosine"))
+        .orderBy(col("adc_cosine").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""$pqSqlChain,
+      |q AS (SELECT embedding AS qe, nrm AS qn FROM ef WHERE vec_id = 0),
+      |dt0 AS (
+      |  SELECT c.cid AS c0, ${DetMath.dotSql("qs", "c.ce", SubDim)} AS dt,
+      |         ${DetMath.dotSql("c.ce", "c.ce", SubDim)} AS sq
+      |  FROM c_0_${PqIters}n c, (SELECT qe[1:$SubDim] AS qs FROM q)
+      |),
+      |dt1 AS (
+      |  SELECT c.cid AS c1, ${DetMath.dotSql("qs", "c.ce", SubDim)} AS dt,
+      |         ${DetMath.dotSql("c.ce", "c.ce", SubDim)} AS sq
+      |  FROM c_1_${PqIters}n c,
+      |       (SELECT qe[${SubDim + 1}:${2 * SubDim}] AS qs FROM q)
+      |)
+      |SELECT p.vec_id, p.c0, p.c1,
+      |       (dt0.dt + dt1.dt) / (q.qn * sqrt(dt0.sq + dt1.sq)) AS adc_cosine
+      |FROM pq p
+      |JOIN dt0 ON dt0.c0 = p.c0
+      |JOIN dt1 ON dt1.c1 = p.c1
+      |CROSS JOIN q
+      |WHERE p.vec_id <> 0
+      |ORDER BY adc_cosine DESC, p.vec_id
+      |LIMIT 10""".stripMargin))
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** The PQ chain as DuckDB CTEs, ending at `pq` (vec_id, c0, c1) with
+    * the final sub-codebooks `c_{m}_{PqIters}n` (cid, ce, cn) and `ef`
+    * (vec_id, embedding, nrm, codes) in scope. Mirrors the Scala
+    * trainer/encoder step for step: every arithmetic step is either
+    * exact (int sums, slices) or a single IEEE op on identical inputs,
+    * and both tie-breaks (training window, encode struct-MAX) resolve to
+    * the lowest cid. */
+  private def pqSqlChain: String = {
+    def sub(m: Int): String = {
+      val lo = off(m); val hi = m * SubDim + SubDim
+      def scoredCte(name: String, cents: String) =
+        s"""$name AS (
+           |  SELECT e.vec_id, e.q, c.cid,
+           |    ${DetMath.cosinePreSql(DetMath.dotSql("e.emb", "c.ce", SubDim), "e.nrm", "c.cn")} AS cos
+           |  FROM e_$m e, $cents c
+           |)""".stripMargin
+      def assignCte(name: String, scored: String) =
+        s"""$name AS (
+           |  SELECT vec_id, q, cid FROM (
+           |    SELECT vec_id, q, cid,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+           |    FROM $scored) WHERE rn = 1
+           |)""".stripMargin
+      def updateCte(name: String, assigned: String) = {
+        val dims = (1 to SubDim).map(i =>
+          s"CAST(CAST(SUM(q[$i]) AS DOUBLE) / (127.0 * COUNT(*)) AS REAL)")
+          .mkString(", ")
+        s"""$name AS (
+           |  SELECT cid, [$dims] AS ce FROM $assigned GROUP BY cid
+           |), ${name}n AS (
+           |  SELECT cid, ce, ${DetMath.normSql("ce", SubDim)} AS cn FROM $name
+           |)""".stripMargin
+      }
+      val iters = (1 to PqIters).map { i =>
+        val prev = if (i == 1) s"c_${m}_0" else s"c_${m}_${i - 1}n"
+        s"""${scoredCte(s"sc_${m}_$i", prev)},
+           |${assignCte(s"a_${m}_$i", s"sc_${m}_$i")},
+           |${updateCte(s"c_${m}_$i", s"a_${m}_$i")}""".stripMargin
+      }.mkString(",\n")
+      s"""e_$m AS (
+        |  SELECT vec_id, emb, q, ${DetMath.normSql("emb", SubDim)} AS nrm
+        |  FROM (SELECT vec_id, embedding[$lo:$hi] AS emb, codes[$lo:$hi] AS q
+        |        FROM ef)
+        |), c_${m}_0 AS (
+        |  SELECT vec_id AS cid, emb AS ce, nrm AS cn FROM e_$m WHERE vec_id < $PqK
+        |),
+        |$iters,
+        |enc_$m AS (
+        |  SELECT vec_id,
+        |         ${PqK - 1} - (max({'cos': cos, 'r': ${PqK - 1} - cid})).r AS c$m
+        |  FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      ${DetMath.cosinePreSql(DetMath.dotSql("e.emb", "c.ce", SubDim), "e.nrm", "c.cn")} AS cos
+        |    FROM e_$m e, c_${m}_${PqIters}n c)
+        |  GROUP BY vec_id
+        |)""".stripMargin
+    }
+    val quantSql =
+      "list_transform(embedding, v -> CAST(floor(greatest(-1.0, least(1.0, " +
+        "CAST(v AS DOUBLE))) * 127.0 + 0.5) AS INT))"
+    s"""WITH ef AS (
+      |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", Similarity.Dim)} AS nrm,
+      |         $quantSql AS codes
+      |  FROM embeddings
+      |),
+      |${sub(0)},
+      |${sub(1)},
+      |pq AS (
+      |  SELECT enc_0.vec_id, enc_0.c0, enc_1.c1
+      |  FROM enc_0 JOIN enc_1 ON enc_1.vec_id = enc_0.vec_id
+      |)""".stripMargin
+  }
+
+  val all: Seq[OracleQuery] = Seq(pqCodesQ, pqTopkQ)
+}

@@ -440,7 +440,7 @@ object Similarity {
     * dataset: every Lloyd assign scan and update agg reuses the stored
     * blocks instead of re-reading + re-quantizing per iteration, and the
     * trainer and the final assignment share the same frame. */
-  private def embWithCodes(
+  private[operators] def embWithCodes(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     graft.CachedFrames.getOrBuild(
       s"kmeans_emb|${graft.CachedFrames.sessionKey(s)}|$d") {

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Pq, Similarity}
+import graft.functions.DetMath
+
+/** Pins the product-quantization properties the oracle row cannot see:
+  * complete/bounded codes, the Cauchy–Schwarz bound on the ADC score
+  * (adc_cosine IS cos(query, reconstruction)), and an index-quality
+  * floor — ADC's top picks must rank above the corpus average by TRUE
+  * cosine, i.e. the compressed scan carries real signal. */
+class PqSpec extends SparkSpec {
+
+  private val D = "/root/testdata/sf0.001"
+
+  test("every vector gets one code per subspace, within the codebook") {
+    val n = Tables.embeddings(spark, D).count()
+    val codes = Pq.pqCodes(spark, D)
+    assert(codes.count() == n)
+    val bad = codes.filter(
+      col("c0") < 0 || col("c0") >= Pq.PqK || col("c1") < 0 || col("c1") >= Pq.PqK)
+    assert(bad.count() == 0)
+  }
+
+  test("adc_cosine is a true cosine of the reconstruction: |score| <= 1") {
+    val out = Pq.pqTopkQ.run(spark, D).collect()
+    assert(out.length == 10)
+    assert(out.forall(r => math.abs(r.getAs[Double]("adc_cosine")) <= 1.0))
+  }
+
+  test("ADC top-10 beats the corpus average by TRUE cosine to the query") {
+    val emb = Tables.embeddings(spark, D)
+      .withColumn("nrm", DetMath.normCol(col("embedding"), Similarity.Dim))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val exact = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), DetMath.cosinePre(
+        DetMath.dotCol(col("embedding"), col("qe"), Similarity.Dim),
+        col("nrm"), col("qn")).as("cos"))
+    val byId = exact.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val corpusMean = byId.values.sum / byId.size
+    val picks = Pq.pqTopkQ.run(spark, D).collect().map(_.getAs[Long]("vec_id"))
+    val pickMean = picks.map(byId).sum / picks.length
+    assert(pickMean > corpusMean,
+      s"ADC picks (true-cos mean $pickMean) must beat corpus mean $corpusMean")
+  }
+}
