@@ -322,6 +322,60 @@ object StreamingOps {
       }
   }
 
+  final case class StateAggState(
+      lastTimeUs: Long, lastState: String,
+      durs: Map[String, Long], counts: Map[String, Long])
+  final case class StateAggRow(
+      entity_id: String, state_class: String, duration_us: Long, n_intervals: Long)
+
+  /** Continuously-maintained time-in-state totals per entity (the
+    * streaming twin of the batch `ltss_state_agg` query — TimescaleDB's
+    * `state_agg` rollup over a live stream): a new reading closes the
+    * previous reading's hold interval, the held duration accumulates
+    * under the CLOSED interval's state class (same threshold CASE as
+    * the batch op), and the updated (class, total, count) row emits in
+    * Update mode — the sink upserts running totals exactly as the
+    * batch rollup would recompute them. State is the frontier pair +
+    * one (duration, count) accumulator per observed class (≤ |classes|
+    * entries, bounded regardless of input volume); same in-order
+    * contract and same-timestamp tie rule as [[heldIntervalStream]]. */
+  def stateAggStream(ltss: DataFrame): Dataset[StateAggRow] = {
+    import ltss.sparkSession.implicits._
+    def classOf(s: String): String = {
+      val v = BigDecimal(s)
+      if (v < 20) "low" else if (v < 60) "mid" else "high"
+    }
+    ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[StateAggState, StateAggRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (key, events, st) =>
+        val sorted = events.toSeq.sortBy(e => (micros(e.time), BigDecimal(e.state)))
+        var cur = st.getOption
+        val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+        for (e <- sorted) {
+          val tUs = micros(e.time)
+          cur match {
+            case Some(s @ StateAggState(lastT, lastS, durs, counts))
+                if tUs > lastT ||
+                  (tUs == lastT && BigDecimal(e.state) > BigDecimal(lastS)) =>
+              val cls = classOf(lastS)
+              touched += cls
+              cur = Some(StateAggState(tUs, e.state,
+                durs.updated(cls, durs.getOrElse(cls, 0L) + (tUs - lastT)),
+                counts.updated(cls, counts.getOrElse(cls, 0L) + 1L)))
+            case Some(_) => () // at/behind the frontier: interval closed
+            case None =>
+              cur = Some(StateAggState(tUs, e.state, Map.empty, Map.empty))
+          }
+        }
+        cur.foreach(st.update)
+        val s = cur.get
+        touched.iterator.map(cls =>
+          StateAggRow(key, cls, s.durs(cls), s.counts(cls)))
+      }
+  }
+
   /** Continuously-maintained OHLC candlesticks per (entity, window) —
     * the streaming twin of the batch `ltss_ohlc` query, with the SAME
     * aggregate shape: open/close ride lexicographic min/max STRUCT

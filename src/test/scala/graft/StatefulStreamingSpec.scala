@@ -324,4 +324,66 @@ class StatefulStreamingSpec extends SparkSpec {
       (ts("2024-01-01 10:00:00"), "a.1", 12.0, 30.0, 4.0, 18.0, 4L)),
       s"expected candle missing: $rows")
   }
+
+  test("streaming state_agg: class totals update on interval close (update mode)") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.stateAggStream(df).writeStream
+      .format("memory").queryName("sa_t").outputMode("update").start()
+    try {
+      ms.addData((ts("2024-01-01 10:00:00"), "a.1", "10"))
+      q.processAllAvailable() // open interval: nothing emits
+      assert(spark.table("sa_t").count() == 0)
+      ms.addData((ts("2024-01-01 11:00:00"), "a.1", "30")) // closes low, 1h
+      ms.addData((ts("2024-01-01 13:00:00"), "a.1", "15")) // closes mid, 2h
+      ms.addData((ts("2024-01-01 14:00:00"), "a.1", "99")) // closes low, 1h more
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode: totals are monotonic, so latest = max per class
+    val totals = spark.table("sa_t").groupBy($"state_class")
+      .agg(max($"duration_us").as("d"), max($"n_intervals").as("n"))
+      .as[(String, Long, Long)].collect().toSet
+    val H = 3600000000L
+    assert(totals == Set(("low", 2 * H, 2L), ("mid", 2 * H, 1L)))
+  }
+
+  test("streaming state_agg accumulators survive a checkpoint restart") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val in = tmp("sa-in"); val ckpt = tmp("sa-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "time TIMESTAMP, entity_id STRING, state STRING")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Long)]
+    def start() = StreamingOps
+      .stateAggStream(spark.readStream.schema(schema).json(in))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamingOps.StateAggRow], _: Long) =>
+          val rows = b.collect()
+            .map(r => (r.entity_id, r.state_class, r.duration_us, r.n_intervals))
+          got.synchronized { got ++= rows }
+          ()
+      }.start()
+    Files.writeString(Paths.get(in, "b1.json"),
+      """{"time":"2024-01-01T10:00:00Z","entity_id":"a.1","state":"10"}
+        |{"time":"2024-01-01T11:00:00Z","entity_id":"a.1","state":"30"}""".stripMargin)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val H = 3600000000L
+    assert(got.synchronized(got.toSet) == Set(("a.1", "low", H, 1L)))
+    // restart: closing two more intervals must CONTINUE the recovered
+    // accumulators — low reaches 2h/2 only if the pre-restart hour and
+    // the frontier pair both came back from the checkpoint
+    Files.writeString(Paths.get(in, "b2.json"),
+      """{"time":"2024-01-01T13:00:00Z","entity_id":"a.1","state":"15"}
+        |{"time":"2024-01-01T14:00:00Z","entity_id":"a.1","state":"99"}""".stripMargin)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val latest = got.synchronized(got.toSeq).groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => (k._1, k._2, rs.map(_._3).max, rs.map(_._4).max) }.toSet
+    assert(latest == Set(
+      ("a.1", "low", 2 * H, 2L),
+      ("a.1", "mid", 2 * H, 1L)))
+  }
 }
