@@ -212,6 +212,21 @@ object Pq {
     * and both tie-breaks (training window, encode struct-MAX) resolve to
     * the lowest cid. */
   private def pqSqlChain: String = {
+    val quantSql =
+      "list_transform(embedding, v -> CAST(floor(greatest(-1.0, least(1.0, " +
+        "CAST(v AS DOUBLE))) * 127.0 + 0.5) AS INT))"
+    s"""WITH ef AS (
+      |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", Similarity.Dim)} AS nrm,
+      |         $quantSql AS codes
+      |  FROM embeddings
+      |),
+      |${pqSqlBody("ef")}""".stripMargin
+  }
+
+  /** The chain body (everything after the base CTE), parameterized on
+    * the base relation name so the IVF+PQ oracle can graft it onto the
+    * Lloyd chain's `e` (same columns as `ef`). */
+  private def pqSqlBody(base: String): String = {
     def sub(m: Int): String = {
       val lo = off(m); val hi = m * SubDim + SubDim
       def scoredCte(name: String, cents: String) =
@@ -246,7 +261,7 @@ object Pq {
       s"""e_$m AS (
         |  SELECT vec_id, emb, q, ${DetMath.normSql("emb", SubDim)} AS nrm
         |  FROM (SELECT vec_id, embedding[$lo:$hi] AS emb, codes[$lo:$hi] AS q
-        |        FROM ef)
+        |        FROM $base)
         |), c_${m}_0 AS (
         |  SELECT vec_id AS cid, emb AS ce, nrm AS cn FROM e_$m WHERE vec_id < $PqK
         |),
@@ -261,15 +276,7 @@ object Pq {
         |  GROUP BY vec_id
         |)""".stripMargin
     }
-    val quantSql =
-      "list_transform(embedding, v -> CAST(floor(greatest(-1.0, least(1.0, " +
-        "CAST(v AS DOUBLE))) * 127.0 + 0.5) AS INT))"
-    s"""WITH ef AS (
-      |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", Similarity.Dim)} AS nrm,
-      |         $quantSql AS codes
-      |  FROM embeddings
-      |),
-      |${sub(0)},
+    s"""${sub(0)},
       |${sub(1)},
       |pq AS (
       |  SELECT enc_0.vec_id, enc_0.c0, enc_1.c1
@@ -277,5 +284,86 @@ object Pq {
       |)""".stripMargin
   }
 
-  val all: Seq[OracleQuery] = Seq(pqCodesQ, pqTopkQ)
+  // ------------------------------------------------------------ IVF+PQ
+
+  /** The codes table in its 100 TB storage shape — the FAISS "inverted
+    * list": (vec_id, c0, c1) partitioned by the TRAINED IVF cluster id,
+    * materialized once per dataset like the raw-vector IVF layout. A
+    * probe partition-prunes to its clusters and reads 2 small ints per
+    * member vector — cluster scoping from IVF, vector compression from
+    * PQ, the standard composed index. */
+  def ivfPqLayoutPath(s: SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("ivfpq", d) { p =>
+      val asg = Similarity.kmeansAssignments(s, d, Similarity.KmIters)
+        .select(col("vec_id"), col("cid"))
+      pqCodes(s, d).join(asg, "vec_id")
+        .write.mode("overwrite").partitionBy("cid").parquet(p)
+    }
+
+  /** IVF+PQ probe: the query's nprobe nearest TRAINED IVF centroids
+    * pick the partitions (driver-side k-row argmax, as in the raw IVF
+    * probes), the pruned scan reads only those clusters' CODES, and ADC
+    * scores them — at no point does the query path touch a raw database
+    * vector. The oracle grafts the PQ chain onto the Lloyd chain
+    * (`pqSqlBody("e")` — the two trainers share one base CTE), so both
+    * index trainings replay bit-exactly in DuckDB. */
+  val ivfPqTopkQ = OracleQuery(
+    "sim_ivfpq_topk",
+    (s, d) => {
+      val nprobe = 2
+      val q = Similarity.embWithCodes(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val probeCids = Similarity.probeCidsOf(
+        Similarity.kmeansCentroids(s, d, Similarity.KmIters), q, nprobe)
+      val dt = (0 until SubM).map(m => pqCentroids(s, d, m)
+        .crossJoin(broadcast(q))
+        .select(col("cid").as(s"c$m"),
+          DetMath.dotCol(slice(col("qe"), off(m), SubDim), col("ce"), SubDim)
+            .as(s"dt$m"),
+          DetMath.dotCol(col("ce"), col("ce"), SubDim).as(s"sq$m")))
+      val scan = s.read.parquet(ivfPqLayoutPath(s, d))
+        .withColumn("cid", col("cid").cast("long")) // dir-name round-trip
+        .filter(col("cid").isin(probeCids: _*) && col("vec_id") =!= 0)
+      (0 until SubM).foldLeft(scan)((df, m) => df.join(broadcast(dt(m)), s"c$m"))
+        .crossJoin(broadcast(q.select(col("qn"))))
+        .select(col("cid"), col("vec_id"),
+          ((col("dt0") + col("dt1")) /
+            (col("qn") * sqrt(col("sq0") + col("sq1")))).as("adc_cosine"))
+        .orderBy(col("adc_cosine").desc, col("vec_id"))
+        .limit(5)
+    },
+    Some(s"""${Similarity.kmeansSqlChain},
+      |${pqSqlBody("e")},
+      |q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+      |qcid AS (
+      |  SELECT cid FROM (
+      |    SELECT cid,
+      |      ${DetMath.cosinePreSql(DetMath.dotSql("ce", "qe", Similarity.Dim), "cn", "qn")} AS qcos
+      |    FROM c${Similarity.KmIters}n, q)
+      |  ORDER BY qcos DESC, cid LIMIT 2
+      |),
+      |dt0 AS (
+      |  SELECT c.cid AS c0, ${DetMath.dotSql("qs", "c.ce", SubDim)} AS dt,
+      |         ${DetMath.dotSql("c.ce", "c.ce", SubDim)} AS sq
+      |  FROM c_0_${PqIters}n c, (SELECT qe[1:$SubDim] AS qs FROM q)
+      |),
+      |dt1 AS (
+      |  SELECT c.cid AS c1, ${DetMath.dotSql("qs", "c.ce", SubDim)} AS dt,
+      |         ${DetMath.dotSql("c.ce", "c.ce", SubDim)} AS sq
+      |  FROM c_1_${PqIters}n c,
+      |       (SELECT qe[${SubDim + 1}:${2 * SubDim}] AS qs FROM q)
+      |)
+      |SELECT a.cid, p.vec_id,
+      |       (dt0.dt + dt1.dt) / (q.qn * sqrt(dt0.sq + dt1.sq)) AS adc_cosine
+      |FROM pq p
+      |JOIN aF a ON a.vec_id = p.vec_id
+      |JOIN qcid ON qcid.cid = a.cid
+      |JOIN dt0 ON dt0.c0 = p.c0
+      |JOIN dt1 ON dt1.c1 = p.c1
+      |CROSS JOIN q
+      |WHERE p.vec_id <> 0
+      |ORDER BY adc_cosine DESC, p.vec_id
+      |LIMIT 5""".stripMargin))
+
+  val all: Seq[OracleQuery] = Seq(pqCodesQ, pqTopkQ, ivfPqTopkQ)
 }

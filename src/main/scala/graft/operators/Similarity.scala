@@ -523,7 +523,7 @@ object Similarity {
     * because every arithmetic step is either exact (int sums) or a
     * single IEEE op on identical inputs. Shared by the `sim_ivf_kmeans`
     * summary and the `dedup_embedding_ivf` pair search. */
-  private def kmeansSqlChain: String = {
+  private[operators] def kmeansSqlChain: String = {
     val quantSql =
       "list_transform(embedding, v -> CAST(floor(greatest(-1.0, least(1.0, " +
         "CAST(v AS DOUBLE))) * 127.0 + 0.5) AS INT))"

@@ -326,6 +326,18 @@ class PlanSpec extends SparkSpec {
       s"expected a cid partition filter on the layout scan; plan:\n$plan")
   }
 
+  test("IVF+PQ probe partition-prunes the codes layout and never scans raw vectors") {
+    val df = graft.operators.Pq.ivfPqTopkQ.run(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"expected a cid partition filter on the codes-layout scan; plan:\n$plan")
+    // the probed scan reads codes only: no `embedding` column may appear
+    // in the layout scan's ReadSchema (raw vectors live elsewhere)
+    val layoutScan = plan.linesIterator.filter(_.contains("ivfpq")).mkString("\n")
+    assert(layoutScan.nonEmpty && !layoutScan.contains("embedding"),
+      s"ADC scan must not read raw vectors; scan:\n$layoutScan")
+  }
+
   test("stratified sampling broadcasts the rate table — membership filter is map-side") {
     val df = graft.operators.Sampling.sampleStratified.run(spark, "/root/testdata/sf0.001")
     df.count()
