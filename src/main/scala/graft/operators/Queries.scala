@@ -129,21 +129,27 @@ object Queries {
 
   /** Latest state per entity (reference index `(entity_id, time DESC)`,
     * models.py:78-80) — row_number window, deterministic tie-break. */
+  /** Latest state per entity as ONE hash aggregate: the (time desc,
+    * state desc) survivor is the lexicographic MAX of the (time, state)
+    * struct, so partials combine map-side and no per-entity sort runs —
+    * a row_number window would shuffle AND sort every history row just
+    * to keep one per entity (same shape argument as
+    * [[TimeSeries.bucketLast]]; both engines compare the struct's
+    * string field bytewise). */
   val latest = OracleQuery(
     "ltss_latest",
     (s, d) => {
-      val w = Window.partitionBy(col("entity_id")).orderBy(col("time").desc, col("state").desc)
       ltss(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("entity_id"), col("time").as("last_time"), col("state").as("last_state"))
+        .groupBy(col("entity_id"))
+        .agg(max(struct(col("time"), col("state"))).as("ts"))
+        .select(col("entity_id"), col("ts.time").as("last_time"),
+          col("ts.state").as("last_state"))
         .orderBy(col("entity_id"))
     },
     Some(s"""$ltssCte
-      |SELECT entity_id, time AS last_time, state AS last_state FROM (
-      |  SELECT entity_id, time, state,
-      |         row_number() OVER (PARTITION BY entity_id ORDER BY time DESC, state DESC) AS rn
-      |  FROM ltss) WHERE rn = 1
+      |SELECT entity_id, ts.time AS last_time, ts.state AS last_state FROM (
+      |  SELECT entity_id, max({'time': time, 'state': state}) AS ts
+      |  FROM ltss GROUP BY entity_id)
       |ORDER BY entity_id""".stripMargin))
 
   /** State transitions: previous-state per entity via lag. */

@@ -452,6 +452,60 @@ object TextOps {
     * [[textStats]]/[[repetition]] — map-side, shuffle-free; the output
     * is the curation manifest a 100 TB pipeline writes next to the
     * corpus. */
+  /** Lexical commonness (the CCNet-style corpus-LM quality signal,
+    * arithmetic kept EXACT): each document scores the mean corpus
+    * frequency of its token occurrences —
+    * Σ_occ cnt(tok) / (total_tokens · n_doc_tokens) — low means rare/
+    * unusual vocabulary (noise or genuinely novel text), high means
+    * boilerplate-common. A true LM would take logs; logs are libm-
+    * dependent and break bit-parity, while this score is integer sums
+    * with ONE final IEEE division (both factors exact BIGINTs), so the
+    * oracle hash-matches.
+    *
+    * Shape at 100 TB: the vocabulary count is one map-side-combinable
+    * groupBy; docs join the counts as (doc_id, tok, k) DISTINCT pairs
+    * (within-doc repeats collapse to a multiplier, shrinking the join
+    * input), and Σ k·cnt re-aggregates per doc. Stopword keys skew the
+    * token join — AQE skew-join splits those partitions at runtime (the
+    * static alternative is the head/tail split shown in
+    * `ltss_domain_stats_salted`). */
+  val docCommonness = OracleQuery(
+    "doc_commonness",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val pairs = t.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("k"))
+      val cnt = t.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val tot = cnt.agg(sum(col("cnt")).as("tot"))
+      pairs.join(cnt, "tok")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k") * col("cnt")).as("cnt_sum"), sum(col("k")).as("n_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("cnt_sum").cast("double") /
+            (col("tot") * col("n_tokens")).cast("double")).as("commonness"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), pairs AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k FROM t GROUP BY 1, 2
+      |), c AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok
+      |), tot AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c
+      |), byd AS (
+      |  SELECT p.doc_id,
+      |         CAST(sum(p.k * c.cnt) AS BIGINT) AS cnt_sum,
+      |         CAST(sum(p.k) AS BIGINT) AS n_tokens
+      |  FROM pairs p JOIN c USING (tok) GROUP BY p.doc_id
+      |)
+      |SELECT doc_id, n_tokens,
+      |       CAST(cnt_sum AS DOUBLE) / CAST(tot * n_tokens AS DOUBLE) AS commonness
+      |FROM byd, tot
+      |ORDER BY doc_id""".stripMargin))
+
   val qualityFilter = OracleQuery(
     "quality_filter",
     (s, d) => {
@@ -501,5 +555,5 @@ object TextOps {
   val all: Seq[OracleQuery] =
     Seq(textStats, langId, tokenCount, fingerprint, simhash, textClean,
       vocabTopk, urlStats, textRedact, contamination, contaminationBloom,
-      repetition, qualityFilter)
+      repetition, qualityFilter, docCommonness)
 }
