@@ -322,6 +322,50 @@ object StreamingOps {
       }
   }
 
+  final case class HeartbeatState(lastTimeUs: Long)
+  final case class OutageRow(
+      entity_id: String, down_from: java.sql.Timestamp,
+      down_to: java.sql.Timestamp, down_us: Long)
+
+  /** Continuously-detected outages per entity (the streaming twin of the
+    * batch `ltss_heartbeat` rollup): every event is a heartbeat keeping
+    * the entity live for `livenessUs`; when the NEXT heartbeat arrives
+    * after a longer silence, the closed gap emits one outage row
+    * [prev + liveness, next) — down_us = gap − liveness, exactly the
+    * per-pair downtime the batch op sums (max(0, gap − L)). Append mode:
+    * an outage is an immutable fact once its closing heartbeat arrives.
+    * State is ONE frontier timestamp per entity; a liveness dashboard
+    * aggregates these rows downstream just as `ltss_heartbeat`
+    * aggregates the batch pairs. */
+  def heartbeatStream(
+      ltss: DataFrame, livenessUs: Long): Dataset[OutageRow] = {
+    import ltss.sparkSession.implicits._
+    ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[HeartbeatState, OutageRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (key, events, st) =>
+        val sorted = events.toSeq.map(e => micros(e.time)).sorted
+        val out = scala.collection.mutable.ArrayBuffer.empty[OutageRow]
+        var cur = st.getOption
+        for (tUs <- sorted) {
+          cur match {
+            case Some(HeartbeatState(lastT)) if tUs > lastT =>
+              if (tUs - lastT > livenessUs)
+                out += OutageRow(key,
+                  new java.sql.Timestamp((lastT + livenessUs) / 1000L),
+                  new java.sql.Timestamp(tUs / 1000L),
+                  tUs - lastT - livenessUs)
+              cur = Some(HeartbeatState(tUs))
+            case Some(_) => () // at/behind the frontier
+            case None => cur = Some(HeartbeatState(tUs))
+          }
+        }
+        cur.foreach(st.update)
+        out.iterator
+      }
+  }
+
   final case class StateAggState(
       lastTimeUs: Long, lastState: String,
       durs: Map[String, Long], counts: Map[String, Long])

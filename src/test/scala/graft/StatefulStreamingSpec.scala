@@ -348,6 +348,27 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(totals == Set(("low", 2 * H, 2L), ("mid", 2 * H, 1L)))
   }
 
+  test("streaming heartbeat: an outage emits when the closing heartbeat arrives") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600000000L
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.heartbeatStream(df, livenessUs = 2 * H).writeStream
+      .format("memory").queryName("hb_t").outputMode("append").start()
+    try {
+      ms.addData((ts("2024-01-01 10:00:00"), "a.1", "1"))
+      ms.addData((ts("2024-01-01 11:00:00"), "a.1", "2")) // 1h gap: live
+      q.processAllAvailable()
+      assert(spark.table("hb_t").count() == 0)
+      ms.addData((ts("2024-01-01 15:00:00"), "a.1", "3")) // 4h gap: outage
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("hb_t")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSeq
+    assert(rows == Seq(
+      ("a.1", ts("2024-01-01 13:00:00"), ts("2024-01-01 15:00:00"), 2 * H)))
+  }
+
   test("streaming state_agg accumulators survive a checkpoint restart") {
     import java.nio.file.{Files, Paths}
     def tmp(p: String) = Files.createTempDirectory(p).toString
