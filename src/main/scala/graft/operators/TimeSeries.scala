@@ -264,6 +264,38 @@ object TimeSeries {
         col("n_outages"))
   }
 
+  /** Event-rate anomaly detection per (domain, bucket) — the monitoring
+    * panel every ops dashboard runs over a hypertable ("is this hour's
+    * event rate a spike?"): flag buckets whose count sits more than
+    * `sigmas` standard deviations above the domain's mean rate.
+    *
+    * The z-test is kept in EXACT integer arithmetic: with n buckets,
+    * S1 = Σc and S2 = Σc², the condition (c − μ) > k·σ is equivalent to
+    * d = n·c − S1 > 0  AND  d² > k²·(n·S2 − S1²) — all BIGINT products
+    * of counts, no float in the DECISION (z itself is reported as two
+    * exact ints through one sqrt + one divide, NULL when σ = 0). The
+    * per-domain moments are a window over the AGGREGATED frame
+    * (|domains|·|buckets| rows — render-scale), so the raw events pay
+    * only the one combinable count. */
+  def rateAnomaly(ltss: DataFrame, widthUs: Long = HourUs, sigmas: Int = 3): DataFrame = {
+    val we = Window.partitionBy(col("domain"))
+    val d = col("nb") * col("c") - col("s1")
+    val varn = col("nb") * col("s2") - col("s1") * col("s1")
+    ltss
+      .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+      .withColumn("bus", bucketUs(col("time"), widthUs))
+      .groupBy(col("domain"), col("bus"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("nb", count(lit(1)).over(we))
+      .withColumn("s1", sum(col("c")).over(we))
+      .withColumn("s2", sum(col("c") * col("c")).over(we))
+      .select(col("domain"), timestamp_micros(col("bus")).as("bucket"),
+        col("c").as("n_events"),
+        when(varn > 0, d.cast("double") / sqrt(varn.cast("double"))).as("z"),
+        (d > 0 && d * d > lit(sigmas.toLong * sigmas) * varn).cast("int")
+          .as("is_anomaly"))
+  }
+
   final case class TsPoint(entity_id: String, time: java.sql.Timestamp, sv: Double)
 
   /** Largest-Triangle-Three-Buckets downsample (TimescaleDB `lttb`
@@ -577,7 +609,34 @@ object TimeSeries {
       |GROUP BY entity_id
       |ORDER BY entity_id""".stripMargin))
 
+  val rateAnomalyQ = OracleQuery(
+    "ltss_rate_anomaly",
+    (s, d) =>
+      rateAnomaly(Queries.ltss(s, d)).orderBy(col("domain"), col("bucket")),
+    Some(s"""$ltssBase,
+      |c AS (
+      |  SELECT split_part(entity_id, '.', 1) AS domain,
+      |         (epoch_us(time) // $HourUs) * $HourUs AS bus,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM base GROUP BY 1, 2
+      |), s AS (
+      |  SELECT domain, bus, c,
+      |         CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS nb,
+      |         CAST(sum(c) OVER (PARTITION BY domain) AS BIGINT) AS s1,
+      |         CAST(sum(c * c) OVER (PARTITION BY domain) AS BIGINT) AS s2
+      |  FROM c
+      |)
+      |SELECT domain, make_timestamp(bus) AS bucket, c AS n_events,
+      |       CASE WHEN nb * s2 - s1 * s1 > 0
+      |            THEN CAST(nb * c - s1 AS DOUBLE)
+      |                 / sqrt(CAST(nb * s2 - s1 * s1 AS DOUBLE)) END AS z,
+      |       CAST(nb * c - s1 > 0 AND
+      |            (nb * c - s1) * (nb * c - s1) > 9 * (nb * s2 - s1 * s1)
+      |            AS INT) AS is_anomaly
+      |FROM s
+      |ORDER BY domain, bucket""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
-      stateAggQ, heartbeatQ)
+      stateAggQ, heartbeatQ, rateAnomalyQ)
 }

@@ -192,6 +192,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq == Seq(("low", 2 * H, 2L, 0.5), ("mid", 2 * H, 1L, 0.5)))
   }
 
+  test("rate anomaly: only the spike bucket flags, z matches the exact moments") {
+    // 16 hourly buckets: fourteen 1-count, one 2-count, one 30-count spike.
+    // n=16, S1=46, S2=918 → spike d=434, n·S2−S1²=12572: d²>9·varn (z≈3.87)
+    val rows = (0 until 14).map(h => (ts(h), "click.1", "1.00")) ++
+      Seq((ts(14), "click.1", "1.00"), (ts(14, 30), "click.1", "2.00")) ++
+      (0 until 30).map(m => (ts(15, m), "click.1", "3.00"))
+    val out = TimeSeries.rateAnomaly(ltssOf(rows)).orderBy("bucket").collect()
+    assert(out.length == 16)
+    assert(out.map(_.getAs[Int]("is_anomaly")).sum == 1)
+    val spike = out.last
+    assert(spike.getAs[Long]("n_events") == 30L)
+    assert(spike.getAs[Int]("is_anomaly") == 1)
+    assert(math.abs(spike.getAs[Double]("z") - 434.0 / math.sqrt(12572.0)) == 0.0)
+  }
+
   test("heartbeat: liveness-clipped uptime, outage count, span") {
     // heartbeats at 0h, 1h, 5h with 2h liveness: gaps 1h (live) + 4h
     // (2h live + 2h down, one outage); span 5h
