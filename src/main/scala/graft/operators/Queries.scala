@@ -557,6 +557,48 @@ object Queries {
         |FROM ltss GROUP BY 1 ORDER BY domain""".stripMargin
     })
 
+  /** Cohort retention matrix — the other canonical product-analytics
+    * panel over an event stream: entities grouped by FIRST-SEEN week,
+    * counted distinct in each later week they stayed active. All-integer
+    * output (distinct entity counts), so parity is structural.
+    *
+    * Shape: first-seen is one combinable MIN per entity; activity
+    * reduces to DISTINCT (entity, week) pairs BEFORE the cohort join
+    * (shrinking the join input to one row per entity-week); the final
+    * rollup groups by (cohort, offset) — |weeks|² cells, render-scale.
+    * Every shuffle keys on entity or the tiny cell key; nothing fans
+    * out quadratically at any corpus size. */
+  val retention = OracleQuery(
+    "ltss_retention",
+    (s, d) => {
+      val WeekUs = 7L * 86400000000L
+      def week(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        unix_micros(c) - pmod(unix_micros(c), lit(WeekUs))
+      val l = ltss(s, d)
+      val weekly = l.select(col("entity_id"), week(col("time")).as("wk")).distinct()
+      val cohorts = weekly.groupBy(col("entity_id")).agg(min(col("wk")).as("cw"))
+      weekly.join(cohorts, "entity_id")
+        .groupBy(col("cw"), ((col("wk") - col("cw")) / lit(WeekUs)).cast("long").as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .select(timestamp_micros(col("cw")).as("cohort_week"),
+          col("week_offset"), col("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some(s"""$ltssCte,
+      |weekly AS (
+      |  SELECT DISTINCT entity_id,
+      |         (epoch_us(time) // ${7L * 86400000000L}) * ${7L * 86400000000L} AS wk
+      |  FROM ltss
+      |), cohorts AS (
+      |  SELECT entity_id, min(wk) AS cw FROM weekly GROUP BY entity_id
+      |)
+      |SELECT make_timestamp(cw) AS cohort_week,
+      |       CAST((wk - cw) // ${7L * 86400000000L} AS BIGINT) AS week_offset,
+      |       CAST(count(*) AS BIGINT) AS n_active
+      |FROM weekly JOIN cohorts USING (entity_id)
+      |GROUP BY cw, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin))
+
   /** Skew-safe aggregation patterns over a HOT grouping key (5 domains
     * fan into 32+ reducers → one reducer per domain would be quadratic-
     * hot at 100 TB):
@@ -715,5 +757,6 @@ object Queries {
     project, entityFilterQ, history, historyLayout, latest, transitions,
     timeBucketAgg, jsonAttr, jsonAttrLayout, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, geoBbox, timeBucketSqlQ,
-    domainStatsSalted, asofJoin, rangeJoin, percentiles, histogram, pivotHours, sketches)
+    domainStatsSalted, asofJoin, rangeJoin, percentiles, histogram, pivotHours,
+    retention, sketches)
 }
