@@ -365,5 +365,165 @@ object Pq {
       |ORDER BY adc_cosine DESC, p.vec_id
       |LIMIT 5""".stripMargin))
 
-  val all: Seq[OracleQuery] = Seq(pqCodesQ, pqTopkQ, ivfPqTopkQ)
+  /** Recall audit — "measure, don't guess" as a first-class query: the
+    * recall@10 of every ANN method in the library against the exact
+    * brute-force top-10, one row per method. This is the index-quality
+    * report an ANN deployment ships with its artifacts; at 100 TB it
+    * runs over a SAMPLE of queries, and per query it costs one
+    * brute-force scan (the thing being audited against) plus the cheap
+    * index reads. hits/recall are exact integers through one division,
+    * so the whole report — including both trained index chains —
+    * hash-matches the oracle.
+    *
+    * What it measures at fixture scale is itself instructive: a 4-bit
+    * PQ code (M=2, k=4 — sized so the oracle can replay training) has
+    * ~zero standalone recall, which is WHY production systems never
+    * rank by ADC alone — `pq_rerank` shows the standard remedy, ADC as
+    * a CANDIDATE GENERATOR (top-100 of 500 here) whose survivors are
+    * reranked by exact cosine over raw vectors; production codebooks
+    * (M=8–16, k=256) shift the candidate stage's precision, not the
+    * architecture. */
+  val recallReportQ = OracleQuery(
+    "sim_recall_report",
+    (s, d) => {
+      import s.implicits._
+      val nprobe = 2
+      val emb = Similarity.embWithCodes(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val scored = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("cosine", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("qe"), Similarity.Dim),
+          col("nrm"), col("qn")))
+      val exact10 = scored.orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10).select(col("vec_id"))
+      val probeCids = Similarity.probeCidsOf(
+        Similarity.kmeansCentroids(s, d, Similarity.KmIters), q, nprobe)
+      val asg = Similarity.kmeansAssignments(s, d, Similarity.KmIters)
+        .select(col("vec_id"), col("cid"))
+      val ivf10 = scored.join(asg, "vec_id")
+        .filter(col("cid").isin(probeCids: _*))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(10).select(col("vec_id"))
+      val dt = (0 until SubM).map(m => pqCentroids(s, d, m)
+        .crossJoin(broadcast(q))
+        .select(col("cid").as(s"c$m"),
+          DetMath.dotCol(slice(col("qe"), off(m), SubDim), col("ce"), SubDim)
+            .as(s"dt$m"),
+          DetMath.dotCol(col("ce"), col("ce"), SubDim).as(s"sq$m")))
+      val adc = (0 until SubM).foldLeft(pqCodes(s, d))((df, m) =>
+        df.join(broadcast(dt(m)), s"c$m"))
+        .crossJoin(broadcast(q.select(col("qn"))))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("adc_cosine", (col("dt0") + col("dt1")) /
+          (col("qn") * sqrt(col("sq0") + col("sq1"))))
+      val pq10 = adc.orderBy(col("adc_cosine").desc, col("vec_id"))
+        .limit(10).select(col("vec_id"))
+      val ivfpq10 = adc.join(asg, "vec_id")
+        .filter(col("cid").isin(probeCids: _*))
+        .orderBy(col("adc_cosine").desc, col("vec_id"))
+        .limit(10).select(col("vec_id"))
+      val rerank10 = adc.orderBy(col("adc_cosine").desc, col("vec_id"))
+        .limit(100).select(col("vec_id"))
+        .join(scored.select(col("vec_id"), col("cosine")), "vec_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10).select(col("vec_id"))
+      val found = Seq("ivf_probe" -> ivf10, "pq_adc" -> pq10,
+        "ivfpq" -> ivfpq10, "pq_rerank" -> rerank10)
+        .map { case (nm, df) => df.withColumn("method", lit(nm)) }
+        .reduce(_ unionByName _)
+        .join(exact10, "vec_id")
+        .groupBy(col("method")).agg(count(lit(1)).as("hits"))
+      Seq("ivf_probe", "pq_adc", "ivfpq", "pq_rerank").toDF("method")
+        .join(found, Seq("method"), "left")
+        .select(col("method"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / 10.0).as("recall_at_10"))
+        .orderBy(col("method"))
+    },
+    Some {
+      val cos = DetMath.cosinePreSql(
+        DetMath.dotSql("e.embedding", "q.qe", Similarity.Dim), "e.nrm", "q.qn")
+      s"""${Similarity.kmeansSqlChain},
+        |${pqSqlBody("e")},
+        |q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+        |qcid AS (
+        |  SELECT cid FROM (
+        |    SELECT cid,
+        |      ${DetMath.cosinePreSql(DetMath.dotSql("ce", "qe", Similarity.Dim), "cn", "qn")} AS qcos
+        |    FROM c${Similarity.KmIters}n, q)
+        |  ORDER BY qcos DESC, cid LIMIT 2
+        |),
+        |exact10 AS (
+        |  SELECT vec_id FROM (
+        |    SELECT e.vec_id, $cos AS cosine FROM e, q WHERE e.vec_id <> 0)
+        |  ORDER BY cosine DESC, vec_id LIMIT 10
+        |),
+        |ivf10 AS (
+        |  SELECT vec_id FROM (
+        |    SELECT e.vec_id, $cos AS cosine
+        |    FROM e JOIN aF a ON a.vec_id = e.vec_id
+        |    JOIN qcid ON qcid.cid = a.cid, q
+        |    WHERE e.vec_id <> 0)
+        |  ORDER BY cosine DESC, vec_id LIMIT 10
+        |),
+        |dt0 AS (
+        |  SELECT c.cid AS c0, ${DetMath.dotSql("qs", "c.ce", SubDim)} AS dt,
+        |         ${DetMath.dotSql("c.ce", "c.ce", SubDim)} AS sq
+        |  FROM c_0_${PqIters}n c, (SELECT qe[1:$SubDim] AS qs FROM q)
+        |),
+        |dt1 AS (
+        |  SELECT c.cid AS c1, ${DetMath.dotSql("qs", "c.ce", SubDim)} AS dt,
+        |         ${DetMath.dotSql("c.ce", "c.ce", SubDim)} AS sq
+        |  FROM c_1_${PqIters}n c,
+        |       (SELECT qe[${SubDim + 1}:${2 * SubDim}] AS qs FROM q)
+        |),
+        |adc AS (
+        |  SELECT p.vec_id,
+        |         (dt0.dt + dt1.dt) / (q.qn * sqrt(dt0.sq + dt1.sq)) AS adc_cosine
+        |  FROM pq p
+        |  JOIN dt0 ON dt0.c0 = p.c0
+        |  JOIN dt1 ON dt1.c1 = p.c1
+        |  CROSS JOIN q
+        |  WHERE p.vec_id <> 0
+        |),
+        |pq10 AS (
+        |  SELECT vec_id FROM adc ORDER BY adc_cosine DESC, vec_id LIMIT 10
+        |),
+        |rr AS (
+        |  SELECT vec_id FROM adc ORDER BY adc_cosine DESC, vec_id LIMIT 100
+        |),
+        |rerank10 AS (
+        |  SELECT vec_id FROM (
+        |    SELECT e.vec_id, $cos AS cosine
+        |    FROM e JOIN rr ON rr.vec_id = e.vec_id, q)
+        |  ORDER BY cosine DESC, vec_id LIMIT 10
+        |),
+        |ivfpq10 AS (
+        |  SELECT vec_id FROM (
+        |    SELECT adc.vec_id, adc.adc_cosine
+        |    FROM adc JOIN aF a ON a.vec_id = adc.vec_id
+        |    JOIN qcid ON qcid.cid = a.cid)
+        |  ORDER BY adc_cosine DESC, vec_id LIMIT 10
+        |),
+        |m AS (
+        |  SELECT 'ivf_probe' AS method, vec_id FROM ivf10
+        |  UNION ALL SELECT 'pq_adc', vec_id FROM pq10
+        |  UNION ALL SELECT 'ivfpq', vec_id FROM ivfpq10
+        |  UNION ALL SELECT 'pq_rerank', vec_id FROM rerank10
+        |),
+        |h AS (
+        |  SELECT method, CAST(count(*) AS BIGINT) AS hits
+        |  FROM m JOIN exact10 USING (vec_id) GROUP BY method
+        |),
+        |names AS (
+        |  SELECT * FROM (VALUES ('ivf_probe'), ('pq_adc'), ('ivfpq'),
+        |                        ('pq_rerank')) t(method)
+        |)
+        |SELECT n.method, COALESCE(h.hits, 0) AS hits,
+        |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM names n LEFT JOIN h ON h.method = n.method
+        |ORDER BY n.method""".stripMargin
+    })
+
+  val all: Seq[OracleQuery] = Seq(pqCodesQ, pqTopkQ, ivfPqTopkQ, recallReportQ)
 }
