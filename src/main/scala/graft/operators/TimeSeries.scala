@@ -264,6 +264,27 @@ object TimeSeries {
         col("n_outages"))
   }
 
+  /** Trailing moving average per entity — the Grafana smoothing panel
+    * (TimescaleDB `rolling(avg(...)) OVER (ORDER BY ... RANGE '24h')`):
+    * at each observation, the average of all values in the preceding
+    * `windowUs` (inclusive). A RANGE frame over epoch-µs, so irregular
+    * series weight by OBSERVATIONS in the window (the time-WEIGHTED
+    * variant is `ltss_time_weighted`). Exact DECIMAL sum + count per
+    * frame, one IEEE division at the end; range frames group peers
+    * identically on both engines. One shuffle on entity_id. */
+  def movingAvg(ltss: DataFrame, windowUs: Long = DayUs): DataFrame = {
+    val w = Window.partitionBy(col("entity_id")).orderBy(col("tus"))
+      .rangeBetween(-windowUs, Window.currentRow)
+    ltss
+      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("tus", unix_micros(col("time")))
+      .withColumn("msum", sum(col("sv")).over(w))
+      .withColumn("mcnt", count(lit(1)).over(w))
+      .select(col("entity_id"), col("time"), col("sv").cast("double").as("sv"),
+        (col("msum").cast("double") / col("mcnt").cast("double")).as("ma"),
+        col("mcnt").as("n_window"))
+  }
+
   /** Event-rate anomaly detection per (domain, bucket) — the monitoring
     * panel every ops dashboard runs over a hypertable ("is this hour's
     * event rate a spike?"): flag buckets whose count sits more than
@@ -636,7 +657,30 @@ object TimeSeries {
       |FROM s
       |ORDER BY domain, bucket""".stripMargin))
 
+  val movingAvgQ = OracleQuery(
+    "ltss_moving_avg",
+    (s, d) => {
+      val l = Queries.ltss(s, d)
+        .filter(split(col("entity_id"), "\\.").getItem(0) === "purchase")
+      movingAvg(l).orderBy(col("entity_id"), col("time"), col("sv"))
+    },
+    Some(s"""$ltssBase
+      |SELECT entity_id, time, CAST(sv AS DOUBLE) AS sv,
+      |       CAST(msum AS DOUBLE) / CAST(mcnt AS DOUBLE) AS ma,
+      |       CAST(mcnt AS BIGINT) AS n_window
+      |FROM (
+      |  SELECT entity_id, time, sv,
+      |         sum(sv) OVER w AS msum,
+      |         count(*) OVER w AS mcnt
+      |  FROM (
+      |    SELECT entity_id, time, CAST(state AS DECIMAL(12,2)) AS sv,
+      |           epoch_us(time) AS tus
+      |    FROM base WHERE split_part(entity_id, '.', 1) = 'purchase')
+      |  WINDOW w AS (PARTITION BY entity_id ORDER BY tus
+      |               RANGE BETWEEN $DayUs PRECEDING AND CURRENT ROW))
+      |ORDER BY entity_id, time, sv""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
-      stateAggQ, heartbeatQ, rateAnomalyQ)
+      stateAggQ, heartbeatQ, rateAnomalyQ, movingAvgQ)
 }

@@ -192,6 +192,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq == Seq(("low", 2 * H, 2L, 0.5), ("mid", 2 * H, 1L, 0.5)))
   }
 
+  test("moving average: trailing range frame includes only the window, inclusive") {
+    // 24h window: observation at 26h sees only itself + 4h/2h neighbors
+    val s = ltssOf(Seq(
+      (ts(0), "purchase.1", "10.00"),
+      (ts(22), "purchase.1", "20.00"),
+      (Timestamp.valueOf("2024-01-02 00:00:00"), "purchase.1", "30.00"),  // 24h
+      (Timestamp.valueOf("2024-01-02 02:00:00"), "purchase.1", "40.00"))) // 26h
+    val out = TimeSeries.movingAvg(s).orderBy("time")
+      .select("ma", "n_window").collect().map(r => (r.getDouble(0), r.getLong(1)))
+    // 24h row: [0h,24h] inclusive → all of 10,20,30; 26h row: (2h,26h] → 20,30,40
+    assert(out.toSeq == Seq((10.0, 1L), (15.0, 2L), (20.0, 3L), (30.0, 3L)))
+  }
+
   test("rate anomaly: only the spike bucket flags, z matches the exact moments") {
     // 16 hourly buckets: fourteen 1-count, one 2-count, one 30-count spike.
     // n=16, S1=46, S2=918 → spike d=434, n·S2−S1²=12572: d²>9·varn (z≈3.87)
