@@ -420,6 +420,61 @@ object StreamingOps {
       }
   }
 
+  final case class RateState(
+      openBus: Long, openCount: Long, n: Long, s1: Long, s2: Long)
+  final case class RateAnomaly(
+      domain: String, bucket: java.sql.Timestamp, n_events: Long,
+      is_anomaly: Int)
+
+  /** Online event-rate anomaly detection per domain (the streaming twin
+    * of the batch `ltss_rate_anomaly` — with the ONLINE divergence made
+    * explicit: the batch op tests each bucket against the FULL series'
+    * moments, while a stream can only test a closing bucket against the
+    * moments of the buckets seen SO FAR; early buckets therefore judge
+    * against less history, and verdicts for the same data can differ
+    * until the moment sets converge). A bucket closes when the first
+    * event of a LATER bucket arrives (in-order contract, same frontier
+    * rule as the other stateful ops); the closed count joins the
+    * running (n, S1, S2) and the same integer-exact z-test flags it:
+    * d = n·c − S1 > 0 AND d² > 9·(n·S2 − S1²). State per domain is one
+    * open (bucket, count) pair plus three BIGINT moments. */
+  def rateAnomalyStream(
+      ltss: DataFrame, widthUs: Long = 3600000000L): Dataset[RateAnomaly] = {
+    import ltss.sparkSession.implicits._
+    ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
+      .groupByKey(e => e.entity_id.split("\\.")(0))
+      .flatMapGroupsWithState[RateState, RateAnomaly](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (key, events, st) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[RateAnomaly]
+        var cur = st.getOption
+        def close(s: RateState): RateState = {
+          // fold the closed bucket into the moments, THEN test it against
+          // everything seen so far (itself included, as the batch op does)
+          val n = s.n + 1; val s1 = s.s1 + s.openCount
+          val s2 = s.s2 + s.openCount * s.openCount
+          val d = n * s.openCount - s1
+          val varn = n * s2 - s1 * s1
+          out += RateAnomaly(key, new java.sql.Timestamp(s.openBus / 1000L),
+            s.openCount, if (d > 0 && d * d > 9 * varn) 1 else 0)
+          RateState(0L, 0L, n, s1, s2)
+        }
+        for (e <- events.toSeq.sortBy(e => micros(e.time))) {
+          val bus = { val t = micros(e.time); t - java.lang.Math.floorMod(t, widthUs) }
+          cur = Some(cur match {
+            case Some(s) if bus == s.openBus =>
+              s.copy(openCount = s.openCount + 1)
+            case Some(s) if bus > s.openBus =>
+              close(s).copy(openBus = bus, openCount = 1L)
+            case Some(s) => s // late event behind the open bucket: dropped
+            case None => RateState(bus, 1L, 0L, 0L, 0L)
+          })
+        }
+        cur.foreach(st.update)
+        out.iterator
+      }
+  }
+
   /** Continuously-maintained OHLC candlesticks per (entity, window) —
     * the streaming twin of the batch `ltss_ohlc` query, with the SAME
     * aggregate shape: open/close ride lexicographic min/max STRUCT

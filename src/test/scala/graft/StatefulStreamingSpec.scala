@@ -369,6 +369,28 @@ class StatefulStreamingSpec extends SparkSpec {
       ("a.1", ts("2024-01-01 13:00:00"), ts("2024-01-01 15:00:00"), 2 * H)))
   }
 
+  test("streaming rate anomaly: spike bucket flags against the running moments") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.rateAnomalyStream(df).writeStream
+      .format("memory").queryName("ra_t").outputMode("append").start()
+    try {
+      ms.addData((0 until 15).map(h =>
+        (ts(f"2024-01-01 $h%02d:00:00"), "click.1", "1")): _*)
+      q.processAllAvailable() // buckets 0..13 closed, all count 1, no flags
+      ms.addData((0 until 30).map(m =>
+        (ts(f"2024-01-01 15:$m%02d:00"), "click.1", "2")): _*)
+      ms.addData((ts("2024-01-01 16:00:00"), "click.1", "3")) // closes the spike
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ra_t")
+      .as[(String, java.sql.Timestamp, Long, Int)].collect().sortBy(_._2.getTime)
+    assert(rows.length == 16)
+    assert(rows.map(_._4).sum == 1)
+    assert(rows.last == ("click", ts("2024-01-01 15:00:00"), 30L, 1))
+  }
+
   test("streaming state_agg accumulators survive a checkpoint restart") {
     import java.nio.file.{Files, Paths}
     def tmp(p: String) = Files.createTempDirectory(p).toString
