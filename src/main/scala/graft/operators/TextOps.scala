@@ -476,7 +476,9 @@ object TextOps {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val pairs = t.groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("k"))
-      val cnt = t.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      // corpus counts derive from the PAIR frame (Σk per token), so the
+      // raw text is scanned and exploded exactly once
+      val cnt = pairs.groupBy(col("tok")).agg(sum(col("k")).as("cnt"))
       val tot = cnt.agg(sum(col("cnt")).as("tot"))
       pairs.join(cnt, "tok")
         .groupBy(col("doc_id"))
@@ -492,7 +494,7 @@ object TextOps {
       |), pairs AS (
       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k FROM t GROUP BY 1, 2
       |), c AS (
-      |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok
+      |  SELECT tok, CAST(sum(k) AS BIGINT) AS cnt FROM pairs GROUP BY tok
       |), tot AS (
       |  SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c
       |), byd AS (
