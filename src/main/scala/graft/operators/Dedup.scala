@@ -821,12 +821,11 @@ object Dedup {
         coalesce(col("n_dup"), lit(0L)).as("n_dup_passages"),
         ratio.as("dup_passage_ratio"),
         (ratio <= 0.5d).cast("int").as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   val passage = OracleQuery(
     "dedup_passage",
-    (s, d) => passageStats(Tables.documents(s, d)),
+    (s, d) => passageStats(Tables.documents(s, d)).orderBy(col("doc_id")),
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |chunks AS (
       |  SELECT doc_id, substring(md5(chunk), 1, 15) AS fp FROM (

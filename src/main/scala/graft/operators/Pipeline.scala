@@ -161,5 +161,109 @@ object Pipeline {
       })
   }
 
-  val all: Seq[OracleQuery] = Seq(curate, curateMix)
+  /** The full production-shaped DAG — every curation signal in the
+    * library composed into ONE declarative plan: quality gate →
+    * passage-duplication gate (RefinedWeb's corpus-wide signal, computed
+    * over the quality SURVIVORS — garbage docs must not pollute the
+    * passage counts) → exact-dedup survivors → stratified temperature
+    * mixture over the post-dedup language counts → sequence packing.
+    * Catalyst plans the five stages as one job graph: per-row signals in
+    * the scan, one 8-byte-key shuffle for passage counts, one
+    * fingerprint shuffle for dedup, a broadcast rate table, one
+    * (lang, shard) window for packing. Stage logic is shared with
+    * `quality_filter`, `dedup_passage`, `dedup_exact`,
+    * `sample_stratified`, and `sequence_packing`, so the composition
+    * cannot drift from its parts. */
+  val curateFull = {
+    val budget = Sampling.PackBudget
+    val shardDocs = Sampling.ShardDocs
+    OracleQuery(
+      "pipeline_curate_full",
+      (s, d) => {
+        val g = TextOps.gramStats
+        val nTok = element_at(g, 1)
+        val n2 = element_at(g, 2)
+        val nUniq = element_at(g, 3)
+        val dupRatio = when(n2 > 0,
+          (n2 - nUniq).cast("double") / n2.cast("double")).otherwise(lit(0.0d))
+        val swRatio = TextOps.stopwordCount.cast("double") / nTok.cast("double")
+        val kept = Tables.documents(s, d)
+          .withColumn("n_tokens", nTok)
+          .filter(nTok >= TextOps.MinTokens && dupRatio <= TextOps.MaxDupRatio &&
+            swRatio >= TextOps.MinStopwordRatio)
+        // stage 2: passage-duplication gate over the quality survivors
+        val pk = Dedup.passageStats(kept.select(col("doc_id"), col("text")))
+          .filter(col("keep") === 1).select(col("doc_id"))
+        val gated = kept.join(pk, "doc_id")
+        val wFp = Window.partitionBy(col("fp"))
+        val survivors = gated
+          .withColumn("fp", md5(col("text")))
+          .withColumn("mn", min(col("doc_id")).over(wFp))
+          .filter(col("doc_id") === col("mn"))
+          .select(col("lang"), col("doc_id"), col("n_tokens"))
+        val rates = Sampling.stratRates(
+          survivors.groupBy(col("lang")).agg(count(lit(1)).as("n_lang")))
+        val mixed = survivors.join(broadcast(rates), "lang")
+          .filter(Sampling.stratAccept)
+        val wPack = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+        mixed
+          .withColumn("shard", expr(s"doc_id div $shardDocs"))
+          .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(wPack), lit(0L)))
+          .select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"),
+            (col("start_offset") / budget).cast("long").as("seq_id"))
+          .orderBy(col("lang"), col("shard"), col("doc_id"))
+      },
+      Some {
+        // the curate oracle's chain up to `kept`, then the passage gate
+        // over kept, then dedup → mixture → packing
+        val base = curate.sql.get.split("\\n\\), survivors AS \\(")(0)
+        s"""$base
+          |), pw AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+          |pchunks AS (
+          |  SELECT doc_id, substring(md5(chunk), 1, 15) AS fp FROM (
+          |    SELECT doc_id, unnest(list_transform(generate_series(0, CAST(len(w)//16 AS INT) - 1),
+          |      i -> array_to_string(w[i*16+1:i*16+16], ' '))) AS chunk
+          |    FROM pw WHERE len(w) >= 16)
+          |),
+          |pcounts AS (SELECT fp, count(*) AS cnt FROM pchunks GROUP BY fp),
+          |pdoc AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+          |         CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+          |  FROM pchunks JOIN pcounts USING (fp) GROUP BY doc_id),
+          |gated AS (
+          |  SELECT k.doc_id, k.lang, k.text, k.n_tokens
+          |  FROM kept k LEFT JOIN pdoc p USING (doc_id)
+          |  WHERE (CASE WHEN COALESCE(p.n_passages, 0) > 0
+          |              THEN CAST(COALESCE(p.n_dup, 0) AS DOUBLE)
+          |                   / CAST(p.n_passages AS DOUBLE)
+          |              ELSE 0.0 END) <= 0.5
+          |), survivors AS (
+          |  SELECT doc_id, lang, n_tokens FROM (
+          |    SELECT doc_id, lang, n_tokens,
+          |           min(doc_id) OVER (PARTITION BY md5(text)) AS mn
+          |    FROM gated)
+          |  WHERE doc_id = mn
+          |), counts AS (
+          |  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM survivors GROUP BY lang
+          |), rates AS (
+          |  ${Sampling.stratRatesSql}
+          |), mixed AS (
+          |  SELECT d.lang, d.doc_id, d.n_tokens
+          |  FROM survivors d JOIN rates r ON d.lang = r.lang
+          |  WHERE ${Sampling.stratAcceptSql}
+          |)
+          |SELECT lang, shard, doc_id, n_tokens,
+          |       CAST(floor(start_offset / $budget) AS BIGINT) AS seq_id
+          |FROM (
+          |  SELECT lang, doc_id // $shardDocs AS shard, doc_id, n_tokens,
+          |         CAST(COALESCE(SUM(n_tokens) OVER (
+          |           PARTITION BY lang, doc_id // $shardDocs ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+          |  FROM mixed)
+          |ORDER BY lang, shard, doc_id""".stripMargin
+      })
+  }
+
+  val all: Seq[OracleQuery] = Seq(curate, curateMix, curateFull)
 }
