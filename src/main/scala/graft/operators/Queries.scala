@@ -599,6 +599,63 @@ object Queries {
       |GROUP BY cw, week_offset
       |ORDER BY cohort_week, week_offset""".stripMargin))
 
+  /** Ordered funnel conversion (view → click → purchase) — the classic
+    * product-analytics panel: per user, the first view, the first click
+    * AT OR AFTER that view, the first purchase at or after that click;
+    * reported as per-step user counts with step-over-step conversion.
+    * Each step is one combinable MIN per user + one uid equi-join (the
+    * inequality is a post-join filter, never a join condition — no
+    * range-join blowup); the 3-row rollup divides exact BIGINTs. */
+  val funnel = OracleQuery(
+    "ltss_funnel",
+    (s, d) => {
+      val parts = split(col("entity_id"), "\\.")
+      val l = ltss(s, d)
+        .select(parts.getItem(0).as("domain"),
+          parts.getItem(1).cast("long").as("uid"), col("time"))
+      val v = l.filter(col("domain") === "view")
+        .groupBy(col("uid")).agg(min(col("time")).as("t1"))
+      val c = l.filter(col("domain") === "click").join(v, "uid")
+        .filter(col("time") >= col("t1"))
+        .groupBy(col("uid")).agg(min(col("time")).as("t2"))
+      val p = l.filter(col("domain") === "purchase").join(c, "uid")
+        .filter(col("time") >= col("t2"))
+        .groupBy(col("uid")).agg(min(col("time")).as("t3"))
+      val n = Seq("1_view" -> v, "2_click" -> c, "3_purchase" -> p)
+        .map { case (nm, df) =>
+          df.agg(count(lit(1)).as("n_users")).withColumn("step", lit(nm))
+        }
+        .reduce(_ unionByName _)
+      n.withColumn("conv_rate", col("n_users").cast("double") /
+          lag(col("n_users"), 1).over(Window.orderBy(col("step"))).cast("double"))
+        .select(col("step"), col("n_users"), col("conv_rate"))
+        .orderBy(col("step"))
+    },
+    Some(s"""$ltssCte,
+      |l AS (
+      |  SELECT split_part(entity_id, '.', 1) AS domain,
+      |         CAST(split_part(entity_id, '.', 2) AS BIGINT) AS uid, time
+      |  FROM ltss
+      |), v AS (
+      |  SELECT uid, min(time) AS t1 FROM l WHERE domain = 'view' GROUP BY uid
+      |), c AS (
+      |  SELECT l.uid, min(l.time) AS t2
+      |  FROM l JOIN v USING (uid)
+      |  WHERE l.domain = 'click' AND l.time >= v.t1 GROUP BY l.uid
+      |), p AS (
+      |  SELECT l.uid, min(l.time) AS t3
+      |  FROM l JOIN c USING (uid)
+      |  WHERE l.domain = 'purchase' AND l.time >= c.t2 GROUP BY l.uid
+      |), n AS (
+      |  SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+      |  UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+      |  UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+      |)
+      |SELECT step, n_users,
+      |       CAST(n_users AS DOUBLE)
+      |         / CAST(lag(n_users) OVER (ORDER BY step) AS DOUBLE) AS conv_rate
+      |FROM n ORDER BY step""".stripMargin))
+
   /** Skew-safe aggregation patterns over a HOT grouping key (5 domains
     * fan into 32+ reducers → one reducer per domain would be quadratic-
     * hot at 100 TB):
@@ -758,5 +815,5 @@ object Queries {
     timeBucketAgg, jsonAttr, jsonAttrLayout, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, geoBbox, timeBucketSqlQ,
     domainStatsSalted, asofJoin, rangeJoin, percentiles, histogram, pivotHours,
-    retention, sketches)
+    retention, funnel, sketches)
 }

@@ -184,6 +184,40 @@ object Sampling {
       |GROUP BY 1, 2, 3
       |ORDER BY d.lang""".stripMargin))
 
+  /** Token-budget sampling: take documents per language, in a
+    * deterministic order, until each language's running token total
+    * fills its budget — how a training mixture is actually drawn once
+    * per-language token QUOTAS (not doc counts) are fixed. One window
+    * per language partition (the same (lang)-keyed shuffle class as
+    * packing); the inclusive running sum makes "the doc that crosses
+    * the line" the last one in, which both engines agree on exactly
+    * since the sums are BIGINTs. */
+  val TokenBudget = 1000L
+
+  val sampleBudget = OracleQuery(
+    "sample_token_budget",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      graft.Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= TokenBudget)
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+    Some(s"""SELECT lang, doc_id, n_tokens, cum_tokens FROM (
+      |  SELECT lang, doc_id, n_tokens,
+      |         CAST(sum(n_tokens) OVER (
+      |           PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_tokens
+      |  FROM (
+      |    SELECT lang, doc_id,
+      |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |    FROM documents))
+      |WHERE cum_tokens <= $TokenBudget
+      |ORDER BY lang, doc_id""".stripMargin))
+
   val all: Seq[OracleQuery] =
-    Seq(sampleHash, datasetSplit, topkPerGroup, sequencePacking, sampleStratified)
+    Seq(sampleHash, datasetSplit, topkPerGroup, sequencePacking, sampleStratified,
+      sampleBudget)
 }
