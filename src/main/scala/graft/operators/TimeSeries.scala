@@ -285,6 +285,51 @@ object TimeSeries {
         col("mcnt").as("n_window"))
   }
 
+  /** Continuous aggregate with REAL-TIME aggregation — the TimescaleDB
+    * feature an LTSS dashboard actually leans on (`CREATE MATERIALIZED
+    * VIEW ... WITH (timescaledb.continuous)` + real-time aggregation):
+    * the hourly rollup is MATERIALIZED up to a refresh watermark, and a
+    * query merges that artifact with an on-the-fly aggregate of only the
+    * tail — reading the raw stream just for the slice the
+    * materialization hasn't caught up to. Here the tail scan is a
+    * chunk-pruned [[graft.sources.LtssSink.chunkScan]] over the sink
+    * layout (chunk exclusion does the pruning, exactly like hypertable
+    * chunks under a cagg), and the merge is one combinable aggregate
+    * over partials — count and DECIMAL sum combine exactly, so the
+    * result is indistinguishable from aggregating the full history (the
+    * oracle IS the direct full aggregate). */
+  private[operators] val CaggCutoffUs = 1705795200000000L // 2024-01-21T00Z, hour-aligned
+
+  def caggLayoutPath(s: SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("cagg", d) { p =>
+      Queries.ltss(s, d)
+        .filter(unix_micros(col("time")) < CaggCutoffUs)
+        .withColumn("sv", col("state").cast("decimal(12,2)"))
+        .withColumn("bus", bucketUs(col("time"), HourUs))
+        .groupBy(col("entity_id"), col("bus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("sv")).as("ssum"))
+        .write.mode("overwrite").parquet(p)
+    }
+
+  def caggRealtime(s: SparkSession, d: String): DataFrame = {
+    val mat = s.read.parquet(caggLayoutPath(s, d))
+      .select(col("entity_id"), col("bus"), col("cnt"),
+        col("ssum").cast("decimal(32,2)").as("ssum"))
+    val live = graft.sources.LtssSink.chunkScan(s, Queries.ltssLayoutPath(s, d),
+        new java.sql.Timestamp(CaggCutoffUs / 1000L),
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))
+      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("bus", bucketUs(col("time"), HourUs))
+      .groupBy(col("entity_id"), col("bus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("sv")).cast("decimal(32,2)").as("ssum"))
+    mat.unionByName(live)
+      .groupBy(col("entity_id"), col("bus"))
+      .agg(sum(col("cnt")).as("n"), sum(col("ssum")).as("msum"))
+      .select(col("entity_id"), timestamp_micros(col("bus")).as("bucket"),
+        col("n"), col("msum").cast("double").as("state_sum"),
+        graft.functions.DetMath.avgFromSum(col("msum"), col("n")).as("state_avg"))
+  }
+
   /** Event-rate anomaly detection per (domain, bucket) — the monitoring
     * panel every ops dashboard runs over a hypertable ("is this hour's
     * event rate a spike?"): flag buckets whose count sits more than
@@ -680,7 +725,25 @@ object TimeSeries {
       |               RANGE BETWEEN $DayUs PRECEDING AND CURRENT ROW))
       |ORDER BY entity_id, time, sv""".stripMargin))
 
+  val caggQ = OracleQuery(
+    "ltss_cagg",
+    (s, d) => caggRealtime(s, d).orderBy(col("entity_id"), col("bucket")),
+    // the oracle is the DIRECT aggregate over the full history — the
+    // whole point of a cagg is that the merged partials are
+    // indistinguishable from it
+    Some(s"""$ltssBase
+      |SELECT entity_id, make_timestamp(bus) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(sv) AS DOUBLE) AS state_sum,
+      |       CAST(sum(sv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS state_avg
+      |FROM (
+      |  SELECT entity_id, (epoch_us(time) // $HourUs) * $HourUs AS bus,
+      |         CAST(state AS DECIMAL(12,2)) AS sv
+      |  FROM base)
+      |GROUP BY entity_id, bus
+      |ORDER BY entity_id, bucket""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
-      stateAggQ, heartbeatQ, rateAnomalyQ, movingAvgQ)
+      stateAggQ, heartbeatQ, rateAnomalyQ, movingAvgQ, caggQ)
 }

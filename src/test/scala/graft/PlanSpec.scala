@@ -338,6 +338,20 @@ class PlanSpec extends SparkSpec {
       s"ADC scan must not read raw vectors; scan:\n$layoutScan")
   }
 
+  test("continuous aggregate reads the materialized rollup + a chunk-pruned tail") {
+    val df = graft.operators.TimeSeries.caggQ.run(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // one scan of the materialized cagg artifact...
+    assert(plan.contains("cagg"),
+      s"expected the materialized rollup scan; plan:\n$plan")
+    // ...and the live tail comes from the chunked layout with the chunk
+    // partition filter, never a raw-events scan
+    assert(plan.contains("ltss_layout") && plan.contains("chunk"),
+      s"expected a chunk-pruned layout scan for the tail; plan:\n$plan")
+    assert(!plan.contains("events.parquet"),
+      s"cagg must not rescan raw events; plan:\n$plan")
+  }
+
   test("stratified sampling broadcasts the rate table — membership filter is map-side") {
     val df = graft.operators.Sampling.sampleStratified.run(spark, "/root/testdata/sf0.001")
     df.count()
