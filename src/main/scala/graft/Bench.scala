@@ -78,6 +78,7 @@ object Bench {
         graft.operators.Similarity.KmIters).count())
     warmed("ivf_layout")(graft.operators.Similarity.ivfLayoutPath(spark, sfDir))
     warmed("pq_train")(graft.operators.Pq.pqCodes(spark, sfDir).count())
+    warmed("cagg_layout")(graft.operators.TimeSeries.caggLayoutPath(spark, sfDir))
     // compile the label-propagation loop's codegen shapes on a 2-edge
     // graph (generated classes are shape-keyed, so the real run hits the
     // compiler cache) — under the SAME AQE-off setting the real loop

@@ -508,6 +508,48 @@ object TextOps {
       |FROM byd, tot
       |ORDER BY doc_id""".stripMargin))
 
+  /** Keyword search over an INVERTED-INDEX layout — the retrieval shape
+    * for "find the docs containing all of these terms" at corpus scale:
+    * distinct (token, doc_id) postings materialize once, partitioned by
+    * a hash bucket of the token, and a query partition-prunes to its
+    * terms' buckets (the 100 TB posting store never full-scans), then
+    * intersects postings with one combinable count-distinct per doc.
+    * The term→bucket mapping is computed by a k-row driver job — the
+    * same planning artifact class as the IVF probe argmax. Oracle = the
+    * direct containment scan, so index and scan must agree exactly. */
+  val SearchTerms = Seq("spark", "query", "window")
+  val IndexBuckets = 16
+
+  def invIndexPath(s: SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("inv_index", d) { p =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("bucket", pmod(xxhash64(col("tok")), lit(IndexBuckets)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(p)
+    }
+
+  val textSearch = OracleQuery(
+    "text_search",
+    (s, d) => {
+      import s.implicits._
+      val bucketVals = SearchTerms.toDF("t")
+        .select(pmod(xxhash64(col("t")), lit(IndexBuckets)))
+        .collect().map(_.getLong(0)).distinct.toSeq
+      s.read.parquet(invIndexPath(s, d))
+        .filter(col("bucket").isin(bucketVals: _*) &&
+          col("tok").isin(SearchTerms: _*))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("tok")).as("nt"))
+        .filter(col("nt") === SearchTerms.length)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id FROM (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |WHERE ${SearchTerms.map(t => s"list_contains(w, '$t')").mkString(" AND ")}
+      |ORDER BY doc_id""".stripMargin))
+
   val qualityFilter = OracleQuery(
     "quality_filter",
     (s, d) => {
@@ -557,5 +599,5 @@ object TextOps {
   val all: Seq[OracleQuery] =
     Seq(textStats, langId, tokenCount, fingerprint, simhash, textClean,
       vocabTopk, urlStats, textRedact, contamination, contaminationBloom,
-      repetition, qualityFilter, docCommonness)
+      repetition, qualityFilter, docCommonness, textSearch)
 }

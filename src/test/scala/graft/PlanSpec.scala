@@ -338,6 +338,15 @@ class PlanSpec extends SparkSpec {
       s"ADC scan must not read raw vectors; scan:\n$layoutScan")
   }
 
+  test("keyword search partition-prunes the inverted index to the terms' buckets") {
+    val df = graft.operators.TextOps.textSearch.run(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected a bucket partition filter on the posting scan; plan:\n$plan")
+    assert(plan.contains("inv_index") && !plan.contains("documents.parquet"),
+      s"search must read the index, not the corpus; plan:\n$plan")
+  }
+
   test("continuous aggregate reads the materialized rollup + a chunk-pruned tail") {
     val df = graft.operators.TimeSeries.caggQ.run(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
