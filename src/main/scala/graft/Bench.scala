@@ -79,6 +79,7 @@ object Bench {
     warmed("ivf_layout")(graft.operators.Similarity.ivfLayoutPath(spark, sfDir))
     warmed("pq_train")(graft.operators.Pq.pqCodes(spark, sfDir).count())
     warmed("cagg_layout")(graft.operators.TimeSeries.caggLayoutPath(spark, sfDir))
+    warmed("inv_index")(graft.operators.TextOps.invIndexPath(spark, sfDir))
     // compile the label-propagation loop's codegen shapes on a 2-edge
     // graph (generated classes are shape-keyed, so the real run hits the
     // compiler cache) — under the SAME AQE-off setting the real loop
