@@ -427,13 +427,23 @@ object Pq {
         .join(scored.select(col("vec_id"), col("cosine")), "vec_id")
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10).select(col("vec_id"))
+      // the full FAISS pipeline: IVF scopes the clusters, ADC ranks the
+      // candidates inside them, exact cosine reranks the survivors
+      val ivfpqRerank10 = adc.join(asg, "vec_id")
+        .filter(col("cid").isin(probeCids: _*))
+        .orderBy(col("adc_cosine").desc, col("vec_id"))
+        .limit(100).select(col("vec_id"))
+        .join(scored.select(col("vec_id"), col("cosine")), "vec_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10).select(col("vec_id"))
       val found = Seq("ivf_probe" -> ivf10, "pq_adc" -> pq10,
-        "ivfpq" -> ivfpq10, "pq_rerank" -> rerank10)
+        "ivfpq" -> ivfpq10, "pq_rerank" -> rerank10,
+        "ivfpq_rerank" -> ivfpqRerank10)
         .map { case (nm, df) => df.withColumn("method", lit(nm)) }
         .reduce(_ unionByName _)
         .join(exact10, "vec_id")
         .groupBy(col("method")).agg(count(lit(1)).as("hits"))
-      Seq("ivf_probe", "pq_adc", "ivfpq", "pq_rerank").toDF("method")
+      Seq("ivf_probe", "pq_adc", "ivfpq", "pq_rerank", "ivfpq_rerank").toDF("method")
         .join(found, Seq("method"), "left")
         .select(col("method"),
           coalesce(col("hits"), lit(0L)).as("hits"),
@@ -498,6 +508,18 @@ object Pq {
         |    FROM e JOIN rr ON rr.vec_id = e.vec_id, q)
         |  ORDER BY cosine DESC, vec_id LIMIT 10
         |),
+        |irr AS (
+        |  SELECT adc.vec_id FROM adc
+        |  JOIN aF a ON a.vec_id = adc.vec_id
+        |  JOIN qcid ON qcid.cid = a.cid
+        |  ORDER BY adc.adc_cosine DESC, adc.vec_id LIMIT 100
+        |),
+        |ivfpq_rerank10 AS (
+        |  SELECT vec_id FROM (
+        |    SELECT e.vec_id, $cos AS cosine
+        |    FROM e JOIN irr ON irr.vec_id = e.vec_id, q)
+        |  ORDER BY cosine DESC, vec_id LIMIT 10
+        |),
         |ivfpq10 AS (
         |  SELECT vec_id FROM (
         |    SELECT adc.vec_id, adc.adc_cosine
@@ -510,6 +532,7 @@ object Pq {
         |  UNION ALL SELECT 'pq_adc', vec_id FROM pq10
         |  UNION ALL SELECT 'ivfpq', vec_id FROM ivfpq10
         |  UNION ALL SELECT 'pq_rerank', vec_id FROM rerank10
+        |  UNION ALL SELECT 'ivfpq_rerank', vec_id FROM ivfpq_rerank10
         |),
         |h AS (
         |  SELECT method, CAST(count(*) AS BIGINT) AS hits
@@ -517,7 +540,7 @@ object Pq {
         |),
         |names AS (
         |  SELECT * FROM (VALUES ('ivf_probe'), ('pq_adc'), ('ivfpq'),
-        |                        ('pq_rerank')) t(method)
+        |                        ('pq_rerank'), ('ivfpq_rerank')) t(method)
         |)
         |SELECT n.method, COALESCE(h.hits, 0) AS hits,
         |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
