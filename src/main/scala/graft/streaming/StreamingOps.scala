@@ -475,6 +475,27 @@ object StreamingOps {
       }
   }
 
+  /** Continuous-aggregate MAINTENANCE — the refresh worker behind the
+    * batch `ltss_cagg` query: a watermarked tumbling-window partial
+    * rollup (count + exact DECIMAL sum per (entity, hour)) that emits
+    * each window ONCE when the watermark closes it, in exactly the
+    * schema the materialized rollup layout stores — so `writeStream
+    * .format("parquet")` against the cagg path IS the refresh policy,
+    * and [[graft.operators.TimeSeries.caggRealtime]]'s merge reads what
+    * this job appends. Count/DECIMAL-sum partials combine exactly, so a
+    * rollup maintained by this stream is indistinguishable from one
+    * built by the batch backfill. */
+  def caggMaintainStream(
+      ltss: DataFrame,
+      windowWidth: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    ltss.withWatermark("time", watermark)
+      .groupBy(window(col("time"), windowWidth), col("entity_id"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("state").cast("decimal(12,2)")).as("ssum"))
+      .select(col("entity_id"), unix_micros(col("window.start")).as("bus"),
+        col("cnt"), col("ssum"))
+
   /** Continuously-maintained OHLC candlesticks per (entity, window) —
     * the streaming twin of the batch `ltss_ohlc` query, with the SAME
     * aggregate shape: open/close ride lexicographic min/max STRUCT

@@ -391,6 +391,42 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(rows.last == ("click", ts("2024-01-01 15:00:00"), 30L, 1))
   }
 
+  test("cagg maintenance: streamed partials merge to the exact batch aggregate") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("cagg-stream").toString
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.caggMaintainStream(df, watermark = "0 seconds")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", out + "-ckpt").outputMode("append").start()
+    try {
+      ms.addData(
+        (ts("2024-01-01 10:05:00"), "a.1", "10.00"),
+        (ts("2024-01-01 10:40:00"), "a.1", "20.50"),
+        (ts("2024-01-01 11:10:00"), "a.1", "1.25"),
+        (ts("2024-01-01 10:30:00"), "b.1", "5.00"))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 14:00:00"), "z.1", "0.00")) // close 10h+11h
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 15:00:00"), "z.1", "0.00")) // flush
+      q.processAllAvailable()
+    } finally q.stop()
+    // the appended partials, merged like caggRealtime merges them, must
+    // equal the direct batch aggregate of the same events
+    val merged = spark.read.parquet(out)
+      .groupBy($"entity_id", $"bus")
+      .agg(sum($"cnt").as("n"), sum($"ssum").cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._1 != "z.1").toSet
+    val H = 3600000000L
+    val b10 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def bus(t: java.sql.Timestamp) = t.getTime * 1000L - (t.getTime * 1000L) % H
+    assert(merged == Set(
+      ("a.1", bus(b10), 2L, 30.5),
+      ("a.1", bus(b10) + H, 1L, 1.25),
+      ("b.1", bus(b10), 1L, 5.0)))
+  }
+
   test("streaming state_agg accumulators survive a checkpoint restart") {
     import java.nio.file.{Files, Paths}
     def tmp(p: String) = Files.createTempDirectory(p).toString
