@@ -606,21 +606,30 @@ object Queries {
     * Each step is one combinable MIN per user + one uid equi-join (the
     * inequality is a post-join filter, never a join condition — no
     * range-join blowup); the 3-row rollup divides exact BIGINTs. */
+  /** The funnel's ordered steps over an LTSS frame: first view, first
+    * click AT OR AFTER it, first purchase at or after that — each one
+    * combinable MIN per user + a uid equi-join with the time inequality
+    * as a post-join filter. Shared by the query and its fixture spec. */
+  private[graft] def funnelSteps(
+      ltssDf: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val parts = split(col("entity_id"), "\\.")
+    val l = ltssDf.select(parts.getItem(0).as("domain"),
+      parts.getItem(1).cast("long").as("uid"), col("time"))
+    val v = l.filter(col("domain") === "view")
+      .groupBy(col("uid")).agg(min(col("time")).as("t1"))
+    val c = l.filter(col("domain") === "click").join(v, "uid")
+      .filter(col("time") >= col("t1"))
+      .groupBy(col("uid")).agg(min(col("time")).as("t2"))
+    val p = l.filter(col("domain") === "purchase").join(c, "uid")
+      .filter(col("time") >= col("t2"))
+      .groupBy(col("uid")).agg(min(col("time")).as("t3"))
+    (v, c, p)
+  }
+
   val funnel = OracleQuery(
     "ltss_funnel",
     (s, d) => {
-      val parts = split(col("entity_id"), "\\.")
-      val l = ltss(s, d)
-        .select(parts.getItem(0).as("domain"),
-          parts.getItem(1).cast("long").as("uid"), col("time"))
-      val v = l.filter(col("domain") === "view")
-        .groupBy(col("uid")).agg(min(col("time")).as("t1"))
-      val c = l.filter(col("domain") === "click").join(v, "uid")
-        .filter(col("time") >= col("t1"))
-        .groupBy(col("uid")).agg(min(col("time")).as("t2"))
-      val p = l.filter(col("domain") === "purchase").join(c, "uid")
-        .filter(col("time") >= col("t2"))
-        .groupBy(col("uid")).agg(min(col("time")).as("t3"))
+      val (v, c, p) = funnelSteps(ltss(s, d))
       val n = Seq("1_view" -> v, "2_click" -> c, "3_purchase" -> p)
         .map { case (nm, df) =>
           df.agg(count(lit(1)).as("n_users")).withColumn("step", lit(nm))
