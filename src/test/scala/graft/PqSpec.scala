@@ -28,6 +28,16 @@ class PqSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getAs[Double]("adc_cosine")) <= 1.0))
   }
 
+  test("recall ordering: exact rerank never degrades its candidate stage") {
+    val r = Pq.recallReportQ.run(spark, D).collect()
+      .map(x => x.getAs[String]("method") -> x.getAs[Long]("hits")).toMap
+    assert(r("ivfpq_rerank") >= r("ivfpq"),
+      s"reranking ivfpq candidates lost recall: $r")
+    assert(r("pq_rerank") >= r("pq_adc"),
+      s"reranking adc candidates lost recall: $r")
+    assert(r("ivf_probe") > 0, s"trained probe found nothing: $r")
+  }
+
   test("ADC top-10 beats the corpus average by TRUE cosine to the query") {
     val emb = Tables.embeddings(spark, D)
       .withColumn("nrm", DetMath.normCol(col("embedding"), Similarity.Dim))
