@@ -548,5 +548,124 @@ object Pq {
         |ORDER BY n.method""".stripMargin
     })
 
-  val all: Seq[OracleQuery] = Seq(pqCodesQ, pqTopkQ, ivfPqTopkQ, recallReportQ)
+  /** Batch kNN join — the workload shape the single-query probes don't
+    * cover: EVERY query in a query set gets its top-k neighbors through
+    * the composed IVF → ADC → exact-rerank pipeline, fully data-driven
+    * (no driver-side argmax, no per-query `isin` — the probe list is a
+    * window over the query×centroid scores, candidates come from an
+    * equi-join on cid, and the ADC dot tables are a |queries|·M·k-row
+    * broadcast). This is how embedding dedup / retrieval actually runs
+    * on a cluster: a batch of queries flows through joins and windows,
+    * and nothing in the plan depends on the number of queries. */
+  val knnBatchQ = OracleQuery(
+    "sim_knn_batch",
+    (s, d) => {
+      val nprobe = 2; val rerankWidth = 100; val k = 3
+      val emb = Similarity.embWithCodes(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      // data-driven probe list: rank centroids per qid, keep nprobe
+      val cents = Similarity.kmeansCentroids(s, d, Similarity.KmIters)
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
+      val probes = qs.crossJoin(broadcast(cents))
+        .withColumn("qcos", DetMath.cosinePre(
+          DetMath.dotCol(col("qe"), col("ce"), Similarity.Dim), col("qn"), col("cn")))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
+        .select(col("qid"), col("cid"))
+      // ADC dot tables per (qid, subspace, code): |queries|·M·k rows
+      val dt = (0 until SubM).map(m => pqCentroids(s, d, m)
+        .crossJoin(broadcast(qs.select(col("qid"), col("qe"))))
+        .select(col("qid"), col("cid").as(s"c$m"),
+          DetMath.dotCol(slice(col("qe"), off(m), SubDim), col("ce"), SubDim)
+            .as(s"dt$m"),
+          DetMath.dotCol(col("ce"), col("ce"), SubDim).as(s"sq$m")))
+      val asg = Similarity.kmeansAssignments(s, d, Similarity.KmIters)
+        .select(col("vec_id"), col("cid"))
+      // candidates: probed clusters' members, codes attached, self excluded
+      val cand = probes.join(asg, "cid").filter(col("vec_id") =!= col("qid"))
+        .join(pqCodes(s, d), "vec_id")
+      val scoredAdc = (0 until SubM).foldLeft(cand)((df, m) =>
+        df.join(broadcast(dt(m)), Seq("qid", s"c$m")))
+        .join(broadcast(qs.select(col("qid"), col("qn"))), "qid")
+        .withColumn("adc_cosine", (col("dt0") + col("dt1")) /
+          (col("qn") * sqrt(col("sq0") + col("sq1"))))
+      val wAdc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("adc_cosine").desc, col("vec_id"))
+      val shortlist = scoredAdc
+        .withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= rerankWidth)
+        .select(col("qid"), col("vec_id"))
+      // exact rerank of the shortlist
+      val e = emb.select(col("vec_id"), col("embedding"), col("nrm"))
+      val wK = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      shortlist
+        .join(e, "vec_id")
+        .join(broadcast(qs), "qid")
+        .withColumn("cosine", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("qe"), Similarity.Dim),
+          col("nrm"), col("qn")))
+        .withColumn("rank", row_number().over(wK)).filter(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some {
+      val cosQ = DetMath.cosinePreSql(
+        DetMath.dotSql("e.embedding", "qs.qe", Similarity.Dim), "e.nrm", "qs.qn")
+      s"""${Similarity.kmeansSqlChain},
+        |${pqSqlBody("e")},
+        |qs AS (
+        |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 5
+        |),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qs.qid, c.cid,
+        |           row_number() OVER (PARTITION BY qs.qid ORDER BY
+        |             ${DetMath.cosinePreSql(DetMath.dotSql("qs.qe", "c.ce", Similarity.Dim), "qs.qn", "c.cn")} DESC,
+        |             c.cid) AS rn
+        |    FROM qs, c${Similarity.KmIters}n c) WHERE rn <= 2
+        |),
+        |bdt0 AS (
+        |  SELECT qs.qid, c.cid AS c0,
+        |         ${DetMath.dotSql("qs.qe[1:" + SubDim + "]", "c.ce", SubDim)} AS dt,
+        |         ${DetMath.dotSql("c.ce", "c.ce", SubDim)} AS sq
+        |  FROM c_0_${PqIters}n c, qs
+        |),
+        |bdt1 AS (
+        |  SELECT qs.qid, c.cid AS c1,
+        |         ${DetMath.dotSql("qs.qe[" + (SubDim + 1) + ":" + 2 * SubDim + "]", "c.ce", SubDim)} AS dt,
+        |         ${DetMath.dotSql("c.ce", "c.ce", SubDim)} AS sq
+        |  FROM c_1_${PqIters}n c, qs
+        |),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id, pq.c0, pq.c1
+        |  FROM probes p JOIN aF a ON a.cid = p.cid
+        |  JOIN pq ON pq.vec_id = a.vec_id
+        |  WHERE a.vec_id <> p.qid
+        |),
+        |shortlist AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT c.qid, c.vec_id,
+        |           row_number() OVER (PARTITION BY c.qid ORDER BY
+        |             (d0.dt + d1.dt) / (qs.qn * sqrt(d0.sq + d1.sq)) DESC,
+        |             c.vec_id) AS rn
+        |    FROM cand c
+        |    JOIN bdt0 d0 ON d0.qid = c.qid AND d0.c0 = c.c0
+        |    JOIN bdt1 d1 ON d1.qid = c.qid AND d1.c1 = c.c1
+        |    JOIN qs ON qs.qid = c.qid) WHERE rn <= 100
+        |)
+        |SELECT qid, rank, vec_id, cosine FROM (
+        |  SELECT s.qid,
+        |         row_number() OVER (PARTITION BY s.qid ORDER BY $cosQ DESC, s.vec_id) AS rank,
+        |         s.vec_id, $cosQ AS cosine
+        |  FROM shortlist s
+        |  JOIN e ON e.vec_id = s.vec_id
+        |  JOIN qs ON qs.qid = s.qid)
+        |WHERE rank <= 3
+        |ORDER BY qid, rank""".stripMargin
+    })
+
+  val all: Seq[OracleQuery] = Seq(pqCodesQ, pqTopkQ, ivfPqTopkQ, recallReportQ,
+    knnBatchQ)
 }
