@@ -610,10 +610,18 @@ object Pq {
         .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
         .orderBy(col("qid"), col("rank"))
     },
-    Some {
-      val cosQ = DetMath.cosinePreSql(
-        DetMath.dotSql("e.embedding", "qs.qe", Similarity.Dim), "e.nrm", "qs.qn")
-      s"""${Similarity.kmeansSqlChain},
+    Some(s"""$knnSqlChain
+      |SELECT qid, rank, vec_id, cosine FROM knn
+      |ORDER BY qid, rank""".stripMargin))
+
+  /** The batch-kNN chain as DuckDB CTEs ending at `knn`
+    * (qid, rank, vec_id, cosine — top-3 per query through the composed
+    * pipeline), with `qs` and `e` in scope. Shared by [[knnBatchQ]] and
+    * the batch recall audit. */
+  private def knnSqlChain: String = {
+    val cosQ = DetMath.cosinePreSql(
+      DetMath.dotSql("e.embedding", "qs.qe", Similarity.Dim), "e.nrm", "qs.qn")
+    s"""${Similarity.kmeansSqlChain},
         |${pqSqlBody("e")},
         |qs AS (
         |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 5
@@ -654,18 +662,72 @@ object Pq {
         |    JOIN bdt0 d0 ON d0.qid = c.qid AND d0.c0 = c.c0
         |    JOIN bdt1 d1 ON d1.qid = c.qid AND d1.c1 = c.c1
         |    JOIN qs ON qs.qid = c.qid) WHERE rn <= 100
+        |),
+        |knn AS (
+        |  SELECT qid, rank, vec_id, cosine FROM (
+        |    SELECT s.qid,
+        |           row_number() OVER (PARTITION BY s.qid ORDER BY $cosQ DESC, s.vec_id) AS rank,
+        |           s.vec_id, $cosQ AS cosine
+        |    FROM shortlist s
+        |    JOIN e ON e.vec_id = s.vec_id
+        |    JOIN qs ON qs.qid = s.qid)
+        |  WHERE rank <= 3
+        |)""".stripMargin
+  }
+
+  /** Batch recall audit: the kNN join's recall@3 PER QUERY against each
+    * query's exact brute-force top-3 — the n>1 generalization of
+    * [[recallReportQ]] (which audits methods on one query in depth;
+    * this audits the production pipeline across a query sample).
+    * All-integer hits through one division. */
+  val knnRecallQ = OracleQuery(
+    "sim_knn_recall",
+    (s, d) => {
+      val emb = Similarity.embWithCodes(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      val exact3 = emb.select(col("vec_id"), col("embedding"), col("nrm"))
+        .crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("qe"), Similarity.Dim),
+          col("nrm"), col("qn")))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"))
+      val hits = knnBatchQ.run(s, d).select(col("qid"), col("vec_id"))
+        .join(exact3, Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      qs.select(col("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / 3.0).as("recall_at_3"))
+        .orderBy(col("qid"))
+    },
+    Some {
+      val cosQ = DetMath.cosinePreSql(
+        DetMath.dotSql("e.embedding", "qs.qe", Similarity.Dim), "e.nrm", "qs.qn")
+      s"""$knnSqlChain,
+        |exact3 AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qs.qid, e.vec_id,
+        |           row_number() OVER (PARTITION BY qs.qid ORDER BY $cosQ DESC, e.vec_id) AS rn
+        |    FROM e, qs WHERE e.vec_id <> qs.qid)
+        |  WHERE rn <= 3
+        |),
+        |h AS (
+        |  SELECT k.qid, CAST(count(*) AS BIGINT) AS hits
+        |  FROM knn k JOIN exact3 x ON x.qid = k.qid AND x.vec_id = k.vec_id
+        |  GROUP BY k.qid
         |)
-        |SELECT qid, rank, vec_id, cosine FROM (
-        |  SELECT s.qid,
-        |         row_number() OVER (PARTITION BY s.qid ORDER BY $cosQ DESC, s.vec_id) AS rank,
-        |         s.vec_id, $cosQ AS cosine
-        |  FROM shortlist s
-        |  JOIN e ON e.vec_id = s.vec_id
-        |  JOIN qs ON qs.qid = s.qid)
-        |WHERE rank <= 3
-        |ORDER BY qid, rank""".stripMargin
+        |SELECT qs.qid, COALESCE(h.hits, 0) AS hits,
+        |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / 3.0 AS recall_at_3
+        |FROM qs LEFT JOIN h ON h.qid = qs.qid
+        |ORDER BY qs.qid""".stripMargin
     })
 
   val all: Seq[OracleQuery] = Seq(pqCodesQ, pqTopkQ, ivfPqTopkQ, recallReportQ,
-    knnBatchQ)
+    knnBatchQ, knnRecallQ)
 }
