@@ -557,6 +557,47 @@ object Queries {
         |FROM ltss GROUP BY 1 ORDER BY domain""".stripMargin
     })
 
+  /** Top movers — the "biggest changes" dashboard panel: per entity,
+    * the first and last observed values (by the deterministic
+    * (time, value) order), ranked by absolute net change. ONE hash
+    * aggregate (lexicographic struct MIN/MAX — map-side combinable,
+    * same shape as [[latest]]) + a TakeOrdered; the ordering key stays
+    * exact DECIMAL so rank ties are engine-identical. */
+  val topMovers = OracleQuery(
+    "ltss_top_movers",
+    (s, d) => {
+      val sv = col("state").cast("decimal(12,2)")
+      ltss(s, d)
+        .withColumn("sv", sv)
+        .groupBy(col("entity_id"))
+        .agg(min(struct(col("time"), col("sv"))).getField("sv").as("first_dec"),
+          max(struct(col("time"), col("sv"))).getField("sv").as("last_dec"),
+          count(lit(1)).as("n"))
+        .withColumn("delta_dec", col("last_dec") - col("first_dec"))
+        .orderBy(abs(col("delta_dec")).desc, col("entity_id"))
+        .limit(10)
+        .select(col("entity_id"),
+          col("first_dec").cast("double").as("first_sv"),
+          col("last_dec").cast("double").as("last_sv"),
+          col("delta_dec").cast("double").as("delta"),
+          col("n"))
+    },
+    Some(s"""$ltssCte
+      |SELECT entity_id,
+      |       CAST(first_dec AS DOUBLE) AS first_sv,
+      |       CAST(last_dec AS DOUBLE) AS last_sv,
+      |       CAST(last_dec - first_dec AS DOUBLE) AS delta,
+      |       n
+      |FROM (
+      |  SELECT entity_id,
+      |         (min({'time': time, 'sv': sv})).sv AS first_dec,
+      |         (max({'time': time, 'sv': sv})).sv AS last_dec,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT entity_id, time, CAST(state AS DECIMAL(12,2)) AS sv FROM ltss)
+      |  GROUP BY entity_id)
+      |ORDER BY abs(last_dec - first_dec) DESC, entity_id
+      |LIMIT 10""".stripMargin))
+
   /** Cohort retention matrix — the other canonical product-analytics
     * panel over an event stream: entities grouped by FIRST-SEEN week,
     * counted distinct in each later week they stayed active. All-integer
@@ -824,5 +865,5 @@ object Queries {
     timeBucketAgg, jsonAttr, jsonAttrLayout, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, geoBbox, timeBucketSqlQ,
     domainStatsSalted, asofJoin, rangeJoin, percentiles, histogram, pivotHours,
-    retention, funnel, sketches)
+    retention, funnel, topMovers, sketches)
 }

@@ -420,6 +420,53 @@ object StreamingOps {
       }
   }
 
+  final case class FunnelState(
+      t1: Option[Long], t2: Option[Long], t3: Option[Long])
+  final case class FunnelEvent(
+      uid: Long, step: String, time: java.sql.Timestamp)
+
+  /** Live funnel tracking (the streaming twin of the batch
+    * `ltss_funnel` rollup): per user, emit `1_view` on the FIRST view,
+    * `2_click` on the first click at or after it, `3_purchase` on the
+    * first purchase at or after that — each step completes exactly once
+    * per user, so a streaming sink counting rows per step maintains the
+    * batch query's per-step user counts incrementally. State per user
+    * is three optional timestamps; the ordered-steps rule is the same
+    * as the batch op (a click BEFORE the first view does not convert,
+    * pinned by AnalyticsSpec for the shared batch body). In-order
+    * contract within a batch; ties at the same instant satisfy the
+    * at-or-after rule, matching the batch `>=`. */
+  def funnelStream(ltss: DataFrame): Dataset[FunnelEvent] = {
+    import ltss.sparkSession.implicits._
+    ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
+      .filter((e: LtssEvent) => {
+        val d = e.entity_id.split("\\.")(0)
+        d == "view" || d == "click" || d == "purchase"
+      })
+      .groupByKey(_.entity_id.split("\\.")(1).toLong)
+      .flatMapGroupsWithState[FunnelState, FunnelEvent](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (uid, events, st) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[FunnelEvent]
+        var s = st.getOption.getOrElse(FunnelState(None, None, None))
+        val sorted = events.toSeq.sortBy(e => micros(e.time))
+        for (e <- sorted) {
+          val d = e.entity_id.split("\\.")(0)
+          val t = micros(e.time)
+          def ts(u: Long) = new java.sql.Timestamp(u / 1000L)
+          if (d == "view" && s.t1.isEmpty) {
+            s = s.copy(t1 = Some(t)); out += FunnelEvent(uid, "1_view", ts(t))
+          } else if (d == "click" && s.t2.isEmpty && s.t1.exists(t >= _)) {
+            s = s.copy(t2 = Some(t)); out += FunnelEvent(uid, "2_click", ts(t))
+          } else if (d == "purchase" && s.t3.isEmpty && s.t2.exists(t >= _)) {
+            s = s.copy(t3 = Some(t)); out += FunnelEvent(uid, "3_purchase", ts(t))
+          }
+        }
+        st.update(s)
+        out.iterator
+      }
+  }
+
   final case class RateState(
       openBus: Long, openCount: Long, n: Long, s1: Long, s2: Long)
   final case class RateAnomaly(

@@ -369,6 +369,35 @@ class StatefulStreamingSpec extends SparkSpec {
       ("a.1", ts("2024-01-01 13:00:00"), ts("2024-01-01 15:00:00"), 2 * H)))
   }
 
+  test("streaming funnel: ordered steps complete once, out-of-order clicks don't convert") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.funnelStream(df).writeStream
+      .format("memory").queryName("fn_t").outputMode("append").start()
+    try {
+      // uid 2's click arrives BEFORE any view: must not convert
+      ms.addData(
+        (ts("2024-01-01 09:00:00"), "click.2", "1"),
+        (ts("2024-01-01 10:00:00"), "view.1", "1"))
+      q.processAllAvailable()
+      ms.addData(
+        (ts("2024-01-01 11:00:00"), "click.1", "1"),
+        (ts("2024-01-01 11:30:00"), "click.1", "1"), // second click: no re-emit
+        (ts("2024-01-01 10:30:00"), "view.2", "1"))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 12:00:00"), "purchase.1", "1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("fn_t")
+      .as[(Long, String, java.sql.Timestamp)].collect().toSet
+    assert(rows == Set(
+      (1L, "1_view", ts("2024-01-01 10:00:00")),
+      (1L, "2_click", ts("2024-01-01 11:00:00")),
+      (1L, "3_purchase", ts("2024-01-01 12:00:00")),
+      (2L, "1_view", ts("2024-01-01 10:30:00"))))
+  }
+
   test("streaming rate anomaly: spike bucket flags against the running moments") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, String)]
