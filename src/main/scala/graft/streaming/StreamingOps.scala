@@ -438,11 +438,10 @@ object StreamingOps {
     * at-or-after rule, matching the batch `>=`. */
   def funnelStream(ltss: DataFrame): Dataset[FunnelEvent] = {
     import ltss.sparkSession.implicits._
-    ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
-      .filter((e: LtssEvent) => {
-        val d = e.entity_id.split("\\.")(0)
-        d == "view" || d == "click" || d == "purchase"
-      })
+    ltss
+      .filter(split(col("entity_id"), "\\.").getItem(0)
+        .isin("view", "click", "purchase"))
+      .select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
       .groupByKey(_.entity_id.split("\\.")(1).toLong)
       .flatMapGroupsWithState[FunnelState, FunnelEvent](
         org.apache.spark.sql.streaming.OutputMode.Append(),
