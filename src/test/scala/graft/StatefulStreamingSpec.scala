@@ -398,6 +398,30 @@ class StatefulStreamingSpec extends SparkSpec {
       (2L, "1_view", ts("2024-01-01 10:30:00"))))
   }
 
+  test("streaming funnel state survives a checkpoint restart") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val in = tmp("fn-in"); val out = tmp("fn-out"); val ckpt = tmp("fn-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "time TIMESTAMP, entity_id STRING, state STRING")
+    def start() = StreamingOps
+      .funnelStream(spark.readStream.schema(schema).json(in))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    Files.writeString(Paths.get(in, "b1.json"),
+      """{"time":"2024-01-01T10:00:00Z","entity_id":"view.1","state":"1"}""")
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() == 1) // 1_view emitted
+    // the click converts ONLY if the first-view timestamp came back
+    // from the checkpoint
+    Files.writeString(Paths.get(in, "b2.json"),
+      """{"time":"2024-01-01T11:00:00Z","entity_id":"click.1","state":"1"}""")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val steps = spark.read.parquet(out)
+      .collect().map(r => r.getAs[String]("step")).sorted.toSeq
+    assert(steps == Seq("1_view", "2_click"))
+  }
+
   test("streaming rate anomaly: spike bucket flags against the running moments") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, String)]
