@@ -728,6 +728,51 @@ object Pq {
         |ORDER BY qs.qid""".stripMargin
     })
 
+  /** Embedding-quality audit per label — the ingest gate a vector
+    * corpus runs before indexing (zero vectors crash cosine math,
+    * unnormalized vectors skew IP-trained indexes): per label, the
+    * count, zero-vector count, out-of-norm-band count, and norm
+    * extremes. MIN/MAX of doubles are order-independent (safe to
+    * aggregate exactly); the MEAN norm goes through a DECIMAL(18,9)
+    * quantization per row so the sum is order-independent too — the
+    * 1e-9 rounding is documented, deterministic, and identical on both
+    * engines. Map-side combinable throughout. */
+  val embAuditQ = OracleQuery(
+    "embed_norm_audit",
+    (s, d) => {
+      val nrm = col("nrm")
+      Similarity.embWithCodes(s, d)
+        .join(graft.Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+        .withColumn("nq", nrm.cast("decimal(18,9)"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum((nrm === 0.0).cast("long")).as("n_zero"),
+          // per-row DOUBLE compare — deterministic (only aggregation
+          // ORDER breaks parity, never per-row IEEE ops)
+          sum((abs(nrm - 1.0) > lit(0.01)).cast("long")).as("n_off_unit"),
+          min(nrm).as("min_norm"), max(nrm).as("max_norm"),
+          sum(col("nq")).as("nsum"))
+        .select(col("label"), col("n"), col("n_zero"), col("n_off_unit"),
+          col("min_norm"), col("max_norm"),
+          (col("nsum").cast("double") / col("n").cast("double")).as("mean_norm"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH e AS (
+      |  SELECT label, ${DetMath.normSql("embedding", Similarity.Dim)} AS nrm
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT label, nrm, CAST(nrm AS DECIMAL(18,9)) AS nq FROM e
+      |)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |       CAST(sum(CASE WHEN abs(nrm - 1.0) > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_off_unit,
+      |       min(nrm) AS min_norm, max(nrm) AS max_norm,
+      |       CAST(sum(nq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_norm
+      |FROM q
+      |GROUP BY label
+      |ORDER BY label""".stripMargin))
+
   val all: Seq[OracleQuery] = Seq(pqCodesQ, pqTopkQ, ivfPqTopkQ, recallReportQ,
-    knnBatchQ, knnRecallQ)
+    knnBatchQ, knnRecallQ, embAuditQ)
 }

@@ -550,6 +550,47 @@ object TextOps {
       |WHERE ${SearchTerms.map(t => s"list_contains(w, '$t')").mkString(" AND ")}
       |ORDER BY doc_id""".stripMargin))
 
+  /** Overlapping-window document chunking — the retrieval/embedding
+    * prep step (RAG-style): fixed `width`-token windows every `stride`
+    * tokens, so consecutive chunks share `width − stride` tokens of
+    * context, plus a final short tail window when tokens remain past
+    * the last full start. Pure per-row explode — map-side, linear; at
+    * 100 TB the fan-out is rows × ⌈n/stride⌉ with no shuffle at all
+    * (the downstream embedder consumes the chunk stream partition-
+    * local). Start positions are exact integer arithmetic mirrored by
+    * `generate_series`, so the chunk set is engine-identical. */
+  val ChunkWidth = 32
+  val ChunkStride = 24
+
+  val docChunks = OracleQuery(
+    "doc_chunks",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")))
+        // last start: the largest multiple of stride with a token left
+        .withColumn("starts", expr(
+          s"sequence(0, (greatest(n - 1, 0) div $ChunkStride) * $ChunkStride, $ChunkStride)"))
+        .select(col("doc_id"), col("w"), col("n"),
+          posexplode(col("starts")).as(Seq("chunk_idx", "st")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          expr(s"concat_ws(' ', slice(w, st + 1, $ChunkWidth))").as("chunk_text"),
+          least(lit(ChunkWidth), col("n") - col("st")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some(s"""SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM (
+      |  SELECT doc_id,
+      |         CAST(g // $ChunkStride AS BIGINT) AS chunk_idx,
+      |         array_to_string(w[g + 1:g + $ChunkWidth], ' ') AS chunk_text,
+      |         CAST(least($ChunkWidth, n - g) AS BIGINT) AS n_tokens
+      |  FROM (
+      |    SELECT doc_id, w, len(w) AS n,
+      |           unnest(generate_series(0,
+      |             (greatest(len(w) - 1, 0) // $ChunkStride) * $ChunkStride,
+      |             $ChunkStride)) AS g
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
+      |ORDER BY doc_id, chunk_idx""".stripMargin))
+
   val qualityFilter = OracleQuery(
     "quality_filter",
     (s, d) => {
@@ -599,5 +640,5 @@ object TextOps {
   val all: Seq[OracleQuery] =
     Seq(textStats, langId, tokenCount, fingerprint, simhash, textClean,
       vocabTopk, urlStats, textRedact, contamination, contaminationBloom,
-      repetition, qualityFilter, docCommonness, textSearch)
+      repetition, qualityFilter, docCommonness, textSearch, docChunks)
 }
