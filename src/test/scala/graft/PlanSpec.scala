@@ -338,6 +338,22 @@ class PlanSpec extends SparkSpec {
       s"ADC scan must not read raw vectors; scan:\n$layoutScan")
   }
 
+  test("per-row text kernels stay inside whole-stage codegen") {
+    // AQE wraps the plan in AdaptiveSparkPlan, which enumerates no
+    // codegen subtrees until stages execute — turn it off for the check
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (name <- Seq("text_stats", "lang_id", "token_count", "repetition_ratio")) {
+        val df = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+        assert(!plan.startsWith("Found 0 WholeStageCodegen"),
+          s"$name lost whole-stage codegen; plan:\n${plan.take(2000)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   test("keyword search partition-prunes the inverted index to the terms' buckets") {
     val df = graft.operators.TextOps.textSearch.run(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
