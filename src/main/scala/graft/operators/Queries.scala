@@ -128,8 +128,7 @@ object Queries {
       |ORDER BY time DESC, state""".stripMargin))
 
   /** Latest state per entity (reference index `(entity_id, time DESC)`,
-    * models.py:78-80) — row_number window, deterministic tie-break. */
-  /** Latest state per entity as ONE hash aggregate: the (time desc,
+    * models.py:78-80) as ONE hash aggregate: the (time desc,
     * state desc) survivor is the lexicographic MAX of the (time, state)
     * struct, so partials combine map-side and no per-entity sort runs —
     * a row_number window would shuffle AND sort every history row just
@@ -557,6 +556,35 @@ object Queries {
         |FROM ltss GROUP BY 1 ORDER BY domain""".stripMargin
     })
 
+  /** Spatial grid rollup — the geo heatmap panel (the PostGIS
+    * `ST_SnapToGrid` + GROUP BY analog over the extracted location
+    * points): events binned into 5°×5° cells with per-cell event and
+    * distinct-user counts. Cells derive from the NON-NEGATIVE integer
+    * modulus via integer division, then shift to the lat/lon origin —
+    * all-integer so there is no float floor at a cell boundary to
+    * disagree on, and no engine divergence on negative division
+    * (Spark `div` truncates, DuckDB `//` floors; on non-negative
+    * operands they agree). One combinable aggregate. */
+  val geoGrid = OracleQuery(
+    "ltss_geo_grid",
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .withColumn("lat_lo", expr("((user_id % 180) div 5) * 5 - 90"))
+        .withColumn("lon_lo", expr("((event_id % 360) div 5) * 5 - 180"))
+        .groupBy(col("lat_lo"), col("lon_lo"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("lat_lo"), col("lon_lo")),
+    Some("""SELECT ((user_id % 180) // 5) * 5 - 90 AS lat_lo,
+      |       ((event_id % 360) // 5) * 5 - 180 AS lon_lo,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events
+      |WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY lat_lo, lon_lo""".stripMargin))
+
   /** Top movers — the "biggest changes" dashboard panel: per entity,
     * the first and last observed values (by the deterministic
     * (time, value) order), ranked by absolute net change. ONE hash
@@ -865,5 +893,5 @@ object Queries {
     timeBucketAgg, jsonAttr, jsonAttrLayout, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, geoBbox, timeBucketSqlQ,
     domainStatsSalted, asofJoin, rangeJoin, percentiles, histogram, pivotHours,
-    retention, funnel, topMovers, sketches)
+    retention, funnel, topMovers, geoGrid, sketches)
 }
