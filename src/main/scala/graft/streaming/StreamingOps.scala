@@ -420,6 +420,62 @@ object StreamingOps {
       }
   }
 
+  final case class BandDoc(
+      doc_id: Long, band_idx: Int, band_val: String, sig: Seq[String])
+  final case class BucketState(docs: List[(Long, Seq[String])])
+  final case class DupCandidate(
+      a_id: Long, b_id: Long, band_idx: Int, est_jaccard: Double)
+
+  /** In-stream near-dup candidate detection — the online twin of the
+    * batch `dedup_minhash_lsh` operator, for the ingest-time question
+    * "is this document a near-duplicate of anything already accepted?":
+    * each arriving doc computes its MinHash signature MAP-SIDE (the same
+    * native `MinHash8` kernel, no shuffle), bands with the batch
+    * operator's banding (2×4 fixed-width hex mins), and joins the state
+    * store keyed by (band_idx, band_val) — a bucket's state is the
+    * signatures of its accepted members, so a new arrival emits one
+    * candidate pair per stored member with the batch estimator
+    * (matching mins / 8). The batch skew cap applies unchanged: a
+    * bucket at `maxBucket` stops pairing (the hot-band boilerplate
+    * case routes to the offline verifier exactly as the batch
+    * three-tier policy prescribes), so per-key state is bounded.
+    * Candidates are per-band (a pair sharing both bands emits twice,
+    * as before the batch DISTINCT) — the downstream exact-verify stage
+    * dedups by pair key, same as batch. */
+  def nearDupStream(docs: DataFrame, maxBucket: Int = 1000): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+    val sig = docs.select(col("doc_id"),
+      columnOf(graft.functions.MinHash8(expressionOf(col("text")))).as("sig"))
+    val bandOf = (lo: Int) => concat(
+      (lo until lo + 4).map(i => element_at(col("sig"), i + 1)): _*)
+    sig
+      .select(col("doc_id"), col("sig"),
+        explode(map(lit(0), bandOf(0), lit(1), bandOf(4)))
+          .as(Seq("band_idx", "band_val")))
+      .as[BandDoc]
+      .groupByKey(b => (b.band_idx, b.band_val))
+      .flatMapGroupsWithState[BucketState, DupCandidate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (key, rows, st) =>
+        var stored = st.getOption.map(_.docs).getOrElse(Nil)
+        val out = scala.collection.mutable.ArrayBuffer.empty[DupCandidate]
+        for (r <- rows.toSeq.sortBy(_.doc_id)
+             if !stored.exists(_._1 == r.doc_id)) {
+          if (stored.size < maxBucket) {
+            for ((id, s2) <- stored) {
+              val matches = s2.zip(r.sig).count { case (a, b) => a == b }
+              out += DupCandidate(math.min(id, r.doc_id), math.max(id, r.doc_id),
+                key._1, matches / 8.0)
+            }
+            stored = (r.doc_id, r.sig) :: stored
+          } // at cap: hot band — no more pairing here, offline verify path
+        }
+        st.update(BucketState(stored))
+        out.iterator
+      }
+  }
+
   final case class FunnelState(
       t1: Option[Long], t2: Option[Long], t3: Option[Long])
   final case class FunnelEvent(

@@ -369,6 +369,46 @@ class StatefulStreamingSpec extends SparkSpec {
       ("a.1", ts("2024-01-01 13:00:00"), ts("2024-01-01 15:00:00"), 2 * H)))
   }
 
+  test("streaming near-dup: a candidate emits when the second near-copy arrives") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF.toDF("doc_id", "text")
+    val q = StreamingOps.nearDupStream(df).writeStream
+      .format("memory").queryName("nd_t").outputMode("append").start()
+    try {
+      ms.addData((1L, base), (3L, "completely different words here"))
+      q.processAllAvailable()
+      assert(spark.table("nd_t").count() == 0) // nothing to pair yet
+      ms.addData((2L, base + " tail")) // near-copy of doc 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("nd_t")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(rows.nonEmpty && rows.forall(r => r._1 == 1L && r._2 == 2L),
+      s"expected only the (1,2) near-dup pair: $rows")
+    assert(rows.forall(_._4 >= 0.5)) // a band match guarantees est >= 0.5
+  }
+
+  test("streaming near-dup: a bucket at the cap stops pairing (hot-band guard)") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF.toDF("doc_id", "text")
+    val q = StreamingOps.nearDupStream(df, maxBucket = 2).writeStream
+      .format("memory").queryName("nd_cap_t").outputMode("append").start()
+    try {
+      // 4 identical docs share every bucket; cap 2 → only the first
+      // arrival pair (1,2) emits per band, later members stop pairing
+      ms.addData((1L, base)); q.processAllAvailable()
+      ms.addData((2L, base)); q.processAllAvailable()
+      ms.addData((3L, base), (4L, base)); q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("nd_cap_t")
+      .as[(Long, Long, Int, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(pairs == Set((1L, 2L)), s"cap must stop pairing: $pairs")
+  }
+
   test("streaming funnel: ordered steps complete once, out-of-order clicks don't convert") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, String)]
