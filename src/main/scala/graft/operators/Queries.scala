@@ -559,25 +559,27 @@ object Queries {
   /** Spatial grid rollup — the geo heatmap panel (the PostGIS
     * `ST_SnapToGrid` + GROUP BY analog over the extracted location
     * points): events binned into 5°×5° cells with per-cell event and
-    * distinct-user counts. Cells derive from the NON-NEGATIVE integer
+    * distinct-user counts. Cells derive from a non-negative integer
     * modulus via integer division, then shift to the lat/lon origin —
     * all-integer so there is no float floor at a cell boundary to
-    * disagree on, and no engine divergence on negative division
-    * (Spark `div` truncates, DuckDB `//` floors; on non-negative
-    * operands they agree). One combinable aggregate. */
+    * disagree on. The modulus is `pmod` on the Spark side and the
+    * double-mod form in the oracle, so it is non-negative FOR ANY id
+    * sign (`%` alone is a truncated remainder, negative for negative
+    * ids, where Spark `div` truncating vs DuckDB `//` flooring would
+    * then disagree). One combinable aggregate. */
   val geoGrid = OracleQuery(
     "ltss_geo_grid",
     (s, d) =>
       Tables.events(s, d)
         .filter(col("user_id").isNotNull && col("event_id").isNotNull)
-        .withColumn("lat_lo", expr("((user_id % 180) div 5) * 5 - 90"))
-        .withColumn("lon_lo", expr("((event_id % 360) div 5) * 5 - 180"))
+        .withColumn("lat_lo", expr("(pmod(user_id, 180) div 5) * 5 - 90"))
+        .withColumn("lon_lo", expr("(pmod(event_id, 360) div 5) * 5 - 180"))
         .groupBy(col("lat_lo"), col("lon_lo"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("lat_lo"), col("lon_lo")),
-    Some("""SELECT ((user_id % 180) // 5) * 5 - 90 AS lat_lo,
-      |       ((event_id % 360) // 5) * 5 - 180 AS lon_lo,
+    Some("""SELECT (((user_id % 180 + 180) % 180) // 5) * 5 - 90 AS lat_lo,
+      |       (((event_id % 360 + 360) % 360) // 5) * 5 - 180 AS lon_lo,
       |       CAST(count(*) AS BIGINT) AS n_events,
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events

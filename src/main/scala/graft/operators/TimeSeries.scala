@@ -222,7 +222,11 @@ object TimeSeries {
       .withColumn("nt", lead(col("tus"), 1).over(w))
       .filter(col("nt").isNotNull)
       .withColumn("state_class",
-        when(col("sv") < 20, lit("low"))
+        // NULL sv (a non-numeric state string) classifies 'high'
+        // EXPLICITLY — the same rule stateAggStream applies to an
+        // unparseable state, rather than falling there via otherwise
+        when(col("sv").isNull, lit("high"))
+          .when(col("sv") < 20, lit("low"))
           .when(col("sv") < 60, lit("mid"))
           .otherwise(lit("high")))
       .groupBy(col("entity_id"), col("state_class"))

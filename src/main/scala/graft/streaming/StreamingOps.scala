@@ -23,6 +23,17 @@ object StreamingOps {
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000) % 1000L
 
+  /** The µs-exact inverse of [[micros]]: `new Timestamp(us / 1000)`
+    * would truncate the sub-millisecond digits the rest of the engine
+    * (unix_micros, chunk layout, batch hyperfunctions) carries — the
+    * nanos field restores them, so stream-emitted timestamps round-trip
+    * bit-exactly against the batch twins even for sub-ms event times. */
+  private def tsOfMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(java.lang.Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   final case class LtssEvent(time: java.sql.Timestamp, entity_id: String, state: String)
   final case class LatestState(entity_id: String, last_time: java.sql.Timestamp, last_state: String)
 
@@ -136,10 +147,10 @@ object StreamingOps {
             case Some(GapfillState(lastBus, lastState)) if bus > lastBus =>
               var b = lastBus + widthUs
               while (b < bus) {
-                out += GapfillRow(key, new java.sql.Timestamp(b / 1000L), lastState, 1)
+                out += GapfillRow(key, tsOfMicros(b), lastState, 1)
                 b += widthUs
               }
-              out += GapfillRow(key, new java.sql.Timestamp(bus / 1000L), e.state, 0)
+              out += GapfillRow(key, tsOfMicros(bus), e.state, 0)
               cur = Some(GapfillState(bus, e.state))
             case Some(GapfillState(lastBus, _)) if bus == lastBus =>
               // same bucket: later observation replaces the carry value
@@ -147,7 +158,7 @@ object StreamingOps {
               cur = Some(GapfillState(lastBus, e.state))
             case Some(_) => () // older than the emitted frontier: drop
             case None =>
-              out += GapfillRow(key, new java.sql.Timestamp(bus / 1000L), e.state, 0)
+              out += GapfillRow(key, tsOfMicros(bus), e.state, 0)
               cur = Some(GapfillState(bus, e.state))
           }
         }
@@ -200,11 +211,11 @@ object StreamingOps {
               var b = lastBus + widthUs
               while (b < bus) {
                 val frac = (b - lastBus).toDouble / (bus - lastBus).toDouble
-                out += InterpRow(key, new java.sql.Timestamp(b / 1000L),
+                out += InterpRow(key, tsOfMicros(b),
                   pv + (nv - pv) * frac, 1)
                 b += widthUs
               }
-              out += InterpRow(key, new java.sql.Timestamp(bus / 1000L), nv, 0)
+              out += InterpRow(key, tsOfMicros(bus), nv, 0)
               cur = Some(GapfillState(bus, e.state))
             case Some(GapfillState(lastBus, _)) if bus == lastBus =>
               // same bucket: later observation replaces the left endpoint
@@ -212,7 +223,7 @@ object StreamingOps {
               cur = Some(GapfillState(lastBus, e.state))
             case Some(_) => () // older than the emitted frontier: drop
             case None =>
-              out += InterpRow(key, new java.sql.Timestamp(bus / 1000L),
+              out += InterpRow(key, tsOfMicros(bus),
                 BigDecimal(e.state).toDouble, 0)
               cur = Some(GapfillState(bus, e.state))
           }
@@ -309,7 +320,7 @@ object StreamingOps {
                 if tUs > lastT ||
                   (tUs == lastT && BigDecimal(e.state) > BigDecimal(lastS)) =>
               val bus = lastT - java.lang.Math.floorMod(lastT, bucketWidthUs)
-              out += HeldInterval(key, new java.sql.Timestamp(bus / 1000L),
+              out += HeldInterval(key, tsOfMicros(bus),
                 BigDecimal(lastS).toDouble, tUs - lastT)
               cur = Some(CounterState(tUs, e.state))
             case Some(_) => () // at/behind the frontier: interval already closed
@@ -353,8 +364,8 @@ object StreamingOps {
             case Some(HeartbeatState(lastT)) if tUs > lastT =>
               if (tUs - lastT > livenessUs)
                 out += OutageRow(key,
-                  new java.sql.Timestamp((lastT + livenessUs) / 1000L),
-                  new java.sql.Timestamp(tUs / 1000L),
+                  tsOfMicros(lastT + livenessUs),
+                  tsOfMicros(tUs),
                   tUs - lastT - livenessUs)
               cur = Some(HeartbeatState(tUs))
             case Some(_) => () // at/behind the frontier
@@ -382,19 +393,36 @@ object StreamingOps {
     * batch rollup would recompute them. State is the frontier pair +
     * one (duration, count) accumulator per observed class (≤ |classes|
     * entries, bounded regardless of input volume); same in-order
-    * contract and same-timestamp tie rule as [[heldIntervalStream]]. */
+    * contract and same-timestamp tie rule as [[heldIntervalStream]].
+    *
+    * Duplicate contract: an EXACT duplicate (time, state) at the
+    * frontier is skipped (no zero-duration interval), while the batch
+    * lead-window gives each duplicate row a lead and so counts one —
+    * the twins agree on PK-unique input. Compose after
+    * [[dedupByPkStream]] when the source can repeat (time, entity)
+    * rows; `ltss_dedup_pk` implies the raw feed can. */
   def stateAggStream(ltss: DataFrame): Dataset[StateAggRow] = {
     import ltss.sparkSession.implicits._
-    def classOf(s: String): String = {
-      val v = BigDecimal(s)
-      if (v < 20) "low" else if (v < 60) "mid" else "high"
+    // Non-numeric states (HA-style 'on'/'unavailable') must not poison
+    // the query: the batch twin casts to DECIMAL, yielding NULL, and its
+    // CASE routes NULL to 'high' — parse with Try and classify None the
+    // same way, instead of letting NumberFormatException kill the stream.
+    def parse(s: String): Option[BigDecimal] =
+      scala.util.Try(BigDecimal(s)).toOption
+    def classOf(s: String): String = parse(s) match {
+      case Some(v) => if (v < 20) "low" else if (v < 60) "mid" else "high"
+      case None => "high" // the batch CASE's otherwise-branch for NULL sv
     }
+    // Option ordering (None < Some) mirrors the batch window's NULLS
+    // FIRST ordering on the casted sv.
+    val ord = Ordering.Option(Ordering[BigDecimal])
     ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
       .groupByKey(_.entity_id)
       .flatMapGroupsWithState[StateAggState, StateAggRow](
         org.apache.spark.sql.streaming.OutputMode.Update(),
         GroupStateTimeout.NoTimeout) { (key, events, st) =>
-        val sorted = events.toSeq.sortBy(e => (micros(e.time), BigDecimal(e.state)))
+        val sorted = events.toSeq.sortBy(e => (micros(e.time), parse(e.state)))(
+          Ordering.Tuple2(Ordering[Long], ord))
         var cur = st.getOption
         val touched = scala.collection.mutable.LinkedHashSet.empty[String]
         for (e <- sorted) {
@@ -402,7 +430,7 @@ object StreamingOps {
           cur match {
             case Some(s @ StateAggState(lastT, lastS, durs, counts))
                 if tUs > lastT ||
-                  (tUs == lastT && BigDecimal(e.state) > BigDecimal(lastS)) =>
+                  (tUs == lastT && ord.gt(parse(e.state), parse(lastS))) =>
               val cls = classOf(lastS)
               touched += cls
               cur = Some(StateAggState(tUs, e.state,
@@ -421,8 +449,9 @@ object StreamingOps {
   }
 
   final case class BandDoc(
-      doc_id: Long, band_idx: Int, band_val: String, sig: Seq[String])
-  final case class BucketState(docs: List[(Long, Seq[String])])
+      doc_id: Long, band_idx: Int, band_val: String, sig: Seq[String],
+      t: Option[java.sql.Timestamp])
+  final case class BucketState(docs: List[(Long, Seq[String], Long)])
   final case class DupCandidate(
       a_id: Long, b_id: Long, band_idx: Int, est_jaccard: Double)
 
@@ -441,38 +470,87 @@ object StreamingOps {
     * three-tier policy prescribes), so per-key state is bounded.
     * Candidates are per-band (a pair sharing both bands emits twice,
     * as before the batch DISTINCT) — the downstream exact-verify stage
-    * dedups by pair key, same as batch. */
-  def nearDupStream(docs: DataFrame, maxBucket: Int = 1000): Dataset[DupCandidate] = {
+    * dedups by pair key, same as batch.
+    *
+    * State retention: by default unbounded — online
+    * dedup-against-everything inherently retains history, and per-key
+    * state stays capped at `maxBucket`, but the KEY space (band buckets)
+    * grows with the corpus. `retentionUs` bounds the total store to the
+    * dedup horizon instead: `docs` must then carry an event-time
+    * `timeCol`, an arriving doc pairs only with members no older than
+    * `retentionUs` before it (older members are evicted — a re-arriving
+    * doc re-pairs only within the horizon), and a bucket idle past its
+    * newest member + `retentionUs` is dropped whole by an event-time
+    * timeout once the watermark passes it. See the streaming state-size
+    * table in SURVEY.md §2.2. */
+  def nearDupStream(docs: DataFrame, maxBucket: Int = 1000,
+      retentionUs: Option[Long] = None, timeCol: String = "ingest_time",
+      lateness: String = "0 seconds"): Dataset[DupCandidate] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
-    val sig = docs.select(col("doc_id"),
-      columnOf(graft.functions.MinHash8(expressionOf(col("text")))).as("sig"))
+    val timed = retentionUs match {
+      case Some(_) => docs
+        .select(col("doc_id"), col("text"), col(timeCol).cast("timestamp").as("t"))
+        .withWatermark("t", lateness)
+      case None => docs
+        .select(col("doc_id"), col("text"), lit(null).cast("timestamp").as("t"))
+    }
+    val sig = timed.select(col("doc_id"),
+      columnOf(graft.functions.MinHash8(expressionOf(col("text")))).as("sig"),
+      col("t"))
     val bandOf = (lo: Int) => concat(
       (lo until lo + 4).map(i => element_at(col("sig"), i + 1)): _*)
     sig
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id"), col("sig"), col("t"),
         explode(map(lit(0), bandOf(0), lit(1), bandOf(4)))
           .as(Seq("band_idx", "band_val")))
       .as[BandDoc]
       .groupByKey(b => (b.band_idx, b.band_val))
       .flatMapGroupsWithState[BucketState, DupCandidate](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) { (key, rows, st) =>
-        var stored = st.getOption.map(_.docs).getOrElse(Nil)
-        val out = scala.collection.mutable.ArrayBuffer.empty[DupCandidate]
-        for (r <- rows.toSeq.sortBy(_.doc_id)
-             if !stored.exists(_._1 == r.doc_id)) {
-          if (stored.size < maxBucket) {
-            for ((id, s2) <- stored) {
-              val matches = s2.zip(r.sig).count { case (a, b) => a == b }
-              out += DupCandidate(math.min(id, r.doc_id), math.max(id, r.doc_id),
-                key._1, matches / 8.0)
+        if (retentionUs.isDefined) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) { (key, rows, st) =>
+        if (st.hasTimedOut) { st.remove(); Iterator.empty }
+        else {
+          var stored = st.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[DupCandidate]
+          // event-time order (tUs = 0 without retention, preserving the
+          // original doc_id order there)
+          val rs = rows.toSeq
+            .map(r => (r, r.t.map(micros).getOrElse(0L)))
+            .sortBy { case (r, tUs) => (tUs, r.doc_id) }
+          for ((r, tUs) <- rs) {
+            // TTL first, THEN membership/pairing: an arrival pairs only
+            // with members inside its horizon, and a doc whose old entry
+            // aged out re-registers as new
+            retentionUs.foreach { ret =>
+              stored = stored.filter { case (_, _, mt) => mt >= tUs - ret }
             }
-            stored = (r.doc_id, r.sig) :: stored
-          } // at cap: hot band — no more pairing here, offline verify path
+            if (!stored.exists(_._1 == r.doc_id)) {
+              if (stored.size < maxBucket) {
+                for ((id, s2, _) <- stored) {
+                  val matches = s2.zip(r.sig).count { case (a, b) => a == b }
+                  out += DupCandidate(math.min(id, r.doc_id), math.max(id, r.doc_id),
+                    key._1, matches / 8.0)
+                }
+                stored = (r.doc_id, r.sig, tUs) :: stored
+              } // at cap: hot band — no more pairing here, offline verify path
+            }
+          }
+          if (stored.isEmpty) st.remove()
+          else {
+            st.update(BucketState(stored))
+            for (ret <- retentionUs) {
+              // drop the whole bucket once it has been idle past the
+              // horizon (newest member + retention, clamped above the
+              // current watermark as the API requires)
+              val newestMs = stored.map(_._3).max / 1000L
+              st.setTimeoutTimestamp(
+                math.max(newestMs + ret / 1000L, st.getCurrentWatermarkMs() + 1L))
+            }
+          }
+          out.iterator
         }
-        st.update(BucketState(stored))
-        out.iterator
       }
   }
 
@@ -508,7 +586,7 @@ object StreamingOps {
         for (e <- sorted) {
           val d = e.entity_id.split("\\.")(0)
           val t = micros(e.time)
-          def ts(u: Long) = new java.sql.Timestamp(u / 1000L)
+          def ts(u: Long) = tsOfMicros(u)
           if (d == "view" && s.t1.isEmpty) {
             s = s.copy(t1 = Some(t)); out += FunnelEvent(uid, "1_view", ts(t))
           } else if (d == "click" && s.t2.isEmpty && s.t1.exists(t >= _)) {
@@ -557,7 +635,7 @@ object StreamingOps {
           val s2 = s.s2 + s.openCount * s.openCount
           val d = n * s.openCount - s1
           val varn = n * s2 - s1 * s1
-          out += RateAnomaly(key, new java.sql.Timestamp(s.openBus / 1000L),
+          out += RateAnomaly(key, tsOfMicros(s.openBus),
             s.openCount, if (d > 0 && d * d > 9 * varn) 1 else 0)
           RateState(0L, 0L, n, s1, s2)
         }

@@ -409,6 +409,39 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"cap must stop pairing: $pairs")
   }
 
+  test("streaming near-dup retention: horizon-scoped pairing survives a checkpoint restart") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val in = tmp("nd-in"); val out = tmp("nd-out"); val ckpt = tmp("nd-ckpt")
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val hourUs = 3600000000L
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING, ingest_time TIMESTAMP")
+    def start() = StreamingOps
+      .nearDupStream(spark.readStream.schema(schema).json(in),
+        retentionUs = Some(hourUs))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    def doc(id: Long, t: String) =
+      s"""{"doc_id":$id,"text":"$base","ingest_time":"${t}Z"}"""
+    // within the horizon: (1,2) pairs
+    Files.writeString(Paths.get(in, "b1.json"),
+      doc(1, "2024-01-01T10:00:00") + "\n" + doc(2, "2024-01-01T10:30:00"))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // 2.5h later docs 1+2 have aged out — doc 3 re-registers the bucket
+    // fresh and pairs with NOTHING; doc 4 thirty minutes on pairs with 3
+    Files.writeString(Paths.get(in, "b2.json"), doc(3, "2024-01-01T13:00:00"))
+    Files.writeString(Paths.get(in, "b3.json"), doc(4, "2024-01-01T13:30:00"))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    // restart from the checkpoint: recovered state must carry docs 3+4
+    Files.writeString(Paths.get(in, "b4.json"), doc(5, "2024-01-01T13:45:00"))
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    val pairs = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L)),
+      s"retention horizon must scope pairing: $pairs")
+  }
+
   test("streaming funnel: ordered steps complete once, out-of-order clicks don't convert") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, String)]
