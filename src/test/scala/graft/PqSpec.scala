@@ -13,6 +13,12 @@ class PqSpec extends SparkSpec {
 
   private val D = "/root/testdata/sf0.001"
 
+  test("codebook geometry scales with the corpus: fixture below the line, production at bench SF") {
+    assert(Pq.params(spark, D) == Pq.FixtureParams)
+    assert(Pq.params(spark, "/root/testdata/sf0.01") == Pq.FixtureParams)
+    assert(Pq.params(spark, "/root/testdata/sf0.1") == Pq.ProdParams)
+  }
+
   test("every vector gets one code per subspace, within the codebook") {
     val n = Tables.embeddings(spark, D).count()
     val codes = Pq.pqCodes(spark, D)
