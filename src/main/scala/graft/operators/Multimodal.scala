@@ -8,11 +8,14 @@ import graft.Tables
   * with typed metadata, and a decode/feature-extract stage as a
   * partition-local transform.
   *
-  * The container has no image/audio codecs, so the decode step is a
+  * Image DIMENSIONS decode for real: [[MediaHeaders]] parses actual
+  * PNG IHDR and JPEG SOF segment headers (both public formats, pure
+  * big-endian byte arithmetic — no codec library needed). Full pixel
+  * decode needs codecs the container lacks, so THAT step stays a
   * clearly-marked deterministic STUB ([[StubDecoder]]); the Spark-side
   * plumbing — binary schema, batched partition-local processing, fixed
-  * feature shape — is real and tested. Swapping the stub for a JNI/codec
-  * call changes nothing structurally.
+  * feature shape — is real and tested. Swapping the stub for a
+  * JNI/codec call changes nothing structurally.
   */
 object Multimodal {
 
@@ -21,9 +24,54 @@ object Multimodal {
       doc_id: Long, media_type: String, byte_len: Long,
       width: Int, height: Int, features: Array[Float])
 
-  /** STUB decoder: stands in for an image/audio codec. Deterministic so
-    * the pipeline is testable; partition-local so a real decoder slots in
-    * with the same batching shape. */
+  /** REAL image-header parsers — dimensions from the container formats
+    * themselves, not a stand-in. PNG: the IHDR chunk is mandated first
+    * (8-byte signature, 4-byte length, "IHDR", then big-endian
+    * width/height). JPEG: walk the marker segments from SOI, skipping
+    * APPn/DQT/etc. by their length fields, until a frame header (SOFn
+    * except the DHT/JPG/DAC markers C4/C8/CC) carries height then width
+    * at payload offsets 3 and 5. Parse failure returns None — callers
+    * surface it as (-1, -1), never a fabricated dimension. */
+  object MediaHeaders {
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+        ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+
+    private val PngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+
+    def pngDims(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 24 &&
+        (0 until 8).forall(i => (b(i) & 0xFF) == PngSig(i)) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Some((be32(b, 16), be32(b, 20)))
+      else None
+
+    private def isSof(m: Int): Boolean =
+      m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+
+    def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xFF) != 0xFF) return None
+        val marker = b(i + 1) & 0xFF
+        // standalone markers (no length field): TEM, RSTn, repeated SOI
+        if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD8)) i += 2
+        else if (isSof(marker)) {
+          return if (i + 8 < b.length) Some((be16(b, i + 7), be16(b, i + 5)))
+          else None
+        } else i += 2 + be16(b, i + 2)
+      }
+      None
+    }
+  }
+
+  /** STUB decoder: stands in for a full pixel codec (feature vectors
+    * from content). Deterministic so the pipeline is testable;
+    * partition-local so a real decoder slots in with the same batching
+    * shape. */
   object StubDecoder {
     def decode(r: MediaRecord): MediaFeatures = {
       val len = r.content.length.toLong
@@ -32,6 +80,21 @@ object Multimodal {
       val height = (len * 7 % 480).toInt
       val feats = Array.tabulate(4)(i => ((len + i * 31) % 256).toFloat / 255f)
       MediaFeatures(r.doc_id, r.media_type, len, width, height, feats)
+    }
+  }
+
+  /** The decode dispatch: image payloads get their REAL header
+    * dimensions ((-1, -1) on a corrupt header — never fabricated);
+    * everything else falls through to the stub codec. */
+  object HeaderDecoder {
+    def decode(r: MediaRecord): MediaFeatures = r.media_type match {
+      case "image/png" | "image/jpeg" =>
+        val dims = (if (r.media_type == "image/png") MediaHeaders.pngDims(r.content)
+                    else MediaHeaders.jpegDims(r.content)).getOrElse((-1, -1))
+        val len = r.content.length.toLong
+        MediaFeatures(r.doc_id, r.media_type, len, dims._1, dims._2,
+          Array(dims._1.toFloat, dims._2.toFloat, len.toFloat, 0f))
+      case _ => StubDecoder.decode(r)
     }
   }
 
@@ -46,10 +109,11 @@ object Multimodal {
   }
 
   /** Decode / feature-extract over partitions (the mapInPandas analog:
-    * batched, partition-local, fixed output schema). */
+    * batched, partition-local, fixed output schema): real header dims
+    * for image types, the stub codec elsewhere. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(StubDecoder.decode))
+    media.mapPartitions(_.map(HeaderDecoder.decode))
   }
 
   /** Oracle-checkable slice of the multimodal path: binary length, content
@@ -72,6 +136,46 @@ object Multimodal {
       |  md5(text) AS content_hash,
       |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT) AS width,
       |  CAST(octet_length(CAST(text AS BLOB)) * 7 % 480 AS INT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** REAL header decode, round-tripped: the plan BUILDS valid PNG and
+    * JPEG payloads in-flight (signature + IHDR with big-endian dims for
+    * even doc_ids; SOI + a JFIF APP0 segment the parser must skip + an
+    * SOF0 frame header for odd ones), [[extractFeatures]] parses the
+    * actual bytes back through [[MediaHeaders]], and the oracle computes
+    * the expected dimensions by INDEPENDENT integer arithmetic on
+    * doc_id — so a hash match proves the parser inverts the container
+    * format, not that two copies of one formula agree. byte_len pins
+    * the construction (33-byte PNG, 39-byte JPEG). Map-side only. */
+  val decode = OracleQuery(
+    "multimodal_decode",
+    (s, d) => {
+      import s.implicits._
+      val w = (col("doc_id") % 640 + 1).cast("int")
+      val h = (col("doc_id") * 7 % 480 + 1).cast("int")
+      val pngHex = concat(
+        lit("89504E470D0A1A0A" + "0000000D" + "49484452"), // sig, len 13, IHDR
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+        lit("0806000000" + "00000000")) // bit depth 8, RGBA, ..., dummy CRC
+      val jpgHex = concat(
+        lit("FFD8" + "FFE000104A46494600010100000100010000" + // SOI, APP0/JFIF
+          "FFC00011" + "08"), // SOF0, len 17, precision 8
+        lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+        lit("03" + "012200" + "021101" + "031101")) // 3 components
+      val media = Tables.documents(s, d).select(col("doc_id"),
+        unhex(when(col("doc_id") % 2 === 0, pngHex).otherwise(jpgHex)).as("content"),
+        when(col("doc_id") % 2 === 0, lit("image/png")).otherwise(lit("image/jpeg"))
+          .as("media_type")).as[MediaRecord]
+      extractFeatures(media)
+        .select(col("doc_id"), col("media_type"), col("byte_len"),
+          col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS media_type,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END AS BIGINT) AS byte_len,
+      |  CAST(doc_id % 640 + 1 AS INT) AS width,
+      |  CAST(doc_id * 7 % 480 + 1 AS INT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Frame sampling (the video/audio frame-extraction analog): fixed
@@ -141,5 +245,5 @@ object Multimodal {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[OracleQuery] = Seq(features, frameSample, resize)
+  val all: Seq[OracleQuery] = Seq(features, decode, frameSample, resize)
 }
