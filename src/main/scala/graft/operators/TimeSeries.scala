@@ -617,6 +617,30 @@ object TimeSeries {
     },
     None) // rows-only by design: the sequential pick has no SQL twin
 
+  /** The BUCKET STAGE of [[lttbQ]], oracle-checked on its own: the
+    * sequential pick is rows-only by design, but its [[bucketLast]]
+    * input grid IS DuckDB-expressible — this row hash-verifies exactly
+    * the frame the pick consumes (same filter, same 15-min width), so
+    * the only unverified link in the LTTB chain is the pick itself
+    * (pinned by TimeSeriesSpec's hand-computed cases). */
+  val lttbGridQ = OracleQuery(
+    "ltss_lttb_grid",
+    (s, d) => {
+      val l = Queries.ltss(s, d)
+        .filter(split(col("entity_id"), "\\.").getItem(0) === "click")
+      bucketLast(l, widthUs = 15L * 60 * 1000000)
+        .select(col("entity_id"), timestamp_micros(col("bus")).as("bucket"),
+          col("sv").cast("double").as("sv"))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+    Some(s"""$ltssBase
+      |SELECT entity_id,
+      |       make_timestamp((epoch_us(time) // ${15L * 60 * 1000000}) * ${15L * 60 * 1000000}) AS bucket,
+      |       CAST(max({'time': time, 'sv': CAST(state AS DECIMAL(12,2))}).sv AS DOUBLE) AS sv
+      |FROM base WHERE split_part(entity_id, '.', 1) = 'click'
+      |GROUP BY entity_id, bucket
+      |ORDER BY entity_id, bucket""".stripMargin))
+
   val stateAggQ = OracleQuery(
     "ltss_state_agg",
     (s, d) => {
@@ -749,5 +773,5 @@ object TimeSeries {
 
   val all: Seq[OracleQuery] =
     Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
-      stateAggQ, heartbeatQ, rateAnomalyQ, movingAvgQ, caggQ)
+      lttbGridQ, stateAggQ, heartbeatQ, rateAnomalyQ, movingAvgQ, caggQ)
 }
