@@ -9,10 +9,11 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * §2.2 "streaming semantics" row). Kept OUT of the oracle-checked set
   * (no DuckDB analog for continuous queries); verified by unit tests.
   *
-  * Scale notes: both operators shuffle once on their grouping key and
-  * keep per-key state in the state store — at 100 TB of history the
-  * state is bounded by |entities| (latest-state) and |open windows|
-  * (watermarked counts), not by input volume.
+  * Scale notes: every operator shuffles once on its grouping key and
+  * keeps per-key state in the state store; the per-op state bound and
+  * total-store growth over an unbounded stream are tabulated in ONE
+  * place — SURVEY.md §2.2 "Streaming state-size contract" — with the
+  * detailed argument in each op's scaladoc here.
   */
 object StreamingOps {
 
