@@ -604,6 +604,74 @@ object TimeSeries {
       |GROUP BY entity_id, bucket
       |ORDER BY entity_id, bucket""".stripMargin))
 
+  /** Linear-trend rollup per entity (TimescaleDB's `stats_agg` 2-D
+    * accumulator → `slope`/`intercept`/`corr`): ordinary least squares
+    * of value against time, from the FIVE classic sufficient sums
+    * (Σx, Σy, Σxy, Σx², Σy²) — each an exact DECIMAL aggregate that
+    * partial-combines map-side and is order-independent, so the rollup
+    * is ONE combinable hash aggregate at any scale, like every stats_agg
+    * rollup. x is integer seconds rebased to 2024-01-01 (the data
+    * epoch), keeping x² within DECIMAL(38); the closing slope/
+    * intercept/r² arithmetic runs as an identical IEEE chain on both
+    * engines over the exact sums. Entities with a degenerate time
+    * variance (all observations in one second) are excluded by the
+    * varx > 0 gate — evaluated on the same double both engines
+    * compute, so the gate itself is engine-identical. */
+  def trend(ltss: DataFrame): DataFrame = {
+    val BaseUs = 1704067200000000L // 2024-01-01T00:00:00Z, the data epoch
+    val d = (c: Column) => c.cast("double")
+    ltss
+      .withColumn("x", expr(s"(unix_micros(time) - ${BaseUs}L) div 1000000"))
+      .withColumn("y", col("state").cast("decimal(12,2)"))
+      .groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(20,0)")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum(col("x").cast("decimal(20,0)") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("num", d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+      .withColumn("varx", d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+      .withColumn("vary", d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))
+      .filter(col("varx") > 0)
+      .withColumn("slope", col("num") / col("varx"))
+      .select(col("entity_id"), col("n"), col("slope"),
+        ((d(col("sy")) - col("slope") * d(col("sx"))) / d(col("n"))).as("intercept"),
+        ((col("num") * col("num")) / (col("varx") * col("vary"))).as("r2"))
+  }
+
+  val trendQ = OracleQuery(
+    "ltss_trend",
+    (s, d) => trend(Queries.ltss(s, d)).orderBy(col("entity_id")),
+    Some(s"""$ltssBase,
+      |t AS (
+      |  SELECT entity_id,
+      |         (epoch_us(time) - 1704067200000000) // 1000000 AS x,
+      |         CAST(state AS DECIMAL(12,2)) AS y
+      |  FROM base
+      |), a AS (
+      |  SELECT entity_id, CAST(count(*) AS BIGINT) AS n,
+      |         SUM(CAST(x AS DECIMAL(20,0))) AS sx,
+      |         SUM(y) AS sy,
+      |         SUM(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+      |         SUM(CAST(x AS DECIMAL(20,0)) * y) AS sxy,
+      |         SUM(y*y) AS syy
+      |  FROM t GROUP BY entity_id
+      |), b AS (
+      |  SELECT entity_id, n, sx, sy,
+      |         CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+      |         CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS varx,
+      |         CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vary
+      |  FROM a
+      |), c AS (
+      |  SELECT entity_id, n, sx, sy, num, varx, vary, num / varx AS slope
+      |  FROM b WHERE varx > 0
+      |)
+      |SELECT entity_id, n, slope,
+      |       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+      |       (num * num) / (varx * vary) AS r2
+      |FROM c ORDER BY entity_id""".stripMargin))
+
   val lttbQ = OracleQuery(
     "ltss_lttb",
     (s, d) => {
@@ -773,5 +841,5 @@ object TimeSeries {
 
   val all: Seq[OracleQuery] =
     Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
-      lttbGridQ, stateAggQ, heartbeatQ, rateAnomalyQ, movingAvgQ, caggQ)
+      lttbGridQ, stateAggQ, heartbeatQ, rateAnomalyQ, movingAvgQ, caggQ, trendQ)
 }
