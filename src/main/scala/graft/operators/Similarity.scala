@@ -607,6 +607,78 @@ object Similarity {
         |ORDER BY cid, a_id, b_id""".stripMargin
     })
 
+  /** Semantic deduplication END-TO-END (the SemDeDup recipe — Abbas et
+    * al., "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", 2023): cluster the embedding space with
+    * the TRAINED k-means index, form candidate pairs only within
+    * clusters (the [[dedupEmbeddingIvf]] bound — (n/k)² per cluster,
+    * n^1.5 at k≈√n, never all-pairs), connect the pairs into semantic
+    * duplicate groups with the one-job-per-iteration label propagation,
+    * and keep ONE representative (min vec_id) per group; vectors in no
+    * pair keep themselves. Every vector gets a verdict row, so
+    * `keep = 0` rows ARE the semantic prune list a training-data
+    * pipeline drops before tokenization. The oracle replays the whole
+    * composition — Lloyd training, pair predicate, and a recursive-CTE
+    * reachability closure — bit-exactly. */
+  val dedupSemantic = OracleQuery(
+    "dedup_semantic",
+    (s, d) => {
+      val minCos = 0.2 // the dedupEmbeddingIvf near-dup threshold
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val aqeWas = s.conf.get(aqeKey, "true")
+      s.conf.set(aqeKey, "false") // fixed tiny plan for the CC loop
+      try {
+        val asg = kmeansAssignments(s, d, KmIters).select(col("vec_id"), col("cid"))
+        val e = Tables.embeddings(s, d).select(col("vec_id"),
+          col("embedding"), DetMath.normCol(col("embedding"), Dim).as("nrm"))
+        val pairs = asg.toDF("a_id", "cid").join(asg.toDF("b_id", "cid"), "cid")
+          .filter(col("a_id") < col("b_id"))
+          .join(e.toDF("a_id", "a_e", "a_n"), "a_id")
+          .join(e.toDF("b_id", "b_e", "b_n"), "b_id")
+          .withColumn("cosine", DetMath.cosinePre(
+            DetMath.dotCol(col("a_e"), col("b_e"), Dim), col("a_n"), col("b_n")))
+          .filter(col("cosine") >= minCos)
+          .select(col("a_id"), col("b_id"))
+        val (labels, _) = Dedup.connectedComponents(pairs)
+        Tables.embeddings(s, d).select(col("vec_id"))
+          .join(labels.toDF("vec_id", "rep"), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("rep"), col("vec_id")).as("cluster"),
+            (col("vec_id") === coalesce(col("rep"), col("vec_id")))
+              .cast("int").as("keep"))
+          .orderBy(col("vec_id"))
+      } finally s.conf.set(aqeKey, aqeWas)
+    },
+    Some {
+      val cos = DetMath.cosinePreSql(
+        DetMath.dotSql("ea.embedding", "eb.embedding", Dim), "ea.nrm", "eb.nrm")
+      val cte = kmeansSqlChain.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$cte,
+        |edges AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cos AS cosine
+        |    FROM aF a
+        |    JOIN aF b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |    JOIN e ea ON ea.vec_id = a.vec_id
+        |    JOIN e eb ON eb.vec_id = b.vec_id)
+        |  WHERE cosine >= 0.2
+        |),
+        |sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+        |        UNION ALL SELECT b_id, a_id FROM edges),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |r(id, rid) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT sym.src, r.rid FROM sym JOIN r ON sym.dst = r.id
+        |),
+        |lab AS (SELECT id, min(rid) AS cluster FROM r GROUP BY id)
+        |SELECT e.vec_id,
+        |       COALESCE(lab.cluster, e.vec_id) AS cluster,
+        |       CAST(e.vec_id = COALESCE(lab.cluster, e.vec_id) AS INT) AS keep
+        |FROM e LEFT JOIN lab ON lab.id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin
+    })
+
   /** Int8 embedding quantization (the 4× storage/bandwidth reduction a
     * 100 TB vector corpus wants before ANN indexing): code = floor(
     * clamp(v,−1,1)·127 + 0.5) per dimension — floor(x+0.5) instead of
@@ -643,5 +715,6 @@ object Similarity {
 
   val all: Seq[OracleQuery] =
     Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, embedNearDupRandomQ,
-      ivfProbe, ivfProbe2, ivfKmeans, dedupEmbeddingIvf, embedQuantize)
+      ivfProbe, ivfProbe2, ivfKmeans, dedupEmbeddingIvf, dedupSemantic,
+      embedQuantize)
 }
