@@ -850,7 +850,92 @@ object Dedup {
       |FROM documents LEFT JOIN per_doc USING (doc_id)
       |ORDER BY doc_id""".stripMargin))
 
+  /** Duplicated-substring SPAN extraction (the windowed form of exact
+    * substring dedup — Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", 2022): every STRIDE-1 16-token window is
+    * fingerprinted, occurrences are counted corpus-wide, and each
+    * document reports its MAXIMAL duplicated spans — the union of its
+    * duplicated windows, merged by the equal-length interval rule (a
+    * window extends the open span iff it starts at or before the span
+    * end, i.e. i ≤ prev_i + W). Spans are token-indexed
+    * [start_tok, end_tok) ready for excision — the per-span output the
+    * ExactSubstr pipeline cuts from training text, where
+    * [[passageStats]] only gates whole documents.
+    *
+    * Scale design: production ExactSubstr builds a suffix array; this
+    * stride-1 window form is its bounded-memory distributed analog —
+    * ~n_tokens rows per document reduced to 8-byte [[
+    * graft.functions.Md5Prefix64]] fingerprints MAP-SIDE before the one
+    * combinable count shuffle (a boilerplate window is ONE count row),
+    * a semi-join back on the same 8-byte key, and the span merge a
+    * per-doc lag window over only the DUPLICATED window starts (a
+    * vanishing fraction of the corpus at scale). */
+  /** The span computation over a (doc_id, text) frame — see
+    * [[substringSpans]] for semantics and the scale argument. */
+  private[graft] def substringSpanStats(docs: DataFrame, width: Int = 16): DataFrame = {
+    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+    val W = width
+    val wins = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= W)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(w) - $W)")).as("i"), col("w"))
+      .select(col("doc_id"), col("i"),
+        columnOf(graft.functions.Md5Prefix64(expressionOf(
+          expr(s"concat_ws(' ', slice(w, i + 1, $W))")))).as("fp"))
+    val hot = wins.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    val dup = wins.join(hot.select(col("fp")), "fp")
+      .select(col("doc_id"), col("i"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    dup
+      .withColumn("new_span",
+        (col("i") > coalesce(lag(col("i"), 1).over(wd), lit(-(W + 1))) + W)
+          .cast("int"))
+      .withColumn("span_id", sum(col("new_span")).over(wd))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("i")).as("mn"), max(col("i")).as("mx"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_id"),
+        col("mn").cast("long").as("start_tok"),
+        (col("mx") + W).cast("long").as("end_tok"), col("n_windows"))
+  }
+
+  val substringSpans = {
+    val W = 16
+    OracleQuery(
+      "dedup_substring_spans",
+      (s, d) => substringSpanStats(Tables.documents(s, d), W)
+        .orderBy(col("doc_id"), col("span_id")),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i, substring(md5(array_to_string(w[i+1:i+$W], ' ')), 1, 15) AS fp
+        |  FROM (SELECT doc_id, w, unnest(generate_series(0, len(w) - $W)) AS i
+        |        FROM w WHERE len(w) >= $W)
+        |),
+        |hot AS (SELECT fp FROM wins GROUP BY fp HAVING count(*) > 1),
+        |dup AS (SELECT doc_id, i FROM wins JOIN hot USING (fp)),
+        |flg AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN i > COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), ${-(W + 1)}) + $W
+        |              THEN 1 ELSE 0 END AS new_span
+        |  FROM dup
+        |),
+        |sp AS (
+        |  SELECT doc_id, i,
+        |         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |  FROM flg
+        |)
+        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+        |       CAST(min(i) AS BIGINT) AS start_tok,
+        |       CAST(max(i) + $W AS BIGINT) AS end_tok,
+        |       CAST(count(*) AS BIGINT) AS n_windows
+        |FROM sp GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_id""".stripMargin))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(exact, minhashSig, minhashLsh, jaccard, clusters, overflowVerify, crosscheck,
-      simhashPairs, simhash64Pairs, sourceOverlap, passage)
+      simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans)
 }

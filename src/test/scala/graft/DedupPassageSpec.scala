@@ -29,4 +29,28 @@ class DedupPassageSpec extends SparkSpec {
       (3L, 0L, 0L, 0.0, 1),
       (4L, 2L, 2L, 1.0, 0)))
   }
+
+  test("substring spans: overlapping windows merge, a >W gap splits, within-doc repeats count") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"s$i")       // 20 shared tokens
+    val fillA = (1 to 4).map(i => s"a$i")
+    val fillB = (1 to 5).map(i => s"b$i")
+    val gap = (1 to 17).map(i => s"g$i")          // > W: forces a span split
+    val docs = Seq(
+      // doc 0: shared at offset 0 → windows 0..4 duplicated → span [0,20)
+      (0L, (shared ++ fillA).mkString(" ")),
+      // doc 1: shared at offset 5 → windows 5..9 → span [5,25)
+      (1L, (fillB ++ shared).mkString(" ")),
+      // doc 2: shared twice with a 17-token gap — WITHIN-doc duplication
+      // alone also counts; two spans [0,20) and [37,57)
+      (2L, (shared ++ gap ++ shared).mkString(" "))).toDF("doc_id", "text")
+    val spans = graft.operators.Dedup.substringSpanStats(docs)
+      .orderBy($"doc_id", $"span_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq(
+      (0L, 1L, 0L, 20L, 5L),
+      (1L, 1L, 5L, 25L, 5L),
+      (2L, 1L, 0L, 20L, 5L),
+      (2L, 2L, 37L, 57L, 5L)), s"got $spans")
+  }
 }
