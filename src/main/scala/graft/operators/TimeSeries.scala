@@ -640,6 +640,76 @@ object TimeSeries {
         ((col("num") * col("num")) / (col("varx") * col("vary"))).as("r2"))
   }
 
+  /** Windowed time-in-state (TimescaleDB `duration_in(state_agg, …)`
+    * rolled up per day): each hold interval [t, next) — the reading's
+    * value held until the next reading, as in [[stateAgg]] — is SPLIT
+    * ACROSS the day buckets it crosses, so a day's total is the exact
+    * time spent in each class within that day, not a whole-interval
+    * attribution to its start bucket. The split is an `explode` over
+    * the interval's covered days (bounded by span-days, distributed
+    * with the rows) and the overlap arithmetic is all-integer µs:
+    * min(next, day_end) − max(t, day_start). One combinable aggregate
+    * after the fan-out. Zero-duration intervals contribute no time and
+    * are dropped before the fan-out (unlike [[stateAgg]]'s n_intervals,
+    * which counts them — documented divergence: this is a DURATION
+    * rollup). */
+  def stateTimeline(ltss: DataFrame, widthUs: Long = DayUs): DataFrame = {
+    val w = Window.partitionBy(col("entity_id")).orderBy(col("time"), col("sv"))
+    ltss
+      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("tus", unix_micros(col("time")))
+      .withColumn("nt", lead(col("tus"), 1).over(w))
+      .filter(col("nt").isNotNull && col("nt") > col("tus"))
+      .withColumn("state_class",
+        when(col("sv").isNull, lit("high"))
+          .when(col("sv") < 20, lit("low"))
+          .when(col("sv") < 60, lit("mid"))
+          .otherwise(lit("high")))
+      .withColumn("b",
+        explode(expr(s"sequence(tus div ${widthUs}L, (nt - 1) div ${widthUs}L)")))
+      .withColumn("dur",
+        least(col("nt"), (col("b") + 1) * widthUs) -
+          greatest(col("tus"), col("b") * widthUs))
+      .groupBy(col("entity_id"), col("b"), col("state_class"))
+      .agg(sum(col("dur")).as("duration_us"), count(lit(1)).as("n_intervals"))
+      .select(col("entity_id"), timestamp_micros(col("b") * widthUs).as("bucket"),
+        col("state_class"), col("duration_us"), col("n_intervals"))
+  }
+
+  val stateTimelineQ = OracleQuery(
+    "ltss_state_timeline",
+    (s, d) => {
+      val l = Queries.ltss(s, d)
+        .filter(split(col("entity_id"), "\\.").getItem(0) === "view")
+      stateTimeline(l).orderBy(col("entity_id"), col("bucket"), col("state_class"))
+    },
+    Some(s"""$ltssBase,
+      |iv AS (
+      |  SELECT entity_id, sv, tus, nt,
+      |         CASE WHEN sv < 20 THEN 'low'
+      |              WHEN sv < 60 THEN 'mid' ELSE 'high' END AS state_class
+      |  FROM (
+      |    SELECT entity_id, CAST(state AS DECIMAL(12,2)) AS sv,
+      |           epoch_us(time) AS tus,
+      |           lead(epoch_us(time), 1) OVER (
+      |             PARTITION BY entity_id
+      |             ORDER BY time, CAST(state AS DECIMAL(12,2))) AS nt
+      |    FROM base WHERE split_part(entity_id, '.', 1) = 'view')
+      |  WHERE nt IS NOT NULL AND nt > tus
+      |),
+      |fan AS (
+      |  SELECT entity_id, state_class, tus, nt,
+      |         unnest(generate_series(tus // $DayUs, (nt - 1) // $DayUs)) AS b
+      |  FROM iv
+      |)
+      |SELECT entity_id, make_timestamp(b * $DayUs) AS bucket, state_class,
+      |       CAST(sum(least(nt, (b + 1) * $DayUs) - greatest(tus, b * $DayUs)) AS BIGINT)
+      |         AS duration_us,
+      |       CAST(count(*) AS BIGINT) AS n_intervals
+      |FROM fan
+      |GROUP BY entity_id, b, state_class
+      |ORDER BY entity_id, bucket, state_class""".stripMargin))
+
   val trendQ = OracleQuery(
     "ltss_trend",
     (s, d) => trend(Queries.ltss(s, d)).orderBy(col("entity_id")),
@@ -841,5 +911,6 @@ object TimeSeries {
 
   val all: Seq[OracleQuery] =
     Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
-      lttbGridQ, stateAggQ, heartbeatQ, rateAnomalyQ, movingAvgQ, caggQ, trendQ)
+      lttbGridQ, stateAggQ, stateTimelineQ, heartbeatQ, rateAnomalyQ, movingAvgQ,
+      caggQ, trendQ)
 }

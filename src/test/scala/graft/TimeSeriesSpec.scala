@@ -239,4 +239,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getAs[Double]("uptime_ratio") == 0.6)
     assert(r.getAs[Long]("n_outages") == 1L)
   }
+
+  test("state timeline splits a midnight-crossing hold interval exactly across days") {
+    // hold interval [23:00 Jan 1, 01:00 Jan 2) in class 'low' (sv=10):
+    // one hour lands in each day; the closing reading holds nothing
+    val l = ltssOf(Seq(
+      (Timestamp.valueOf("2024-01-01 23:00:00"), "view.1", "10"),
+      (Timestamp.valueOf("2024-01-02 01:00:00"), "view.1", "30")))
+    val out = TimeSeries.stateTimeline(l)
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getAs[Timestamp]("bucket").toString,
+        r.getAs[String]("state_class"), r.getAs[Long]("duration_us"),
+        r.getAs[Long]("n_intervals"))).toSeq
+    assert(out == Seq(
+      ("2024-01-01 00:00:00.0", "low", H, 1L),
+      ("2024-01-02 00:00:00.0", "low", H, 1L)), s"got $out")
+  }
 }
