@@ -587,6 +587,63 @@ object Queries {
       |GROUP BY 1, 2
       |ORDER BY lat_lo, lon_lo""".stripMargin))
 
+  /** Grid-bucketed spatial pair join — the `ST_DWithin` self-join
+    * (PostGIS "pairs of points within distance r") in its distributed
+    * shape: each point homes to an r-sized grid cell, ONE side explodes
+    * to its 3×3 cell neighborhood, candidates form by a cell-key
+    * equi-join (a pair meets on exactly one key — the b-side copy
+    * covering a's home cell), and the exact distance predicate prunes
+    * the candidates. Never all-pairs: candidate count is bounded by
+    * per-neighborhood density, the spatial-join scale argument. Points
+    * derive on the integer lattice (user_id-keyed), so the distance
+    * arithmetic is ALL-INTEGER (the ±0.5° centering cancels in the
+    * differences) — no float at any decision point. Planar cells; the
+    * spherical surface is [[geoDistance]]'s haversine kernel. */
+  val geoPairs = OracleQuery(
+    "ltss_geo_pairs",
+    (s, d) => {
+      val cell = 8L // cell size = radius, in degrees
+      val u = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id")).distinct()
+        .withColumn("li", pmod(col("user_id"), lit(180)))
+        .withColumn("lo", pmod(col("user_id") * 7, lit(360)))
+      val a = u.select(col("user_id").as("a_id"), col("li").as("a_li"),
+        col("lo").as("a_lo"), expr(s"li div $cell").as("cx"),
+        expr(s"lo div $cell").as("cy"))
+      val b = u
+        .withColumn("dx", explode(expr("sequence(-1, 1)")))
+        .withColumn("dy", explode(expr("sequence(-1, 1)")))
+        .select(col("user_id").as("b_id"), col("li").as("b_li"),
+          col("lo").as("b_lo"), (expr(s"li div $cell") + col("dx")).as("cx"),
+          (expr(s"lo div $cell") + col("dy")).as("cy"))
+      a.join(b, Seq("cx", "cy"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("d2",
+          (col("a_li") - col("b_li")) * (col("a_li") - col("b_li")) +
+            (col("a_lo") - col("b_lo")) * (col("a_lo") - col("b_lo")))
+        .filter(col("d2") <= cell * cell)
+        .select(col("a_id"), col("b_id"), col("d2"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH u AS (
+      |  SELECT DISTINCT user_id,
+      |         ((user_id % 180) + 180) % 180 AS li,
+      |         ((user_id * 7 % 360) + 360) % 360 AS lo
+      |  FROM events WHERE user_id IS NOT NULL
+      |),
+      |a AS (SELECT user_id, li, lo, li // 8 AS cx, lo // 8 AS cy FROM u),
+      |b AS (
+      |  SELECT user_id, li, lo, (li // 8) + dx AS cx, (lo // 8) + dy AS cy
+      |  FROM u, (VALUES (-1), (0), (1)) dxs(dx), (VALUES (-1), (0), (1)) dys(dy)
+      |)
+      |SELECT a_id, b_id, d2 FROM (
+      |  SELECT a.user_id AS a_id, b.user_id AS b_id,
+      |         (a.li - b.li)*(a.li - b.li) + (a.lo - b.lo)*(a.lo - b.lo) AS d2
+      |  FROM a JOIN b ON a.cx = b.cx AND a.cy = b.cy AND a.user_id < b.user_id)
+      |WHERE d2 <= 64
+      |ORDER BY a_id, b_id""".stripMargin))
+
   /** Top movers — the "biggest changes" dashboard panel: per entity,
     * the first and last observed values (by the deterministic
     * (time, value) order), ranked by absolute net change. ONE hash
@@ -924,5 +981,5 @@ object Queries {
     timeBucketAgg, jsonAttr, jsonAttrLayout, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, geoBbox, timeBucketSqlQ,
     domainStatsSalted, asofJoin, rangeJoin, percentiles, histogram, pivotHours,
-    retention, funnel, topMovers, geoGrid, sketches)
+    retention, funnel, topMovers, geoGrid, geoPairs, sketches)
 }
