@@ -676,6 +676,68 @@ object TimeSeries {
         col("state_class"), col("duration_us"), col("n_intervals"))
   }
 
+  /** Interpolated time-weighted average per (entity, day) — TimescaleDB
+    * `interpolated_average`: where [[timeWeighted]] attributes a whole
+    * hold interval to its start, this splits each interval's
+    * value·duration weight EXACTLY across the day buckets it crosses
+    * (the value held across midnight weights both days by the time it
+    * actually held in each). Same split fan-out as [[stateTimeline]];
+    * the weighted sums stay exact DECIMAL·BIGINT products and the one
+    * IEEE division closes per bucket. */
+  def interpolatedTwa(ltss: DataFrame, widthUs: Long = DayUs): DataFrame = {
+    val w = Window.partitionBy(col("entity_id")).orderBy(col("time"), col("sv"))
+    ltss
+      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("tus", unix_micros(col("time")))
+      .withColumn("nt", lead(col("tus"), 1).over(w))
+      .filter(col("nt").isNotNull && col("nt") > col("tus"))
+      .withColumn("b",
+        explode(expr(s"sequence(tus div ${widthUs}L, (nt - 1) div ${widthUs}L)")))
+      .withColumn("dur",
+        least(col("nt"), (col("b") + 1) * widthUs) -
+          greatest(col("tus"), col("b") * widthUs))
+      .groupBy(col("entity_id"), col("b"))
+      .agg(sum(col("sv") * col("dur")).as("wsum"), sum(col("dur")).as("dsum"))
+      .select(col("entity_id"), timestamp_micros(col("b") * widthUs).as("bucket"),
+        (col("wsum").cast("double") / col("dsum").cast("double")).as("twa"),
+        col("dsum").as("covered_us"))
+  }
+
+  val interpTwaQ = OracleQuery(
+    "ltss_interp_twa",
+    (s, d) => {
+      val l = Queries.ltss(s, d)
+        .filter(split(col("entity_id"), "\\.").getItem(0) === "view")
+      interpolatedTwa(l).orderBy(col("entity_id"), col("bucket"))
+    },
+    Some(s"""$ltssBase,
+      |iv AS (
+      |  SELECT entity_id, sv, tus, nt FROM (
+      |    SELECT entity_id, CAST(state AS DECIMAL(12,2)) AS sv,
+      |           epoch_us(time) AS tus,
+      |           lead(epoch_us(time), 1) OVER (
+      |             PARTITION BY entity_id
+      |             ORDER BY time, CAST(state AS DECIMAL(12,2))) AS nt
+      |    FROM base WHERE split_part(entity_id, '.', 1) = 'view')
+      |  WHERE nt IS NOT NULL AND nt > tus
+      |),
+      |fan AS (
+      |  SELECT entity_id, sv, tus, nt,
+      |         unnest(generate_series(tus // $DayUs, (nt - 1) // $DayUs)) AS b
+      |  FROM iv
+      |),
+      |agg AS (
+      |  SELECT entity_id, b,
+      |         sum(sv * (least(nt, (b + 1) * $DayUs) - greatest(tus, b * $DayUs))) AS wsum,
+      |         CAST(sum(least(nt, (b + 1) * $DayUs) - greatest(tus, b * $DayUs)) AS BIGINT) AS dsum
+      |  FROM fan GROUP BY entity_id, b
+      |)
+      |SELECT entity_id, make_timestamp(b * $DayUs) AS bucket,
+      |       CAST(wsum AS DOUBLE) / CAST(dsum AS DOUBLE) AS twa,
+      |       dsum AS covered_us
+      |FROM agg
+      |ORDER BY entity_id, bucket""".stripMargin))
+
   val stateTimelineQ = OracleQuery(
     "ltss_state_timeline",
     (s, d) => {
@@ -911,6 +973,6 @@ object TimeSeries {
 
   val all: Seq[OracleQuery] =
     Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
-      lttbGridQ, stateAggQ, stateTimelineQ, heartbeatQ, rateAnomalyQ, movingAvgQ,
-      caggQ, trendQ)
+      lttbGridQ, stateAggQ, stateTimelineQ, interpTwaQ, heartbeatQ, rateAnomalyQ,
+      movingAvgQ, caggQ, trendQ)
 }
