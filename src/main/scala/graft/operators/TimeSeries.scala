@@ -617,8 +617,12 @@ object TimeSeries {
     * variance (all observations in one second) are excluded by the
     * varx > 0 gate — evaluated on the same double both engines
     * compute, so the gate itself is engine-identical. */
+  /** 2024-01-01T00:00:00Z — the data epoch [[trend]] rebases x onto;
+    * shared with the streaming twin so their sums agree bit-exactly. */
+  val TrendBaseUs = 1704067200000000L
+
   def trend(ltss: DataFrame): DataFrame = {
-    val BaseUs = 1704067200000000L // 2024-01-01T00:00:00Z, the data epoch
+    val BaseUs = TrendBaseUs
     val d = (c: Column) => c.cast("double")
     ltss
       .withColumn("x", expr(s"(unix_micros(time) - ${BaseUs}L) div 1000000"))

@@ -601,6 +601,66 @@ object StreamingOps {
       }
   }
 
+  final case class TrendState(
+      n: Long, sx: Long, syc: Long, sxyc: Long, sxx: Long, syyc: Long)
+  final case class TrendRow(
+      entity_id: String, n: Long, slope: Double, intercept: Double)
+
+  /** Continuously-maintained linear trend per entity (the streaming twin
+    * of the batch `ltss_trend` stats_agg rollup): the five sufficient
+    * sums accumulate in state — EXACTLY the quantities the batch
+    * aggregate computes, with y cent-quantized so every sum is
+    * integer-exact and order-independent (x = integer seconds rebased
+    * to [[graft.operators.TimeSeries.TrendBaseUs]], matching the batch
+    * op's rebasing; DECIMAL(12,2)·100 = an exact integer) — and the
+    * updated slope/intercept emit per batch in Update mode. The cent
+    * sums convert back to unit scale before the closing chain, so the
+    * doubles fed to it equal the batch op's (both are the correctly-
+    * rounded values of the same exact rationals while the sums stay
+    * under 2⁵³). State per entity is six BIGINTs; entities
+    * with a degenerate time variance emit nothing, like the batch
+    * varx > 0 gate. Unparseable states are skipped (the batch CAST
+    * yields NULL there). */
+  def trendStream(ltss: DataFrame): Dataset[TrendRow] = {
+    import ltss.sparkSession.implicits._
+    val baseUs = graft.operators.TimeSeries.TrendBaseUs
+    ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[TrendState, TrendRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (key, events, st) =>
+        var s = st.getOption.getOrElse(TrendState(0L, 0L, 0L, 0L, 0L, 0L))
+        for (e <- events) {
+          scala.util.Try(new java.math.BigDecimal(e.state)
+            .setScale(2, java.math.RoundingMode.HALF_UP)
+            .movePointRight(2).longValueExact()).toOption match {
+            case Some(yc) =>
+              val x = java.lang.Math.floorDiv(micros(e.time) - baseUs, 1000000L)
+              s = TrendState(s.n + 1, s.sx + x, s.syc + yc, s.sxyc + x * yc,
+                s.sxx + x * x, s.syyc + yc * yc)
+            case None => () // non-numeric state: the batch cast nulls it out
+          }
+        }
+        if (s.n == 0) Iterator.empty
+        else {
+          st.update(s)
+          // back to unit scale (y = cents / 100) so the closing chain sees
+          // the batch op's exact sums, then the identical IEEE chain
+          val n = s.n.toDouble
+          val sx = s.sx.toDouble
+          val sy = s.syc.toDouble / 100.0
+          val sxy = s.sxyc.toDouble / 100.0
+          val sxx = s.sxx.toDouble
+          val num = n * sxy - sx * sy
+          val varx = n * sxx - sx * sx
+          if (varx > 0) {
+            val slope = num / varx
+            Iterator.single(TrendRow(key, s.n, slope, (sy - slope * sx) / n))
+          } else Iterator.empty
+        }
+      }
+  }
+
   final case class RateState(
       openBus: Long, openCount: Long, n: Long, s1: Long, s2: Long)
   final case class RateAnomaly(

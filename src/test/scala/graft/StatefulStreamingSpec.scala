@@ -442,6 +442,36 @@ class StatefulStreamingSpec extends SparkSpec {
       s"retention horizon must scope pairing: $pairs")
   }
 
+  test("streaming trend: running sufficient sums converge to the batch OLS exactly") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.trendStream(df).writeStream
+      .format("memory").queryName("trend_t").outputMode("update").start()
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), "a.1", "10"),
+      (ts("2024-01-01 11:00:00"), "a.1", "25.5"),
+      (ts("2024-01-01 12:00:00"), "a.1", "18"),
+      (ts("2024-01-01 13:00:00"), "a.1", "40"))
+    try {
+      ms.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(rows(2), (ts("2024-01-01 12:30:00"), "a.1", "oops")) // skipped
+      q.processAllAvailable()
+      ms.addData(rows(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    // Update mode: the LAST emitted row per entity is the running trend
+    val last = spark.table("trend_t").as[(String, Long, Double, Double)]
+      .collect().maxBy(_._2)
+    import spark.implicits._
+    val batch = graft.operators.TimeSeries.trend(
+      rows.toDF("time", "entity_id", "state"))
+      .select($"entity_id", $"n", $"slope", $"intercept")
+      .as[(String, Long, Double, Double)].collect().head
+    assert(last == batch, s"stream $last must equal batch $batch bit-exactly")
+  }
+
   test("streaming funnel: ordered steps complete once, out-of-order clicks don't convert") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, String)]
