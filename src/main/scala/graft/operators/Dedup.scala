@@ -935,7 +935,80 @@ object Dedup {
         |ORDER BY doc_id, span_id""".stripMargin))
   }
 
+  /** The EXCISION step over [[substringSpanStats]] — what ExactSubstr
+    * actually does to training text: duplicated spans are CUT from each
+    * document, and the cleaned text re-assembles from the surviving
+    * tokens. Span sets attach per doc as a collected array (bounded by
+    * the doc's own span count), membership is a per-token `exists` over
+    * that array inside one compiled projection — order-independent, so
+    * the unordered `collect_list` is safe — and docs with no spans pass
+    * through whole via the left join. Output carries the audit columns
+    * (token counts, removed count, cleaned-text hash) rather than the
+    * full text, so the row stays skinny at any document size. */
+  val substringExcise = OracleQuery(
+    "dedup_substring_excise",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val spanSets = substringSpanStats(docs)
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("start_tok").as("s"), col("end_tok").as("e")))
+          .as("spans"))
+      docs.join(spanSets, Seq("doc_id"), "left")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("kept", expr(
+          "filter(transform(w, (t, i) -> struct(t AS t, CAST(i AS BIGINT) AS i)), " +
+            "p -> spans IS NULL OR NOT exists(spans, x -> p.i >= x.s AND p.i < x.e))"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+          md5(concat_ws(" ", expr("transform(kept, p -> p.t)"))).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |wins AS (
+      |  SELECT doc_id, i, substring(md5(array_to_string(w[i+1:i+16], ' ')), 1, 15) AS fp
+      |  FROM (SELECT doc_id, w, unnest(generate_series(0, len(w) - 16)) AS i
+      |        FROM w WHERE len(w) >= 16)
+      |),
+      |hot AS (SELECT fp FROM wins GROUP BY fp HAVING count(*) > 1),
+      |dup AS (SELECT doc_id, i FROM wins JOIN hot USING (fp)),
+      |flg AS (
+      |  SELECT doc_id, i,
+      |         CASE WHEN i > COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), -17) + 16
+      |              THEN 1 ELSE 0 END AS new_span
+      |  FROM dup
+      |),
+      |sp AS (
+      |  SELECT doc_id, i,
+      |         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      |  FROM flg
+      |),
+      |spans AS (
+      |  SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM (
+      |    SELECT doc_id, CAST(min(i) AS BIGINT) AS s, CAST(max(i) + 16 AS BIGINT) AS e
+      |    FROM sp GROUP BY doc_id, span_id)
+      |  GROUP BY doc_id
+      |),
+      |cut AS (
+      |  SELECT w.doc_id, w.w, spans.spans,
+      |         CASE WHEN spans.spans IS NULL THEN list_transform(generate_series(1, len(w.w)), i -> i)
+      |              ELSE list_filter(generate_series(1, len(w.w)),
+      |                     i -> len(list_filter(spans.spans,
+      |                            x -> i - 1 >= x.s AND i - 1 < x.e)) = 0)
+      |         END AS kept
+      |  FROM w LEFT JOIN spans USING (doc_id)
+      |)
+      |SELECT doc_id,
+      |       CAST(len(w) AS BIGINT) AS n_tokens,
+      |       CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+      |       md5(COALESCE(array_to_string(list_transform(kept, i -> w[i]), ' '), ''))
+      |         AS clean_hash
+      |FROM cut
+      |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(exact, minhashSig, minhashLsh, jaccard, clusters, overflowVerify, crosscheck,
-      simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans)
+      simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans,
+      substringExcise)
 }
