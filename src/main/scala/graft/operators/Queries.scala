@@ -512,6 +512,84 @@ object Queries {
       |GROUP BY domain, n
       |ORDER BY domain""".stripMargin))
 
+  /** Robust anomaly rollup per domain — median absolute deviation
+    * instead of the z-test's moments (`ltss_rate_anomaly`), so a few
+    * extreme readings cannot drag the threshold toward themselves: a
+    * reading is anomalous iff |sv − median| > 3·MAD. Both medians are
+    * the DISCRETE row-selection form [[percentiles]] established
+    * (value at row ceil(n/2) — engine-exact, no interpolation), every
+    * deviation and the 3·MAD threshold stay exact DECIMAL, and the
+    * medians frame is |domains| rows broadcast back — two ranked
+    * windows on the domain key plus combinable aggregates, the same
+    * render-scale shape as the percentile panel. */
+  val anomalyMad = OracleQuery(
+    "ltss_anomaly_mad",
+    (s, d) => {
+      val l = ltss(s, d)
+        .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+        .withColumn("sv", col("state").cast("decimal(12,2)"))
+        .select(col("domain"), col("entity_id"), col("time"), col("sv"))
+      def discreteMedian(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+        val w = Window.partitionBy(col("domain"))
+          .orderBy(col(valueCol), col("entity_id"), col("time"))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("domain"))))
+          .groupBy(col("domain"))
+          .agg(max(when(col("rn") === ceil(col("n") * 0.5), col(valueCol))).as(outCol))
+      }
+      val med = discreteMedian(l, "sv", "med")
+      val dev = l.join(broadcast(med), "domain")
+        .withColumn("dev", abs(col("sv") - col("med")))
+      val mad = discreteMedian(dev, "dev", "mad")
+      dev.join(broadcast(mad), "domain")
+        .groupBy(col("domain"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("dev") > col("mad") * 3).cast("long")).as("n_anomalies"),
+          max(col("dev")).as("max_dev"))
+        .select(col("domain"), col("n"),
+          col("med").cast("double").as("med"),
+          col("mad").cast("double").as("mad"),
+          col("n_anomalies"),
+          col("max_dev").cast("double").as("max_dev"))
+        .orderBy(col("domain"))
+    },
+    Some(s"""$ltssCte,
+      |l AS (
+      |  SELECT split_part(entity_id, '.', 1) AS domain, entity_id, time,
+      |         CAST(state AS DECIMAL(12,2)) AS sv
+      |  FROM ltss
+      |),
+      |med AS (
+      |  SELECT domain, MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN sv END) AS med
+      |  FROM (
+      |    SELECT domain, sv,
+      |           row_number() OVER (PARTITION BY domain ORDER BY sv, entity_id, time) AS rn,
+      |           CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n
+      |    FROM l)
+      |  GROUP BY domain
+      |),
+      |dev AS (
+      |  SELECT l.domain, l.entity_id, l.time, l.sv, med.med, abs(l.sv - med.med) AS dev
+      |  FROM l JOIN med USING (domain)
+      |),
+      |mad AS (
+      |  SELECT domain, MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN dev END) AS mad
+      |  FROM (
+      |    SELECT domain, dev,
+      |           row_number() OVER (PARTITION BY domain ORDER BY dev, entity_id, time) AS rn,
+      |           CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n
+      |    FROM dev)
+      |  GROUP BY domain
+      |)
+      |SELECT dev.domain, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(dev.med AS DOUBLE) AS med,
+      |       CAST(mad.mad AS DOUBLE) AS mad,
+      |       CAST(sum(CASE WHEN dev.dev > mad.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      |       CAST(max(dev.dev) AS DOUBLE) AS max_dev
+      |FROM dev JOIN mad USING (domain)
+      |GROUP BY dev.domain, dev.med, mad.mad
+      |ORDER BY dev.domain""".stripMargin))
+
   /** Fixed-bucket value histogram per domain (dashboard heat strip):
     * bucket = floor(sv / 20), pure arithmetic — exact on both engines,
     * map-side except one count shuffle. */
@@ -981,5 +1059,5 @@ object Queries {
     timeBucketAgg, jsonAttr, jsonAttrLayout, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, geoBbox, timeBucketSqlQ,
     domainStatsSalted, asofJoin, rangeJoin, percentiles, histogram, pivotHours,
-    retention, funnel, topMovers, geoGrid, geoPairs, sketches)
+    retention, funnel, topMovers, geoGrid, geoPairs, anomalyMad, sketches)
 }
