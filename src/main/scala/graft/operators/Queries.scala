@@ -515,36 +515,48 @@ object Queries {
   /** Robust anomaly rollup per domain — median absolute deviation
     * instead of the z-test's moments (`ltss_rate_anomaly`), so a few
     * extreme readings cannot drag the threshold toward themselves: a
-    * reading is anomalous iff |sv − median| > 3·MAD. Both medians are
-    * the DISCRETE row-selection form [[percentiles]] established
-    * (value at row ceil(n/2) — engine-exact, no interpolation), every
-    * deviation and the 3·MAD threshold stay exact DECIMAL, and the
-    * medians frame is |domains| rows broadcast back — two ranked
-    * windows on the domain key plus combinable aggregates, the same
-    * render-scale shape as the percentile panel. */
+    * reading is anomalous iff |sv − median| > 3·MAD. Computed as a
+    * WEIGHTED median over the value-frequency frame: ONE map-side
+    * combinable groupBy(domain, sv) collapses the observations to
+    * ≤|distinct values| rows per domain, both medians come from a
+    * running-count cumulative window over that tiny frame (the
+    * smallest value whose cumulative count reaches ceil(n/2) — the
+    * identical value the row-selection form picks, without sorting the
+    * raw observations), and every deviation and the 3·MAD threshold
+    * stay exact DECIMAL. After the first aggregate nothing touches a
+    * raw row again — at 100 TB the sort windows see value histograms,
+    * not observations. The histogram frame persists via CachedFrames
+    * (the band-frame pattern): med, dev, and the final rollup are three
+    * subtrees over it, and without the persist each one would re-scan
+    * and re-aggregate the raw events (measured 3× the query cost). */
   val anomalyMad = OracleQuery(
     "ltss_anomaly_mad",
     (s, d) => {
-      val l = ltss(s, d)
-        .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
-        .withColumn("sv", col("state").cast("decimal(12,2)"))
-        .select(col("domain"), col("entity_id"), col("time"), col("sv"))
-      def discreteMedian(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
-        val w = Window.partitionBy(col("domain"))
-          .orderBy(col(valueCol), col("entity_id"), col("time"))
-        df.withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("domain"))))
-          .groupBy(col("domain"))
-          .agg(max(when(col("rn") === ceil(col("n") * 0.5), col(valueCol))).as(outCol))
+      val counts = graft.CachedFrames.getOrBuild(
+        s"mad_counts|${graft.CachedFrames.sessionKey(s)}|$d") {
+        ltss(s, d)
+          .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+          .withColumn("sv", col("state").cast("decimal(12,2)"))
+          .groupBy(col("domain"), col("sv")).agg(count(lit(1)).as("cnt"))
       }
-      val med = discreteMedian(l, "sv", "med")
-      val dev = l.join(broadcast(med), "domain")
+      def weightedMedian(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+        val wc = Window.partitionBy(col("domain")).orderBy(col(valueCol))
+        df.withColumn("cum", sum(col("cnt")).over(wc))
+          .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("domain"))))
+          .filter(col("cum") >= ceil(col("n") * 0.5).cast("long"))
+          .groupBy(col("domain")).agg(min(col(valueCol)).as(outCol))
+      }
+      val med = weightedMedian(counts, "sv", "med")
+      val devCounts = counts.join(broadcast(med), "domain")
         .withColumn("dev", abs(col("sv") - col("med")))
-      val mad = discreteMedian(dev, "dev", "mad")
-      dev.join(broadcast(mad), "domain")
+        .groupBy(col("domain"), col("med"), col("dev"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val mad = weightedMedian(devCounts, "dev", "mad")
+      devCounts.join(broadcast(mad), "domain")
         .groupBy(col("domain"), col("med"), col("mad"))
-        .agg(count(lit(1)).as("n"),
-          sum((col("dev") > col("mad") * 3).cast("long")).as("n_anomalies"),
+        .agg(sum(col("cnt")).as("n"),
+          sum(when(col("dev") > col("mad") * 3, col("cnt")).otherwise(0L))
+            .as("n_anomalies"),
           max(col("dev")).as("max_dev"))
         .select(col("domain"), col("n"),
           col("med").cast("double").as("med"),
@@ -554,41 +566,44 @@ object Queries {
         .orderBy(col("domain"))
     },
     Some(s"""$ltssCte,
-      |l AS (
-      |  SELECT split_part(entity_id, '.', 1) AS domain, entity_id, time,
-      |         CAST(state AS DECIMAL(12,2)) AS sv
-      |  FROM ltss
+      |counts AS (
+      |  SELECT split_part(entity_id, '.', 1) AS domain,
+      |         CAST(state AS DECIMAL(12,2)) AS sv,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM ltss GROUP BY 1, 2
       |),
       |med AS (
-      |  SELECT domain, MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN sv END) AS med
-      |  FROM (
+      |  SELECT domain, min(sv) AS med FROM (
       |    SELECT domain, sv,
-      |           row_number() OVER (PARTITION BY domain ORDER BY sv, entity_id, time) AS rn,
-      |           CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n
-      |    FROM l)
+      |           sum(cnt) OVER (PARTITION BY domain ORDER BY sv) AS cum,
+      |           sum(cnt) OVER (PARTITION BY domain) AS n
+      |    FROM counts)
+      |  WHERE cum >= CAST(ceil(n * 0.5) AS BIGINT)
       |  GROUP BY domain
       |),
-      |dev AS (
-      |  SELECT l.domain, l.entity_id, l.time, l.sv, med.med, abs(l.sv - med.med) AS dev
-      |  FROM l JOIN med USING (domain)
+      |devcounts AS (
+      |  SELECT domain, med, dev, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+      |    SELECT c.domain, m.med, abs(c.sv - m.med) AS dev, c.cnt
+      |    FROM counts c JOIN med m USING (domain))
+      |  GROUP BY domain, med, dev
       |),
       |mad AS (
-      |  SELECT domain, MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN dev END) AS mad
-      |  FROM (
+      |  SELECT domain, min(dev) AS mad FROM (
       |    SELECT domain, dev,
-      |           row_number() OVER (PARTITION BY domain ORDER BY dev, entity_id, time) AS rn,
-      |           CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n
-      |    FROM dev)
+      |           sum(cnt) OVER (PARTITION BY domain ORDER BY dev) AS cum,
+      |           sum(cnt) OVER (PARTITION BY domain) AS n
+      |    FROM devcounts)
+      |  WHERE cum >= CAST(ceil(n * 0.5) AS BIGINT)
       |  GROUP BY domain
       |)
-      |SELECT dev.domain, CAST(count(*) AS BIGINT) AS n,
-      |       CAST(dev.med AS DOUBLE) AS med,
+      |SELECT d.domain, CAST(sum(d.cnt) AS BIGINT) AS n,
+      |       CAST(d.med AS DOUBLE) AS med,
       |       CAST(mad.mad AS DOUBLE) AS mad,
-      |       CAST(sum(CASE WHEN dev.dev > mad.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
-      |       CAST(max(dev.dev) AS DOUBLE) AS max_dev
-      |FROM dev JOIN mad USING (domain)
-      |GROUP BY dev.domain, dev.med, mad.mad
-      |ORDER BY dev.domain""".stripMargin))
+      |       CAST(sum(CASE WHEN d.dev > mad.mad * 3 THEN d.cnt ELSE 0 END) AS BIGINT) AS n_anomalies,
+      |       CAST(max(d.dev) AS DOUBLE) AS max_dev
+      |FROM devcounts d JOIN mad USING (domain)
+      |GROUP BY d.domain, d.med, mad.mad
+      |ORDER BY d.domain""".stripMargin))
 
   /** Fixed-bucket value histogram per domain (dashboard heat strip):
     * bucket = floor(sv / 20), pure arithmetic — exact on both engines,
