@@ -281,6 +281,68 @@ object TextOps {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin))
 
+  /** URL-canonicalization dedup — the web-crawl dedup signal that runs
+    * BEFORE any content hashing (the same page fetched as
+    * `HTTP://Site.COM/p/1?utm_source=x`, `http://site.com/p/1#frag`,
+    * and `http://site.com/p/1/` is one document): scheme+host
+    * lowercase, tracking query stripped, fragment dropped, trailing
+    * slash trimmed — each step a single-match regex with identical
+    * semantics in Java regex and RE2 (`(?i)` inline flag, no multiline
+    * anchors). Deterministic doc_id-derived variants supply the messy
+    * URLs (the synthetic corpus has none); four raw variants per
+    * canonical group prove each rule fires. One combinable groupBy on
+    * the canonical key — the canonical form IS the dedup key at crawl
+    * scale, so this is one hash shuffle like `dedup_exact`. */
+  val urlCanonical = OracleQuery(
+    "dedup_url",
+    (s, d) => {
+      val raw = concat(lit("HTTP://Site"), col("doc_id") % 20,
+        lit(".Example.COM/p/"), col("doc_id") % 50,
+        when(col("doc_id") % 4 === 1, lit("?utm_source=x"))
+          .when(col("doc_id") % 4 === 2, lit("#frag"))
+          .when(col("doc_id") % 4 === 3, lit("/"))
+          .otherwise(lit("")))
+      val noFrag = regexp_replace(raw, "#.*$", "")
+      val noTrack = regexp_replace(noFrag, "\\?utm_[a-z_]+=[^&#]*$", "")
+      val hostPat = "(?i)^https?://[^/]*"
+      val lowered = concat(lower(regexp_extract(noTrack, hostPat, 0)),
+        regexp_replace(noTrack, hostPat, ""))
+      val canon = regexp_replace(lowered, "/$", "")
+      Tables.documents(s, d)
+        .withColumn("raw_url", raw)
+        .withColumn("canonical_url", canon)
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("raw_url")).as("n_raw_forms"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("canonical_url"))
+    },
+    Some("""SELECT canonical_url,
+      |       CAST(count(*) AS BIGINT) AS n_occurrences,
+      |       CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
+      |       min(doc_id) AS first_doc
+      |FROM (
+      |  SELECT doc_id, raw_url,
+      |         regexp_replace(
+      |           lower(regexp_extract(no_track, '(?i)^https?://[^/]*'))
+      |             || regexp_replace(no_track, '(?i)^https?://[^/]*', ''),
+      |           '/$', '') AS canonical_url
+      |  FROM (
+      |    SELECT doc_id, raw_url,
+      |           regexp_replace(regexp_replace(raw_url, '#.*$', ''),
+      |                          '\?utm_[a-z_]+=[^&#]*$', '') AS no_track
+      |    FROM (
+      |      SELECT doc_id,
+      |             'HTTP://Site' || CAST(doc_id % 20 AS VARCHAR)
+      |               || '.Example.COM/p/' || CAST(doc_id % 50 AS VARCHAR)
+      |               || CASE WHEN doc_id % 4 = 1 THEN '?utm_source=x'
+      |                       WHEN doc_id % 4 = 2 THEN '#frag'
+      |                       WHEN doc_id % 4 = 3 THEN '/'
+      |                       ELSE '' END AS raw_url
+      |      FROM documents)))
+      |GROUP BY canonical_url
+      |ORDER BY canonical_url""".stripMargin))
+
   /** PII redaction (curation hygiene): emails and long digit runs masked
     * with fixed placeholders; emits the redacted text hash plus match
     * counts so the redaction is auditable. Deterministic enrichment
@@ -639,6 +701,6 @@ object TextOps {
 
   val all: Seq[OracleQuery] =
     Seq(textStats, langId, tokenCount, fingerprint, simhash, textClean,
-      vocabTopk, urlStats, textRedact, contamination, contaminationBloom,
+      vocabTopk, urlStats, urlCanonical, textRedact, contamination, contaminationBloom,
       repetition, qualityFilter, docCommonness, textSearch, docChunks)
 }
