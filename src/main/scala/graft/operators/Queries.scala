@@ -382,6 +382,37 @@ object Queries {
       |FROM d WHERE dist_km <= 2000.0
       |ORDER BY event_id""".stripMargin))
 
+  /** The radius query over a STORED lat/lon layout, made sargable by the
+    * [[graft.plans.HaversineBoxRule]] optimizer rule: the haversine
+    * predicate itself cannot push into a columnar scan, so the rule
+    * conjoins the conservative bounding-box pre-filter and the scan
+    * prunes on plain lat/lon ranges (`PushedFilters` — plan-asserted in
+    * PlanSpec) while the exact haversine keeps the circle exact. Same
+    * center/radius/output as [[geoDistance]], so the oracle is the same
+    * SQL — the rule must be result-invisible by construction. */
+  def geoLayoutPath(s: SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("geo_layout", d) { p =>
+      Tables.events(s, d)
+        .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
+        .select(col("event_id"), col("lat"), col("lon"))
+        .write.mode("overwrite").parquet(p)
+    }
+
+  val geoRadiusLayout = OracleQuery(
+    "ltss_geo_radius_layout",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      s.read.parquet(geoLayoutPath(s, d))
+        .withColumn("dist_km",
+          graft.functions.Haversine.haversineKm(col("lat"), col("lon"), lit(57.7), lit(11.97)))
+        .filter(col("dist_km") <= 2000.0)
+        .select(col("event_id"), col("lat"), col("lon"),
+          floor(col("dist_km")).cast("long").as("dist_km_floor"))
+        .orderBy(col("event_id"))
+    },
+    geoDistance.sql)
+
   /** Geo bounding-box query (the `ST_MakeEnvelope && location` /
     * index-backed region query of the PostGIS surface): pure range
     * predicates on the extracted lat/lon — sargable, pushes into the
@@ -1072,7 +1103,7 @@ object Queries {
   val all: Seq[OracleQuery] = Seq(
     project, entityFilterQ, history, historyLayout, latest, transitions,
     timeBucketAgg, jsonAttr, jsonAttrLayout, geoWkt, sessionize, dedupPk,
-    projectLocation, geoDistance, geoBbox, timeBucketSqlQ,
+    projectLocation, geoDistance, geoRadiusLayout, geoBbox, timeBucketSqlQ,
     domainStatsSalted, asofJoin, rangeJoin, percentiles, histogram, pivotHours,
     retention, funnel, topMovers, geoGrid, geoPairs, anomalyMad, sketches)
 }

@@ -21,6 +21,7 @@ import graft.functions.{DotF64, Gram2Stats, Haversine, IsValidJson, MinHash8, Mi
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => HaversineBoxRule)
     ext.injectFunction(GraftExtensions.timeBucketFn)
     ext.injectFunction(GraftExtensions.haversineFn)
     ext.injectFunction(GraftExtensions.popLatLonFn)
@@ -119,8 +120,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[QuantizeI8].getName, "quantize_i8"),
     (args: Seq[Expression]) => QuantizeI8(args.head))
 
-  /** Idempotent registration on an already-built session. */
+  /** Idempotent registration on an already-built session. The optimizer
+    * rule goes through `experimental.extraOptimizations` (a live session
+    * cannot take extension injections); predicates it adds still reach
+    * `PushedFilters` because data-source pushdown extracts sargable
+    * conjuncts from the scan-adjacent Filter at PHYSICAL planning. */
   def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(HaversineBoxRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ HaversineBoxRule
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("time_bucket", timeBucketExpr, "built-in")
     reg.createOrReplaceTempFunction("haversine_km",

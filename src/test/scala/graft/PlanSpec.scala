@@ -420,6 +420,54 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("haversine radius query gains sargable box bounds that reach PushedFilters") {
+    graft.plans.GraftExtensions.install(spark)
+    val df = graft.operators.Queries.geoRadiusLayout.run(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // (the PushedFilters list elides in toString — assert the lat bounds
+    // there and the lon bounds in the un-elided Filter condition)
+    assert(plan.contains("PushedFilters: [GreaterThanOrEqual(lat") &&
+      plan.contains("(lon#") && plan.contains("LessThanOrEqual(lat"),
+      s"expected the box bounds in PushedFilters; plan:\n${plan.take(3000)}")
+    // the rule must be result-invisible: same rows as the raw-scan query
+    // over the same points with NO layout (rule fires there too, but on
+    // derived columns it cannot prune — only the predicate is added)
+    val exact = graft.operators.Queries.geoDistance.run(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getAs[Long]("event_id")).toSeq
+    assert(df.collect().map(_.getAs[Long]("event_id")).toSeq == exact)
+  }
+
+  test("haversine box rule: pole-adjacent and antimeridian centers keep only safe bounds") {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.dsl.plans._
+    import org.apache.spark.sql.catalyst.expressions.{And, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val rel = org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+      Symbol("lat").double, Symbol("lon").double)
+    def radiusPlan(lat0: Double, lon0: Double, r: Double) = Filter(
+      LessThanOrEqual(graft.functions.Haversine(
+        Symbol("lat").double.at(0), Symbol("lon").double.at(1),
+        Literal(lat0), Literal(lon0)), Literal(r)), rel)
+    def conjuncts(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
+      val Filter(c, _) = graft.plans.HaversineBoxRule(p): @unchecked
+      def split(e: org.apache.spark.sql.catalyst.expressions.Expression):
+          Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+        case And(l, r) => split(l) ++ split(r)
+        case o => Seq(o)
+      }
+      split(c)
+    }
+    // mid-latitude: 1 original + 2 lat bounds + 2 lon bounds
+    assert(conjuncts(radiusPlan(57.7, 11.97, 2000.0)).size == 5)
+    // near-pole box: lon unbounded → only the lat bounds are added
+    assert(conjuncts(radiusPlan(88.5, 0.0, 500.0)).size == 3)
+    // antimeridian wrap: lon bounds would cross ±180 → lat bounds only
+    assert(conjuncts(radiusPlan(0.0, 179.5, 500.0)).size == 3)
+    // idempotent: re-applying adds nothing
+    val once = graft.plans.HaversineBoxRule(radiusPlan(57.7, 11.97, 2000.0))
+    assert(graft.plans.HaversineBoxRule(once).fastEquals(once))
+  }
+
   test("funnel reads the events source ONCE — steps share the scan and the uid exchange") {
     // VERDICT r6 #8: the three funnel steps must not each re-scan the
     // events source; the step dependency is running-MIN windows over one
