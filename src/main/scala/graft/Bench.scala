@@ -73,6 +73,7 @@ object Bench {
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
     warmed("ltss_layout")(graft.operators.Queries.ltssLayoutPath(spark, sfDir))
     warmed("ltss_attr_layout")(graft.operators.Queries.ltssAttrLayoutPath(spark, sfDir))
+    warmed("geo_layout")(graft.operators.Queries.geoLayoutPath(spark, sfDir))
     warmed("kmeans_train")(
       graft.operators.Similarity.kmeansAssignments(spark, sfDir,
         graft.operators.Similarity.KmIters).count())
