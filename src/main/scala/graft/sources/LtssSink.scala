@@ -298,6 +298,24 @@ object LtssSink {
     * An existing layout's marker is authoritative: appending with a
     * different chunk interval or attribute-key set throws (rewrite with
     * SaveMode.Overwrite to rechunk). */
+  /** Bucketed-table sink — the layout for REPEATED per-entity joins
+    * (cross-source enrichment, as-of pairing against a second stream,
+    * entity-dimension joins): the table pre-shuffles on `entity_id` at
+    * write time (`bucketBy` + in-bucket sort on (entity_id, time)), so
+    * every later equi-join or aggregation on the entity key plans with
+    * NO exchange on this side — bucketing ≙ persisted shuffle, the same
+    * trade the chunked layout makes for time pruning. Use the chunked
+    * [[writeParquet]] layout when the axis of reuse is TIME (dashboards,
+    * retention); use this one when it is the ENTITY key (joins) —
+    * pinned by PlanSpec's exchange-free join assertion. */
+  def writeBucketedTable(
+      ltss: DataFrame, table: String, nBuckets: Int = 32): Unit =
+    ltss.write
+      .bucketBy(nBuckets, "entity_id")
+      .sortBy("entity_id", "time")
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+
   def writeParquet(
       ltss: DataFrame,
       path: String,

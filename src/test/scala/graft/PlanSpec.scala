@@ -295,6 +295,32 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastWas)
   }
 
+  test("LTSS bucketed-table sink: entity joins over the layout shuffle NEITHER side") {
+    import spark.implicits._
+    import graft.sources.LtssSink
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val bcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val t1 = s"graft_ltss_b1_${System.nanoTime()}"
+    val t2 = s"graft_ltss_b2_${System.nanoTime()}"
+    try {
+      val rows = (1 to 200).map(i =>
+        (ts(f"2024-01-01 ${i % 24}%02d:00:00"), s"a.${i % 10}", s"$i", "{}"))
+        .toDF("time", "entity_id", "state", "attributes")
+      LtssSink.writeBucketedTable(rows, t1, nBuckets = 4)
+      LtssSink.writeBucketedTable(rows, t2, nBuckets = 4)
+      val joined = spark.table(t1).join(spark.table(t2), "entity_id")
+      assert(joined.count() == 200L * 20)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed entity join must not shuffle either side; plan:\n$plan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t1")
+      spark.sql(s"DROP TABLE IF EXISTS $t2")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastWas)
+    }
+  }
+
   test("contamination check broadcasts the benchmark side — no full-corpus shuffle join") {
     val df = graft.operators.TextOps.contamination.run(spark, "/root/testdata/sf0.001")
     df.count()
