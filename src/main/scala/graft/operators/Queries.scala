@@ -726,7 +726,10 @@ object Queries {
   val geoPairs = OracleQuery(
     "ltss_geo_pairs",
     (s, d) => {
-      val cell = 8L // cell size = radius, in degrees
+      // cell size = radius; 8° so the fixture lattice (user_id-keyed
+      // points: consecutive users sit √50° apart) actually pairs — the
+      // JOIN SHAPE is what scales, the radius is a parameter
+      val cell = 8L
       val u = Tables.events(s, d)
         .filter(col("user_id").isNotNull)
         .select(col("user_id")).distinct()
