@@ -1036,6 +1036,57 @@ object Queries {
       |WHERE domain = 'click'
       |ORDER BY uid, time, click_state""".stripMargin))
 
+  /** FORWARD as-of join — the other direction pandas' `merge_asof`
+    * (direction='forward') serves: for every click, the EARLIEST
+    * purchase of the same user at or after it. Same scalable merge
+    * shape as [[asofJoin]] — union, one shuffle on the key, and a
+    * first-non-null window over the [current, unbounded following)
+    * frame; clicks sort before purchases at the same instant so the
+    * ≥ tie rule holds. */
+  val asofJoinFwd = OracleQuery(
+    "ltss_asof_join_fwd",
+    (s, d) => {
+      val parts = split(col("entity_id"), "\\.")
+      val evs = ltss(s, d)
+        .withColumn("domain", parts.getItem(0))
+        .withColumn("uid", parts.getItem(1).cast("long"))
+        .filter(col("domain").isin("click", "purchase"))
+        // clicks sort before purchases at the same instant (>= semantics)
+        .withColumn("ord", when(col("domain") === "click", 0).otherwise(1))
+        .withColumn("pstate", when(col("domain") === "purchase", col("state")))
+        .withColumn("ptime", when(col("domain") === "purchase", col("time")))
+      val w = Window.partitionBy(col("uid"))
+        .orderBy(col("time"), col("ord"), col("state"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      evs
+        .withColumn("next_state", first(col("pstate"), ignoreNulls = true).over(w))
+        .withColumn("next_time", first(col("ptime"), ignoreNulls = true).over(w))
+        .filter(col("domain") === "click")
+        .select(col("uid"), col("time"), col("state").as("click_state"),
+          col("next_time"), col("next_state"))
+        .orderBy(col("uid"), col("time"), col("click_state"))
+    },
+    Some(s"""$ltssCte
+      |SELECT uid, time, click_state, next_time, next_state FROM (
+      |  SELECT uid, time, state AS click_state, domain,
+      |         first_value(ptime IGNORE NULLS)
+      |           OVER (PARTITION BY uid ORDER BY time, ord, state
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_time,
+      |         first_value(pstate IGNORE NULLS)
+      |           OVER (PARTITION BY uid ORDER BY time, ord, state
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_state
+      |  FROM (
+      |    SELECT time, state,
+      |           split_part(entity_id, '.', 1) AS domain,
+      |           CAST(split_part(entity_id, '.', 2) AS BIGINT) AS uid,
+      |           CASE WHEN split_part(entity_id, '.', 1) = 'click' THEN 0 ELSE 1 END AS ord,
+      |           CASE WHEN split_part(entity_id, '.', 1) = 'purchase' THEN state END AS pstate,
+      |           CASE WHEN split_part(entity_id, '.', 1) = 'purchase' THEN time END AS ptime
+      |    FROM ltss
+      |    WHERE split_part(entity_id, '.', 1) IN ('click', 'purchase')))
+      |WHERE domain = 'click'
+      |ORDER BY uid, time, click_state""".stripMargin))
+
   /** Range (interval) join — clicks within one hour AFTER a purchase by
     * the same user. A naive `ON uid = uid AND time BETWEEN ...` plans as
     * a nested-loop at scale; this is the BUCKETED form: each purchase
@@ -1107,6 +1158,6 @@ object Queries {
     project, entityFilterQ, history, historyLayout, latest, transitions,
     timeBucketAgg, jsonAttr, jsonAttrLayout, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, geoRadiusLayout, geoBbox, timeBucketSqlQ,
-    domainStatsSalted, asofJoin, rangeJoin, percentiles, histogram, pivotHours,
+    domainStatsSalted, asofJoin, asofJoinFwd, rangeJoin, percentiles, histogram, pivotHours,
     retention, funnel, topMovers, geoGrid, geoPairs, anomalyMad, sketches)
 }
