@@ -601,6 +601,58 @@ object StreamingOps {
       }
   }
 
+  final case class AsofState(t: Long, state: String)
+  final case class AsofRow(
+      uid: Long, time: java.sql.Timestamp, click_state: String,
+      asof_time: Option[java.sql.Timestamp], asof_state: Option[String])
+
+  /** Continuous as-of ENRICHMENT (the streaming twin of the batch
+    * `ltss_asof_join`): each arriving click emits immediately, carrying
+    * the latest purchase of the same user at or before it — the
+    * stream-stream as-of without buffering either side, because the
+    * backward direction only ever needs the ONE latest left-side row:
+    * state per user is a single (time, state) frontier, exactly
+    * [[latestState]]'s bound applied per join key. Within a batch,
+    * events apply in event-time order with purchases before clicks at
+    * the same instant (the batch op's ≤ tie rule); a click older than
+    * an already-held purchase frontier still enriches correctly only
+    * against frontiers at or before it — out-of-order input beyond a
+    * batch boundary follows the same in-order contract as the other
+    * stateful ops (compose after [[dedupByPkStream]] with a watermark
+    * sized to the disorder). Append mode: an enriched click is an
+    * immutable fact. */
+  def asofStream(ltss: DataFrame): Dataset[AsofRow] = {
+    import ltss.sparkSession.implicits._
+    ltss
+      .filter(split(col("entity_id"), "\\.").getItem(0).isin("click", "purchase"))
+      .select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
+      .groupByKey(_.entity_id.split("\\.")(1).toLong)
+      .flatMapGroupsWithState[AsofState, AsofRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (uid, events, st) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[AsofRow]
+        var cur = st.getOption
+        // purchases (ord 0) before clicks (ord 1) at the same instant
+        val sorted = events.toSeq.sortBy(e =>
+          (micros(e.time), if (e.entity_id.startsWith("purchase")) 0 else 1, e.state))
+        for (e <- sorted) {
+          if (e.entity_id.startsWith("purchase")) {
+            val t = micros(e.time)
+            // keep the latest (time, state) frontier, batch tie rule on state
+            if (cur.forall(c => t > c.t || (t == c.t && e.state > c.state)))
+              cur = Some(AsofState(t, e.state))
+          } else {
+            val t = micros(e.time)
+            val eff = cur.filter(_.t <= t) // only frontiers at or before the click
+            out += AsofRow(uid, e.time, e.state,
+              eff.map(c => tsOfMicros(c.t)), eff.map(_.state))
+          }
+        }
+        cur.foreach(st.update)
+        out.iterator
+      }
+  }
+
   final case class TrendState(
       n: Long, sx: Long, syc: Long, sxyc: Long, sxx: Long, syyc: Long)
   final case class TrendRow(

@@ -442,6 +442,42 @@ class StatefulStreamingSpec extends SparkSpec {
       s"retention horizon must scope pairing: $pairs")
   }
 
+  test("streaming as-of enrichment: clicks carry the latest at-or-before purchase frontier") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.asofStream(df).writeStream
+      .format("memory").queryName("asof_t").outputMode("append").start()
+    try {
+      // in-batch: the 09:00 click precedes any purchase → unenriched;
+      // the purchase then sets the frontier
+      ms.addData(
+        (ts("2024-01-01 09:00:00"), "click.1", "1"),
+        (ts("2024-01-01 10:00:00"), "purchase.1", "5"))
+      q.processAllAvailable()
+      // next batch: a click at the purchase instant matches (≤ tie rule),
+      // a later click carries the same frontier
+      ms.addData(
+        (ts("2024-01-01 10:00:00"), "click.1", "2"),
+        (ts("2024-01-01 10:30:00"), "click.1", "9"))
+      q.processAllAvailable()
+      // same-instant purchase+click in one batch: purchase applies first
+      ms.addData(
+        (ts("2024-01-01 11:00:00"), "purchase.1", "7"),
+        (ts("2024-01-01 11:00:00"), "click.1", "3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("asof_t")
+      .as[(Long, java.sql.Timestamp, String, Option[java.sql.Timestamp], Option[String])]
+      .collect().toSet
+    assert(rows == Set(
+      (1L, ts("2024-01-01 09:00:00"), "1", None, None),
+      (1L, ts("2024-01-01 10:00:00"), "2", Some(ts("2024-01-01 10:00:00")), Some("5")),
+      (1L, ts("2024-01-01 10:30:00"), "9", Some(ts("2024-01-01 10:00:00")), Some("5")),
+      (1L, ts("2024-01-01 11:00:00"), "3", Some(ts("2024-01-01 11:00:00")), Some("7"))),
+      s"got $rows")
+  }
+
   test("streaming trend: running sufficient sums converge to the batch OLS exactly") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, String)]
