@@ -543,6 +543,32 @@ object Queries {
       |GROUP BY domain, n
       |ORDER BY domain""".stripMargin))
 
+  /** 2-D histogram — the hour-of-day × value-band heatmap panel (the
+    * Grafana heatmap over a hypertable): all-integer cell addressing
+    * (hour from the timestamp, decile band from the DECIMAL value via
+    * integer division — no float floor at a band boundary) and ONE
+    * map-side combinable aggregate; the output is render-scale
+    * (24 × bands) at any corpus size. The band quotient goes through
+    * pmod so it FLOORS like DuckDB's `//` for any value sign (Spark
+    * `div` alone truncates — the `ltss_geo_grid` lesson). */
+  val histogram2d = OracleQuery(
+    "ltss_histogram2d",
+    (s, d) =>
+      ltss(s, d)
+        .withColumn("hr", hour(col("time")))
+        .withColumn("c", expr("CAST(CAST(state AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+        .withColumn("band", expr("(c - pmod(c, 1000)) div 1000"))
+        .groupBy(col("hr"), col("band"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("hr"), col("band")),
+    Some(s"""$ltssCte
+      |SELECT hour(time) AS hr,
+      |       CAST(CAST(state AS DECIMAL(12,2)) * 100 AS BIGINT) // 1000 AS band,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM ltss
+      |GROUP BY 1, 2
+      |ORDER BY hr, band""".stripMargin))
+
   /** Robust anomaly rollup per domain — median absolute deviation
     * instead of the z-test's moments (`ltss_rate_anomaly`), so a few
     * extreme readings cannot drag the threshold toward themselves: a
@@ -1159,5 +1185,6 @@ object Queries {
     timeBucketAgg, jsonAttr, jsonAttrLayout, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, geoRadiusLayout, geoBbox, timeBucketSqlQ,
     domainStatsSalted, asofJoin, asofJoinFwd, rangeJoin, percentiles, histogram, pivotHours,
-    retention, funnel, topMovers, geoGrid, geoPairs, anomalyMad, sketches)
+    retention, funnel, topMovers, geoGrid, geoPairs, anomalyMad, histogram2d,
+    sketches)
 }
