@@ -45,10 +45,15 @@ object HaversineBoxRule extends Rule[LogicalPlan] with PredicateHelper {
     val latPred = And(
       GreaterThanOrEqual(lat, Literal(latLo)), LessThanOrEqual(lat, Literal(latHi)))
     // max |Δlon| on the circle occurs at the tangent latitude, giving
-    // Δlon = asin(sin(r/R)/cos(lat0)) (Matuschek) — when the ratio
-    // reaches 1 the circle wraps a pole and every longitude is inside
-    val sinRatio = math.sin(r / graft.functions.GeoMath.EarthRadiusKm) /
-      math.cos(math.toRadians(lat0))
+    // Δlon = asin(sin(r/R)/cos(lat0)) (Matuschek) — valid only while
+    // the circle stays inside a hemisphere (r/R < π/2; past that
+    // sin(r/R) shrinks while the circle keeps widening, so the formula
+    // would UNDER-cover — caught by GeoBoxPropertySpec). When the
+    // ratio reaches 1 the circle wraps a pole and every longitude is
+    // inside; both cases fall back to the lat bound alone.
+    val rOverR = r / graft.functions.GeoMath.EarthRadiusKm
+    if (rOverR >= math.Pi / 2) return Some(latPred)
+    val sinRatio = math.sin(rOverR) / math.cos(math.toRadians(lat0))
     if (!(sinRatio < 1.0)) return Some(latPred)
     val dLon = math.toDegrees(math.asin(sinRatio)) + 1e-9
     if (lon0 - dLon < -180.0 || lon0 + dLon > 180.0) Some(latPred) // antimeridian wrap
