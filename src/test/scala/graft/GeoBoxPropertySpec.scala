@@ -14,6 +14,12 @@ import graft.functions.GeoMath
   * arbitrary centers, radii, and points. */
 object GeoBoxPropertySpec extends Properties("HaversineBox") {
 
+  // the superset property guards result correctness — sample it harder
+  // than the scalacheck default
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(1000)
+
   private val KmPerDeg = math.Pi * GeoMath.EarthRadiusKm / 180.0
 
   /** The rule's box, re-derived: (latLo, latHi, Option[(lonLo, lonHi)]). */
