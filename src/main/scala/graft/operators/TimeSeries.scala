@@ -616,7 +616,15 @@ object TimeSeries {
     * engines over the exact sums. Entities with a degenerate time
     * variance (all observations in one second) are excluded by the
     * varx > 0 gate — evaluated on the same double both engines
-    * compute, so the gate itself is engine-identical. */
+    * compute, so the gate itself is engine-identical. Rows whose state
+    * does not parse as a number are skipped ENTIRELY (not just from the
+    * y sums): the cast-NULL filter runs before the aggregate so n, sx,
+    * sxx describe the same row set as sy, sxy, syy — the same skip rule
+    * [[graft.streaming.StreamingOps.trendStream]] applies, keeping the
+    * batch/stream twin bit-equal on corpora with non-numeric states.
+    * The rebased x uses FLOOR division (the (v − pmod) div form), so
+    * pre-epoch timestamps agree with the stream's floorDiv and the
+    * oracle's `//`. */
   /** 2024-01-01T00:00:00Z — the data epoch [[trend]] rebases x onto;
     * shared with the streaming twin so their sums agree bit-exactly. */
   val TrendBaseUs = 1704067200000000L
@@ -625,8 +633,12 @@ object TimeSeries {
     val BaseUs = TrendBaseUs
     val d = (c: Column) => c.cast("double")
     ltss
-      .withColumn("x", expr(s"(unix_micros(time) - ${BaseUs}L) div 1000000"))
-      .withColumn("y", col("state").cast("decimal(12,2)"))
+      .withColumn("v", expr(s"unix_micros(time) - ${BaseUs}L"))
+      .withColumn("x", expr("(v - pmod(v, 1000000)) div 1000000"))
+      // try_cast, not cast: under ANSI (Spark 4 default) a plain cast
+      // would THROW on a non-numeric state instead of skipping the row
+      .withColumn("y", expr("try_cast(state as decimal(12,2))"))
+      .filter(col("y").isNotNull)
       .groupBy(col("entity_id"))
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("decimal(20,0)")).as("sx"),
@@ -783,8 +795,9 @@ object TimeSeries {
       |t AS (
       |  SELECT entity_id,
       |         (epoch_us(time) - 1704067200000000) // 1000000 AS x,
-      |         CAST(state AS DECIMAL(12,2)) AS y
+      |         TRY_CAST(state AS DECIMAL(12,2)) AS y
       |  FROM base
+      |  WHERE TRY_CAST(state AS DECIMAL(12,2)) IS NOT NULL
       |), a AS (
       |  SELECT entity_id, CAST(count(*) AS BIGINT) AS n,
       |         SUM(CAST(x AS DECIMAL(20,0))) AS sx,

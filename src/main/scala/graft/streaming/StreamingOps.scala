@@ -654,7 +654,8 @@ object StreamingOps {
   }
 
   final case class TrendState(
-      n: Long, sx: Long, syc: Long, sxyc: Long, sxx: Long, syyc: Long)
+      n: Long, sx: Long, syc: Long, sxyc: Long, sxx: Long, syyc: Long,
+      tainted: Boolean)
   final case class TrendRow(
       entity_id: String, n: Long, slope: Double, intercept: Double)
 
@@ -669,10 +670,16 @@ object StreamingOps {
     * sums convert back to unit scale before the closing chain, so the
     * doubles fed to it equal the batch op's (both are the correctly-
     * rounded values of the same exact rationals while the sums stay
-    * under 2⁵³). State per entity is six BIGINTs; entities
+    * under 2⁵³ — and that bound is now ENFORCED, not assumed: state
+    * updates use exact arithmetic (overflow past 2⁶³ taints the state
+    * instead of wrapping), and when the state is tainted or any closing
+    * sum's magnitude exceeds 2⁵³ the emitted row carries NaN slope/
+    * intercept — an explicit "precision lost" flag matching the batch
+    * op's DECIMAL exactness story, never a silently-wrong double).
+    * State per entity is six BIGINTs + a taint bit; entities
     * with a degenerate time variance emit nothing, like the batch
-    * varx > 0 gate. Unparseable states are skipped (the batch CAST
-    * yields NULL there). */
+    * varx > 0 gate. Unparseable states are skipped (the batch op
+    * filters its NULL casts before the aggregate). */
   def trendStream(ltss: DataFrame): Dataset[TrendRow] = {
     import ltss.sparkSession.implicits._
     val baseUs = graft.operators.TimeSeries.TrendBaseUs
@@ -681,16 +688,22 @@ object StreamingOps {
       .flatMapGroupsWithState[TrendState, TrendRow](
         org.apache.spark.sql.streaming.OutputMode.Update(),
         GroupStateTimeout.NoTimeout) { (key, events, st) =>
-        var s = st.getOption.getOrElse(TrendState(0L, 0L, 0L, 0L, 0L, 0L))
+        import java.lang.Math.{addExact, multiplyExact}
+        var s = st.getOption.getOrElse(TrendState(0L, 0L, 0L, 0L, 0L, 0L, tainted = false))
         for (e <- events) {
           scala.util.Try(new java.math.BigDecimal(e.state)
             .setScale(2, java.math.RoundingMode.HALF_UP)
             .movePointRight(2).longValueExact()).toOption match {
             case Some(yc) =>
               val x = java.lang.Math.floorDiv(micros(e.time) - baseUs, 1000000L)
-              s = TrendState(s.n + 1, s.sx + x, s.syc + yc, s.sxyc + x * yc,
-                s.sxx + x * x, s.syyc + yc * yc)
-            case None => () // non-numeric state: the batch cast nulls it out
+              s = try TrendState(s.n + 1, addExact(s.sx, x), addExact(s.syc, yc),
+                addExact(s.sxyc, multiplyExact(x, yc)),
+                addExact(s.sxx, multiplyExact(x, x)),
+                addExact(s.syyc, multiplyExact(yc, yc)), s.tainted)
+              catch { // a sum left the BIGINT range: never wrap silently
+                case _: ArithmeticException => s.copy(n = s.n + 1, tainted = true)
+              }
+            case None => () // non-numeric state: the batch op filters it out
           }
         }
         if (s.n == 0) Iterator.empty
@@ -698,17 +711,26 @@ object StreamingOps {
           st.update(s)
           // back to unit scale (y = cents / 100) so the closing chain sees
           // the batch op's exact sums, then the identical IEEE chain
-          val n = s.n.toDouble
-          val sx = s.sx.toDouble
-          val sy = s.syc.toDouble / 100.0
-          val sxy = s.sxyc.toDouble / 100.0
-          val sxx = s.sxx.toDouble
-          val num = n * sxy - sx * sy
-          val varx = n * sxx - sx * sx
-          if (varx > 0) {
-            val slope = num / varx
-            Iterator.single(TrendRow(key, s.n, slope, (sy - slope * sx) / n))
-          } else Iterator.empty
+          val Exact = 1L << 53 // doubles are exact for integers within ±2^53
+          val safe = !s.tainted &&
+            math.abs(s.sx) <= Exact && math.abs(s.syc) <= Exact &&
+            math.abs(s.sxyc) <= Exact && math.abs(s.sxx) <= Exact &&
+            math.abs(s.syyc) <= Exact
+          if (!safe) // flagged row: precision lost, match NOTHING silently
+            Iterator.single(TrendRow(key, s.n, Double.NaN, Double.NaN))
+          else {
+            val n = s.n.toDouble
+            val sx = s.sx.toDouble
+            val sy = s.syc.toDouble / 100.0
+            val sxy = s.sxyc.toDouble / 100.0
+            val sxx = s.sxx.toDouble
+            val num = n * sxy - sx * sy
+            val varx = n * sxx - sx * sx
+            if (varx > 0) {
+              val slope = num / varx
+              Iterator.single(TrendRow(key, s.n, slope, (sy - slope * sx) / n))
+            } else Iterator.empty
+          }
         }
       }
   }

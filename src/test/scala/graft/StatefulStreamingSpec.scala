@@ -484,17 +484,22 @@ class StatefulStreamingSpec extends SparkSpec {
     val df = ms.toDF.toDF("time", "entity_id", "state")
     val q = StreamingOps.trendStream(df).writeStream
       .format("memory").queryName("trend_t").outputMode("update").start()
+    // both sides see the unparseable state AND a pre-epoch timestamp:
+    // the batch op must skip 'oops' rows entirely (not just from the y
+    // sums) and floor the negative rebased x, or the twins diverge
     val rows = Seq(
+      (ts("2023-12-31 23:59:58.500"), "a.1", "7"), // pre-epoch: x = -2 by floor
       (ts("2024-01-01 10:00:00"), "a.1", "10"),
       (ts("2024-01-01 11:00:00"), "a.1", "25.5"),
       (ts("2024-01-01 12:00:00"), "a.1", "18"),
+      (ts("2024-01-01 12:30:00"), "a.1", "oops"), // skipped by BOTH sides
       (ts("2024-01-01 13:00:00"), "a.1", "40"))
     try {
-      ms.addData(rows.take(2): _*)
+      ms.addData(rows.take(3): _*)
       q.processAllAvailable()
-      ms.addData(rows(2), (ts("2024-01-01 12:30:00"), "a.1", "oops")) // skipped
+      ms.addData(rows(3), rows(4))
       q.processAllAvailable()
-      ms.addData(rows(3))
+      ms.addData(rows(5))
       q.processAllAvailable()
     } finally q.stop()
     // Update mode: the LAST emitted row per entity is the running trend
@@ -506,6 +511,35 @@ class StatefulStreamingSpec extends SparkSpec {
       .select($"entity_id", $"n", $"slope", $"intercept")
       .as[(String, Long, Double, Double)].collect().head
     assert(last == batch, s"stream $last must equal batch $batch bit-exactly")
+  }
+
+  test("streaming trend: sums past 2^53 emit a NaN-flagged row, never a silently-wrong double") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.trendStream(df).writeStream
+      .format("memory").queryName("trend_guard_t").outputMode("update").start()
+    try {
+      // b.1: yc = 10^9 cents → syyc = 10^18 per row, inside BIGINT but past
+      // 2^53 — the closing chain would round; guard must flag it.
+      // c.1: yc = 10^12 cents → yc² = 10^24 overflows BIGINT outright — the
+      // exact-arithmetic taint path, not the closing-bound path.
+      ms.addData(
+        (ts("2024-01-01 10:00:00"), "b.1", "10000000.00"),
+        (ts("2024-01-01 11:00:00"), "b.1", "10000001.00"),
+        (ts("2024-01-01 10:00:00"), "c.1", "9999999999.99"),
+        (ts("2024-01-01 11:00:00"), "c.1", "9999999999.98"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("trend_guard_t")
+      .as[(String, Long, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    for (k <- Seq("b.1", "c.1")) {
+      val (_, n, slope, intercept) = rows(k)
+      assert(n == 2, s"$k: n must still count rows, got $n")
+      assert(slope.isNaN && intercept.isNaN,
+        s"$k: overflow-risk trend must be NaN-flagged, got ($slope, $intercept)")
+    }
   }
 
   test("streaming funnel: ordered steps complete once, out-of-order clicks don't convert") {
