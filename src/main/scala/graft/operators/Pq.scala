@@ -66,6 +66,23 @@ object Pq {
     * bit-exactly; sf0.1's 2000 vectors cross the line. */
   val ProdMinVectors = 1000L
 
+  /** Queries whose DuckDB oracle SQL hard-codes the FIXTURE geometry
+    * (M=2 → c0/c1 columns, k=4 Lloyd replay): on a corpus where
+    * [[params]] selects [[ProdParams]] that SQL would mismatch the Spark
+    * result BY CONSTRUCTION (different schema, different codebook).
+    * [[graft.Verify]] consults [[fixtureOracleValid]] and omits these
+    * entries from oracle_sql.json on such corpora — the driver then
+    * records a rows-only check, making the mismatch impossible rather
+    * than a convention about which SF the gate runs at. */
+  val GeometryDependentOracles: Set[String] =
+    Set("sim_pq_codes", "sim_pq_topk", "sim_ivfpq_topk",
+      "sim_recall_report", "sim_knn_batch")
+
+  /** True iff [[params]] picks the fixture geometry for `d`, i.e. the
+    * fixture-shaped oracle SQL in [[GeometryDependentOracles]] is valid. */
+  def fixtureOracleValid(s: SparkSession, d: String): Boolean =
+    params(s, d) == FixtureParams
+
   private val paramCache =
     new java.util.concurrent.ConcurrentHashMap[String, PqParams]()
 

@@ -19,9 +19,15 @@ import graft.functions.Haversine
   * and reach `PushedFilters` in the parquet scan. At 100 TB the
   * difference is a pruned scan vs a full-corpus trig pass.
   *
-  * Conservative guards: non-positive or non-finite radius yields no
-  * rewrite; a circle wrapping a pole (sin(r/R) ≥ cos(lat0)) or a Δlon
-  * spanning the antimeridian falls back to the lat bound alone.
+  * Conservative guards: a non-positive or non-finite radius, or a
+  * center outside the canonical coordinate ranges (|lat0| > 90,
+  * |lon0| > 180, or non-finite — where the Matuschek derivation's
+  * cos(lat0) ≥ 0 premise breaks), yields no rewrite; a circle wrapping
+  * a pole (sin(r/R) ≥ cos(lat0)) falls back to the lat bound alone.
+  * A Δlon interval crossing the antimeridian emits the WRAPPED
+  * disjunction (lon ≥ lo+360 OR lon ≤ hi) — two sargable ranges, still
+  * pushable (data-source filter translation handles Or of comparisons),
+  * assuming canonical-range lon data like the box itself does.
   * Idempotent under the optimizer's fixpoint: predicates already
   * present (semantically) are not re-added. */
 object HaversineBoxRule extends Rule[LogicalPlan] with PredicateHelper {
@@ -38,6 +44,13 @@ object HaversineBoxRule extends Rule[LogicalPlan] with PredicateHelper {
       lat: Expression, lon: Expression,
       lat0: Double, lon0: Double, r: Double): Option[Expression] = {
     if (!(r > 0) || !java.lang.Double.isFinite(r) || r >= math.Pi * graft.functions.GeoMath.EarthRadiusKm)
+      return None
+    // canonical-center guard: past ±90 cos(lat0) goes negative, which
+    // would pass the sinRatio < 1 check with a NEGATIVE asin and emit a
+    // contradictory (lonLo > lonHi) bound that filters every row; a NaN
+    // center would emit NaN literals with the same effect
+    if (!java.lang.Double.isFinite(lat0) || math.abs(lat0) > 90.0 ||
+        !java.lang.Double.isFinite(lon0) || math.abs(lon0) > 180.0)
       return None
     val dLat = r / KmPerDeg + 1e-9
     val latLo = lat0 - dLat
@@ -56,10 +69,18 @@ object HaversineBoxRule extends Rule[LogicalPlan] with PredicateHelper {
     val sinRatio = math.sin(rOverR) / math.cos(math.toRadians(lat0))
     if (!(sinRatio < 1.0)) return Some(latPred)
     val dLon = math.toDegrees(math.asin(sinRatio)) + 1e-9
-    if (lon0 - dLon < -180.0 || lon0 + dLon > 180.0) Some(latPred) // antimeridian wrap
-    else Some(And(latPred, And(
-      GreaterThanOrEqual(lon, Literal(lon0 - dLon)),
-      LessThanOrEqual(lon, Literal(lon0 + dLon)))))
+    val lo = lon0 - dLon
+    val hi = lon0 + dLon
+    if (2 * dLon >= 360.0) Some(latPred) // interval covers every longitude
+    else if (lo >= -180.0 && hi <= 180.0)
+      Some(And(latPred, And(
+        GreaterThanOrEqual(lon, Literal(lo)), LessThanOrEqual(lon, Literal(hi)))))
+    else if (lo < -180.0) // wraps west: [lo+360, 180] ∪ [-180, hi]
+      Some(And(latPred, Or(
+        GreaterThanOrEqual(lon, Literal(lo + 360.0)), LessThanOrEqual(lon, Literal(hi)))))
+    else // wraps east: [lo, 180] ∪ [-180, hi-360]
+      Some(And(latPred, Or(
+        GreaterThanOrEqual(lon, Literal(lo)), LessThanOrEqual(lon, Literal(hi - 360.0)))))
   }
 
   /** A radius conjunct in either argument order (haversine is symmetric:

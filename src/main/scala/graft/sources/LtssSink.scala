@@ -298,24 +298,6 @@ object LtssSink {
     * An existing layout's marker is authoritative: appending with a
     * different chunk interval or attribute-key set throws (rewrite with
     * SaveMode.Overwrite to rechunk). */
-  /** Bucketed-table sink — the layout for REPEATED per-entity joins
-    * (cross-source enrichment, as-of pairing against a second stream,
-    * entity-dimension joins): the table pre-shuffles on `entity_id` at
-    * write time (`bucketBy` + in-bucket sort on (entity_id, time)), so
-    * every later equi-join or aggregation on the entity key plans with
-    * NO exchange on this side — bucketing ≙ persisted shuffle, the same
-    * trade the chunked layout makes for time pruning. Use the chunked
-    * [[writeParquet]] layout when the axis of reuse is TIME (dashboards,
-    * retention); use this one when it is the ENTITY key (joins) —
-    * pinned by PlanSpec's exchange-free join assertion. */
-  def writeBucketedTable(
-      ltss: DataFrame, table: String, nBuckets: Int = 32): Unit =
-    ltss.write
-      .bucketBy(nBuckets, "entity_id")
-      .sortBy("entity_id", "time")
-      .mode(SaveMode.Overwrite)
-      .saveAsTable(table)
-
   def writeParquet(
       ltss: DataFrame,
       path: String,
@@ -376,6 +358,33 @@ object LtssSink {
         generation = marker.map(_.generation).getOrElse(0L)))
   }
 
+  /** Bucketed-table sink — the layout for REPEATED per-entity joins
+    * (cross-source enrichment, as-of pairing against a second stream,
+    * entity-dimension joins): the table pre-shuffles on `entity_id` at
+    * write time (`bucketBy` + in-bucket sort on (entity_id, time)), so
+    * every later equi-join or aggregation on the entity key plans with
+    * NO exchange on this side — bucketing ≙ persisted shuffle, the same
+    * trade the chunked layout makes for time pruning. Use the chunked
+    * [[writeParquet]] layout when the axis of reuse is TIME (dashboards,
+    * retention); use this one when it is the ENTITY key (joins) —
+    * pinned by PlanSpec's exchange-free join assertion. */
+  def writeBucketedTable(
+      ltss: DataFrame, table: String, nBuckets: Int = 32): Unit =
+    ltss.write
+      .bucketBy(nBuckets, "entity_id")
+      .sortBy("entity_id", "time")
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+
+  /** Per-backend column types for the dynamic columns — the analog of
+    * the reference's Postgres-specific DDL (`attributes JSONB`,
+    * `__init__.py:315-344`). `null` arguments to [[bootstrapJdbc]]
+    * resolve through this; explicit arguments override. */
+  def defaultTypesFor(url: String): (String, String) =
+    if (url.startsWith("jdbc:postgresql")) ("JSONB", "VARCHAR(255)")
+    else if (url.startsWith("jdbc:derby")) ("CLOB", "CLOB")
+    else ("VARCHAR(32000)", "VARCHAR(255)")
+
   /** D1 + L1: startup bootstrap, mirroring the reference's
     * `_setup_connection`/`_create_table` (__init__.py:257-344) and its
     * connect-retry loop (__init__.py:124-139, ≤10 tries × 3 s):
@@ -386,15 +395,6 @@ object LtssSink {
     * (migrations.py:88-95) only if missing. Returning normally IS the
     * readiness signal a caller can await. `connect`/`sleep` are
     * injectable for tests. */
-  /** Per-backend column types for the dynamic columns — the analog of
-    * the reference's Postgres-specific DDL (`attributes JSONB`,
-    * `__init__.py:315-344`). `null` arguments to [[bootstrapJdbc]]
-    * resolve through this; explicit arguments override. */
-  def defaultTypesFor(url: String): (String, String) =
-    if (url.startsWith("jdbc:postgresql")) ("JSONB", "VARCHAR(255)")
-    else if (url.startsWith("jdbc:derby")) ("CLOB", "CLOB")
-    else ("VARCHAR(32000)", "VARCHAR(255)")
-
   def bootstrapJdbc(
       cfg: LtssConfig,
       table: String = "ltss",

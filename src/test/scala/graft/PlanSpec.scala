@@ -487,11 +487,18 @@ class PlanSpec extends SparkSpec {
     assert(conjuncts(radiusPlan(57.7, 11.97, 2000.0)).size == 5)
     // near-pole box: lon unbounded → only the lat bounds are added
     assert(conjuncts(radiusPlan(88.5, 0.0, 500.0)).size == 3)
-    // antimeridian wrap: lon bounds would cross ±180 → lat bounds only
-    assert(conjuncts(radiusPlan(0.0, 179.5, 500.0)).size == 3)
-    // idempotent: re-applying adds nothing
-    val once = graft.plans.HaversineBoxRule(radiusPlan(57.7, 11.97, 2000.0))
-    assert(graft.plans.HaversineBoxRule(once).fastEquals(once))
+    // antimeridian wrap: lat bounds + ONE wrapped lon disjunction
+    val wrapped = conjuncts(radiusPlan(0.0, 179.5, 500.0))
+    assert(wrapped.size == 4)
+    assert(wrapped.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Or]),
+      s"expected the wrapped (lon >= lo+360 OR lon <= hi) bound in $wrapped")
+    // out-of-range center: contradictory-bound hazard → no rewrite at all
+    assert(conjuncts(radiusPlan(95.0, 0.0, 500.0)).size == 1)
+    // idempotent: re-applying adds nothing, including the wrapped form
+    for (p <- Seq(radiusPlan(57.7, 11.97, 2000.0), radiusPlan(0.0, 179.5, 500.0))) {
+      val once = graft.plans.HaversineBoxRule(p)
+      assert(graft.plans.HaversineBoxRule(once).fastEquals(once))
+    }
   }
 
   test("funnel reads the events source ONCE — steps share the scan and the uid exchange") {
