@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -75,7 +75,8 @@ object Multimodal {
   object StubDecoder {
     def decode(r: MediaRecord): MediaFeatures = {
       val len = r.content.length.toLong
-      // ??? real codec goes here — fake dims/features from the bytes
+      // deterministic stand-in arithmetic where a pixel codec would run;
+      // container-level dims come from MediaHeaders, not from here
       val width = (len % 640).toInt
       val height = (len * 7 % 480).toInt
       val feats = Array.tabulate(4)(i => ((len + i * 31) % 256).toFloat / 255f)
@@ -116,26 +117,62 @@ object Multimodal {
     media.mapPartitions(_.map(HeaderDecoder.decode))
   }
 
-  /** Oracle-checkable slice of the multimodal path: binary length, content
-    * hash, and the stub "decode" dims (pure integer arithmetic → exact in
-    * both engines). */
+  /** Payload builders shared by [[features]] and [[decode]]: a valid
+    * 33-byte PNG (signature + IHDR) and a 39-byte JPEG (SOI + a JFIF
+    * APP0 segment the parser must skip + SOF0) carrying the given dims
+    * big-endian, built in-flight as hex columns. */
+  private def pngHexFor(w: Column, h: Column): Column = concat(
+    lit("89504E470D0A1A0A" + "0000000D" + "49484452"), // sig, len 13, IHDR
+    lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+    lit("0806000000" + "00000000")) // bit depth 8, RGBA, ..., dummy CRC
+  private def jpgHexFor(w: Column, h: Column): Column = concat(
+    lit("FFD8" + "FFE000104A46494600010100000100010000" + // SOI, APP0/JFIF
+      "FFC00011" + "08"), // SOF0, len 17, precision 8
+    lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+    lit("03" + "012200" + "021101" + "031101")) // 3 components
+
+  /** The feature-extraction query COMPOSED over the real decode
+    * dispatch: [[extractFeatures]] runs on a mixed-modality corpus —
+    * every third doc keeps its text payload (the stub codec's
+    * deterministic dims), the rest are rebuilt in-flight as real
+    * PNG/JPEG containers whose header bytes [[MediaHeaders]] parses
+    * back, and half the JPEG slice is TRUNCATED (3 bytes) so the
+    * corrupt-header contract surfaces as (-1, -1) in the oracle-checked
+    * output, never a fabricated dimension. The oracle recomputes every
+    * class by independent integer arithmetic on doc_id / text length. */
   val features = OracleQuery(
     "multimodal_features",
-    (s, d) =>
-      Tables.documents(s, d)
-        .withColumn("byte_len", octet_length(col("text")).cast("long"))
-        .select(
-          col("doc_id"),
-          col("byte_len"),
-          md5(col("text")).as("content_hash"),
-          (col("byte_len") % 640).cast("int").as("width"),
-          (col("byte_len") * 7 % 480).cast("int").as("height"))
-        .orderBy(col("doc_id")),
+    (s, d) => {
+      import s.implicits._
+      val w = (col("doc_id") % 640 + 1).cast("int")
+      val h = (col("doc_id") * 7 % 480 + 1).cast("int")
+      val media = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 === 2, encode(col("text"), "UTF-8"))
+          .when(col("doc_id") % 3 === 0, unhex(pngHexFor(w, h)))
+          .when(col("doc_id") % 6 === 1, unhex(lit("FFD8FF"))) // truncated
+          .otherwise(unhex(jpgHexFor(w, h))).as("content"),
+        when(col("doc_id") % 3 === 2, lit("text/plain"))
+          .when(col("doc_id") % 3 === 0, lit("image/png"))
+          .otherwise(lit("image/jpeg")).as("media_type")).as[MediaRecord]
+      extractFeatures(media)
+        .select(col("doc_id"), col("media_type"), col("byte_len"),
+          col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    },
     Some("""SELECT doc_id,
-      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
-      |  md5(text) AS content_hash,
-      |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT) AS width,
-      |  CAST(octet_length(CAST(text AS BLOB)) * 7 % 480 AS INT) AS height
+      |  CASE WHEN doc_id % 3 = 2 THEN 'text/plain'
+      |       WHEN doc_id % 3 = 0 THEN 'image/png'
+      |       ELSE 'image/jpeg' END AS media_type,
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(CAST(text AS BLOB))
+      |       WHEN doc_id % 3 = 0 THEN 33
+      |       WHEN doc_id % 6 = 1 THEN 3
+      |       ELSE 39 END AS BIGINT) AS byte_len,
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(CAST(text AS BLOB)) % 640
+      |       WHEN doc_id % 6 = 1 THEN -1
+      |       ELSE doc_id % 640 + 1 END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(CAST(text AS BLOB)) * 7 % 480
+      |       WHEN doc_id % 6 = 1 THEN -1
+      |       ELSE doc_id * 7 % 480 + 1 END AS INT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** REAL header decode, round-tripped: the plan BUILDS valid PNG and
@@ -153,17 +190,9 @@ object Multimodal {
       import s.implicits._
       val w = (col("doc_id") % 640 + 1).cast("int")
       val h = (col("doc_id") * 7 % 480 + 1).cast("int")
-      val pngHex = concat(
-        lit("89504E470D0A1A0A" + "0000000D" + "49484452"), // sig, len 13, IHDR
-        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
-        lit("0806000000" + "00000000")) // bit depth 8, RGBA, ..., dummy CRC
-      val jpgHex = concat(
-        lit("FFD8" + "FFE000104A46494600010100000100010000" + // SOI, APP0/JFIF
-          "FFC00011" + "08"), // SOF0, len 17, precision 8
-        lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
-        lit("03" + "012200" + "021101" + "031101")) // 3 components
       val media = Tables.documents(s, d).select(col("doc_id"),
-        unhex(when(col("doc_id") % 2 === 0, pngHex).otherwise(jpgHex)).as("content"),
+        unhex(when(col("doc_id") % 2 === 0, pngHexFor(w, h))
+          .otherwise(jpgHexFor(w, h))).as("content"),
         when(col("doc_id") % 2 === 0, lit("image/png")).otherwise(lit("image/jpeg"))
           .as("media_type")).as[MediaRecord]
       extractFeatures(media)

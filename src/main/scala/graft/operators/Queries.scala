@@ -1022,27 +1022,32 @@ object Queries {
     * last-non-null window — no per-row range probe, no point lookups.
     * At 100 TB this is one hash exchange + a sort within partitions,
     * the same cost class as any windowed query. */
+  /** The batch backward-as-of core on any (time, entity_id, state)
+    * frame — shared by the oracle query and the spec that pins the
+    * composed dedup→asof STREAM against it on one fixture. */
+  private[graft] def asofBackward(events: DataFrame): DataFrame = {
+    val parts = split(col("entity_id"), "\\.")
+    val evs = events
+      .withColumn("domain", parts.getItem(0))
+      .withColumn("uid", parts.getItem(1).cast("long"))
+      .filter(col("domain").isin("click", "purchase"))
+      // purchases sort before clicks at the same instant (<= semantics)
+      .withColumn("ord", when(col("domain") === "purchase", 0).otherwise(1))
+      .withColumn("pstate", when(col("domain") === "purchase", col("state")))
+      .withColumn("ptime", when(col("domain") === "purchase", col("time")))
+    val w = Window.partitionBy(col("uid")).orderBy(col("time"), col("ord"), col("state"))
+    evs
+      .withColumn("asof_state", last(col("pstate"), ignoreNulls = true).over(w))
+      .withColumn("asof_time", last(col("ptime"), ignoreNulls = true).over(w))
+      .filter(col("domain") === "click")
+      .select(col("uid"), col("time"), col("state").as("click_state"),
+        col("asof_time"), col("asof_state"))
+      .orderBy(col("uid"), col("time"), col("click_state"))
+  }
+
   val asofJoin = OracleQuery(
     "ltss_asof_join",
-    (s, d) => {
-      val parts = split(col("entity_id"), "\\.")
-      val evs = ltss(s, d)
-        .withColumn("domain", parts.getItem(0))
-        .withColumn("uid", parts.getItem(1).cast("long"))
-        .filter(col("domain").isin("click", "purchase"))
-        // purchases sort before clicks at the same instant (<= semantics)
-        .withColumn("ord", when(col("domain") === "purchase", 0).otherwise(1))
-        .withColumn("pstate", when(col("domain") === "purchase", col("state")))
-        .withColumn("ptime", when(col("domain") === "purchase", col("time")))
-      val w = Window.partitionBy(col("uid")).orderBy(col("time"), col("ord"), col("state"))
-      evs
-        .withColumn("asof_state", last(col("pstate"), ignoreNulls = true).over(w))
-        .withColumn("asof_time", last(col("ptime"), ignoreNulls = true).over(w))
-        .filter(col("domain") === "click")
-        .select(col("uid"), col("time"), col("state").as("click_state"),
-          col("asof_time"), col("asof_state"))
-        .orderBy(col("uid"), col("time"), col("click_state"))
-    },
+    (s, d) => asofBackward(ltss(s, d)),
     Some(s"""$ltssCte
       |SELECT uid, time, click_state, asof_time, asof_state FROM (
       |  SELECT uid, time, state AS click_state, domain,

@@ -587,7 +587,15 @@ object Similarity {
   private[graft] def withinClusterPairs(
       s: SparkSession, d: String, minCos: Double = 0.2): DataFrame =
     graft.CachedFrames.getOrBuild(
-      s"ivf_pairs_${KmIters}_$minCos|${graft.CachedFrames.sessionKey(s)}|$d") {
+      s"ivf_pairs_${KmIters}_$minCos|${graft.CachedFrames.sessionKey(s)}|$d")(
+      buildWithinClusterPairs(s, d, minCos))
+
+  /** The uncached pair-frame plan — split out so PlanSpec can audit the
+    * join shape (equi-join on cid, no cartesian) without the persisted
+    * frame's InMemoryRelation nesting the build plan into every printed
+    * audit. */
+  private[graft] def buildWithinClusterPairs(
+      s: SparkSession, d: String, minCos: Double): DataFrame = {
       val asg = kmeansAssignments(s, d, KmIters).select(col("vec_id"), col("cid"))
       val e = Tables.embeddings(s, d).select(col("vec_id"),
         col("embedding"), DetMath.normCol(col("embedding"), Dim).as("nrm"))
@@ -599,7 +607,7 @@ object Similarity {
           DetMath.dotCol(col("a_e"), col("b_e"), Dim), col("a_n"), col("b_n")))
         .filter(col("cosine") >= minCos)
         .select(col("cid"), col("a_id"), col("b_id"), col("cosine"))
-    }
+  }
 
   val dedupEmbeddingIvf = OracleQuery(
     "dedup_embedding_ivf",

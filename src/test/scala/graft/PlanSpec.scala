@@ -535,7 +535,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("IVF dedup pairs only within clusters — the pair join is an equi-join") {
-    val df = Similarity.dedupEmbeddingIvf.run(spark, "/root/testdata/sf0.001")
+    // audit the UNCACHED build plan: the shared frame's InMemoryRelation
+    // would otherwise nest the whole build (kmeans scoring joins and
+    // all) into the printed plan once per cache level. minCos differs
+    // from the production 0.2 so the CacheManager cannot substitute the
+    // cached pair frame for this plan when other suites populated it —
+    // the join SHAPE under audit is threshold-independent
+    val df = Similarity.buildWithinClusterPairs(spark, "/root/testdata/sf0.001", 0.21)
+      .orderBy("cid", "a_id", "b_id")
     df.count()
     val plan = df.queryExecution.executedPlan.toString
     // the ONLY nested-loop joins allowed are the k-row centroid-scoring

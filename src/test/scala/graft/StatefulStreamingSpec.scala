@@ -478,6 +478,77 @@ class StatefulStreamingSpec extends SparkSpec {
       s"got $rows")
   }
 
+  test("streaming as-of: out-of-order purchases never regress the frontier; pre-frontier clicks stay unenriched") {
+    // VERDICT r7 #7: the scaladoc'd out-of-order contract, pinned.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.asofStream(df).writeStream
+      .format("memory").queryName("asof_ooo_t").outputMode("append").start()
+    try {
+      // in-batch: events apply in event-time order, so the 10:00 click
+      // precedes the 12:00 purchase and goes out unenriched
+      ms.addData(
+        (ts("2024-01-01 10:00:00"), "click.1", "c1"),
+        (ts("2024-01-01 12:00:00"), "purchase.1", "9"))
+      q.processAllAvailable()
+      // a LATE purchase older than the held frontier must not replace it
+      ms.addData((ts("2024-01-01 09:00:00"), "purchase.1", "1"))
+      q.processAllAvailable()
+      // a click before the frontier instant finds no frontier at-or-before
+      // it (the late 09:00 purchase was NOT retained — the documented
+      // single-frontier, in-order contract: compose after dedupByPkStream
+      // with a watermark sized to the disorder); a later click carries
+      // the 12:00 frontier
+      ms.addData(
+        (ts("2024-01-01 11:00:00"), "click.1", "c2"),
+        (ts("2024-01-01 13:00:00"), "click.1", "c3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("asof_ooo_t")
+      .as[(Long, java.sql.Timestamp, String, Option[java.sql.Timestamp], Option[String])]
+      .collect().toSet
+    assert(rows == Set(
+      (1L, ts("2024-01-01 10:00:00"), "c1", None, None),
+      (1L, ts("2024-01-01 11:00:00"), "c2", None, None),
+      (1L, ts("2024-01-01 13:00:00"), "c3", Some(ts("2024-01-01 12:00:00")), Some("9"))),
+      s"got $rows")
+  }
+
+  test("composed dedup->asof pipeline matches the batch as-of join on a PK-duplicated fixture") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the fixture repeats a (time, entity_id) PK — the documented
+    // composition drops it in-stream before the as-of state ever sees it
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), "purchase.1", "5"),
+      (ts("2024-01-01 10:00:00"), "purchase.1", "5"), // PK duplicate
+      (ts("2024-01-01 10:30:00"), "click.1", "a"),
+      (ts("2024-01-01 11:00:00"), "click.1", "b"),
+      (ts("2024-01-01 11:30:00"), "purchase.1", "7"),
+      (ts("2024-01-01 11:30:00"), "purchase.1", "7"), // PK duplicate
+      (ts("2024-01-01 12:00:00"), "click.1", "c"))
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.asofStream(
+      StreamingOps.dedupByPkStream(df, "2 hours")).writeStream
+      .format("memory").queryName("asof_dedup_t").outputMode("append").start()
+    try {
+      ms.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("asof_dedup_t")
+      .as[(Long, java.sql.Timestamp, String, Option[java.sql.Timestamp], Option[String])]
+      .collect().toSet
+    import spark.implicits._
+    val batch = graft.operators.Queries.asofBackward(
+      rows.distinct.toDF("time", "entity_id", "state"))
+      .as[(Long, java.sql.Timestamp, String, Option[java.sql.Timestamp], Option[String])]
+      .collect().toSet
+    assert(stream == batch, s"stream $stream must equal batch $batch")
+  }
+
   test("streaming trend: running sufficient sums converge to the batch OLS exactly") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, String)]
