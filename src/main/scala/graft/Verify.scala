@@ -50,12 +50,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // PQ oracle SQL is only valid where the fixture codebook geometry
-    // trains — on larger corpora those queries fall back to rows-only
-    // rather than comparing against SQL for a codebook that didn't run
+    // PQ and k-means oracle SQL is only valid where the fixture codebook
+    // geometry trains — on larger corpora those queries fall back to
+    // rows-only rather than comparing against SQL for a codebook that
+    // didn't run
+    val geometryDependent = graft.operators.Pq.GeometryDependentOracles ++
+      graft.operators.Similarity.GeometryDependentOracles
     val oracleSql =
-      if (graft.operators.Pq.fixtureOracleValid(spark, sfDir)) SparkEntry.oracleSql
-      else SparkEntry.oracleSql -- graft.operators.Pq.GeometryDependentOracles
+      if (graft.operators.Similarity.fixtureOracleValid(spark, sfDir)) SparkEntry.oracleSql
+      else SparkEntry.oracleSql -- geometryDependent
     val json = oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -63,8 +63,10 @@ object Pq {
     * geometry stays DuckDB-replayable; at or above it (sf0.1 bench and
     * up) the production geometry trains instead. The correctness gate
     * runs at sf0.01 (500 vectors), so every oracle row still replays
-    * bit-exactly; sf0.1's 2000 vectors cross the line. */
-  val ProdMinVectors = 1000L
+    * bit-exactly; sf0.1's 2000 vectors cross the line. One threshold
+    * governs every geometry decision — shared with the k-means cluster
+    * count ([[Similarity.kmK]]). */
+  val ProdMinVectors: Long = Similarity.ProdMinVectors
 
   /** Queries whose DuckDB oracle SQL hard-codes the FIXTURE geometry
     * (M=2 → c0/c1 columns, k=4 Lloyd replay): on a corpus where
@@ -83,15 +85,10 @@ object Pq {
   def fixtureOracleValid(s: SparkSession, d: String): Boolean =
     params(s, d) == FixtureParams
 
-  private val paramCache =
-    new java.util.concurrent.ConcurrentHashMap[String, PqParams]()
-
-  /** The geometry for a dataset — one parquet-metadata count per JVM. */
+  /** The geometry for a dataset — one shared vector count per JVM. */
   private[graft] def params(s: SparkSession, d: String): PqParams =
-    paramCache.computeIfAbsent(d, { _ =>
-      if (graft.Tables.embeddings(s, d).count() >= ProdMinVectors) ProdParams
-      else FixtureParams
-    })
+    if (Similarity.nVectors(s, d) >= ProdMinVectors) ProdParams
+    else FixtureParams
 
   // Fixture constants — the oracle SQL (always fixture-shaped; the
   // correctness gate runs below ProdMinVectors) and the fixture-scale

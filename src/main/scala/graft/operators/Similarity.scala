@@ -37,6 +37,46 @@ object Similarity {
   val KmK = 8
   val KmIters = 3
 
+  /** Corpus-size threshold shared with [[Pq.ProdMinVectors]]: below it
+    * the FIXTURE k-means geometry (k = [[KmK]]) trains, so the DuckDB
+    * oracle's Lloyd-replay SQL stays valid and tractable; at or above
+    * it the codebook scales with the corpus. */
+  val ProdMinVectors = 1000L
+
+  private val nVecCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Vector count for a dataset — one parquet-metadata count per JVM,
+    * shared by every geometry decision ([[kmK]], [[Pq.params]]). */
+  private[graft] def nVectors(s: SparkSession, d: String): Long =
+    nVecCache.computeIfAbsent(d, _ => Tables.embeddings(s, d).count()).longValue
+
+  /** The trained cluster count for a dataset. Fixture corpora keep
+    * k = [[KmK]] (oracle-replayable); larger corpora train k ≈ √n — the
+    * standard IVF scaling, which keeps the within-cluster pair bound of
+    * [[dedupEmbeddingIvf]]/[[dedupSemantic]] at n²/k = n^1.5 instead of
+    * the quadratic n²/const a FIXED k degenerates to as the corpus
+    * grows (the r8 scaling probe exposed exactly that term). */
+  private[graft] def kmK(s: SparkSession, d: String): Int = {
+    val n = nVectors(s, d)
+    if (n < ProdMinVectors) KmK
+    else math.max(KmK, math.sqrt(n.toDouble).toInt)
+  }
+
+  /** Queries whose DuckDB oracle SQL embeds the FIXTURE-k Lloyd replay
+    * ([[kmeansSqlChain]], k = [[KmK]]): invalid by construction on a
+    * corpus where [[kmK]] scales past it — [[graft.Verify]] omits them
+    * from oracle_sql.json there (rows-only check), like
+    * [[Pq.GeometryDependentOracles]]. */
+  val GeometryDependentOracles: Set[String] =
+    Set("sim_ivf_kmeans", "sim_ivf_probe", "sim_ivf_probe2",
+      "dedup_embedding_ivf", "dedup_semantic")
+
+  /** True iff the fixture geometry (k = [[KmK]], fixture PQ codebook)
+    * trains for `d`, i.e. every geometry-dependent oracle is valid. */
+  def fixtureOracleValid(s: SparkSession, d: String): Boolean =
+    nVectors(s, d) < ProdMinVectors
+
   /** Brute-force cosine top-k: query = embedding of vec_id 0. */
   val cosineTopk = OracleQuery(
     "sim_cosine_topk",
@@ -431,7 +471,7 @@ object Similarity {
   private[graft] def kmeansAssignments(
       s: org.apache.spark.sql.SparkSession, d: String, iters: Int): DataFrame =
     graft.CachedFrames.getOrBuild(
-      s"kmeans_asg$iters|${graft.CachedFrames.sessionKey(s)}|$d") {
+      s"kmeans_asg${kmK(s, d)}_$iters|${graft.CachedFrames.sessionKey(s)}|$d") {
       assignTo(embWithCodes(s, d), kmeansCentroids(s, d, iters))
         .select(col("vec_id"), col("cid"), col("cos"))
     }
@@ -456,10 +496,12 @@ object Similarity {
   /** The trained codebook — the FINAL (cid, ce, cn) centroid frame after
     * `iters` Lloyd rounds, dataset-keyed like the assignment (a k-row
     * local relation; the probe queries collect it for the driver-side
-    * probe argmax, exactly as real IVF planners hold their codebook). */
+    * probe argmax, exactly as real IVF planners hold their codebook).
+    * Trains at [[kmK]]: fixture k on oracle corpora, k ≈ √n above the
+    * threshold. */
   private[graft] def kmeansCentroids(
       s: org.apache.spark.sql.SparkSession, d: String, iters: Int): DataFrame =
-    kmeansCentroidsK(s, d, KmK, iters)
+    kmeansCentroidsK(s, d, kmK(s, d), iters)
 
   /** Codebook trainer parameterized by k — the production path trains at
     * [[KmK]]; the recall pin also trains a k=4 codebook so trained-vs-
@@ -587,7 +629,7 @@ object Similarity {
   private[graft] def withinClusterPairs(
       s: SparkSession, d: String, minCos: Double = 0.2): DataFrame =
     graft.CachedFrames.getOrBuild(
-      s"ivf_pairs_${KmIters}_$minCos|${graft.CachedFrames.sessionKey(s)}|$d")(
+      s"ivf_pairs_${kmK(s, d)}_${KmIters}_$minCos|${graft.CachedFrames.sessionKey(s)}|$d")(
       buildWithinClusterPairs(s, d, minCos))
 
   /** The uncached pair-frame plan — split out so PlanSpec can audit the

@@ -65,13 +65,13 @@ class PqSpec extends SparkSpec {
     // every listed name must be a registered oracle (a rename would
     // silently stop the Verify-side omission) and its SQL must be the
     // fixture shape the omission exists for (c0/c1 columns)
-    for (name <- Pq.GeometryDependentOracles) {
+    for (name <- Pq.GeometryDependentOracles ++ Similarity.GeometryDependentOracles) {
       val sql = SparkEntry.oracleSql.get(name)
       assert(sql.nonEmpty, s"$name not in SparkEntry.oracleSql")
       assert(sql.get.contains("c0"), s"$name oracle no longer fixture-shaped")
     }
     // the gate fixtures are below ProdMinVectors: the SQL stays valid there
-    assert(Pq.fixtureOracleValid(spark, D),
+    assert(Pq.fixtureOracleValid(spark, D) && Similarity.fixtureOracleValid(spark, D),
       "sf0.001 fixture must train the DuckDB-replayable geometry")
   }
 }
