@@ -79,6 +79,7 @@ object Bench {
         graft.operators.Similarity.KmIters).count())
     warmed("ivf_layout")(graft.operators.Similarity.ivfLayoutPath(spark, sfDir))
     warmed("pq_train")(graft.operators.Pq.pqCodes(spark, sfDir).count())
+    warmed("ivfpq_layout")(graft.operators.Pq.ivfPqLayoutPath(spark, sfDir))
     warmed("cagg_layout")(graft.operators.TimeSeries.caggLayoutPath(spark, sfDir))
     warmed("inv_index")(graft.operators.TextOps.invIndexPath(spark, sfDir))
     // compile the label-propagation loop's codegen shapes on a 2-edge

@@ -17,7 +17,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object CachedFrames {
 
-  private[graft] val MaxEntries = 16
+  /** Must exceed the number of distinct per-dataset artifact keys one
+    * full query-suite pass touches (currently ~19: 8 PQ subquantizer
+    * codebooks, 2 SimHash band widths, LSH bands, k-means emb/cent/asg
+    * at two cluster counts, the IVF pair frame, the MAD histogram, PQ
+    * codes) with headroom for a few interleaved datasets. At 16 the
+    * bench's interleaved passes evicted the k-means/PQ artifacts every
+    * pass and re-trained them per query — ~19 s across the suite once
+    * the trained geometry scaled to k≈√n (r8). Frames are
+    * MEMORY_AND_DISK, so a large cap costs spill space, not OOM risk. */
+  private[graft] val MaxEntries = 64
 
   private val cache =
     new java.util.LinkedHashMap[String, DataFrame](MaxEntries, 0.75f, true) {
