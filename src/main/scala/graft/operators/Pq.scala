@@ -451,7 +451,10 @@ object Pq {
     * [[ProdParams]] 32-bit codebook instead and pq_adc's standalone
     * recall is materially non-zero (0.2@10 at sf0.1) — the same
     * report, measuring a real codebook; production M=8–16/k=256 shifts
-    * the candidate stage's precision further, not the architecture. */
+    * the candidate stage's precision further, not the architecture.
+    * `binary_rerank` audits the 1-bit sign tier ([[Similarity.binaryTopk]])
+    * through the same harness: Hamming candidates + exact rerank,
+    * geometry-independent (valid in both codebook regimes). */
   val recallReportQ = OracleQuery(
     "sim_recall_report",
     (s, d) => {
@@ -507,14 +510,24 @@ object Pq {
         .join(scored.select(col("vec_id"), col("cosine")), "vec_id")
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10).select(col("vec_id"))
+      // the binary-sign tier: Hamming top-candidates, exact rerank —
+      // audited with the same disagreement arithmetic the oracle uses
+      val binary10 = scored
+        .withColumn("hamming",
+          Similarity.signDisagreements(col("embedding"), col("qe")))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(Similarity.BinaryCand)
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10).select(col("vec_id"))
       val found = Seq("ivf_probe" -> ivf10, "pq_adc" -> pq10,
         "ivfpq" -> ivfpq10, "pq_rerank" -> rerank10,
-        "ivfpq_rerank" -> ivfpqRerank10)
+        "ivfpq_rerank" -> ivfpqRerank10, "binary_rerank" -> binary10)
         .map { case (nm, df) => df.withColumn("method", lit(nm)) }
         .reduce(_ unionByName _)
         .join(exact10, "vec_id")
         .groupBy(col("method")).agg(count(lit(1)).as("hits"))
-      Seq("ivf_probe", "pq_adc", "ivfpq", "pq_rerank", "ivfpq_rerank").toDF("method")
+      Seq("ivf_probe", "pq_adc", "ivfpq", "pq_rerank", "ivfpq_rerank",
+        "binary_rerank").toDF("method")
         .join(found, Seq("method"), "left")
         .select(col("method"),
           coalesce(col("hits"), lit(0L)).as("hits"),
@@ -598,12 +611,23 @@ object Pq {
         |    JOIN qcid ON qcid.cid = a.cid)
         |  ORDER BY adc_cosine DESC, vec_id LIMIT 10
         |),
+        |bin50 AS (
+        |  SELECT vec_id, cosine FROM (
+        |    SELECT e.vec_id, $cos AS cosine,
+        |           ${Similarity.signDisagreeSql("e.embedding", "q.qe")} AS hamming
+        |    FROM e, q WHERE e.vec_id <> 0)
+        |  ORDER BY hamming, vec_id LIMIT ${Similarity.BinaryCand}
+        |),
+        |binary10 AS (
+        |  SELECT vec_id FROM bin50 ORDER BY cosine DESC, vec_id LIMIT 10
+        |),
         |m AS (
         |  SELECT 'ivf_probe' AS method, vec_id FROM ivf10
         |  UNION ALL SELECT 'pq_adc', vec_id FROM pq10
         |  UNION ALL SELECT 'ivfpq', vec_id FROM ivfpq10
         |  UNION ALL SELECT 'pq_rerank', vec_id FROM rerank10
         |  UNION ALL SELECT 'ivfpq_rerank', vec_id FROM ivfpq_rerank10
+        |  UNION ALL SELECT 'binary_rerank', vec_id FROM binary10
         |),
         |h AS (
         |  SELECT method, CAST(count(*) AS BIGINT) AS hits
@@ -611,7 +635,8 @@ object Pq {
         |),
         |names AS (
         |  SELECT * FROM (VALUES ('ivf_probe'), ('pq_adc'), ('ivfpq'),
-        |                        ('pq_rerank'), ('ivfpq_rerank')) t(method)
+        |                        ('pq_rerank'), ('ivfpq_rerank'),
+        |                        ('binary_rerank')) t(method)
         |)
         |SELECT n.method, COALESCE(h.hits, 0) AS hits,
         |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10.0 AS recall_at_10

@@ -797,6 +797,72 @@ object Queries {
       |WHERE d2 <= 64
       |ORDER BY a_id, b_id""".stripMargin))
 
+  /** The literal test polygon for [[geoPolygon]] — NON-convex (the
+    * (15,18) vertex dents inward, so convex-hull shortcuts would get it
+    * wrong) with no horizontal edge (a horizontal edge never crosses a
+    * horizontal ray and its slope division is 0/0 — excluding them at
+    * CONSTRUCTION keeps the crossing arithmetic NaN-free by design).
+    * Vertices are (lon, lat) on the integer lattice while every fixture
+    * point sits at half-integer coordinates, so "exactly on an edge
+    * endpoint" cannot occur. */
+  val PolygonVerts: Seq[(Double, Double)] =
+    Seq((0.0, 0.0), (40.0, 10.0), (15.0, 18.0), (30.0, 40.0), (-10.0, 25.0))
+
+  private def polygonEdges: Seq[(Double, Double, Double, Double)] =
+    (PolygonVerts :+ PolygonVerts.head).sliding(2).collect {
+      case Seq((x1, y1), (x2, y2)) if y1 != y2 => (x1, y1, x2, y2)
+    }.toSeq
+
+  /** Point-in-polygon containment (the PostGIS `ST_Within(point, poly)`
+    * analog, closing part of SURVEY §7.4's polygon cut): the standard
+    * even-odd ray cast — a point is inside iff a horizontal ray crosses
+    * an odd number of edges. Because the polygon is a LITERAL, the
+    * crossing count compiles to a per-row sum of one CASE per edge —
+    * NO join, NO shuffle, a pure codegen scan→project→filter that is
+    * embarrassingly parallel at any scale (the polygon rides along as
+    * a constant, the way real geo engines broadcast geometry). Parity:
+    * each crossing test is integer-exact up to one IEEE multiply +
+    * divide on identical inputs ((x2−x1)·(lat−y1)/(y2−y1), both engines
+    * evaluate the identical expression tree), and the even-odd rule
+    * consumes only the resulting booleans. */
+  val geoPolygon = OracleQuery(
+    "ltss_geo_polygon",
+    (s, d) => {
+      val lat = col("lat")
+      val lon = col("lon")
+      val crossings = polygonEdges.map { case (x1, y1, x2, y2) =>
+        when(
+          (lit(y1) > lat) =!= (lit(y2) > lat) &&
+            lon < (lit(x2) - lit(x1)) * (lat - lit(y1)) / (lit(y2) - lit(y1)) + lit(x1),
+          1).otherwise(0)
+      }.reduceLeft(_ + _)
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
+        .withColumn("crossings", crossings)
+        .filter(col("crossings") % 2 === 1)
+        .select(col("event_id"), col("lat"), col("lon"))
+        .orderBy(col("event_id"))
+    },
+    Some {
+      val crossings = polygonEdges.map { case (x1, y1, x2, y2) =>
+        s"""CASE WHEN ($y1 > lat) <> ($y2 > lat)
+           |             AND lon < ($x2 - $x1) * (lat - $y1) / ($y2 - $y1) + $x1
+           |        THEN 1 ELSE 0 END""".stripMargin
+      }.mkString("\n      |     + ")
+      s"""SELECT event_id, lat, lon FROM (
+        |  SELECT event_id, lat, lon,
+        |     $crossings AS crossings
+        |  FROM (SELECT event_id,
+        |               CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+        |               CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon
+        |        FROM events
+        |        WHERE user_id IS NOT NULL AND event_id IS NOT NULL))
+        |WHERE crossings % 2 = 1
+        |ORDER BY event_id""".stripMargin
+    })
+
   /** Top movers — the "biggest changes" dashboard panel: per entity,
     * the first and last observed values (by the deterministic
     * (time, value) order), ranked by absolute net change. ONE hash
@@ -1190,6 +1256,6 @@ object Queries {
     timeBucketAgg, jsonAttr, jsonAttrLayout, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, geoRadiusLayout, geoBbox, timeBucketSqlQ,
     domainStatsSalted, asofJoin, asofJoinFwd, rangeJoin, percentiles, histogram, pivotHours,
-    retention, funnel, topMovers, geoGrid, geoPairs, anomalyMad, histogram2d,
-    sketches)
+    retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, anomalyMad,
+    histogram2d, sketches)
 }

@@ -217,7 +217,79 @@ object Sampling {
       |WHERE cum_tokens <= $TokenBudget
       |ORDER BY lang, doc_id""".stripMargin))
 
+  /** The target domain for importance scoring and how many docs the
+    * selection keeps — fixture stand-ins for "the high-quality corpus
+    * you want more of" and the selection budget. */
+  val ImportanceTarget = "src0"
+  val ImportanceTopN = 100
+
+  /** DSIR-style importance scoring over hashed n-gram features (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): every 2-word shingle hashes into one of 256 buckets
+    * (first 2 hex chars of md5 — the same engine-stable feature hash the
+    * sampling family uses), a doc's score is the inner product of its
+    * bucket-count profile with the TARGET corpus's bucket histogram,
+    * normalized by the doc's shingle count; the top-[[ImportanceTopN]]
+    * docs by (importance, doc_id) are the selected mixture. The integer
+    * form keeps oracle parity exact: counts are BIGINTs end-to-end with
+    * ONE final double division on identical inputs (DSIR's log-ratio
+    * weights reduce to this monotone inner-product form when the raw
+    * distribution is near-uniform over buckets — and log is the one op
+    * the parity rules ban).
+    *
+    * Scale shape: one map-side-combinable (doc_id, bucket) count
+    * shuffle — the bucket space is CONSTANT (256), so the target
+    * histogram is a broadcast-size frame at ANY corpus size, and no
+    * stage ever shuffles text. */
+  val sampleImportance = OracleQuery(
+    "sample_importance",
+    (s, d) => {
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      val sh2 = columnOf(graft.functions.ShinglesK(expressionOf(col("text")), 2))
+      val occ = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(sh2).as("sh"))
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("sh")), 1, 2).as("b"))
+      val target = occ.filter(col("source") === ImportanceTarget)
+        .groupBy(col("b")).agg(count(lit(1)).as("t"))
+      occ.groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .join(broadcast(target), Seq("b"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c") * coalesce(col("t"), lit(0L))).as("affinity"),
+          sum(col("c")).as("n_shingles"))
+        .withColumn("importance",
+          col("affinity").cast("double") / col("n_shingles").cast("double"))
+        .orderBy(col("importance").desc, col("doc_id"))
+        .limit(ImportanceTopN)
+        .select(col("doc_id"), col("source"), col("affinity"),
+          col("n_shingles"), col("importance"))
+    },
+    Some(s"""WITH occ AS (
+      |  SELECT doc_id, source, substring(md5(sh), 1, 2) AS b FROM (
+      |    SELECT doc_id, source, unnest(list_transform(
+      |             generate_series(1, greatest(len(w) - 1, 1)),
+      |             i -> concat_ws(' ', w[i], w[i+1]))) AS sh
+      |    FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents))
+      |), target AS (
+      |  SELECT b, CAST(count(*) AS BIGINT) AS t FROM occ
+      |  WHERE source = '$ImportanceTarget' GROUP BY b
+      |), db AS (
+      |  SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
+      |  FROM occ GROUP BY 1, 2, 3
+      |)
+      |SELECT doc_id, source, affinity, n_shingles,
+      |       CAST(affinity AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS importance
+      |FROM (
+      |  SELECT db.doc_id, db.source,
+      |         CAST(sum(db.c * COALESCE(t.t, 0)) AS BIGINT) AS affinity,
+      |         CAST(sum(db.c) AS BIGINT) AS n_shingles
+      |  FROM db LEFT JOIN target t ON t.b = db.b
+      |  GROUP BY 1, 2)
+      |ORDER BY importance DESC, doc_id
+      |LIMIT $ImportanceTopN""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(sampleHash, datasetSplit, topkPerGroup, sequencePacking, sampleStratified,
-      sampleBudget)
+      sampleBudget, sampleImportance)
 }

@@ -732,6 +732,88 @@ object Similarity {
         |ORDER BY e.vec_id""".stripMargin
     })
 
+  /** Hamming distance between two vectors' SIGN patterns in unpacked
+    * form (one CASE per dimension) — the semantic definition the packed
+    * words of [[binaryTopk]] are verified against, shared with the
+    * recall audit so the audited tier is the same arithmetic. */
+  private[operators] def signDisagreements(a: Column, b: Column): Column =
+    (1 to Dim).map(i =>
+      when((element_at(a, i) > 0f) =!= (element_at(b, i) > 0f), 1).otherwise(0))
+      .reduceLeft(_ + _)
+
+  /** DuckDB twin of [[signDisagreements]]. */
+  private[operators] def signDisagreeSql(a: String, b: String): String =
+    (1 to Dim).map(i =>
+      s"CASE WHEN ($a[$i] > 0) <> ($b[$i] > 0) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+
+  /** One packed word of sign bits: bit (i − lo) set iff embedding[i] > 0,
+    * for i in [lo, hi] — an explicit compiled sum of power-of-two terms
+    * (exact integer addition, so term order is immaterial for parity). */
+  private def signWord(lo: Int, hi: Int): Column =
+    (lo to hi).map(i =>
+      when(element_at(col("embedding"), i) > 0f, lit(1L << (i - lo)))
+        .otherwise(lit(0L)))
+      .reduceLeft(_ + _)
+
+  /** Binary (1-bit sign) quantization + Hamming ANN with exact rerank —
+    * the third compression tier next to int8 ([[embedQuantize]]) and PQ
+    * ([[Pq]]): each 64-dim float vector packs to TWO 32-bit sign words
+    * (32× smaller than f32), candidate generation is pure integer
+    * `bit_count(xor)` per word on the packed columns, and only the
+    * top-[[BinaryCand]] Hamming candidates (cut deterministically by
+    * (hamming, vec_id)) are reranked with the exact cosine. At 100 TB
+    * the packed words are a skinny two-long column an index scan reads
+    * instead of raw vectors — the same codes-not-vectors shape as the
+    * PQ layout — and the rerank touches [[BinaryCand]] raw vectors per
+    * query, not the corpus. The oracle computes the identical Hamming
+    * integer as the 64-term sign-disagreement sum (the unpacked
+    * definition), so the packed words are verified against their
+    * semantics, not an implementation twin. */
+  val BinaryCand = 50
+
+  val binaryTopk = OracleQuery(
+    "sim_binary_topk",
+    (s, d) => {
+      val packed = embNorm(s, d).select(
+        col("vec_id"), col("embedding"), col("nrm"),
+        signWord(1, 32).as("w0"), signWord(33, 64).as("w1"))
+      val q = packed.filter(col("vec_id") === 0).select(
+        col("embedding").as("qe"), col("nrm").as("qn"),
+        col("w0").as("qw0"), col("w1").as("qw1"))
+      val hamming =
+        bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+          bit_count(col("w1").bitwiseXOR(col("qw1")))
+      val cand = packed.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("hamming", hamming)
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(BinaryCand)
+      cand
+        .withColumn("cosine", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("qe"), Dim), col("nrm"), col("qn")))
+        .select(col("vec_id"), col("hamming"), col("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some {
+      val disagree = signDisagreeSql("e.embedding", "q.qe")
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm
+        |  FROM embeddings
+        |), q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, $disagree AS hamming
+        |  FROM e, q WHERE e.vec_id <> 0
+        |  ORDER BY hamming, e.vec_id LIMIT $BinaryCand
+        |)
+        |SELECT c.vec_id, c.hamming,
+        |  ${DetMath.cosinePreSql(DetMath.dotSql("c.embedding", "q.qe", Dim), "c.nrm", "q.qn")} AS cosine
+        |FROM cand c, q
+        |ORDER BY cosine DESC, c.vec_id
+        |LIMIT 10""".stripMargin
+    })
+
   /** Int8 embedding quantization (the 4× storage/bandwidth reduction a
     * 100 TB vector corpus wants before ANN indexing): code = floor(
     * clamp(v,−1,1)·127 + 0.5) per dimension — floor(x+0.5) instead of
@@ -769,5 +851,5 @@ object Similarity {
   val all: Seq[OracleQuery] =
     Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, embedNearDupRandomQ,
       ivfProbe, ivfProbe2, ivfKmeans, dedupEmbeddingIvf, dedupSemantic,
-      embedQuantize)
+      binaryTopk, embedQuantize)
 }

@@ -73,4 +73,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(cwA != cwB)
     assert(rows == Set((cwA, 0L, 1L), (cwA, 2L, 1L), (cwB, 0L, 1L)))
   }
+
+  test("polygon containment: concave dent is outside despite being inside the hull") {
+    // lat = user_id%180 − 90 + 0.5, lon = event_id%360 − 180 + 0.5:
+    //   (lon 10.5, lat 10.5)  — inside (1 crossing, right of the ray)
+    //   (lon 20.5, lat 19.5)  — in the CONVEX HULL but outside the
+    //                           polygon (the (15,18) dent) — 0 crossings
+    //   (lon 50.5, lat 50.5)  — far outside
+    val dir = java.nio.file.Files.createTempDirectory("graft-poly").toString
+    Seq(
+      (190L, ts("2024-01-01 00:00:00"), 100L, "view", 1.0, "{}"),
+      (200L, ts("2024-01-01 00:00:01"), 109L, "view", 1.0, "{}"),
+      (230L, ts("2024-01-01 00:00:02"), 140L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val in = graft.operators.Queries.geoPolygon.run(spark, dir)
+      .select("event_id").as[Long].collect().toSeq
+    assert(in == Seq(190L),
+      s"only the (10.5, 10.5) point is inside the non-convex polygon, got $in")
+  }
+
+  test("importance scoring: target-shingle docs outrank disjoint docs exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    // target corpus (src0) holds the shingle "a b" twice; doc 10 shares
+    // it (affinity 2 over 1 shingle), doc 11 is disjoint (affinity 0)
+    Seq(
+      (1L, "src0", "a b"),
+      (2L, "src0", "a b"),
+      (10L, "src9", "a b"),
+      (11L, "src9", "x y"))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Sampling.sampleImportance.run(spark, dir)
+      .select("doc_id", "affinity", "n_shingles")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // importance 2.0 for every "a b" doc (ties broken by doc_id), then 0
+    assert(out == Seq((1L, 2L, 1L), (2L, 2L, 1L), (10L, 2L, 1L), (11L, 0L, 1L)))
+  }
 }

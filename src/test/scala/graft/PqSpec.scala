@@ -42,6 +42,8 @@ class PqSpec extends SparkSpec {
     assert(r("pq_rerank") >= r("pq_adc"),
       s"reranking adc candidates lost recall: $r")
     assert(r("ivf_probe") > 0, s"trained probe found nothing: $r")
+    assert(r("binary_rerank") > 0,
+      s"binary-sign candidates + exact rerank found nothing: $r")
   }
 
   test("ADC top-10 beats the corpus average by TRUE cosine to the query") {

@@ -76,4 +76,23 @@ class SimilaritySpec extends SparkSpec {
     val again = pairsOf(Similarity.embedNearDupRandom(emb, 7L, 8, 2, minCosine))
     assert(once == again)
   }
+
+  test("binary-quantization hamming equals the sign-disagreement count") {
+    import spark.implicits._
+    // hand vectors whose packed-word hammings are knowable by eye:
+    // v1 = v0 (ham 0, cosine 1), v2 = −v0 (all 64 signs flip),
+    // v3 flips exactly the last 32 dims (one full word)
+    val v0 = Array.fill(64)(1.0f)
+    val v2 = v0.map(-_)
+    val v3 = Array.tabulate(64)(i => if (i < 32) 1.0f else -1.0f)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-binary").toString
+    Seq((0L, v0.toSeq, 0), (1L, v0.toSeq, 0), (2L, v2.toSeq, 0), (3L, v3.toSeq, 0))
+      .toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Similarity.binaryTopk.run(spark, tmp)
+      .select("vec_id", "hamming").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // rerank order is exact cosine desc: v1 (dup), then v3, then v2
+    assert(out == Seq((1L, 0), (3L, 32), (2L, 64)))
+  }
 }
