@@ -198,6 +198,16 @@ class PlanSpec extends SparkSpec {
       s"expected the attr_k predicate in PushedFilters; plan:\n$plan")
   }
 
+  test("polygon containment is a shuffle-free compiled scan — no join, no exchange") {
+    val df = graft.operators.Queries.geoPolygon.run(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"the literal polygon must ride as a constant, not a join side; plan:\n$plan")
+    // the only exchange allowed is the final presentation sort's range partitioning
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"point-in-polygon must not shuffle; plan:\n$plan")
+  }
+
   test("range join plans as an equi-join on bucket keys — never a nested loop") {
     val df = graft.operators.Queries.rangeJoin.run(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
