@@ -814,6 +814,77 @@ object Similarity {
         |LIMIT 10""".stripMargin
     })
 
+  /** Matryoshka-truncation recall audit (Kusupati et al. 2022, MRL):
+    * retrieval quality when only the FIRST m dimensions of each vector
+    * are scored — the read-bandwidth knob a 100 TB vector store turns
+    * before any quantizer, since a prefix scan reads m/Dim of the
+    * bytes with zero index structure. One row per tier (16, 32, full
+    * 64): top-10 by prefix-cosine vs the full-dim exact top-10, hits as
+    * exact integers through one division — the same measure-don't-guess
+    * harness as the recall report, with the full-width tier as the
+    * built-in recall-1.0 sanity row. (The fixture's embeddings are not
+    * MRL-trained, so prefix recall IS the honest penalty of truncating
+    * an untrained layout — the audit is what tells you whether your
+    * embeddings earn the truncation.) */
+  val MatryoshkaTiers = Seq(16, 32, Dim)
+
+  val matryoshkaQ = OracleQuery(
+    "sim_matryoshka",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val base = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      def top10(m: Int) = base
+        .withColumn("pcos", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("qe"), m),
+          DetMath.normCol(col("embedding"), m),
+          DetMath.normCol(col("qe"), m)))
+        .orderBy(col("pcos").desc, col("vec_id"))
+        .limit(10).select(col("vec_id"))
+      val exact10 = top10(Dim)
+      val found = MatryoshkaTiers
+        .map(m => top10(m).withColumn("dims", lit(m)))
+        .reduce(_ unionByName _)
+        .join(exact10, "vec_id")
+        .groupBy(col("dims")).agg(count(lit(1)).as("hits"))
+      MatryoshkaTiers.toDF("dims")
+        .join(found, Seq("dims"), "left")
+        .select(col("dims"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / 10.0).as("recall_at_10"))
+        .orderBy(col("dims"))
+    },
+    Some {
+      def tier(m: Int) =
+        s"""t$m AS (
+           |  SELECT vec_id FROM (
+           |    SELECT e.vec_id,
+           |      ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "q.qe", m),
+                  DetMath.normSql("e.embedding", m), DetMath.normSql("q.qe", m))} AS pcos
+           |    FROM e, q WHERE e.vec_id <> 0)
+           |  ORDER BY pcos DESC, vec_id LIMIT 10
+           |)""".stripMargin
+      val unions = MatryoshkaTiers
+        .map(m => s"SELECT $m AS dims, vec_id FROM t$m")
+        .mkString("\n  UNION ALL ")
+      val values = MatryoshkaTiers.map(m => s"($m)").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+        |${MatryoshkaTiers.map(tier).mkString(",\n")},
+        |m AS (
+        |  $unions
+        |),
+        |h AS (
+        |  SELECT dims, CAST(count(*) AS BIGINT) AS hits
+        |  FROM m JOIN t$Dim USING (vec_id) GROUP BY dims
+        |)
+        |SELECT d.dims, COALESCE(h.hits, 0) AS hits,
+        |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM (VALUES $values) d(dims) LEFT JOIN h USING (dims)
+        |ORDER BY d.dims""".stripMargin
+    })
+
   /** Int8 embedding quantization (the 4× storage/bandwidth reduction a
     * 100 TB vector corpus wants before ANN indexing): code = floor(
     * clamp(v,−1,1)·127 + 0.5) per dimension — floor(x+0.5) instead of
@@ -851,5 +922,5 @@ object Similarity {
   val all: Seq[OracleQuery] =
     Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, embedNearDupRandomQ,
       ivfProbe, ivfProbe2, ivfKmeans, dedupEmbeddingIvf, dedupSemantic,
-      binaryTopk, embedQuantize)
+      binaryTopk, matryoshkaQ, embedQuantize)
 }

@@ -77,6 +77,21 @@ class SimilaritySpec extends SparkSpec {
     assert(once == again)
   }
 
+  test("matryoshka audit: full width is exact, tiers complete and deterministic") {
+    val r = Similarity.matryoshkaQ.run(spark, dir).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r(Similarity.Dim) == 10L,
+      s"the full-width tier must reproduce the exact top-10: $r")
+    // truncation recall on UNTRAINED embeddings is allowed to be bad —
+    // that is the audit's point (sf0.001 measures 16d=1, 32d=0) — but
+    // every tier must report, bounded, and reproducibly
+    assert(r.keySet == Similarity.MatryoshkaTiers.toSet &&
+      r.values.forall(h => h >= 0L && h <= 10L), s"malformed report: $r")
+    val again = Similarity.matryoshkaQ.run(spark, dir).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(again == r, s"audit must be deterministic: $r vs $again")
+  }
+
   test("binary-quantization hamming equals the sign-disagreement count") {
     import spark.implicits._
     // hand vectors whose packed-word hammings are knowable by eye:
