@@ -250,10 +250,13 @@ object Sampling {
         .select(col("doc_id"), col("source"), explode(sh2).as("sh"))
         .select(col("doc_id"), col("source"),
           substring(md5(col("sh")), 1, 2).as("b"))
-      val target = occ.filter(col("source") === ImportanceTarget)
-        .groupBy(col("b")).agg(count(lit(1)).as("t"))
-      occ.groupBy(col("doc_id"), col("source"), col("b"))
+      // one explode+count pass serves BOTH sides: the target histogram
+      // is a rollup of the per-doc bucket counts, not a second scan
+      val docBuckets = occ.groupBy(col("doc_id"), col("source"), col("b"))
         .agg(count(lit(1)).as("c"))
+      val target = docBuckets.filter(col("source") === ImportanceTarget)
+        .groupBy(col("b")).agg(sum(col("c")).as("t"))
+      docBuckets
         .join(broadcast(target), Seq("b"), "left")
         .groupBy(col("doc_id"), col("source"))
         .agg(sum(col("c") * coalesce(col("t"), lit(0L))).as("affinity"),
@@ -271,12 +274,12 @@ object Sampling {
       |             generate_series(1, greatest(len(w) - 1, 1)),
       |             i -> concat_ws(' ', w[i], w[i+1]))) AS sh
       |    FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents))
-      |), target AS (
-      |  SELECT b, CAST(count(*) AS BIGINT) AS t FROM occ
-      |  WHERE source = '$ImportanceTarget' GROUP BY b
       |), db AS (
       |  SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
       |  FROM occ GROUP BY 1, 2, 3
+      |), target AS (
+      |  SELECT b, CAST(sum(c) AS BIGINT) AS t FROM db
+      |  WHERE source = '$ImportanceTarget' GROUP BY b
       |)
       |SELECT doc_id, source, affinity, n_shingles,
       |       CAST(affinity AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS importance
