@@ -74,7 +74,7 @@ object Pipeline {
           .orderBy(col("lang"), col("shard"), col("doc_id"))
       },
       Some(s"""WITH scored AS (
-        |  SELECT doc_id, lang, text,
+        |  SELECT doc_id, lang, source, text,
         |         CAST(len(w) AS BIGINT) AS n_tokens,
         |         CASE WHEN len(grams) > 0
         |              THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
@@ -83,14 +83,14 @@ object Pipeline {
         |         CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE)
         |           / CAST(len(w) AS DOUBLE) AS stopword_ratio
         |  FROM (
-        |    SELECT doc_id, lang, text, w,
+        |    SELECT doc_id, lang, source, text, w,
         |           CASE WHEN len(w) >= 2
         |                THEN list_transform(generate_series(1, len(w) - 1),
         |                       i -> concat_ws(' ', w[i], w[i+1]))
         |                ELSE [] END AS grams
-        |    FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents))
+        |    FROM (SELECT doc_id, lang, source, text, string_split(text, ' ') AS w FROM documents))
         |), kept AS (
-        |  SELECT doc_id, lang, text, n_tokens FROM scored
+        |  SELECT doc_id, lang, source, text, n_tokens FROM scored
         |  WHERE n_tokens >= ${TextOps.MinTokens} AND dup_ratio <= ${TextOps.MaxDupRatio}
         |    AND stopword_ratio >= ${TextOps.MinStopwordRatio}
         |), survivors AS (
@@ -180,6 +180,33 @@ object Pipeline {
       })
   }
 
+  /** The passage-duplication gate as DuckDB CTEs over `kept` (the
+    * quality survivors), ending at `gated` — shared by the full
+    * pipeline's oracle and the funnel report so the gate cannot drift
+    * between them. Mirrors [[Dedup.passageStats]] (16-word fixed
+    * chunks, md5-prefix fingerprints, dup fraction ≤ 0.5). */
+  private val passageGateCtes: String =
+    """pw AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+      |pchunks AS (
+      |  SELECT doc_id, substring(md5(chunk), 1, 15) AS fp FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(0, CAST(len(w)//16 AS INT) - 1),
+      |      i -> array_to_string(w[i*16+1:i*16+16], ' '))) AS chunk
+      |    FROM pw WHERE len(w) >= 16)
+      |),
+      |pcounts AS (SELECT fp, count(*) AS cnt FROM pchunks GROUP BY fp),
+      |pdoc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+      |         CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |  FROM pchunks JOIN pcounts USING (fp) GROUP BY doc_id),
+      |gated AS (
+      |  SELECT k.doc_id, k.lang, k.source, k.text, k.n_tokens
+      |  FROM kept k LEFT JOIN pdoc p USING (doc_id)
+      |  WHERE (CASE WHEN COALESCE(p.n_passages, 0) > 0
+      |              THEN CAST(COALESCE(p.n_dup, 0) AS DOUBLE)
+      |                   / CAST(p.n_passages AS DOUBLE)
+      |              ELSE 0.0 END) <= 0.5
+      |)""".stripMargin
+
   /** The full production-shaped DAG — every curation signal in the
     * library composed into ONE declarative plan: quality gate →
     * passage-duplication gate (RefinedWeb's corpus-wide signal, computed
@@ -234,26 +261,7 @@ object Pipeline {
         // over kept, then dedup → mixture → packing
         val base = curate.sql.get.split("\\n\\), survivors AS \\(")(0)
         s"""$base
-          |), pw AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
-          |pchunks AS (
-          |  SELECT doc_id, substring(md5(chunk), 1, 15) AS fp FROM (
-          |    SELECT doc_id, unnest(list_transform(generate_series(0, CAST(len(w)//16 AS INT) - 1),
-          |      i -> array_to_string(w[i*16+1:i*16+16], ' '))) AS chunk
-          |    FROM pw WHERE len(w) >= 16)
-          |),
-          |pcounts AS (SELECT fp, count(*) AS cnt FROM pchunks GROUP BY fp),
-          |pdoc AS (
-          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
-          |         CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
-          |  FROM pchunks JOIN pcounts USING (fp) GROUP BY doc_id),
-          |gated AS (
-          |  SELECT k.doc_id, k.lang, k.text, k.n_tokens
-          |  FROM kept k LEFT JOIN pdoc p USING (doc_id)
-          |  WHERE (CASE WHEN COALESCE(p.n_passages, 0) > 0
-          |              THEN CAST(COALESCE(p.n_dup, 0) AS DOUBLE)
-          |                   / CAST(p.n_passages AS DOUBLE)
-          |              ELSE 0.0 END) <= 0.5
-          |), survivors AS (
+          |), $passageGateCtes, survivors AS (
           |  SELECT doc_id, lang, n_tokens FROM (
           |    SELECT doc_id, lang, n_tokens,
           |           min(doc_id) OVER (PARTITION BY md5(text)) AS mn
@@ -280,5 +288,91 @@ object Pipeline {
       })
   }
 
-  val all: Seq[OracleQuery] = Seq(curate, curateMix, curateFull)
+  /** Per-SOURCE stage-survival funnel over the full curation DAG — the
+    * observability query a production corpus run ships next to its
+    * output: for every source, how many docs entered and how many
+    * survived each stage (quality gate → passage gate → exact dedup →
+    * stratified mixture). Built as per-doc survival FLAGS left-joined
+    * onto the corpus and rolled up in ONE aggregate, so the report adds
+    * one broadcast-shaped join per stage to the pipeline's own plan
+    * instead of re-running the pipeline per stage; stage logic is the
+    * same code as `pipeline_curate_full` (and the oracle reuses its CTE
+    * chain verbatim), so the report cannot disagree with the pipeline
+    * it audits. Counts are non-null counts of the flag columns — exact
+    * BIGINTs on both engines. */
+  val funnelReport = {
+    OracleQuery(
+      "pipeline_funnel",
+      (s, d) => {
+        val g = TextOps.gramStats
+        val nTok = element_at(g, 1)
+        val n2 = element_at(g, 2)
+        val nUniq = element_at(g, 3)
+        val dupRatio = when(n2 > 0,
+          (n2 - nUniq).cast("double") / n2.cast("double")).otherwise(lit(0.0d))
+        val swRatio = TextOps.stopwordCount.cast("double") / nTok.cast("double")
+        val kept = Tables.documents(s, d)
+          .withColumn("n_tokens", nTok)
+          .filter(nTok >= TextOps.MinTokens && dupRatio <= TextOps.MaxDupRatio &&
+            swRatio >= TextOps.MinStopwordRatio)
+        val pk = Dedup.passageStats(kept.select(col("doc_id"), col("text")))
+          .filter(col("keep") === 1).select(col("doc_id"))
+        val gated = kept.join(pk, "doc_id")
+        // survivor IDs: min doc_id per fingerprint, one combinable agg
+        val surv = gated.groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+        val survRows = gated.join(surv, "doc_id")
+        val rates = Sampling.stratRates(
+          survRows.groupBy(col("lang")).agg(count(lit(1)).as("n_lang")))
+        val mixed = survRows.join(broadcast(rates), "lang")
+          .filter(Sampling.stratAccept).select(col("doc_id"))
+        def flag(ids: org.apache.spark.sql.DataFrame, nm: String) =
+          ids.select(col("doc_id")).withColumn(nm, lit(1))
+        Tables.documents(s, d).select(col("doc_id"), col("source"))
+          .join(flag(kept, "q"), Seq("doc_id"), "left")
+          .join(flag(gated, "p"), Seq("doc_id"), "left")
+          .join(flag(surv, "s"), Seq("doc_id"), "left")
+          .join(flag(mixed, "m"), Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_input"),
+            count(col("q")).as("n_quality"),
+            count(col("p")).as("n_passage"),
+            count(col("s")).as("n_dedup"),
+            count(col("m")).as("n_mixed"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val base = curate.sql.get.split("\\n\\), survivors AS \\(")(0)
+        s"""$base
+          |), $passageGateCtes,
+          |surv AS (
+          |  SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+          |), counts AS (
+          |  SELECT g.lang, CAST(count(*) AS BIGINT) AS n_lang
+          |  FROM gated g JOIN surv USING (doc_id) GROUP BY g.lang
+          |), rates AS (
+          |  ${Sampling.stratRatesSql}
+          |), mixed AS (
+          |  SELECT d.doc_id
+          |  FROM gated d JOIN surv USING (doc_id)
+          |  JOIN rates r ON r.lang = d.lang
+          |  WHERE ${Sampling.stratAcceptSql}
+          |)
+          |SELECT doc.source,
+          |       CAST(count(*) AS BIGINT) AS n_input,
+          |       CAST(count(k.doc_id) AS BIGINT) AS n_quality,
+          |       CAST(count(g.doc_id) AS BIGINT) AS n_passage,
+          |       CAST(count(s.doc_id) AS BIGINT) AS n_dedup,
+          |       CAST(count(m.doc_id) AS BIGINT) AS n_mixed
+          |FROM documents doc
+          |LEFT JOIN kept k ON k.doc_id = doc.doc_id
+          |LEFT JOIN gated g ON g.doc_id = doc.doc_id
+          |LEFT JOIN surv s ON s.doc_id = doc.doc_id
+          |LEFT JOIN mixed m ON m.doc_id = doc.doc_id
+          |GROUP BY doc.source
+          |ORDER BY doc.source""".stripMargin
+      })
+  }
+
+  val all: Seq[OracleQuery] = Seq(curate, curateMix, curateFull, funnelReport)
 }

@@ -93,6 +93,22 @@ class AnalyticsSpec extends SparkSpec {
       s"only the (10.5, 10.5) point is inside the non-convex polygon, got $in")
   }
 
+  test("funnel report: stage survival is monotone and consistent with the pipeline") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.operators.Pipeline.funnelReport.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(in, q, p, s, m) = (1 to 5).map(r.getLong)
+      assert(in >= q && q >= p && p >= s && s >= m && m >= 0,
+        s"funnel must be monotone per source: ${r.mkString(",")}")
+    }
+    // totals agree with the pipeline the report claims to audit
+    val mixedTotal = rows.map(_.getLong(5)).sum
+    val pipelineRows = graft.operators.Pipeline.curateFull.run(spark, dir).count()
+    assert(mixedTotal == pipelineRows,
+      s"report n_mixed total $mixedTotal != pipeline output rows $pipelineRows")
+  }
+
   test("importance scoring: target-shingle docs outrank disjoint docs exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
     // target corpus (src0) holds the shingle "a b" twice; doc 10 shares
