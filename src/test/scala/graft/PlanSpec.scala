@@ -465,13 +465,17 @@ class PlanSpec extends SparkSpec {
           s"${q.name}: dedup stage leaked into a Window partitioned by fingerprint: $spec")
       // the only window partitioned by DATA columns is the packing one;
       // stratRates' global-min window over the |languages|-row counts
-      // frame partitions by a constant and is exempt
+      // frame partitions by a constant and is exempt. The funnel REPORT
+      // has no packing stage, so its pin is zero data windows.
       val dataWindows = windows.filter(_.partitionSpec.exists(_.references.nonEmpty))
-      assert(dataWindows.size == 1,
-        s"${q.name}: expected only the packing window over data columns, found ${dataWindows.size}")
-      val packSpec = dataWindows.head.partitionSpec.map(_.sql).mkString(",")
-      assert(packSpec.contains("lang") && packSpec.contains("shard"),
-        s"${q.name}: unexpected data-partitioned window: $packSpec")
+      val expected = if (q.name == "pipeline_funnel") 0 else 1
+      assert(dataWindows.size == expected,
+        s"${q.name}: expected $expected data-partitioned window(s), found ${dataWindows.size}")
+      for (w <- dataWindows) {
+        val packSpec = w.partitionSpec.map(_.sql).mkString(",")
+        assert(packSpec.contains("lang") && packSpec.contains("shard"),
+          s"${q.name}: unexpected data-partitioned window: $packSpec")
+      }
     }
   }
 
