@@ -293,12 +293,14 @@ object Pipeline {
     * output: for every source, how many docs entered and how many
     * survived each stage (quality gate → passage gate → exact dedup →
     * stratified mixture). Built as per-doc survival FLAGS left-joined
-    * onto the corpus and rolled up in ONE aggregate, so the report adds
-    * one broadcast-shaped join per stage to the pipeline's own plan
-    * instead of re-running the pipeline per stage; stage logic is the
-    * same code as `pipeline_curate_full` (and the oracle reuses its CTE
-    * chain verbatim), so the report cannot disagree with the pipeline
-    * it audits. Counts are non-null counts of the flag columns — exact
+    * onto the corpus and rolled up in ONE aggregate: each flag branch
+    * re-derives the stage chain (Catalyst reuses the common exchanges
+    * it can), so the report costs a bounded ~4× of the pipeline's own
+    * plan — constant in corpus size, never a per-stage re-run of
+    * downstream consumers. Stage logic is the same code as
+    * `pipeline_curate_full` (and the oracle reuses its CTE chain
+    * verbatim), so the report cannot disagree with the pipeline it
+    * audits. Counts are non-null counts of the flag columns — exact
     * BIGINTs on both engines. */
   val funnelReport = {
     OracleQuery(

@@ -16,10 +16,20 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, sfDir)
+      // -e: execute THIS dataframe's own plan (collect, not count —
+      // count builds a different QueryExecution) so AQE finalizes it;
+      // exchange counts then reflect runtime reuse (ReusedExchange)
+      // and codegen spans appear
+      if (args.contains("-e")) df.collect()
       val p = df.queryExecution.executedPlan.toString
-      println(s"PLAN $n exchanges=${p.linesIterator.count(_.contains("Exchange"))}" +
+      // codegen'd operators print with a "*(stageId)" prefix in the plan
+      // string; distinct stage ids = whole-stage codegen span count
+      val spans = p.linesIterator
+        .flatMap("""\*\((\d+)\)""".r.findAllMatchIn(_).map(_.group(1))).toSet
+      println(s"PLAN $n exchanges=${p.linesIterator.count(_.contains("Exchange "))}" +
+        s" reused=${p.linesIterator.count(_.contains("ReusedExchange"))}" +
         s" cartesian=${p.linesIterator.count(_.contains("Cartesian"))}" +
-        s" wholestage=${p.linesIterator.count(_.contains("WholeStageCodegen"))}")
+        s" wholestage=${spans.size}")
       if (args.contains("-v")) println(p)
     }
     spark.stop()
