@@ -907,6 +907,15 @@ object Dedup {
       .filter(col("cnt") > 1)
     val dup = wins.join(hot.select(col("fp")), "fp")
       .select(col("doc_id"), col("i"))
+    mergeSpans(dup, W)
+  }
+
+  /** Maximal-span merge over flagged window starts (doc_id, i): a
+    * window extends the open span iff it starts at or before the span
+    * end (i ≤ prev_i + W) — one lag window per doc over only the
+    * flagged starts. Shared by the corpus-duplicate spans and the
+    * benchmark-contamination spans so the merge rule cannot drift. */
+  private[graft] def mergeSpans(dup: DataFrame, W: Int): DataFrame = {
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     dup
       .withColumn("new_span",
@@ -940,6 +949,77 @@ object Dedup {
         |         CASE WHEN i > COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), ${-(W + 1)}) + $W
         |              THEN 1 ELSE 0 END AS new_span
         |  FROM dup
+        |),
+        |sp AS (
+        |  SELECT doc_id, i,
+        |         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |  FROM flg
+        |)
+        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+        |       CAST(min(i) AS BIGINT) AS start_tok,
+        |       CAST(max(i) + $W AS BIGINT) AS end_tok,
+        |       CAST(count(*) AS BIGINT) AS n_windows
+        |FROM sp GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_id""".stripMargin))
+  }
+
+  /** Benchmark-contamination SPANS — decontamination at token
+    * granularity, where `contamination_check` only counts doc-level
+    * overlap: every stride-1 8-token window whose fingerprint appears
+    * anywhere in the BENCHMARK suite (the doc_id % 100 == 0 stand-in
+    * shared with the contamination checks) is flagged, and flagged
+    * windows merge into maximal token-indexed [start_tok, end_tok)
+    * spans with the same rule as [[substringSpanStats]] — the exact
+    * spans an eval-hygiene pipeline excises (or audits) before
+    * training, at the 8-gram width decontamination tooling actually
+    * uses.
+    *
+    * Scale shape: STRICTLY LIGHTER than the corpus-duplicate spans —
+    * no corpus-wide count shuffle at all. The benchmark fp set is
+    * bounded by the benchmark suite's size (benchmarks are small by
+    * construction), so it BROADCASTS as 8-byte longs; corpus windows
+    * reduce to fps map-side and die in the broadcast semi-join unless
+    * they hit; the only shuffle is the per-doc span-merge window over
+    * the HIT windows — a vanishing fraction of the corpus. */
+  val contaminationSpans = {
+    val W = 8
+    OracleQuery(
+      "contamination_spans",
+      (s, d) => {
+        import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+        def wins(df: DataFrame) = df
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= W)
+          .select(col("doc_id"),
+            explode(expr(s"sequence(0, size(w) - $W)")).as("i"), col("w"))
+          .select(col("doc_id"), col("i"),
+            columnOf(graft.functions.Md5Prefix64(expressionOf(
+              expr(s"concat_ws(' ', slice(w, i + 1, $W))")))).as("fp"))
+        val docs = Tables.documents(s, d)
+        val corpus = wins(docs.filter(col("doc_id") % 100 =!= 0))
+        val bench = wins(docs.filter(col("doc_id") % 100 === 0))
+          .select(col("fp")).distinct()
+        val hits = corpus.join(broadcast(bench), "fp")
+          .select(col("doc_id"), col("i"))
+        mergeSpans(hits, W).orderBy(col("doc_id"), col("span_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i, substring(md5(array_to_string(w[i+1:i+$W], ' ')), 1, 15) AS fp
+        |  FROM (SELECT doc_id, w, unnest(generate_series(0, len(w) - $W)) AS i
+        |        FROM w WHERE len(w) >= $W)
+        |),
+        |bench AS (SELECT DISTINCT fp FROM wins WHERE doc_id % 100 = 0),
+        |hits AS (
+        |  SELECT doc_id, i FROM wins JOIN bench USING (fp)
+        |  WHERE doc_id % 100 <> 0
+        |),
+        |flg AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN i > COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), ${-(W + 1)}) + $W
+        |              THEN 1 ELSE 0 END AS new_span
+        |  FROM hits
         |),
         |sp AS (
         |  SELECT doc_id, i,
@@ -1030,5 +1110,5 @@ object Dedup {
   val all: Seq[OracleQuery] =
     Seq(exact, minhashSig, minhashLsh, jaccard, clusters, overflowVerify, crosscheck,
       simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans,
-      substringExcise)
+      substringExcise, contaminationSpans)
 }

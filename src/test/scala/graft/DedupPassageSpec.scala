@@ -53,4 +53,25 @@ class DedupPassageSpec extends SparkSpec {
       (2L, 1L, 0L, 20L, 5L),
       (2L, 2L, 37L, 57L, 5L)), s"got $spans")
   }
+
+  test("contamination spans: only benchmark-matching windows flag, at exact offsets") {
+    // the sf0.01 gate legitimately yields 0 rows (no 8-gram crosses the
+    // 5 benchmark docs), so the span semantics are pinned here instead:
+    // doc 100 is the benchmark (doc_id % 100 == 0); doc 1 embeds a
+    // 12-token benchmark run at offset 3 → windows 3..7 → span [3,15);
+    // doc 2 repeats itself but shares NOTHING with the benchmark — the
+    // corpus-duplicate signal must NOT leak into the contamination report
+    val bench = (1 to 12).map(i => s"q$i")
+    val selfDup = (1 to 8).map(i => s"r$i")
+    val dir = java.nio.file.Files.createTempDirectory("graft-contam").toString
+    Seq(
+      (100L, "src0", bench.mkString(" ")),
+      (1L, "src1", ((1 to 3).map(i => s"x$i") ++ bench ++ Seq("tail")).mkString(" ")),
+      (2L, "src1", (selfDup ++ selfDup).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = graft.operators.Dedup.contaminationSpans.run(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((1L, 1L, 3L, 15L, 5L)), s"got $spans")
+  }
 }
