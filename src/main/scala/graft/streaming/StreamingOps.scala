@@ -834,4 +834,33 @@ object StreamingOps {
       .select(col("window.start").as("ws"), col("entity_id"),
         col("open"), col("high"), col("low"), col("close"), col("n"))
   }
+
+  /** Streaming decontamination — the live-ingest twin of the batch
+    * `contamination_bloom` query, with the same two-tier shape: a Bloom
+    * filter over the STATIC benchmark suite's shingle hashes (built
+    * once, driver-side, shipped as a literal — the per-benchmark
+    * artifact) knocks out the ~everything that cannot match in a
+    * stateless map, and survivors verify through a stream-static
+    * equi-join against the exact benchmark shingles, so Bloom false
+    * positives never reach the output. Emits one (doc_id, sh) evidence
+    * row per verified hit — the quarantine stream a live ingest routes
+    * to review — with NO state store, NO watermark, NO shuffle of clean
+    * documents: a contaminated-free batch flows through as a pure
+    * filter. `bench` must be a STATIC frame with a distinct `sh`
+    * column (the benchmark suite is a fixed artifact by definition). */
+  def contaminationStream(docs: DataFrame, bench: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+    val bf = bench.agg(columnOf(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        expressionOf(xxhash64(col("sh"))), 1L << 20).toAggregateExpression())
+      .as("bf")).head.getAs[Array[Byte]]("bf")
+    val mightContain = columnOf(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        expressionOf(lit(bf)), expressionOf(xxhash64(col("sh")))))
+    val sh3 = columnOf(graft.functions.ShinglesK(expressionOf(col("text")), 3))
+    docs.select(col("doc_id"), explode(array_distinct(sh3)).as("sh"))
+      .filter(mightContain)
+      .join(bench, "sh")
+      .select(col("doc_id"), col("sh"))
+  }
 }

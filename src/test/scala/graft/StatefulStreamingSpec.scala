@@ -762,4 +762,27 @@ class StatefulStreamingSpec extends SparkSpec {
       ("a.1", "low", 2 * H, 2L),
       ("a.1", "mid", 2 * H, 1L)))
   }
+
+  test("streaming decontamination: exact verify kills non-matches, evidence rows exact") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val bench = Seq("q1 q2 q3", "q2 q3 q4").toDF("sh")
+    val ms = MemoryStream[(Long, String)]
+    val docs = ms.toDF.toDF("doc_id", "text")
+    val q = StreamingOps.contaminationStream(docs, bench).writeStream
+      .format("memory").queryName("contam_t").outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, "x1 q1 q2 q3 x2"), // one 3-gram hits the suite
+        (2L, "z1 z2 z3 z4"),    // clean — must not emit
+        (3L, "q1 q2 q3 q4"))    // hits BOTH benchmark shingles
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.table("contam_t")
+      .as[(Long, String)].collect().toSet
+    assert(hits == Set(
+      (1L, "q1 q2 q3"),
+      (3L, "q1 q2 q3"),
+      (3L, "q2 q3 q4")), s"got $hits")
+  }
 }
