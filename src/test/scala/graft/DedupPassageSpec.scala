@@ -54,6 +54,41 @@ class DedupPassageSpec extends SparkSpec {
       (2L, 2L, 37L, 57L, 5L)), s"got $spans")
   }
 
+  test("span merge matches a reference merge on 300 random window sets") {
+    // the adjacency boundary (i == prev + W extends, i == prev + W + 1
+    // splits) is the kind of off-by-one a fixture misses — randomized
+    // window sets, all cases in ONE Spark job (doc_id = case index)
+    val W = 16
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 300).map { c =>
+      val n = rnd.nextInt(12)
+      val starts = Seq.fill(n)(rnd.nextInt(120).toLong).distinct.sorted
+      c.toLong -> starts
+    }.toMap
+    def refMerge(starts: Seq[Long]): Seq[(Long, Long, Long, Long)] = {
+      val spans = scala.collection.mutable.ArrayBuffer.empty[List[Long]]
+      for (i <- starts) {
+        if (spans.nonEmpty && i <= spans.last.head + W)
+          spans(spans.size - 1) = i :: spans.last
+        else spans += List(i)
+      }
+      spans.toSeq.zipWithIndex.map { case (s, k) =>
+        ((k + 1).toLong, s.min, s.max + W, s.size.toLong)
+      }
+    }
+    val dup = cases.toSeq.flatMap { case (c, ss) => ss.map(i => (c, i)) }
+      .toDF("doc_id", "i")
+    val got = Dedup.mergeSpans(dup, W)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    for ((c, ss) <- cases if ss.nonEmpty) {
+      assert(got.getOrElse(c, Nil) == refMerge(ss),
+        s"case $c starts=$ss: got ${got.getOrElse(c, Nil)}, want ${refMerge(ss)}")
+    }
+    assert(cases.filter(_._2.nonEmpty).keySet == got.keySet)
+  }
+
   test("contamination spans: only benchmark-matching windows flag, at exact offsets") {
     // the sf0.01 gate legitimately yields 0 rows (no 8-gram crosses the
     // 5 benchmark docs), so the span semantics are pinned here instead:
