@@ -71,13 +71,24 @@ object StreamingOps {
     * batch `ltss_sessionize` query): Spark's native `session_window`
     * merges events within the gap into one growing window per key;
     * sessions emit in append mode once the watermark passes the gap.
-    * State is bounded by |open sessions|, not history size. */
+    * State is bounded by |open sessions|, not history size.
+    *
+    * Boundary calibration: Spark merges two events iff their gap is
+    * STRICTLY LESS than the window's gap duration, while the batch rule
+    * starts a new session only when the gap EXCEEDS `gapUs` (an
+    * exactly-`gapUs` gap stays in-session). Passing `gapUs + 1` µs as
+    * the native gap makes the merge rule (diff < gapUs + 1µs ⟺
+    * diff ≤ gapUs) EQUAL to the batch rule, so the two ops sessionize
+    * identically on any input — including exact-gap ties, which a spec
+    * pins. (`session_end` is last-event-time + gapUs + 1µs, the native
+    * window bound; consumers wanting last-event time subtract it.) */
   def sessionized(
       ltss: DataFrame,
-      gap: String = "30 minutes",
+      gapUs: Long = 1800000000L,
       watermark: String = "2 hours"): DataFrame =
     ltss.withWatermark("time", watermark)
-      .groupBy(session_window(col("time"), gap), col("entity_id"))
+      .groupBy(session_window(col("time"), s"${gapUs + 1} microseconds"),
+        col("entity_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("entity_id"),
         col("session_window.start").as("session_start"),

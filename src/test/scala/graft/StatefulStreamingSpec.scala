@@ -87,7 +87,7 @@ class StatefulStreamingSpec extends SparkSpec {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String)]
     val df = ms.toDF.toDF("time", "entity_id")
-    val q = StreamingOps.sessionized(df, gap = "30 minutes", watermark = "0 seconds")
+    val q = StreamingOps.sessionized(df, watermark = "0 seconds")
       .writeStream.format("memory").queryName("sess_t").outputMode("append").start()
     try {
       // a.1: two events 10 min apart (one session), then one 2h later
@@ -107,10 +107,11 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
     val rows = spark.table("sess_t")
       .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
-    assert(rows.contains(("a.1", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L)),
+    // session_end = last event + gap + 1µs (the batch-rule calibration)
+    assert(rows.contains(("a.1", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00.000001"), 2L)),
       s"merged 2-event session missing: $rows")
-    assert(rows.contains(("a.1", ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00"), 1L)))
-    assert(rows.contains(("b.1", ts("2024-01-01 10:05:00"), ts("2024-01-01 10:35:00"), 1L)))
+    assert(rows.contains(("a.1", ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00.000001"), 1L)))
+    assert(rows.contains(("b.1", ts("2024-01-01 10:05:00"), ts("2024-01-01 10:35:00.000001"), 1L)))
   }
 
   test("streaming LOCF gap-fill emits carried rows for skipped buckets") {
@@ -761,6 +762,35 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(latest == Set(
       ("a.1", "low", 2 * H, 2L),
       ("a.1", "mid", 2 * H, 1L)))
+  }
+
+  test("streaming sessionize: exact-gap events stay in-session, matching the batch rule") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.sessionized(df, watermark = "0 seconds").writeStream
+      .format("memory").queryName("sess2_t").outputMode("append").start()
+    try {
+      ms.addData(
+        (ts("2024-01-01 10:00:00"), "a.1", "1"),
+        (ts("2024-01-01 10:10:00"), "a.1", "2"), // 10 min — same session
+        (ts("2024-01-01 11:00:00"), "a.1", "3"), // 50 min gap — NEW session
+        (ts("2024-01-01 10:00:00"), "b.1", "1"),
+        (ts("2024-01-01 10:30:00"), "b.1", "2")) // EXACTLY the gap — stays
+      q.processAllAvailable()
+      // advance the watermark past every session end to flush them
+      ms.addData((ts("2024-01-01 14:00:00"), "c.1", "9"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("sess2_t")
+      .select($"entity_id", $"n_events")
+      .as[(String, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // a.1: sessions of 2 events then 1; b.1: ONE session of 2 (the batch
+    // `> gap` rule — Spark's raw `< gap` merge would have split it)
+    assert(sessions("a.1") == Seq(1L, 2L), s"got $sessions")
+    assert(sessions("b.1") == Seq(2L), s"got $sessions")
   }
 
   test("streaming decontamination: exact verify kills non-matches, evidence rows exact") {
