@@ -48,6 +48,29 @@ object Multimodal {
         Some((be32(b, 16), be32(b, 20)))
       else None
 
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+        ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+    /** GIF87a/GIF89a: 6-byte signature, then the logical-screen
+      * width/height as LITTLE-endian u16 — the byte order that makes
+      * these parsers a real test of the decode path, not a PNG clone. */
+    def gifDims(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        Some((le16(b, 6), le16(b, 8)))
+      else None
+
+    /** BMP: "BM", then BITMAPINFOHEADER width/height as little-endian
+      * i32 at offsets 18/22; height may be negative (top-down rows) —
+      * dims report its magnitude, as pixel decoders do. */
+    def bmpDims(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+        Some((le32(b, 18), math.abs(le32(b, 22))))
+      else None
+
     private def isSof(m: Int): Boolean =
       m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
 
@@ -88,14 +111,19 @@ object Multimodal {
     * dimensions ((-1, -1) on a corrupt header — never fabricated);
     * everything else falls through to the stub codec. */
   object HeaderDecoder {
-    def decode(r: MediaRecord): MediaFeatures = r.media_type match {
-      case "image/png" | "image/jpeg" =>
-        val dims = (if (r.media_type == "image/png") MediaHeaders.pngDims(r.content)
-                    else MediaHeaders.jpegDims(r.content)).getOrElse((-1, -1))
+    private val parsers: Map[String, Array[Byte] => Option[(Int, Int)]] = Map(
+      "image/png" -> MediaHeaders.pngDims,
+      "image/jpeg" -> MediaHeaders.jpegDims,
+      "image/gif" -> MediaHeaders.gifDims,
+      "image/bmp" -> MediaHeaders.bmpDims)
+
+    def decode(r: MediaRecord): MediaFeatures = parsers.get(r.media_type) match {
+      case Some(parse) =>
+        val dims = parse(r.content).getOrElse((-1, -1))
         val len = r.content.length.toLong
         MediaFeatures(r.doc_id, r.media_type, len, dims._1, dims._2,
           Array(dims._1.toFloat, dims._2.toFloat, len.toFloat, 0f))
-      case _ => StubDecoder.decode(r)
+      case None => StubDecoder.decode(r)
     }
   }
 
@@ -130,6 +158,28 @@ object Multimodal {
       "FFC00011" + "08"), // SOF0, len 17, precision 8
     lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
     lit("03" + "012200" + "021101" + "031101")) // 3 components
+
+  /** Little-endian hex of a 16/32-bit value — byte-swapped big-endian
+    * pad, for the GIF/BMP builders. */
+  private def le16Hex(v: Column): Column = {
+    val p = lpad(hex(v), 4, "0")
+    concat(substring(p, 3, 2), substring(p, 1, 2))
+  }
+  private def le32Hex(v: Column): Column = {
+    val p = lpad(hex(v), 8, "0")
+    concat(substring(p, 7, 2), substring(p, 5, 2),
+      substring(p, 3, 2), substring(p, 1, 2))
+  }
+
+  /** 13-byte GIF89a: signature + LE16 logical-screen dims + flags. */
+  private def gifHexFor(w: Column, h: Column): Column = concat(
+    lit("474946383961"), le16Hex(w), le16Hex(h), lit("000000"))
+
+  /** 30-byte BMP prefix: "BM", file header, BITMAPINFOHEADER through
+    * planes/bpp with LE32 dims at offsets 18/22. */
+  private def bmpHexFor(w: Column, h: Column): Column = concat(
+    lit("424D" + "00000000" + "0000" + "0000" + "36000000" + "28000000"),
+    le32Hex(w), le32Hex(h), lit("0100" + "1800"))
 
   /** The feature-extraction query COMPOSED over the real decode
     * dispatch: [[extractFeatures]] runs on a mixed-modality corpus —
@@ -190,19 +240,26 @@ object Multimodal {
       import s.implicits._
       val w = (col("doc_id") % 640 + 1).cast("int")
       val h = (col("doc_id") * 7 % 480 + 1).cast("int")
+      val cls = col("doc_id") % 4
       val media = Tables.documents(s, d).select(col("doc_id"),
-        unhex(when(col("doc_id") % 2 === 0, pngHexFor(w, h))
-          .otherwise(jpgHexFor(w, h))).as("content"),
-        when(col("doc_id") % 2 === 0, lit("image/png")).otherwise(lit("image/jpeg"))
-          .as("media_type")).as[MediaRecord]
+        unhex(when(cls === 0, pngHexFor(w, h))
+          .when(cls === 1, jpgHexFor(w, h))
+          .when(cls === 2, gifHexFor(w, h))
+          .otherwise(bmpHexFor(w, h))).as("content"),
+        when(cls === 0, lit("image/png"))
+          .when(cls === 1, lit("image/jpeg"))
+          .when(cls === 2, lit("image/gif"))
+          .otherwise(lit("image/bmp")).as("media_type")).as[MediaRecord]
       extractFeatures(media)
         .select(col("doc_id"), col("media_type"), col("byte_len"),
           col("width"), col("height"))
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id,
-      |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS media_type,
-      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END AS BIGINT) AS byte_len,
+      |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+      |                  WHEN 2 THEN 'image/gif' ELSE 'image/bmp' END AS media_type,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 39
+      |                       WHEN 2 THEN 13 ELSE 30 END AS BIGINT) AS byte_len,
       |  CAST(doc_id % 640 + 1 AS INT) AS width,
       |  CAST(doc_id * 7 % 480 + 1 AS INT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin))

@@ -36,6 +36,21 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeaders.jpegDims(hex("4242")).isEmpty) // not a JPEG
   }
 
+  test("GIF LE dims parse for 87a and 89a; BMP abs-height; corruption does not parse") {
+    // 640 LE16 = 8002, 480 LE16 = E001
+    assert(MediaHeaders.gifDims(hex("474946383961 8002 E001 000000")).contains((640, 480)))
+    assert(MediaHeaders.gifDims(hex("474946383761 8002 E001 000000")).contains((640, 480)))
+    assert(MediaHeaders.gifDims(hex("474946383861 8002 E001 000000")).isEmpty) // "GIF88a"
+    assert(MediaHeaders.gifDims(hex("47494638 3961")).isEmpty) // truncated
+    val bmp = "424D 00000000 0000 0000 36000000 28000000 80020000 E0010000 0100 1800"
+    assert(MediaHeaders.bmpDims(hex(bmp)).contains((640, 480)))
+    // top-down BMP: height −480 (LE32 two's complement) reports magnitude
+    val topDown = bmp.replace("E0010000", "20FEFFFF")
+    assert(MediaHeaders.bmpDims(hex(topDown)).contains((640, 480)))
+    assert(MediaHeaders.bmpDims(hex("424D 0000")).isEmpty) // truncated
+    assert(MediaHeaders.bmpDims(hex(bmp.replaceFirst("424D", "4242"))).isEmpty)
+  }
+
   test("corrupt image payload surfaces (-1, -1), never a fabricated dimension") {
     val r = HeaderDecoder.decode(MediaRecord(7L, Array[Byte](1, 2, 3), "image/png"))
     assert(r.width == -1 && r.height == -1 && r.byte_len == 3)
