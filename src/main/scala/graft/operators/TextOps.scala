@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -699,8 +700,53 @@ object TextOps {
       |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))))
       |ORDER BY doc_id""".stripMargin))
 
+  /** Per-document distinctive keywords — TF-IDF's decision with NONE of
+    * its floats: for each doc, the top-3 tokens ranked by (corpus
+    * frequency ASC, within-doc tf DESC, token) — the rarest tokens the
+    * doc actually repeats. The integer rank order is a monotone proxy
+    * for tf·idf at fixed tf (idf is anti-monotone in corpus count and
+    * log changes no ordering), so the report is the keyword panel a
+    * corpus browser shows, with bit-exact cross-engine parity (logs are
+    * the one op the parity rules ban). Shapes: one map-side-combinable
+    * (doc, token) tf aggregate, one distinct-token corpus count (the
+    * `vocab_topk` shuffle class), an equi-join on token (stopword skew
+    * left to AQE — rare tokens win the ranking anyway), one per-doc
+    * window bounded by the doc's distinct-token count. */
+  val docKeywords = OracleQuery(
+    "doc_keywords",
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val corpus = tf.groupBy(col("token"))
+        .agg(sum(col("tf")).as("corpus_freq"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("corpus_freq"), col("tf").desc, col("token"))
+      tf.join(corpus, "token")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+          col("corpus_freq"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""WITH tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY doc_id, token
+      |), corpus AS (
+      |  SELECT token, CAST(sum(tf) AS BIGINT) AS corpus_freq FROM tf GROUP BY token
+      |)
+      |SELECT doc_id, rank, token, tf, corpus_freq FROM (
+      |  SELECT tf.doc_id, tf.token, tf.tf, corpus.corpus_freq,
+      |         row_number() OVER (PARTITION BY tf.doc_id
+      |           ORDER BY corpus.corpus_freq, tf.tf DESC, tf.token) AS rank
+      |  FROM tf JOIN corpus USING (token))
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(textStats, langId, tokenCount, fingerprint, simhash, textClean,
       vocabTopk, urlStats, urlCanonical, textRedact, contamination, contaminationBloom,
-      repetition, qualityFilter, docCommonness, textSearch, docChunks)
+      repetition, qualityFilter, docCommonness, textSearch, docChunks, docKeywords)
 }

@@ -109,6 +109,23 @@ class AnalyticsSpec extends SparkSpec {
       s"report n_mixed total $mixedTotal != pipeline output rows $pipelineRows")
   }
 
+  test("keyword extraction: corpus rarity outranks within-doc frequency") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kw").toString
+    // corpus counts: u=1, v=3, w=4 — u is doc 1's top keyword even at
+    // tf 1, because rarity is the primary key; v beats w by rarity too
+    Seq((1L, "u v v w"), (2L, "v w w w"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextOps.docKeywords.run(spark, dir)
+      .as[(Long, Int, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1, "u", 1L, 1L),
+      (1L, 2, "v", 2L, 3L),
+      (1L, 3, "w", 1L, 4L),
+      (2L, 1, "v", 1L, 3L),
+      (2L, 2, "w", 3L, 4L)), s"got $out")
+  }
+
   test("importance scoring: target-shingle docs outrank disjoint docs exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
     // target corpus (src0) holds the shingle "a b" twice; doc 10 shares
