@@ -78,7 +78,7 @@ object Pq {
     * than a convention about which SF the gate runs at. */
   val GeometryDependentOracles: Set[String] =
     Set("sim_pq_codes", "sim_pq_topk", "sim_ivfpq_topk",
-      "sim_recall_report", "sim_knn_batch")
+      "sim_recall_report", "sim_knn_batch", "sim_knn_recall")
 
   /** True iff [[params]] picks the fixture geometry for `d`, i.e. the
     * fixture-shaped oracle SQL in [[GeometryDependentOracles]] is valid. */

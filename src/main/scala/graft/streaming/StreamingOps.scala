@@ -460,6 +460,11 @@ object StreamingOps {
       }
   }
 
+  /** Default [[nearDupStream]] dedup horizon: 7 days in µs. Sized so a
+    * week of re-crawls still pairs while the state store stays bounded
+    * by one week of arrivals instead of the whole corpus. */
+  val NearDupDefaultRetentionUs: Long = 7L * 24 * 3600 * 1000000L
+
   final case class BandDoc(
       doc_id: Long, band_idx: Int, band_val: String, sig: Seq[String],
       t: Option[java.sql.Timestamp])
@@ -484,23 +489,31 @@ object StreamingOps {
     * as before the batch DISTINCT) — the downstream exact-verify stage
     * dedups by pair key, same as batch.
     *
-    * State retention: by default unbounded — online
-    * dedup-against-everything inherently retains history, and per-key
-    * state stays capped at `maxBucket`, but the KEY space (band buckets)
-    * grows with the corpus. `retentionUs` bounds the total store to the
-    * dedup horizon instead: `docs` must then carry an event-time
-    * `timeCol`, an arriving doc pairs only with members no older than
-    * `retentionUs` before it (older members are evicted — a re-arriving
-    * doc re-pairs only within the horizon), and a bucket idle past its
+    * State retention: BOUNDED BY DEFAULT (r8 verdict #2 — an operator
+    * whose safe mode is opt-in will be run unsafely). `docs` carries an
+    * event-time `timeCol`, an arriving doc pairs only with members no
+    * older than `retentionUs` (default [[NearDupDefaultRetentionUs]],
+    * 7 days) before it (older members are evicted — a re-arriving doc
+    * re-pairs only within the horizon), and a bucket idle past its
     * newest member + `retentionUs` is dropped whole by an event-time
-    * timeout once the watermark passes it. See the streaming state-size
-    * table in SURVEY.md §2.2. */
+    * timeout once the watermark passes it — so the total store is
+    * bounded by the dedup horizon, not the corpus. Unbounded
+    * dedup-against-ALL-history (per-key state still capped at
+    * `maxBucket`, but the band-bucket KEY space growing with the
+    * corpus) is the explicit opt-in `unboundedRetention = true` — a
+    * trailing flag after three defaulted params, so callers name it —
+    * and is the only mode that accepts `docs` without `timeCol`. See
+    * the streaming state-size table in SURVEY.md §2.2. */
   def nearDupStream(docs: DataFrame, maxBucket: Int = 1000,
-      retentionUs: Option[Long] = None, timeCol: String = "ingest_time",
-      lateness: String = "0 seconds"): Dataset[DupCandidate] = {
+      retentionUs: Long = NearDupDefaultRetentionUs,
+      timeCol: String = "ingest_time",
+      lateness: String = "0 seconds",
+      unboundedRetention: Boolean = false): Dataset[DupCandidate] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
-    val timed = retentionUs match {
+    val retention: Option[Long] =
+      if (unboundedRetention) None else Some(retentionUs)
+    val timed = retention match {
       case Some(_) => docs
         .select(col("doc_id"), col("text"), col(timeCol).cast("timestamp").as("t"))
         .withWatermark("t", lateness)
@@ -520,7 +533,7 @@ object StreamingOps {
       .groupByKey(b => (b.band_idx, b.band_val))
       .flatMapGroupsWithState[BucketState, DupCandidate](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        if (retentionUs.isDefined) GroupStateTimeout.EventTimeTimeout
+        if (retention.isDefined) GroupStateTimeout.EventTimeTimeout
         else GroupStateTimeout.NoTimeout) { (key, rows, st) =>
         if (st.hasTimedOut) { st.remove(); Iterator.empty }
         else {
@@ -535,7 +548,7 @@ object StreamingOps {
             // TTL first, THEN membership/pairing: an arrival pairs only
             // with members inside its horizon, and a doc whose old entry
             // aged out re-registers as new
-            retentionUs.foreach { ret =>
+            retention.foreach { ret =>
               stored = stored.filter { case (_, _, mt) => mt >= tUs - ret }
             }
             if (!stored.exists(_._1 == r.doc_id)) {
@@ -552,7 +565,7 @@ object StreamingOps {
           if (stored.isEmpty) st.remove()
           else {
             st.update(BucketState(stored))
-            for (ret <- retentionUs) {
+            for (ret <- retention) {
               // drop the whole bucket once it has been idle past the
               // horizon (newest member + retention, clamped above the
               // current watermark as the API requires)
@@ -664,6 +677,13 @@ object StreamingOps {
       }
   }
 
+  /** State encoder schema NOTE: the `tainted` field was added after the
+    * original five-sum layout, which changes the flatMapGroupsWithState
+    * state encoding — a checkpoint written by the pre-`tainted` build
+    * cannot be restored by this one. Restarting an existing trend
+    * stream across that boundary requires a fresh checkpoint dir (the
+    * sums rebuild from the replayed source); new deployments are
+    * unaffected. */
   final case class TrendState(
       n: Long, sx: Long, syc: Long, sxyc: Long, sxx: Long, syyc: Long,
       tainted: Boolean)

@@ -26,7 +26,9 @@ object PlanAudit {
       // string; distinct stage ids = whole-stage codegen span count
       val spans = p.linesIterator
         .flatMap("""\*\((\d+)\)""".r.findAllMatchIn(_).map(_.group(1))).toSet
-      println(s"PLAN $n exchanges=${p.linesIterator.count(_.contains("Exchange "))}" +
+      // "Exchange " alone also matches "ReusedExchange " — exclude it so
+      // the exchanges/reused split doesn't double-count reuse
+      println(s"PLAN $n exchanges=${p.linesIterator.count(l => l.contains("Exchange ") && !l.contains("ReusedExchange"))}" +
         s" reused=${p.linesIterator.count(_.contains("ReusedExchange"))}" +
         s" cartesian=${p.linesIterator.count(_.contains("Cartesian"))}" +
         s" wholestage=${spans.size}")

@@ -67,11 +67,22 @@ class PqSpec extends SparkSpec {
     // every listed name must be a registered oracle (a rename would
     // silently stop the Verify-side omission) and its SQL must be the
     // fixture shape the omission exists for (c0/c1 columns)
-    for (name <- Pq.GeometryDependentOracles ++ Similarity.GeometryDependentOracles) {
+    val listed = Pq.GeometryDependentOracles ++ Similarity.GeometryDependentOracles
+    for (name <- listed) {
       val sql = SparkEntry.oracleSql.get(name)
       assert(sql.nonEmpty, s"$name not in SparkEntry.oracleSql")
       assert(sql.get.contains("c0"), s"$name oracle no longer fixture-shaped")
     }
+    // reverse direction: every REGISTERED oracle whose SQL embeds the
+    // fixture chains (the seed-centroid CTE "c0 AS (" of the Lloyd
+    // replay, or PQ's c0/c1 code columns via "AS c0") must be listed —
+    // an unlisted fixture-shaped oracle is exactly the false-mismatch
+    // sim_knn_recall shipped with in r8
+    val fixtureShaped = SparkEntry.oracleSql.collect {
+      case (name, sql) if sql.contains("c0 AS (") || sql.contains("AS c0") => name
+    }.toSet
+    assert(fixtureShaped.subsetOf(listed),
+      s"fixture-shaped oracle SQL not in GeometryDependentOracles: ${fixtureShaped -- listed}")
     // the gate fixtures are below ProdMinVectors: the SQL stays valid there
     assert(Pq.fixtureOracleValid(spark, D) && Similarity.fixtureOracleValid(spark, D),
       "sf0.001 fixture must train the DuckDB-replayable geometry")

@@ -167,9 +167,11 @@ object ScalingProbe {
       }
       loadAvgs += osBean.getSystemLoadAverage
     }
-    val medians = names.map { n =>
+    // errored queries report only under "errors" — a failure-run wall time
+    // in the medians map would read as a measured median
+    val medians = names.filterNot(errs.contains).map { n =>
       val ts = times(n)
-      n -> (if (errs.contains(n)) ts.head else ts.sorted.apply(ts.size / 2))
+      n -> ts.sorted.apply(ts.size / 2)
     }
     val qs = medians.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")

@@ -375,7 +375,9 @@ class StatefulStreamingSpec extends SparkSpec {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val ms = MemoryStream[(Long, String)]
     val df = ms.toDF.toDF("doc_id", "text")
-    val q = StreamingOps.nearDupStream(df).writeStream
+    // no timeCol on the stream → the unbounded mode is the only fit, and
+    // it must be requested by NAME (bounded retention is the default)
+    val q = StreamingOps.nearDupStream(df, unboundedRetention = true).writeStream
       .format("memory").queryName("nd_t").outputMode("append").start()
     try {
       ms.addData((1L, base), (3L, "completely different words here"))
@@ -396,7 +398,8 @@ class StatefulStreamingSpec extends SparkSpec {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val ms = MemoryStream[(Long, String)]
     val df = ms.toDF.toDF("doc_id", "text")
-    val q = StreamingOps.nearDupStream(df, maxBucket = 2).writeStream
+    val q = StreamingOps.nearDupStream(df, maxBucket = 2, unboundedRetention = true)
+      .writeStream
       .format("memory").queryName("nd_cap_t").outputMode("append").start()
     try {
       // 4 identical docs share every bucket; cap 2 → only the first
@@ -420,7 +423,7 @@ class StatefulStreamingSpec extends SparkSpec {
       "doc_id LONG, text STRING, ingest_time TIMESTAMP")
     def start() = StreamingOps
       .nearDupStream(spark.readStream.schema(schema).json(in),
-        retentionUs = Some(hourUs))
+        retentionUs = hourUs)
       .writeStream.format("parquet").option("path", out)
       .option("checkpointLocation", ckpt).outputMode("append").start()
     def doc(id: Long, t: String) =
@@ -441,6 +444,35 @@ class StatefulStreamingSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
     assert(pairs == Set((1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L)),
       s"retention horizon must scope pairing: $pairs")
+  }
+
+  test("streaming near-dup DEFAULT: the 7-day TTL evicts members without any retention arg") {
+    // pins r8 verdict #2: bounded state is the DEFAULT — a caller who
+    // writes nearDupStream(df) and supplies an ingest_time column gets
+    // the 7-day horizon, not unbounded dedup-against-everything
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = ms.toDF.toDF("doc_id", "text", "ingest_time")
+    val q = StreamingOps.nearDupStream(df).writeStream
+      .format("memory").queryName("nd_def_t").outputMode("append").start()
+    try {
+      ms.addData((1L, base, ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // 8 days on: doc 1 is past the default horizon — no pair emits and
+      // its entry evicts as doc 2 registers
+      ms.addData((2L, base, ts("2024-01-09 00:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("nd_def_t").count() == 0,
+        "a member older than the default 7-day horizon must not pair")
+      // 1 day after doc 2 (inside the horizon): pairs with doc 2 only
+      ms.addData((3L, base, ts("2024-01-10 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("nd_def_t")
+      .as[(Long, Long, Int, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(pairs == Set((2L, 3L)),
+      s"default TTL must evict doc 1 and pair only (2,3): $pairs")
   }
 
   test("streaming as-of enrichment: clicks carry the latest at-or-before purchase frontier") {
