@@ -967,13 +967,23 @@ object Dedup {
   /** Benchmark-contamination SPANS — decontamination at token
     * granularity, where `contamination_check` only counts doc-level
     * overlap: every stride-1 8-token window whose fingerprint appears
-    * anywhere in the BENCHMARK suite (the doc_id % 100 == 0 stand-in
-    * shared with the contamination checks) is flagged, and flagged
-    * windows merge into maximal token-indexed [start_tok, end_tok)
-    * spans with the same rule as [[substringSpanStats]] — the exact
-    * spans an eval-hygiene pipeline excises (or audits) before
-    * training, at the 8-gram width decontamination tooling actually
-    * uses.
+    * anywhere in the BENCHMARK suite is flagged, and flagged windows
+    * merge into maximal token-indexed [start_tok, end_tok) spans with
+    * the same rule as [[substringSpanStats]] — the exact spans an
+    * eval-hygiene pipeline excises (or audits) before training, at the
+    * 8-gram width decontamination tooling actually uses.
+    *
+    * The stand-in benchmark suite (fixture has no real benchmark) is
+    * the doc_id % 100 == 0 docs shared with the contamination checks
+    * PLUS the opening windows (i ≤ 16) of the doc_id % 100 == 50
+    * corpus docs — benchmark items that QUOTE corpus passages, the way
+    * real contamination arises. The quoted component makes the gate
+    * row non-vacuous (r8 verdict #1: synthetic fixture docs share no
+    * 8-gram across docs, so the bench-doc component alone yields 0
+    * spans and a broken span extraction would have stayed green):
+    * every ≡50 doc with ≥ 8 tokens is guaranteed a span starting at
+    * token 0, so the oracle hash-checks real span arithmetic at
+    * sf0.001 and sf0.01 alike.
     *
     * Scale shape: STRICTLY LIGHTER than the corpus-duplicate spans —
     * no corpus-wide count shuffle at all. The benchmark fp set is
@@ -997,8 +1007,11 @@ object Dedup {
             columnOf(graft.functions.Md5Prefix64(expressionOf(
               expr(s"concat_ws(' ', slice(w, i + 1, $W))")))).as("fp"))
         val docs = Tables.documents(s, d)
-        val corpus = wins(docs.filter(col("doc_id") % 100 =!= 0))
-        val bench = wins(docs.filter(col("doc_id") % 100 === 0))
+        val allWins = wins(docs)
+        val corpus = allWins.filter(col("doc_id") % 100 =!= 0)
+        val bench = allWins
+          .filter(col("doc_id") % 100 === 0 ||
+            (col("doc_id") % 100 === 50 && col("i") <= 16))
           .select(col("fp")).distinct()
         val hits = corpus.join(broadcast(bench), "fp")
           .select(col("doc_id"), col("i"))
@@ -1010,7 +1023,8 @@ object Dedup {
         |  FROM (SELECT doc_id, w, unnest(generate_series(0, len(w) - $W)) AS i
         |        FROM w WHERE len(w) >= $W)
         |),
-        |bench AS (SELECT DISTINCT fp FROM wins WHERE doc_id % 100 = 0),
+        |bench AS (SELECT DISTINCT fp FROM wins
+        |          WHERE doc_id % 100 = 0 OR (doc_id % 100 = 50 AND i <= 16)),
         |hits AS (
         |  SELECT doc_id, i FROM wins JOIN bench USING (fp)
         |  WHERE doc_id % 100 <> 0

@@ -90,8 +90,9 @@ class DedupPassageSpec extends SparkSpec {
   }
 
   test("contamination spans: only benchmark-matching windows flag, at exact offsets") {
-    // the sf0.01 gate legitimately yields 0 rows (no 8-gram crosses the
-    // 5 benchmark docs), so the span semantics are pinned here instead:
+    // the gate now yields real rows too (the bench set quotes the
+    // opening windows of the ≡50 mod 100 docs), but the exact-offset
+    // semantics stay pinned here on a hand-built corpus:
     // doc 100 is the benchmark (doc_id % 100 == 0); doc 1 embeds a
     // 12-token benchmark run at offset 3 → windows 3..7 → span [3,15);
     // doc 2 repeats itself but shares NOTHING with the benchmark — the
