@@ -377,9 +377,9 @@ object TimeSeries {
     * |entities|, and the per-task memory bound is ONE entity's series
     * (the operator's contract: it renders a chart, so the input is a
     * chart-sized slice — pre-bucket with [[bucketLast]] first for
-    * unbounded histories). No SQL oracle (DuckDB has no lttb; the
-    * sequential pick is not expressible) — rows-only by design, pinned
-    * by a hand-computed spec. */
+    * unbounded histories). Pinned by a hand-computed spec AND, for the
+    * registered query, by a DuckDB recursive-CTE replay of the pick
+    * (see [[lttbQ]]'s oracle). */
   def lttb(ltss: DataFrame, nOut: Int): DataFrame = lttbPick(
     ltss.select(col("entity_id"), col("time"),
       col("state").cast("decimal(12,2)").cast("double").as("sv")), nOut)
@@ -832,14 +832,101 @@ object TimeSeries {
       lttbBucketed(l, widthUs = 15L * 60 * 1000000, nOut = 20)
         .orderBy(col("entity_id"), col("time"), col("sv"))
     },
-    None) // rows-only by design: the sequential pick has no SQL twin
+    // The sequential pick IS SQL-expressible after all (r8 verdict #2):
+    // bucket boundaries and next-bucket centroids are pick-INDEPENDENT
+    // (they depend only on n and nOut), so they precompute as plain
+    // CTEs; only the argmax chain is sequential, and a recursive CTE
+    // carries the previous pick per entity while list lambdas replay
+    // the scan (list_transform computes each candidate's triangle area
+    // against the carried pick and the precomputed centroid;
+    // list_reduce keeps the FIRST strict max, exactly lttbSelect's
+    // `area > bestArea` loop). Bit-parity argument per DetMath: x
+    // sums are integer ms (exact in both engines), the sv centroid
+    // sum replays the operator's left-assoc double adds via
+    // list_reduce over the idx-ordered list, and the area chain is
+    // the same correctly-rounded IEEE ops in the same order. Bucket
+    // index arithmetic replays (i*every).toInt as floor-cast (every
+    // > 1 here since the pick only runs when n > nOut). Entities at
+    // or under nOut points pass through whole, same as the operator.
+    Some {
+      val W = 15L * 60 * 1000000
+      val nOut = 20
+      s"""${ltssBase.replace("WITH base AS", "WITH RECURSIVE base AS")},
+        |pts AS (
+        |  SELECT entity_id,
+        |         (epoch_us(time) // $W) * $W AS bus,
+        |         CAST(max({'time': time, 'sv': CAST(state AS DECIMAL(12,2))}).sv AS DOUBLE) AS sv
+        |  FROM base WHERE split_part(entity_id, '.', 1) = 'click'
+        |  GROUP BY entity_id, bus
+        |),
+        |srt AS (
+        |  SELECT entity_id, bus, sv,
+        |         bus // 1000 AS xm,
+        |         CAST(bus // 1000 AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY entity_id ORDER BY bus, sv) - 1 AS i,
+        |         count(*) OVER (PARTITION BY entity_id) AS n
+        |  FROM pts
+        |),
+        |big AS (SELECT * FROM srt WHERE n > $nOut),
+        |bkt AS (
+        |  SELECT e.entity_id, e.n, u.k,
+        |         CAST(floor(CAST(u.k AS DOUBLE) * e.e) AS BIGINT) + 1 AS bstart,
+        |         least(CAST(floor(CAST(u.k + 1 AS DOUBLE) * e.e) AS BIGINT) + 1, e.n - 1) AS bend,
+        |         least(CAST(floor(CAST(u.k + 2 AS DOUBLE) * e.e) AS BIGINT) + 1, e.n) AS nend
+        |  FROM (SELECT DISTINCT entity_id, n, CAST(n - 2 AS DOUBLE) / ${nOut - 2} AS e FROM big) e,
+        |       (SELECT unnest(generate_series(0, ${nOut - 3})) AS k) u
+        |),
+        |cent AS (
+        |  SELECT b.entity_id, b.k,
+        |         CASE WHEN count(g.i) = 0 THEN 0.0
+        |              ELSE CAST(sum(g.xm) AS DOUBLE) / CAST(greatest(1, b.nend - b.bend) AS DOUBLE)
+        |         END AS avgx,
+        |         CASE WHEN count(g.i) = 0 THEN 0.0
+        |              ELSE list_reduce(list(g.sv ORDER BY g.i), (a, c) -> a + c)
+        |                   / CAST(greatest(1, b.nend - b.bend) AS DOUBLE)
+        |         END AS avgy
+        |  FROM bkt b LEFT JOIN big g
+        |    ON g.entity_id = b.entity_id AND g.i >= b.bend AND g.i < b.nend
+        |  GROUP BY b.entity_id, b.k, b.bend, b.nend
+        |),
+        |bk AS (
+        |  SELECT b.entity_id, b.k, any_value(c.avgx) AS avgx, any_value(c.avgy) AS avgy,
+        |         list({'i': g.i, 'x': g.x, 'sv': g.sv} ORDER BY g.i) AS cl
+        |  FROM bkt b
+        |  JOIN cent c ON c.entity_id = b.entity_id AND c.k = b.k
+        |  JOIN big g ON g.entity_id = b.entity_id AND g.i >= b.bstart AND g.i < b.bend
+        |  GROUP BY b.entity_id, b.k
+        |),
+        |pick AS (
+        |  SELECT entity_id, CAST(-1 AS BIGINT) AS k, i AS pi, x AS px, sv AS psv
+        |  FROM big WHERE i = 0
+        |  UNION ALL
+        |  SELECT entity_id, k, best.i AS pi, best.x AS px, best.sv AS psv FROM (
+        |    SELECT p.entity_id, p.k + 1 AS k,
+        |           list_reduce(
+        |             list_transform(b.cl, c -> {'i': c.i, 'x': c.x, 'sv': c.sv,
+        |               'a': abs((p.px - b.avgx) * (c.sv - p.psv) - (p.px - c.x) * (b.avgy - p.psv))}),
+        |             (acc, c) -> CASE WHEN c.a > acc.a THEN c ELSE acc END) AS best
+        |    FROM pick p JOIN bk b ON b.entity_id = p.entity_id AND b.k = p.k + 1
+        |  )
+        |),
+        |res AS (
+        |  SELECT entity_id, bus, sv FROM srt WHERE n <= $nOut
+        |  UNION ALL
+        |  SELECT p.entity_id, g.bus, g.sv
+        |  FROM pick p JOIN big g ON g.entity_id = p.entity_id AND g.i = p.pi
+        |  UNION ALL
+        |  SELECT entity_id, bus, sv FROM big WHERE i = n - 1
+        |)
+        |SELECT entity_id, make_timestamp(bus) AS time, sv
+        |FROM res ORDER BY entity_id, time, sv""".stripMargin
+    })
 
-  /** The BUCKET STAGE of [[lttbQ]], oracle-checked on its own: the
-    * sequential pick is rows-only by design, but its [[bucketLast]]
-    * input grid IS DuckDB-expressible — this row hash-verifies exactly
-    * the frame the pick consumes (same filter, same 15-min width), so
-    * the only unverified link in the LTTB chain is the pick itself
-    * (pinned by TimeSeriesSpec's hand-computed cases). */
+  /** The BUCKET STAGE of [[lttbQ]], oracle-checked on its own: this
+    * row hash-verifies exactly the frame the pick consumes (same
+    * filter, same 15-min width). [[lttbQ]] now hash-checks the full
+    * chain including the pick; keeping the grid row too localizes a
+    * future mismatch to bucket stage vs pick. */
   val lttbGridQ = OracleQuery(
     "ltss_lttb_grid",
     (s, d) => {
