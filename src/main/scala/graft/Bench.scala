@@ -82,6 +82,8 @@ object Bench {
     warmed("ivfpq_layout")(graft.operators.Pq.ivfPqLayoutPath(spark, sfDir))
     warmed("cagg_layout")(graft.operators.TimeSeries.caggLayoutPath(spark, sfDir))
     warmed("inv_index")(graft.operators.TextOps.invIndexPath(spark, sfDir))
+    warmed("pipeline_stage")(
+      graft.operators.Pipeline.stageFrame(spark, sfDir).count())
     // compile the label-propagation loop's codegen shapes on a 2-edge
     // graph (generated classes are shape-keyed, so the real run hits the
     // compiler cache) — under the SAME AQE-off setting the real loop

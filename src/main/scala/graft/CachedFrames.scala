@@ -18,10 +18,11 @@ import org.apache.spark.storage.StorageLevel
 object CachedFrames {
 
   /** Must exceed the number of distinct per-dataset artifact keys one
-    * full query-suite pass touches (currently ~19: 8 PQ subquantizer
+    * full query-suite pass touches (currently ~20: 8 PQ subquantizer
     * codebooks, 2 SimHash band widths, LSH bands, k-means emb/cent/asg
     * at two cluster counts, the IVF pair frame, the MAD histogram, PQ
-    * codes) with headroom for a few interleaved datasets. At 16 the
+    * codes, the pipeline stage frame) with headroom for a few
+    * interleaved datasets. At 16 the
     * bench's interleaved passes evicted the k-means/PQ artifacts every
     * pass and re-trained them per query — ~19 s across the suite once
     * the trained geometry scaled to k≈√n (r8). Frames are

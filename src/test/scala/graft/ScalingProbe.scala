@@ -140,6 +140,8 @@ object ScalingProbe {
       graft.operators.Similarity.kmeansAssignments(spark, sfDir,
         graft.operators.Similarity.KmIters).count())
     warmed("pq_train")(graft.operators.Pq.pqCodes(spark, sfDir).count())
+    warmed("pipeline_stage")(
+      graft.operators.Pipeline.stageFrame(spark, sfDir).count())
     locally {
       import spark.implicits._
       val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
