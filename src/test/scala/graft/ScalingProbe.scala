@@ -12,32 +12,51 @@ import org.apache.spark.sql.functions._
   * Key-shifting is designed so the WORKLOAD scales linearly instead of
   * degenerating into cross-copy duplication (which would measure a
   * quadratic pair explosion the real corpus doesn't have):
-  *  - events: event_id/user_id shift per copy → 10× entities, each with
+  *  - events: event_id/user_id shift per copy → N× entities, each with
   *    the original series length and time span;
-  *  - documents: doc_id shift + a per-copy Caesar rotation of the text
+  *  - documents: doc_id shift + a per-copy AFFINE cipher on the
+  *    lowercase alphabet, i → a·i + b mod 26 with a coprime to 26
   *    (bijective per copy, so intra-copy near-dup structure is EXACTLY
-  *    preserved while cross-copy shingles/fingerprints never collide);
+  *    preserved; two distinct affine maps agree on ≤ 2 letters, so
+  *    cross-copy shingles/fingerprints never collide — 12·26 = 312
+  *    distinct maps, two decades of copies where the r8 Caesar shift
+  *    capped at 26). Copies 0–25 ARE the r8 Caesar shifts (a = 1);
   *  - embeddings: vec_id shift + a per-copy circular rotation of the
-  *    vector dims (norm-preserving, so intra-copy cosine structure is
-  *    exact while cross-copy cosines are uncorrelated). Copy 0 is the
-  *    original bytes, keeping the fixed query vectors (vec_id < 5). */
+  *    vector dims composed with whole-vector NEGATION every 64 copies
+  *    (both norm-preserving and intra-copy-cosine-exact; cross-copy
+  *    cosines are uncorrelated across rotations and negated — hence
+  *    maximally far from any near-dup threshold — between a rotation
+  *    and its negated twin, where the rotation alone would repeat past
+  *    64 copies). Copy 0 is the original bytes, keeping the fixed
+  *    query vectors (vec_id < 5); copies 0–9 reproduce the r8
+  *    construction bit-for-bit. */
 object ScalingData {
   val DefaultDir: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_scaling_sf1"
 
-  private def caesar(c: Column, k: Int): Column = {
+  /** The 12 multipliers coprime to 26: with the 26 shifts, 312 distinct
+    * affine bijections of the alphabet — the copy-index space. */
+  private val CoprimeA = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  private def affine(c: Column, k: Int): Column = {
     val lo = "abcdefghijklmnopqrstuvwxyz"
     val up = lo.toUpperCase
-    val r = k % 26
-    if (r == 0) c
-    else translate(c, lo + up,
-      lo.drop(r) + lo.take(r) + up.drop(r) + up.take(r))
+    val a = CoprimeA((k / 26) % CoprimeA.length)
+    val b = k % 26
+    if (a == 1 && b == 0) c
+    else {
+      val permLo = (0 until 26).map(i => lo((a * i + b) % 26)).mkString
+      translate(c, lo + up, permLo + permLo.toUpperCase)
+    }
   }
 
   private def rotate(c: Column, k: Int, dim: Int): Column = {
     val r = k % dim
-    if (r == 0) c
-    else concat(slice(c, r + 1, dim - r), slice(c, 1, r))
+    val rot =
+      if (r == 0) c
+      else concat(slice(c, r + 1, dim - r), slice(c, 1, r))
+    if ((k / dim) % 2 == 0) rot
+    else transform(rot, v => negate(v))
   }
 
   def generate(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
@@ -60,7 +79,7 @@ object ScalingData {
     (0 until copies).map { c =>
       docs.select(
         (col("doc_id") + lit(c * dOff)).as("doc_id"),
-        caesar(col("text"), c).as("text"),
+        affine(col("text"), c).as("text"),
         col("lang"), col("source"),
         col("n_chars"))
     }.reduce(_ union _)
@@ -171,6 +190,26 @@ object ScalingProbe {
     }
     // errored queries report only under "errors" — a failure-run wall time
     // in the medians map would read as a measured median
+    // second-decade cache gate (r8 verdict #1): re-touch every artifact
+    // build AFTER the passes — a cache hit costs milliseconds, a
+    // re-train (the r8 eviction class) costs build-scale seconds — and
+    // record the artifact-cache occupancy against its cap
+    val warm2 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def touched(name: String)(build: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      build
+      warm2(name) = (System.nanoTime() - t0) / 1e9
+    }
+    touched("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
+    touched("kmeans_train")(
+      graft.operators.Similarity.kmeansAssignments(spark, sfDir,
+        graft.operators.Similarity.KmIters).count())
+    touched("pq_train")(graft.operators.Pq.pqCodes(spark, sfDir).count())
+    touched("pipeline_stage")(
+      graft.operators.Pipeline.stageFrame(spark, sfDir).count())
+    val cfSize = graft.CachedFrames.size
+    require(cfSize <= graft.CachedFrames.MaxEntries,
+      s"CachedFrames overflowed its cap: $cfSize > ${graft.CachedFrames.MaxEntries}")
     val medians = names.filterNot(errs.contains).map { n =>
       val ts = times(n)
       n -> ts.sorted.apply(ts.size / 2)
@@ -178,8 +217,11 @@ object ScalingProbe {
     val qs = medians.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     val warm = warmBuilds.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    val warm2s = warm2.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     val line = s"""{"sf":${q(sfDir)},"queries":$qs,"errors":$es,""" +
-      s""""warm_build":$warm,"runs_per_query":$Runs,"aggregation":"median",""" +
+      s""""warm_build":$warm,"warm_build2":$warm2s,""" +
+      s""""cached_frames":{"size":$cfSize,"max":${graft.CachedFrames.MaxEntries}},""" +
+      s""""runs_per_query":$Runs,"aggregation":"median",""" +
       s""""load_avg":${loadAvgs.mkString("[", ",", "]")}}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")

@@ -110,4 +110,20 @@ class SimilaritySpec extends SparkSpec {
     // rerank order is exact cosine desc: v1 (dup), then v3, then v2
     assert(out == Seq((1L, 0), (3L, 32), (2L, 64)))
   }
+
+  test("training stride: identity below the cap, sample bounded above it") {
+    // stride 1 below/at the cap is the BIT-IDENTITY guarantee for every
+    // oracle fixture and the sf0.1 bench corpus
+    assert(Similarity.trainStride(500) == 1L)
+    assert(Similarity.trainStride(Similarity.TrainCap) == 1L)
+    // above the cap: ceil(n/stride) <= cap for representative sizes,
+    // including the r9 sf10 probe corpus (200k -> stride 8 -> 25k)
+    for (n <- Seq(Similarity.TrainCap + 1, 40000L, 200000L, 1000001L, 12345678L)) {
+      val st = Similarity.trainStride(n)
+      val sample = (n + st - 1) / st
+      assert(st > 1L && sample <= Similarity.TrainCap,
+        s"n=$n stride=$st sample=$sample")
+    }
+    assert(Similarity.trainStride(200000L) == 8L)
+  }
 }
