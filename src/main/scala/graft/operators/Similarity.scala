@@ -201,9 +201,10 @@ object Similarity {
   // Embedding-cosine near-dup via hyperplane LSH, parameterized for scale.
   //
   // bucket(band b) = sign pattern of dims [b·width+1, (b+1)·width] —
-  // axis-aligned hyperplanes, exact on both engines (a sign bit has no
-  // fp-parity risk, unlike random-projection dots whose libm rounding
-  // could flip a sign between engines and break the oracle). Candidates
+  // axis-aligned hyperplanes; the random-plane variant replaces the
+  // coordinate sign with sign(plane · embedding), and BOTH are exact on
+  // both engines (the dot is a libm-free left-assoc IEEE chain; the
+  // planes ship as literals — see randomBucketSql). Candidates
   // share ANY band's bucket (banded OR-amplification: more bands = more
   // recall, wider bands = smaller buckets).
   //
@@ -211,9 +212,8 @@ object Similarity {
   // (e.g. n=10¹⁰, target 10⁴ per bucket → width 20) so the per-bucket
   // all-pairs term stays bounded, and add bands to buy recall back —
   // cost is linear in bands, quadratic only within buckets. Production
-  // deployments replace axis-aligned planes with seeded random
-  // hyperplanes generated on the driver and broadcast (no oracle needs
-  // to reproduce them); the plan shape is identical.
+  // deployments use the seeded random hyperplanes generated on the
+  // driver and broadcast; the plan shape is identical.
   // ------------------------------------------------------------------
 
   /** Candidate pairs sharing any band bucket, deduped before the exact
@@ -278,14 +278,21 @@ object Similarity {
     * sign(random dot) could flip between engines' libm rounding, while a
     * sign bit of a raw coordinate cannot. Plan shape is identical:
     * id-only candidate shuffle, vectors re-attach by key. */
+  /** The ONE source of the seeded planes — both the Spark bucketing and
+    * the DuckDB oracle SQL must draw the identical RNG sequence, or the
+    * oracle compares against different geometry. */
+  private def gaussianPlanes(seed: Long, count: Int): Array[Array[Float]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(count)(Array.fill(Dim)(rng.nextGaussian().toFloat))
+  }
+
   def embedNearDupRandom(
       emb: DataFrame,
       seed: Long,
       width: Int,
       nBands: Int,
       minCosine: Double): DataFrame = {
-    val rng = new java.util.Random(seed)
-    val planes = Array.fill(nBands * width)(Array.fill(Dim)(rng.nextGaussian().toFloat))
+    val planes = gaussianPlanes(seed, nBands * width)
     def planeBit(p: Array[Float]): Column =
       when(DetMath.dotCol(col("embedding"), typedlit(p.toSeq), Dim) >= 0d, "1").otherwise("0")
     def bucket(b: Int): Column =
@@ -293,13 +300,37 @@ object Similarity {
     nearDupPipeline(emb, nBands, bucket, minCosine)
   }
 
+  /** DuckDB twin of [[embedNearDupRandom]]'s bucketing: each plane's
+    * dot is the SAME left-associated chain as [[graft.functions.DotF64]]
+    * — CAST(embedding[i] AS DOUBLE) times the plane coordinate as a
+    * DOUBLE LITERAL (float→double widening is exact, and
+    * `Double.toString` round-trips, so both engines multiply identical
+    * doubles with identical IEEE rounding; no libm is involved anywhere
+    * in the dot, so the sign cannot flip between engines). The libm
+    * that generates the Gaussians runs ONCE, on the driver, and ships
+    * into both plans as these literals. */
+  private def randomBucketSql(
+      planes: Array[Array[Float]], b: Int, width: Int): String =
+    (b * width until (b + 1) * width).map { j =>
+      val chain = (1 to Dim).map(i =>
+        s"CAST(embedding[$i] AS DOUBLE) * (${planes(j)(i - 1).toDouble})")
+        .mkString(" + ")
+      s"CASE WHEN $chain >= 0 THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+
   private def bucketSqlOf(v: String, b: Int, width: Int) =
     (b * width + 1 to (b + 1) * width)
       .map(i => s"CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
 
-  private def embedNearDupSql(width: Int, nBands: Int, minCosine: Double): String = {
+  private def embedNearDupSql(width: Int, nBands: Int, minCosine: Double): String =
+    embedNearDupSqlWith(b => bucketSqlOf("embedding", b, width), nBands, minCosine)
+
+  /** The candidate→verify CTE chain shared by every bucketing variant —
+    * the SQL twin of [[nearDupPipeline]], parameterized the same way. */
+  private def embedNearDupSqlWith(
+      bucketSqlOf: Int => String, nBands: Int, minCosine: Double): String = {
     val bandSelects = (0 until nBands).map(b =>
-      s"SELECT vec_id, $b AS band_idx, ${bucketSqlOf("embedding", b, width)} AS bucket FROM embeddings")
+      s"SELECT vec_id, $b AS band_idx, ${bucketSqlOf(b)} AS bucket FROM embeddings")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH e AS (
       |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm FROM embeddings
@@ -334,17 +365,23 @@ object Similarity {
     Some(embedNearDupSql(width = 8, nBands = 2, minCosine = 0.2)))
 
   /** Seeded random-hyperplane variant (the production bucketing; see
-    * [[embedNearDupRandom]]). No DuckDB oracle BY DESIGN: the bucket
-    * depends on sign(Gaussian-plane · embedding), and libm rounding
-    * differences between engines could flip a near-zero sign — the
-    * verified cosine output is exact, but the candidate SET isn't
-    * engine-portable. The driver records the weaker rows-only check;
-    * recall ≥ axis-aligned is pinned by SimilaritySpec instead. */
+    * [[embedNearDupRandom]]). HASH-CHECKED after all (r9 — this was
+    * rows-only through r8 on a "libm could flip a sign" argument that
+    * does not survive inspection: the plane DOT is a libm-free
+    * left-associated IEEE chain, identical on both engines, and the
+    * libm that generates the Gaussians runs once on the driver and
+    * ships into BOTH plans as double literals via [[gaussianPlanes]] /
+    * [[randomBucketSql]]). Recall ≥ axis-aligned stays pinned by
+    * SimilaritySpec. */
   val embedNearDupRandomQ = OracleQuery(
     "dedup_embedding_random",
     (s, d) => embedNearDupRandom(Tables.embeddings(s, d),
       seed = 42L, width = 8, nBands = 2, minCosine = 0.2),
-    None)
+    Some {
+      val planes = gaussianPlanes(42L, 2 * 8)
+      embedNearDupSqlWith(
+        b => randomBucketSql(planes, b, width = 8), nBands = 2, minCosine = 0.2)
+    })
 
   /** The IVF probe path (the point of IVF: answer a query by scanning
     * only its cluster, 1/k of the data). The assignment is materialized
