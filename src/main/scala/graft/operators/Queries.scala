@@ -1251,11 +1251,82 @@ object Queries {
         .orderBy(col("domain")),
     None)
 
+  /** KMV tracked-set size: estimates carry ~1/√K relative error (~12%
+    * at 64) — the HLL-accuracy class — while the sketch stays 64 longs
+    * per group. */
+  val KmvK = 64
+
+  /** Distinct-count estimation via a K-MINIMUM-VALUES sketch — the
+    * ENGINE-PORTABLE companion to [[sketches]]' HLL++ rows (whose
+    * internals keep that query rows-only): per domain, hash every
+    * value to a 60-bit md5-prefix long, keep the [[KmvK]] smallest,
+    * and estimate |distinct| = (K−1)·2⁶⁰ / h_K (exact count when the
+    * tracked set never fills). Every input to the one closing IEEE
+    * division is an exact integer on both engines, so unlike HLL the
+    * estimate itself hash-checks bit-exactly against DuckDB.
+    *
+    * Scale shape: the candidate set reduces to (domain, target, h)
+    * DISTINCT — combinable map-side, 8-byte keys — and the top-K
+    * window runs over |domains|·|targets| groups of pre-deduped
+    * hashes; nothing after the distinct touches a raw row. KMV merges
+    * by union+retop (associative), which is why real pipelines ship
+    * it for partitioned distinct counts. */
+  val kmvDistinct = OracleQuery(
+    "ltss_kmv_distinct",
+    (s, d) => {
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      val base = ltss(s, d)
+        .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+      def side(tag: String, c: org.apache.spark.sql.Column) =
+        base.select(col("domain"), lit(tag).as("target"),
+          columnOf(graft.functions.Md5Prefix64(expressionOf(c))).as("h"))
+      val u = side("entities", col("entity_id"))
+        .union(side("states", col("state")))
+        .distinct()
+      val w = Window.partitionBy(col("domain"), col("target")).orderBy(col("h"))
+      u.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= KmvK)
+        .groupBy(col("domain"), col("target"))
+        .agg(count(lit(1)).as("n_tracked"), max(col("h")).as("kth_min"))
+        .select(col("domain"), col("target"), col("n_tracked"), col("kth_min"),
+          when(col("n_tracked") < KmvK, col("n_tracked").cast("double"))
+            .otherwise(
+              (lit((KmvK - 1).toDouble) * lit(1152921504606846976.0d))
+                / col("kth_min").cast("double"))
+            .as("est_distinct"))
+        .orderBy(col("domain"), col("target"))
+    },
+    Some(s"""$ltssCte,
+      |u AS (
+      |  SELECT DISTINCT domain, target, h FROM (
+      |    SELECT split_part(entity_id, '.', 1) AS domain, 'entities' AS target,
+      |           CAST(concat('0x', substring(md5(entity_id), 1, 15)) AS BIGINT) AS h
+      |    FROM ltss
+      |    UNION ALL
+      |    SELECT split_part(entity_id, '.', 1) AS domain, 'states' AS target,
+      |           CAST(concat('0x', substring(md5(state), 1, 15)) AS BIGINT) AS h
+      |    FROM ltss)
+      |), topk AS (
+      |  SELECT domain, target, h FROM (
+      |    SELECT domain, target, h,
+      |           row_number() OVER (PARTITION BY domain, target ORDER BY h) AS rn
+      |    FROM u)
+      |  WHERE rn <= $KmvK
+      |)
+      |SELECT domain, target,
+      |       CAST(count(*) AS BIGINT) AS n_tracked,
+      |       max(h) AS kth_min,
+      |       CASE WHEN count(*) < $KmvK THEN CAST(count(*) AS DOUBLE)
+      |            ELSE (CAST(${KmvK - 1} AS DOUBLE) * 1152921504606846976.0)
+      |                 / CAST(max(h) AS DOUBLE) END AS est_distinct
+      |FROM topk GROUP BY domain, target
+      |ORDER BY domain, target""".stripMargin))
+
   val all: Seq[OracleQuery] = Seq(
     project, entityFilterQ, history, historyLayout, latest, transitions,
     timeBucketAgg, jsonAttr, jsonAttrLayout, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, geoRadiusLayout, geoBbox, timeBucketSqlQ,
     domainStatsSalted, asofJoin, asofJoinFwd, rangeJoin, percentiles, histogram, pivotHours,
     retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, anomalyMad,
-    histogram2d, sketches)
+    histogram2d, sketches, kmvDistinct)
 }

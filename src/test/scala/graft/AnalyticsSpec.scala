@@ -143,4 +143,32 @@ class AnalyticsSpec extends SparkSpec {
     // importance 2.0 for every "a b" doc (ties broken by doc_id), then 0
     assert(out == Seq((1L, 2L, 1L), (2L, 2L, 1L), (10L, 2L, 1L), (11L, 0L, 1L)))
   }
+
+  test("KMV distinct sketch: exact below K, within the 1/sqrt(K) error class above it") {
+    import org.apache.spark.sql.functions.{col, countDistinct, split}
+    val D = "/root/testdata/sf0.001"
+    // exact per-domain distincts via the projection query (same LTSS
+    // normalization as the sketch input)
+    val exact = graft.operators.Queries.project.run(spark, D)
+      .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+      .groupBy(col("domain"))
+      .agg(countDistinct(col("entity_id")).as("de"),
+        countDistinct(col("state")).as("ds"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = graft.operators.Queries.kmvDistinct.run(spark, D).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (domain, target) = (r.getAs[String]("domain"), r.getAs[String]("target"))
+      val tracked = r.getAs[Long]("n_tracked")
+      val est = r.getAs[Double]("est_distinct")
+      val truth = if (target == "entities") exact(domain)._1 else exact(domain)._2
+      if (tracked < graft.operators.Queries.KmvK)
+        assert(est == truth.toDouble, s"$domain/$target below K must be exact: $est vs $truth")
+      else
+        // ~12% standard error at K=64; 3 sigma with slack for the
+        // deterministic fixture draw
+        assert(math.abs(est - truth) / truth < 0.5,
+          s"$domain/$target est $est too far from exact $truth")
+    }
+  }
 }
