@@ -894,4 +894,52 @@ object StreamingOps {
       .join(bench, "sh")
       .select(col("doc_id"), col("sh"))
   }
+
+  final case class KmvState(hs: List[Long])
+  final case class KmvRow(
+      domain: String, target: String, n_tracked: Long, kth_min: Long,
+      est_distinct: Double)
+
+  /** Continuously-maintained distinct-count estimate per (domain,
+    * target) — the streaming twin of the batch `ltss_kmv_distinct`
+    * K-minimum-values sketch, and the op that shows WHY pipelines pick
+    * KMV over exact distinct online: the sketch merges by union+retop,
+    * so per-key state is EXACTLY ≤ k sorted longs no matter how much
+    * history streams through — bounded by construction, no watermark,
+    * no TTL needed (compare `nearDupStream`, whose unbounded mode needs
+    * an explicit opt-in). Each micro-batch folds its arrivals' 60-bit
+    * md5-prefix hashes into the tracked set and emits the updated
+    * estimate in Update mode; after any prefix of the stream the
+    * emitted row equals the batch query over the same rows (spec-pinned
+    * batch parity), because union+retop is associative and
+    * order-insensitive. */
+  def kmvStream(ltss: DataFrame, k: Int = 64): Dataset[KmvRow] = {
+    import ltss.sparkSession.implicits._
+    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+    def h(c: org.apache.spark.sql.Column) =
+      columnOf(graft.functions.Md5Prefix64(expressionOf(c)))
+    val base = ltss.select(
+      split(col("entity_id"), "\\.").getItem(0).as("domain"),
+      col("entity_id"), col("state"))
+    val u = base.select(col("domain"), lit("entities").as("target"),
+        h(col("entity_id")).as("h"))
+      .union(base.select(col("domain"), lit("states").as("target"),
+        h(col("state")).as("h")))
+    u.as[(String, String, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .mapGroupsWithState[KmvState, KmvRow](GroupStateTimeout.NoTimeout) {
+        (key, rows, st) =>
+          val prev = st.getOption.map(_.hs).getOrElse(Nil)
+          // union + retop: the KMV merge — dedup, sort, keep k smallest
+          val merged = (prev.iterator ++ rows.map(_._3))
+            .toSet.toList.sorted.take(k)
+          st.update(KmvState(merged))
+          val n = merged.size.toLong
+          val kth = merged.last
+          val est =
+            if (n < k) n.toDouble
+            else ((k - 1).toDouble * 1152921504606846976.0d) / kth.toDouble
+          KmvRow(key._1, key._2, n, kth, est)
+      }
+  }
 }

@@ -475,6 +475,40 @@ class StatefulStreamingSpec extends SparkSpec {
       s"default TTL must evict doc 1 and pair only (2,3): $pairs")
   }
 
+  test("streaming KMV: k-min state stays bounded and matches the batch sketch arithmetic") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def md5p(s: String): Long = graft.functions.TextHash.md5Prefix64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    val ms = MemoryStream[(String, String)]
+    val df = ms.toDF.toDF("entity_id", "state")
+    val q = StreamingOps.kmvStream(df, k = 4).writeStream
+      .format("memory").queryName("kmv_t").outputMode("update").start()
+    try {
+      ms.addData(("click.1", "a"), ("click.2", "b"), ("click.3", "c"))
+      q.processAllAvailable()
+      // 5 distincts > k = 4; a re-arrival must not change the sketch
+      ms.addData(("click.4", "d"), ("click.5", "e"), ("click.1", "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("kmv_t")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    // expected final row per target: the 4 smallest of the 5 hashes,
+    // estimate (k-1)*2^60 / h_4 — the batch query's exact arithmetic
+    def expect(vals: Seq[String]) = {
+      val top = vals.map(md5p).sorted.take(4)
+      ("click", top.size.toLong, top.last,
+        3.0 * 1152921504606846976.0d / top.last.toDouble)
+    }
+    val (d1, n1, k1, e1) = expect((1 to 5).map(i => s"click.$i"))
+    val (d2, n2, k2, e2) = expect(Seq("a", "b", "c", "d", "e"))
+    assert(rows.contains((d1, "entities", n1, k1, e1)),
+      s"entities sketch missing from updates: $rows")
+    assert(rows.contains((d2, "states", n2, k2, e2)),
+      s"states sketch missing from updates: $rows")
+    // bounded state: no update ever tracks more than k
+    assert(rows.forall(_._3 <= 4))
+  }
+
   test("streaming as-of enrichment: clicks carry the latest at-or-before purchase frontier") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, String)]
