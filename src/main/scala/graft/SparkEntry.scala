@@ -14,7 +14,8 @@ object SparkEntry {
 
   private val modules: Seq[OracleQuery] =
     Queries.all ++ TimeSeries.all ++ Relational.all ++ TextOps.all ++ Dedup.all ++
-      Similarity.all ++ Pq.all ++ Multimodal.all ++ Sampling.all ++ Pipeline.all
+      Similarity.all ++ Pq.all ++ Multimodal.all ++ Sampling.all ++ Pipeline.all ++
+      Retrieval.all
 
   /** Flagship query on /root/testdata/sf0.001 (SURVEY.md §7.2): the
     * composite-index query — per-entity history slice with a

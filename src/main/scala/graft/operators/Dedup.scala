@@ -1121,8 +1121,182 @@ object Dedup {
       |FROM cut
       |ORDER BY doc_id""".stripMargin))
 
+  /** Historical passage-fingerprint store for [[incremental]]: the
+    * distinct 16-word-passage fingerprints of the already-ingested
+    * corpus (here the deterministic doc_id % 5 != 0 slice), written
+    * once as 8-byte keys. In production this is the running store a
+    * daily crawl delta screens against — it grows by appending the new
+    * batch's surviving fingerprints, never by rescanning the corpus. */
+  def fpStorePath(s: SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("fp_store", d) { p =>
+      passageFps(Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0))
+        .select(col("fp")).distinct()
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** Stride-16 non-overlapping passage fingerprints: (doc_id, i, fp)
+    * with i the passage index — the shared cutting rule of
+    * [[fpStorePath]] and [[incremental]]. */
+  private def passageFps(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 16)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, CAST(size(w) / 16 AS INT) - 1), " +
+          "i -> concat_ws(' ', slice(w, i * 16 + 1, 16)))")).as(Seq("i", "chunk")))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        columnOf(graft.functions.Md5Prefix64(expressionOf(col("chunk")))).as("fp"))
+  }
+
+  private val passageFpsSql =
+    """SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |       substring(md5(array_to_string(w[i*16+1:i*16+16], ' ')), 1, 15) AS fp
+      |FROM (SELECT doc_id, w, unnest(generate_series(0, len(w)//16 - 1)) AS i
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |      WHERE len(w) >= 16)""".stripMargin
+
+  /** Incremental (delta) dedup — screening TODAY'S batch against the
+    * store of everything already ingested, without rescanning the
+    * corpus: each batch passage is `in_store` (fingerprint exists in
+    * the historical store), `dup_batch` (repeated within the batch —
+    * only the first occurrence in (doc_id, position) order is charged
+    * as new), or `new`; the per-document rollup keeps docs whose
+    * duplicated fraction (vs store AND batch) is ≤ 1/2 — the
+    * [[passage]] gate, applied incrementally.
+    *
+    * Scale shape: the ONLY join is batch-fingerprints × store on
+    * 8-byte keys (the store side is the big one — bucketed by fp in
+    * production so the probe is exchange-free); the within-batch
+    * first-occurrence rule is one window over the batch's own
+    * fingerprints; the rollup is one combinable aggregate. Nothing
+    * touches historical text. */
+  val incremental = OracleQuery(
+    "dedup_incremental",
+    (s, d) => {
+      val store = s.read.parquet(fpStorePath(s, d)).withColumn("in_store", lit(1))
+      val batch = passageFps(Tables.documents(s, d).filter(col("doc_id") % 5 === 0))
+      val w = Window.partitionBy(col("fp"))
+      val tagged = batch.join(store, Seq("fp"), "left")
+        .withColumn("first_pos",
+          min(struct(col("doc_id"), col("i"))).over(w))
+        .withColumn("status",
+          when(col("in_store") === 1, "in_store")
+            .when(struct(col("doc_id"), col("i")) =!= col("first_pos"), "dup_batch")
+            .otherwise("new"))
+      val perDoc = tagged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_passages"),
+          sum(when(col("status") === "in_store", 1L).otherwise(0L)).as("n_in_store"),
+          sum(when(col("status") === "dup_batch", 1L).otherwise(0L)).as("n_dup_batch"),
+          sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"))
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_passages"), lit(0L)).as("n_passages"),
+          coalesce(col("n_in_store"), lit(0L)).as("n_in_store"),
+          coalesce(col("n_dup_batch"), lit(0L)).as("n_dup_batch"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          ((coalesce(col("n_in_store"), lit(0L)) + coalesce(col("n_dup_batch"), lit(0L))) * 2 <=
+            coalesce(col("n_passages"), lit(0L))).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH p AS (
+      |$passageFpsSql
+      |), store AS (
+      |  SELECT DISTINCT fp FROM p WHERE doc_id % 5 <> 0
+      |), batch AS (
+      |  SELECT doc_id, i, fp FROM p WHERE doc_id % 5 = 0
+      |), tagged AS (
+      |  SELECT b.doc_id,
+      |         CASE WHEN s.fp IS NOT NULL THEN 'in_store'
+      |              WHEN {'d': b.doc_id, 'i': b.i} <>
+      |                   min({'d': b.doc_id, 'i': b.i}) OVER (PARTITION BY b.fp)
+      |              THEN 'dup_batch'
+      |              ELSE 'new' END AS status
+      |  FROM batch b LEFT JOIN store s ON s.fp = b.fp
+      |), per_doc AS (
+      |  SELECT doc_id,
+      |         CAST(count(*) AS BIGINT) AS n_passages,
+      |         CAST(sum(CASE WHEN status = 'in_store' THEN 1 ELSE 0 END) AS BIGINT) AS n_in_store,
+      |         CAST(sum(CASE WHEN status = 'dup_batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
+      |         CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |  FROM tagged GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |       COALESCE(n_passages, 0) AS n_passages,
+      |       COALESCE(n_in_store, 0) AS n_in_store,
+      |       COALESCE(n_dup_batch, 0) AS n_dup_batch,
+      |       COALESCE(n_new, 0) AS n_new,
+      |       CAST((COALESCE(n_in_store, 0) + COALESCE(n_dup_batch, 0)) * 2 <=
+      |            COALESCE(n_passages, 0) AS INT) AS keep
+      |FROM documents d LEFT JOIN per_doc USING (doc_id)
+      |WHERE d.doc_id % 5 = 0
+      |ORDER BY d.doc_id""".stripMargin))
+
+  /** Asymmetric containment verification — the sub-document
+    * duplication signal symmetric Jaccard misses: containment(a⊂b) =
+    * |A∩B| / |A| over distinct token sets, so a short doc living
+    * inside a long one scores ≈ 1 while its Jaccard stays low. Pairs
+    * with max-side containment ≥ 0.95 are reported with both
+    * directions, the Jaccard, and a `jaccard_low` flag marking exactly
+    * the pairs a 0.6-Jaccard policy ([[jaccard]]) would have missed.
+    *
+    * The verifier stage shares [[jaccard]]'s shape (candidates come
+    * from LSH banding at scale — this is the exact pass those
+    * candidates route through); tokens reduce to 8-byte `Md5Prefix64`
+    * keys before the intersection join, and each score is one IEEE
+    * division of exact BIGINT set sizes. */
+  val containment = OracleQuery(
+    "dedup_containment",
+    (s, d) => {
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      val toks = Tables.documents(s, d).filter(col("doc_id") < 80)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+        .select(col("doc_id"),
+          columnOf(graft.functions.Md5Prefix64(expressionOf(col("w")))).as("fp"))
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = toks.as("x").join(toks.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.toDF("a_id", "a_sz"), "a_id")
+        .join(sizes.toDF("b_id", "b_sz"), "b_id")
+        .withColumn("containment_a", col("inter").cast("double") / col("a_sz").cast("double"))
+        .withColumn("containment_b", col("inter").cast("double") / col("b_sz").cast("double"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
+        .filter(greatest(col("containment_a"), col("containment_b")) >= 0.95)
+        .withColumn("jaccard_low", (col("jaccard") < 0.6).cast("int"))
+        .select(col("a_id"), col("b_id"), col("inter"), col("a_sz"), col("b_sz"),
+          col("containment_a"), col("containment_b"), col("jaccard"), col("jaccard_low"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT DISTINCT doc_id, substring(md5(w), 1, 15) AS fp FROM (
+      |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |    FROM documents WHERE doc_id < 80)
+      |), sizes AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id
+      |), inter AS (
+      |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, CAST(count(*) AS BIGINT) AS inter
+      |  FROM toks x JOIN toks y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT * FROM (
+      |  SELECT a_id, b_id, inter, sa.sz AS a_sz, sb.sz AS b_sz,
+      |         CAST(inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment_a,
+      |         CAST(inter AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS containment_b,
+      |         CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard,
+      |         CAST(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) < 0.6 AS INT)
+      |           AS jaccard_low
+      |  FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id)
+      |WHERE greatest(containment_a, containment_b) >= 0.95
+      |ORDER BY a_id, b_id""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(exact, minhashSig, minhashLsh, jaccard, clusters, overflowVerify, crosscheck,
       simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans,
-      substringExcise, contaminationSpans)
+      substringExcise, contaminationSpans, incremental, containment)
 }

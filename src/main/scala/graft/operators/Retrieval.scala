@@ -1,0 +1,338 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{CachedFrames, Tables}
+
+/** Ranked retrieval and corpus-vocabulary training operators — the
+  * layer a training-data pipeline puts ON TOP of the inverted index and
+  * token statistics that [[TextOps]] maintains:
+  *
+  *  - [[textBm25]]: BM25-ranked keyword retrieval over the posting
+  *    layout (Robertson et al.'s Okapi weighting with an exact-rational
+  *    idf, so the score is engine-portable).
+  *  - [[textRank]]: TextRank keyword extraction (Mihalcea & Tarau 2004)
+  *    — PageRank over the token co-occurrence graph in integer-scaled
+  *    exact arithmetic.
+  *  - [[bpeMerges]]: the first BPE merge rounds (Sennrich et al. 2016)
+  *    computed corpus-wide over the word-frequency table — the actual
+  *    tokenizer-training step, not a stand-in.
+  *
+  * All three follow the DetMath parity rules: every decision is made in
+  * BIGINT arithmetic; the only IEEE operations are final divisions (and
+  * BM25's fixed-order 3-term sum) applied to identical exact inputs on
+  * both engines.
+  */
+object Retrieval {
+
+  // ---------------------------------------------------------------------
+  // BM25 ranked retrieval
+  // ---------------------------------------------------------------------
+
+  /** BM25 posting layout: one row per (doc, term) with the term
+    * frequency and the doc length, partitioned by the same token-hash
+    * bucket as the boolean inverted index ([[TextOps.invIndexPath]]),
+    * plus a 1-row corpus-stats side file (N docs, total tokens). A
+    * query partition-prunes to its terms' buckets; document-frequency
+    * counts come from the pruned postings themselves (a term's postings
+    * all live in its bucket), so ranking never touches the corpus. */
+  def bm25IndexPath(s: SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("bm25_index", d) { p =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id")
+        .withColumn("bucket", pmod(xxhash64(col("tok")), lit(TextOps.IndexBuckets)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(p + "/postings")
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens"))
+        .write.mode("overwrite").parquet(p + "/stats")
+    }
+
+  /** Okapi BM25 (k1 = 1.2, b = 0.75) with an exact-rational idf.
+    *
+    * The standard log-idf is libm-dependent, so ranking with it cannot
+    * hash-match across engines. We use the rational
+    * idf = (2(N − df) + 1) / (2df + 1) — the same (N − df + ½)/(df + ½)
+    * odds ratio the Robertson idf takes the log of, kept as a ratio.
+    * Folding k1 = 6/5 and b = 3/4 with avgdl = T/N over a common
+    * denominator, the whole per-term score collapses to ONE division of
+    * two BIGINT products:
+    *
+    *   score_t = (2(N−df)+1)·22·T·tf
+    *           / ((2df+1)·(10·T·tf + 3·T + 9·dl·N))
+    *
+    * and the doc score is the fixed-order sum over the (few) query
+    * terms — so a ranked top-10 with tie-break on doc_id is bit-equal
+    * on both engines. (At 100 TB the products approach BIGINT range;
+    * the same chain runs in DECIMAL(38,0) there — the fixture keeps
+    * BIGINT for oracle parity.) Scale shape: the candidate set is the
+    * pruned postings of the query terms only, df is a per-term count
+    * over those postings, the 1-row stats frame broadcasts, and the
+    * top-10 is a TakeOrdered — no corpus scan, no window. */
+  val textBm25 = OracleQuery(
+    "text_bm25",
+    (s, d) => {
+      import s.implicits._
+      val terms = TextOps.SearchTerms
+      val bucketVals = terms.toDF("t")
+        .select(pmod(xxhash64(col("t")), lit(TextOps.IndexBuckets)))
+        .collect().map(_.getLong(0)).distinct.toSeq
+      val p = bm25IndexPath(s, d)
+      val post = s.read.parquet(p + "/postings")
+        .filter(col("bucket").isin(bucketVals: _*) && col("tok").isin(terms: _*))
+      val stats = s.read.parquet(p + "/stats")
+      val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      def term(t: String): Column = coalesce(
+        max(when(col("tok") === t,
+          ((lit(2L) * (col("n_docs") - col("df")) + lit(1L)) *
+            lit(22L) * col("tot_tokens") * col("tf")).cast("double") /
+          ((lit(2L) * col("df") + lit(1L)) *
+            (lit(10L) * col("tot_tokens") * col("tf") +
+              lit(3L) * col("tot_tokens") +
+              lit(9L) * col("dl") * col("n_docs"))).cast("double"))),
+        lit(0.0d))
+      post.join(dfreq, "tok")
+        .crossJoin(broadcast(stats))
+        .groupBy(col("doc_id"))
+        .agg((term(terms(0)) + term(terms(1)) + term(terms(2))).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some {
+      val terms = TextOps.SearchTerms
+      val termsIn = terms.map(t => s"'$t'").mkString(", ")
+      def term(t: String): String =
+        s"""coalesce(max(CASE WHEN tok = '$t'
+           |  THEN CAST((2*(s.n_docs - df.df) + 1) * 22 * s.tot_tokens * p.tf AS DOUBLE)
+           |     / CAST((2*df.df + 1) * (10 * s.tot_tokens * p.tf + 3 * s.tot_tokens
+           |                             + 9 * dl.dl * s.n_docs) AS DOUBLE)
+           |  END), CAST(0 AS DOUBLE))""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |), dl AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id
+         |), stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(dl) AS BIGINT) AS tot_tokens FROM dl
+         |), p AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM t
+         |  WHERE tok IN ($termsIn) GROUP BY doc_id, tok
+         |), df AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY tok
+         |)
+         |SELECT doc_id, score FROM (
+         |  SELECT p.doc_id,
+         |         ${term(terms(0))} +
+         |         ${term(terms(1))} +
+         |         ${term(terms(2))} AS score
+         |  FROM p
+         |  JOIN df USING (tok)
+         |  JOIN dl ON dl.doc_id = p.doc_id
+         |  CROSS JOIN stats s
+         |  GROUP BY p.doc_id)
+         |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin
+    })
+
+  // ---------------------------------------------------------------------
+  // TextRank keyword extraction
+  // ---------------------------------------------------------------------
+
+  /** Rank scale: ranks are BIGINTs in units of 10⁻¹² of total mass. */
+  val RankScale = 1000000000000L
+
+  /** Damped weighted PageRank over the token co-occurrence graph
+    * (TextRank): nodes = tokens, undirected edges = adjacent-token
+    * co-occurrence counts, 3 power iterations at d = 0.85, top-20
+    * tokens by rank.
+    *
+    * Engine-portable by integer arithmetic: ranks are BIGINTs scaled by
+    * [[RankScale]]; each edge contributes (r(u)·w(u,v)) div W(u) and the
+    * update is base + (85·Σcontrib) div 100 with base = (15·S) div
+    * (100·N) — sums of integers are order-independent, so no float ever
+    * enters the fixpoint and the ranked output hash-matches. (The
+    * truncated integer division loses < 1 ulp of mass per edge per
+    * iteration — the ranking is exact BY DEFINITION of this integer
+    * recurrence, which both engines replay identically.)
+    *
+    * Scale shape: the edge list aggregates once (one shuffle on the
+    * pair) and persists; each iteration is one equi-join of the
+    * vocab-sized rank frame with the edge list (both partitioned by
+    * src) plus one combinable sum on dst — 3 iterations, no driver-side
+    * graph. Vocabulary is bounded (millions at 100 TB, not corpus-
+    * sized), so the rank frame stays small. */
+  val textRank = OracleQuery(
+    "text_rank",
+    (s, d) => {
+      val S = RankScale
+      val adj = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b"))
+      val edges = CachedFrames.getOrBuild(
+        s"textrank_edges|${CachedFrames.sessionKey(s)}|$d") {
+        adj.select(col("a").as("src"), col("b").as("dst"))
+          .union(adj.select(col("b").as("src"), col("a").as("dst")))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      }
+      val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+      val nodes = edges.select(col("src").as("tok")).distinct()
+      // vocabulary count: a k-row driver aggregate (planning artifact,
+      // same class as the IVF probe argmax / search-term buckets)
+      val nn = nodes.count()
+      val base = (15L * S) / (100L * nn)
+      val r0 = nodes.withColumn("r", lit(S / nn))
+      val r3 = (1 to 3).foldLeft(r0) { (prev, _) =>
+        val contrib = edges
+          .join(prev.withColumnRenamed("tok", "src"), "src")
+          .join(wout, "src")
+          .groupBy(col("dst").as("tok"))
+          .agg(sum(expr("(r * w) div wout")).as("contrib"))
+        nodes.join(contrib, Seq("tok"), "left")
+          .select(col("tok"),
+            (lit(base) + expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100")).as("r"))
+      }
+      r3.select(col("tok"), col("r").as("rank_scaled"))
+        .orderBy(col("rank_scaled").desc, col("tok"))
+        .limit(20)
+    },
+    Some {
+      val S = RankScale
+      def it(prev: String): String =
+        s"""  SELECT n.tok,
+           |         (15 * $S) // (100 * (SELECT nn FROM nnodes))
+           |         + (85 * coalesce(c.contrib, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS tok, CAST(sum((p.r * e.w) // wo.wout) AS BIGINT) AS contrib
+           |    FROM edges e
+           |    JOIN $prev p ON p.tok = e.src
+           |    JOIN wout wo ON wo.tok = e.src
+           |    GROUP BY e.dst
+           |  ) c ON c.tok = n.tok""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |), adj AS (
+         |  SELECT w[i] AS a, w[i+1] AS b
+         |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t)
+         |  WHERE w[i] <> w[i+1]
+         |), edges AS (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+         |    SELECT a AS src, b AS dst FROM adj
+         |    UNION ALL SELECT b AS src, a AS dst FROM adj
+         |  ) GROUP BY src, dst
+         |), nodes AS (
+         |  SELECT DISTINCT src AS tok FROM edges
+         |), nnodes AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes
+         |), wout AS (
+         |  SELECT src AS tok, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src
+         |), r0 AS (
+         |  SELECT tok, $S // (SELECT nn FROM nnodes) AS r FROM nodes
+         |), r1 AS (
+         |${it("r0")}
+         |), r2 AS (
+         |${it("r1")}
+         |), r3 AS (
+         |${it("r2")}
+         |)
+         |SELECT tok, CAST(r AS BIGINT) AS rank_scaled FROM r3
+         |ORDER BY r DESC, tok LIMIT 20""".stripMargin
+    })
+
+  // ---------------------------------------------------------------------
+  // BPE merge training
+  // ---------------------------------------------------------------------
+
+  /** Number of BPE merge rounds the query materializes. */
+  val BpeRounds = 3
+
+  /** The first [[BpeRounds]] byte-pair-encoding merges, trained
+    * corpus-wide (Sennrich et al. 2016): start from the character
+    * symbols of every distinct word weighted by word frequency, count
+    * adjacent symbol pairs, merge the most frequent pair everywhere
+    * (leftmost-non-overlapping, the classic greedy fold), repeat. The
+    * output is the merge table itself — (round, left, right, merged,
+    * weighted count) — i.e. the artifact a tokenizer trainer ships.
+    *
+    * Determinism: pair selection orders by (count DESC, left, right) —
+    * all-integer/bytewise — and the merge application is a pure fold
+    * both engines express identically (Spark `aggregate` HOF / DuckDB
+    * `list_reduce` over singleton lists).
+    *
+    * Scale shape: everything after the first aggregation runs on the
+    * DISTINCT-WORD frequency table — vocabulary-bounded (millions of
+    * rows at 100 TB, not corpus-sized), the standard trick every BPE
+    * trainer uses. Each round is one combinable pair-count aggregation
+    * plus a map-side fold; the argmax is a 1-row driver artifact. */
+  val bpeMerges = OracleQuery(
+    "bpe_merges",
+    (s, d) => {
+      import s.implicits._
+      val words = CachedFrames.getOrBuild(
+        s"bpe_words|${CachedFrames.sessionKey(s)}|$d") {
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      }
+      var syms = words.select(split(col("word"), "").as("syms"), col("freq"))
+      def q(x: String) = x.replace("'", "''")
+      val out = (1 to BpeRounds).map { round =>
+        val best = syms.filter(size(col("syms")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"),
+            col("freq"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()(0)
+        val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        syms = syms.withColumn("syms", expr(
+          s"aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
+            s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${q(a)}' AND x = '${q(b)}' " +
+            s"THEN concat(slice(acc, 1, size(acc) - 1), array('${q(a + b)}')) " +
+            s"ELSE concat(acc, array(x)) END)"))
+        (round, a, b, a + b, cnt)
+      }
+      out.toDF("merge_idx", "left_sym", "right_sym", "merged", "cnt")
+        .orderBy(col("merge_idx"))
+    },
+    Some {
+      def rnd(prev: String, i: Int): String =
+        s"""pairs$i AS (
+           |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT syms[i] AS a, syms[i+1] AS b, freq
+           |    FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+           |          FROM $prev)
+           |  ) GROUP BY a, b
+           |), best$i AS (
+           |  SELECT a, b, cnt FROM pairs$i ORDER BY cnt DESC, a, b LIMIT 1
+           |), s$i AS (
+           |  SELECT list_reduce(list_transform(syms, c -> [c]),
+           |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = best.a AND x[1] = best.b
+           |                       THEN list_append(acc[1:len(acc)-1], best.a || best.b)
+           |                       ELSE list_concat(acc, x) END) AS syms, freq
+           |  FROM $prev CROSS JOIN best$i best
+           |)""".stripMargin
+      s"""WITH words AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+         |  ) WHERE word <> '' GROUP BY word
+         |), s0 AS (
+         |  SELECT string_split(word, '') AS syms, freq FROM words
+         |), ${rnd("s0", 1)}, ${rnd("s1", 2)}, ${rnd("s2", 3)}
+         |SELECT * FROM (
+         |  SELECT 1 AS merge_idx, a AS left_sym, b AS right_sym, a || b AS merged, cnt FROM best1
+         |  UNION ALL SELECT 2, a, b, a || b, cnt FROM best2
+         |  UNION ALL SELECT 3, a, b, a || b, cnt FROM best3
+         |) ORDER BY merge_idx""".stripMargin
+    })
+
+  val all: Seq[OracleQuery] = Seq(textBm25, textRank, bpeMerges)
+}
