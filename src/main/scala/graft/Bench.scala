@@ -65,9 +65,19 @@ object Bench {
     // cold-build cost is timed here and reported separately in the
     // `warm_build` field so the two are never conflated.
     val warmBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val warmErrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Each warm-build is fenced: one broken artifact build must degrade to
+    // per-query errors on the queries that read that artifact, not abort
+    // the whole benchmark (round 9 lost all timing data to exactly this —
+    // an analysis failure in `warmed("ltss_layout")` escaped uncaught).
     def warmed(name: String)(build: => Unit): Unit = {
       val t0 = System.nanoTime()
-      build
+      try build
+      catch {
+        case e: Throwable =>
+          warmErrs(name) = s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").replace('\n', ' ').take(160)
+      }
       warmBuilds(name) = (System.nanoTime() - t0) / 1e9
     }
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
@@ -146,14 +156,17 @@ object Bench {
     val total = results.map(_._2).sum
     val nFailed = results.count(_._3.isDefined)
     val warm = warmBuilds.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    val warmE = warmErrs.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     val loads = loadAvgs.mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"failed":$nFailed,"runs_per_query":$Runs,""" +
-      s""""aggregation":"median","warm_build":$warm,"load_avg":$loads,""" +
-      s""""sf":${q(sfDir)}}"""
+      s""""aggregation":"median","warm_build":$warm,"warm_build_errors":$warmE,""" +
+      s""""load_avg":$loads,"sf":${q(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     if (nFailed > 0) System.err.println(s"[bench] $nFailed quer(ies) FAILED — see errors field")
+    if (warmErrs.nonEmpty) System.err.println(
+      s"[bench] ${warmErrs.size} warm-build(s) FAILED — see warm_build_errors field")
     spark.stop()
   }
 }

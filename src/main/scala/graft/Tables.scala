@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's parquet tables (TESTDATA.md). */
 object Tables {
@@ -25,15 +25,21 @@ object Tables {
     else df.repartition(target)
   }
 
-  /** events.ts is nanosecond-precision parquet, which Spark 4 refuses as
-    * TimestampType; sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * and this loader truncates ns → µs (matching DuckDB's ns→µs cast,
-    * SURVEY.md §7.4). */
+  /** events.ts arrives in whatever physical form the fixture writer chose:
+    * nanosecond int64 (Spark 4 refuses as TimestampType; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong` and this loader truncates
+    * ns → µs, matching DuckDB's ns→µs cast, SURVEY.md §7.4), or µs with no
+    * timezone annotation, which Spark reads as TIMESTAMP_NTZ. Every
+    * downstream operator expects TimestampType (`unix_micros` rejects NTZ
+    * at analysis time), so normalize here — the session TZ is pinned to
+    * UTC, making the NTZ→TZ cast value-preserving. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

@@ -30,12 +30,21 @@ object Verify {
         else col(f.name)
       }.toSeq: _*)
     }
+    // A query that fails here leaves no parquet dir, so the driver's
+    // compare would silently record NOTHING for it and the round would
+    // read all-green while being broken (this happened in round 9: an
+    // analysis failure dropped 22 time-series queries from the report).
+    // Record every failure in errors.json next to the dumps and shout a
+    // per-run summary so a broken registered query is always visible.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
       else try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").replace('\n', ' ').take(200)
+        System.err.println(s"[verify] $name FAILED: ${failed(name)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -62,6 +71,12 @@ object Verify {
     val json = oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failed.nonEmpty) System.err.println(
+      s"[verify] ${failed.size}/${SparkEntry.queries.size} registered " +
+        s"queries FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()
   }
 }
