@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -1233,23 +1233,60 @@ object Queries {
     * reaches for when exact is too expensive: HLL++ distinct counts (one
     * map-side sketch per partition, merged — no distinct-pair shuffle)
     * and approximate quantiles (Greenwald-Khanna, single pass). Sketch
-    * internals are engine-specific, so there is NO DuckDB oracle — the
-    * driver records the weaker rows-only check, by design. Exact twins:
+    * INTERNALS are engine-specific, so the raw estimates can never
+    * hash-match DuckDB; instead this query is the sketch ACCURACY AUDIT:
+    * it emits the exact per-domain answers (hash-checked) plus one
+    * boolean per sketch asserting the estimate landed inside its
+    * published error bound — HLL++ at rsd 0.01 within a generous 5%
+    * (floor 2), GK at accuracy 10000 within the exact [p-1%, p+1%] rank
+    * envelope. The DuckDB oracle recomputes the exact answers and pins
+    * every boolean to TRUE, so a sketch regression flips a row and
+    * fails the hash gate instead of hiding in a rows-only check. The
+    * exact twins computed here are the audit's yardstick, not the scale
+    * path — at 100 TB the audit runs on a sample while production reads
+    * use the sketches alone. Exact production twins:
     * `ltss_domain_stats_salted` (distinct), `ltss_percentiles`. */
   val sketches = OracleQuery(
     "ltss_sketches",
-    (s, d) =>
+    (s, d) => {
+      def withinPct(approx: Column, exact: Column): Column =
+        abs(approx - exact) <= greatest(lit(2.0), exact * 0.05)
       ltss(s, d)
         .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
         .withColumn("sv", col("state").cast("double"))
         .groupBy(col("domain"))
         .agg(
-          approx_count_distinct(col("state"), 0.01).as("approx_distinct_states"),
-          approx_count_distinct(col("entity_id"), 0.01).as("approx_distinct_entities"),
-          percentile_approx(col("sv"), lit(0.5), lit(10000)).as("p50_approx"),
-          percentile_approx(col("sv"), lit(0.95), lit(10000)).as("p95_approx"))
-        .orderBy(col("domain")),
-    None)
+          count_distinct(col("state")).as("distinct_states"),
+          count_distinct(col("entity_id")).as("distinct_entities"),
+          approx_count_distinct(col("state"), 0.01).as("hll_states"),
+          approx_count_distinct(col("entity_id"), 0.01).as("hll_entities"),
+          percentile_approx(col("sv"), lit(0.5), lit(10000)).as("p50a"),
+          percentile_approx(col("sv"), lit(0.95), lit(10000)).as("p95a"),
+          expr("percentile(sv, 0.49)").as("p49e"),
+          expr("percentile(sv, 0.51)").as("p51e"),
+          expr("percentile(sv, 0.94)").as("p94e"),
+          expr("percentile(sv, 0.96)").as("p96e"))
+        .select(
+          col("domain"),
+          col("distinct_states"),
+          col("distinct_entities"),
+          withinPct(col("hll_states"), col("distinct_states"))
+            .as("hll_states_ok"),
+          withinPct(col("hll_entities"), col("distinct_entities"))
+            .as("hll_entities_ok"),
+          (col("p50a") >= col("p49e") && col("p50a") <= col("p51e"))
+            .as("p50_ok"),
+          (col("p95a") >= col("p94e") && col("p95a") <= col("p96e"))
+            .as("p95_ok"))
+        .orderBy(col("domain"))
+    },
+    Some(s"""$ltssCte
+      |SELECT split_part(entity_id, '.', 1) AS domain,
+      |       COUNT(DISTINCT state) AS distinct_states,
+      |       COUNT(DISTINCT entity_id) AS distinct_entities,
+      |       TRUE AS hll_states_ok, TRUE AS hll_entities_ok,
+      |       TRUE AS p50_ok, TRUE AS p95_ok
+      |FROM ltss GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** KMV tracked-set size: estimates carry ~1/√K relative error (~12%
     * at 64) — the HLL-accuracy class — while the sketch stays 64 longs
