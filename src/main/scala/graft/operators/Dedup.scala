@@ -26,7 +26,7 @@ object Dedup {
 
   /** 2-word shingles (DuckDB side; the Spark side computes the same
     * shingling inside the [[graft.functions.MinHash8]] kernel). */
-  private val shingles2Sql =
+  private[operators] val shingles2Sql =
     """CASE WHEN len(string_split(text, ' ')) >= 2
       |  THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
       |         i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1]))
@@ -350,6 +350,68 @@ object Dedup {
         |SELECT id AS doc_id, min(rid) AS cluster,
         |       CAST(id = min(rid) AS INT) AS is_canonical
         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
+    })
+
+  /** Quality-aware canonical selection — the keep policy a curation
+    * pipeline actually ships: within each near-dup cluster keep the
+    * member with the MOST TOKENS (near-dups typically differ by
+    * truncation or stripped boilerplate, so longest ≈ most complete),
+    * ties broken to the smallest doc_id. [[clusters]] labels the
+    * components with a content-blind min-id canonical; this query
+    * decides survivorship by quality, which is what the kept corpus is
+    * built from.
+    *
+    * Scale shape: the labeled frame is |docs with a near-dup| — orders
+    * of magnitude smaller than the corpus — so the token-count join
+    * touches only cluster members (join then count, never a full-corpus
+    * explode), and the argmax is ONE window over that member frame
+    * partitioned by cluster. */
+  val keepBest = OracleQuery(
+    "dedup_keep_best",
+    (s, d) => {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val aqeWas = s.conf.get(aqeKey, "true")
+      s.conf.set(aqeKey, "false")
+      val labels =
+        try connectedComponents(lshCandidateEdges(s, d))._1
+        finally s.conf.set(aqeKey, aqeWas)
+      val members = labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+      val nTok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      members.join(nTok, "doc_id")
+        .withColumn("kept", (row_number().over(w) === 1).cast("int"))
+        .select(col("doc_id"), col("cluster"), col("n_tokens"), col("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val cte = lshGuardedCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$cte,
+        |edges AS (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM guarded a JOIN guarded b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |),
+        |sym AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |r(id, rid) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT sym.src, r.rid FROM sym JOIN r ON sym.dst = r.id
+        |),
+        |labels AS (SELECT id AS doc_id, min(rid) AS cluster FROM r GROUP BY id),
+        |nt AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT l.doc_id, l.cluster, nt.n_tokens,
+        |       CAST(row_number() OVER (
+        |              PARTITION BY l.cluster
+        |              ORDER BY nt.n_tokens DESC, l.doc_id) = 1 AS INT) AS kept
+        |FROM labels l JOIN nt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
     })
 
   /** The CAPPED-BUCKET FALLBACK path: docs in LSH buckets that exceed
@@ -1296,7 +1358,7 @@ object Dedup {
       |ORDER BY a_id, b_id""".stripMargin))
 
   val all: Seq[OracleQuery] =
-    Seq(exact, minhashSig, minhashLsh, jaccard, clusters, overflowVerify, crosscheck,
+    Seq(exact, minhashSig, minhashLsh, jaccard, clusters, keepBest, overflowVerify, crosscheck,
       simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans,
       substringExcise, contaminationSpans, incremental, containment)
 }

@@ -292,7 +292,69 @@ object Sampling {
       |ORDER BY importance DESC, doc_id
       |LIMIT $ImportanceTopN""".stripMargin))
 
+  /** Global token budget and repeat cap for the mixture allocator —
+    * fixture-sized stand-ins for the training-run token budget and the
+    * "no source repeats more than N epochs" curation rule. */
+  val MixBudget = 20000L
+  val MixMaxEpochs = 4L
+
+  /** UniMax-style temperature mixture ALLOCATION (Chung et al. 2023):
+    * given per-source token counts, a global token budget, and a repeat
+    * cap, emit each source's mixing weight and token quota under
+    * temperature τ=0.5. Where [[sampleStratified]] decides per-DOC
+    * membership, this is the PLANNING table a mixture run is driven
+    * from: quota_s ∝ √n_s (up-weights small sources without letting the
+    * largest swamp the mix), then capped at [[MixMaxEpochs]] epochs of
+    * the source so a tiny source is repeated at most N times.
+    *
+    * Arithmetic is integer-exact for oracle parity: the τ=0.5 weight is
+    * floor(√n_s) as a BIGINT — IEEE `sqrt` is correctly rounded and n_s
+    * is far below 2⁵³, so floor(sqrt(n)) is bit-portable — and quotas
+    * are one integer multiply-divide against the integer weight total.
+    * No floating sum ever forms (a Σ√n̂ of doubles would hang parity on
+    * engine-internal window-sum order; the isqrt weights change the
+    * allocation by < 1 part in √n while making it exact).
+    *
+    * Scale shape: per-source token counts are one map-side-combinable
+    * aggregate off the corpus scan; everything after operates on a
+    * |sources|-row frame (broadcast-size at any corpus scale) — the
+    * weight total is a window over that tiny frame, never a second
+    * corpus pass. */
+  val sampleTemperature = OracleQuery(
+    "sample_temperature",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      counts
+        .withColumn("w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+        .withColumn("wtot",
+          sum(col("w")).over(Window.partitionBy(lit(1))))
+        .withColumn("quota", expr(s"(w * ${MixBudget}L) div wtot"))
+        .withColumn("capped_quota",
+          least(col("quota"), col("n_tokens") * MixMaxEpochs))
+        .withColumn("epochs_pct",
+          expr("(capped_quota * 100L) div n_tokens"))
+        .select(col("source"), col("n_tokens"), col("w"), col("quota"),
+          col("capped_quota"), col("epochs_pct"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH counts AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), wts AS (
+      |  SELECT source, n_tokens,
+      |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+      |  FROM counts
+      |), tot AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM wts)
+      |SELECT source, n_tokens, w,
+      |       (w * $MixBudget) // wtot AS quota,
+      |       least((w * $MixBudget) // wtot, n_tokens * $MixMaxEpochs) AS capped_quota,
+      |       (least((w * $MixBudget) // wtot, n_tokens * $MixMaxEpochs) * 100)
+      |         // n_tokens AS epochs_pct
+      |FROM wts, tot ORDER BY source""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(sampleHash, datasetSplit, topkPerGroup, sequencePacking, sampleStratified,
-      sampleBudget, sampleImportance)
+      sampleBudget, sampleImportance, sampleTemperature)
 }

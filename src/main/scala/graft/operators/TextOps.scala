@@ -571,6 +571,73 @@ object TextOps {
       |FROM byd, tot
       |ORDER BY doc_id""".stripMargin))
 
+  /** Bigram coherence (the CONDITIONAL companion to [[docCommonness]]'s
+    * unigram signal, arithmetic kept EXACT): per document,
+    * Σ_occ cnt₂(w₁w₂) / Σ_occ cnt₁(w₁) — corpus bigram support over
+    * corpus prefix support. A document whose word PAIRS are common
+    * relative to their first words reads as fluent connected prose; word
+    * salad and keyword-stuffed spam score low even when each word is
+    * individually common (which unigram commonness cannot see). This is
+    * the quality axis a corpus-LM perplexity filter measures; a true LM
+    * would take logs, but logs are libm-dependent and break bit-parity,
+    * while this ratio-of-sums is integer sums to ONE final IEEE division
+    * — the oracle hash-matches.
+    *
+    * Shape at 100 TB: one explode of 2-shingles (native [[ShinglesK]]
+    * kernel, no lambda), collapsed to (doc, shingle, k) DISTINCT pairs
+    * map-side; the bigram vocabulary aggregates from the pair frame
+    * (the corpus is scanned ONCE), prefix counts aggregate from the
+    * bigram vocabulary (a vocab-sized frame, never raw rows), and the
+    * doc join carries (cnt₂, cnt₁) together so there is exactly one
+    * vocab-to-doc shuffle. Stopword-headed bigrams skew that join the
+    * same way commonness' token join skews — AQE skew-join splits hot
+    * partitions at runtime. */
+  val docCoherence = OracleQuery(
+    "doc_coherence",
+    (s, d) => {
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      val sh2 = columnOf(graft.functions.ShinglesK(expressionOf(col("text")), 2))
+      val pairs = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(sh2).as("sh"))
+        .groupBy(col("doc_id"), col("sh"))
+        .agg(count(lit(1)).as("k"))
+      val cnt2 = pairs.groupBy(col("sh")).agg(sum(col("k")).as("cnt2"))
+        .withColumn("w1", substring_index(col("sh"), " ", 1))
+      val cnt1 = cnt2.groupBy(col("w1")).agg(sum(col("cnt2")).as("cnt1"))
+      val vocab = cnt2.join(cnt1, "w1")
+        .select(col("sh"), col("cnt2"), col("cnt1"))
+      pairs.join(vocab, "sh")
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("k") * col("cnt2")).as("num"),
+          sum(col("k") * col("cnt1")).as("den"),
+          sum(col("k")).as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("num").cast("double") / col("den").cast("double")).as("coherence"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, unnest(${Dedup.shingles2Sql}) AS sh FROM documents
+      |), pairs AS (
+      |  SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS k FROM t GROUP BY 1, 2
+      |), c2 AS (
+      |  SELECT sh, split_part(sh, ' ', 1) AS w1, CAST(sum(k) AS BIGINT) AS cnt2
+      |  FROM pairs GROUP BY sh
+      |), c1 AS (
+      |  SELECT w1, CAST(sum(cnt2) AS BIGINT) AS cnt1 FROM c2 GROUP BY w1
+      |), v AS (
+      |  SELECT c2.sh, c2.cnt2, c1.cnt1 FROM c2 JOIN c1 USING (w1)
+      |), byd AS (
+      |  SELECT p.doc_id,
+      |         CAST(sum(p.k * v.cnt2) AS BIGINT) AS num,
+      |         CAST(sum(p.k * v.cnt1) AS BIGINT) AS den,
+      |         CAST(sum(p.k) AS BIGINT) AS n_bigrams
+      |  FROM pairs p JOIN v USING (sh) GROUP BY 1
+      |)
+      |SELECT doc_id, n_bigrams,
+      |       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS coherence
+      |FROM byd ORDER BY doc_id""".stripMargin))
+
   /** Keyword search over an INVERTED-INDEX layout — the retrieval shape
     * for "find the docs containing all of these terms" at corpus scale:
     * distinct (token, doc_id) postings materialize once, partitioned by
@@ -748,5 +815,6 @@ object TextOps {
   val all: Seq[OracleQuery] =
     Seq(textStats, langId, tokenCount, fingerprint, simhash, textClean,
       vocabTopk, urlStats, urlCanonical, textRedact, contamination, contaminationBloom,
-      repetition, qualityFilter, docCommonness, textSearch, docChunks, docKeywords)
+      repetition, qualityFilter, docCommonness, docCoherence, textSearch, docChunks,
+      docKeywords)
 }

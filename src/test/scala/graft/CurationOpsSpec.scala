@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+
+/** Unit coverage for the cluster keep-policy and the bigram-coherence
+  * quality signal beyond the oracle gate: the oracle pins fixture values;
+  * these pin the SEMANTIC invariants on hand-built corpora and on the
+  * sf0.001 fixture. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigram coherence: exact conditional ratios and the ≤1 bound") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-coh").toString
+    // corpus bigrams: "x y"×2, "x z"×1 → prefix "x" count 3;
+    // singleton doc "q" degenerates to its own 1-element shingle set
+    Seq((1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "q"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.docCoherence.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(
+      (1L, 1L, 2.0 / 3.0),
+      (2L, 1L, 2.0 / 3.0),
+      (3L, 1L, 1.0 / 3.0),
+      (4L, 1L, 1.0)))
+  }
+
+  test("bigram coherence is in (0, 1] for every fixture document") {
+    val bad = TextOps.docCoherence.run(spark, "/root/testdata/sf0.001")
+      .filter(col("coherence") <= 0.0 || col("coherence") > 1.0)
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("keep-best selects exactly one member per cluster, by (n_tokens, -doc_id)") {
+    val kept = Dedup.keepBest.run(spark, "/root/testdata/sf0.001")
+    // same membership as the min-id clustering (the keep POLICY changes,
+    // the component structure must not)
+    val clusters = Dedup.clusters.run(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("cluster"))
+    assert(kept.select("doc_id", "cluster").except(clusters).isEmpty &&
+      clusters.except(kept.select("doc_id", "cluster")).isEmpty)
+    // exactly one survivor per cluster
+    val perCluster = kept.groupBy(col("cluster"))
+      .agg(sum(col("kept")).as("n_kept")).filter(col("n_kept") =!= 1)
+    assert(perCluster.isEmpty)
+    // the survivor maximizes (n_tokens, -doc_id) within its cluster
+    val best = kept
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+          .orderBy(col("n_tokens").desc, col("doc_id"))))
+      .filter((col("rk") === 1) =!= (col("kept") === 1))
+    assert(best.isEmpty)
+  }
+}

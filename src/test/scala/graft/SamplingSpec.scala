@@ -29,6 +29,25 @@ class SamplingSpec extends SparkSpec {
       (100001L, 1L, 3L, 0L)))
   }
 
+  test("temperature allocator: sqrt weights, integer quotas, epoch cap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-temp").toString
+    // src a: 2500 docs × 4 tokens = 10000; src b: 1 doc × 4 tokens = 4
+    ((1L to 2500L).map(i => (i, "en", "a", "w x y z")) :+ (9999L, "en", "b", "w x y z"))
+      .toDF("doc_id", "lang", "source", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Sampling.sampleTemperature.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // w_a = floor(√10000) = 100, w_b = floor(√4) = 2, wtot = 102
+    // quota_a = 100·20000/102 = 19607 (uncapped: 4 epochs of a = 40000)
+    // quota_b = 2·20000/102 = 392, capped at 4 epochs of b = 16 → 400%
+    assert(out == Seq(
+      ("a", 10000L, 100L, 19607L, 19607L, 196L),
+      ("b", 4L, 2L, 392L, 16L, 400L)))
+    // allocation never exceeds the budget
+    assert(out.map(_._5).sum <= Sampling.MixBudget)
+  }
+
   test("stratified sampling keeps the smallest language whole and flattens the rest") {
     val dir = java.nio.file.Files.createTempDirectory("graft-strat").toString
     // en 400 docs, de 100 docs → de keeps all, en targets √(100/400)=50%
