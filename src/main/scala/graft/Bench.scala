@@ -92,6 +92,8 @@ object Bench {
     warmed("ivfpq_layout")(graft.operators.Pq.ivfPqLayoutPath(spark, sfDir))
     warmed("cagg_layout")(graft.operators.TimeSeries.caggLayoutPath(spark, sfDir))
     warmed("inv_index")(graft.operators.TextOps.invIndexPath(spark, sfDir))
+    warmed("shingle_pairs")(
+      graft.operators.TextOps.shinglePairs(spark, sfDir).count())
     warmed("pipeline_stage")(
       graft.operators.Pipeline.stageFrame(spark, sfDir).count())
     // compile the label-propagation loop's codegen shapes on a 2-edge

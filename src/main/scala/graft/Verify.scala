@@ -45,6 +45,15 @@ object Verify {
         failed(name) = s"${e.getClass.getSimpleName}: " +
           Option(e.getMessage).getOrElse("").replace('\n', ' ').take(200)
         System.err.println(s"[verify] $name FAILED: ${failed(name)}")
+        // leave a marker dump so the driver's compare records a FAILING
+        // row (schema mismatch vs the oracle) for this query instead of
+        // recording nothing — a broken registered query must show up as
+        // red in the round report, never vanish from it
+        try {
+          import spark.implicits._
+          Seq((name, failed(name))).toDF("graft_failed_query", "graft_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -244,16 +244,15 @@ object Sampling {
   val sampleImportance = OracleQuery(
     "sample_importance",
     (s, d) => {
-      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
-      val sh2 = columnOf(graft.functions.ShinglesK(expressionOf(col("text")), 2))
-      val occ = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), explode(sh2).as("sh"))
+      // the shared shingle pair frame serves BOTH sides (the target
+      // histogram is a rollup of the per-doc bucket counts, not a
+      // second scan) — and the explode itself is shared with the other
+      // shingle-profile consumers via TextOps.shinglePairs
+      val docBuckets = TextOps.shinglePairs(s, d)
         .select(col("doc_id"), col("source"),
-          substring(md5(col("sh")), 1, 2).as("b"))
-      // one explode+count pass serves BOTH sides: the target histogram
-      // is a rollup of the per-doc bucket counts, not a second scan
-      val docBuckets = occ.groupBy(col("doc_id"), col("source"), col("b"))
-        .agg(count(lit(1)).as("c"))
+          substring(md5(col("sh")), 1, 2).as("b"), col("k"))
+        .groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(sum(col("k")).as("c"))
       val target = docBuckets.filter(col("source") === ImportanceTarget)
         .groupBy(col("b")).agg(sum(col("c")).as("t"))
       docBuckets

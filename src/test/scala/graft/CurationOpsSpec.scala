@@ -14,8 +14,8 @@ class CurationOpsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-coh").toString
     // corpus bigrams: "x y"×2, "x z"×1 → prefix "x" count 3;
     // singleton doc "q" degenerates to its own 1-element shingle set
-    Seq((1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "q"))
-      .toDF("doc_id", "text").coalesce(1)
+    Seq((1L, "s", "x y"), (2L, "s", "x y"), (3L, "s", "x z"), (4L, "s", "q"))
+      .toDF("doc_id", "source", "text").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = TextOps.docCoherence.run(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
