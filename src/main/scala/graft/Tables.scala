@@ -6,8 +6,24 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's parquet tables (TESTDATA.md). */
 object Tables {
+
+  /** Fixture timestamp columns arrive in whatever physical form the
+    * fixture writer chose — µs with no timezone annotation reads as
+    * TIMESTAMP_NTZ, which time functions (`unix_micros`) reject at
+    * analysis time. Normalize every timestamp column to TimestampType on
+    * read: the session TZ is pinned to UTC, so the cast is
+    * value-preserving, and operators never see a type that depends on
+    * which writer produced the parquet (the round-9 fixture regeneration
+    * flipped events.ts under the suite exactly this way). */
+  private def normTs(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[TimestampNTZType] => f.name
+    }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normTs(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Local-mode parallelism fix for compute-heavy scans: the test tables
     * are single small parquet files, so Spark plans ONE scan task and a
@@ -25,21 +41,16 @@ object Tables {
     else df.repartition(target)
   }
 
-  /** events.ts arrives in whatever physical form the fixture writer chose:
-    * nanosecond int64 (Spark 4 refuses as TimestampType; sessions set
+  /** events.ts additionally handles the nanosecond-int64 form (Spark 4
+    * refuses ns as TimestampType; sessions set
     * `spark.sql.legacy.parquet.nanosAsLong` and this loader truncates
-    * ns → µs, matching DuckDB's ns→µs cast, SURVEY.md §7.4), or µs with no
-    * timezone annotation, which Spark reads as TIMESTAMP_NTZ. Every
-    * downstream operator expects TimestampType (`unix_micros` rejects NTZ
-    * at analysis time), so normalize here — the session TZ is pinned to
-    * UTC, making the NTZ→TZ cast value-preserving. */
+    * ns → µs, matching DuckDB's ns→µs cast, SURVEY.md §7.4); the NTZ
+    * form is already normalized by [[table]]. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _: TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }
