@@ -174,13 +174,17 @@ object Retrieval {
             "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))")).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .filter(col("a") =!= col("b"))
+      // the out-weight W(src) is static per source, so it attaches to
+      // the edge list ONCE at build time (a vocab-bounded join inside
+      // the persisted frame) — each power iteration then needs a single
+      // rank-frame join instead of rank + wout
       val edges = CachedFrames.getOrBuild(
         s"textrank_edges|${CachedFrames.sessionKey(s)}|$d") {
-        adj.select(col("a").as("src"), col("b").as("dst"))
+        val e = adj.select(col("a").as("src"), col("b").as("dst"))
           .union(adj.select(col("b").as("src"), col("a").as("dst")))
           .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        e.join(e.groupBy(col("src")).agg(sum(col("w")).as("wout")), "src")
       }
-      val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
       val nodes = edges.select(col("src").as("tok")).distinct()
       // vocabulary count: a k-row driver aggregate (planning artifact,
       // same class as the IVF probe argmax / search-term buckets)
@@ -190,7 +194,6 @@ object Retrieval {
       val r3 = (1 to 3).foldLeft(r0) { (prev, _) =>
         val contrib = edges
           .join(prev.withColumnRenamed("tok", "src"), "src")
-          .join(wout, "src")
           .groupBy(col("dst").as("tok"))
           .agg(sum(expr("(r * w) div wout")).as("contrib"))
         nodes.join(contrib, Seq("tok"), "left")
