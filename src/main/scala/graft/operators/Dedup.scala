@@ -312,26 +312,35 @@ object Dedup {
     (labels, iters)
   }
 
-  /** Canonical (min-doc_id) cluster per near-dup doc — the final stage
-    * of the dedup pipeline: signature → candidate pairs → clusters →
-    * keep one doc per cluster. See [[connectedComponents]] for the
-    * iteration shape. AQE is disabled for the loop (fixed tiny
+  /** The CONVERGED near-dup component labels (id → min-label), shared
+    * per dataset: [[clusters]] and [[keepBest]] both consume the same
+    * fixpoint, and the CC loop is the expensive part — run it once and
+    * persist the (tiny) label frame, the same shared-artifact policy as
+    * the band/k-means frames. AQE is disabled for the loop (fixed tiny
     * hand-partitioned plan; adaptive replanning only adds per-iteration
     * stage jobs) and restored after. */
-  val clusters = OracleQuery(
-    "dedup_clusters",
-    (s, d) => {
+  private[graft] def ccLabels(s: SparkSession, d: String): DataFrame =
+    graft.CachedFrames.getOrBuild(
+      s"cc_labels|${graft.CachedFrames.sessionKey(s)}|$d") {
       val aqeKey = "spark.sql.adaptive.enabled"
       val aqeWas = s.conf.get(aqeKey, "true")
       s.conf.set(aqeKey, "false")
-      try {
-        val (labels, _) = connectedComponents(lshCandidateEdges(s, d))
-        labels
-          .select(col("id").as("doc_id"), col("label").as("cluster"),
-            (col("id") === col("label")).cast("int").as("is_canonical"))
-          .orderBy(col("doc_id"))
-      } finally s.conf.set(aqeKey, aqeWas)
-    },
+      try connectedComponents(lshCandidateEdges(s, d))._1
+      finally s.conf.set(aqeKey, aqeWas)
+    }
+
+  /** Canonical (min-doc_id) cluster per near-dup doc — the final stage
+    * of the dedup pipeline: signature → candidate pairs → clusters →
+    * keep one doc per cluster. See [[connectedComponents]] for the
+    * iteration shape; the converged labels come from the shared
+    * [[ccLabels]] frame. */
+  val clusters = OracleQuery(
+    "dedup_clusters",
+    (s, d) =>
+      ccLabels(s, d)
+        .select(col("id").as("doc_id"), col("label").as("cluster"),
+          (col("id") === col("label")).cast("int").as("is_canonical"))
+        .orderBy(col("doc_id")),
     Some {
       val cte = lshGuardedCte.replaceFirst("WITH ", "WITH RECURSIVE ")
       s"""$cte,
@@ -369,13 +378,8 @@ object Dedup {
   val keepBest = OracleQuery(
     "dedup_keep_best",
     (s, d) => {
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val aqeWas = s.conf.get(aqeKey, "true")
-      s.conf.set(aqeKey, "false")
-      val labels =
-        try connectedComponents(lshCandidateEdges(s, d))._1
-        finally s.conf.set(aqeKey, aqeWas)
-      val members = labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+      val members = ccLabels(s, d)
+        .select(col("id").as("doc_id"), col("label").as("cluster"))
       val nTok = Tables.documents(s, d)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
