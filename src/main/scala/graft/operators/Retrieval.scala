@@ -70,68 +70,172 @@ object Retrieval {
     * pruned postings of the query terms only, df is a per-term count
     * over those postings, the 1-row stats frame broadcasts, and the
     * top-10 is a TakeOrdered — no corpus scan, no window. */
+  /** The BM25-scored candidate frame (doc_id, score) behind
+    * [[textBm25]] — split out so the hybrid RRF fusion can rank the
+    * same leg without re-deriving the scoring chain. */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = TextOps.SearchTerms
+    val bucketVals = terms.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(TextOps.IndexBuckets)))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val p = bm25IndexPath(s, d)
+    val post = s.read.parquet(p + "/postings")
+      .filter(col("bucket").isin(bucketVals: _*) && col("tok").isin(terms: _*))
+    val stats = s.read.parquet(p + "/stats")
+    val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    def term(t: String): Column = coalesce(
+      max(when(col("tok") === t,
+        ((lit(2L) * (col("n_docs") - col("df")) + lit(1L)) *
+          lit(22L) * col("tot_tokens") * col("tf")).cast("double") /
+        ((lit(2L) * col("df") + lit(1L)) *
+          (lit(10L) * col("tot_tokens") * col("tf") +
+            lit(3L) * col("tot_tokens") +
+            lit(9L) * col("dl") * col("n_docs"))).cast("double"))),
+      lit(0.0d))
+    post.join(dfreq, "tok")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg((term(terms(0)) + term(terms(1)) + term(terms(2))).as("score"))
+  }
+
   val textBm25 = OracleQuery(
     "text_bm25",
-    (s, d) => {
-      import s.implicits._
-      val terms = TextOps.SearchTerms
-      val bucketVals = terms.toDF("t")
-        .select(pmod(xxhash64(col("t")), lit(TextOps.IndexBuckets)))
-        .collect().map(_.getLong(0)).distinct.toSeq
-      val p = bm25IndexPath(s, d)
-      val post = s.read.parquet(p + "/postings")
-        .filter(col("bucket").isin(bucketVals: _*) && col("tok").isin(terms: _*))
-      val stats = s.read.parquet(p + "/stats")
-      val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      def term(t: String): Column = coalesce(
-        max(when(col("tok") === t,
-          ((lit(2L) * (col("n_docs") - col("df")) + lit(1L)) *
-            lit(22L) * col("tot_tokens") * col("tf")).cast("double") /
-          ((lit(2L) * col("df") + lit(1L)) *
-            (lit(10L) * col("tot_tokens") * col("tf") +
-              lit(3L) * col("tot_tokens") +
-              lit(9L) * col("dl") * col("n_docs"))).cast("double"))),
-        lit(0.0d))
-      post.join(dfreq, "tok")
-        .crossJoin(broadcast(stats))
-        .groupBy(col("doc_id"))
-        .agg((term(terms(0)) + term(terms(1)) + term(terms(2))).as("score"))
+    (s, d) =>
+      bm25Scored(s, d)
         .orderBy(col("score").desc, col("doc_id"))
+        .limit(10),
+    Some(s"""$bm25ScoredSql
+       |SELECT doc_id, score FROM scored
+       |ORDER BY score DESC, doc_id
+       |LIMIT 10""".stripMargin))
+
+  /** DuckDB CTE chain ending in `scored(doc_id, score)` — the oracle
+    * twin of [[bm25Scored]], shared by the BM25 and hybrid queries. */
+  private def bm25ScoredSql: String = {
+    val terms = TextOps.SearchTerms
+    val termsIn = terms.map(t => s"'$t'").mkString(", ")
+    def term(t: String): String =
+      s"""coalesce(max(CASE WHEN tok = '$t'
+         |  THEN CAST((2*(s.n_docs - df.df) + 1) * 22 * s.tot_tokens * p.tf AS DOUBLE)
+         |     / CAST((2*df.df + 1) * (10 * s.tot_tokens * p.tf + 3 * s.tot_tokens
+         |                             + 9 * dl.dl * s.n_docs) AS DOUBLE)
+         |  END), CAST(0 AS DOUBLE))""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), dl AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id
+       |), stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) AS tot_tokens FROM dl
+       |), p AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM t
+       |  WHERE tok IN ($termsIn) GROUP BY doc_id, tok
+       |), df AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY tok
+       |), scored AS (
+       |  SELECT p.doc_id,
+       |         ${term(terms(0))} +
+       |         ${term(terms(1))} +
+       |         ${term(terms(2))} AS score
+       |  FROM p
+       |  JOIN df USING (tok)
+       |  JOIN dl ON dl.doc_id = p.doc_id
+       |  CROSS JOIN stats s
+       |  GROUP BY p.doc_id
+       |)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Hybrid (lexical + vector) retrieval via reciprocal-rank fusion
+  // ---------------------------------------------------------------------
+
+  /** RRF constant (Cormack et al. 2009's k = 60) and per-leg candidate
+    * depth. */
+  val RrfK = 60L
+  val HybridDepth = 50
+
+  /** Hybrid retrieval: the BM25 lexical leg and the exact-cosine vector
+    * leg (query = vec_id 0, the same query vector `sim_cosine_topk`
+    * uses) fused by reciprocal-rank fusion —
+    * rrf(d) = Σ_leg 1/(k + rank_leg(d)) — the standard way a modern
+    * retrieval stack combines keyword and embedding evidence without
+    * calibrating their incomparable scores. Ranks are BIGINTs (absent
+    * leg → 0), so the only floats are two IEEE divisions of exact
+    * integers summed in fixed written order — bit-portable.
+    *
+    * Scale shape: each leg reduces to its top-[[HybridDepth]] by a
+    * TakeOrdered BEFORE any window (the rank `row_number` runs on a
+    * ≤50-row frame — bounded constant, not corpus-sized), and the
+    * fusion is a full outer join of two 50-row frames. The lexical leg
+    * reads pruned posting buckets, the vector leg is the brute-force
+    * exact baseline (its indexed variants are the `sim_ivf*` family). */
+  val textRrfHybrid = OracleQuery(
+    "text_rrf_hybrid",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dim = Similarity.Dim
+      def ranked(leg: DataFrame, ord: Seq[Column], rank: String): DataFrame =
+        leg.orderBy(ord: _*).limit(HybridDepth)
+          .withColumn(rank, row_number().over(Window.orderBy(ord: _*)).cast("bigint"))
+      val lex = ranked(bm25Scored(s, d),
+        Seq(col("score").desc, col("doc_id")), "r_lex")
+        .select(col("doc_id"), col("r_lex"))
+      val emb = Tables.embeddings(s, d)
+        .withColumn("nrm", graft.functions.DetMath.normCol(col("embedding"), dim))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val cos = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cosine", graft.functions.DetMath.cosinePre(
+          graft.functions.DetMath.dotCol(col("embedding"), col("qe"), dim),
+          col("nrm"), col("qn")))
+        .select(col("vec_id").as("doc_id"), col("cosine"))
+      val vec = ranked(cos, Seq(col("cosine").desc, col("doc_id")), "r_vec")
+        .select(col("doc_id"), col("r_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+          coalesce(col("r_vec"), lit(0L)).as("r_vec"))
+        .withColumn("rrf",
+          coalesce(when(col("r_lex") > 0,
+            lit(1.0d) / (lit(RrfK) + col("r_lex")).cast("double")), lit(0.0d)) +
+          coalesce(when(col("r_vec") > 0,
+            lit(1.0d) / (lit(RrfK) + col("r_vec")).cast("double")), lit(0.0d)))
+        .orderBy(col("rrf").desc, col("doc_id"))
         .limit(10)
     },
     Some {
-      val terms = TextOps.SearchTerms
-      val termsIn = terms.map(t => s"'$t'").mkString(", ")
-      def term(t: String): String =
-        s"""coalesce(max(CASE WHEN tok = '$t'
-           |  THEN CAST((2*(s.n_docs - df.df) + 1) * 22 * s.tot_tokens * p.tf AS DOUBLE)
-           |     / CAST((2*df.df + 1) * (10 * s.tot_tokens * p.tf + 3 * s.tot_tokens
-           |                             + 9 * dl.dl * s.n_docs) AS DOUBLE)
-           |  END), CAST(0 AS DOUBLE))""".stripMargin
-      s"""WITH t AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-         |), dl AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id
-         |), stats AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |         CAST(sum(dl) AS BIGINT) AS tot_tokens FROM dl
-         |), p AS (
-         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM t
-         |  WHERE tok IN ($termsIn) GROUP BY doc_id, tok
-         |), df AS (
-         |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY tok
+      val dim = Similarity.Dim
+      import graft.functions.DetMath
+      s"""$bm25ScoredSql,
+         |lex AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+         |  FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $HybridDepth)
+         |), e AS (
+         |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", dim)} AS nrm
+         |  FROM embeddings
+         |), q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+         |cos AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "q.qe", dim), "e.nrm", "q.qn")} AS cosine
+         |  FROM e, q WHERE e.vec_id <> 0
+         |), vec AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS r_vec
+         |  FROM (SELECT * FROM cos ORDER BY cosine DESC, doc_id LIMIT $HybridDepth)
          |)
-         |SELECT doc_id, score FROM (
-         |  SELECT p.doc_id,
-         |         ${term(terms(0))} +
-         |         ${term(terms(1))} +
-         |         ${term(terms(2))} AS score
-         |  FROM p
-         |  JOIN df USING (tok)
-         |  JOIN dl ON dl.doc_id = p.doc_id
-         |  CROSS JOIN stats s
-         |  GROUP BY p.doc_id)
-         |ORDER BY score DESC, doc_id
+         |SELECT doc_id, r_lex, r_vec,
+         |       coalesce(CASE WHEN r_lex > 0
+         |                THEN CAST(1 AS DOUBLE) / CAST($RrfK + r_lex AS DOUBLE) END,
+         |                CAST(0 AS DOUBLE))
+         |     + coalesce(CASE WHEN r_vec > 0
+         |                THEN CAST(1 AS DOUBLE) / CAST($RrfK + r_vec AS DOUBLE) END,
+         |                CAST(0 AS DOUBLE)) AS rrf
+         |FROM (
+         |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |         coalesce(l.r_lex, 0) AS r_lex, coalesce(v.r_vec, 0) AS r_vec
+         |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+         |ORDER BY rrf DESC, doc_id
          |LIMIT 10""".stripMargin
     })
 
@@ -337,5 +441,5 @@ object Retrieval {
          |) ORDER BY merge_idx""".stripMargin
     })
 
-  val all: Seq[OracleQuery] = Seq(textBm25, textRank, bpeMerges)
+  val all: Seq[OracleQuery] = Seq(textBm25, textRrfHybrid, textRank, bpeMerges)
 }

@@ -45,6 +45,22 @@ class RetrievalSpec extends SparkSpec {
     assert(ys.sliding(2).forall { case Seq(a, b) => a > b })
   }
 
+  test("rrf fusion: score recomputes from the leg ranks and both legs contribute") {
+    val out = graft.operators.Retrieval.textRrfHybrid
+      .run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val K = graft.operators.Retrieval.RrfK
+    out.foreach { case (_, rl, rv, rrf) =>
+      val expect = (if (rl > 0) 1.0 / (K + rl) else 0.0) +
+        (if (rv > 0) 1.0 / (K + rv) else 0.0)
+      assert(rrf == expect, s"rrf mismatch: $rrf vs $expect")
+      assert(rl > 0 || rv > 0)
+    }
+    // the fixture query hits both legs — the fusion is not vacuous
+    assert(out.exists(_._2 > 0) && out.exists(_._3 > 0))
+  }
+
   test("textrank conserves scaled mass up to truncation and ranks high-degree tokens") {
     val out = Retrieval.textRank.run(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
