@@ -361,6 +361,76 @@ object Dedup {
         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
     })
 
+  /** LSH RECALL audit — the question every banded-minhash deployment
+    * owes an answer: of the TRUE near-dup pairs (exact 2-shingle-set
+    * Jaccard ≥ 0.5, the same shingle family the minhash signature
+    * sketches), how many does the banded candidate tier actually
+    * surface? A deterministic md5 half-sample of the corpus bounds the
+    * audit's cost (the sample rate is the knob — at 100 TB this runs at
+    * a far smaller rate, same plan); within the sample, true pairs come
+    * from the shingle-fp inverted join (pairs sharing ≥ 1 shingle —
+    * pairs sharing none have Jaccard 0 and cannot be true), sizes and
+    * intersections stay BIGINTs, and the τ = 0.5 decision is the exact
+    * integer cross-multiplication 3·|A∩B| ≥ |A|+|B|. Shingles reduce to
+    * the same 60-bit md5-prefix longs as `source_overlap` (bijective
+    * with the oracle's hex prefix — collision-consistent counts). Each
+    * true pair reports `caught` = membership in the banded candidate
+    * set, so the recall (and every miss) is hash-checked row by row,
+    * not summarized away. */
+  val lshRecall = OracleQuery(
+    "dedup_lsh_recall",
+    (s, d) => {
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      val sh2 = columnOf(graft.functions.ShinglesK(expressionOf(col("text")), 2))
+      val sh = Tables.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+        .select(col("doc_id"), explode(array_distinct(sh2)).as("sh"))
+        .select(col("doc_id"),
+          columnOf(graft.functions.Md5Prefix64(expressionOf(col("sh")))).as("fp"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val truePairs = sh.toDF("a_id", "fp").join(sh.toDF("b_id", "fp"), "fp")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.toDF("a_id", "na")), "a_id")
+        .join(broadcast(sizes.toDF("b_id", "nb")), "b_id")
+        .filter(lit(3L) * col("inter") >= col("na") + col("nb"))
+      val cand = lshPairFrame(s, d)
+        .select(col("a_id"), col("b_id"), lit(1).as("c"))
+      truePairs.join(cand, Seq("a_id", "b_id"), "left")
+        .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"),
+          coalesce(col("c"), lit(0)).as("caught"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""$lshGuardedCte,
+      |samp AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+      |), ssh AS (
+      |  SELECT DISTINCT doc_id, substring(md5(sh), 1, 15) AS fp FROM (
+      |    SELECT doc_id, unnest(list_distinct($shingles2Sql)) AS sh FROM samp)
+      |), sz AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM ssh GROUP BY doc_id
+      |), iv AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS inter
+      |  FROM ssh a JOIN ssh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), tp AS (
+      |  SELECT iv.a_id, iv.b_id, iv.inter, sa.nsh AS na, sb.nsh AS nb
+      |  FROM iv JOIN sz sa ON sa.doc_id = iv.a_id
+      |          JOIN sz sb ON sb.doc_id = iv.b_id
+      |  WHERE 3 * iv.inter >= sa.nsh + sb.nsh
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM guarded a JOIN guarded b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |   AND a.doc_id < b.doc_id
+      |)
+      |SELECT tp.a_id, tp.b_id, tp.inter, tp.na, tp.nb,
+      |       CAST(cand.a_id IS NOT NULL AS INT) AS caught
+      |FROM tp LEFT JOIN cand ON cand.a_id = tp.a_id AND cand.b_id = tp.b_id
+      |ORDER BY tp.a_id, tp.b_id""".stripMargin))
+
   /** Quality-aware canonical selection — the keep policy a curation
     * pipeline actually ships: within each near-dup cluster keep the
     * member with the MOST TOKENS (near-dups typically differ by
@@ -1362,7 +1432,8 @@ object Dedup {
       |ORDER BY a_id, b_id""".stripMargin))
 
   val all: Seq[OracleQuery] =
-    Seq(exact, minhashSig, minhashLsh, jaccard, clusters, keepBest, overflowVerify, crosscheck,
+    Seq(exact, minhashSig, minhashLsh, jaccard, clusters, keepBest, lshRecall,
+      overflowVerify, crosscheck,
       simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans,
       substringExcise, contaminationSpans, incremental, containment)
 }
