@@ -334,6 +334,28 @@ object Dedup {
     * keep one doc per cluster. See [[connectedComponents]] for the
     * iteration shape; the converged labels come from the shared
     * [[ccLabels]] frame. */
+  /** DuckDB recursive-CTE replay of [[ccLabels]]: bands → guarded
+    * buckets → candidate edges → min-label closure, ending at
+    * `cclabels(doc_id, label)`. Shared by the clustering query and the
+    * leakage-free split so the two oracles cannot drift. */
+  private def ccLabelsCte: String = {
+    val cte = lshGuardedCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$cte,
+      |edges AS (
+      |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      |  FROM guarded a JOIN guarded b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      |),
+      |sym AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges),
+      |nodes AS (SELECT DISTINCT src AS id FROM sym),
+      |r(id, rid) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT sym.src, r.rid FROM sym JOIN r ON sym.dst = r.id
+      |),
+      |cclabels AS (SELECT id AS doc_id, min(rid) AS label FROM r GROUP BY id)""".stripMargin
+  }
+
   val clusters = OracleQuery(
     "dedup_clusters",
     (s, d) =>
@@ -341,25 +363,57 @@ object Dedup {
         .select(col("id").as("doc_id"), col("label").as("cluster"),
           (col("id") === col("label")).cast("int").as("is_canonical"))
         .orderBy(col("doc_id")),
-    Some {
-      val cte = lshGuardedCte.replaceFirst("WITH ", "WITH RECURSIVE ")
-      s"""$cte,
-        |edges AS (
-        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-        |  FROM guarded a JOIN guarded b
-        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-        |),
-        |sym AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges),
-        |nodes AS (SELECT DISTINCT src AS id FROM sym),
-        |r(id, rid) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT sym.src, r.rid FROM sym JOIN r ON sym.dst = r.id
-        |)
-        |SELECT id AS doc_id, min(rid) AS cluster,
-        |       CAST(id = min(rid) AS INT) AS is_canonical
-        |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
-    })
+    Some(s"""$ccLabelsCte
+      |SELECT doc_id, label AS cluster,
+      |       CAST(doc_id = label AS INT) AS is_canonical
+      |FROM cclabels ORDER BY doc_id""".stripMargin))
+
+  /** Leakage-free train/val/test split — the assignment a training
+    * pipeline actually needs: a plain per-doc hash split
+    * (`dataset_split`) lets two NEAR-DUPLICATE docs land in train and
+    * test, silently leaking eval content into training. Here the split
+    * key is the doc's near-dup CLUSTER representative (connected-
+    * component label from the shared [[ccLabels]] frame; singleton docs
+    * represent themselves), so every member of a duplicate family lands
+    * in the SAME split by construction — leakage across splits is
+    * structurally impossible, not probabilistically unlikely. The
+    * per-doc output row (doc_id, grp, split) is hash-checked against a
+    * DuckDB recursive-CTE replay of the clustering, so the guarantee is
+    * verified row by row, not asserted.
+    *
+    * Scale shape: the label frame is |docs with a near-dup| — a small
+    * corpus fraction, joined to the corpus by ONE equi-join on doc_id
+    * (AQE broadcasts it when it fits; at 100 TB with a high dup rate it
+    * degrades to a plain shuffle join, never a crossJoin). The split
+    * decision itself is the same md5-prefix integer band as
+    * `dataset_split` applied to the group representative — map-side,
+    * no per-split shuffle, and stable under corpus growth (adding docs
+    * never moves an existing cluster's split unless its representative
+    * changes). */
+  val splitLeakageFree = OracleQuery(
+    "split_leakage_free",
+    (s, d) => {
+      val labels = ccLabels(s, d).select(col("id").as("doc_id"), col("label"))
+      val h = substring(md5(col("grp").cast("string")), 1, 1)
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("label"), col("doc_id")))
+        .withColumn("split",
+          when(h.isin("c", "d"), "val").when(h.isin("e", "f"), "test")
+            .otherwise("train"))
+        .select(col("doc_id"), col("lang"), col("grp"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$ccLabelsCte,
+      |g AS (
+      |  SELECT d.doc_id, d.lang, COALESCE(l.label, d.doc_id) AS grp
+      |  FROM documents d LEFT JOIN cclabels l ON l.doc_id = d.doc_id
+      |)
+      |SELECT doc_id, lang, grp,
+      |       CASE WHEN substring(md5(CAST(grp AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+      |            WHEN substring(md5(CAST(grp AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+      |            ELSE 'train' END AS split
+      |FROM g ORDER BY doc_id""".stripMargin))
 
   /** LSH RECALL audit — the question every banded-minhash deployment
     * owes an answer: of the TRUE near-dup pairs (exact 2-shingle-set
@@ -1432,7 +1486,8 @@ object Dedup {
       |ORDER BY a_id, b_id""".stripMargin))
 
   val all: Seq[OracleQuery] =
-    Seq(exact, minhashSig, minhashLsh, jaccard, clusters, keepBest, lshRecall,
+    Seq(exact, minhashSig, minhashLsh, jaccard, clusters, splitLeakageFree,
+      keepBest, lshRecall,
       overflowVerify, crosscheck,
       simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans,
       substringExcise, contaminationSpans, incremental, containment)

@@ -88,23 +88,29 @@ object Sampling {
   val PackBudget = 256L
   val ShardDocs = 100000L
 
+  /** The packed stream (lang, shard, doc_id, n_tokens, start_offset,
+    * seq_id) without the presentation sort — shared by
+    * [[sequencePacking]] and [[packEfficiency]] so the packing decision
+    * cannot drift between the assignment and its efficiency report. */
+  private def packedFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    Tables.documents(s, d)
+      .withColumn("shard", expr(s"doc_id div $ShardDocs"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"),
+        col("start_offset"),
+        (col("start_offset") / PackBudget).cast("long").as("seq_id"))
+  }
+
   val sequencePacking = {
     val budget = PackBudget
     val shardDocs = ShardDocs
     OracleQuery(
       "sequence_packing",
-      (s, d) => {
-        val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-        Tables.documents(s, d)
-          .withColumn("shard", expr(s"doc_id div $shardDocs"))
-          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-          .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-          .select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"),
-            col("start_offset"),
-            (col("start_offset") / budget).cast("long").as("seq_id"))
-          .orderBy(col("lang"), col("shard"), col("doc_id"))
-      },
+      (s, d) => packedFrame(s, d)
+        .orderBy(col("lang"), col("shard"), col("doc_id")),
       Some(s"""SELECT lang, shard, doc_id, n_tokens, start_offset,
         |       CAST(floor(start_offset / $budget) AS BIGINT) AS seq_id
         |FROM (
@@ -118,6 +124,64 @@ object Sampling {
         |    FROM documents))
         |ORDER BY lang, shard, doc_id""".stripMargin))
   }
+
+  /** Packing-efficiency report — the metric a packing strategy is
+    * judged by: per (lang, shard) stream, how full the fixed
+    * [[PackBudget]]-token training windows actually are
+    * (`util_pct` = filled / capacity of the ceil(total/budget) windows
+    * the stream occupies) and how many documents the window grid CUTS
+    * across a boundary (`n_docs_cut` — each cut doc costs attention
+    * span at train time). Everything is integer arithmetic — counts,
+    * integer division, a ×100 scaled percentage — so the report
+    * hash-matches bit-for-bit with no float policy needed.
+    *
+    * Scale shape: one aggregation over the packed stream keyed by the
+    * same (lang, shard) the packing window already partitions by — the
+    * exchange is REUSED from the window stage (no second shuffle;
+    * shard-local sums are map-side after the sort), and the report is
+    * |streams| rows, broadcast-size at any corpus. */
+  val packEfficiency = OracleQuery(
+    "pack_efficiency",
+    (s, d) => {
+      val b = PackBudget
+      packedFrame(s, d)
+        .withColumn("cut",
+          expr(s"CAST((start_offset div $b) <> ((start_offset + n_tokens - 1) div $b) AS INT)"))
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("cut").cast("long")).as("n_docs_cut"))
+        .withColumn("n_seqs", expr(s"(total_tokens + ${b - 1}) div $b"))
+        .withColumn("util_pct", expr(s"(total_tokens * 100) div (n_seqs * $b)"))
+        .select(col("lang"), col("shard"), col("n_docs"), col("total_tokens"),
+          col("n_seqs"), col("util_pct"), col("n_docs_cut"))
+        .orderBy(col("lang"), col("shard"))
+    },
+    Some {
+      val b = PackBudget
+      s"""WITH packed AS (
+        |  SELECT lang, shard, doc_id, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (
+        |           PARTITION BY lang, shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM (
+        |    SELECT lang, doc_id // $ShardDocs AS shard, doc_id,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |    FROM documents)
+        |), agg AS (
+        |  SELECT lang, shard,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |         CAST(sum(CAST(start_offset // $b <> (start_offset + n_tokens - 1) // $b AS INT)) AS BIGINT)
+        |           AS n_docs_cut
+        |  FROM packed GROUP BY lang, shard
+        |)
+        |SELECT lang, shard, n_docs, total_tokens,
+        |       (total_tokens + ${b - 1}) // $b AS n_seqs,
+        |       (total_tokens * 100) // (((total_tokens + ${b - 1}) // $b) * $b) AS util_pct,
+        |       n_docs_cut
+        |FROM agg ORDER BY lang, shard""".stripMargin
+    })
 
   /** Temperature-reweighted stratified sampling (the multilingual
     * training-mixture op): per-language acceptance rate ∝ n_lang^(-1/2)
@@ -354,6 +418,6 @@ object Sampling {
       |FROM wts, tot ORDER BY source""".stripMargin))
 
   val all: Seq[OracleQuery] =
-    Seq(sampleHash, datasetSplit, topkPerGroup, sequencePacking, sampleStratified,
-      sampleBudget, sampleImportance, sampleTemperature)
+    Seq(sampleHash, datasetSplit, topkPerGroup, sequencePacking, packEfficiency,
+      sampleStratified, sampleBudget, sampleImportance, sampleTemperature)
 }

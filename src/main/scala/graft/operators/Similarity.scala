@@ -978,8 +978,68 @@ object Similarity {
       |    FROM embeddings))
       |ORDER BY vec_id""".stripMargin))
 
+  /** Hard-negative mining — the contrastive-training companion of kNN:
+    * for each query, the top-3 most-similar corpus vectors whose cosine
+    * is still BELOW the likely-positive ceiling (τ = [[HardNegCeiling]]).
+    * Vectors at or above the ceiling are near-duplicates / paraphrases
+    * of the query — training on them as negatives poisons the loss — so
+    * the miner wants the hardest examples strictly under it.
+    *
+    * Scale shape: the scoring pass is map-side (query block broadcast,
+    * exact cosine via [[DetMath]] in one codegen projection). The
+    * per-query top-k is SALTED two-phase: rank within (qid, salt) over
+    * 64 hash salts first, then rank the ≤ 64·k survivors per qid — so
+    * no reducer ever sees more than ~n/64 candidates and the final
+    * window touches a constant-size frame, where a single-phase
+    * `Window.partitionBy(qid)` would funnel the whole corpus×|queries|
+    * frame into |queries| reducers (the skew the probes' plans avoid).
+    * Exactness: every global top-k row is necessarily in its salt
+    * group's top-k, so phase 2 sees all of them. At production scale
+    * the scoring pass composes over the IVF/PQ shortlist
+    * (`sim_knn_batch`) instead of the full scan; the ceiling filter and
+    * salted rank are unchanged. */
+  val HardNegCeiling = 0.9
+  val hardNegatives = OracleQuery(
+    "sim_hard_negatives",
+    (s, d) => {
+      val emb = embNorm(s, d)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val wSalt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"), col("salt"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val wQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("qe"), Dim), col("nrm"), col("qn")))
+        .filter(col("cosine") < lit(HardNegCeiling))
+        .withColumn("salt", pmod(crc32(col("vec_id").cast("string")), lit(64)))
+        .withColumn("rs", row_number().over(wSalt)).filter(col("rs") <= 3)
+        .withColumn("rank", row_number().over(wQ)).filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"), col("label"), col("cosine"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH e AS (
+      |  SELECT vec_id, label, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 3
+      |), sc AS (
+      |  SELECT q.qid, e.vec_id, e.label,
+      |    ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "q.qe", Dim), "e.nrm", "q.qn")} AS cosine
+      |  FROM e, q WHERE e.vec_id <> q.qid
+      |)
+      |SELECT qid, rank, vec_id, label, cosine FROM (
+      |  SELECT qid, vec_id, label, cosine,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM sc WHERE cosine < $HardNegCeiling)
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, embedNearDupRandomQ,
       ivfProbe, ivfProbe2, ivfKmeans, dedupEmbeddingIvf, dedupSemantic,
-      binaryTopk, matryoshkaQ, embedQuantize)
+      binaryTopk, matryoshkaQ, embedQuantize, hardNegatives)
 }
