@@ -415,6 +415,75 @@ object Dedup {
       |            ELSE 'train' END AS split
       |FROM g ORDER BY doc_id""".stripMargin))
 
+  /** Split-leakage AUDIT — measures the failure mode
+    * [[splitLeakageFree]] exists to prevent: over the near-dup
+    * candidate pairs (the same guarded LSH edge set the clustering
+    * consumes), how many pairs STRADDLE two different splits under
+    * (a) the naive per-doc hash split (`dataset_split`'s rule) and
+    * (b) the cluster-representative split. Strategy (b) reports 0 by
+    * construction — but here the zero is MEASURED over the actual edge
+    * set and hash-checked, turning the design argument into a tested
+    * invariant, while the doc-hash row quantifies the eval
+    * contamination a naive split would ship (~half of all near-dup
+    * pairs at the fixture's split ratios).
+    *
+    * Scale shape: the pair frame and label frame already exist (shared
+    * `CachedFrames` artifacts); the audit adds two doc_id equi-joins of
+    * the pair frame against the |corpus|-row assignment frame and ONE
+    * combinable aggregate to a 2-row report. */
+  val splitLeakageAudit = OracleQuery(
+    "split_leakage_audit",
+    (s, d) => {
+      def band(c: org.apache.spark.sql.Column) = substring(md5(c.cast("string")), 1, 1)
+      def sp(c: org.apache.spark.sql.Column) =
+        when(band(c).isin("c", "d"), "val").when(band(c).isin("e", "f"), "test")
+          .otherwise("train")
+      val labels = ccLabels(s, d).select(col("id").as("doc_id"), col("label"))
+      val asg = Tables.documents(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("label"), col("doc_id")))
+        .select(col("doc_id"), sp(col("doc_id")).as("s_doc"), sp(col("grp")).as("s_grp"))
+      lshCandidateEdges(s, d).distinct()
+        .join(asg.select(col("doc_id").as("a_id"), col("s_doc").as("a_sd"),
+          col("s_grp").as("a_sg")), "a_id")
+        .join(asg.select(col("doc_id").as("b_id"), col("s_doc").as("b_sd"),
+          col("s_grp").as("b_sg")), "b_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("a_sd") =!= col("b_sd")).cast("long")).as("cross_doc"),
+          sum((col("a_sg") =!= col("b_sg")).cast("long")).as("cross_grp"))
+        .select(explode(array(
+          struct(lit("cluster").as("strategy"), col("n_pairs"),
+            col("cross_grp").as("n_cross_split")),
+          struct(lit("doc_hash").as("strategy"), col("n_pairs"),
+            col("cross_doc").as("n_cross_split")))).as("r"))
+        .select(col("r.strategy"), col("r.n_pairs"), col("r.n_cross_split"))
+        .orderBy(col("strategy"))
+    },
+    Some(s"""$ccLabelsCte,
+      |asg AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+      |         WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+      |         ELSE 'train' END AS s_doc,
+      |    CASE WHEN substring(md5(CAST(COALESCE(l.label, d.doc_id) AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+      |         WHEN substring(md5(CAST(COALESCE(l.label, d.doc_id) AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+      |         ELSE 'train' END AS s_grp
+      |  FROM documents d LEFT JOIN cclabels l ON l.doc_id = d.doc_id
+      |),
+      |j AS (
+      |  SELECT a.s_doc AS a_sd, a.s_grp AS a_sg, b.s_doc AS b_sd, b.s_grp AS b_sg
+      |  FROM edges e JOIN asg a ON a.doc_id = e.a JOIN asg b ON b.doc_id = e.b
+      |),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |         CAST(sum(CASE WHEN a_sd <> b_sd THEN 1 ELSE 0 END) AS BIGINT) AS cross_doc,
+      |         CAST(sum(CASE WHEN a_sg <> b_sg THEN 1 ELSE 0 END) AS BIGINT) AS cross_grp
+      |  FROM j
+      |)
+      |SELECT 'cluster' AS strategy, n_pairs, cross_grp AS n_cross_split FROM agg
+      |UNION ALL SELECT 'doc_hash', n_pairs, cross_doc FROM agg
+      |ORDER BY strategy""".stripMargin))
+
   /** LSH RECALL audit — the question every banded-minhash deployment
     * owes an answer: of the TRUE near-dup pairs (exact 2-shingle-set
     * Jaccard ≥ 0.5, the same shingle family the minhash signature
@@ -1487,7 +1556,7 @@ object Dedup {
 
   val all: Seq[OracleQuery] =
     Seq(exact, minhashSig, minhashLsh, jaccard, clusters, splitLeakageFree,
-      keepBest, lshRecall,
+      splitLeakageAudit, keepBest, lshRecall,
       overflowVerify, crosscheck,
       simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans,
       substringExcise, contaminationSpans, incremental, containment)

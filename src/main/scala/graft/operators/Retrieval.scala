@@ -376,20 +376,41 @@ object Retrieval {
     * rows at 100 TB, not corpus-sized), the standard trick every BPE
     * trainer uses. Each round is one combinable pair-count aggregation
     * plus a map-side fold; the argmax is a 1-row driver artifact. */
-  val bpeMerges = OracleQuery(
-    "bpe_merges",
-    (s, d) => {
-      import s.implicits._
-      val words = CachedFrames.getOrBuild(
-        s"bpe_words|${CachedFrames.sessionKey(s)}|$d") {
-        Tables.documents(s, d)
-          .select(explode(split(col("text"), " ")).as("word"))
-          .filter(col("word") =!= "")
-          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      }
-      var syms = words.select(split(col("word"), "").as("syms"), col("freq"))
-      def q(x: String) = x.replace("'", "''")
-      val out = (1 to BpeRounds).map { round =>
+  /** Distinct-word frequency table (word, freq) — the vocabulary-bounded
+    * frame every BPE stage runs on. */
+  private def bpeWords(s: SparkSession, d: String) = CachedFrames.getOrBuild(
+    s"bpe_words|${CachedFrames.sessionKey(s)}|$d") {
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+  }
+
+  /** SQL-expression string applying ONE merge (a, b) → ab as the classic
+    * leftmost-non-overlapping greedy fold over a symbol array — shared
+    * by the trainer's per-round application and the tokenizer's replay
+    * so the two cannot drift. */
+  private def mergeFold(a: String, b: String): String = {
+    def q(x: String) = x.replace("'", "''")
+    s"aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
+      s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${q(a)}' AND x = '${q(b)}' " +
+      s"THEN concat(slice(acc, 1, size(acc) - 1), array('${q(a + b)}')) " +
+      s"ELSE concat(acc, array(x)) END)"
+  }
+
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, String, String, String, Long)]]()
+
+  /** The trained merge table — [[BpeRounds]] driver-side 1-row argmaxes
+    * over the vocabulary frame, cached per (session, dataset) like the
+    * other trained artifacts so the trainer query and the tokenizer
+    * query share one training run. */
+  private def trainedMerges(
+      s: SparkSession, d: String): Seq[(Int, String, String, String, Long)] =
+    mergeCache.computeIfAbsent(s"${CachedFrames.sessionKey(s)}|$d", _ => {
+      var syms = bpeWords(s, d)
+        .select(split(col("word"), "").as("syms"), col("freq"))
+      (1 to BpeRounds).map { round =>
         val best = syms.filter(size(col("syms")) >= 2)
           .select(explode(expr(
             "transform(sequence(1, size(syms) - 1), " +
@@ -400,46 +421,112 @@ object Retrieval {
           .orderBy(col("cnt").desc, col("a"), col("b"))
           .limit(1).collect()(0)
         val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-        syms = syms.withColumn("syms", expr(
-          s"aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
-            s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${q(a)}' AND x = '${q(b)}' " +
-            s"THEN concat(slice(acc, 1, size(acc) - 1), array('${q(a + b)}')) " +
-            s"ELSE concat(acc, array(x)) END)"))
+        syms = syms.withColumn("syms", expr(mergeFold(a, b)))
         (round, a, b, a + b, cnt)
       }
-      out.toDF("merge_idx", "left_sym", "right_sym", "merged", "cnt")
-        .orderBy(col("merge_idx"))
-    },
-    Some {
-      def rnd(prev: String, i: Int): String =
-        s"""pairs$i AS (
-           |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-           |    SELECT syms[i] AS a, syms[i+1] AS b, freq
-           |    FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
-           |          FROM $prev)
-           |  ) GROUP BY a, b
-           |), best$i AS (
-           |  SELECT a, b, cnt FROM pairs$i ORDER BY cnt DESC, a, b LIMIT 1
-           |), s$i AS (
-           |  SELECT list_reduce(list_transform(syms, c -> [c]),
-           |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = best.a AND x[1] = best.b
-           |                       THEN list_append(acc[1:len(acc)-1], best.a || best.b)
-           |                       ELSE list_concat(acc, x) END) AS syms, freq
-           |  FROM $prev CROSS JOIN best$i best
-           |)""".stripMargin
-      s"""WITH words AS (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
-         |  ) WHERE word <> '' GROUP BY word
-         |), s0 AS (
-         |  SELECT string_split(word, '') AS syms, freq FROM words
-         |), ${rnd("s0", 1)}, ${rnd("s1", 2)}, ${rnd("s2", 3)}
-         |SELECT * FROM (
-         |  SELECT 1 AS merge_idx, a AS left_sym, b AS right_sym, a || b AS merged, cnt FROM best1
-         |  UNION ALL SELECT 2, a, b, a || b, cnt FROM best2
-         |  UNION ALL SELECT 3, a, b, a || b, cnt FROM best3
-         |) ORDER BY merge_idx""".stripMargin
     })
 
-  val all: Seq[OracleQuery] = Seq(textBm25, textRrfHybrid, textRank, bpeMerges)
+  /** Per-word BPE token count under the trained merge table: the
+    * vocabulary re-tokenized by replaying the merges in training order.
+    * Vocabulary-bounded (never corpus-sized) and cached — the shape a
+    * production tokenizer-apply stage uses: tokenize the DISTINCT words
+    * once, then join counts back to documents. */
+  private[graft] def bpeWordTokens(s: SparkSession, d: String) =
+    CachedFrames.getOrBuild(s"bpe_wordtoks|${CachedFrames.sessionKey(s)}|$d") {
+      val merges = trainedMerges(s, d)
+      var syms = bpeWords(s, d)
+        .select(col("word"), split(col("word"), "").as("syms"))
+      merges.foreach { case (_, a, b, _, _) =>
+        syms = syms.withColumn("syms", expr(mergeFold(a, b)))
+      }
+      syms.select(col("word"), size(col("syms")).cast("long").as("n_tok"))
+    }
+
+  val bpeMerges = OracleQuery(
+    "bpe_merges",
+    (s, d) => {
+      import s.implicits._
+      trainedMerges(s, d)
+        .toDF("merge_idx", "left_sym", "right_sym", "merged", "cnt")
+        .orderBy(col("merge_idx"))
+    },
+    Some(s"""$bpeSqlChain
+       |SELECT * FROM (
+       |  SELECT 1 AS merge_idx, a AS left_sym, b AS right_sym, a || b AS merged, cnt FROM best1
+       |  UNION ALL SELECT 2, a, b, a || b, cnt FROM best2
+       |  UNION ALL SELECT 3, a, b, a || b, cnt FROM best3
+       |) ORDER BY merge_idx""".stripMargin))
+
+  /** DuckDB replay of the full BPE training chain, ending with the
+    * per-round `best$i` merge rows and the merged vocabulary `s3`
+    * (word, syms, freq) — shared by [[bpeMerges]] and
+    * [[docTokenizeBpe]] so the trainer and the tokenizer verify against
+    * ONE training replay. */
+  private def bpeSqlChain: String = {
+    def rnd(prev: String, i: Int): String =
+      s"""pairs$i AS (
+         |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT syms[i] AS a, syms[i+1] AS b, freq
+         |    FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+         |          FROM $prev)
+         |  ) GROUP BY a, b
+         |), best$i AS (
+         |  SELECT a, b, cnt FROM pairs$i ORDER BY cnt DESC, a, b LIMIT 1
+         |), s$i AS (
+         |  SELECT word, list_reduce(list_transform(syms, c -> [c]),
+         |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = best.a AND x[1] = best.b
+         |                       THEN list_append(acc[1:len(acc)-1], best.a || best.b)
+         |                       ELSE list_concat(acc, x) END) AS syms, freq
+         |  FROM $prev CROSS JOIN best$i best
+         |)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |  ) WHERE word <> '' GROUP BY word
+       |), s0 AS (
+       |  SELECT word, string_split(word, '') AS syms, freq FROM words
+       |), ${rnd("s0", 1)}, ${rnd("s1", 2)}, ${rnd("s2", 3)}""".stripMargin
+  }
+
+  /** Tokenizer APPLY — the op a token-budget pipeline actually needs
+    * once a tokenizer exists: per-document token counts under the
+    * TRAINED merge table, not the whitespace proxy. The corpus is never
+    * re-tokenized row by row: the DISTINCT vocabulary re-tokenizes once
+    * under the replayed merges ([[bpeWordTokens]] — vocabulary-bounded,
+    * cached like every trained artifact), and documents get their
+    * counts back through one (doc_id, word) aggregation joined to that
+    * table — the standard apply shape at 100 TB, where the vocab join
+    * is AQE-broadcast and everything else is map-side combinable.
+    * Output (n_words vs n_bpe_tokens) is all-integer; the compression
+    * each merge buys is the difference, hash-checked per doc against a
+    * DuckDB replay of training AND application. */
+  val docTokenizeBpe = OracleQuery(
+    "doc_tokenize_bpe",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+        .join(bpeWordTokens(s, d), "word")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("n_tok")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$bpeSqlChain,
+       |wtok AS (
+       |  SELECT word, CAST(len(syms) AS BIGINT) AS n_tok FROM s3
+       |),
+       |dw AS (
+       |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       |  ) WHERE word <> '' GROUP BY doc_id, word
+       |)
+       |SELECT dw.doc_id, CAST(sum(dw.cnt) AS BIGINT) AS n_words,
+       |       CAST(sum(dw.cnt * wtok.n_tok) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN wtok USING (word)
+       |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin))
+
+  val all: Seq[OracleQuery] =
+    Seq(textBm25, textRrfHybrid, textRank, bpeMerges, docTokenizeBpe)
 }
