@@ -53,4 +53,21 @@ class CurationOpsSpec extends SparkSpec {
       .filter((col("rk") === 1) =!= (col("kept") === 1))
     assert(best.isEmpty)
   }
+
+  test("leakage-free split: one split per near-dup cluster, covers every doc") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Dedup.splitLeakageFree.run(spark, sf)
+    // every doc assigned exactly once
+    assert(out.count() == Tables.documents(spark, sf).count())
+    // a group never straddles splits (the structural guarantee)
+    val straddling = out.groupBy(col("grp"))
+      .agg(countDistinct(col("split")).as("ns")).filter(col("ns") > 1)
+    assert(straddling.isEmpty)
+    // and the audit measures that zero over the candidate edge set,
+    // while the naive doc-hash rule leaks on this fixture
+    val audit = Dedup.splitLeakageAudit.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit("cluster")._2 == 0L)
+    assert(audit("cluster")._1 == audit("doc_hash")._1)
+  }
 }

@@ -29,6 +29,22 @@ class SamplingSpec extends SparkSpec {
       (100001L, 1L, 3L, 0L)))
   }
 
+  test("pack efficiency: window count, utilization, and boundary cuts by hand") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-packeff").toString
+    // one stream: 200 + 100 tokens. Windows of 256: doc 2 starts at 200
+    // and ends at 299 -> crosses the 256 boundary -> 1 cut; 300 tokens
+    // occupy ceil(300/256) = 2 windows at 300*100/512 = 58% utilization.
+    Seq(
+      (1L, "en", Seq.fill(200)("w").mkString(" ")),
+      (2L, "en", Seq.fill(100)("w").mkString(" ")))
+      .toDF("doc_id", "lang", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Sampling.packEfficiency.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(out == Seq(("en", 0L, 2L, 300L, 2L, 58L, 1L)))
+  }
+
   test("temperature allocator: sqrt weights, integer quotas, epoch cap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-temp").toString
     // src a: 2500 docs × 4 tokens = 10000; src b: 1 doc × 4 tokens = 4

@@ -126,4 +126,29 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(Similarity.trainStride(200000L) == 8L)
   }
+
+  test("hard negatives: salted two-phase rank equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DetMath
+    // naive single-window reference over the same scored frame
+    val emb = graft.Tables.embeddings(spark, dir)
+      .withColumn("nrm", DetMath.normCol(col("embedding"), Similarity.Dim))
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val wQ = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    val naive = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", DetMath.cosinePre(
+        DetMath.dotCol(col("embedding"), col("qe"), Similarity.Dim),
+        col("nrm"), col("qn")))
+      .filter(col("cosine") < lit(Similarity.HardNegCeiling))
+      .withColumn("rank", row_number().over(wQ)).filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("vec_id"), col("label"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+      .collect().toSeq
+    val salted = Similarity.hardNegatives.run(spark, dir).collect().toSeq
+    assert(salted == naive)
+    // every mined negative sits strictly under the likely-positive ceiling
+    assert(salted.forall(_.getDouble(4) < Similarity.HardNegCeiling))
+  }
 }
