@@ -89,6 +89,38 @@ object Multimodal {
       }
       None
     }
+
+    /** WAV/RIFF: "RIFF" + size + "WAVE", then a real CHUNK WALK (id +
+      * LE32 size, bodies padded to even) until "fmt " (channels,
+      * sample rate, byte rate, bits at fixed body offsets) and "data"
+      * (declared payload size — a header decoder reads the size, never
+      * the samples, exactly like the image parsers). Returns
+      * (channels, sampleRate, bits, durationMs) with duration =
+      * dataLen·1000/byteRate in integer math; any structural failure —
+      * truncation, missing fmt before data, negative size — is None,
+      * never a fabricated value. */
+    def wavMeta(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      def tag(i: Int, s: String): Boolean =
+        i + 4 <= b.length && (0 until 4).forall(j => (b(i + j) & 0xFF) == s.charAt(j))
+      if (!(tag(0, "RIFF") && tag(8, "WAVE"))) return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, byteRate, bits
+      while (i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        if (size < 0) return None
+        if (tag(i, "fmt ")) {
+          if (i + 8 + 16 > b.length) return None
+          fmt = Some((le16(b, i + 10), le32(b, i + 12), le32(b, i + 16),
+            le16(b, i + 22)))
+        } else if (tag(i, "data")) {
+          return fmt.collect { case (ch, rate, byteRate, bits) if byteRate > 0 =>
+            (ch, rate, bits, size.toLong * 1000L / byteRate)
+          }
+        }
+        i += 8 + size + (size & 1) // RIFF chunk bodies pad to even
+      }
+      None
+    }
   }
 
   /** STUB decoder: stands in for a full pixel codec (feature vectors
@@ -331,5 +363,82 @@ object Multimodal {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[OracleQuery] = Seq(features, decode, frameSample, resize)
+  final case class AudioRecord(doc_id: Long, content: Array[Byte])
+  final case class AudioMeta(
+      doc_id: Long, media_type: String, byte_len: Long,
+      channels: Int, sample_rate_hz: Int, bits: Int, duration_ms: Long)
+
+  /** Partition-local audio-metadata extraction over the real
+    * [[MediaHeaders.wavMeta]] RIFF walker — same batching shape as the
+    * image path; parse failure surfaces as -1 sentinels. */
+  def extractAudioMeta(media: Dataset[AudioRecord]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      MediaHeaders.wavMeta(r.content) match {
+        case Some((ch, rate, bits, durMs)) =>
+          AudioMeta(r.doc_id, "audio/wav", r.content.length.toLong, ch, rate, bits, durMs)
+        case None =>
+          AudioMeta(r.doc_id, "audio/wav", r.content.length.toLong, -1, -1, -1, -1L)
+      }
+    })
+  }
+
+  /** 56-byte WAV header: RIFF + a LIST/INFO chunk the walker must SKIP
+    * (the RIFF analog of JPEG's APP0) + "fmt " (PCM, 16-bit) + the
+    * "data" chunk header carrying the declared payload size — no sample
+    * bytes, as a header decoder never reads them. */
+  private def wavHexFor(ch: Column, rate: Column, n: Column): Column = {
+    val ba = ch * 2 // block align: 16-bit PCM
+    val byteRate = rate * ba
+    val dataLen = n * ba
+    concat(
+      lit("52494646"), le32Hex(dataLen + 48), lit("57415645"), // RIFF size WAVE
+      lit("4C495354"), le32Hex(lit(4)), lit("494E464F"), // LIST(4) INFO
+      lit("666D7420"), le32Hex(lit(16)), // "fmt " len 16
+      le16Hex(lit(1)), le16Hex(ch), le32Hex(rate), le32Hex(byteRate),
+      le16Hex(ba), le16Hex(lit(16)),
+      lit("64617461"), le32Hex(dataLen)) // data header only
+  }
+
+  /** Audio-metadata decode — the audio leg of the multimodal family:
+    * in-flight WAV/RIFF containers (channels/rate/length derived from
+    * doc_id) parsed back by the real chunk walker, with every 7th doc
+    * TRUNCATED so the corrupt-header contract stays oracle-visible.
+    * The oracle recomputes channels/rate/bits/duration by independent
+    * integer arithmetic on doc_id — duration_ms = dataLen·1000/byteRate
+    * must cancel to (n·1000) div rate exactly, so a hash match proves
+    * the walker inverts the container layout (including skipping the
+    * LIST chunk), not that two formula copies agree. Map-side only. */
+  val audio = OracleQuery(
+    "multimodal_audio",
+    (s, d) => {
+      import s.implicits._
+      val ch = (col("doc_id") % 2 + 1).cast("int")
+      val rate = when(col("doc_id") % 3 === 0, 8000)
+        .when(col("doc_id") % 3 === 1, 16000).otherwise(44100)
+      val n = (col("doc_id") % 1000 + 1).cast("int")
+      val full = wavHexFor(ch, rate, n)
+      val media = Tables.documents(s, d).select(col("doc_id"),
+        unhex(when(col("doc_id") % 7 === 3, substring(full, 1, 12))
+          .otherwise(full)).as("content")).as[AudioRecord]
+      extractAudioMeta(media)
+        .select(col("doc_id"), col("media_type"), col("byte_len"),
+          col("channels"), col("sample_rate_hz"), col("bits"), col("duration_ms"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, 'audio/wav' AS media_type,
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN 6 ELSE 56 END AS BIGINT) AS byte_len,
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1 ELSE doc_id % 2 + 1 END AS INT) AS channels,
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1
+      |            WHEN doc_id % 3 = 0 THEN 8000
+      |            WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate_hz,
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1 ELSE 16 END AS INT) AS bits,
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1
+      |            ELSE ((doc_id % 1000 + 1) * 1000) //
+      |                 (CASE WHEN doc_id % 3 = 0 THEN 8000
+      |                       WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END)
+      |       END AS BIGINT) AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[OracleQuery] = Seq(features, decode, frameSample, resize, audio)
 }

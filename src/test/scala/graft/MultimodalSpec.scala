@@ -58,4 +58,28 @@ class MultimodalSpec extends SparkSpec {
     val s = HeaderDecoder.decode(MediaRecord(7L, Array.fill[Byte](100)(65), "text/plain"))
     assert(s.width == 100 % 640 && s.height == (100 * 7) % 480)
   }
+
+  test("WAV chunk walk: LIST skip, odd-size padding, and structural failures") {
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(id: String, body: Array[Byte]) =
+      id.getBytes ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def fmt(ch: Int, rate: Int, bits: Int) =
+      chunk("fmt ", le16(1) ++ le16(ch) ++ le32(rate) ++ le32(rate * ch * bits / 8) ++
+        le16(ch * bits / 8) ++ le16(bits))
+    def wav(chunks: Array[Byte]) =
+      "RIFF".getBytes ++ le32(4 + chunks.length) ++ "WAVE".getBytes ++ chunks
+    // an ODD-size LIST chunk before fmt forces the even-padding skip
+    val good = wav(chunk("LIST", Array[Byte](1, 2, 3)) ++ fmt(2, 16000, 16) ++
+      ("data".getBytes ++ le32(32000)))
+    assert(MediaHeaders.wavMeta(good).contains((2, 16000, 16, 500L))) // 32000B / 64000B/s
+    // data before fmt → no format to report
+    val dataFirst = wav("data".getBytes ++ le32(100) ++ fmt(1, 8000, 16))
+    assert(MediaHeaders.wavMeta(dataFirst).isEmpty)
+    // truncation and a non-WAVE RIFF both fail structurally
+    assert(MediaHeaders.wavMeta(good.take(6)).isEmpty)
+    assert(MediaHeaders.wavMeta("RIFF".getBytes ++ le32(4) ++ "AVI ".getBytes).isEmpty)
+  }
 }
