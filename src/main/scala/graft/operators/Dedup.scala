@@ -484,6 +484,115 @@ object Dedup {
       |UNION ALL SELECT 'doc_hash', n_pairs, cross_doc FROM agg
       |ORDER BY strategy""".stripMargin))
 
+  /** Cluster-size distribution — the report every dedup deployment
+    * reads before trusting its clusters: one row per observed cluster
+    * size with how many clusters have it, how many docs they hold, and
+    * how many of those are redundant (size − 1 per cluster). A single
+    * boilerplate family ballooning into a giant component shows up here
+    * as a lone large-size row long before it distorts downstream keeps.
+    * Scale shape: two combinable aggregations over the (already tiny)
+    * converged label frame — the corpus is never touched. */
+  val clusterStats = OracleQuery(
+    "dedup_cluster_stats",
+    (s, d) => ccLabels(s, d)
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_redundant"))
+      .orderBy(col("cluster_size")),
+    Some(s"""$ccLabelsCte,
+      |cs AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+      |  FROM cclabels GROUP BY label
+      |)
+      |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+      |       cluster_size * CAST(count(*) AS BIGINT) AS n_docs,
+      |       (cluster_size - 1) * CAST(count(*) AS BIGINT) AS n_redundant
+      |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin))
+
+  /** Token-savings accounting — what the dedup cascade actually buys,
+    * in the unit training budgets are written in: each doc lands in
+    * exactly ONE tier (first matching rule, so the tiers partition the
+    * corpus): `exact_dup` (loses the md5-group min-id survivorship),
+    * else `near_dup` (an exact survivor that loses the keep-best argmax
+    * inside its near-dup cluster), else `kept`. The keep-best winner is
+    * always an exact survivor (identical docs share every band, so the
+    * smaller id out-ranks its twin at equal length), which makes the
+    * cascade consistent by construction. Scale shape: one md5-hash
+    * shuffle for the survivor window, the keep-best leg touches only
+    * cluster members, and the closing rollup is combinable to 3 rows.
+    *
+    * The gate fixture carries no byte-identical pair, so the accounting
+    * corpus is the fixture PLUS a deterministic re-crawl twin of every
+    * 50th doc (same bytes, shifted id — the duplication pattern a
+    * multi-crawl corpus actually has). The augmentation is part of the
+    * query contract — both engines replay it — so the `exact_dup` tier
+    * is hash-checked with real rows at any fixture instead of passing
+    * vacuously (the r8 `contamination_spans` lesson). */
+  val savings = OracleQuery(
+    "dedup_savings",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = base.unionAll(base.filter(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val nt = corpus.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        md5(col("text")).as("fp"))
+      val wf = Window.partitionBy(col("fp"))
+      val ex = nt
+        .withColumn("survivor",
+          (col("doc_id") === min(col("doc_id")).over(wf)).cast("int"))
+      val wk = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      val kb = ccLabels(s, d)
+        .select(col("id").as("doc_id"), col("label").as("cluster"))
+        .join(nt.select(col("doc_id"), col("n_tokens")), "doc_id")
+        .withColumn("kept", (row_number().over(wk) === 1).cast("int"))
+        .select(col("doc_id"), col("kept"))
+      ex.join(kb, Seq("doc_id"), "left")
+        .withColumn("tier",
+          when(col("survivor") === 0, "exact_dup")
+            .when(coalesce(col("kept"), lit(1)) === 0, "near_dup")
+            .otherwise("kept"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("tier"))
+    },
+    Some(s"""$ccLabelsCte,
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 50 = 7
+      |),
+      |nt AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         md5(text) AS fp
+      |  FROM corpus
+      |),
+      |ex AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(doc_id = min(doc_id) OVER (PARTITION BY fp) AS INT) AS survivor
+      |  FROM nt
+      |),
+      |kb AS (
+      |  SELECT l.doc_id,
+      |         CAST(row_number() OVER (
+      |                PARTITION BY l.label
+      |                ORDER BY nt.n_tokens DESC, l.doc_id) = 1 AS INT) AS kept
+      |  FROM cclabels l JOIN nt USING (doc_id)
+      |),
+      |t AS (
+      |  SELECT ex.doc_id, ex.n_tokens,
+      |         CASE WHEN ex.survivor = 0 THEN 'exact_dup'
+      |              WHEN COALESCE(kb.kept, 1) = 0 THEN 'near_dup'
+      |              ELSE 'kept' END AS tier
+      |  FROM ex LEFT JOIN kb USING (doc_id)
+      |)
+      |SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |FROM t GROUP BY tier ORDER BY tier""".stripMargin))
+
   /** LSH RECALL audit — the question every banded-minhash deployment
     * owes an answer: of the TRUE near-dup pairs (exact 2-shingle-set
     * Jaccard ≥ 0.5, the same shingle family the minhash signature
@@ -1555,8 +1664,8 @@ object Dedup {
       |ORDER BY a_id, b_id""".stripMargin))
 
   val all: Seq[OracleQuery] =
-    Seq(exact, minhashSig, minhashLsh, jaccard, clusters, splitLeakageFree,
-      splitLeakageAudit, keepBest, lshRecall,
+    Seq(exact, minhashSig, minhashLsh, jaccard, clusters, clusterStats,
+      savings, splitLeakageFree, splitLeakageAudit, keepBest, lshRecall,
       overflowVerify, crosscheck,
       simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans,
       substringExcise, contaminationSpans, incremental, containment)
