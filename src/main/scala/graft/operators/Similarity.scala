@@ -89,7 +89,7 @@ object Similarity {
     * [[Pq.GeometryDependentOracles]]. */
   val GeometryDependentOracles: Set[String] =
     Set("sim_ivf_kmeans", "sim_ivf_probe", "sim_ivf_probe2",
-      "dedup_embedding_ivf", "dedup_semantic")
+      "dedup_embedding_ivf", "dedup_semantic", "sim_cluster_purity")
 
   /** True iff the fixture geometry (k = [[KmK]], fixture PQ codebook)
     * trains for `d`, i.e. every geometry-dependent oracle is valid. */
@@ -1038,8 +1038,70 @@ object Similarity {
       |  FROM sc WHERE cosine < $HardNegCeiling)
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
+  /** Threshold-calibration histogram — how a deployment picks the
+    * near-dup cosine τ it then bakes into the dedup tier: the
+    * distribution of exact cosines over the LSH CANDIDATE pairs (the
+    * only pairs the verify stage will ever score), bucketed at 0.05.
+    * The knee between the same-bucket-by-chance mass and the true
+    * near-dup tail is read off this report. Scale shape: the histogram
+    * runs over the candidate frame — bucket-bounded, never all-pairs —
+    * and the bucket rollup is one combinable aggregate; bucket ids are
+    * floor(cosine·20) over bit-identical cosines, so the histogram
+    * hash-matches with no float policy beyond the pairs'. */
+  val embedCalibration = OracleQuery(
+    "dedup_embedding_calibration",
+    (s, d) => embedNearDupFrame(Tables.embeddings(s, d),
+        width = 8, nBands = 1, minCosine = -1.0)
+      .groupBy(floor(col("cosine") * 20).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket")),
+    Some(s"""SELECT CAST(floor(cosine * 20) AS INT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM (${embedNearDupSql(width = 8, nBands = 1, minCosine = -1.0)})
+      |GROUP BY 1 ORDER BY bucket""".stripMargin))
+
+  /** Cluster-purity audit — the label-agreement report an embedding
+    * index owes once labels exist: per trained k-means cluster, its
+    * size, majority label, and majority count (ties to the smallest
+    * label — deterministic). Purity is top_n/size, left as the integer
+    * pair so the report hash-matches; a cluster whose majority share is
+    * near 1/|labels| is noise, not structure. Scale shape: the
+    * assignment frame is a shared cached artifact; the audit adds one
+    * (cid, label) combinable count and a window over the |k|·|labels|
+    * result — broadcast-size at any corpus. */
+  val clusterPurity = OracleQuery(
+    "sim_cluster_purity",
+    (s, d) => {
+      val asg = kmeansAssignments(s, d, KmIters).select(col("vec_id"), col("cid"))
+      val cl = asg
+        .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cid")).orderBy(col("n").desc, col("label"))
+      cl.withColumn("rn", row_number().over(w))
+        .withColumn("size", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("size"), col("label").as("top_label"),
+          col("n").as("top_n"))
+        .orderBy(col("cid"))
+    },
+    Some(s"""$kmeansSqlChain,
+      |cl AS (
+      |  SELECT a.cid, em.label, CAST(count(*) AS BIGINT) AS n
+      |  FROM aF a JOIN embeddings em ON em.vec_id = a.vec_id
+      |  GROUP BY a.cid, em.label
+      |)
+      |SELECT cid, size, top_label, top_n FROM (
+      |  SELECT cid, label AS top_label, n AS top_n,
+      |         row_number() OVER (PARTITION BY cid ORDER BY n DESC, label) AS rn,
+      |         CAST(sum(n) OVER (PARTITION BY cid) AS BIGINT) AS size
+      |  FROM cl)
+      |WHERE rn = 1 ORDER BY cid""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, embedNearDupRandomQ,
       ivfProbe, ivfProbe2, ivfKmeans, dedupEmbeddingIvf, dedupSemantic,
-      binaryTopk, matryoshkaQ, embedQuantize, hardNegatives)
+      binaryTopk, matryoshkaQ, embedQuantize, hardNegatives, embedCalibration,
+      clusterPurity)
 }
