@@ -34,6 +34,9 @@ object Tables {
     * has thousands of splits and this is a no-op — no shuffle of the
     * fact table in front of a map-only stage. */
   def fanOut(df: DataFrame): DataFrame = {
+    // a streaming frame has no .rdd (that would execute it as a batch)
+    // and gets its parallelism from the source's own partitioning
+    if (df.isStreaming) return df
     val spark = df.sparkSession
     val target = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val parallelism = math.min(target, spark.sparkContext.defaultParallelism)

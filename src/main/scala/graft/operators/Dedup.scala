@@ -161,6 +161,34 @@ object Dedup {
       bands.withColumn("bsz", count(lit(1)).over(wBucket))
     }
 
+  /** (doc_id, band_idx, band_val) bands for an arbitrary docs frame —
+    * the map-side signature+banding stage exposed for streaming
+    * consumers ([[graft.streaming.StreamingOps.splitStream]]), computed
+    * by the same native kernel and band rule as [[guardedBands]] so the
+    * stream and the batch index cannot disagree on a bucket. */
+  private[graft] def bandsOf(docs: DataFrame): DataFrame = {
+    val sig = minhashFrame(docs)
+    val ms = (0 until NumHashes).map(i => col(s"m$i"))
+    sig.select(
+      (col("doc_id") +: ms) :+ bandedExplode.as(Seq("band_idx", "band_val")): _*)
+      .select(col("doc_id"), col("band_idx"), col("band_val"))
+  }
+
+  /** The STATIC band→split-group index an incremental pipeline keeps
+    * next to its fingerprint store: every guarded band of the indexed
+    * corpus tagged with the doc's split group (near-dup cluster
+    * representative; singletons represent themselves). A streaming doc
+    * that lands in any of these buckets inherits the group — see
+    * [[graft.streaming.StreamingOps.splitStream]]. */
+  private[graft] def splitBandIndex(s: SparkSession, d: String): DataFrame = {
+    val labels = ccLabels(s, d).select(col("id").as("doc_id"), col("label"))
+    guardedBands(s, d).filter(col("bsz") <= MaxLshBucket)
+      .select(col("doc_id"), col("band_idx"), col("band_val"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("band_idx"), col("band_val"),
+        coalesce(col("label"), col("doc_id")).as("grp"))
+  }
+
   /** Warm the shared per-dataset signature/band cache (the artifact every
     * dedup_* query scans). Called by Bench warm-up so the one-time build
     * isn't charged to whichever dedup query happens to run first —

@@ -895,6 +895,41 @@ object StreamingOps {
       .select(col("doc_id"), col("sh"))
   }
 
+  /** Leakage-free split assignment for INCREMENTAL ingest — the
+    * streaming twin of the batch `split_leakage_free`: a newly ingested
+    * document must land in the SAME train/val/test split as any
+    * near-duplicate already in the corpus, or eval content leaks into
+    * training one crawl increment at a time. Each streaming doc is
+    * signature-banded map-side (same native kernel and band rule as the
+    * batch index — [[graft.operators.Dedup.bandsOf]]), stream-static
+    * LEFT-joined against the corpus band→group index
+    * ([[graft.operators.Dedup.splitBandIndex]]), and inherits the
+    * MINIMUM matched group (the batch CC's min-label convention — with
+    * monotonically growing doc_ids, exactly the representative a batch
+    * recompute would elect for the joined pair); a doc matching no
+    * bucket founds its own group. The split is then the same md5-prefix
+    * band as the batch rule, so stream and batch assignments agree on
+    * every doc whose near-dup linkage is visible through a shared band
+    * (transitive-only linkage waits for the next index rebuild — the
+    * standard incremental-dedup trade, as in `dedup_incremental`).
+    *
+    * State: the per-doc min aggregation only (Update mode; one grouped
+    * row per doc in flight). NO stream-side corpus state: the band
+    * index is a static artifact, broadcast or bucket-joined by the
+    * planner. */
+  def splitStream(docs: DataFrame, bandIndex: DataFrame): DataFrame = {
+    def b(c: org.apache.spark.sql.Column) = substring(md5(c.cast("string")), 1, 1)
+    graft.operators.Dedup.bandsOf(docs)
+      .join(bandIndex, Seq("band_idx", "band_val"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(min(col("grp")).as("hit"))
+      .select(col("doc_id"), coalesce(col("hit"), col("doc_id")).as("grp"))
+      .withColumn("split",
+        when(b(col("grp")).isin("c", "d"), "val")
+          .when(b(col("grp")).isin("e", "f"), "test")
+          .otherwise("train"))
+  }
+
   final case class KmvState(hs: List[Long])
   final case class KmvRow(
       domain: String, target: String, n_tracked: Long, kth_min: Long,

@@ -881,4 +881,39 @@ class StatefulStreamingSpec extends SparkSpec {
       (3L, "q1 q2 q3"),
       (3L, "q2 q3 q4")), s"got $hits")
   }
+
+  test("splitStream: a streaming near-dup inherits its cluster's split; novel docs found their own") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    // corpus: docs 1 and 2 are identical (one near-dup cluster, rep 1);
+    // the index maps every band of both docs to group 1
+    val boiler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "label")
+    val index = graft.operators.Dedup.bandsOf(corpus)
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("band_idx"), col("band_val"),
+        coalesce(col("label"), col("doc_id")).as("grp"))
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.splitStream(ms.toDF.toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("split_t").outputMode("update").start()
+    try {
+      ms.addData(
+        (10L, boiler),                                    // identical → inherits grp 1
+        (11L, (1 to 30).map(i => s"z$i").mkString(" ")))  // novel → own group
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("split_t")
+      .as[(Long, Long, String)].collect().toSet
+    // md5("1") starts 'c' → val; md5("11") starts '6' → train — the doc
+    // would have LEAKED into train under a naive per-doc hash split
+    // (md5("10") starts 'd' too, but inheritance, not luck, decides)
+    assert(out == Set((10L, 1L, "val"), (11L, 11L, "train")), s"got $out")
+    // parity: the inherited split equals the batch rule applied to grp 1
+    val batchSplit = Seq(1L).toDF("grp")
+      .select(substring(md5(col("grp").cast("string")), 1, 1).as("h"))
+      .collect().head.getString(0)
+    assert(Set("c", "d").contains(batchSplit))
+  }
 }
