@@ -89,7 +89,10 @@ object Similarity {
     * [[Pq.GeometryDependentOracles]]. */
   val GeometryDependentOracles: Set[String] =
     Set("sim_ivf_kmeans", "sim_ivf_probe", "sim_ivf_probe2",
-      "dedup_embedding_ivf", "dedup_semantic", "sim_cluster_purity")
+      "dedup_embedding_ivf", "dedup_semantic", "sim_cluster_purity",
+      // sampled above [[CalibSampleCap]] (> the fixture threshold), where
+      // the unsampled oracle SQL no longer describes the Spark plan
+      "dedup_embedding_calibration")
 
   /** True iff the fixture geometry (k = [[KmK]], fixture PQ codebook)
     * trains for `d`, i.e. every geometry-dependent oracle is valid. */
@@ -1038,23 +1041,43 @@ object Similarity {
       |  FROM sc WHERE cosine < $HardNegCeiling)
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
+  /** Sample cap for the calibration histogram: at fixed 256 sign
+    * buckets, within-bucket candidate pairs grow ~n²/256 — the r10
+    * sf10 probe MEASURED the unsampled histogram at 168× for 100× data
+    * (the same quadratic class as r8's fixed-k IVF pairing). A
+    * distribution estimate doesn't need the full corpus: the
+    * deterministic vec_id-stride sample (the [[TrainCap]] pattern —
+    * uniform across id-blocks, reproducible, no RNG) bounds the pair
+    * count at any scale, and below the cap the stride is 1 so the
+    * fixture histogram IS the unsampled one and the oracle replays it
+    * exactly. */
+  private[graft] val CalibSampleCap = 4000L
+
   /** Threshold-calibration histogram — how a deployment picks the
     * near-dup cosine τ it then bakes into the dedup tier: the
     * distribution of exact cosines over the LSH CANDIDATE pairs (the
     * only pairs the verify stage will ever score), bucketed at 0.05.
     * The knee between the same-bucket-by-chance mass and the true
     * near-dup tail is read off this report. Scale shape: the histogram
-    * runs over the candidate frame — bucket-bounded, never all-pairs —
-    * and the bucket rollup is one combinable aggregate; bucket ids are
-    * floor(cosine·20) over bit-identical cosines, so the histogram
-    * hash-matches with no float policy beyond the pairs'. */
+    * runs over the candidate pairs of a [[CalibSampleCap]]-bounded
+    * deterministic sample (stride 1 ⇒ the full corpus on every fixture
+    * and the bench SF), so the within-bucket quadratic is capped by
+    * construction; the bucket rollup is one combinable aggregate;
+    * bucket ids are floor(cosine·20) over bit-identical cosines, so
+    * the histogram hash-matches with no float policy beyond the
+    * pairs'. */
   val embedCalibration = OracleQuery(
     "dedup_embedding_calibration",
-    (s, d) => embedNearDupFrame(Tables.embeddings(s, d),
+    (s, d) => {
+      val stride = math.max(1L,
+        (nVectors(s, d) + CalibSampleCap - 1) / CalibSampleCap)
+      embedNearDupFrame(
+        Tables.embeddings(s, d).filter(col("vec_id") % stride === 0),
         width = 8, nBands = 1, minCosine = -1.0)
-      .groupBy(floor(col("cosine") * 20).cast("int").as("bucket"))
-      .agg(count(lit(1)).as("n_pairs"))
-      .orderBy(col("bucket")),
+        .groupBy(floor(col("cosine") * 20).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("bucket"))
+    },
     Some(s"""SELECT CAST(floor(cosine * 20) AS INT) AS bucket,
       |       CAST(count(*) AS BIGINT) AS n_pairs
       |FROM (${embedNearDupSql(width = 8, nBands = 1, minCosine = -1.0)})
