@@ -558,36 +558,43 @@ object Dedup {
     * query contract — both engines replay it — so the `exact_dup` tier
     * is hash-checked with real rows at any fixture instead of passing
     * vacuously (the r8 `contamination_spans` lesson). */
-  val savings = OracleQuery(
-    "dedup_savings",
-    (s, d) => {
-      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val corpus = base.unionAll(base.filter(col("doc_id") % 50 === 7)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
-      val nt = corpus.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
-        md5(col("text")).as("fp"))
-      val wf = Window.partitionBy(col("fp"))
-      val ex = nt
-        .withColumn("survivor",
-          (col("doc_id") === min(col("doc_id")).over(wf)).cast("int"))
-      val wk = Window.partitionBy(col("cluster"))
-        .orderBy(col("n_tokens").desc, col("doc_id"))
-      val kb = ccLabels(s, d)
-        .select(col("id").as("doc_id"), col("label").as("cluster"))
-        .join(nt.select(col("doc_id"), col("n_tokens")), "doc_id")
-        .withColumn("kept", (row_number().over(wk) === 1).cast("int"))
-        .select(col("doc_id"), col("kept"))
-      ex.join(kb, Seq("doc_id"), "left")
-        .withColumn("tier",
-          when(col("survivor") === 0, "exact_dup")
-            .when(coalesce(col("kept"), lit(1)) === 0, "near_dup")
-            .otherwise("kept"))
-        .groupBy(col("tier"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-        .orderBy(col("tier"))
-    },
-    Some(s"""$ccLabelsCte,
+  /** The augmented accounting corpus (fixture + deterministic re-crawl
+    * twins) shared by [[savings]] and [[confusion]]. */
+  private def savingsCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    base.unionAll(base.filter(col("doc_id") % 50 === 7)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+  }
+
+  /** (doc_id, n_tokens, tier) over the accounting corpus — the
+    * per-doc cascade both reports aggregate. */
+  private def savingsTiers(s: SparkSession, d: String): DataFrame = {
+    val nt = savingsCorpus(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+      md5(col("text")).as("fp"))
+    val wf = Window.partitionBy(col("fp"))
+    val ex = nt
+      .withColumn("survivor",
+        (col("doc_id") === min(col("doc_id")).over(wf)).cast("int"))
+    val wk = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    val kb = ccLabels(s, d)
+      .select(col("id").as("doc_id"), col("label").as("cluster"))
+      .join(nt.select(col("doc_id"), col("n_tokens")), "doc_id")
+      .withColumn("kept", (row_number().over(wk) === 1).cast("int"))
+      .select(col("doc_id"), col("kept"))
+    ex.join(kb, Seq("doc_id"), "left")
+      .withColumn("tier",
+        when(col("survivor") === 0, "exact_dup")
+          .when(coalesce(col("kept"), lit(1)) === 0, "near_dup")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("n_tokens"), col("tier"))
+  }
+
+  /** DuckDB replay of [[savingsTiers]], ending at `t(doc_id, n_tokens,
+    * tier)` with `corpus` in scope — shared by both report oracles. */
+  private def savingsTierCte: String =
+    s"""$ccLabelsCte,
       |corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -616,10 +623,49 @@ object Dedup {
       |              WHEN COALESCE(kb.kept, 1) = 0 THEN 'near_dup'
       |              ELSE 'kept' END AS tier
       |  FROM ex LEFT JOIN kb USING (doc_id)
-      |)
+      |)""".stripMargin
+
+  val savings = OracleQuery(
+    "dedup_savings",
+    (s, d) => savingsTiers(s, d)
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("tier")),
+    Some(s"""$savingsTierCte
       |SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
       |FROM t GROUP BY tier ORDER BY tier""".stripMargin))
+
+  /** Curation CONFUSION report — the interplay question a pipeline
+    * tuner actually asks: of the docs each dedup tier removes, how
+    * many would the quality cascade have dropped anyway (and what does
+    * dedup remove that quality calls 'ok')? One row per
+    * (quality verdict × dedup tier) with doc and token sums. If the
+    * near-dup tier removes mostly 'ok' docs, dedup is earning its keep;
+    * if it removes what quality already rejects, the pipeline pays two
+    * stages for one effect. Shares [[savingsTiers]] and
+    * [[graft.operators.TextOps.qualitySignals]] verbatim, so the
+    * report can never disagree with the filter or the accounting it
+    * cross-tabulates. Scale shape: the verdict is a map-side struct
+    * over the same corpus scan, one doc_id equi-join, one combinable
+    * rollup to ≤ 12 rows. */
+  val confusion = OracleQuery(
+    "curation_confusion",
+    (s, d) => {
+      val verdicts = savingsCorpus(s, d).select(col("doc_id"),
+        TextOps.qualitySignals.getField("verdict").as("verdict"))
+      savingsTiers(s, d).join(verdicts, "doc_id")
+        .groupBy(col("verdict"), col("tier"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("verdict"), col("tier"))
+    },
+    Some(s"""$savingsTierCte,
+      |qv AS (${TextOps.qualityVerdictSql("corpus")})
+      |SELECT qv.verdict, t.tier, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens
+      |FROM t JOIN qv USING (doc_id)
+      |GROUP BY qv.verdict, t.tier
+      |ORDER BY qv.verdict, t.tier""".stripMargin))
 
   /** LSH RECALL audit — the question every banded-minhash deployment
     * owes an answer: of the TRUE near-dup pairs (exact 2-shingle-set
@@ -1693,7 +1739,7 @@ object Dedup {
 
   val all: Seq[OracleQuery] =
     Seq(exact, minhashSig, minhashLsh, jaccard, clusters, clusterStats,
-      savings, splitLeakageFree, splitLeakageAudit, keepBest, lshRecall,
+      savings, confusion, splitLeakageFree, splitLeakageAudit, keepBest, lshRecall,
       overflowVerify, crosscheck,
       simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans,
       substringExcise, contaminationSpans, incremental, containment)

@@ -737,50 +737,69 @@ object TextOps {
       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
       |ORDER BY doc_id, chunk_idx""".stripMargin))
 
+  /** The C4/Gopher rule cascade as ONE struct Column over `text` —
+    * (n_tokens, dup_ratio, stopword_ratio, verdict) — shared by
+    * [[qualityFilter]] and `curation_confusion` so the rule set cannot
+    * drift between the filter and the reports that cite it. Catalyst's
+    * `SimplifyExtractValueOps` collapses the struct, so consumers pay
+    * only for the fields they select. */
+  private[operators] def qualitySignals: Column = {
+    val g = gramStats
+    val nTok = element_at(g, 1)
+    val n2 = element_at(g, 2)
+    val nUniq = element_at(g, 3)
+    val dupRatio = when(n2 > 0,
+      (n2 - nUniq).cast("double") / n2.cast("double")).otherwise(lit(0.0d))
+    val swRatio = stopwordCount.cast("double") / nTok.cast("double")
+    val verdict = when(nTok < MinTokens, "too_short")
+      .when(dupRatio > MaxDupRatio, "too_repetitive")
+      .when(swRatio < MinStopwordRatio, "low_stopword")
+      .otherwise("ok")
+    struct(nTok.as("n_tokens"), dupRatio.as("dup_ratio"),
+      swRatio.as("stopword_ratio"), verdict.as("verdict"))
+  }
+
+  /** DuckDB twin of [[qualitySignals]]: (doc_id, n_tokens, dup_ratio,
+    * stopword_ratio, verdict) over the docs in `src`. */
+  private[operators] def qualityVerdictSql(src: String): String =
+    s"""SELECT doc_id, n_tokens, dup_ratio, stopword_ratio,
+       |       CASE WHEN n_tokens < $MinTokens THEN 'too_short'
+       |            WHEN dup_ratio > $MaxDupRatio THEN 'too_repetitive'
+       |            WHEN stopword_ratio < $MinStopwordRatio THEN 'low_stopword'
+       |            ELSE 'ok' END AS verdict
+       |FROM (
+       |  SELECT doc_id,
+       |         CAST(len(w) AS BIGINT) AS n_tokens,
+       |         CASE WHEN len(grams) > 0
+       |              THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+       |                   / CAST(len(grams) AS DOUBLE)
+       |              ELSE 0.0 END AS dup_ratio,
+       |         CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE)
+       |           / CAST(len(w) AS DOUBLE) AS stopword_ratio
+       |  FROM (
+       |    SELECT doc_id, w,
+       |           CASE WHEN len(w) >= 2
+       |                THEN list_transform(generate_series(1, len(w) - 1),
+       |                       i -> concat_ws(' ', w[i], w[i+1]))
+       |                ELSE [] END AS grams
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)))""".stripMargin
+
   val qualityFilter = OracleQuery(
     "quality_filter",
     (s, d) => {
-      val g = gramStats
-      val nTok = element_at(g, 1)
-      val n2 = element_at(g, 2)
-      val nUniq = element_at(g, 3)
-      val dupRatio = when(n2 > 0,
-        (n2 - nUniq).cast("double") / n2.cast("double")).otherwise(lit(0.0d))
-      val swRatio = stopwordCount.cast("double") / nTok.cast("double")
-      val verdict = when(nTok < MinTokens, "too_short")
-        .when(dupRatio > MaxDupRatio, "too_repetitive")
-        .when(swRatio < MinStopwordRatio, "low_stopword")
-        .otherwise("ok")
+      val q = qualitySignals
       Tables.documents(s, d)
-        .select(col("doc_id"), nTok.as("n_tokens"), dupRatio.as("dup_ratio"),
-          swRatio.as("stopword_ratio"), verdict.as("verdict"),
-          (verdict === "ok").cast("int").as("keep"))
+        .select(col("doc_id"),
+          q.getField("n_tokens").as("n_tokens"),
+          q.getField("dup_ratio").as("dup_ratio"),
+          q.getField("stopword_ratio").as("stopword_ratio"),
+          q.getField("verdict").as("verdict"),
+          (q.getField("verdict") === "ok").cast("int").as("keep"))
         .orderBy(col("doc_id"))
     },
     Some(s"""SELECT doc_id, n_tokens, dup_ratio, stopword_ratio, verdict,
       |       CAST(verdict = 'ok' AS INT) AS keep
-      |FROM (
-      |  SELECT doc_id, n_tokens, dup_ratio, stopword_ratio,
-      |         CASE WHEN n_tokens < $MinTokens THEN 'too_short'
-      |              WHEN dup_ratio > $MaxDupRatio THEN 'too_repetitive'
-      |              WHEN stopword_ratio < $MinStopwordRatio THEN 'low_stopword'
-      |              ELSE 'ok' END AS verdict
-      |  FROM (
-      |    SELECT doc_id,
-      |           CAST(len(w) AS BIGINT) AS n_tokens,
-      |           CASE WHEN len(grams) > 0
-      |                THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
-      |                     / CAST(len(grams) AS DOUBLE)
-      |                ELSE 0.0 END AS dup_ratio,
-      |           CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE)
-      |             / CAST(len(w) AS DOUBLE) AS stopword_ratio
-      |    FROM (
-      |      SELECT doc_id, w,
-      |             CASE WHEN len(w) >= 2
-      |                  THEN list_transform(generate_series(1, len(w) - 1),
-      |                         i -> concat_ws(' ', w[i], w[i+1]))
-      |                  ELSE [] END AS grams
-      |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))))
+      |FROM (${qualityVerdictSql("documents")})
       |ORDER BY doc_id""".stripMargin))
 
   /** Per-document distinctive keywords — TF-IDF's decision with NONE of
