@@ -512,6 +512,57 @@ object Dedup {
       |UNION ALL SELECT 'doc_hash', n_pairs, cross_doc FROM agg
       |ORDER BY strategy""".stripMargin))
 
+  /** Corpus summary — the DATASET-CARD numbers every published corpus
+    * ships (docs, tokens, language/source breadth, quality pass count,
+    * exact- and near-duplicate counts), computed in ONE pass and
+    * hash-checked: each figure replays through the same cascade that
+    * produces it elsewhere in the suite ([[TextOps.qualitySignals]],
+    * the md5 survivor window, the shared CC labels), so the card can
+    * never disagree with the operators it summarizes. The exact-dup
+    * count is computed over the REAL corpus (no twins — a dataset card
+    * states facts about the data as it is; the fixture's honest answer
+    * is 0). Scale shape: map-side signals, one md5 window shuffle, one
+    * label join, then combinable aggregates to a single row (the two
+    * countDistincts expand over tiny key spaces). */
+  val corpusSummary = OracleQuery(
+    "corpus_summary",
+    (s, d) => {
+      val q = TextOps.qualitySignals
+      val wf = Window.partitionBy(md5(col("text")))
+      val labels = ccLabels(s, d)
+        .select(col("id").as("doc_id"), lit(1).as("in_cluster"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          q.getField("n_tokens").as("n_tokens"),
+          q.getField("verdict").as("verdict"))
+        .withColumn("survivor",
+          (col("doc_id") === min(col("doc_id")).over(wf)).cast("int"))
+        .join(labels, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum((col("verdict") === "ok").cast("long")).as("quality_ok_docs"),
+          sum((lit(1) - col("survivor")).cast("long")).as("exact_dup_docs"),
+          sum(coalesce(col("in_cluster"), lit(0)).cast("long")).as("near_dup_docs"))
+    },
+    Some(s"""$ccLabelsCte,
+      |qv AS (${TextOps.qualityVerdictSql("documents")}),
+      |base AS (
+      |  SELECT d.doc_id, d.lang, d.source, qv.n_tokens, qv.verdict,
+      |         CAST(d.doc_id = min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS INT) AS survivor,
+      |         CAST(l.doc_id IS NOT NULL AS INT) AS in_cluster
+      |  FROM documents d JOIN qv USING (doc_id)
+      |  LEFT JOIN cclabels l ON l.doc_id = d.doc_id
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |       CAST(sum(CASE WHEN verdict = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS quality_ok_docs,
+      |       CAST(sum(1 - survivor) AS BIGINT) AS exact_dup_docs,
+      |       CAST(sum(in_cluster) AS BIGINT) AS near_dup_docs
+      |FROM base""".stripMargin))
+
   /** Cluster-size distribution — the report every dedup deployment
     * reads before trusting its clusters: one row per observed cluster
     * size with how many clusters have it, how many docs they hold, and
@@ -1739,7 +1790,7 @@ object Dedup {
 
   val all: Seq[OracleQuery] =
     Seq(exact, minhashSig, minhashLsh, jaccard, clusters, clusterStats,
-      savings, confusion, splitLeakageFree, splitLeakageAudit, keepBest, lshRecall,
+      savings, confusion, corpusSummary, splitLeakageFree, splitLeakageAudit, keepBest, lshRecall,
       overflowVerify, crosscheck,
       simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans,
       substringExcise, contaminationSpans, incremental, containment)

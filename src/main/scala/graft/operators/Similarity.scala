@@ -1122,9 +1122,74 @@ object Similarity {
       |  FROM cl)
       |WHERE rn = 1 ORDER BY cid""".stripMargin))
 
+  /** Embedding OUTLIER audit — the per-group quality check an embedding
+    * corpus owes its labels: for each label, the 3 members FARTHEST
+    * from the label's centroid (lowest cosine) — mislabeled, corrupt,
+    * or genuinely novel rows, surfaced for review. The centroid is the
+    * Lloyd-update mean: int8-quantized coordinates summed exactly
+    * (integer addition is order-independent, so the centroid — and the
+    * hash — cannot depend on partitioning), one double division per
+    * dimension, cast to float. Scale shape: one combinable
+    * (label, Σcodes) aggregate, a broadcast |labels|-row centroid
+    * frame, exact cosine map-side, and the per-label bottom-k runs the
+    * same SALTED two-phase rank as `sim_hard_negatives` — no reducer
+    * sees more than ~n/64 of a label's members. */
+  val embedOutliers = OracleQuery(
+    "sim_embed_outliers",
+    (s, d) => {
+      val emb = embWithCodes(s, d)
+        .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+      val aggs = count(lit(1)).as("cnt") +:
+        (1 to Dim).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
+      val sums = emb.groupBy(col("label")).agg(aggs.head, aggs.tail: _*)
+      val cent = sums.select(col("label"),
+        array((1 to Dim).map(i =>
+          (col(s"s$i") / (lit(127.0) * col("cnt"))).cast("float")): _*).as("ce"))
+        .withColumn("cn", DetMath.normCol(col("ce"), Dim))
+      val wSalt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label"), col("salt"))
+        .orderBy(col("cosine"), col("vec_id"))
+      val wL = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("cosine"), col("vec_id"))
+      emb.join(broadcast(cent), "label")
+        .withColumn("cosine", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("ce"), Dim), col("nrm"), col("cn")))
+        .withColumn("salt", pmod(crc32(col("vec_id").cast("string")), lit(64)))
+        .withColumn("rs", row_number().over(wSalt)).filter(col("rs") <= 3)
+        .withColumn("rank", row_number().over(wL)).filter(col("rank") <= 3)
+        .select(col("label"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy(col("label"), col("rank"))
+    },
+    Some {
+      val quantSql =
+        "list_transform(embedding, v -> CAST(floor(greatest(-1.0, least(1.0, " +
+          "CAST(v AS DOUBLE))) * 127.0 + 0.5) AS INT))"
+      val dims = (1 to Dim).map(i =>
+        s"CAST(CAST(SUM(codes[$i]) AS DOUBLE) / (127.0 * COUNT(*)) AS REAL)")
+        .mkString(", ")
+      s"""WITH e AS (
+        |  SELECT vec_id, label, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm,
+        |         $quantSql AS codes
+        |  FROM embeddings
+        |), cs AS (
+        |  SELECT label, [$dims] AS ce FROM e GROUP BY label
+        |), c AS (
+        |  SELECT label, ce, ${DetMath.normSql("ce", Dim)} AS cn FROM cs
+        |), sc AS (
+        |  SELECT e.label, e.vec_id,
+        |    ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "c.ce", Dim), "e.nrm", "c.cn")} AS cosine
+        |  FROM e JOIN c USING (label)
+        |)
+        |SELECT label, rank, vec_id, cosine FROM (
+        |  SELECT label, vec_id, cosine,
+        |         row_number() OVER (PARTITION BY label ORDER BY cosine, vec_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 3 ORDER BY label, rank""".stripMargin
+    })
+
   val all: Seq[OracleQuery] =
     Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, embedNearDupRandomQ,
       ivfProbe, ivfProbe2, ivfKmeans, dedupEmbeddingIvf, dedupSemantic,
       binaryTopk, matryoshkaQ, embedQuantize, hardNegatives, embedCalibration,
-      clusterPurity)
+      clusterPurity, embedOutliers)
 }
