@@ -68,11 +68,19 @@ class PqSpec extends SparkSpec {
     // silently stop the Verify-side omission) and its SQL must be the
     // fixture shape the omission exists for (c0/c1 columns)
     val listed = Pq.GeometryDependentOracles ++ Similarity.GeometryDependentOracles
+    // listed for a different invalid-at-scale reason: the Spark side
+    // SAMPLES above CalibSampleCap, so the unsampled oracle SQL stops
+    // describing the plan — registered, but not Lloyd/PQ fixture-shaped
+    val sampleDependent = Set("dedup_embedding_calibration")
     for (name <- listed) {
       val sql = SparkEntry.oracleSql.get(name)
       assert(sql.nonEmpty, s"$name not in SparkEntry.oracleSql")
-      assert(sql.get.contains("c0"), s"$name oracle no longer fixture-shaped")
+      if (!sampleDependent(name))
+        assert(sql.get.contains("c0"), s"$name oracle no longer fixture-shaped")
     }
+    // the sample cap must not undercut the fixture threshold, or a gate
+    // corpus could sample (stride > 1) while its oracle still runs
+    assert(Similarity.CalibSampleCap >= Similarity.ProdMinVectors)
     // reverse direction: every REGISTERED oracle whose SQL embeds the
     // fixture chains (the seed-centroid CTE "c0 AS (" of the Lloyd
     // replay, or PQ's c0/c1 code columns via "AS c0") must be listed —
