@@ -997,15 +997,120 @@ object TimeSeries {
       |         / CAST(max(nt) - min(tus) AS DOUBLE) AS uptime_ratio,
       |       CAST(sum(CASE WHEN nt - tus > $LivenessUs THEN 1 ELSE 0 END)
       |            AS BIGINT) AS n_outages
-      |FROM (
-      |  SELECT entity_id, epoch_us(time) AS tus,
-      |         lead(epoch_us(time), 1) OVER (
-      |           PARTITION BY entity_id
-      |           ORDER BY time, CAST(state AS DECIMAL(12,2))) AS nt
-      |  FROM base WHERE split_part(entity_id, '.', 1) = 'signup')
+      |FROM (${gapChainSql("signup")})
       |WHERE nt IS NOT NULL
       |GROUP BY entity_id
       |ORDER BY entity_id""".stripMargin))
+
+  /** The heartbeat gap construction as DuckDB SQL (entity_id, tus, nt
+    * over one domain's observations) — shared by [[heartbeatQ]] and
+    * [[sloQ]] so the liveness reading cannot drift between the uptime
+    * rollup and the budget report built on it. */
+  private def gapChainSql(domain: String): String =
+    s"""SELECT entity_id, epoch_us(time) AS tus,
+       |       lead(epoch_us(time), 1) OVER (
+       |         PARTITION BY entity_id
+       |         ORDER BY time, CAST(state AS DECIMAL(12,2))) AS nt
+       |FROM base WHERE split_part(entity_id, '.', 1) = '$domain'""".stripMargin
+
+  /** SLO / error-budget report — the panel an uptime dashboard actually
+    * renders from the heartbeat rollup: per entity, the observed span,
+    * up/down time, and the REMAINING ERROR BUDGET against a 90% uptime
+    * target — all-integer µs arithmetic (allowed = span div 10; the
+    * met/missed verdict is the cross-multiplied integer compare
+    * downtime·10 ≤ span, so no ratio ever forms). Composes the same
+    * [[heartbeat]] frame as `ltss_heartbeat` — one window + one
+    * combinable aggregate per entity — and adds only map-side
+    * arithmetic on the |entities|-row rollup. */
+  val SloDen = 10L
+  val sloQ = OracleQuery(
+    "ltss_slo",
+    (s, d) => {
+      val l = Queries.ltss(s, d)
+        .filter(split(col("entity_id"), "\\.").getItem(0) === "purchase")
+      heartbeat(l, LivenessUs)
+        .select(col("entity_id"), col("span_us"), col("uptime_us"),
+          col("downtime_us"), col("n_outages"))
+        .withColumn("allowed_down_us", expr(s"span_us div $SloDen"))
+        .withColumn("budget_remaining_us",
+          col("allowed_down_us") - col("downtime_us"))
+        .withColumn("slo_met",
+          (col("downtime_us") * SloDen <= col("span_us")).cast("int"))
+        .orderBy(col("entity_id"))
+    },
+    Some(s"""$ltssBase
+      |SELECT entity_id, span_us, uptime_us, downtime_us, n_outages,
+      |       span_us // $SloDen AS allowed_down_us,
+      |       span_us // $SloDen - downtime_us AS budget_remaining_us,
+      |       CAST(downtime_us * $SloDen <= span_us AS INT) AS slo_met
+      |FROM (
+      |  SELECT entity_id,
+      |         CAST(max(nt) - min(tus) AS BIGINT) AS span_us,
+      |         CAST(sum(least(nt - tus, $LivenessUs)) AS BIGINT) AS uptime_us,
+      |         CAST((max(nt) - min(tus)) - sum(least(nt - tus, $LivenessUs))
+      |              AS BIGINT) AS downtime_us,
+      |         CAST(sum(CASE WHEN nt - tus > $LivenessUs THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_outages
+      |  FROM (${gapChainSql("purchase")})
+      |  WHERE nt IS NOT NULL
+      |  GROUP BY entity_id)
+      |ORDER BY entity_id""".stripMargin))
+
+  /** Domain-level state-transition MATRIX (the Markov view of the state
+    * stream): per (domain, from_class, to_class) — same low/mid/high
+    * classes as `ltss_state_agg` — the transition count, the from-class
+    * row total, and the empirical transition probability (two exact
+    * BIGINTs through ONE IEEE division). The diagonal is kept:
+    * self-transitions are what distinguish a sticky state from a
+    * flapping one. Scale shape: one per-entity lag window (the
+    * `ltss_transitions` class), then a combinable count to a
+    * ≤ |domains|·9-row frame — the row totals are a window over THAT
+    * frame, never the raw stream. */
+  val markovQ = OracleQuery(
+    "ltss_markov",
+    (s, d) => {
+      val w = Window.partitionBy(col("entity_id")).orderBy(col("time"), col("sv"))
+      val wf = Window.partitionBy(col("domain"), col("from_class"))
+      Queries.ltss(s, d)
+        .withColumn("sv", col("state").cast("decimal(12,2)"))
+        .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+        .withColumn("cls",
+          when(col("sv").isNull, lit("high"))
+            .when(col("sv") < 20, lit("low"))
+            .when(col("sv") < 60, lit("mid"))
+            .otherwise(lit("high")))
+        .withColumn("from_class", lag(col("cls"), 1).over(w))
+        .filter(col("from_class").isNotNull)
+        .groupBy(col("domain"), col("from_class"), col("cls"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(wf))
+        .select(col("domain"), col("from_class"), col("cls").as("to_class"),
+          col("n"), col("total"),
+          (col("n").cast("double") / col("total").cast("double")).as("prob"))
+        .orderBy(col("domain"), col("from_class"), col("to_class"))
+    },
+    Some(s"""$ltssBase
+      |SELECT domain, from_class, to_class, n, total,
+      |       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS prob
+      |FROM (
+      |  SELECT domain, from_class, to_class,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(count(*)) OVER (PARTITION BY domain, from_class)
+      |              AS BIGINT) AS total
+      |  FROM (
+      |    SELECT split_part(entity_id, '.', 1) AS domain,
+      |           lag(cls) OVER (PARTITION BY entity_id
+      |                          ORDER BY time, sv) AS from_class,
+      |           cls AS to_class
+      |    FROM (
+      |      SELECT entity_id, time, CAST(state AS DECIMAL(12,2)) AS sv,
+      |             CASE WHEN CAST(state AS DECIMAL(12,2)) < 20 THEN 'low'
+      |                  WHEN CAST(state AS DECIMAL(12,2)) < 60 THEN 'mid'
+      |                  ELSE 'high' END AS cls
+      |      FROM base))
+      |  WHERE from_class IS NOT NULL
+      |  GROUP BY domain, from_class, to_class)
+      |ORDER BY domain, from_class, to_class""".stripMargin))
 
   val rateAnomalyQ = OracleQuery(
     "ltss_rate_anomaly",
@@ -1077,6 +1182,6 @@ object TimeSeries {
 
   val all: Seq[OracleQuery] =
     Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
-      lttbGridQ, stateAggQ, stateTimelineQ, interpTwaQ, heartbeatQ, rateAnomalyQ,
-      movingAvgQ, caggQ, trendQ)
+      lttbGridQ, stateAggQ, stateTimelineQ, interpTwaQ, heartbeatQ, sloQ,
+      markovQ, rateAnomalyQ, movingAvgQ, caggQ, trendQ)
 }
