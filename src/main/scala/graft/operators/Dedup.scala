@@ -718,16 +718,114 @@ object Dedup {
       |GROUP BY qv.verdict, t.tier
       |ORDER BY qv.verdict, t.tier""".stripMargin))
 
+  /** EXACT all-pairs Jaccard join over a distinct `(doc_id, fp)` element
+    * frame: every pair with Jaccard ≥ p/q, by AllPairs/SSJoin PREFIX
+    * FILTERING (Bayardo, Ma & Srikant, WWW 2007; Chaudhuri, Ganti &
+    * Kaushik, ICDE 2006) instead of the naive inverted join.
+    *
+    * The naive plan pairs every two docs sharing ANY element, so one
+    * boilerplate shingle held by m docs fans out m² pair rows — the
+    * quadratic hot-group term that dominates at corpus scale. Prefix
+    * filtering is the standard LOSSLESS cut: order each doc's elements
+    * by a global total order (ascending document frequency, ties by fp —
+    * rarest first) and join only each doc's first n − ⌈(p/q)·n⌉ + 1
+    * elements. Any pair with J ≥ p/q shares ≥ ⌈(p/q)·n⌉ elements of
+    * either side, and two sets sharing that much MUST collide inside
+    * these prefixes (suffix of either side holds < the required overlap),
+    * so no qualifying pair is lost — while the hot common shingles live
+    * in every doc's SUFFIX and never generate a candidate. The length
+    * filter (q·n_a ≥ p·n_b both ways, implied by I ≤ min) prunes
+    * mismatched-size candidates before the verify. Exact intersections
+    * are then counted ONLY for surviving candidates (join the candidate
+    * ids back to the full element frame), and the τ decision stays the
+    * all-integer cross-multiplication (p+q)·I ≥ p·(n_a+n_b).
+    * Completeness vs the naive join is property-pinned by
+    * `PrefixFilterSpec`; the DuckDB oracles keep the naive join (the
+    * filter is lossless, so both plans answer identically).
+    *
+    * REGIME (measured, r10): prefix+verify costs Σ_cand (n̄_a) verify
+    * rows; the inverted count join costs Σ_fp df². On a Zipf-vocabulary
+    * corpus the rarest-first prefixes make candidates scarce and this
+    * wins by orders of magnitude; on the synthetic fixtures' ~900-bigram
+    * universe EVERY shingle is hot, candidates approach all same-size
+    * pairs, and the verify leg (~70 M rows at sf0.1) loses to the
+    * inverted count join (~9 M pair rows) — so [[lshRecall]]'s ground
+    * truth keeps the count-join form while this operator ships the
+    * large-vocabulary shape as `dedup_allpairs`. */
+  private[graft] def exactJaccardPairs(sh: DataFrame, p: Int, q: Int): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val dfCnt = sh.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("dfc"), col("fp"))
+    val prefix = sh.join(dfCnt, "fp").join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <= col("nsh") - expr(s"(nsh * $p + ${q - 1}) div $q") + 1)
+      .select(col("doc_id"), col("fp"), col("nsh"))
+    val cand = prefix.toDF("a_id", "fp", "na")
+      .join(prefix.toDF("b_id", "fp", "nb"), "fp")
+      .filter(col("a_id") < col("b_id") &&
+        col("na") * q >= col("nb") * p && col("nb") * q >= col("na") * p)
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(sh.toDF("a_id", "fp"), "a_id")
+      .join(sh.toDF("b_id", "fp"), Seq("b_id", "fp"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.toDF("a_id", "na")), "a_id")
+      .join(broadcast(sizes.toDF("b_id", "nb")), "b_id")
+      .filter(col("inter") * (p + q) >= (col("na") + col("nb")) * p)
+      .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"))
+  }
+
+  /** Distinct `(doc_id, fp)` 2-shingle element frame over a
+    * deterministic md5 doc sample (`bound` = exclusive upper hex digit:
+    * "8" → half-sample, "2" → eighth-sample). PERSISTED via
+    * [[graft.CachedFrames]]: the consumers scan it 2–5× (sizes, df
+    * table, both join legs), and re-deriving the explode+distinct per
+    * scan was measured at ~4× the whole join cost (r10). */
+  private def sampleShingleFrame(s: SparkSession, d: String, bound: String): DataFrame =
+    graft.CachedFrames.getOrBuild(
+      s"sample_shingles$bound|${graft.CachedFrames.sessionKey(s)}|$d") {
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      val sh2 = columnOf(graft.functions.ShinglesK(expressionOf(col("text")), 2))
+      Tables.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < bound)
+        .select(col("doc_id"), explode(array_distinct(sh2)).as("sh"))
+        .select(col("doc_id"),
+          columnOf(graft.functions.Md5Prefix64(expressionOf(col("sh")))).as("fp"))
+        .distinct()
+    }
+
+  /** Exact Jaccard ≥ p/q pairs by the INVERTED COUNT JOIN — the
+    * hot-vocabulary sibling of [[exactJaccardPairs]] (see its REGIME
+    * note): one fp equi-join with the lossless length filter
+    * (q·n_a ≥ p·n_b both ways) applied IN the join, one combinable
+    * pair-count aggregation, the integer cross-multiplied τ decision.
+    * `shuffle_hash` hints pin the join off the sort-merge path — the
+    * hot fp groups make SMJ buffer quadratically per group. */
+  private[graft] def invertedCountPairs(sh: DataFrame, p: Int, q: Int): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val shs = sh.join(sizes, "doc_id")
+    shs.toDF("a_id", "fp", "na").hint("shuffle_hash")
+      .join(shs.toDF("b_id", "fp", "nb").hint("shuffle_hash"), "fp")
+      .filter(col("a_id") < col("b_id") &&
+        col("na") * q >= col("nb") * p && col("nb") * q >= col("na") * p)
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .filter(col("inter") * (p + q) >= (col("na") + col("nb")) * p)
+      .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"))
+  }
+
   /** LSH RECALL audit — the question every banded-minhash deployment
     * owes an answer: of the TRUE near-dup pairs (exact 2-shingle-set
     * Jaccard ≥ 0.5, the same shingle family the minhash signature
     * sketches), how many does the banded candidate tier actually
     * surface? A deterministic md5 half-sample of the corpus bounds the
     * audit's cost (the sample rate is the knob — at 100 TB this runs at
-    * a far smaller rate, same plan); within the sample, true pairs come
-    * from the shingle-fp inverted join (pairs sharing ≥ 1 shingle —
-    * pairs sharing none have Jaccard 0 and cannot be true), sizes and
-    * intersections stay BIGINTs, and the τ = 0.5 decision is the exact
+    * a far smaller rate, same plan); within the sample, the ground
+    * truth comes from [[invertedCountPairs]] — the inverted count join
+    * with the lossless length filter, the right exact-all-pairs plan for
+    * this corpus's hot vocabulary (see [[exactJaccardPairs]]'s REGIME
+    * note for the measured tradeoff) — with sizes and
+    * intersections as BIGINTs and the τ = 0.5 decision the exact
     * integer cross-multiplication 3·|A∩B| ≥ |A|+|B|. Shingles reduce to
     * the same 60-bit md5-prefix longs as `source_overlap` (bijective
     * with the oracle's hex prefix — collision-consistent counts). Each
@@ -737,21 +835,7 @@ object Dedup {
   val lshRecall = OracleQuery(
     "dedup_lsh_recall",
     (s, d) => {
-      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
-      val sh2 = columnOf(graft.functions.ShinglesK(expressionOf(col("text")), 2))
-      val sh = Tables.documents(s, d)
-        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
-        .select(col("doc_id"), explode(array_distinct(sh2)).as("sh"))
-        .select(col("doc_id"),
-          columnOf(graft.functions.Md5Prefix64(expressionOf(col("sh")))).as("fp"))
-        .distinct()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val truePairs = sh.toDF("a_id", "fp").join(sh.toDF("b_id", "fp"), "fp")
-        .filter(col("a_id") < col("b_id"))
-        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
-        .join(broadcast(sizes.toDF("a_id", "na")), "a_id")
-        .join(broadcast(sizes.toDF("b_id", "nb")), "b_id")
-        .filter(lit(3L) * col("inter") >= col("na") + col("nb"))
+      val truePairs = invertedCountPairs(sampleShingleFrame(s, d, "8"), 1, 2)
       val cand = lshPairFrame(s, d)
         .select(col("a_id"), col("b_id"), lit(1).as("c"))
       truePairs.join(cand, Seq("a_id", "b_id"), "left")
@@ -787,6 +871,75 @@ object Dedup {
       |       CAST(cand.a_id IS NOT NULL AS INT) AS caught
       |FROM tp LEFT JOIN cand ON cand.a_id = tp.a_id AND cand.b_id = tp.b_id
       |ORDER BY tp.a_id, tp.b_id""".stripMargin))
+
+  /** EXACT all-pairs similarity join (AllPairs / SSJoin) shipped as a
+    * first-class operator: every pair with 2-shingle-set Jaccard ≥ 0.5
+    * over a deterministic md5 eighth-sample, with the exact similarity
+    * reported per pair. This is [[exactJaccardPairs]] — candidate
+    * generation by rarest-first PREFIX filtering plus the length filter,
+    * then exact verification of candidates only — i.e. the
+    * large-vocabulary exact-join shape (Bayardo et al., WWW 2007) that
+    * LSH replaces only when approximation is acceptable. The sample rate
+    * is the cost knob exactly as in [[lshRecall]]; the oracle runs the
+    * naive inverted join, so the hash gate PROVES the prefix cut
+    * lossless on real data (and `PrefixFilterSpec` pins it on random
+    * corpora). jaccard = inter/(na+nb−inter), exact BIGINTs through one
+    * closing IEEE division.
+    *
+    * The sampled corpus is augmented with deterministic NEAR-DUP TWINS
+    * (every 4th sampled doc re-appears one token longer — the
+    * `dedup_savings` re-crawl-twin device): appending one token to an
+    * n-token doc adds exactly one 2-shingle, so J = (n−1)/n ≥ 0.5 and
+    * the pair qualifies, guaranteeing the sf0.01 gate hash-checks REAL
+    * surviving pairs (never a vacuous 0-row pass). Both engines replay
+    * the augmentation, so it is part of the query contract. */
+  val allPairs = OracleQuery(
+    "dedup_allpairs",
+    (s, d) => {
+      val shFrame = graft.CachedFrames.getOrBuild(
+        s"allpairs_shingles|${graft.CachedFrames.sessionKey(s)}|$d") {
+        import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+        val samp = Tables.documents(s, d)
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "2")
+          .select(col("doc_id"), col("text"))
+        val corpus = samp.unionAll(samp.filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            concat(col("text"), lit(" twin")).as("text")))
+        val sh2 = columnOf(graft.functions.ShinglesK(expressionOf(col("text")), 2))
+        corpus
+          .select(col("doc_id"), explode(array_distinct(sh2)).as("sh"))
+          .select(col("doc_id"),
+            columnOf(graft.functions.Md5Prefix64(expressionOf(col("sh")))).as("fp"))
+          .distinct()
+      }
+      exactJaccardPairs(shFrame, 1, 2)
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+      |), samp AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, text || ' twin' FROM base WHERE doc_id % 4 = 1
+      |), ssh AS (
+      |  SELECT DISTINCT doc_id, substring(md5(sh), 1, 15) AS fp FROM (
+      |    SELECT doc_id, unnest(list_distinct($shingles2Sql)) AS sh FROM samp)
+      |), sz AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM ssh GROUP BY doc_id
+      |), iv AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS inter
+      |  FROM ssh a JOIN ssh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT iv.a_id, iv.b_id, iv.inter, sa.nsh AS na, sb.nsh AS nb,
+      |       CAST(iv.inter AS DOUBLE) / (sa.nsh + sb.nsh - iv.inter) AS jaccard
+      |FROM iv JOIN sz sa ON sa.doc_id = iv.a_id
+      |        JOIN sz sb ON sb.doc_id = iv.b_id
+      |WHERE 3 * iv.inter >= sa.nsh + sb.nsh
+      |ORDER BY iv.a_id, iv.b_id""".stripMargin))
 
   /** Quality-aware canonical selection — the keep policy a curation
     * pipeline actually ships: within each near-dup cluster keep the
@@ -1791,6 +1944,7 @@ object Dedup {
   val all: Seq[OracleQuery] =
     Seq(exact, minhashSig, minhashLsh, jaccard, clusters, clusterStats,
       savings, confusion, corpusSummary, splitLeakageFree, splitLeakageAudit, keepBest, lshRecall,
+      allPairs,
       overflowVerify, crosscheck,
       simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans,
       substringExcise, contaminationSpans, incremental, containment)
