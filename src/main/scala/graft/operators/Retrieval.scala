@@ -527,6 +527,48 @@ object Retrieval {
        |FROM dw JOIN wtok USING (word)
        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin))
 
+  /** Tokenizer FERTILITY per language — BPE tokens emitted per
+    * whitespace word, the first number a multilingual tokenizer report
+    * states (a language the merges underserve pays its training budget
+    * in fragments). Reuses the trained-and-cached [[bpeWordTokens]]
+    * table, so this is ONE more rollup over frames that already exist:
+    * the (lang, word) counts aggregate combinably, join the
+    * vocabulary-bounded token table, and collapse to |langs| rows;
+    * fertility is two exact BIGINTs through one IEEE division. The
+    * oracle replays training AND application through the same
+    * [[bpeSqlChain]] as the other BPE rows. */
+  val tokenizerFertility = OracleQuery(
+    "tokenizer_fertility",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+        .join(bpeWordTokens(s, d), "word")
+        .groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("n_tok")).as("n_bpe_tokens"))
+        .withColumn("fertility",
+          col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""$bpeSqlChain,
+       |wtok AS (
+       |  SELECT word, CAST(len(syms) AS BIGINT) AS n_tok FROM s3
+       |),
+       |lw AS (
+       |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+       |  ) WHERE word <> '' GROUP BY lang, word
+       |)
+       |SELECT lang, CAST(sum(lw.cnt) AS BIGINT) AS n_words,
+       |       CAST(sum(lw.cnt * wtok.n_tok) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(sum(lw.cnt * wtok.n_tok) AS DOUBLE)
+       |         / CAST(sum(lw.cnt) AS DOUBLE) AS fertility
+       |FROM lw JOIN wtok USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[OracleQuery] =
-    Seq(textBm25, textRrfHybrid, textRank, bpeMerges, docTokenizeBpe)
+    Seq(textBm25, textRrfHybrid, textRank, bpeMerges, docTokenizeBpe,
+      tokenizerFertility)
 }

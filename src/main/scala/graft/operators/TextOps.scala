@@ -847,9 +847,149 @@ object TextOps {
       |WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin))
 
+  /** Lexical DIVERSITY per document: type-token ratio and the
+    * Gini–Simpson index 1 − Σc²/n² — the repeated-token quality axis
+    * with EXACT arithmetic where Shannon entropy would drag in libm
+    * logs and break bit-parity. A word-salad spammer repeating ten
+    * tokens scores near its TTR floor; Simpson additionally weights by
+    * how unevenly the repeats concentrate. Counts stay BIGINTs through
+    * one (doc, token) combinable aggregate and a per-doc rollup;
+    * ttr = distinct/total and simpson = 1 − ss/n² are each one IEEE
+    * chain over exact integers, identical on both engines. */
+  val docDiversity = OracleQuery(
+    "doc_diversity",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+            .as("ttr"),
+          (lit(1.0) - col("ss").cast("double") /
+            (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, n_tokens, n_distinct,
+      |       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+      |       1.0 - CAST(ss AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE) AS simpson
+      |FROM (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_distinct,
+      |         CAST(sum(c * c) AS BIGINT) AS ss
+      |  FROM (
+      |    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |    GROUP BY doc_id, tok)
+      |  GROUP BY doc_id)
+      |ORDER BY doc_id""".stripMargin))
+
+  /** Zipf-conformance audit of the corpus vocabulary — the dataset-card
+    * sanity panel: natural language keeps rank·frequency roughly
+    * constant (Zipf's law), so a flat ratio_to_top column says the
+    * corpus looks organic while a cliff betrays template spam or a
+    * truncated vocabulary. Everything is integer (rank, freq, their
+    * product) except the one closing division against the top token's
+    * frequency; ranks tie-break by token so the audit is total-order
+    * deterministic. The vocabulary count is the `vocab_topk` shuffle;
+    * the ranking then runs on a 30-row frame. */
+  val corpusZipf = OracleQuery(
+    "corpus_zipf",
+    (s, d) => {
+      val top = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(30)
+      val w = Window.orderBy(col("freq").desc, col("token"))
+      val wAll = Window.partitionBy(lit(1))
+      top
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("rank_freq", col("rank") * col("freq"))
+        .withColumn("ratio_to_top",
+          col("rank_freq").cast("double") / max(col("freq")).over(wAll).cast("double"))
+        .orderBy(col("rank"))
+    },
+    Some("""SELECT CAST(rank AS BIGINT) AS rank, token, freq,
+      |       CAST(rank * freq AS BIGINT) AS rank_freq,
+      |       CAST(rank * freq AS DOUBLE) / CAST(max(freq) OVER () AS DOUBLE)
+      |         AS ratio_to_top
+      |FROM (
+      |  SELECT token, freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+      |  FROM (
+      |    SELECT token, CAST(count(*) AS BIGINT) AS freq
+      |    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |    GROUP BY token
+      |    ORDER BY freq DESC, token
+      |    LIMIT 30))
+      |ORDER BY rank""".stripMargin))
+
+  /** Pairwise TOTAL-VARIATION DISTANCE between per-source unigram
+    * distributions — the drift/diversity matrix a mixture designer reads
+    * next to `source_overlap`'s shingle Jaccard: overlap asks "do these
+    * sources share text", TVD asks "do they speak the same
+    * distribution" (two disjoint crawls of the same register score near
+    * 0 here and 0 there). TVD = ½ Σ_w |p_w − q_w| stays EXACT until one
+    * closing division: over the shared vocabulary the summand is
+    * |c_a·N_b − c_b·N_a| (BIGINT products), and each side's
+    * distribution mass on its PRIVATE vocabulary folds in closed form —
+    * (N_a − Σ_shared c_a)·N_b and symmetrically — so no outer join and
+    * no zero-fill rows ever materialize. One (source, token) combinable
+    * count, a token equi-join bounded per token by |sources|², and a
+    * |sources|²-row output. */
+  val sourceDivergence = OracleQuery(
+    "source_divergence",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      counts.toDF("source_a", "tok", "ca")
+        .join(counts.toDF("source_b", "tok", "cb"), "tok")
+        .filter(col("source_a") < col("source_b"))
+        .join(broadcast(totals.toDF("source_a", "na")), "source_a")
+        .join(broadcast(totals.toDF("source_b", "nb")), "source_b")
+        .groupBy(col("source_a"), col("source_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("shared_tokens"),
+          sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("num_shared"),
+          sum(col("ca")).as("ca_shared"),
+          sum(col("cb")).as("cb_shared"))
+        .select(col("source_a"), col("source_b"), col("shared_tokens"),
+          ((col("num_shared") +
+            (col("na") - col("ca_shared")) * col("nb") +
+            (col("nb") - col("cb_shared")) * col("na")).cast("double") /
+            (lit(2L) * col("na") * col("nb")).cast("double")).as("tvd"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some("""WITH counts AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY source, tok
+      |), totals AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY source
+      |)
+      |SELECT source_a, source_b, shared_tokens,
+      |       CAST(num_shared + (na - ca_shared) * nb + (nb - cb_shared) * na
+      |            AS DOUBLE) / CAST(2 * na * nb AS DOUBLE) AS tvd
+      |FROM (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         ta.n AS na, tb.n AS nb,
+      |         CAST(count(*) AS BIGINT) AS shared_tokens,
+      |         CAST(sum(abs(a.c * tb.n - b.c * ta.n)) AS BIGINT) AS num_shared,
+      |         CAST(sum(a.c) AS BIGINT) AS ca_shared,
+      |         CAST(sum(b.c) AS BIGINT) AS cb_shared
+      |  FROM counts a
+      |  JOIN counts b ON b.tok = a.tok AND a.source < b.source
+      |  JOIN totals ta ON ta.source = a.source
+      |  JOIN totals tb ON tb.source = b.source
+      |  GROUP BY 1, 2, 3, 4)
+      |ORDER BY source_a, source_b""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(textStats, langId, tokenCount, fingerprint, simhash, textClean,
       vocabTopk, urlStats, urlCanonical, textRedact, contamination, contaminationBloom,
       repetition, qualityFilter, docCommonness, docCoherence, textSearch, docChunks,
-      docKeywords)
+      docKeywords, docDiversity, corpusZipf, sourceDivergence)
 }

@@ -1180,8 +1180,219 @@ object TimeSeries {
       |GROUP BY entity_id, bus
       |ORDER BY entity_id, bucket""".stripMargin))
 
+  /** Dense per-domain hourly event-count series with EXACT mean-centered
+    * deviations, shared by [[acf]] and [[changepoint]]: the observed
+    * (domain, hour) counts are expanded to the full min..max hour grid
+    * (a silent hour IS an observation of 0 — both operators are wrong on
+    * a gappy series), and dev_t = n·c_t − S is the deviation from the
+    * domain mean SCALED BY n, so no rational mean ever forms — every
+    * value through the window chain stays a BIGINT (the
+    * [[rateAnomaly]] integer-moment device; at 100 TB bucket counts the
+    * same chain runs in DECIMAL(38,0)). Grid size is span/width per
+    * domain — render-scale — so everything after the one combinable
+    * count shuffle operates on tiny frames. */
+  private def denseHourlyDev(ltss: DataFrame, widthUs: Long = HourUs): DataFrame = {
+    val counts = ltss
+      .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+      .withColumn("bus", bucketUs(col("time"), widthUs))
+      .groupBy(col("domain"), col("bus")).agg(count(lit(1)).as("c"))
+    val dense = counts.groupBy(col("domain"))
+      .agg(min(col("bus")).as("b0"), max(col("bus")).as("b1"))
+      .select(col("domain"),
+        explode(sequence(col("b0"), col("b1"), lit(widthUs))).as("bus"))
+    val wd = Window.partitionBy(col("domain"))
+    dense.join(counts, Seq("domain", "bus"), "left")
+      .select(col("domain"), col("bus"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("n", count(lit(1)).over(wd))
+      .withColumn("dev", col("n") * col("c") - sum(col("c")).over(wd))
+  }
+
+  /** The shared DuckDB replay of [[denseHourlyDev]], ending at
+    * `dv(domain, bus, n, dev)`. */
+  private def denseDevCte(widthUs: Long = HourUs): String =
+    s"""$ltssBase,
+      |c AS (
+      |  SELECT split_part(entity_id, '.', 1) AS domain,
+      |         (epoch_us(time) // $widthUs) * $widthUs AS bus,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM base GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT domain, min(bus) AS b0, max(bus) AS b1 FROM c GROUP BY 1
+      |), dense AS (
+      |  SELECT domain, unnest(generate_series(b0, b1, $widthUs)) AS bus FROM bounds
+      |), x AS (
+      |  SELECT d.domain, d.bus, COALESCE(c.c, 0) AS c
+      |  FROM dense d LEFT JOIN c ON c.domain = d.domain AND c.bus = d.bus
+      |), dv AS (
+      |  SELECT domain, bus,
+      |         CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n,
+      |         CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) * c
+      |         - CAST(sum(c) OVER (PARTITION BY domain) AS BIGINT) AS dev
+      |  FROM x
+      |)""".stripMargin
+
+  /** AUTOCORRELATION function of the per-domain hourly event-rate
+    * series at lags 1..maxLag — the seasonality/persistence panel a
+    * telemetry stack reads before picking forecast or anomaly windows
+    * (a daily rhythm shows as a lag-24 peak). r_ℓ is kept EXACT to one
+    * closing division: with dev_t = n·c_t − S, the estimator
+    * Σ(c_t−c̄)(c_{t+ℓ}−c̄) / Σ(c_t−c̄)² equals Σ dev_t·dev_{t+ℓ} /
+    * Σ dev_t² (the n² scale cancels), so numerator and denominator are
+    * BIGINT sums and acf is one IEEE division (NULL for a constant
+    * series, den = 0). All maxLag lags ride ONE window pass (a map of
+    * lag columns exploded), never one pass per lag; the Spark lag
+    * window and the oracle's dense-grid self-join see identical pairs
+    * because the grid has no holes by construction. */
+  def acf(ltss: DataFrame, maxLag: Int = 6, widthUs: Long = HourUs): DataFrame = {
+    val dv = denseHourlyDev(ltss, widthUs)
+    val wo = Window.partitionBy(col("domain")).orderBy(col("bus"))
+    val lagged = dv.select(Seq(col("domain"), col("n"), col("dev")) ++
+      (1 to maxLag).map(l => lag(col("dev"), l).over(wo).as(s"l$l")): _*)
+    val lagMap = (1 to maxLag).flatMap(l => Seq(lit(l), col(s"l$l")))
+    val num = lagged
+      .select(col("domain"), col("n"), col("dev"),
+        explode(map(lagMap: _*)).as(Seq("lag", "lv")))
+      .filter(col("lv").isNotNull)
+      .groupBy(col("domain"), col("lag"))
+      .agg(sum(col("dev") * col("lv")).as("num"), first(col("n")).as("n_buckets"))
+    val den = dv.groupBy(col("domain")).agg(sum(col("dev") * col("dev")).as("den"))
+    num.join(den, "domain")
+      .select(col("domain"), col("lag"), col("n_buckets"),
+        when(col("den") > 0,
+          col("num").cast("double") / col("den").cast("double")).as("acf"))
+      .orderBy(col("domain"), col("lag"))
+  }
+
+  val acfQ = OracleQuery(
+    "ltss_acf",
+    (s, d) => acf(Queries.ltss(s, d)),
+    Some(s"""${denseDevCte()},
+      |lags AS (SELECT unnest(generate_series(1, 6)) AS lag),
+      |num AS (
+      |  SELECT a.domain, l.lag AS lag,
+      |         CAST(sum(a.dev * b.dev) AS BIGINT) AS num,
+      |         CAST(max(a.n) AS BIGINT) AS n_buckets
+      |  FROM dv a CROSS JOIN lags l
+      |  JOIN dv b ON b.domain = a.domain AND b.bus = a.bus + l.lag * $HourUs
+      |  GROUP BY 1, 2
+      |), den AS (
+      |  SELECT domain, CAST(sum(dev * dev) AS BIGINT) AS den FROM dv GROUP BY 1
+      |)
+      |SELECT num.domain, lag, n_buckets,
+      |       CASE WHEN den.den > 0
+      |            THEN CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE) END AS acf
+      |FROM num JOIN den ON den.domain = num.domain
+      |ORDER BY num.domain, lag""".stripMargin))
+
+  /** CUSUM change-point detection over the per-domain hourly rate — the
+    * classic sequential mean-shift detector (Page 1954), shipped in its
+    * CLOSED TWO-WINDOW FORM: the textbook recursion
+    * S_t = max(0, S_{t−1} + (c_t − c̄)) unrolls to
+    * S_t = P_t − min(0, min_{j≤t} P_j) with P the running prefix sum of
+    * deviations, so the "inherently sequential" statistic is two plain
+    * windows (running sum, running min) — fully declarative, partial-
+    * combinable, and replayed verbatim by the oracle instead of a
+    * recursive CTE. Deviations are the [[denseHourlyDev]] n-scaled
+    * BIGINTs; the reported maximum is rescaled by one IEEE division
+    * (cusum_max = max_t S_t / n, in event-count units). The alarm row
+    * is the argmax bucket (ties → earliest), i.e. where the cumulative
+    * upward drift from the domain mean peaks; the downward twin is the
+    * same chain on −dev. */
+  def changepoint(ltss: DataFrame, widthUs: Long = HourUs): DataFrame = {
+    val dv = denseHourlyDev(ltss, widthUs)
+    val wo = Window.partitionBy(col("domain")).orderBy(col("bus"))
+    val cu = dv
+      .withColumn("p", sum(col("dev")).over(wo))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(wo)))
+    val wr = Window.partitionBy(col("domain")).orderBy(col("s").desc, col("bus"))
+    cu.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("domain"), col("n").as("n_buckets"),
+        timestamp_micros(col("bus")).as("alarm_bucket"),
+        (col("s").cast("double") / col("n").cast("double")).as("cusum_max"))
+      .orderBy(col("domain"))
+  }
+
+  val changepointQ = OracleQuery(
+    "ltss_changepoint",
+    (s, d) => changepoint(Queries.ltss(s, d)),
+    Some(s"""${denseDevCte()},
+      |pr AS (
+      |  SELECT domain, bus, n,
+      |         sum(dev) OVER (PARTITION BY domain ORDER BY bus) AS p
+      |  FROM dv
+      |), cu AS (
+      |  SELECT domain, bus, n,
+      |         p - LEAST(0, min(p) OVER (PARTITION BY domain ORDER BY bus)) AS s
+      |  FROM pr
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY domain ORDER BY s DESC, bus) AS rn
+      |  FROM cu
+      |)
+      |SELECT domain, n AS n_buckets, make_timestamp(bus) AS alarm_bucket,
+      |       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS cusum_max
+      |FROM r WHERE rn = 1
+      |ORDER BY domain""".stripMargin))
+
+  /** M4 downsample per (entity, 4-hour pixel bucket) — the
+    * error-free visualization downsampler (Jugel et al., VLDB 2014):
+    * per pixel column keep first, last, min, and max WITH their
+    * timestamps, which provably reproduces the line rendering of the
+    * full series at that pixel width. The LTTB sibling picks
+    * shape-preserving points sequentially; M4 is the aggregation-only
+    * form — ONE hash aggregate of four lexicographic struct MIN/MAX
+    * pairs (map-side combinable, no window, no per-bucket sort), so it
+    * runs at any scale exactly like [[ohlc]]. Ties are deterministic by
+    * construction: (time, sv) structs break first/last ties by value,
+    * (sv, time) structs give the EARLIEST occurrence of the minimum and
+    * the LATEST of the maximum. */
+  def m4(ltss: DataFrame, widthUs: Long = 4 * HourUs): DataFrame =
+    ltss
+      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("bucket", timestamp_micros(bucketUs(col("time"), widthUs)))
+      .groupBy(col("entity_id"), col("bucket"))
+      .agg(
+        min(struct(col("time"), col("sv"))).as("fst"),
+        max(struct(col("time"), col("sv"))).as("lst"),
+        min(struct(col("sv"), col("time"))).as("mn"),
+        max(struct(col("sv"), col("time"))).as("mx"),
+        count(lit(1)).as("n"))
+      .select(col("entity_id"), col("bucket"),
+        col("fst.time").as("t_first"), col("fst.sv").cast("double").as("v_first"),
+        col("mn.time").as("t_min"), col("mn.sv").cast("double").as("v_min"),
+        col("mx.time").as("t_max"), col("mx.sv").cast("double").as("v_max"),
+        col("lst.time").as("t_last"), col("lst.sv").cast("double").as("v_last"),
+        col("n"))
+
+  val m4Q = OracleQuery(
+    "ltss_downsample_m4",
+    (s, d) => {
+      val l = Queries.ltss(s, d)
+        .filter(split(col("entity_id"), "\\.").getItem(0) === "click")
+      m4(l).orderBy(col("entity_id"), col("bucket"))
+    },
+    Some(s"""$ltssBase
+      |SELECT entity_id, bucket,
+      |       fst.time AS t_first, CAST(fst.sv AS DOUBLE) AS v_first,
+      |       mn.time AS t_min, CAST(mn.sv AS DOUBLE) AS v_min,
+      |       mx.time AS t_max, CAST(mx.sv AS DOUBLE) AS v_max,
+      |       lst.time AS t_last, CAST(lst.sv AS DOUBLE) AS v_last, n
+      |FROM (
+      |  SELECT entity_id, bucket,
+      |         min(ts_sv) AS fst, max(ts_sv) AS lst,
+      |         min(sv_ts) AS mn, max(sv_ts) AS mx,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM (
+      |    SELECT entity_id,
+      |           make_timestamp((epoch_us(time) // ${4 * HourUs}) * ${4 * HourUs}) AS bucket,
+      |           {'time': time, 'sv': CAST(state AS DECIMAL(12,2))} AS ts_sv,
+      |           {'sv': CAST(state AS DECIMAL(12,2)), 'time': time} AS sv_ts
+      |    FROM base WHERE split_part(entity_id, '.', 1) = 'click')
+      |  GROUP BY entity_id, bucket)
+      |ORDER BY entity_id, bucket""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
       lttbGridQ, stateAggQ, stateTimelineQ, interpTwaQ, heartbeatQ, sloQ,
-      markovQ, rateAnomalyQ, movingAvgQ, caggQ, trendQ)
+      markovQ, rateAnomalyQ, movingAvgQ, caggQ, trendQ, acfQ, changepointQ, m4Q)
 }
