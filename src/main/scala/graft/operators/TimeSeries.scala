@@ -1246,17 +1246,20 @@ object TimeSeries {
   def acf(ltss: DataFrame, maxLag: Int = 6, widthUs: Long = HourUs): DataFrame = {
     val dv = denseHourlyDev(ltss, widthUs)
     val wo = Window.partitionBy(col("domain")).orderBy(col("bus"))
-    val lagged = dv.select(Seq(col("domain"), col("n"), col("dev")) ++
+    val wd = Window.partitionBy(col("domain"))
+    // den rides the SAME per-domain window pass as the lags — the dense
+    // grid is derived once, never rebuilt for a second aggregate leg
+    val lagged = dv.select(Seq(col("domain"), col("n"), col("dev"),
+      sum(col("dev") * col("dev")).over(wd).as("den")) ++
       (1 to maxLag).map(l => lag(col("dev"), l).over(wo).as(s"l$l")): _*)
     val lagMap = (1 to maxLag).flatMap(l => Seq(lit(l), col(s"l$l")))
-    val num = lagged
-      .select(col("domain"), col("n"), col("dev"),
+    lagged
+      .select(col("domain"), col("n"), col("dev"), col("den"),
         explode(map(lagMap: _*)).as(Seq("lag", "lv")))
       .filter(col("lv").isNotNull)
       .groupBy(col("domain"), col("lag"))
-      .agg(sum(col("dev") * col("lv")).as("num"), first(col("n")).as("n_buckets"))
-    val den = dv.groupBy(col("domain")).agg(sum(col("dev") * col("dev")).as("den"))
-    num.join(den, "domain")
+      .agg(sum(col("dev") * col("lv")).as("num"),
+        first(col("n")).as("n_buckets"), first(col("den")).as("den"))
       .select(col("domain"), col("lag"), col("n_buckets"),
         when(col("den") > 0,
           col("num").cast("double") / col("den").cast("double")).as("acf"))

@@ -821,6 +821,62 @@ object StreamingOps {
       }
   }
 
+  final case class CusumState(openBus: Long, openCount: Long, cusum: Long)
+  final case class CusumRow(domain: String, bucket: java.sql.Timestamp,
+      n_events: Long, cusum: Long, is_alarm: Int)
+
+  /** Online CUSUM drift detection per domain — the streaming twin of the
+    * batch `ltss_changepoint`, with the two online divergences every
+    * deployed CUSUM accepts made explicit: (1) the reference is a FIXED
+    * target rate (`refPerBucket`, events per bucket — Page's detector
+    * needs a reference value up front; the batch op centers on the
+    * full-series mean, which no stream can know), and (2) the statistic
+    * runs the textbook recursion S ← max(0, S + (c − ref)) directly —
+    * the closed two-window form exists purely so the BATCH plan can be
+    * declarative; a stream holds the single accumulator the recursion
+    * wants. A bucket closes when an event of a LATER bucket arrives
+    * (the in-order frontier contract shared with [[rateAnomalyStream]]),
+    * and every silent bucket in between closes as an observation of 0 —
+    * the same dense-grid reading the batch op takes, so a dead-quiet
+    * stream drifting below its reference still alarms. State per domain
+    * is one open (bucket, count) pair plus the BIGINT accumulator;
+    * output rows are exact integers (is_alarm = S > alarmAt). */
+  def changepointStream(
+      ltss: DataFrame, refPerBucket: Long, alarmAt: Long,
+      widthUs: Long = 3600000000L): Dataset[CusumRow] = {
+    import ltss.sparkSession.implicits._
+    ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
+      .groupByKey(e => e.entity_id.split("\\.")(0))
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (key, events, st) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[CusumRow]
+        var cur = st.getOption
+        def close(s: CusumState, bus: Long, c: Long): CusumState = {
+          val next = math.max(0L, s.cusum + (c - refPerBucket))
+          out += CusumRow(key, tsOfMicros(bus), c, next,
+            if (next > alarmAt) 1 else 0)
+          s.copy(cusum = next)
+        }
+        for (e <- events.toSeq.sortBy(e => micros(e.time))) {
+          val bus = { val t = micros(e.time); t - java.lang.Math.floorMod(t, widthUs) }
+          cur = Some(cur match {
+            case Some(s) if bus == s.openBus =>
+              s.copy(openCount = s.openCount + 1)
+            case Some(s) if bus > s.openBus =>
+              var acc = close(s, s.openBus, s.openCount)
+              var b = s.openBus + widthUs
+              while (b < bus) { acc = close(acc, b, 0L); b += widthUs }
+              acc.copy(openBus = bus, openCount = 1L)
+            case Some(s) => s // late event behind the open bucket: dropped
+            case None => CusumState(bus, 1L, 0L)
+          })
+        }
+        cur.foreach(st.update)
+        out.iterator
+      }
+  }
+
   /** Continuous-aggregate MAINTENANCE — the refresh worker behind the
     * batch `ltss_cagg` query: a watermarked tumbling-window partial
     * rollup (count + exact DECIMAL sum per (entity, hour)) that emits

@@ -733,6 +733,42 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(steps == Seq("1_view", "2_click"))
   }
 
+  test("streaming CUSUM: recursion tracks the shift and silent buckets bleed it off") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.changepointStream(df, refPerBucket = 2L, alarmAt = 4L)
+      .writeStream.format("memory").queryName("cusum_t").outputMode("append").start()
+    try {
+      // hours 0..4 run at 3 events/bucket against ref 2: S climbs 1,2,3,4,5
+      ms.addData((for (h <- 0 until 5; i <- 0 until 3)
+        yield (ts(f"2024-01-01 $h%02d:$i%02d:00"), "click.1", "1")): _*)
+      // one event at hour 8 closes h4 AND the silent h5..h7 as zeros
+      ms.addData((ts("2024-01-01 08:00:00"), "click.1", "1"))
+      // one at hour 9 closes h8 (count 1)
+      ms.addData((ts("2024-01-01 09:00:00"), "click.1", "1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("cusum_t")
+      .as[(String, java.sql.Timestamp, Long, Long, Int)]
+      .collect().sortBy(_._2.getTime).toSeq
+    // the hand-run recursion S <- max(0, S + (c - 2)):
+    //   h0..h4 (c=3): 1,2,3,4,5 (alarm at 5 > 4)
+    //   h5..h7 (c=0): 3,1,0 — the dense-grid zeros bleed the statistic off
+    //   h8     (c=1): 0
+    val exp = Seq(
+      ("click", ts("2024-01-01 00:00:00"), 3L, 1L, 0),
+      ("click", ts("2024-01-01 01:00:00"), 3L, 2L, 0),
+      ("click", ts("2024-01-01 02:00:00"), 3L, 3L, 0),
+      ("click", ts("2024-01-01 03:00:00"), 3L, 4L, 0),
+      ("click", ts("2024-01-01 04:00:00"), 3L, 5L, 1),
+      ("click", ts("2024-01-01 05:00:00"), 0L, 3L, 0),
+      ("click", ts("2024-01-01 06:00:00"), 0L, 1L, 0),
+      ("click", ts("2024-01-01 07:00:00"), 0L, 0L, 0),
+      ("click", ts("2024-01-01 08:00:00"), 1L, 0L, 0))
+    assert(rows == exp)
+  }
+
   test("streaming rate anomaly: spike bucket flags against the running moments") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, String)]
