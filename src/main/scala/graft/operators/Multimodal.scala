@@ -121,6 +121,53 @@ object Multimodal {
       }
       None
     }
+
+    private def be64(b: Array[Byte], i: Int): Long =
+      ((be32(b, i).toLong & 0xFFFFFFFFL) << 32) | (be32(b, i + 4).toLong & 0xFFFFFFFFL)
+
+    /** MP4 / ISO-BMFF: a real BOX WALK with NESTING — top-level boxes
+      * ([BE32 size][4cc type]) until `moov`, then moov's CHILDREN until
+      * `mvhd`, whose version byte switches the field layout (v0: 32-bit
+      * times, timescale at +20, duration at +24; v1: 64-bit times,
+      * timescale at +28, BE64 duration at +32) — the branch every real
+      * MP4 parser must carry. Returns (timescale, durationUnits); any
+      * structural failure — size < 8, moov overrunning the buffer,
+      * truncated or unknown-version mvhd, no mvhd before moov ends — is
+      * None, never a fabricated value. Like the image/WAV parsers this
+      * reads headers only: `mdat` (the sample payload) is just another
+      * size to skip over. */
+    def mp4Meta(b: Array[Byte]): Option[(Int, Long)] = {
+      def tag(i: Int, s: String): Boolean =
+        i + 4 <= b.length && (0 until 4).forall(j => (b(i + j) & 0xFF) == s.charAt(j))
+      var i = 0
+      while (i + 8 <= b.length) {
+        val size = be32(b, i)
+        if (size < 8) return None
+        if (tag(i + 4, "moov")) {
+          val end = i + size
+          if (end > b.length) return None
+          var j = i + 8
+          while (j + 8 <= end) {
+            val csize = be32(b, j)
+            if (csize < 8) return None
+            if (tag(j + 4, "mvhd")) {
+              val ver = b(j + 8) & 0xFF
+              return ver match {
+                case 0 if j + 28 <= end =>
+                  Some((be32(b, j + 20), be32(b, j + 24).toLong & 0xFFFFFFFFL))
+                case 1 if j + 40 <= end =>
+                  Some((be32(b, j + 28), be64(b, j + 32)))
+                case _ => None
+              }
+            }
+            j += csize
+          }
+          return None
+        }
+        i += size
+      }
+      None
+    }
   }
 
   /** STUB decoder: stands in for a full pixel codec (feature vectors
@@ -440,5 +487,90 @@ object Multimodal {
       |       END AS BIGINT) AS duration_ms
       |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[OracleQuery] = Seq(features, decode, frameSample, resize, audio)
+  final case class VideoMeta(
+      doc_id: Long, media_type: String, byte_len: Long,
+      timescale: Int, duration_units: Long, duration_ms: Long)
+
+  /** Partition-local video-metadata extraction over the real
+    * [[MediaHeaders.mp4Meta]] box walker; parse failure (or a
+    * non-positive timescale) surfaces as -1 sentinels. */
+  def extractVideoMeta(media: Dataset[AudioRecord]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      MediaHeaders.mp4Meta(r.content) match {
+        case Some((ts, dur)) if ts > 0 =>
+          VideoMeta(r.doc_id, "video/mp4", r.content.length.toLong, ts, dur,
+            dur * 1000L / ts)
+        case _ =>
+          VideoMeta(r.doc_id, "video/mp4", r.content.length.toLong, -1, -1L, -1L)
+      }
+    })
+  }
+
+  private def be32Hex(v: Column): Column = lpad(hex(v), 8, "0")
+  private def be64Hex(v: Column): Column = lpad(hex(v), 16, "0")
+
+  /** 68-byte MP4 skeleton: `ftyp` + a `free` box the top-level walk must
+    * skip + `moov` containing a `udta` child the NESTED walk must skip
+    * before `mvhd` (version 0; v1 payloads swap in the 64-bit layout,
+    * 80 bytes total). Header boxes only — `mdat` never materializes,
+    * exactly as a metadata pass never reads samples. */
+  private def mp4HexFor(ts: Column, dur: Column, v1: Column): Column = {
+    val mvhd0 = concat(lit("0000001C" + "6D766864" + "00000000" +
+      "00000000" + "00000000"), be32Hex(ts), be32Hex(dur))
+    val mvhd1 = concat(lit("00000028" + "6D766864" + "01000000" +
+      "0000000000000000" + "0000000000000000"), be32Hex(ts), be64Hex(dur))
+    val moov = when(v1,
+      concat(lit("00000038" + "6D6F6F76" + "00000008" + "75647461"), mvhd1))
+      .otherwise(
+        concat(lit("0000002C" + "6D6F6F76" + "00000008" + "75647461"), mvhd0))
+    concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000200"), // ftyp isom
+      lit("00000008" + "66726565"), // free
+      moov)
+  }
+
+  /** Video-metadata decode — the container leg of the multimodal family
+    * beside the image and WAV parsers: in-flight MP4/ISO-BMFF skeletons
+    * (timescale/duration derived from doc_id, every 11th doc in the
+    * 64-bit mvhd VERSION-1 layout) parsed back by the real nested box
+    * walker, with every 7th doc TRUNCATED mid-ftyp so the corrupt
+    * contract stays oracle-visible. The oracle recomputes timescale,
+    * duration units, and duration_ms = units·1000 div timescale by
+    * independent doc_id arithmetic, so a hash match proves the walker
+    * inverts the container — top-level skip of `free`, nested skip of
+    * `udta`, and BOTH mvhd version layouts — rather than two formula
+    * copies agreeing. Map-side only. */
+  val video = OracleQuery(
+    "multimodal_video",
+    (s, d) => {
+      import s.implicits._
+      val ts = when(col("doc_id") % 3 === 0, 600)
+        .when(col("doc_id") % 3 === 1, 1000).otherwise(90000)
+      val n = (col("doc_id") % 5000 + 1).cast("long")
+      val full = mp4HexFor(ts, n, col("doc_id") % 11 === 5)
+      val media = Tables.documents(s, d).select(col("doc_id"),
+        unhex(when(col("doc_id") % 7 === 3, substring(full, 1, 20))
+          .otherwise(full)).as("content")).as[AudioRecord]
+      extractVideoMeta(media)
+        .select(col("doc_id"), col("media_type"), col("byte_len"),
+          col("timescale"), col("duration_units"), col("duration_ms"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, 'video/mp4' AS media_type,
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN 10
+      |            WHEN doc_id % 11 = 5 THEN 80 ELSE 68 END AS BIGINT) AS byte_len,
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1
+      |            WHEN doc_id % 3 = 0 THEN 600
+      |            WHEN doc_id % 3 = 1 THEN 1000 ELSE 90000 END AS INT) AS timescale,
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1
+      |            ELSE doc_id % 5000 + 1 END AS BIGINT) AS duration_units,
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1
+      |            ELSE ((doc_id % 5000 + 1) * 1000) //
+      |                 (CASE WHEN doc_id % 3 = 0 THEN 600
+      |                       WHEN doc_id % 3 = 1 THEN 1000 ELSE 90000 END)
+      |       END AS BIGINT) AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[OracleQuery] = Seq(features, decode, frameSample, resize, audio, video)
 }

@@ -987,9 +987,84 @@ object TextOps {
       |  GROUP BY 1, 2, 3, 4)
       |ORDER BY source_a, source_b""".stripMargin))
 
+  /** FUZZY vocabulary join — every token pair at Levenshtein distance 1,
+    * found by SymSpell DELETION-NEIGHBORHOOD blocking instead of the
+    * |V|² edit-distance matrix: each token emits itself plus its
+    * single-deletion variants, and any distance-1 pair (substitution,
+    * insertion, or deletion) provably shares a variant — substitutions
+    * meet at the both-sides deletion, ins/del pairs meet at the shorter
+    * word itself — so the join generates candidates linearly in
+    * Σ len(tok) and the exact `levenshtein` (identical integer semantics
+    * in Spark and DuckDB) verifies candidates only. This is the
+    * spell-correction/OCR-noise dedup signal a crawl vocabulary needs
+    * (`canonical` = the higher-frequency side, the correction a
+    * normalizer would apply). The vocabulary is augmented with
+    * deterministic TYPO TWINS (md5-gated `tok || 'x'` forms at freq 1,
+    * skipped if the form already exists) — the fixture vocabulary is
+    * 30 clean tokens with no organic distance-1 pairs, so the twins
+    * keep the gate hash-checking real pairs; both engines replay the
+    * augmentation as part of the contract. Vocabulary-bounded end to
+    * end: the corpus pays one token count, everything after runs on
+    * |V|-scale frames. */
+  val vocabTypoPairs = OracleQuery(
+    "vocab_typo_pairs",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 3)
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val twins = base
+        .filter(length(col("tok")) >= 4 &&
+          substring(md5(col("tok")), 1, 1) < "4")
+        .select(concat(col("tok"), lit("x")).as("tok"), lit(1L).as("freq"))
+        .join(base.select(col("tok")), Seq("tok"), "left_anti")
+      val vocab = base.unionAll(twins)
+      val variants = vocab.select(col("tok"), col("freq"),
+        explode(array_union(array(col("tok")), expr(
+          "transform(sequence(1, length(tok)), " +
+            "i -> concat(substring(tok, 1, i-1), substring(tok, i+1)))")))
+          .as("v"))
+      variants.toDF("tok_a", "freq_a", "v")
+        .join(variants.toDF("tok_b", "freq_b", "v"), "v")
+        .filter(col("tok_a") < col("tok_b"))
+        .select(col("tok_a"), col("freq_a"), col("tok_b"), col("freq_b"))
+        .distinct()
+        .filter(levenshtein(col("tok_a"), col("tok_b")) === 1)
+        .withColumn("canonical",
+          when(col("freq_a") > col("freq_b") ||
+            (col("freq_a") === col("freq_b") && col("tok_a") < col("tok_b")),
+            col("tok_a")).otherwise(col("tok_b")))
+        .orderBy(col("tok_a"), col("tok_b"))
+    },
+    Some("""WITH base AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE len(tok) >= 3 GROUP BY tok
+      |), vocab AS (
+      |  SELECT tok, freq FROM base
+      |  UNION ALL
+      |  SELECT tok || 'x', CAST(1 AS BIGINT) FROM base
+      |  WHERE len(tok) >= 4 AND substring(md5(tok), 1, 1) < '4'
+      |    AND tok || 'x' NOT IN (SELECT tok FROM base)
+      |), vars AS (
+      |  SELECT tok, freq, unnest(list_distinct(list_concat([tok],
+      |           list_transform(generate_series(1, len(tok)),
+      |             i -> substring(tok, 1, i-1) || substring(tok, i+1))))) AS v
+      |  FROM vocab
+      |), cand AS (
+      |  SELECT DISTINCT a.tok AS tok_a, a.freq AS freq_a,
+      |                  b.tok AS tok_b, b.freq AS freq_b
+      |  FROM vars a JOIN vars b ON a.v = b.v AND a.tok < b.tok
+      |)
+      |SELECT tok_a, freq_a, tok_b, freq_b,
+      |       CASE WHEN freq_a > freq_b OR (freq_a = freq_b AND tok_a < tok_b)
+      |            THEN tok_a ELSE tok_b END AS canonical
+      |FROM cand WHERE levenshtein(tok_a, tok_b) = 1
+      |ORDER BY tok_a, tok_b""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(textStats, langId, tokenCount, fingerprint, simhash, textClean,
       vocabTopk, urlStats, urlCanonical, textRedact, contamination, contaminationBloom,
       repetition, qualityFilter, docCommonness, docCoherence, textSearch, docChunks,
-      docKeywords, docDiversity, corpusZipf, sourceDivergence)
+      docKeywords, docDiversity, corpusZipf, sourceDivergence, vocabTypoPairs)
 }

@@ -1394,8 +1394,49 @@ object TimeSeries {
       |  GROUP BY entity_id, bucket)
       |ORDER BY entity_id, bucket""".stripMargin))
 
+  /** SEASONAL hour-of-day profile per domain — the companion panel to
+    * [[acf]] (the ACF says "there is a daily rhythm"; this says WHICH
+    * hours carry it): events per (domain, hour-of-day 0..23), each
+    * hour's share of the domain's traffic, and the peak-hour flag. The
+    * hour index is integer floor arithmetic on epoch-µs (no calendar
+    * library in the grouping key), share is two exact BIGINTs through
+    * one IEEE division, and the peak flag is a rank over the ≤ 24-row
+    * per-domain frame with ties to the earliest hour. One combinable
+    * count shuffle; everything after runs on ≤ |domains|·24 rows. */
+  val seasonalQ = OracleQuery(
+    "ltss_seasonal",
+    (s, d) => {
+      val wd = Window.partitionBy(col("domain"))
+      val wr = Window.partitionBy(col("domain"))
+        .orderBy(col("n_events").desc, col("hod"))
+      Queries.ltss(s, d)
+        .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+        .withColumn("hod", expr(s"(unix_micros(time) div $HourUs) % 24"))
+        .groupBy(col("domain"), col("hod")).agg(count(lit(1)).as("n_events"))
+        .withColumn("share", col("n_events").cast("double") /
+          sum(col("n_events")).over(wd).cast("double"))
+        .withColumn("is_peak", (row_number().over(wr) === 1).cast("int"))
+        .select(col("domain"), col("hod"), col("n_events"), col("share"),
+          col("is_peak"))
+        .orderBy(col("domain"), col("hod"))
+    },
+    Some(s"""$ltssBase
+      |SELECT domain, hod, n_events,
+      |       CAST(n_events AS DOUBLE)
+      |         / CAST(sum(n_events) OVER (PARTITION BY domain) AS DOUBLE) AS share,
+      |       CAST(row_number() OVER (PARTITION BY domain
+      |                               ORDER BY n_events DESC, hod) = 1 AS INT)
+      |         AS is_peak
+      |FROM (
+      |  SELECT split_part(entity_id, '.', 1) AS domain,
+      |         (epoch_us(time) // $HourUs) % 24 AS hod,
+      |         CAST(count(*) AS BIGINT) AS n_events
+      |  FROM base GROUP BY 1, 2)
+      |ORDER BY domain, hod""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
       lttbGridQ, stateAggQ, stateTimelineQ, interpTwaQ, heartbeatQ, sloQ,
-      markovQ, rateAnomalyQ, movingAvgQ, caggQ, trendQ, acfQ, changepointQ, m4Q)
+      markovQ, rateAnomalyQ, movingAvgQ, caggQ, trendQ, acfQ, changepointQ, m4Q,
+      seasonalQ)
 }
