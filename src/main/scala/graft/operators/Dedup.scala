@@ -832,18 +832,25 @@ object Dedup {
     * true pair reports `caught` = membership in the banded candidate
     * set, so the recall (and every miss) is hash-checked row by row,
     * not summarized away. */
-  val lshRecall = OracleQuery(
-    "dedup_lsh_recall",
-    (s, d) => {
+  /** The recall audit's joined (true pair × caught) frame, PERSISTED —
+    * [[lshScurve]] re-reads it (61 rows at sf0.1), so the expensive
+    * ground-truth join runs once per dataset. */
+  private def recallPairFrame(s: SparkSession, d: String): DataFrame =
+    graft.CachedFrames.getOrBuild(
+      s"recall_pairs|${graft.CachedFrames.sessionKey(s)}|$d") {
       val truePairs = invertedCountPairs(sampleShingleFrame(s, d, "8"), 1, 2)
       val cand = lshPairFrame(s, d)
         .select(col("a_id"), col("b_id"), lit(1).as("c"))
       truePairs.join(cand, Seq("a_id", "b_id"), "left")
         .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"),
           coalesce(col("c"), lit(0)).as("caught"))
-        .orderBy(col("a_id"), col("b_id"))
-    },
-    Some(s"""$lshGuardedCte,
+    }
+
+  /** DuckDB replay of [[recallPairFrame]], ending at
+    * `rp(a_id, b_id, inter, na, nb, caught)` — shared by the recall
+    * audit and the S-curve audit so both verify one ground truth. */
+  private def recallSqlCte: String =
+    s"""$lshGuardedCte,
       |samp AS (
       |  SELECT doc_id, text FROM documents
       |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
@@ -866,11 +873,72 @@ object Dedup {
       |  FROM guarded a JOIN guarded b
       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |   AND a.doc_id < b.doc_id
+      |), rp AS (
+      |  SELECT tp.a_id, tp.b_id, tp.inter, tp.na, tp.nb,
+      |         CAST(cand.a_id IS NOT NULL AS INT) AS caught
+      |  FROM tp LEFT JOIN cand ON cand.a_id = tp.a_id AND cand.b_id = tp.b_id
+      |)""".stripMargin
+
+  val lshRecall = OracleQuery(
+    "dedup_lsh_recall",
+    (s, d) => recallPairFrame(s, d).orderBy(col("a_id"), col("b_id")),
+    Some(s"""$recallSqlCte
+      |SELECT a_id, b_id, inter, na, nb, caught FROM rp
+      |ORDER BY a_id, b_id""".stripMargin))
+
+  /** LSH S-CURVE audit — theory vs observation for the banded tier: the
+    * textbook capture probability of an (r = 4, b = 2) banded minhash is
+    * P(s) = 1 − (1 − s⁴)², and this report checks the DEPLOYED bands
+    * against it per similarity decile of the [[recallPairFrame]] ground
+    * truth (exact Jaccard buckets; J = 1 folds into the top decile).
+    * Observed recall far under the curve flags a banding bug; far over
+    * flags correlation the independence model misses — either way it is
+    * the one-page answer to "are my bands behaving like the formula I
+    * sized them with". The theoretical column evaluates the SAME IEEE
+    * chain on both engines at the decile midpoint (powers spelled out
+    * as multiplications — no libm pow); every other figure is integer
+    * until one closing division. */
+  val lshScurve = OracleQuery(
+    "dedup_lsh_scurve",
+    (s, d) => {
+      val j = col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double")
+      val m = (col("bucket") * 2 + 1).cast("double") / lit(20.0)
+      val m4 = m * m * m * m
+      recallPairFrame(s, d)
+        .withColumn("bucket", least(floor(j * lit(10.0)).cast("long"), lit(9L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("caught")).cast("long").as("n_caught"))
+        .withColumn("recall",
+          col("n_caught").cast("double") / col("n_pairs").cast("double"))
+        .withColumn("theoretical",
+          lit(1.0) - (lit(1.0) - m4) * (lit(1.0) - m4))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""$recallSqlCte,
+      |bk AS (
+      |  SELECT LEAST(CAST(floor((CAST(inter AS DOUBLE)
+      |                 / CAST(na + nb - inter AS DOUBLE)) * 10.0) AS BIGINT),
+      |               9) AS bucket,
+      |         caught
+      |  FROM rp
+      |), ag AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+      |         CAST(sum(caught) AS BIGINT) AS n_caught
+      |  FROM bk GROUP BY bucket
       |)
-      |SELECT tp.a_id, tp.b_id, tp.inter, tp.na, tp.nb,
-      |       CAST(cand.a_id IS NOT NULL AS INT) AS caught
-      |FROM tp LEFT JOIN cand ON cand.a_id = tp.a_id AND cand.b_id = tp.b_id
-      |ORDER BY tp.a_id, tp.b_id""".stripMargin))
+      |SELECT bucket, n_pairs, n_caught,
+      |       CAST(n_caught AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS recall,
+      |       1.0 - (1.0 - (CAST(bucket * 2 + 1 AS DOUBLE) / 20.0)
+      |                    * (CAST(bucket * 2 + 1 AS DOUBLE) / 20.0)
+      |                    * (CAST(bucket * 2 + 1 AS DOUBLE) / 20.0)
+      |                    * (CAST(bucket * 2 + 1 AS DOUBLE) / 20.0))
+      |           * (1.0 - (CAST(bucket * 2 + 1 AS DOUBLE) / 20.0)
+      |                    * (CAST(bucket * 2 + 1 AS DOUBLE) / 20.0)
+      |                    * (CAST(bucket * 2 + 1 AS DOUBLE) / 20.0)
+      |                    * (CAST(bucket * 2 + 1 AS DOUBLE) / 20.0))
+      |         AS theoretical
+      |FROM ag ORDER BY bucket""".stripMargin))
 
   /** EXACT all-pairs similarity join (AllPairs / SSJoin) shipped as a
     * first-class operator: every pair with 2-shingle-set Jaccard ≥ 0.5
@@ -1945,7 +2013,7 @@ object Dedup {
     Seq(exact, minhashSig, minhashLsh, jaccard, clusters, clusterStats,
       savings, confusion, corpusSummary, splitLeakageFree, splitLeakageAudit, keepBest, lshRecall,
       allPairs,
-      overflowVerify, crosscheck,
+      lshScurve, overflowVerify, crosscheck,
       simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans,
       substringExcise, contaminationSpans, incremental, containment)
 }

@@ -1224,7 +1224,7 @@ object TimeSeries {
       |  SELECT d.domain, d.bus, COALESCE(c.c, 0) AS c
       |  FROM dense d LEFT JOIN c ON c.domain = d.domain AND c.bus = d.bus
       |), dv AS (
-      |  SELECT domain, bus,
+      |  SELECT domain, bus, c,
       |         CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n,
       |         CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) * c
       |         - CAST(sum(c) OVER (PARTITION BY domain) AS BIGINT) AS dev
@@ -1434,9 +1434,66 @@ object TimeSeries {
       |  FROM base GROUP BY 1, 2)
       |ORDER BY domain, hod""".stripMargin))
 
+  /** Seasonal-naive FORECAST BACKTEST per domain — the accuracy floor
+    * every forecasting deployment measures first: predict each hour by
+    * the same hour yesterday (lag 24 on the dense grid) and score it as
+    * MASE (Hyndman & Koehler 2006) — the seasonal-naive mean absolute
+    * error scaled by the naive-1 mean absolute error, so the number is
+    * unit-free and comparable across domains. MASE < 1 says daily
+    * seasonality beats persistence — the go/no-go for a seasonal model.
+    * Both error sums are BIGINTs over the [[denseHourlyDev]] grid
+    * (silent hour = 0, as a forecaster must score it); the ratio of
+    * means collapses to ONE division of two BIGINT cross-products
+    * (num·n_naive) / (den·n_sn), NULL where the scale term is zero.
+    * Both lags ride one window pass; output is |domains| rows. */
+  val forecastBacktestQ = OracleQuery(
+    "ltss_forecast_backtest",
+    (s, d) => {
+      val dv = denseHourlyDev(Queries.ltss(s, d))
+      val wo = Window.partitionBy(col("domain")).orderBy(col("bus"))
+      dv.select(col("domain"), col("n"), col("c"),
+          lag(col("c"), 1).over(wo).as("p1"),
+          lag(col("c"), 24).over(wo).as("p24"))
+        .groupBy(col("domain"))
+        .agg(first(col("n")).as("n_buckets"),
+          sum(when(col("p24").isNotNull, abs(col("c") - col("p24"))))
+            .as("sn_abs_err"),
+          count(col("p24")).as("n_sn"),
+          sum(when(col("p1").isNotNull, abs(col("c") - col("p1"))))
+            .as("naive_abs_err"),
+          count(col("p1")).as("n_naive"))
+        .select(col("domain"), col("n_buckets"), col("sn_abs_err"),
+          col("naive_abs_err"),
+          when(col("naive_abs_err") > 0 && col("n_sn") > 0,
+            (col("sn_abs_err") * col("n_naive")).cast("double") /
+              (col("naive_abs_err") * col("n_sn")).cast("double")).as("mase"))
+        .orderBy(col("domain"))
+    },
+    Some(s"""${denseDevCte()},
+      |lg AS (
+      |  SELECT domain, n, c,
+      |         lag(c, 1) OVER (PARTITION BY domain ORDER BY bus) AS p1,
+      |         lag(c, 24) OVER (PARTITION BY domain ORDER BY bus) AS p24
+      |  FROM dv
+      |), ag AS (
+      |  SELECT domain, CAST(max(n) AS BIGINT) AS n_buckets,
+      |         CAST(sum(CASE WHEN p24 IS NOT NULL THEN abs(c - p24) END) AS BIGINT)
+      |           AS sn_abs_err,
+      |         CAST(count(p24) AS BIGINT) AS n_sn,
+      |         CAST(sum(CASE WHEN p1 IS NOT NULL THEN abs(c - p1) END) AS BIGINT)
+      |           AS naive_abs_err,
+      |         CAST(count(p1) AS BIGINT) AS n_naive
+      |  FROM lg GROUP BY domain
+      |)
+      |SELECT domain, n_buckets, sn_abs_err, naive_abs_err,
+      |       CASE WHEN naive_abs_err > 0 AND n_sn > 0
+      |            THEN CAST(sn_abs_err * n_naive AS DOUBLE)
+      |                 / CAST(naive_abs_err * n_sn AS DOUBLE) END AS mase
+      |FROM ag ORDER BY domain""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
       lttbGridQ, stateAggQ, stateTimelineQ, interpTwaQ, heartbeatQ, sloQ,
       markovQ, rateAnomalyQ, movingAvgQ, caggQ, trendQ, acfQ, changepointQ, m4Q,
-      seasonalQ)
+      seasonalQ, forecastBacktestQ)
 }
