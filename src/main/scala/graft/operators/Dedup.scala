@@ -1009,6 +1009,66 @@ object Dedup {
       |WHERE 3 * iv.inter >= sa.nsh + sb.nsh
       |ORDER BY iv.a_id, iv.b_id""".stripMargin))
 
+  /** Near-dup GRAPH TOPOLOGY audit — the diagnostic a dedup deployment
+    * reads next to the cluster-size distribution: is the candidate
+    * graph CLIQUE-Y (true duplicate families — high clustering
+    * coefficient) or CHAIN-Y (transitive drift, where A~B~C but A≁C,
+    * the failure mode that makes connected components over-merge)?
+    * One row: nodes, edges, max degree, wedges (Σ deg·(deg−1)/2 over
+    * the degree table), triangles (the oriented a<b<c edge-join — each
+    * triangle counted exactly once, join fan-out bounded by the banded
+    * tier's bucket cap), and the global clustering coefficient
+    * 3·triangles/wedges (two BIGINTs, one IEEE division). Everything
+    * runs on the candidate EDGE frame — orders of magnitude below the
+    * corpus — and the single-row combine is broadcast nested-loop, not
+    * a shuffle. */
+  val graphStats = OracleQuery(
+    "dedup_graph_stats",
+    (s, d) => {
+      val edges = lshPairFrame(s, d).select(col("a_id"), col("b_id"))
+      val deg = edges.select(explode(array(col("a_id"), col("b_id"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val degStats = deg.agg(
+        count(lit(1)).as("n_nodes"), max(col("cnt")).as("max_degree"),
+        sum(expr("(cnt * (cnt - 1)) div 2")).as("n_wedges"))
+      val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+      val tri = edges.toDF("a", "b")
+        .join(edges.toDF("b", "c"), "b")
+        .join(edges.toDF("a", "c"), Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      degStats.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+          col("n_wedges"), col("n_triangles"),
+          when(col("n_wedges") > 0,
+            (col("n_triangles") * 3).cast("double") /
+              col("n_wedges").cast("double")).as("clustering"))
+    },
+    Some(s"""$lshGuardedCte,
+      |edges AS (
+      |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      |  FROM guarded a JOIN guarded b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |   AND a.doc_id < b.doc_id
+      |), deg AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+      |  GROUP BY v
+      |), tri AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n
+      |  FROM edges e1 JOIN edges e2 ON e2.a = e1.b
+      |       JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+      |)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+      |       (SELECT max(cnt) FROM deg) AS max_degree,
+      |       (SELECT CAST(sum((cnt * (cnt - 1)) // 2) AS BIGINT) FROM deg)
+      |         AS n_wedges,
+      |       (SELECT n FROM tri) AS n_triangles,
+      |       CASE WHEN (SELECT sum((cnt * (cnt - 1)) // 2) FROM deg) > 0
+      |            THEN CAST((SELECT n FROM tri) * 3 AS DOUBLE)
+      |                 / CAST((SELECT sum((cnt * (cnt - 1)) // 2) FROM deg)
+      |                        AS DOUBLE) END AS clustering""".stripMargin))
+
   /** Quality-aware canonical selection — the keep policy a curation
     * pipeline actually ships: within each near-dup cluster keep the
     * member with the MOST TOKENS (near-dups typically differ by
@@ -2013,7 +2073,7 @@ object Dedup {
     Seq(exact, minhashSig, minhashLsh, jaccard, clusters, clusterStats,
       savings, confusion, corpusSummary, splitLeakageFree, splitLeakageAudit, keepBest, lshRecall,
       allPairs,
-      lshScurve, overflowVerify, crosscheck,
+      lshScurve, graphStats, overflowVerify, crosscheck,
       simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans,
       substringExcise, contaminationSpans, incremental, containment)
 }

@@ -90,6 +90,7 @@ object Similarity {
   val GeometryDependentOracles: Set[String] =
     Set("sim_ivf_kmeans", "sim_ivf_probe", "sim_ivf_probe2",
       "dedup_embedding_ivf", "dedup_semantic", "sim_cluster_purity",
+      "sim_ivf_append",
       // sampled above [[CalibSampleCap]] (> the fixture threshold), where
       // the unsampled oracle SQL no longer describes the Spark plan
       "dedup_embedding_calibration")
@@ -1187,9 +1188,60 @@ object Similarity {
         |WHERE rank <= 3 ORDER BY label, rank""".stripMargin
     })
 
+  /** Incremental IVF MAINTENANCE — the operation a deployed vector index
+    * runs every day where the trainers run once: assign an ARRIVING
+    * batch against the FROZEN codebook (no retraining, no touch of the
+    * existing inverted lists) and report per-cluster growth plus the
+    * distribution DRIFT that tells the operator when a retrain is due —
+    * a cluster whose batch share runs ahead of its index share is where
+    * the corpus is moving. The batch here is the deterministic
+    * vec_id % 10 = 7 re-ingest slice (new ids, same vectors — so the
+    * oracle replays the assignment through the shared Lloyd chain with
+    * no second training CTE); the assignment is the broadcast-codebook
+    * map-side argmax every probe already uses, the rollups are
+    * combinable counts, and drift is two divisions and a subtraction in
+    * one IEEE chain over a k-row frame. */
+  val ivfAppend = OracleQuery(
+    "sim_ivf_append",
+    (s, d) => {
+      val idx = kmeansAssignments(s, d, KmIters)
+      val cents = kmeansCentroids(s, d, KmIters)
+      val batch = embWithCodes(s, d).filter(col("vec_id") % 10 === 7)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          col("embedding"), col("nrm"), col("q"))
+      val nIdx = idx.groupBy(col("cid")).agg(count(lit(1)).as("n_index"))
+      val nB = assignTo(batch, cents)
+        .groupBy(col("cid")).agg(count(lit(1)).as("n_batch"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      nIdx.join(nB, Seq("cid"), "left")
+        .select(col("cid"), col("n_index"),
+          coalesce(col("n_batch"), lit(0L)).as("n_batch"))
+        .withColumn("share_drift",
+          col("n_batch").cast("double") /
+            sum(col("n_batch")).over(wAll).cast("double") -
+            col("n_index").cast("double") /
+              sum(col("n_index")).over(wAll).cast("double"))
+        .orderBy(col("cid"))
+    },
+    Some(s"""$kmeansSqlChain,
+      |bidx AS (
+      |  SELECT cid, CAST(count(*) AS BIGINT) AS n_index FROM aF GROUP BY cid
+      |), bb AS (
+      |  SELECT cid, CAST(count(*) AS BIGINT) AS n_batch
+      |  FROM aF WHERE vec_id % 10 = 7 GROUP BY cid
+      |)
+      |SELECT cid, n_index, n_batch,
+      |       CAST(n_batch AS DOUBLE) / CAST(sum(n_batch) OVER () AS DOUBLE)
+      |       - CAST(n_index AS DOUBLE) / CAST(sum(n_index) OVER () AS DOUBLE)
+      |         AS share_drift
+      |FROM (
+      |  SELECT i.cid, i.n_index, COALESCE(b.n_batch, 0) AS n_batch
+      |  FROM bidx i LEFT JOIN bb b ON b.cid = i.cid)
+      |ORDER BY cid""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, embedNearDupRandomQ,
       ivfProbe, ivfProbe2, ivfKmeans, dedupEmbeddingIvf, dedupSemantic,
       binaryTopk, matryoshkaQ, embedQuantize, hardNegatives, embedCalibration,
-      clusterPurity, embedOutliers)
+      clusterPurity, embedOutliers, ivfAppend)
 }
