@@ -81,6 +81,7 @@ object Bench {
       warmBuilds(name) = (System.nanoTime() - t0) / 1e9
     }
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
+    warmed("recall_truth")(graft.operators.Dedup.warmRecallTruth(spark, sfDir))
     warmed("cc_labels")(graft.operators.Dedup.ccLabels(spark, sfDir).count())
     warmed("ltss_layout")(graft.operators.Queries.ltssLayoutPath(spark, sfDir))
     warmed("ltss_attr_layout")(graft.operators.Queries.ltssAttrLayoutPath(spark, sfDir))

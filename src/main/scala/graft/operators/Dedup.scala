@@ -201,6 +201,14 @@ object Dedup {
     ()
   }
 
+  /** The recall audit's ground-truth frame, warmed like the other
+    * per-dataset artifacts so the bench charges its one-time join cost
+    * to `warm_build` (both the recall and S-curve audits then read the
+    * persisted 61-row frame). */
+  def warmRecallTruth(s: SparkSession, d: String): Unit = {
+    recallPairFrame(s, d).count(); ()
+  }
+
   /** Candidate EDGES for clustering: same guarded bucket join as
     * [[lshPairFrame]] but WITHOUT the distinct pass or the Jaccard
     * estimate — min-label propagation is insensitive to duplicate edges,

@@ -1239,9 +1239,93 @@ object Similarity {
       |  FROM bidx i LEFT JOIN bb b ON b.cid = i.cid)
       |ORDER BY cid""".stripMargin))
 
+  /** MMR diversity re-rank (Carbonell & Goldstein, SIGIR 1998) — the
+    * step between "top-k by cosine" and what a retrieval stack actually
+    * returns: greedily pick k results maximizing
+    * λ·rel − (1−λ)·max_sim-to-already-picked, so near-duplicate hits
+    * stop crowding the page. The selection is inherently SEQUENTIAL
+    * (each pick changes every remaining candidate's penalty), and it
+    * runs where sequential belongs: the candidate POOL is the top-20 by
+    * exact cosine (the brute-force leg; at production scale the IVF/PQ
+    * shortlist — `sim_knn_batch` — feeds the same pool), its pairwise
+    * cosine matrix is one broadcast self-join of a 20-row frame, and
+    * the greedy walks COLLECTED doubles driver-side — the same
+    * render-scale planning-job class as the IVF probe argmax and the
+    * BPE merge pick. Scores compare Spark-computed IEEE doubles with
+    * the identical 0.7·rel − 0.3·maxsim chain the oracle's RECURSIVE
+    * CTE evaluates (max over a set is a comparison, not a sum — no
+    * float-order hazard), ties to the smallest vec_id; the first pick's
+    * empty-set penalty is an exact −0.3·0.0. The oracle replays the
+    * full greedy with a carried selected-list, the LTTB device. */
+  val mmrTopk = OracleQuery(
+    "sim_mmr_topk",
+    (s, d) => {
+      import s.implicits._
+      val emb = embNorm(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val pool = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("rel", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("qe"), Dim), col("nrm"), col("qn")))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("rel"))
+      val a = pool.select(col("vec_id").as("ai"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val b = pool.select(col("vec_id").as("bi"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      val relMap = pool.select(col("vec_id"), col("rel")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val sims = a.crossJoin(broadcast(b)).filter(col("ai") =!= col("bi"))
+        .select(col("ai"), col("bi"), DetMath.cosinePre(
+          DetMath.dotCol(col("ea"), col("eb"), Dim), col("na"), col("nb")).as("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      var selected = Vector.empty[(Int, Long, Double, Double)]
+      var remaining = relMap.keySet
+      for (rank <- 1 to 5) {
+        val scored = remaining.toSeq.map { id =>
+          val maxSim =
+            if (selected.isEmpty) 0.0
+            else selected.map(p => sims((id, p._2))).max
+          (id, 0.7 * relMap(id) - 0.3 * maxSim)
+        }
+        val (bestId, bestScore) = scored.minBy { case (id, sc) => (-sc, id) }
+        selected :+= ((rank, bestId, relMap(bestId), bestScore))
+        remaining -= bestId
+      }
+      selected.toDF("rank", "vec_id", "rel", "mmr_score")
+    },
+    Some(s"""WITH RECURSIVE e AS (
+      |  SELECT vec_id, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm
+      |  FROM embeddings
+      |), q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+      |pool AS (
+      |  SELECT e.vec_id, e.embedding, e.nrm,
+      |    ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "q.qe", Dim), "e.nrm", "q.qn")} AS rel
+      |  FROM e, q WHERE e.vec_id <> 0
+      |  ORDER BY rel DESC, e.vec_id LIMIT 20
+      |),
+      |pr AS (
+      |  SELECT a.vec_id AS ai, b.vec_id AS bi,
+      |    ${DetMath.cosinePreSql(DetMath.dotSql("a.embedding", "b.embedding", Dim), "a.nrm", "b.nrm")} AS sim
+      |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+      |),
+      |pick(rank, sel, vec_id, rel, mmr_score) AS (
+      |  (SELECT 1, [p.vec_id], p.vec_id, p.rel, 0.7 * p.rel - 0.3 * 0.0
+      |   FROM pool p ORDER BY 0.7 * p.rel - 0.3 * 0.0 DESC, p.vec_id LIMIT 1)
+      |  UNION ALL
+      |  SELECT rank + 1, list_append(sel, vec_id), vec_id, rel, score FROM (
+      |    SELECT pk.rank AS rank, pk.sel AS sel, p.vec_id, p.rel,
+      |           0.7 * p.rel - 0.3 * (SELECT max(pr.sim) FROM pr
+      |             WHERE pr.ai = p.vec_id AND list_contains(pk.sel, pr.bi)) AS score
+      |    FROM pick pk, pool p
+      |    WHERE pk.rank < 5 AND NOT list_contains(pk.sel, p.vec_id))
+      |  QUALIFY row_number() OVER (ORDER BY score DESC, vec_id) = 1
+      |)
+      |SELECT rank, vec_id, rel, mmr_score FROM pick ORDER BY rank""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, embedNearDupRandomQ,
       ivfProbe, ivfProbe2, ivfKmeans, dedupEmbeddingIvf, dedupSemantic,
       binaryTopk, matryoshkaQ, embedQuantize, hardNegatives, embedCalibration,
-      clusterPurity, embedOutliers, ivfAppend)
+      clusterPurity, embedOutliers, ivfAppend, mmrTopk)
 }
