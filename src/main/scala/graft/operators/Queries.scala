@@ -1359,11 +1359,87 @@ object Queries {
       |FROM topk GROUP BY domain, target
       |ORDER BY domain, target""".stripMargin))
 
+  /** JSON attribute SCHEMA PROFILE — the report the adaptive-DDL path
+    * (D1) and the materialized-key layout (`ltss_json_attr_layout`)
+    * are tuned from: per attribute key, how often it occurs and what
+    * TYPE its values take (number/string/bool/array classified from
+    * the raw JSON text by engine-identical rules), plus its share of
+    * all rows. A key that is near-universal and mono-typed is the one
+    * a migration tool promotes to a typed column. The fixture's
+    * attributes carry a single key, so the frame is deterministically
+    * ENRICHED in-query (the `url_stats` device — extra keys keyed on
+    * epoch-µs residues, replayed by both engines as part of the
+    * contract) so the profile exercises every type class. One explode
+    * + one combinable count; output is |keys| rows. */
+  val attrProfile = OracleQuery(
+    "ltss_attr_profile",
+    (s, d) => {
+      val us = unix_micros(col("time"))
+      val enriched = concat(
+        lit("{\"k\": "), get_json_object(col("attributes"), "$.k"),
+        when(us % 3 === 0, lit(", \"unit\": \"w\"")).otherwise(lit("")),
+        when(us % 5 === 0, lit(", \"loc\": [1.5, 2.5]")).otherwise(lit("")),
+        when(us % 7 === 0, lit(", \"flag\": true")).otherwise(lit("")),
+        lit("}"))
+      val rows = ltss(s, d).select(enriched.as("attrs"))
+      val tot = rows.agg(count(lit(1)).as("n_rows"))
+      val cls = when(col("v").startsWith("["), "array")
+        .when(col("v").isin("true", "false"), "bool")
+        .when(col("v").rlike("^-?[0-9]+(\\.[0-9]+)?$"), "number")
+        .otherwise("string")
+      rows
+        .select(col("attrs"), explode(expr("json_object_keys(attrs)")).as("key"))
+        .withColumn("v", expr("get_json_object(attrs, concat('$.', key))"))
+        .withColumn("cls", cls)
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_present"),
+          sum(when(col("cls") === "number", 1L).otherwise(0L)).as("n_number"),
+          sum(when(col("cls") === "string", 1L).otherwise(0L)).as("n_string"),
+          sum(when(col("cls") === "bool", 1L).otherwise(0L)).as("n_bool"),
+          sum(when(col("cls") === "array", 1L).otherwise(0L)).as("n_array"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share",
+          col("n_present").cast("double") / col("n_rows").cast("double"))
+        .select(col("key"), col("n_present"), col("n_number"), col("n_string"),
+          col("n_bool"), col("n_array"), col("share"))
+        .orderBy(col("key"))
+    },
+    Some(s"""$ltssCte,
+      |en AS (
+      |  SELECT '{"k": ' || json_extract_string(attributes, '$$.k')
+      |      || CASE WHEN epoch_us(time) % 3 = 0 THEN ', "unit": "w"' ELSE '' END
+      |      || CASE WHEN epoch_us(time) % 5 = 0 THEN ', "loc": [1.5, 2.5]' ELSE '' END
+      |      || CASE WHEN epoch_us(time) % 7 = 0 THEN ', "flag": true' ELSE '' END
+      |      || '}' AS attrs
+      |  FROM ltss
+      |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM en),
+      |kv AS (
+      |  SELECT key, CAST(json_extract(attrs, '$$.' || key) AS VARCHAR) AS v
+      |  FROM (SELECT attrs, unnest(json_keys(attrs)) AS key FROM en)
+      |)
+      |SELECT key, CAST(count(*) AS BIGINT) AS n_present,
+      |       CAST(sum(CASE WHEN v LIKE '[%' THEN 0
+      |                     WHEN v IN ('true','false') THEN 0
+      |                     WHEN regexp_matches(v, '^-?[0-9]+(\\.[0-9]+)?$$') THEN 1
+      |                     ELSE 0 END) AS BIGINT) AS n_number,
+      |       CAST(sum(CASE WHEN v LIKE '[%' THEN 0
+      |                     WHEN v IN ('true','false') THEN 0
+      |                     WHEN regexp_matches(v, '^-?[0-9]+(\\.[0-9]+)?$$') THEN 0
+      |                     ELSE 1 END) AS BIGINT) AS n_string,
+      |       CAST(sum(CASE WHEN v LIKE '[%' THEN 0
+      |                     WHEN v IN ('true','false') THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_bool,
+      |       CAST(sum(CASE WHEN v LIKE '[%' THEN 1 ELSE 0 END) AS BIGINT) AS n_array,
+      |       CAST(count(*) AS DOUBLE) / CAST(any_value(tot.n_rows) AS DOUBLE) AS share
+      |FROM kv, tot
+      |GROUP BY key
+      |ORDER BY key""".stripMargin))
+
   val all: Seq[OracleQuery] = Seq(
     project, entityFilterQ, history, historyLayout, latest, transitions,
     timeBucketAgg, jsonAttr, jsonAttrLayout, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, geoRadiusLayout, geoBbox, timeBucketSqlQ,
     domainStatsSalted, asofJoin, asofJoinFwd, rangeJoin, percentiles, histogram, pivotHours,
     retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, anomalyMad,
-    histogram2d, sketches, kmvDistinct)
+    histogram2d, sketches, kmvDistinct, attrProfile)
 }

@@ -250,6 +250,37 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, rn""".stripMargin))
 
+  /** Distribution window functions — the §2.2 window breadth beyond
+    * frames/rank: ntile quartiles, percent_rank, and cume_dist of each
+    * customer's account balance within their market segment (the
+    * classic segmentation panel). Total-order deterministic (balance
+    * ties break by custkey inside the window order) and exact:
+    * percent_rank = (rank−1)/(n−1) and cume_dist = peers/n are each
+    * two BIGINTs through one IEEE division on both engines. One window
+    * pass, one shuffle on the segment key. */
+  val windowDistribution = OracleQuery(
+    "window_distribution",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .select(col("c_mktsegment"), col("c_custkey"),
+          col("c_acctbal").cast("double").as("acctbal"),
+          col("quartile"), col("pct_rank"), col("cume"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    },
+    Some("""SELECT c_mktsegment, c_custkey,
+      |       CAST(c_acctbal AS DOUBLE) AS acctbal,
+      |       ntile(4) OVER w AS quartile,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin))
+
   /** Filter + projection pushdown showcase: brand-filtered part join. */
   val partJoin = OracleQuery(
     "part_join",
@@ -269,5 +300,5 @@ object Relational {
 
   val all: Seq[OracleQuery] = Seq(
     q1, q3, q5, semiJoin, antiJoin, outerJoin, rollupAgg, cubeAgg, setOps, topkOrders,
-    windowRunning, partJoin)
+    windowRunning, windowDistribution, partJoin)
 }
