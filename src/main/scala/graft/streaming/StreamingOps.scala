@@ -922,6 +922,38 @@ object StreamingOps {
         col("open"), col("high"), col("low"), col("close"), col("n"))
   }
 
+  /** Continuously-maintained M4 downsample — the streaming twin of the
+    * batch `ltss_downsample_m4` (same lexicographic struct-MIN/MAX
+    * aggregate shape as [[windowedOhlc]], extended with the extreme
+    * values' TIMESTAMPS, which is what makes M4 pixel-exact): per
+    * closed (window, entity) the first/last/min/max points with their
+    * times. Partial struct extremes combine incrementally in the state
+    * store, so the live chart's pixel columns are maintained without
+    * ever holding raw points; watermark closes and evicts windows. Tie
+    * rules are the batch op's exactly: (time, sv) structs break
+    * first/last ties by value, (sv, time) structs give the earliest
+    * minimum and the latest maximum. */
+  def windowedM4(
+      ltss: DataFrame,
+      windowWidth: String = "4 hours",
+      watermark: String = "2 hours"): DataFrame = {
+    val sv = col("state").cast("decimal(12,2)")
+    ltss.withWatermark("time", watermark)
+      .groupBy(window(col("time"), windowWidth), col("entity_id"))
+      .agg(
+        min(struct(col("time"), sv.as("sv"))).as("fst"),
+        max(struct(col("time"), sv.as("sv"))).as("lst"),
+        min(struct(sv.as("sv"), col("time"))).as("mn"),
+        max(struct(sv.as("sv"), col("time"))).as("mx"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("entity_id"),
+        col("fst.time").as("t_first"), col("fst.sv").cast("double").as("v_first"),
+        col("mn.time").as("t_min"), col("mn.sv").cast("double").as("v_min"),
+        col("mx.time").as("t_max"), col("mx.sv").cast("double").as("v_max"),
+        col("lst.time").as("t_last"), col("lst.sv").cast("double").as("v_last"),
+        col("n"))
+  }
+
   /** Streaming decontamination — the live-ingest twin of the batch
     * `contamination_bloom` query, with the same two-tier shape: a Bloom
     * filter over the STATIC benchmark suite's shingle hashes (built

@@ -326,6 +326,40 @@ class StatefulStreamingSpec extends SparkSpec {
       s"expected candle missing: $rows")
   }
 
+  test("streaming M4: extreme points carry their event timestamps, ties per batch rule") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.windowedM4(df, windowWidth = "1 hour").writeStream
+      .format("memory").queryName("m4_t").outputMode("append").start()
+    try {
+      // out-of-order arrivals; a TIE at the max value (30.00 twice) must
+      // resolve to the LATEST time, the min tie to the EARLIEST
+      ms.addData(
+        (ts("2024-01-01 10:40:00"), "a.1", "30.00"),
+        (ts("2024-01-01 10:05:00"), "a.1", "12.00"))
+      q.processAllAvailable()
+      ms.addData(
+        (ts("2024-01-01 10:20:00"), "a.1", "30.00"),
+        (ts("2024-01-01 10:55:00"), "a.1", "18.00"))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 14:00:00"), "z.1", "0.00")) // close 10h
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("m4_t")
+      .as[(java.sql.Timestamp, String,
+        java.sql.Timestamp, Double, java.sql.Timestamp, Double,
+        java.sql.Timestamp, Double, java.sql.Timestamp, Double, Long)]
+      .collect().filter(_._2 == "a.1")
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r._3 == ts("2024-01-01 10:05:00") && r._4 == 12.0) // first
+    assert(r._5 == ts("2024-01-01 10:05:00") && r._6 == 12.0) // min (earliest)
+    assert(r._7 == ts("2024-01-01 10:40:00") && r._8 == 30.0) // max tie -> latest
+    assert(r._9 == ts("2024-01-01 10:55:00") && r._10 == 18.0) // last
+    assert(r._11 == 4L)
+  }
+
   test("streaming state_agg: class totals update on interval close (update mode)") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, String)]
