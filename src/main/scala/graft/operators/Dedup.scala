@@ -2077,11 +2077,69 @@ object Dedup {
       |WHERE greatest(containment_a, containment_b) >= 0.95
       |ORDER BY a_id, b_id""".stripMargin))
 
+  /** Per-document content NOVELTY in crawl order — the "what does each
+    * new document actually add" curve a continual-crawl corpus reports
+    * (and the per-doc refinement of [[sourceOverlap]]'s source-level
+    * matrix): over a doc's DISTINCT 3-word shingles, how many appear in
+    * NO earlier document (doc_id order = ingest order)? A re-crawl or
+    * boilerplate page scores ≈ 0, genuinely fresh content ≈ 1 — the
+    * per-doc signal a crawl scheduler reads to decide whether a source
+    * is still yielding new text.
+    *
+    * Scale shape: shingles reduce to 60-bit [[graft.functions.Md5Prefix64]]
+    * longs map-side (8-byte shuffle keys, bijective with the oracle's
+    * 15-hex-char md5 prefix so collisions merge identically on both
+    * engines); ONE distinct shuffle on (fp, doc_id), first-occurrence
+    * attribution is a min-window on the SAME fp key (exchange reused —
+    * no second shuffle for the window), and the per-doc rollup is one
+    * combinable aggregate. A hyper-common shingle is one window
+    * partition — never a pair fan-out; nothing past the fingerprint
+    * projection holds text. The one IEEE division closes exact BIGINT
+    * counts. */
+  val docNovelty = OracleQuery(
+    "doc_novelty",
+    (s, d) => {
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      val sh3 = columnOf(graft.functions.ShinglesK(expressionOf(col("text")), 3))
+      val docSh = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(sh3)).as("sh"))
+        .select(col("doc_id"),
+          columnOf(graft.functions.Md5Prefix64(expressionOf(col("sh")))).as("fp"))
+        .distinct()
+      val w = Window.partitionBy(col("fp"))
+      docSh
+        .withColumn("novel",
+          (col("doc_id") === min(col("doc_id")).over(w)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), sum(col("novel")).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+            .as("novelty"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ssh AS (
+      |  SELECT DISTINCT doc_id, substring(md5(sh), 1, 15) AS fp FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(
+      |             generate_series(1, greatest(len(w) - 2, 1)),
+      |             i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      |), flagged AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id = min(doc_id) OVER (PARTITION BY fp) AS BIGINT) AS novel
+      |  FROM ssh
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |       CAST(sum(novel) AS BIGINT) AS n_novel,
+      |       CAST(sum(novel) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+      |FROM flagged GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(exact, minhashSig, minhashLsh, jaccard, clusters, clusterStats,
       savings, confusion, corpusSummary, splitLeakageFree, splitLeakageAudit, keepBest, lshRecall,
       allPairs,
       lshScurve, graphStats, overflowVerify, crosscheck,
       simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans,
-      substringExcise, contaminationSpans, incremental, containment)
+      substringExcise, contaminationSpans, incremental, containment,
+      docNovelty)
 }

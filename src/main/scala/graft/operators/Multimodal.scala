@@ -168,6 +168,57 @@ object Multimodal {
       }
       None
     }
+
+    /** TIFF / EXIF IFD walk — the metadata container behind every
+      * camera JPEG's Exif block and every TIFF scan: a BYTE-ORDER
+      * header ("II" little-endian or "MM" big-endian — the SAME walker
+      * must run both, selected per file at offset 0), the 42 magic in
+      * that order, a u32 offset to IFD0, then IFD0's 12-byte entries
+      * [tag u16][type u16][count u32][value/offset 4B]. Reads
+      * ImageWidth (0x0100), ImageLength (0x0101) and Orientation
+      * (0x0112), each accepted as SHORT (type 3, value in the FIRST
+      * TWO bytes of the value field — in file byte order) or LONG
+      * (type 4, all four bytes); entries of any other type/count —
+      * e.g. an ASCII Make whose value field is an offset — are SKIPPED
+      * by the walk, never followed. Returns (width, height,
+      * orientation) with orientation defaulting to 1 (top-left) when
+      * the tag is absent, as the EXIF spec prescribes; any structural
+      * failure — bad byte order, wrong magic, IFD or entry overrunning
+      * the buffer — is None, never a fabricated value. */
+    def tiffMeta(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 8) return None
+      val le =
+        if (b(0) == 'I' && b(1) == 'I') true
+        else if (b(0) == 'M' && b(1) == 'M') false
+        else return None
+      def u16(i: Int): Int = if (le) le16(b, i) else be16(b, i)
+      def u32(i: Int): Int = if (le) le32(b, i) else be32(b, i)
+      if (u16(2) != 42) return None
+      val ifd = u32(4)
+      if (ifd < 0 || ifd + 2 > b.length) return None
+      val n = u16(ifd)
+      if (ifd + 2 + n * 12 > b.length) return None
+      var w = -1; var h = -1; var o = 1
+      var e = 0
+      while (e < n) {
+        val off = ifd + 2 + e * 12
+        val tag = u16(off)
+        val typ = u16(off + 2)
+        val cnt = u32(off + 4)
+        val v =
+          if (cnt == 1 && typ == 3) u16(off + 8)
+          else if (cnt == 1 && typ == 4) u32(off + 8)
+          else -1
+        if (v >= 0) tag match {
+          case 0x0100 => w = v
+          case 0x0101 => h = v
+          case 0x0112 => o = v
+          case _ => ()
+        }
+        e += 1
+      }
+      if (w >= 0 && h >= 0) Some((w, h, o)) else None
+    }
   }
 
   /** STUB decoder: stands in for a full pixel codec (feature vectors
@@ -572,5 +623,89 @@ object Multimodal {
       |       END AS BIGINT) AS duration_ms
       |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[OracleQuery] = Seq(features, decode, frameSample, resize, audio, video)
+  final case class TiffMeta(
+      doc_id: Long, media_type: String, byte_len: Long,
+      width: Int, height: Int, orientation: Int)
+
+  /** Partition-local TIFF/EXIF-metadata extraction over the real
+    * [[MediaHeaders.tiffMeta]] IFD walker; parse failure surfaces as -1
+    * sentinels. */
+  def extractTiffMeta(media: Dataset[AudioRecord]): Dataset[TiffMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      MediaHeaders.tiffMeta(r.content) match {
+        case Some((w, h, o)) =>
+          TiffMeta(r.doc_id, "image/tiff", r.content.length.toLong, w, h, o)
+        case None =>
+          TiffMeta(r.doc_id, "image/tiff", r.content.length.toLong, -1, -1, -1)
+      }
+    })
+  }
+
+  private def be16Hex(v: Column): Column = lpad(hex(v), 4, "0")
+
+  /** 62-byte TIFF/EXIF skeleton in EITHER byte order: the II/LE or
+    * MM/BE header, IFD0 at offset 8 with FOUR entries in tag order —
+    * ImageWidth (SHORT, or LONG for the type-4 branch), ImageLength
+    * (SHORT), an ASCII `Make` entry whose value field is an OFFSET
+    * past the skeleton (the walker must SKIP it, never follow it),
+    * Orientation (SHORT) — then a zero next-IFD pointer. Header bytes
+    * only, like every builder in this family. */
+  private def tiffHexFor(w: Column, h: Column, o: Column,
+      wLong: Column, le: Boolean): Column = {
+    def u16(v: Column) = if (le) le16Hex(v) else be16Hex(v)
+    def u32(v: Column) = if (le) le32Hex(v) else be32Hex(v)
+    def entry(tag: Int, typ: Int, cnt: Int, valHex: Column) =
+      concat(u16(lit(tag)), u16(lit(typ)), u32(lit(cnt)), valHex)
+    val widthEntry = when(wLong, entry(0x100, 4, 1, u32(w)))
+      .otherwise(entry(0x100, 3, 1, concat(u16(w), lit("0000"))))
+    concat(
+      lit(if (le) "49492A00" else "4D4D002A"), // II+42LE / MM+42BE
+      u32(lit(8)), // IFD0 offset
+      u16(lit(4)), // entry count
+      widthEntry,
+      entry(0x101, 3, 1, concat(u16(h), lit("0000"))),
+      entry(0x10F, 2, 6, u32(lit(62))), // Make: ASCII, value is an offset
+      entry(0x112, 3, 1, concat(u16(o), lit("0000"))),
+      u32(lit(0))) // next IFD: none
+  }
+
+  /** EXIF/TIFF-metadata decode — the byte-order-generic leg of the
+    * multimodal family: in-flight TIFF skeletons (width/height/
+    * orientation derived from doc_id; EVEN docs little-endian "II",
+    * ODD docs big-endian "MM", every 5th width entry in the LONG
+    * type-4 layout) parsed back by the real IFD walker, with every 7th
+    * doc TRUNCATED mid-header so the corrupt contract (-1 sentinels)
+    * stays oracle-visible. The oracle recomputes width, height and
+    * orientation by independent doc_id arithmetic, so a hash match
+    * proves the walker inverts the container — BOTH byte orders, both
+    * value types, and the skip of the offset-valued ASCII entry —
+    * rather than two formula copies agreeing. Map-side only. */
+  val exif = OracleQuery(
+    "multimodal_exif",
+    (s, d) => {
+      import s.implicits._
+      val w = (col("doc_id") % 4000 + 16).cast("int")
+      val h = (col("doc_id") % 3000 + 16).cast("int")
+      val o = (col("doc_id") % 8 + 1).cast("int")
+      val wLong = col("doc_id") % 5 === 2
+      val full = when(col("doc_id") % 2 === 0, tiffHexFor(w, h, o, wLong, le = true))
+        .otherwise(tiffHexFor(w, h, o, wLong, le = false))
+      val media = Tables.documents(s, d).select(col("doc_id"),
+        unhex(when(col("doc_id") % 7 === 3, substring(full, 1, 12))
+          .otherwise(full)).as("content")).as[AudioRecord]
+      extractTiffMeta(media)
+        .select(col("doc_id"), col("media_type"), col("byte_len"),
+          col("width"), col("height"), col("orientation"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, 'image/tiff' AS media_type,
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN 6 ELSE 62 END AS BIGINT) AS byte_len,
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1 ELSE doc_id % 4000 + 16 END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1 ELSE doc_id % 3000 + 16 END AS INT) AS height,
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1 ELSE doc_id % 8 + 1 END AS INT) AS orientation
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[OracleQuery] =
+    Seq(features, decode, frameSample, resize, audio, video, exif)
 }

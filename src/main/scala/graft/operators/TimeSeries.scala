@@ -1491,9 +1491,102 @@ object TimeSeries {
       |                 / CAST(naive_abs_err * n_sn AS DOUBLE) END AS mase
       |FROM ag ORDER BY domain""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Span-limited exponential moving average
+  // ---------------------------------------------------------------------
+
+  /** Number of trailing observations an EWMA row weighs (the warm-up
+    * span): with α = 1/2 the next-older term's weight would be 2⁻¹⁶ of
+    * the newest — below any display precision — so the truncation is
+    * the standard practical cutoff, not an approximation knob. */
+  val EwmaSpan = 16
+
+  /** Exponentially weighted moving average per entity (α = 1/2, the
+    * adjust=true form every stats library documents):
+    * ewma_t = Σ_j w_j·x_{t−j} / Σ_j w_j over the last [[EwmaSpan]]
+    * observations with w_j = 2⁻ʲ — the smoothing panel a dashboard
+    * offers next to the flat [[movingAvg]] window.
+    *
+    * EXACT arithmetic end to end: states quantize to BIGINT cents, the
+    * weights scale to the integers 2^(span−1−j), and both the numerator
+    * and the weight sum are exact BIGINT sums (bounded by cents·2¹⁶ ≈
+    * 6.5·10¹⁶ under the DECIMAL(12,2) state domain; the same chain runs
+    * in DECIMAL(38,0) at wider widths), so the only IEEE operation is
+    * the one closing division. The textbook recursion
+    * s_t = αx_t + (1−α)s_{t−1} would accumulate rounding
+    * engine-dependently and never hash-match — this is its
+    * order-independent closed form, truncated where the weights fall
+    * below representable significance. Duplicate timestamps collapse
+    * per (entity, µs) by MAX(state) first (the documented tie rule), so
+    * every lag offset is deterministic on both engines. ONE shuffle on
+    * entity_id; all [[EwmaSpan]] lag reads and the row counter ride one
+    * window pass. The streaming twin is the recursion run online
+    * against this span. */
+  def ewma(ltss: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("entity_id")).orderBy(col("tus"))
+    val base = ltss
+      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("tus", unix_micros(col("time")))
+      .groupBy(col("entity_id"), col("tus"))
+      .agg(max(col("sv")).as("sv"))
+      .withColumn("cents", (col("sv") * 100).cast("long"))
+    val terms = (0 until EwmaSpan).map { j =>
+      val mult = 1L << (EwmaSpan - 1 - j)
+      val lagC = lag(col("cents"), j).over(w)
+      (coalesce(lagC * lit(mult), lit(0L)),
+        when(lagC.isNotNull, lit(mult)).otherwise(lit(0L)))
+    }
+    base
+      .withColumn("num", terms.map(_._1).reduce(_ + _))
+      .withColumn("den", terms.map(_._2).reduce(_ + _))
+      .select(col("entity_id"), timestamp_micros(col("tus")).as("time"),
+        col("sv").cast("double").as("sv"),
+        (col("num").cast("double") / (col("den") * 100).cast("double"))
+          .as("ewma"),
+        least(row_number().over(w), lit(EwmaSpan)).cast("long").as("n_window"))
+  }
+
+  val ewmaQ = OracleQuery(
+    "ltss_ewma",
+    (s, d) => {
+      val l = Queries.ltss(s, d)
+        .filter(split(col("entity_id"), "\\.").getItem(0) === "purchase")
+      ewma(l).orderBy(col("entity_id"), col("time"))
+    },
+    Some {
+      val num = (0 until EwmaSpan).map { j =>
+        val m = 1L << (EwmaSpan - 1 - j)
+        s"COALESCE(lag(cents, $j) OVER w * $m, 0)"
+      }.mkString(" + ")
+      val den = (0 until EwmaSpan).map { j =>
+        val m = 1L << (EwmaSpan - 1 - j)
+        s"CASE WHEN lag(cents, $j) OVER w IS NOT NULL THEN $m ELSE 0 END"
+      }.mkString(" + ")
+      s"""$ltssBase,
+        |tied AS (
+        |  SELECT entity_id, epoch_us(time) AS tus,
+        |         max(CAST(state AS DECIMAL(12,2))) AS sv
+        |  FROM base WHERE split_part(entity_id, '.', 1) = 'purchase'
+        |  GROUP BY entity_id, epoch_us(time)
+        |), c AS (
+        |  SELECT entity_id, tus, sv, CAST(sv * 100 AS BIGINT) AS cents FROM tied
+        |), e AS (
+        |  SELECT entity_id, tus, sv,
+        |         $num AS num,
+        |         $den AS den,
+        |         least(row_number() OVER w, $EwmaSpan) AS n_window
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY entity_id ORDER BY tus)
+        |)
+        |SELECT entity_id, make_timestamp(tus) AS time, CAST(sv AS DOUBLE) AS sv,
+        |       CAST(num AS DOUBLE) / CAST(den * 100 AS DOUBLE) AS ewma,
+        |       CAST(n_window AS BIGINT) AS n_window
+        |FROM e ORDER BY entity_id, time""".stripMargin
+    })
+
   val all: Seq[OracleQuery] =
     Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
       lttbGridQ, stateAggQ, stateTimelineQ, interpTwaQ, heartbeatQ, sloQ,
-      markovQ, rateAnomalyQ, movingAvgQ, caggQ, trendQ, acfQ, changepointQ, m4Q,
-      seasonalQ, forecastBacktestQ)
+      markovQ, rateAnomalyQ, movingAvgQ, ewmaQ, caggQ, trendQ, acfQ,
+      changepointQ, m4Q, seasonalQ, forecastBacktestQ)
 }

@@ -59,6 +59,39 @@ class MultimodalSpec extends SparkSpec {
     assert(s.width == 100 % 640 && s.height == (100 * 7) % 480)
   }
 
+  test("TIFF IFD walk: both byte orders, SHORT and LONG values, offset-entry skip") {
+    // little-endian "II": width SHORT 640, height SHORT 480, an ASCII
+    // Make entry whose value field is an OFFSET (must be skipped, not
+    // followed), orientation SHORT 6
+    val le = hex("49492A00 08000000 0400" +
+      "0001 0300 01000000 80020000" +
+      "0101 0300 01000000 E0010000" +
+      "0F01 0200 06000000 3E000000" +
+      "1201 0300 01000000 06000000" +
+      "00000000")
+    assert(MediaHeaders.tiffMeta(le).contains((640, 480, 6)))
+    // big-endian "MM" with the width in the LONG (type-4) layout
+    val be = hex("4D4D002A 00000008 0004" +
+      "0100 0004 00000001 00000280" +
+      "0101 0003 00000001 01E00000" +
+      "010F 0002 00000006 0000003E" +
+      "0112 0003 00000001 00060000" +
+      "00000000")
+    assert(MediaHeaders.tiffMeta(be).contains((640, 480, 6)))
+    // orientation absent → EXIF default 1 (top-left)
+    val noOrient = hex("49492A00 08000000 0200" +
+      "0001 0300 01000000 80020000" +
+      "0101 0300 01000000 E0010000" +
+      "00000000")
+    assert(MediaHeaders.tiffMeta(noOrient).contains((640, 480, 1)))
+    // structural failures: wrong magic, unknown byte order, truncation,
+    // entry table overrunning the buffer
+    assert(MediaHeaders.tiffMeta(hex("49492B00 08000000")).isEmpty)
+    assert(MediaHeaders.tiffMeta(hex("58592A00 08000000")).isEmpty)
+    assert(MediaHeaders.tiffMeta(le.take(6)).isEmpty)
+    assert(MediaHeaders.tiffMeta(le.take(30)).isEmpty)
+  }
+
   test("WAV chunk walk: LIST skip, odd-size padding, and structural failures") {
     def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
     def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,

@@ -255,4 +255,30 @@ class TimeSeriesSpec extends SparkSpec {
       ("2024-01-01 00:00:00.0", "low", H, 1L),
       ("2024-01-02 00:00:00.0", "low", H, 1L)), s"got $out")
   }
+
+  test("ewma matches the textbook adjust=true weighting (α = 1/2) within the span") {
+    val xs = Seq(10.0, 20.0, 40.0, 30.0, 50.0)
+    val rows = xs.zipWithIndex.map { case (v, i) => (ts(i), "click.1", f"$v%.2f") }
+    val out = TimeSeries.ewma(ltssOf(rows)).orderBy("time")
+      .select("ewma", "n_window").collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    // reference: Σ_j 2⁻ʲ·x_{t−j} / Σ_j 2⁻ʲ — the series is shorter than
+    // the span, so the closed form must equal the untruncated weighting
+    val expected = xs.indices.map { t =>
+      val num = (0 to t).map(j => math.pow(0.5, j) * xs(t - j)).sum
+      num / (0 to t).map(j => math.pow(0.5, j)).sum
+    }
+    out.map(_._1).zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-9, s"got $g want $e") }
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("ewma truncates: an observation older than the span stops contributing") {
+    val xs = 1000000.0 +: Seq.fill(TimeSeries.EwmaSpan)(0.0)
+    val rows = xs.zipWithIndex.map { case (v, i) => (ts(i), "click.1", f"$v%.2f") }
+    val out = TimeSeries.ewma(ltssOf(rows)).orderBy("time")
+      .select("ewma").collect().map(_.getDouble(0))
+    assert(out(TimeSeries.EwmaSpan - 1) > 0.0) // span-th row still sees x₀ at 2⁻¹⁵
+    assert(out(TimeSeries.EwmaSpan) == 0.0) // one row later x₀ has aged out exactly
+  }
 }
