@@ -2077,6 +2077,119 @@ object Dedup {
       |WHERE greatest(containment_a, containment_b) >= 0.95
       |ORDER BY a_id, b_id""".stripMargin))
 
+  /** b-bit minwise ACCURACY AUDIT (Li & König, CACM 2011) — the
+    * storage-side counterpart of [[lshRecall]]: a deployment that keeps
+    * only the LOWEST BIT of each minhash minimum stores 1/32 of the
+    * 8-hex-char signature, and this report measures what that buys and
+    * costs on the deployed candidate set. Per LSH candidate pair:
+    * full-width agreement (the standard 8-perm estimate Ĵ = agree/8),
+    * 1-bit agreement with the unbiased estimator Ĵ₁ = 2·(agree₁/8) − 1
+    * (for large hash spaces a non-matching pair still agrees per bit
+    * with probability ½ — the 2x−1 correction removes that), and the
+    * EXACT 2-shingle Jaccard ground truth (the set family the
+    * signature sketches), with both absolute errors — the honest
+    * fixture-scale answer being that 8 one-bit samples are far too few
+    * (σ ≈ 0.35), which is exactly why production b-bit deployments run
+    * hundreds of permutations; the report is how that tradeoff is read
+    * off before committing storage.
+    *
+    * Scale shape: candidate pairs come from the persisted LSH band
+    * frame (bucket-bounded, never all-pairs); signatures re-attach by
+    * two doc_id equi-joins; the exact leg reuses the cached corpus
+    * shingle-fp frame with the intersection as one fp equi-join
+    * restricted to candidate docs. Bit extraction is hex-char parity —
+    * engine-portable string arithmetic, no conv(); every decision
+    * integer, three closing IEEE chains on identical inputs. */
+  val bbitMinhash = OracleQuery(
+    "dedup_bbit_minhash",
+    (s, d) => {
+      val pairs = lshPairFrame(s, d).select(col("a_id"), col("b_id"))
+      val sig = minhashFrame(Tables.documents(s, d))
+      val aSig = sig.toDF(sig.columns.toIndexedSeq
+        .map(c => if (c == "doc_id") "a_id" else s"a_$c"): _*)
+      val bSig = sig.toDF(sig.columns.toIndexedSeq
+        .map(c => if (c == "doc_id") "b_id" else s"b_$c"): _*)
+      def parity(c: Column): Column =
+        substring(c, 8, 1).isin("1", "3", "5", "7", "9", "b", "d", "f")
+      val agree8 = (0 until NumHashes)
+        .map(j => when(col(s"a_m$j") === col(s"b_m$j"), 1).otherwise(0))
+        .reduceLeft(_ + _)
+      val agree1 = (0 until NumHashes)
+        .map(j => when(parity(col(s"a_m$j")) === parity(col(s"b_m$j")), 1)
+          .otherwise(0))
+        .reduceLeft(_ + _)
+      val ssh = sampleShingleFrame(s, d, "g") // bound 'g' > 'f': full corpus, cached
+      val sz = ssh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = pairs
+        .join(ssh.toDF("a_id", "fp"), "a_id")
+        .join(ssh.toDF("b_id", "fp"), Seq("b_id", "fp"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+      pairs
+        .join(aSig, "a_id").join(bSig, "b_id")
+        .withColumn("agree8", agree8.cast("long"))
+        .withColumn("agree1", agree1.cast("long"))
+        .join(inter, Seq("a_id", "b_id"), "left")
+        .join(sz.toDF("a_id", "na"), "a_id")
+        .join(sz.toDF("b_id", "nb"), "b_id")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .select(col("a_id"), col("b_id"), col("agree8"), col("agree1"),
+          (col("agree8").cast("double") / lit(NumHashes.toDouble)).as("est_full"),
+          ((col("agree1") * 2 - NumHashes).cast("double") / lit(NumHashes.toDouble))
+            .as("est_1bit"),
+          (col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double")).as("exact_j"))
+        .withColumn("err_full", abs(col("est_full") - col("exact_j")))
+        .withColumn("err_1bit", abs(col("est_1bit") - col("exact_j")))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some {
+      val odd = "('1','3','5','7','9','b','d','f')"
+      val ag8 = (0 until NumHashes)
+        .map(j => s"CAST(sa.m$j = sb.m$j AS INT)").mkString(" + ")
+      val ag1 = (0 until NumHashes)
+        .map(j => s"CAST((substring(sa.m$j, 8, 1) IN $odd) = " +
+          s"(substring(sb.m$j, 8, 1) IN $odd) AS INT)").mkString(" + ")
+      s"""$lshGuardedCte,
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM guarded a JOIN guarded b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |   AND a.doc_id < b.doc_id
+        |), ssh AS (
+        |  SELECT DISTINCT doc_id, substring(md5(sh), 1, 15) AS fp FROM (
+        |    SELECT doc_id, unnest(list_distinct($shingles2Sql)) AS sh FROM documents)
+        |), sz AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ssh GROUP BY doc_id
+        |), iv AS (
+        |  SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS inter
+        |  FROM cand c
+        |  JOIN ssh fa ON fa.doc_id = c.a_id
+        |  JOIN ssh fb ON fb.doc_id = c.b_id AND fb.fp = fa.fp
+        |  GROUP BY 1, 2
+        |), ag AS (
+        |  SELECT c.a_id, c.b_id,
+        |         CAST($ag8 AS BIGINT) AS agree8,
+        |         CAST($ag1 AS BIGINT) AS agree1
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.a_id
+        |  JOIN sig sb ON sb.doc_id = c.b_id
+        |)
+        |SELECT a_id, b_id, agree8, agree1, est_full, est_1bit, exact_j,
+        |       abs(est_full - exact_j) AS err_full,
+        |       abs(est_1bit - exact_j) AS err_1bit
+        |FROM (
+        |  SELECT ag.a_id, ag.b_id, agree8, agree1,
+        |         CAST(agree8 AS DOUBLE) / $NumHashes AS est_full,
+        |         CAST(agree1 * 2 - $NumHashes AS DOUBLE) / $NumHashes AS est_1bit,
+        |         CAST(COALESCE(iv.inter, 0) AS DOUBLE)
+        |           / CAST(sa.n + sb.n - COALESCE(iv.inter, 0) AS DOUBLE) AS exact_j
+        |  FROM ag
+        |  LEFT JOIN iv ON iv.a_id = ag.a_id AND iv.b_id = ag.b_id
+        |  JOIN sz sa ON sa.doc_id = ag.a_id
+        |  JOIN sz sb ON sb.doc_id = ag.b_id)
+        |ORDER BY a_id, b_id""".stripMargin
+    })
+
   /** Per-document content NOVELTY in crawl order — the "what does each
     * new document actually add" curve a continual-crawl corpus reports
     * (and the per-doc refinement of [[sourceOverlap]]'s source-level
@@ -2141,5 +2254,5 @@ object Dedup {
       lshScurve, graphStats, overflowVerify, crosscheck,
       simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans,
       substringExcise, contaminationSpans, incremental, containment,
-      docNovelty)
+      docNovelty, bbitMinhash)
 }

@@ -696,6 +696,71 @@ object TextOps {
       |WHERE ${SearchTerms.map(t => s"list_contains(w, '$t')").mkString(" AND ")}
       |ORDER BY doc_id""".stripMargin))
 
+  /** The phrase the positional probe searches — three words with real
+    * adjacent occurrences in the fixture corpus (3 docs at sf0.01), so
+    * the gate checks genuine position arithmetic, not an empty result. */
+  val PhraseTerms = Seq("value", "table", "part")
+
+  /** POSITIONAL posting layout: one row per (doc_id, token, position),
+    * partitioned by the same token-hash bucket as the boolean inverted
+    * index — the layout phrase and proximity queries need where
+    * [[invIndexPath]] only answers membership. Built once per dataset
+    * (by ingest, at scale), read partition-pruned by every probe. */
+  def posIndexPath(s: SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("pos_index", d) { p =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("bucket", pmod(xxhash64(col("tok")), lit(IndexBuckets)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(p)
+    }
+
+  /** Exact PHRASE search over the positional index — the query class a
+    * boolean inverted index cannot answer: every doc where the three
+    * [[PhraseTerms]] occur CONSECUTIVELY, with the occurrence count and
+    * the first match position. Each term's posting leg shifts its
+    * positions by the term's phrase offset, so adjacency becomes
+    * EQUALITY on (doc_id, start) and the whole match is a chain of
+    * equi-joins — the standard positional-intersection device; no
+    * window, no inequality join, no text re-scan. The probe
+    * partition-prunes to the phrase terms' ≤3 buckets (a k-row driver
+    * planning job, same class as the IVF probe argmax), so the posting
+    * store is never full-scanned; per-term posting legs are df-sized,
+    * and the occurrence rollup is one combinable aggregate. Positions
+    * are 0-based integers on both engines (the oracle's 1-based list
+    * index shifts by one). */
+  val phraseSearch = OracleQuery(
+    "text_phrase_search",
+    (s, d) => {
+      import s.implicits._
+      val bucketVals = PhraseTerms.toDF("t")
+        .select(pmod(xxhash64(col("t")), lit(IndexBuckets)))
+        .collect().map(_.getLong(0)).distinct.toSeq
+      val idx = s.read.parquet(posIndexPath(s, d))
+        .filter(col("bucket").isin(bucketVals: _*))
+      val legs = PhraseTerms.zipWithIndex.map { case (t, i) =>
+        idx.filter(col("tok") === t)
+          .select(col("doc_id"), (col("pos") - i).as("st"))
+      }
+      legs.reduce(_.join(_, Seq("doc_id", "st")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          min(col("st")).cast("long").as("first_pos"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val t = PhraseTerms
+      s"""WITH pos AS (
+        |  SELECT doc_id, unnest(list_filter(generate_series(1, greatest(len(w) - 2, 0)),
+        |           i -> w[i] = '${t(0)}' AND w[i+1] = '${t(1)}' AND w[i+2] = '${t(2)}')) AS p
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |       CAST(min(p) - 1 AS BIGINT) AS first_pos
+        |FROM pos GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    })
+
   /** Overlapping-window document chunking — the retrieval/embedding
     * prep step (RAG-style): fixed `width`-token windows every `stride`
     * tokens, so consecutive chunks share `width − stride` tokens of
@@ -1065,6 +1130,7 @@ object TextOps {
   val all: Seq[OracleQuery] =
     Seq(textStats, langId, tokenCount, fingerprint, simhash, textClean,
       vocabTopk, urlStats, urlCanonical, textRedact, contamination, contaminationBloom,
-      repetition, qualityFilter, docCommonness, docCoherence, textSearch, docChunks,
+      repetition, qualityFilter, docCommonness, docCoherence, textSearch,
+      phraseSearch, docChunks,
       docKeywords, docDiversity, corpusZipf, sourceDivergence, vocabTypoPairs)
 }
