@@ -766,6 +766,69 @@ object StreamingOps {
       }
   }
 
+  final case class EwmaState(tus: Seq[Long], cents: Seq[Long])
+  final case class EwmaRow(entity_id: String, time: java.sql.Timestamp,
+      sv: Double, ewma: Double, n_window: Long)
+
+  /** Continuously-maintained EWMA per entity — the streaming twin of
+    * the batch `ltss_ewma`, and BIT-EXACT against it by construction:
+    * instead of running the float recursion s ← (x + s)/2 (whose
+    * rounding depends on arrival batching), the state holds the last
+    * [[graft.operators.TimeSeries.EwmaSpan]] (µs, cents) pairs — the
+    * span IS the state cap, so state is bounded at 16 BIGINT pairs per
+    * entity no matter the stream volume — and each accepted event
+    * re-evaluates the batch op's exact closed form (BIGINT
+    * numerator/weight sums, one closing division) over that window.
+    * Ties at the frontier timestamp max-merge exactly like the batch
+    * MAX(state) tie rule; events BEHIND the frontier are dropped
+    * (in-order contract, same as the other stateful ops — the batch op
+    * is the replay for late data); non-numeric states are skipped.
+    * Emits one updated row per accepted event in Update mode. */
+  def ewmaStream(ltss: DataFrame): Dataset[EwmaRow] = {
+    import ltss.sparkSession.implicits._
+    val span = graft.operators.TimeSeries.EwmaSpan
+    ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (key, events, st) =>
+        var tus = st.getOption.map(_.tus.toList).getOrElse(Nil)
+        var cents = st.getOption.map(_.cents.toList).getOrElse(Nil)
+        val out = scala.collection.mutable.ListBuffer.empty[EwmaRow]
+        for (e <- events) {
+          val t = micros(e.time)
+          val parsed = scala.util.Try(new java.math.BigDecimal(e.state)
+            .setScale(2, java.math.RoundingMode.HALF_UP)
+            .movePointRight(2).longValueExact()).toOption
+          val accepted = parsed match {
+            case Some(c) if tus.isEmpty || t > tus.head =>
+              tus = (t :: tus).take(span)
+              cents = (c :: cents).take(span)
+              true
+            case Some(c) if t == tus.head =>
+              cents = math.max(cents.head, c) :: cents.tail // batch MAX tie rule
+              true
+            case _ => false // non-numeric, or behind the frontier: dropped
+          }
+          if (accepted) {
+            var num = 0L
+            var den = 0L
+            var j = 0
+            for (c <- cents) {
+              val m = 1L << (span - 1 - j)
+              num += c * m
+              den += m
+              j += 1
+            }
+            out += EwmaRow(key, tsOfMicros(tus.head), cents.head / 100.0,
+              num.toDouble / (den * 100).toDouble, cents.length.toLong)
+          }
+        }
+        st.update(EwmaState(tus, cents))
+        out.iterator
+      }
+  }
+
   final case class RateState(
       openBus: Long, openCount: Long, n: Long, s1: Long, s2: Long)
   final case class RateAnomaly(

@@ -986,4 +986,56 @@ class StatefulStreamingSpec extends SparkSpec {
       .collect().head.getString(0)
     assert(Set("c", "d").contains(batchSplit))
   }
+
+  test("streaming ewma: bounded window state replays the batch closed form bit-exactly") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.ewmaStream(df).writeStream
+      .format("memory").queryName("ewma_t").outputMode("update").start()
+    // 20 in-order observations — four MORE than the span, so the stream's
+    // bounded window must age out the oldest values exactly as the batch
+    // op's 16-lag truncation does
+    val rows = (0 until 20).map { i =>
+      (ts(f"2024-01-01 10:${i}%02d:00"), "a.1", f"${(i * 37) % 100}%d.25")
+    }
+    try {
+      ms.addData(rows.take(7): _*)
+      q.processAllAvailable()
+      ms.addData(rows.slice(7, 15): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(15): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ewma_t")
+      .as[(String, java.sql.Timestamp, Double, Double, Long)].collect().toSet
+    val want = graft.operators.TimeSeries.ewma(
+        rows.toDF("time", "entity_id", "state"))
+      .as[(String, java.sql.Timestamp, Double, Double, Long)].collect().toSet
+    assert(got == want, s"stream rows must equal batch rows bit-exactly")
+  }
+
+  test("streaming ewma: frontier ties max-merge; late events are dropped") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.ewmaStream(df).writeStream
+      .format("memory").queryName("ewma_tie_t").outputMode("update").start()
+    val dup = Seq(
+      (ts("2024-01-01 10:00:00"), "a.1", "5.00"),
+      (ts("2024-01-01 10:00:00"), "a.1", "9.00"), // tie: MAX wins, like batch
+      (ts("2024-01-01 09:00:00"), "a.1", "50.00")) // behind frontier: dropped
+    try {
+      ms.addData(dup: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("ewma_tie_t")
+      .as[(String, java.sql.Timestamp, Double, Double, Long)].collect()
+    assert(emitted.length == 2, s"two accepted events, got ${emitted.toSeq}")
+    val batch = graft.operators.TimeSeries.ewma(
+        dup.take(2).toDF("time", "entity_id", "state"))
+      .as[(String, java.sql.Timestamp, Double, Double, Long)].collect().toSet
+    assert(emitted.toSet.intersect(batch) == batch,
+      "the merged frontier row must match the batch tie rule")
+  }
 }
