@@ -1584,9 +1584,83 @@ object TimeSeries {
         |FROM e ORDER BY entity_id, time""".stripMargin
     })
 
+  /** Maximum DRAWDOWN per entity — the worst peak-to-trough drop a
+    * value series ever suffered, the first risk panel any financial or
+    * capacity dashboard renders next to [[topMovers]]-style deltas:
+    * running peak P_t = max(cents so far), drawdown dd_t = P_t − c_t,
+    * and the report row is the trough of the LARGEST drawdown (ties →
+    * earliest trough) with its peak, trough value/time, and the
+    * relative drop.
+    *
+    * EXACT end to end: values quantize to BIGINT cents (the documented
+    * MAX tie rule collapses duplicate timestamps first), the running
+    * peak is an integer window max, and the argmax row is selected by
+    * ONE lexicographic struct MAX over (dd, −µs, peak, cents) — the
+    * [[Queries]] top-movers device, combinable map-side — so no
+    * rational ever forms in a decision; the relative drawdown is one
+    * closing IEEE division (NULL when the peak is ≤ 0, where a
+    * peak-relative ratio has no meaning). One shuffle on entity_id for
+    * the window; the rollup rides the same key. Output is
+    * fleet-bounded (one row per entity). */
+  def drawdown(ltss: DataFrame): DataFrame = {
+    val base = ltss
+      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("tus", unix_micros(col("time")))
+      .groupBy(col("entity_id"), col("tus"))
+      .agg(max(col("sv")).as("sv"))
+      .withColumn("cents", (col("sv") * 100).cast("long"))
+    val w = Window.partitionBy(col("entity_id")).orderBy(col("tus"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("peak", max(col("cents")).over(w))
+      .groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_obs"),
+        max(struct((col("peak") - col("cents")).as("dd"),
+          (-col("tus")).as("nt"), col("peak").as("peak"),
+          col("cents").as("c"))).as("m"))
+      .select(col("entity_id"), col("n_obs"),
+        (col("m.peak").cast("double") / 100).as("peak_sv"),
+        (col("m.c").cast("double") / 100).as("trough_sv"),
+        timestamp_micros(-col("m.nt")).as("trough_time"),
+        (col("m.dd").cast("double") / 100).as("max_dd"),
+        when(col("m.peak") > 0,
+          col("m.dd").cast("double") / col("m.peak").cast("double"))
+          .as("rel_dd"))
+      .orderBy(col("entity_id"))
+  }
+
+  val drawdownQ = OracleQuery(
+    "ltss_drawdown",
+    (s, d) => drawdown(Queries.ltss(s, d)),
+    Some(s"""$ltssBase,
+      |tied AS (
+      |  SELECT entity_id, epoch_us(time) AS tus,
+      |         max(CAST(state AS DECIMAL(12,2))) AS sv
+      |  FROM base GROUP BY 1, 2
+      |), c AS (
+      |  SELECT entity_id, tus, CAST(sv * 100 AS BIGINT) AS cents FROM tied
+      |), r AS (
+      |  SELECT entity_id, tus, cents,
+      |         max(cents) OVER (PARTITION BY entity_id ORDER BY tus
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM c
+      |), p AS (
+      |  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_obs,
+      |         max({'dd': peak - cents, 'nt': -tus, 'peak': peak, 'c': cents}) AS m
+      |  FROM r GROUP BY entity_id
+      |)
+      |SELECT entity_id, n_obs,
+      |       CAST(m.peak AS DOUBLE) / 100 AS peak_sv,
+      |       CAST(m.c AS DOUBLE) / 100 AS trough_sv,
+      |       make_timestamp(-m.nt) AS trough_time,
+      |       CAST(m.dd AS DOUBLE) / 100 AS max_dd,
+      |       CASE WHEN m.peak > 0
+      |            THEN CAST(m.dd AS DOUBLE) / CAST(m.peak AS DOUBLE) END AS rel_dd
+      |FROM p ORDER BY entity_id""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
       lttbGridQ, stateAggQ, stateTimelineQ, interpTwaQ, heartbeatQ, sloQ,
-      markovQ, rateAnomalyQ, movingAvgQ, ewmaQ, caggQ, trendQ, acfQ,
+      markovQ, rateAnomalyQ, movingAvgQ, ewmaQ, drawdownQ, caggQ, trendQ, acfQ,
       changepointQ, m4Q, seasonalQ, forecastBacktestQ)
 }

@@ -281,4 +281,43 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(TimeSeries.EwmaSpan - 1) > 0.0) // span-th row still sees x₀ at 2⁻¹⁵
     assert(out(TimeSeries.EwmaSpan) == 0.0) // one row later x₀ has aged out exactly
   }
+
+  test("drawdown picks the largest peak-to-trough drop with its peak and trough") {
+    val rows = Seq(10.0, 30.0, 25.0, 5.0, 28.0, 12.0).zipWithIndex
+      .map { case (v, i) => (ts(i), "click.1", f"$v%.2f") }
+    val r = TimeSeries.drawdown(ltssOf(rows)).collect().head
+    assert(r.getAs[Long]("n_obs") == 6L)
+    assert(r.getAs[Double]("peak_sv") == 30.0)
+    assert(r.getAs[Double]("trough_sv") == 5.0)
+    assert(r.getAs[Timestamp]("trough_time") == ts(3))
+    assert(r.getAs[Double]("max_dd") == 25.0)
+    assert(math.abs(r.getAs[Double]("rel_dd") - 25.0 / 30.0) < 1e-12)
+  }
+
+  test("drawdown tie rule: equal drawdowns resolve to the earliest trough") {
+    val rows = Seq(10.0, 5.0, 8.0, 5.0).zipWithIndex
+      .map { case (v, i) => (ts(i), "click.1", f"$v%.2f") }
+    val r = TimeSeries.drawdown(ltssOf(rows)).collect().head
+    assert(r.getAs[Double]("max_dd") == 5.0)
+    assert(r.getAs[Timestamp]("trough_time") == ts(1))
+  }
+
+  test("drawdown on a non-positive peak reports the drop but a NULL ratio") {
+    val rows = Seq(-5.0, -8.0).zipWithIndex
+      .map { case (v, i) => (ts(i), "click.1", f"$v%.2f") }
+    val r = TimeSeries.drawdown(ltssOf(rows)).collect().head
+    assert(r.getAs[Double]("max_dd") == 3.0)
+    assert(r.isNullAt(r.fieldIndex("rel_dd")))
+  }
+
+  test("drawdown collapses duplicate timestamps by MAX before the running peak") {
+    val rows = Seq(
+      (ts(0), "click.1", "10.00"), (ts(0), "click.1", "12.00"),
+      (ts(1), "click.1", "4.00"))
+    val r = TimeSeries.drawdown(ltssOf(rows)).collect().head
+    assert(r.getAs[Long]("n_obs") == 2L)
+    assert(r.getAs[Double]("peak_sv") == 12.0)
+    assert(r.getAs[Double]("max_dd") == 8.0)
+    assert(math.abs(r.getAs[Double]("rel_dd") - 8.0 / 12.0) < 1e-12)
+  }
 }
