@@ -40,6 +40,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -84,6 +85,7 @@ object Bench {
     warmed("recall_truth")(graft.operators.Dedup.warmRecallTruth(spark, sfDir))
     warmed("cc_labels")(graft.operators.Dedup.ccLabels(spark, sfDir).count())
     warmed("ltss_layout")(graft.operators.Queries.ltssLayoutPath(spark, sfDir))
+    warmed("zorder_layout")(graft.operators.Queries.zorderLayoutPath(spark, sfDir))
     warmed("ltss_attr_layout")(graft.operators.Queries.ltssAttrLayoutPath(spark, sfDir))
     warmed("geo_layout")(graft.operators.Queries.geoLayoutPath(spark, sfDir))
     warmed("kmeans_train")(

@@ -127,6 +127,67 @@ object Queries {
       |  AND time BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
       |ORDER BY time DESC, state""".stripMargin))
 
+  /** The Z-ORDERED layout: one physical sort order that serves
+    * predicates on entity AND time symmetrically — what replaces "an
+    * index per access path" at 100 TB, where the time-chunked layout
+    * above still leaves every chunk containing every entity (reference
+    * index models.py:78-80 serves only the entity-major path; this is
+    * the lakehouse OPTIMIZE ZORDER device). The entity dimension must
+    * be ORDER-PRESERVING for pruning to work — parquet row groups are
+    * skipped on the FILTERED column's min/max stats, so a hash bucket
+    * would hand every row group the full string range; instead entities
+    * get a dense rank by string order (a fleet-size frame, broadcast
+    * back), days their index on a fixed epoch grid, and rows are
+    * range-partitioned + sorted by the 32-bit Morton key — each file
+    * then covers a rectangle-ish region of (entity, day) space, so BOTH
+    * an entity equality and a time range exclude most row groups by
+    * stats alone ([[graft.ZOrderSpec]] measures exactly that on the
+    * scan's own metrics). Build cost is one fleet-size rank window +
+    * one range shuffle, once at ingest. */
+  private[graft] def zorderWrite(l: DataFrame, p: String, parts: Int): Unit = {
+    import graft.functions.ZOrder
+    val ranks = l.select(col("entity_id")).distinct()
+      .withColumn("ent_rank",
+        row_number().over(Window.orderBy(col("entity_id"))).cast("long") - 1)
+    val dayIdx = pmod(
+      floor(unix_micros(col("time")).cast("double") / 86400e6).cast("long") -
+        lit(java.time.LocalDate.parse("2024-01-01").toEpochDay),
+      lit(65536L))
+    l.join(broadcast(ranks), Seq("entity_id"))
+      .withColumn("zv",
+        ZOrder.interleave16(pmod(col("ent_rank"), lit(65536L)), dayIdx))
+      .repartitionByRange(parts, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .drop("ent_rank")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+  }
+
+  def zorderLayoutPath(s: SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("zorder_layout", d) { p =>
+      zorderWrite(ltss(s, d), p, 32)
+    }
+
+  /** The 2-D slice — entity equality AND time range together, the
+    * predicate shape the Morton layout exists for. */
+  val zorderLayout = OracleQuery(
+    "ltss_zorder_layout",
+    (s, d) => {
+      val p = zorderLayoutPath(s, d)
+      def utc(t: String) = java.sql.Timestamp.from(
+        java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC))
+      s.read.parquet(p)
+        .filter(col("entity_id") === "purchase.3" &&
+          col("time").between(
+            lit(utc("2024-01-10T00:00:00")), lit(utc("2024-01-24T00:00:00"))))
+        .select(col("time"), col("entity_id"), col("state"), col("attributes"))
+        .orderBy(col("time").desc, col("state"))
+    },
+    Some(s"""$ltssCte
+      |SELECT time, entity_id, state, attributes FROM ltss
+      |WHERE entity_id = 'purchase.3'
+      |  AND time BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-24 00:00:00'
+      |ORDER BY time DESC, state""".stripMargin))
+
   /** Latest state per entity (reference index `(entity_id, time DESC)`,
     * models.py:78-80) as ONE hash aggregate: the (time desc,
     * state desc) survivor is the lexicographic MAX of the (time, state)
@@ -1436,7 +1497,7 @@ object Queries {
       |ORDER BY key""".stripMargin))
 
   val all: Seq[OracleQuery] = Seq(
-    project, entityFilterQ, history, historyLayout, latest, transitions,
+    project, entityFilterQ, history, historyLayout, zorderLayout, latest, transitions,
     timeBucketAgg, jsonAttr, jsonAttrLayout, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, geoRadiusLayout, geoBbox, timeBucketSqlQ,
     domainStatsSalted, asofJoin, asofJoinFwd, rangeJoin, percentiles, histogram, pivotHours,

@@ -829,6 +829,90 @@ object StreamingOps {
       }
   }
 
+  final case class DrawdownState(
+      openT: Long, openC: Long, peak: Long, n: Long,
+      bestDd: Long, bestNegT: Long, bestPeak: Long, bestC: Long)
+  final case class DrawdownRow(entity_id: String, n_obs: Long,
+      peak_sv: Double, trough_sv: Double,
+      trough_time: java.sql.Timestamp, max_dd: Double,
+      rel_dd: Option[Double])
+
+  /** Continuously-maintained maximum drawdown per entity — the
+    * streaming twin of the batch `ltss_drawdown`, and BIT-EXACT against
+    * it by construction on numeric in-order series: the emitted row is
+    * always the batch op's answer over the events seen so far. The
+    * batch MAX tie rule (duplicate timestamps collapse by MAX before
+    * the running peak sees them) forces the frontier timestamp to stay
+    * OPEN — a later tie can still raise its value, which can only
+    * LOWER the drawdown recorded at that timestamp — so the open
+    * (µs, cents) pair tie-merges in place and commits into the running
+    * fold only when a LATER timestamp arrives (the same bucket-close
+    * device as [[rateAnomalyStream]]). The fold is the batch plan's
+    * algebra verbatim: running integer peak, then one lexicographic
+    * max over (dd, −µs, peak, cents) — all BIGINTs, no rational in any
+    * decision; each emission folds the open pair in provisionally and
+    * applies the batch op's closing casts (two /100 quantity scalings,
+    * the rel ratio one IEEE division, None when the peak is ≤ 0).
+    * State per entity is EIGHT BIGINTs — bounded no matter the stream
+    * volume. Events behind the frontier drop (in-order contract; the
+    * batch op is the replay for late data); non-numeric states are
+    * skipped, so `n_obs` counts accepted observations (the batch op
+    * counts a collapsed timestamp even when no tie at it is numeric —
+    * parity holds on numeric series). Emits per accepted event in
+    * Update mode (a tie-merge re-emits: it may have changed the
+    * answer). */
+  def drawdownStream(ltss: DataFrame): Dataset[DrawdownRow] = {
+    import ltss.sparkSession.implicits._
+    ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[DrawdownState, DrawdownRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (key, events, st) =>
+        // local to the closure: a def on the enclosing object would drag
+        // the non-serializable StreamingOps$ into the task closure
+        val folded = (s: DrawdownState) => {
+          val peak2 = math.max(s.peak, s.openC)
+          val dd = peak2 - s.openC
+          val negT = -s.openT
+          // lexicographic (dd, −µs, peak, cents) — the batch struct MAX;
+          // (dd, −µs) is already unique per collapsed timestamp
+          val better = dd > s.bestDd || (dd == s.bestDd && negT > s.bestNegT)
+          if (better)
+            DrawdownState(s.openT, s.openC, peak2, s.n + 1, dd, negT, peak2, s.openC)
+          else s.copy(peak = peak2, n = s.n + 1)
+        }
+        val row = (s: DrawdownState) => {
+          val f = folded(s)
+          DrawdownRow(key, f.n, f.bestPeak.toDouble / 100, f.bestC.toDouble / 100,
+            tsOfMicros(-f.bestNegT), f.bestDd.toDouble / 100,
+            if (f.bestPeak > 0) Some(f.bestDd.toDouble / f.bestPeak.toDouble)
+            else None)
+        }
+        var s = st.getOption.orNull
+        val out = scala.collection.mutable.ListBuffer.empty[DrawdownRow]
+        for (e <- events) {
+          val t = micros(e.time)
+          scala.util.Try(new java.math.BigDecimal(e.state)
+            .setScale(2, java.math.RoundingMode.HALF_UP)
+            .movePointRight(2).longValueExact()).toOption match {
+            case Some(c) if s == null =>
+              // sentinels lose every comparison: peak MIN, bestDd −1
+              s = DrawdownState(t, c, Long.MinValue, 0L, -1L, 0L, 0L, 0L)
+              out += row(s)
+            case Some(c) if t > s.openT => // frontier advances: commit open
+              s = folded(s).copy(openT = t, openC = c)
+              out += row(s)
+            case Some(c) if t == s.openT => // tie: MAX-merge in place
+              s = s.copy(openC = math.max(s.openC, c))
+              out += row(s)
+            case _ => () // non-numeric, or behind the frontier: dropped
+          }
+        }
+        if (s != null) st.update(s)
+        out.iterator
+      }
+  }
+
   final case class RateState(
       openBus: Long, openCount: Long, n: Long, s1: Long, s2: Long)
   final case class RateAnomaly(

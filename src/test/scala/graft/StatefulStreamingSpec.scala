@@ -1038,4 +1038,71 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(emitted.toSet.intersect(batch) == batch,
       "the merged frontier row must match the batch tie rule")
   }
+
+  private def batchDrawdown(
+      rows: Seq[(java.sql.Timestamp, String, String)]) = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.TimeSeries.drawdown(
+        rows.toDF("time", "entity_id", "state"))
+      .select(col("entity_id"), col("n_obs"), col("peak_sv"),
+        col("trough_sv"), col("trough_time"), col("max_dd"), col("rel_dd"))
+      .as[(String, Long, Double, Double, java.sql.Timestamp, Double,
+        Option[Double])].collect().toSet
+  }
+
+  test("streaming drawdown: every emission replays the batch answer on its prefix") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.drawdownStream(df).writeStream
+      .format("memory").queryName("dd_t").outputMode("update").start()
+    // peak → deep trough → partial recovery → lower trough: the argmax
+    // must stick at the first trough even as later drawdowns appear
+    val vals = Seq("10.00", "30.00", "25.00", "5.00", "28.00", "12.00")
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (ts(f"2024-01-01 10:0$i:00"), "a.1", v)
+    }
+    try {
+      ms.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(rows.slice(2, 5): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dd_t")
+      .as[(String, Long, Double, Double, java.sql.Timestamp, Double,
+        Option[Double])].collect().toSet
+    // one emission per accepted event, each the batch answer on its prefix
+    val want = (1 to rows.length).map(k => batchDrawdown(rows.take(k)))
+      .reduce(_ ++ _)
+    assert(got == want, s"stream emissions must equal the batch prefixes\ngot  $got\nwant $want")
+  }
+
+  test("streaming drawdown: frontier ties max-merge like batch; late events drop") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.drawdownStream(df).writeStream
+      .format("memory").queryName("dd_tie_t").outputMode("update").start()
+    val t0 = ts("2024-01-01 10:00:00")
+    val feed = Seq(
+      (t0, "a.1", "5.00"),
+      (t0, "a.1", "12.00"), // tie: MAX wins — and must RESHAPE the open obs
+      (ts("2024-01-01 10:01:00"), "a.1", "4.00"),
+      (ts("2024-01-01 09:00:00"), "a.1", "99.00")) // behind frontier: dropped
+    try {
+      ms.addData(feed: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("dd_tie_t")
+      .as[(String, Long, Double, Double, java.sql.Timestamp, Double,
+        Option[Double])].collect()
+    assert(emitted.length == 3, s"three accepted events, got ${emitted.toSeq}")
+    // the final emission equals batch on the collapsed in-order data
+    val batch = batchDrawdown(feed.take(3))
+    assert(Set(emitted.maxBy(_._2)) == batch,
+      s"final row must match batch incl. the 12.00 tie, got ${emitted.toSeq}")
+    assert(emitted.maxBy(_._2)._6 == 8.0, "drawdown measured off the tie-max peak")
+  }
 }
