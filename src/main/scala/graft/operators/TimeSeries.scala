@@ -977,7 +977,7 @@ object TimeSeries {
 
   /** 48 h liveness: ~2/3 of the synthetic inter-event gaps are shorter
     * (median 35 h), so entities report real uptime AND real outages. */
-  private val LivenessUs = 48L * 3600000000L
+  private[graft] val LivenessUs = 48L * 3600000000L
 
   val heartbeatQ = OracleQuery(
     "ltss_heartbeat",

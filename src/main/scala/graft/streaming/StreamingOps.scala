@@ -913,6 +913,67 @@ object StreamingOps {
       }
   }
 
+  final case class SloState(
+      first: Long, frontier: Long, n: Long, up: Long, outages: Long)
+  final case class SloRow(entity_id: String, span_us: Long, uptime_us: Long,
+      downtime_us: Long, n_outages: Long, allowed_down_us: Long,
+      budget_remaining_us: Long, slo_met: Int)
+
+  /** Continuously-maintained uptime / error budget per entity — the
+    * streaming twin of the batch `ltss_slo` panel, BIT-EXACT against it
+    * by construction: every quantity the batch rollup computes from the
+    * lead-gap chain telescopes into five BIGINTs of state — first
+    * heartbeat, frontier, count, Σ min(gap, liveness), outage count —
+    * because the gap multiset of a sorted series is exactly the
+    * sequence of frontier advances (ties gap 0, which add no uptime and
+    * no outage, matching the batch (time, sv) tie order whose
+    * within-tie gaps are zero). Each accepted event folds one
+    * min(t − frontier, liveness) and the SLO arithmetic replays the
+    * batch op's integer forms verbatim (`span div 10` allowance,
+    * cross-multiplied `downtime·10 ≤ span` compare — no ratio ever
+    * forms). Emits per accepted event once the entity has a span
+    * (n ≥ 2; the batch op drops single-heartbeat entities), so every
+    * emission is the batch panel on the prefix seen so far. Late
+    * events drop (in-order contract; batch replay covers them);
+    * non-numeric states are heartbeats too (liveness is about event
+    * ARRIVAL, and the batch chain keeps NULL sv rows — only their sv
+    * tie-order differs, which the telescoped sum cannot see). */
+  def sloStream(
+      ltss: DataFrame,
+      livenessUs: Long = graft.operators.TimeSeries.LivenessUs): Dataset[SloRow] = {
+    import ltss.sparkSession.implicits._
+    val sloDen = graft.operators.TimeSeries.SloDen
+    ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[SloState, SloRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (key, events, st) =>
+        var s = st.getOption.orNull
+        val out = scala.collection.mutable.ListBuffer.empty[SloRow]
+        for (e <- events) {
+          val t = micros(e.time)
+          var accepted = true
+          if (s == null) s = SloState(t, t, 1L, 0L, 0L)
+          else if (t >= s.frontier) {
+            val gap = t - s.frontier
+            s = SloState(s.first, t, s.n + 1,
+              s.up + math.min(gap, livenessUs),
+              s.outages + (if (gap > livenessUs) 1L else 0L))
+          } else accepted = false // behind the frontier: dropped
+          if (accepted && s.n >= 2) {
+            val span = s.frontier - s.first
+            val down = span - s.up
+            out += SloRow(key, span, s.up, down, s.outages,
+              java.lang.Math.floorDiv(span, sloDen),
+              java.lang.Math.floorDiv(span, sloDen) - down,
+              if (down * sloDen <= span) 1 else 0)
+          }
+        }
+        if (s != null) st.update(s)
+        out.iterator
+      }
+  }
+
   final case class RateState(
       openBus: Long, openCount: Long, n: Long, s1: Long, s2: Long)
   final case class RateAnomaly(

@@ -141,6 +141,7 @@ object ScalingProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -154,6 +155,8 @@ object ScalingProbe {
       build
       warmBuilds(name) = (System.nanoTime() - t0) / 1e9
     }
+    if (names.contains("ltss_zorder_layout"))
+      warmed("zorder_layout")(graft.operators.Queries.zorderLayoutPath(spark, sfDir))
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
     warmed("kmeans_train")(
       graft.operators.Similarity.kmeansAssignments(spark, sfDir,

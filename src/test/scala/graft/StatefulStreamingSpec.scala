@@ -1105,4 +1105,72 @@ class StatefulStreamingSpec extends SparkSpec {
       s"final row must match batch incl. the 12.00 tie, got ${emitted.toSeq}")
     assert(emitted.maxBy(_._2)._6 == 8.0, "drawdown measured off the tie-max peak")
   }
+
+  private def batchSlo(
+      rows: Seq[(java.sql.Timestamp, String, String)], livenessUs: Long) = {
+    import org.apache.spark.sql.functions._
+    graft.operators.TimeSeries.heartbeat(
+        rows.toDF("time", "entity_id", "state"), livenessUs)
+      .select(col("entity_id"), col("span_us"), col("uptime_us"),
+        col("downtime_us"), col("n_outages"))
+      .withColumn("allowed_down_us", expr("span_us div 10"))
+      .withColumn("budget_remaining_us",
+        col("allowed_down_us") - col("downtime_us"))
+      .withColumn("slo_met",
+        (col("downtime_us") * 10 <= col("span_us")).cast("int"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Int)].collect().toSet
+  }
+
+  test("streaming slo: five-BIGINT state replays the batch uptime panel on every prefix") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600000000L // 1h liveness so the 4h gap below is an outage
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.sloStream(df, H).writeStream
+      .format("memory").queryName("slo_t").outputMode("update").start()
+    val hours = Seq(0, 1, 2, 6, 7) // gap 2→6 = 4h: 1h credited, 1 outage
+    val rows = hours.map(h =>
+      (ts(f"2024-01-01 1$h%01d:00:00"), "a.1", s"$h.00"))
+    try {
+      ms.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("slo_t")
+      .as[(String, Long, Long, Long, Long, Long, Long, Int)].collect().toSet
+    // emissions start at the first span (n=2); each is the batch panel
+    // on its prefix — incl. the flip of slo_met when the outage lands
+    val want = (2 to rows.length).map(k => batchSlo(rows.take(k), H))
+      .reduce(_ ++ _)
+    assert(got == want, s"got  $got\nwant $want")
+    assert(got.exists(_._8 == 0) && got.exists(_._8 == 1),
+      "fixture must exercise both slo_met outcomes")
+  }
+
+  test("streaming slo: ties advance the count only; late events drop") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600000000L
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = ms.toDF.toDF("time", "entity_id", "state")
+    val q = StreamingOps.sloStream(df, H).writeStream
+      .format("memory").queryName("slo_tie_t").outputMode("update").start()
+    val feed = Seq(
+      (ts("2024-01-01 10:00:00"), "a.1", "1.00"),
+      (ts("2024-01-01 10:30:00"), "a.1", "2.00"),
+      (ts("2024-01-01 10:30:00"), "a.1", "3.00"), // tie: gap 0, no uptime
+      (ts("2024-01-01 09:00:00"), "a.1", "9.00")) // late: dropped
+    try {
+      ms.addData(feed: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("slo_tie_t")
+      .as[(String, Long, Long, Long, Long, Long, Long, Int)].collect()
+    // two emissions (n=2 and the tie), both the same panel row; the late
+    // event emits nothing
+    assert(got.length == 2 && got.toSet.size == 1, s"got ${got.toSeq}")
+    assert(got.head == (("a.1", 1800000000L, 1800000000L, 0L, 0L,
+      180000000L, 180000000L, 1)), s"got ${got.head}")
+    assert(got.toSet == batchSlo(feed.take(3), H))
+  }
 }
