@@ -334,6 +334,56 @@ object TimeSeries {
         graft.functions.DetMath.avgFromSum(col("msum"), col("n")).as("state_avg"))
   }
 
+  /** Late-data RECONCILIATION of the continuous aggregate — the replay
+    * path every streaming scaladoc in this repo defers to ("late events
+    * drop; the batch op is the replay"), made a first-class operator
+    * (TimescaleDB's invalidation-driven cagg refresh: a late row
+    * invalidates exactly its bucket, and the refresh recomputes ONLY
+    * invalidated buckets). Correctness rests on the partials being a
+    * commutative monoid: count and DECIMAL sum combine exactly, so
+    * merging the materialized partial with the late slice's partial is
+    * indistinguishable from re-aggregating the bucket's full history —
+    * which is precisely what the oracle does (direct aggregate over
+    * original ∪ late, restricted to touched buckets).
+    *
+    * Scale shape: the late frame aggregates once (combinable, map-side
+    * partials); the materialization is read back FILTERED to touched
+    * buckets by a broadcast semi-join (per refresh cycle the
+    * invalidation set is small by definition — were it ever corpus-
+    * sized, Spark would fall back to a shuffle join, still never a
+    * rescan of raw history); output is bounded by |touched buckets|.
+    * No path re-reads the pre-cutoff raw stream. */
+  private[graft] def reconcile(mat: DataFrame, late: DataFrame): DataFrame = {
+    val lateAgg = late
+      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("bus", bucketUs(col("time"), HourUs))
+      .groupBy(col("entity_id"), col("bus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("sv")).cast("decimal(32,2)").as("ssum"))
+    val touched = lateAgg.select(col("entity_id"), col("bus"))
+    mat.select(col("entity_id"), col("bus"), col("cnt"),
+        col("ssum").cast("decimal(32,2)").as("ssum"))
+      .join(broadcast(touched), Seq("entity_id", "bus"), "left_semi")
+      .unionByName(lateAgg)
+      .groupBy(col("entity_id"), col("bus"))
+      .agg(sum(col("cnt")).as("n"), sum(col("ssum")).as("msum"))
+      .select(col("entity_id"), timestamp_micros(col("bus")).as("bucket"),
+        col("n"), col("msum").cast("double").as("state_sum"),
+        graft.functions.DetMath.avgFromSum(col("msum"), col("n")).as("state_avg"))
+  }
+
+  /** The deterministic late slice the registered query reconciles: the
+    * final pre-cutoff day's first-ten-minute rows, re-stamped 3 days
+    * earlier — a backfill landing in week-old buckets (the in-query
+    * enrichment device `ltss_attr_profile` uses; integer µs shift, so
+    * the oracle replays it bit-for-bit). */
+  private[graft] def lateArrivals(s: SparkSession, d: String): DataFrame =
+    Queries.ltss(s, d)
+      .filter(unix_micros(col("time")) >= CaggCutoffUs - DayUs &&
+        unix_micros(col("time")) < CaggCutoffUs &&
+        minute(col("time")) < 10)
+      .withColumn("time",
+        timestamp_micros(unix_micros(col("time")) - lit(3L * DayUs)))
+
   /** Event-rate anomaly detection per (domain, bucket) — the monitoring
     * panel every ops dashboard runs over a hypertable ("is this hour's
     * event rate a spike?"): flag buckets whose count sits more than
@@ -1180,6 +1230,43 @@ object TimeSeries {
       |GROUP BY entity_id, bus
       |ORDER BY entity_id, bucket""".stripMargin))
 
+  val caggReconcileQ = OracleQuery(
+    "ltss_cagg_reconcile",
+    (s, d) => {
+      val mat = s.read.parquet(caggLayoutPath(s, d))
+      reconcile(mat, lateArrivals(s, d))
+        .orderBy(col("entity_id"), col("bucket"))
+    },
+    // the oracle recomputes the touched buckets DIRECTLY over
+    // original ∪ late — the merged partials must be indistinguishable
+    Some(s"""$ltssBase,
+      |late AS (
+      |  SELECT make_timestamp(epoch_us(time) - 3 * $DayUs) AS time,
+      |         entity_id, state
+      |  FROM base
+      |  WHERE epoch_us(time) >= $CaggCutoffUs - $DayUs
+      |    AND epoch_us(time) < $CaggCutoffUs
+      |    AND minute(time) < 10
+      |), unioned AS (
+      |  SELECT time, entity_id, state FROM base
+      |  WHERE epoch_us(time) < $CaggCutoffUs
+      |  UNION ALL SELECT time, entity_id, state FROM late
+      |), agged AS (
+      |  SELECT entity_id, (epoch_us(time) // $HourUs) * $HourUs AS bus,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         sum(CAST(state AS DECIMAL(12,2))) AS ssum
+      |  FROM unioned GROUP BY 1, 2
+      |), touched AS (
+      |  SELECT DISTINCT entity_id,
+      |         (epoch_us(time) // $HourUs) * $HourUs AS bus
+      |  FROM late
+      |)
+      |SELECT entity_id, make_timestamp(bus) AS bucket, n,
+      |       CAST(ssum AS DOUBLE) AS state_sum,
+      |       CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) AS state_avg
+      |FROM agged JOIN touched USING (entity_id, bus)
+      |ORDER BY entity_id, bucket""".stripMargin))
+
   /** Dense per-domain hourly event-count series with EXACT mean-centered
     * deviations, shared by [[acf]] and [[changepoint]]: the observed
     * (domain, hour) counts are expanded to the full min..max hour grid
@@ -1661,6 +1748,7 @@ object TimeSeries {
   val all: Seq[OracleQuery] =
     Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
       lttbGridQ, stateAggQ, stateTimelineQ, interpTwaQ, heartbeatQ, sloQ,
-      markovQ, rateAnomalyQ, movingAvgQ, ewmaQ, drawdownQ, caggQ, trendQ, acfQ,
+      markovQ, rateAnomalyQ, movingAvgQ, ewmaQ, drawdownQ, caggQ,
+      caggReconcileQ, trendQ, acfQ,
       changepointQ, m4Q, seasonalQ, forecastBacktestQ)
 }

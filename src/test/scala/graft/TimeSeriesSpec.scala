@@ -282,6 +282,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(TimeSeries.EwmaSpan) == 0.0) // one row later x₀ has aged out exactly
   }
 
+  test("cagg reconcile merges late partials into touched buckets only") {
+    import spark.implicits._
+    val B0 = 1704067200000000L // 2024-01-01T00Z, hour-aligned
+    val B1 = B0 + H
+    val B2 = B0 + 2 * H
+    val mat = Seq(
+      ("a.1", B0, 2L, "30.00"), // values 10 + 20 already materialized
+      ("a.1", B1, 1L, "5.00"),  // untouched: must NOT reappear
+      ("b.1", B0, 1L, "7.00"))
+      .toDF("entity_id", "bus", "cnt", "ssum")
+      .withColumn("ssum", col("ssum").cast("decimal(32,2)"))
+    val late = Seq(
+      (new java.sql.Timestamp(B0 / 1000 + 60000), "a.1", "40.00"), // lands in B0
+      (new java.sql.Timestamp(B2 / 1000), "b.1", "1.00"))          // NEW bucket
+      .toDF("time", "entity_id", "state")
+    val out = TimeSeries.reconcile(mat, late)
+      .orderBy("entity_id", "bucket")
+      .as[(String, java.sql.Timestamp, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a.1", new java.sql.Timestamp(B0 / 1000), 3L, 70.0, 70.0 / 3.0),
+      ("b.1", new java.sql.Timestamp(B2 / 1000), 1L, 1.0, 1.0)), s"got $out")
+  }
+
   test("drawdown picks the largest peak-to-trough drop with its peak and trough") {
     val rows = Seq(10.0, 30.0, 25.0, 5.0, 28.0, 12.0).zipWithIndex
       .map { case (v, i) => (ts(i), "click.1", f"$v%.2f") }
