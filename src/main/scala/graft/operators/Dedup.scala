@@ -2247,6 +2247,62 @@ object Dedup {
       |FROM flagged GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin))
 
+  /** Snapshot DIFF between two corpus versions — the CDC primitive an
+    * incremental pipeline runs when a crawl refreshes, so downstream
+    * stages (dedup, decontamination, mixing) recompute on the CHURN,
+    * never the corpus: per doc, `added` / `removed` / `changed`, with
+    * unchanged docs excluded so the report is bounded by the delta, not
+    * the snapshot. The refreshed version is derived deterministically
+    * in-query (the `ltss_attr_profile` enrichment device): doc_id
+    * % 13 = 0 removed, % 7 = 0 re-edited (" rev2" appended), % 11 = 0
+    * re-published under the collision-free negative id −doc_id−1 — so
+    * all three statuses are exercised at every gate.
+    *
+    * Scale shape: content equality is decided on md5 fingerprints
+    * PROJECTED BEFORE the join, so only (doc_id, 32-byte hex) ever
+    * shuffles — never text — and the whole diff is ONE full-outer
+    * equi-join on doc_id (AQE handles the skewless id space); both
+    * version frames are map-side projections of the snapshot scan. */
+  val corpusDiff = OracleQuery(
+    "corpus_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.select(col("doc_id"), md5(col("text")).as("h1"))
+      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("h2"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((-col("doc_id") - 1).as("doc_id"),
+            md5(concat(lit("new "), col("text"))).as("h2")))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h1").isNull, lit("added"))
+            .when(col("h2").isNull, lit("removed"))
+            .when(col("h1") =!= col("h2"), lit("changed")))
+        .filter(col("status").isNotNull)
+        .select(col("doc_id"), col("status"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH v1 AS (
+      |  SELECT doc_id, md5(text) AS h1 FROM documents
+      |), v2 AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+      |                  ELSE text END) AS h2
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT -doc_id - 1 AS doc_id, md5('new ' || text) AS h2
+      |  FROM documents WHERE doc_id % 11 = 0
+      |)
+      |SELECT doc_id,
+      |       CASE WHEN h1 IS NULL THEN 'added'
+      |            WHEN h2 IS NULL THEN 'removed'
+      |            WHEN h1 <> h2 THEN 'changed' END AS status
+      |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+      |WHERE (h1 IS NULL OR h2 IS NULL OR h1 <> h2)
+      |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(exact, minhashSig, minhashLsh, jaccard, clusters, clusterStats,
       savings, confusion, corpusSummary, splitLeakageFree, splitLeakageAudit, keepBest, lshRecall,
@@ -2254,5 +2310,5 @@ object Dedup {
       lshScurve, graphStats, overflowVerify, crosscheck,
       simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans,
       substringExcise, contaminationSpans, incremental, containment,
-      docNovelty, bbitMinhash)
+      docNovelty, bbitMinhash, corpusDiff)
 }

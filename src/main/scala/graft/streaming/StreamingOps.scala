@@ -1191,6 +1191,26 @@ object StreamingOps {
       .select(col("doc_id"), col("sh"))
   }
 
+  /** CDC classification for INCREMENTAL ingest — the streaming twin of
+    * the batch `corpus_diff`: each arriving document is classified
+    * against the snapshot's content-hash index as `added` (id unseen),
+    * `changed` (id known, hash differs) or `unchanged` (hash equal) —
+    * the gate that lets every downstream incremental stage (dedup,
+    * decontamination, mixing) skip work the refresh didn't touch.
+    * Pure stream-static LEFT join on doc_id (no state store, no
+    * watermark — the snapshot index is the state, exactly as in the
+    * batch op): the arriving text hashes map-side, so only
+    * (doc_id, 32-byte hex) reaches the join, never text; `removed` is
+    * inherently a batch verdict (absence cannot arrive) — the batch
+    * diff is the replay that reports it. */
+  def diffStream(docs: DataFrame, index: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("h2"))
+      .join(index.select(col("doc_id"), col("h1")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("h1").isNull, lit("added"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+
   /** Leakage-free split assignment for INCREMENTAL ingest — the
     * streaming twin of the batch `split_leakage_free`: a newly ingested
     * document must land in the SAME train/val/test split as any

@@ -1173,4 +1173,30 @@ class StatefulStreamingSpec extends SparkSpec {
       180000000L, 180000000L, 1)), s"got ${got.head}")
     assert(got.toSet == batchSlo(feed.take(3), H))
   }
+
+  test("diffStream classifies arrivals against the snapshot hash index like the batch diff") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val snapshot = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val index = snapshot.select(col("doc_id"), md5(col("text")).as("h1"))
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.diffStream(ms.toDF.toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("diff_t").outputMode("append").start()
+    try {
+      ms.addData((1L, "alpha"), (2L, "beta edited"), (9L, "gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("diff_t").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "unchanged"), (2L, "changed"), (9L, "added")), s"got $got")
+    // parity with the batch diff verdicts on the same (v1, v2) pair —
+    // modulo `removed`, which absence cannot deliver to a stream
+    val v2 = Seq((1L, "alpha"), (2L, "beta edited"), (9L, "gamma")).toDF("doc_id", "text")
+    val batch = index.join(v2.select(col("doc_id"), md5(col("text")).as("h2")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, "added").when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed").otherwise("unchanged").as("s"))
+      .as[(Long, String)].collect().toSet
+    assert(got == batch.filter(_._2 != "removed"))
+  }
 }
