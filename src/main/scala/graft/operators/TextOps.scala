@@ -1127,10 +1127,95 @@ object TextOps {
       |FROM cand WHERE levenshtein(tok_a, tok_b) = 1
       |ORDER BY tok_a, tok_b""".stripMargin))
 
+  /** Source-conditional boilerplate (template) removal — the RefinedWeb /
+    * CCNet device: crawl snapshots from one source share a navigation
+    * header that exact/passage dedup cannot touch (it is a PREFIX of
+    * otherwise-distinct docs, not a repeated passage). Detect it
+    * per-source as the maximal run of TEMPLATED token positions — a
+    * position is templated when one token accounts for >= 80% of that
+    * source's docs at that position — then strip the detected prefix from
+    * every doc of the source.
+    *
+    * The fixture docs carry no shared prefixes, so (like
+    * `contamination_spans`) the query injects a deterministic per-source
+    * header IN-QUERY — `portal <source> [extra] :` (the `extra` token on
+    * even-digit sources makes the detected length vary by source) — and
+    * the oracle replays the same injection, so the gate exercises real
+    * detection + excision arithmetic, never a vacuous 0-row pass.
+    *
+    * Scale: position scan is capped at the first [[MaxScan]]=12 tokens, so
+    * the (source, pos, token) count is ONE combinable (map-side partial)
+    * shuffle whose group space is |sources|x12x|head vocab|; the per-source
+    * prefix-length frame that comes back is |sources| rows — broadcast —
+    * and the excision itself is a single map-side projection over the
+    * corpus. No all-pairs stage anywhere; at 100 TB the only corpus-sized
+    * exchange is the capped head-token count. */
+  val boilerplate = {
+    val MaxScan = 12
+    OracleQuery(
+      "text_boilerplate",
+      (s, d) => {
+        val even = Seq("0", "2", "4", "6", "8")
+        val toks = Tables.documents(s, d).withColumn("w",
+          split(
+            concat(lit("portal "), col("source"),
+              when(substring(col("source"), -1, 1).isin(even: _*), lit(" extra"))
+                .otherwise(lit("")),
+              lit(" : "), col("text")),
+            " "))
+        val pos = toks
+          .select(col("source"), posexplode(slice(col("w"), 1, MaxScan)).as(Seq("p", "tok")))
+          .withColumn("i", col("p") + 1)
+        val posstat = pos.groupBy("source", "i", "tok").agg(count(lit(1)).as("cnt"))
+          .groupBy("source", "i").agg(max("cnt").as("maxcnt"), sum("cnt").as("total"))
+        // templated <=> maxcnt/total >= 0.8, kept integer (x5 vs x4) so
+        // both engines decide the threshold exactly
+        val plen = posstat.groupBy("source").agg(
+          coalesce(min(when(col("maxcnt") * 5 < col("total") * 4, col("i"))) - 1, lit(MaxScan))
+            .cast("long").as("boiler_len"))
+        toks.join(broadcast(plen), "source")
+          .select(col("doc_id"), col("source"), col("boiler_len"),
+            (size(col("w")) - col("boiler_len")).cast("long").as("clean_tokens"),
+            element_at(col("w"), (col("boiler_len") + 1).cast("int")).as("clean_head"),
+            md5(concat_ws(" ",
+              slice(col("w"), (col("boiler_len") + 1).cast("int"), size(col("w")))))
+              .as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, source,
+        |    string_split('portal ' || source ||
+        |      CASE WHEN right(source, 1) IN ('0','2','4','6','8')
+        |           THEN ' extra' ELSE '' END || ' : ' || text, ' ') AS w
+        |  FROM documents
+        |), pos AS (
+        |  SELECT source, i, w[i] AS tok FROM (
+        |    SELECT source, w,
+        |           unnest(generate_series(1, least(len(w), $MaxScan))) AS i
+        |    FROM toks)
+        |), posstat AS (
+        |  SELECT source, i, max(cnt) AS maxcnt, sum(cnt) AS total FROM (
+        |    SELECT source, i, tok, count(*) AS cnt FROM pos GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2
+        |), plen AS (
+        |  SELECT source,
+        |    CAST(coalesce(min(CASE WHEN maxcnt * 5 < total * 4 THEN i END) - 1,
+        |                  $MaxScan) AS BIGINT) AS boiler_len
+        |  FROM posstat GROUP BY source
+        |)
+        |SELECT t.doc_id, t.source, p.boiler_len,
+        |  CAST(len(t.w) - p.boiler_len AS BIGINT) AS clean_tokens,
+        |  t.w[CAST(p.boiler_len AS INT) + 1] AS clean_head,
+        |  md5(array_to_string(t.w[CAST(p.boiler_len AS INT) + 1:], ' ')) AS clean_md5
+        |FROM toks t JOIN plen p USING (source)
+        |ORDER BY t.doc_id""".stripMargin))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(textStats, langId, tokenCount, fingerprint, simhash, textClean,
       vocabTopk, urlStats, urlCanonical, textRedact, contamination, contaminationBloom,
       repetition, qualityFilter, docCommonness, docCoherence, textSearch,
       phraseSearch, docChunks,
-      docKeywords, docDiversity, corpusZipf, sourceDivergence, vocabTypoPairs)
+      docKeywords, docDiversity, corpusZipf, sourceDivergence, vocabTypoPairs,
+      boilerplate)
 }
