@@ -34,14 +34,58 @@ object Tables {
     * has thousands of splits and this is a no-op — no shuffle of the
     * fact table in front of a map-only stage. */
   def fanOut(df: DataFrame): DataFrame = {
-    // a streaming frame has no .rdd (that would execute it as a batch)
-    // and gets its parallelism from the source's own partitioning
+    // a streaming frame gets its parallelism from the source's own
+    // partitioning; a batch frame is probed via scan METADATA below
     if (df.isStreaming) return df
     val spark = df.sparkSession
     val target = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val parallelism = math.min(target, spark.sparkContext.defaultParallelism)
-    if (df.rdd.getNumPartitions >= parallelism) df
-    else df.repartition(target)
+    if (scanPartitionFloor(df).exists(_ < parallelism)) df.repartition(target)
+    else df
+  }
+
+  /** Driver-side LOWER BOUND on the frame's task count, from the scan
+    * relations' file metadata — replaces the earlier
+    * `df.rdd.getNumPartitions` probe, which converted the plan to an
+    * RDD on the driver on every call just to read a count. None means
+    * "can't tell cheaply" and [[fanOut]] stays a no-op, matching the
+    * old behavior for in-memory frames (whose parallelize already ran
+    * at session parallelism). */
+  private def scanPartitionFloor(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val qe = df.queryExecution
+    // an exchange anywhere in the plan already re-partitions downstream
+    // work to spark.sql.shuffle.partitions — the scan split count is moot
+    if (qe.sparkPlan.collectFirst { case e: ShuffleExchangeLike => e }.isDefined)
+      return None
+    val sc = df.sparkSession.sparkContext
+    val conf = df.sparkSession.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val perLeaf = qe.optimizedPlan.collectLeaves().map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          // Spark's own FilePartition sizing: maxSplitBytes shrinks for
+          // small scans down to the open-cost floor, so a several-MB
+          // fixture file still yields multiple tasks. ceil(total/split)
+          // under that same shrink tracks the packed task count (the
+          // per-file open-cost padding can overshoot by 1-2 on tiny
+          // scans — which errs toward fanning out, the intended
+          // local-mode direction; at scale both numbers dwarf the gate).
+          val sizes = fs.location.listFiles(Nil, Nil).flatMap(_.files).map(_.getLen)
+          val total = sizes.map(_ + openCost).sum
+          val bytesPerCore = total / math.max(1, sc.defaultParallelism)
+          val split = math.max(1L,
+            math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore)))
+          Some(((total + split - 1) / split).toInt)
+        case _ => None
+      }
+      case r: org.apache.spark.sql.catalyst.plans.logical.Range =>
+        Some(r.numSlices.getOrElse(sc.defaultParallelism))
+      case _ => None
+    }
+    if (perLeaf.isEmpty || perLeaf.exists(_.isEmpty)) None
+    else Some(math.max(1, perLeaf.flatten.sum))
   }
 
   /** events.ts additionally handles the nanosecond-int64 form (Spark 4

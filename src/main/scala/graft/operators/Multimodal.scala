@@ -194,10 +194,16 @@ object Multimodal {
       def u16(i: Int): Int = if (le) le16(b, i) else be16(b, i)
       def u32(i: Int): Int = if (le) le32(b, i) else be32(b, i)
       if (u16(2) != 42) return None
-      val ifd = u32(4)
-      if (ifd < 0 || ifd + 2 > b.length) return None
+      // The IFD offset is an unsigned u32: widen to Long BEFORE any
+      // arithmetic — an offset near 2^31 would wrap `ifd + 2` negative
+      // in Int math and slip past the guard into an
+      // ArrayIndexOutOfBounds on a malformed file, violating the
+      // any-structural-failure-is-None contract above.
+      val ifdL = u32(4).toLong & 0xFFFFFFFFL
+      if (ifdL + 2 > b.length) return None
+      val ifd = ifdL.toInt // proven <= b.length - 2, so Int-safe
       val n = u16(ifd)
-      if (ifd + 2 + n * 12 > b.length) return None
+      if (ifdL + 2 + n.toLong * 12 > b.length) return None
       var w = -1; var h = -1; var o = 1
       var e = 0
       while (e < n) {

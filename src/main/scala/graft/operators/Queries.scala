@@ -158,7 +158,11 @@ object Queries {
         ZOrder.interleave16(pmod(col("ent_rank"), lit(65536L)), dayIdx))
       .repartitionByRange(parts, col("zv"))
       .sortWithinPartitions(col("zv"))
-      .drop("ent_rank")
+      // Both helper columns go: the range partitioning and the
+      // within-partition order are already established, and the Morton
+      // key is an internal device — leaving it in the parquet would
+      // leak a derived 8-byte column into the public layout artifact.
+      .drop("ent_rank", "zv")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
   }
 
@@ -242,7 +246,7 @@ object Queries {
         val l = ltss(s, d)
           .withColumn("bucket", DetMath.timeBucket(col("time"), hourUs))
           .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
-          .withColumn("sv", col("state").cast("decimal(12,2)"))
+          .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
         l.groupBy(col("bucket"), col("domain"))
           .agg(
             count(lit(1)).as("n"),
@@ -574,7 +578,7 @@ object Queries {
     (s, d) => {
       val l = ltss(s, d)
         .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
-        .withColumn("sv", col("state").cast("decimal(12,2)"))
+        .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
       val w = Window.partitionBy(col("domain")).orderBy(col("sv"), col("entity_id"), col("time"))
       val ranked = l
         .withColumn("rn", row_number().over(w))
@@ -654,7 +658,7 @@ object Queries {
         s"mad_counts|${graft.CachedFrames.sessionKey(s)}|$d") {
         ltss(s, d)
           .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
-          .withColumn("sv", col("state").cast("decimal(12,2)"))
+          .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
           .groupBy(col("domain"), col("sv")).agg(count(lit(1)).as("cnt"))
       }
       def weightedMedian(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
@@ -731,7 +735,7 @@ object Queries {
     (s, d) =>
       ltss(s, d)
         .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
-        .withColumn("bucket", floor(col("state").cast("decimal(12,2)") / 20).cast("long"))
+        .withColumn("bucket", floor(expr("try_cast(state as decimal(12,2))") / 20).cast("long"))
         .groupBy(col("domain"), col("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("domain"), col("bucket")),
@@ -933,7 +937,7 @@ object Queries {
   val topMovers = OracleQuery(
     "ltss_top_movers",
     (s, d) => {
-      val sv = col("state").cast("decimal(12,2)")
+      val sv = expr("try_cast(state as decimal(12,2))")
       ltss(s, d)
         .withColumn("sv", sv)
         .groupBy(col("entity_id"))
@@ -1115,7 +1119,7 @@ object Queries {
     (s, d) => {
       val l = ltss(s, d)
         .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
-        .withColumn("sv", col("state").cast("decimal(12,2)"))
+        .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
         .withColumn("salt", pmod(crc32(col("entity_id")), lit(16)))
       val partial = l.groupBy(col("domain"), col("salt"))
         .agg(count(lit(1)).as("pn"), sum(col("sv")).as("psum"),

@@ -49,7 +49,7 @@ object TimeSeries {
     * [[Transform.dedupPrimaryKey]]). */
   def bucketLast(ltss: DataFrame, widthUs: Long): DataFrame =
     ltss
-      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
       .withColumn("bus", bucketUs(col("time"), widthUs))
       .groupBy(col("entity_id"), col("bus"))
       .agg(max(struct(col("time"), col("sv"))).getField("sv").as("sv"))
@@ -137,7 +137,7 @@ object TimeSeries {
   def timeWeightedAvg(ltss: DataFrame, bucketWidthUs: Long = DayUs): DataFrame = {
     val w = Window.partitionBy(col("entity_id")).orderBy(col("time"), col("sv"))
     ltss
-      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
       .withColumn("tus", unix_micros(col("time")))
       .withColumn("nt", lead(col("tus"), 1).over(w))
       .filter(col("nt").isNotNull)
@@ -166,7 +166,7 @@ object TimeSeries {
   def counterRate(ltss: DataFrame, widthUs: Long = HourUs): DataFrame = {
     val w = Window.partitionBy(col("entity_id")).orderBy(col("time"), col("sv"))
     ltss
-      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
       .withColumn("pv", lag(col("sv"), 1).over(w))
       .filter(col("pv").isNotNull)
       .withColumn("delta",
@@ -189,7 +189,7 @@ object TimeSeries {
     * combinable, no window, no per-bucket sort). */
   def ohlc(ltss: DataFrame, widthUs: Long = HourUs): DataFrame =
     ltss
-      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
       .withColumn("bucket", timestamp_micros(bucketUs(col("time"), widthUs)))
       .groupBy(col("entity_id"), col("bucket"))
       .agg(
@@ -217,7 +217,7 @@ object TimeSeries {
     val w = Window.partitionBy(col("entity_id")).orderBy(col("time"), col("sv"))
     val we = Window.partitionBy(col("entity_id"))
     ltss
-      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
       .withColumn("tus", unix_micros(col("time")))
       .withColumn("nt", lead(col("tus"), 1).over(w))
       .filter(col("nt").isNotNull)
@@ -250,7 +250,7 @@ object TimeSeries {
   def heartbeat(ltss: DataFrame, livenessUs: Long): DataFrame = {
     val w = Window.partitionBy(col("entity_id")).orderBy(col("time"), col("sv"))
     ltss
-      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
       .withColumn("tus", unix_micros(col("time")))
       .withColumn("nt", lead(col("tus"), 1).over(w))
       .filter(col("nt").isNotNull)
@@ -280,7 +280,7 @@ object TimeSeries {
     val w = Window.partitionBy(col("entity_id")).orderBy(col("tus"))
       .rangeBetween(-windowUs, Window.currentRow)
     ltss
-      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
       .withColumn("tus", unix_micros(col("time")))
       .withColumn("msum", sum(col("sv")).over(w))
       .withColumn("mcnt", count(lit(1)).over(w))
@@ -308,7 +308,7 @@ object TimeSeries {
     graft.ScratchDirs.materializedPath("cagg", d) { p =>
       Queries.ltss(s, d)
         .filter(unix_micros(col("time")) < CaggCutoffUs)
-        .withColumn("sv", col("state").cast("decimal(12,2)"))
+        .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
         .withColumn("bus", bucketUs(col("time"), HourUs))
         .groupBy(col("entity_id"), col("bus"))
         .agg(count(lit(1)).as("cnt"), sum(col("sv")).as("ssum"))
@@ -322,7 +322,7 @@ object TimeSeries {
     val live = graft.sources.LtssSink.chunkScan(s, Queries.ltssLayoutPath(s, d),
         new java.sql.Timestamp(CaggCutoffUs / 1000L),
         java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))
-      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
       .withColumn("bus", bucketUs(col("time"), HourUs))
       .groupBy(col("entity_id"), col("bus"))
       .agg(count(lit(1)).as("cnt"), sum(col("sv")).cast("decimal(32,2)").as("ssum"))
@@ -355,7 +355,7 @@ object TimeSeries {
     * No path re-reads the pre-cutoff raw stream. */
   private[graft] def reconcile(mat: DataFrame, late: DataFrame): DataFrame = {
     val lateAgg = late
-      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
       .withColumn("bus", bucketUs(col("time"), HourUs))
       .groupBy(col("entity_id"), col("bus"))
       .agg(count(lit(1)).as("cnt"), sum(col("sv")).cast("decimal(32,2)").as("ssum"))
@@ -432,7 +432,7 @@ object TimeSeries {
     * (see [[lttbQ]]'s oracle). */
   def lttb(ltss: DataFrame, nOut: Int): DataFrame = lttbPick(
     ltss.select(col("entity_id"), col("time"),
-      col("state").cast("decimal(12,2)").cast("double").as("sv")), nOut)
+      expr("try_cast(state as decimal(12,2))").cast("double").as("sv")), nOut)
 
   /** LTTB over an UNBOUNDED history: [[bucketLast]] first (one map-side
     * combinable aggregate bounds the per-entity series at span/width
@@ -722,7 +722,7 @@ object TimeSeries {
   def stateTimeline(ltss: DataFrame, widthUs: Long = DayUs): DataFrame = {
     val w = Window.partitionBy(col("entity_id")).orderBy(col("time"), col("sv"))
     ltss
-      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
       .withColumn("tus", unix_micros(col("time")))
       .withColumn("nt", lead(col("tus"), 1).over(w))
       .filter(col("nt").isNotNull && col("nt") > col("tus"))
@@ -753,7 +753,7 @@ object TimeSeries {
   def interpolatedTwa(ltss: DataFrame, widthUs: Long = DayUs): DataFrame = {
     val w = Window.partitionBy(col("entity_id")).orderBy(col("time"), col("sv"))
     ltss
-      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
       .withColumn("tus", unix_micros(col("time")))
       .withColumn("nt", lead(col("tus"), 1).over(w))
       .filter(col("nt").isNotNull && col("nt") > col("tus"))
@@ -1122,7 +1122,7 @@ object TimeSeries {
       val w = Window.partitionBy(col("entity_id")).orderBy(col("time"), col("sv"))
       val wf = Window.partitionBy(col("domain"), col("from_class"))
       Queries.ltss(s, d)
-        .withColumn("sv", col("state").cast("decimal(12,2)"))
+        .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
         .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
         .withColumn("cls",
           when(col("sv").isNull, lit("high"))
@@ -1438,7 +1438,7 @@ object TimeSeries {
     * the LATEST of the maximum. */
   def m4(ltss: DataFrame, widthUs: Long = 4 * HourUs): DataFrame =
     ltss
-      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
       .withColumn("bucket", timestamp_micros(bucketUs(col("time"), widthUs)))
       .groupBy(col("entity_id"), col("bucket"))
       .agg(
@@ -1612,7 +1612,7 @@ object TimeSeries {
   def ewma(ltss: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("entity_id")).orderBy(col("tus"))
     val base = ltss
-      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
       .withColumn("tus", unix_micros(col("time")))
       .groupBy(col("entity_id"), col("tus"))
       .agg(max(col("sv")).as("sv"))
@@ -1691,7 +1691,7 @@ object TimeSeries {
     * fleet-bounded (one row per entity). */
   def drawdown(ltss: DataFrame): DataFrame = {
     val base = ltss
-      .withColumn("sv", col("state").cast("decimal(12,2)"))
+      .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
       .withColumn("tus", unix_micros(col("time")))
       .groupBy(col("entity_id"), col("tus"))
       .agg(max(col("sv")).as("sv"))

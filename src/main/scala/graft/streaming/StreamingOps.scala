@@ -35,6 +35,28 @@ object StreamingOps {
     t
   }
 
+  /** String state → cents, with EXACTLY the engine's
+    * `try_cast(state AS decimal(12,2))` acceptance domain (the skip-the-
+    * row cast the batch ops use where junk states are possible; the
+    * plain ANSI cast THROWS on the same inputs, which a skipping stream
+    * cannot mirror). The raw `new BigDecimal(s)` the stream twins first
+    * used diverged at the edges: the engine cast TRIMS surrounding
+    * whitespace before parsing and rejects any value whose rounded
+    * precision exceeds decimal(12,2) (|v| ≥ 10^10), while the bare
+    * constructor rejected `" 1.5 "` and accepted out-of-range
+    * magnitudes — so bit-exact batch parity only held for clean
+    * in-range states. Trim first, round HALF_UP to scale 2 (the cast's
+    * rounding), then enforce precision ≤ 12 on the rounded value.
+    * [[graft.StatefulStreamingSpec]] pins this edge-for-edge against
+    * the engine's own try_cast. */
+  private[graft] def centsOf12_2(state: String): Option[Long] =
+    scala.util.Try {
+      val bd = new java.math.BigDecimal(state.trim)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+      if (bd.precision > 12) throw new ArithmeticException("out of decimal(12,2) range")
+      bd.movePointRight(2).longValueExact()
+    }.toOption
+
   final case class LtssEvent(time: java.sql.Timestamp, entity_id: String, state: String)
   final case class LatestState(entity_id: String, last_time: java.sql.Timestamp, last_state: String)
 
@@ -722,9 +744,7 @@ object StreamingOps {
         import java.lang.Math.{addExact, multiplyExact}
         var s = st.getOption.getOrElse(TrendState(0L, 0L, 0L, 0L, 0L, 0L, tainted = false))
         for (e <- events) {
-          scala.util.Try(new java.math.BigDecimal(e.state)
-            .setScale(2, java.math.RoundingMode.HALF_UP)
-            .movePointRight(2).longValueExact()).toOption match {
+          centsOf12_2(e.state) match {
             case Some(yc) =>
               val x = java.lang.Math.floorDiv(micros(e.time) - baseUs, 1000000L)
               s = try TrendState(s.n + 1, addExact(s.sx, x), addExact(s.syc, yc),
@@ -797,9 +817,7 @@ object StreamingOps {
         val out = scala.collection.mutable.ListBuffer.empty[EwmaRow]
         for (e <- events) {
           val t = micros(e.time)
-          val parsed = scala.util.Try(new java.math.BigDecimal(e.state)
-            .setScale(2, java.math.RoundingMode.HALF_UP)
-            .movePointRight(2).longValueExact()).toOption
+          val parsed = centsOf12_2(e.state)
           val accepted = parsed match {
             case Some(c) if tus.isEmpty || t > tus.head =>
               tus = (t :: tus).take(span)
@@ -892,9 +910,7 @@ object StreamingOps {
         val out = scala.collection.mutable.ListBuffer.empty[DrawdownRow]
         for (e <- events) {
           val t = micros(e.time)
-          scala.util.Try(new java.math.BigDecimal(e.state)
-            .setScale(2, java.math.RoundingMode.HALF_UP)
-            .movePointRight(2).longValueExact()).toOption match {
+          centsOf12_2(e.state) match {
             case Some(c) if s == null =>
               // sentinels lose every comparison: peak MIN, bestDd −1
               s = DrawdownState(t, c, Long.MinValue, 0L, -1L, 0L, 0L, 0L)
@@ -1102,7 +1118,7 @@ object StreamingOps {
     ltss.withWatermark("time", watermark)
       .groupBy(window(col("time"), windowWidth), col("entity_id"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("state").cast("decimal(12,2)")).as("ssum"))
+        sum(expr("try_cast(state as decimal(12,2))")).as("ssum"))
       .select(col("entity_id"), unix_micros(col("window.start")).as("bus"),
         col("cnt"), col("ssum"))
 
@@ -1117,7 +1133,7 @@ object StreamingOps {
       ltss: DataFrame,
       windowWidth: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
-    val sv = col("state").cast("decimal(12,2)")
+    val sv = expr("try_cast(state as decimal(12,2))")
     ltss.withWatermark("time", watermark)
       .groupBy(window(col("time"), windowWidth), col("entity_id"))
       .agg(
@@ -1145,7 +1161,7 @@ object StreamingOps {
       ltss: DataFrame,
       windowWidth: String = "4 hours",
       watermark: String = "2 hours"): DataFrame = {
-    val sv = col("state").cast("decimal(12,2)")
+    val sv = expr("try_cast(state as decimal(12,2))")
     ltss.withWatermark("time", watermark)
       .groupBy(window(col("time"), windowWidth), col("entity_id"))
       .agg(

@@ -90,6 +90,16 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeaders.tiffMeta(hex("58592A00 08000000")).isEmpty)
     assert(MediaHeaders.tiffMeta(le.take(6)).isEmpty)
     assert(MediaHeaders.tiffMeta(le.take(30)).isEmpty)
+    // adversarial IFD offsets near/past 2^31: Int arithmetic on the
+    // u32 offset would wrap `ifd + 2` negative and slip past the bounds
+    // guard into an ArrayIndexOutOfBounds — the walk must do the math
+    // in Long and return None, never crash the executor task
+    assert(MediaHeaders.tiffMeta(hex("49492A00 FEFFFF7F")).isEmpty) // 0x7FFFFFFE
+    assert(MediaHeaders.tiffMeta(hex("49492A00 FFFFFFFF")).isEmpty) // 0xFFFFFFFF
+    assert(MediaHeaders.tiffMeta(hex("4D4D002A 80000000")).isEmpty) // 0x80000000 BE
+    // entry-count overflow: a valid small IFD offset whose claimed
+    // 0xFFFF entries * 12 would overrun — caught by the Long guard
+    assert(MediaHeaders.tiffMeta(hex("49492A00 08000000 FFFF")).isEmpty)
   }
 
   test("WAV chunk walk: LIST skip, odd-size padding, and structural failures") {

@@ -1199,4 +1199,28 @@ class StatefulStreamingSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(got == batch.filter(_._2 != "removed"))
   }
+
+  test("centsOf12_2 matches the batch try_cast(decimal(12,2)) acceptance domain edge-for-edge") {
+    import spark.implicits._
+    // the full divergence surface the raw BigDecimal constructor had:
+    // surrounding whitespace (the engine cast trims), precision
+    // overflow (try_cast NULLs; the plain ANSI cast would THROW, which
+    // a skipping stream cannot mirror), scientific notation, signs,
+    // rounding ties, junk, null-ish strings
+    val inputs = Seq(
+      "1.5", " 1.5 ", "\t-3.25\n", "0", "-0.005", "0.005", "1.005",
+      "9999999999.99", "10000000000.00", "-9999999999.99", "99999999999",
+      "1.2e3", "1.2E-2", "+7", "-.5", ".", "", "  ", "abc", "1,2",
+      "NaN", "Infinity", "1.999", "123456789012345", "0.004999")
+    val batch = inputs.toDF("s")
+      .select(col("s"), expr("try_cast(s as decimal(12,2))").as("d"))
+      .collect()
+      .map(r => r.getString(0) ->
+        Option(r.getDecimal(1)).map(_.movePointRight(2).longValueExact()))
+      .toMap
+    for (s <- inputs)
+      assert(StreamingOps.centsOf12_2(s) == batch(s),
+        s"'$s': stream=${StreamingOps.centsOf12_2(s)} batch=${batch(s)}")
+    assert(StreamingOps.centsOf12_2(null) == None) // batch cast of NULL is NULL
+  }
 }
