@@ -584,13 +584,27 @@ object LtssSink {
             catch {
               case e: SQLException if isConflict(e) =>
                 // no ON CONFLICT on this dialect: replay the chunk one
-                // row at a time, skipping only the conflicting rows
+                // row at a time, skipping only the conflicting rows.
+                // Each row runs under a SAVEPOINT: PostgreSQL (and any
+                // abort-on-error dialect) poisons the whole transaction
+                // at the first constraint violation — every later
+                // statement fails 25P02 in_failed_sql_transaction, not
+                // 23xxx — so a bare executeUpdate loop would drop the
+                // entire remainder. ROLLBACK TO SAVEPOINT restores the
+                // transaction to live after each conflicting row;
+                // statement-level recovery has no other portable form.
+                // (Derby tolerates mid-transaction violations, which is
+                // why the Derby suite alone never caught this — the
+                // real-PostgreSQL e2e spec does.)
                 ps.clearBatch()
                 conn.rollback()
                 chunk.foreach { r =>
                   cols.indices.foreach(i => ps.setObject(i + 1, r.get(i)))
-                  try { ps.executeUpdate(); () }
-                  catch { case e2: SQLException if isConflict(e2) => () }
+                  val sp = conn.setSavepoint()
+                  try { ps.executeUpdate(); conn.releaseSavepoint(sp) }
+                  catch {
+                    case e2: SQLException if isConflict(e2) => conn.rollback(sp)
+                  }
                 }
             }
             conn.commit()
