@@ -16,6 +16,32 @@ final case class FilterSpec(
   def isEmpty: Boolean = domains.isEmpty && entities.isEmpty && entityGlobs.isEmpty
 }
 
+/** Where the S1 event stream comes from. The reference subscribes to
+  * the Home Assistant event bus in-process (__init__.py:116-119) — an
+  * embedding this engine cannot (and should not) reproduce; its two
+  * guises are a JSON directory (tests, replay) and a Kafka topic
+  * carrying the same JSON event documents (production). Selecting a
+  * source swaps ONLY the `readStream` leaf of the plan; the validity
+  * filter → entity filter → projection → sink chain is shared verbatim
+  * ([[graft.streaming.StreamingIngest.readEvents]]). */
+sealed trait EventSource
+object EventSource {
+  /** Directory of JSON event files; `maxFilesPerTrigger` is the B1
+    * buffer knob (how much a micro-batch admits). */
+  final case class JsonDir(path: String, maxFilesPerTrigger: Int = 16) extends EventSource
+
+  /** Kafka topic of JSON event documents (one event per record value).
+    * `maxOffsetsPerTrigger` is the B1 buffer knob in this guise —
+    * records per micro-batch across all partitions. At 100 TB/day the
+    * scan parallelism is the topic's partition count; the downstream
+    * plan is map-only until the sink, so no shuffle amplification. */
+  final case class Kafka(
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = None) extends EventSource
+}
+
 final case class LtssConfig(
     dbUrl: String = "",
     /** Time-partition ("chunk") width in microseconds; default 30 days
@@ -25,6 +51,9 @@ final case class LtssConfig(
     exclude: FilterSpec = FilterSpec(),
     /** Analog of PostGIS presence (reference __init__.py:303-328). */
     enableLocation: Boolean = true,
+    /** S1 source selection; None = the caller wires its own events
+      * frame (the library-API path every existing test uses). */
+    eventSource: Option[EventSource] = None,
 )
 
 object LtssConfig {
@@ -38,7 +67,8 @@ object LtssConfig {
     * schema does. `enable_location` is this engine's stand-in for the
     * reference's PostGIS auto-detection (__init__.py:303-328). */
   def fromMap(conf: Map[String, Any]): LtssConfig = {
-    val allowed = Set("db_url", "chunk_time_interval", "include", "exclude", "enable_location")
+    val allowed = Set("db_url", "chunk_time_interval", "include", "exclude",
+      "enable_location", "event_source")
     val unknown = conf.keySet -- allowed
     require(unknown.isEmpty, s"unknown config keys: ${unknown.mkString(", ")}")
 
@@ -76,7 +106,44 @@ object LtssConfig {
       case Some(b: Boolean) => b
       case Some(x) => throw new IllegalArgumentException(s"enable_location must be boolean, got $x")
     }
-    LtssConfig(dbUrl, chunk, filterSpec("include"), filterSpec("exclude"), enableLocation)
+
+    // `event_source` extends the reference schema (whose source is the
+    // in-process HA bus and therefore unconfigurable): a section with a
+    // `type` discriminator and per-guise keys, unknown keys rejected
+    // with the same strictness as the rest of CONFIG_SCHEMA
+    val eventSource: Option[EventSource] = conf.get("event_source").map {
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        def str(k: String): String = mm.get(k) match {
+          case Some(s: String) if s.nonEmpty => s
+          case _ => throw new IllegalArgumentException(s"event_source.$k is required")
+        }
+        def long(k: String): Option[Long] = mm.get(k).map {
+          case n: Int => n.toLong
+          case n: Long => n
+          case x => throw new IllegalArgumentException(s"event_source.$k must be an integer, got $x")
+        }
+        mm.getOrElse("type", "") match {
+          case "kafka" =>
+            val unknownK = mm.keySet -- Set("type", "bootstrap_servers", "topic",
+              "starting_offsets", "max_offsets_per_trigger")
+            require(unknownK.isEmpty, s"unknown event_source keys: ${unknownK.mkString(", ")}")
+            EventSource.Kafka(str("bootstrap_servers"), str("topic"),
+              mm.get("starting_offsets").map(_.toString).getOrElse("latest"),
+              long("max_offsets_per_trigger"))
+          case "json_dir" =>
+            val unknownJ = mm.keySet -- Set("type", "path", "max_files_per_trigger")
+            require(unknownJ.isEmpty, s"unknown event_source keys: ${unknownJ.mkString(", ")}")
+            EventSource.JsonDir(str("path"),
+              long("max_files_per_trigger").map(_.toInt).getOrElse(16))
+          case other =>
+            throw new IllegalArgumentException(
+              s"event_source.type must be 'kafka' or 'json_dir', got '$other'")
+        }
+      case x => throw new IllegalArgumentException(s"event_source must be a section, got $x")
+    }
+    LtssConfig(dbUrl, chunk, filterSpec("include"), filterSpec("exclude"),
+      enableLocation, eventSource)
   }
 }
 

@@ -28,6 +28,50 @@ object StreamingIngest {
       .option("maxFilesPerTrigger", 16) // B1: the buffer knob
       .json(dir)
 
+  /** S1 source selection from config: ONLY the `readStream` leaf
+    * changes per guise — everything downstream (S2/F2/P1–P4/K1/K2) is
+    * the same declarative plan, which is the whole point of expressing
+    * the pipeline in Structured Streaming rather than hand-rolled
+    * consumers. The Kafka guise reads the standard connector columns
+    * (key/value/topic/partition/offset/timestamp) and decodes the JSON
+    * value with [[decodeKafkaRecords]]; scan parallelism is the topic's
+    * partition count and the chain stays map-only until the sink. */
+  def readEvents(spark: SparkSession, source: graft.config.EventSource): DataFrame =
+    source match {
+      case graft.config.EventSource.JsonDir(path, maxFiles) =>
+        spark.readStream
+          .schema(graft.schema.LtssSchema.eventSchema)
+          .option("maxFilesPerTrigger", maxFiles)
+          .json(path)
+      case k: graft.config.EventSource.Kafka =>
+        val reader = spark.readStream
+          .format("kafka")
+          .option("kafka.bootstrap.servers", k.bootstrapServers)
+          .option("subscribe", k.topic)
+          .option("startingOffsets", k.startingOffsets)
+        val bounded =
+          k.maxOffsetsPerTrigger.fold(reader)(n =>
+            reader.option("maxOffsetsPerTrigger", n)) // B1 in this guise
+        decodeKafkaRecords(bounded.load())
+    }
+
+  /** Kafka wire records → event rows. The record value carries the same
+    * JSON event document the directory guise reads, so `from_json`
+    * against the one event schema keeps the two guises semantically
+    * identical (same parser, same null-on-malformed behavior as the
+    * file reader's PERMISSIVE mode). Takes ANY frame with a binary
+    * `value` column — which is what lets the spec pin this decode +
+    * the full downstream chain through MemoryStream, with no broker
+    * in the sandbox (the kafka connector jar does not ship here;
+    * wiring is still asserted by routing in [[readEvents]]). */
+  def decodeKafkaRecords(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    records
+      .select(from_json(col("value").cast("string"),
+        graft.schema.LtssSchema.eventSchema).as("e"))
+      .select("e.*")
+  }
+
   /** events stream → LTSS rows stream (same Transform as batch — the
     * pipeline is declarative, so batch and streaming share one plan). */
   def toLtss(events: DataFrame, cfg: LtssConfig): DataFrame =
