@@ -323,6 +323,37 @@ object Queries {
         .orderBy(col("entity_id"), col("time"), col("state")),
     Some(jsonAttrOracleSql))
 
+  /** The VARIANT-encoded layout: attributes parsed once at ingest to
+    * Spark 4 VariantType (the modern JSONB physical mapping, SURVEY
+    * §1.2) instead of stored as a JSON string. */
+  def ltssVariantLayoutPath(s: SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("ltss_layout_variant", d) { p =>
+      graft.sources.LtssSink.writeParquet(ltss(s, d), p, LtssConfig(),
+        org.apache.spark.sql.SaveMode.Overwrite, attributesEncoding = "variant")
+    }
+
+  /** The same attribute predicate over the VARIANT layout:
+    * `variant_get` reads the binary variant encoding — no per-query
+    * JSON string re-parse (the [[jsonAttr]] cost) and no write-time
+    * key commitment (the [[jsonAttrLayout]] cost) — and Catalyst's
+    * PushVariantIntoScan rewrites the extraction INTO the scan: the
+    * read schema materializes only the requested path and the
+    * predicate reaches PushedFilters (PlanSpec pins the three-way
+    * contrast). This is the modern form of the schema-on-read /
+    * schema-on-write tradeoff the reference's JSONB +
+    * GIN-expression-index design navigates (models.py:44,75-77);
+    * attrKeys remain the device for row-group min/max PRUNING on hot
+    * keys, variant carries the open-schema rest. */
+  val jsonAttrVariant = OracleQuery(
+    "ltss_json_attr_variant",
+    (s, d) =>
+      s.read.parquet(ltssVariantLayoutPath(s, d))
+        .withColumn("k", variant_get(col("attributes"), "$.k", "long"))
+        .filter(col("k") >= 90)
+        .select(col("entity_id"), col("time"), col("state"), col("k"))
+        .orderBy(col("entity_id"), col("time"), col("state")),
+    Some(jsonAttrOracleSql))
+
   /** Geo surface (reference PostGIS point column, models.py:44,56-62):
     * deterministic lat/lon enrichment → JSON attributes → extraction via
     * the real P3 path → WKT rendering + squared-degree distance filter.
@@ -1502,7 +1533,7 @@ object Queries {
 
   val all: Seq[OracleQuery] = Seq(
     project, entityFilterQ, history, historyLayout, zorderLayout, latest, transitions,
-    timeBucketAgg, jsonAttr, jsonAttrLayout, geoWkt, sessionize, dedupPk,
+    timeBucketAgg, jsonAttr, jsonAttrLayout, jsonAttrVariant, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, geoRadiusLayout, geoBbox, timeBucketSqlQ,
     domainStatsSalted, asofJoin, asofJoinFwd, rangeJoin, percentiles, histogram, pivotHours,
     retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, anomalyMad,

@@ -216,7 +216,12 @@ object LtssSink {
       chunkTimeIntervalUs: Long,
       attrKeys: Seq[(String, String)],
       generation: Long = 0L,
-      compacting: Option[String] = None)
+      compacting: Option[String] = None,
+      /** How the `attributes` column is physically encoded: "json"
+        * (string, the reference's wire form) or "variant" (Spark 4
+        * VariantType — the modern JSONB mapping, SURVEY §1.2). Recorded
+        * so appends cannot silently mix encodings in one layout. */
+      attributesEncoding: String = "json")
 
   private val MarkerName = "_ltss_layout.json"
 
@@ -238,7 +243,10 @@ object LtssSink {
       .findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)
     val compacting = "\"compacting\"\\s*:\\s*\"([^\"]+)\"".r
       .findFirstMatchIn(text).map(_.group(1))
-    Some(LayoutMarker(interval, keys, generation, compacting))
+    // absent in pre-variant markers -> "json", their only encoding
+    val encoding = "\"attributesEncoding\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(text).map(_.group(1)).getOrElse("json")
+    Some(LayoutMarker(interval, keys, generation, compacting, encoding))
   }
 
   private[graft] def writeLayoutMarker(
@@ -250,7 +258,8 @@ object LtssSink {
     val out = fs.create(p, true)
     try out.write(
       (s"""{"chunkTimeIntervalUs":${m.chunkTimeIntervalUs},"attrKeys":$keys""" +
-        s""","generation":${m.generation}$compacting}""").getBytes("UTF-8"))
+        s""","generation":${m.generation}$compacting""" +
+        s""","attributesEncoding":"${m.attributesEncoding}"}""").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -303,8 +312,21 @@ object LtssSink {
       path: String,
       cfg: LtssConfig = LtssConfig(),
       mode: SaveMode = SaveMode.Append,
-      attrKeys: Seq[(String, String)] = Nil): Unit = {
+      attrKeys: Seq[(String, String)] = Nil,
+      /** "json" stores `attributes` as the wire-form JSON string;
+        * "variant" parses it to Spark 4 VariantType at write (the
+        * modern JSONB mapping, SURVEY §1.2): the parquet files then
+        * hold the binary variant encoding, `variant_get` extractions
+        * skip per-query string re-parsing, and malformed JSON fails AT
+        * INGEST (loudly — P4 upstream drops invalid rows first) rather
+        * than at every reader. Typed `attrKeys` remain the PRUNING
+        * device either way: variant columns carry no min/max stats, so
+        * predicates on variant extractions do not reach the scan
+        * ([[graft.PlanSpec]] pins that contrast). */
+      attributesEncoding: String = "json"): Unit = {
     val spark = ltss.sparkSession
+    require(attributesEncoding == "json" || attributesEncoding == "variant",
+      s"attributesEncoding must be 'json' or 'variant', got '$attributesEncoding'")
     // keys become identifiers in both the column name and the hand-built
     // marker JSON — restrict to identifier characters up front
     attrKeys.foreach { case (k, _) =>
@@ -329,6 +351,11 @@ object LtssSink {
           throw new IllegalStateException(
             s"layout at $path materializes attribute keys ${m.attrKeys}; " +
               s"refusing to append with $attrKeys — rewrite the layout to change them.")
+        if (m.attributesEncoding != attributesEncoding)
+          throw new IllegalStateException(
+            s"layout at $path encodes attributes as '${m.attributesEncoding}'; " +
+              s"refusing to append '$attributesEncoding' — mixed physical types in " +
+              "one column break every reader. Rewrite the layout to re-encode.")
       }
     }
     // a marker-less layout WITH existing chunks predates the marker (or
@@ -345,7 +372,13 @@ object LtssSink {
     val enriched = attrKeys.foldLeft(ltss) { case (df, (k, tpe)) =>
       df.withColumn(s"attr_$k", get_json_object(col("attributes"), s"$$.$k").cast(tpe))
     }
-    enriched
+    // attrKeys extract from the STRING form above, so the two features
+    // compose; the variant parse replaces the column last
+    val encoded =
+      if (attributesEncoding == "variant")
+        enriched.withColumn("attributes", parse_json(col("attributes")))
+      else enriched
+    encoded
       .withColumn("chunk", chunkCol(cfg))
       .repartition(col("chunk"))
       .sortWithinPartitions(col("entity_id"), col("time"))
@@ -355,7 +388,8 @@ object LtssSink {
       .parquet(path)
     if (!legacyUnmarked)
       writeLayoutMarker(spark, path, LayoutMarker(cfg.chunkTimeIntervalUs, attrKeys,
-        generation = marker.map(_.generation).getOrElse(0L)))
+        generation = marker.map(_.generation).getOrElse(0L),
+        attributesEncoding = attributesEncoding))
   }
 
   /** Bucketed-table sink — the layout for REPEATED per-entity joins

@@ -198,6 +198,35 @@ class PlanSpec extends SparkSpec {
       s"expected the attr_k predicate in PushedFilters; plan:\n$plan")
   }
 
+  test("variant layout: variant_get rewrites INTO the scan — pruned path + pushed filter") {
+    // the three-way attribute story: raw string re-parses JSON per
+    // query; attrKeys commit keys at write and prune at the scan (test
+    // above); VARIANT gets scan-native extraction WITHOUT the write-
+    // time key commitment — Catalyst's PushVariantIntoScan rewrites
+    // `variant_get(attributes, '$.k', 'long')` into a struct access the
+    // scan materializes directly from the binary variant (ReadSchema
+    // shows only the REQUESTED path, not the whole variant) and the
+    // k >= 90 predicate lands in PushedFilters. Pin all of it so a
+    // Spark upgrade or layout change that silently degrades variant
+    // back to read-everything-then-parse fails here.
+    val df = graft.operators.Queries.jsonAttrVariant.run(spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    val layout = spark.read.parquet(
+      graft.operators.Queries.ltssVariantLayoutPath(spark, "/root/testdata/sf0.001"))
+    assert(layout.schema("attributes").dataType ==
+      org.apache.spark.sql.types.VariantType,
+      s"layout must store VariantType, got ${layout.schema("attributes").dataType}")
+    assert(plan.contains("attributes:struct<0:bigint>"),
+      s"scan must materialize ONLY the requested variant path; plan:\n$plan")
+    assert(!plan.contains("attributes:variant"),
+      s"a whole-variant read means the extraction did not push; plan:\n$plan")
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(attributes.`0`,90)"),
+      s"variant path predicate must reach PushedFilters; pushed: [$pushed]")
+  }
+
   test("polygon containment is a shuffle-free compiled scan — no join, no exchange") {
     val df = graft.operators.Queries.geoPolygon.run(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
