@@ -446,25 +446,120 @@ object Multimodal {
     * instead of `.`: the engines' dot differ on line terminators (Java
     * excludes CR, NEL, LS, PS; RE2 excludes only LF), while the explicit
     * class matches EVERY character identically in both. */
+  /** The resized-image audit row: grid geometry plus a value-level
+    * fingerprint of the RESAMPLED PIXELS (count, sum, position-weighted
+    * sum, min/max, first/last) — enough that any wrong pixel value,
+    * wrong block assignment, or wrong traversal order breaks the
+    * oracle hash. Empty grids (payload shorter than one full block row)
+    * carry -1 sentinels, the family's corrupt/absent contract. */
+  final case class ResizeAudit(
+      doc_id: Long, orig_chars: Long, out_w: Long, out_h: Long,
+      px_n: Long, px_sum: Long, px_wsum: Long, px_min: Long, px_max: Long,
+      px_first: Long, px_last: Long)
+
+  /** REAL box-filter downsample (not a stride pick): the payload's code
+    * points form a `SrcW`-wide grayscale grid, row-major; each output
+    * pixel is the floor-mean of its `K`×`K` source block — pure integer
+    * arithmetic (`sum / K²` on non-negative code points), so every
+    * output pixel is exactly replayable by the DuckDB oracle's own
+    * SQL over `ascii(substring(...))`. Edge policy TRUNCATE: only full
+    * source rows and full blocks participate (a standard resize policy,
+    * and the one whose arithmetic both engines express identically).
+    * O(len) per row, map-side, no shuffle — the batching shape a pixel
+    * codec plugs into unchanged. */
+  object BoxResample {
+    val SrcW = 16
+    val K = 2
+    val OutW: Int = SrcW / K
+
+    def apply(docId: Long, text: String): ResizeAudit = {
+      val cps = text.codePoints().toArray
+      val h = cps.length / SrcW
+      val oh = h / K
+      var sum = 0L; var wsum = 0L
+      var mn = Long.MaxValue; var mx = -1L; var first = -1L; var last = -1L
+      var idx = 0
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < OutW) {
+          var s = 0L
+          var dy = 0
+          while (dy < K) {
+            val base = (oy * K + dy) * SrcW + ox * K
+            var dx = 0
+            while (dx < K) { s += cps(base + dx); dx += 1 }
+            dy += 1
+          }
+          val pv = s / (K * K)
+          if (idx == 0) first = pv
+          last = pv
+          sum += pv
+          wsum += pv * (idx + 1).toLong
+          if (pv < mn) mn = pv
+          if (pv > mx) mx = pv
+          idx += 1
+          ox += 1
+        }
+        oy += 1
+      }
+      ResizeAudit(docId, cps.length.toLong, OutW.toLong, oh.toLong,
+        idx.toLong, sum, wsum, if (idx == 0) -1L else mn, mx, first, last)
+    }
+  }
+
   val resize = OracleQuery(
     "multimodal_resize",
     (s, d) => {
-      val resized = regexp_replace(col("text"), "([\\s\\S])[\\s\\S]{0,3}", "$1")
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          length(col("text")).cast("long").as("orig_len"),
-          length(resized).cast("long").as("resized_len"),
-          md5(resized).as("resized_hash"))
+      import s.implicits._
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => BoxResample(id, t) })
+        .toDF()
         .orderBy(col("doc_id"))
     },
-    Some("""SELECT doc_id,
-      |       CAST(length(text) AS BIGINT) AS orig_len,
-      |       CAST(length(resized) AS BIGINT) AS resized_len,
-      |       md5(resized) AS resized_hash
-      |FROM (
-      |  SELECT doc_id, text,
-      |         regexp_replace(text, '([\s\S])[\s\S]{0,3}', '\1', 'g') AS resized
-      |  FROM documents)
+    // the oracle rebuilds the SAME pixels from scratch: explode to
+    // per-character code points, box-group, floor-mean — a hash match
+    // proves the kernel's block assignment and integer means, not that
+    // two copies of one formula agree
+    Some("""WITH g AS (
+      |  SELECT doc_id,
+      |         CAST(length(text) AS BIGINT) AS len,
+      |         (length(text) // 16) // 2 AS oh
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id,
+      |         (t.i - 1) // 16 AS y, (t.i - 1) % 16 AS x,
+      |         ascii(substring(d.text, t.i, 1)) AS v
+      |  FROM documents d JOIN g USING (doc_id),
+      |       unnest(generate_series(1, g.oh * 32)) AS t(i)),
+      |blk AS (
+      |  SELECT doc_id, (y // 2) * 8 + (x // 2) AS idx,
+      |         CAST(SUM(v) // 4 AS BIGINT) AS pv
+      |  FROM px GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id,
+      |         CAST(count(*) AS BIGINT) AS px_n,
+      |         CAST(SUM(pv) AS BIGINT) AS px_sum,
+      |         CAST(SUM(pv * (idx + 1)) AS BIGINT) AS px_wsum,
+      |         CAST(MIN(pv) AS BIGINT) AS px_min,
+      |         CAST(MAX(pv) AS BIGINT) AS px_max
+      |  FROM blk GROUP BY doc_id)
+      |SELECT g.doc_id,
+      |       g.len AS orig_chars,
+      |       CAST(8 AS BIGINT) AS out_w,
+      |       CAST(g.oh AS BIGINT) AS out_h,
+      |       COALESCE(a.px_n, 0) AS px_n,
+      |       COALESCE(a.px_sum, 0) AS px_sum,
+      |       COALESCE(a.px_wsum, 0) AS px_wsum,
+      |       COALESCE(a.px_min, -1) AS px_min,
+      |       COALESCE(a.px_max, -1) AS px_max,
+      |       CAST(COALESCE(f.pv, -1) AS BIGINT) AS px_first,
+      |       CAST(COALESCE(l.pv, -1) AS BIGINT) AS px_last
+      |FROM g
+      |LEFT JOIN agg a USING (doc_id)
+      |LEFT JOIN blk f ON f.doc_id = g.doc_id AND f.idx = 0
+      |LEFT JOIN blk l ON l.doc_id = g.doc_id AND l.idx = a.px_n - 1
       |ORDER BY doc_id""".stripMargin))
 
   final case class AudioRecord(doc_id: Long, content: Array[Byte])

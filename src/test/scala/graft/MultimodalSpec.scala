@@ -102,6 +102,30 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeaders.tiffMeta(hex("49492A00 08000000 FFFF")).isEmpty)
   }
 
+  test("box resample: hand-computed 2x2 floor-means, truncation edges, empty sentinel") {
+    import graft.operators.Multimodal.BoxResample
+    // 32 chars of 'a' = a 16x2 grid -> one 8-wide output row, every
+    // block (97+97+97+97)/4 = 97
+    val flat = BoxResample(1L, "a" * 32)
+    assert((flat.out_h, flat.px_n, flat.px_sum, flat.px_wsum) == (1L, 8L, 776L, 3492L))
+    assert((flat.px_min, flat.px_max, flat.px_first, flat.px_last) == (97L, 97L, 97L, 97L))
+    // "abcd" repeating: blocks alternate floor((97+98)*2/4)=97 and
+    // floor((99+100)*2/4)=99 — the floor of 97.5/99.5, pinning that the
+    // mean is the INTEGER floor-mean of real block values, not a stride
+    // pick of any single source pixel (98/100 would differ)
+    val striped = BoxResample(2L, "abcd" * 8)
+    assert((striped.px_sum, striped.px_wsum) == (784L, 3532L))
+    assert((striped.px_first, striped.px_last) == (97L, 99L))
+    // truncation edge: 47 chars = 2 full rows + 15 spare -> same grid as
+    // 32 chars; the spare tail must not leak into any block
+    assert(BoxResample(3L, "a" * 32 + "z" * 15).px_sum == 776L)
+    // payload shorter than one full block row -> empty grid, sentinels
+    val empty = BoxResample(4L, "a" * 31)
+    assert((empty.out_h, empty.px_n, empty.px_sum) == (0L, 0L, 0L))
+    assert((empty.px_min, empty.px_max, empty.px_first, empty.px_last) ==
+      (-1L, -1L, -1L, -1L))
+  }
+
   test("WAV chunk walk: LIST skip, odd-size padding, and structural failures") {
     def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
     def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
