@@ -168,8 +168,45 @@ object Bench {
       s""""errors":$errs,"failed":$nFailed,"runs_per_query":$Runs,""" +
       s""""aggregation":"median","warm_build":$warm,"warm_build_errors":$warmE,""" +
       s""""load_avg":$loads,"sf":${q(sfDir)}}"""
-    println(line)
+    // The FULL result goes to bench_out.json (committed per round — the
+    // authoritative per-query record). stdout gets ONE line sized to
+    // survive a bounded tail capture: the round-N bench artifact keeps
+    // only the LAST ~2000 stdout chars, and with 180+ queries the full
+    // line decapitates there and parses as nothing (r8 and r10 both
+    // lost their per-query stdout record exactly this way). The compact
+    // line always carries the recorded-baseline gate queries
+    // (BASELINE.json's r1 set), then the slowest others until the
+    // budget, plus where the full map lives.
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    val baselineNames: Set[String] =
+      try {
+        val txt = new String(Files.readAllBytes(Paths.get("BASELINE_QUERIES.txt")), "UTF-8")
+        txt.split('\n').map(_.trim).filter(_.nonEmpty).toSet
+      } catch { case _: Exception => Set.empty }
+    val budget = 1600
+    def entry(k: String, v: Double): String = q(k) + ":" + math.rint(v * 1000) / 1000
+    val gate = results.filter(r => baselineNames.contains(r._1))
+    val rest = results.filterNot(r => baselineNames.contains(r._1)).sortBy(-_._2)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    for ((k, v, _) <- gate ++ rest) {
+      val e = entry(k, v)
+      if (used + e.length + 1 <= budget) { picked += e; used += e.length + 1 }
+    }
+    val errsCompact =
+      if (nFailed == 0 && warmErrs.isEmpty) ""
+      else {
+        val head = (results.collect { case (k, _, Some(e)) => q(k) + ":" + q(e.take(60)) } ++
+          warmErrs.map { case (k, e) => q(s"warm:$k") + ":" + q(e.take(60)) }).take(3)
+        s""","errors_head":${head.mkString("{", ",", "}")}"""
+      }
+    val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},""" +
+      s""""unit":"sec","n_queries":${results.size},"failed":$nFailed,""" +
+      s""""runs_per_query":$Runs,"aggregation":"median",""" +
+      s""""queries":${picked.mkString("{", ",", "}")},""" +
+      s""""queries_elided":${results.size - picked.size}$errsCompact,""" +
+      s""""full_results":"bench_out.json","sf":${q(sfDir)}}"""
+    println(compact)
     if (nFailed > 0) System.err.println(s"[bench] $nFailed quer(ies) FAILED — see errors field")
     if (warmErrs.nonEmpty) System.err.println(
       s"[bench] ${warmErrs.size} warm-build(s) FAILED — see warm_build_errors field")
