@@ -159,6 +159,14 @@ class PlanSpec extends SparkSpec {
     intercept[IllegalStateException] {
       LtssSink.writeParquet(df, out, attrKeys = Seq("k" -> "long"))
     }
+    // different attributes encoding refused — mixed physical types in
+    // one column break every reader; and the recorded encoding
+    // round-trips through the marker
+    assert(LtssSink.readLayoutMarker(spark, out).get.attributesEncoding == "json")
+    val enc = intercept[IllegalStateException] {
+      LtssSink.writeParquet(df, out, attributesEncoding = "variant")
+    }
+    assert(enc.getMessage.contains("encodes attributes"))
     // a scan under the WRONG caller cfg still prunes with the recorded
     // interval: the Jan chunk row is found even though the caller's
     // 1-day-interval bounds would name different chunk values
