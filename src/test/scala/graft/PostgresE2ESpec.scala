@@ -133,6 +133,43 @@ class PostgresE2ESpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("streaming ingest lands in real PostgreSQL: queryable JSONB, WKT location, P4 drop") {
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("pg-stream-in").toString
+    val ckpt = Files.createTempDirectory("pg-stream-ckpt").toString
+    // event 3 carries attributes that are NOT valid JSON: the P4 drop
+    // must catch it BEFORE the sink — a real JSONB column rejects the
+    // payload server-side (22P02), and an undropped poison event would
+    // wedge the stream at that batch forever
+    Files.writeString(Paths.get(in, "b1.json"),
+      """{"event_id":1,"ts":"2024-01-01T00:00:00.000001Z","user_id":1,"event_type":"sensor","value":21.5,"props":"{\"latitude\": 1.5, \"longitude\": 2.5}"}
+        |{"event_id":2,"ts":"2024-01-01T00:00:01.000001Z","user_id":2,"event_type":"sensor","value":7.25,"props":"{\"k\": 3}"}
+        |{"event_id":3,"ts":"2024-01-01T00:00:02.000001Z","user_id":3,"event_type":"sensor","value":1.0,"props":"not json"}
+        |""".stripMargin)
+    val c = LtssConfig(dbUrl = server.url, enableLocation = true)
+    val q = graft.streaming.StreamingIngest.start(
+      graft.streaming.StreamingIngest.readJsonEvents(spark, in), c, "", ckpt)
+    graft.streaming.StreamingIngest.drainAndStop(q)
+    withWire { w =>
+      // the JSONB landed QUERYABLE by the reference's own idiom —
+      // server-side ->> extraction, not just a stored string
+      val rows = w.query(
+        "SELECT entity_id, state, attributes ->> 'k' AS k, location " +
+          "FROM ltss ORDER BY entity_id").rows
+      assert(rows.map(_(0)) == Vector("sensor.1", "sensor.2"),
+        s"expected exactly the two valid events: $rows")
+      assert(rows(1)(2) == "3", s"JSONB ->> extraction failed: $rows")
+      // the signature geo feature end-to-end: popped lat/lon became the
+      // reference's WKT wire format (models.py:61), and the popped keys
+      // are gone from the stored attributes
+      assert(rows(0)(3) == "SRID=4326;POINT(2.5 1.5)", s"WKT mismatch: $rows")
+      assert(rows(1)(3) == null)
+      val attrs1 = w.query(
+        "SELECT attributes FROM ltss WHERE entity_id = 'sensor.1'").rows.head.head
+      assert(!attrs1.contains("latitude"), s"popped key leaked into JSONB: $attrs1")
+    }
+  }
+
   test("real-server SQLSTATEs drive the sink classifier") {
     withWire { w =>
       w.query("CREATE TABLE IF NOT EXISTS ltss_states " +
