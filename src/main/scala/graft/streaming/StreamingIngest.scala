@@ -120,6 +120,23 @@ object StreamingIngest {
       .start()
   }
 
+  /** The all-config entry: source from `cfg.eventSource`, sink from
+    * `cfg.dbUrl` — the shape the reference's component setup has
+    * (everything from CONFIG_SCHEMA, __init__.py:55-67, plus this
+    * engine's `event_source` extension). Callers wiring their own
+    * events frame (tests, replay tools) keep using [[start]]. */
+  def startFromConfig(
+      spark: SparkSession,
+      cfg: LtssConfig,
+      outPath: String,
+      checkpoint: String,
+      attrKeys: Seq[(String, String)] = Nil): StreamingQuery = {
+    val source = cfg.eventSource.getOrElse(throw new IllegalArgumentException(
+      "startFromConfig needs an event_source section in the config " +
+        "(type kafka or json_dir); use start(events, ...) to wire a custom frame"))
+    start(readEvents(spark, source), cfg, outPath, checkpoint, attrKeys)
+  }
+
   /** Graceful shutdown: drain everything available, then stop — the
     * analog of the reference's sentinel + join (__init__.py:164-171). */
   def drainAndStop(q: StreamingQuery): Unit = {

@@ -69,6 +69,25 @@ class KafkaGuiseSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("kafka"), s"error does not name kafka: $e")
   }
 
+  test("startFromConfig drives the whole ingest from the config map alone") {
+    val in = tmp("kg-cfg-in"); val out = tmp("kg-cfg-out"); val ckpt = tmp("kg-cfg-ckpt")
+    Files.writeString(java.nio.file.Paths.get(in, "b1.json"),
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":1,"event_type":"sensor","value":2.5,"props":"{}"}""" + "\n")
+    val cfg = LtssConfig.fromMap(Map(
+      "db_url" -> "unused:parquet-sink",
+      "include" -> Map("domains" -> Seq("sensor")),
+      "event_source" -> Map("type" -> "json_dir", "path" -> in,
+        "max_files_per_trigger" -> 4)))
+    StreamingIngest.drainAndStop(
+      StreamingIngest.startFromConfig(spark, cfg, out, ckpt))
+    assert(spark.read.parquet(out).count() == 1)
+    // no event_source section -> loud, with the fix named
+    val bare = LtssConfig(dbUrl = "x")
+    val e = intercept[IllegalArgumentException](
+      StreamingIngest.startFromConfig(spark, bare, out, ckpt))
+    assert(e.getMessage.contains("event_source"))
+  }
+
   test("kafka value decode + unchanged downstream chain lands the JSON-dir guise's rows") {
     val events = Seq(
       """{"event_id":1,"ts":"2024-01-01T00:00:00.000001Z","user_id":1,"event_type":"sensor","value":21.5,"props":"{\"latitude\": 1.5, \"longitude\": 2.5}"}""",
