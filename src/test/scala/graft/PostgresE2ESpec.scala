@@ -170,6 +170,42 @@ class PostgresE2ESpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("importJdbc: partitioned migration read of a live reference table into the layout") {
+    // the day-one user story: history lives in the reference's
+    // PostgreSQL table — one partitioned Spark read brings it over,
+    // WKT locations parse back to the engine's struct, and the chunked
+    // layout + chunk exclusion work on the imported rows
+    withWire { w =>
+      w.query("CREATE TABLE ltss_import (time TIMESTAMP NOT NULL, " +
+        "entity_id VARCHAR(255) NOT NULL, state VARCHAR(255), attributes JSONB, " +
+        "location VARCHAR(255), PRIMARY KEY (time, entity_id))")
+      val months = Seq("01", "03", "06")
+      for (m <- months; i <- 1 to 4)
+        w.query("INSERT INTO ltss_import VALUES (" +
+          s"TIMESTAMP '2024-$m-0$i 00:00:0$i.00000$i', 'sensor.$i', '$i.5', " +
+          s"""'{"k": $i}', ${if (i % 2 == 0) s"'SRID=4326;POINT($i.25 -$i.5)'" else "NULL"})""")
+    }
+    val imported = LtssSink.importJdbc(spark, cfg, "ltss_import", numPartitions = 4)
+    // the read is genuinely range-partitioned on the time axis
+    assert(imported.rdd.getNumPartitions == 4,
+      s"expected 4 time-range partitions, got ${imported.rdd.getNumPartitions}")
+    assert(imported.count() == 12)
+    // WKT round-trips back to the struct the rest of the engine speaks
+    val restored = imported.withColumn("location",
+      LtssSink.locationFromWkt(org.apache.spark.sql.functions.col("location")))
+    val loc2 = restored.filter(org.apache.spark.sql.functions.col("entity_id") === "sensor.2")
+      .select("location.lon", "location.lat").distinct().collect()
+    assert(loc2.map(r => (r.getDouble(0), r.getDouble(1))).toSet == Set((2.25, -2.5)))
+    // land the chunked layout and prove chunk exclusion on imported data
+    val out = java.nio.file.Files.createTempDirectory("pg-import-layout").toString
+    LtssSink.writeParquet(restored, out,
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    val jan = LtssSink.chunkScan(spark, out,
+      ts("2024-01-01 00:00:00"), ts("2024-01-31 00:00:00"))
+    assert(jan.count() == 4)
+    assert(jan.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("real-server SQLSTATEs drive the sink classifier") {
     withWire { w =>
       w.query("CREATE TABLE IF NOT EXISTS ltss_states " +

@@ -320,6 +320,10 @@ object PgMiniDriver {
     lazy val conn: Connection = proxy(classOf[Connection]) {
       case ("createStatement", _) => statement(exec)
       case ("prepareStatement", Array(sql: String)) => prepared(sql, exec)
+      case ("prepareStatement", Array(sql: String, _: java.lang.Integer, _: java.lang.Integer)) =>
+        // the (type, concurrency) hints — FORWARD_ONLY/READ_ONLY from
+        // Spark's JDBCRDD — are already this client's only behavior
+        prepared(sql, exec)
       case ("setAutoCommit", Array(b: java.lang.Boolean)) =>
         if (b && wire.txnStatus != 'I') wire.query("COMMIT")
         autoCommit = b
@@ -438,7 +442,8 @@ object PgMiniDriver {
         resultSet(exec(PgWire.interpolate(sql, params.toIndexedSeq)))
       case ("execute", Array()) =>
         Boolean.box(exec(PgWire.interpolate(sql, params.toIndexedSeq)).columns.nonEmpty)
-      case ("close" | "setQueryTimeout" | "cancel" | "clearWarnings", _) => Empty
+      case ("close" | "setQueryTimeout" | "cancel" | "clearWarnings" |
+            "setFetchSize" | "setFetchDirection", _) => Empty
       case ("isClosed", _) => Boolean.box(false)
       case ("getWarnings", _) => Empty
     }
@@ -471,6 +476,16 @@ object PgMiniDriver {
         Long.box(Option(cell(i)).map(_.toLong).getOrElse(0L))
       case ("getTimestamp", Array(i: java.lang.Integer)) =>
         Option(cell(i)).map(java.sql.Timestamp.valueOf).orNull
+      case ("getDate", Array(i: java.lang.Integer)) =>
+        Option(cell(i)).map(java.sql.Date.valueOf).orNull
+      case ("getDouble", Array(i: java.lang.Integer)) =>
+        Double.box(Option(cell(i)).map(_.toDouble).getOrElse(0d))
+      case ("getFloat", Array(i: java.lang.Integer)) =>
+        Float.box(Option(cell(i)).map(_.toFloat).getOrElse(0f))
+      case ("getBigDecimal", Array(i: java.lang.Integer)) =>
+        Option(cell(i)).map(new java.math.BigDecimal(_)).orNull
+      case ("getBoolean", Array(i: java.lang.Integer)) =>
+        Boolean.box(Option(cell(i)).exists(v => v == "t" || v == "true"))
       case ("getMetaData", _) => resultSetMetaData(r)
     }
   }
@@ -542,6 +557,10 @@ object PgMiniDriver {
       case ("getDatabaseMinorVersion", _) => Int.box(0)
       case ("getJDBCMajorVersion", _) => Int.box(4)
       case ("getJDBCMinorVersion", _) => Int.box(2)
+      case ("getDriverMajorVersion", _) => Int.box(0)
+      case ("getDriverMinorVersion", _) => Int.box(1)
+      case ("getDriverName", _) => "graft-pg-mini"
+      case ("getDatabaseProductVersion", _) => "15"
       case ("getUserName", _) => "postgres"
       case ("getIdentifierQuoteString", _) => "\""
       case ("storesLowerCaseIdentifiers", _) => Boolean.box(true)
