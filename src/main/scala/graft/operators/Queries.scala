@@ -1531,11 +1531,78 @@ object Queries {
       |GROUP BY key
       |ORDER BY key""".stripMargin))
 
+  private val CmsDepth = 4
+  private val CmsWidth = 64
+
+  /** COUNT-MIN SKETCH frequency estimation (Cormode & Muthukrishnan
+    * 2005; the TimescaleDB toolkit ships it as `count_min_sketch` /
+    * `approx_count`) — the heavy-hitter companion to [[kmvDistinct]]'s
+    * KMV rows: a D×W = 4×64 grid of counters where cell (d, w) sums the
+    * counts of every state whose d-th hash lands in bucket w, and
+    * est(x) = min_d cell(d, h_d(x)). Hashes are the engine's
+    * [[graft.functions.Md5Prefix64]] over "d:state" (the same 60-bit
+    * md5-prefix device as KMV), so DuckDB replays the exact sketch and
+    * the audit is hash-checked, not asserted: for the top-20 true
+    * states the output carries est, true, the overcount, and the CMS
+    * hard invariant est ≥ true (a point-wise `never_under` bit — CMS
+    * can only overcount, so any 0 is an implementation bug, not
+    * sketch noise).
+    *
+    * Scale shape: ONE map-combinable shuffle (groupBy state — needed by
+    * the audit's truth column anyway); the sketch cells are derived
+    * from the truth frame, which is algebraically identical to hashing
+    * raw rows. A production build that wants no truth table folds raw
+    * rows straight into the 256 cells — a partial aggregation whose
+    * reduce side is 256 rows regardless of data size, which is the
+    * whole point of the sketch at 100 TB. */
+  val cmsFreq = OracleQuery(
+    "ltss_cms_freq",
+    (s, d) => {
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      val truth = ltss(s, d).groupBy(col("state")).agg(count(lit(1)).as("true_c"))
+      val hashed = truth
+        .withColumn("d", explode(sequence(lit(0), lit(CmsDepth - 1))))
+        .withColumn("h", columnOf(graft.functions.Md5Prefix64(expressionOf(
+          concat(col("d").cast("string"), lit(":"), col("state"))))))
+        .withColumn("bucket", pmod(col("h"), lit(CmsWidth.toLong)))
+      val cells = hashed.groupBy(col("d"), col("bucket"))
+        .agg(sum(col("true_c")).as("cell"))
+      hashed.join(cells, Seq("d", "bucket"))
+        .groupBy(col("state"), col("true_c"))
+        .agg(min(col("cell")).as("est_c"))
+        .select(col("state"), col("true_c"), col("est_c"),
+          (col("est_c") - col("true_c")).as("overcount"),
+          (col("est_c") >= col("true_c")).cast("int").as("never_under"))
+        .orderBy(col("true_c").desc, col("state"))
+        .limit(20)
+    },
+    Some(s"""$ltssCte,
+      |truth AS (
+      |  SELECT state, CAST(count(*) AS BIGINT) AS true_c FROM ltss GROUP BY 1
+      |), hashed AS (
+      |  SELECT state, true_c, d,
+      |         CAST(concat('0x', substring(md5(CAST(d AS VARCHAR) || ':' || state), 1, 15))
+      |              AS BIGINT) % $CmsWidth AS bucket
+      |  FROM truth CROSS JOIN (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS d) ds
+      |), cells AS (
+      |  SELECT d, bucket, CAST(sum(true_c) AS BIGINT) AS cell
+      |  FROM hashed GROUP BY 1, 2
+      |), est AS (
+      |  SELECT h.state, h.true_c, min(c.cell) AS est_c
+      |  FROM hashed h JOIN cells c ON c.d = h.d AND c.bucket = h.bucket
+      |  GROUP BY 1, 2
+      |)
+      |SELECT state, true_c, est_c, est_c - true_c AS overcount,
+      |       CAST(est_c >= true_c AS INT) AS never_under
+      |FROM est
+      |ORDER BY true_c DESC, state
+      |LIMIT 20""".stripMargin))
+
   val all: Seq[OracleQuery] = Seq(
     project, entityFilterQ, history, historyLayout, zorderLayout, latest, transitions,
     timeBucketAgg, jsonAttr, jsonAttrLayout, jsonAttrVariant, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, geoRadiusLayout, geoBbox, timeBucketSqlQ,
     domainStatsSalted, asofJoin, asofJoinFwd, rangeJoin, percentiles, histogram, pivotHours,
     retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, anomalyMad,
-    histogram2d, sketches, kmvDistinct, attrProfile)
+    histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq)
 }

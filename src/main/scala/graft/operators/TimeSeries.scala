@@ -1745,10 +1745,172 @@ object TimeSeries {
       |            THEN CAST(m.dd AS DOUBLE) / CAST(m.peak AS DOUBLE) END AS rel_dd
       |FROM p ORDER BY entity_id""".stripMargin))
 
+  /** LAGGED CROSS-CORRELATION between domain pairs over a SHARED hourly
+    * grid — the lead/lag panel that answers "does click activity lead
+    * purchase activity, and by how many hours?" (the query a telemetry
+    * stack runs before wiring one series as a forecast feature of
+    * another). Same integer-moment device as [[acf]]: on the global
+    * grid of N buckets, dev_t = N·c_t − S is an N-scaled deviation, so
+    * Σ dev_a(t)·dev_b(t+ℓ) / √(Σ dev_a²·Σ dev_b²) IS the Pearson-style
+    * cross-correlation (N² cancels); numerators and energies are exact
+    * BIGINT sums, the output is one IEEE product+sqrt+division (both
+    * correctly rounded per IEEE 754, so the oracle hash-matches).
+    * Energies span the full grid while the numerator spans the lag
+    * overlap — the statsmodels `ccf` convention. Negative lags cover
+    * the b-leads-a direction, so each unordered pair appears once
+    * (da < db) with a symmetric lag axis.
+    *
+    * Scale shape: ONE map-combinable count shuffle over the raw rows;
+    * everything after (grid join, lag join on the bucket key, energy
+    * join) runs on render-scale frames bounded by |domains|·span/width,
+    * independent of row count. */
+  def crossCorr(ltss: DataFrame, maxLag: Int = 3, widthUs: Long = HourUs): DataFrame = {
+    val counts = ltss
+      .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+      .withColumn("bus", bucketUs(col("time"), widthUs))
+      .groupBy(col("domain"), col("bus")).agg(count(lit(1)).as("c"))
+    val bounds = counts.agg(min(col("bus")).as("b0"), max(col("bus")).as("b1"))
+    val grid = counts.select(col("domain")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("domain"),
+        explode(sequence(col("b0"), col("b1"), lit(widthUs))).as("bus"))
+    val wd = Window.partitionBy(col("domain"))
+    val dv = grid.join(counts, Seq("domain", "bus"), "left")
+      .select(col("domain"), col("bus"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("n", count(lit(1)).over(wd))
+      .withColumn("dev", col("n") * col("c") - sum(col("c")).over(wd))
+    val energy = dv.groupBy(col("domain")).agg(sum(col("dev") * col("dev")).as("en"))
+    val a = dv.select(col("domain").as("da"), col("bus"), col("dev").as("deva"))
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+    val b = dv.select(col("domain").as("db"), col("bus").as("busb"), col("dev").as("devb"))
+    a.join(b, col("busb") === col("bus") + col("lag").cast("long") * lit(widthUs)
+        && col("da") < col("db"))
+      .groupBy(col("da"), col("db"), col("lag"))
+      .agg(sum(col("deva") * col("devb")).as("num"), count(lit(1)).as("n_pairs"))
+      .join(broadcast(energy.select(col("domain").as("da"), col("en").as("ea"))), Seq("da"))
+      .join(broadcast(energy.select(col("domain").as("db"), col("en").as("eb"))), Seq("db"))
+      .select(col("da"), col("db"), col("lag"), col("n_pairs"),
+        when(col("ea") > 0 && col("eb") > 0,
+          col("num").cast("double")
+            / sqrt(col("ea").cast("double") * col("eb").cast("double"))).as("xcorr"))
+      .orderBy(col("da"), col("db"), col("lag"))
+  }
+
+  /** Shared DuckDB replay of the GLOBAL-grid deviation frame used by
+    * [[crossCorr]] and [[saxMotif]]'s symbol input: like
+    * [[denseDevCte]] but with one grid span for all domains. */
+  private def globalDevCte(widthUs: Long = HourUs): String =
+    s"""$ltssBase,
+      |c AS (
+      |  SELECT split_part(entity_id, '.', 1) AS domain,
+      |         (epoch_us(time) // $widthUs) * $widthUs AS bus,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM base GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT min(bus) AS b0, max(bus) AS b1 FROM c
+      |), grid AS (
+      |  SELECT d.domain, g.bus
+      |  FROM (SELECT DISTINCT domain FROM c) d
+      |  CROSS JOIN (SELECT unnest(generate_series(b0, b1, $widthUs)) AS bus
+      |              FROM bounds) g
+      |), x AS (
+      |  SELECT g.domain, g.bus, COALESCE(c.c, 0) AS c
+      |  FROM grid g LEFT JOIN c ON c.domain = g.domain AND c.bus = g.bus
+      |), dv AS (
+      |  SELECT domain, bus, c,
+      |         CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n,
+      |         CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) * c
+      |         - CAST(sum(c) OVER (PARTITION BY domain) AS BIGINT) AS dev
+      |  FROM x
+      |)""".stripMargin
+
+  val crossCorrQ = OracleQuery(
+    "ltss_cross_corr",
+    (s, d) => crossCorr(Queries.ltss(s, d)),
+    Some(s"""${globalDevCte()},
+      |en AS (
+      |  SELECT domain, CAST(sum(dev * dev) AS BIGINT) AS en FROM dv GROUP BY 1
+      |), lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+      |num AS (
+      |  SELECT a.domain AS da, b.domain AS db, l.lag AS lag,
+      |         CAST(sum(a.dev * b.dev) AS BIGINT) AS num,
+      |         CAST(count(*) AS BIGINT) AS n_pairs
+      |  FROM dv a CROSS JOIN lags l
+      |  JOIN dv b ON b.bus = a.bus + l.lag * $HourUs AND a.domain < b.domain
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT da, db, lag, n_pairs,
+      |       CASE WHEN ea.en > 0 AND eb.en > 0
+      |            THEN CAST(num.num AS DOUBLE)
+      |                 / sqrt(CAST(ea.en AS DOUBLE) * CAST(eb.en AS DOUBLE))
+      |       END AS xcorr
+      |FROM num JOIN en ea ON ea.domain = num.da
+      |         JOIN en eb ON eb.domain = num.db
+      |ORDER BY da, db, lag""".stripMargin))
+
+  /** SAX MOTIF discovery over the per-domain hourly rate — the
+    * "what does a typical day look like, and what repeats?" panel
+    * (Lin et al. 2003, "A Symbolic Representation of Time Series").
+    * The classic SAX pipeline is z-normalize → Gaussian-breakpoint
+    * symbolize → slide a word window → count words; this engine keeps
+    * it INTEGER-EXACT by replacing the Gaussian breakpoints with
+    * rank terciles: `ntile(3)` over the total order (c, bus) assigns
+    * each bucket a symbol a/b/c (low/mid/high) with a deterministic,
+    * distribution-free cutoff both engines compute identically (the
+    * SQL-standard ntile fill rule on an unambiguous total order —
+    * no floats anywhere). Words are 3-symbol sliding windows via two
+    * `lead`s on the bucket axis; the report is each domain's top-3
+    * most frequent words (tie → lexicographic), i.e. its recurring
+    * rate motifs.
+    *
+    * Scale shape: identical to [[acf]] — one combinable count shuffle,
+    * then windows over span/width-sized per-domain grids. */
+  def saxMotif(ltss: DataFrame, widthUs: Long = HourUs): DataFrame = {
+    val dv = denseHourlyDev(ltss, widthUs)
+    val wsym = Window.partitionBy(col("domain")).orderBy(col("c"), col("bus"))
+    val wo = Window.partitionBy(col("domain")).orderBy(col("bus"))
+    val words = dv
+      .withColumn("t", ntile(3).over(wsym))
+      .withColumn("sym", expr("chr(96 + t)"))
+      .withColumn("word", concat_ws("",
+        col("sym"), lead(col("sym"), 1).over(wo), lead(col("sym"), 2).over(wo)))
+      .filter(length(col("word")) === 3)
+    val wr = Window.partitionBy(col("domain")).orderBy(col("cnt").desc, col("word"))
+    words.groupBy(col("domain"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 3)
+      .select(col("domain"), col("rank"), col("word"), col("cnt"))
+      .orderBy(col("domain"), col("rank"))
+  }
+
+  val saxMotifQ = OracleQuery(
+    "ltss_sax_motif",
+    (s, d) => saxMotif(Queries.ltss(s, d)),
+    Some(s"""${denseDevCte()},
+      |sym AS (
+      |  SELECT domain, bus,
+      |         chr(CAST(96 + ntile(3) OVER (PARTITION BY domain ORDER BY c, bus) AS INT)) AS sym
+      |  FROM dv
+      |), words AS (
+      |  SELECT domain,
+      |         sym || lead(sym, 1) OVER w || lead(sym, 2) OVER w AS word
+      |  FROM sym WINDOW w AS (PARTITION BY domain ORDER BY bus)
+      |), wc AS (
+      |  SELECT domain, word, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM words WHERE length(word) = 3 GROUP BY 1, 2
+      |)
+      |SELECT domain, rank, word, cnt FROM (
+      |  SELECT domain, word, cnt,
+      |         row_number() OVER (PARTITION BY domain ORDER BY cnt DESC, word) AS rank
+      |  FROM wc)
+      |WHERE rank <= 3
+      |ORDER BY domain, rank""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
       lttbGridQ, stateAggQ, stateTimelineQ, interpTwaQ, heartbeatQ, sloQ,
       markovQ, rateAnomalyQ, movingAvgQ, ewmaQ, drawdownQ, caggQ,
       caggReconcileQ, trendQ, acfQ,
-      changepointQ, m4Q, seasonalQ, forecastBacktestQ)
+      changepointQ, m4Q, seasonalQ, forecastBacktestQ, crossCorrQ, saxMotifQ)
 }

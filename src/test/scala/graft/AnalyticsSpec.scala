@@ -171,4 +171,23 @@ class AnalyticsSpec extends SparkSpec {
           s"$domain/$target est $est too far from exact $truth")
     }
   }
+
+  test("CMS freq sketch: never underestimates, and overcounts stay in the eN class") {
+    val D = "/root/testdata/sf0.001"
+    val rows = graft.operators.Queries.cmsFreq.run(spark, D).collect()
+    assert(rows.nonEmpty)
+    val n = graft.operators.Transform.eventsToLtss(
+      graft.Tables.events(spark, D),
+      graft.config.LtssConfig(enableLocation = false)).count() // the stream's N
+    for (r <- rows) {
+      assert(r.getAs[Int]("never_under") == 1,
+        s"CMS underestimated ${r.getAs[String]("state")}")
+      assert(r.getAs[Long]("est_c") >= r.getAs[Long]("true_c"))
+      // CMS bound: overcount ≤ e/W · N with prob 1−e^−D; the audit's top-20
+      // covers the heavy hitters where a violation would matter most.
+      // Deterministic fixture: assert the loose 8·(e/W)·N envelope.
+      assert(r.getAs[Long]("overcount") <= (8.0 * math.E / 64.0 * n).toLong + 1,
+        s"overcount ${r.getAs[Long]("overcount")} outside the eN class (N≥$n)")
+    }
+  }
 }

@@ -343,4 +343,57 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getAs[Double]("max_dd") == 8.0)
     assert(math.abs(r.getAs[Double]("rel_dd") - 8.0 / 12.0) < 1e-12)
   }
+
+  // crossCorr fixture: purchase is click shifted right by exactly 1 hour, so
+  // the (click, purchase) pair must peak at lag +1 (purchase lags click).
+  private lazy val shifted = {
+    val clicks = Seq(1, 5, 2, 8, 3, 9, 4).zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c)((ts(h), "click.1", "1.00"))
+    }
+    val purchases = Seq(1, 5, 2, 8, 3, 9, 4).zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c)((ts(h + 1), "purchase.1", "1.00"))
+    }
+    ltssOf(clicks ++ purchases)
+  }
+
+  test("crossCorr peaks at the true lag of a shifted copy, with r ≈ 1") {
+    val rows = TimeSeries.crossCorr(shifted, maxLag = 2).collect()
+    assert(rows.forall(r => r.getAs[String]("da") == "click"
+      && r.getAs[String]("db") == "purchase"))
+    // all correlations within [-1, 1] (Cauchy–Schwarz, full-grid energies)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("xcorr")) <= 1.0 + 1e-12))
+    val best = rows.maxBy(_.getAs[Double]("xcorr"))
+    assert(best.getAs[Int]("lag") == 1)
+    // the shared grid zero-pads each series' missing edge hour, which
+    // shifts the means the deviations are taken against — the peak
+    // stays decisively at the true lag but short of 1
+    assert(best.getAs[Double]("xcorr") > 0.7)
+    val rest = rows.filter(_.getAs[Int]("lag") != 1).map(_.getAs[Double]("xcorr"))
+    assert(rest.forall(_ < best.getAs[Double]("xcorr") - 0.2))
+  }
+
+  test("crossCorr lag-0 of identical series is exactly the energy ratio 1") {
+    val twin = ltssOf(Seq(1, 4, 2, 6).zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c)((ts(h), "click.1", "1.00")) ++
+        Seq.fill(c)((ts(h), "purchase.1", "1.00"))
+    })
+    val r0 = TimeSeries.crossCorr(twin, maxLag = 1).collect()
+      .find(_.getAs[Int]("lag") == 0).get
+    assert(r0.getAs[Double]("xcorr") == 1.0)
+  }
+
+  test("saxMotif: constant-then-spike series yields the expected top word") {
+    // hours 0..5: counts 1,1,1,1,1,9 → terciles put the five 1s in
+    // a/b and the spike in c; sliding words are dominated by low-rank runs
+    val rows = (0 to 5).flatMap(h =>
+      Seq.fill(if (h == 5) 9 else 1)((ts(h), "click.1", "1.00")))
+    val out = TimeSeries.saxMotif(ltssOf(rows)).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[String]("word").length == 3))
+    // every symbol drawn from {a,b,c}
+    assert(out.forall(_.getAs[String]("word").forall(c => c >= 'a' && c <= 'c')))
+    // ranks are 1..3 and counts non-increasing in rank
+    val byRank = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("cnt"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
 }
