@@ -417,7 +417,64 @@ object Sampling {
       |         // n_tokens AS epochs_pct
       |FROM wts, tot ORDER BY source""".stripMargin))
 
+  /** DUPLICATION-AWARE SOFT SAMPLING — instead of [[graft.operators.Dedup]]'s
+    * hard keep-one-per-cluster, keep each member of a duplicate family
+    * with probability 1/dup_count, flattening the duplication
+    * distribution while letting popular content retain proportional-to-
+    * one representation (the soft-dedup curation policy: hard dedup
+    * deletes the popularity signal, no dedup lets it dominate the
+    * mixture). The family key is the HEAD FINGERPRINT — md5 of the
+    * first 80 characters — the lead-dup key that groups syndicated/
+    * retitled copies sharing an opening (the same template-prefix
+    * phenomenon [[graft.operators.TextOps.boilerplate]] measures);
+    * byte-exact md5(text) degenerates to all-kept on a corpus with no
+    * identical copies, which this report would make visible as a single
+    * dup_count=1 row. The coin is the deterministic engine rule — keep
+    * iff md5-prefix-60("soft:" + doc_id) mod dup_count = 0 — a pure
+    * function of the key, so membership is stable under re-runs and
+    * both engines replay the same decisions; the report aggregates per
+    * dup_count (docs seen, docs kept, the 1/dup_count target) so every
+    * coin flip is hash-checked through the counts.
+    *
+    * Scale shape: one map-combinable groupBy on the head fingerprint
+    * for sizes, one fingerprint-keyed join back (AQE-splittable when a
+    * viral doc skews the key), one bounded aggregate over |distinct
+    * dup sizes| rows. */
+  val sampleSoftDedup = OracleQuery(
+    "sample_soft_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(substring(col("text"), 1, 80)).as("fp"))
+      val sizes = docs.groupBy(col("fp")).agg(count(lit(1)).as("dup_count"))
+      docs.join(sizes, "fp")
+        .withColumn("h", columnOf(graft.functions.Md5Prefix64(expressionOf(
+          concat(lit("soft:"), col("doc_id").cast("string"))))))
+        .withColumn("kept", (pmod(col("h"), col("dup_count")) === 0).cast("long"))
+        .groupBy(col("dup_count"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+        .withColumn("target_ratio",
+          lit(1.0) / col("dup_count").cast("double"))
+        .orderBy(col("dup_count"))
+    },
+    Some("""WITH docs AS (
+      |  SELECT doc_id, md5(substring(text, 1, 80)) AS fp FROM documents
+      |), sizes AS (
+      |  SELECT fp, CAST(count(*) AS BIGINT) AS dup_count FROM docs GROUP BY 1
+      |), coins AS (
+      |  SELECT s.dup_count,
+      |         CASE WHEN CAST(concat('0x',
+      |                substring(md5('soft:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) % s.dup_count = 0 THEN 1 ELSE 0 END AS kept
+      |  FROM docs d JOIN sizes s USING (fp)
+      |)
+      |SELECT dup_count, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(kept) AS BIGINT) AS n_kept,
+      |       CAST(1 AS DOUBLE) / CAST(dup_count AS DOUBLE) AS target_ratio
+      |FROM coins GROUP BY dup_count ORDER BY dup_count""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(sampleHash, datasetSplit, topkPerGroup, sequencePacking, packEfficiency,
-      sampleStratified, sampleBudget, sampleImportance, sampleTemperature)
+      sampleStratified, sampleBudget, sampleImportance, sampleTemperature,
+      sampleSoftDedup)
 }

@@ -1211,11 +1211,68 @@ object TextOps {
         |ORDER BY t.doc_id""".stripMargin))
   }
 
+  /** PER-DOCUMENT SURPRISAL under the corpus unigram model — the
+    * log-domain companion to [[docCommonness]] (whose linear mean is
+    * dominated by stopword mass): each token scores
+    * bits = ⌊log₂(N / c(tok))⌋, the whole-bit information content of
+    * drawing that token from the corpus distribution, and a document
+    * reports its token count, total and mean bits, and the bits of its
+    * rarest token. This is the shape of a unigram-LM perplexity filter
+    * (high mean-bits = unusual vocabulary, candidate jargon/noise; low
+    * = templated/stopword-heavy) kept INTEGER-EXACT with no libm:
+    * ⌊log₂ x⌋ = length(bin(x)) − 1 on the BIGINT floor quotient, a rule
+    * both engines evaluate identically, so the only IEEE op is the one
+    * closing mean division.
+    *
+    * Scale shape: the raw text is exploded ONCE into the (doc, token,
+    * k) pair frame ([[docCommonness]]'s device); corpus counts derive
+    * from Σk per token (map-combinable), the per-token join is keyed on
+    * the token (AQE-splittable if a stopword key skews), and N rides a
+    * broadcast 1-row frame. */
+  val docSurprisal = OracleQuery(
+    "doc_surprisal",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val pairs = t.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("k"))
+      val cnt = pairs.groupBy(col("tok")).agg(sum(col("k")).as("c"))
+      val tot = cnt.agg(sum(col("c")).as("n_total"))
+      pairs.join(cnt, "tok")
+        .crossJoin(broadcast(tot))
+        .withColumn("bits", (length(bin(expr("n_total div c"))) - 1).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_tokens"),
+          sum(col("k") * col("bits")).as("total_bits"),
+          max(col("bits")).as("max_bits"))
+        .withColumn("mean_bits",
+          col("total_bits").cast("double") / col("n_tokens").cast("double"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), pairs AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k FROM t GROUP BY 1, 2
+      |), c AS (
+      |  SELECT tok, CAST(sum(k) AS BIGINT) AS c FROM pairs GROUP BY tok
+      |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM c
+      |), scored AS (
+      |  SELECT p.doc_id, p.k,
+      |         CAST(length(bin(n_total // c.c)) - 1 AS BIGINT) AS bits
+      |  FROM pairs p JOIN c ON c.tok = p.tok, tot
+      |)
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+      |       CAST(sum(k * bits) AS BIGINT) AS total_bits,
+      |       max(bits) AS max_bits,
+      |       CAST(sum(k * bits) AS DOUBLE) / CAST(sum(k) AS DOUBLE) AS mean_bits
+      |FROM scored GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(textStats, langId, tokenCount, fingerprint, simhash, textClean,
       vocabTopk, urlStats, urlCanonical, textRedact, contamination, contaminationBloom,
       repetition, qualityFilter, docCommonness, docCoherence, textSearch,
       phraseSearch, docChunks,
       docKeywords, docDiversity, corpusZipf, sourceDivergence, vocabTypoPairs,
-      boilerplate)
+      boilerplate, docSurprisal)
 }

@@ -83,4 +83,22 @@ class SamplingSpec extends SparkSpec {
       .select("lang", "n_sampled").collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(again == out.map { case (l, (_, s)) => (l, s) })
   }
+
+  test("soft dedup keeps every singleton and thins duplicate families toward 1/k") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-soft").toString
+    val head = "x " * 50 // 100 chars — shared 80-char head ⇒ one family
+    // 60 singletons + one 40-copy family sharing the head fingerprint
+    ((1L to 60L).map(i => (i, "en", s"unique document number $i with its own words"))
+      ++ (101L to 140L).map(i => (i, "en", head + s"tail $i")))
+      .toDF("doc_id", "lang", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Sampling.sampleSoftDedup.run(spark, dir)
+      .collect().map(r => r.getAs[Long]("dup_count") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))).toMap
+    assert(out(1L) == (60L, 60L), "singletons must all survive (h mod 1 = 0)")
+    val (nFam, kFam) = out(40L)
+    assert(nFam == 40L)
+    // E[kept] = 1; the deterministic coin should keep only a few of 40
+    assert(kFam <= 5L, s"a 40-family should thin to ~1, kept $kFam")
+  }
 }
