@@ -1309,4 +1309,39 @@ object StreamingOps {
           KmvRow(key._1, key._2, n, kth, est)
       }
   }
+
+  final case class CmsCell(d: Int, bucket: Long, cell: Long)
+
+  /** Continuously-maintained COUNT-MIN SKETCH — the streaming twin of
+    * the batch `ltss_cms_freq` grid, emitting the sketch itself: cell
+    * (d, bucket) carries the running count of every state whose d-th
+    * md5-prefix hash lands in that bucket (same "d:state" hash rule as
+    * the batch query, so a cell equals the batch cell over any stream
+    * prefix — spec-pinned). Estimates are a read-side min over the
+    * emitted cells; the state is the sketch's POINT: exactly
+    * depth×width = 256 longs forever, regardless of stream volume or
+    * key cardinality — the strongest bounded-state contract in the
+    * twin table (KMV is ≤ k per key; this is a global constant), which
+    * is why a 100 TB/day pipeline keeps heavy-hitter counts as a CMS
+    * and not a keyed ledger. Counter updates are associative sums, so
+    * Update-mode re-emission after restart recovers exactly. */
+  def cmsStream(ltss: DataFrame, depth: Int = 4, width: Int = 64): Dataset[CmsCell] = {
+    import ltss.sparkSession.implicits._
+    import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+    val hashed = ltss
+      .select(col("state"))
+      .withColumn("d", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("bucket", pmod(
+        columnOf(graft.functions.Md5Prefix64(expressionOf(
+          concat(col("d").cast("string"), lit(":"), col("state"))))),
+        lit(width.toLong)))
+    hashed.select(col("d"), col("bucket")).as[(Int, Long)]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, CmsCell](GroupStateTimeout.NoTimeout) {
+        (key, rows, st) =>
+          val cell = st.getOption.getOrElse(0L) + rows.size
+          st.update(cell)
+          CmsCell(key._1, key._2, cell)
+      }
+  }
 }

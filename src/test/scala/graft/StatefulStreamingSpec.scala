@@ -509,6 +509,36 @@ class StatefulStreamingSpec extends SparkSpec {
       s"default TTL must evict doc 1 and pair only (2,3): $pairs")
   }
 
+  test("streaming CMS: cells equal the batch sketch over every stream prefix") {
+    def md5p(s: String): Long = graft.functions.TextHash.md5Prefix64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val df = ms.toDF.toDF("state")
+    val q = StreamingOps.cmsStream(df, depth = 2, width = 8).writeStream
+      .format("memory").queryName("cms_t").outputMode("update").start()
+    def batchCells(states: Seq[String]): Map[(Int, Long), Long] =
+      states.flatMap(s => (0 until 2).map(d => (d, md5p(s"$d:$s") % 8)))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    try {
+      ms.addData("a", "b", "a")
+      q.processAllAvailable()
+      val after1 = spark.table("cms_t").as[(Int, Long, Long)].collect()
+        .groupBy(r => (r._1, r._2)).map { case (k, v) => k -> v.map(_._3).max }
+      assert(after1 == batchCells(Seq("a", "b", "a")),
+        s"prefix-1 cells diverge: $after1")
+      ms.addData("a", "c")
+      q.processAllAvailable()
+      val after2 = spark.table("cms_t").as[(Int, Long, Long)].collect()
+        .groupBy(r => (r._1, r._2)).map { case (k, v) => k -> v.map(_._3).max }
+      assert(after2 == batchCells(Seq("a", "b", "a", "a", "c")),
+        s"prefix-2 cells diverge: $after2")
+      // the CMS read rule: est(x) = min_d cell(d, h_d(x)) ≥ true count
+      val estA = (0 until 2).map(d => after2((d, md5p(s"$d:a") % 8))).min
+      assert(estA >= 3L)
+    } finally q.stop()
+  }
+
   test("streaming KMV: k-min state stays bounded and matches the batch sketch arithmetic") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     def md5p(s: String): Long = graft.functions.TextHash.md5Prefix64(
