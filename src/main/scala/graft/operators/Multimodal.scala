@@ -807,6 +807,89 @@ object Multimodal {
       |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1 ELSE doc_id % 8 + 1 END AS INT) AS orientation
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  final case class PhashRow(doc_id: Long, phash: String)
+
+  /** 8×8 AVERAGE-HASH kernel over the leading 64 grid pixels: mean of
+    * the code points, one bit per pixel (above-mean = '1'), emitted as
+    * a 64-char bit string — the engine-portable form (packing into a
+    * BIGINT would put bit 63 into the sign and make the DuckDB replay
+    * shift-overflow-dependent). Shorter payloads hash their available
+    * prefix; empty → "" sentinel. */
+  object AHash64 {
+    val Pixels = 64
+
+    def apply(docId: Long, text: String): PhashRow = {
+      val cps = text.codePoints().toArray
+      val n = math.min(cps.length, Pixels)
+      if (n == 0) return PhashRow(docId, "")
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += cps(i); i += 1 }
+      val mean = sum / n
+      val sb = new java.lang.StringBuilder(n)
+      i = 0
+      while (i < n) { sb.append(if (cps(i) > mean) '1' else '0'); i += 1 }
+      PhashRow(docId, sb.toString)
+    }
+  }
+
+  /** PERCEPTUAL-HASH DEDUP over the media payload grid — the classic
+    * aHash pipeline (downscale → mean → threshold bits) every image
+    * dedup stack runs before byte-exact hashing, applied to the same
+    * 16-wide code-point grid the rest of the multimodal family decodes:
+    * two images whose leading 8×8 block has the same above-mean SHAPE
+    * collide even when absolute pixel values differ (brightness shift =
+    * same bits), which is exactly what byte-md5 dedup cannot see.
+    * Families group by the 64-bit hash; the report carries each doc's
+    * hash, its family size, and the min-doc_id survivor flag (the
+    * [[graft.operators.Dedup]] exact-dedup survivor rule).
+    *
+    * Scale shape: the hash is a map-side `mapPartitions` kernel (same
+    * batching as the byte decoders — per-row loops over ≤64 code
+    * points); the only shuffle is the hash-keyed family groupBy +
+    * join, AQE-splittable if one viral image skews the key. The oracle
+    * REBUILDS the bits from scratch (explode → mean → ordered
+    * string_agg), so a hash match proves the thresholding rule, not
+    * two copies of one formula. */
+  val phashDedup = OracleQuery(
+    "multimodal_phash",
+    (s, d) => {
+      import s.implicits._
+      val hashes = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => AHash64(id, t) })
+        .toDF()
+      val fams = hashes.groupBy(col("phash"))
+        .agg(count(lit(1)).as("fam_size"), min(col("doc_id")).as("keeper"))
+      hashes.join(fams, "phash")
+        .select(col("doc_id"), col("phash"), col("fam_size"),
+          (col("doc_id") === col("keeper")).cast("int").as("survivor"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH px AS (
+      |  SELECT d.doc_id, t.i AS i, ascii(substring(d.text, t.i, 1)) AS v
+      |  FROM documents d,
+      |       unnest(generate_series(1, least(length(d.text), 64))) AS t(i)
+      |), m AS (
+      |  SELECT doc_id, SUM(v) // count(*) AS mean FROM px GROUP BY 1
+      |), bits AS (
+      |  SELECT p.doc_id,
+      |         string_agg(CASE WHEN p.v > m.mean THEN '1' ELSE '0' END,
+      |                    '' ORDER BY p.i) AS phash
+      |  FROM px p JOIN m USING (doc_id) GROUP BY p.doc_id
+      |), hb AS (
+      |  SELECT d.doc_id, COALESCE(b.phash, '') AS phash
+      |  FROM documents d LEFT JOIN bits b USING (doc_id)
+      |), fam AS (
+      |  SELECT phash, CAST(count(*) AS BIGINT) AS fam_size,
+      |         min(doc_id) AS keeper
+      |  FROM hb GROUP BY 1
+      |)
+      |SELECT h.doc_id, h.phash, f.fam_size,
+      |       CAST(h.doc_id = f.keeper AS INT) AS survivor
+      |FROM hb h JOIN fam f USING (phash)
+      |ORDER BY h.doc_id""".stripMargin))
+
   val all: Seq[OracleQuery] =
-    Seq(features, decode, frameSample, resize, audio, video, exif)
+    Seq(features, decode, frameSample, resize, audio, video, exif, phashDedup)
 }

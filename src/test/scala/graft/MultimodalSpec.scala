@@ -149,4 +149,20 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeaders.wavMeta(good.take(6)).isEmpty)
     assert(MediaHeaders.wavMeta("RIFF".getBytes ++ le32(4) ++ "AVI ".getBytes).isEmpty)
   }
+
+  test("aHash is brightness-invariant and shape-sensitive — what md5 cannot see") {
+    import graft.operators.Multimodal.AHash64
+    val base = "aAbBcCdDeEfFgGhH" * 4 // 64 code points
+    // uniform +1 brightness shift: every pixel and the mean move together
+    val brighter = base.map(c => (c + 1).toChar)
+    assert(AHash64(1L, base).phash == AHash64(2L, brighter).phash,
+      "a uniform code-point shift must not change the above-mean shape")
+    assert(AHash64(1L, base).phash.length == 64)
+    // flipping one bright pixel dark changes the shape
+    val flipped = base.updated(0, ' ')
+    assert(AHash64(1L, base).phash != AHash64(3L, flipped).phash)
+    // short payloads hash their prefix; empty payloads sentinel to ""
+    assert(AHash64(4L, "ab").phash.length == 2)
+    assert(AHash64(5L, "").phash == "")
+  }
 }
