@@ -1531,6 +1531,74 @@ object Queries {
       |GROUP BY key
       |ORDER BY key""".stripMargin))
 
+  private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Shared builders for the precision-6 geohash closed form — used by
+    * the Spark plan (via `expr`) and, with `div`→`//`, by the DuckDB
+    * oracle, and tested against an independent textbook bisection
+    * encoder in `GeoBoxPropertySpec`. `q` is the integer div operator
+    * spelling. Standard geohash: 30 bits alternating lon (15, even
+    * positions from the MSB) and lat (15, odd), base32 in the
+    * 0-9 b-z (no a,i,l,o) alphabet. */
+  private[graft] def geohashBitsSql(q: String): String =
+    ((0 until 15).map { k =>
+      s"((lonq $q ${1L << (14 - k)}) % 2) * ${1L << (29 - 2 * k)}"
+    } ++ (0 until 15).map { k =>
+      s"((latq $q ${1L << (14 - k)}) % 2) * ${1L << (28 - 2 * k)}"
+    }).mkString(" + ")
+
+  private[graft] def geohashCharsSql(q: String): String =
+    (0 until 6).map { j =>
+      val p = math.pow(32, 5 - j).toLong
+      s"substring('$GeohashAlphabet', CAST((gh $q $p) % 32 AS INT) + 1, 1)"
+    }.mkString(" || ")
+
+  /** GEOHASH cell rollup — the PostGIS `ST_GeoHash` surface (the other
+    * standard geo-bucketing a dashboard asks of a located LTSS table,
+    * alongside [[geoGrid]]'s degree tiles): each point's precision-6
+    * geohash (±0.61 km cell), aggregated to per-cell event/user counts.
+    * The encode is the textbook quantize-and-interleave in CLOSED
+    * INTEGER FORM: the fixture's half-degree coordinates make
+    * latq = ⌊(lat+90)/180·2¹⁵⌋ an exact integer expression of the ids
+    * (no float ever forms), the 30-bit interleave is a sum of 30
+    * shift-mask terms, and base32 is six substring picks — all
+    * generated from ONE shared builder so Spark and DuckDB evaluate
+    * the same formula, while `GeoBoxPropertySpec` checks the closed
+    * form against an independent bisection encoder (catching a shared
+    * formula error the oracle alone would miss).
+    *
+    * Scale shape: encode is map-side arithmetic in whole-stage codegen;
+    * the one shuffle is the combinable per-cell aggregate — cell
+    * cardinality is bounded by the 2³⁰ geohash space, in practice by
+    * the fleet's footprint. A prefix truncation of the SAME string
+    * gives every coarser rollup without re-encoding. */
+  val geohashQ = OracleQuery(
+    "ltss_geohash",
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .withColumn("latq", expr("((pmod(user_id, 180) * 2 + 1) * 32768) div 360"))
+        .withColumn("lonq", expr("((pmod(event_id, 360) * 2 + 1) * 32768) div 720"))
+        .withColumn("gh", expr(geohashBitsSql("div")))
+        .withColumn("geohash", expr(geohashCharsSql("div")))
+        .groupBy(col("geohash"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("geohash")),
+    Some(s"""WITH q AS (
+      |  SELECT user_id, event_id,
+      |         ((((user_id % 180 + 180) % 180) * 2 + 1) * 32768) // 360 AS latq,
+      |         ((((event_id % 360 + 360) % 360) * 2 + 1) * 32768) // 720 AS lonq
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+      |), g AS (
+      |  SELECT user_id, ${geohashBitsSql("//")} AS gh FROM q
+      |), h AS (
+      |  SELECT user_id, ${geohashCharsSql("//")} AS geohash FROM g
+      |)
+      |SELECT geohash, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM h GROUP BY 1 ORDER BY geohash""".stripMargin))
+
   private val CmsDepth = 4
   private val CmsWidth = 64
 
@@ -1604,5 +1672,5 @@ object Queries {
     projectLocation, geoDistance, geoRadiusLayout, geoBbox, timeBucketSqlQ,
     domainStatsSalted, asofJoin, asofJoinFwd, rangeJoin, percentiles, histogram, pivotHours,
     retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, anomalyMad,
-    histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq)
+    histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq, geohashQ)
 }

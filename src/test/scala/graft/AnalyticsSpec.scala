@@ -190,4 +190,40 @@ class AnalyticsSpec extends SparkSpec {
         s"overcount ${r.getAs[Long]("overcount")} outside the eN class (N≥$n)")
     }
   }
+
+  test("geohash closed form matches the textbook bisection encoder") {
+    // independent reference: classic interval-bisection geohash
+    def bisect(lat: Double, lon: Double): String = {
+      val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+      var latLo = -90.0; var latHi = 90.0; var lonLo = -180.0; var lonHi = 180.0
+      val sb = new StringBuilder
+      var bit = 0; var ch = 0; var even = true
+      while (sb.length < 6) {
+        val b =
+          if (even) { val m = (lonLo + lonHi) / 2
+            if (lon >= m) { lonLo = m; 1 } else { lonHi = m; 0 } }
+          else { val m = (latLo + latHi) / 2
+            if (lat >= m) { latLo = m; 1 } else { latHi = m; 0 } }
+        ch = ch * 2 + b; bit += 1; even = !even
+        if (bit == 5) { sb.append(alphabet(ch)); bit = 0; ch = 0 }
+      }
+      sb.toString
+    }
+    val rnd = new scala.util.Random(7)
+    val ids = Seq.fill(300)(
+      (math.abs(rnd.nextLong() % 1000000L), math.abs(rnd.nextLong() % 1000000L)))
+    val got = ids.toDF("user_id", "event_id")
+      .withColumn("latq", expr("((pmod(user_id, 180) * 2 + 1) * 32768) div 360"))
+      .withColumn("lonq", expr("((pmod(event_id, 360) * 2 + 1) * 32768) div 720"))
+      .withColumn("gh", expr(graft.operators.Queries.geohashBitsSql("div")))
+      .withColumn("geohash", expr(graft.operators.Queries.geohashCharsSql("div")))
+      .select("user_id", "event_id", "geohash")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    for ((u, e) <- ids) {
+      val lat = (u % 180 - 90).toDouble + 0.5
+      val lon = (e % 360 - 180).toDouble + 0.5
+      assert(got((u, e)) == bisect(lat, lon),
+        s"closed form diverges from bisection at ($lat, $lon)")
+    }
+  }
 }
