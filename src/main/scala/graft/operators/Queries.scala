@@ -776,6 +776,48 @@ object Queries {
       |       CAST(count(*) AS BIGINT) AS n
       |FROM ltss GROUP BY 1, 2 ORDER BY domain, bucket""".stripMargin))
 
+  /** EQUI-DEPTH histogram — the distribution panel [[histogram]]'s
+    * equi-WIDTH buckets cannot give on a skewed axis (a heavy mode
+    * swallows one wide bucket and empties the rest): 8 buckets of
+    * equal row count per domain via `ntile(8)` over the unambiguous
+    * total order (sv, time, entity_id) — the SQL-standard fill rule
+    * both engines compute identically, no interpolation, no floats —
+    * reporting each bucket's count and [lo, hi] value bounds. This is
+    * the exact AUDIT twin of a production `approx_percentile`
+    * boundary table (the [[sketches]] pattern: the sketch serves
+    * queries, the exact twin checks it); the per-domain sort window is
+    * the same shuffle class as [[percentiles]], and at 100 TB the same
+    * report comes from the t-digest/GK sketch with this query as the
+    * sampled audit. */
+  val histEqdepth = OracleQuery(
+    "ltss_hist_eqdepth",
+    (s, d) => {
+      val l = ltss(s, d)
+        .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+        .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
+        .filter(col("sv").isNotNull)
+      val w = Window.partitionBy(col("domain"))
+        .orderBy(col("sv"), col("time"), col("entity_id"))
+      l.withColumn("bucket", ntile(8).over(w))
+        .groupBy(col("domain"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("sv")).cast("double").as("lo"),
+          max(col("sv")).cast("double").as("hi"))
+        .orderBy(col("domain"), col("bucket"))
+    },
+    Some(s"""$ltssCte
+      |SELECT domain, bucket, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(sv) AS DOUBLE) AS lo, CAST(max(sv) AS DOUBLE) AS hi
+      |FROM (
+      |  SELECT split_part(entity_id, '.', 1) AS domain,
+      |         CAST(state AS DECIMAL(12,2)) AS sv, time, entity_id,
+      |         ntile(8) OVER (PARTITION BY split_part(entity_id, '.', 1)
+      |                        ORDER BY CAST(state AS DECIMAL(12,2)), time, entity_id)
+      |           AS bucket
+      |  FROM ltss WHERE CAST(state AS DECIMAL(12,2)) IS NOT NULL)
+      |GROUP BY domain, bucket
+      |ORDER BY domain, bucket""".stripMargin))
+
   /** Domain × hour-of-day activity pivot (the classic dashboard matrix):
     * Spark `pivot` with a FIXED column list — never the implicit-distinct
     * form, which adds a blocking distinct job at scale. */
@@ -1672,5 +1714,6 @@ object Queries {
     projectLocation, geoDistance, geoRadiusLayout, geoBbox, timeBucketSqlQ,
     domainStatsSalted, asofJoin, asofJoinFwd, rangeJoin, percentiles, histogram, pivotHours,
     retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, anomalyMad,
-    histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq, geohashQ)
+    histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq, geohashQ,
+    histEqdepth)
 }

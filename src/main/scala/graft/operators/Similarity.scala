@@ -1323,9 +1323,49 @@ object Similarity {
       |)
       |SELECT rank, vec_id, rel, mmr_score FROM pick ORDER BY rank""".stripMargin))
 
+  private val RadiusTau = 0.25
+
+  /** RADIUS (threshold) SEARCH — the range-query half of the ANN
+    * surface [[cosineTopk]]'s top-k leaves uncovered: every corpus
+    * vector within cosine ≥ τ of ANY query vector, the shape a
+    * retrieval stack runs when the contract is "all sufficiently
+    * similar", not "the k best" (dedup candidate pull, policy-match
+    * scans, near-duplicate review queues). Query side is a broadcast
+    * k-row frame; the corpus side is ONE map-only scan with the τ
+    * filter applied before anything shuffles — the only post-scan work
+    * is the final order. At 100 TB the same query routes through the
+    * IVF cluster layout ([[ivfProbe]]'s pruned read) with τ unchanged;
+    * this brute-force form is the recall-1.0 oracle for that path. */
+  val radiusSearch = OracleQuery(
+    "sim_radius_search",
+    (s, d) => {
+      val emb = embNorm(s, d)
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      emb.filter(col("vec_id") >= 3)
+        .crossJoin(broadcast(q))
+        .withColumn("cosine", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("qe"), Dim), col("nrm"), col("qn")))
+        .filter(col("cosine") >= RadiusTau)
+        .select(col("qid"), col("vec_id"), col("label"), col("cosine"))
+        .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
+    },
+    Some(s"""WITH e AS (
+      |  SELECT vec_id, label, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm
+      |  FROM embeddings
+      |), q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 3)
+      |SELECT qid, vec_id, label, cosine FROM (
+      |  SELECT q.qid, e.vec_id, e.label,
+      |    ${DetMath.cosinePreSql(
+        DetMath.dotSql("e.embedding", "q.qe", Dim), "e.nrm", "q.qn")} AS cosine
+      |  FROM e, q
+      |  WHERE e.vec_id >= 3)
+      |WHERE cosine >= $RadiusTau
+      |ORDER BY qid, cosine DESC, vec_id""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, embedNearDupRandomQ,
       ivfProbe, ivfProbe2, ivfKmeans, dedupEmbeddingIvf, dedupSemantic,
       binaryTopk, matryoshkaQ, embedQuantize, hardNegatives, embedCalibration,
-      clusterPurity, embedOutliers, ivfAppend, mmrTopk)
+      clusterPurity, embedOutliers, ivfAppend, mmrTopk, radiusSearch)
 }
