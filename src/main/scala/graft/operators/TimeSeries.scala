@@ -1907,10 +1907,90 @@ object TimeSeries {
       |WHERE rank <= 3
       |ORDER BY domain, rank""".stripMargin))
 
+  private val AsapWindows = Seq(2, 3, 4, 6, 8, 12, 24)
+
+  /** ASAP AUTO-SMOOTHING window pick (Rong & Bailis, VLDB 2017 —
+    * "ASAP: Prioritizing Attention via Time Series Smoothing"; the
+    * TimescaleDB toolkit ships it as `asap_smooth`): among candidate
+    * SMA windows, choose the one minimizing the ROUGHNESS of the
+    * smoothed series — std of its first differences, normalized by the
+    * window — so a dashboard renders the smoothest view that still
+    * tracks the signal. Two exactness devices make it hash-checkable:
+    *
+    *  - the TELESCOPING IDENTITY: the first difference of a trailing
+    *    w-sum is S_t − S_{t−1} = c_t − c_{t−w}, so no smoothed series
+    *    is ever materialized — each candidate window is ONE lag column,
+    *    and all 7 candidates ride a single window pass (the [[acf]]
+    *    multi-lag device);
+    *  - n-scaled integer moments: var_int = m·Σd² − (Σd)² is an exact
+    *    BIGINT; roughness = √var_int / (m·w) is the only IEEE step and
+    *    is bit-identical on both engines, so the per-domain argmin
+    *    (tie → smaller w) is replayed exactly.
+    *
+    * The paper's kurtosis-preservation guard is replaced by the
+    * bounded candidate grid (max 24 h) — a documented simplification:
+    * 4th-power moments of n-scaled BIGINTs overflow DECIMAL(38) at
+    * production bucket counts, and the capped grid bounds the
+    * over-smoothing risk the guard exists to limit. Scale shape:
+    * identical to [[acf]] — one combinable count shuffle, then one
+    * multi-lag window pass over render-scale grids. */
+  def asapSmooth(ltss: DataFrame, widthUs: Long = HourUs): DataFrame = {
+    val dv = denseHourlyDev(ltss, widthUs)
+    val wo = Window.partitionBy(col("domain")).orderBy(col("bus"))
+    val lagged = dv.select(Seq(col("domain"), col("c")) ++
+      AsapWindows.map(w => lag(col("c"), w).over(wo).as(s"l$w")): _*)
+    val dMap = AsapWindows.flatMap(w => Seq(lit(w), col("c") - col(s"l$w")))
+    val wr = Window.partitionBy(col("domain")).orderBy(col("roughness"), col("w"))
+    lagged
+      .select(col("domain"), explode(map(dMap: _*)).as(Seq("w", "d")))
+      .filter(col("d").isNotNull)
+      .groupBy(col("domain"), col("w"))
+      .agg(count(lit(1)).as("m"), sum(col("d")).as("sd"),
+        sum(col("d") * col("d")).as("sd2"))
+      .withColumn("var_int", col("m") * col("sd2") - col("sd") * col("sd"))
+      .withColumn("roughness",
+        sqrt(col("var_int").cast("double"))
+          / (col("m") * col("w")).cast("double"))
+      .withColumn("is_best",
+        (row_number().over(wr) === 1).cast("int"))
+      .select(col("domain"), col("w"), col("m"), col("var_int"),
+        col("roughness"), col("is_best"))
+      .orderBy(col("domain"), col("w"))
+  }
+
+  val asapQ = OracleQuery(
+    "ltss_asap_smooth",
+    (s, d) => asapSmooth(Queries.ltss(s, d)),
+    Some(s"""${denseDevCte()},
+      |lagged AS (
+      |  SELECT domain, c,
+      |         ${AsapWindows.map(w => s"lag(c, $w) OVER w AS l$w").mkString(", ")}
+      |  FROM dv WINDOW w AS (PARTITION BY domain ORDER BY bus)
+      |), ds AS (
+      |  ${AsapWindows.map(w =>
+        s"SELECT domain, $w AS w, c - l$w AS d FROM lagged WHERE l$w IS NOT NULL")
+        .mkString("\n  UNION ALL\n  ")}
+      |), agg AS (
+      |  SELECT domain, w, CAST(count(*) AS BIGINT) AS m,
+      |         CAST(sum(d) AS BIGINT) AS sd, CAST(sum(d * d) AS BIGINT) AS sd2
+      |  FROM ds GROUP BY 1, 2
+      |), sc AS (
+      |  SELECT domain, w, m, m * sd2 - sd * sd AS var_int,
+      |         sqrt(CAST(m * sd2 - sd * sd AS DOUBLE)) / CAST(m * w AS DOUBLE)
+      |           AS roughness
+      |  FROM agg
+      |)
+      |SELECT domain, w, m, var_int, roughness,
+      |       CAST(row_number() OVER (PARTITION BY domain
+      |                               ORDER BY roughness, w) = 1 AS INT) AS is_best
+      |FROM sc
+      |ORDER BY domain, w""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
       lttbGridQ, stateAggQ, stateTimelineQ, interpTwaQ, heartbeatQ, sloQ,
       markovQ, rateAnomalyQ, movingAvgQ, ewmaQ, drawdownQ, caggQ,
       caggReconcileQ, trendQ, acfQ,
-      changepointQ, m4Q, seasonalQ, forecastBacktestQ, crossCorrQ, saxMotifQ)
+      changepointQ, m4Q, seasonalQ, forecastBacktestQ, crossCorrQ, saxMotifQ,
+      asapQ)
 }

@@ -382,6 +382,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r0.getAs[Double]("xcorr") == 1.0)
   }
 
+  test("asapSmooth: an alternating series picks the smallest period-multiple window") {
+    // hourly counts 1,3,1,3,... for 26 hours: any EVEN window's trailing
+    // sum is constant (d = c_t − c_{t−w} = 0 → roughness 0); odd windows
+    // keep the alternation. Tie among even windows → smallest w = 2.
+    val rows = (0 until 26).flatMap(h =>
+      Seq.fill(if (h % 2 == 0) 1 else 3)((ts(h), "click.1", "1.00")))
+    val out = TimeSeries.asapSmooth(ltssOf(rows)).collect()
+    val best = out.filter(_.getAs[Int]("is_best") == 1)
+    assert(best.length == 1)
+    assert(best.head.getAs[Int]("w") == 2)
+    assert(best.head.getAs[Double]("roughness") == 0.0)
+    // every even candidate is perfectly smooth, every odd one is not
+    for (r <- out) {
+      val (w, rough) = (r.getAs[Int]("w"), r.getAs[Double]("roughness"))
+      if (w % 2 == 0) assert(rough == 0.0, s"even w=$w must cancel the alternation")
+      else assert(rough > 0.0, s"odd w=$w must keep the alternation")
+    }
+  }
+
   test("saxMotif: constant-then-spike series yields the expected top word") {
     // hours 0..5: counts 1,1,1,1,1,9 → terciles put the five 1s in
     // a/b and the spike in c; sliding words are dominated by low-rank runs
