@@ -568,7 +568,93 @@ object Retrieval {
        |FROM lw JOIN wtok USING (word)
        |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** KNOWN-ITEM RETRIEVAL EVALUATION (MRR) — the quality gate for the
+    * lexical leg that [[textBm25]]/[[textRrfHybrid]] leave unmeasured
+    * (the ANN leg has `sim_knn_recall`/`sim_recall_report`): every
+    * 25th document becomes a known-item probe — its 2 RAREST 3-gram
+    * shingles (corpus df ascending, tie → shingle) stand in for the
+    * phrase fragments a user remembers (unigrams cannot probe this
+    * corpus: its vocabulary is ~31 tokens, so every token is near-
+    * universal; the shingle space is discriminative, median rarest-
+    * shingle df = 1) — the corpus is ranked by a rational-idf match
+    * score and the probe reports its source document's rank and
+    * reciprocal rank. Mean of `rr` IS the suite's MRR; a retrieval
+    * regression (postings bug, scoring inversion) moves ranks and
+    * fails the hash gate, and near-duplicate copies visibly steal
+    * rank-1 — the realistic failure mode a dedup-then-index pipeline
+    * exists to prevent. Scoring is integer-exact:
+    * score = Σ_s ⌊n_docs·1000 / df_s⌋ over the probe's shingles
+    * present in the candidate (the [[textBm25]] rational-idf device
+    * without tf/length smoothing); `rr` is the one IEEE division.
+    *
+    * Scale shape: probes select by key residue (map-side); candidate
+    * pull is a posting join on the probes' RARE shingles, so each
+    * probe's candidate set is df-bounded (rare → short lists); the
+    * per-probe rank window runs over those bounded sets. One distinct
+    * (doc, shingle) pair frame (native [[graft.functions.ShinglesK]]
+    * kernel, corpus exploded once) feeds everything. */
+  val knownItemMrr = OracleQuery(
+    "text_known_item_mrr",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      val sh3 = columnOf(graft.functions.ShinglesK(expressionOf(col("text")), 3))
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(sh3)).as("sh"))
+      val df = pairs.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val wRare = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+      val qt = pairs.filter(col("doc_id") % 25 === 0)
+        .join(df, "sh")
+        .withColumn("rn", row_number().over(wRare))
+        .filter(col("rn") <= 2)
+        .select(col("doc_id").as("probe_id"), col("sh"), col("df"))
+      val cand = qt
+        .join(pairs.select(col("doc_id").as("cand_id"), col("sh")), "sh")
+        .crossJoin(broadcast(nDocs))
+        .groupBy(col("probe_id"), col("cand_id"))
+        .agg(sum(expr("(n_docs * 1000) div df")).as("score"),
+          count(lit(1)).as("n_terms_hit"))
+      val wRank = Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("cand_id"))
+      cand.withColumn("rank", row_number().over(wRank))
+        .filter(col("cand_id") === col("probe_id"))
+        .select(col("probe_id"), col("n_terms_hit"), col("rank"),
+          (lit(1.0) / col("rank").cast("double")).as("rr"))
+        .orderBy(col("probe_id"))
+    },
+    Some("""WITH pairs AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |           generate_series(1, greatest(len(w) - 2, 1)),
+      |           i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |), df AS (
+      |  SELECT sh, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY sh
+      |), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      |), qt AS (
+      |  SELECT doc_id AS probe_id, sh, df FROM (
+      |    SELECT p.doc_id, p.sh, df.df,
+      |           row_number() OVER (PARTITION BY p.doc_id
+      |                              ORDER BY df.df, p.sh) AS rn
+      |    FROM pairs p JOIN df USING (sh)
+      |    WHERE p.doc_id % 25 = 0)
+      |  WHERE rn <= 2
+      |), cand AS (
+      |  SELECT q.probe_id, p.doc_id AS cand_id,
+      |         CAST(sum((nd.n_docs * 1000) // q.df) AS BIGINT) AS score,
+      |         CAST(count(*) AS BIGINT) AS n_terms_hit
+      |  FROM qt q JOIN pairs p USING (sh) CROSS JOIN nd
+      |  GROUP BY 1, 2
+      |)
+      |SELECT probe_id, n_terms_hit, rank, CAST(1 AS DOUBLE) / rank AS rr FROM (
+      |  SELECT probe_id, cand_id, n_terms_hit,
+      |         row_number() OVER (PARTITION BY probe_id
+      |                            ORDER BY score DESC, cand_id) AS rank
+      |  FROM cand)
+      |WHERE cand_id = probe_id
+      |ORDER BY probe_id""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(textBm25, textRrfHybrid, textRank, bpeMerges, docTokenizeBpe,
-      tokenizerFertility)
+      tokenizerFertility, knownItemMrr)
 }
