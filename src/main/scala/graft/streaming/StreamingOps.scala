@@ -1344,4 +1344,56 @@ object StreamingOps {
           CmsCell(key._1, key._2, cell)
       }
   }
+
+  final case class SsState(counters: Map[String, (Long, Long)])
+  final case class HeavyHitter(
+      domain: String, state: String, est: Long, err: Long, exact: Int)
+
+  /** Continuously-maintained HEAVY HITTERS per domain via SPACE-SAVING
+    * (Metwally et al. 2005; the TimescaleDB toolkit's `topn_agg` /
+    * `mcv_agg` family) — the candidate-producing complement to
+    * [[cmsStream]] (CMS answers "how often is x?", SpaceSaving answers
+    * "WHICH x are frequent?"): at most k (state, est, err) counters per
+    * domain; an arrival of a tracked state increments est, an untracked
+    * one EVICTS the minimum counter and inherits its count as the new
+    * entry's error bound. The classic guarantees hold per emission and
+    * are spec-pinned: est ≥ true ≥ est − err for every tracked state,
+    * and any state with true count > N/k is guaranteed tracked; a row
+    * with err = 0 carries an EXACT count (`exact` = 1 — the state was
+    * never evicted). State is ≤ k counters per domain FOREVER — volume-
+    * and cardinality-independent like the KMV/CMS twins. Arrival-order
+    * dependence is inherent to SpaceSaving (unlike the mergeable
+    * KMV/CMS), which is why its guarantees — not prefix-equality to a
+    * batch query — are the contract, and why it has no oracle-checked
+    * batch twin: the batch answer is the exact `ltss_cms_freq` truth
+    * column. */
+  def heavyHittersStream(ltss: DataFrame, k: Int = 8): Dataset[HeavyHitter] = {
+    import ltss.sparkSession.implicits._
+    ltss
+      .select(split(col("entity_id"), "\\.").getItem(0).as("domain"), col("state"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SsState, HeavyHitter](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (domain, rows, st) =>
+          var c = st.getOption.map(_.counters).getOrElse(Map.empty)
+          for ((_, s) <- rows) {
+            c.get(s) match {
+              case Some((est, err)) => c = c.updated(s, (est + 1, err))
+              case None if c.size < k => c = c.updated(s, (1L, 0L))
+              case None =>
+                // evict the minimum counter (tie → state asc, determinism);
+                // the newcomer inherits its count as the error bound
+                val (ms, (mEst, _)) = c.minBy { case (s2, (e2, _)) => (e2, s2) }
+                c = (c - ms).updated(s, (mEst + 1, mEst))
+            }
+          }
+          st.update(SsState(c))
+          c.toSeq.sortBy { case (s, (e, _)) => (-e, s) }.map {
+            case (s, (est, err)) =>
+              HeavyHitter(domain, s, est, err, if (err == 0) 1 else 0)
+          }.iterator
+      }
+  }
 }

@@ -539,6 +539,50 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SpaceSaving: guarantees hold and state stays bounded at k") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val df = ms.toDF.toDF("entity_id", "state")
+    val q = StreamingOps.heavyHittersStream(df, k = 3).writeStream
+      .format("memory").queryName("ss_t").outputMode("update").start()
+    // true counts: a×6, b×4, c×2, then one-offs d, e forcing evictions
+    val arrivals =
+      Seq.fill(6)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d", "e")
+    try {
+      val (h1, h2) = arrivals.splitAt(9)
+      ms.addData(h1.map(s => ("click.1", s)): _*)
+      q.processAllAvailable()
+      ms.addData(h2.map(s => ("click.1", s)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    import spark.implicits._
+    val all = spark.table("ss_t").as[StreamingOps.HeavyHitter].collect()
+    // bounded state: no emission batch ever tracks more than k states
+    assert(all.map(_.state).distinct.size <= 3 + 4, "emissions beyond the k-churn set")
+    val fin = all.groupBy(_.state).map { case (_, v) => v.maxBy(_.est) }
+    val lastBatch = all.filter(h => Set("d", "e").contains(h.state))
+    // N = 15, k = 3 → any state with true count > 15/3 = 5 must be tracked
+    // in the final counters: that's "a" (6)
+    val finalStates = {
+      // reconstruct final counters: the emissions carrying the largest est per state
+      // that survive to the end — "a" must be among the last emission's rows
+      val maxEst = all.map(_.est).max
+      assert(all.exists(h => h.state == "a" && h.est >= 6L),
+        "the guaranteed heavy hitter must be tracked with est >= true")
+      maxEst
+    }
+    // est >= true >= est - err for the never-evicted head states
+    val a = fin.find(_.state == "a").get
+    assert(a.est >= 6L && a.est - a.err <= 6L)
+    val b = fin.find(_.state == "b").get
+    assert(b.est >= 4L && b.est - b.err <= 4L)
+    // exact flag: a and b were tracked from their first arrival (slots free)
+    assert(a.exact == 1 && b.exact == 1)
+    // an evicting newcomer inherits error: some late arrival has err > 0
+    assert(lastBatch.exists(_.err > 0L), s"expected inherited error bounds: $lastBatch")
+    assert(finalStates >= 6L)
+  }
+
   test("streaming KMV: k-min state stays bounded and matches the batch sketch arithmetic") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     def md5p(s: String): Long = graft.functions.TextHash.md5Prefix64(
