@@ -776,6 +776,89 @@ object Queries {
       |       CAST(count(*) AS BIGINT) AS n
       |FROM ltss GROUP BY 1, 2 ORDER BY domain, bucket""".stripMargin))
 
+  /** CALENDAR month bucketing — the `time_bucket('1 month', …)` form
+    * the fixed-width [[timeBucketAgg]] arithmetic cannot express:
+    * month buckets have VARIABLE width (28–31 days), so the bucket is
+    * calendar truncation (`date_trunc`), not epoch-µs floor division —
+    * the distinction TimescaleDB draws between `time_bucket` interval
+    * and calendar variants. Both engines truncate in the pinned UTC
+    * session zone, so the bucket timestamps agree exactly; aggregates
+    * follow the [[timeBucketAgg]] DECIMAL-sum parity rules. Same
+    * combinable one-shuffle shape. */
+  val timeBucketMonth = OracleQuery(
+    "ltss_time_bucket_month",
+    (s, d) => {
+      val l = ltss(s, d)
+        .withColumn("bucket", date_trunc("month", col("time")))
+        .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+        .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
+      l.groupBy(col("bucket"), col("domain"))
+        .agg(count(lit(1)).as("n"), sum(col("sv")).as("sum_dec"))
+        .select(col("bucket"), col("domain"), col("n"),
+          col("sum_dec").cast("double").as("sum_state"),
+          DetMath.avgFromSum(col("sum_dec"), col("n")).as("avg_state"))
+        .orderBy(col("bucket"), col("domain"))
+    },
+    Some(s"""$ltssCte
+      |SELECT date_trunc('month', time) AS bucket,
+      |       split_part(entity_id, '.', 1) AS domain,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(state AS DECIMAL(12,2))) AS DOUBLE) AS sum_state,
+      |       CAST(sum(CAST(state AS DECIMAL(12,2))) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS avg_state
+      |FROM ltss GROUP BY 1, 2 ORDER BY bucket, domain""".stripMargin))
+
+  /** COMPRESSION-PLANNING report — the tuning panel behind
+    * TimescaleDB's `compress_segmentby`/`compress_orderby` choice
+    * (its compression segments rows by a key and delta/RLE-encodes
+    * within each segment in `orderby` order): for the engine's own
+    * layout order — segment by entity, order by time, the composite-
+    * index order K1 already writes — how compressible is each domain?
+    * Per domain: rows, segments (entities), `state` RUNS in layout
+    * order (a run boundary wherever the value changes, counted by one
+    * `lag` window — rows/runs IS the RLE dictionary win), distinct
+    * states (dictionary width), and the run ratio. A domain with high
+    * rows/runs compresses well segment-ordered; one with ratio ≈ 1
+    * wants a different orderby — the decision this report drives.
+    * Run counting is permutation-stable on duplicate (time, state)
+    * rows (equal compared values cannot open a run boundary), so the
+    * window order (time, state) is deterministic for the oracle.
+    * One window on the (entity, time) layout axis + one combinable
+    * aggregate — the same shuffle class as every per-entity query. */
+  val compressPlan = OracleQuery(
+    "ltss_compress_plan",
+    (s, d) => {
+      val w = Window.partitionBy(col("entity_id"))
+        .orderBy(col("time"), col("state"))
+      val l = ltss(s, d)
+        .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
+        .withColumn("run_start",
+          coalesce((col("state") =!= lag(col("state"), 1).over(w)).cast("long"),
+            lit(1L)))
+      l.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("entity_id")).as("n_segments"),
+          sum(col("run_start")).as("state_runs"),
+          countDistinct(col("state")).as("distinct_states"))
+        .withColumn("rle_ratio",
+          col("n_rows").cast("double") / col("state_runs").cast("double"))
+        .orderBy(col("domain"))
+    },
+    Some(s"""$ltssCte
+      |SELECT split_part(entity_id, '.', 1) AS domain,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(DISTINCT entity_id) AS BIGINT) AS n_segments,
+      |       CAST(sum(run_start) AS BIGINT) AS state_runs,
+      |       CAST(count(DISTINCT state) AS BIGINT) AS distinct_states,
+      |       CAST(count(*) AS DOUBLE) / CAST(sum(run_start) AS DOUBLE) AS rle_ratio
+      |FROM (
+      |  SELECT entity_id, state,
+      |         CASE WHEN state = lag(state) OVER (PARTITION BY entity_id
+      |                                            ORDER BY time, state)
+      |              THEN 0 ELSE 1 END AS run_start
+      |  FROM ltss)
+      |GROUP BY 1 ORDER BY domain""".stripMargin))
+
   /** EQUI-DEPTH histogram — the distribution panel [[histogram]]'s
     * equi-WIDTH buckets cannot give on a skewed axis (a heavy mode
     * swallows one wide bucket and empties the rest): 8 buckets of
@@ -1715,5 +1798,5 @@ object Queries {
     domainStatsSalted, asofJoin, asofJoinFwd, rangeJoin, percentiles, histogram, pivotHours,
     retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, anomalyMad,
     histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq, geohashQ,
-    histEqdepth)
+    histEqdepth, timeBucketMonth, compressPlan)
 }
