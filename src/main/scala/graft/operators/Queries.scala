@@ -127,6 +127,47 @@ object Queries {
       |  AND time BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
       |ORDER BY time DESC, state""".stripMargin))
 
+  /** CHUNK-LEVEL layout audit — the `chunks_detailed_size` /
+    * `show_chunks` operational panel, run as a PHYSICAL-vs-LOGICAL
+    * invariant check: read the chunked layout artifact itself
+    * (partition column and all) and report per chunk its row count,
+    * entity count, time bounds, and the count of MISPLACED rows (rows
+    * whose logical chunk — epoch-µs floored to the 30-day interval,
+    * rendered as the UTC date, exactly [[graft.sources.LtssSink.chunkDateOf]]
+    * — disagrees with the partition directory they physically live
+    * in). The oracle computes the same report from the RAW table and
+    * pins `misplaced` to literal 0, so ANY physical row landing in the
+    * wrong chunk directory — a writer bug, a bad compaction — fails
+    * the hash gate, not just an eyeball. The lifecycle panel a
+    * retention/compaction job reads before acting. One combinable
+    * aggregate over the layout scan. */
+  val chunkStats = OracleQuery(
+    "ltss_chunk_stats",
+    (s, d) => {
+      val us = unix_micros(col("time"))
+      val expected = to_date(timestamp_micros(
+        us - pmod(us, lit(LtssConfig.DefaultChunkUs))))
+      s.read.parquet(ltssLayoutPath(s, d))
+        .withColumn("mis", (col("chunk") =!= expected).cast("long"))
+        // render the partition date as its UTC-midnight timestamp — the
+        // engines' common exact form for calendar values (no DATE
+        // fetch-normalization ambiguity in the compare)
+        .groupBy(col("chunk").cast("timestamp").as("chunk_start"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("entity_id")).as("n_entities"),
+          min(col("time")).as("t_min"), max(col("time")).as("t_max"),
+          sum(col("mis")).as("misplaced"))
+        .orderBy(col("chunk_start"))
+    },
+    Some(s"""$ltssCte
+      |SELECT CAST(CAST(make_timestamp((epoch_us(time) // ${LtssConfig.DefaultChunkUs})
+      |              * ${LtssConfig.DefaultChunkUs}) AS DATE) AS TIMESTAMP) AS chunk_start,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(DISTINCT entity_id) AS BIGINT) AS n_entities,
+      |       min(time) AS t_min, max(time) AS t_max,
+      |       CAST(0 AS BIGINT) AS misplaced
+      |FROM ltss GROUP BY 1 ORDER BY chunk_start""".stripMargin))
+
   /** The Z-ORDERED layout: one physical sort order that serves
     * predicates on entity AND time symmetrically — what replaces "an
     * index per access path" at 100 TB, where the time-chunked layout
@@ -1798,5 +1839,5 @@ object Queries {
     domainStatsSalted, asofJoin, asofJoinFwd, rangeJoin, percentiles, histogram, pivotHours,
     retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, anomalyMad,
     histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq, geohashQ,
-    histEqdepth, timeBucketMonth, compressPlan)
+    histEqdepth, timeBucketMonth, compressPlan, chunkStats)
 }
