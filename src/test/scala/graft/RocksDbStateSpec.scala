@@ -112,4 +112,38 @@ class RocksDbStateSpec extends SparkSpec {
         s"RocksDB-recovered cagg windows diverged: $merged")
     }
   }
+
+  test("CMS cells survive a checkpoint restart on RocksDB state") {
+    withRocksDb {
+      def md5p(s: String): Long = graft.functions.TextHash.md5Prefix64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val in = tmp("rdb-cms-in"); val ckpt = tmp("rdb-cms-ckpt")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("state STRING")
+      // memory sink refuses checkpoint recovery; collect Update-mode
+      // emissions through foreachBatch (checkpoint-compatible) instead
+      val emitted = new scala.collection.concurrent.TrieMap[(Int, Long), Long]
+      def start() = StreamingOps
+        .cmsStream(spark.readStream.schema(schema).json(in), depth = 2, width = 8)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingOps.CmsCell], _: Long) =>
+          b.collect().foreach(c => emitted.updateWith((c.d, c.bucket))(
+            o => Some(math.max(o.getOrElse(0L), c.cell))))
+          ()
+        }
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      Files.writeString(Paths.get(in, "b1.json"),
+        """{"state":"a"}""" + "\n" + """{"state":"b"}""" + "\n" + """{"state":"a"}""")
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // restart from the checkpoint: the 256-cell grid lives in RocksDB;
+      // the next batch must INCREMENT recovered cells, not restart at 1
+      Files.writeString(Paths.get(in, "b2.json"), """{"state":"a"}""")
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val cells = emitted.toMap
+      val expect = Seq("a", "b", "a", "a")
+        .flatMap(s => (0 until 2).map(d => (d, md5p(s"$d:$s") % 8)))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(cells == expect,
+        s"RocksDB-recovered CMS cells diverged: $cells vs $expect")
+    }
+  }
 }
