@@ -628,6 +628,38 @@ object LtssSink {
     }
   }
 
+  /** UPSERT path — the LATE-CORRECTION / BACKFILL write the
+    * append-only ingest deliberately lacks: re-delivered state for an
+    * existing PK `(time, entity_id)` OVERWRITES the stored row
+    * (`INSERT … ON CONFLICT (time, entity_id) DO UPDATE SET
+    * col = EXCLUDED.col` for every non-key column). This is what a
+    * migration replay or a corrected-sensor backfill needs where the
+    * ingest's DO NOTHING would silently keep the stale row. The batch
+    * is PK-deduped first ([[graft.operators.Transform.dedupByPk]],
+    * newest state wins) because PostgreSQL rejects a single DO UPDATE
+    * statement touching one PK twice (21000 cardinality_violation) —
+    * and a batch that intends two corrections for one PK has an
+    * ordering question the deterministic min-struct survivor rule
+    * answers reproducibly (first by state, then remaining columns,
+    * exactly the `ltss_dedup_pk` invariant). PostgreSQL-only by
+    * design: the generic dialect has no atomic single-statement upsert,
+    * and a delete-then-insert emulation would silently drop rows on a
+    * mid-flight failure — refused loudly instead. Executor-side shape
+    * is [[insertIgnoreConflicts]]'s: one connection and ONE prepared
+    * statement per partition, 1000-row batches. */
+  def upsertJdbc(ltss: DataFrame, cfg: LtssConfig, table: String = "ltss"): Unit = {
+    require(postgresDialect(cfg.dbUrl),
+      "upsertJdbc needs PostgreSQL's ON CONFLICT DO UPDATE — for another " +
+        "dialect, dedup against the stored keys and use writeJdbc, or " +
+        "route corrections through a staging table merge")
+    val deduped = graft.operators.Transform.dedupByPk(
+      ltss, Seq(org.apache.spark.sql.functions.col("state")))
+    val nonKey = deduped.columns.filterNot(c => c == "time" || c == "entity_id")
+    val suffix = s" ON CONFLICT (time, entity_id) DO UPDATE SET " +
+      nonKey.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    insertIgnoreConflicts(deduped, cfg.dbUrl, table, suffix)
+  }
+
   /** The sink dialect whose conflict handling the database can do itself. */
   private[graft] def postgresDialect(url: String): Boolean =
     url.startsWith("jdbc:postgresql:")

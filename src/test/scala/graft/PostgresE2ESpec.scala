@@ -107,6 +107,38 @@ class PostgresE2ESpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("upsertJdbc: late corrections overwrite stored rows, inserts land, PK-dups collapse") {
+    LtssSink.bootstrapJdbc(cfg, table = "ltss_up", locationType = "VARCHAR(255)")
+    val t1 = ts("2024-02-01 00:00:01"); val t2 = ts("2024-02-01 00:00:02")
+    val t3 = ts("2024-02-01 00:00:03")
+    withWire { w =>
+      w.query("INSERT INTO ltss_up (time, entity_id, state, attributes) VALUES " +
+        s"(TIMESTAMP '$t1', 'sensor.1', 'stale', '{}'), " +
+        s"(TIMESTAMP '$t2', 'sensor.1', 'keep', '{}')")
+    }
+    // the correction batch: overwrites t1, inserts t3, and carries an
+    // internal PK duplicate for t3 (the dedupByPk survivor — min state —
+    // must win deterministically before the single-statement upsert)
+    val batch = Seq(
+      (t1, "sensor.1", "corrected", """{"v":1}"""),
+      (t3, "sensor.1", "b_second", """{"v":3}"""),
+      (t3, "sensor.1", "a_first", """{"v":3}"""))
+      .toDF("time", "entity_id", "state", "attributes")
+    LtssSink.upsertJdbc(batch, LtssConfig(dbUrl = server.url), table = "ltss_up")
+    withWire { w =>
+      val got = w.query(
+        "SELECT time, state FROM ltss_up ORDER BY time").rows
+      assert(got.length == 3, s"row set wrong after upsert: $got")
+      assert(got.map(_(1)) == Vector("corrected", "keep", "a_first"),
+        s"upsert semantics violated: $got")
+    }
+    // non-Postgres dialect refuses loudly rather than emulating
+    val err = intercept[IllegalArgumentException] {
+      LtssSink.upsertJdbc(batch, LtssConfig(dbUrl = "jdbc:derby:memory:x"), "t")
+    }
+    assert(err.getMessage.contains("ON CONFLICT DO UPDATE"))
+  }
+
   test("savepoint conflict replay survives PostgreSQL's abort-on-error transactions") {
     // the generic-dialect path (suffix = "") on a server that POISONS
     // the transaction at the first violation: without per-row
