@@ -1363,9 +1363,57 @@ object Similarity {
       |WHERE cosine >= $RadiusTau
       |ORDER BY qid, cosine DESC, vec_id""".stripMargin))
 
+  /** FILTERED ANN — top-k under a metadata predicate ("nearest docs
+    * WHERE label is even"), the query shape every production vector
+    * store added after plain top-k (post-filtering k results loses
+    * recall when the predicate is selective; the correct form filters
+    * DURING the search). Here the exact form: the predicate lands in
+    * the scan (`PushedFilters` on the raw parquet — plan-asserted in
+    * PlanSpec), the surviving vectors score against the broadcast
+    * query set in one map pass, and a per-query window takes the
+    * top-3. At scale the same query runs over an IVF layout that
+    * CARRIES the filter column (the [[ivfAppend]] layout pattern plus
+    * one more column), so the predicate prunes inside each probed
+    * cluster — this brute-force form is, as with [[radiusSearch]],
+    * that path's recall-1.0 oracle. */
+  val filteredTopk = OracleQuery(
+    "sim_filtered_topk",
+    (s, d) => {
+      val emb = embNorm(s, d)
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      emb.filter(col("vec_id") >= 3 && pmod(col("label"), lit(2)) === 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cosine", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("qe"), Dim), col("nrm"), col("qn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"), col("label"), col("cosine"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH e AS (
+      |  SELECT vec_id, label, embedding, ${DetMath.normSql("embedding", Dim)} AS nrm
+      |  FROM embeddings
+      |), q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 3)
+      |SELECT qid, rank, vec_id, label, cosine FROM (
+      |  SELECT qid, vec_id, label, cosine,
+      |         row_number() OVER (PARTITION BY qid
+      |                            ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM (
+      |    SELECT q.qid, e.vec_id, e.label,
+      |      ${DetMath.cosinePreSql(
+        DetMath.dotSql("e.embedding", "q.qe", Dim), "e.nrm", "q.qn")} AS cosine
+      |    FROM e, q
+      |    WHERE e.vec_id >= 3 AND ((e.label % 2) + 2) % 2 = 0))
+      |WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, embedNearDupRandomQ,
       ivfProbe, ivfProbe2, ivfKmeans, dedupEmbeddingIvf, dedupSemantic,
       binaryTopk, matryoshkaQ, embedQuantize, hardNegatives, embedCalibration,
-      clusterPurity, embedOutliers, ivfAppend, mmrTopk, radiusSearch)
+      clusterPurity, embedOutliers, ivfAppend, mmrTopk, radiusSearch,
+      filteredTopk)
 }

@@ -235,6 +235,21 @@ class PlanSpec extends SparkSpec {
       s"variant path predicate must reach PushedFilters; pushed: [$pushed]")
   }
 
+  test("filtered ANN pushes the metadata predicate into the embeddings scan") {
+    // filtered top-k's whole point is the predicate running DURING the
+    // search: vec_id >= 3 must reach the parquet scan as a pushed
+    // filter (label % 2 is not sargable, but the range guard is — and
+    // the modulo runs in the same codegen stage as the scan, never
+    // after the crossJoin)
+    val df = graft.operators.Similarity.filteredTopk.run(spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).mkString(";")
+    assert(pushed.contains("GreaterThanOrEqual(vec_id,3)"),
+      s"the filter guard must reach PushedFilters; pushed: [$pushed]")
+  }
+
   test("polygon containment is a shuffle-free compiled scan — no join, no exchange") {
     val df = graft.operators.Queries.geoPolygon.run(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
