@@ -26,6 +26,40 @@ class CurationOpsSpec extends SparkSpec {
       (4L, 1L, 1.0)))
   }
 
+  test("surprisal: hand-computed floor-log2 bits on a known unigram model") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-surp").toString
+    // corpus: "a a a a b b c d" → N = 8; c(a)=4, c(b)=2, c(c)=c(d)=1
+    // bits = floor(log2(N // c)): a → log2(2)=1, b → log2(4)=2, c/d → log2(8)=3
+    Seq((1L, "a a a a"), (2L, "b b c"), (3L, "d"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.docSurprisal.run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) == (4L, 4L, 1L, 1.0))          // 4 tokens × 1 bit
+    assert(out(2L) == (3L, 7L, 3L, 7.0 / 3.0))    // 2×2 + 3 bits
+    assert(out(3L) == (1L, 3L, 3L, 3.0))          // the rarest token
+  }
+
+  test("equi-depth histogram: equal-count buckets with exact bounds") {
+    // one domain, 16 castable values 1..16 → ntile(8) gives 8 buckets
+    // of exactly 2, bucket i covering [2i−1, 2i]
+    val rows = (1 to 16).map(i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), i.toLong, i.toLong, 3L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-eqd").toString
+    rows.toDF("ts", "event_id", "user_id", "x")
+      .selectExpr("ts", "event_id", "user_id", "CAST(event_id AS DOUBLE) AS value",
+        "'click' AS event_type", "'{}' AS props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Queries.histEqdepth.run(spark, dir)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.length == 8)
+    for ((b, n, lo, hi) <- out) {
+      assert(n == 2L, s"bucket $b must hold exactly 2 rows")
+      assert(lo == 2.0 * b - 1 && hi == 2.0 * b, s"bucket $b bounds ($lo, $hi)")
+    }
+  }
+
   test("bigram coherence is in (0, 1] for every fixture document") {
     val bad = TextOps.docCoherence.run(spark, "/root/testdata/sf0.001")
       .filter(col("coherence") <= 0.0 || col("coherence") > 1.0)
