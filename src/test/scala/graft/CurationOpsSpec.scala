@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Dedup, Retrieval, TextOps}
 
 /** Unit coverage for the cluster keep-policy and the bigram-coherence
   * quality signal beyond the oracle gate: the oracle pins fixture values;
@@ -58,6 +58,41 @@ class CurationOpsSpec extends SparkSpec {
       assert(n == 2L, s"bucket $b must hold exactly 2 rows")
       assert(lo == 2.0 * b - 1 && hi == 2.0 * b, s"bucket $b bounds ($lo, $hi)")
     }
+  }
+
+  test("compression plan: run counting over the (entity, time) layout order") {
+    // entity a.1 states over time: 5,5,7,7,7,5 → 3 runs; b.1: 9 → 1 run
+    val rows = Seq("5", "5", "7", "7", "7", "5").zipWithIndex.map { case (s, i) =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i:00"), 1L, 1L, s)
+    } :+ ((java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 2L, 2L, "9"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmp").toString
+    rows.toDF("ts", "event_id", "user_id", "s")
+      .selectExpr("ts", "event_id", "user_id", "CAST(s AS DOUBLE) AS value",
+        "'a' AS event_type", "'{}' AS props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Queries.compressPlan.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(out == Seq(("a", 7L, 2L, 4L, 3L, 7.0 / 4.0)),
+      s"run accounting diverged: $out")
+  }
+
+  test("known-item MRR: a planted stealer with the same rare shingles halves rr") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mrr").toString
+    // probe ids are doc_id % 25 == 0. Doc 0's rare shingles appear ONLY
+    // in doc 0 → rank 1. Doc 25 shares its full text with doc 7 (the
+    // stealer, lower id → wins the score tie) → rank 2, rr = 0.5.
+    val filler = (1 to 6).map(i => (i.toLong, s"filler doc number $i body words $i"))
+    val docs = Seq(
+      (0L, "unique alpha beta gamma delta"),
+      (25L, "stolen phrase one two three"),
+      (7L, "stolen phrase one two three")) ++ filler
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Retrieval.knownItemMrr.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getDouble(3))).toMap
+    assert(out(0L) == ((1, 1.0)), s"unique probe must rank 1: $out")
+    assert(out(25L) == ((2, 0.5)), s"duplicated probe must lose rank 1 to the stealer: $out")
   }
 
   test("bigram coherence is in (0, 1] for every fixture document") {
