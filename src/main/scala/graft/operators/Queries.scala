@@ -554,6 +554,61 @@ object Queries {
     * index-backed region query of the PostGIS surface): pure range
     * predicates on the extracted lat/lon — sargable, pushes into the
     * scan, no trig. Nordic-region box over the enriched points. */
+  /** GEOFENCE enter/exit transitions — the presence-zone automation
+    * query an LTSS deployment runs over its location column (HA zones:
+    * "who entered/left the area, and when"): each tracked entity's
+    * position series is classified inside/outside a circular fence
+    * (same haversine kernel, center, and radius class as
+    * [[geoDistance]], so the two queries share one distance truth),
+    * and ONE `lag` window per entity turns the inside-bit series into
+    * the transition log — event = 'enter' when the bit rises, 'exit'
+    * when it falls, first observation emits nothing (no prior state).
+    * The `(time, event_id)` window order is total, so transitions are
+    * deterministic under duplicate timestamps. The streaming twin
+    * ([[graft.streaming.StreamingOps.geofenceStream]]) holds the last
+    * bit per entity and must emit exactly this log over any prefix —
+    * spec-pinned. Scale: one keyed window, no join; the fence test is
+    * map-side codegen on the scan. */
+  val geofence = OracleQuery(
+    "ltss_geofence",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
+        .withColumn("inside",
+          (graft.functions.Haversine.haversineKm(
+            col("lat"), col("lon"), lit(57.7), lit(11.97)) <= 2000.0).cast("int"))
+        .withColumn("prev", lag(col("inside"), 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") =!= col("inside"))
+        .select(col("user_id"), col("ts").as("time"), col("event_id"),
+          when(col("inside") === 1, "enter").otherwise("exit").as("event"))
+        .orderBy(col("user_id"), col("time"), col("event_id"))
+    },
+    Some("""WITH pts AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+      |), b AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(2 * 6371.0088 * asin(least(1.0, sqrt(
+      |           pow(sin(radians(57.7 - lat) / 2), 2)
+      |           + cos(radians(lat)) * cos(radians(57.7))
+      |             * pow(sin(radians(11.97 - lon) / 2), 2)))) <= 2000.0 AS INT) AS inside
+      |  FROM pts
+      |), t AS (
+      |  SELECT user_id, ts, event_id, inside,
+      |         lag(inside) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM b
+      |)
+      |SELECT user_id, ts AS time, event_id,
+      |       CASE WHEN inside = 1 THEN 'enter' ELSE 'exit' END AS event
+      |FROM t WHERE prev IS NOT NULL AND prev <> inside
+      |ORDER BY user_id, time, event_id""".stripMargin))
+
   val geoBbox = OracleQuery(
     "ltss_geo_bbox",
     (s, d) =>
@@ -1839,5 +1894,5 @@ object Queries {
     domainStatsSalted, asofJoin, asofJoinFwd, rangeJoin, percentiles, histogram, pivotHours,
     retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, anomalyMad,
     histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq, geohashQ,
-    histEqdepth, timeBucketMonth, compressPlan, chunkStats)
+    histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence)
 }

@@ -1345,6 +1345,52 @@ object StreamingOps {
       }
   }
 
+  final case class GeofenceEvent(user_id: Long, time: java.sql.Timestamp, event: String)
+
+  /** Continuous GEOFENCE enter/exit — the streaming twin of the batch
+    * `ltss_geofence` transition log (the HA presence-zone automation:
+    * fire the moment a tracked entity crosses the fence, not at the
+    * next batch query): per entity the state is ONE inside/outside bit;
+    * each arrival classifies against the same haversine kernel and
+    * emits a transition iff the bit flips (the first observation seeds
+    * the bit silently, as in the batch `lag` form). Arrivals are
+    * ordered (time, tie-break) within each micro-batch before folding,
+    * so prefix emissions equal the batch query over the same rows
+    * (spec-pinned) under the per-entity in-order delivery the event
+    * bus provides — cross-batch out-of-order delivery would need the
+    * watermark+reorder device of the interval twins, deliberately not
+    * spent on a one-bit state. */
+  def geofenceStream(
+      pts: DataFrame, // time TIMESTAMP, user_id LONG, lat DOUBLE, lon DOUBLE
+      centerLat: Double = 57.7,
+      centerLon: Double = 11.97,
+      radiusKm: Double = 2000.0): Dataset[GeofenceEvent] = {
+    import pts.sparkSession.implicits._
+    pts
+      .withColumn("inside",
+        (graft.functions.Haversine.haversineKm(
+          col("lat"), col("lon"), lit(centerLat), lit(centerLon)) <= radiusKm)
+          .cast("int"))
+      .select(col("time"), col("user_id"), col("inside"))
+      .as[(java.sql.Timestamp, Long, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Int, GeofenceEvent](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid, rows, st) =>
+          val sorted = rows.toSeq.sortBy(r => (r._1.getTime, r._3))
+          var prev = st.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[GeofenceEvent]
+          for ((t, _, inside) <- sorted) {
+            if (prev.exists(_ != inside))
+              out += GeofenceEvent(uid, t, if (inside == 1) "enter" else "exit")
+            prev = Some(inside)
+          }
+          prev.foreach(st.update)
+          out.iterator
+      }
+  }
+
   final case class SsState(counters: Map[String, (Long, Long)])
   final case class HeavyHitter(
       domain: String, state: String, est: Long, err: Long, exact: Int)

@@ -539,6 +539,33 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming geofence: one-bit state emits exactly the batch transition log") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Double, Double)]
+    val df = ms.toDF.toDF("time", "user_id", "lat", "lon")
+    val q = StreamingOps.geofenceStream(df, centerLat = 0.0, centerLon = 0.0,
+        radiusKm = 200.0).writeStream
+      .format("memory").queryName("gf_t").outputMode("append").start()
+    def t(m: Int) = ts(f"2024-01-01 10:$m%02d:00")
+    try {
+      // user 1: outside → inside (enter) → inside (no event)
+      // user 2: inside from the start (seed, no event)
+      ms.addData((t(0), 1L, 0.0, 10.0), (t(1), 1L, 0.0, 0.5), (t(2), 1L, 0.0, 0.6),
+        (t(0), 2L, 0.0, 0.0))
+      q.processAllAvailable()
+      // batch 2: user 1 exits; user 2 exits then re-enters (both emit)
+      ms.addData((t(5), 1L, 0.0, 30.0), (t(5), 2L, 40.0, 40.0), (t(6), 2L, 0.1, 0.1))
+      q.processAllAvailable()
+    } finally q.stop()
+    import spark.implicits._
+    val got = spark.table("gf_t").as[StreamingOps.GeofenceEvent].collect()
+      .map(e => (e.user_id, e.time, e.event)).toSet
+    assert(got == Set(
+      (1L, t(1), "enter"), (1L, t(5), "exit"),
+      (2L, t(5), "exit"), (2L, t(6), "enter")),
+      s"transition log diverged: $got")
+  }
+
   test("streaming SpaceSaving: guarantees hold and state stays bounded at k") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(String, String)]
