@@ -609,6 +609,67 @@ object Queries {
       |FROM t WHERE prev IS NOT NULL AND prev <> inside
       |ORDER BY user_id, time, event_id""".stripMargin))
 
+  /** ZONE DWELL TIME — [[geofence]]'s accounting companion ("how long
+    * was each entity inside the zone"): the inside/outside bit series
+    * becomes held intervals by the `lead` device of the state_agg
+    * hyperfunction — each observation's bit holds until the next
+    * observation, the final observation holds nothing (no clairvoyant
+    * duration; the heartbeat-liveness convention) — and per entity the
+    * report sums held µs inside, counts visits (enter transitions,
+    * seeded by a first-observation-inside), and carries the
+    * observation span. All-integer µs arithmetic; one `lead` + one
+    * combinable aggregate per entity. */
+  val zoneDwell = OracleQuery(
+    "ltss_zone_dwell",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
+        .withColumn("inside",
+          (graft.functions.Haversine.haversineKm(
+            col("lat"), col("lon"), lit(57.7), lit(11.97)) <= 2000.0).cast("int"))
+        .withColumn("held_us",
+          coalesce(unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")),
+            lit(0L)))
+        .withColumn("prev", lag(col("inside"), 1).over(w))
+        .withColumn("entered",
+          when(col("inside") === 1 && (col("prev").isNull || col("prev") === 0), 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_obs"),
+          sum(when(col("inside") === 1, col("held_us")).otherwise(0L)).as("dwell_us"),
+          sum(col("entered")).as("n_visits"),
+          min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH pts AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+      |), b AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(2 * 6371.0088 * asin(least(1.0, sqrt(
+      |           pow(sin(radians(57.7 - lat) / 2), 2)
+      |           + cos(radians(lat)) * cos(radians(57.7))
+      |             * pow(sin(radians(11.97 - lon) / 2), 2)))) <= 2000.0 AS INT) AS inside
+      |  FROM pts
+      |), h AS (
+      |  SELECT user_id, ts, inside,
+      |         COALESCE(epoch_us(lead(ts) OVER w) - epoch_us(ts), 0) AS held_us,
+      |         lag(inside) OVER w AS prev
+      |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+      |       CAST(sum(CASE WHEN inside = 1 THEN held_us ELSE 0 END) AS BIGINT) AS dwell_us,
+      |       CAST(sum(CASE WHEN inside = 1 AND (prev IS NULL OR prev = 0)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_visits,
+      |       min(ts) AS first_seen, max(ts) AS last_seen
+      |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   val geoBbox = OracleQuery(
     "ltss_geo_bbox",
     (s, d) =>
@@ -1894,5 +1955,5 @@ object Queries {
     domainStatsSalted, asofJoin, asofJoinFwd, rangeJoin, percentiles, histogram, pivotHours,
     retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, anomalyMad,
     histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq, geohashQ,
-    histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence)
+    histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence, zoneDwell)
 }
