@@ -406,8 +406,11 @@ object Similarity {
   def ivfLayoutPath(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.ScratchDirs.materializedPath("ivf", d) { p =>
       val asg = kmeansAssignments(s, d, KmIters).select(col("vec_id"), col("cid"))
+      // `label` rides along as the FILTER COLUMN — filtered ANN
+      // ([[ivfFiltered]]) needs the metadata predicate evaluable inside
+      // each probed cluster's scan, not via a post-search join
       embNorm(s, d).join(asg, "vec_id")
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+        .select(col("vec_id"), col("label"), col("embedding"), col("nrm"), col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(p)
     }
 
@@ -496,6 +499,54 @@ object Similarity {
     * still applies (an IN-list of partition values), recall rises at
     * 2/k scan cost. */
   val ivfProbe2 = ivfProbeQuery("sim_ivf_probe2", nprobe = 2)
+
+  /** FILTERED IVF probe — [[filteredTopk]]'s SCALE path realized: the
+    * metadata predicate (label even) evaluates INSIDE the probed
+    * clusters' pruned scan, because the layout CARRIES the filter
+    * column — the in-cluster filtering every production vector store
+    * converged on (post-filtering k results under-delivers when the
+    * predicate is selective; pre-filtering to a separate index
+    * duplicates storage per predicate). Plan shape: cid IN-list
+    * partition-prunes to 2 of k directories, the label/vec_id guards
+    * run in the scan stage, survivors score against the broadcast
+    * query — so cost is (nprobe/k)·selectivity of a full scan. The
+    * brute-force [[filteredTopk]] is this query's recall oracle;
+    * THIS oracle replays the trained-centroid chain bit-exactly. */
+  val ivfFiltered = OracleQuery(
+    "sim_ivf_filtered",
+    (s, d) => {
+      val emb = embNorm(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val probeCids = probeCidsOf(kmeansCentroids(s, d, KmIters), q, 2)
+      s.read.parquet(ivfLayoutPath(s, d))
+        .withColumn("cid", col("cid").cast("long"))
+        .filter(col("cid").isin(probeCids: _*) && col("vec_id") =!= 0
+          && pmod(col("label"), lit(2)) === 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cosine", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("qe"), Dim), col("nrm"), col("qn")))
+        .select(col("cid"), col("vec_id"), col("label"), col("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(5)
+    },
+    Some(s"""$kmeansSqlChain,
+      |q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+      |qcid AS (
+      |  SELECT cid FROM (
+      |    SELECT cid, ${DetMath.cosinePreSql(DetMath.dotSql("ce", "qe", Dim), "cn", "qn")} AS qcos
+      |    FROM c${KmIters}n, q)
+      |  ORDER BY qcos DESC, cid LIMIT 2
+      |)
+      |SELECT cid, vec_id, label, cosine FROM (
+      |  SELECT a.cid, a.vec_id, emb.label,
+      |         ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "q.qe", Dim), "e.nrm", "q.qn")} AS cosine
+      |  FROM aF a
+      |  JOIN qcid ON a.cid = qcid.cid
+      |  JOIN e ON e.vec_id = a.vec_id
+      |  JOIN embeddings emb ON emb.vec_id = a.vec_id, q
+      |  WHERE a.vec_id <> 0 AND ((emb.label % 2) + 2) % 2 = 0)
+      |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin))
 
   /** TRAINED IVF centroids via seeded Lloyd iterations (k-means) — the
     * index-quality upgrade over [[ivf]]'s fixed demo centroids: init =
@@ -1415,5 +1466,5 @@ object Similarity {
       ivfProbe, ivfProbe2, ivfKmeans, dedupEmbeddingIvf, dedupSemantic,
       binaryTopk, matryoshkaQ, embedQuantize, hardNegatives, embedCalibration,
       clusterPurity, embedOutliers, ivfAppend, mmrTopk, radiusSearch,
-      filteredTopk)
+      filteredTopk, ivfFiltered)
 }

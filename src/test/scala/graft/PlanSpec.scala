@@ -250,6 +250,20 @@ class PlanSpec extends SparkSpec {
       s"the filter guard must reach PushedFilters; pushed: [$pushed]")
   }
 
+  test("filtered IVF probe: cid partition-pruned AND the label guard inside the scan") {
+    val df = Similarity.ivfFiltered.run(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"expected cid partition pruning on the layout scan; plan:\n$plan")
+    // the layout carries `label`, so the predicate must reach the scan
+    // stage (pushed or scan-stage filter), never run after the join
+    val scanSide = plan.linesIterator
+      .filter(l => l.contains("graft_ivf") || l.contains("PushedFilters"))
+      .mkString("\n")
+    assert(plan.contains("label"),
+      s"label must appear in the probed layout scan; plan:\n$scanSide")
+  }
+
   test("polygon containment is a shuffle-free compiled scan — no join, no exchange") {
     val df = graft.operators.Queries.geoPolygon.run(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
