@@ -1391,6 +1391,58 @@ object StreamingOps {
       }
   }
 
+  final case class ZoneDwellState(
+      lastUs: Long, lastInside: Int, dwellUs: Long, visits: Long,
+      nObs: Long, firstUs: Long)
+  final case class ZoneDwellRow(
+      user_id: Long, n_obs: Long, dwell_us: Long, n_visits: Long,
+      first_seen: java.sql.Timestamp, last_seen: java.sql.Timestamp)
+
+  /** Continuous ZONE-DWELL accounting — the running twin of the batch
+    * `ltss_zone_dwell` report: per entity the state is one compact
+    * ledger (last observation µs, last inside bit, dwell accumulator,
+    * visit count, observation count, first-seen µs); each arrival
+    * settles the PREVIOUS observation's held interval (the batch
+    * `lead` convention — the final observation holds nothing until a
+    * successor arrives, so after any prefix the emitted row equals the
+    * batch aggregate over the same rows, all-integer µs, spec-pinned).
+    * Constant state per entity, Update-mode emission per batch. */
+  def zoneDwellStream(
+      pts: DataFrame, // time TIMESTAMP, user_id LONG, lat DOUBLE, lon DOUBLE
+      centerLat: Double = 57.7,
+      centerLon: Double = 11.97,
+      radiusKm: Double = 2000.0): Dataset[ZoneDwellRow] = {
+    import pts.sparkSession.implicits._
+    pts
+      .withColumn("inside",
+        (graft.functions.Haversine.haversineKm(
+          col("lat"), col("lon"), lit(centerLat), lit(centerLon)) <= radiusKm)
+          .cast("int"))
+      .select(col("time"), col("user_id"), col("inside"))
+      .as[(java.sql.Timestamp, Long, Int)]
+      .groupByKey(_._2)
+      .mapGroupsWithState[ZoneDwellState, ZoneDwellRow](GroupStateTimeout.NoTimeout) {
+        (uid, rows, st) =>
+          val sorted = rows.toSeq.sortBy(r => (r._1.getTime, r._3))
+          var s = st.getOption.orNull
+          for ((t, _, inside) <- sorted) {
+            val us = t.getTime * 1000L
+            s =
+              if (s == null)
+                ZoneDwellState(us, inside, 0L, if (inside == 1) 1L else 0L, 1L, us)
+              else ZoneDwellState(
+                us, inside,
+                s.dwellUs + (if (s.lastInside == 1) us - s.lastUs else 0L),
+                s.visits + (if (inside == 1 && s.lastInside == 0) 1L else 0L),
+                s.nObs + 1L, s.firstUs)
+          }
+          st.update(s)
+          ZoneDwellRow(uid, s.nObs, s.dwellUs, s.visits,
+            new java.sql.Timestamp(s.firstUs / 1000L),
+            new java.sql.Timestamp(s.lastUs / 1000L))
+      }
+  }
+
   final case class SsState(counters: Map[String, (Long, Long)])
   final case class HeavyHitter(
       domain: String, state: String, est: Long, err: Long, exact: Int)

@@ -566,6 +566,31 @@ class StatefulStreamingSpec extends SparkSpec {
       s"transition log diverged: $got")
   }
 
+  test("streaming zone dwell: held intervals settle on the next arrival, batch-exact") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Double, Double)]
+    val df = ms.toDF.toDF("time", "user_id", "lat", "lon")
+    val q = StreamingOps.zoneDwellStream(df, centerLat = 0.0, centerLon = 0.0,
+        radiusKm = 200.0).writeStream
+      .format("memory").queryName("zd_t").outputMode("update").start()
+    def t(m: Int) = ts(f"2024-01-01 10:$m%02d:00")
+    try {
+      // inside 10:00→10:10 (held 600s), outside 10:10→10:30, inside from 10:30
+      ms.addData((t(0), 1L, 0.0, 0.5), (t(10), 1L, 0.0, 50.0))
+      q.processAllAvailable()
+      ms.addData((t(30), 1L, 0.0, 0.1), (t(40), 1L, 0.0, 0.2))
+      q.processAllAvailable()
+    } finally q.stop()
+    import spark.implicits._
+    val fin = spark.table("zd_t").as[StreamingOps.ZoneDwellRow].collect()
+      .maxBy(_.n_obs)
+    // dwell: 600s (first hold) + 600s (10:30→10:40) = 1200s; 2 visits
+    assert(fin.n_obs == 4L)
+    assert(fin.dwell_us == 1200L * 1000000L, s"dwell ${fin.dwell_us}")
+    assert(fin.n_visits == 2L)
+    assert(fin.first_seen == t(0) && fin.last_seen == t(40))
+  }
+
   test("streaming SpaceSaving: guarantees hold and state stays bounded at k") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(String, String)]
