@@ -146,4 +146,33 @@ class RocksDbStateSpec extends SparkSpec {
         s"RocksDB-recovered CMS cells diverged: $cells vs $expect")
     }
   }
+
+  test("SpaceSaving counters survive a checkpoint restart on RocksDB state") {
+    withRocksDb {
+      val in = tmp("rdb-ss-in"); val ckpt = tmp("rdb-ss-ckpt")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "entity_id STRING, state STRING")
+      val emitted = new scala.collection.concurrent.TrieMap[String, (Long, Long)]
+      def start() = StreamingOps
+        .heavyHittersStream(spark.readStream.schema(schema).json(in), k = 3)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingOps.HeavyHitter], _: Long) =>
+          b.collect().foreach(h => emitted.updateWith(h.state)(o =>
+            Some(if (o.exists(_._1 >= h.est)) o.get else (h.est, h.err))))
+          ()
+        }
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      def ev(s: String) = s"""{"entity_id":"click.1","state":"$s"}"""
+      Files.writeString(Paths.get(in, "b1.json"),
+        Seq("a", "a", "a", "b").map(ev).mkString("\n"))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // restart: the Map-typed counter state must round-trip RocksDB;
+      // a's recovered counter continues from 3, not from scratch
+      Files.writeString(Paths.get(in, "b2.json"), Seq("a", "c").map(ev).mkString("\n"))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      assert(emitted("a") == ((4L, 0L)),
+        s"recovered counter must continue at 4 exact: ${emitted.toMap}")
+      assert(emitted("b") == ((1L, 0L)) && emitted("c") == ((1L, 0L)))
+    }
+  }
 }
