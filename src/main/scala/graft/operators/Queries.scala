@@ -1881,6 +1881,90 @@ object Queries {
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM h GROUP BY 1 ORDER BY geohash""".stripMargin))
 
+  /** KMV MERGE ALGEBRA — the property that makes sketches the cagg
+    * citizen they are: per-HOUR KMV sketches of distinct entities,
+    * merged up to the day by union+retop, must equal the day sketch
+    * computed directly from raw rows — top-k of a union IS the top-k
+    * of the union of per-part top-ks, so the merge is LOSSLESS, and
+    * this query hash-proves it instead of asserting it (the oracle
+    * pins `merge_exact` = 1 per day; a broken merge rule flips the bit
+    * or moves the kth-min). This is the maintenance story for a
+    * distinct-count continuous aggregate at 100 TB: hour sketches
+    * update incrementally (64 longs each), day/week/month views merge
+    * without ever rescanning raw rows. Per day the report carries both
+    * estimates and the exactness bit. One distinct shuffle on
+    * (bucket, hash); everything after runs on sketch-sized frames. */
+  val kmvMerge = OracleQuery(
+    "ltss_kmv_merge",
+    (s, d) => {
+      import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}
+      val HourUs = 3600000000L
+      val DayUs = 86400000000L
+      def est(n: Column, kth: Column): Column =
+        when(n < KmvK, n.cast("double"))
+          .otherwise((lit((KmvK - 1).toDouble) * lit(1152921504606846976.0d))
+            / kth.cast("double"))
+      val base = ltss(s, d)
+        .withColumn("h", columnOf(graft.functions.Md5Prefix64(expressionOf(col("entity_id")))))
+        .withColumn("bus", unix_micros(col("time")) - pmod(unix_micros(col("time")), lit(HourUs)))
+        .withColumn("day", unix_micros(col("time")) - pmod(unix_micros(col("time")), lit(DayUs)))
+      val wHour = Window.partitionBy(col("bus")).orderBy(col("h"))
+      val hourSk = base.select(col("day"), col("bus"), col("h")).distinct()
+        .withColumn("rn", row_number().over(wHour)).filter(col("rn") <= KmvK)
+      val wDay = Window.partitionBy(col("day")).orderBy(col("h"))
+      val merged = hourSk.select(col("day"), col("h")).distinct()
+        .withColumn("rn", row_number().over(wDay)).filter(col("rn") <= KmvK)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_merged"), max(col("h")).as("kth_merged"))
+      val direct = base.select(col("day"), col("h")).distinct()
+        .withColumn("rn", row_number().over(wDay)).filter(col("rn") <= KmvK)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_direct"), max(col("h")).as("kth_direct"))
+      val hours = hourSk.groupBy(col("day"))
+        .agg(countDistinct(col("bus")).as("n_hours"))
+      merged.join(direct, "day").join(hours, "day")
+        .select(timestamp_micros(col("day")).as("day"), col("n_hours"),
+          col("n_direct"), est(col("n_direct"), col("kth_direct")).as("est_direct"),
+          est(col("n_merged"), col("kth_merged")).as("est_merged"),
+          (col("n_merged") === col("n_direct")
+            && col("kth_merged") === col("kth_direct")).cast("int").as("merge_exact"))
+        .orderBy(col("day"))
+    },
+    Some(s"""$ltssCte,
+      |base AS (
+      |  SELECT CAST(concat('0x', substring(md5(entity_id), 1, 15)) AS BIGINT) AS h,
+      |         (epoch_us(time) // 3600000000) * 3600000000 AS bus,
+      |         (epoch_us(time) // 86400000000) * 86400000000 AS day
+      |  FROM ltss
+      |), hour_sk AS (
+      |  SELECT day, bus, h FROM (
+      |    SELECT DISTINCT day, bus, h FROM base)
+      |  QUALIFY row_number() OVER (PARTITION BY bus ORDER BY h) <= $KmvK
+      |), merged AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n_merged, max(h) AS kth_merged FROM (
+      |    SELECT day, h FROM (SELECT DISTINCT day, h FROM hour_sk)
+      |    QUALIFY row_number() OVER (PARTITION BY day ORDER BY h) <= $KmvK)
+      |  GROUP BY day
+      |), direct AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n_direct, max(h) AS kth_direct FROM (
+      |    SELECT day, h FROM (SELECT DISTINCT day, h FROM base)
+      |    QUALIFY row_number() OVER (PARTITION BY day ORDER BY h) <= $KmvK)
+      |  GROUP BY day
+      |), hours AS (
+      |  SELECT day, CAST(count(DISTINCT bus) AS BIGINT) AS n_hours FROM hour_sk GROUP BY day
+      |)
+      |SELECT make_timestamp(m.day) AS day, hs.n_hours, d.n_direct,
+      |       CASE WHEN d.n_direct < $KmvK THEN CAST(d.n_direct AS DOUBLE)
+      |            ELSE (CAST(${KmvK - 1} AS DOUBLE) * 1152921504606846976.0)
+      |                 / CAST(d.kth_direct AS DOUBLE) END AS est_direct,
+      |       CASE WHEN m.n_merged < $KmvK THEN CAST(m.n_merged AS DOUBLE)
+      |            ELSE (CAST(${KmvK - 1} AS DOUBLE) * 1152921504606846976.0)
+      |                 / CAST(m.kth_merged AS DOUBLE) END AS est_merged,
+      |       CAST(m.n_merged = d.n_direct AND m.kth_merged = d.kth_direct AS INT)
+      |         AS merge_exact
+      |FROM merged m JOIN direct d USING (day) JOIN hours hs USING (day)
+      |ORDER BY day""".stripMargin))
+
   private val CmsDepth = 4
   private val CmsWidth = 64
 
@@ -1955,5 +2039,6 @@ object Queries {
     domainStatsSalted, asofJoin, asofJoinFwd, rangeJoin, percentiles, histogram, pivotHours,
     retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, anomalyMad,
     histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq, geohashQ,
-    histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence, zoneDwell)
+    histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence, zoneDwell,
+    kmvMerge)
 }
