@@ -88,7 +88,7 @@ object Similarity {
     * from oracle_sql.json there (rows-only check), like
     * [[Pq.GeometryDependentOracles]]. */
   val GeometryDependentOracles: Set[String] =
-    Set("sim_ivf_kmeans", "sim_ivf_probe", "sim_ivf_probe2",
+    Set("sim_ivf_kmeans", "sim_ivf_probe", "sim_ivf_probe2", "sim_ivf_filtered",
       "dedup_embedding_ivf", "dedup_semantic", "sim_cluster_purity",
       "sim_ivf_append",
       // sampled above [[CalibSampleCap]] (> the fixture threshold), where
