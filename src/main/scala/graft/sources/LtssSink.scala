@@ -531,6 +531,36 @@ object LtssSink {
     } finally conn.close()
   }
 
+  /** LOCATION-COLUMN RE-DETECTION — the reference's startup adaptivity
+    * (`__init__.py:303-308` introspects the live table's columns every
+    * start; `models.py:38-43`: once location is activated it cannot be
+    * deactivated): for an EXISTING table the stored schema overrides
+    * the configured `enableLocation` in both directions — a table with
+    * the column keeps receiving locations even if the config dropped
+    * the flag (no silent column starvation), and a table without it
+    * never gets location writes the DDL can't hold (the reference adds
+    * the column only at first creation, never by migration). A missing
+    * table returns the config unchanged — creation follows it. */
+  def effectiveConfig(
+      cfg: LtssConfig,
+      table: String = "ltss",
+      connect: String => Connection = url => DriverManager.getConnection(url)): LtssConfig = {
+    val conn = connect(cfg.dbUrl)
+    try {
+      def columnsOf(name: String): Set[String] = {
+        val rs = conn.getMetaData.getColumns(null, null, name, null)
+        val out = scala.collection.mutable.Set.empty[String]
+        try while (rs.next()) out += rs.getString("COLUMN_NAME").toLowerCase
+        finally rs.close()
+        out.toSet
+      }
+      val cols = Seq(table, table.toUpperCase, table.toLowerCase)
+        .iterator.map(columnsOf).find(_.nonEmpty).getOrElse(Set.empty)
+      if (cols.isEmpty) cfg
+      else cfg.copy(enableLocation = cols.contains("location"))
+    } finally conn.close()
+  }
+
   /** JDBC append with the reference's retry envelope (≤10 tries, 3 s —
     * __init__.py:53,201-244). Transient (connection-class) failures retry
     * the whole batch. Once retries are exhausted — or on a non-transient

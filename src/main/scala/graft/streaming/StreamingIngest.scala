@@ -95,8 +95,22 @@ object StreamingIngest {
       "attrKeys materializes typed columns in the PARQUET layout only; a JDBC " +
         "target's schema is fixed by bootstrapJdbc — drop the option or use a " +
         "parquet outPath")
-    if (cfg.dbUrl.startsWith("jdbc:")) LtssSink.bootstrapJdbc(cfg)
-    toLtss(events, cfg).writeStream
+    // JDBC target: the stored schema wins over the flag (the reference's
+    // startup re-detection — an existing location column keeps receiving
+    // locations even if the config dropped it, and a table without one
+    // never gets writes its DDL can't hold); a fresh table follows cfg
+    val eff =
+      if (cfg.dbUrl.startsWith("jdbc:")) {
+        // a connect failure here defers to bootstrapJdbc's retry
+        // envelope (which will throw loudly if the DB never comes up);
+        // detection re-runs on the next start, as the reference's does
+        val e =
+          try LtssSink.effectiveConfig(cfg)
+          catch { case _: java.sql.SQLException => cfg }
+        LtssSink.bootstrapJdbc(e)
+        e
+      } else cfg
+    toLtss(events, eff).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))

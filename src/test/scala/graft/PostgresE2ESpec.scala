@@ -107,6 +107,22 @@ class PostgresE2ESpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("effectiveConfig: the live table's location column overrides the flag both ways") {
+    // table WITH the column: a config that dropped the flag is overridden
+    // back on (once activated, never deactivated — reference models.py:38-43)
+    LtssSink.bootstrapJdbc(cfg.copy(enableLocation = true), table = "ltss_det_on",
+      locationType = "VARCHAR(255)")
+    val on = LtssSink.effectiveConfig(cfg.copy(enableLocation = false), "ltss_det_on")
+    assert(on.enableLocation, "existing location column must re-activate the flag")
+    // table WITHOUT the column: a config wanting location is overridden off
+    LtssSink.bootstrapJdbc(cfg.copy(enableLocation = false), table = "ltss_det_off")
+    val off = LtssSink.effectiveConfig(cfg.copy(enableLocation = true), "ltss_det_off")
+    assert(!off.enableLocation, "a column the DDL never created cannot be written")
+    // missing table: creation follows the config unchanged
+    val missing = LtssSink.effectiveConfig(cfg.copy(enableLocation = true), "ltss_det_nope")
+    assert(missing.enableLocation)
+  }
+
   test("upsertJdbc: late corrections overwrite stored rows, inserts land, PK-dups collapse") {
     LtssSink.bootstrapJdbc(cfg, table = "ltss_up", locationType = "VARCHAR(255)")
     val t1 = ts("2024-02-01 00:00:01"); val t2 = ts("2024-02-01 00:00:02")

@@ -545,6 +545,13 @@ object PgMiniDriver {
             "table_name, 'TABLE' AS table_type FROM information_schema.tables " +
             s"WHERE table_type = 'BASE TABLE' AND table_name LIKE ${PgWire.literal(namePattern)} " +
             "ORDER BY table_name"))
+      case ("getColumns", Array(_, _, namePattern: String, _)) =>
+        resultSet(exec(
+          "SELECT table_catalog AS table_cat, table_schema AS table_schem, " +
+            "table_name, column_name, data_type AS type_name " +
+            "FROM information_schema.columns " +
+            s"WHERE table_name LIKE ${PgWire.literal(namePattern)} " +
+            "ORDER BY ordinal_position"))
       case ("supportsTransactions", _) => Boolean.box(true)
       case ("supportsDataManipulationTransactionsOnly", _) => Boolean.box(false)
       case ("supportsDataDefinitionAndDataManipulationTransactions", _) => Boolean.box(true)
