@@ -315,7 +315,11 @@ object TimeSeries {
         .write.mode("overwrite").parquet(p)
     }
 
-  def caggRealtime(s: SparkSession, d: String): DataFrame = {
+  /** The merged hourly partials (entity, bus, n, DECIMAL msum) BEFORE
+    * the render cast — shared by [[caggRealtime]] and the rollup
+    * hierarchy, kept exact so re-aggregated day sums equal direct
+    * sums. */
+  private def caggHourlyPartials(s: SparkSession, d: String): DataFrame = {
     val mat = s.read.parquet(caggLayoutPath(s, d))
       .select(col("entity_id"), col("bus"), col("cnt"),
         col("ssum").cast("decimal(32,2)").as("ssum"))
@@ -329,10 +333,54 @@ object TimeSeries {
     mat.unionByName(live)
       .groupBy(col("entity_id"), col("bus"))
       .agg(sum(col("cnt")).as("n"), sum(col("ssum")).as("msum"))
+  }
+
+  def caggRealtime(s: SparkSession, d: String): DataFrame =
+    caggHourlyPartials(s, d)
       .select(col("entity_id"), timestamp_micros(col("bus")).as("bucket"),
         col("n"), col("msum").cast("double").as("state_sum"),
         graft.functions.DetMath.avgFromSum(col("msum"), col("n")).as("state_avg"))
-  }
+
+  /** CAGG ROLLUP HIERARCHY — TimescaleDB's "cagg on cagg" (hourly →
+    * daily continuous aggregates, the standard dashboard ladder): the
+    * DAY report derives ONLY from the hourly partials — materialized
+    * prefix + chunk-pruned live tail, never raw rows — while the
+    * oracle is the DIRECT day aggregate over the full history, so the
+    * hash gate proves the exact-partial hierarchy the way
+    * [[graft.operators.Queries.kmvMerge]] proves the sketch's: count
+    * and DECIMAL sum form a commutative monoid, so re-aggregated hour
+    * partials are indistinguishable from the direct answer at ANY
+    * nesting depth. At 100 TB each ladder level reads the level below
+    * (render-scale), and only the hourly level ever touches raw data. */
+  def caggRollup(s: SparkSession, d: String): DataFrame =
+    caggHourlyPartials(s, d)
+      .withColumn("day", col("bus") - pmod(col("bus"), lit(DayUs)))
+      .groupBy(col("entity_id"), col("day"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("n"),
+        sum(col("msum")).as("dsum"))
+      .select(col("entity_id"), timestamp_micros(col("day")).as("day"),
+        col("n_hours"), col("n"), col("dsum").cast("double").as("state_sum"),
+        graft.functions.DetMath.avgFromSum(col("dsum"), col("n")).as("state_avg"))
+      .orderBy(col("entity_id"), col("day"))
+
+  // lazy: interpolates [[ltssBase]], which initializes later in the file
+  lazy val caggRollupQ = OracleQuery(
+    "ltss_cagg_rollup",
+    (s, d) => caggRollup(s, d),
+    Some(s"""$ltssBase
+      |SELECT entity_id, make_timestamp(day) AS day,
+      |       CAST(count(DISTINCT bus) AS BIGINT) AS n_hours,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(sv) AS DOUBLE) AS state_sum,
+      |       CAST(sum(sv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS state_avg
+      |FROM (
+      |  SELECT entity_id,
+      |         (epoch_us(time) // $HourUs) * $HourUs AS bus,
+      |         (epoch_us(time) // $DayUs) * $DayUs AS day,
+      |         CAST(state AS DECIMAL(12,2)) AS sv
+      |  FROM base)
+      |GROUP BY entity_id, day
+      |ORDER BY entity_id, day""".stripMargin))
 
   /** Late-data RECONCILIATION of the continuous aggregate — the replay
     * path every streaming scaladoc in this repo defers to ("late events
@@ -1992,5 +2040,5 @@ object TimeSeries {
       markovQ, rateAnomalyQ, movingAvgQ, ewmaQ, drawdownQ, caggQ,
       caggReconcileQ, trendQ, acfQ,
       changepointQ, m4Q, seasonalQ, forecastBacktestQ, crossCorrQ, saxMotifQ,
-      asapQ)
+      asapQ, caggRollupQ)
 }
