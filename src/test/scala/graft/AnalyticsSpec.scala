@@ -191,6 +191,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("KMV merge: cross-hour duplicate entities collapse once at the day level") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    // 3 entities active across 2 hours of one day (each hour sees all 3)
+    // → hour sketches of 3 hashes each, merged day sketch must hold the
+    // SAME 3 distinct hashes as the direct day sketch — not 6
+    val rows = for {
+      h <- Seq(0, 1); u <- Seq(1L, 2L, 3L)
+    } yield (java.sql.Timestamp.valueOf(f"2024-01-01 0$h:15:00"), u, u, 1.0)
+    import spark.implicits._
+    rows.toDF("ts", "event_id", "user_id", "value")
+      .selectExpr("ts", "event_id", "user_id", "value",
+        "'click' AS event_type", "'{}' AS props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Queries.kmvMerge.run(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_hours") == 2L)
+    assert(r.getAs[Long]("n_direct") == 3L, "3 distinct entities, both sketches")
+    assert(r.getAs[Double]("est_direct") == 3.0) // below K → exact
+    assert(r.getAs[Double]("est_merged") == 3.0)
+    assert(r.getAs[Int]("merge_exact") == 1)
+  }
+
   test("geohash closed form matches the textbook bisection encoder") {
     // independent reference: classic interval-bisection geohash
     def bisect(lat: Double, lon: Double): String = {
