@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.tokenSetCountFn)
     ext.injectFunction(GraftExtensions.shinglesKFn)
     ext.injectFunction(GraftExtensions.quantizeI8Fn)
+    ext.injectFunction(GraftExtensions.md5Prefix64Fn)
   }
 }
 
@@ -120,6 +121,14 @@ object GraftExtensions {
     new ExpressionInfo(classOf[QuantizeI8].getName, "quantize_i8"),
     (args: Seq[Expression]) => QuantizeI8(args.head))
 
+  /** The sketch-family hash (KMV, CMS, soft-dedup coins) as a SQL
+    * function — DuckDB twin: CAST(concat('0x', substring(md5(x), 1,
+    * 15)) AS BIGINT). */
+  val md5Prefix64Fn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("md5_prefix64"),
+    new ExpressionInfo(classOf[graft.functions.Md5Prefix64].getName, "md5_prefix64"),
+    (args: Seq[Expression]) => graft.functions.Md5Prefix64(args.head))
+
   /** Idempotent registration on an already-built session. The optimizer
     * rule goes through `experimental.extraOptimizations` (a live session
     * cannot take extension injections); predicates it adds still reach
@@ -158,5 +167,7 @@ object GraftExtensions {
       "built-in")
     reg.createOrReplaceTempFunction("quantize_i8",
       args => QuantizeI8(args.head), "built-in")
+    reg.createOrReplaceTempFunction("md5_prefix64",
+      args => graft.functions.Md5Prefix64(args.head), "built-in")
   }
 }

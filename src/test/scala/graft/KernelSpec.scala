@@ -126,4 +126,17 @@ class KernelSpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).getString(0).length == 16 &&
       rows(0).getString(1).length == 32)
   }
+
+  test("md5_prefix64 in SQL matches the kernel and the DuckDB hex form") {
+    graft.plans.GraftExtensions.install(spark)
+    val got = spark.sql("SELECT md5_prefix64('click.7') AS h").collect()(0).getLong(0)
+    val direct = graft.functions.TextHash.md5Prefix64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("click.7"))
+    assert(got == direct)
+    // the DuckDB twin: first 15 md5 hex chars as a long (60-bit, ≥ 0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("click.7".getBytes("UTF-8"))
+    val hex = md.map(b => f"$b%02x").mkString.take(15)
+    assert(got == java.lang.Long.parseLong(hex, 16) && got >= 0L)
+  }
 }
