@@ -1391,6 +1391,63 @@ object StreamingOps {
       }
   }
 
+  final case class AsapState(
+      ring: Seq[Long], seen: Long, stats: Map[Int, (Long, Long, Long)])
+  final case class AsapPick(
+      domain: String, w_best: Int, m: Long, var_int: Long, roughness: Double)
+
+  /** Continuous ASAP WINDOW SELECTION — the streaming twin of the batch
+    * `ltss_asap_smooth` picker, running the same telescoping-identity
+    * mathematics incrementally: the per-domain state is a RING of the
+    * last max-window (24) bucket counts plus, per candidate window w,
+    * the running moments (m, Σd, Σd²) of the diffs d = c_t − c_{t−w} —
+    * each arriving bucket updates all 7 candidates from the ring in
+    * O(7), and the emitted pick recomputes var_int = m·Σd² − (Σd)² and
+    * roughness = √var_int/(m·w) exactly as the batch does, so after
+    * any DENSE bucket prefix the pick equals the batch argmin over the
+    * same buckets (spec-pinned). State is 24 + 7×3 longs per domain —
+    * bounded by the candidate grid, not the stream. Input contract:
+    * the dense per-domain hourly count series in bucket order (the
+    * gap-filled stream the windowed-count + gapfill twins produce);
+    * sparse delivery would silently skip the zero buckets the batch
+    * grid materializes. */
+  def asapStream(
+      counts: DataFrame, // domain STRING, bus LONG, c LONG (dense, in order)
+      windows: Seq[Int] = Seq(2, 3, 4, 6, 8, 12, 24)): Dataset[AsapPick] = {
+    import counts.sparkSession.implicits._
+    val maxW = windows.max
+    counts.select(col("domain"), col("bus"), col("c"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsapState, AsapPick](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (domain, rows, st) =>
+          var s = st.getOption.getOrElse(
+            AsapState(Vector.fill(maxW)(0L), 0L,
+              windows.map(_ -> ((0L, 0L, 0L))).toMap))
+          for ((_, _, c) <- rows.toSeq.sortBy(_._2)) {
+            val stats = s.stats.map { case (w, (m, sd, sd2)) =>
+              if (s.seen >= w) {
+                val d = c - s.ring(((s.seen - w) % maxW).toInt)
+                w -> ((m + 1, sd + d, sd2 + d * d))
+              } else w -> ((m, sd, sd2))
+            }
+            s = AsapState(
+              s.ring.updated((s.seen % maxW).toInt, c), s.seen + 1, stats)
+          }
+          st.update(s)
+          val picks = s.stats.toSeq.collect {
+            case (w, (m, sd, sd2)) if m > 0 =>
+              val varInt = m * sd2 - sd * sd
+              AsapPick(domain, w, m, varInt,
+                math.sqrt(varInt.toDouble) / (m * w).toDouble)
+          }
+          if (picks.isEmpty) Iterator.empty
+          else Iterator.single(picks.minBy(p => (p.roughness, p.w_best)))
+      }
+  }
+
   final case class ZoneDwellState(
       lastUs: Long, lastInside: Int, dwellUs: Long, visits: Long,
       nObs: Long, firstUs: Long)

@@ -566,6 +566,38 @@ class StatefulStreamingSpec extends SparkSpec {
       s"transition log diverged: $got")
   }
 
+  test("streaming ASAP pick equals the batch window selection over a dense prefix") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600000000L
+    val counts = Seq(1, 3, 1, 3, 1, 3, 1, 3, 2, 4, 2, 4, 1, 3, 1, 3).map(_.toLong)
+    val ms = MemoryStream[(String, Long, Long)]
+    val df = ms.toDF.toDF("domain", "bus", "c")
+    val q = graft.streaming.StreamingOps.asapStream(df).writeStream
+      .format("memory").queryName("asap_t").outputMode("update").start()
+    try {
+      val buses = counts.zipWithIndex.map { case (c, i) => ("click", i * H, c) }
+      val (b1, b2) = buses.splitAt(9)
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    import spark.implicits._
+    val fin = spark.table("asap_t")
+      .as[graft.streaming.StreamingOps.AsapPick].collect().maxBy(_.m)
+    // batch reference over the SAME dense series (c events per hour)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c.toInt)((java.sql.Timestamp.valueOf(f"2024-01-01 ${h}%02d:00:00"),
+        "click.1", "1.00"))
+    }
+    val batch = graft.operators.TimeSeries.asapSmooth(
+        rows.toDF("time", "entity_id", "state")).collect()
+      .filter(_.getAs[Int]("is_best") == 1).head
+    assert(fin.w_best == batch.getAs[Int]("w"),
+      s"stream pick ${fin.w_best} != batch ${batch.getAs[Int]("w")}")
+    assert(fin.var_int == batch.getAs[Long]("var_int"))
+    assert(fin.roughness == batch.getAs[Double]("roughness"))
+    assert(fin.m == batch.getAs[Long]("m"))
+  }
+
   test("streaming zone dwell: held intervals settle on the next arrival, batch-exact") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, Long, Double, Double)]
