@@ -89,6 +89,7 @@ object Similarity {
     * [[Pq.GeometryDependentOracles]]. */
   val GeometryDependentOracles: Set[String] =
     Set("sim_ivf_kmeans", "sim_ivf_probe", "sim_ivf_probe2", "sim_ivf_filtered",
+      "sim_filtered_recall",
       "dedup_embedding_ivf", "dedup_semantic", "sim_cluster_purity",
       "sim_ivf_append",
       // sampled above [[CalibSampleCap]] (> the fixture threshold), where
@@ -1461,10 +1462,70 @@ object Similarity {
       |WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin))
 
+  /** FILTERED-ANN RECALL — the honest measurement closing the filtered
+    * pair: how much of the brute-force filtered top-5 ([[filteredTopk]]
+    * restricted to the vec-0 query) does the nprobe=2 IVF-filtered
+    * probe ([[ivfFiltered]]) actually return? Both legs run in one
+    * plan, the overlap is an id-set intersection, and recall is the
+    * one closing division — the same measured-not-asserted pattern as
+    * `sim_knn_recall`/`sim_recall_report`, now for the predicate
+    * path (selective predicates SHRINK clusters' qualifying sets, so
+    * filtered recall can differ from unfiltered recall at the same
+    * nprobe — this query is where that shows). */
+  val filteredRecall = OracleQuery(
+    "sim_filtered_recall",
+    (s, d) => {
+      val emb = embNorm(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val bf = emb.filter(col("vec_id") =!= 0 && pmod(col("label"), lit(2)) === 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cosine", DetMath.cosinePre(
+          DetMath.dotCol(col("embedding"), col("qe"), Dim), col("nrm"), col("qn")))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"))
+      val probed = ivfFiltered.run(s, d).select(col("vec_id"))
+      bf.join(probed, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(5).as("k"), col("n_overlap"),
+          (col("n_overlap").cast("double") / 5.0d).as("recall"))
+    },
+    Some(s"""$kmeansSqlChain,
+      |q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+      |qcid AS (
+      |  SELECT cid FROM (
+      |    SELECT cid, ${DetMath.cosinePreSql(DetMath.dotSql("ce", "qe", Dim), "cn", "qn")} AS qcos
+      |    FROM c${KmIters}n, q)
+      |  ORDER BY qcos DESC, cid LIMIT 2
+      |), probed AS (
+      |  SELECT vec_id FROM (
+      |    SELECT a.vec_id,
+      |           ${DetMath.cosinePreSql(DetMath.dotSql("e.embedding", "q.qe", Dim), "e.nrm", "q.qn")} AS cosine
+      |    FROM aF a
+      |    JOIN qcid ON a.cid = qcid.cid
+      |    JOIN e ON e.vec_id = a.vec_id
+      |    JOIN embeddings emb ON emb.vec_id = a.vec_id, q
+      |    WHERE a.vec_id <> 0 AND ((emb.label % 2) + 2) % 2 = 0)
+      |  ORDER BY cosine DESC, vec_id LIMIT 5
+      |), bf AS (
+      |  SELECT e.vec_id FROM e
+      |  JOIN embeddings emb ON emb.vec_id = e.vec_id, q
+      |  WHERE e.vec_id <> 0 AND ((emb.label % 2) + 2) % 2 = 0
+      |  ORDER BY ${DetMath.cosinePreSql(
+        DetMath.dotSql("e.embedding", "q.qe", Dim), "e.nrm", "q.qn")} DESC, e.vec_id
+      |  LIMIT 5
+      |)
+      |SELECT 5 AS k,
+      |       CAST((SELECT count(*) FROM bf WHERE vec_id IN (SELECT vec_id FROM probed))
+      |            AS BIGINT) AS n_overlap,
+      |       CAST((SELECT count(*) FROM bf WHERE vec_id IN (SELECT vec_id FROM probed))
+      |            AS DOUBLE) / 5.0 AS recall""".stripMargin))
+
   val all: Seq[OracleQuery] =
     Seq(cosineTopk, ivf, embedNearDup, embedNearDupBanded, embedNearDupRandomQ,
       ivfProbe, ivfProbe2, ivfKmeans, dedupEmbeddingIvf, dedupSemantic,
       binaryTopk, matryoshkaQ, embedQuantize, hardNegatives, embedCalibration,
       clusterPurity, embedOutliers, ivfAppend, mmrTopk, radiusSearch,
-      filteredTopk, ivfFiltered)
+      filteredTopk, ivfFiltered, filteredRecall)
 }
