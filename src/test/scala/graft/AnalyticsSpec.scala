@@ -214,6 +214,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Int]("merge_exact") == 1)
   }
 
+  test("geofence batch: a crossing path emits exactly its enter/exit pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gf").toString
+    // user 147 has lat = 147 % 180 - 90 + 0.5 = 57.5 (near the fence
+    // center 57.7); lon = event_id % 360 - 180 + 0.5. Walk the lon axis
+    // through the 2000 km fence: far → near (enter) → far (exit)
+    def lonToEvent(lon: Int): Long = (lon + 180 - 0).toLong // event_id % 360 = lon+180, lon+0.5 actual
+    val path = Seq(100, 12, 11, 100, 12) // lon ≈ 100.5 out, 12.5 in, 11.5 in, 100.5 out, 12.5 in
+    val rows = path.zipWithIndex.map { case (lon, i) =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i:00"), lonToEvent(lon), 147L, 1.0)
+    }
+    import spark.implicits._
+    rows.toDF("ts", "event_id", "user_id", "value")
+      .selectExpr("ts", "event_id", "user_id", "value",
+        "'click' AS event_type", "'{}' AS props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Queries.geofence.run(spark, dir)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("time").toString.substring(14, 16),
+        r.getAs[String]("event")))
+    assert(out.toSeq == Seq(("01", "enter"), ("03", "exit"), ("04", "enter")),
+      s"transition log diverged: ${out.toSeq}")
+  }
+
   test("geohash closed form matches the textbook bisection encoder") {
     // independent reference: classic interval-bisection geohash
     def bisect(lat: Double, lon: Double): String = {
