@@ -1822,17 +1822,20 @@ object Queries {
     * spelling. Standard geohash: 30 bits alternating lon (15, even
     * positions from the MSB) and lat (15, odd), base32 in the
     * 0-9 b-z (no a,i,l,o) alphabet. */
-  private[graft] def geohashBitsSql(q: String): String =
-    ((0 until 15).map { k =>
-      s"((lonq $q ${1L << (14 - k)}) % 2) * ${1L << (29 - 2 * k)}"
-    } ++ (0 until 15).map { k =>
-      s"((latq $q ${1L << (14 - k)}) % 2) * ${1L << (28 - 2 * k)}"
+  private[graft] def geohashBitsSql(
+      q: String, axisBits: Int = 15, lon: String = "lonq", lat: String = "latq",
+      out: String = ""): String =
+    ((0 until axisBits).map { k =>
+      s"(($lon $q ${1L << (axisBits - 1 - k)}) % 2) * ${1L << (2 * axisBits - 1 - 2 * k)}"
+    } ++ (0 until axisBits).map { k =>
+      s"(($lat $q ${1L << (axisBits - 1 - k)}) % 2) * ${1L << (2 * axisBits - 2 - 2 * k)}"
     }).mkString(" + ")
 
-  private[graft] def geohashCharsSql(q: String): String =
-    (0 until 6).map { j =>
-      val p = math.pow(32, 5 - j).toLong
-      s"substring('$GeohashAlphabet', CAST((gh $q $p) % 32 AS INT) + 1, 1)"
+  private[graft] def geohashCharsSql(
+      q: String, chars: Int = 6, gh: String = "gh"): String =
+    (0 until chars).map { j =>
+      val p = math.pow(32, chars - 1 - j).toLong
+      s"substring('$GeohashAlphabet', CAST(($gh $q $p) % 32 AS INT) + 1, 1)"
     }.mkString(" || ")
 
   /** GEOHASH cell rollup — the PostGIS `ST_GeoHash` surface (the other
@@ -1965,6 +1968,58 @@ object Queries {
       |FROM merged m JOIN direct d USING (day) JOIN hours hs USING (day)
       |ORDER BY day""".stripMargin))
 
+  /** GEOHASH PREFIX ALGEBRA — the claim the [[geohashQ]] scaladoc
+    * makes ("a prefix truncation of the SAME string gives every
+    * coarser rollup without re-encoding") hash-PROVEN instead of
+    * asserted, completing the algebra trio ([[kmvMerge]]'s sketch
+    * merge, the cagg ladder): for every point, the first 4 chars of
+    * the precision-6 geohash must equal the DIRECT precision-4 encode
+    * (10-bit quantization = the 15-bit quantization floor-divided by
+    * 2⁵ — nested floor division is exact, so the property is an
+    * identity, and a violation count the oracle pins to 0 would catch
+    * any interleave/base32 mis-derivation). The report also carries
+    * the cell counts at both precisions — the rollup-fanout a
+    * dashboard zoom actually reads. */
+  val geohashPrefixQ = OracleQuery(
+    "ltss_geohash_prefix",
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .withColumn("latq", expr("((pmod(user_id, 180) * 2 + 1) * 32768) div 360"))
+        .withColumn("lonq", expr("((pmod(event_id, 360) * 2 + 1) * 32768) div 720"))
+        .withColumn("latq4", expr("latq div 32"))
+        .withColumn("lonq4", expr("lonq div 32"))
+        .withColumn("gh", expr(geohashBitsSql("div")))
+        .withColumn("gh4", expr(geohashBitsSql("div", 10, "lonq4", "latq4")))
+        .withColumn("geohash6", expr(geohashCharsSql("div")))
+        .withColumn("geohash4", expr(geohashCharsSql("div", 4, "gh4")))
+        .agg(count(lit(1)).as("n_points"),
+          sum((substring(col("geohash6"), 1, 4) =!= col("geohash4")).cast("long"))
+            .as("violations"),
+          countDistinct(col("geohash4")).as("n_cells4"),
+          countDistinct(col("geohash6")).as("n_cells6")),
+    Some(s"""WITH q AS (
+      |  SELECT ((((user_id % 180 + 180) % 180) * 2 + 1) * 32768) // 360 AS latq,
+      |         ((((event_id % 360 + 360) % 360) * 2 + 1) * 32768) // 720 AS lonq
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+      |), g AS (
+      |  SELECT latq // 32 AS latq4, lonq // 32 AS lonq4,
+      |         ${geohashBitsSql("//")} AS gh
+      |  FROM q
+      |), g2 AS (
+      |  SELECT gh, ${geohashBitsSql("//", 10, "lonq4", "latq4")} AS gh4 FROM g
+      |), h AS (
+      |  SELECT ${geohashCharsSql("//")} AS geohash6,
+      |         ${geohashCharsSql("//", 4, "gh4")} AS geohash4
+      |  FROM g2
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_points,
+      |       CAST(sum(CASE WHEN substring(geohash6, 1, 4) <> geohash4
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+      |       CAST(count(DISTINCT geohash4) AS BIGINT) AS n_cells4,
+      |       CAST(count(DISTINCT geohash6) AS BIGINT) AS n_cells6
+      |FROM h""".stripMargin))
+
   private val CmsDepth = 4
   private val CmsWidth = 64
 
@@ -2040,5 +2095,5 @@ object Queries {
     retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, anomalyMad,
     histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq, geohashQ,
     histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence, zoneDwell,
-    kmvMerge)
+    kmvMerge, geohashPrefixQ)
 }
