@@ -214,6 +214,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Int]("merge_exact") == 1)
   }
 
+  test("month buckets: the Jan 31 / Feb 1 boundary splits calendar-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mon").toString
+    val rows = Seq(
+      ("2024-01-31 23:59:59", 10.0), // last second of January
+      ("2024-02-01 00:00:00", 20.0), // first second of February
+      ("2024-02-29 12:00:00", 30.0)) // leap-day, still February
+      .zipWithIndex.map { case ((t, v), i) =>
+        (java.sql.Timestamp.valueOf(t), i.toLong + 1L, 7L, v)
+      }
+    import spark.implicits._
+    rows.toDF("ts", "event_id", "user_id", "value")
+      .selectExpr("ts", "event_id", "user_id", "value",
+        "'click' AS event_type", "'{}' AS props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Queries.timeBucketMonth.run(spark, dir)
+      .collect().map(r => r.getAs[java.sql.Timestamp]("bucket").toString.take(10) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_state"))).toMap
+    assert(out("2024-01-01") == ((1L, 10.0)), s"January bucket wrong: $out")
+    assert(out("2024-02-01") == ((2L, 50.0)), s"February bucket wrong: $out")
+  }
+
   test("geofence batch: a crossing path emits exactly its enter/exit pairs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gf").toString
     // user 147 has lat = 147 % 180 - 90 + 0.5 = 57.5 (near the fence
