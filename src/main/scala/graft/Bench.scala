@@ -95,6 +95,7 @@ object Bench {
     warmed("pq_train")(graft.operators.Pq.pqCodes(spark, sfDir).count())
     warmed("ivfpq_layout")(graft.operators.Pq.ivfPqLayoutPath(spark, sfDir))
     warmed("cagg_layout")(graft.operators.TimeSeries.caggLayoutPath(spark, sfDir))
+    warmed("dense_dev")(graft.operators.TimeSeries.denseDevCached(spark, sfDir).count())
     warmed("inv_index")(graft.operators.TextOps.invIndexPath(spark, sfDir))
     warmed("shingle_pairs")(
       graft.operators.TextOps.shinglePairs(spark, sfDir).count())

@@ -1331,16 +1331,39 @@ object TimeSeries {
       .withColumn("domain", split(col("entity_id"), "\\.").getItem(0))
       .withColumn("bus", bucketUs(col("time"), widthUs))
       .groupBy(col("domain"), col("bus")).agg(count(lit(1)).as("c"))
-    val dense = counts.groupBy(col("domain"))
-      .agg(min(col("bus")).as("b0"), max(col("bus")).as("b1"))
-      .select(col("domain"),
-        explode(sequence(col("b0"), col("b1"), lit(widthUs))).as("bus"))
+    // Gap-fill by lag: each observed bucket emits itself plus the silent
+    // buckets since its per-domain predecessor, so the full min..max grid
+    // forms in ONE pass over `counts` — no bounds aggregate, no
+    // grid-vs-counts join, and the event scan under `counts` is consumed
+    // exactly once (the earlier two-consumer shape re-ran that subtree
+    // whenever exchange reuse didn't fire). The window's domain
+    // partitioning also pre-positions rows for the n/dev windows below —
+    // zero additional shuffles after the one combinable count.
+    val wo = Window.partitionBy(col("domain")).orderBy(col("bus"))
     val wd = Window.partitionBy(col("domain"))
-    dense.join(counts, Seq("domain", "bus"), "left")
-      .select(col("domain"), col("bus"), coalesce(col("c"), lit(0L)).as("c"))
+    counts
+      .withColumn("prev", lag(col("bus"), 1).over(wo))
+      .select(col("domain"), col("bus"), col("c"),
+        explode(sequence(coalesce(col("prev") + widthUs, col("bus")),
+          col("bus"), lit(widthUs))).as("gbus"))
+      .select(col("domain"), col("gbus").as("bus"),
+        when(col("gbus") === col("bus"), col("c")).otherwise(lit(0L)).as("c"))
       .withColumn("n", count(lit(1)).over(wd))
       .withColumn("dev", col("n") * col("c") - sum(col("c")).over(wd))
   }
+
+  /** The [[denseHourlyDev]] grid persisted once per (session, dataset,
+    * width): five hyperfunctions ([[acf]], [[changepoint]], the forecast
+    * backtest, [[saxMotif]], [[asapSmooth]]) consume the IDENTICAL tiny
+    * derived series (|domains| × span/width rows), so the one count
+    * shuffle over raw events runs once per dataset, not once per query —
+    * the same shared-artifact policy as the band/codebook caches, with
+    * the cold build timed under the bench's `warm_build` field. */
+  private[graft] def denseDevCached(s: SparkSession, d: String,
+      widthUs: Long = HourUs): DataFrame =
+    graft.CachedFrames.getOrBuild(
+      s"densedev|$widthUs|${graft.CachedFrames.sessionKey(s)}|$d")(
+      denseHourlyDev(Queries.ltss(s, d), widthUs))
 
   /** The shared DuckDB replay of [[denseHourlyDev]], ending at
     * `dv(domain, bus, n, dev)`. */
@@ -1378,8 +1401,10 @@ object TimeSeries {
     * lag columns exploded), never one pass per lag; the Spark lag
     * window and the oracle's dense-grid self-join see identical pairs
     * because the grid has no holes by construction. */
-  def acf(ltss: DataFrame, maxLag: Int = 6, widthUs: Long = HourUs): DataFrame = {
-    val dv = denseHourlyDev(ltss, widthUs)
+  def acf(ltss: DataFrame, maxLag: Int = 6, widthUs: Long = HourUs): DataFrame =
+    acfFromDev(denseHourlyDev(ltss, widthUs), maxLag)
+
+  private def acfFromDev(dv: DataFrame, maxLag: Int): DataFrame = {
     val wo = Window.partitionBy(col("domain")).orderBy(col("bus"))
     val wd = Window.partitionBy(col("domain"))
     // den rides the SAME per-domain window pass as the lags — the dense
@@ -1403,7 +1428,7 @@ object TimeSeries {
 
   val acfQ = OracleQuery(
     "ltss_acf",
-    (s, d) => acf(Queries.ltss(s, d)),
+    (s, d) => acfFromDev(denseDevCached(s, d), 6),
     Some(s"""${denseDevCte()},
       |lags AS (SELECT unnest(generate_series(1, 6)) AS lag),
       |num AS (
@@ -1436,8 +1461,10 @@ object TimeSeries {
     * is the argmax bucket (ties → earliest), i.e. where the cumulative
     * upward drift from the domain mean peaks; the downward twin is the
     * same chain on −dev. */
-  def changepoint(ltss: DataFrame, widthUs: Long = HourUs): DataFrame = {
-    val dv = denseHourlyDev(ltss, widthUs)
+  def changepoint(ltss: DataFrame, widthUs: Long = HourUs): DataFrame =
+    changepointFromDev(denseHourlyDev(ltss, widthUs))
+
+  private def changepointFromDev(dv: DataFrame): DataFrame = {
     val wo = Window.partitionBy(col("domain")).orderBy(col("bus"))
     val cu = dv
       .withColumn("p", sum(col("dev")).over(wo))
@@ -1453,7 +1480,7 @@ object TimeSeries {
 
   val changepointQ = OracleQuery(
     "ltss_changepoint",
-    (s, d) => changepoint(Queries.ltss(s, d)),
+    (s, d) => changepointFromDev(denseDevCached(s, d)),
     Some(s"""${denseDevCte()},
       |pr AS (
       |  SELECT domain, bus, n,
@@ -1584,7 +1611,7 @@ object TimeSeries {
   val forecastBacktestQ = OracleQuery(
     "ltss_forecast_backtest",
     (s, d) => {
-      val dv = denseHourlyDev(Queries.ltss(s, d))
+      val dv = denseDevCached(s, d)
       val wo = Window.partitionBy(col("domain")).orderBy(col("bus"))
       dv.select(col("domain"), col("n"), col("c"),
           lag(col("c"), 1).over(wo).as("p1"),
@@ -1913,8 +1940,10 @@ object TimeSeries {
     *
     * Scale shape: identical to [[acf]] — one combinable count shuffle,
     * then windows over span/width-sized per-domain grids. */
-  def saxMotif(ltss: DataFrame, widthUs: Long = HourUs): DataFrame = {
-    val dv = denseHourlyDev(ltss, widthUs)
+  def saxMotif(ltss: DataFrame, widthUs: Long = HourUs): DataFrame =
+    saxMotifFromDev(denseHourlyDev(ltss, widthUs))
+
+  private def saxMotifFromDev(dv: DataFrame): DataFrame = {
     val wsym = Window.partitionBy(col("domain")).orderBy(col("c"), col("bus"))
     val wo = Window.partitionBy(col("domain")).orderBy(col("bus"))
     val words = dv
@@ -1934,7 +1963,7 @@ object TimeSeries {
 
   val saxMotifQ = OracleQuery(
     "ltss_sax_motif",
-    (s, d) => saxMotif(Queries.ltss(s, d)),
+    (s, d) => saxMotifFromDev(denseDevCached(s, d)),
     Some(s"""${denseDevCte()},
       |sym AS (
       |  SELECT domain, bus,
@@ -1982,8 +2011,10 @@ object TimeSeries {
     * over-smoothing risk the guard exists to limit. Scale shape:
     * identical to [[acf]] — one combinable count shuffle, then one
     * multi-lag window pass over render-scale grids. */
-  def asapSmooth(ltss: DataFrame, widthUs: Long = HourUs): DataFrame = {
-    val dv = denseHourlyDev(ltss, widthUs)
+  def asapSmooth(ltss: DataFrame, widthUs: Long = HourUs): DataFrame =
+    asapFromDev(denseHourlyDev(ltss, widthUs))
+
+  private def asapFromDev(dv: DataFrame): DataFrame = {
     val wo = Window.partitionBy(col("domain")).orderBy(col("bus"))
     val lagged = dv.select(Seq(col("domain"), col("c")) ++
       AsapWindows.map(w => lag(col("c"), w).over(wo).as(s"l$w")): _*)
@@ -2008,7 +2039,7 @@ object TimeSeries {
 
   val asapQ = OracleQuery(
     "ltss_asap_smooth",
-    (s, d) => asapSmooth(Queries.ltss(s, d)),
+    (s, d) => asapFromDev(denseDevCached(s, d)),
     Some(s"""${denseDevCte()},
       |lagged AS (
       |  SELECT domain, c,
