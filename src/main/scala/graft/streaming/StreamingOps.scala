@@ -214,8 +214,11 @@ object StreamingOps {
     * `pv + (nv - pv) · (b - pb) / (nb - pb)` IEEE expression the batch
     * op evaluates. State per entity is the SAME one (bucket, value)
     * pair as LOCF — interpolation needs no extra history because the
-    * left endpoint IS the carry. Numeric series only (values parse as
-    * decimals; that is the interpolation contract, as in TimescaleDB).
+    * left endpoint IS the carry. Numeric series only: states outside the
+    * `try_cast(decimal(12,2))` acceptance domain are SKIPPED via
+    * [[centsOf12_2]] — the batch twin's null-skip, never an exception
+    * inside the state function (that is the interpolation contract, as
+    * in TimescaleDB).
     *
     * Same ordering contract and same first-arrival divergence as
     * [[gapfillLocfStream]]: the OBSERVED bucket row appends on first
@@ -230,18 +233,28 @@ object StreamingOps {
       .flatMapGroupsWithState[GapfillState, InterpRow](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) { (key, events, st) =>
-        val sorted = events.toSeq.sortBy(e => (micros(e.time), e.state))
+        // junk states SKIP (the batch twin's try_cast(decimal(12,2))
+        // null-skips the same rows) instead of throwing inside the state
+        // function, and accepted values enter the arithmetic ROUNDED to
+        // the cast's scale — centsOf12_2 is the spec-pinned
+        // acceptance-domain twin of that cast
+        val sorted = events
+          .flatMap(e => centsOf12_2(e.state).map(c => (e, c))).toSeq
+          .sortBy { case (e, _) => (micros(e.time), e.state) }
         val out = scala.collection.mutable.ArrayBuffer.empty[InterpRow]
-        var cur = st.getOption
-        for (e <- sorted) {
+        // a stored carry outside the cast domain (impossible via this
+        // operator; conceivable via store surgery) degrades to "no carry"
+        // rather than poisoning every later batch
+        var cur = st.getOption.filter(g => centsOf12_2(g.lastState).isDefined)
+        for ((e, c) <- sorted) {
           val bus = {
             val us = micros(e.time)
             us - java.lang.Math.floorMod(us, widthUs)
           }
           cur match {
             case Some(GapfillState(lastBus, lastState)) if bus > lastBus =>
-              val pv = BigDecimal(lastState).toDouble
-              val nv = BigDecimal(e.state).toDouble
+              val pv = centsOf12_2(lastState).get.toDouble / 100.0
+              val nv = c.toDouble / 100.0
               var b = lastBus + widthUs
               while (b < bus) {
                 val frac = (b - lastBus).toDouble / (bus - lastBus).toDouble
@@ -257,8 +270,7 @@ object StreamingOps {
               cur = Some(GapfillState(lastBus, e.state))
             case Some(_) => () // older than the emitted frontier: drop
             case None =>
-              out += InterpRow(key, tsOfMicros(bus),
-                BigDecimal(e.state).toDouble, 0)
+              out += InterpRow(key, tsOfMicros(bus), c.toDouble / 100.0, 0)
               cur = Some(GapfillState(bus, e.state))
           }
         }
@@ -299,25 +311,32 @@ object StreamingOps {
       .flatMapGroupsWithState[CounterState, CounterDelta](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) { (key, events, st) =>
-        val sorted = events.toSeq.sortBy(e => (micros(e.time), BigDecimal(e.state)))
+        // junk states SKIP (the batch twin's try_cast null-skips the same
+        // rows) instead of throwing; accepted values are the cast's
+        // decimal(12,2)-rounded cents, so deltas match the batch sv
+        // arithmetic exactly (one closing IEEE division)
+        val sorted = events
+          .flatMap(e => centsOf12_2(e.state).map(c => (e, c))).toSeq
+          .sortBy { case (e, c) => (micros(e.time), c) }
         val out = scala.collection.mutable.ArrayBuffer.empty[CounterDelta]
-        var cur = st.getOption
-        for (e <- sorted) {
+        // a stored frontier outside the cast domain (store surgery only)
+        // degrades to "no frontier" rather than poisoning later batches
+        var cur = st.getOption.flatMap(s =>
+          centsOf12_2(s.lastState).map(c => (s.lastTimeUs, c, s.lastState)))
+        for ((e, c) <- sorted) {
           val tUs = micros(e.time)
           cur match {
-            case Some(CounterState(lastT, lastS))
-                if tUs > lastT ||
-                  (tUs == lastT && BigDecimal(e.state) > BigDecimal(lastS)) =>
-              val (prev, now) = (BigDecimal(lastS), BigDecimal(e.state))
-              val d = if (now >= prev) now - prev else now
-              out += CounterDelta(key, e.time, d.toDouble)
-              cur = Some(CounterState(tUs, e.state))
+            case Some((lastT, lastC, _))
+                if tUs > lastT || (tUs == lastT && c > lastC) =>
+              val d = if (c >= lastC) c - lastC else c
+              out += CounterDelta(key, e.time, d.toDouble / 100.0)
+              cur = Some((tUs, c, e.state))
             case Some(_) => () // at/behind the (time, value) frontier: already emitted
             case None =>
-              cur = Some(CounterState(tUs, e.state))
+              cur = Some((tUs, c, e.state))
           }
         }
-        cur.foreach(st.update)
+        cur.foreach { case (t, _, raw) => st.update(CounterState(t, raw)) }
         out.iterator
       }
   }
@@ -344,25 +363,29 @@ object StreamingOps {
       .flatMapGroupsWithState[CounterState, HeldInterval](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) { (key, events, st) =>
-        val sorted = events.toSeq.sortBy(e => (micros(e.time), BigDecimal(e.state)))
+        // same junk-skip + decimal(12,2)-rounded parse as
+        // [[counterDeltaStream]] — the batch feeder's try_cast semantics
+        val sorted = events
+          .flatMap(e => centsOf12_2(e.state).map(c => (e, c))).toSeq
+          .sortBy { case (e, c) => (micros(e.time), c) }
         val out = scala.collection.mutable.ArrayBuffer.empty[HeldInterval]
-        var cur = st.getOption
-        for (e <- sorted) {
+        var cur = st.getOption.flatMap(s =>
+          centsOf12_2(s.lastState).map(c => (s.lastTimeUs, c, s.lastState)))
+        for ((e, c) <- sorted) {
           val tUs = micros(e.time)
           cur match {
-            case Some(CounterState(lastT, lastS))
-                if tUs > lastT ||
-                  (tUs == lastT && BigDecimal(e.state) > BigDecimal(lastS)) =>
+            case Some((lastT, lastC, _))
+                if tUs > lastT || (tUs == lastT && c > lastC) =>
               val bus = lastT - java.lang.Math.floorMod(lastT, bucketWidthUs)
               out += HeldInterval(key, tsOfMicros(bus),
-                BigDecimal(lastS).toDouble, tUs - lastT)
-              cur = Some(CounterState(tUs, e.state))
+                lastC.toDouble / 100.0, tUs - lastT)
+              cur = Some((tUs, c, e.state))
             case Some(_) => () // at/behind the frontier: interval already closed
             case None =>
-              cur = Some(CounterState(tUs, e.state))
+              cur = Some((tUs, c, e.state))
           }
         }
-        cur.foreach(st.update)
+        cur.foreach { case (t, _, raw) => st.update(CounterState(t, raw)) }
         out.iterator
       }
   }
@@ -1354,12 +1377,16 @@ object StreamingOps {
     * each arrival classifies against the same haversine kernel and
     * emits a transition iff the bit flips (the first observation seeds
     * the bit silently, as in the batch `lag` form). Arrivals are
-    * ordered (time, tie-break) within each micro-batch before folding,
-    * so prefix emissions equal the batch query over the same rows
-    * (spec-pinned) under the per-entity in-order delivery the event
-    * bus provides — cross-batch out-of-order delivery would need the
-    * watermark+reorder device of the interval twins, deliberately not
-    * spent on a one-bit state. */
+    * ordered (µs event time, inside-bit) within each micro-batch before
+    * folding, so prefix emissions equal the batch query over the same
+    * rows (spec-pinned) under the per-entity in-order delivery the
+    * event bus provides — cross-batch out-of-order delivery would need
+    * the watermark+reorder device of the interval twins, deliberately
+    * not spent on a one-bit state. The batch log tie-breaks equal-µs
+    * rows by event_id, a column this stream schema does not carry, so
+    * prefix equality is guaranteed only for per-entity STRICTLY
+    * increasing event times — duplicate-timestamp fixes (enter+exit in
+    * the same µs) may order differently across the two forms. */
   def geofenceStream(
       pts: DataFrame, // time TIMESTAMP, user_id LONG, lat DOUBLE, lon DOUBLE
       centerLat: Double = 57.7,
@@ -1480,10 +1507,14 @@ object StreamingOps {
       .groupByKey(_._2)
       .mapGroupsWithState[ZoneDwellState, ZoneDwellRow](GroupStateTimeout.NoTimeout) {
         (uid, rows, st) =>
-          val sorted = rows.toSeq.sortBy(r => (r._1.getTime, r._3))
+          // µs-exact event times through [[micros]]/[[tsOfMicros]]: the
+          // batch twin aggregates unix_micros, so ms-truncated arithmetic
+          // here would shift dwell_us/first_seen/last_seen for sub-ms
+          // event times and break the prefix-equality the doc promises
+          val sorted = rows.toSeq.sortBy(r => (micros(r._1), r._3))
           var s = st.getOption.orNull
           for ((t, _, inside) <- sorted) {
-            val us = t.getTime * 1000L
+            val us = micros(t)
             s =
               if (s == null)
                 ZoneDwellState(us, inside, 0L, if (inside == 1) 1L else 0L, 1L, us)
@@ -1495,8 +1526,7 @@ object StreamingOps {
           }
           st.update(s)
           ZoneDwellRow(uid, s.nObs, s.dwellUs, s.visits,
-            new java.sql.Timestamp(s.firstUs / 1000L),
-            new java.sql.Timestamp(s.lastUs / 1000L))
+            tsOfMicros(s.firstUs), tsOfMicros(s.lastUs))
       }
   }
 

@@ -623,6 +623,33 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(fin.first_seen == t(0) && fin.last_seen == t(40))
   }
 
+  test("streaming zone dwell keeps the sub-millisecond digits the batch unix_micros sees") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Double, Double)]
+    val df = ms.toDF.toDF("time", "user_id", "lat", "lon")
+    val q = StreamingOps.zoneDwellStream(df, centerLat = 0.0, centerLon = 0.0,
+        radiusKm = 200.0).writeStream
+      .format("memory").queryName("zd_us_t").outputMode("update").start()
+    // µs-precision event times: getTime*1000 arithmetic would truncate
+    // the 123/907 µs digits and report dwell 600_000_000 instead of the
+    // batch twin's unix_micros difference
+    def tUs(sec: String, us: Int) = {
+      val t = ts(s"2024-01-01 10:$sec")
+      t.setNanos(us * 1000); t
+    }
+    try {
+      ms.addData(
+        (tUs("00:00", 123), 1L, 0.0, 0.5),   // inside
+        (tUs("10:00", 907), 1L, 0.0, 50.0))  // outside — settles the hold
+      q.processAllAvailable()
+    } finally q.stop()
+    import spark.implicits._
+    val fin = spark.table("zd_us_t").as[StreamingOps.ZoneDwellRow].collect()
+      .maxBy(_.n_obs)
+    assert(fin.dwell_us == 600L * 1000000L + (907 - 123), s"dwell ${fin.dwell_us}")
+    assert(fin.first_seen == tUs("00:00", 123) && fin.last_seen == tUs("10:00", 907))
+  }
+
   test("streaming SpaceSaving: guarantees hold and state stays bounded at k") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(String, String)]
@@ -1380,5 +1407,72 @@ class StatefulStreamingSpec extends SparkSpec {
       assert(StreamingOps.centsOf12_2(s) == batch(s),
         s"'$s': stream=${StreamingOps.centsOf12_2(s)} batch=${batch(s)}")
     assert(StreamingOps.centsOf12_2(null) == None) // batch cast of NULL is NULL
+  }
+
+  test("junk states skip (batch try_cast semantics) in counter/held/interp twins, never crash") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // every numeric-state twin gets a junk state mid-stream, in the same
+    // micro-batch as valid readings AND alone in a batch: the batch twins'
+    // try_cast(decimal(12,2)) null-skips those rows, so the streams must
+    // skip them too (the earlier bare-BigDecimal parse threw
+    // NumberFormatException inside flatMapGroupsWithState and KILLED the
+    // query). Values with >2 decimals also round like the cast ("1.005"
+    // is 1.00 to the batch window, so it must be to the stream).
+    val msC = MemoryStream[(java.sql.Timestamp, String, String)]
+    val qC = StreamingOps.counterDeltaStream(msC.toDF.toDF("time", "entity_id", "state"))
+      .writeStream.format("memory").queryName("junk_cd_t").outputMode("append").start()
+    try {
+      msC.addData(
+        (ts("2024-01-01 10:00:00"), "p.1", "100"),
+        (ts("2024-01-01 10:05:00"), "p.1", "unknown"), // junk between readings
+        (ts("2024-01-01 10:10:00"), "p.1", "150.005")) // rounds to 150.01
+      qC.processAllAvailable()
+      msC.addData((ts("2024-01-01 10:15:00"), "p.1", "NaN")) // junk alone
+      qC.processAllAvailable()
+      msC.addData((ts("2024-01-01 10:20:00"), "p.1", "170"))
+      qC.processAllAvailable()
+    } finally qC.stop()
+    assert(qC.exception.isEmpty, s"counterDeltaStream died: ${qC.exception}")
+    val deltas = spark.table("junk_cd_t")
+      .as[(String, java.sql.Timestamp, Double)].collect().sortBy(_._2.getTime)
+      .map(_._3).toSeq
+    assert(deltas == Seq(50.01, 19.99)) // junk rows contribute no frontier
+
+    val msH = MemoryStream[(java.sql.Timestamp, String, String)]
+    val qH = StreamingOps.heldIntervalStream(
+        msH.toDF.toDF("time", "entity_id", "state"), bucketWidthUs = 3600000000L)
+      .writeStream.format("memory").queryName("junk_hi_t").outputMode("append").start()
+    try {
+      msH.addData(
+        (ts("2024-01-01 10:00:00"), "a.1", "10"),
+        (ts("2024-01-01 10:30:00"), "a.1", "n/a")) // junk must not close the hold
+      qH.processAllAvailable()
+      msH.addData((ts("2024-01-01 11:00:00"), "a.1", "20"))
+      qH.processAllAvailable()
+    } finally qH.stop()
+    assert(qH.exception.isEmpty, s"heldIntervalStream died: ${qH.exception}")
+    val held = spark.table("junk_hi_t")
+      .as[(String, java.sql.Timestamp, Double, Long)].collect().toSeq
+    assert(held == Seq( // one FULL-hour interval: the junk row never existed
+      ("a.1", ts("2024-01-01 10:00:00"), 10.0, 3600000000L)))
+
+    val msI = MemoryStream[(java.sql.Timestamp, String, String)]
+    val qI = StreamingOps.gapfillInterpStream(msI.toDF.toDF("time", "entity_id", "state"))
+      .writeStream.format("memory").queryName("junk_in_t").outputMode("append").start()
+    try {
+      msI.addData((ts("2024-01-01 10:10:00"), "a.1", "10"))
+      qI.processAllAvailable()
+      msI.addData((ts("2024-01-01 11:10:00"), "a.1", "oops")) // junk in a gap bucket
+      qI.processAllAvailable()
+      msI.addData((ts("2024-01-01 12:10:00"), "a.1", "30"))
+      qI.processAllAvailable()
+    } finally qI.stop()
+    assert(qI.exception.isEmpty, s"gapfillInterpStream died: ${qI.exception}")
+    val interp = spark.table("junk_in_t")
+      .as[(String, java.sql.Timestamp, Double, Int)].collect().sortBy(_._2.getTime).toSeq
+    assert(interp == Seq( // 11:00 interpolates ACROSS the skipped junk row
+      ("a.1", ts("2024-01-01 10:00:00"), 10.0, 0),
+      ("a.1", ts("2024-01-01 11:00:00"), 20.0, 1),
+      ("a.1", ts("2024-01-01 12:00:00"), 30.0, 0)))
   }
 }
