@@ -144,15 +144,22 @@ object Queries {
   val chunkStats = OracleQuery(
     "ltss_chunk_stats",
     (s, d) => {
-      val us = unix_micros(col("time"))
-      val expected = to_date(timestamp_micros(
-        us - pmod(us, lit(LtssConfig.DefaultChunkUs))))
+      // expected chunk via the SAME TZ-independent epoch arithmetic the
+      // layout writer uses ([[graft.sources.LtssSink.chunkCol]]) — a
+      // to_date(timestamp_micros(...)) form renders in the session
+      // timezone and would report spurious `misplaced` rows (and shifted
+      // chunk_start keys) on any non-UTC session, turning the
+      // physical-vs-logical invariant into a TZ artifact
+      val expected = graft.sources.LtssSink.chunkCol(LtssConfig())
       s.read.parquet(ltssLayoutPath(s, d))
         .withColumn("mis", (col("chunk") =!= expected).cast("long"))
         // render the partition date as its UTC-midnight timestamp — the
         // engines' common exact form for calendar values (no DATE
-        // fetch-normalization ambiguity in the compare)
-        .groupBy(col("chunk").cast("timestamp").as("chunk_start"))
+        // fetch-normalization ambiguity in the compare); datediff on
+        // DATEs is calendar arithmetic, TZ-free, unlike a cast
+        .groupBy(timestamp_micros(
+          datediff(col("chunk"), lit(java.sql.Date.valueOf("1970-01-01")))
+            .cast("long") * lit(86400000000L)).as("chunk_start"))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("entity_id")).as("n_entities"),
           min(col("time")).as("t_min"), max(col("time")).as("t_max"),
@@ -183,18 +190,16 @@ object Queries {
     * then covers a rectangle-ish region of (entity, day) space, so BOTH
     * an entity equality and a time range exclude most row groups by
     * stats alone ([[graft.ZOrderSpec]] measures exactly that on the
-    * scan's own metrics). Build cost is one fleet-size rank window +
-    * one range shuffle, once at ingest. */
+    * scan's own metrics). Build cost is one range-partitioned fleet
+    * rank ([[entityRanks]]) + one range shuffle, once at ingest. */
   private[graft] def zorderWrite(l: DataFrame, p: String, parts: Int): Unit = {
     import graft.functions.ZOrder
-    val ranks = l.select(col("entity_id")).distinct()
-      .withColumn("ent_rank",
-        row_number().over(Window.orderBy(col("entity_id"))).cast("long") - 1)
+    val (ranks, releaseRanks) = entityRanks(l, parts)
     val dayIdx = pmod(
       floor(unix_micros(col("time")).cast("double") / 86400e6).cast("long") -
         lit(java.time.LocalDate.parse("2024-01-01").toEpochDay),
       lit(65536L))
-    l.join(broadcast(ranks), Seq("entity_id"))
+    try l.join(broadcast(ranks), Seq("entity_id"))
       .withColumn("zv",
         ZOrder.interleave16(pmod(col("ent_rank"), lit(65536L)), dayIdx))
       .repartitionByRange(parts, col("zv"))
@@ -205,6 +210,41 @@ object Queries {
       // leak a derived 8-byte column into the public layout artifact.
       .drop("ent_rank", "zv")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+    finally releaseRanks()
+  }
+
+  /** Order-preserving dense entity rank WITHOUT a global window: the
+    * distinct fleet frame is range-partitioned by entity (partition i's
+    * key range sits wholly below partition i+1's), ranked LOCALLY per
+    * partition, and each local rank is offset by the preceding
+    * partitions' entity counts — a ≤`parts`-row driver-side ledger, the
+    * same k-row planning-artifact class as the sketch collects. The old
+    * partitionless `row_number().over(Window.orderBy(...))` funneled the
+    * whole fleet through ONE task at write time (the bench log's "No
+    * Partition Defined for Window operation" warning); this shape ranks
+    * a 10⁸-entity fleet at full parallelism. The persist pins the
+    * range-partitioned frame so the pid column the offsets were
+    * collected from is byte-identical to the one the rank reads. */
+  private def entityRanks(l: DataFrame, parts: Int): (DataFrame, () => Unit) = {
+    val fleet = l.select(col("entity_id")).distinct()
+      .repartitionByRange(parts, col("entity_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val counts = fleet.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2)
+    val offEntries = counts.map(_._1).zip(offsets)
+      .flatMap { case (pid, off) => Seq(lit(pid), lit(off)) }
+    val offMap =
+      if (offEntries.isEmpty) map(lit(-1), lit(0L)) else map(offEntries: _*)
+    val ranks = fleet
+      .withColumn("ent_rank",
+        element_at(offMap, col("pid")) +
+          row_number().over(
+            Window.partitionBy(col("pid")).orderBy(col("entity_id")))
+            .cast("long") - 1L)
+      .drop("pid")
+    (ranks, () => { fleet.unpersist(blocking = false); () })
   }
 
   def zorderLayoutPath(s: SparkSession, d: String): String =

@@ -81,6 +81,74 @@ class PlanSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("ltss_chunk_stats is timezone-independent: misplaced=0 on a non-UTC session too") {
+    // the audit compares the PHYSICAL chunk value (written with
+    // TZ-independent epoch arithmetic) against a recomputed expectation;
+    // a to_date/cast rendering in the session zone would report every
+    // row misplaced and shift chunk_start keys the moment the session
+    // isn't UTC (the suite's pinned zone — which is why this must be
+    // pinned explicitly)
+    val sfDir = "/root/testdata/sf0.001"
+    val run = graft.SparkEntry.queries("ltss_chunk_stats")
+    def snapshot() = run(spark, sfDir)
+      .select("chunk_start", "n_rows", "misplaced")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)))
+      .toSeq
+    val utc = snapshot()
+    assert(utc.nonEmpty && utc.forall(_._3 == 0L), s"bad UTC baseline: $utc")
+    val was = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val nyc = snapshot()
+      assert(nyc.forall(_._3 == 0L), s"spurious misplaced rows off-UTC: $nyc")
+      // chunk_start keys are epoch-pinned instants (UTC midnights), not
+      // session-zone renderings — byte-identical across sessions
+      assert(nyc == utc, s"chunk audit shifted off-UTC:\n utc=$utc\n nyc=$nyc")
+    } finally spark.conf.set("spark.sql.session.timeZone", was)
+  }
+
+  test("compactChunkMeasured: the compress-plan (segmentby, orderby) sort shrinks parquet bytes") {
+    import spark.implicits._
+    import graft.sources.LtssSink
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-measured").toString
+    // ONE chunk whose states form LONG per-entity runs on the time axis
+    // (runs of 64 — exactly what ltss_compress_plan's rle_ratio flags as
+    // recompressible) but ARRIVE time-interleaved across 4 entities, the
+    // stream order that leaves adjacent rows alternating entities
+    val base = java.sql.Timestamp.valueOf("2024-01-05 00:00:00").getTime
+    val rows = for {
+      i <- 0 until 1024
+      e <- Seq("sensor.1", "sensor.2", "sensor.3", "sensor.4")
+    } yield (new java.sql.Timestamp(base + i * 60000L), e, s"$e-v${i / 64}", "{}")
+    rows.grouped(1024).foreach { inc => // several increments → many files
+      LtssSink.writeParquet(inc.toDF("time", "entity_id", "state", "attributes"), out)
+    }
+    val chunk = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("chunk=")).head.getName.stripPrefix("chunk=")
+    val checksumBefore = spark.read.parquet(out)
+      .selectExpr("sum(crc32(concat_ws('|', time, entity_id, state)))")
+      .head().getLong(0)
+    // control: compact in plain TIME order — single file, entities still
+    // interleaved, so value runs stay length ~1
+    val timeOrdered = LtssSink.compactChunkMeasured(spark, out, chunk,
+      sortCols = Seq("time"))
+    assert(timeOrdered.files_before >= 2 && timeOrdered.files_after == 1, timeOrdered)
+    // the recommendation: segmentby entity, orderby time — same rows,
+    // same single file; the ONLY difference is the sort, so the byte
+    // delta is pure recompression (RLE/dictionary pages over the runs)
+    val planOrdered = LtssSink.compactChunkMeasured(spark, out, chunk,
+      sortCols = Seq("entity_id", "time"))
+    assert(planOrdered.files_after == 1, planOrdered)
+    assert(planOrdered.bytes_after < timeOrdered.bytes_after,
+      s"recommended order did not shrink the chunk: $timeOrdered vs $planOrdered")
+    assert(planOrdered.ratio > 1.0, planOrdered)
+    // lossless: same rows after both rewrites
+    val after = spark.read.parquet(out)
+    assert(after.count() == rows.length)
+    assert(after.selectExpr("sum(crc32(concat_ws('|', time, entity_id, state)))")
+      .head().getLong(0) == checksumBefore)
+  }
+
   test("compaction crash between renames: readers refuse via the generation stamp; recovery repairs") {
     import spark.implicits._
     import graft.sources.LtssSink
