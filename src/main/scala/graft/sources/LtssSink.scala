@@ -91,7 +91,8 @@ object LtssSink {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       chunk: String,
-      targetFiles: Int = 1): Unit = {
+      targetFiles: Int = 1,
+      sortCols: Seq[String] = Seq("entity_id", "time")): Unit = {
     val (fs, root) = hadoopFs(spark, path)
     val chunkDir = new org.apache.hadoop.fs.Path(root, s"chunk=$chunk")
     val staged = new org.apache.hadoop.fs.Path(root, s".compact_staged_chunk_$chunk")
@@ -120,7 +121,7 @@ object LtssSink {
     fs.delete(retired, true)
     spark.read.parquet(chunkDir.toString)
       .repartition(targetFiles)
-      .sortWithinPartitions(col("entity_id"), col("time"))
+      .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(staged.toString)
     if (!fs.rename(chunkDir, retired))
       throw new java.io.IOException(s"compaction could not retire $chunkDir")
@@ -131,6 +132,51 @@ object LtssSink {
     marker.foreach(m => writeLayoutMarker(spark, path,
       m.copy(generation = m.generation + 1, compacting = None)))
     ()
+  }
+
+  /** Size audit of one [[compactChunkMeasured]] run: parquet file count
+    * and bytes before/after the rewrite, plus the applied sort. */
+  final case class CompactionAudit(
+      chunk: String, sort_cols: Seq[String],
+      files_before: Long, bytes_before: Long,
+      files_after: Long, bytes_after: Long) {
+    /** >1 = the recompression shrank the chunk. */
+    def ratio: Double = bytes_before.toDouble / bytes_after.toDouble
+  }
+
+  /** Parquet file count + bytes under one chunk dir (data files only —
+    * markers and hidden staging dirs excluded). */
+  private def parquetStats(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): (Long, Long) = {
+    val files = fs.listStatus(dir).filter(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    (files.length.toLong, files.map(_.getLen).sum)
+  }
+
+  /** [[compactChunk]] with the `ltss_compress_plan` recommendation
+    * APPLIED AND AUDITED — the action the tuning panel exists to drive
+    * (TimescaleDB's `compress_chunk` after setting
+    * `compress_segmentby`/`compress_orderby`): rewrite the chunk sorted
+    * by the recommended (segmentby, orderby) columns and report parquet
+    * bytes before/after. The byte win is real recompression — parquet's
+    * RLE/dictionary pages encode the long same-value runs the sorted
+    * order creates, the exact mechanism the report's `rle_ratio`
+    * predicts — and the audit row is what a lifecycle job logs to prove
+    * the policy pays before rolling it across 100 TB of chunks. Same
+    * crash-safe swap as [[compactChunk]]. */
+  def compactChunkMeasured(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      chunk: String,
+      sortCols: Seq[String] = Seq("entity_id", "time"),
+      targetFiles: Int = 1): CompactionAudit = {
+    val (fs, root) = hadoopFs(spark, path)
+    val chunkDir = new org.apache.hadoop.fs.Path(root, s"chunk=$chunk")
+    val (fb, bb) = parquetStats(fs, chunkDir)
+    compactChunk(spark, path, chunk, targetFiles, sortCols)
+    val (fa, ba) = parquetStats(fs, chunkDir)
+    CompactionAudit(chunk, sortCols, fb, bb, fa, ba)
   }
 
   /** Repair a compaction interrupted at any point, using the marker's
@@ -507,9 +553,13 @@ object LtssSink {
     try {
       // exact-name catalog probe (case variants cover folding dialects) —
       // not a full-catalog scan, and not fooled by same-named tables it
-      // would never write to
+      // would never write to: getTables' name argument has LIKE
+      // semantics, so an unescaped `_` in the table name matches ANY
+      // character (`ltss_v2` ≙ `ltssXv2`) and a sibling's existence
+      // would silently skip creation of the real table
+      val (pat, schemaPat) = likePatterns(conn)
       def probe(name: String): Boolean = {
-        val rs = conn.getMetaData.getTables(null, null, name, Array("TABLE"))
+        val rs = conn.getMetaData.getTables(null, schemaPat, pat(name), Array("TABLE"))
         try rs.next()
         finally rs.close()
       }
@@ -531,6 +581,28 @@ object LtssSink {
     } finally conn.close()
   }
 
+  /** LIKE-pattern hygiene for the JDBC catalog probes: an escaper for
+    * the `_`/`%` wildcards (using the driver's own escape string) and
+    * the connection's current schema as the schema pattern, so a probe
+    * for table X matches exactly X in exactly the schema writes go to.
+    * Drivers that support neither call (the test-scope wire client
+    * throws on unimplemented metadata methods) degrade to the
+    * unconstrained probe rather than failing startup. */
+  private def likePatterns(conn: Connection): (String => String, String) = {
+    val esc =
+      try Option(conn.getMetaData.getSearchStringEscape).filter(_.nonEmpty)
+      catch { case _: Exception => None }
+    def pat(s: String): String = esc match {
+      case Some(e) =>
+        s.replace(e, e + e).replace("_", e + "_").replace("%", e + "%")
+      case None => s
+    }
+    val schemaPat =
+      try Option(conn.getSchema).map(pat).orNull
+      catch { case _: Exception => null }
+    (pat, schemaPat)
+  }
+
   /** LOCATION-COLUMN RE-DETECTION — the reference's startup adaptivity
     * (`__init__.py:303-308` introspects the live table's columns every
     * start; `models.py:38-43`: once location is activated it cannot be
@@ -547,8 +619,13 @@ object LtssSink {
       connect: String => Connection = url => DriverManager.getConnection(url)): LtssConfig = {
     val conn = connect(cfg.dbUrl)
     try {
+      // getColumns' name arguments are LIKE patterns: an unescaped `_`
+      // in the table name matches ANY character (`ltss_v2` ≙ `ltssXv2`),
+      // and a null schema merges same-named tables from every schema
+      // into one column set — either can wrongly flip enableLocation.
+      val (pat, schemaPat) = likePatterns(conn)
       def columnsOf(name: String): Set[String] = {
-        val rs = conn.getMetaData.getColumns(null, null, name, null)
+        val rs = conn.getMetaData.getColumns(null, schemaPat, pat(name), null)
         val out = scala.collection.mutable.Set.empty[String]
         try while (rs.next()) out += rs.getString("COLUMN_NAME").toLowerCase
         finally rs.close()

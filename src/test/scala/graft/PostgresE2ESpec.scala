@@ -123,6 +123,20 @@ class PostgresE2ESpec extends SparkSpec with BeforeAndAfterAll {
     assert(missing.enableLocation)
   }
 
+  test("effectiveConfig escapes LIKE wildcards: a sibling's location column can't flip the flag") {
+    // `_` in getColumns is a LIKE wildcard unless escaped: the probe for
+    // `ltss_wc` would ALSO match `ltssXwc`, merge in ITS location column,
+    // and wrongly re-activate the flag for a table whose DDL cannot hold
+    // the write. The sibling with location exists; the probed table does not
+    // have the column.
+    LtssSink.bootstrapJdbc(cfg.copy(enableLocation = true), table = "ltssXwc",
+      locationType = "VARCHAR(255)")
+    LtssSink.bootstrapJdbc(cfg.copy(enableLocation = false), table = "ltss_wc")
+    val probed = LtssSink.effectiveConfig(cfg.copy(enableLocation = true), "ltss_wc")
+    assert(!probed.enableLocation,
+      "unescaped `_` merged a wildcard-sibling's columns into the probe")
+  }
+
   test("upsertJdbc: late corrections overwrite stored rows, inserts land, PK-dups collapse") {
     LtssSink.bootstrapJdbc(cfg, table = "ltss_up", locationType = "VARCHAR(255)")
     val t1 = ts("2024-02-01 00:00:01"); val t2 = ts("2024-02-01 00:00:02")

@@ -352,6 +352,10 @@ object PgMiniDriver {
       case ("isClosed", _) => Boolean.box(wire.isClosed)
       case ("isValid", _) => Boolean.box(!wire.isClosed)
       case ("getMetaData", _) => metaData(wire, exec)
+      case ("getSchema", _) =>
+        // the first schema on the effective search path — what pgjdbc
+        // reports; lets effectiveConfig constrain its metadata probe
+        exec("SELECT current_schema()").rows.headOption.map(_.head).orNull
       case ("setTransactionIsolation", Array(level: java.lang.Integer)) =>
         val name = level.intValue match {
           case Connection.TRANSACTION_READ_UNCOMMITTED => "READ UNCOMMITTED"
@@ -538,20 +542,36 @@ object PgMiniDriver {
     * transaction. */
   private def metaData(wire: PgWire.Conn, exec: String => PgWire.Result): java.sql.DatabaseMetaData =
     proxy(classOf[java.sql.DatabaseMetaData]) {
-      case ("getTables", Array(_, _, namePattern: String, _)) =>
-        // JDBC getTables patterns have LIKE semantics
+      case ("getTables", Array(_, schemaPattern, namePattern: String, _)) =>
+        // JDBC getTables patterns have LIKE semantics; null schema = any
+        val schemaFilter = schemaPattern match {
+          case s: String => s"AND table_schema LIKE ${PgWire.literal(s)} "
+          case _ => ""
+        }
         resultSet(exec(
           "SELECT table_catalog AS table_cat, table_schema AS table_schem, " +
             "table_name, 'TABLE' AS table_type FROM information_schema.tables " +
             s"WHERE table_type = 'BASE TABLE' AND table_name LIKE ${PgWire.literal(namePattern)} " +
+            schemaFilter +
             "ORDER BY table_name"))
-      case ("getColumns", Array(_, _, namePattern: String, _)) =>
+      case ("getColumns", Array(_, schemaPattern, namePattern: String, _)) =>
+        // honor the schema pattern (JDBC LIKE semantics; null = any
+        // schema) so effectiveConfig's current-schema-constrained probe
+        // runs for real against the server, not just against Derby
+        val schemaFilter = schemaPattern match {
+          case s: String => s"AND table_schema LIKE ${PgWire.literal(s)} "
+          case _ => ""
+        }
         resultSet(exec(
           "SELECT table_catalog AS table_cat, table_schema AS table_schem, " +
             "table_name, column_name, data_type AS type_name " +
             "FROM information_schema.columns " +
             s"WHERE table_name LIKE ${PgWire.literal(namePattern)} " +
+            schemaFilter +
             "ORDER BY ordinal_position"))
+      // PostgreSQL's LIKE escape character, the same constant pgjdbc
+      // reports — lets callers escape `_`/`%` in metadata patterns
+      case ("getSearchStringEscape", _) => "\\"
       case ("supportsTransactions", _) => Boolean.box(true)
       case ("supportsDataManipulationTransactionsOnly", _) => Boolean.box(false)
       case ("supportsDataDefinitionAndDataManipulationTransactions", _) => Boolean.box(true)
