@@ -157,6 +157,14 @@ object ScalingProbe {
     }
     if (names.contains("ltss_zorder_layout"))
       warmed("zorder_layout")(graft.operators.Queries.zorderLayoutPath(spark, sfDir))
+    if (names.exists(_.startsWith("sim_ivf")))
+      warmed("ivf_layout")(graft.operators.Similarity.ivfLayoutPath(spark, sfDir))
+    if (names.exists(n => Seq("ltss_acf", "ltss_changepoint", "ltss_sax_motif",
+        "ltss_asap_smooth", "ltss_forecast_backtest").contains(n)))
+      warmed("dense_dev")(
+        graft.operators.TimeSeries.denseDevCached(spark, sfDir).count())
+    if (names.exists(n => n.startsWith("ltss_cagg")))
+      warmed("cagg_layout")(graft.operators.TimeSeries.caggLayoutPath(spark, sfDir))
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
     warmed("kmeans_train")(
       graft.operators.Similarity.kmeansAssignments(spark, sfDir,
