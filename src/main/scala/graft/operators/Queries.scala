@@ -38,7 +38,7 @@ object Queries {
       |  WHERE state IS NOT NULL AND state <> 'unknown'
       |)""".stripMargin
 
-  private[operators] def ltss(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ltss(s: SparkSession, dir: String): DataFrame =
     Transform.eventsToLtss(Tables.events(s, dir), LtssConfig(enableLocation = false))
 
   // ---------------------------------------------------------------- queries
@@ -222,14 +222,20 @@ object Queries {
     * partitionless `row_number().over(Window.orderBy(...))` funneled the
     * whole fleet through ONE task at write time (the bench log's "No
     * Partition Defined for Window operation" warning); this shape ranks
-    * a 10⁸-entity fleet at full parallelism. The persist pins the
-    * range-partitioned frame so the pid column the offsets were
-    * collected from is byte-identical to the one the rank reads. */
+    * a 10⁸-entity fleet at full parallelism. The EAGER localCheckpoint
+    * pins the range-partitioned frame by CUTTING LINEAGE — persist alone
+    * is a hint, and a recompute after cache loss would re-sample
+    * repartitionByRange's boundaries and shift pids relative to the
+    * collected offset ledger, silently corrupting the dense ranks; with
+    * the lineage gone a lost block fails the job loudly instead. A
+    * belt-and-braces invariant check (exactly the fleet's count of
+    * ranks, spanning [0, n)) runs before the ranks are handed to any
+    * write path. */
   private def entityRanks(l: DataFrame, parts: Int): (DataFrame, () => Unit) = {
     val fleet = l.select(col("entity_id")).distinct()
       .repartitionByRange(parts, col("entity_id"))
       .withColumn("pid", spark_partition_id())
-      .persist()
+      .localCheckpoint(true)
     val counts = fleet.groupBy(col("pid")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2)
@@ -244,7 +250,15 @@ object Queries {
             Window.partitionBy(col("pid")).orderBy(col("entity_id")))
             .cast("long") - 1L)
       .drop("pid")
-    (ranks, () => { fleet.unpersist(blocking = false); () })
+    val chk = ranks
+      .agg(count(lit(1)).as("n"), countDistinct(col("ent_rank")).as("d"),
+        coalesce(max(col("ent_rank")), lit(-1L)).as("mx"))
+      .head()
+    require(chk.getLong(1) == chk.getLong(0) && chk.getLong(2) == chk.getLong(0) - 1L,
+      s"entity rank corrupted: ${chk.getLong(0)} entities but " +
+        s"${chk.getLong(1)} distinct ranks, max ${chk.getLong(2)} " +
+        "(partition ids shifted against the offset ledger?)")
+    (ranks, () => ())
   }
 
   def zorderLayoutPath(s: SparkSession, d: String): String =

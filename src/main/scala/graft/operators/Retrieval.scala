@@ -165,19 +165,29 @@ object Retrieval {
     * integers summed in fixed written order — bit-portable.
     *
     * Scale shape: each leg reduces to its top-[[HybridDepth]] by a
-    * TakeOrdered BEFORE any window (the rank `row_number` runs on a
-    * ≤50-row frame — bounded constant, not corpus-sized), and the
-    * fusion is a full outer join of two 50-row frames. The lexical leg
+    * TakeOrdered, the rank is assigned driver-side over the ≤50
+    * collected ids (bounded constant, not corpus-sized — the same class
+    * as a collected codebook), and the fusion is a full outer join of
+    * two 50-row local frames. The lexical leg
     * reads pruned posting buckets, the vector leg is the brute-force
     * exact baseline (its indexed variants are the `sim_ivf*` family). */
   val textRrfHybrid = OracleQuery(
     "text_rrf_hybrid",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
       val dim = Similarity.Dim
+      // each leg is a TakeOrdered top-HybridDepth; the rank column is
+      // then assigned DRIVER-SIDE over the ≤50 collected ids (the k-row
+      // planning-artifact class) — a partitionless WindowExec here would
+      // be harmless but noisy, and Spark 4 folds constant partition keys
+      // away (EliminateWindowPartitions), so no window at all is the
+      // only warning-free single-partition rank
       def ranked(leg: DataFrame, ord: Seq[Column], rank: String): DataFrame =
         leg.orderBy(ord: _*).limit(HybridDepth)
-          .withColumn(rank, row_number().over(Window.orderBy(ord: _*)).cast("bigint"))
+          .select(col("doc_id")).collect()
+          .map(_.getLong(0)).zipWithIndex.toSeq
+          .map { case (id, i) => (id, i + 1L) }
+          .toDF("doc_id", rank)
       val lex = ranked(bm25Scored(s, d),
         Seq(col("score").desc, col("doc_id")), "r_lex")
         .select(col("doc_id"), col("r_lex"))

@@ -963,18 +963,25 @@ object TextOps {
   val corpusZipf = OracleQuery(
     "corpus_zipf",
     (s, d) => {
+      import s.implicits._
+      // the one corpus-sized stage: TakeOrdered top-30 of the vocab agg
       val top = Tables.documents(s, d)
         .select(explode(tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("token"))
         .limit(30)
-      val w = Window.orderBy(col("freq").desc, col("token"))
-      val wAll = Window.partitionBy(lit(1))
-      top
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .withColumn("rank_freq", col("rank") * col("freq"))
-        .withColumn("ratio_to_top",
-          col("rank_freq").cast("double") / max(col("freq")).over(wAll).cast("double"))
+        .collect()
+      // rank/ratio assignment runs DRIVER-SIDE on the 30 collected rows
+      // (the k-row planning-artifact class) — a partitionless WindowExec
+      // here would be harmless but noisy, and Spark 4's optimizer folds
+      // any constant partition key away (EliminateWindowPartitions), so
+      // the only warning-free single-partition window is no window
+      val maxFreq = top.map(_.getLong(1)).max
+      top.zipWithIndex.toSeq.map { case (r, i) =>
+        val rank = i + 1L
+        val rf = rank * r.getLong(1)
+        (rank, r.getString(0), r.getLong(1), rf, rf.toDouble / maxFreq.toDouble)
+      }.toDF("rank", "token", "freq", "rank_freq", "ratio_to_top")
         .orderBy(col("rank"))
     },
     Some("""SELECT CAST(rank AS BIGINT) AS rank, token, freq,

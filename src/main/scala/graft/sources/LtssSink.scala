@@ -140,8 +140,12 @@ object LtssSink {
       chunk: String, sort_cols: Seq[String],
       files_before: Long, bytes_before: Long,
       files_after: Long, bytes_after: Long) {
-    /** >1 = the recompression shrank the chunk. */
-    def ratio: Double = bytes_before.toDouble / bytes_after.toDouble
+    /** >1 = the recompression shrank the chunk; NaN when the chunk held
+      * no parquet bytes after the rewrite (empty / parquet-less chunk —
+      * a real division would poison JSON lifecycle logs with Infinity). */
+    def ratio: Double =
+      if (bytes_after == 0L) Double.NaN
+      else bytes_before.toDouble / bytes_after.toDouble
   }
 
   /** Parquet file count + bytes under one chunk dir (data files only —

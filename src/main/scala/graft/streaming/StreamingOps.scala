@@ -1368,7 +1368,8 @@ object StreamingOps {
       }
   }
 
-  final case class GeofenceEvent(user_id: Long, time: java.sql.Timestamp, event: String)
+  final case class GeofenceEvent(
+      user_id: Long, time: java.sql.Timestamp, event_id: Long, event: String)
 
   /** Continuous GEOFENCE enter/exit — the streaming twin of the batch
     * `ltss_geofence` transition log (the HA presence-zone automation:
@@ -1377,18 +1378,20 @@ object StreamingOps {
     * each arrival classifies against the same haversine kernel and
     * emits a transition iff the bit flips (the first observation seeds
     * the bit silently, as in the batch `lag` form). Arrivals are
-    * ordered (µs event time, inside-bit) within each micro-batch before
-    * folding, so prefix emissions equal the batch query over the same
-    * rows (spec-pinned) under the per-entity in-order delivery the
-    * event bus provides — cross-batch out-of-order delivery would need
-    * the watermark+reorder device of the interval twins, deliberately
-    * not spent on a one-bit state. The batch log tie-breaks equal-µs
-    * rows by event_id, a column this stream schema does not carry, so
-    * prefix equality is guaranteed only for per-entity STRICTLY
-    * increasing event times — duplicate-timestamp fixes (enter+exit in
-    * the same µs) may order differently across the two forms. */
+    * ordered by the SAME total key the batch window uses — (µs event
+    * time, event_id) — within each micro-batch before folding, so
+    * prefix emissions equal the batch query over the same rows
+    * (spec-pinned, including duplicate-µs fixes: enter+exit in the
+    * same microsecond orders by event_id in both forms) under the
+    * per-entity in-order delivery the event bus provides — cross-batch
+    * out-of-order delivery would need the watermark+reorder device of
+    * the interval twins, deliberately not spent on a one-bit state.
+    * Carrying event_id in the stream schema (it is already on the wire:
+    * reference __init__.py event payloads are keyed) is what closes the
+    * r12 tie-break caveat — without it, equal-µs rows had no shared
+    * order across the two forms. */
   def geofenceStream(
-      pts: DataFrame, // time TIMESTAMP, user_id LONG, lat DOUBLE, lon DOUBLE
+      pts: DataFrame, // time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE
       centerLat: Double = 57.7,
       centerLon: Double = 11.97,
       radiusKm: Double = 2000.0): Dataset[GeofenceEvent] = {
@@ -1398,19 +1401,21 @@ object StreamingOps {
         (graft.functions.Haversine.haversineKm(
           col("lat"), col("lon"), lit(centerLat), lit(centerLon)) <= radiusKm)
           .cast("int"))
-      .select(col("time"), col("user_id"), col("inside"))
-      .as[(java.sql.Timestamp, Long, Int)]
+      .select(col("time"), col("user_id"), col("event_id"), col("inside"))
+      .as[(java.sql.Timestamp, Long, Long, Int)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Int, GeofenceEvent](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) {
         (uid, rows, st) =>
-          val sorted = rows.toSeq.sortBy(r => (r._1.getTime, r._3))
+          // µs-exact (micros, not ms getTime) + event_id: the batch
+          // window's exact total order per entity
+          val sorted = rows.toSeq.sortBy(r => (micros(r._1), r._3))
           var prev = st.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[GeofenceEvent]
-          for ((t, _, inside) <- sorted) {
+          for ((t, _, eid, inside) <- sorted) {
             if (prev.exists(_ != inside))
-              out += GeofenceEvent(uid, t, if (inside == 1) "enter" else "exit")
+              out += GeofenceEvent(uid, t, eid, if (inside == 1) "enter" else "exit")
             prev = Some(inside)
           }
           prev.foreach(st.update)

@@ -149,6 +149,56 @@ class PlanSpec extends SparkSpec {
       .head().getLong(0) == checksumBefore)
   }
 
+  test("arrival-order increments: compaction heals the many-small-files ingest residue, measured") {
+    // The ProbeCompact scenario as an assertion (VERDICT r12 #8): a
+    // streaming ingest appends consecutive TIME SLICES, so every chunk
+    // accumulates one small file set per micro-batch that overlapped it.
+    // Measured compaction with the compress-plan sort must heal every
+    // chunk to one file, shrink total bytes, and lose nothing.
+    import spark.implicits._
+    import graft.sources.LtssSink
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-arrival").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val steps = 2880 // 60 days at 30-min cadence → 2 default 30-day chunks
+    val rows = for {
+      i <- 0 until steps
+      e <- Seq("sensor.1", "sensor.2", "sensor.3", "sensor.4")
+    } yield (new java.sql.Timestamp(base + i * 1800000L), e, s"$e-v${i / 64}", "{}")
+    // 8 arrival-order increments → 4 micro-batch appends per chunk
+    rows.grouped(rows.length / 8).foreach { inc =>
+      LtssSink.writeParquet(inc.toDF("time", "entity_id", "state", "attributes"), out)
+    }
+    val chunks = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("chunk=")).map(_.getName.stripPrefix("chunk=")).sorted
+    // chunk boundaries are epoch-aligned (not fixture-aligned), so 60
+    // days lands in 2–3 default chunks depending on phase
+    assert(chunks.length >= 2, s"fixture must span several chunks: ${chunks.toSeq}")
+    val checksumBefore = spark.read.parquet(out)
+      .selectExpr("sum(crc32(concat_ws('|', time, entity_id, state)))")
+      .head().getLong(0)
+    var tb = 0L; var ta = 0L
+    for (c <- chunks) {
+      val filesBefore = new java.io.File(s"$out/chunk=$c").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(filesBefore >= 2,
+        s"chunk $c should hold several increments' files, got $filesBefore")
+      val a = LtssSink.compactChunkMeasured(spark, out, c,
+        sortCols = Seq("entity_id", "time"))
+      assert(a.files_before == filesBefore && a.files_after == 1, a)
+      assert(a.bytes_after > 0 && !a.ratio.isNaN, a)
+      tb += a.bytes_before; ta += a.bytes_after
+    }
+    assert(ta < tb,
+      s"plan-ordered rewrite must shrink the multi-file ingest residue: $tb -> $ta")
+    val after = spark.read.parquet(out)
+    assert(after.count() == rows.length)
+    assert(after.selectExpr("sum(crc32(concat_ws('|', time, entity_id, state)))")
+      .head().getLong(0) == checksumBefore)
+    // the audit's division guard: a parquet-less result reports NaN, not
+    // Infinity (which would poison JSON lifecycle logs)
+    assert(LtssSink.CompactionAudit("c", Seq("time"), 1L, 10L, 0L, 0L).ratio.isNaN)
+  }
+
   test("compaction crash between renames: readers refuse via the generation stamp; recovery repairs") {
     import spark.implicits._
     import graft.sources.LtssSink

@@ -541,8 +541,8 @@ class StatefulStreamingSpec extends SparkSpec {
 
   test("streaming geofence: one-bit state emits exactly the batch transition log") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val ms = MemoryStream[(java.sql.Timestamp, Long, Double, Double)]
-    val df = ms.toDF.toDF("time", "user_id", "lat", "lon")
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val df = ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon")
     val q = StreamingOps.geofenceStream(df, centerLat = 0.0, centerLon = 0.0,
         radiusKm = 200.0).writeStream
       .format("memory").queryName("gf_t").outputMode("append").start()
@@ -550,20 +550,62 @@ class StatefulStreamingSpec extends SparkSpec {
     try {
       // user 1: outside → inside (enter) → inside (no event)
       // user 2: inside from the start (seed, no event)
-      ms.addData((t(0), 1L, 0.0, 10.0), (t(1), 1L, 0.0, 0.5), (t(2), 1L, 0.0, 0.6),
-        (t(0), 2L, 0.0, 0.0))
+      ms.addData((t(0), 1L, 10L, 0.0, 10.0), (t(1), 1L, 11L, 0.0, 0.5),
+        (t(2), 1L, 12L, 0.0, 0.6), (t(0), 2L, 20L, 0.0, 0.0))
       q.processAllAvailable()
       // batch 2: user 1 exits; user 2 exits then re-enters (both emit)
-      ms.addData((t(5), 1L, 0.0, 30.0), (t(5), 2L, 40.0, 40.0), (t(6), 2L, 0.1, 0.1))
+      ms.addData((t(5), 1L, 13L, 0.0, 30.0), (t(5), 2L, 21L, 40.0, 40.0),
+        (t(6), 2L, 22L, 0.1, 0.1))
       q.processAllAvailable()
     } finally q.stop()
     import spark.implicits._
     val got = spark.table("gf_t").as[StreamingOps.GeofenceEvent].collect()
-      .map(e => (e.user_id, e.time, e.event)).toSet
+      .map(e => (e.user_id, e.time, e.event_id, e.event)).toSet
     assert(got == Set(
-      (1L, t(1), "enter"), (1L, t(5), "exit"),
-      (2L, t(5), "exit"), (2L, t(6), "enter")),
+      (1L, t(1), 11L, "enter"), (1L, t(5), 13L, "exit"),
+      (2L, t(5), 21L, "exit"), (2L, t(6), 22L, "enter")),
       s"transition log diverged: $got")
+  }
+
+  test("streaming geofence: duplicate-µs fixes order by event_id exactly as the batch window") {
+    // The r12 caveat, closed: enter+exit in the SAME microsecond used to
+    // have no shared order across the two forms; with event_id on the
+    // stream schema both tie-break identically. The expected log is
+    // computed by the batch lag-window over the same rows — not hand-
+    // mirrored — so the pin is form-vs-form, not form-vs-formula.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val T = ts("2024-01-01 10:00:00")
+    // user 1: seed outside, then at one µs an inside fix (eid 2) and an
+    // outside fix (eid 3) — enter then exit, decided only by event_id;
+    // user 2: the mirrored pair arriving with event_ids swapped
+    val rows = Seq(
+      (ts("2024-01-01 09:00:00"), 1L, 1L, 0.0, 10.0),
+      (T, 1L, 2L, 0.0, 0.5), (T, 1L, 3L, 0.0, 9.0),
+      (ts("2024-01-01 09:00:00"), 2L, 1L, 0.0, 0.5),
+      (T, 2L, 3L, 0.0, 0.6), (T, 2L, 2L, 0.0, 9.0))
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val df = ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon")
+    val q = StreamingOps.geofenceStream(df, centerLat = 0.0, centerLon = 0.0,
+        radiusKm = 200.0).writeStream
+      .format("memory").queryName("gf_dup_t").outputMode("append").start()
+    try { ms.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("gf_dup_t").as[StreamingOps.GeofenceEvent].collect()
+      .map(e => (e.user_id, e.time, e.event_id, e.event)).toSet
+    val w = Window.partitionBy(col("user_id")).orderBy(col("time"), col("event_id"))
+    val batch = rows.toDF("time", "user_id", "event_id", "lat", "lon")
+      .withColumn("inside",
+        (graft.functions.Haversine.haversineKm(
+          col("lat"), col("lon"), lit(0.0), lit(0.0)) <= 200.0).cast("int"))
+      .withColumn("prev", lag(col("inside"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("inside"))
+      .select(col("user_id"), col("time"), col("event_id"),
+        when(col("inside") === 1, "enter").otherwise("exit").as("event"))
+      .as[(Long, java.sql.Timestamp, Long, String)].collect().toSet
+    assert(batch.exists(_._2 == T) && batch.size >= 3,
+      s"fixture too weak to pin the tie-break: $batch")
+    assert(got == batch, s"stream $got != batch $batch under duplicate-µs input")
   }
 
   test("streaming ASAP pick equals the batch window selection over a dense prefix") {
