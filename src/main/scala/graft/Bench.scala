@@ -67,6 +67,12 @@ object Bench {
     // `warm_build` field so the two are never conflated.
     val warmBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val warmErrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // 1-min load average bracketing the warm-build section: the builds
+    // are JIT-bound (SCALING.md r13 attribution), so a warm_build spike
+    // must be read against host load before it is treated as a
+    // regression — this records the evidence in the same artifact
+    val warmLoadBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val warmLoads = scala.collection.mutable.ListBuffer(warmLoadBean.getSystemLoadAverage)
     // Each warm-build is fenced: one broken artifact build must degrade to
     // per-query errors on the queries that read that artifact, not abort
     // the whole benchmark (round 9 lost all timing data to exactly this —
@@ -135,7 +141,8 @@ object Bench {
     // committed 60 vs 45 s discrepancy) shows up as load >> 0 on an
     // otherwise-idle box, making a contaminated run self-identifying
     // instead of needing commit-timestamp forensics. -1.0 = unsupported.
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val osBean = warmLoadBean
+    warmLoads += osBean.getSystemLoadAverage // close of the warm section
     val loadAvgs = scala.collection.mutable.ListBuffer(osBean.getSystemLoadAverage)
     for (_ <- 1 to Runs) {
       for ((name, fn) <- ordered if !errs0.contains(name)) {
@@ -168,6 +175,7 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"failed":$nFailed,"runs_per_query":$Runs,""" +
       s""""aggregation":"median","warm_build":$warm,"warm_build_errors":$warmE,""" +
+      s""""warm_load_avg":${warmLoads.mkString("[", ",", "]")},""" +
       s""""load_avg":$loads,"sf":${q(sfDir)}}"""
     // The FULL result goes to bench_out.json (committed per round — the
     // authoritative per-query record). stdout gets ONE line sized to

@@ -39,8 +39,14 @@ object Verify {
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
-      else try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      else try {
+        // progress marker: lets a log reader attribute engine warnings
+        // (e.g. WindowExec's partitionless-window alarm) to the exact
+        // query that emitted them
+        System.err.println(s"[verify] running $name")
+        ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         failed(name) = s"${e.getClass.getSimpleName}: " +
           Option(e.getMessage).getOrElse("").replace('\n', ' ').take(200)

@@ -1264,15 +1264,22 @@ object Similarity {
       val nIdx = idx.groupBy(col("cid")).agg(count(lit(1)).as("n_index"))
       val nB = assignTo(batch, cents)
         .groupBy(col("cid")).agg(count(lit(1)).as("n_batch"))
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      // both share totals ride the aggregate that collects the k-row
+      // frame (single pass, no partitionless WindowExec — Spark 4 folds
+      // a constant partition key away, so the only warning-free global
+      // window over a tiny frame is no window)
       nIdx.join(nB, Seq("cid"), "left")
         .select(col("cid"), col("n_index"),
           coalesce(col("n_batch"), lit(0L)).as("n_batch"))
+        .agg(collect_list(struct(col("cid"), col("n_index"), col("n_batch"))).as("rows"),
+          sum(col("n_batch")).as("tb"), sum(col("n_index")).as("ti"))
+        .select(explode(col("rows")).as("r"), col("tb"), col("ti"))
+        .select(col("r.cid").as("cid"), col("r.n_index").as("n_index"),
+          col("r.n_batch").as("n_batch"), col("tb"), col("ti"))
         .withColumn("share_drift",
-          col("n_batch").cast("double") /
-            sum(col("n_batch")).over(wAll).cast("double") -
-            col("n_index").cast("double") /
-              sum(col("n_index")).over(wAll).cast("double"))
+          col("n_batch").cast("double") / col("tb").cast("double") -
+            col("n_index").cast("double") / col("ti").cast("double"))
+        .drop("tb", "ti")
         .orderBy(col("cid"))
     },
     Some(s"""$kmeansSqlChain,

@@ -585,6 +585,111 @@ object LtssSink {
     } finally conn.close()
   }
 
+  /** D2 — the reference's startup MIGRATION REPLAY (migrations.py:10-54),
+    * re-expressed for the JDBC sink: inspect the live table and bring a
+    * legacy deployment's schema to the current one, in the reference's
+    * own order. Each step applies only when its probe finds the legacy
+    * state, so a current table is a no-op and the call is idempotent —
+    * run it at startup right after [[bootstrapJdbc]], exactly where the
+    * reference calls `check_and_migrate` (__init__.py:257-263):
+    *
+    *  1. `attributes` stored as text → `ALTER … TYPE JSONB USING
+    *     attributes::JSONB` (migrations.py:20-27,57-66);
+    *  2. missing attributes GIN index → create
+    *     `<table>_attributes_idx` (migrations.py:29-35,69-71 /
+    *     models.py:47-50);
+    *  3. missing composite index → create
+    *     `<table>_entityid_time_composite_idx (entity_id, time DESC)`,
+    *     then drop the superseded single-column `ix_<table>_entity_id`
+    *     (migrations.py:37-46,74-85 / models.py:52-56);
+    *  4. legacy surrogate `id` column → re-point the PRIMARY KEY at
+    *     `(time, entity_id)` (CASCADE, one transaction) and drop the
+    *     column (migrations.py:48-53,88-103).
+    *
+    * Returns the applied step names (empty = already current). Probes go
+    * through `information_schema`/`pg_indexes` SQL — the same inspector
+    * surface SQLAlchemy's `inspect(engine)` reads — filtered to the
+    * connection's current schema so a same-named table elsewhere on the
+    * search path can neither trigger nor suppress a step. Non-PostgreSQL
+    * URLs return empty: every legacy state this replays was produced by
+    * the reference, which only ever wrote PostgreSQL (models.py:27). */
+  def checkAndMigrate(
+      cfg: LtssConfig,
+      table: String = "ltss",
+      connect: String => Connection = url => DriverManager.getConnection(url)): Seq[String] = {
+    if (!cfg.dbUrl.startsWith("jdbc:postgresql")) return Nil
+    val applied = scala.collection.mutable.ArrayBuffer.empty[String]
+    val conn = connect(cfg.dbUrl)
+    try {
+      def exec(sql: String): Unit = {
+        val st = conn.createStatement(); try st.execute(sql) finally st.close()
+      }
+      def queryCol(sql: String): Seq[String] = {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(sql)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          try while (rs.next()) out += rs.getString(1)
+          finally rs.close()
+          out.toSeq
+        } finally st.close()
+      }
+      val t = table.toLowerCase.replace("'", "''")
+      // (column, udt) pairs of the live table — one probe, reused by
+      // steps 1 and 4, like the reference's single inspect() call
+      val colUdt = queryCol(
+        s"""SELECT column_name || ':' || udt_name FROM information_schema.columns
+           | WHERE table_schema = current_schema() AND table_name = '$t'""".stripMargin)
+        .map { kv => val Array(c, u) = kv.split(":", 2); c -> u }.toMap
+      if (colUdt.isEmpty)
+        throw new SQLException(s"checkAndMigrate: table $table does not exist", "42P01")
+      def indexes: Set[String] = queryCol(
+        s"""SELECT indexname FROM pg_indexes
+           | WHERE schemaname = current_schema() AND tablename = '$t'""".stripMargin).toSet
+      // 1. attributes text → JSONB (the reference warns "this might take
+      // a couple of minutes" — a full-table rewrite, same here)
+      if (colUdt.get("attributes").exists(u => u == "text" || u.startsWith("varchar"))) {
+        exec(s"ALTER TABLE $table ALTER COLUMN attributes TYPE JSONB " +
+          "USING attributes::JSONB")
+        applied += "attributes_text_to_jsonb"
+      }
+      // 2. attributes GIN index (after step 1: GIN's jsonb opclass
+      // requires the migrated type, the order the reference relies on)
+      if (!indexes.contains(s"${t}_attributes_idx")) {
+        exec(s"CREATE INDEX ${table}_attributes_idx ON $table USING GIN (attributes)")
+        applied += "attributes_index"
+      }
+      // 3. composite (entity_id, time DESC) index; then the obsolete
+      // per-column index the composite supersedes
+      if (!indexes.contains(s"${t}_entityid_time_composite_idx")) {
+        exec(s"CREATE INDEX ${table}_entityid_time_composite_idx " +
+          s"ON $table (entity_id, time DESC)")
+        applied += "entityid_time_composite_index"
+        if (indexes.contains(s"ix_${t}_entity_id")) {
+          exec(s"DROP INDEX ix_${table}_entity_id")
+          applied += "drop_entityid_index"
+        }
+      }
+      // 4. surrogate id column → composite PK, then drop the column.
+      // One transaction, as in the reference (engine.begin()): a crash
+      // between the PK swap and the column drop must not strand the
+      // table PK-less or doubly-keyed.
+      if (colUdt.contains("id")) {
+        conn.setAutoCommit(false)
+        try {
+          exec(s"ALTER TABLE $table " +
+            s"DROP CONSTRAINT IF EXISTS ${table}_pkey CASCADE, " +
+            "ADD PRIMARY KEY (time, entity_id)")
+          exec(s"ALTER TABLE $table DROP COLUMN id")
+          conn.commit()
+        } catch { case e: Throwable => conn.rollback(); throw e }
+        finally conn.setAutoCommit(true)
+        applied += "remove_id_column"
+      }
+      applied.toSeq
+    } finally conn.close()
+  }
+
   /** LIKE-pattern hygiene for the JDBC catalog probes: an escaper for
     * the `_`/`%` wildcards (using the driver's own escape string) and
     * the connection's current schema as the schema pattern, so a probe

@@ -108,6 +108,13 @@ object StreamingIngest {
           try LtssSink.effectiveConfig(cfg)
           catch { case _: java.sql.SQLException => cfg }
         LtssSink.bootstrapJdbc(e)
+        // the reference migrates right after connecting (__init__.py
+        // calls check_and_migrate before subscribing): a legacy table —
+        // text attributes, surrogate id PK, old index set — is brought
+        // to the current schema before the first batch lands on it
+        val migrated = LtssSink.checkAndMigrate(e)
+        if (migrated.nonEmpty)
+          System.err.println(s"[ltss-ingest] migrated legacy table: ${migrated.mkString(", ")}")
         e
       } else cfg
     toLtss(events, eff).writeStream

@@ -268,6 +268,65 @@ class PostgresE2ESpec extends SparkSpec with BeforeAndAfterAll {
     assert(jan.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("checkAndMigrate: the reference migration ladder replayed on a legacy deployment") {
+    // the EXACT legacy shape migrations.py repairs: surrogate id PK,
+    // attributes stored as TEXT, the old per-column entity_id index
+    withWire { w =>
+      w.query("CREATE TABLE ltss_mig (id SERIAL, " +
+        "time TIMESTAMP NOT NULL, entity_id VARCHAR(255) NOT NULL, " +
+        "state VARCHAR(255), attributes TEXT, PRIMARY KEY (id))")
+      w.query("CREATE INDEX ix_ltss_mig_entity_id ON ltss_mig (entity_id)")
+      w.query("INSERT INTO ltss_mig (time, entity_id, state, attributes) VALUES " +
+        "(TIMESTAMP '2024-01-01 00:00:00', 'sensor.a', '1', '{\"unit\": \"C\"}'), " +
+        "(TIMESTAMP '2024-01-01 00:00:01', 'sensor.b', '2', '{\"unit\": \"F\"}')")
+    }
+    val applied = LtssSink.checkAndMigrate(cfg, table = "ltss_mig")
+    assert(applied == Seq("attributes_text_to_jsonb", "attributes_index",
+      "entityid_time_composite_index", "drop_entityid_index", "remove_id_column"),
+      s"migration ladder diverged: $applied")
+    withWire { w =>
+      // the current schema: no id, typed jsonb attributes
+      val cols = w.query(
+        "SELECT column_name, udt_name FROM information_schema.columns " +
+          "WHERE table_name = 'ltss_mig' ORDER BY ordinal_position").rows
+      assert(cols.map(_(0)) == Vector("time", "entity_id", "state", "attributes"))
+      assert(cols.find(_(0) == "attributes").get(1) == "jsonb")
+      // the PK moved to the composite key (migrations.py:88-95)
+      val pk = w.query(
+        "SELECT a.attname FROM pg_index i JOIN pg_attribute a " +
+          "ON a.attrelid = i.indrelid AND a.attnum = ANY(i.indkey) " +
+          "WHERE i.indrelid = 'ltss_mig'::regclass AND i.indisprimary " +
+          "ORDER BY array_position(i.indkey, a.attnum)").rows.map(_(0))
+      assert(pk == Vector("time", "entity_id"))
+      // new indexes present, the superseded one gone
+      val idx = w.query("SELECT indexname FROM pg_indexes " +
+        "WHERE tablename = 'ltss_mig'").rows.map(_(0)).toSet
+      assert(idx.contains("ltss_mig_attributes_idx"), idx)
+      assert(idx.contains("ltss_mig_entityid_time_composite_idx"), idx)
+      assert(!idx.contains("ix_ltss_mig_entity_id"), idx)
+      // data survived and is REAL jsonb now: the server's ->> operator
+      // (the reference's whole point in migrating) works on it
+      val got = w.query(
+        "SELECT entity_id, attributes->>'unit' FROM ltss_mig ORDER BY time").rows
+      assert(got == Vector(Vector("sensor.a", "C"), Vector("sensor.b", "F")))
+    }
+    // idempotence: a second run finds a current table and touches nothing
+    assert(LtssSink.checkAndMigrate(cfg, table = "ltss_mig").isEmpty)
+    // and the migrated table accepts the sink's production write path,
+    // composite-PK conflict handling included
+    val batch = Seq(
+      (ts("2024-01-02 00:00:00"), "sensor.c", "3", """{"unit": "K"}"""),
+      (ts("2024-01-01 00:00:00"), "sensor.a", "9", """{"unit": "X"}"""))
+      .toDF("time", "entity_id", "state", "attributes")
+    LtssSink.writeJdbc(batch, LtssConfig(dbUrl = server.url), table = "ltss_mig",
+      retryWaitMs = 1, sleep = _ => ())
+    withWire { w =>
+      val after = w.query("SELECT entity_id, state FROM ltss_mig ORDER BY time, entity_id").rows
+      assert(after == Vector(Vector("sensor.a", "1"), Vector("sensor.b", "2"),
+        Vector("sensor.c", "3")), s"post-migration ingest diverged: $after")
+    }
+  }
+
   test("real-server SQLSTATEs drive the sink classifier") {
     withWire { w =>
       w.query("CREATE TABLE IF NOT EXISTS ltss_states " +
