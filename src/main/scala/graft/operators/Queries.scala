@@ -724,6 +724,185 @@ object Queries {
       |       min(ts) AS first_seen, max(ts) AS last_seen
       |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** TRAVEL DISTANCE per entity — the PostGIS trajectory rollup
+    * (`ST_Length(ST_MakeLine(location ORDER BY time))` over geography)
+    * an LTSS deployment runs on its location column: "how far did each
+    * tracker move?". Consecutive fixes in the `(ts, event_id)` total
+    * order pair up via one keyed `lag` window; each leg runs through the
+    * same haversine kernel as every other geo query and is FLOORED TO
+    * INTEGER METERS before the per-entity sum, so the cross-row
+    * aggregation is exact BIGINT arithmetic (a double sum would be
+    * partial-aggregation-order-dependent — the one float op per leg is
+    * the kernel itself). Scale: one keyed window + a combinable
+    * aggregate; no join, no global order. */
+  val travelDist = OracleQuery(
+    "ltss_geo_travel",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .withColumn("leg_m",
+          when(col("plat").isNotNull,
+            floor(graft.functions.Haversine.haversineKm(
+              col("plat"), col("plon"), col("lat"), col("lon")) * 1000.0).cast("long"))
+            .otherwise(lit(null).cast("long")))
+        .groupBy(col("user_id"))
+        .agg(count(col("leg_m")).as("n_legs"),
+          coalesce(sum(col("leg_m")), lit(0L)).as("travel_m"),
+          coalesce(max(col("leg_m")), lit(0L)).as("max_leg_m"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH pts AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+      |), pl AS (
+      |  SELECT user_id, lat, lon,
+      |         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+      |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), legs AS (
+      |  -- the NULL guard is load-bearing: DuckDB's least() SKIPS nulls
+      |  -- (least(1.0, NULL) = 1.0), so an unguarded first-fix leg would
+      |  -- evaluate to asin(1) — a bogus antipodal 20 015 km
+      |  SELECT user_id,
+      |         CASE WHEN plat IS NULL THEN NULL ELSE
+      |           CAST(floor(2 * 6371.0088 * asin(least(1.0, sqrt(
+      |             pow(sin(radians(lat - plat) / 2), 2)
+      |             + cos(radians(plat)) * cos(radians(lat))
+      |               * pow(sin(radians(lon - plon) / 2), 2)))) * 1000.0)
+      |             AS BIGINT) END AS leg_m
+      |  FROM pl
+      |)
+      |SELECT user_id, CAST(count(leg_m) AS BIGINT) AS n_legs,
+      |       CAST(COALESCE(sum(leg_m), 0) AS BIGINT) AS travel_m,
+      |       CAST(COALESCE(max(leg_m), 0) AS BIGINT) AS max_leg_m
+      |FROM legs GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** GPS-GLITCH (teleport) audit — the location-quality filter every
+    * trajectory consumer needs before trusting [[travelDist]]: a fix
+    * whose implied speed from the previous fix exceeds a physical bound
+    * (500 km/h here) is a glitch candidate. Arithmetic: integer leg
+    * meters and integer µs gaps; the implied speed is ONE
+    * multiply-then-divide double chain written identically on both
+    * sides. Top-50 by severity — a bounded report, TakeOrdered, not a
+    * corpus dump. Zero-gap pairs (duplicate-µs fixes at different
+    * coordinates) are infinite-speed teleports by definition and are
+    * ranked first via the severity key rather than divided by zero. */
+  val geoSpeed = OracleQuery(
+    "ltss_geo_speed",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .withColumn("dt_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("plat").isNotNull)
+        .withColumn("leg_m",
+          floor(graft.functions.Haversine.haversineKm(
+            col("plat"), col("plon"), col("lat"), col("lon")) * 1000.0).cast("long"))
+        .withColumn("speed_kmh_floor",
+          when(col("dt_us") > 0L,
+            floor(col("leg_m").cast("double") * 3600000.0 / col("dt_us").cast("double"))
+              .cast("long")).otherwise(lit(null).cast("long")))
+        .filter(col("speed_kmh_floor").isNull || col("speed_kmh_floor") > 500L)
+        .select(col("user_id"), col("ts").as("time"), col("event_id"),
+          col("leg_m"), col("dt_us"), col("speed_kmh_floor"))
+        .orderBy(col("speed_kmh_floor").desc_nulls_first, col("user_id"),
+          col("time"), col("event_id"))
+        .limit(50)
+    },
+    Some("""WITH pts AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+      |), legs AS (
+      |  SELECT user_id, ts, event_id,
+      |         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us,
+      |         CAST(floor(2 * 6371.0088 * asin(least(1.0, sqrt(
+      |           pow(sin(radians(lat - lag(lat) OVER w) / 2), 2)
+      |           + cos(radians(lag(lat) OVER w)) * cos(radians(lat))
+      |             * pow(sin(radians(lon - lag(lon) OVER w) / 2), 2)))) * 1000.0)
+      |           AS BIGINT) AS leg_m
+      |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sp AS (
+      |  SELECT user_id, ts AS time, event_id, leg_m, dt_us,
+      |         CASE WHEN dt_us > 0 THEN CAST(floor(
+      |           CAST(leg_m AS DOUBLE) * 3600000.0 / CAST(dt_us AS DOUBLE))
+      |           AS BIGINT) END AS speed_kmh_floor
+      |  FROM legs WHERE plat IS NOT NULL
+      |)
+      |SELECT * FROM sp
+      |WHERE speed_kmh_floor IS NULL OR speed_kmh_floor > 500
+      |ORDER BY speed_kmh_floor DESC NULLS FIRST, user_id, time, event_id
+      |LIMIT 50""".stripMargin))
+
+  /** GEO K-NEAREST-NEIGHBORS — the PostGIS KNN operator
+    * (`ORDER BY location <-> point LIMIT k`) over each entity's LATEST
+    * fix: "the 10 trackers nearest the station, right now". Latest-fix
+    * extraction is the standard keyed `row_number` window; the kNN
+    * itself is a TakeOrdered top-k over one map-side haversine per
+    * entity — LINEAR and shuffle-free past the latest-state exchange
+    * (the k-row reduce is the only data movement). The INDEXED path at
+    * scale is the sargable box-pruned radius scan
+    * ([[geoRadiusLayout]] + [[graft.plans.HaversineBoxRule]]) with ring
+    * doubling until k survive — this exact-scan form is its audit twin,
+    * the same contract as the ANN recall family. Distance ties are
+    * broken by user_id, and the emitted distance is floored to meters,
+    * keeping the output integer past the kernel. */
+  val geoKnn = OracleQuery(
+    "ltss_geo_knn",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
+        .withColumn("dist_m",
+          floor(graft.functions.Haversine.haversineKm(
+            col("lat"), col("lon"), lit(57.7), lit(11.97)) * 1000.0).cast("long"))
+        .select(col("user_id"), col("ts").as("time"), col("event_id"), col("dist_m"))
+        .orderBy(col("dist_m"), col("user_id"))
+        .limit(10)
+    },
+    Some("""WITH latest AS (
+      |  SELECT user_id, ts, event_id FROM (
+      |    SELECT user_id, ts, event_id,
+      |           row_number() OVER (PARTITION BY user_id
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL)
+      |  WHERE rn = 1
+      |), pts AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      |  FROM latest
+      |)
+      |SELECT user_id, ts AS time, event_id,
+      |       CAST(floor(2 * 6371.0088 * asin(least(1.0, sqrt(
+      |         pow(sin(radians(57.7 - lat) / 2), 2)
+      |         + cos(radians(lat)) * cos(radians(57.7))
+      |           * pow(sin(radians(11.97 - lon) / 2), 2)))) * 1000.0) AS BIGINT)
+      |         AS dist_m
+      |FROM pts
+      |ORDER BY dist_m, user_id
+      |LIMIT 10""".stripMargin))
+
   val geoBbox = OracleQuery(
     "ltss_geo_bbox",
     (s, d) =>
@@ -2149,5 +2328,5 @@ object Queries {
     retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, anomalyMad,
     histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq, geohashQ,
     histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence, zoneDwell,
-    kmvMerge, geohashPrefixQ)
+    kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn)
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the trajectory queries (`ltss_geo_travel`,
+  * `ltss_geo_speed`, `ltss_geo_knn`) — independent of both the Spark
+  * plan and the DuckDB oracle: the expected distances come from the
+  * CLOSED FORM of the haversine on a constant-latitude track,
+  * d = 2R·asin(cos(lat)·sin(Δlon/2)), a different expression path than
+  * the kernel's pow/sqrt composition, analytically equal on these
+  * inputs. The fixture is a synthetic events.parquet in the real
+  * fixture geometry (lat = user_id%180−90+0.5, lon = event_id%360−180+0.5),
+  * so the tests drive the REGISTERED queries end to end. */
+class GeoTrajectorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val R = 6371.0088
+  /** Closed-form same-latitude haversine leg, floored to meters. */
+  private def legM(lat: Double, dLonDeg: Double): Long =
+    math.floor(2.0 * R * math.asin(
+      math.cos(math.toRadians(lat)) * math.sin(math.toRadians(dLonDeg) / 2))
+      * 1000.0).toLong
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** user 90 sits at lat 0.5; event_id 180+k puts a fix at lon k+0.5.
+    * Track: lon 0.5 → 1.5 → 3.5 (legs of 1° and 2°), one fix per hour,
+    * plus a lone-fix user 91 (lat 1.5) with no legs at lon 0.5. */
+  private lazy val fixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-geo-fixture").toString
+    Seq(
+      (180L, ts("2024-01-01 10:00:00"), 90L),
+      (181L, ts("2024-01-01 11:00:00"), 90L),
+      (183L, ts("2024-01-01 12:00:00"), 90L),
+      (540L, ts("2024-01-01 10:00:00"), 91L)) // 540 % 360 = 180 → lon 0.5
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("ltss_geo_travel sums closed-form legs; a lone fix contributes zero") {
+    val rows = SparkEntry.queries("ltss_geo_travel")(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val leg1 = legM(0.5, 1.0) // 1° of longitude at lat 0.5 ≈ 111 190 m
+    val leg2 = legM(0.5, 2.0)
+    assert(leg1 > 111000L && leg1 < 111200L, s"closed form sanity: $leg1")
+    assert(rows.toSeq == Seq(
+      (90L, 2L, leg1 + leg2, leg2),
+      (91L, 0L, 0L, 0L)), s"travel diverged from the closed form: ${rows.toSeq}")
+  }
+
+  test("ltss_geo_speed flags the teleport leg and ranks a zero-gap pair first") {
+    // same track plus: user 92 (lat 2.5) jumps 30° of longitude in one
+    // minute (~3300 km → ~200 000 km/h, flagged) after a slow 1°/hour
+    // leg (≈111 km/h, not flagged); user 93 emits two fixes in the SAME
+    // microsecond at different coords — infinite speed, NULL, ranked first
+    val dir = java.nio.file.Files.createTempDirectory("graft-geo-speed").toString
+    Seq(
+      (180L, ts("2024-01-01 10:00:00"), 92L),
+      (181L, ts("2024-01-01 11:00:00"), 92L),
+      (211L, ts("2024-01-01 11:01:00"), 92L), // 30° in 60 s
+      (180L, ts("2024-01-01 10:00:00"), 93L),
+      (190L, ts("2024-01-01 10:00:00"), 93L)) // duplicate-µs pair
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("ltss_geo_speed")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    // exactly two flagged rows: the zero-gap teleport first (NULL
+    // severity), then the 30°-in-a-minute jump; the ~111 km/h leg absent
+    assert(rows.length == 2, s"flag set diverged: ${rows.toSeq}")
+    assert(rows(0) == ((93L, 190L, None)), s"zero-gap pair must rank first: ${rows.toSeq}")
+    val leg30 = legM(2.5, 30.0)
+    val expected = math.floor(leg30.toDouble * 3600000.0 / 60000000.0).toLong
+    assert(rows(1) == ((92L, 211L, Some(expected))),
+      s"teleport speed diverged from the closed form: ${rows.toSeq} vs $expected")
+  }
+
+  test("ltss_geo_knn returns each entity's LATEST fix ordered by distance") {
+    // user 90's latest fix is lon 3.5 (not its nearer older lon 0.5 fix
+    // — latest-wins is the point), user 91 sits at lon 0.5; both
+    // distances to the station follow from the general closed form via
+    // the spherical law of cosines on these two-point inputs, so here we
+    // pin the ORDER and the latest-fix selection, and cross-check the
+    // emitted integer meters against the kernel run on the same scalars
+    val rows = SparkEntry.queries("ltss_geo_knn")(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(91L, 90L), s"knn order diverged: ${rows.toSeq}")
+    assert(rows(0)._2 == 540L && rows(1)._2 == 183L,
+      s"knn must rank the LATEST fix per entity: ${rows.toSeq}")
+    def distM(lat: Double, lon: Double): Long =
+      math.floor(graft.functions.GeoMath.haversineKm(lat, lon, 57.7, 11.97) * 1000.0).toLong
+    assert(rows(0)._3 == distM(1.5, 0.5) && rows(1)._3 == distM(0.5, 3.5),
+      s"knn distances diverged: ${rows.toSeq}")
+    assert(rows(0)._3 < rows(1)._3)
+  }
+}
