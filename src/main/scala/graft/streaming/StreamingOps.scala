@@ -1423,6 +1423,49 @@ object StreamingOps {
       }
   }
 
+  final case class Odometer(user_id: Long, n_legs: Long, travel_m: Long, max_leg_m: Long)
+  final case class OdoState(
+      lat: Double, lon: Double, n: Long, total: Long, maxLeg: Long)
+
+  /** Continuous ODOMETER — the streaming twin of the batch
+    * `ltss_geo_travel` rollup (the `ST_Length(ST_MakeLine(...))`
+    * trajectory analog): per entity the state is the LAST FIX plus three
+    * integers (leg count, total meters, max leg); each arrival extends
+    * the track by one leg through the SAME static haversine kernel the
+    * batch expression compiles to ([[graft.functions.GeoMath]]), floored
+    * to integer meters before the add — so after any prefix under the
+    * per-entity in-order delivery the event bus provides, the emitted
+    * totals equal the batch query over the same rows EXACTLY
+    * (spec-pinned; integer arithmetic, no float accumulation drift by
+    * construction). Arrivals are ordered (µs, event_id) within each
+    * micro-batch, the batch window's total key, as in [[geofenceStream]].
+    * State is 2 doubles + 3 longs per entity — a fleet of 10⁸ trackers
+    * holds 4 GB of state across the cluster, flat in stream length. */
+  def odometerStream(
+      pts: DataFrame // time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE
+  ): Dataset[Odometer] = {
+    import pts.sparkSession.implicits._
+    pts
+      .select(col("time"), col("user_id"), col("event_id"), col("lat"), col("lon"))
+      .as[(java.sql.Timestamp, Long, Long, Double, Double)]
+      .groupByKey(_._2)
+      .mapGroupsWithState[OdoState, Odometer](GroupStateTimeout.NoTimeout) {
+        (uid, rows, st) =>
+          val sorted = rows.toSeq.sortBy(r => (micros(r._1), r._3))
+          var s = st.getOption.orNull
+          for ((_, _, _, lat, lon) <- sorted) {
+            if (s == null) s = OdoState(lat, lon, 0L, 0L, 0L)
+            else {
+              val leg = math.floor(graft.functions.GeoMath.haversineKm(
+                s.lat, s.lon, lat, lon) * 1000.0).toLong
+              s = OdoState(lat, lon, s.n + 1, s.total + leg, math.max(s.maxLeg, leg))
+            }
+          }
+          st.update(s)
+          Odometer(uid, s.n, s.total, s.maxLeg)
+      }
+  }
+
   final case class AsapState(
       ring: Seq[Long], seen: Long, stats: Map[Int, (Long, Long, Long)])
   final case class AsapPick(

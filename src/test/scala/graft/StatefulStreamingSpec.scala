@@ -608,6 +608,51 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(got == batch, s"stream $got != batch $batch under duplicate-µs input")
   }
 
+  test("streaming odometer equals the batch travel rollup over every prefix") {
+    // same fixture geometry as GeoTrajectorySpec: user 90 walks lon
+    // 0.5 -> 1.5 -> 3.5 at lat 0.5 (legs of 1 and 2 degrees), user 91
+    // emits one fix (no legs). Batch 1 delivers the first two fixes,
+    // batch 2 the rest — the totals after each prefix must equal the
+    // batch ltss_geo_travel query over the same rows (run against a
+    // parquet of exactly those rows, not a mirrored formula).
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def fix(eid: Long, t: String, uid: Long) = {
+      val lat = (uid % 180 - 90).toDouble + 0.5
+      val lon = (eid % 360 - 180).toDouble + 0.5
+      (ts(t), uid, eid, lat, lon)
+    }
+    val b1 = Seq(fix(180L, "2024-01-01 10:00:00", 90L), fix(181L, "2024-01-01 11:00:00", 90L))
+    val b2 = Seq(fix(183L, "2024-01-01 12:00:00", 90L), fix(540L, "2024-01-01 10:00:00", 91L))
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val df = ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon")
+    val q = StreamingOps.odometerStream(df).writeStream
+      .format("memory").queryName("odo_t").outputMode("update").start()
+    def batchTravel(rows: Seq[(java.sql.Timestamp, Long, Long, Double, Double)])
+        : Map[Long, (Long, Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-odo-batch").toString
+      rows.map(r => (r._3, r._1, r._2)).toDF("event_id", "ts", "user_id")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      SparkEntry.queries("ltss_geo_travel")(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    }
+    def streamState(): Map[Long, (Long, Long, Long)] =
+      spark.table("odo_t").as[StreamingOps.Odometer].collect()
+        .groupBy(_.user_id)
+        .map { case (u, os) =>
+          val last = os.maxBy(o => (o.n_legs, o.travel_m))
+          u -> ((last.n_legs, last.travel_m, last.max_leg_m))
+        }
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      assert(streamState() == batchTravel(b1),
+        s"prefix-1 odometer diverged: ${streamState()} vs ${batchTravel(b1)}")
+      ms.addData(b2: _*); q.processAllAvailable()
+      assert(streamState() == batchTravel(b1 ++ b2),
+        s"prefix-2 odometer diverged: ${streamState()} vs ${batchTravel(b1 ++ b2)}")
+    } finally q.stop()
+  }
+
   test("streaming ASAP pick equals the batch window selection over a dense prefix") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val H = 3600000000L
