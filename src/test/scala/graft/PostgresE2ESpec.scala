@@ -327,6 +327,34 @@ class PostgresE2ESpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("checkAndMigrate applies only the steps a PARTIALLY-migrated table still needs") {
+    // mixed legacy state: attributes already JSONB (step 1 done by an
+    // earlier run or a newer deployment) but the surrogate id and the
+    // old index ladder remain — each step must probe independently,
+    // exactly like the reference's inspector-driven ladder
+    withWire { w =>
+      w.query("CREATE TABLE ltss_mig2 (id SERIAL, " +
+        "time TIMESTAMP NOT NULL, entity_id VARCHAR(255) NOT NULL, " +
+        "state VARCHAR(255), attributes JSONB, PRIMARY KEY (id))")
+      w.query("CREATE INDEX ix_ltss_mig2_entity_id ON ltss_mig2 (entity_id)")
+      w.query("INSERT INTO ltss_mig2 (time, entity_id, state, attributes) VALUES " +
+        "(TIMESTAMP '2024-01-01 00:00:00', 'sensor.a', '1', '{\"k\": 1}')")
+    }
+    val applied = LtssSink.checkAndMigrate(cfg, table = "ltss_mig2")
+    assert(applied == Seq("attributes_index", "entityid_time_composite_index",
+      "drop_entityid_index", "remove_id_column"),
+      s"partial ladder diverged (text->jsonb must be skipped): $applied")
+    withWire { w =>
+      val cols = w.query(
+        "SELECT column_name FROM information_schema.columns " +
+          "WHERE table_name = 'ltss_mig2' ORDER BY ordinal_position").rows.map(_(0))
+      assert(cols == Vector("time", "entity_id", "state", "attributes"))
+      assert(w.query("SELECT attributes->>'k' FROM ltss_mig2").rows ==
+        Vector(Vector("1")))
+    }
+    assert(LtssSink.checkAndMigrate(cfg, table = "ltss_mig2").isEmpty)
+  }
+
   test("real-server SQLSTATEs drive the sink classifier") {
     withWire { w =>
       w.query("CREATE TABLE IF NOT EXISTS ltss_states " +
