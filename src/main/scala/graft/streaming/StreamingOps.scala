@@ -1466,6 +1466,61 @@ object StreamingOps {
       }
   }
 
+  final case class SpeedAlert(
+      user_id: Long, time: java.sql.Timestamp, event_id: Long,
+      leg_m: Long, dt_us: Long, speed_kmh_floor: Option[Long])
+
+  /** Continuous GPS-GLITCH alerts — the streaming face of the batch
+    * `ltss_geo_speed` audit (which reports the worst offenders
+    * after-the-fact; an operator wants the teleport THE MOMENT the bogus
+    * fix arrives, to quarantine the tracker before it poisons the
+    * odometer). Same per-entity last-fix state as [[odometerStream]];
+    * each arrival computes the implied speed of its leg with the batch
+    * query's exact arithmetic — integer floored meters × integer µs,
+    * one multiply-divide chain — and emits iff the leg is a glitch:
+    * speed > the threshold, or a duplicate-µs pair (dt = 0 →
+    * undefined speed, `speed_kmh_floor = None`, exactly the batch's
+    * NULL-severity class — flagged whatever the coordinates, as the
+    * batch filter does). Over any prefix the
+    * emitted set equals the batch query's flag set before its top-50
+    * presentation cut (spec-pinned against a closed-form fixture). */
+  def geoSpeedStream(
+      pts: DataFrame, // time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE
+      thresholdKmh: Long = 500L): Dataset[SpeedAlert] = {
+    import pts.sparkSession.implicits._
+    pts
+      .select(col("time"), col("user_id"), col("event_id"), col("lat"), col("lon"))
+      .as[(java.sql.Timestamp, Long, Long, Double, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[OdoFix, SpeedAlert](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid, rows, st) =>
+          val sorted = rows.toSeq.sortBy(r => (micros(r._1), r._3))
+          var prev = st.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[SpeedAlert]
+          for ((t, _, eid, lat, lon) <- sorted) {
+            if (prev != null) {
+              val legM = math.floor(graft.functions.GeoMath.haversineKm(
+                prev.lat, prev.lon, lat, lon) * 1000.0).toLong
+              val dtUs = micros(t) - prev.tUs
+              val speed =
+                if (dtUs > 0L)
+                  Some(math.floor(legM.toDouble * 3600000.0 / dtUs.toDouble).toLong)
+                else None
+              if (speed.forall(_ > thresholdKmh))
+                out += SpeedAlert(uid, t, eid, legM, dtUs, speed)
+            }
+            prev = OdoFix(lat, lon, micros(t))
+          }
+          if (prev != null) st.update(prev)
+          out.iterator
+      }
+  }
+
+  /** Last-fix state shared by the trajectory streams. */
+  final case class OdoFix(lat: Double, lon: Double, tUs: Long)
+
   final case class AsapState(
       ring: Seq[Long], seen: Long, stats: Map[Int, (Long, Long, Long)])
   final case class AsapPick(

@@ -653,6 +653,44 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming speed alerts fire on teleports and duplicate-µs pairs, never on slow legs") {
+    // GeoTrajectorySpec's speed fixture, streamed across two batches so
+    // the last-fix state crosses a batch boundary: user 92 walks 1° in
+    // an hour (≈111 km/h, silent) then jumps 30° in a minute (alert);
+    // user 93 emits a duplicate-µs pair (alert, None severity)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def fix(eid: Long, t: String, uid: Long) = {
+      val lat = (uid % 180 - 90).toDouble + 0.5
+      val lon = (eid % 360 - 180).toDouble + 0.5
+      (ts(t), uid, eid, lat, lon)
+    }
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val df = ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon")
+    val q = StreamingOps.geoSpeedStream(df).writeStream
+      .format("memory").queryName("spd_t").outputMode("append").start()
+    try {
+      ms.addData(fix(180L, "2024-01-01 10:00:00", 92L),
+        fix(181L, "2024-01-01 11:00:00", 92L),
+        fix(180L, "2024-01-01 10:00:00", 93L))
+      q.processAllAvailable()
+      assert(spark.table("spd_t").count() == 0,
+        "the ~111 km/h leg must not alert")
+      // batch 2: the teleport leg pairs with batch 1's last fix
+      ms.addData(fix(211L, "2024-01-01 11:01:00", 92L),
+        fix(190L, "2024-01-01 10:00:00", 93L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("spd_t").as[StreamingOps.SpeedAlert].collect()
+      .map(a => (a.user_id, a.event_id, a.speed_kmh_floor)).toSet
+    // closed-form expectation, same device as GeoTrajectorySpec
+    val leg30 = math.floor(2.0 * 6371.0088 * math.asin(
+      math.cos(math.toRadians(2.5)) * math.sin(math.toRadians(30.0) / 2)) * 1000.0).toLong
+    val v = math.floor(leg30.toDouble * 3600000.0 / 60000000.0).toLong
+    assert(got == Set((92L, 211L, Some(v)), (93L, 190L, None)),
+      s"alert set diverged: $got (expected teleport $v km/h + dup-µs None)")
+  }
+
   test("streaming ASAP pick equals the batch window selection over a dense prefix") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val H = 3600000000L
