@@ -114,6 +114,11 @@ object LtssSink {
           s"layout at $path has an unfinished compaction of chunk '$c' " +
             s"(generation ${m.generation}) — run recoverCompaction first")
       }
+      m.migrating.foreach { t =>
+        throw new IllegalStateException(
+          s"layout at $path has an unfinished attributes-encoding migration " +
+            s"to '$t' — re-run migrateAttributesEncoding to completion first")
+      }
       writeLayoutMarker(spark, path,
         m.copy(generation = m.generation + 1, compacting = Some(chunk)))
     }
@@ -181,6 +186,91 @@ object LtssSink {
     compactChunk(spark, path, chunk, targetFiles, sortCols)
     val (fa, ba) = parquetStats(fs, chunkDir)
     CompactionAudit(chunk, sortCols, fb, bb, fa, ba)
+  }
+
+  /** Layout-side analog of the reference's attributes TEXT → JSONB
+    * migration (`migrations.py:57-66`), for the PARQUET sink: rewrite an
+    * existing `"json"`-encoded layout to Spark 4 VariantType
+    * (`"variant"` — the JSONB mapping, SURVEY §1.2) IN PLACE, chunk by
+    * chunk, so an established deployment gains `variant_get` extraction
+    * without re-ingesting history. Protocol: the marker is stamped
+    * `migratingEncoding` FIRST (readers, appenders, and compaction
+    * refuse the layout while set — a half-migrated layout mixes physical
+    * types across chunks and breaks schema merge), then every chunk is
+    * rewritten through the compaction swap (staged dot-dir → retire →
+    * swap-in), and one final marker write commits
+    * `attributesEncoding = "variant"` and lifts the lock. Crash
+    * recovery is RE-RUNNING the migration: per chunk it first restores
+    * a live dir from a staged/retired survivor, then skips chunks whose
+    * parquet already holds variant — idempotent at every crash point.
+    * Returns the chunks rewritten by THIS run. Scale: chunk-local
+    * rewrites behind ingest, exactly like compaction — the reference
+    * migrates its whole table in one ALTER because PostgreSQL can; a
+    * 100 TB layout migrates incrementally, and the lock is what keeps
+    * readers correct meanwhile. */
+  def migrateAttributesEncoding(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      target: String = "variant"): Seq[String] = {
+    require(target == "variant",
+      s"only the json -> variant (JSONB) direction exists, got '$target'")
+    val m0 = readLayoutMarker(spark, path).getOrElse(throw new IllegalStateException(
+      s"layout at $path has no marker — its encoding is unknown; rewrite with " +
+        "writeParquet(SaveMode.Overwrite, attributesEncoding = \"variant\") instead"))
+    m0.compacting.foreach { c =>
+      throw new IllegalStateException(
+        s"layout at $path has an unfinished compaction of chunk '$c' — " +
+          "run recoverCompaction before migrating")
+    }
+    if (m0.attributesEncoding == target && m0.migrating.isEmpty) return Nil
+    val (fs, root) = hadoopFs(spark, path)
+    if (m0.migrating.isEmpty)
+      writeLayoutMarker(spark, path,
+        m0.copy(generation = m0.generation + 1, migrating = Some(target)))
+    // discover chunks from live dirs AND the hidden migration copies: a
+    // crash between the renames leaves a chunk with NO live dir, visible
+    // only as its staged/retired survivor — a live-only listing would
+    // silently skip it and the commit below would strand its rows
+    val names = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+    val chunks = (names.filter(_.startsWith("chunk=")).map(_.stripPrefix("chunk=")) ++
+      names.filter(_.startsWith(".migrate_staged_chunk_"))
+        .map(_.stripPrefix(".migrate_staged_chunk_")) ++
+      names.filter(_.startsWith(".migrate_retired_chunk_"))
+        .map(_.stripPrefix(".migrate_retired_chunk_"))).distinct.sorted.toSeq
+    val done = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (c <- chunks) {
+      val chunkDir = new org.apache.hadoop.fs.Path(root, s"chunk=$c")
+      val staged = new org.apache.hadoop.fs.Path(root, s".migrate_staged_chunk_$c")
+      val retired = new org.apache.hadoop.fs.Path(root, s".migrate_retired_chunk_$c")
+      // crash recovery: a prior run may have died between the renames —
+      // restore a live dir from whichever hidden copy survived (staged
+      // is complete by construction once the retire rename began)
+      if (!fs.exists(chunkDir)) {
+        val src = if (fs.exists(staged)) staged else retired
+        if (!fs.exists(src) || !fs.rename(src, chunkDir))
+          throw new java.io.IOException(
+            s"chunk '$c' has no live, staged, or retired copy under $path")
+      }
+      fs.delete(staged, true)
+      fs.delete(retired, true)
+      val df = spark.read.parquet(chunkDir.toString)
+      if (df.schema("attributes").dataType !=
+          org.apache.spark.sql.types.VariantType) {
+        df.withColumn("attributes", parse_json(col("attributes")))
+          .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+        if (!fs.rename(chunkDir, retired))
+          throw new java.io.IOException(s"migration could not retire $chunkDir")
+        if (!fs.rename(staged, chunkDir))
+          throw new java.io.IOException(
+            s"migration could not swap in $staged — original preserved at $retired")
+        fs.delete(retired, true)
+        done += c
+      }
+    }
+    val m1 = readLayoutMarker(spark, path).getOrElse(m0)
+    writeLayoutMarker(spark, path, m1.copy(generation = m1.generation + 1,
+      attributesEncoding = target, migrating = None))
+    done.toSeq
   }
 
   /** Repair a compaction interrupted at any point, using the marker's
@@ -320,7 +410,13 @@ object LtssSink {
         * (string, the reference's wire form) or "variant" (Spark 4
         * VariantType — the modern JSONB mapping, SURVEY §1.2). Recorded
         * so appends cannot silently mix encodings in one layout. */
-      attributesEncoding: String = "json")
+      attributesEncoding: String = "json",
+      /** Set while [[migrateAttributesEncoding]] rewrites chunks to the
+        * named target encoding: readers and appenders refuse the layout
+        * until the migration commits (a half-migrated layout mixes
+        * physical types across chunks — schema merge breaks). Recovery
+        * is re-running the migration, which is idempotent per chunk. */
+      migrating: Option[String] = None)
 
   private val MarkerName = "_ltss_layout.json"
 
@@ -345,7 +441,9 @@ object LtssSink {
     // absent in pre-variant markers -> "json", their only encoding
     val encoding = "\"attributesEncoding\"\\s*:\\s*\"([^\"]+)\"".r
       .findFirstMatchIn(text).map(_.group(1)).getOrElse("json")
-    Some(LayoutMarker(interval, keys, generation, compacting, encoding))
+    val migrating = "\"migratingEncoding\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(text).map(_.group(1))
+    Some(LayoutMarker(interval, keys, generation, compacting, encoding, migrating))
   }
 
   private[graft] def writeLayoutMarker(
@@ -354,10 +452,11 @@ object LtssSink {
     val p = new org.apache.hadoop.fs.Path(root, MarkerName)
     val keys = m.attrKeys.map { case (k, t) => s"""["$k","$t"]""" }.mkString("[", ",", "]")
     val compacting = m.compacting.map(c => s""","compacting":"$c"""").getOrElse("")
+    val migrating = m.migrating.map(t => s""","migratingEncoding":"$t"""").getOrElse("")
     val out = fs.create(p, true)
     try out.write(
       (s"""{"chunkTimeIntervalUs":${m.chunkTimeIntervalUs},"attrKeys":$keys""" +
-        s""","generation":${m.generation}$compacting""" +
+        s""","generation":${m.generation}$compacting$migrating""" +
         s""","attributesEncoding":"${m.attributesEncoding}"}""").getBytes("UTF-8"))
     finally out.close()
   }
@@ -384,6 +483,13 @@ object LtssSink {
       throw new IllegalStateException(
         s"layout at $path has an unfinished compaction of chunk '$c' " +
           s"(generation ${marker.get.generation}) — run recoverCompaction first")
+    }
+    marker.flatMap(_.migrating).foreach { t =>
+      // mid-migration some chunks hold the old physical type and some
+      // the new — a read would fail schema merge or silently mis-type
+      throw new IllegalStateException(
+        s"layout at $path has an unfinished attributes-encoding migration " +
+          s"to '$t' — re-run migrateAttributesEncoding to completion first")
     }
     val effective = marker
       .map(m => cfg.copy(chunkTimeIntervalUs = m.chunkTimeIntervalUs))
@@ -454,7 +560,13 @@ object LtssSink {
           throw new IllegalStateException(
             s"layout at $path encodes attributes as '${m.attributesEncoding}'; " +
               s"refusing to append '$attributesEncoding' — mixed physical types in " +
-              "one column break every reader. Rewrite the layout to re-encode.")
+              "one column break every reader. Rewrite the layout to re-encode, or " +
+              "run migrateAttributesEncoding for the json -> variant direction.")
+        m.migrating.foreach { t =>
+          throw new IllegalStateException(
+            s"layout at $path has an unfinished attributes-encoding migration " +
+              s"to '$t' — re-run migrateAttributesEncoding to completion before appending")
+        }
       }
     }
     // a marker-less layout WITH existing chunks predates the marker (or

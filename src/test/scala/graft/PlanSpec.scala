@@ -199,6 +199,86 @@ class PlanSpec extends SparkSpec {
     assert(LtssSink.CompactionAudit("c", Seq("time"), 1L, 10L, 0L, 0L).ratio.isNaN)
   }
 
+  test("attributes-encoding migration: json layout -> variant in place, locked, idempotent, crash-proof") {
+    import spark.implicits._
+    import graft.sources.LtssSink
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val out = java.nio.file.Files.createTempDirectory("graft-enc-migrate").toString
+    // a json-encoded layout spanning two chunks, attributes extractable
+    val rows = Seq(
+      (ts("2024-01-05 00:00:00"), "a.1", "1", """{"k": 1}"""),
+      (ts("2024-01-06 00:00:00"), "a.1", "2", """{"k": 2}"""),
+      (ts("2024-03-20 00:00:00"), "b.1", "3", """{"k": 3}"""))
+    LtssSink.writeParquet(rows.toDF("time", "entity_id", "state", "attributes"), out)
+    assert(LtssSink.readLayoutMarker(spark, out).get.attributesEncoding == "json")
+    val migrated = LtssSink.migrateAttributesEncoding(spark, out)
+    assert(migrated.size == 2, s"both chunks must rewrite: $migrated")
+    val m = LtssSink.readLayoutMarker(spark, out).get
+    assert(m.attributesEncoding == "variant" && m.migrating.isEmpty, m)
+    // physical type flipped; variant extraction works; values survived
+    val back = spark.read.parquet(out)
+    assert(back.schema("attributes").dataType ==
+      org.apache.spark.sql.types.VariantType)
+    val ks = back.selectExpr("entity_id", "variant_get(attributes, '$.k', 'int') AS k")
+      .as[(String, Int)].collect().sorted.toSeq
+    assert(ks == Seq(("a.1", 1), ("a.1", 2), ("b.1", 3)), ks)
+    // idempotent: nothing left to rewrite
+    assert(LtssSink.migrateAttributesEncoding(spark, out).isEmpty)
+    // the migrated layout accepts variant appends and refuses json ones
+    LtssSink.writeParquet(
+      Seq((ts("2024-03-21 00:00:00"), "c.1", "4", """{"k": 4}"""))
+        .toDF("time", "entity_id", "state", "attributes"),
+      out, attributesEncoding = "variant")
+    assert(spark.read.parquet(out).count() == 4)
+    val eJson = intercept[IllegalStateException](LtssSink.writeParquet(
+      rows.toDF("time", "entity_id", "state", "attributes"), out))
+    assert(eJson.getMessage.contains("migrateAttributesEncoding") ||
+      eJson.getMessage.contains("re-encode"), eJson.getMessage)
+  }
+
+  test("encoding migration lock: readers/appenders/compaction refuse mid-migration; re-run completes") {
+    import spark.implicits._
+    import graft.sources.LtssSink
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val out = java.nio.file.Files.createTempDirectory("graft-enc-crash").toString
+    LtssSink.writeParquet(Seq(
+      (ts("2024-01-05 00:00:00"), "a.1", "1", """{"k": 1}"""),
+      (ts("2024-03-20 00:00:00"), "b.1", "3", """{"k": 3}"""))
+      .toDF("time", "entity_id", "state", "attributes"), out)
+    // simulate a crash mid-migration: lock stamped, one chunk already
+    // variant, the other still json, one chunk dir stranded RETIRED
+    val m0 = LtssSink.readLayoutMarker(spark, out).get
+    LtssSink.writeLayoutMarker(spark, out,
+      m0.copy(generation = m0.generation + 1, migrating = Some("variant")))
+    val chunkDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("chunk=")).map(_.getName).sorted
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$out/${chunkDirs.head}"),
+      new org.apache.hadoop.fs.Path(
+        s"$out/.migrate_retired_${chunkDirs.head.replace("=", "_")}"))
+    // every surface refuses the locked layout, naming the fix
+    val eScan = intercept[IllegalStateException](LtssSink.chunkScan(spark, out,
+      ts("2024-01-01 00:00:00"), ts("2024-12-31 00:00:00")))
+    assert(eScan.getMessage.contains("migrateAttributesEncoding"), eScan.getMessage)
+    val eApp = intercept[IllegalStateException](LtssSink.writeParquet(
+      Seq((ts("2024-01-07 00:00:00"), "a.1", "9", "{}"))
+        .toDF("time", "entity_id", "state", "attributes"), out))
+    assert(eApp.getMessage.contains("migrat"), eApp.getMessage)
+    val eCmp = intercept[IllegalStateException](LtssSink.compactChunk(spark, out,
+      chunkDirs.last.stripPrefix("chunk=")))
+    assert(eCmp.getMessage.contains("migrat"), eCmp.getMessage)
+    // re-running the migration IS the recovery: restores the stranded
+    // chunk, rewrites both, commits, unlocks
+    val done = LtssSink.migrateAttributesEncoding(spark, out)
+    assert(done.size == 2, s"recovery must restore + rewrite both chunks: $done")
+    val m1 = LtssSink.readLayoutMarker(spark, out).get
+    assert(m1.attributesEncoding == "variant" && m1.migrating.isEmpty)
+    assert(spark.read.parquet(out).count() == 2)
+    assert(LtssSink.chunkScan(spark, out,
+      ts("2024-01-01 00:00:00"), ts("2024-12-31 00:00:00")).count() == 2)
+  }
+
   test("compaction crash between renames: readers refuse via the generation stamp; recovery repairs") {
     import spark.implicits._
     import graft.sources.LtssSink
