@@ -55,7 +55,18 @@ object LtssSink {
     * removal via the Hadoop filesystem (works on HDFS/S3A paths like
     * every other sink API): no scan, no rewrite, O(#dropped chunks)
     * calls. A failed delete THROWS rather than reporting the chunk as
-    * dropped. Returns the dropped chunk values. */
+    * dropped. Returns the dropped chunk values.
+    *
+    * The cutoff floors to the layout marker's RECORDED chunk interval
+    * when present, like [[chunkScan]]'s pruning — with a mismatched
+    * caller cfg (say 30-day against a 7-day layout) the naive floor can
+    * sit far below `olderThan`, and a 7-day chunk lexically below that
+    * cutoff may still hold rows INSIDE the retention window: aligned to
+    * the true interval, `name < cutoff` implies the whole chunk ends at
+    * or before `olderThan`. Refuses a layout locked by an in-flight
+    * compaction or encoding migration: deleting a live chunk whose
+    * hidden staged/retired copy survives would let the migration's
+    * crash recovery RESURRECT the expired rows. */
   def dropChunks(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -63,7 +74,21 @@ object LtssSink {
       cfg: LtssConfig = LtssConfig()): Seq[String] = {
     val (fs, root) = hadoopFs(spark, path)
     if (!fs.exists(root)) return Nil
-    val cutoff = chunkDateOf(olderThan, cfg).toString
+    val marker = readLayoutMarker(spark, path)
+    marker.flatMap(_.compacting).foreach { c =>
+      throw new IllegalStateException(
+        s"layout at $path has an unfinished compaction of chunk '$c' — " +
+          "run recoverCompaction before applying retention")
+    }
+    marker.flatMap(_.migrating).foreach { t =>
+      throw new IllegalStateException(
+        s"layout at $path has an unfinished attributes-encoding migration " +
+          s"to '$t' — re-run migrateAttributesEncoding to completion before retention")
+    }
+    val effective = marker
+      .map(m => cfg.copy(chunkTimeIntervalUs = m.chunkTimeIntervalUs))
+      .getOrElse(cfg)
+    val cutoff = chunkDateOf(olderThan, effective).toString
     fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("chunk="))
       .filter(_.getPath.getName.stripPrefix("chunk=") < cutoff)

@@ -199,6 +199,41 @@ class PlanSpec extends SparkSpec {
     assert(LtssSink.CompactionAudit("c", Seq("time"), 1L, 10L, 0L, 0L).ratio.isNaN)
   }
 
+  test("retention floors to the MARKER's interval and refuses a migration-locked layout") {
+    import spark.implicits._
+    import graft.sources.LtssSink
+    import graft.config.LtssConfig
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val out = java.nio.file.Files.createTempDirectory("graft-retention-marker").toString
+    // default 30-day layout: chunk 2024-01-18 covers [01-18, 02-17) and
+    // HOLDS a row inside the retention window (02-10); an old chunk is
+    // fully expired
+    LtssSink.writeParquet(Seq(
+      (ts("2023-11-05 00:00:00"), "a.1", "old", "{}"),
+      (ts("2024-01-20 00:00:00"), "a.1", "1", "{}"),
+      (ts("2024-02-10 00:00:00"), "a.1", "keep", "{}"))
+      .toDF("time", "entity_id", "state", "attributes"), out)
+    // the caller passes a MISMATCHED 7-day cfg: its finer floor lands at
+    // 2024-02-01, lexically above the 30-day chunk's 2024-01-18 name —
+    // an unguarded drop would delete the chunk with the in-window row.
+    // The marker's recorded 30-day interval must win.
+    val dropped = LtssSink.dropChunks(spark, out, ts("2024-02-01 00:00:00"),
+      LtssConfig(chunkTimeIntervalUs = 7L * 86400000000L))
+    assert(dropped.forall(_ < "2024-01-18"), s"dropped in-window chunk: $dropped")
+    val states = spark.read.parquet(out).select("state").as[String].collect().sorted.toSeq
+    assert(states == Seq("1", "keep"),
+      s"retention must keep the chunk holding in-window rows: $states")
+    // migration lock: retention mid-migration could delete a live chunk
+    // whose hidden copy the recovery would later RESURRECT — refuse
+    val m = LtssSink.readLayoutMarker(spark, out).get
+    LtssSink.writeLayoutMarker(spark, out,
+      m.copy(generation = m.generation + 1, migrating = Some("variant")))
+    val e = intercept[IllegalStateException](
+      LtssSink.dropChunks(spark, out, ts("2024-03-01 00:00:00")))
+    assert(e.getMessage.contains("migrat"), e.getMessage)
+    LtssSink.writeLayoutMarker(spark, out, m) // unlock for other tests
+  }
+
   test("attributes-encoding migration: json layout -> variant in place, locked, idempotent, crash-proof") {
     import spark.implicits._
     import graft.sources.LtssSink
