@@ -243,6 +243,10 @@ object Queries {
       .flatMap { case (pid, off) => Seq(lit(pid), lit(off)) }
     val offMap =
       if (offEntries.isEmpty) map(lit(-1), lit(0L)) else map(offEntries: _*)
+    // the ranks frame is ALSO checkpointed eagerly: the invariant check
+    // below and the caller's join then read one pinned materialization
+    // instead of re-executing the ranking window per consumer (the
+    // check would otherwise double the fleet-ranking work)
     val ranks = fleet
       .withColumn("ent_rank",
         element_at(offMap, col("pid")) +
@@ -250,6 +254,7 @@ object Queries {
             Window.partitionBy(col("pid")).orderBy(col("entity_id")))
             .cast("long") - 1L)
       .drop("pid")
+      .localCheckpoint(true)
     val chk = ranks
       .agg(count(lit(1)).as("n"), countDistinct(col("ent_rank")).as("d"),
         coalesce(max(col("ent_rank")), lit(-1L)).as("mx"))
@@ -258,6 +263,10 @@ object Queries {
       s"entity rank corrupted: ${chk.getLong(0)} entities but " +
         s"${chk.getLong(1)} distinct ranks, max ${chk.getLong(2)} " +
         "(partition ids shifted against the offset ledger?)")
+    // release is deliberately a no-op: both checkpointed frames are
+    // fleet-sized (distinct entities, not rows) and the ContextCleaner
+    // reclaims their blocks once the frames drop out of scope after the
+    // layout write — bounded at two fleet-sized frames per build
     (ranks, () => ())
   }
 

@@ -199,24 +199,14 @@ object Sampling {
     * counts — the τ=0.5 temperature thresholds, shared with the composed
     * pipeline so the mixture stage cannot drift from the standalone
     * sampler. */
-  private[operators] def stratRates(counts: org.apache.spark.sql.DataFrame) = {
-    // global min over the |languages|-row frame in the SAME pass that
-    // carries the rows: one aggregate collects the tiny frame and the
-    // stat together, then re-explodes. A window needs a partitionless
-    // (or constant — Spark 4 folds those away, EliminateWindowPartitions)
-    // spec here, whose WindowExec alarm should stay reserved for real
-    // corpus-sized mistakes; a crossJoin against a separate agg would
-    // re-run the counts lineage — a second corpus scan at 100 TB.
-    val cols = counts.columns.toSeq
-    counts
-      .agg(collect_list(struct(cols.map(col): _*)).as("rows"),
-        min(col("n_lang")).as("min_n"))
-      .select(explode(col("rows")).as("r"), col("min_n"))
-      .select(cols.map(c => col(s"r.$c")) :+ col("min_n"): _*)
+  private[operators] def stratRates(counts: org.apache.spark.sql.DataFrame) =
+    // global min over the |languages|-row frame in the same pass that
+    // carries the rows (see [[FrameOps.withGlobalStats]] for why not a
+    // window and not a crossJoin)
+    FrameOps.withGlobalStats(counts, "min_n" -> min(col("n_lang")))
       .withColumn("thr",
         floor(sqrt(col("min_n").cast("double") / col("n_lang").cast("double"))
           * 16777216.0).cast("long"))
-  }
 
   /** Membership predicate against the rate table's columns. */
   private[operators] def stratAccept: org.apache.spark.sql.Column =
@@ -401,15 +391,12 @@ object Sampling {
       val counts = Tables.documents(s, d)
         .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
         .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
-      // same single-pass global-stat shape as stratRates: the weight
-      // total rides the aggregate that collects the |sources|-row frame
-      counts
-        .withColumn("w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
-        .agg(collect_list(struct(col("source"), col("n_tokens"), col("w"))).as("rows"),
-          sum(col("w")).as("wtot"))
-        .select(explode(col("rows")).as("r"), col("wtot"))
-        .select(col("r.source").as("source"), col("r.n_tokens").as("n_tokens"),
-          col("r.w").as("w"), col("wtot"))
+      // the weight total rides the aggregate that collects the
+      // |sources|-row frame ([[FrameOps.withGlobalStats]])
+      FrameOps.withGlobalStats(
+        counts.withColumn("w",
+          floor(sqrt(col("n_tokens").cast("double"))).cast("long")),
+        "wtot" -> sum(col("w")))
         .withColumn("quota", expr(s"(w * ${MixBudget}L) div wtot"))
         .withColumn("capped_quota",
           least(col("quota"), col("n_tokens") * MixMaxEpochs))

@@ -1265,17 +1265,12 @@ object Similarity {
       val nB = assignTo(batch, cents)
         .groupBy(col("cid")).agg(count(lit(1)).as("n_batch"))
       // both share totals ride the aggregate that collects the k-row
-      // frame (single pass, no partitionless WindowExec — Spark 4 folds
-      // a constant partition key away, so the only warning-free global
-      // window over a tiny frame is no window)
-      nIdx.join(nB, Seq("cid"), "left")
-        .select(col("cid"), col("n_index"),
-          coalesce(col("n_batch"), lit(0L)).as("n_batch"))
-        .agg(collect_list(struct(col("cid"), col("n_index"), col("n_batch"))).as("rows"),
-          sum(col("n_batch")).as("tb"), sum(col("n_index")).as("ti"))
-        .select(explode(col("rows")).as("r"), col("tb"), col("ti"))
-        .select(col("r.cid").as("cid"), col("r.n_index").as("n_index"),
-          col("r.n_batch").as("n_batch"), col("tb"), col("ti"))
+      // frame ([[FrameOps.withGlobalStats]])
+      FrameOps.withGlobalStats(
+        nIdx.join(nB, Seq("cid"), "left")
+          .select(col("cid"), col("n_index"),
+            coalesce(col("n_batch"), lit(0L)).as("n_batch")),
+        "tb" -> sum(col("n_batch")), "ti" -> sum(col("n_index")))
         .withColumn("share_drift",
           col("n_batch").cast("double") / col("tb").cast("double") -
             col("n_index").cast("double") / col("ti").cast("double"))

@@ -976,7 +976,9 @@ object TextOps {
       // here would be harmless but noisy, and Spark 4's optimizer folds
       // any constant partition key away (EliminateWindowPartitions), so
       // the only warning-free single-partition window is no window
-      val maxFreq = top.map(_.getLong(1)).max
+      // empty-corpus degenerate: .max on an empty collect() would throw
+      // where the oracle returns an empty frame
+      val maxFreq = if (top.isEmpty) 1L else top.map(_.getLong(1)).max
       top.zipWithIndex.toSeq.map { case (r, i) =>
         val rank = i + 1L
         val rf = rank * r.getLong(1)

@@ -49,6 +49,24 @@ object LtssSink {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** The shared lifecycle-lock invariant: every surface that reads or
+    * mutates a layout (scan, append, retention, compaction) refuses one
+    * locked by an in-flight compaction or encoding migration. One
+    * definition so the next surface cannot silently miss a guard. */
+  private def requireUnlocked(
+      marker: Option[LayoutMarker], path: String, before: String): Unit = {
+    marker.flatMap(_.compacting).foreach { c =>
+      throw new IllegalStateException(
+        s"layout at $path has an unfinished compaction of chunk '$c' — " +
+          s"run recoverCompaction $before")
+    }
+    marker.flatMap(_.migrating).foreach { t =>
+      throw new IllegalStateException(
+        s"layout at $path has an unfinished attributes-encoding migration " +
+          s"to '$t' — re-run migrateAttributesEncoding to completion $before")
+    }
+  }
+
   /** Retention: drop whole chunks older than the cutoff — the
     * TimescaleDB `drop_chunks` analog (the retention policy every LTSS
     * deployment pairs with its hypertable). Deletion is partition-dir
@@ -75,16 +93,7 @@ object LtssSink {
     val (fs, root) = hadoopFs(spark, path)
     if (!fs.exists(root)) return Nil
     val marker = readLayoutMarker(spark, path)
-    marker.flatMap(_.compacting).foreach { c =>
-      throw new IllegalStateException(
-        s"layout at $path has an unfinished compaction of chunk '$c' — " +
-          "run recoverCompaction before applying retention")
-    }
-    marker.flatMap(_.migrating).foreach { t =>
-      throw new IllegalStateException(
-        s"layout at $path has an unfinished attributes-encoding migration " +
-          s"to '$t' — re-run migrateAttributesEncoding to completion before retention")
-    }
+    requireUnlocked(marker, path, "before applying retention")
     val effective = marker
       .map(m => cfg.copy(chunkTimeIntervalUs = m.chunkTimeIntervalUs))
       .getOrElse(cfg)
@@ -133,17 +142,8 @@ object LtssSink {
     // crashed mid-swap, those hidden dirs hold the only surviving copy
     // of the chunk — deleting them here would destroy it.
     val marker = readLayoutMarker(spark, path)
+    requireUnlocked(marker, path, "before compacting")
     marker.foreach { m =>
-      m.compacting.foreach { c =>
-        throw new IllegalStateException(
-          s"layout at $path has an unfinished compaction of chunk '$c' " +
-            s"(generation ${m.generation}) — run recoverCompaction first")
-      }
-      m.migrating.foreach { t =>
-        throw new IllegalStateException(
-          s"layout at $path has an unfinished attributes-encoding migration " +
-            s"to '$t' — re-run migrateAttributesEncoding to completion first")
-      }
       writeLayoutMarker(spark, path,
         m.copy(generation = m.generation + 1, compacting = Some(chunk)))
     }
@@ -501,21 +501,11 @@ object LtssSink {
       to: java.sql.Timestamp,
       cfg: LtssConfig = LtssConfig()): DataFrame = {
     val marker = readLayoutMarker(spark, path)
-    marker.flatMap(_.compacting).foreach { c =>
-      // a mid-swap chunk may be absent from the directory listing for
-      // the instant between compaction's two renames — or forever, after
-      // a crash between them. Refuse to silently return a partial layout.
-      throw new IllegalStateException(
-        s"layout at $path has an unfinished compaction of chunk '$c' " +
-          s"(generation ${marker.get.generation}) — run recoverCompaction first")
-    }
-    marker.flatMap(_.migrating).foreach { t =>
-      // mid-migration some chunks hold the old physical type and some
-      // the new — a read would fail schema merge or silently mis-type
-      throw new IllegalStateException(
-        s"layout at $path has an unfinished attributes-encoding migration " +
-          s"to '$t' — re-run migrateAttributesEncoding to completion first")
-    }
+    // a mid-swap chunk may be absent from the directory listing for the
+    // instant between compaction's two renames — or forever, after a
+    // crash between them; mid-migration, chunks mix physical types.
+    // Refuse to silently return a partial or mis-typed layout.
+    requireUnlocked(marker, path, "before scanning")
     val effective = marker
       .map(m => cfg.copy(chunkTimeIntervalUs = m.chunkTimeIntervalUs))
       .getOrElse(cfg)
@@ -565,12 +555,8 @@ object LtssSink {
     }
     val marker = readLayoutMarker(spark, path)
     if (mode != SaveMode.Overwrite) {
+      requireUnlocked(marker, path, "before appending")
       marker.foreach { m =>
-        m.compacting.foreach { c =>
-          throw new IllegalStateException(
-            s"layout at $path has an unfinished compaction of chunk '$c' — " +
-              "run recoverCompaction before appending")
-        }
         if (m.chunkTimeIntervalUs != cfg.chunkTimeIntervalUs)
           throw new IllegalStateException(
             s"layout at $path was written with chunk_time_interval " +
@@ -587,11 +573,6 @@ object LtssSink {
               s"refusing to append '$attributesEncoding' — mixed physical types in " +
               "one column break every reader. Rewrite the layout to re-encode, or " +
               "run migrateAttributesEncoding for the json -> variant direction.")
-        m.migrating.foreach { t =>
-          throw new IllegalStateException(
-            s"layout at $path has an unfinished attributes-encoding migration " +
-              s"to '$t' — re-run migrateAttributesEncoding to completion before appending")
-        }
       }
     }
     // a marker-less layout WITH existing chunks predates the marker (or
@@ -796,26 +777,39 @@ object LtssSink {
         exec(s"CREATE INDEX ${table}_attributes_idx ON $table USING GIN (attributes)")
         applied += "attributes_index"
       }
-      // 3. composite (entity_id, time DESC) index; then the obsolete
-      // per-column index the composite supersedes
+      // 3. composite (entity_id, time DESC) index; separately, the
+      // obsolete per-column index the composite supersedes. The
+      // reference nests the drop under the create (migrations.py:43-46),
+      // which leaves the legacy index behind forever if a run crashes
+      // between the two statements — probing each independently makes a
+      // crashed ladder CONVERGE on re-run instead.
       if (!indexes.contains(s"${t}_entityid_time_composite_idx")) {
         exec(s"CREATE INDEX ${table}_entityid_time_composite_idx " +
           s"ON $table (entity_id, time DESC)")
         applied += "entityid_time_composite_index"
-        if (indexes.contains(s"ix_${t}_entity_id")) {
-          exec(s"DROP INDEX ix_${table}_entity_id")
-          applied += "drop_entityid_index"
-        }
+      }
+      if (indexes.contains(s"ix_${t}_entity_id")) {
+        exec(s"DROP INDEX ix_${table}_entity_id")
+        applied += "drop_entityid_index"
       }
       // 4. surrogate id column → composite PK, then drop the column.
       // One transaction, as in the reference (engine.begin()): a crash
       // between the PK swap and the column drop must not strand the
-      // table PK-less or doubly-keyed.
+      // table PK-less or doubly-keyed. The PK constraint is dropped BY
+      // ITS CATALOG NAME, not the `<table>_pkey` the reference assumes
+      // (migrations.py:91) — a table that was ever RENAMED keeps its
+      // original constraint name, and `DROP ... IF EXISTS <wrong>_pkey`
+      // would silently no-op before ADD PRIMARY KEY fails with
+      // "multiple primary keys".
       if (colUdt.contains("id")) {
+        val pkName = queryCol(
+          s"""SELECT conname FROM pg_constraint
+             | WHERE conrelid = '$t'::regclass AND contype = 'p'""".stripMargin)
+          .headOption.getOrElse(s"${t}_pkey")
         conn.setAutoCommit(false)
         try {
           exec(s"ALTER TABLE $table " +
-            s"DROP CONSTRAINT IF EXISTS ${table}_pkey CASCADE, " +
+            s"""DROP CONSTRAINT IF EXISTS "$pkName" CASCADE, """ +
             "ADD PRIMARY KEY (time, entity_id)")
           exec(s"ALTER TABLE $table DROP COLUMN id")
           conn.commit()

@@ -1508,7 +1508,13 @@ object StreamingOps {
                 if (dtUs > 0L)
                   Some(math.floor(legM.toDouble * 3600000.0 / dtUs.toDouble).toLong)
                 else None
-              if (speed.forall(_ > thresholdKmh))
+              // dtUs < 0 is a cross-batch OUT-OF-ORDER arrival, outside
+              // the per-entity in-order contract every trajectory stream
+              // shares — the batch window's per-entity sort guarantees
+              // dt_us >= 0, so alerting here would fabricate a teleport
+              // the batch form can never produce; skip the emission
+              // (state still advances, as the siblings do)
+              if (dtUs >= 0L && speed.forall(_ > thresholdKmh))
                 out += SpeedAlert(uid, t, eid, legM, dtUs, speed)
             }
             prev = OdoFix(lat, lon, micros(t))

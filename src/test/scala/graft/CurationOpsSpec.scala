@@ -139,4 +139,16 @@ class CurationOpsSpec extends SparkSpec {
     assert(audit("cluster")._2 == 0L)
     assert(audit("cluster")._1 == audit("doc_hash")._1)
   }
+
+  test("corpus_zipf returns an empty frame on an empty corpus (no empty.max crash)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-corpus").toString
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("corpus_zipf")(spark, dir)
+    assert(out.columns.toSeq ==
+      Seq("rank", "token", "freq", "rank_freq", "ratio_to_top"))
+    assert(out.collect().isEmpty,
+      "the degenerate corpus must yield the oracle's empty frame, not a crash")
+  }
 }

@@ -355,6 +355,46 @@ class PostgresE2ESpec extends SparkSpec with BeforeAndAfterAll {
     assert(LtssSink.checkAndMigrate(cfg, table = "ltss_mig2").isEmpty)
   }
 
+  test("checkAndMigrate converges a crashed ladder and a renamed table's PK name") {
+    // two robustness cases beyond the reference's own ladder: (a) a run
+    // that crashed between CREATE composite-index and DROP old-index
+    // left the legacy index behind — the reference's nested form
+    // (migrations.py:43-46) would never revisit it; probing each step
+    // independently converges. (b) the table was RENAMED at some point,
+    // so its PK constraint kept the ORIGINAL name — the reference's
+    // hardcoded <table>_pkey drop would silently no-op and the PK add
+    // would fail with "multiple primary keys".
+    withWire { w =>
+      w.query("CREATE TABLE ltss_mig3_old (id SERIAL, " +
+        "time TIMESTAMP NOT NULL, entity_id VARCHAR(255) NOT NULL, " +
+        "state VARCHAR(255), attributes JSONB, PRIMARY KEY (id))")
+      w.query("ALTER TABLE ltss_mig3_old RENAME TO ltss_mig3") // pk stays ltss_mig3_old_pkey
+      w.query("CREATE INDEX ix_ltss_mig3_entity_id ON ltss_mig3 (entity_id)")
+      w.query("CREATE INDEX ltss_mig3_entityid_time_composite_idx " +
+        "ON ltss_mig3 (entity_id, time DESC)") // the crashed run's survivor
+      w.query("INSERT INTO ltss_mig3 (time, entity_id, state, attributes) VALUES " +
+        "(TIMESTAMP '2024-01-01 00:00:00', 'sensor.a', '1', '{\"k\": 1}')")
+    }
+    val applied = LtssSink.checkAndMigrate(cfg, table = "ltss_mig3")
+    assert(applied == Seq("attributes_index", "drop_entityid_index", "remove_id_column"),
+      s"crashed ladder must converge without re-creating the composite: $applied")
+    withWire { w =>
+      val pk = w.query(
+        "SELECT a.attname FROM pg_index i JOIN pg_attribute a " +
+          "ON a.attrelid = i.indrelid AND a.attnum = ANY(i.indkey) " +
+          "WHERE i.indrelid = 'ltss_mig3'::regclass AND i.indisprimary " +
+          "ORDER BY array_position(i.indkey, a.attnum)").rows.map(_(0))
+      assert(pk == Vector("time", "entity_id"), s"renamed-PK swap failed: $pk")
+      val idx = w.query("SELECT indexname FROM pg_indexes " +
+        "WHERE tablename = 'ltss_mig3'").rows.map(_(0)).toSet
+      assert(!idx.contains("ix_ltss_mig3_entity_id"), idx)
+      val cols = w.query("SELECT column_name FROM information_schema.columns " +
+        "WHERE table_name = 'ltss_mig3'").rows.map(_(0)).toSet
+      assert(!cols.contains("id"), cols)
+    }
+    assert(LtssSink.checkAndMigrate(cfg, table = "ltss_mig3").isEmpty)
+  }
+
   test("real-server SQLSTATEs drive the sink classifier") {
     withWire { w =>
       w.query("CREATE TABLE IF NOT EXISTS ltss_states " +

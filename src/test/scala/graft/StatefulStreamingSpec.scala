@@ -680,6 +680,12 @@ class StatefulStreamingSpec extends SparkSpec {
       ms.addData(fix(211L, "2024-01-01 11:01:00", 92L),
         fix(190L, "2024-01-01 10:00:00", 93L))
       q.processAllAvailable()
+      // batch 3: a cross-batch OUT-OF-ORDER fix (event time before the
+      // entity's frontier → dt < 0) — outside the in-order contract; the
+      // batch window can never produce dt_us < 0, so no alert may be
+      // fabricated for it
+      ms.addData(fix(182L, "2024-01-01 09:00:00", 92L))
+      q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("spd_t").as[StreamingOps.SpeedAlert].collect()
       .map(a => (a.user_id, a.event_id, a.speed_kmh_floor)).toSet
