@@ -912,6 +912,216 @@ object Queries {
       |ORDER BY dist_m, user_id
       |LIMIT 10""".stripMargin))
 
+  /** Distributed DBSCAN over a planar integer point frame `(id, x, y)` —
+    * the density clustering PostGIS exposes as
+    * `ST_ClusterDBSCAN(geom, eps, minpoints) OVER ()` (the window form
+    * forces a single-node sort there; this is the partitioned shape).
+    * Published-algorithm lineage: the grid-partitioned candidate stage
+    * is MR-DBSCAN (He et al., ICPADS 2011); the label stage runs the
+    * repo's pointer-doubling [[Dedup.connectedComponents]].
+    *
+    * Stages, each shuffle-justified:
+    *  1. CANDIDATE PAIRS by the same 3×3 grid-neighborhood equi-join as
+    *     [[geoPairs]] (cell = eps, one meeting key per pair) — never
+    *     all-pairs; candidate count is bounded by per-neighborhood
+    *     density, so the join survives a 100× corpus as long as the
+    *     densest eps-neighborhood does (the DBSCAN scale contract).
+    *  2. DEGREE = one combinable count over the symmetrized pairs; a
+    *     point is CORE iff |N_eps| ≥ minPts (neighbor count + itself).
+    *  3. CLUSTERS = connected components of the core-core subgraph
+    *     (O(log diameter) rounds); isolated cores (no core neighbor)
+    *     self-label via the post-join coalesce.
+    *  4. BORDER points (non-core within eps of a core) attach to their
+    *     MIN core-neighbor label — the deterministic tiebreak replacing
+    *     sequential DBSCAN's arrival-order assignment; the rest is
+    *     NOISE (cluster −1).
+    * All distance decisions are integer (dx²+dy² ≤ eps² on the lattice);
+    * there is no float at any branch. */
+  private[graft] def dbscan(pts: DataFrame, eps: Long, minPts: Int): DataFrame = {
+    val s = pts.sparkSession
+    val p = pts.toDF("id", "x", "y")
+    val a = p.select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+      expr(s"x div $eps").as("cx"), expr(s"y div $eps").as("cy"))
+    val b = p
+      .withColumn("dx", explode(expr("sequence(-1, 1)")))
+      .withColumn("dy", explode(expr("sequence(-1, 1)")))
+      .select(col("id").as("b_id"), col("x").as("bx"), col("y").as("by"),
+        (expr(s"x div $eps") + col("dx")).as("cx"),
+        (expr(s"y div $eps") + col("dy")).as("cy"))
+    val pairs = a.join(b, Seq("cx", "cy"))
+      .filter(col("a_id") < col("b_id"))
+      .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by")) <= eps * eps)
+      .select(col("a_id"), col("b_id"))
+    val sym = pairs.union(pairs.select(col("b_id"), col("a_id"))).toDF("id", "nbr")
+    val deg = p.join(
+      sym.groupBy(col("id")).agg(count(lit(1)).as("n_nbrs")), Seq("id"), "left")
+      .select(col("id"), col("x"), col("y"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"))
+    val core = deg.filter(col("n_nbrs") >= minPts - 1).select(col("id"))
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("id", "a_id"), Seq("a_id"), "left_semi")
+      .join(core.withColumnRenamed("id", "b_id"), Seq("b_id"), "left_semi")
+      .select(col("a_id"), col("b_id"))
+    // fixed tiny hand-partitioned CC plan: AQE off for the loop, restored
+    // after — same policy (and reason) as Dedup.ccLabels
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    val labels =
+      try Dedup.connectedComponents(coreEdges)._1
+      finally s.conf.set(aqeKey, aqeWas)
+    val coreLab = core.join(labels.toDF("lid", "label"), col("id") === col("lid"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("core_cluster"))
+    val borderLab = sym
+      .join(coreLab.toDF("nbr", "ncluster"), Seq("nbr"))
+      .join(core, Seq("id"), "left_anti")
+      .groupBy(col("id")).agg(min(col("ncluster")).as("border_cluster"))
+    deg
+      .join(coreLab, Seq("id"), "left")
+      .join(borderLab, Seq("id"), "left")
+      .select(col("id"), col("x"), col("y"), col("n_nbrs"),
+        when(col("core_cluster").isNotNull, lit("core"))
+          .when(col("border_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("core_cluster"), col("border_cluster"), lit(-1L)).as("cluster"))
+  }
+
+  /** DBSCAN over the distinct-user lattice (fixture mapping
+    * `x = 7·id mod 127, y = 31·id mod 131` — chosen so the sf corpus
+    * exercises EVERY role: multi-point clusters, singleton-core
+    * clusters, borders, and noise; a real deployment feeds
+    * `floor(lat/eps), floor(lon/eps)` cells instead). eps 8, minPts 4.
+    * The oracle is a deliberately different construction — an all-pairs
+    * θ-join plus a recursive-CTE reachability closure — so the two
+    * sides agree on semantics, not on code shape. */
+  val geoDbscan = OracleQuery(
+    "ltss_geo_dbscan",
+    (s, d) => {
+      val u = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id")).distinct()
+        .select(col("user_id").as("id"),
+          pmod(col("user_id") * 7, lit(127)).as("x"),
+          pmod(col("user_id") * 31, lit(131)).as("y"))
+      dbscan(u, 8L, 4)
+        .select(col("id").as("user_id"), col("x").as("li"), col("y").as("lo"),
+          col("n_nbrs"), col("role"), col("cluster"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH RECURSIVE u AS (
+      |  SELECT DISTINCT user_id AS id,
+      |         ((user_id * 7 % 127) + 127) % 127 AS x,
+      |         ((user_id * 31 % 131) + 131) % 131 AS y
+      |  FROM events WHERE user_id IS NOT NULL
+      |),
+      |p AS (
+      |  SELECT a.id AS a_id, b.id AS b_id
+      |  FROM u a JOIN u b ON a.id < b.id
+      |   AND (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 64
+      |),
+      |sym AS (SELECT a_id AS id, b_id AS nbr FROM p
+      |        UNION ALL SELECT b_id, a_id FROM p),
+      |deg AS (
+      |  SELECT u.id, u.x, u.y, count(sym.nbr) AS n_nbrs
+      |  FROM u LEFT JOIN sym ON u.id = sym.id GROUP BY u.id, u.x, u.y
+      |),
+      |core AS (SELECT id FROM deg WHERE n_nbrs >= 3),
+      |ce AS (SELECT a_id, b_id FROM p
+      |       WHERE a_id IN (SELECT id FROM core)
+      |         AND b_id IN (SELECT id FROM core)),
+      |cesym AS (SELECT a_id AS src, b_id AS dst FROM ce
+      |          UNION ALL SELECT b_id, a_id FROM ce),
+      |r(id, rid) AS (
+      |  SELECT id, id FROM core
+      |  UNION
+      |  SELECT cesym.src, r.rid FROM cesym JOIN r ON cesym.dst = r.id
+      |),
+      |corelab AS (SELECT id, min(rid) AS cluster FROM r GROUP BY id),
+      |borderlab AS (
+      |  SELECT sym.id, min(corelab.cluster) AS cluster
+      |  FROM sym JOIN corelab ON sym.nbr = corelab.id
+      |  WHERE sym.id NOT IN (SELECT id FROM core)
+      |  GROUP BY sym.id
+      |)
+      |SELECT deg.id AS user_id, deg.x AS li, deg.y AS lo,
+      |       CAST(deg.n_nbrs AS BIGINT) AS n_nbrs,
+      |       CASE WHEN corelab.id IS NOT NULL THEN 'core'
+      |            WHEN borderlab.id IS NOT NULL THEN 'border'
+      |            ELSE 'noise' END AS role,
+      |       CAST(COALESCE(corelab.cluster, borderlab.cluster, -1) AS BIGINT)
+      |         AS cluster
+      |FROM deg LEFT JOIN corelab ON deg.id = corelab.id
+      |         LEFT JOIN borderlab ON deg.id = borderlab.id
+      |ORDER BY user_id""".stripMargin))
+
+  /** COMPASS-HEADING histogram per entity — the discretized
+    * `ST_Azimuth(prev_fix, fix)` rollup ("which way does each tracker
+    * move?"). Each leg in the `(ts, event_id)` per-entity total order
+    * classifies into one of 9 classes — N/S/E/W, the four diagonals,
+    * and STAY — decided ENTIRELY by sign and magnitude comparisons of
+    * (Δlat, Δlon): boundaries sit at the 45° diagonals where
+    * |Δlat| = |Δlon|, so every branch is exact on the half-integer
+    * fixture lattice and no trig enters (a continuous azimuth would
+    * need atan2, which neither engine guarantees correctly rounded —
+    * the discretized rose is the cross-engine-deterministic product).
+    * Lat here derives from event_id (3·eid mod 180) so a single
+    * entity's trajectory actually turns; user_id-keyed lat (constant
+    * within an entity) would collapse every leg to E/W. Scale: one
+    * keyed window + one combinable count — no join, no global order. */
+  /** The 9-class compass rose over a planar displacement — every branch
+    * an exact sign/magnitude comparison; boundaries (45° diagonals)
+    * deterministically OWN the diagonal class. */
+  private[graft] def headingClass(dlat: Column, dlon: Column): Column =
+    when(dlat === 0 && dlon === 0, lit("STAY"))
+      .when(abs(dlat) > abs(dlon), when(dlat > 0, lit("N")).otherwise(lit("S")))
+      .when(abs(dlon) > abs(dlat), when(dlon > 0, lit("E")).otherwise(lit("W")))
+      .otherwise(concat(
+        when(dlat > 0, lit("N")).otherwise(lit("S")),
+        when(dlon > 0, lit("E")).otherwise(lit("W"))))
+
+  val geoHeading = OracleQuery(
+    "ltss_geo_heading",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .withColumn("lat", (pmod(col("event_id") * 3, lit(180)) - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .filter(col("plat").isNotNull)
+        .withColumn("heading",
+          headingClass(col("lat") - col("plat"), col("lon") - col("plon")))
+        .groupBy(col("user_id"), col("heading"))
+        .agg(count(lit(1)).as("n_legs"))
+        .orderBy(col("user_id"), col("heading"))
+    },
+    Some("""WITH pts AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(((event_id * 3 % 180) + 180) % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+      |), legs AS (
+      |  SELECT user_id,
+      |         lat - lag(lat) OVER w AS dlat,
+      |         lon - lag(lon) OVER w AS dlon
+      |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT user_id,
+      |       CASE WHEN dlat = 0 AND dlon = 0 THEN 'STAY'
+      |            WHEN abs(dlat) > abs(dlon) THEN
+      |              CASE WHEN dlat > 0 THEN 'N' ELSE 'S' END
+      |            WHEN abs(dlon) > abs(dlat) THEN
+      |              CASE WHEN dlon > 0 THEN 'E' ELSE 'W' END
+      |            ELSE concat(CASE WHEN dlat > 0 THEN 'N' ELSE 'S' END,
+      |                        CASE WHEN dlon > 0 THEN 'E' ELSE 'W' END) END
+      |         AS heading,
+      |       CAST(count(*) AS BIGINT) AS n_legs
+      |FROM legs WHERE dlat IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY user_id, heading""".stripMargin))
+
   val geoBbox = OracleQuery(
     "ltss_geo_bbox",
     (s, d) =>
@@ -2345,5 +2555,5 @@ object Queries {
     retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, anomalyMad,
     histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq, geohashQ,
     histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence, zoneDwell,
-    kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn)
+    kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn, geoDbscan, geoHeading)
 }

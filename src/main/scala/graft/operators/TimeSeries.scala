@@ -1260,6 +1260,82 @@ object TimeSeries {
       |               RANGE BETWEEN $DayUs PRECEDING AND CURRENT ROW))
       |ORDER BY entity_id, time, sv""".stripMargin))
 
+  /** HAMPEL despike filter — the rolling-median outlier cleaner
+    * (Hampel 1974; the `hampel()` sensor-series primitive) every
+    * trajectory/telemetry consumer runs before trusting a rate or
+    * average: a sample farther than 3 window-MADs from its 5-sample
+    * rolling median is a spike, replaced by that median.
+    *
+    * Exactness design (the reason this parity-checks bit-for-bit):
+    * values enter as INTEGER CENTS (DECIMAL(12,2) × 100), and every
+    * decision — rolling median, per-member deviations, the MAD, the
+    * 3·MAD threshold — is SELECTION or integer arithmetic over the
+    * 5-element window array; the only IEEE ops are the two closing
+    * renders (cents → double). Boundary rows (window < 5 samples) pass
+    * through unflagged rather than flagged against an interpolated
+    * even-count median — interpolation would be the one float decision
+    * in the operator, so the contract excludes it.
+    *
+    * Scale: ONE keyed 5-row window per entity (the array ops run inside
+    * whole-stage codegen on a 5-element array) + no join — the same
+    * shape as [[movingAvg]], linear at any corpus size. */
+  def hampel(ltss: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("entity_id")).orderBy(col("tus"), col("sc"))
+      .rowsBetween(-2, 2)
+    ltss
+      .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
+      .withColumn("sc", (col("sv") * 100).cast("long"))
+      .withColumn("tus", unix_micros(col("time")))
+      .withColumn("warr", sort_array(collect_list(col("sc")).over(w)))
+      .withColumn("n_window", size(col("warr")).cast("long"))
+      .withColumn("med_c",
+        when(col("n_window") === 5, element_at(col("warr"), 3)))
+      .withColumn("mad_c",
+        when(col("n_window") === 5, element_at(
+          sort_array(transform(col("warr"), v => abs(v - col("med_c")))), 3)))
+      .withColumn("is_spike",
+        (col("n_window") === 5 &&
+          abs(col("sc") - col("med_c")) > lit(3L) * col("mad_c")).cast("int"))
+      .select(col("entity_id"), col("time"), col("sv").cast("double").as("sv"),
+        col("n_window"), col("is_spike"),
+        when(col("is_spike") === 1, col("med_c").cast("double") / 100.0)
+          .otherwise(col("sv").cast("double")).as("filtered"))
+  }
+
+  val hampelQ = OracleQuery(
+    "ltss_hampel",
+    (s, d) => {
+      val l = Queries.ltss(s, d)
+        .filter(split(col("entity_id"), "\\.").getItem(0) === "purchase")
+      hampel(l).orderBy(col("entity_id"), col("time"), col("sv"))
+    },
+    Some(s"""$ltssBase
+      |SELECT entity_id, time, CAST(sv AS DOUBLE) AS sv,
+      |       CAST(n_window AS BIGINT) AS n_window, is_spike,
+      |       CASE WHEN is_spike = 1 THEN CAST(med_c AS DOUBLE) / 100.0
+      |            ELSE CAST(sv AS DOUBLE) END AS filtered
+      |FROM (
+      |  SELECT entity_id, time, sv, n_window, med_c,
+      |         CASE WHEN n_window = 5 AND abs(sc - med_c) > 3 * mad_c
+      |              THEN 1 ELSE 0 END AS is_spike
+      |  FROM (
+      |    SELECT entity_id, time, sv, sc,
+      |           count(*) OVER w AS n_window,
+      |           CASE WHEN count(*) OVER w = 5
+      |                THEN list_sort(list(sc) OVER w)[3] END AS med_c,
+      |           CASE WHEN count(*) OVER w = 5
+      |                THEN list_sort(list_transform(list(sc) OVER w,
+      |                       v -> abs(v - list_sort(list(sc) OVER w)[3])))[3]
+      |                END AS mad_c
+      |    FROM (
+      |      SELECT entity_id, time, CAST(state AS DECIMAL(12,2)) AS sv,
+      |             CAST(CAST(state AS DECIMAL(12,2)) * 100 AS BIGINT) AS sc,
+      |             epoch_us(time) AS tus
+      |      FROM base WHERE split_part(entity_id, '.', 1) = 'purchase')
+      |    WINDOW w AS (PARTITION BY entity_id ORDER BY tus, sc
+      |                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)))
+      |ORDER BY entity_id, time, sv""".stripMargin))
+
   val caggQ = OracleQuery(
     "ltss_cagg",
     (s, d) => caggRealtime(s, d).orderBy(col("entity_id"), col("bucket")),
@@ -2068,7 +2144,7 @@ object TimeSeries {
   val all: Seq[OracleQuery] =
     Seq(gapfillLocfQ, gapfillInterpQ, timeWeightedQ, counterRateQ, ohlcQ, lttbQ,
       lttbGridQ, stateAggQ, stateTimelineQ, interpTwaQ, heartbeatQ, sloQ,
-      markovQ, rateAnomalyQ, movingAvgQ, ewmaQ, drawdownQ, caggQ,
+      markovQ, rateAnomalyQ, movingAvgQ, hampelQ, ewmaQ, drawdownQ, caggQ,
       caggReconcileQ, trendQ, acfQ,
       changepointQ, m4Q, seasonalQ, forecastBacktestQ, crossCorrQ, saxMotifQ,
       asapQ, caggRollupQ)
