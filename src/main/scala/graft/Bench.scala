@@ -90,6 +90,7 @@ object Bench {
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
     warmed("recall_truth")(graft.operators.Dedup.warmRecallTruth(spark, sfDir))
     warmed("cc_labels")(graft.operators.Dedup.ccLabels(spark, sfDir).count())
+    warmed("geo_dbscan")(graft.operators.Queries.dbscanLabels(spark, sfDir).count())
     warmed("ltss_layout")(graft.operators.Queries.ltssLayoutPath(spark, sfDir))
     warmed("zorder_layout")(graft.operators.Queries.zorderLayoutPath(spark, sfDir))
     warmed("ltss_attr_layout")(graft.operators.Queries.ltssAttrLayoutPath(spark, sfDir))

@@ -921,11 +921,16 @@ object Queries {
     * repo's pointer-doubling [[Dedup.connectedComponents]].
     *
     * Stages, each shuffle-justified:
+    *  0. CONTRACT to distinct positions with multiplicity (the
+    *     sample-weight formulation of DBSCAN, as in scikit-learn's
+    *     `sample_weight`): all graph stages below run over the occupied
+    *     lattice, never the corpus — see the in-body note for the
+    *     label-equivalence argument and the measured 100× motivation.
     *  1. CANDIDATE PAIRS by the same 3×3 grid-neighborhood equi-join as
     *     [[geoPairs]] (cell = eps, one meeting key per pair) — never
-    *     all-pairs; candidate count is bounded by per-neighborhood
-    *     density, so the join survives a 100× corpus as long as the
-    *     densest eps-neighborhood does (the DBSCAN scale contract).
+    *     all-pairs; candidate count is bounded by the occupied-lattice
+    *     neighborhood density, which contraction makes independent of
+    *     corpus scale (the DBSCAN scale contract).
     *  2. DEGREE = one combinable count over the symmetrized pairs; a
     *     point is CORE iff |N_eps| ≥ minPts (neighbor count + itself).
     *  3. CLUSTERS = connected components of the core-core subgraph
@@ -940,29 +945,59 @@ object Queries {
   private[graft] def dbscan(pts: DataFrame, eps: Long, minPts: Int): DataFrame = {
     val s = pts.sparkSession
     val p = pts.toDF("id", "x", "y")
-    val a = p.select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+    // Stage 0 — CONTRACT to distinct positions. Two co-located points
+    // are mutual eps-neighbors (distance 0), so every DBSCAN decision —
+    // neighbor count, core status, label, role — is a function of the
+    // POSITION alone (the sample-weight formulation of DBSCAN: a
+    // position with multiplicity m is one node of weight m). The
+    // candidate join, degree sum, and CC fixpoint therefore run over
+    // |distinct positions| nodes — bounded by the occupied lattice, NOT
+    // the corpus — and each point inherits its position's verdict by
+    // one equi-join at the end. Without this, co-location makes the
+    // id-level pair count grow QUADRATICALLY with corpus scale (the
+    // measured r13 sf10 build was 762 s); with it the graph work is
+    // scale-flat and only the contract/expand scans grow linearly.
+    // min(id) doubles as the position's node id in the CC: labels are
+    // min-propagated, so min-over-positions of min(id) IS the min core
+    // id of the cluster — bit-identical labels to the id-level graph.
+    val pos = p.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("mult"), min(col("id")).as("pid"))
+      .localCheckpoint(false)
+    val a = pos.select(col("pid").as("a_pid"), col("mult").as("a_mult"),
+      col("x").as("ax"), col("y").as("ay"),
       expr(s"x div $eps").as("cx"), expr(s"y div $eps").as("cy"))
-    val b = p
+    val b = pos
       .withColumn("dx", explode(expr("sequence(-1, 1)")))
       .withColumn("dy", explode(expr("sequence(-1, 1)")))
-      .select(col("id").as("b_id"), col("x").as("bx"), col("y").as("by"),
+      .select(col("pid").as("b_pid"), col("mult").as("b_mult"),
+        col("x").as("bx"), col("y").as("by"),
         (expr(s"x div $eps") + col("dx")).as("cx"),
         (expr(s"y div $eps") + col("dy")).as("cy"))
+    // the candidate join feeds THREE consumers (degree, core edges,
+    // border attach) plus the CC loop's own checkpoint — truncate its
+    // lineage once so the grid join runs once, not per consumer
     val pairs = a.join(b, Seq("cx", "cy"))
-      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_pid") < col("b_pid"))
       .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
         (col("ay") - col("by")) * (col("ay") - col("by")) <= eps * eps)
-      .select(col("a_id"), col("b_id"))
-    val sym = pairs.union(pairs.select(col("b_id"), col("a_id"))).toDF("id", "nbr")
-    val deg = p.join(
-      sym.groupBy(col("id")).agg(count(lit(1)).as("n_nbrs")), Seq("id"), "left")
-      .select(col("id"), col("x"), col("y"),
-        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"))
-    val core = deg.filter(col("n_nbrs") >= minPts - 1).select(col("id"))
+      .select(col("a_pid"), col("b_pid"), col("a_mult"), col("b_mult"))
+      .localCheckpoint(false)
+    val sym = pairs.select(col("a_pid"), col("b_pid"), col("b_mult"))
+      .union(pairs.select(col("b_pid"), col("a_pid"), col("a_mult")))
+      .toDF("pid", "nbr", "w")
+    // |N_eps| − 1 for every point AT a position: the co-located mult − 1
+    // plus the multiplicity-weighted sum over neighbor positions
+    val deg = pos.join(
+      sym.groupBy(col("pid")).agg(sum(col("w")).as("w_nbrs")), Seq("pid"), "left")
+      .select(col("pid"), col("x"), col("y"),
+        (col("mult") - 1 + coalesce(col("w_nbrs"), lit(0L))).as("n_nbrs"))
+    // tiny pid list, read three times (edge semi-joins + anti-join)
+    val core = deg.filter(col("n_nbrs") >= minPts - 1).select(col("pid"))
+      .localCheckpoint(false)
     val coreEdges = pairs
-      .join(core.withColumnRenamed("id", "a_id"), Seq("a_id"), "left_semi")
-      .join(core.withColumnRenamed("id", "b_id"), Seq("b_id"), "left_semi")
-      .select(col("a_id"), col("b_id"))
+      .join(core.withColumnRenamed("pid", "a_pid"), Seq("a_pid"), "left_semi")
+      .join(core.withColumnRenamed("pid", "b_pid"), Seq("b_pid"), "left_semi")
+      .select(col("a_pid"), col("b_pid"))
     // fixed tiny hand-partitioned CC plan: AQE off for the loop, restored
     // after — same policy (and reason) as Dedup.ccLabels
     val aqeKey = "spark.sql.adaptive.enabled"
@@ -971,21 +1006,48 @@ object Queries {
     val labels =
       try Dedup.connectedComponents(coreEdges)._1
       finally s.conf.set(aqeKey, aqeWas)
-    val coreLab = core.join(labels.toDF("lid", "label"), col("id") === col("lid"), "left")
-      .select(col("id"), coalesce(col("label"), col("id")).as("core_cluster"))
+    // isolated core POSITION (no core neighbor position) self-labels
+    // with its pid = min co-located id — exactly the id-graph label,
+    // where its co-located points form a distance-0 clique labeled min id
+    val coreLab = core.join(labels.toDF("lid", "label"), col("pid") === col("lid"), "left")
+      .select(col("pid"), coalesce(col("label"), col("pid")).as("core_cluster"))
     val borderLab = sym
       .join(coreLab.toDF("nbr", "ncluster"), Seq("nbr"))
-      .join(core, Seq("id"), "left_anti")
-      .groupBy(col("id")).agg(min(col("ncluster")).as("border_cluster"))
-    deg
-      .join(coreLab, Seq("id"), "left")
-      .join(borderLab, Seq("id"), "left")
-      .select(col("id"), col("x"), col("y"), col("n_nbrs"),
+      .join(core, Seq("pid"), "left_anti")
+      .groupBy(col("pid")).agg(min(col("ncluster")).as("border_cluster"))
+    val posOut = deg
+      .join(coreLab, Seq("pid"), "left")
+      .join(borderLab, Seq("pid"), "left")
+      .select(col("x"), col("y"), col("n_nbrs"),
         when(col("core_cluster").isNotNull, lit("core"))
           .when(col("border_cluster").isNotNull, lit("border"))
           .otherwise(lit("noise")).as("role"),
         coalesce(col("core_cluster"), col("border_cluster"), lit(-1L)).as("cluster"))
+    // Stage 5 — EXPAND: each point inherits its position's verdict (the
+    // position frame is lattice-bounded, so this broadcasts)
+    p.join(posOut, Seq("x", "y"))
+      .select(col("id"), col("x"), col("y"), col("n_nbrs"), col("role"), col("cluster"))
   }
+
+  /** The CONVERGED DBSCAN frame for the distinct-user lattice, shared
+    * per (session, dataset) through [[graft.CachedFrames]] — the same
+    * artifact policy as [[Dedup.ccLabels]] and the trained k-means
+    * frames: the clustering is built ONCE (its CC fixpoint is a
+    * driver-looped iteration, the expensive part) and every read after
+    * that scans the persisted label frame, which is how a deployment
+    * treats a clustering — an indexing artifact, not a per-query
+    * recompute. Bench charges the build under `warm_build.geo_dbscan`. */
+  private[graft] def dbscanLabels(s: SparkSession, d: String): DataFrame =
+    graft.CachedFrames.getOrBuild(
+      s"geo_dbscan|${graft.CachedFrames.sessionKey(s)}|$d") {
+      val u = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id")).distinct()
+        .select(col("user_id").as("id"),
+          pmod(col("user_id") * 7, lit(127)).as("x"),
+          pmod(col("user_id") * 31, lit(131)).as("y"))
+      dbscan(u, 8L, 4)
+    }
 
   /** DBSCAN over the distinct-user lattice (fixture mapping
     * `x = 7·id mod 127, y = 31·id mod 131` — chosen so the sf corpus
@@ -997,18 +1059,11 @@ object Queries {
     * sides agree on semantics, not on code shape. */
   val geoDbscan = OracleQuery(
     "ltss_geo_dbscan",
-    (s, d) => {
-      val u = Tables.events(s, d)
-        .filter(col("user_id").isNotNull)
-        .select(col("user_id")).distinct()
-        .select(col("user_id").as("id"),
-          pmod(col("user_id") * 7, lit(127)).as("x"),
-          pmod(col("user_id") * 31, lit(131)).as("y"))
-      dbscan(u, 8L, 4)
+    (s, d) =>
+      dbscanLabels(s, d)
         .select(col("id").as("user_id"), col("x").as("li"), col("y").as("lo"),
           col("n_nbrs"), col("role"), col("cluster"))
-        .orderBy(col("user_id"))
-    },
+        .orderBy(col("user_id")),
     Some("""WITH RECURSIVE u AS (
       |  SELECT DISTINCT user_id AS id,
       |         ((user_id * 7 % 127) + 127) % 127 AS x,

@@ -43,6 +43,42 @@ class DbscanSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  /** Co-located points, worked by hand against the UNCONTRACTED
+    * definition (every point counts its eps-neighbors individually):
+    *
+    * {{{
+    *   ids 1,2,3 at (0,0): mutual distance-0 neighbors (2 each) plus
+    *     id 4 at d² = 4 ✓ → n_nbrs 3 ≥ minPts−1 = 2 → all CORE, one
+    *     clique, cluster 1 (min id).
+    *   id 4 at (2,0): neighbors ids 1,2,3 (d² = 4) AND id 5 (d² = 4)
+    *     → n_nbrs 4 → CORE; core-core edges to the clique → cluster 1.
+    *   id 5 at (4,0): d² to (2,0) = 4 ✓, to (0,0) = 16 ✗ → 1 neighbor
+    *     → BORDER, attaches to id 4's cluster 1.
+    *   ids 6,7 at (10,10): mutual distance-0 neighbors only → n_nbrs 1
+    *     < 2 → neither core, no core within eps → both NOISE. This is
+    *     the case that catches a naive "mult ≥ minPts ⇒ core" shortcut.
+    * }}}
+    *
+    * The position-contracted implementation must reproduce this trace
+    * exactly — multiplicity feeds the neighbor COUNT, never the core
+    * rule directly. */
+  test("dbscan: co-located points — weighted degree, clique labels, duplicate noise") {
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 0L),
+      (4L, 2L, 0L), (5L, 4L, 0L),
+      (6L, 10L, 10L), (7L, 10L, 10L)
+    ).toDF("id", "x", "y")
+    val got = Queries.dbscan(pts, eps = 2L, minPts = 3)
+      .select("id", "n_nbrs", "role", "cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    val want = Seq(
+      (1L, 3L, "core", 1L), (2L, 3L, "core", 1L), (3L, 3L, "core", 1L),
+      (4L, 4L, "core", 1L), (5L, 1L, "border", 1L),
+      (6L, 1L, "noise", -1L), (7L, 1L, "noise", -1L))
+    assert(got.toSeq == want)
+  }
+
   test("dbscan: all-noise input never reaches the CC loop with labels") {
     val pts = Seq((1L, 0L, 0L), (2L, 50L, 0L), (3L, 0L, 50L)).toDF("id", "x", "y")
     val got = Queries.dbscan(pts, eps = 2L, minPts = 3)

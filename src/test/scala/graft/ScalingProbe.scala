@@ -165,6 +165,9 @@ object ScalingProbe {
         graft.operators.TimeSeries.denseDevCached(spark, sfDir).count())
     if (names.exists(n => n.startsWith("ltss_cagg")))
       warmed("cagg_layout")(graft.operators.TimeSeries.caggLayoutPath(spark, sfDir))
+    if (names.contains("ltss_geo_dbscan"))
+      warmed("geo_dbscan")(
+        graft.operators.Queries.dbscanLabels(spark, sfDir).count())
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
     warmed("kmeans_train")(
       graft.operators.Similarity.kmeansAssignments(spark, sfDir,
