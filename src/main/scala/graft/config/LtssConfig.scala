@@ -51,6 +51,14 @@ final case class LtssConfig(
     exclude: FilterSpec = FilterSpec(),
     /** Analog of PostGIS presence (reference __init__.py:303-328). */
     enableLocation: Boolean = true,
+    /** Opt-in for the startup migration ladder ([[graft.sources.LtssSink.checkAndMigrate]]).
+      * The reference runs check_and_migrate unconditionally at every
+      * start (__init__.py:310-312); on a large live table step 1 is a
+      * full-table `ALTER … TYPE JSONB` rewrite under ACCESS EXCLUSIVE
+      * and step 4 drops the PK with CASCADE — too much to trigger
+      * implicitly, so ingest startup only LOGS pending steps unless
+      * this is set. */
+    autoMigrate: Boolean = false,
     /** S1 source selection; None = the caller wires its own events
       * frame (the library-API path every existing test uses). */
     eventSource: Option[EventSource] = None,
@@ -68,7 +76,7 @@ object LtssConfig {
     * reference's PostGIS auto-detection (__init__.py:303-328). */
   def fromMap(conf: Map[String, Any]): LtssConfig = {
     val allowed = Set("db_url", "chunk_time_interval", "include", "exclude",
-      "enable_location", "event_source")
+      "enable_location", "event_source", "auto_migrate")
     val unknown = conf.keySet -- allowed
     require(unknown.isEmpty, s"unknown config keys: ${unknown.mkString(", ")}")
 
@@ -142,8 +150,14 @@ object LtssConfig {
         }
       case x => throw new IllegalArgumentException(s"event_source must be a section, got $x")
     }
+    val autoMigrate = conf.get("auto_migrate") match {
+      case None => false
+      case Some(b: Boolean) => b
+      case Some(x) => throw new IllegalArgumentException(s"auto_migrate must be boolean, got $x")
+    }
+
     LtssConfig(dbUrl, chunk, filterSpec("include"), filterSpec("exclude"),
-      enableLocation, eventSource)
+      enableLocation, autoMigrate, eventSource)
   }
 }
 

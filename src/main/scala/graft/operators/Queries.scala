@@ -263,11 +263,16 @@ object Queries {
       s"entity rank corrupted: ${chk.getLong(0)} entities but " +
         s"${chk.getLong(1)} distinct ranks, max ${chk.getLong(2)} " +
         "(partition ids shifted against the offset ledger?)")
-    // release is deliberately a no-op: both checkpointed frames are
-    // fleet-sized (distinct entities, not rows) and the ContextCleaner
-    // reclaims their blocks once the frames drop out of scope after the
-    // layout write — bounded at two fleet-sized frames per build
-    (ranks, () => ())
+    // release drops both checkpointed frames' storage eagerly (the
+    // caller invokes it after the layout write, when nothing can
+    // recompute them) — relying on a driver GC to let ContextCleaner
+    // reclaim them would let a repeated caller accumulate two
+    // fleet-sized frames per build invisibly
+    (ranks, () => {
+      ranks.unpersist(blocking = false)
+      fleet.unpersist(blocking = false)
+      ()
+    })
   }
 
   def zorderLayoutPath(s: SparkSession, d: String): String =

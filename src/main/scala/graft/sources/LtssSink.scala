@@ -263,33 +263,60 @@ object LtssSink {
       names.filter(_.startsWith(".migrate_retired_chunk_"))
         .map(_.stripPrefix(".migrate_retired_chunk_"))).distinct.sorted.toSeq
     val done = scala.collection.mutable.ArrayBuffer.empty[String]
+    // a dir "has rows" only if it holds at least one data file —
+    // `spark.read.parquet` on an existing-but-file-less dir (crash
+    // residue, manual cleanup) throws "Unable to infer schema" and
+    // would abort the migration with the layout still marker-locked
+    def hasDataFiles(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
     for (c <- chunks) {
       val chunkDir = new org.apache.hadoop.fs.Path(root, s"chunk=$c")
       val staged = new org.apache.hadoop.fs.Path(root, s".migrate_staged_chunk_$c")
       val retired = new org.apache.hadoop.fs.Path(root, s".migrate_retired_chunk_$c")
       // crash recovery: a prior run may have died between the renames —
       // restore a live dir from whichever hidden copy survived (staged
-      // is complete by construction once the retire rename began)
-      if (!fs.exists(chunkDir)) {
-        val src = if (fs.exists(staged)) staged else retired
-        if (!fs.exists(src) || !fs.rename(src, chunkDir))
-          throw new java.io.IOException(
-            s"chunk '$c' has no live, staged, or retired copy under $path")
+      // is complete by construction once the retire rename began). A
+      // live dir that exists but is FILE-LESS counts as missing: a
+      // recoverable copy replaces it, and with no copy anywhere the
+      // husk is swept and the chunk skipped — zero rows need migrating.
+      if (!hasDataFiles(chunkDir)) {
+        fs.delete(chunkDir, true)
+        val src =
+          if (hasDataFiles(staged)) Some(staged)
+          else if (hasDataFiles(retired)) Some(retired)
+          else None
+        src match {
+          case Some(s) =>
+            if (!fs.rename(s, chunkDir))
+              throw new java.io.IOException(
+                s"chunk '$c' could not be restored from $s under $path")
+          case None =>
+            // file-less husks everywhere: zero rows need migrating —
+            // sweep the residue and move on instead of aborting with
+            // the layout still locked
+            fs.delete(staged, true)
+            fs.delete(retired, true)
+        }
       }
-      fs.delete(staged, true)
-      fs.delete(retired, true)
-      val df = spark.read.parquet(chunkDir.toString)
-      if (df.schema("attributes").dataType !=
-          org.apache.spark.sql.types.VariantType) {
-        df.withColumn("attributes", parse_json(col("attributes")))
-          .write.mode(SaveMode.Overwrite).parquet(staged.toString)
-        if (!fs.rename(chunkDir, retired))
-          throw new java.io.IOException(s"migration could not retire $chunkDir")
-        if (!fs.rename(staged, chunkDir))
-          throw new java.io.IOException(
-            s"migration could not swap in $staged — original preserved at $retired")
+      if (fs.exists(chunkDir)) {
+        fs.delete(staged, true)
         fs.delete(retired, true)
-        done += c
+        val df = spark.read.parquet(chunkDir.toString)
+        if (df.schema("attributes").dataType !=
+            org.apache.spark.sql.types.VariantType) {
+          df.withColumn("attributes", parse_json(col("attributes")))
+            .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+          if (!fs.rename(chunkDir, retired))
+            throw new java.io.IOException(s"migration could not retire $chunkDir")
+          if (!fs.rename(staged, chunkDir))
+            throw new java.io.IOException(
+              s"migration could not swap in $staged — original preserved at $retired")
+          fs.delete(retired, true)
+          done += c
+        }
       }
     }
     val m1 = readLayoutMarker(spark, path).getOrElse(m0)
@@ -645,7 +672,34 @@ object LtssSink {
     * with explicit column types and the composite PK `(time, entity_id)`
     * (migrations.py:88-95) only if missing. Returning normally IS the
     * readiness signal a caller can await. `connect`/`sleep` are
-    * injectable for tests. */
+    * injectable for tests.
+    *
+    * On a PostgreSQL target the reference's EXTENSION-ADAPTIVE path is
+    * replayed in its order (__init__.py:270-344):
+    *
+    *  - `pg_available_extensions` is probed once per start
+    *    (__init__.py:273-278);
+    *  - table creation with PostGIS available (and the location flag
+    *    on) first runs `CREATE EXTENSION IF NOT EXISTS postgis CASCADE`
+    *    and types the column `geometry(Point,4326)` — the reference's
+    *    `Geometry("POINT", srid=4326)` (models.py:35,44 via
+    *    activate_location_extraction, __init__.py:319-328); without
+    *    PostGIS the column stays the WKT-text wire form
+    *    ([[locationToWkt]] writes EWKT either way, which PostGIS casts
+    *    implicitly);
+    *  - with TimescaleDB available, creation is followed by
+    *    `CREATE EXTENSION IF NOT EXISTS timescaledb CASCADE` and
+    *    `create_hypertable('<t>','time', if_not_exists => TRUE)`
+    *    (__init__.py:330-344), and EVERY start — created or not —
+    *    re-applies `set_chunk_time_interval` with the configured µs
+    *    width (__init__.py:284-300; integer intervals are µs for
+    *    timestamp partition columns). A pre-existing plain table under
+    *    an available TimescaleDB logs the reference's
+    *    "not a hypertable" warning instead of failing (__init__.py:
+    *    292-299, the UndefinedTable tolerance).
+    *
+    * Returns the DDL actions taken (empty = nothing to do), so specs
+    * and operators can assert the adaptive branch on record. */
   def bootstrapJdbc(
       cfg: LtssConfig,
       table: String = "ltss",
@@ -654,10 +708,10 @@ object LtssSink {
       maxRetries: Int = 10,
       retryWaitMs: Long = 3000L,
       sleep: Long => Unit = Thread.sleep,
-      connect: String => Connection = url => DriverManager.getConnection(url)): Unit = {
+      connect: String => Connection = url => DriverManager.getConnection(url),
+      log: String => Unit = m => System.err.println(m)): Seq[String] = {
     val (defAttrs, defLoc) = defaultTypesFor(cfg.dbUrl)
     val attrsType = Option(attributesType).getOrElse(defAttrs)
-    val locType = Option(locationType).getOrElse(defLoc)
     var attempt = 0
     var conn: Connection = null
     while (conn == null) {
@@ -672,7 +726,32 @@ object LtssSink {
           sleep(retryWaitMs)
       }
     }
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
+      def exec(sql: String): Unit = {
+        val st = conn.createStatement()
+        try st.execute(sql)
+        finally st.close()
+      }
+      // one catalog probe per start, like the reference's dict
+      // comprehension over pg_available_extensions — available ≠
+      // installed; CREATE EXTENSION below does the installing
+      val extensions: Set[String] =
+        if (!postgresDialect(cfg.dbUrl)) Set.empty
+        else {
+          val st = conn.createStatement()
+          try {
+            val rs = st.executeQuery("SELECT name FROM pg_available_extensions")
+            val out = scala.collection.mutable.Set.empty[String]
+            try while (rs.next()) out += rs.getString(1)
+            finally rs.close()
+            out.toSet
+          } finally st.close()
+        }
+      val postgis = extensions.contains("postgis")
+      val timescale = extensions.contains("timescaledb")
+      val locType = Option(locationType).getOrElse(
+        if (postgis) "geometry(Point,4326)" else defLoc)
       // exact-name catalog probe (case variants cover folding dialects) —
       // not a full-catalog scan, and not fooled by same-named tables it
       // would never write to: getTables' name argument has LIKE
@@ -687,19 +766,43 @@ object LtssSink {
       }
       val exists = probe(table) || probe(table.toUpperCase) || probe(table.toLowerCase)
       if (!exists) {
+        if (postgis && cfg.enableLocation) {
+          exec("CREATE EXTENSION IF NOT EXISTS postgis CASCADE")
+          actions += "create_extension_postgis"
+        }
         // location column only when the config enables it — the analog of
         // the reference's PostGIS-presence adaptivity (__init__.py:319-328)
         val locCol = if (cfg.enableLocation) s", location $locType" else ""
-        val ddl = s"CREATE TABLE $table (" +
+        exec(s"CREATE TABLE $table (" +
           "time TIMESTAMP NOT NULL, " +
           "entity_id VARCHAR(255) NOT NULL, " +
           "state VARCHAR(255), " +
           s"attributes $attrsType$locCol, " +
-          "PRIMARY KEY (time, entity_id))"
-        val st = conn.createStatement()
-        try st.execute(ddl)
-        finally st.close()
+          "PRIMARY KEY (time, entity_id))")
+        actions += "create_table"
+        if (timescale) {
+          exec("CREATE EXTENSION IF NOT EXISTS timescaledb CASCADE")
+          actions += "create_extension_timescaledb"
+          exec(s"SELECT create_hypertable('$table', 'time', if_not_exists => TRUE)")
+          actions += "create_hypertable"
+        }
       }
+      if (timescale) {
+        // chunk width is re-appliable after first setup — the one knob
+        // the reference adjusts on EVERY start (__init__.py:284-290)
+        try {
+          exec(s"SELECT set_chunk_time_interval('$table', ${cfg.chunkTimeIntervalUs})")
+          actions += "set_chunk_time_interval"
+        } catch {
+          case e: SQLException if e.getSQLState == "42P01" =>
+            // UndefinedTable from inside set_chunk_time_interval: the
+            // table exists but is NOT a hypertable — the reference logs
+            // exactly this and carries on (__init__.py:292-299)
+            log(s"[ltss-bootstrap] TimescaleDB is available but table " +
+              s"'$table' is not a hypertable; chunk interval not applied")
+        }
+      }
+      actions.toSeq
     } finally conn.close()
   }
 
@@ -724,7 +827,11 @@ object LtssSink {
     *     `(time, entity_id)` (CASCADE, one transaction) and drop the
     *     column (migrations.py:48-53,88-103).
     *
-    * Returns the applied step names (empty = already current). Probes go
+    * Returns the applied step names (empty = already current). With
+    * `dryRun = true` nothing executes — the probes alone run and the
+    * PENDING step names come back, the device ingest startup uses to
+    * log what an un-opted-in table still needs (see
+    * [[graft.config.LtssConfig.autoMigrate]]). Probes go
     * through `information_schema`/`pg_indexes` SQL — the same inspector
     * surface SQLAlchemy's `inspect(engine)` reads — filtered to the
     * connection's current schema so a same-named table elsewhere on the
@@ -734,12 +841,14 @@ object LtssSink {
   def checkAndMigrate(
       cfg: LtssConfig,
       table: String = "ltss",
-      connect: String => Connection = url => DriverManager.getConnection(url)): Seq[String] = {
+      connect: String => Connection = url => DriverManager.getConnection(url),
+      dryRun: Boolean = false,
+      log: String => Unit = m => System.err.println(m)): Seq[String] = {
     if (!cfg.dbUrl.startsWith("jdbc:postgresql")) return Nil
     val applied = scala.collection.mutable.ArrayBuffer.empty[String]
     val conn = connect(cfg.dbUrl)
     try {
-      def exec(sql: String): Unit = {
+      def exec(sql: String): Unit = if (!dryRun) {
         val st = conn.createStatement(); try st.execute(sql) finally st.close()
       }
       def queryCol(sql: String): Seq[String] = {
@@ -753,6 +862,13 @@ object LtssSink {
         } finally st.close()
       }
       val t = table.toLowerCase.replace("'", "''")
+      // DDL identifiers are QUOTED forms of the same folded name the
+      // probes use — unquoted `$table` interpolation would re-fold (or
+      // break on) a name that needs quoting, and the quoted lowercase
+      // form is identical to today's unquoted behavior for every name
+      // bootstrapJdbc can have created
+      def qi(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+      val qt = qi(t)
       // (column, udt) pairs of the live table — one probe, reused by
       // steps 1 and 4, like the reference's single inspect() call
       val colUdt = queryCol(
@@ -767,14 +883,14 @@ object LtssSink {
       // 1. attributes text → JSONB (the reference warns "this might take
       // a couple of minutes" — a full-table rewrite, same here)
       if (colUdt.get("attributes").exists(u => u == "text" || u.startsWith("varchar"))) {
-        exec(s"ALTER TABLE $table ALTER COLUMN attributes TYPE JSONB " +
+        exec(s"ALTER TABLE $qt ALTER COLUMN attributes TYPE JSONB " +
           "USING attributes::JSONB")
         applied += "attributes_text_to_jsonb"
       }
       // 2. attributes GIN index (after step 1: GIN's jsonb opclass
       // requires the migrated type, the order the reference relies on)
       if (!indexes.contains(s"${t}_attributes_idx")) {
-        exec(s"CREATE INDEX ${table}_attributes_idx ON $table USING GIN (attributes)")
+        exec(s"CREATE INDEX ${qi(s"${t}_attributes_idx")} ON $qt USING GIN (attributes)")
         applied += "attributes_index"
       }
       // 3. composite (entity_id, time DESC) index; separately, the
@@ -784,12 +900,12 @@ object LtssSink {
       // between the two statements — probing each independently makes a
       // crashed ladder CONVERGE on re-run instead.
       if (!indexes.contains(s"${t}_entityid_time_composite_idx")) {
-        exec(s"CREATE INDEX ${table}_entityid_time_composite_idx " +
-          s"ON $table (entity_id, time DESC)")
+        exec(s"CREATE INDEX ${qi(s"${t}_entityid_time_composite_idx")} " +
+          s"ON $qt (entity_id, time DESC)")
         applied += "entityid_time_composite_index"
       }
       if (indexes.contains(s"ix_${t}_entity_id")) {
-        exec(s"DROP INDEX ix_${table}_entity_id")
+        exec(s"DROP INDEX ${qi(s"ix_${t}_entity_id")}")
         applied += "drop_entityid_index"
       }
       // 4. surrogate id column → composite PK, then drop the column.
@@ -800,21 +916,47 @@ object LtssSink {
       // (migrations.py:91) — a table that was ever RENAMED keeps its
       // original constraint name, and `DROP ... IF EXISTS <wrong>_pkey`
       // would silently no-op before ADD PRIMARY KEY fails with
-      // "multiple primary keys".
+      // "multiple primary keys". The catalog lookups join through
+      // pg_class/pg_namespace pinned to current_schema() — a bare
+      // `'$t'::regclass` resolves via the search path, so a same-named
+      // table earlier on it would hand back the WRONG constraint name.
       if (colUdt.contains("id")) {
         val pkName = queryCol(
-          s"""SELECT conname FROM pg_constraint
-             | WHERE conrelid = '$t'::regclass AND contype = 'p'""".stripMargin)
+          s"""SELECT con.conname FROM pg_constraint con
+             | JOIN pg_class c ON c.oid = con.conrelid
+             | JOIN pg_namespace n ON n.oid = c.relnamespace
+             | WHERE n.nspname = current_schema() AND c.relname = '$t'
+             |   AND con.contype = 'p'""".stripMargin)
           .headOption.getOrElse(s"${t}_pkey")
-        conn.setAutoCommit(false)
-        try {
-          exec(s"ALTER TABLE $table " +
-            s"""DROP CONSTRAINT IF EXISTS "$pkName" CASCADE, """ +
-            "ADD PRIMARY KEY (time, entity_id)")
-          exec(s"ALTER TABLE $table DROP COLUMN id")
-          conn.commit()
-        } catch { case e: Throwable => conn.rollback(); throw e }
-        finally conn.setAutoCommit(true)
+        // CASCADE mirrors the reference (migrations.py:91) but is not
+        // silent about it: any foreign key in OTHER tables that
+        // references this PK goes down with it — surface each one
+        // before the drop so an operator can see what the migration
+        // took (and a dry run can warn about it without touching
+        // anything).
+        val cascaded = queryCol(
+          s"""SELECT rc.relname || '.' || con.conname
+             | FROM pg_constraint con
+             | JOIN pg_class rc ON rc.oid = con.conrelid
+             | JOIN pg_class c ON c.oid = con.confrelid
+             | JOIN pg_namespace n ON n.oid = c.relnamespace
+             | WHERE n.nspname = current_schema() AND c.relname = '$t'
+             |   AND con.contype = 'f'
+             | ORDER BY 1""".stripMargin)
+        if (cascaded.nonEmpty)
+          log(s"[ltss-migrate] dropping PK '$pkName' on $t CASCADEs these " +
+            s"referencing foreign keys: ${cascaded.mkString(", ")}")
+        if (!dryRun) {
+          conn.setAutoCommit(false)
+          try {
+            exec(s"ALTER TABLE $qt " +
+              s"DROP CONSTRAINT IF EXISTS ${qi(pkName)} CASCADE, " +
+              "ADD PRIMARY KEY (time, entity_id)")
+            exec(s"ALTER TABLE $qt DROP COLUMN id")
+            conn.commit()
+          } catch { case e: Throwable => conn.rollback(); throw e }
+          finally conn.setAutoCommit(true)
+        }
         applied += "remove_id_column"
       }
       applied.toSeq

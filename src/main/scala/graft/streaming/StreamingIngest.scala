@@ -109,12 +109,21 @@ object StreamingIngest {
           catch { case _: java.sql.SQLException => cfg }
         LtssSink.bootstrapJdbc(e)
         // the reference migrates right after connecting (__init__.py
-        // calls check_and_migrate before subscribing): a legacy table —
-        // text attributes, surrogate id PK, old index set — is brought
-        // to the current schema before the first batch lands on it
-        val migrated = LtssSink.checkAndMigrate(e)
-        if (migrated.nonEmpty)
-          System.err.println(s"[ltss-ingest] migrated legacy table: ${migrated.mkString(", ")}")
+        // calls check_and_migrate before subscribing). Unlike the
+        // reference this is OPT-IN (cfg.autoMigrate): step 1 rewrites
+        // the whole table under ACCESS EXCLUSIVE and step 4 drops the
+        // PK with CASCADE — without the flag a legacy table only gets
+        // its pending steps LOGGED (dry-run probes, no DDL executed)
+        if (e.autoMigrate) {
+          val migrated = LtssSink.checkAndMigrate(e)
+          if (migrated.nonEmpty)
+            System.err.println(s"[ltss-ingest] migrated legacy table: ${migrated.mkString(", ")}")
+        } else {
+          val pending = LtssSink.checkAndMigrate(e, dryRun = true)
+          if (pending.nonEmpty)
+            System.err.println("[ltss-ingest] legacy schema detected; pending migrations " +
+              s"SKIPPED (set auto_migrate to apply): ${pending.mkString(", ")}")
+        }
         e
       } else cfg
     toLtss(events, eff).writeStream

@@ -80,6 +80,62 @@ class PostgresE2ESpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("extension-adaptive bootstrap on live PG: the pg_available_extensions probe executes and the branch matches the catalog") {
+    // the probe the reference runs at every start (__init__.py:273-278),
+    // executed here against the real server — the branch taken below is
+    // whatever this catalog actually supports, never an assumption
+    val available = withWire { w =>
+      w.query("SELECT name FROM pg_available_extensions ORDER BY name").rows.map(_(0))
+    }
+    assert(available.nonEmpty, "a live PostgreSQL always ships at least plpgsql")
+    val actions = LtssSink.bootstrapJdbc(cfg, table = "ltss_ext")
+    val locType = withWire(_.query(
+      "SELECT udt_name FROM information_schema.columns " +
+        "WHERE table_name = 'ltss_ext' AND column_name = 'location'").rows.map(_(0)))
+    if (available.contains("postgis")) {
+      assert(actions.contains("create_extension_postgis"))
+      assert(locType == Vector("geometry"))
+    } else {
+      assert(!actions.exists(_.contains("postgis")))
+      assert(locType == Vector("varchar"),
+        "without PostGIS the location column must stay the WKT-text wire form")
+    }
+    if (available.contains("timescaledb"))
+      assert(actions.contains("create_hypertable") &&
+        actions.contains("set_chunk_time_interval"))
+    else
+      assert(!actions.exists(_.contains("hypertable")) &&
+        !actions.exists(_.contains("chunk_time_interval")))
+    assert(actions.contains("create_table"))
+    // idempotent re-run: nothing to create, nothing re-created
+    val again = LtssSink.bootstrapJdbc(cfg, table = "ltss_ext")
+    assert(!again.contains("create_table"))
+  }
+
+  test("hypertable + geometry DDL verified on a timescale/postgis-enabled live server") {
+    val available = withWire { w =>
+      w.query("SELECT name, default_version FROM pg_available_extensions " +
+        "WHERE name IN ('timescaledb','postgis') ORDER BY name").rows
+    }
+    if (available.isEmpty)
+      cancel("hypertable/PostGIS e2e proven unable on this host: the executed " +
+        "pg_available_extensions probe lists NEITHER 'timescaledb' NOR 'postgis' " +
+        "(PostgreSQL 15 Debian, contrib only) — TimescaleDdlSpec pins the positive " +
+        "DDL sequence statement-by-statement against a scripted catalog instead")
+    LtssSink.bootstrapJdbc(cfg, table = "ltss_ht")
+    if (available.exists(_(0) == "timescaledb")) {
+      val ht = withWire(_.query(
+        "SELECT hypertable_name FROM timescaledb_information.hypertables " +
+          "WHERE hypertable_name = 'ltss_ht'").rows)
+      assert(ht.nonEmpty, "created table must be a hypertable when timescaledb is available")
+    }
+    if (available.exists(_(0) == "postgis")) {
+      val srid = withWire(_.query(
+        "SELECT srid FROM geometry_columns WHERE f_table_name = 'ltss_ht'").rows.map(_(0)))
+      assert(srid == Vector("4326"))
+    }
+  }
+
   test("writeJdbc replayed partial commit lands exactly-once via ON CONFLICT DO NOTHING") {
     LtssSink.bootstrapJdbc(cfg, table = "ltss_fast", locationType = "VARCHAR(255)")
     val rows = (1 to 6).map(i =>
