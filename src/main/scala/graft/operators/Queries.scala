@@ -1115,6 +1115,253 @@ object Queries {
       |         LEFT JOIN borderlab ON deg.id = borderlab.id
       |ORDER BY user_id""".stripMargin))
 
+  /** The converged REAL-COORDINATE DBSCAN frame: each entity's latest
+    * fix on the fixture's lat/lon mapping, quantized to 10°-degree
+    * cells by exactly the `floor(lat/eps), floor(lon/eps)` device the
+    * lattice query's scaladoc names as the production mapping — this
+    * query IS that mapping, run end-to-end. Same artifact policy as
+    * [[dbscanLabels]]. */
+  private[graft] def dbscanLatLonLabels(s: SparkSession, d: String): DataFrame =
+    graft.CachedFrames.getOrBuild(
+      s"geo_dbscan_latlon|${graft.CachedFrames.sessionKey(s)}|$d") {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val u = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
+        .select(col("user_id").as("id"),
+          floor(col("lat") / 10.0).cast("long").as("x"),
+          floor(col("lon") / 10.0).cast("long").as("y"))
+      dbscan(u, 2L, 4)
+    }
+
+  /** DBSCAN on the operator's PRODUCTION input shape — real-valued
+    * lat/lon, not a synthetic lattice: latest fix per entity (the
+    * PostGIS deployment's `ST_ClusterDBSCAN` over current positions),
+    * eps-quantized to integer cells with `floor(lat/cell)` and fed to
+    * the same contracted pipeline as [[geoDbscan]]. Cell width 10°,
+    * graph eps 2 cells, minPts 4 — at the correctness SF that yields
+    * multi-cell clusters, borders, AND noise, so every role is pinned
+    * on this input too. The floor decisions are float-safe: fixture
+    * lat/lon are half-integers, never multiples of 10, so every
+    * `lat/10` sits ≥0.05 from an integer — both engines floor
+    * identically. The quantized negative cells also exercise
+    * [[dbscan]]'s `div`-binned grid below zero (the lattice query's
+    * pmod coordinates never could): truncating `div` makes cell 0 span
+    * three integers, which keeps the ≥eps-width adjacency invariant
+    * the 3×3 candidate join needs. Oracle: the same deliberately
+    * different all-pairs + recursive-CTE closure. */
+  val geoDbscanLatLon = OracleQuery(
+    "ltss_geo_dbscan_latlon",
+    (s, d) =>
+      dbscanLatLonLabels(s, d)
+        .select(col("id").as("user_id"), col("x").as("cell_lat"),
+          col("y").as("cell_lon"), col("n_nbrs"), col("role"), col("cluster"))
+        .orderBy(col("user_id")),
+    Some("""WITH RECURSIVE l AS (
+      |  SELECT user_id, event_id FROM (
+      |    SELECT user_id, event_id,
+      |           row_number() OVER (PARTITION BY user_id
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL)
+      |  WHERE rn = 1
+      |),
+      |u AS (
+      |  SELECT user_id AS id,
+      |         CAST(floor((CAST(user_id % 180 - 90 AS DOUBLE) + 0.5) / 10.0)
+      |           AS BIGINT) AS x,
+      |         CAST(floor((CAST(event_id % 360 - 180 AS DOUBLE) + 0.5) / 10.0)
+      |           AS BIGINT) AS y
+      |  FROM l
+      |),
+      |p AS (
+      |  SELECT a.id AS a_id, b.id AS b_id
+      |  FROM u a JOIN u b ON a.id < b.id
+      |   AND (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 4
+      |),
+      |sym AS (SELECT a_id AS id, b_id AS nbr FROM p
+      |        UNION ALL SELECT b_id, a_id FROM p),
+      |deg AS (
+      |  SELECT u.id, u.x, u.y, count(sym.nbr) AS n_nbrs
+      |  FROM u LEFT JOIN sym ON u.id = sym.id GROUP BY u.id, u.x, u.y
+      |),
+      |core AS (SELECT id FROM deg WHERE n_nbrs >= 3),
+      |ce AS (SELECT a_id, b_id FROM p
+      |       WHERE a_id IN (SELECT id FROM core)
+      |         AND b_id IN (SELECT id FROM core)),
+      |cesym AS (SELECT a_id AS src, b_id AS dst FROM ce
+      |          UNION ALL SELECT b_id, a_id FROM ce),
+      |r(id, rid) AS (
+      |  SELECT id, id FROM core
+      |  UNION
+      |  SELECT cesym.src, r.rid FROM cesym JOIN r ON cesym.dst = r.id
+      |),
+      |corelab AS (SELECT id, min(rid) AS cluster FROM r GROUP BY id),
+      |borderlab AS (
+      |  SELECT sym.id, min(corelab.cluster) AS cluster
+      |  FROM sym JOIN corelab ON sym.nbr = corelab.id
+      |  WHERE sym.id NOT IN (SELECT id FROM core)
+      |  GROUP BY sym.id
+      |)
+      |SELECT deg.id AS user_id, deg.x AS cell_lat, deg.y AS cell_lon,
+      |       CAST(deg.n_nbrs AS BIGINT) AS n_nbrs,
+      |       CASE WHEN corelab.id IS NOT NULL THEN 'core'
+      |            WHEN borderlab.id IS NOT NULL THEN 'border'
+      |            ELSE 'noise' END AS role,
+      |       CAST(COALESCE(corelab.cluster, borderlab.cluster, -1) AS BIGINT)
+      |         AS cluster
+      |FROM deg LEFT JOIN corelab ON deg.id = corelab.id
+      |         LEFT JOIN borderlab ON deg.id = borderlab.id
+      |ORDER BY user_id""".stripMargin))
+
+  /** The materialized track layout ([[graft.sources.LtssSink.writeTrackLayout]])
+    * over the events fixture's lat/lon mapping — built once per
+    * dataset, like the other layout artifacts. */
+  def trackLayoutPath(s: SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("geo_track_layout", d) { p =>
+      val pts = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id").as("id"), col("ts"), col("event_id").as("seq"),
+          ((col("user_id") % 180 - 90).cast("double") + 0.5).as("lat"),
+          ((col("event_id") % 360 - 180).cast("double") + 0.5).as("lon"))
+      graft.sources.LtssSink.writeTrackLayout(pts, p)
+    }
+
+  /** TRACK SUMMARY from the STORED trajectory — length, fix count, and
+    * bbox per entity, computed entirely from the month-segmented line
+    * arrays (`ST_Length(ST_MakeLine(...))`, `ST_Extent` over a stored
+    * track). The leg math runs INSIDE each array with higher-order
+    * functions — `zip_with` over the segment shifted against itself,
+    * `aggregate` for the integer-meter sum — so the per-segment work is
+    * map-side with zero shuffle; only the segment-junction legs (one
+    * row per (entity, month)) need the keyed lag window, and the final
+    * rollup is one combinable aggregate. The summary must reproduce the
+    * UNSEGMENTED totals bit-exactly — segmentation is storage policy,
+    * not semantics — which is precisely what the oracle checks: it
+    * computes the same numbers from the raw fix stream with a plain
+    * window, never seeing the layout. Legs floor to integer meters
+    * before any cross-row sum (the [[travelDist]] determinism
+    * contract). */
+  val geoTrack = OracleQuery(
+    "ltss_geo_track",
+    (s, d) => {
+      val seg = s.read.parquet(trackLayoutPath(s, d))
+      def leg(aLat: Column, aLon: Column, bLat: Column, bLon: Column): Column =
+        floor(graft.functions.Haversine.haversineKm(aLat, aLon, bLat, bLon) * 1000.0)
+          .cast("long")
+      val n = size(col("seg"))
+      val intra = aggregate(
+        zip_with(
+          slice(col("seg"), lit(1), n - 1),
+          slice(col("seg"), lit(2), n - 1),
+          (a, b) => leg(a("lat"), a("lon"), b("lat"), b("lon"))),
+        lit(0L), (acc, x) => acc + x)
+      val w = Window.partitionBy(col("id")).orderBy(col("chunk"))
+      seg
+        .withColumn("intra_m", intra)
+        .withColumn("plast", lag(element_at(col("seg"), -1), 1).over(w))
+        .withColumn("junction_m",
+          when(col("plast").isNotNull,
+            leg(col("plast.lat"), col("plast.lon"),
+              element_at(col("seg"), 1)("lat"), element_at(col("seg"), 1)("lon")))
+            .otherwise(lit(0L)))
+        .groupBy(col("id"))
+        .agg(sum(col("n_fixes").cast("long")).as("n_fixes"),
+          count(lit(1)).as("n_segments"),
+          (sum(col("intra_m")) + sum(col("junction_m"))).as("travel_m"),
+          min(array_min(transform(col("seg"), t => t("lat")))).as("lat_min"),
+          max(array_max(transform(col("seg"), t => t("lat")))).as("lat_max"),
+          min(array_min(transform(col("seg"), t => t("lon")))).as("lon_min"),
+          max(array_max(transform(col("seg"), t => t("lon")))).as("lon_max"))
+        .select(col("id").as("user_id"), col("n_fixes"), col("n_segments"),
+          col("travel_m"), col("lat_min"), col("lat_max"),
+          col("lon_min"), col("lon_max"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH pts AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+      |), pl AS (
+      |  SELECT user_id, ts, lat, lon,
+      |         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+      |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), legs AS (
+      |  SELECT user_id, ts, lat, lon,
+      |         CASE WHEN plat IS NULL THEN NULL ELSE
+      |           CAST(floor(2 * 6371.0088 * asin(least(1.0, sqrt(
+      |             pow(sin(radians(lat - plat) / 2), 2)
+      |             + cos(radians(plat)) * cos(radians(lat))
+      |               * pow(sin(radians(lon - plon) / 2), 2)))) * 1000.0)
+      |             AS BIGINT) END AS leg_m
+      |  FROM pl
+      |)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_fixes,
+      |       CAST(count(DISTINCT date_trunc('month', ts)) AS BIGINT) AS n_segments,
+      |       CAST(COALESCE(sum(leg_m), 0) AS BIGINT) AS travel_m,
+      |       min(lat) AS lat_min, max(lat) AS lat_max,
+      |       min(lon) AS lon_min, max(lon) AS lon_max
+      |FROM legs GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** WEB-MERCATOR projection (`ST_Transform(location, 3857)`) of each
+    * entity's latest fix — the one reprojection every slippy-map panel
+    * needs. EPSG:3857 is closed-form on the sphere (R = 6378137 m):
+    * `x = R·rad(lon)`, `y = (R/2)·ln((1+sin φ)/(1−sin φ))` — the
+    * atanh(sin φ) identity, chosen over `ln(tan(π/4+φ/2))` because it
+    * spends its one transcendental pair on `sin` (the kernel family
+    * the Haversine oracle already proved engine-identical) plus a
+    * single `ln`. Both sides write the IDENTICAL chain and floor to
+    * integer meters before compare (the travel-kernel libm policy:
+    * a ≤1-ulp ln divergence is ~1e-9 m after scaling — it can only
+    * surface if a value lands that close to an integer boundary).
+    * Poles: the fixture's ±89.5° rows project to finite ~3.1e7 m
+    * ordinates; clipping to the ±85.051° web square is the tile
+    * consumer's policy, not the projection's, so none is applied.
+    * Scale: map-side arithmetic after the keyed latest-fix window —
+    * no join, no extra shuffle. */
+  val geoMercator = OracleQuery(
+    "ltss_geo_mercator",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
+        .withColumn("sin_lat", sin(radians(col("lat"))))
+        .select(col("user_id"), col("ts").as("time"), col("lat"), col("lon"),
+          floor(lit(6378137.0) * radians(col("lon"))).cast("long").as("x_m"),
+          floor(lit(3189068.5) *
+            log((lit(1.0) + col("sin_lat")) / (lit(1.0) - col("sin_lat"))))
+            .cast("long").as("y_m"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH latest AS (
+      |  SELECT user_id, ts, event_id FROM (
+      |    SELECT user_id, ts, event_id,
+      |           row_number() OVER (PARTITION BY user_id
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL)
+      |  WHERE rn = 1
+      |), pts AS (
+      |  SELECT user_id, ts AS time,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      |  FROM latest
+      |)
+      |SELECT user_id, time, lat, lon,
+      |       CAST(floor(6378137.0 * radians(lon)) AS BIGINT) AS x_m,
+      |       CAST(floor(3189068.5 * ln((1.0 + sin(radians(lat)))
+      |                               / (1.0 - sin(radians(lat))))) AS BIGINT) AS y_m
+      |FROM pts
+      |ORDER BY user_id""".stripMargin))
+
   /** COMPASS-HEADING histogram per entity — the discretized
     * `ST_Azimuth(prev_fix, fix)` rollup ("which way does each tracker
     * move?"). Each leg in the `(ts, event_id)` per-entity total order
@@ -2615,5 +2862,6 @@ object Queries {
     retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, anomalyMad,
     histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq, geohashQ,
     histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence, zoneDwell,
-    kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn, geoDbscan, geoHeading)
+    kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn, geoDbscan,
+    geoDbscanLatLon, geoTrack, geoMercator, geoHeading)
 }

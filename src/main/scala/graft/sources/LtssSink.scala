@@ -654,6 +654,39 @@ object LtssSink {
       .mode(SaveMode.Overwrite)
       .saveAsTable(table)
 
+  /** STORED TRAJECTORIES — the `ST_MakeLine` object as a layout: each
+    * entity's ordered fix array, materialized per (entity, month
+    * chunk). The reference stores one `Geometry("POINT", srid=4326)`
+    * per row (models.py:35,44) and leaves line assembly to PostGIS
+    * queries; a columnar engine materializes the line ONCE so track
+    * consumers (length, bbox, rendering) read arrays instead of
+    * re-sorting the corpus per query.
+    *
+    * Input contract: `(id, ts, seq, lat, lon)` with `(ts, seq)` a
+    * per-id total order. Segmentation is the same time-chunking policy
+    * as the history layout: one array per (id, month), NOT one per id —
+    * an unbounded per-entity array is the collect-the-corpus
+    * anti-pattern at 100 TB, while a chunk-bounded segment caps array
+    * size at the entity's per-month fix rate no matter how many years
+    * accumulate. Arrays are `sort_array`-ordered (struct order =
+    * (ts, seq, …), a total order), so downstream leg math needs no
+    * window; the layout is range-partitioned and sorted by
+    * (id, chunk), so per-entity reads prune files and cross-segment
+    * stitching (the lag-to-previous-segment join) is a co-located
+    * window, not a shuffle. */
+  def writeTrackLayout(pts: DataFrame, path: String, parts: Int = 32): Unit = {
+    import org.apache.spark.sql.functions._
+    pts.toDF("id", "ts", "seq", "lat", "lon")
+      .withColumn("chunk", date_trunc("month", col("ts")))
+      .groupBy(col("id"), col("chunk"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("seq"), col("lat"), col("lon")))).as("seg"))
+      .withColumn("n_fixes", size(col("seg")))
+      .repartitionByRange(parts, col("id"), col("chunk"))
+      .sortWithinPartitions(col("id"), col("chunk"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Per-backend column types for the dynamic columns — the analog of
     * the reference's Postgres-specific DDL (`attributes JSONB`,
     * `__init__.py:315-344`). `null` arguments to [[bootstrapJdbc]]

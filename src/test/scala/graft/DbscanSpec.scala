@@ -79,6 +79,28 @@ class DbscanSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  /** Negative coordinates — the quantized lat/lon query's cells go
+    * below zero, which the lattice query's pmod coordinates never did.
+    * Truncating `div` makes cell 0 span {-1, 0, 1} (width 3) while
+    * every other cell spans eps=2; the 3×3 candidate join stays
+    * correct because every cell is ≥ eps wide, and this chain crosses
+    * zero at every seam: (-3,-1) meet via cells -1|0, (-1,1) inside
+    * cell 0, (1,3) via cells 0|1. Hand trace (eps 2, minPts 3):
+    * degrees 1,2,2,1 → cores are ids 2,3 (mutual neighbors → one
+    * cluster labeled min core id 2); ids 1,4 are borders of it. */
+  test("dbscan: negative cells — candidate join adjacency across zero") {
+    val pts = Seq(
+      (1L, -3L, 0L), (2L, -1L, 0L), (3L, 1L, 0L), (4L, 3L, 0L)
+    ).toDF("id", "x", "y")
+    val got = Queries.dbscan(pts, eps = 2L, minPts = 3)
+      .select("id", "n_nbrs", "role", "cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 1L, "border", 2L), (2L, 2L, "core", 2L),
+      (3L, 2L, "core", 2L), (4L, 1L, "border", 2L)))
+  }
+
   test("dbscan: all-noise input never reaches the CC loop with labels") {
     val pts = Seq((1L, 0L, 0L), (2L, 50L, 0L), (3L, 0L, 50L)).toDF("id", "x", "y")
     val got = Queries.dbscan(pts, eps = 2L, minPts = 3)

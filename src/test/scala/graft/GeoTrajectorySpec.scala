@@ -94,4 +94,50 @@ class GeoTrajectorySpec extends SparkSpec {
       s"knn distances diverged: ${rows.toSeq}")
     assert(rows(0)._3 < rows(1)._3)
   }
+
+  test("ltss_geo_mercator projects the latest fix to the EPSG:3857 closed form") {
+    val rows = SparkEntry.queries("ltss_geo_mercator")(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    // the spec computes the projection INDEPENDENTLY with scala.math
+    // on the atanh identity — and anchors the magnitudes against the
+    // published facts of the projection: 1° of longitude on the
+    // 6378137 m sphere is ~111 319.49 m, and near the equator
+    // y ≈ R·rad(lat) (the projection is conformal, scale → 1)
+    def xm(lon: Double) = math.floor(6378137.0 * math.toRadians(lon)).toLong
+    def ym(lat: Double) = {
+      val s = math.sin(math.toRadians(lat))
+      math.floor(3189068.5 * math.log((1.0 + s) / (1.0 - s))).toLong
+    }
+    // user 90: latest fix lon 3.5 (event 183), lat 0.5; user 91: lon 0.5, lat 1.5
+    assert(rows.toSeq == Seq(
+      (90L, 0.5, 3.5, xm(3.5), ym(0.5)),
+      (91L, 1.5, 0.5, xm(0.5), ym(1.5))), s"projection diverged: ${rows.toSeq}")
+    assert(xm(3.5) > (3.5 * 111319).toLong - 200 && xm(3.5) < (3.5 * 111320).toLong + 200)
+    assert(math.abs(ym(0.5) - math.floor(6378137.0 * math.toRadians(0.5)).toLong) < 20,
+      "near-equator ordinate must approach R·rad(lat)")
+  }
+
+  test("ltss_geo_track reproduces the unsegmented totals across a month boundary") {
+    // user 94's track CROSSES a segment boundary: two January fixes
+    // (legs inside segment 1) and one February fix — the 1° junction
+    // leg exists only as last(seg Jan) → first(seg Feb), so a summary
+    // that forgot junction stitching loses exactly legM(4.5, 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-geo-track").toString
+    Seq(
+      (180L, ts("2024-01-30 10:00:00"), 94L),
+      (182L, ts("2024-01-31 10:00:00"), 94L), // +2° inside January
+      (183L, ts("2024-02-01 10:00:00"), 94L), // +1° across the boundary
+      (540L, ts("2024-01-01 10:00:00"), 95L)) // lone fix, one segment
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("ltss_geo_track")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+    val lat94 = 94 % 180 - 90 + 0.5 // 4.5
+    assert(rows.toSeq == Seq(
+      (94L, 3L, 2L, legM(lat94, 2.0) + legM(lat94, 1.0), (4.5, 4.5, 0.5, 3.5)),
+      (95L, 1L, 1L, 0L, (5.5, 5.5, 0.5, 0.5))),
+      s"track summary diverged from the hand trace: ${rows.toSeq}")
+  }
 }
