@@ -91,6 +91,9 @@ object Bench {
     warmed("recall_truth")(graft.operators.Dedup.warmRecallTruth(spark, sfDir))
     warmed("cc_labels")(graft.operators.Dedup.ccLabels(spark, sfDir).count())
     warmed("geo_dbscan")(graft.operators.Queries.dbscanLabels(spark, sfDir).count())
+    warmed("geo_dbscan_latlon")(
+      graft.operators.Queries.dbscanLatLonLabels(spark, sfDir).count())
+    warmed("geo_track_layout")(graft.operators.Queries.trackLayoutPath(spark, sfDir))
     warmed("ltss_layout")(graft.operators.Queries.ltssLayoutPath(spark, sfDir))
     warmed("zorder_layout")(graft.operators.Queries.zorderLayoutPath(spark, sfDir))
     warmed("ltss_attr_layout")(graft.operators.Queries.ltssAttrLayoutPath(spark, sfDir))

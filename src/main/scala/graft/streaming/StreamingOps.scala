@@ -1527,6 +1527,87 @@ object StreamingOps {
   /** Last-fix state shared by the trajectory streams. */
   final case class OdoFix(lat: Double, lon: Double, tUs: Long)
 
+  final case class HampelBufRow(tus: Long, cents: Option[Long])
+  final case class HampelState(nextEmit: Long, firstIdx: Long, buf: Seq[HampelBufRow])
+  final case class HampelOut(
+      entity_id: String, time: java.sql.Timestamp, sv: Option[Double],
+      n_window: Long, is_spike: Int, filtered: Option[Double])
+
+  /** Streaming HAMPEL despike — the filter a live ingest wants BEFORE
+    * its state updates trust a reading (the batch `ltss_hampel`
+    * operator, [[graft.operators.TimeSeries.hampel]], run
+    * continuously). A 5-sample CENTERED window cannot decide a sample
+    * at arrival: the verdict for sample i needs i+2, so emission runs
+    * TWO samples behind the head — the same held-emission device as
+    * [[gapfillInterpStream]]'s bucket frontier. State per entity is the
+    * ≤5-row ring [nextEmit−2 .. head] plus two counters — bounded by
+    * the window's construction, never by the stream.
+    *
+    * Batch fidelity, decision for decision: values enter through
+    * [[centsOf12_2]] (the `try_cast(decimal(12,2))` twin); junk
+    * readings are BUFFERED as null — they emit as null-sv passthrough
+    * rows and SHRINK their neighbors' defined-count window to below 5,
+    * exactly like the batch `collect_list`'s null-skip; the median,
+    * MAD, and 3·MAD branch are the same integer selections; early
+    * rows emit with their clipped window (n_window 3, 4) once their
+    * right context exists. Over any in-order prefix the emitted rows
+    * equal the batch output minus the last two held samples
+    * (spec-pinned). Contract: in-order per entity (sorted within
+    * batch; an arrival at or behind the (time, value) frontier is
+    * dropped — its window position was already consumed). */
+  def hampelStream(ltss: DataFrame): Dataset[HampelOut] = {
+    import ltss.sparkSession.implicits._
+    ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[HampelState, HampelOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (key, events, st) =>
+        // batch tie order is ORDER BY (tus, sc) with nulls first —
+        // MinValue stands in for the null cents key
+        def k(c: Option[Long]): Long = c.getOrElse(Long.MinValue)
+        val sorted = events
+          .map(e => HampelBufRow(micros(e.time), centsOf12_2(e.state))).toSeq
+          .sortBy(r => (r.tus, k(r.cents)))
+        val s0 = st.getOption.getOrElse(HampelState(0L, 0L, Nil))
+        val buf = scala.collection.mutable.ArrayBuffer[HampelBufRow](s0.buf: _*)
+        var nextEmit = s0.nextEmit
+        var firstIdx = s0.firstIdx
+        val out = scala.collection.mutable.ArrayBuffer.empty[HampelOut]
+        def emit(e: Long): HampelOut = {
+          val lo = math.max(0L, e - 2)
+          val win = buf.slice((lo - firstIdx).toInt, (e + 3 - firstIdx).toInt)
+          val defined = win.flatMap(_.cents).sorted
+          val n = defined.size.toLong
+          val center = buf((e - firstIdx).toInt)
+          val sv = center.cents.map(_.toDouble / 100.0)
+          val (spike, filtered) =
+            if (n == 5 && center.cents.isDefined) {
+              val med = defined(2)
+              val mad = defined.map(v => math.abs(v - med)).sorted.apply(2)
+              if (math.abs(center.cents.get - med) > 3L * mad)
+                (1, Some(med.toDouble / 100.0))
+              else (0, sv)
+            } else (0, sv)
+          HampelOut(key, tsOfMicros(center.tus), sv, n, spike, filtered)
+        }
+        for (r <- sorted) {
+          val behind = buf.lastOption.exists(last =>
+            r.tus < last.tus || (r.tus == last.tus && k(r.cents) <= k(last.cents)))
+          if (!behind) {
+            buf += r
+            val lastIdx = firstIdx + buf.size - 1
+            while (lastIdx - nextEmit >= 2) {
+              out += emit(nextEmit)
+              nextEmit += 1
+              while (firstIdx < nextEmit - 2) { buf.remove(0); firstIdx += 1 }
+            }
+          }
+        }
+        st.update(HampelState(nextEmit, firstIdx, buf.toSeq))
+        out.iterator
+      }
+  }
+
   final case class AsapState(
       ring: Seq[Long], seen: Long, stats: Map[Int, (Long, Long, Long)])
   final case class AsapPick(

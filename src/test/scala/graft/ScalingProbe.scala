@@ -168,6 +168,12 @@ object ScalingProbe {
     if (names.contains("ltss_geo_dbscan"))
       warmed("geo_dbscan")(
         graft.operators.Queries.dbscanLabels(spark, sfDir).count())
+    if (names.contains("ltss_geo_dbscan_latlon"))
+      warmed("geo_dbscan_latlon")(
+        graft.operators.Queries.dbscanLatLonLabels(spark, sfDir).count())
+    if (names.contains("ltss_geo_track"))
+      warmed("geo_track_layout")(
+        graft.operators.Queries.trackLayoutPath(spark, sfDir))
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
     warmed("kmeans_train")(
       graft.operators.Similarity.kmeansAssignments(spark, sfDir,

@@ -1606,4 +1606,57 @@ class StatefulStreamingSpec extends SparkSpec {
       ("a.1", ts("2024-01-01 11:00:00"), 20.0, 1),
       ("a.1", ts("2024-01-01 12:00:00"), 30.0, 0)))
   }
+
+  test("streaming hampel twin: prefix-equal to batch minus the two held samples") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // p.a: clean series with one spike (99 among ~10s) — row 3's window
+    // is rows 1..5, median 10.20, MAD 10 cents → 8880 > 30 → replaced.
+    // p.b: a junk reading mid-series — it must EMIT as a null-sv
+    // passthrough AND shrink its neighbors' defined windows below 5.
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), "p.a", "10.00"),
+      (ts("2024-01-01 10:01:00"), "p.a", "10.20"),
+      (ts("2024-01-01 10:02:00"), "p.a", "10.10"),
+      (ts("2024-01-01 10:03:00"), "p.a", "99.00"),
+      (ts("2024-01-01 10:04:00"), "p.a", "10.30"),
+      (ts("2024-01-01 10:05:00"), "p.a", "10.20"),
+      (ts("2024-01-01 10:06:00"), "p.a", "10.05"),
+      (ts("2024-01-01 10:00:00"), "p.b", "5.00"),
+      (ts("2024-01-01 10:01:00"), "p.b", "junk"),
+      (ts("2024-01-01 10:02:00"), "p.b", "5.10"),
+      (ts("2024-01-01 10:03:00"), "p.b", "5.20"),
+      (ts("2024-01-01 10:04:00"), "p.b", "5.00"))
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val q = StreamingOps.hampelStream(ms.toDF.toDF("time", "entity_id", "state"))
+      .writeStream.format("memory").queryName("hampel_t").outputMode("append").start()
+    try {
+      // staggered delivery exercises the cross-batch ring; the final
+      // batch replays an already-consumed reading (behind the frontier)
+      ms.addData(rows.take(3): _*); q.processAllAvailable()
+      ms.addData(rows.slice(3, 5): _*); q.processAllAvailable()
+      ms.addData(rows.drop(5): _*); q.processAllAvailable()
+      ms.addData((ts("2024-01-01 10:02:00"), "p.a", "10.10")); q.processAllAvailable()
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"hampelStream died: ${q.exception}")
+    val got = spark.table("hampel_t")
+      .as[(String, java.sql.Timestamp, Option[Double], Long, Int, Option[Double])]
+      .collect().sortBy(r => (r._1, r._2.getTime)).toSeq
+    // batch truth on the same static frame, minus each entity's last
+    // two samples (their centered windows are incomplete forever)
+    val batch = graft.operators.TimeSeries.hampel(
+      rows.toDF("time", "entity_id", "state"))
+      .orderBy($"entity_id", $"time")
+      .as[(String, java.sql.Timestamp, Option[Double], Long, Int, Option[Double])]
+      .collect().toSeq
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (_, es) => es.dropRight(2) }
+    assert(got == batch, s"stream diverged from batch prefix:\n$got\nvs\n$batch")
+    // the spike verdict emitted two samples late, replaced by the median
+    val spike = got.find(_._5 == 1).get
+    assert(spike._1 == "p.a" && spike._2 == ts("2024-01-01 10:03:00") &&
+      spike._6.contains(10.20))
+    // the junk row emitted as null-sv passthrough with a shrunk window
+    val junk = got.find(_._3.isEmpty).get
+    assert(junk._1 == "p.b" && junk._4 < 5 && junk._5 == 0 && junk._6.isEmpty)
+  }
 }
