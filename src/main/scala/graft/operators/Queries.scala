@@ -1307,6 +1307,91 @@ object Queries {
       |       min(lon) AS lon_min, max(lon) AS lon_max
       |FROM legs GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** TRACK SIMPLIFICATION (`ST_Simplify` over the stored line) — the
+    * radial-distance simplifier map renderers run before drawing a
+    * long track: walk the fixes in order, keep a fix only when it is
+    * ≥ D meters (here 5 000 km, chosen for the fixture's leg
+    * distribution) from the LAST KEPT fix, and always keep both
+    * endpoints. This is a data-dependent sequential fold — no window
+    * can express "distance from the last kept" — which is exactly why
+    * the STORED track layout earns its keep: the fold runs INSIDE each
+    * month segment's array with `aggregate` (map-side, zero shuffle,
+    * one pass), where the raw-stream form would need a per-entity
+    * sequential reduce over a corpus sort. Segments simplify
+    * INDEPENDENTLY (each keeps its own first/last anchor), so the
+    * operator stays chunk-local at any scale; the decision compares
+    * integer floored meters, so both engines branch identically. The
+    * oracle is a deliberately different construction: a recursive-CTE
+    * walk over the raw ordered fixes that never sees the layout. */
+  val geoSimplify = OracleQuery(
+    "ltss_geo_simplify",
+    (s, d) => {
+      val D = 5000000L
+      val seg = s.read.parquet(trackLayoutPath(s, d))
+      def keeps(klat: Column, klon: Column, x: Column): Column =
+        floor(graft.functions.Haversine.haversineKm(
+          klat, klon, x("lat"), x("lon")) * 1000.0).cast("long") >= D
+      val first = element_at(col("seg"), 1)
+      val init = struct(
+        slice(col("seg"), 1, 1).as("kept"),
+        first("lat").as("klat"), first("lon").as("klon"))
+      val folded = aggregate(
+        slice(col("seg"), lit(2), size(col("seg")) - 1),
+        init,
+        (acc, x) => when(keeps(acc("klat"), acc("klon"), x),
+          struct(concat(acc("kept"), array(x)).as("kept"),
+            x("lat").as("klat"), x("lon").as("klon")))
+          .otherwise(struct(acc("kept").as("kept"),
+            acc("klat").as("klat"), acc("klon").as("klon"))))
+      seg
+        .withColumn("f", folded)
+        .withColumn("kept",
+          // endpoint preservation: the segment's last fix stays even
+          // when the distance rule dropped it (seq is unique, so the
+          // equality test cannot double-append a rule-kept endpoint)
+          when(element_at(col("f")("kept"), -1)("seq") ===
+              element_at(col("seg"), -1)("seq"), col("f")("kept"))
+            .otherwise(concat(col("f")("kept"),
+              slice(col("seg"), size(col("seg")), lit(1)))))
+        .select(col("id").as("user_id"), explode(col("kept")).as("k"))
+        .select(col("user_id"), col("k.ts").as("time"),
+          col("k.seq").as("event_id"), col("k.lat").as("lat"),
+          col("k.lon").as("lon"))
+        .orderBy(col("user_id"), col("time"), col("event_id"))
+    },
+    Some {
+      val keep = """CAST(floor(2 * 6371.0088 * asin(least(1.0, sqrt(
+        |           pow(sin(radians(p.lat - w.klat) / 2), 2)
+        |           + cos(radians(w.klat)) * cos(radians(p.lat))
+        |             * pow(sin(radians(p.lon - w.klon) / 2), 2)))) * 1000.0)
+        |           AS BIGINT) >= 5000000""".stripMargin
+      s"""WITH RECURSIVE pts AS (
+        |  SELECT user_id, date_trunc('month', ts) AS chunk, ts, event_id,
+        |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+        |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+        |         row_number() OVER (PARTITION BY user_id, date_trunc('month', ts)
+        |                            ORDER BY ts, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY user_id, date_trunc('month', ts)) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |),
+        |walk(user_id, chunk, rn, ts, lat, lon, kept, klat, klon) AS (
+        |  SELECT user_id, chunk, rn, ts, lat, lon, TRUE, lat, lon
+        |  FROM pts WHERE rn = 1
+        |  UNION ALL
+        |  SELECT p.user_id, p.chunk, p.rn, p.ts, p.lat, p.lon,
+        |         $keep,
+        |         CASE WHEN $keep THEN p.lat ELSE w.klat END,
+        |         CASE WHEN $keep THEN p.lon ELSE w.klon END
+        |  FROM pts p JOIN walk w ON p.user_id = w.user_id AND p.chunk = w.chunk
+        |   AND p.rn = w.rn + 1
+        |)
+        |SELECT w.user_id, w.ts AS time, p2.event_id, w.lat, w.lon
+        |FROM walk w JOIN pts p2 ON p2.user_id = w.user_id
+        | AND p2.chunk = w.chunk AND p2.rn = w.rn
+        |WHERE w.kept OR w.rn = p2.n
+        |ORDER BY w.user_id, time, event_id""".stripMargin
+    })
+
   /** WEB-MERCATOR projection (`ST_Transform(location, 3857)`) of each
     * entity's latest fix — the one reprojection every slippy-map panel
     * needs. EPSG:3857 is closed-form on the sphere (R = 6378137 m):
@@ -2863,5 +2948,5 @@ object Queries {
     histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq, geohashQ,
     histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence, zoneDwell,
     kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn, geoDbscan,
-    geoDbscanLatLon, geoTrack, geoMercator, geoHeading)
+    geoDbscanLatLon, geoTrack, geoSimplify, geoMercator, geoHeading)
 }

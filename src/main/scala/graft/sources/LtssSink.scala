@@ -755,7 +755,16 @@ object LtssSink {
           // connection-class errors and fail fast on non-transient ones
           // (bad URL, missing database, auth) — waiting can't fix those
           attempt += 1
-          if (!isTransient(e) || attempt >= maxRetries) throw e
+          if (!isTransient(e) || attempt >= maxRetries) {
+            // the give-up SURFACES before the throw — the analog of the
+            // reference's persistent user notification ("LTSS could not
+            // start, please check the log", __init__.py:141-153); the
+            // rethrow is the readiness future's False
+            log(s"[ltss-bootstrap] LTSS could not start: connection to " +
+              s"'${cfg.dbUrl}' failed after $attempt attempt(s) — " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            throw e
+          }
           sleep(retryWaitMs)
       }
     }

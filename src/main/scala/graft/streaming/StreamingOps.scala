@@ -1527,6 +1527,69 @@ object StreamingOps {
   /** Last-fix state shared by the trajectory streams. */
   final case class OdoFix(lat: Double, lon: Double, tUs: Long)
 
+  final case class TrackFix(
+      ts: java.sql.Timestamp, seq: Long, lat: Double, lon: Double)
+  final case class TrackSegState(chunkUs: Long, fixes: Seq[TrackFix])
+  final case class TrackSegment(
+      user_id: Long, chunk: java.sql.Timestamp, n_fixes: Int, seg: Seq[TrackFix])
+
+  /** Streaming maintenance of the STORED-TRACK layout
+    * ([[graft.sources.LtssSink.writeTrackLayout]]) — the continuous
+    * face of trajectory storage: per entity the state holds the OPEN
+    * month's fixes, and the arrival of a fix in a LATER month CLOSES
+    * the segment — one completed `(entity, month, seg)` row emits,
+    * sorted exactly as the batch layout's `sort_array` would have
+    * stored it, ready to append to the layout. Over any prefix the
+    * emitted segments equal the batch layout minus each entity's open
+    * month (spec-pinned against `writeTrackLayout`'s own files).
+    *
+    * State is one month of fixes per entity — the SAME bound the
+    * layout chose for its arrays (the chunk width caps the segment no
+    * matter how many years stream by), so layout policy and state
+    * contract are one decision, not two. Ordering contract: months
+    * must arrive in order per entity (a fix for an already-closed
+    * month drops — its segment shipped); WITHIN the open month
+    * arrival order is free — fixes sort at close, exactly like the
+    * batch's whole-month `sort_array`. */
+  def trackSegmentStream(
+      pts: DataFrame // time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE
+  ): Dataset[TrackSegment] = {
+    import pts.sparkSession.implicits._
+    def chunkUsOf(tus: Long): Long = {
+      val d = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(tus, 1000000L), (Math.floorMod(tus, 1000000L)) * 1000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.withDayOfMonth(1)
+      d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000L
+    }
+    pts
+      .select(col("time"), col("user_id"), col("event_id"), col("lat"), col("lon"))
+      .as[(java.sql.Timestamp, Long, Long, Double, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[TrackSegState, TrackSegment](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (uid, rows, st) =>
+        val sorted = rows.toSeq.sortBy(r => (micros(r._1), r._3))
+        var s = st.getOption.orNull
+        val out = scala.collection.mutable.ArrayBuffer.empty[TrackSegment]
+        def close(state: TrackSegState): TrackSegment = {
+          val seg = state.fixes.sortBy(f => (micros(f.ts), f.seq))
+          TrackSegment(uid, tsOfMicros(state.chunkUs), seg.size, seg)
+        }
+        for ((t, _, eid, lat, lon) <- sorted) {
+          val cu = chunkUsOf(micros(t))
+          val fix = TrackFix(t, eid, lat, lon)
+          if (s == null) s = TrackSegState(cu, Seq(fix))
+          else if (cu > s.chunkUs) {
+            out += close(s)
+            s = TrackSegState(cu, Seq(fix))
+          } else if (cu == s.chunkUs) s = s.copy(fixes = s.fixes :+ fix)
+          // cu < s.chunkUs: the month already closed and shipped — drop
+        }
+        if (s != null) st.update(s)
+        out.iterator
+      }
+  }
+
   final case class HampelBufRow(tus: Long, cents: Option[Long])
   final case class HampelState(nextEmit: Long, firstIdx: Long, buf: Seq[HampelBufRow])
   final case class HampelOut(

@@ -140,4 +140,30 @@ class GeoTrajectorySpec extends SparkSpec {
       (95L, 1L, 1L, 0L, (5.5, 5.5, 0.5, 0.5))),
       s"track summary diverged from the hand trace: ${rows.toSeq}")
   }
+
+  test("ltss_geo_simplify: radial rule from the LAST KEPT fix, endpoint preserved, month anchors independent") {
+    // user 96 (lat 6.5), one January segment, lons 0.5 → 20.5 → 60.5 → 61.5:
+    //   20.5 is ~2 200 km from the anchor (< 5 000 km) → DROPPED;
+    //   60.5 is ~6 500 km from the anchor 0.5 (NOT from 20.5 — the rule
+    //     measures from the last KEPT fix) → kept;
+    //   61.5 is ~110 km from 60.5 → rule-dropped but it is the segment
+    //     ENDPOINT → kept anyway.
+    // One February fix opens a NEW segment → kept as its own anchor.
+    val dir = java.nio.file.Files.createTempDirectory("graft-geo-simplify").toString
+    Seq(
+      (180L, ts("2024-01-01 10:00:00"), 96L), // lon 0.5
+      (200L, ts("2024-01-01 11:00:00"), 96L), // lon 20.5
+      (240L, ts("2024-01-01 12:00:00"), 96L), // lon 60.5
+      (241L, ts("2024-01-01 13:00:00"), 96L), // lon 61.5
+      (239L, ts("2024-02-01 10:00:00"), 96L)) // lon 59.5, new month
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(legM(6.5, 20.0) < 5000000L && legM(6.5, 60.0) >= 5000000L,
+      "threshold sanity: the hand trace depends on these sides")
+    val got = SparkEntry.queries("ltss_geo_simplify")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (96L, 180L, 0.5), (96L, 240L, 60.5), (96L, 241L, 61.5),
+      (96L, 239L, 59.5)), s"simplification diverged from the hand trace: ${got.toSeq}")
+  }
 }

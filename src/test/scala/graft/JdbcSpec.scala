@@ -55,13 +55,19 @@ class JdbcSpec extends SparkSpec {
         })
       assert(attempts == 3, s"state $s should have been retried twice then connect")
     }
-    // auth failure: no retry, the first error surfaces
+    // auth failure: no retry, the first error surfaces — and the
+    // give-up is announced before the throw (the reference's "LTSS
+    // could not start" persistent notification, __init__.py:141-153)
     var attempts = 0
+    val notices = scala.collection.mutable.ArrayBuffer.empty[String]
     val thrown = intercept[SQLException] {
       LtssSink.bootstrapJdbc(LtssConfig(dbUrl = "jdbc:derby:memory:na"), retryWaitMs = 1,
-        sleep = _ => (), connect = { _ => attempts += 1; throw sqlEx("28P01") })
+        sleep = _ => (), connect = { _ => attempts += 1; throw sqlEx("28P01") },
+        log = notices += _)
     }
     assert(attempts == 1 && thrown.getSQLState == "28P01")
+    assert(notices.exists(_.contains("LTSS could not start")),
+      s"give-up must surface a user-visible notice, got: $notices")
   }
 
   test("PK-conflict replay retries the uncommitted remainder — partial commits are not dropped") {

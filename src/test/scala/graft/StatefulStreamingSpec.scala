@@ -1607,6 +1607,58 @@ class StatefulStreamingSpec extends SparkSpec {
       ("a.1", ts("2024-01-01 12:00:00"), 30.0, 0)))
   }
 
+  test("trackSegmentStream closes months into the batch layout's own rows") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two entities, fixes delivered JUMBLED within each month and split
+    // across batches; user 7 spans Jan→Feb→Mar (two closed segments),
+    // user 8 stays in Jan (nothing may emit); one stale Jan fix arrives
+    // after Jan closed and must drop
+    val fixes = Seq(
+      (ts("2024-01-05 10:00:00"), 7L, 102L, 1.5, 10.5),
+      (ts("2024-01-03 10:00:00"), 7L, 101L, 1.5, 8.5),
+      (ts("2024-02-01 09:00:00"), 7L, 103L, 1.5, 12.5),
+      (ts("2024-02-20 09:00:00"), 7L, 104L, 1.5, 13.5),
+      (ts("2024-03-01 09:00:00"), 7L, 105L, 1.5, 14.5),
+      (ts("2024-01-02 10:00:00"), 8L, 201L, 2.5, 20.5),
+      (ts("2024-01-09 10:00:00"), 8L, 202L, 2.5, 21.5))
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val q = StreamingOps.trackSegmentStream(
+      ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon"))
+      .writeStream.format("memory").queryName("trackseg_t").outputMode("append").start()
+    try {
+      ms.addData(fixes.take(2): _*); q.processAllAvailable()
+      ms.addData(fixes.slice(2, 4): _*); q.processAllAvailable()
+      // stale fix for CLOSED January — must drop, not corrupt February
+      ms.addData((ts("2024-01-20 10:00:00"), 7L, 199L, 1.5, 9.9)); q.processAllAvailable()
+      ms.addData(fixes.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"trackSegmentStream died: ${q.exception}")
+    val got = spark.table("trackseg_t")
+      .selectExpr("user_id", "chunk", "n_fixes",
+        "transform(seg, f -> struct(f.ts, f.seq, f.lat, f.lon)) AS seg")
+      .as[(Long, java.sql.Timestamp, Int,
+        Seq[(java.sql.Timestamp, Long, Double, Double)])]
+      .collect().sortBy(r => (r._1, r._2.getTime)).toSeq
+    // batch truth: write the SAME fixes through the layout writer and
+    // keep every row except each entity's open (latest) month
+    val dir = java.nio.file.Files.createTempDirectory("graft-trackseg").toString
+    graft.sources.LtssSink.writeTrackLayout(
+      fixes.toDF("ts", "id", "seq", "lat", "lon")
+        .select($"id", $"ts", $"seq", $"lat", $"lon"), dir)
+    val batch = spark.read.parquet(dir)
+      .selectExpr("id", "chunk", "n_fixes",
+        "transform(seg, f -> struct(f.ts, f.seq, f.lat, f.lon)) AS seg")
+      .as[(Long, java.sql.Timestamp, Int,
+        Seq[(java.sql.Timestamp, Long, Double, Double)])]
+      .collect().toSeq
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (_, segs) =>
+        segs.sortBy(_._2.getTime).dropRight(1) } // open month held
+    assert(got == batch, s"stream segments diverged from the layout:\n$got\nvs\n$batch")
+    assert(got.map(_._1).toSet == Set(7L), "user 8's open January must not emit")
+    assert(!got.flatMap(_._4).exists(_._2 == 199L), "the stale Jan fix must drop")
+  }
+
   test("streaming hampel twin: prefix-equal to batch minus the two held samples") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     // p.a: clean series with one spike (99 among ~10s) — row 3's window
