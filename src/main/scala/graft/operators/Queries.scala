@@ -2085,6 +2085,113 @@ object Queries {
         |ORDER BY event_id""".stripMargin
     })
 
+  /** The stored-zone fixture set (SHARED DATA between both engines, the
+    * [[PolygonVerts]] convention): three rings on the integer lattice —
+    * half-integer fixture points can never sit on a vertex — with no
+    * horizontal edges (the write-time invariant), zones 1 and 3
+    * OVERLAPPING so multi-containment rows exist. Vertices are
+    * (x = lon, y = lat) in ring order. */
+  val ZoneDefs: Seq[(Long, String, Seq[(Double, Double)])] = Seq(
+    (1L, "atlantic", Seq((-60.0, -40.0), (20.0, -35.0), (25.0, 40.0),
+      (-20.0, 45.0), (-65.0, 10.0))),
+    (2L, "southern", Seq((-170.0, -85.0), (170.0, -80.0), (160.0, -50.0),
+      (-150.0, -55.0), (-175.0, -70.0))),
+    (3L, "equatorial_overlap", Seq((0.0, -10.0), (50.0, -5.0), (45.0, 30.0),
+      (5.0, 25.0))))
+
+  /** The stored-zone layout ([[graft.sources.LtssSink.writeZoneLayout]]),
+    * materialized once per dataset. */
+  def zoneLayoutPath(s: SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("geo_zone_layout", d) { p =>
+      import s.implicits._
+      val df = ZoneDefs.toDF("zone_id", "name", "verts")
+        .withColumn("verts", expr("transform(verts, v -> struct(v._1 AS x, v._2 AS y))"))
+      graft.sources.LtssSink.writeZoneLayout(df, p)
+    }
+
+  /** MULTI-GEOFENCE spatial join — `ST_Within(point, zone.geom)` against
+    * a TABLE of stored polygons (closing §7.4's polygon-STORAGE cut;
+    * [[geoPolygon]] is the single-LITERAL form): which zones contain
+    * each entity's latest fix. The plan is the canonical dimension
+    * spatial join at any scale — zones BROADCAST (a deployment has
+    * thousands of zones, not billions), the bbox columns materialized
+    * at write time prune candidates BEFORE any exact test (the
+    * prune-then-exact contract of `HaversineBoxRule`; the bbox is a
+    * strict superset of its ring, so the prune cannot change the
+    * answer), and the even-odd ray cast runs as an `aggregate` over
+    * the ring array per surviving (point, zone) pair — map-side, no
+    * shuffle beyond the latest-fix window. Each crossing test is the
+    * IDENTICAL expression tree as [[geoPolygon]]'s literal form; the
+    * oracle deliberately SKIPS the bbox prune and ray-casts every
+    * (point, zone) pair from unrolled vertex VALUES, so the two sides
+    * agree the prune is semantics-free, not just fast. */
+  val geoZones = OracleQuery(
+    "ltss_geo_zones",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val fixes = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
+        .select(col("user_id"), col("lat"), col("lon"))
+      val zones = broadcast(s.read.parquet(zoneLayoutPath(s, d)))
+      val nxt = concat(expr("slice(verts, 2, size(verts) - 1)"),
+        expr("slice(verts, 1, 1)"))
+      val crossings = aggregate(
+        zip_with(col("verts"), nxt, (a, b) =>
+          when((a("y") > col("lat")) =!= (b("y") > col("lat")) &&
+            col("lon") < (b("x") - a("x")) * (col("lat") - a("y")) /
+              (b("y") - a("y")) + a("x"), 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x)
+      fixes.join(zones,
+          col("lat") >= col("lat_min") && col("lat") <= col("lat_max") &&
+            col("lon") >= col("lon_min") && col("lon") <= col("lon_max"))
+        .withColumn("crossings", crossings)
+        .filter(col("crossings") % 2 === 1)
+        .select(col("zone_id"), col("name"), col("user_id"),
+          col("lat"), col("lon"))
+        .orderBy(col("zone_id"), col("user_id"))
+    },
+    Some {
+      val zvRows = ZoneDefs.flatMap { case (id, nm, vs) =>
+        vs.zipWithIndex.map { case ((x, y), i) => s"($id, '$nm', $i, $x, $y)" }
+      }.mkString(",\n      |  ")
+      s"""WITH latest AS (
+        |  SELECT user_id, event_id FROM (
+        |    SELECT user_id, event_id,
+        |           row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL)
+        |  WHERE rn = 1
+        |), pts AS (
+        |  SELECT user_id,
+        |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+        |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon
+        |  FROM latest
+        |), zv(zone_id, name, idx, x, y) AS (VALUES
+        |  $zvRows
+        |), edges AS (
+        |  SELECT zone_id, name, x AS x1, y AS y1,
+        |         coalesce(lead(x) OVER w, first_value(x) OVER w) AS x2,
+        |         coalesce(lead(y) OVER w, first_value(y) OVER w) AS y2
+        |  FROM zv WINDOW w AS (PARTITION BY zone_id ORDER BY idx)
+        |), hits AS (
+        |  SELECT p.user_id, e.zone_id, e.name, p.lat, p.lon,
+        |         sum(CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
+        |                   AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+        |                               / (e.y2 - e.y1) + e.x1
+        |             THEN 1 ELSE 0 END) AS crossings
+        |  FROM pts p CROSS JOIN edges e
+        |  GROUP BY p.user_id, e.zone_id, e.name, p.lat, p.lon
+        |)
+        |SELECT zone_id, name, user_id, lat, lon
+        |FROM hits WHERE crossings % 2 = 1
+        |ORDER BY zone_id, user_id""".stripMargin
+    })
+
   /** Top movers — the "biggest changes" dashboard panel: per entity,
     * the first and last observed values (by the deterministic
     * (time, value) order), ranked by absolute net change. ONE hash
@@ -2944,7 +3051,7 @@ object Queries {
     timeBucketAgg, jsonAttr, jsonAttrLayout, jsonAttrVariant, geoWkt, sessionize, dedupPk,
     projectLocation, geoDistance, geoRadiusLayout, geoBbox, timeBucketSqlQ,
     domainStatsSalted, asofJoin, asofJoinFwd, rangeJoin, percentiles, histogram, pivotHours,
-    retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, anomalyMad,
+    retention, funnel, topMovers, geoGrid, geoPairs, geoPolygon, geoZones, anomalyMad,
     histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq, geohashQ,
     histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence, zoneDwell,
     kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn, geoDbscan,

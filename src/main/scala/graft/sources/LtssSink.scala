@@ -687,6 +687,43 @@ object LtssSink {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** STORED ZONES — polygon STORAGE (the last §7.4 PostGIS-geometry
+    * cut): each zone is one row `(zone_id, name, verts)` with the ring
+    * as an ordered `array<struct<x:lon, y:lat>>`, plus materialized
+    * bbox columns so consumers can SARGABLY prune before any exact
+    * containment test (the same prune-then-exact shape as
+    * `HaversineBoxRule`). The write REJECTS rings that would break the
+    * ray cast downstream: fewer than 3 vertices, or any HORIZONTAL
+    * edge — a horizontal edge never crosses a horizontal ray and its
+    * slope division is 0/0, so the NaN-freedom every even-odd consumer
+    * relies on is a STORAGE invariant here, enforced once at write
+    * instead of hoped-for per query. Zones are a dimension table (a
+    * deployment has thousands, not billions) — stored sorted by id,
+    * always broadcast by consumers. */
+  def writeZoneLayout(zones: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val z = zones.toDF("zone_id", "name", "verts")
+    val nxt = concat(expr("slice(verts, 2, size(verts) - 1)"),
+      expr("slice(verts, 1, 1)"))
+    val bad = z.select(col("zone_id"), size(col("verts")).as("n"),
+        aggregate(
+          zip_with(col("verts"), nxt,
+            (a, b) => when(a("y") === b("y"), 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).as("horizontal"))
+      .filter(col("n") < 3 || col("horizontal") > 0)
+      .collect()
+    require(bad.isEmpty,
+      s"zone layout rejects ${bad.map(_.getLong(0)).mkString(", ")}: " +
+        "a ring needs >= 3 vertices and no horizontal edge (the ray cast's " +
+        "NaN-free construction contract)")
+    z.withColumn("lat_min", array_min(transform(col("verts"), v => v("y"))))
+      .withColumn("lat_max", array_max(transform(col("verts"), v => v("y"))))
+      .withColumn("lon_min", array_min(transform(col("verts"), v => v("x"))))
+      .withColumn("lon_max", array_max(transform(col("verts"), v => v("x"))))
+      .orderBy(col("zone_id"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Per-backend column types for the dynamic columns — the analog of
     * the reference's Postgres-specific DDL (`attributes JSONB`,
     * `__init__.py:315-344`). `null` arguments to [[bootstrapJdbc]]

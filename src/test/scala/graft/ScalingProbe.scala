@@ -171,7 +171,7 @@ object ScalingProbe {
     if (names.contains("ltss_geo_dbscan_latlon"))
       warmed("geo_dbscan_latlon")(
         graft.operators.Queries.dbscanLatLonLabels(spark, sfDir).count())
-    if (names.contains("ltss_geo_track"))
+    if (names.exists(n => n == "ltss_geo_track" || n == "ltss_geo_simplify"))
       warmed("geo_track_layout")(
         graft.operators.Queries.trackLayoutPath(spark, sfDir))
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
