@@ -98,6 +98,7 @@ object Bench {
     warmed("zorder_layout")(graft.operators.Queries.zorderLayoutPath(spark, sfDir))
     warmed("ltss_attr_layout")(graft.operators.Queries.ltssAttrLayoutPath(spark, sfDir))
     warmed("geo_layout")(graft.operators.Queries.geoLayoutPath(spark, sfDir))
+    warmed("geo_zone_layout")(graft.operators.Queries.zoneLayoutPath(spark, sfDir))
     warmed("kmeans_train")(
       graft.operators.Similarity.kmeansAssignments(spark, sfDir,
         graft.operators.Similarity.KmIters).count())

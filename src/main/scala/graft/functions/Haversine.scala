@@ -71,4 +71,22 @@ object GeoMath {
         math.pow(math.sin(dLon / 2), 2)
     2 * EarthRadiusKm * math.asin(math.min(1.0, math.sqrt(a)))
   }
+
+  /** Even-odd ray cast over a stored ring `(x = lon, y = lat)` — the
+    * SAME expression tree per crossing as the SQL/Column forms
+    * (`Queries.geoPolygon`/`geoZones`), evaluated with identical JVM
+    * double arithmetic, so a streaming consumer's verdicts match the
+    * batch join bit-for-bit. Rings obey the zone-layout write contract
+    * (no horizontal edge), but the gate `(y1 > lat) != (y2 > lat)` is
+    * vacuously false for one anyway. */
+  def insideRing(ring: Seq[(Double, Double)], lat: Double, lon: Double): Boolean = {
+    val closed = ring :+ ring.head
+    val crossings = closed.sliding(2).count {
+      case Seq((x1, y1), (x2, y2)) =>
+        ((y1 > lat) != (y2 > lat)) &&
+          lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+      case _ => false
+    }
+    crossings % 2 == 1
+  }
 }

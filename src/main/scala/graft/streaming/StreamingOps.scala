@@ -1527,6 +1527,64 @@ object StreamingOps {
   /** Last-fix state shared by the trajectory streams. */
   final case class OdoFix(lat: Double, lon: Double, tUs: Long)
 
+  final case class ZoneSetState(tUs: Long, seq: Long, inside: Seq[Long])
+  final case class ZoneTransition(
+      user_id: Long, time: java.sql.Timestamp, event_id: Long,
+      zone_id: Long, event: String)
+
+  /** Continuous MULTI-GEOFENCE transitions — the streaming face of the
+    * stored-zone join (`ltss_geo_zones`): per arriving fix, the set of
+    * zones containing the entity recomputes with the batch join's
+    * EXACT per-ring arithmetic ([[graft.functions.GeoMath.insideRing]],
+    * the identical crossing expression tree), and the DIFFERENCE
+    * against the held set emits one `enter`/`exit` row per changed
+    * zone (zone-id order, enters after exits at the same fix — the
+    * deterministic presentation a transition log needs). This
+    * generalizes [[geofenceStream]]'s one literal fence to the zone
+    * TABLE: state is the sorted zone-id set per entity — bounded by
+    * the zone dimension, not the stream — and the zone rings arrive as
+    * a driver-side constant read from the stored layout (dimension
+    * tables broadcast; the layout's write contract already guarantees
+    * ray-cast-safe rings). Invariant, spec-pinned: after any in-order
+    * prefix the held sets equal the batch `ltss_geo_zones` pairs over
+    * the same fixes' latest state. */
+  def geoZonesStream(
+      pts: DataFrame, // time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE
+      zones: Seq[(Long, Seq[(Double, Double)])]): Dataset[ZoneTransition] = {
+    import pts.sparkSession.implicits._
+    val zs = zones.sortBy(_._1)
+    pts
+      .select(col("time"), col("user_id"), col("event_id"), col("lat"), col("lon"))
+      .as[(java.sql.Timestamp, Long, Long, Double, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[ZoneSetState, ZoneTransition](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (uid, rows, st) =>
+        val sorted = rows.toSeq.sortBy(r => (micros(r._1), r._3))
+        var s = st.getOption.orNull
+        val out = scala.collection.mutable.ArrayBuffer.empty[ZoneTransition]
+        for ((t, _, eid, lat, lon) <- sorted) {
+          val tus = micros(t)
+          // at-or-behind arrivals drop: their containment verdict was
+          // already folded into the transition log (the sibling
+          // trajectory streams' in-order contract)
+          if (s == null || tus > s.tUs || (tus == s.tUs && eid > s.seq)) {
+            val now = zs.collect {
+              case (zid, ring) if graft.functions.GeoMath.insideRing(ring, lat, lon) => zid
+            }
+            val before = if (s == null) Seq.empty[Long] else s.inside
+            for (z <- before if !now.contains(z))
+              out += ZoneTransition(uid, t, eid, z, "exit")
+            for (z <- now if !before.contains(z))
+              out += ZoneTransition(uid, t, eid, z, "enter")
+            s = ZoneSetState(tus, eid, now)
+          }
+        }
+        if (s != null) st.update(s)
+        out.iterator
+      }
+  }
+
   final case class TrackFix(
       ts: java.sql.Timestamp, seq: Long, lat: Double, lon: Double)
   final case class TrackSegState(chunkUs: Long, fixes: Seq[TrackFix])

@@ -174,6 +174,9 @@ object ScalingProbe {
     if (names.exists(n => n == "ltss_geo_track" || n == "ltss_geo_simplify"))
       warmed("geo_track_layout")(
         graft.operators.Queries.trackLayoutPath(spark, sfDir))
+    if (names.contains("ltss_geo_zones"))
+      warmed("geo_zone_layout")(
+        graft.operators.Queries.zoneLayoutPath(spark, sfDir))
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
     warmed("kmeans_train")(
       graft.operators.Similarity.kmeansAssignments(spark, sfDir,

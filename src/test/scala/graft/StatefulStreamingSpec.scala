@@ -1659,6 +1659,59 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(!got.flatMap(_._4).exists(_._2 == 199L), "the stale Jan fix must drop")
   }
 
+  test("geoZonesStream: multi-zone enter/exit log, held sets equal the batch join per prefix") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val zones = graft.operators.Queries.ZoneDefs.map { case (id, _, vs) => (id, vs) }
+    // user 100 (lat 10.5) sweeps east: outside → zone1 → overlap{1,3}
+    // → zone3 only → outside; user 9 (lat -80.5) sits in zone2
+    val fixes = Seq(
+      (ts("2024-01-01 10:00:00"), 100L, 79L, 10.5, -100.5),
+      (ts("2024-01-01 11:00:00"), 100L, 139L, 10.5, -40.5),
+      (ts("2024-01-01 12:00:00"), 100L, 190L, 10.5, 10.5),
+      (ts("2024-01-01 13:00:00"), 100L, 210L, 10.5, 30.5),
+      (ts("2024-01-01 14:00:00"), 100L, 280L, 10.5, 100.5),
+      (ts("2024-01-01 10:00:00"), 9L, 180L, -80.5, 0.5))
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val q = StreamingOps.geoZonesStream(
+      ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon"), zones)
+      .writeStream.format("memory").queryName("zones_t").outputMode("append").start()
+    def implied(uid: Long): Set[Long] = {
+      val log = spark.table("zones_t")
+        .as[(Long, java.sql.Timestamp, Long, Long, String)]
+        .collect().filter(_._1 == uid).sortBy(r => (r._2.getTime, r._3)).toSeq
+      log.foldLeft(Set.empty[Long]) { case (in, (_, _, _, z, ev)) =>
+        if (ev == "enter") in + z else in - z
+      }
+    }
+    try {
+      ms.addData(fixes.take(3): _*); ms.addData(fixes.last); q.processAllAvailable()
+      // prefix check: the held sets must equal the batch join on the
+      // SAME fixes (latest fix per user → containing zones)
+      val dir = java.nio.file.Files.createTempDirectory("graft-zones-stream").toString
+      (fixes.take(3) :+ fixes.last).map { case (t, u, e, _, _) => (e, t, u) }
+        .toDF("event_id", "ts", "user_id")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("ltss_geo_zones")(spark, dir)
+        .collect().map(r => (r.getLong(2), r.getLong(0)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(implied(100L) == batch.getOrElse(100L, Set.empty),
+        s"user 100 held set diverged: ${implied(100L)} vs $batch")
+      assert(implied(9L) == batch.getOrElse(9L, Set.empty))
+      // remainder of the sweep: exit 1 at lon 30.5, exit 3 at lon 100.5
+      ms.addData(fixes.slice(3, 5): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"geoZonesStream died: ${q.exception}")
+    val log100 = spark.table("zones_t")
+      .as[(Long, java.sql.Timestamp, Long, Long, String)]
+      .collect().filter(_._1 == 100L).sortBy(r => (r._2.getTime, r._3)).toSeq
+      .map(r => (r._3, r._4, r._5))
+    assert(log100 == Seq(
+      (139L, 1L, "enter"), (190L, 3L, "enter"),
+      (210L, 1L, "exit"), (280L, 3L, "exit")),
+      s"transition log diverged from the hand walk: $log100")
+    assert(implied(100L).isEmpty && implied(9L) == Set(2L))
+  }
+
   test("streaming hampel twin: prefix-equal to batch minus the two held samples") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     // p.a: clean series with one spike (99 among ~10s) — row 3's window
