@@ -859,6 +859,17 @@ object LtssSink {
           s"attributes $attrsType$locCol, " +
           "PRIMARY KEY (time, entity_id))")
         actions += "create_table"
+        // the reference's create_all emits the table AND its two
+        // indexes together (models.py:75-80) — creating them here keeps
+        // a fresh table fully current, so the startup migration ladder
+        // probes find nothing pending (it exists for LEGACY tables)
+        if (postgresDialect(cfg.dbUrl)) {
+          exec(s"CREATE INDEX ${table}_attributes_idx ON $table USING GIN (attributes)")
+          actions += "attributes_index"
+        }
+        exec(s"CREATE INDEX ${table}_entityid_time_composite_idx " +
+          s"ON $table (entity_id, time DESC)")
+        actions += "entityid_time_composite_index"
         if (timescale) {
           exec("CREATE EXTENSION IF NOT EXISTS timescaledb CASCADE")
           actions += "create_extension_timescaledb"

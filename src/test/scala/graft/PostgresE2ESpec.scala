@@ -107,6 +107,17 @@ class PostgresE2ESpec extends SparkSpec with BeforeAndAfterAll {
       assert(!actions.exists(_.contains("hypertable")) &&
         !actions.exists(_.contains("chunk_time_interval")))
     assert(actions.contains("create_table"))
+    // the reference's create_all makes table + indexes together
+    // (models.py:75-80): a REAL GIN index on the real jsonb column,
+    // and nothing left pending for the migration ladder — a fresh
+    // table must never look "legacy" at the next startup
+    val idx = withWire(_.query(
+      "SELECT indexname FROM pg_indexes WHERE tablename = 'ltss_ext' " +
+        "ORDER BY indexname").rows.map(_(0)))
+    assert(idx.contains("ltss_ext_attributes_idx") &&
+      idx.contains("ltss_ext_entityid_time_composite_idx"), s"indexes: $idx")
+    assert(LtssSink.checkAndMigrate(cfg, table = "ltss_ext", dryRun = true).isEmpty,
+      "a freshly bootstrapped table reported pending migrations")
     // idempotent re-run: nothing to create, nothing re-created
     val again = LtssSink.bootstrapJdbc(cfg, table = "ltss_ext")
     assert(!again.contains("create_table"))

@@ -108,25 +108,31 @@ class TimescaleDdlSpec extends AnyFunSuite {
     val cfg = LtssConfig(dbUrl = pg.url, chunkTimeIntervalUs = 604800000000L)
     val actions = LtssSink.bootstrapJdbc(cfg, connect = pg.connect)
     assert(actions == Seq("create_extension_postgis", "create_table",
+      "attributes_index", "entityid_time_composite_index",
       "create_extension_timescaledb", "create_hypertable", "set_chunk_time_interval"))
     val ddl = pg.executed.filter(s =>
       s.startsWith("CREATE") || s.contains("create_hypertable") ||
         s.contains("set_chunk_time_interval"))
-    // __init__.py:319-328 then metadata.create_all then :330-344 then :284-290
+    // __init__.py:319-328 then metadata.create_all (table + its two
+    // indexes, models.py:75-80) then :330-344 then :284-290
     assert(ddl(0) == "CREATE EXTENSION IF NOT EXISTS postgis CASCADE")
     assert(ddl(1).startsWith("CREATE TABLE ltss (") &&
       ddl(1).contains("location geometry(Point,4326)") &&
       ddl(1).contains("PRIMARY KEY (time, entity_id)"),
       s"table DDL was: ${ddl(1)}")
-    assert(ddl(2) == "CREATE EXTENSION IF NOT EXISTS timescaledb CASCADE")
-    assert(ddl(3) == "SELECT create_hypertable('ltss', 'time', if_not_exists => TRUE)")
-    assert(ddl(4) == "SELECT set_chunk_time_interval('ltss', 604800000000)")
+    assert(ddl(2) == "CREATE INDEX ltss_attributes_idx ON ltss USING GIN (attributes)")
+    assert(ddl(3) == "CREATE INDEX ltss_entityid_time_composite_idx " +
+      "ON ltss (entity_id, time DESC)")
+    assert(ddl(4) == "CREATE EXTENSION IF NOT EXISTS timescaledb CASCADE")
+    assert(ddl(5) == "SELECT create_hypertable('ltss', 'time', if_not_exists => TRUE)")
+    assert(ddl(6) == "SELECT set_chunk_time_interval('ltss', 604800000000)")
   }
 
   test("no extensions available: plain table, WKT-text location, zero extension DDL") {
     val pg = new FakePg(Seq("plpgsql"), tableExists = false, hypertable = false)
     val actions = LtssSink.bootstrapJdbc(LtssConfig(dbUrl = pg.url), connect = pg.connect)
-    assert(actions == Seq("create_table"))
+    assert(actions == Seq("create_table", "attributes_index",
+      "entityid_time_composite_index"))
     assert(!pg.executed.exists(_.contains("EXTENSION")))
     assert(!pg.executed.exists(_.contains("hypertable")))
     val tbl = pg.executed.find(_.startsWith("CREATE TABLE")).get
@@ -137,9 +143,22 @@ class TimescaleDdlSpec extends AnyFunSuite {
     val pg = new FakePg(Seq("postgis"), tableExists = false, hypertable = false)
     val actions = LtssSink.bootstrapJdbc(
       LtssConfig(dbUrl = pg.url, enableLocation = false), connect = pg.connect)
-    assert(actions == Seq("create_table"))
+    assert(actions == Seq("create_table", "attributes_index",
+      "entityid_time_composite_index"))
     assert(!pg.executed.exists(_.contains("postgis")))
     assert(!pg.executed.find(_.startsWith("CREATE TABLE")).get.contains("location"))
+  }
+
+  test("a freshly bootstrapped table has NOTHING pending for the migration ladder") {
+    // the ladder exists for LEGACY tables; if bootstrap left a fresh
+    // table needing steps, every startup would log phantom migrations
+    val pg = new FakePg(Seq("plpgsql"), tableExists = false, hypertable = false,
+      columns = Seq("time" -> "timestamptz", "entity_id" -> "varchar",
+        "state" -> "varchar", "attributes" -> "jsonb"),
+      indexes = Set("ltss_attributes_idx", "ltss_entityid_time_composite_idx"))
+    val cfg = LtssConfig(dbUrl = pg.url)
+    LtssSink.bootstrapJdbc(cfg, connect = pg.connect)
+    assert(LtssSink.checkAndMigrate(cfg, connect = pg.connect, dryRun = true).isEmpty)
   }
 
   test("legacy PLAIN table under available TimescaleDB: warn-don't-fail, no conversion, migrations run on the plain table (reference order)") {
