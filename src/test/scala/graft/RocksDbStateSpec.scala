@@ -175,4 +175,94 @@ class RocksDbStateSpec extends SparkSpec {
       assert(emitted("b") == ((1L, 0L)) && emitted("c") == ((1L, 0L)))
     }
   }
+
+  test("hampel ring + restart: the held window recovers and the spike verdict lands on RocksDB") {
+    withRocksDb {
+      val in = tmp("rdb-hp-in"); val out = tmp("rdb-hp-out"); val ckpt = tmp("rdb-hp-ckpt")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "time TIMESTAMP, entity_id STRING, state STRING")
+      def start() = StreamingOps
+        .hampelStream(spark.readStream.schema(schema).json(in))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      def ev(t: String, v: String) =
+        s"""{"time":"${t}Z","entity_id":"p.a","state":"$v"}"""
+      // the spike (99) arrives BEFORE the restart; its verdict needs the
+      // two samples that arrive AFTER — only a recovered ring can emit it
+      Files.writeString(Paths.get(in, "b1.json"), Seq(
+        ev("2024-01-01T10:00:00", "10.00"), ev("2024-01-01T10:01:00", "10.20"),
+        ev("2024-01-01T10:02:00", "10.10"), ev("2024-01-01T10:03:00", "99.00"))
+        .mkString("\n"))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      Files.writeString(Paths.get(in, "b2.json"), Seq(
+        ev("2024-01-01T10:04:00", "10.30"), ev("2024-01-01T10:05:00", "10.20"),
+        ev("2024-01-01T10:06:00", "10.05")).mkString("\n"))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val rows = spark.read.parquet(out)
+        .selectExpr("time", "is_spike", "filtered")
+        .as[(java.sql.Timestamp, Int, Option[Double])]
+        .collect().sortBy(_._1.getTime).toSeq
+      assert(rows.size == 5, s"7 samples, 2 held: $rows") // indices 0..4 emitted
+      val spike = rows.filter(_._2 == 1)
+      assert(spike.map(r => (r._1, r._3)) ==
+        Seq((ts("2024-01-01 10:03:00"), Some(10.20))),
+        s"the cross-restart spike verdict diverged: $rows")
+    }
+  }
+
+  test("open track segment + restart: the month closes from RocksDB-held fixes") {
+    withRocksDb {
+      val in = tmp("rdb-tk-in"); val out = tmp("rdb-tk-out"); val ckpt = tmp("rdb-tk-ckpt")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE")
+      def start() = StreamingOps
+        .trackSegmentStream(spark.readStream.schema(schema).json(in))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      def fix(t: String, eid: Long, lon: Double) =
+        s"""{"time":"${t}Z","user_id":7,"event_id":$eid,"lat":1.5,"lon":$lon}"""
+      // two January fixes, then stop — the open month lives ONLY in state
+      Files.writeString(Paths.get(in, "b1.json"),
+        fix("2024-01-05T10:00:00", 102, 10.5) + "\n" +
+          fix("2024-01-03T10:00:00", 101, 8.5))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // a February fix after restart must close January WITH both
+      // pre-restart fixes, sorted
+      Files.writeString(Paths.get(in, "b2.json"), fix("2024-02-01T09:00:00", 103, 12.5))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val segs = spark.read.parquet(out)
+        .selectExpr("user_id", "chunk", "n_fixes",
+          "transform(seg, f -> f.seq) AS seqs")
+        .as[(Long, java.sql.Timestamp, Int, Seq[Long])].collect().toSeq
+      assert(segs == Seq((7L, ts("2024-01-01 00:00:00"), 2, Seq(101L, 102L))),
+        s"recovered open month diverged: $segs")
+    }
+  }
+
+  test("zone containment set + restart: the exit emits from the RocksDB-held set") {
+    withRocksDb {
+      val in = tmp("rdb-zn-in"); val out = tmp("rdb-zn-out"); val ckpt = tmp("rdb-zn-ckpt")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE")
+      val zones = graft.operators.Queries.ZoneDefs.map { case (id, _, vs) => (id, vs) }
+      def start() = StreamingOps
+        .geoZonesStream(spark.readStream.schema(schema).json(in), zones)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      def fix(t: String, eid: Long, lon: Double) =
+        s"""{"time":"${t}Z","user_id":100,"event_id":$eid,"lat":10.5,"lon":$lon}"""
+      // enter zone 1 before the stop
+      Files.writeString(Paths.get(in, "b1.json"), fix("2024-01-01T10:00:00", 139, -40.5))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // after restart, a fix outside every zone: the exit row can only
+      // come from the recovered containment set
+      Files.writeString(Paths.get(in, "b2.json"), fix("2024-01-01T11:00:00", 280, 100.5))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val log = spark.read.parquet(out)
+        .selectExpr("event_id", "zone_id", "event")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      assert(log == Seq((139L, 1L, "enter"), (280L, 1L, "exit")),
+        s"recovered zone set diverged: $log")
+    }
+  }
 }
