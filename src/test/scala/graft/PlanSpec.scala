@@ -649,6 +649,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("zone spatial join broadcasts the zone dimension — points never shuffle for it") {
+    val df = graft.operators.Queries.geoZones.run(spark, "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the bbox-range condition is a theta join, so the intended shape is
+    // a broadcast NESTED-LOOP with the bounded zone table as the build
+    // side — the one place AllPlansSpec's bounded-build allowance exists
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the zone dimension to broadcast under the bbox theta join; plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the fix side must not shuffle for the zone join; plan:\n$plan")
+  }
+
   test("contamination check broadcasts the benchmark side — no full-corpus shuffle join") {
     val df = graft.operators.TextOps.contamination.run(spark, "/root/testdata/sf0.001")
     df.count()
