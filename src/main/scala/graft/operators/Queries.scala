@@ -1392,6 +1392,103 @@ object Queries {
         |ORDER BY w.user_id, time, event_id""".stripMargin
     })
 
+  /** STAY-POINT DETECTION — the visits/stops primitive of trajectory
+    * mining (Li et al., "Mining user similarity based on location
+    * history", ACM GIS 2008 — the GeoLife stay-point algorithm): a
+    * maximal run of consecutive fixes that all remain within R meters
+    * of the run's ANCHOR (its first fix) and spans at least T is a
+    * stay — the place a tracker actually visited, as opposed to passed
+    * through. Like [[geoSimplify]] this is a data-dependent sequential
+    * fold ("distance from the run's anchor" — no window expresses it),
+    * so it runs INSIDE the stored month segments with `aggregate`:
+    * map-side, one pass, zero shuffle past the layout scan. Runs are
+    * chunk-local (a stay spanning a month boundary reports as two —
+    * the same storage-policy trade [[geoTrack]] stitches and
+    * [[geoSimplify]] documents). All decisions are integer: floored
+    * meters vs R, µs spans vs T; the anchor's half-integer coordinates
+    * pass through unaveraged, so no new float enters the output.
+    * R = 2 000 km / T = 12 h are fixture-scaled (the synthetic fleet
+    * hops continents hourly); a real deployment runs ~200 m / 20 min.
+    * Oracle: the recursive-CTE anchor walk over the raw ordered fixes
+    * plus a GROUP BY over anchor runs — never sees the layout. */
+  val geoStaypoints = OracleQuery(
+    "ltss_geo_staypoints",
+    (s, d) => {
+      val R = 2000000L
+      val T = 43200000000L // 12 h in µs
+      val seg = s.read.parquet(trackLayoutPath(s, d))
+      def near(alat: Column, alon: Column, x: Column): Column =
+        floor(graft.functions.Haversine.haversineKm(
+          alat, alon, x("lat"), x("lon")) * 1000.0).cast("long") <= R
+      val first = element_at(col("seg"), 1)
+      def run(alat: Column, alon: Column, t0: Column, t1: Column, n: Column) =
+        struct(alat.as("lat"), alon.as("lon"),
+          t0.as("t_start"), t1.as("t_end"), n.as("n_fixes"))
+      val init = struct(
+        array().cast(
+          "array<struct<lat:double,lon:double,t_start:timestamp," +
+            "t_end:timestamp,n_fixes:bigint>>").as("stays"),
+        first("lat").as("alat"), first("lon").as("alon"),
+        first("ts").as("t0"), first("ts").as("t1"), lit(1L).as("n"))
+      val folded = aggregate(
+        slice(col("seg"), lit(2), size(col("seg")) - 1),
+        init,
+        (acc, x) => when(near(acc("alat"), acc("alon"), x),
+          struct(acc("stays").as("stays"),
+            acc("alat").as("alat"), acc("alon").as("alon"),
+            acc("t0").as("t0"), x("ts").as("t1"), (acc("n") + 1L).as("n")))
+          .otherwise(struct(
+            concat(acc("stays"), array(run(acc("alat"), acc("alon"),
+              acc("t0"), acc("t1"), acc("n")))).as("stays"),
+            x("lat").as("alat"), x("lon").as("alon"),
+            x("ts").as("t0"), x("ts").as("t1"), lit(1L).as("n"))),
+        acc => concat(acc("stays"), array(run(acc("alat"), acc("alon"),
+          acc("t0"), acc("t1"), acc("n")))))
+      seg
+        .select(col("id").as("user_id"), explode(folded).as("st"))
+        .select(col("user_id"), col("st.t_start").as("t_start"),
+          col("st.t_end").as("t_end"), col("st.n_fixes").as("n_fixes"),
+          (unix_micros(col("st.t_end")) - unix_micros(col("st.t_start")))
+            .as("dwell_us"),
+          col("st.lat").as("lat"), col("st.lon").as("lon"))
+        .filter(col("n_fixes") >= 2L && col("dwell_us") >= T)
+        .orderBy(col("user_id"), col("t_start"), col("t_end"))
+    },
+    Some {
+      val near = """CAST(floor(2 * 6371.0088 * asin(least(1.0, sqrt(
+        |      pow(sin(radians(p.lat - w.alat) / 2), 2)
+        |      + cos(radians(w.alat)) * cos(radians(p.lat))
+        |        * pow(sin(radians(p.lon - w.alon) / 2), 2)))) * 1000.0)
+        |      AS BIGINT) <= 2000000""".stripMargin
+      s"""WITH RECURSIVE pts AS (
+        |  SELECT user_id, date_trunc('month', ts) AS chunk, ts, event_id,
+        |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+        |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+        |         row_number() OVER (PARTITION BY user_id, date_trunc('month', ts)
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |),
+        |walk(user_id, chunk, rn, ts, arn, alat, alon) AS (
+        |  SELECT user_id, chunk, rn, ts, rn, lat, lon FROM pts WHERE rn = 1
+        |  UNION ALL
+        |  SELECT p.user_id, p.chunk, p.rn, p.ts,
+        |         CASE WHEN $near THEN w.arn ELSE p.rn END,
+        |         CASE WHEN $near THEN w.alat ELSE p.lat END,
+        |         CASE WHEN $near THEN w.alon ELSE p.lon END
+        |  FROM pts p JOIN walk w ON p.user_id = w.user_id
+        |   AND p.chunk = w.chunk AND p.rn = w.rn + 1
+        |)
+        |SELECT user_id, t_start, t_end, n_fixes, dwell_us, lat, lon FROM (
+        |  SELECT w.user_id, min(w.ts) AS t_start, max(w.ts) AS t_end,
+        |         CAST(count(*) AS BIGINT) AS n_fixes,
+        |         epoch_us(max(w.ts)) - epoch_us(min(w.ts)) AS dwell_us,
+        |         w.alat AS lat, w.alon AS lon
+        |  FROM walk w
+        |  GROUP BY w.user_id, w.chunk, w.arn, w.alat, w.alon)
+        |WHERE n_fixes >= 2 AND dwell_us >= 43200000000
+        |ORDER BY user_id, t_start, t_end""".stripMargin
+    })
+
   /** WEB-MERCATOR projection (`ST_Transform(location, 3857)`) of each
     * entity's latest fix — the one reprojection every slippy-map panel
     * needs. EPSG:3857 is closed-form on the sphere (R = 6378137 m):
@@ -3055,5 +3152,5 @@ object Queries {
     histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq, geohashQ,
     histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence, zoneDwell,
     kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn, geoDbscan,
-    geoDbscanLatLon, geoTrack, geoSimplify, geoMercator, geoHeading)
+    geoDbscanLatLon, geoTrack, geoSimplify, geoStaypoints, geoMercator, geoHeading)
 }

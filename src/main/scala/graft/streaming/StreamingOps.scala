@@ -1585,6 +1585,70 @@ object StreamingOps {
       }
   }
 
+  final case class StayState(
+      chunkUs: Long, alat: Double, alon: Double,
+      t0Us: Long, t1Us: Long, seq: Long, n: Long)
+  final case class StayVisit(
+      user_id: Long, t_start: java.sql.Timestamp, t_end: java.sql.Timestamp,
+      n_fixes: Long, dwell_us: Long, lat: Double, lon: Double)
+
+  /** Continuous STAY-POINT detection — the live face of the batch
+    * `ltss_geo_staypoints` visits miner, and the trajectory automation
+    * HA users actually want ("the tracker has STOPPED somewhere"): the
+    * state holds the current anchor run (anchor coords, first/last µs,
+    * fix count — seven scalars per entity); a fix that breaks the run
+    * (> R meters from the anchor, by the batch's exact floored-meter
+    * compare) or opens a new month CLOSES it, emitting the visit iff
+    * it spans ≥ T with ≥ 2 fixes — the batch filter verbatim. Runs are
+    * chunk-local exactly like the batch (month boundary closes), so
+    * over any in-order prefix the emitted visits equal the batch query
+    * minus each entity's still-open run (spec-pinned against the
+    * registered query on the same fixes). The open run is the one
+    * stay a stream can never emit — it is still accumulating. */
+  def staypointStream(
+      pts: DataFrame, // time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE
+      radiusM: Long = 2000000L,
+      minDwellUs: Long = 43200000000L): Dataset[StayVisit] = {
+    import pts.sparkSession.implicits._
+    def chunkUsOf(tus: Long): Long = {
+      val d = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(tus, 1000000L), (Math.floorMod(tus, 1000000L)) * 1000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.withDayOfMonth(1)
+      d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000L
+    }
+    pts
+      .select(col("time"), col("user_id"), col("event_id"), col("lat"), col("lon"))
+      .as[(java.sql.Timestamp, Long, Long, Double, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[StayState, StayVisit](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (uid, rows, st) =>
+        val sorted = rows.toSeq.sortBy(r => (micros(r._1), r._3))
+        var s = st.getOption.orNull
+        val out = scala.collection.mutable.ArrayBuffer.empty[StayVisit]
+        def close(state: StayState): Unit =
+          if (state.n >= 2L && state.t1Us - state.t0Us >= minDwellUs)
+            out += StayVisit(uid, tsOfMicros(state.t0Us), tsOfMicros(state.t1Us),
+              state.n, state.t1Us - state.t0Us, state.alat, state.alon)
+        for ((t, _, eid, lat, lon) <- sorted) {
+          val tus = micros(t)
+          if (s == null || tus > s.t1Us || (tus == s.t1Us && eid > s.seq)) {
+            val cu = chunkUsOf(tus)
+            val near = s != null && math.floor(graft.functions.GeoMath.haversineKm(
+              s.alat, s.alon, lat, lon) * 1000.0).toLong <= radiusM
+            if (s != null && cu == s.chunkUs && near)
+              s = s.copy(t1Us = tus, seq = eid, n = s.n + 1)
+            else {
+              if (s != null) close(s)
+              s = StayState(cu, lat, lon, tus, tus, eid, 1L)
+            }
+          }
+        }
+        if (s != null) st.update(s)
+        out.iterator
+      }
+  }
+
   final case class TrackFix(
       ts: java.sql.Timestamp, seq: Long, lat: Double, lon: Double)
   final case class TrackSegState(chunkUs: Long, fixes: Seq[TrackFix])

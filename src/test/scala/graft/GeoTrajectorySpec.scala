@@ -167,6 +167,30 @@ class GeoTrajectorySpec extends SparkSpec {
       (96L, 239L, 59.5)), s"simplification diverged from the hand trace: ${got.toSeq}")
   }
 
+  test("ltss_geo_staypoints: anchor runs, the >= duration boundary, singles filtered") {
+    // user 97 (lat 7.5): two fixes a degree apart over 13 h (a stay),
+    // a hop to lon 60.5 with a second fix exactly 12 h later (pins the
+    // INCLUSIVE duration boundary), then a lone far fix (no stay).
+    // The emitted coordinates are the run's ANCHOR (its first fix),
+    // never an averaged centroid.
+    val dir = java.nio.file.Files.createTempDirectory("graft-geo-stay").toString
+    Seq(
+      (180L, ts("2024-01-01 00:00:00"), 97L), // lon 0.5, anchor 1
+      (181L, ts("2024-01-01 13:00:00"), 97L), // lon 1.5, ~110 km away
+      (240L, ts("2024-01-02 00:00:00"), 97L), // lon 60.5, breaks run 1
+      (241L, ts("2024-01-02 12:00:00"), 97L), // lon 61.5, dwell = 12 h exactly
+      (310L, ts("2024-01-03 00:00:00"), 97L)) // lon 130.5, single
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("ltss_geo_staypoints")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      (97L, ts("2024-01-01 00:00:00"), 2L, 13L * 3600000000L, 7.5, 0.5),
+      (97L, ts("2024-01-02 00:00:00"), 2L, 12L * 3600000000L, 7.5, 60.5)),
+      s"stay detection diverged from the hand trace: ${got.toSeq}")
+  }
+
   test("ltss_geo_zones: hand-walked containment — overlap double-hit, bbox-hit-but-outside excluded") {
     // Four latest fixes, each crossing count walked by hand against the
     // ZoneDefs rings (ray → +lon, xint per straddling edge):

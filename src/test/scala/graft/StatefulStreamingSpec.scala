@@ -1712,6 +1712,48 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(implied(100L).isEmpty && implied(9L) == Set(2L))
   }
 
+  test("staypointStream emits the batch visits as runs close; the open run is held") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the batch hand-trace fixture plus a February fix that flushes the
+    // open run (the lone lon-130.5 fix — still no visit)
+    val fixes = Seq(
+      (ts("2024-01-01 00:00:00"), 97L, 180L, 7.5, 0.5),
+      (ts("2024-01-01 13:00:00"), 97L, 181L, 7.5, 1.5),
+      (ts("2024-01-02 00:00:00"), 97L, 240L, 7.5, 60.5),
+      (ts("2024-01-02 12:00:00"), 97L, 241L, 7.5, 61.5),
+      (ts("2024-01-03 00:00:00"), 97L, 310L, 7.5, 130.5),
+      (ts("2024-02-01 00:00:00"), 97L, 400L, 7.5, 0.5))
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val q = StreamingOps.staypointStream(
+      ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon"))
+      .writeStream.format("memory").queryName("stay_t").outputMode("append").start()
+    try {
+      ms.addData(fixes.take(2): _*); q.processAllAvailable()
+      // nothing can emit yet: the first run is still open
+      assert(spark.table("stay_t").count() == 0)
+      ms.addData(fixes.slice(2, 5): _*); q.processAllAvailable()
+      ms.addData(fixes.drop(5): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"staypointStream died: ${q.exception}")
+    val got = spark.table("stay_t")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Long, Double, Double)]
+      .collect().sortBy(_._2.getTime).toSeq
+    // batch truth on the same fixes: the registered query over a parquet
+    // dump — every emitted visit must match it, and the only batch row
+    // the stream may lack is the still-open February run (no visit here)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stay-stream").toString
+    fixes.map { case (t, u, e, _, _) => (e, t, u) }
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("ltss_geo_staypoints")(spark, dir)
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(got == batch, s"stream visits diverged from batch:\n$got\nvs\n$batch")
+    assert(got.map(r => (r._2, r._4, r._5, r._7)) == Seq(
+      (ts("2024-01-01 00:00:00"), 2L, 13L * 3600000000L, 0.5),
+      (ts("2024-01-02 00:00:00"), 2L, 12L * 3600000000L, 60.5)))
+  }
+
   test("streaming hampel twin: prefix-equal to batch minus the two held samples") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     // p.a: clean series with one spike (99 among ~10s) — row 3's window
