@@ -1411,9 +1411,9 @@ object Queries {
     * hops continents hourly); a real deployment runs ~200 m / 20 min.
     * Oracle: the recursive-CTE anchor walk over the raw ordered fixes
     * plus a GROUP BY over anchor runs — never sees the layout. */
-  val geoStaypoints = OracleQuery(
-    "ltss_geo_staypoints",
-    (s, d) => {
+  /** The filtered visit frame shared by [[geoStaypoints]] (which
+    * presents it) and [[geoOdMatrix]] (which pairs it into trips). */
+  private[graft] def staypointVisits(s: SparkSession, d: String): DataFrame = {
       val R = 2000000L
       val T = 43200000000L // 12 h in µs
       val seg = s.read.parquet(trackLayoutPath(s, d))
@@ -1452,42 +1452,103 @@ object Queries {
             .as("dwell_us"),
           col("st.lat").as("lat"), col("st.lon").as("lon"))
         .filter(col("n_fixes") >= 2L && col("dwell_us") >= T)
-        .orderBy(col("user_id"), col("t_start"), col("t_end"))
+  }
+
+  /** The visits CTE chain shared by the staypoint and OD oracles —
+    * SHARED DATA/semantics between the two oracles the way
+    * [[PolygonVerts]] is shared; each consumer is still a different
+    * CONSTRUCTION than the Spark side it checks. */
+  private def staypointVisitsSql: String = {
+    val near = """CAST(floor(2 * 6371.0088 * asin(least(1.0, sqrt(
+      |      pow(sin(radians(p.lat - w.alat) / 2), 2)
+      |      + cos(radians(w.alat)) * cos(radians(p.lat))
+      |        * pow(sin(radians(p.lon - w.alon) / 2), 2)))) * 1000.0)
+      |      AS BIGINT) <= 2000000""".stripMargin
+    s"""pts AS (
+      |  SELECT user_id, date_trunc('month', ts) AS chunk, ts, event_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+      |         row_number() OVER (PARTITION BY user_id, date_trunc('month', ts)
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+      |),
+      |walk(user_id, chunk, rn, ts, arn, alat, alon) AS (
+      |  SELECT user_id, chunk, rn, ts, rn, lat, lon FROM pts WHERE rn = 1
+      |  UNION ALL
+      |  SELECT p.user_id, p.chunk, p.rn, p.ts,
+      |         CASE WHEN $near THEN w.arn ELSE p.rn END,
+      |         CASE WHEN $near THEN w.alat ELSE p.lat END,
+      |         CASE WHEN $near THEN w.alon ELSE p.lon END
+      |  FROM pts p JOIN walk w ON p.user_id = w.user_id
+      |   AND p.chunk = w.chunk AND p.rn = w.rn + 1
+      |),
+      |visits AS (
+      |  SELECT user_id, t_start, t_end, n_fixes, dwell_us, lat, lon FROM (
+      |    SELECT w.user_id, min(w.ts) AS t_start, max(w.ts) AS t_end,
+      |           CAST(count(*) AS BIGINT) AS n_fixes,
+      |           epoch_us(max(w.ts)) - epoch_us(min(w.ts)) AS dwell_us,
+      |           w.alat AS lat, w.alon AS lon
+      |    FROM walk w
+      |    GROUP BY w.user_id, w.chunk, w.arn, w.alat, w.alon)
+      |  WHERE n_fixes >= 2 AND dwell_us >= 43200000000
+      |)""".stripMargin
+  }
+
+  val geoStaypoints = OracleQuery(
+    "ltss_geo_staypoints",
+    (s, d) =>
+      staypointVisits(s, d)
+        .orderBy(col("user_id"), col("t_start"), col("t_end")),
+    Some(s"""WITH RECURSIVE $staypointVisitsSql
+      |SELECT user_id, t_start, t_end, n_fixes, dwell_us, lat, lon
+      |FROM visits
+      |ORDER BY user_id, t_start, t_end""".stripMargin))
+
+  /** ORIGIN–DESTINATION flow matrix — the trip aggregation every
+    * mobility analysis ends at: consecutive VISITS of one entity form
+    * a trip, trips aggregate into flows between 10° grid cells (the
+    * same `floor(lat/cell)` quantization as the DBSCAN query). Built
+    * entirely on the visit frame: one keyed lag window over an
+    * already-tiny frame (visits, not fixes) + one combinable count —
+    * the heavy lifting happened once in the stay-point fold. Flow
+    * counts also carry the median-free integer dwell sum at the
+    * ORIGIN, the "time spent before departing" panel. */
+  val geoOdMatrix = OracleQuery(
+    "ltss_geo_od",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_start"), col("t_end"))
+      staypointVisits(s, d)
+        .withColumn("o_lat", lag(col("lat"), 1).over(w))
+        .withColumn("o_lon", lag(col("lon"), 1).over(w))
+        .withColumn("o_dwell", lag(col("dwell_us"), 1).over(w))
+        .filter(col("o_lat").isNotNull)
+        .groupBy(
+          floor(col("o_lat") / 10.0).cast("long").as("o_cell_lat"),
+          floor(col("o_lon") / 10.0).cast("long").as("o_cell_lon"),
+          floor(col("lat") / 10.0).cast("long").as("d_cell_lat"),
+          floor(col("lon") / 10.0).cast("long").as("d_cell_lon"))
+        .agg(count(lit(1)).as("n_trips"),
+          sum(col("o_dwell")).as("origin_dwell_us"))
+        .orderBy(col("o_cell_lat"), col("o_cell_lon"),
+          col("d_cell_lat"), col("d_cell_lon"))
     },
-    Some {
-      val near = """CAST(floor(2 * 6371.0088 * asin(least(1.0, sqrt(
-        |      pow(sin(radians(p.lat - w.alat) / 2), 2)
-        |      + cos(radians(w.alat)) * cos(radians(p.lat))
-        |        * pow(sin(radians(p.lon - w.alon) / 2), 2)))) * 1000.0)
-        |      AS BIGINT) <= 2000000""".stripMargin
-      s"""WITH RECURSIVE pts AS (
-        |  SELECT user_id, date_trunc('month', ts) AS chunk, ts, event_id,
-        |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
-        |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
-        |         row_number() OVER (PARTITION BY user_id, date_trunc('month', ts)
-        |                            ORDER BY ts, event_id) AS rn
-        |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-        |),
-        |walk(user_id, chunk, rn, ts, arn, alat, alon) AS (
-        |  SELECT user_id, chunk, rn, ts, rn, lat, lon FROM pts WHERE rn = 1
-        |  UNION ALL
-        |  SELECT p.user_id, p.chunk, p.rn, p.ts,
-        |         CASE WHEN $near THEN w.arn ELSE p.rn END,
-        |         CASE WHEN $near THEN w.alat ELSE p.lat END,
-        |         CASE WHEN $near THEN w.alon ELSE p.lon END
-        |  FROM pts p JOIN walk w ON p.user_id = w.user_id
-        |   AND p.chunk = w.chunk AND p.rn = w.rn + 1
-        |)
-        |SELECT user_id, t_start, t_end, n_fixes, dwell_us, lat, lon FROM (
-        |  SELECT w.user_id, min(w.ts) AS t_start, max(w.ts) AS t_end,
-        |         CAST(count(*) AS BIGINT) AS n_fixes,
-        |         epoch_us(max(w.ts)) - epoch_us(min(w.ts)) AS dwell_us,
-        |         w.alat AS lat, w.alon AS lon
-        |  FROM walk w
-        |  GROUP BY w.user_id, w.chunk, w.arn, w.alat, w.alon)
-        |WHERE n_fixes >= 2 AND dwell_us >= 43200000000
-        |ORDER BY user_id, t_start, t_end""".stripMargin
-    })
+    Some(s"""WITH RECURSIVE $staypointVisitsSql,
+      |trips AS (
+      |  SELECT user_id, lat, lon, dwell_us,
+      |         lag(lat) OVER w AS o_lat, lag(lon) OVER w AS o_lon,
+      |         lag(dwell_us) OVER w AS o_dwell
+      |  FROM visits WINDOW w AS (PARTITION BY user_id ORDER BY t_start, t_end)
+      |)
+      |SELECT CAST(floor(o_lat / 10.0) AS BIGINT) AS o_cell_lat,
+      |       CAST(floor(o_lon / 10.0) AS BIGINT) AS o_cell_lon,
+      |       CAST(floor(lat / 10.0) AS BIGINT) AS d_cell_lat,
+      |       CAST(floor(lon / 10.0) AS BIGINT) AS d_cell_lon,
+      |       CAST(count(*) AS BIGINT) AS n_trips,
+      |       CAST(sum(o_dwell) AS BIGINT) AS origin_dwell_us
+      |FROM trips WHERE o_lat IS NOT NULL
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY 1, 2, 3, 4""".stripMargin))
 
   /** WEB-MERCATOR projection (`ST_Transform(location, 3857)`) of each
     * entity's latest fix — the one reprojection every slippy-map panel
@@ -3152,5 +3213,5 @@ object Queries {
     histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq, geohashQ,
     histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence, zoneDwell,
     kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn, geoDbscan,
-    geoDbscanLatLon, geoTrack, geoSimplify, geoStaypoints, geoMercator, geoHeading)
+    geoDbscanLatLon, geoTrack, geoSimplify, geoStaypoints, geoOdMatrix, geoMercator, geoHeading)
 }

@@ -189,6 +189,13 @@ class GeoTrajectorySpec extends SparkSpec {
       (97L, ts("2024-01-01 00:00:00"), 2L, 13L * 3600000000L, 7.5, 0.5),
       (97L, ts("2024-01-02 00:00:00"), 2L, 12L * 3600000000L, 7.5, 60.5)),
       s"stay detection diverged from the hand trace: ${got.toSeq}")
+    // the OD rollup over the same visits: exactly one trip, from the
+    // (0,0) cell to the (0,6) cell, carrying the ORIGIN's 13 h dwell
+    val od = SparkEntry.queries("ltss_geo_od")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(od.toSeq == Seq((0L, 0L, 0L, 6L, 1L, 13L * 3600000000L)),
+      s"OD matrix diverged from the hand trace: ${od.toSeq}")
   }
 
   test("ltss_geo_zones: hand-walked containment — overlap double-hit, bbox-hit-but-outside excluded") {
