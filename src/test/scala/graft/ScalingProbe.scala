@@ -172,7 +172,7 @@ object ScalingProbe {
       warmed("geo_dbscan_latlon")(
         graft.operators.Queries.dbscanLatLonLabels(spark, sfDir).count())
     if (names.exists(n => n == "ltss_geo_track" || n == "ltss_geo_simplify" ||
-        n == "ltss_geo_staypoints"))
+        n == "ltss_geo_staypoints" || n == "ltss_geo_od"))
       warmed("geo_track_layout")(
         graft.operators.Queries.trackLayoutPath(spark, sfDir))
     if (names.contains("ltss_geo_zones"))
