@@ -76,9 +76,12 @@ object GeoMath {
     * SAME expression tree per crossing as the SQL/Column forms
     * (`Queries.geoPolygon`/`geoZones`), evaluated with identical JVM
     * double arithmetic, so a streaming consumer's verdicts match the
-    * batch join bit-for-bit. Rings obey the zone-layout write contract
-    * (no horizontal edge), but the gate `(y1 > lat) != (y2 > lat)` is
-    * vacuously false for one anyway. */
+    * batch join bit-for-bit. The straddle gate `(y1 > lat) != (y2 >
+    * lat)` SHORT-CIRCUITS the slope division (Scala `&&`, the textbook
+    * rule): a HORIZONTAL edge fails the gate for every ray, so its 0/0
+    * slope is never evaluated and axis-aligned rings (rectangles — the
+    * most common real zone) are first-class inputs. The Column/SQL
+    * twins encode the same short-circuit as nested `when`/CASE. */
   def insideRing(ring: Seq[(Double, Double)], lat: Double, lon: Double): Boolean = {
     val closed = ring :+ ring.head
     val crossings = closed.sliding(2).count {

@@ -2244,18 +2244,25 @@ object Queries {
     })
 
   /** The stored-zone fixture set (SHARED DATA between both engines, the
-    * [[PolygonVerts]] convention): three rings on the integer lattice —
-    * half-integer fixture points can never sit on a vertex — with no
-    * horizontal edges (the write-time invariant), zones 1 and 3
-    * OVERLAPPING so multi-containment rows exist. Vertices are
-    * (x = lon, y = lat) in ring order. */
+    * [[PolygonVerts]] convention): rings on the half-integer lattice,
+    * zones 1 and 3 OVERLAPPING so multi-containment rows exist, and —
+    * since r15 relaxed the write gate — zone 4 an AXIS-ALIGNED
+    * RECTANGLE (the most common real zone) whose TOP edge sits at the
+    * HALF-INTEGER latitude 10.5, so fixture points (always at
+    * half-integer lats) land EXACTLY on a horizontal edge's latitude:
+    * the degenerate case the straddle short-circuit must decide
+    * deterministically (strict `>` excludes the top edge, includes the
+    * bottom — the textbook half-open rule, identical in both engines).
+    * Vertices are (x = lon, y = lat) in ring order. */
   val ZoneDefs: Seq[(Long, String, Seq[(Double, Double)])] = Seq(
     (1L, "atlantic", Seq((-60.0, -40.0), (20.0, -35.0), (25.0, 40.0),
       (-20.0, 45.0), (-65.0, 10.0))),
     (2L, "southern", Seq((-170.0, -85.0), (170.0, -80.0), (160.0, -50.0),
       (-150.0, -55.0), (-175.0, -70.0))),
     (3L, "equatorial_overlap", Seq((0.0, -10.0), (50.0, -5.0), (45.0, 30.0),
-      (5.0, 25.0))))
+      (5.0, 25.0))),
+    (4L, "rect_box", Seq((-30.0, 10.5), (10.0, 10.5), (10.0, -20.0),
+      (-30.0, -20.0))))
 
   /** The stored-zone layout ([[graft.sources.LtssSink.writeZoneLayout]]),
     * materialized once per dataset. */
@@ -2278,11 +2285,15 @@ object Queries {
     * strict superset of its ring, so the prune cannot change the
     * answer), and the even-odd ray cast runs as an `aggregate` over
     * the ring array per surviving (point, zone) pair — map-side, no
-    * shuffle beyond the latest-fix window. Each crossing test is the
-    * IDENTICAL expression tree as [[geoPolygon]]'s literal form; the
-    * oracle deliberately SKIPS the bbox prune and ray-casts every
-    * (point, zone) pair from unrolled vertex VALUES, so the two sides
-    * agree the prune is semantics-free, not just fast. */
+    * shuffle beyond the latest-fix window. Each crossing test NESTS
+    * under the straddle gate (explicit `when`/CASE short-circuit —
+    * [[geoPolygon]]'s flat form is equivalent only because its literal
+    * ring drops horizontal edges at construction; stored zones accept
+    * them, so the nesting is load-bearing here); the oracle
+    * deliberately SKIPS the bbox prune and ray-casts every (point,
+    * zone) pair from unrolled vertex VALUES with the same CASE
+    * nesting, so the two sides agree the prune is semantics-free, not
+    * just fast. */
   val geoZones = OracleQuery(
     "ltss_geo_zones",
     (s, d) => {
@@ -2298,11 +2309,15 @@ object Queries {
       val zones = broadcast(s.read.parquet(zoneLayoutPath(s, d)))
       val nxt = concat(expr("slice(verts, 2, size(verts) - 1)"),
         expr("slice(verts, 1, 1)"))
+      // the straddle gate NESTS the crossing test (explicit CASE
+      // short-circuit): a horizontal edge fails the gate for every
+      // ray, so its 0/0 slope is never evaluated — axis-aligned
+      // zones (zone 4) are first-class, not banned at write
       val crossings = aggregate(
         zip_with(col("verts"), nxt, (a, b) =>
-          when((a("y") > col("lat")) =!= (b("y") > col("lat")) &&
-            col("lon") < (b("x") - a("x")) * (col("lat") - a("y")) /
-              (b("y") - a("y")) + a("x"), 1).otherwise(0)),
+          when((a("y") > col("lat")) =!= (b("y") > col("lat")),
+            when(col("lon") < (b("x") - a("x")) * (col("lat") - a("y")) /
+              (b("y") - a("y")) + a("x"), 1).otherwise(0)).otherwise(0)),
         lit(0), (acc, x) => acc + x)
       fixes.join(zones,
           col("lat") >= col("lat_min") && col("lat") <= col("lat_max") &&
@@ -2339,9 +2354,10 @@ object Queries {
         |), hits AS (
         |  SELECT p.user_id, e.zone_id, e.name, p.lat, p.lon,
         |         sum(CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
-        |                   AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
-        |                               / (e.y2 - e.y1) + e.x1
-        |             THEN 1 ELSE 0 END) AS crossings
+        |             THEN CASE WHEN p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+        |                                    / (e.y2 - e.y1) + e.x1
+        |                  THEN 1 ELSE 0 END
+        |             ELSE 0 END) AS crossings
         |  FROM pts p CROSS JOIN edges e
         |  GROUP BY p.user_id, e.zone_id, e.name, p.lat, p.lon
         |)

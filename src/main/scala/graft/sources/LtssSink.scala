@@ -692,12 +692,17 @@ object LtssSink {
     * as an ordered `array<struct<x:lon, y:lat>>`, plus materialized
     * bbox columns so consumers can SARGABLY prune before any exact
     * containment test (the same prune-then-exact shape as
-    * `HaversineBoxRule`). The write REJECTS rings that would break the
-    * ray cast downstream: fewer than 3 vertices, or any HORIZONTAL
-    * edge — a horizontal edge never crosses a horizontal ray and its
-    * slope division is 0/0, so the NaN-freedom every even-odd consumer
-    * relies on is a STORAGE invariant here, enforced once at write
-    * instead of hoped-for per query. Zones are a dimension table (a
+    * `HaversineBoxRule`). The write REJECTS degenerate rings: fewer
+    * than 3 vertices, or zero shoelace area (all vertices collinear —
+    * no interior exists for containment to mean anything). Axis-
+    * aligned rings — rectangles, the single most common real zone —
+    * are FIRST-CLASS: every even-odd consumer nests its crossing test
+    * under the straddle gate `(y1 > lat) != (y2 > lat)` (explicit
+    * nested `when`/CASE, `GeoMath.insideRing`'s short-circuit), so a
+    * horizontal edge contributes 0 crossings by construction and its
+    * 0/0 slope is never evaluated — the same arbitrary-polygon
+    * contract as PostGIS `ST_Within` over the reference's geometry
+    * column (models.py:35,44). Zones are a dimension table (a
     * deployment has thousands, not billions) — stored sorted by id,
     * always broadcast by consumers. */
   def writeZoneLayout(zones: DataFrame, path: String): Unit = {
@@ -708,14 +713,14 @@ object LtssSink {
     val bad = z.select(col("zone_id"), size(col("verts")).as("n"),
         aggregate(
           zip_with(col("verts"), nxt,
-            (a, b) => when(a("y") === b("y"), 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).as("horizontal"))
-      .filter(col("n") < 3 || col("horizontal") > 0)
+            (a, b) => a("x") * b("y") - b("x") * a("y")),
+          lit(0.0), (acc, x) => acc + x).as("shoelace"))
+      .filter(col("n") < 3 || col("shoelace") === 0.0)
       .collect()
     require(bad.isEmpty,
       s"zone layout rejects ${bad.map(_.getLong(0)).mkString(", ")}: " +
-        "a ring needs >= 3 vertices and no horizontal edge (the ray cast's " +
-        "NaN-free construction contract)")
+        "a ring needs >= 3 vertices and nonzero shoelace area (a zero-area " +
+        "ring has no interior for containment to test)")
     z.withColumn("lat_min", array_min(transform(col("verts"), v => v("y"))))
       .withColumn("lat_max", array_max(transform(col("verts"), v => v("y"))))
       .withColumn("lon_min", array_min(transform(col("verts"), v => v("x"))))

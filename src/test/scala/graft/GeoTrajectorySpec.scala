@@ -198,51 +198,75 @@ class GeoTrajectorySpec extends SparkSpec {
       s"OD matrix diverged from the hand trace: ${od.toSeq}")
   }
 
-  test("ltss_geo_zones: hand-walked containment — overlap double-hit, bbox-hit-but-outside excluded") {
-    // Four latest fixes, each crossing count walked by hand against the
+  test("ltss_geo_zones: hand-walked containment — overlap double-hit, bbox-hit-but-outside excluded, rectangle half-open edge") {
+    // Five latest fixes, each crossing count walked by hand against the
     // ZoneDefs rings (ray → +lon, xint per straddling edge):
     //  user 100 at (10.5, 10.5): zone1 xints {23.0, -64.4} → 1 crossing
     //    → inside; zone3 xints {47.8, 2.9} → 1 → inside (the OVERLAP);
+    //    zone4: lat 10.5 IS the rectangle's top-edge latitude — the
+    //    horizontal edge fails the straddle gate, and both VERTICAL
+    //    edges end at y = 10.5 with (10.5 > 10.5) = false → no edge
+    //    straddles → 0 crossings → OUTSIDE (the half-open rule: top
+    //    edge excluded). The bbox (lat ≤ 10.5) admits it; the nested
+    //    cast evicts it — the degenerate case the r15 relax must get
+    //    right;
     //  user 280 at (10.5, -40.5): zone1 → 1 → inside; zone3 → 2 → out;
     //  user 133 at (43.5, 20.5): INSIDE zone1's bbox (lat ≤ 45,
     //    lon ≤ 25) but both xints (-6.5, -21.9) sit left of the point
     //    → 0 crossings → outside: the bbox prune alone would wrongly
     //    admit it, the ray cast must evict it;
     //  user 9 at (-80.5, 0.5): zone2 bottom/closing edges straddle,
-    //    xints {136, -171.5} → 1 → inside.
+    //    xints {136, -171.5} → 1 → inside;
+    //  user 90 at (0.5, 0.5): zone4's vertical edges straddle, xints
+    //    {10 (right, crossing), -30 (left, not)} → 1 → INSIDE the
+    //    rectangle (horizontal edges contribute 0 by the gate); zone1
+    //    xints {22.4, -64.05} → 1 → inside; zone3 xints {49.2, 1.5}
+    //    → 2 → out.
     val dir = java.nio.file.Files.createTempDirectory("graft-geo-zones").toString
     Seq(
       (190L, ts("2024-01-01 10:00:00"), 100L), // lon 10.5, lat 10.5
       (139L, ts("2024-01-01 10:00:00"), 280L), // lon -40.5, lat 10.5
       (200L, ts("2024-01-01 10:00:00"), 133L), // lon 20.5, lat 43.5
-      (180L, ts("2024-01-01 10:00:00"), 9L))   // lon 0.5, lat -80.5
+      (180L, ts("2024-01-01 10:00:00"), 9L),   // lon 0.5, lat -80.5
+      (540L, ts("2024-01-01 10:00:00"), 90L))  // lon 0.5, lat 0.5
       .toDF("event_id", "ts", "user_id")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = SparkEntry.queries("ltss_geo_zones")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
-    assert(got.toSeq == Seq((1L, 100L), (1L, 280L), (2L, 9L), (3L, 100L)),
+    assert(got.toSeq == Seq((1L, 90L), (1L, 100L), (1L, 280L), (2L, 9L),
+      (3L, 100L), (4L, 90L)),
       s"containment diverged from the hand walk: ${got.toSeq}")
   }
 
-  test("writeZoneLayout rejects rings that would break the ray cast") {
+  test("writeZoneLayout rejects degenerate rings, stores axis-aligned ones") {
     import org.apache.spark.sql.functions.expr
     val dir = java.nio.file.Files.createTempDirectory("graft-zone-reject").toString
     def zdf(vs: Seq[(Double, Double)]) =
       Seq((9L, "bad", vs)).toDF("zone_id", "name", "verts")
         .withColumn("verts", expr("transform(verts, v -> struct(v._1 AS x, v._2 AS y))"))
-    // horizontal edge: its slope division is 0/0 downstream
+    // zero shoelace area (collinear): no interior exists
     val e1 = intercept[IllegalArgumentException] {
       graft.sources.LtssSink.writeZoneLayout(
-        zdf(Seq((0.0, 0.0), (10.0, 0.0), (5.0, 8.0))), s"$dir/h")
+        zdf(Seq((0.0, 0.0), (10.0, 10.0), (5.0, 5.0))), s"$dir/z")
     }
-    assert(e1.getMessage.contains("horizontal edge"))
+    assert(e1.getMessage.contains("shoelace"))
     // degenerate ring
     val e2 = intercept[IllegalArgumentException] {
       graft.sources.LtssSink.writeZoneLayout(
         zdf(Seq((0.0, 0.0), (10.0, 5.0))), s"$dir/d")
     }
     assert(e2.getMessage.contains(">= 3"))
-    // a valid ring writes, with its bbox materialized
+    // an AXIS-ALIGNED rectangle stores (the r15 relax — horizontal
+    // edges are handled by the consumers' straddle short-circuit, not
+    // banned at write), with its bbox materialized
+    graft.sources.LtssSink.writeZoneLayout(
+      zdf(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 8.0), (0.0, 8.0))), s"$dir/rect")
+    val rect = spark.read.parquet(s"$dir/rect")
+      .selectExpr("lat_min", "lat_max", "lon_min", "lon_max")
+      .collect().head
+    assert((rect.getDouble(0), rect.getDouble(1), rect.getDouble(2), rect.getDouble(3)) ==
+      ((0.0, 8.0, 0.0, 10.0)))
+    // a valid irregular ring still writes
     graft.sources.LtssSink.writeZoneLayout(
       zdf(Seq((0.0, 0.0), (10.0, 5.0), (5.0, 8.0))), s"$dir/ok")
     val row = spark.read.parquet(s"$dir/ok")

@@ -6,13 +6,17 @@ import org.scalacheck.Prop.forAll
 /** The stored-zone ray cast under the same exact-rational adversary as
   * [[GeoPolygonPropertySpec]] — but over EVERY ring in
   * `Queries.ZoneDefs`, including the non-convex and the overlapping
-  * ones: the float crossing formula the `ltss_geo_zones` join (and
-  * `GeoMath.insideRing`, the streaming twin's kernel) evaluates must
-  * agree point-for-point with a division-free ray caster in exact Long
-  * arithmetic over DOUBLED coordinates. Vertices are integers and
-  * fixture points half-integers, so ×2 lands everything on the integer
-  * lattice and every crossing decision is a sign-aware integer
-  * cross-product with no rounding anywhere. */
+  * ones — and, since r15, the AXIS-ALIGNED rectangle whose top edge
+  * sits at a reachable half-integer latitude: the float crossing
+  * formula the `ltss_geo_zones` join (and `GeoMath.insideRing`, the
+  * streaming twin's kernel) evaluates must agree point-for-point with
+  * a division-free ray caster in exact Long arithmetic over DOUBLED
+  * coordinates. Vertices and fixture points live on the half-integer
+  * lattice, so ×2 lands everything on the integer lattice and every
+  * crossing decision is a sign-aware integer cross-product with no
+  * rounding anywhere — including the degenerate ray EXACTLY AT a
+  * horizontal edge's latitude, where the exact caster skips the edge
+  * by the same straddle gate the float side short-circuits on. */
 object ZoneRingPropertySpec extends Properties("ZoneRing") {
 
   override def overrideParameters(p: org.scalacheck.Test.Parameters)
@@ -22,7 +26,8 @@ object ZoneRingPropertySpec extends Properties("ZoneRing") {
   private val zones = graft.operators.Queries.ZoneDefs
 
   private def insideExact(ring: Seq[(Double, Double)], lat2: Long, lon2: Long): Boolean = {
-    val vs = (ring :+ ring.head).map { case (x, y) => (2L * x.toLong, 2L * y.toLong) }
+    val vs = (ring :+ ring.head).map { case (x, y) =>
+      (math.round(2.0 * x), math.round(2.0 * y)) }
     var crossings = 0
     vs.sliding(2).foreach {
       case Seq((xx1, yy1), (xx2, yy2)) =>
@@ -36,15 +41,25 @@ object ZoneRingPropertySpec extends Properties("ZoneRing") {
     crossings % 2 == 1
   }
 
-  property("zone construction: >= 3 integer vertices, no horizontal edge, anywhere in the ring") =
+  property("zone construction: >= 3 half-integer-lattice vertices, nonzero shoelace area") =
     org.scalacheck.Prop {
       zones.forall { case (_, _, vs) =>
-        vs.size >= 3 &&
-          vs.forall { case (x, y) => x == math.floor(x) && y == math.floor(y) } &&
-          (vs :+ vs.head).sliding(2).forall {
-            case Seq((_, y1), (_, y2)) => y1 != y2
-            case _ => true
-          }
+        val shoelace = (vs :+ vs.head).sliding(2).collect {
+          case Seq((x1, y1), (x2, y2)) => x1 * y2 - x2 * y1
+        }.sum
+        vs.size >= 3 && shoelace != 0.0 &&
+          vs.forall { case (x, y) =>
+            2.0 * x == math.floor(2.0 * x) && 2.0 * y == math.floor(2.0 * y) }
+      }
+    }
+
+  property("the adversary exercises horizontal edges: some ring carries one, at a reachable half-integer latitude") =
+    org.scalacheck.Prop {
+      zones.exists { case (_, _, vs) =>
+        (vs :+ vs.head).sliding(2).exists {
+          case Seq((_, y1), (_, y2)) => y1 == y2 && 2.0 * y1 != 2.0 * math.floor(y1)
+          case _ => false
+        }
       }
     }
 
