@@ -267,10 +267,13 @@ object Queries {
     // caller invokes it after the layout write, when nothing can
     // recompute them) — relying on a driver GC to let ContextCleaner
     // reclaim them would let a repeated caller accumulate two
-    // fleet-sized frames per build invisibly
+    // fleet-sized frames per build invisibly. Dataset.unpersist is a
+    // NO-OP for localCheckpoint'd frames (their blocks live on the
+    // checkpointed RDD, not in the CacheManager), so the release goes
+    // through the RDD captured inside each frame's LogicalRDD plan
     (ranks, () => {
-      ranks.unpersist(blocking = false)
-      fleet.unpersist(blocking = false)
+      org.apache.spark.sql.GraftColumns.freeLocalCheckpoint(ranks)
+      org.apache.spark.sql.GraftColumns.freeLocalCheckpoint(fleet)
       ()
     })
   }

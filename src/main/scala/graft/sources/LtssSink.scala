@@ -296,7 +296,15 @@ object LtssSink {
           case None =>
             // file-less husks everywhere: zero rows need migrating —
             // sweep the residue and move on instead of aborting with
-            // the layout still locked
+            // the layout still locked. Named out loud: crash residue
+            // is the expected cause, but externally-lost chunk FILES
+            // look identical from here, and a silent sweep would mask
+            // that loss
+            System.err.println(
+              s"[ltss-migrate] WARN chunk '$c' under $path has no data " +
+                "files in its live, staged, or retired dirs — sweeping " +
+                "the empty dirs and skipping it. If this chunk ever " +
+                "held rows, they were lost OUTSIDE this migration.")
             fs.delete(staged, true)
             fs.delete(retired, true)
         }
@@ -956,14 +964,22 @@ object LtssSink {
           out.toSeq
         } finally st.close()
       }
-      val t = table.toLowerCase.replace("'", "''")
+      // TWO derivations of the folded name, one per SQL context: `tId`
+      // stays RAW for identifier positions (qi doubles its embedded
+      // double-quotes; a single quote passes through untouched), `t`
+      // doubles single quotes for string-LITERAL positions (probe
+      // WHERE clauses, catalog-name comparisons read back raw). Feeding
+      // the literal-escaped form to qi would make DDL and probes
+      // reference DIFFERENT names for a table containing a quote.
+      val tId = table.toLowerCase
+      val t = tId.replace("'", "''")
       // DDL identifiers are QUOTED forms of the same folded name the
       // probes use — unquoted `$table` interpolation would re-fold (or
       // break on) a name that needs quoting, and the quoted lowercase
       // form is identical to today's unquoted behavior for every name
       // bootstrapJdbc can have created
       def qi(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
-      val qt = qi(t)
+      val qt = qi(tId)
       // (column, udt) pairs of the live table — one probe, reused by
       // steps 1 and 4, like the reference's single inspect() call
       val colUdt = queryCol(
@@ -984,8 +1000,8 @@ object LtssSink {
       }
       // 2. attributes GIN index (after step 1: GIN's jsonb opclass
       // requires the migrated type, the order the reference relies on)
-      if (!indexes.contains(s"${t}_attributes_idx")) {
-        exec(s"CREATE INDEX ${qi(s"${t}_attributes_idx")} ON $qt USING GIN (attributes)")
+      if (!indexes.contains(s"${tId}_attributes_idx")) {
+        exec(s"CREATE INDEX ${qi(s"${tId}_attributes_idx")} ON $qt USING GIN (attributes)")
         applied += "attributes_index"
       }
       // 3. composite (entity_id, time DESC) index; separately, the
@@ -994,13 +1010,13 @@ object LtssSink {
       // which leaves the legacy index behind forever if a run crashes
       // between the two statements — probing each independently makes a
       // crashed ladder CONVERGE on re-run instead.
-      if (!indexes.contains(s"${t}_entityid_time_composite_idx")) {
-        exec(s"CREATE INDEX ${qi(s"${t}_entityid_time_composite_idx")} " +
+      if (!indexes.contains(s"${tId}_entityid_time_composite_idx")) {
+        exec(s"CREATE INDEX ${qi(s"${tId}_entityid_time_composite_idx")} " +
           s"ON $qt (entity_id, time DESC)")
         applied += "entityid_time_composite_index"
       }
-      if (indexes.contains(s"ix_${t}_entity_id")) {
-        exec(s"DROP INDEX ${qi(s"ix_${t}_entity_id")}")
+      if (indexes.contains(s"ix_${tId}_entity_id")) {
+        exec(s"DROP INDEX ${qi(s"ix_${tId}_entity_id")}")
         applied += "drop_entityid_index"
       }
       // 4. surrogate id column → composite PK, then drop the column.
@@ -1022,7 +1038,7 @@ object LtssSink {
              | JOIN pg_namespace n ON n.oid = c.relnamespace
              | WHERE n.nspname = current_schema() AND c.relname = '$t'
              |   AND con.contype = 'p'""".stripMargin)
-          .headOption.getOrElse(s"${t}_pkey")
+          .headOption.getOrElse(s"${tId}_pkey")
         // CASCADE mirrors the reference (migrations.py:91) but is not
         // silent about it: any foreign key in OTHER tables that
         // references this PK goes down with it — surface each one
@@ -1039,7 +1055,7 @@ object LtssSink {
              |   AND con.contype = 'f'
              | ORDER BY 1""".stripMargin)
         if (cascaded.nonEmpty)
-          log(s"[ltss-migrate] dropping PK '$pkName' on $t CASCADEs these " +
+          log(s"[ltss-migrate] dropping PK '$pkName' on $tId CASCADEs these " +
             s"referencing foreign keys: ${cascaded.mkString(", ")}")
         if (!dryRun) {
           conn.setAutoCommit(false)

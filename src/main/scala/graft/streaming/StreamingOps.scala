@@ -1610,11 +1610,19 @@ object StreamingOps {
       radiusM: Long = 2000000L,
       minDwellUs: Long = 43200000000L): Dataset[StayVisit] = {
     import pts.sparkSession.implicits._
+    // month boundaries follow the SESSION timezone, captured at plan
+    // construction — the batch twin truncates with date_trunc('month'),
+    // which reads spark.sql.session.timeZone, so a non-UTC session gets
+    // the SAME segment boundaries from both faces (r14 hard-coded UTC
+    // here and the documented parity held only because the harness pins
+    // UTC everywhere)
+    val chunkZone = java.time.ZoneId.of(
+      pts.sparkSession.conf.get("spark.sql.session.timeZone"))
     def chunkUsOf(tus: Long): Long = {
       val d = java.time.Instant.ofEpochSecond(
         Math.floorDiv(tus, 1000000L), (Math.floorMod(tus, 1000000L)) * 1000L)
-        .atZone(java.time.ZoneOffset.UTC).toLocalDate.withDayOfMonth(1)
-      d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000L
+        .atZone(chunkZone).toLocalDate.withDayOfMonth(1)
+      d.atStartOfDay(chunkZone).toInstant.getEpochSecond * 1000000L
     }
     pts
       .select(col("time"), col("user_id"), col("event_id"), col("lat"), col("lon"))
@@ -1677,11 +1685,19 @@ object StreamingOps {
       pts: DataFrame // time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE
   ): Dataset[TrackSegment] = {
     import pts.sparkSession.implicits._
+    // month boundaries follow the SESSION timezone, captured at plan
+    // construction — the batch twin truncates with date_trunc('month'),
+    // which reads spark.sql.session.timeZone, so a non-UTC session gets
+    // the SAME segment boundaries from both faces (r14 hard-coded UTC
+    // here and the documented parity held only because the harness pins
+    // UTC everywhere)
+    val chunkZone = java.time.ZoneId.of(
+      pts.sparkSession.conf.get("spark.sql.session.timeZone"))
     def chunkUsOf(tus: Long): Long = {
       val d = java.time.Instant.ofEpochSecond(
         Math.floorDiv(tus, 1000000L), (Math.floorMod(tus, 1000000L)) * 1000L)
-        .atZone(java.time.ZoneOffset.UTC).toLocalDate.withDayOfMonth(1)
-      d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000L
+        .atZone(chunkZone).toLocalDate.withDayOfMonth(1)
+      d.atStartOfDay(chunkZone).toInstant.getEpochSecond * 1000000L
     }
     pts
       .select(col("time"), col("user_id"), col("event_id"), col("lat"), col("lon"))
@@ -1738,8 +1754,13 @@ object StreamingOps {
     * right context exists. Over any in-order prefix the emitted rows
     * equal the batch output minus the last two held samples
     * (spec-pinned). Contract: in-order per entity (sorted within
-    * batch; an arrival at or behind the (time, value) frontier is
-    * dropped — its window position was already consumed). */
+    * batch; an arrival STRICTLY behind the (time, value) frontier is
+    * dropped — its window position was already consumed — while a row
+    * TYING the frontier exactly is admitted as a distinct reading,
+    * matching the batch window that keeps duplicate (time, value)
+    * rows as distinct members. Out of contract: a LOWER value at the
+    * frontier's timestamp arriving after a higher one — within one
+    * timestamp, deliver value-ordered or in one batch). */
   def hampelStream(ltss: DataFrame): Dataset[HampelOut] = {
     import ltss.sparkSession.implicits._
     ltss.select(col("time"), col("entity_id"), col("state")).as[LtssEvent]
@@ -1776,8 +1797,13 @@ object StreamingOps {
           HampelOut(key, tsOfMicros(center.tus), sv, n, spike, filtered)
         }
         for (r <- sorted) {
+          // strictly-behind drops; a row TYING the frontier exactly
+          // (same time, same cents) is ADMITTED as a distinct window
+          // member — the batch collect_list keeps duplicate readings
+          // as distinct rows, and the tie appends after its equal
+          // (identical rows are interchangeable, so window sets match)
           val behind = buf.lastOption.exists(last =>
-            r.tus < last.tus || (r.tus == last.tus && k(r.cents) <= k(last.cents)))
+            r.tus < last.tus || (r.tus == last.tus && k(r.cents) < k(last.cents)))
           if (!behind) {
             buf += r
             val lastIdx = firstIdx + buf.size - 1

@@ -462,6 +462,38 @@ class PostgresE2ESpec extends SparkSpec with BeforeAndAfterAll {
     assert(LtssSink.checkAndMigrate(cfg, table = "ltss_mig3").isEmpty)
   }
 
+  test("checkAndMigrate on a table name containing a single quote (ADVICE r14: literal vs identifier escaping)") {
+    // the two SQL contexts need DIFFERENT escapes: probes embed the
+    // name as a string literal (single quote doubled), DDL as a quoted
+    // identifier (single quote passes through raw). r14 fed the
+    // literal-escaped form to the identifier quoter, so probes and DDL
+    // referenced different names for a table like this one.
+    withWire { w =>
+      w.query("CREATE TABLE \"ltss'q\" (id SERIAL, " +
+        "time TIMESTAMP NOT NULL, entity_id VARCHAR(255) NOT NULL, " +
+        "state VARCHAR(255), attributes TEXT, PRIMARY KEY (id))")
+      w.query("CREATE INDEX \"ix_ltss'q_entity_id\" ON \"ltss'q\" (entity_id)")
+      w.query("INSERT INTO \"ltss'q\" (time, entity_id, state, attributes) VALUES " +
+        "(TIMESTAMP '2024-01-01 00:00:00', 'sensor.a', '1', '{\"k\": 1}')")
+    }
+    val applied = LtssSink.checkAndMigrate(cfg, table = "ltss'q")
+    assert(applied == Seq("attributes_text_to_jsonb", "attributes_index",
+      "entityid_time_composite_index", "drop_entityid_index", "remove_id_column"),
+      s"quoted-name ladder diverged: $applied")
+    withWire { w =>
+      val idx = w.query("SELECT indexname FROM pg_indexes " +
+        "WHERE tablename = 'ltss''q'").rows.map(_(0)).toSet
+      assert(idx.contains("ltss'q_attributes_idx") &&
+        idx.contains("ltss'q_entityid_time_composite_idx") &&
+        !idx.contains("ix_ltss'q_entity_id"), idx)
+      val cols = w.query("SELECT column_name, udt_name FROM information_schema.columns " +
+        "WHERE table_name = 'ltss''q'").rows
+      assert(!cols.map(_(0)).contains("id") &&
+        cols.find(_(0) == "attributes").exists(_(1) == "jsonb"), cols)
+    }
+    assert(LtssSink.checkAndMigrate(cfg, table = "ltss'q").isEmpty)
+  }
+
   test("real-server SQLSTATEs drive the sink classifier") {
     withWire { w =>
       w.query("CREATE TABLE IF NOT EXISTS ltss_states " +

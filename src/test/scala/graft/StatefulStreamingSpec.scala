@@ -1806,4 +1806,82 @@ class StatefulStreamingSpec extends SparkSpec {
     val junk = got.find(_._3.isEmpty).get
     assert(junk._1 == "p.b" && junk._4 < 5 && junk._5 == 0 && junk._6.isEmpty)
   }
+
+  test("hampelStream admits a duplicate (time, value) reading tying the frontier (ADVICE r14)") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two IDENTICAL readings at 10:01 — the batch window keeps both as
+    // distinct members; the stream receives the duplicate in a LATER
+    // batch, exactly tying the (time, cents) frontier, and must admit
+    // it rather than drop it as a replay
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), "p.c", "7.00"),
+      (ts("2024-01-01 10:01:00"), "p.c", "7.10"),
+      (ts("2024-01-01 10:01:00"), "p.c", "7.10"),
+      (ts("2024-01-01 10:02:00"), "p.c", "7.20"),
+      (ts("2024-01-01 10:03:00"), "p.c", "7.30"),
+      (ts("2024-01-01 10:04:00"), "p.c", "7.40"))
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val q = StreamingOps.hampelStream(ms.toDF.toDF("time", "entity_id", "state"))
+      .writeStream.format("memory").queryName("hampel_dup_t").outputMode("append").start()
+    try {
+      ms.addData(rows.take(2): _*); q.processAllAvailable()
+      ms.addData(rows(2)); q.processAllAvailable() // the frontier tie
+      ms.addData(rows.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"hampelStream died: ${q.exception}")
+    val got = spark.table("hampel_dup_t")
+      .as[(String, java.sql.Timestamp, Option[Double], Long, Int, Option[Double])]
+      .collect().sortBy(r => (r._2.getTime, r._3)).toSeq
+    val batch = graft.operators.TimeSeries.hampel(
+      rows.toDF("time", "entity_id", "state"))
+      .orderBy($"time", $"sv")
+      .as[(String, java.sql.Timestamp, Option[Double], Long, Int, Option[Double])]
+      .collect().toSeq.dropRight(2)
+    assert(got == batch, s"stream diverged from batch prefix:\n$got\nvs\n$batch")
+    // both copies of the duplicate emitted, and the full 5-windows saw 5
+    assert(got.count(r => r._2 == ts("2024-01-01 10:01:00")) == 2,
+      "the tying duplicate must emit as its own row")
+    assert(got.exists(_._4 == 5), "later windows must count both duplicates")
+  }
+
+  test("trackSegmentStream month boundaries follow the session timezone like the batch layout (ADVICE r14)") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // 2024-02-01 02:00 UTC is 2024-01-31 21:00 in New York — still
+      // JANUARY under the session tz, though a UTC chunker would have
+      // closed January at it. The Feb 2 12:00 UTC fix is February in
+      // both, closing the NY January segment.
+      def utc(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+      val fixes = Seq(
+        (utc("2024-01-20T10:00:00Z"), 5L, 301L, 1.5, 10.5),
+        (utc("2024-02-01T02:00:00Z"), 5L, 302L, 1.5, 11.5),
+        (utc("2024-02-02T12:00:00Z"), 5L, 303L, 1.5, 12.5))
+      val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+      val q = StreamingOps.trackSegmentStream(
+        ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon"))
+        .writeStream.format("memory").queryName("trackseg_tz_t").outputMode("append").start()
+      try {
+        ms.addData(fixes: _*); q.processAllAvailable()
+      } finally q.stop()
+      assert(q.exception.isEmpty, s"trackSegmentStream died: ${q.exception}")
+      val got = spark.table("trackseg_tz_t")
+        .selectExpr("user_id", "chunk", "n_fixes",
+          "transform(seg, f -> f.seq) AS seqs")
+        .as[(Long, java.sql.Timestamp, Int, Seq[Long])].collect().toSeq
+      // the NY January segment holds BOTH January-in-NY fixes
+      assert(got.map(r => (r._1, r._3, r._4)) == Seq((5L, 2, Seq(301L, 302L))),
+        s"session-tz chunking diverged: $got")
+      // and the chunk equals the batch layout's date_trunc month
+      val dir = java.nio.file.Files.createTempDirectory("graft-trackseg-tz").toString
+      graft.sources.LtssSink.writeTrackLayout(
+        fixes.toDF("ts", "id", "seq", "lat", "lon")
+          .select($"id", $"ts", $"seq", $"lat", $"lon"), dir)
+      val batchChunks = spark.read.parquet(dir)
+        .selectExpr("chunk").as[java.sql.Timestamp].collect().sortBy(_.getTime).toSeq
+      assert(got.head._2 == batchChunks.head,
+        s"stream chunk ${got.head._2} != batch date_trunc ${batchChunks.head}")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
 }
