@@ -22,6 +22,40 @@ import org.apache.spark.sql.SparkSession
   * where the quality signals sit in a filter and cannot be pruned. */
 object Bench {
 
+  /** HOST-THROUGHPUT CANARY — the self-normalizing instrument two
+    * consecutive rounds of manual worktree attribution asked for
+    * (r13 warm-build anomaly, r14 uniform 1.6×): two fixed,
+    * DATA-INDEPENDENT probes timed before the warm section and again
+    * after the query sweep, recorded in the bench JSON. When a round's
+    * totals move against a prior vintage, the canaries move with them
+    * iff the HOST moved (uniform JVM throughput shift); a plan
+    * regression moves queries but not canaries. `jvm` is a
+    * single-threaded xorshift64* spin (pure compute, no allocation —
+    * CPU-steal sensitive, GC/IO blind); `spark` is one all-core
+    * codegen'd range+hash+sum job (scheduler + whole-stage codegen +
+    * shuffle-free reduce — the suite's execution substrate). Each
+    * reading is the median of 3. */
+  @volatile private var canarySink = 0L
+  private def jvmCanarySec(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < 400000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    canarySink = x
+    (System.nanoTime() - t0) / 1e9
+  }
+  private def sparkCanarySec(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    // bit_xor, not sum: a 256M-row sum of 64-bit hashes overflows
+    // under ANSI mode; xor is the same codegen'd reduce, overflow-free
+    spark.range(0, 256L * 1000 * 1000, 1, cpus * 2)
+      .selectExpr("bit_xor(xxhash64(id)) AS h").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+  private def med3(f: () => Double): Double = Seq(f(), f(), f()).sorted.apply(1)
+
   private def q(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -65,6 +99,10 @@ object Bench {
     // therefore measure CACHED reads by design; each artifact's
     // cold-build cost is timed here and reported separately in the
     // `warm_build` field so the two are never conflated.
+    // canary BEFORE the warm section: warm-build spikes read against it
+    val cpusN = cpus.toInt
+    val canaryPreJvm = med3(() => jvmCanarySec())
+    val canaryPreSpark = med3(() => sparkCanarySec(spark, cpusN))
     val warmBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val warmErrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // 1-min load average bracketing the warm-build section: the builds
@@ -162,6 +200,12 @@ object Bench {
       }
       loadAvgs += osBean.getSystemLoadAverage
     }
+    // canary AFTER the sweep: a burst that landed mid-sweep shows as
+    // pre/post divergence; a uniformly slow host shows in both
+    val canaryPostJvm = med3(() => jvmCanarySec())
+    val canaryPostSpark = med3(() => sparkCanarySec(spark, cpusN))
+    val canaryJson = s"""{"pre_jvm":$canaryPreJvm,"pre_spark":$canaryPreSpark,""" +
+      s""""post_jvm":$canaryPostJvm,"post_spark":$canaryPostSpark}"""
     val results = ordered.map { case (name, _) =>
       val ts = times(name)
       val elapsed =
@@ -181,7 +225,7 @@ object Bench {
       s""""errors":$errs,"failed":$nFailed,"runs_per_query":$Runs,""" +
       s""""aggregation":"median","warm_build":$warm,"warm_build_errors":$warmE,""" +
       s""""warm_load_avg":${warmLoads.mkString("[", ",", "]")},""" +
-      s""""load_avg":$loads,"sf":${q(sfDir)}}"""
+      s""""load_avg":$loads,"canary_s":$canaryJson,"sf":${q(sfDir)}}"""
     // The FULL result goes to bench_out.json (committed per round — the
     // authoritative per-query record). stdout gets ONE line sized to
     // survive a bounded tail capture: the round-N bench artifact keeps
@@ -219,6 +263,7 @@ object Bench {
       s""""runs_per_query":$Runs,"aggregation":"median",""" +
       s""""queries":${picked.mkString("{", ",", "}")},""" +
       s""""queries_elided":${results.size - picked.size}$errsCompact,""" +
+      s""""canary_s":$canaryJson,""" +
       s""""full_results":"bench_out.json","sf":${q(sfDir)}}"""
     println(compact)
     if (nFailed > 0) System.err.println(s"[bench] $nFailed quer(ies) FAILED — see errors field")
