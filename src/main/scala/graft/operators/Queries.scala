@@ -2332,9 +2332,7 @@ object Queries {
         .orderBy(col("zone_id"), col("user_id"))
     },
     Some {
-      val zvRows = ZoneDefs.flatMap { case (id, nm, vs) =>
-        vs.zipWithIndex.map { case ((x, y), i) => s"($id, '$nm', $i, $x, $y)" }
-      }.mkString(",\n      |  ")
+      val zvRows = zoneVertsValues
       s"""WITH latest AS (
         |  SELECT user_id, event_id FROM (
         |    SELECT user_id, event_id,
@@ -2368,6 +2366,171 @@ object Queries {
         |FROM hits WHERE crossings % 2 = 1
         |ORDER BY zone_id, user_id""".stripMargin
     })
+
+  /** The [[ZoneDefs]] rings as unrolled SQL VALUES rows — SHARED DATA
+    * between both engines for every stored-zone oracle (the
+    * [[PolygonVerts]] convention); each consumer remains a different
+    * CONSTRUCTION than the Spark side it checks. */
+  private def zoneVertsValues: String =
+    ZoneDefs.flatMap { case (id, nm, vs) =>
+      vs.zipWithIndex.map { case ((x, y), i) => s"($id, '$nm', $i, $x, $y)" }
+    }.mkString(",\n      |  ")
+
+  /** The ring→edges CTE shared by the zone oracles: each vertex pairs
+    * with its successor (wrap via `first_value`) — the SQL mirror of
+    * the Spark side's `zip_with(verts, rotate(verts))`. */
+  private val zoneEdgesCte: String =
+    """edges AS (
+      |  SELECT zone_id, name, x AS x1, y AS y1,
+      |         coalesce(lead(x) OVER w, first_value(x) OVER w) AS x2,
+      |         coalesce(lead(y) OVER w, first_value(y) OVER w) AS y2
+      |  FROM zv WINDOW w AS (PARTITION BY zone_id ORDER BY idx)
+      |)""".stripMargin
+
+  /** ZONE STATISTICS — the `ST_Area` / `ST_Perimeter` / `ST_NPoints`
+    * panel over the stored-zone dimension (the audit a deployment runs
+    * after loading its geofence table): per zone, vertex count, the
+    * planar shoelace area in degree² (EXACT arithmetic — the fixture's
+    * lattice coordinates make every cross product a quarter-integer,
+    * so the double sum is exact in both engines and the single closing
+    * `/2.0` is correctly rounded), the haversine ring perimeter through
+    * the SHARED kernel with each edge FLOORED TO INTEGER METERS before
+    * the sum (the [[travelDist]] determinism contract), and the
+    * write-materialized bbox columns — re-deriving them from the ring
+    * in the oracle proves [[graft.sources.LtssSink.writeZoneLayout]]'s
+    * materialization, not just its storage. Scale: the zone table is a
+    * broadcast-sized dimension; the whole panel is one map-side pass
+    * over arrays — no shuffle at any deployment size. */
+  val zoneStats = OracleQuery(
+    "ltss_geo_zone_stats",
+    (s, d) => {
+      val zones = s.read.parquet(zoneLayoutPath(s, d))
+      val nxt = concat(expr("slice(verts, 2, size(verts) - 1)"),
+        expr("slice(verts, 1, 1)"))
+      val shoelace = aggregate(
+        zip_with(col("verts"), nxt, (a, b) => a("x") * b("y") - b("x") * a("y")),
+        lit(0.0), (acc, x) => acc + x)
+      val perim = aggregate(
+        zip_with(col("verts"), nxt, (a, b) =>
+          floor(graft.functions.Haversine.haversineKm(
+            a("y"), a("x"), b("y"), b("x")) * 1000.0).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      zones.select(col("zone_id"), col("name"),
+          size(col("verts")).cast("long").as("n_vertices"),
+          (abs(shoelace) / 2.0).as("area_deg2"),
+          perim.as("perimeter_m"),
+          col("lat_min"), col("lat_max"), col("lon_min"), col("lon_max"))
+        .orderBy(col("zone_id"))
+    },
+    Some(s"""WITH zv(zone_id, name, idx, x, y) AS (VALUES
+      |  $zoneVertsValues
+      |), $zoneEdgesCte
+      |SELECT zone_id, name,
+      |       CAST(count(*) AS BIGINT) AS n_vertices,
+      |       abs(sum(x1 * y2 - x2 * y1)) / 2.0 AS area_deg2,
+      |       CAST(sum(CAST(floor(2 * 6371.0088 * asin(least(1.0, sqrt(
+      |         pow(sin(radians(y2 - y1) / 2), 2)
+      |         + cos(radians(y1)) * cos(radians(y2))
+      |           * pow(sin(radians(x2 - x1) / 2), 2)))) * 1000.0)
+      |         AS BIGINT)) AS BIGINT) AS perimeter_m,
+      |       min(y1) AS lat_min, max(y1) AS lat_max,
+      |       min(x1) AS lon_min, max(x1) AS lon_max
+      |FROM edges GROUP BY zone_id, name
+      |ORDER BY zone_id""".stripMargin))
+
+  /** MULTI-ZONE DWELL — [[zoneDwell]] generalized from one literal
+    * fence to the STORED zone table (the accounting [[geoZones]]'s
+    * containment join and `geoZonesStream`'s transition log both
+    * imply): per (zone, entity), total held µs inside, visit count,
+    * and the inside observation span. Containment is the stored-zone
+    * ray cast ([[geoZones]]'s exact nested-CASE arithmetic); the held
+    * interval is the state_agg `lead` device computed ONCE on the
+    * entity's full fix series BEFORE the zone join (a fix inside holds
+    * until the entity's NEXT fix, wherever that is; the final fix
+    * holds nothing — [[zoneDwell]]'s conventions verbatim).
+    *
+    * The shape is deliberately INSIDE-ROWS-ONLY: visits need no
+    * outside rows because a visit boundary is a GAP in the entity's
+    * observation sequence numbers among inside rows — `rn − lag(rn) ≠
+    * 1` — so the join output carries only bbox-surviving fixes that
+    * pass the ray cast, never the (fixes × zones) cross frame. Scale:
+    * one keyed window on the fix stream, a broadcast bbox-pruned zone
+    * join, one keyed window + combinable aggregate on the (much
+    * smaller) inside frame. The oracle skips the prune and ray-casts
+    * every (fix, zone) pair from the shared VALUES rows. */
+  val zonesDwell = OracleQuery(
+    "ltss_zones_dwell",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val fixes = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("held_us",
+          coalesce(unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")),
+            lit(0L)))
+        .select(col("user_id"), col("ts"), col("rn"), col("held_us"),
+          col("lat"), col("lon"))
+      val zones = broadcast(s.read.parquet(zoneLayoutPath(s, d)))
+      val nxt = concat(expr("slice(verts, 2, size(verts) - 1)"),
+        expr("slice(verts, 1, 1)"))
+      val crossings = aggregate(
+        zip_with(col("verts"), nxt, (a, b) =>
+          when((a("y") > col("lat")) =!= (b("y") > col("lat")),
+            when(col("lon") < (b("x") - a("x")) * (col("lat") - a("y")) /
+              (b("y") - a("y")) + a("x"), 1).otherwise(0)).otherwise(0)),
+        lit(0), (acc, x) => acc + x)
+      val inside = fixes.join(zones,
+          col("lat") >= col("lat_min") && col("lat") <= col("lat_max") &&
+            col("lon") >= col("lon_min") && col("lon") <= col("lon_max"))
+        .withColumn("crossings", crossings)
+        .filter(col("crossings") % 2 === 1)
+      val wz = Window.partitionBy(col("user_id"), col("zone_id")).orderBy(col("rn"))
+      inside
+        .withColumn("prn", lag(col("rn"), 1).over(wz))
+        .withColumn("entered",
+          when(col("prn").isNull || col("prn") =!= col("rn") - 1L, 1L)
+            .otherwise(0L))
+        .groupBy(col("zone_id"), col("name"), col("user_id"))
+        .agg(count(lit(1)).as("n_inside_obs"),
+          sum(col("held_us")).as("dwell_us"),
+          sum(col("entered")).as("n_visits"),
+          min(col("ts")).as("first_inside"), max(col("ts")).as("last_inside"))
+        .orderBy(col("zone_id"), col("user_id"))
+    },
+    Some(s"""WITH pts AS (
+      |  SELECT user_id, ts,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+      |         CAST(row_number() OVER w AS BIGINT) AS rn,
+      |         COALESCE(epoch_us(lead(ts) OVER w) - epoch_us(ts), 0) AS held_us
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), zv(zone_id, name, idx, x, y) AS (VALUES
+      |  $zoneVertsValues
+      |), $zoneEdgesCte, hits AS (
+      |  SELECT p.user_id, e.zone_id, e.name, p.rn, p.ts, p.held_us,
+      |         sum(CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
+      |             THEN CASE WHEN p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+      |                                    / (e.y2 - e.y1) + e.x1
+      |                  THEN 1 ELSE 0 END
+      |             ELSE 0 END) AS crossings
+      |  FROM pts p CROSS JOIN edges e
+      |  GROUP BY p.user_id, e.zone_id, e.name, p.rn, p.ts, p.held_us
+      |), ins AS (
+      |  SELECT user_id, zone_id, name, rn, ts, held_us,
+      |         lag(rn) OVER (PARTITION BY user_id, zone_id ORDER BY rn) AS prn
+      |  FROM hits WHERE crossings % 2 = 1
+      |)
+      |SELECT zone_id, name, user_id,
+      |       CAST(count(*) AS BIGINT) AS n_inside_obs,
+      |       CAST(sum(held_us) AS BIGINT) AS dwell_us,
+      |       CAST(sum(CASE WHEN prn IS NULL OR prn <> rn - 1
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_visits,
+      |       min(ts) AS first_inside, max(ts) AS last_inside
+      |FROM ins GROUP BY zone_id, name, user_id
+      |ORDER BY zone_id, user_id""".stripMargin))
 
   /** Top movers — the "biggest changes" dashboard panel: per entity,
     * the first and last observed values (by the deterministic
@@ -3232,5 +3395,6 @@ object Queries {
     histogram2d, sketches, kmvDistinct, attrProfile, cmsFreq, geohashQ,
     histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence, zoneDwell,
     kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn, geoDbscan,
-    geoDbscanLatLon, geoTrack, geoSimplify, geoStaypoints, geoOdMatrix, geoMercator, geoHeading)
+    geoDbscanLatLon, geoTrack, geoSimplify, geoStaypoints, geoOdMatrix, geoMercator, geoHeading,
+    zoneStats, zonesDwell)
 }

@@ -238,6 +238,58 @@ class GeoTrajectorySpec extends SparkSpec {
       s"containment diverged from the hand walk: ${got.toSeq}")
   }
 
+  test("ltss_geo_zone_stats: rectangle closed forms — exact shoelace area, closed-form perimeter") {
+    // rect_box (zone 4) has closed forms independent of both engines:
+    // area = width × height = 40 × 30.5 = 1220 deg² EXACTLY (shoelace
+    // over quarter-integers), perimeter = two same-latitude legs (the
+    // legM closed form) + two meridian legs (2R·asin(sin(Δφ/2)) =
+    // R·Δφ — asin∘sin is the identity on the range), each floored.
+    val rows = SparkEntry.queries("ltss_geo_zone_stats")(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val rect = rows.find(_._1 == 4L).get
+    assert(rect._2 == "rect_box" && rect._3 == 4L)
+    assert(rect._4 == 1220.0, s"shoelace area must be exact: ${rect._4}")
+    val meridLeg = math.floor(R * math.toRadians(30.5) * 1000.0).toLong
+    val expected = legM(10.5, 40.0) + legM(-20.0, 40.0) + 2 * meridLeg
+    // the kernel's sqrt(pow(sin x, 2)) vs the closed form's sin x can
+    // land on opposite sides of a floor boundary — allow 1 m per edge
+    assert(math.abs(rect._5 - expected) <= 4,
+      s"perimeter ${rect._5} diverged from closed form $expected")
+    // the quadrilateral zone 3 pins the irregular shoelace: vertices
+    // (0,-10),(50,-5),(45,30),(5,25) → cross terms 500, 1725, 975, −50
+    // → |3150|/2 = 1575
+    assert(rows.find(_._1 == 3L).get._4 == 1575.0)
+  }
+
+  test("ltss_zones_dwell: hand-traced held intervals, visit gaps, and the overlap accounting") {
+    // user 90 (lat 0.5) sits inside zones 1 AND 4 at lon 0.5 (the
+    // ltss_geo_zones hand walk), leaves to lon 100.5 (outside every
+    // zone), and returns: two visits to each containing zone, with
+    // only the FIRST fix holding time inside (1 h to the next fix;
+    // the return fix is the entity's last → holds 0; the away fix's
+    // 2 h charge to no zone). user 9 (lat −80.5, zone 2) emits once:
+    // one visit, zero held dwell — the no-clairvoyance convention.
+    val dir = java.nio.file.Files.createTempDirectory("graft-zones-dwell").toString
+    Seq(
+      (180L, ts("2024-01-01 10:00:00"), 90L), // lon 0.5: in zones 1, 4
+      (280L, ts("2024-01-01 11:00:00"), 90L), // lon 100.5: outside all
+      (540L, ts("2024-01-01 13:00:00"), 90L), // lon 0.5 again: re-enter
+      (180L, ts("2024-01-01 10:00:00"), 9L))  // lat -80.5: zone 2
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("ltss_zones_dwell")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val hourUs = 3600000000L
+    assert(got.toSeq == Seq(
+      (1L, 90L, 2L, hourUs, 2L),
+      (2L, 9L, 1L, 0L, 1L),
+      (4L, 90L, 2L, hourUs, 2L)),
+      s"dwell accounting diverged from the hand trace: ${got.toSeq}")
+  }
+
   test("writeZoneLayout rejects degenerate rings, stores axis-aligned ones") {
     import org.apache.spark.sql.functions.expr
     val dir = java.nio.file.Files.createTempDirectory("graft-zone-reject").toString
