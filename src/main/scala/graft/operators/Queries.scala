@@ -1395,6 +1395,169 @@ object Queries {
         |ORDER BY w.user_id, time, event_id""".stripMargin
     })
 
+  /** The 2-D track layout for [[geoDouglasPeucker]]: the standard
+    * layout's mapping gives every entity a CONSTANT latitude
+    * (lat = f(user_id) only), which makes perpendicular-distance
+    * simplification degenerate — every track is a straight line. This
+    * twin layout derives latitude from BOTH keys so tracks genuinely
+    * turn; same [[graft.sources.LtssSink.writeTrackLayout]] storage
+    * policy (month segments, sorted arrays). */
+  def trackLayout2dPath(s: SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("geo_track2d_layout", d) { p =>
+      val pts = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id").as("id"), col("ts"), col("event_id").as("seq"),
+          (((col("user_id") + col("event_id")) % 180 - 90).cast("double") + 0.5)
+            .as("lat"),
+          ((col("event_id") % 360 - 180).cast("double") + 0.5).as("lon"))
+      graft.sources.LtssSink.writeTrackLayout(pts, p)
+    }
+
+  final case class DpFix(
+      ts: java.sql.Timestamp, seq: Long, lat: Double, lon: Double)
+  final case class DpSeg(id: Long, chunk: java.sql.Timestamp, seg: Seq[DpFix])
+  final case class DpKept(
+      user_id: Long, time: java.sql.Timestamp, event_id: Long,
+      lat: Double, lon: Double)
+
+  /** The Douglas–Peucker worklist over ONE stored segment's points:
+    * keep both endpoints; recursively keep the interior point that
+    * deviates MOST from the current chord whenever that deviation
+    * exceeds ε, splitting at it. All decisions are EXACT on the
+    * fixture's half-integer lattice: the perpendicular test compares
+    * cross² > ε²·|chord|² (both sides quarter-integer-granular
+    * doubles, no division, no rounding), a zero-length chord (closed
+    * loop) falls back to squared point distance, and ties at the max
+    * break to the SMALLEST index (strict `>` while scanning left to
+    * right) — the deterministic tie-break the oracle replays with
+    * `ORDER BY metric DESC, rn`. Exposed for the hand-trace spec. */
+  private[graft] def dpKeep(pts: IndexedSeq[DpFix], eps2: Double): Array[Boolean] = {
+    val n = pts.length
+    val keep = Array.fill(n)(false)
+    keep(0) = true
+    keep(n - 1) = true
+    if (n <= 2) return keep
+    val stack = scala.collection.mutable.ArrayBuffer[(Int, Int)]((0, n - 1))
+    while (stack.nonEmpty) {
+      val (lo, hi) = stack.remove(stack.length - 1)
+      if (hi - lo > 1) {
+        val a = pts(lo)
+        val b = pts(hi)
+        val dx = b.lon - a.lon
+        val dy = b.lat - a.lat
+        val len2 = dx * dx + dy * dy
+        var best = -1
+        var bestM = -1.0
+        var k = lo + 1
+        while (k < hi) {
+          val p = pts(k)
+          val m =
+            if (len2 == 0.0) {
+              val ax = p.lon - a.lon; val ay = p.lat - a.lat; ax * ax + ay * ay
+            } else {
+              val c = dx * (a.lat - p.lat) - (a.lon - p.lon) * dy; c * c
+            }
+          if (m > bestM) { bestM = m; best = k }
+          k += 1
+        }
+        val thresh = if (len2 == 0.0) eps2 else eps2 * len2
+        if (bestM > thresh) {
+          keep(best) = true
+          stack += ((lo, best))
+          stack += ((best, hi))
+        }
+      }
+    }
+    keep
+  }
+
+  /** TRUE Douglas–Peucker simplification — PostGIS `ST_Simplify`
+    * proper (the planar max-deviation recursion; [[geoSimplify]] is
+    * the lighter radial-distance cousin and says so): per stored
+    * month segment, keep the points whose removal would move the
+    * polyline more than ε = 10° from any chord. The recursion is
+    * SEGMENT-LOCAL — the worklist never leaves one array — so it runs
+    * as one compiled pass per layout row (the LTTB precedent: a
+    * data-dependent sequential pick belongs in a typed `flatMap`, not
+    * an expression tree), map-side over the range-partitioned layout
+    * with zero shuffle before the presentation sort. Parallelism
+    * scales with segment COUNT and per-task memory is ONE month's
+    * fixes — the layout's own array bound. The oracle replays the
+    * worklist as a DuckDB recursive CTE over the raw ordered fixes —
+    * intervals split at the argmax-deviation point found by a
+    * correlated subquery with the identical exact-arithmetic
+    * (cross² > ε²·len²) predicate and (metric DESC, rn) tie-break —
+    * never seeing the layout. */
+  val geoDouglasPeucker = OracleQuery(
+    "ltss_geo_dp",
+    (s, d) => {
+      import s.implicits._
+      s.read.parquet(trackLayout2dPath(s, d))
+        .select(col("id"), col("chunk"), col("seg")).as[DpSeg]
+        .flatMap { sg =>
+          val pts = sg.seg.toIndexedSeq
+          val keep = dpKeep(pts, 100.0)
+          pts.indices.collect { case i if keep(i) =>
+            DpKept(sg.id, pts(i).ts, pts(i).seq, pts(i).lat, pts(i).lon)
+          }
+        }
+        .toDF()
+        .orderBy(col("user_id"), col("time"), col("event_id"))
+    },
+    Some {
+      val len2 = "((b.lon - a.lon) * (b.lon - a.lon) + " +
+        "(b.lat - a.lat) * (b.lat - a.lat))"
+      val cross = "((b.lon - a.lon) * (a.lat - p.lat) - " +
+        "(a.lon - p.lon) * (b.lat - a.lat))"
+      val dist2 = "((p.lon - a.lon) * (p.lon - a.lon) + " +
+        "(p.lat - a.lat) * (p.lat - a.lat))"
+      s"""WITH RECURSIVE pts AS (
+        |  SELECT user_id, date_trunc('month', ts) AS chunk, ts, event_id,
+        |         CAST((user_id + event_id) % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+        |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+        |         row_number() OVER (PARTITION BY user_id, date_trunc('month', ts)
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |),
+        |walk(user_id, chunk, lo, hi) AS (
+        |  SELECT user_id, chunk, min(rn), max(rn) FROM pts GROUP BY user_id, chunk
+        |  UNION ALL
+        |  SELECT user_id, chunk,
+        |         CASE WHEN side = 0 THEN lo ELSE k END,
+        |         CASE WHEN side = 0 THEN k ELSE hi END
+        |  FROM (
+        |    SELECT w.user_id, w.chunk, w.lo, w.hi,
+        |           (SELECT p.rn FROM pts p
+        |            WHERE p.user_id = w.user_id AND p.chunk = w.chunk
+        |              AND p.rn > w.lo AND p.rn < w.hi
+        |              AND CASE WHEN $len2 = 0.0 THEN $dist2 > 100.0
+        |                       ELSE $cross * $cross > 100.0 * $len2 END
+        |            ORDER BY CASE WHEN $len2 = 0.0 THEN $dist2
+        |                          ELSE $cross * $cross END DESC, p.rn
+        |            LIMIT 1) AS k
+        |    FROM walk w
+        |    JOIN pts a ON a.user_id = w.user_id AND a.chunk = w.chunk
+        |     AND a.rn = w.lo
+        |    JOIN pts b ON b.user_id = w.user_id AND b.chunk = w.chunk
+        |     AND b.rn = w.hi
+        |    WHERE w.hi > w.lo + 1
+        |  ) CROSS JOIN (SELECT unnest([0, 1]) AS side)
+        |  WHERE k IS NOT NULL
+        |),
+        |kept AS (
+        |  -- DISTINCT, not UNION: inside a WITH RECURSIVE list DuckDB
+        |  -- 1.0 runs a non-self-referencing CTE's UNION as UNION ALL
+        |  SELECT DISTINCT user_id, chunk, rn FROM (
+        |    SELECT user_id, chunk, lo AS rn FROM walk
+        |    UNION ALL
+        |    SELECT user_id, chunk, hi AS rn FROM walk)
+        |)
+        |SELECT p.user_id, p.ts AS time, p.event_id, p.lat, p.lon
+        |FROM kept k JOIN pts p ON p.user_id = k.user_id AND p.chunk = k.chunk
+        | AND p.rn = k.rn
+        |ORDER BY p.user_id, time, p.event_id""".stripMargin
+    })
+
   /** STAY-POINT DETECTION — the visits/stops primitive of trajectory
     * mining (Li et al., "Mining user similarity based on location
     * history", ACM GIS 2008 — the GeoLife stay-point algorithm): a
@@ -3396,5 +3559,5 @@ object Queries {
     histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence, zoneDwell,
     kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn, geoDbscan,
     geoDbscanLatLon, geoTrack, geoSimplify, geoStaypoints, geoOdMatrix, geoMercator, geoHeading,
-    zoneStats, zonesDwell)
+    zoneStats, zonesDwell, geoDouglasPeucker)
 }

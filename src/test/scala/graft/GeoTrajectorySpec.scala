@@ -238,6 +238,63 @@ class GeoTrajectorySpec extends SparkSpec {
       s"containment diverged from the hand walk: ${got.toSeq}")
   }
 
+  test("ltss_geo_dp: hand-traced Douglas-Peucker — max-deviation split, collinear drop, vs the radial rule") {
+    // user 0 under the 2-D mapping (lat = (uid+eid)%180−90+0.5,
+    // lon = eid%360−180+0.5), four fixes:
+    //   P0 = e180 → (lon 0.5,    lat −89.5)
+    //   P1 = e200 → (lon 20.5,   lat −69.5)
+    //   P2 = e220 → (lon 40.5,   lat −49.5)
+    //   P3 = e370 → (lon −169.5, lat −79.5)
+    // Chord P0→P3: dx=−170, dy=10, len2=29000, thresh=100·len2=2.9e6.
+    //   P1: cross = (−170)(−20) − (−20)(10) = 3600 → 3600² = 1.296e7
+    //   P2: cross = (−170)(−40) − (−40)(10) = 7200 → 7200² = 5.184e7 ← max
+    // 5.184e7 > 2.9e6 → split at P2. Chord P0→P2: dx=dy=40;
+    //   P1: cross = 40(−20) − (−20)(40) = 0 → COLLINEAR → dropped.
+    // Kept: {P0, P2, P3}. The CONTRAST with ltss_geo_simplify's radial
+    // rule: radial keeps P1 whenever it sits ≥ D from the last kept
+    // fix regardless of deviation (spacing-driven), and can never make
+    // the max-deviation pick that selects P2 over P1 here — D-P's
+    // verdicts depend on distance from the CHORD, not from a neighbor.
+    val dir = java.nio.file.Files.createTempDirectory("graft-geo-dp").toString
+    Seq(
+      (180L, ts("2024-01-01 10:00:00"), 0L),
+      (200L, ts("2024-01-01 11:00:00"), 0L),
+      (220L, ts("2024-01-01 12:00:00"), 0L),
+      (370L, ts("2024-01-01 13:00:00"), 0L))
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("ltss_geo_dp")(spark, dir)
+      .collect().map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (180L, -89.5, 0.5), (220L, -49.5, 40.5), (370L, -79.5, -169.5)),
+      s"D-P picks diverged from the hand trace: ${got.toSeq}")
+  }
+
+  test("dpKeep: zero-length chord falls back to point distance; first-max tie-break") {
+    import graft.operators.Queries.{DpFix, dpKeep}
+    def f(seq: Long, lat: Double, lon: Double) =
+      DpFix(ts("2024-01-01 10:00:00"), seq, lat, lon)
+    // closed loop (endpoints coincide): len2 = 0 — the far middle point
+    // (30° away, dist² = 900 > ε² = 100) must survive; a near one
+    // (5° → 25) must not
+    assert(dpKeep(IndexedSeq(
+      f(1, 0.5, 0.5), f(2, 0.5, 30.5), f(3, 0.5, 0.5)), 100.0).toSeq ==
+      Seq(true, true, true))
+    assert(dpKeep(IndexedSeq(
+      f(1, 0.5, 0.5), f(2, 0.5, 5.5), f(3, 0.5, 0.5)), 100.0).toSeq ==
+      Seq(true, false, true))
+    // a PLATEAU: two interior points with the IDENTICAL deviation off
+    // the horizontal chord (cross = 100·15 = 1500 for both). The split
+    // must take the FIRST (smallest index); the second then sits 150/√…
+    // off the new chord — under ε — and drops. Had the tie broken the
+    // other way the kept set would be its mirror, so the assertion
+    // pins the tie-break itself, not just the split count.
+    val tied = dpKeep(IndexedSeq(
+      f(1, 0.5, 0.5), f(2, 15.5, 45.5), f(3, 15.5, 55.5), f(4, 0.5, 100.5)), 100.0)
+    assert(tied.toSeq == Seq(true, true, false, true),
+      s"tie must break to the smallest index: ${tied.toSeq}")
+  }
+
   test("ltss_geo_zone_stats: rectangle closed forms — exact shoelace area, closed-form perimeter") {
     // rect_box (zone 4) has closed forms independent of both engines:
     // area = width × height = 40 × 30.5 = 1220 deg² EXACTLY (shoelace

@@ -175,7 +175,11 @@ object ScalingProbe {
         n == "ltss_geo_staypoints" || n == "ltss_geo_od"))
       warmed("geo_track_layout")(
         graft.operators.Queries.trackLayoutPath(spark, sfDir))
-    if (names.contains("ltss_geo_zones"))
+    if (names.contains("ltss_geo_dp"))
+      warmed("geo_track2d_layout")(
+        graft.operators.Queries.trackLayout2dPath(spark, sfDir))
+    if (names.exists(n => n == "ltss_geo_zones" || n == "ltss_geo_zone_stats" ||
+        n == "ltss_zones_dwell"))
       warmed("geo_zone_layout")(
         graft.operators.Queries.zoneLayoutPath(spark, sfDir))
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
