@@ -1592,6 +1592,48 @@ object StreamingOps {
       user_id: Long, t_start: java.sql.Timestamp, t_end: java.sql.Timestamp,
       n_fixes: Long, dwell_us: Long, lat: Double, lon: Double)
 
+  /** The session-timezone month chunker shared by the trajectory
+    * streams — the batch twins truncate with `date_trunc('month')`,
+    * which reads `spark.sql.session.timeZone`, so both faces derive
+    * the SAME segment boundaries under any session timezone (captured
+    * at plan construction). */
+  private def monthChunker(spark: org.apache.spark.sql.SparkSession): Long => Long = {
+    val chunkZone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    (tus: Long) => {
+      val d = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(tus, 1000000L), Math.floorMod(tus, 1000000L) * 1000L)
+        .atZone(chunkZone).toLocalDate.withDayOfMonth(1)
+      d.atStartOfDay(chunkZone).toInstant.getEpochSecond * 1000000L
+    }
+  }
+
+  /** Advance one entity's stay-run state by ONE in-order fix — the
+    * per-fix state machine of the batch stay-point fold, shared by
+    * [[staypointStream]] and [[odFlowStream]] so their run boundaries
+    * agree by construction. Returns `(newState, closedRun)`:
+    * `closedRun` is the previous run iff this fix closed it (broke the
+    * anchor radius or opened a new month) — the caller applies the
+    * visit filter. An at-or-behind arrival returns the state unchanged
+    * with no closure (the trajectory streams' in-order contract). */
+  private def advanceStay(
+      s: StayState, tus: Long, eid: Long, lat: Double, lon: Double,
+      chunkUs: Long => Long, radiusM: Long): (StayState, Option[StayState]) = {
+    if (s != null && !(tus > s.t1Us || (tus == s.t1Us && eid > s.seq))) (s, None)
+    else {
+      val cu = chunkUs(tus)
+      val near = s != null && math.floor(graft.functions.GeoMath.haversineKm(
+        s.alat, s.alon, lat, lon) * 1000.0).toLong <= radiusM
+      if (s != null && cu == s.chunkUs && near)
+        (s.copy(t1Us = tus, seq = eid, n = s.n + 1), None)
+      else
+        (StayState(cu, lat, lon, tus, tus, eid, 1L), Option(s))
+    }
+  }
+
+  /** Does a closed run qualify as a VISIT — the batch filter verbatim. */
+  private def isVisit(r: StayState, minDwellUs: Long): Boolean =
+    r.n >= 2L && r.t1Us - r.t0Us >= minDwellUs
+
   /** Continuous STAY-POINT detection — the live face of the batch
     * `ltss_geo_staypoints` visits miner, and the trajectory automation
     * HA users actually want ("the tracker has STOPPED somewhere"): the
@@ -1610,20 +1652,7 @@ object StreamingOps {
       radiusM: Long = 2000000L,
       minDwellUs: Long = 43200000000L): Dataset[StayVisit] = {
     import pts.sparkSession.implicits._
-    // month boundaries follow the SESSION timezone, captured at plan
-    // construction — the batch twin truncates with date_trunc('month'),
-    // which reads spark.sql.session.timeZone, so a non-UTC session gets
-    // the SAME segment boundaries from both faces (r14 hard-coded UTC
-    // here and the documented parity held only because the harness pins
-    // UTC everywhere)
-    val chunkZone = java.time.ZoneId.of(
-      pts.sparkSession.conf.get("spark.sql.session.timeZone"))
-    def chunkUsOf(tus: Long): Long = {
-      val d = java.time.Instant.ofEpochSecond(
-        Math.floorDiv(tus, 1000000L), (Math.floorMod(tus, 1000000L)) * 1000L)
-        .atZone(chunkZone).toLocalDate.withDayOfMonth(1)
-      d.atStartOfDay(chunkZone).toInstant.getEpochSecond * 1000000L
-    }
+    val chunkUsOf = monthChunker(pts.sparkSession)
     pts
       .select(col("time"), col("user_id"), col("event_id"), col("lat"), col("lon"))
       .as[(java.sql.Timestamp, Long, Long, Double, Double)]
@@ -1634,25 +1663,73 @@ object StreamingOps {
         val sorted = rows.toSeq.sortBy(r => (micros(r._1), r._3))
         var s = st.getOption.orNull
         val out = scala.collection.mutable.ArrayBuffer.empty[StayVisit]
-        def close(state: StayState): Unit =
-          if (state.n >= 2L && state.t1Us - state.t0Us >= minDwellUs)
-            out += StayVisit(uid, tsOfMicros(state.t0Us), tsOfMicros(state.t1Us),
-              state.n, state.t1Us - state.t0Us, state.alat, state.alon)
         for ((t, _, eid, lat, lon) <- sorted) {
-          val tus = micros(t)
-          if (s == null || tus > s.t1Us || (tus == s.t1Us && eid > s.seq)) {
-            val cu = chunkUsOf(tus)
-            val near = s != null && math.floor(graft.functions.GeoMath.haversineKm(
-              s.alat, s.alon, lat, lon) * 1000.0).toLong <= radiusM
-            if (s != null && cu == s.chunkUs && near)
-              s = s.copy(t1Us = tus, seq = eid, n = s.n + 1)
-            else {
-              if (s != null) close(s)
-              s = StayState(cu, lat, lon, tus, tus, eid, 1L)
-            }
+          val (ns, closed) = advanceStay(s, micros(t), eid, lat, lon,
+            chunkUsOf, radiusM)
+          s = ns
+          closed.filter(isVisit(_, minDwellUs)).foreach { r =>
+            out += StayVisit(uid, tsOfMicros(r.t0Us), tsOfMicros(r.t1Us),
+              r.n, r.t1Us - r.t0Us, r.alat, r.alon)
           }
         }
         if (s != null) st.update(s)
+        out.iterator
+      }
+  }
+
+  final case class OdFlowState(stay: StayState, origin: Option[StayState])
+  final case class OdTrip(
+      user_id: Long, t_depart: java.sql.Timestamp,
+      o_cell_lat: Long, o_cell_lon: Long, d_cell_lat: Long, d_cell_lon: Long,
+      origin_dwell_us: Long)
+
+  /** Continuous ORIGIN–DESTINATION flows — the live face of the batch
+    * `ltss_geo_od` matrix, composed on [[staypointStream]]'s run
+    * machine ([[advanceStay]] is SHARED, so run boundaries agree by
+    * construction): per entity the state holds the open stay run plus
+    * the LAST CLOSED VISIT (constant — anchor coords, end µs, dwell),
+    * and the moment a closing run qualifies as a visit it emits one
+    * TRIP row — origin cell from the held visit, destination cell from
+    * the new one, stamped with the departure time (the origin visit's
+    * end) and the origin's integer dwell — then takes over as the held
+    * origin. Non-qualifying runs are transparent, exactly like the
+    * batch `lag` over the VISITS frame (not the runs frame). Grouping
+    * the emitted trips by cell pair reproduces the batch matrix over
+    * any in-order prefix minus each entity's trip INTO its still-open
+    * visit (spec-pinned, incl. RocksDB restart). Cells are the batch's
+    * `floor(coord/10°)` quantization — exact on half-integers. */
+  def odFlowStream(
+      pts: DataFrame, // time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE
+      radiusM: Long = 2000000L,
+      minDwellUs: Long = 43200000000L): Dataset[OdTrip] = {
+    import pts.sparkSession.implicits._
+    val chunkUsOf = monthChunker(pts.sparkSession)
+    def cell(x: Double): Long = math.floor(x / 10.0).toLong
+    pts
+      .select(col("time"), col("user_id"), col("event_id"), col("lat"), col("lon"))
+      .as[(java.sql.Timestamp, Long, Long, Double, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[OdFlowState, OdTrip](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (uid, rows, st) =>
+        val sorted = rows.toSeq.sortBy(r => (micros(r._1), r._3))
+        var stay = st.getOption.map(_.stay).orNull
+        var origin = st.getOption.flatMap(_.origin)
+        val out = scala.collection.mutable.ArrayBuffer.empty[OdTrip]
+        for ((t, _, eid, lat, lon) <- sorted) {
+          val (ns, closed) = advanceStay(stay, micros(t), eid, lat, lon,
+            chunkUsOf, radiusM)
+          stay = ns
+          closed.filter(isVisit(_, minDwellUs)).foreach { v =>
+            origin.foreach { o =>
+              out += OdTrip(uid, tsOfMicros(o.t1Us),
+                cell(o.alat), cell(o.alon), cell(v.alat), cell(v.alon),
+                o.t1Us - o.t0Us)
+            }
+            origin = Some(v)
+          }
+        }
+        if (stay != null) st.update(OdFlowState(stay, origin))
         out.iterator
       }
   }

@@ -239,6 +239,46 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("held OD origin + restart: the trip into a post-restart visit cites the recovered origin") {
+    withRocksDb {
+      val in = tmp("rdb-od-in"); val out = tmp("rdb-od-out"); val ckpt = tmp("rdb-od-ckpt")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE")
+      def start() = StreamingOps
+        .odFlowStream(spark.readStream.schema(schema).json(in))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      def fix(t: String, eid: Long, lon: Double) =
+        s"""{"time":"${t}Z","user_id":97,"event_id":$eid,"lat":7.5,"lon":$lon}"""
+      // before the stop: visit V1 closes into visit V2 (one trip
+      // emits), V2 closes at a lone wander fix — V2 is now the HELD
+      // ORIGIN, living only in state
+      Files.writeString(Paths.get(in, "b1.json"), Seq(
+        fix("2024-01-01T00:00:00", 180, 0.5),
+        fix("2024-01-01T13:00:00", 181, 1.5),
+        fix("2024-01-02T00:00:00", 240, 60.5),
+        fix("2024-01-02T12:00:00", 241, 61.5),
+        fix("2024-01-03T00:00:00", 310, 130.5)).mkString("\n"))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // after restart: a February visit closes in March — its trip's
+      // origin cell and dwell can only come from the recovered V2
+      Files.writeString(Paths.get(in, "b2.json"), Seq(
+        fix("2024-02-01T00:00:00", 540, 0.5),
+        fix("2024-02-01T13:00:00", 541, 1.5),
+        fix("2024-03-01T00:00:00", 670, 130.5)).mkString("\n"))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val trips = spark.read.parquet(out)
+        .selectExpr("t_depart", "o_cell_lat", "o_cell_lon", "d_cell_lat",
+          "d_cell_lon", "origin_dwell_us")
+        .as[(java.sql.Timestamp, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1.getTime).toSeq
+      assert(trips == Seq(
+        (ts("2024-01-01 13:00:00"), 0L, 0L, 0L, 6L, 13L * 3600000000L),
+        (ts("2024-01-02 12:00:00"), 0L, 6L, 0L, 0L, 12L * 3600000000L)),
+        s"recovered origin diverged: $trips")
+    }
+  }
+
   test("zone containment set + restart: the exit emits from the RocksDB-held set") {
     withRocksDb {
       val in = tmp("rdb-zn-in"); val out = tmp("rdb-zn-out"); val ckpt = tmp("rdb-zn-ckpt")

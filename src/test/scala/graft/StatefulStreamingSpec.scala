@@ -1754,6 +1754,72 @@ class StatefulStreamingSpec extends SparkSpec {
       (ts("2024-01-02 00:00:00"), 2L, 12L * 3600000000L, 60.5)))
   }
 
+  test("odFlowStream emits the batch OD trips as visits close; the open visit's trip is held") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // user 97 (lat 7.5) makes three visits with wandering in between —
+    // event ids chosen so the STREAM lats/lons equal what the batch
+    // query re-derives from the parquet keys (e % 360 − 180 + 0.5):
+    //   V1 Jan 1 00:00–13:00 at lon 0.5/1.5   (13 h ≥ 12 h, visit)
+    //   V2 Jan 2 00:00–12:00 at lon 60.5/61.5 (12 h, visit)
+    //   lone Jan 3 fix at lon 130.5           (run, never a visit)
+    //   V3 Feb 1 00:00–13:00 at lon 0.5/1.5   (visit, closed by March)
+    // Trips: V1→V2 (emits when V2 closes at the lone fix) and V2→V3
+    // (emits when March closes V3) — the V2 origin must survive the
+    // transparent non-visit run between them, exactly like the batch
+    // lag over the VISITS frame.
+    val fixes = Seq(
+      (ts("2024-01-01 00:00:00"), 97L, 180L, 7.5, 0.5),
+      (ts("2024-01-01 13:00:00"), 97L, 181L, 7.5, 1.5),
+      (ts("2024-01-02 00:00:00"), 97L, 240L, 7.5, 60.5),
+      (ts("2024-01-02 12:00:00"), 97L, 241L, 7.5, 61.5),
+      (ts("2024-01-03 00:00:00"), 97L, 310L, 7.5, 130.5),
+      (ts("2024-02-01 00:00:00"), 97L, 540L, 7.5, 0.5),
+      (ts("2024-02-01 13:00:00"), 97L, 541L, 7.5, 1.5),
+      (ts("2024-03-01 00:00:00"), 97L, 670L, 7.5, 130.5))
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val q = StreamingOps.odFlowStream(
+      ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon"))
+      .writeStream.format("memory").queryName("od_t").outputMode("append").start()
+    def batchOd(upTo: Int): Seq[(Long, Long, Long, Long, Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-od-batch").toString
+      fixes.take(upTo).map { case (t, u, e, _, _) => (e, t, u) }
+        .toDF("event_id", "ts", "user_id")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      SparkEntry.queries("ltss_geo_od")(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    }
+    try {
+      ms.addData(fixes.take(4): _*); q.processAllAvailable()
+      assert(spark.table("od_t").count() == 0, "no visit has closed yet")
+      ms.addData(fixes(4)); q.processAllAvailable()
+      // prefix check: aggregating the emitted trips reproduces the
+      // batch matrix over the same fixes (the lone run never visits,
+      // so nothing is held back here)
+      val agg1 = spark.table("od_t")
+        .groupBy($"o_cell_lat", $"o_cell_lon", $"d_cell_lat", $"d_cell_lon")
+        .agg(count(lit(1)).as("n_trips"), sum($"origin_dwell_us").as("origin_dwell_us"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(agg1 == batchOd(5), s"prefix trips diverged: $agg1 vs ${batchOd(5)}")
+      ms.addData(fixes.slice(5, 7): _*); q.processAllAvailable()
+      assert(spark.table("od_t").count() == 1, "V3 is still open — its trip is held")
+      ms.addData(fixes.drop(7): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"odFlowStream died: ${q.exception}")
+    val got = spark.table("od_t")
+      .as[(Long, java.sql.Timestamp, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._2.getTime).toSeq
+    assert(got == Seq(
+      (97L, ts("2024-01-01 13:00:00"), 0L, 0L, 0L, 6L, 13L * 3600000000L),
+      (97L, ts("2024-01-02 12:00:00"), 0L, 6L, 0L, 0L, 12L * 3600000000L)),
+      s"trips diverged from the hand trace: $got")
+    val aggAll = spark.table("od_t")
+      .groupBy($"o_cell_lat", $"o_cell_lon", $"d_cell_lat", $"d_cell_lon")
+      .agg(count(lit(1)).as("n_trips"), sum($"origin_dwell_us").as("origin_dwell_us"))
+      .orderBy($"o_cell_lat", $"o_cell_lon", $"d_cell_lat", $"d_cell_lon")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(aggAll == batchOd(8), s"full-run matrix diverged: $aggAll vs ${batchOd(8)}")
+  }
+
   test("streaming hampel twin: prefix-equal to batch minus the two held samples") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     // p.a: clean series with one spike (99 among ~10s) — row 3's window
