@@ -684,15 +684,108 @@ object LtssSink {
     * window, not a shuffle. */
   def writeTrackLayout(pts: DataFrame, path: String, parts: Int = 32): Unit = {
     import org.apache.spark.sql.functions._
+    val spark = pts.sparkSession
     pts.toDF("id", "ts", "seq", "lat", "lon")
       .withColumn("chunk", date_trunc("month", col("ts")))
       .groupBy(col("id"), col("chunk"))
       .agg(sort_array(collect_list(
         struct(col("ts"), col("seq"), col("lat"), col("lon")))).as("seg"))
       .withColumn("n_fixes", size(col("seg")))
+      // month DIRECTORIES (chunk_key) so incremental maintenance
+      // ([[appendTrackMonth]]) rewrites one month, never the layout;
+      // `chunk` stays a DATA column — consumers are untouched
+      .withColumn("chunk_key", date_format(col("chunk"), "yyyy-MM"))
       .repartitionByRange(parts, col("id"), col("chunk"))
       .sortWithinPartitions(col("id"), col("chunk"))
-      .write.mode(SaveMode.Overwrite).parquet(path)
+      .write.mode(SaveMode.Overwrite).partitionBy("chunk_key").parquet(path)
+    // interval 0 = calendar-month chunking (non-uniform width — the
+    // track layout's policy is date_trunc('month'), not a fixed µs grid)
+    writeLayoutMarker(spark, path, LayoutMarker(0L, Nil))
+  }
+
+  /** INCREMENTAL track-layout maintenance — the batch landing path for
+    * `trackSegmentStream`'s closed segments (and for month backfills):
+    * an IDEMPOTENT per-(id, month) segment UPSERT into the layout
+    * [[writeTrackLayout]] wrote. An incoming `(id, chunk)` REPLACES
+    * any stored twin (a replayed emission is therefore a no-op by
+    * content); entities and months not named stay byte-untouched —
+    * only the affected month DIRECTORIES rewrite, which is what makes
+    * this the daily-batch shape at 100 TB (the `dedup_incremental`
+    * pattern applied to the layout: merge against the store's affected
+    * slice, never rescan the corpus).
+    *
+    * Protocol, under the layout marker lock like every other lifecycle
+    * mutation: stamp `migrating = "appending"`, stage the merged
+    * months under a hidden dot-dir (the stage READS complete before
+    * any live dir moves), then per month retire → swap-in → drop
+    * retired (the [[compactChunk]] swap). Crash recovery is RE-RUNNING
+    * the append with the same segments: entry first restores any
+    * retired month dir whose live twin vanished (the only copy), and
+    * the merge is idempotent at every crash point. Input columns:
+    * `(id, chunk, n_fixes, seg)` — `trackSegmentStream`'s emission
+    * schema. Caller contract: run under the SAME session timezone as
+    * the layout's writer (month keys are session-tz calendar months,
+    * the layout's own chunking policy). */
+  def appendTrackMonth(segments: DataFrame, path: String, parts: Int = 32): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = segments.sparkSession
+    val incoming = segments.toDF("id", "chunk", "n_fixes", "seg")
+      .select(col("id"), col("chunk"), col("seg"), col("n_fixes"))
+    val marker = readLayoutMarker(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"track layout at $path has no marker — rebuild it with " +
+          "writeTrackLayout before appending"))
+    // an "appending" lock is THIS operation's own crash residue — the
+    // recovery protocol is re-running the append, so it passes; any
+    // other lock (compaction, encoding migration) refuses as usual
+    if (!marker.migrating.contains("appending"))
+      requireUnlocked(Some(marker), path, "before appending track months")
+    writeLayoutMarker(spark, path, marker.copy(
+      generation = marker.generation + 1, migrating = Some("appending")))
+    val (fs, root) = hadoopFs(spark, path)
+    // crash restore: a retired month dir without a live twin holds the
+    // ONLY copy of that month — restore it before reading
+    fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(".append_retired_"))
+      .foreach { st =>
+        val k = st.getPath.getName.stripPrefix(".append_retired_")
+        val live = new org.apache.hadoop.fs.Path(root, s"chunk_key=$k")
+        if (!fs.exists(live) && !fs.rename(st.getPath, live))
+          throw new java.io.IOException(
+            s"could not restore crashed append residue ${st.getPath}")
+      }
+    val staged = new org.apache.hadoop.fs.Path(root, ".append_staged")
+    fs.delete(staged, true)
+    // bounded planning collect: distinct MONTHS in the batch, not rows
+    val monthKeys = incoming
+      .select(date_format(col("chunk"), "yyyy-MM").as("k"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    val existing = spark.read.parquet(path)
+      .filter(col("chunk_key").isin(monthKeys: _*)) // partition-pruned
+      .select(col("id"), col("chunk"), col("seg"), col("n_fixes"))
+    val merged = existing
+      .join(incoming.select(col("id"), col("chunk")), Seq("id", "chunk"), "left_anti")
+      .unionByName(incoming)
+      .withColumn("chunk_key", date_format(col("chunk"), "yyyy-MM"))
+      .repartitionByRange(parts, col("id"), col("chunk"))
+      .sortWithinPartitions(col("id"), col("chunk"))
+    merged.write.mode(SaveMode.Overwrite).partitionBy("chunk_key")
+      .parquet(staged.toString)
+    for (k <- monthKeys) {
+      val live = new org.apache.hadoop.fs.Path(root, s"chunk_key=$k")
+      val in = new org.apache.hadoop.fs.Path(staged, s"chunk_key=$k")
+      val retired = new org.apache.hadoop.fs.Path(root, s".append_retired_$k")
+      fs.delete(retired, true)
+      if (fs.exists(live) && !fs.rename(live, retired))
+        throw new java.io.IOException(s"append could not retire $live")
+      if (!fs.rename(in, live))
+        throw new java.io.IOException(
+          s"append could not swap in $in — prior month preserved at $retired")
+      fs.delete(retired, true)
+    }
+    fs.delete(staged, true)
+    writeLayoutMarker(spark, path, marker.copy(
+      generation = marker.generation + 2, migrating = None))
   }
 
   /** STORED ZONES — polygon STORAGE (the last §7.4 PostGIS-geometry

@@ -1659,6 +1659,66 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(!got.flatMap(_._4).exists(_._2 == 199L), "the stale Jan fix must drop")
   }
 
+  test("appendTrackMonth lands stream emissions as the batch rebuild; a replayed segment is a no-op") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // user 7 spans Jan→Feb→Mar; user 8 stays in (open) Jan
+    val fixes = Seq(
+      (ts("2024-01-03 10:00:00"), 7L, 101L, 1.5, 8.5),
+      (ts("2024-01-05 10:00:00"), 7L, 102L, 1.5, 10.5),
+      (ts("2024-02-01 09:00:00"), 7L, 103L, 1.5, 12.5),
+      (ts("2024-02-20 09:00:00"), 7L, 104L, 1.5, 13.5),
+      (ts("2024-03-01 09:00:00"), 7L, 105L, 1.5, 14.5),
+      (ts("2024-01-02 10:00:00"), 8L, 201L, 2.5, 20.5),
+      (ts("2024-01-09 10:00:00"), 8L, 202L, 2.5, 21.5))
+    def writeLayout(fs: Seq[(java.sql.Timestamp, Long, Long, Double, Double)],
+        dir: String): Unit =
+      graft.sources.LtssSink.writeTrackLayout(
+        fs.map { case (t, u, e, la, lo) => (u, t, e, la, lo) }
+          .toDF("id", "ts", "seq", "lat", "lon"), dir)
+    def dump(dir: String) = spark.read.parquet(dir)
+      .selectExpr("id", "chunk", "n_fixes",
+        "transform(seg, f -> struct(f.ts, f.seq, f.lat, f.lon)) AS seg")
+      .as[(Long, java.sql.Timestamp, Int,
+        Seq[(java.sql.Timestamp, Long, Double, Double)])]
+      .collect().sortBy(r => (r._1, r._2.getTime)).toSeq
+    // initial layout: the January slice (the first batch rebuild)
+    val layout = java.nio.file.Files.createTempDirectory("graft-append-track").toString
+    writeLayout(fixes.filter(_._1.getTime < ts("2024-02-01 00:00:00").getTime), layout)
+    // stream ALL fixes: closed segments = user-7 January (a REPLAYED
+    // twin of the stored month) and user-7 February
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val q = StreamingOps.trackSegmentStream(
+      ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon"))
+      .writeStream.format("memory").queryName("append_tk_t").outputMode("append").start()
+    try { ms.addData(fixes: _*); q.processAllAvailable() } finally q.stop()
+    assert(q.exception.isEmpty, s"trackSegmentStream died: ${q.exception}")
+    val emitted = spark.table("append_tk_t")
+    assert(emitted.count() == 2, "closed segments: u7 Jan (replay) + u7 Feb")
+    graft.sources.LtssSink.appendTrackMonth(emitted, layout)
+    // stream emissions + append ≡ the full rebuild minus open months
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-append-full").toString
+    writeLayout(fixes.filterNot(f => // drop each entity's open month
+      (f._2 == 7L && f._1.getTime >= ts("2024-03-01 00:00:00").getTime)), rebuilt)
+    // u8's January is OPEN in the stream but was in the initial layout —
+    // the rebuild truth keeps it (append must not disturb unnamed rows)
+    assert(dump(layout) == dump(rebuilt),
+      s"append diverged from the rebuild:\n${dump(layout)}\nvs\n${dump(rebuilt)}")
+    // replaying the SAME emissions is a no-op by content, and the
+    // marker is unlocked with a bumped generation
+    graft.sources.LtssSink.appendTrackMonth(emitted, layout)
+    assert(dump(layout) == dump(rebuilt), "replayed append must be a no-op")
+    val m = graft.sources.LtssSink.readLayoutMarker(spark, layout).get
+    assert(m.migrating.isEmpty && m.generation >= 4L,
+      s"marker must unlock with a monotone generation: $m")
+    // a marker-less layout refuses (its chunking vintage is unknown)
+    val bare = java.nio.file.Files.createTempDirectory("graft-append-bare").toString + "/l"
+    spark.read.parquet(layout).write.parquet(bare)
+    val e = intercept[IllegalStateException] {
+      graft.sources.LtssSink.appendTrackMonth(emitted, bare)
+    }
+    assert(e.getMessage.contains("no marker"))
+  }
+
   test("geoZonesStream: multi-zone enter/exit log, held sets equal the batch join per prefix") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val zones = graft.operators.Queries.ZoneDefs.map { case (id, _, vs) => (id, vs) }
