@@ -1,0 +1,20 @@
+package graft.sources
+
+/** The PostgreSQL COPY-IN capability a JDBC connection may expose.
+  *
+  * `java.sql` has no bulk-load surface, so every PostgreSQL client
+  * exposes COPY through a driver-specific side door — pgjdbc through
+  * `PGConnection.getCopyAPI.copyIn(sql, reader)`, which
+  * [[LtssSink.copyApiOf]] reaches reflectively (no compile-time pgjdbc
+  * dependency), and any other driver by implementing THIS interface on
+  * its `Connection` (the sandbox's test-scope wire client does). The
+  * contract mirrors pgjdbc's `CopyManager.copyIn`: run the given
+  * `COPY … FROM STDIN` statement feeding it the reader's text-format
+  * payload, return the row count, throw `SQLException` with the
+  * server's SQLSTATE on failure (a mid-COPY constraint violation must
+  * surface as its 23xxx state so the sink's conflict classifier sees
+  * it).
+  */
+trait PgCopy {
+  def copyIn(sql: String, data: java.io.Reader): Long
+}

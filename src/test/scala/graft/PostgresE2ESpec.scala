@@ -174,6 +174,68 @@ class PostgresE2ESpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("writeJdbc bulkCopy: the COPY protocol lands and escapes rows; a replay lands exactly-once") {
+    LtssSink.bootstrapJdbc(cfg, table = "ltss_copy", locationType = "VARCHAR(255)")
+    // state carries every COPY-text special character (tab, newline,
+    // CR, backslash) — they must round-trip through the escaper, and a
+    // SQL NULL must stay NULL (not the literal \N)
+    val rows = Seq(
+      (ts("2024-01-01 00:00:01.000001"), "sensor.1", "a\tb", """{"i":1}"""),
+      (ts("2024-01-01 00:00:02.000002"), "sensor.2", "c\nd\\e\rf", null),
+      (ts("2024-01-01 00:00:03.000003"), "sensor.3", "plain", """{"i":3}"""))
+    val batch = rows.toDF("time", "entity_id", "state", "attributes")
+    LtssSink.writeJdbc(batch, cfg, table = "ltss_copy",
+      retryWaitMs = 1, sleep = _ => (), bulkCopy = true)
+    withWire { w =>
+      val got = w.query(
+        "SELECT entity_id, state, attributes FROM ltss_copy ORDER BY time").rows
+      assert(got.map(_(1)) == Vector("a\tb", "c\nd\\e\rf", "plain"),
+        s"COPY text escaping diverged: $got")
+      assert(got(1)(2) == null, "SQL NULL must survive as NULL, not \\N")
+      assert(got(0)(2) == """{"i": 1}""") // jsonb normalizes spacing
+    }
+    // a full replay plus one new row: the conflict fallback lands
+    // exactly the remainder (at-least-once's expected face)
+    val replay = (rows :+
+      ((ts("2024-01-01 00:00:04.000004"), "sensor.4", "late", """{"i":4}""")))
+      .toDF("time", "entity_id", "state", "attributes")
+    LtssSink.writeJdbc(replay, cfg, table = "ltss_copy",
+      retryWaitMs = 1, sleep = _ => (), bulkCopy = true)
+    withWire { w =>
+      val got = w.query(
+        "SELECT entity_id FROM ltss_copy ORDER BY time").rows.map(_(0))
+      assert(got == Vector("sensor.1", "sensor.2", "sensor.3", "sensor.4"),
+        s"replay must land exactly-once: $got")
+    }
+  }
+
+  test("COPY vs batched INSERT throughput, measured on live PG 15") {
+    LtssSink.bootstrapJdbc(cfg, table = "ltss_tp_ins", locationType = "VARCHAR(255)")
+    LtssSink.bootstrapJdbc(cfg, table = "ltss_tp_cp", locationType = "VARCHAR(255)")
+    val n = 20000
+    val batch = spark.range(n.toLong).selectExpr(
+      "timestampadd(MICROSECOND, CAST(id AS INT), TIMESTAMP '2024-01-01 00:00:00') AS time",
+      "concat('sensor.', CAST(id % 50 AS STRING)) AS entity_id",
+      "CAST(id AS STRING) AS state",
+      """concat('{"i":', id, '}') AS attributes""").coalesce(2)
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val tIns = timed(LtssSink.writeJdbc(batch, cfg, table = "ltss_tp_ins",
+      retryWaitMs = 1, sleep = _ => ()))
+    val tCp = timed(LtssSink.writeJdbc(batch, cfg, table = "ltss_tp_cp",
+      retryWaitMs = 1, sleep = _ => (), bulkCopy = true))
+    withWire { w =>
+      assert(w.query("SELECT count(*) FROM ltss_tp_ins").rows.head.head == n.toString)
+      assert(w.query("SELECT count(*) FROM ltss_tp_cp").rows.head.head == n.toString)
+    }
+    // numbers on record (the round artifact greps test logs; SCALING.md
+    // cites the recorded run): rows/s per path and the ratio
+    info(f"batched INSERT: $n rows in $tIns%.2f s = ${n / tIns}%.0f rows/s")
+    info(f"COPY protocol:  $n rows in $tCp%.2f s = ${n / tCp}%.0f rows/s " +
+      f"(${tIns / tCp}%.1fx vs INSERT)")
+  }
+
   test("effectiveConfig: the live table's location column overrides the flag both ways") {
     // table WITH the column: a config that dropped the flag is overridden
     // back on (once activated, never deactivated — reference models.py:38-43)

@@ -120,6 +120,79 @@ object PgWire {
       Result(cols, oids, rows.result(), tags.result(), txnStatus)
     }
 
+    /** COPY-IN subprotocol: run a `COPY … FROM STDIN` statement and
+      * stream the reader's text-format payload as CopyData messages.
+      * The server answers the Query with CopyInResponse ('G'); data
+      * flows as 'd' frames, CopyDone ('c') closes, and the tail drains
+      * to ReadyForQuery exactly like [[query]] — an ErrorResponse
+      * (e.g. 23505 on a replayed batch) is collected, the stream still
+      * drains, and THEN throws with the server's SQLSTATE, leaving the
+      * connection usable. Returns the `COPY n` row count. */
+    def copyIn(sql: String, data: java.io.Reader): Long = synchronized {
+      if (closed) throw new PgException("connection is closed", "08003")
+      val b = sql.getBytes(UTF_8)
+      out.writeByte('Q')
+      out.writeInt(4 + b.length + 1)
+      out.write(b)
+      out.writeByte(0)
+      out.flush()
+      var err: SQLException = null
+      var inCopy = false
+      var ready = false
+      var rowsCopied = 0L
+      while (!inCopy && !ready) {
+        val (t, body) = readMessage()
+        t match {
+          case 'G' => inCopy = true // CopyInResponse
+          case 'E' => if (err == null) err = errorFrom(body)
+          case 'N' | 'S' | 'A' => ()
+          case 'Z' => txnStatus = body(0).toChar; ready = true
+          case other => throw new PgException(
+            s"unexpected message '$other' awaiting CopyInResponse", "08P01")
+        }
+      }
+      if (inCopy) {
+        try {
+          val buf = new Array[Char](65536)
+          var n = data.read(buf)
+          while (n > 0) {
+            val bytes = new String(buf, 0, n).getBytes(UTF_8)
+            out.writeByte('d') // CopyData
+            out.writeInt(4 + bytes.length)
+            out.write(bytes)
+            n = data.read(buf)
+          }
+          out.writeByte('c') // CopyDone
+          out.writeInt(4)
+          out.flush()
+        } catch {
+          case e: java.io.IOException =>
+            val msg = s"graft copy aborted: ${e.getMessage}".getBytes(UTF_8)
+            out.writeByte('f') // CopyFail
+            out.writeInt(4 + msg.length + 1)
+            out.write(msg)
+            out.writeByte(0)
+            out.flush()
+        }
+        while (!ready) {
+          val (t, body) = readMessage()
+          t match {
+            case 'C' =>
+              val tag = cstring(body, 0)._1
+              if (tag.startsWith("COPY "))
+                rowsCopied = tag.substring(5).trim.toLong
+            case 'E' => if (err == null) err = errorFrom(body)
+            case 'N' | 'S' | 'A' => ()
+            case 'Z' => txnStatus = body(0).toChar; ready = true
+            case other => throw new PgException(
+              s"unexpected message '$other' in copy flow", "08P01")
+          }
+        }
+      }
+      if (err != null) throw err
+      rowsCopied
+    }
+
     def close(): Unit = synchronized {
       if (!closed) {
         closed = true
@@ -281,11 +354,11 @@ object PgMiniDriver {
   lazy val ensureRegistered: Unit = DriverManager.registerDriver(new PgMiniDriver)
 
   // ---- reflective proxy plumbing -----------------------------------
-  private def proxy[T](iface: Class[T])(
+  private def proxy[T](iface: Class[T], extra: Class[_]*)(
       h: PartialFunction[(String, Array[AnyRef]), AnyRef]): T =
     java.lang.reflect.Proxy.newProxyInstance(
       getClass.getClassLoader,
-      Array[Class[_]](iface),
+      (iface +: extra).toArray[Class[_]],
       (px: AnyRef, m: java.lang.reflect.Method, rawArgs: Array[AnyRef]) => {
         val args = if (rawArgs == null) Array.empty[AnyRef] else rawArgs
         m.getName match {
@@ -317,7 +390,14 @@ object PgMiniDriver {
       wire.query(sql)
     }
 
-    lazy val conn: Connection = proxy(classOf[Connection]) {
+    // the Connection proxy ALSO implements the sink's [[graft.sources
+    // .PgCopy]] surface — the COPY side door pgjdbc exposes through
+    // PGConnection.getCopyAPI, here wired straight to the protocol
+    lazy val conn: Connection = proxy(
+      classOf[Connection], classOf[graft.sources.PgCopy]) {
+      case ("copyIn", Array(sql: String, data: java.io.Reader)) =>
+        if (!autoCommit && wire.txnStatus == 'I') wire.query("BEGIN")
+        Long.box(wire.copyIn(sql, data))
       case ("createStatement", _) => statement(exec)
       case ("prepareStatement", Array(sql: String)) => prepared(sql, exec)
       case ("prepareStatement", Array(sql: String, _: java.lang.Integer, _: java.lang.Integer)) =>
