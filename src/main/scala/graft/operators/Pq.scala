@@ -49,14 +49,17 @@ object Pq {
     * construction (4-bit codes); the rerank tiers recover it. */
   val FixtureParams: PqParams = PqParams(2, 4)
 
-  /** Production-shaped geometry for corpora past [[ProdMinVectors]]
-    * (the bench SF): 32-bit codes (8 subspaces × 4 bits) whose
-    * standalone ADC recall is materially non-zero (0.2@10 on the sf0.1
-    * corpus, ivfpq 0.3, vs 0.0 for the fixture code), so
-    * `sim_recall_report` at bench scale measures a real codebook.
-    * (True production is M=8–16, k=256 — the scan shape, one broadcast
-    * + M lookups per vector, is identical.) */
-  val ProdParams: PqParams = PqParams(8, 16)
+  /** Production geometry for corpora past [[ProdMinVectors]] (the
+    * bench SF): the PUBLISHED Jégou et al. shape — M = 8 subspaces,
+    * k = 256 centroids each, one byte per sub-code (8-byte codes).
+    * Measured on the sf0.1 corpus (`sim_recall_report`): standalone
+    * ADC 0.3@10, ivfpq 0.6, pq_rerank 1.0, vs 0.0 for the fixture
+    * code (r14's interim M=8/k=16 tier read 0.2/0.3/0.8). The 2 000-
+    * vector bench corpus is small for k=256 (≈8 training vectors per
+    * centroid per subspace), so these recalls UNDERSTATE the published
+    * regime; the scan shape — one M·k-centroid broadcast + M lookups
+    * per vector — is the production plan verbatim at any k. */
+  val ProdParams: PqParams = PqParams(8, 256)
 
   /** Codebook CAPACITY SCALES WITH THE TRAINING CORPUS, like every real
     * PQ deployment: below this vector count (the oracle fixtures) the
