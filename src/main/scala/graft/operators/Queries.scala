@@ -2460,75 +2460,172 @@ object Queries {
     * zone) pair from unrolled vertex VALUES with the same CASE
     * nesting, so the two sides agree the prune is semantics-free, not
     * just fast. */
+  /** The (zone, latest fix) containment frame shared by [[geoZones]]
+    * (which presents it) and [[zonesOverlap]] (which pairs it):
+    * broadcast zones, bbox prune, then the exact nested-gate ray cast. */
+  private[graft] def zoneLatestHits(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val fixes = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
+      .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
+      .select(col("user_id"), col("lat"), col("lon"))
+    val zones = broadcast(s.read.parquet(zoneLayoutPath(s, d)))
+    val nxt = concat(expr("slice(verts, 2, size(verts) - 1)"),
+      expr("slice(verts, 1, 1)"))
+    // the straddle gate NESTS the crossing test (explicit CASE
+    // short-circuit): a horizontal edge fails the gate for every
+    // ray, so its 0/0 slope is never evaluated — axis-aligned
+    // zones (zone 4) are first-class, not banned at write
+    val crossings = aggregate(
+      zip_with(col("verts"), nxt, (a, b) =>
+        when((a("y") > col("lat")) =!= (b("y") > col("lat")),
+          when(col("lon") < (b("x") - a("x")) * (col("lat") - a("y")) /
+            (b("y") - a("y")) + a("x"), 1).otherwise(0)).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    fixes.join(zones,
+        col("lat") >= col("lat_min") && col("lat") <= col("lat_max") &&
+          col("lon") >= col("lon_min") && col("lon") <= col("lon_max"))
+      .withColumn("crossings", crossings)
+      .filter(col("crossings") % 2 === 1)
+      .select(col("zone_id"), col("name"), col("user_id"),
+        col("lat"), col("lon"))
+  }
+
+  /** The latest-fix→zones containment CTE chain shared by the
+    * [[geoZones]] and [[zonesOverlap]] oracles — SHARED DATA/semantics
+    * the [[staypointVisitsSql]] way; each consumer remains a different
+    * construction than the Spark side it checks (no bbox prune here:
+    * every (point, zone) pair ray-casts from the VALUES rows). */
+  private def zoneLatestHitsSql: String =
+    s"""latest AS (
+      |  SELECT user_id, event_id FROM (
+      |    SELECT user_id, event_id,
+      |           row_number() OVER (PARTITION BY user_id
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL)
+      |  WHERE rn = 1
+      |), pts AS (
+      |  SELECT user_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      |  FROM latest
+      |), zv(zone_id, name, idx, x, y) AS (VALUES
+      |  $zoneVertsValues
+      |), $zoneEdgesCte, hits AS (
+      |  SELECT p.user_id, e.zone_id, e.name, p.lat, p.lon,
+      |         sum(CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
+      |             THEN CASE WHEN p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+      |                                    / (e.y2 - e.y1) + e.x1
+      |                  THEN 1 ELSE 0 END
+      |             ELSE 0 END) AS crossings
+      |  FROM pts p CROSS JOIN edges e
+      |  GROUP BY p.user_id, e.zone_id, e.name, p.lat, p.lon
+      |)""".stripMargin
+
   val geoZones = OracleQuery(
     "ltss_geo_zones",
+    (s, d) => zoneLatestHits(s, d).orderBy(col("zone_id"), col("user_id")),
+    Some(s"""WITH $zoneLatestHitsSql
+      |SELECT zone_id, name, user_id, lat, lon
+      |FROM hits WHERE crossings % 2 = 1
+      |ORDER BY zone_id, user_id""".stripMargin))
+
+  /** ZONE OVERLAP audit — which stored zones share population: for each
+    * zone pair, how many entities' LATEST fixes sit inside BOTH (the
+    * `ST_Intersects`-by-evidence panel a deployment runs to find
+    * redundant or nested geofences). One self-join of the containment
+    * frame on the entity key (zone_a < zone_b for the unordered pair) +
+    * one combinable count — the frame is (entities × containing zones),
+    * already tiny; no polygon–polygon geometry is computed, so the
+    * audit is exact and scale-free where a clipping-based intersection
+    * area would be neither. */
+  val zonesOverlap = OracleQuery(
+    "ltss_geo_zones_overlap",
     (s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      val fixes = Tables.events(s, d)
-        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
-        .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
-        .select(col("user_id"), col("lat"), col("lon"))
-      val zones = broadcast(s.read.parquet(zoneLayoutPath(s, d)))
+      val h = zoneLatestHits(s, d).select(col("zone_id"), col("user_id"))
+      h.as("a").join(h.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.zone_id") < col("b.zone_id"))
+        .groupBy(col("a.zone_id").as("zone_a"), col("b.zone_id").as("zone_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("zone_a"), col("zone_b"))
+    },
+    Some(s"""WITH $zoneLatestHitsSql, inz AS (
+      |  SELECT zone_id, user_id FROM hits WHERE crossings % 2 = 1
+      |)
+      |SELECT CAST(a.zone_id AS BIGINT) AS zone_a,
+      |       CAST(b.zone_id AS BIGINT) AS zone_b,
+      |       CAST(count(*) AS BIGINT) AS n_shared
+      |FROM inz a JOIN inz b
+      |  ON a.user_id = b.user_id AND a.zone_id < b.zone_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin))
+
+  /** ZONE CENTROID (`ST_Centroid` over the stored polygons) — the
+    * label-anchor/navigation point every zone consumer eventually asks
+    * for, computed by the closed-form polygon centroid: cx = Σ(x1+x2)·c
+    * / (3·Σc), cy likewise, with c the per-edge cross product. Every
+    * SUM is exact on the fixture lattice (eighth-integer granularity),
+    * so the two closing divisions are the only IEEE ops and both
+    * engines produce identical bits. The `inside_own_ring` flag ray-
+    * casts the centroid against its own ring — a CONSISTENCY CHECK
+    * between two independent kernels (the signed-area centroid and the
+    * even-odd crossing test), and a real datum: a concave zone's
+    * centroid can land outside. Map-side over the broadcast-sized
+    * dimension, like [[zoneStats]]. */
+  val zoneCentroid = OracleQuery(
+    "ltss_geo_zone_centroid",
+    (s, d) => {
+      val zones = s.read.parquet(zoneLayoutPath(s, d))
       val nxt = concat(expr("slice(verts, 2, size(verts) - 1)"),
         expr("slice(verts, 1, 1)"))
-      // the straddle gate NESTS the crossing test (explicit CASE
-      // short-circuit): a horizontal edge fails the gate for every
-      // ray, so its 0/0 slope is never evaluated — axis-aligned
-      // zones (zone 4) are first-class, not banned at write
+      def crossTerm(a: Column, b: Column): Column =
+        a("x") * b("y") - b("x") * a("y")
+      def sumOf(f: (Column, Column) => Column): Column = aggregate(
+        zip_with(col("verts"), nxt, f), lit(0.0), (acc, x) => acc + x)
+      val withC = zones
+        .withColumn("a2", sumOf(crossTerm))
+        .withColumn("cx",
+          sumOf((a, b) => (a("x") + b("x")) * crossTerm(a, b)) /
+            (lit(3.0) * col("a2")))
+        .withColumn("cy",
+          sumOf((a, b) => (a("y") + b("y")) * crossTerm(a, b)) /
+            (lit(3.0) * col("a2")))
       val crossings = aggregate(
         zip_with(col("verts"), nxt, (a, b) =>
-          when((a("y") > col("lat")) =!= (b("y") > col("lat")),
-            when(col("lon") < (b("x") - a("x")) * (col("lat") - a("y")) /
+          when((a("y") > col("cy")) =!= (b("y") > col("cy")),
+            when(col("cx") < (b("x") - a("x")) * (col("cy") - a("y")) /
               (b("y") - a("y")) + a("x"), 1).otherwise(0)).otherwise(0)),
         lit(0), (acc, x) => acc + x)
-      fixes.join(zones,
-          col("lat") >= col("lat_min") && col("lat") <= col("lat_max") &&
-            col("lon") >= col("lon_min") && col("lon") <= col("lon_max"))
-        .withColumn("crossings", crossings)
-        .filter(col("crossings") % 2 === 1)
-        .select(col("zone_id"), col("name"), col("user_id"),
-          col("lat"), col("lon"))
-        .orderBy(col("zone_id"), col("user_id"))
+      withC
+        .withColumn("inside_own_ring", (crossings % 2).cast("int"))
+        .select(col("zone_id"), col("name"), col("cx"), col("cy"),
+          col("inside_own_ring"))
+        .orderBy(col("zone_id"))
     },
-    Some {
-      val zvRows = zoneVertsValues
-      s"""WITH latest AS (
-        |  SELECT user_id, event_id FROM (
-        |    SELECT user_id, event_id,
-        |           row_number() OVER (PARTITION BY user_id
-        |                              ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL)
-        |  WHERE rn = 1
-        |), pts AS (
-        |  SELECT user_id,
-        |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
-        |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon
-        |  FROM latest
-        |), zv(zone_id, name, idx, x, y) AS (VALUES
-        |  $zvRows
-        |), edges AS (
-        |  SELECT zone_id, name, x AS x1, y AS y1,
-        |         coalesce(lead(x) OVER w, first_value(x) OVER w) AS x2,
-        |         coalesce(lead(y) OVER w, first_value(y) OVER w) AS y2
-        |  FROM zv WINDOW w AS (PARTITION BY zone_id ORDER BY idx)
-        |), hits AS (
-        |  SELECT p.user_id, e.zone_id, e.name, p.lat, p.lon,
-        |         sum(CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
-        |             THEN CASE WHEN p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
-        |                                    / (e.y2 - e.y1) + e.x1
-        |                  THEN 1 ELSE 0 END
-        |             ELSE 0 END) AS crossings
-        |  FROM pts p CROSS JOIN edges e
-        |  GROUP BY p.user_id, e.zone_id, e.name, p.lat, p.lon
-        |)
-        |SELECT zone_id, name, user_id, lat, lon
-        |FROM hits WHERE crossings % 2 = 1
-        |ORDER BY zone_id, user_id""".stripMargin
-    })
+    Some(s"""WITH zv(zone_id, name, idx, x, y) AS (VALUES
+      |  $zoneVertsValues
+      |), $zoneEdgesCte, cent AS (
+      |  SELECT zone_id, name,
+      |         sum((x1 + x2) * (x1 * y2 - x2 * y1))
+      |           / (3.0 * sum(x1 * y2 - x2 * y1)) AS cx,
+      |         sum((y1 + y2) * (x1 * y2 - x2 * y1))
+      |           / (3.0 * sum(x1 * y2 - x2 * y1)) AS cy
+      |  FROM edges GROUP BY zone_id, name
+      |)
+      |SELECT c.zone_id, c.name, c.cx, c.cy,
+      |       CAST(sum(CASE WHEN (e.y1 > c.cy) <> (e.y2 > c.cy)
+      |            THEN CASE WHEN c.cx < (e.x2 - e.x1) * (c.cy - e.y1)
+      |                                   / (e.y2 - e.y1) + e.x1
+      |                 THEN 1 ELSE 0 END
+      |            ELSE 0 END) % 2 AS INT) AS inside_own_ring
+      |FROM cent c JOIN edges e ON e.zone_id = c.zone_id
+      |GROUP BY c.zone_id, c.name, c.cx, c.cy
+      |ORDER BY c.zone_id""".stripMargin))
 
   /** The [[ZoneDefs]] rings as unrolled SQL VALUES rows — SHARED DATA
     * between both engines for every stored-zone oracle (the
@@ -2542,7 +2639,9 @@ object Queries {
   /** The ring→edges CTE shared by the zone oracles: each vertex pairs
     * with its successor (wrap via `first_value`) — the SQL mirror of
     * the Spark side's `zip_with(verts, rotate(verts))`. */
-  private val zoneEdgesCte: String =
+  // def, not val: [[geoZones]] interpolates this during object init
+  // BEFORE this line's val would have initialized (the ltssBase lesson)
+  private def zoneEdgesCte: String =
     """edges AS (
       |  SELECT zone_id, name, x AS x1, y AS y1,
       |         coalesce(lead(x) OVER w, first_value(x) OVER w) AS x2,
@@ -3559,5 +3658,5 @@ object Queries {
     histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence, zoneDwell,
     kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn, geoDbscan,
     geoDbscanLatLon, geoTrack, geoSimplify, geoStaypoints, geoOdMatrix, geoMercator, geoHeading,
-    zoneStats, zonesDwell, geoDouglasPeucker)
+    zoneStats, zonesDwell, geoDouglasPeucker, zonesOverlap, zoneCentroid)
 }

@@ -1585,6 +1585,79 @@ object StreamingOps {
       }
   }
 
+  final case class ZoneLedger(
+      dwellUs: Long, visits: Long, nObs: Long, firstUs: Long, lastUs: Long)
+  final case class ZonesDwellState(
+      tUs: Long, seq: Long, lastZones: Seq[Long], ledgers: Map[Long, ZoneLedger])
+  final case class ZonesDwellRow(
+      zone_id: Long, user_id: Long, n_inside_obs: Long, dwell_us: Long,
+      n_visits: Long, first_inside: java.sql.Timestamp,
+      last_inside: java.sql.Timestamp)
+
+  /** Continuous MULTI-ZONE DWELL accounting — the running twin of the
+    * batch `ltss_zones_dwell` report, and [[zoneDwellStream]]'s one
+    * literal fence generalized to the stored zone TABLE: per entity the
+    * state holds the previous fix's (µs, seq) frontier, its containing
+    * zone-id set, and one compact ledger per zone EVER visited (dwell
+    * accumulator, visit count, inside-observation count, first/last
+    * inside µs) — bounded by the zone DIMENSION per entity, never the
+    * stream. Each arrival settles the PREVIOUS observation's held
+    * interval into every zone that contained it (the batch `lead`
+    * convention: the newest fix holds nothing until its successor
+    * arrives), counts a visit for each zone containing this fix but
+    * not the previous one (the batch rn-gap rule — `lastZones` IS the
+    * previous fix's containment), and containment runs the batch
+    * join's exact ring arithmetic ([[graft.functions.GeoMath
+    * .insideRing]]). Update-mode emission per batch: the touched
+    * entity's full ledger set; after any in-order prefix the latest
+    * row per (zone, entity) equals the batch report over the same
+    * fixes (spec-pinned against the registered query). */
+  def zonesDwellStream(
+      pts: DataFrame, // time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE
+      zones: Seq[(Long, Seq[(Double, Double)])]): Dataset[ZonesDwellRow] = {
+    import pts.sparkSession.implicits._
+    val zs = zones.sortBy(_._1)
+    pts
+      .select(col("time"), col("user_id"), col("event_id"), col("lat"), col("lon"))
+      .as[(java.sql.Timestamp, Long, Long, Double, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[ZonesDwellState, ZonesDwellRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (uid, rows, st) =>
+        val sorted = rows.toSeq.sortBy(r => (micros(r._1), r._3))
+        var s = st.getOption.orNull
+        for ((t, _, eid, lat, lon) <- sorted) {
+          val tus = micros(t)
+          if (s == null || tus > s.tUs || (tus == s.tUs && eid > s.seq)) {
+            val now = zs.collect {
+              case (zid, ring)
+                if graft.functions.GeoMath.insideRing(ring, lat, lon) => zid
+            }
+            var ledgers =
+              if (s == null) Map.empty[Long, ZoneLedger]
+              else s.lastZones.foldLeft(s.ledgers) { (m, z) =>
+                val l = m(z) // settled zone was observed, so the ledger exists
+                m.updated(z, l.copy(dwellUs = l.dwellUs + (tus - s.tUs)))
+              }
+            for (z <- now) {
+              val entered = s == null || !s.lastZones.contains(z)
+              val l = ledgers.getOrElse(z, ZoneLedger(0L, 0L, 0L, tus, tus))
+              ledgers = ledgers.updated(z, ZoneLedger(
+                l.dwellUs, l.visits + (if (entered) 1L else 0L),
+                l.nObs + 1L, if (l.nObs == 0L) tus else l.firstUs, tus))
+            }
+            s = ZonesDwellState(tus, eid, now, ledgers)
+          }
+        }
+        if (s != null) st.update(s)
+        if (s == null) Iterator.empty
+        else s.ledgers.toSeq.sortBy(_._1).iterator.map { case (z, l) =>
+          ZonesDwellRow(z, uid, l.nObs, l.dwellUs, l.visits,
+            tsOfMicros(l.firstUs), tsOfMicros(l.lastUs))
+        }
+      }
+  }
+
   final case class StayState(
       chunkUs: Long, alat: Double, alon: Double,
       t0Us: Long, t1Us: Long, seq: Long, n: Long)

@@ -347,6 +347,41 @@ class GeoTrajectorySpec extends SparkSpec {
       s"dwell accounting diverged from the hand trace: ${got.toSeq}")
   }
 
+  test("ltss_geo_zone_centroid: rectangle closed form, centroid-inside consistency") {
+    // rect_box: centroid = edge midpoints = (−10, −4.75), exactly — the
+    // shoelace centroid of a rectangle is its center, and the two
+    // closing divisions land on representable values; the ray cast of
+    // the centroid against its own ring must agree (inside = 1), a
+    // consistency check between two independent kernels
+    val rows = SparkEntry.queries("ltss_geo_zone_centroid")(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.find(_._1 == 4L).get == ((4L, -10.0, -4.75, 1)),
+      s"rectangle centroid diverged: ${rows.toSeq}")
+    // every fixture zone is convex enough to contain its centroid
+    assert(rows.forall(_._4 == 1), s"centroid-inside consistency: ${rows.toSeq}")
+  }
+
+  test("ltss_geo_zones_overlap: the hand-walked containment implies exactly the (1,3) and (1,4) pairs") {
+    // the ltss_geo_zones hand-walk fixture: user 100 sits in zones 1+3
+    // (the deliberate overlap), user 90 in zones 1+4, user 280 in 1
+    // only, user 9 in 2 only, user 133 in none — so the pair panel is
+    // (1,3) → 1 shared entity and (1,4) → 1, nothing else
+    val dir = java.nio.file.Files.createTempDirectory("graft-zones-ovl").toString
+    Seq(
+      (190L, ts("2024-01-01 10:00:00"), 100L),
+      (139L, ts("2024-01-01 10:00:00"), 280L),
+      (200L, ts("2024-01-01 10:00:00"), 133L),
+      (180L, ts("2024-01-01 10:00:00"), 9L),
+      (540L, ts("2024-01-01 10:00:00"), 90L))
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("ltss_geo_zones_overlap")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, 1L), (1L, 4L, 1L)),
+      s"overlap pairs diverged from the hand walk: ${got.toSeq}")
+  }
+
   test("writeZoneLayout rejects degenerate rings, stores axis-aligned ones") {
     import org.apache.spark.sql.functions.expr
     val dir = java.nio.file.Files.createTempDirectory("graft-zone-reject").toString

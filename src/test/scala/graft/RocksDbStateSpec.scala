@@ -239,6 +239,43 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("zone ledgers + restart: the held interval settles from the RocksDB-recovered frontier") {
+    withRocksDb {
+      val in = tmp("rdb-zl-in"); val ckpt = tmp("rdb-zl-ckpt")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE")
+      val zones = graft.operators.Queries.ZoneDefs.map { case (id, _, vs) => (id, vs) }
+      // parquet sink refuses update mode — collect emissions through
+      // foreachBatch (checkpoint-compatible), keeping the newest ledger
+      // per zone (counters are monotone)
+      val emitted = new scala.collection.concurrent.TrieMap[Long, (Long, Long, Long)]
+      def start() = StreamingOps
+        .zonesDwellStream(spark.readStream.schema(schema).json(in), zones)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingOps.ZonesDwellRow], _: Long) =>
+          b.collect().foreach(r => emitted.updateWith(r.zone_id)(o =>
+            Some(Seq(o.getOrElse((0L, 0L, 0L)),
+              (r.n_inside_obs, r.dwell_us, r.n_visits)).max)))
+          ()
+        }
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      def fix(t: String, eid: Long, lon: Double) =
+        s"""{"time":"${t}Z","user_id":90,"event_id":$eid,"lat":0.5,"lon":$lon}"""
+      // one fix inside zones 1+4, then stop — frontier + ledgers live
+      // only in state
+      Files.writeString(Paths.get(in, "b1.json"), fix("2024-01-01T10:00:00", 180, 0.5))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // after restart, a fix outside every zone 90 min later: the
+      // settled 90-min dwell can only come from the recovered frontier
+      Files.writeString(Paths.get(in, "b2.json"), fix("2024-01-01T11:30:00", 280, 100.5))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val fin = emitted.toSeq.sortBy(_._1)
+      assert(fin == Seq(
+        (1L, (1L, 5400000000L, 1L)), (4L, (1L, 5400000000L, 1L))),
+        s"recovered ledgers diverged: $fin")
+    }
+  }
+
   test("held OD origin + restart: the trip into a post-restart visit cites the recovered origin") {
     withRocksDb {
       val in = tmp("rdb-od-in"); val out = tmp("rdb-od-out"); val ckpt = tmp("rdb-od-ckpt")

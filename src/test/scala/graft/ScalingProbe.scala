@@ -179,7 +179,8 @@ object ScalingProbe {
       warmed("geo_track2d_layout")(
         graft.operators.Queries.trackLayout2dPath(spark, sfDir))
     if (names.exists(n => n == "ltss_geo_zones" || n == "ltss_geo_zone_stats" ||
-        n == "ltss_zones_dwell"))
+        n == "ltss_zones_dwell" || n == "ltss_geo_zones_overlap" ||
+        n == "ltss_geo_zone_centroid"))
       warmed("geo_zone_layout")(
         graft.operators.Queries.zoneLayoutPath(spark, sfDir))
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))

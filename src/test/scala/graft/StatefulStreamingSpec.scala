@@ -1772,6 +1772,57 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(implied(100L).isEmpty && implied(9L) == Set(2L))
   }
 
+  test("zonesDwellStream: latest ledgers equal the batch multi-zone dwell report per prefix") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val zones = graft.operators.Queries.ZoneDefs.map { case (id, _, vs) => (id, vs) }
+    // the batch hand-trace fixture: user 90 (lat 0.5) inside zones 1+4
+    // at lon 0.5, away at lon 100.5, back at lon 0.5; user 9 (lat
+    // −80.5) one fix in zone 2 — delivered across batches so the held
+    // intervals settle cross-batch
+    val fixes = Seq(
+      (ts("2024-01-01 10:00:00"), 90L, 180L, 0.5, 0.5),
+      (ts("2024-01-01 11:00:00"), 90L, 280L, 0.5, 100.5),
+      (ts("2024-01-01 13:00:00"), 90L, 540L, 0.5, 0.5),
+      (ts("2024-01-01 10:00:00"), 9L, 180L, -80.5, 0.5))
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val q = StreamingOps.zonesDwellStream(
+      ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon"), zones)
+      .writeStream.format("memory").queryName("zdwell_t").outputMode("update").start()
+    // latest emission per (zone, user): Update mode appends a snapshot
+    // per touched entity per batch — the newest (by last_inside, then
+    // cumulative counters) is the running report
+    def latest(): Seq[(Long, Long, Long, Long, Long)] =
+      spark.table("zdwell_t")
+        .as[(Long, Long, Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+        .collect().toSeq
+        .groupBy(r => (r._1, r._2)).toSeq
+        .map { case (_, rs) => rs.maxBy(r => (r._3, r._4)) }
+        .map(r => (r._1, r._2, r._3, r._4, r._5))
+        .sortBy(r => (r._1, r._2))
+    def batch(upTo: Int): Seq[(Long, Long, Long, Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-zdwell-b").toString
+      fixes.take(upTo).map { case (t, u, e, _, _) => (e, t, u) }
+        .toDF("event_id", "ts", "user_id")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      SparkEntry.queries("ltss_zones_dwell")(spark, dir)
+        .selectExpr("zone_id", "user_id", "n_inside_obs", "dwell_us", "n_visits")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    }
+    try {
+      ms.addData(fixes.take(2): _*); q.processAllAvailable()
+      assert(latest() == batch(2), s"prefix 2 diverged: ${latest()} vs ${batch(2)}")
+      ms.addData(fixes.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"zonesDwellStream died: ${q.exception}")
+    val hourUs = 3600000000L
+    assert(latest() == Seq(
+      (1L, 90L, 2L, hourUs, 2L),
+      (2L, 9L, 1L, 0L, 1L),
+      (4L, 90L, 2L, hourUs, 2L)),
+      s"final ledgers diverged from the hand trace: ${latest()}")
+    assert(latest() == batch(4), "full-run ledgers must equal the batch report")
+  }
+
   test("staypointStream emits the batch visits as runs close; the open run is held") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     // the batch hand-trace fixture plus a February fix that flushes the
