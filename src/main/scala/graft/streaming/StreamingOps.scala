@@ -1878,6 +1878,36 @@ object StreamingOps {
       }
   }
 
+  final case class DpSegment(
+      user_id: Long, chunk: java.sql.Timestamp, n_fixes: Int, n_kept: Int,
+      kept: Seq[TrackFix])
+
+  /** Continuous DOUGLAS–PEUCKER simplification — the live face of the
+    * batch `ltss_geo_dp`: every month segment [[trackSegmentStream]]
+    * closes is simplified ON EMISSION with the batch operator's OWN
+    * worklist ([[graft.operators.Queries.dpKeep]] — the identical
+    * exact-arithmetic decisions, tie-breaks, and endpoint rule), so the
+    * rendering pipeline receives display-ready polylines the moment a
+    * month completes, without a second batch pass over the layout. The
+    * simplify itself is STATELESS — D-P needs the whole segment, which
+    * is exactly what the closing emission carries — so this adds zero
+    * state beyond the track stream's own open-month bound; over any
+    * prefix the kept points equal the batch query minus each entity's
+    * open month (spec-pinned against the registered `ltss_geo_dp`). */
+  def dpSimplifyStream(
+      pts: DataFrame, // time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE
+      eps2: Double = 100.0): Dataset[DpSegment] = {
+    import pts.sparkSession.implicits._
+    trackSegmentStream(pts).map { seg =>
+      val fixes = seg.seg.toIndexedSeq
+      val keep = graft.operators.Queries.dpKeep(
+        fixes.map(f => graft.operators.Queries.DpFix(f.ts, f.seq, f.lat, f.lon)),
+        eps2)
+      val kept = fixes.indices.collect { case i if keep(i) => fixes(i) }
+      DpSegment(seg.user_id, seg.chunk, seg.n_fixes, kept.size, kept)
+    }
+  }
+
   final case class HampelBufRow(tus: Long, cents: Option[Long])
   final case class HampelState(nextEmit: Long, firstIdx: Long, buf: Seq[HampelBufRow])
   final case class HampelOut(

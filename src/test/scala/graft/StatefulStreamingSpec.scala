@@ -1719,6 +1719,47 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("no marker"))
   }
 
+  test("dpSimplifyStream: closed months emit batch-identical Douglas-Peucker polylines") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the ltss_geo_dp hand-trace fixture (user 0 under the 2-D mapping:
+    // P0 e180, P1 e200 collinear-dropped, P2 e220 max-deviation split,
+    // P3 e370) all in January, plus a February fix that closes the
+    // month — the stream must emit January simplified to {P0, P2, P3}
+    val fixes = Seq(
+      (ts("2024-01-01 10:00:00"), 0L, 180L, -89.5, 0.5),
+      (ts("2024-01-01 11:00:00"), 0L, 200L, -69.5, 20.5),
+      (ts("2024-01-01 12:00:00"), 0L, 220L, -49.5, 40.5),
+      (ts("2024-01-01 13:00:00"), 0L, 370L, -79.5, -169.5),
+      (ts("2024-02-01 10:00:00"), 0L, 560L, -69.5, 20.5))
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val q = StreamingOps.dpSimplifyStream(
+      ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon"))
+      .writeStream.format("memory").queryName("dp_t").outputMode("append").start()
+    try {
+      ms.addData(fixes.take(3): _*); q.processAllAvailable()
+      assert(spark.table("dp_t").count() == 0, "January is still open")
+      ms.addData(fixes.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"dpSimplifyStream died: ${q.exception}")
+    val got = spark.table("dp_t")
+      .selectExpr("user_id", "n_fixes", "n_kept",
+        "transform(kept, f -> f.seq) AS seqs")
+      .as[(Long, Int, Int, Seq[Long])].collect().toSeq
+    assert(got == Seq((0L, 4, 3, Seq(180L, 220L, 370L))),
+      s"stream simplify diverged from the hand trace: $got")
+    // batch parity on the same events: the registered ltss_geo_dp over
+    // a parquet dump, minus the open February month
+    val dir = java.nio.file.Files.createTempDirectory("graft-dp-stream").toString
+    fixes.map { case (t, u, e, _, _) => (e, t, u) }
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("ltss_geo_dp")(spark, dir)
+      .filter($"time" < ts("2024-02-01 00:00:00"))
+      .selectExpr("event_id").as[Long].collect().toSeq.sorted
+    assert(got.head._4.sorted == batch,
+      s"stream kept set diverged from batch: ${got.head._4} vs $batch")
+  }
+
   test("geoZonesStream: multi-zone enter/exit log, held sets equal the batch join per prefix") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val zones = graft.operators.Queries.ZoneDefs.map { case (id, _, vs) => (id, vs) }
