@@ -361,6 +361,34 @@ class PostgresE2ESpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("streaming ingest with bulk_copy: the COPY path carries the ingest end-to-end") {
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("pg-copy-in").toString
+    val ckpt = Files.createTempDirectory("pg-copy-ckpt").toString
+    Files.writeString(Paths.get(in, "b1.json"),
+      """{"event_id":11,"ts":"2024-02-01T00:00:00.000001Z","user_id":1,"event_type":"sensor","value":3.5,"props":"{\"latitude\": 1.5, \"longitude\": 2.5}"}
+        |{"event_id":12,"ts":"2024-02-01T00:00:01.000001Z","user_id":2,"event_type":"sensor","value":4.5,"props":"{\"k\": 9}"}
+        |""".stripMargin)
+    // the config-schema spelling of the COPY opt-in; lands in the
+    // default ltss table (February rows — disjoint from the sibling
+    // ingest test's January PKs)
+    val c = LtssConfig.fromMap(Map(
+      "db_url" -> server.url, "bulk_copy" -> true)).copy(enableLocation = true)
+    assert(c.bulkCopy)
+    val q = graft.streaming.StreamingIngest.start(
+      graft.streaming.StreamingIngest.readJsonEvents(spark, in), c, "", ckpt)
+    graft.streaming.StreamingIngest.drainAndStop(q)
+    withWire { w =>
+      val rows = w.query(
+        "SELECT entity_id, attributes ->> 'k' AS k, location FROM ltss " +
+          "WHERE time >= TIMESTAMP '2024-02-01 00:00:00' ORDER BY entity_id").rows
+      assert(rows.map(_(0)) == Vector("sensor.1", "sensor.2"),
+        s"COPY ingest diverged: $rows")
+      assert(rows(1)(1) == "9" && rows(0)(2) == "SRID=4326;POINT(2.5 1.5)",
+        s"COPY payload fidelity: $rows")
+    }
+  }
+
   test("importJdbc: partitioned migration read of a live reference table into the layout") {
     // the day-one user story: history lives in the reference's
     // PostgreSQL table — one partitioned Spark read brings it over,
