@@ -2794,6 +2794,129 @@ object Queries {
       |FROM ins GROUP BY zone_id, name, user_id
       |ORDER BY zone_id, user_id""".stripMargin))
 
+  /** NEAREST ZONE (`ST_Distance(point, zone.geom)` + argmin — the
+    * "which geofence is this tracker closest to, and how far" panel):
+    * each entity's latest fix against EVERY stored zone (the argmin
+    * needs all of them, so no bbox prune — the zone table is a
+    * broadcast dimension and the per-pair work is map-side), distance
+    * = 0 when inside (the even-odd cast), else the min over ring edges
+    * of the point-to-SEGMENT distance in planar degrees. Per-edge d²
+    * uses the projection identity d² = |p−a|² − t²/len² under the
+    * clamp CASE (t ≤ 0 → |p−a|², t ≥ len² → |p−b|², degenerate edge →
+    * |p−a|²): every operand is EXACT on the lattice and the one
+    * division is correctly rounded, so both engines produce identical
+    * bits; mins over identical bit-sets are order-free, the (dist,
+    * zone_id) argmin is a struct-MIN, and the closing `sqrt` is the
+    * single final IEEE op. */
+  val zoneNearest = OracleQuery(
+    "ltss_geo_zone_nearest",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val fixes = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("lat", (col("user_id") % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
+        .select(col("user_id"), col("lat"), col("lon"))
+      val zones = broadcast(s.read.parquet(zoneLayoutPath(s, d))
+        .select(col("zone_id"), col("name"), col("verts")))
+      val nxt = concat(expr("slice(verts, 2, size(verts) - 1)"),
+        expr("slice(verts, 1, 1)"))
+      def d2Of(a: Column, b: Column): Column = {
+        val dx = b("x") - a("x")
+        val dy = b("y") - a("y")
+        val len2 = dx * dx + dy * dy
+        val tn = (col("lon") - a("x")) * dx + (col("lat") - a("y")) * dy
+        val pa2 = (col("lon") - a("x")) * (col("lon") - a("x")) +
+          (col("lat") - a("y")) * (col("lat") - a("y"))
+        val pb2 = (col("lon") - b("x")) * (col("lon") - b("x")) +
+          (col("lat") - b("y")) * (col("lat") - b("y"))
+        when(len2 === 0.0 || tn <= 0.0, pa2)
+          .when(tn >= len2, pb2)
+          .otherwise(pa2 - tn * tn / len2)
+      }
+      val d2b = aggregate(
+        zip_with(col("verts"), nxt, (a, b) => d2Of(a, b)),
+        lit(Double.MaxValue), (acc, x) => least(acc, x))
+      val crossings = aggregate(
+        zip_with(col("verts"), nxt, (a, b) =>
+          when((a("y") > col("lat")) =!= (b("y") > col("lat")),
+            when(col("lon") < (b("x") - a("x")) * (col("lat") - a("y")) /
+              (b("y") - a("y")) + a("x"), 1).otherwise(0)).otherwise(0)),
+        lit(0), (acc, x) => acc + x)
+      fixes.crossJoin(zones)
+        .withColumn("eff",
+          when(crossings % 2 === 1, lit(0.0)).otherwise(d2b))
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("eff"), col("zone_id"), col("name"))).as("best"))
+        .select(col("user_id"), col("best.zone_id").as("zone_id"),
+          col("best.name").as("name"),
+          (col("best.eff") === 0.0).cast("int").as("inside"),
+          sqrt(col("best.eff")).as("dist_deg"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""WITH latest AS (
+      |  SELECT user_id, event_id FROM (
+      |    SELECT user_id, event_id,
+      |           row_number() OVER (PARTITION BY user_id
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL)
+      |  WHERE rn = 1
+      |), pts AS (
+      |  SELECT user_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      |  FROM latest
+      |), zv(zone_id, name, idx, x, y) AS (VALUES
+      |  $zoneVertsValues
+      |), $zoneEdgesCte, pz AS (
+      |  SELECT p.user_id, e.zone_id, e.name,
+      |         min(CASE
+      |           WHEN ((e.x2 - e.x1) * (e.x2 - e.x1)
+      |                 + (e.y2 - e.y1) * (e.y2 - e.y1)) = 0.0
+      |             OR ((p.lon - e.x1) * (e.x2 - e.x1)
+      |                 + (p.lat - e.y1) * (e.y2 - e.y1)) <= 0.0
+      |           THEN (p.lon - e.x1) * (p.lon - e.x1)
+      |                + (p.lat - e.y1) * (p.lat - e.y1)
+      |           WHEN ((p.lon - e.x1) * (e.x2 - e.x1)
+      |                 + (p.lat - e.y1) * (e.y2 - e.y1))
+      |                >= ((e.x2 - e.x1) * (e.x2 - e.x1)
+      |                    + (e.y2 - e.y1) * (e.y2 - e.y1))
+      |           THEN (p.lon - e.x2) * (p.lon - e.x2)
+      |                + (p.lat - e.y2) * (p.lat - e.y2)
+      |           ELSE (p.lon - e.x1) * (p.lon - e.x1)
+      |                + (p.lat - e.y1) * (p.lat - e.y1)
+      |                - ((p.lon - e.x1) * (e.x2 - e.x1)
+      |                   + (p.lat - e.y1) * (e.y2 - e.y1))
+      |                  * ((p.lon - e.x1) * (e.x2 - e.x1)
+      |                     + (p.lat - e.y1) * (e.y2 - e.y1))
+      |                  / ((e.x2 - e.x1) * (e.x2 - e.x1)
+      |                     + (e.y2 - e.y1) * (e.y2 - e.y1))
+      |         END) AS d2b,
+      |         sum(CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
+      |             THEN CASE WHEN p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+      |                                    / (e.y2 - e.y1) + e.x1
+      |                  THEN 1 ELSE 0 END
+      |             ELSE 0 END) AS crossings
+      |  FROM pts p CROSS JOIN edges e
+      |  GROUP BY p.user_id, e.zone_id, e.name
+      |), eff AS (
+      |  SELECT user_id, zone_id, name,
+      |         CASE WHEN crossings % 2 = 1 THEN 0.0 ELSE d2b END AS eff,
+      |         row_number() OVER (
+      |           PARTITION BY user_id
+      |           ORDER BY CASE WHEN crossings % 2 = 1 THEN 0.0 ELSE d2b END,
+      |                    zone_id) AS rk
+      |  FROM pz
+      |)
+      |SELECT user_id, CAST(zone_id AS BIGINT) AS zone_id, name,
+      |       CAST(eff = 0.0 AS INT) AS inside,
+      |       sqrt(eff) AS dist_deg
+      |FROM eff WHERE rk = 1
+      |ORDER BY user_id""".stripMargin))
+
   /** Top movers — the "biggest changes" dashboard panel: per entity,
     * the first and last observed values (by the deterministic
     * (time, value) order), ranked by absolute net change. ONE hash
@@ -3658,5 +3781,5 @@ object Queries {
     histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence, zoneDwell,
     kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn, geoDbscan,
     geoDbscanLatLon, geoTrack, geoSimplify, geoStaypoints, geoOdMatrix, geoMercator, geoHeading,
-    zoneStats, zonesDwell, geoDouglasPeucker, zonesOverlap, zoneCentroid)
+    zoneStats, zonesDwell, geoDouglasPeucker, zonesOverlap, zoneCentroid, zoneNearest)
 }

@@ -382,6 +382,28 @@ class GeoTrajectorySpec extends SparkSpec {
       s"overlap pairs diverged from the hand walk: ${got.toSeq}")
   }
 
+  test("ltss_geo_zone_nearest: inside ties break to the smallest zone; the outside distance matches the projection closed form") {
+    // user 90 at (0.5, 0.5) is inside zones 1 AND 4 (the ltss_geo_zones
+    // hand walk) — both distances 0, the argmin tie takes zone 1;
+    // user 100 with e240 sits at (10.5, 60.5), outside everything, and
+    // its nearest boundary is zone 3's (50,−5)→(45,30) edge:
+    //   len² = 25+1225 = 1250, t = 10.5·(−5)+15.5·35 = 490 ∈ (0, len²)
+    //   d² = (10.5²+15.5²) − 490²/1250 = 350.5 − 192.08 = 158.42
+    val dir = java.nio.file.Files.createTempDirectory("graft-zone-near").toString
+    Seq(
+      (540L, ts("2024-01-01 10:00:00"), 90L),  // lon 0.5, lat 0.5
+      (240L, ts("2024-01-01 10:00:00"), 100L)) // lon 60.5, lat 10.5
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("ltss_geo_zone_nearest")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getDouble(4)))
+    assert(got.length == 2)
+    assert(got(0) == ((90L, 1L, 1, 0.0)), s"inside tie diverged: ${got.toSeq}")
+    assert(got(1)._1 == 100L && got(1)._2 == 3L && got(1)._3 == 0)
+    assert(math.abs(got(1)._4 - math.sqrt(158.42)) < 1e-12,
+      s"projection closed form diverged: ${got(1)._4}")
+  }
+
   test("writeZoneLayout rejects degenerate rings, stores axis-aligned ones") {
     import org.apache.spark.sql.functions.expr
     val dir = java.nio.file.Files.createTempDirectory("graft-zone-reject").toString

@@ -180,7 +180,7 @@ object ScalingProbe {
         graft.operators.Queries.trackLayout2dPath(spark, sfDir))
     if (names.exists(n => n == "ltss_geo_zones" || n == "ltss_geo_zone_stats" ||
         n == "ltss_zones_dwell" || n == "ltss_geo_zones_overlap" ||
-        n == "ltss_geo_zone_centroid"))
+        n == "ltss_geo_zone_centroid" || n == "ltss_geo_zone_nearest"))
       warmed("geo_zone_layout")(
         graft.operators.Queries.zoneLayoutPath(spark, sfDir))
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
