@@ -54,7 +54,15 @@ object Bench {
       .selectExpr("bit_xor(xxhash64(id)) AS h").collect()
     (System.nanoTime() - t0) / 1e9
   }
-  private def med3(f: () => Double): Double = Seq(f(), f(), f()).sorted.apply(1)
+  /** Median of 3 after ONE UNTIMED warm-up run: the canary measures
+    * HOST throughput, not JVM warm-up — without the discard the PRE
+    * reading carries codegen/JIT compilation (measured 0.69 s pre vs
+    * 0.15 s post on the spark probe's first flight) and the pre/post
+    * burst rule misfires on every run. */
+  private def med3(f: () => Double): Double = {
+    f()
+    Seq(f(), f(), f()).sorted.apply(1)
+  }
 
   private def q(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
