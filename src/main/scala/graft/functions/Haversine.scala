@@ -92,4 +92,25 @@ object GeoMath {
     }
     crossings % 2 == 1
   }
+
+  /** Squared point-to-SEGMENT distance in planar coordinate units —
+    * the SAME expression tree as `ltss_geo_zone_nearest`'s per-edge
+    * Column/SQL forms (projection identity d² = |p−a|² − t²/len² under
+    * the clamp CASE; t ≤ 0 → |p−a|², t ≥ len² → |p−b|², degenerate
+    * edge → |p−a|²), evaluated with identical JVM double arithmetic.
+    * On half-integer-lattice inputs every operand is exact and the one
+    * division is correctly rounded — property-proven against an
+    * exact-rational adversary in ZoneDistancePropertySpec. */
+  def pointSegD2(
+      px: Double, py: Double, ax: Double, ay: Double,
+      bx: Double, by: Double): Double = {
+    val dx = bx - ax
+    val dy = by - ay
+    val len2 = dx * dx + dy * dy
+    val tn = (px - ax) * dx + (py - ay) * dy
+    val pa2 = (px - ax) * (px - ax) + (py - ay) * (py - ay)
+    if (len2 == 0.0 || tn <= 0.0) pa2
+    else if (tn >= len2) (px - bx) * (px - bx) + (py - by) * (py - by)
+    else pa2 - tn * tn / len2
+  }
 }
