@@ -2807,7 +2807,11 @@ object Queries {
     * division is correctly rounded, so both engines produce identical
     * bits; mins over identical bit-sets are order-free, the (dist,
     * zone_id) argmin is a struct-MIN, and the closing `sqrt` is the
-    * single final IEEE op. */
+    * single final IEEE op. Coordinate contract: PLANAR degrees — the
+    * `ST_Distance`-on-GEOMETRY semantics the reference's geometry
+    * column gets (models.py:44); like PostGIS geometry (vs geography)
+    * it does not wrap the antimeridian, so a zone hugging ±180°
+    * measures far from a point just across it. */
   val zoneNearest = OracleQuery(
     "ltss_geo_zone_nearest",
     (s, d) => {

@@ -830,6 +830,41 @@ object LtssSink {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** ZONE-DIMENSION lifecycle — add, REPLACE (by id), and drop zones in
+    * the stored layout [[writeZoneLayout]] wrote: the maintenance a
+    * geofence table needs as zones are drawn and retired. An incoming
+    * `(zone_id, name, verts)` row replaces any stored twin; ids named
+    * in `dropIds` are removed; everything else carries over. The MERGED
+    * set re-runs the full write gate (≥3 vertices, nonzero shoelace
+    * area) and re-materializes every bbox, so a bad incoming ring
+    * REFUSES the whole upsert and the stored layout stays untouched —
+    * validation happens before any file moves because the merge is
+    * staged through the driver, which is the RIGHT shape here: the
+    * zone table is a broadcast DIMENSION (thousands of rows, not
+    * billions — the [[writeZoneLayout]] contract), so collecting and
+    * atomically rewriting kilobytes beats partial-update machinery at
+    * any deployment size (the same dimension-sized-collect class as
+    * the centroid planning tables). Replaying the same upsert is a
+    * no-op by content. */
+  def upsertZones(zones: DataFrame, path: String, dropIds: Seq[Long] = Nil): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = zones.sparkSession
+    val incoming = zones.toDF("zone_id", "name", "verts")
+    val gone = (dropIds ++ incoming.select(col("zone_id"))
+      .collect().map(_.getLong(0))).toSet
+    val kept = spark.read.parquet(path)
+      .select(col("zone_id"), col("name"), col("verts"))
+      .filter(!col("zone_id").isin(gone.toSeq: _*))
+    val merged = kept.unionByName(incoming)
+    // driver-side staging: the dimension is small by contract, and the
+    // overwrite below deletes the files `kept` was lazily reading from
+    val rows = merged.collect().toIndexedSeq
+    val staged = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), merged.schema)
+    writeZoneLayout(staged, path)
+  }
+
   /** Per-backend column types for the dynamic columns — the analog of
     * the reference's Postgres-specific DDL (`attributes JSONB`,
     * `__init__.py:315-344`). `null` arguments to [[bootstrapJdbc]]

@@ -404,6 +404,41 @@ class GeoTrajectorySpec extends SparkSpec {
       s"projection closed form diverged: ${got(1)._4}")
   }
 
+  test("upsertZones: replace/add/drop with the write gate re-applied; a bad ring refuses the whole upsert") {
+    import org.apache.spark.sql.functions.expr
+    def zdf(rows: Seq[(Long, String, Seq[(Double, Double)])]) =
+      rows.toDF("zone_id", "name", "verts")
+        .withColumn("verts", expr("transform(verts, v -> struct(v._1 AS x, v._2 AS y))"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zone-upsert").toString + "/z"
+    graft.sources.LtssSink.writeZoneLayout(
+      zdf(graft.operators.Queries.ZoneDefs), dir)
+    // replace zone 3 with a triangle, add zone 5, drop zone 2
+    val delta = zdf(Seq(
+      (3L, "equatorial_v2", Seq((0.0, 0.0), (30.0, 0.0), (15.0, 20.0))),
+      (5L, "new_box", Seq((100.0, -10.0), (120.0, -10.0), (120.0, 10.0), (100.0, 10.0)))))
+    graft.sources.LtssSink.upsertZones(delta, dir, dropIds = Seq(2L))
+    def dump() = spark.read.parquet(dir)
+      .selectExpr("zone_id", "name", "lat_min", "lat_max", "lon_min", "lon_max")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+    val got = dump()
+    assert(got.map(_._1) == Seq(1L, 3L, 4L, 5L), s"id set diverged: $got")
+    // the replacement's bbox re-materialized from the NEW ring
+    assert(got.find(_._1 == 3L).get == ((3L, "equatorial_v2", 0.0, 20.0, 0.0, 30.0)))
+    assert(got.find(_._1 == 5L).get == ((5L, "new_box", -10.0, 10.0, 100.0, 120.0)))
+    // replay: a no-op by content
+    graft.sources.LtssSink.upsertZones(delta, dir, dropIds = Seq(2L))
+    assert(dump() == got, "replayed upsert must be a no-op")
+    // a degenerate incoming ring refuses the WHOLE upsert, stored
+    // layout untouched (gate runs before any file moves)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.LtssSink.upsertZones(
+        zdf(Seq((6L, "bad", Seq((0.0, 0.0), (5.0, 5.0), (10.0, 10.0))))), dir)
+    }
+    assert(e.getMessage.contains("shoelace"))
+    assert(dump() == got, "a refused upsert must leave the layout untouched")
+  }
+
   test("writeZoneLayout rejects degenerate rings, stores axis-aligned ones") {
     import org.apache.spark.sql.functions.expr
     val dir = java.nio.file.Files.createTempDirectory("graft-zone-reject").toString
