@@ -141,6 +141,7 @@ object Bench {
       graft.operators.Queries.dbscanLatLonLabels(spark, sfDir).count())
     warmed("geo_track_layout")(graft.operators.Queries.trackLayoutPath(spark, sfDir))
     warmed("geo_track2d_layout")(graft.operators.Queries.trackLayout2dPath(spark, sfDir))
+    warmed("geo_trackhull_layout")(graft.operators.Queries.trackLayoutSkewPath(spark, sfDir))
     warmed("ltss_layout")(graft.operators.Queries.ltssLayoutPath(spark, sfDir))
     warmed("zorder_layout")(graft.operators.Queries.zorderLayoutPath(spark, sfDir))
     warmed("ltss_attr_layout")(graft.operators.Queries.ltssAttrLayoutPath(spark, sfDir))

@@ -1558,6 +1558,121 @@ object Queries {
         |ORDER BY p.user_id, time, p.event_id""".stripMargin
     })
 
+  /** The skewed track layout for [[geoHull]]: under the [[trackLayout2dPath]]
+    * mapping every entity's fixes land on TWO parallel unit-slope lines
+    * (lat − lon is piecewise constant in the event key), so each
+    * month's convex hull degenerates to "every point is on a boundary
+    * edge" and the operator would be vacuous. The ×7 latitude skew
+    * wraps every ~26 events, scattering each month across ~14 slope-7
+    * branches — interior branches sit strictly inside the hull and
+    * their points genuinely drop. Same storage policy as the siblings. */
+  def trackLayoutSkewPath(s: SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("geo_trackhull_layout", d) { p =>
+      val pts = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id").as("id"), col("ts"), col("event_id").as("seq"),
+          (((col("user_id") + lit(7) * col("event_id")) % 180 - 90)
+            .cast("double") + 0.5).as("lat"),
+          ((col("event_id") % 360 - 180).cast("double") + 0.5).as("lon"))
+      graft.sources.LtssSink.writeTrackLayout(pts, p)
+    }
+
+  /** Collinear-INCLUSIVE Andrew monotone chain over distinct scaled
+    * lattice positions `(x2, y2) = (2·lon, 2·lat)` — all arithmetic
+    * exact Longs. Returns the set of positions on the hull BOUNDARY:
+    * vertices AND points lying on boundary edges (the chain pops only
+    * on a STRICT clockwise turn, so collinear runs survive); interior
+    * points always drop. Equivalence with the support-line
+    * characterization ("∃ another position a with every position on
+    * one closed side of line(p, a)") is property-proven at 1000 random
+    * trials in HullPropertySpec — the oracle evaluates THAT definition,
+    * never this algorithm. */
+  private[graft] def hullBoundary(pos: Seq[(Long, Long)]): Set[(Long, Long)] = {
+    val ps = pos.distinct.sorted
+    if (ps.size <= 2) return ps.toSet
+    def cross(o: (Long, Long), a: (Long, Long), b: (Long, Long)): Long =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    def half(seq: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val h = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (p <- seq) {
+        while (h.size >= 2 && cross(h(h.size - 2), h(h.size - 1), p) < 0)
+          h.remove(h.size - 1)
+        h += p
+      }
+      h.toSeq
+    }
+    (half(ps) ++ half(ps.reverse)).toSet
+  }
+
+  /** CONVEX HULL of each stored month segment (`ST_ConvexHull` over the
+    * per-entity track — the footprint/coverage primitive): the fixes on
+    * the hull BOUNDARY of the entity's month, collinear boundary points
+    * included (they lie ON the geometry's exterior ring) and duplicate
+    * positions resolved by position, PostGIS-style. One compiled
+    * monotone-chain pass per segment ([[hullBoundary]] — O(n log n) in
+    * exact Long arithmetic on the doubled lattice, the production
+    * algorithm), map-side over the skewed layout like [[geoDouglasPeucker]];
+    * per-task work is bounded by the month-chunk policy, so total cost
+    * is linear in segments at any scale. The oracle never sees the
+    * algorithm: it evaluates the support-line DEFINITION of the
+    * boundary — a position is on the hull iff some line through it and
+    * another position has every position on one closed side (single
+    * positions are trivially boundary) — as a relational triple join
+    * over distinct positions with exact BIGINT cross products; the two
+    * are equivalent by the property proof, so the gate checks
+    * semantics, not code shape (the [[geoDbscan]] convention). */
+  val geoHull = OracleQuery(
+    "ltss_geo_hull",
+    (s, d) => {
+      import s.implicits._
+      s.read.parquet(trackLayoutSkewPath(s, d))
+        .select(col("id"), col("chunk"), col("seg")).as[DpSeg]
+        .flatMap { sg =>
+          val pts = sg.seg
+          val pos = pts.map(f => (math.round(2.0 * f.lon), math.round(2.0 * f.lat)))
+          val hull = hullBoundary(pos)
+          pts.iterator.zip(pos.iterator).collect {
+            case (f, p) if hull(p) => DpKept(sg.id, f.ts, f.seq, f.lat, f.lon)
+          }.toSeq
+        }
+        .toDF()
+        .orderBy(col("user_id"), col("time"), col("event_id"))
+    },
+    Some {
+      val cross = "((a.x2 - p.x2) * (r.y2 - p.y2) - (a.y2 - p.y2) * (r.x2 - p.x2))"
+      s"""WITH pts AS (
+        |  SELECT user_id, date_trunc('month', ts) AS chunk, ts, event_id,
+        |         CAST((user_id + 7 * event_id) % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+        |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+        |         2 * ((user_id + 7 * event_id) % 180) - 179 AS y2,
+        |         2 * (event_id % 360) - 359 AS x2
+        |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |), pos AS (
+        |  SELECT DISTINCT user_id, chunk, x2, y2 FROM pts
+        |), npos AS (
+        |  SELECT user_id, chunk, count(*) AS n FROM pos GROUP BY 1, 2
+        |), sup AS (
+        |  SELECT p.user_id, p.chunk, p.x2, p.y2,
+        |         min($cross) AS mn, max($cross) AS mx
+        |  FROM pos p
+        |  JOIN pos a ON a.user_id = p.user_id AND a.chunk = p.chunk
+        |   AND (a.x2 <> p.x2 OR a.y2 <> p.y2)
+        |  JOIN pos r ON r.user_id = p.user_id AND r.chunk = p.chunk
+        |  GROUP BY p.user_id, p.chunk, p.x2, p.y2, a.x2, a.y2
+        |), hull AS (
+        |  SELECT DISTINCT user_id, chunk, x2, y2
+        |  FROM sup WHERE mn >= 0 OR mx <= 0
+        |  UNION
+        |  SELECT p.user_id, p.chunk, p.x2, p.y2
+        |  FROM pos p JOIN npos n ON n.user_id = p.user_id AND n.chunk = p.chunk
+        |  WHERE n.n = 1
+        |)
+        |SELECT t.user_id, t.ts AS time, t.event_id, t.lat, t.lon
+        |FROM pts t JOIN hull h ON h.user_id = t.user_id AND h.chunk = t.chunk
+        | AND h.x2 = t.x2 AND h.y2 = t.y2
+        |ORDER BY t.user_id, time, t.event_id""".stripMargin
+    })
+
   /** STAY-POINT DETECTION — the visits/stops primitive of trajectory
     * mining (Li et al., "Mining user similarity based on location
     * history", ACM GIS 2008 — the GeoLife stay-point algorithm): a
@@ -3785,5 +3900,6 @@ object Queries {
     histEqdepth, timeBucketMonth, compressPlan, chunkStats, geofence, zoneDwell,
     kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn, geoDbscan,
     geoDbscanLatLon, geoTrack, geoSimplify, geoStaypoints, geoOdMatrix, geoMercator, geoHeading,
-    zoneStats, zonesDwell, geoDouglasPeucker, zonesOverlap, zoneCentroid, zoneNearest)
+    zoneStats, zonesDwell, geoDouglasPeucker, zonesOverlap, zoneCentroid, zoneNearest,
+    geoHull)
 }

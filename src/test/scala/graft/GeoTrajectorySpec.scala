@@ -404,6 +404,27 @@ class GeoTrajectorySpec extends SparkSpec {
       s"projection closed form diverged: ${got(1)._4}")
   }
 
+  test("ltss_geo_hull: hand-walked boundary — interior fixes drop, duplicate boundary positions both emit") {
+    // user 0 under the skew mapping (lat = 7e%180−89.5, lon = e%360−179.5):
+    //   e0   → P1(−179.5, −89.5)   lower-left vertex
+    //   e100 → P2(−79.5, 70.5)     upper vertex
+    //   e150 → (−29.5, 60.5)       INTERIOR (below chord P2→P5, above P1→P4)
+    //   e200 → (20.5, 50.5)        INTERIOR (same chords)
+    //   e300 → P4(120.5, 30.5)     lower vertex (below chord P1→P5)
+    //   e359 → P5(179.5, 83.5)     right vertex
+    //   e360 → P1's EXACT position again (e and e+360 map identically) —
+    //          a duplicate boundary position, both fixes must emit
+    val dir = java.nio.file.Files.createTempDirectory("graft-geo-hull").toString
+    Seq(0L, 100L, 150L, 200L, 300L, 359L, 360L).zipWithIndex.map {
+      case (e, i) => (e, ts(f"2024-01-01 1$i%01d:00:00"), 0L)
+    }.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("ltss_geo_hull")(spark, dir)
+      .collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(0L, 100L, 300L, 359L, 360L),
+      s"hull boundary diverged from the hand walk: $got")
+  }
+
   test("upsertZones: replace/add/drop with the write gate re-applied; a bad ring refuses the whole upsert") {
     import org.apache.spark.sql.functions.expr
     def zdf(rows: Seq[(Long, String, Seq[(Double, Double)])]) =

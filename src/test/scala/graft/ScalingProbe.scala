@@ -178,6 +178,9 @@ object ScalingProbe {
     if (names.contains("ltss_geo_dp"))
       warmed("geo_track2d_layout")(
         graft.operators.Queries.trackLayout2dPath(spark, sfDir))
+    if (names.contains("ltss_geo_hull"))
+      warmed("geo_trackhull_layout")(
+        graft.operators.Queries.trackLayoutSkewPath(spark, sfDir))
     if (names.exists(n => n == "ltss_geo_zones" || n == "ltss_geo_zone_stats" ||
         n == "ltss_zones_dwell" || n == "ltss_geo_zones_overlap" ||
         n == "ltss_geo_zone_centroid" || n == "ltss_geo_zone_nearest"))
