@@ -1908,6 +1908,32 @@ object StreamingOps {
     }
   }
 
+  final case class HullSegment(
+      user_id: Long, chunk: java.sql.Timestamp, n_fixes: Int, n_boundary: Int,
+      boundary: Seq[TrackFix])
+
+  /** Continuous CONVEX-HULL maintenance — the live face of the batch
+    * `ltss_geo_hull`: every month segment [[trackSegmentStream]] closes
+    * emits its boundary fixes through the batch operator's OWN chain
+    * ([[graft.operators.Queries.hullBoundary]] — the identical exact
+    * Long lattice arithmetic), so coverage/footprint consumers receive
+    * each month's hull the moment it completes. Stateless past the
+    * track stream, like [[dpSimplifyStream]]; prefix = batch minus
+    * open months (spec-pinned against the registered query). */
+  def hullStream(
+      pts: DataFrame // time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE
+  ): Dataset[HullSegment] = {
+    import pts.sparkSession.implicits._
+    trackSegmentStream(pts).map { seg =>
+      val pos = seg.seg.map(f => (math.round(2.0 * f.lon), math.round(2.0 * f.lat)))
+      val hull = graft.operators.Queries.hullBoundary(pos)
+      val kept = seg.seg.iterator.zip(pos.iterator).collect {
+        case (f, p) if hull(p) => f
+      }.toSeq
+      HullSegment(seg.user_id, seg.chunk, seg.n_fixes, kept.size, kept)
+    }
+  }
+
   final case class HampelBufRow(tus: Long, cents: Option[Long])
   final case class HampelState(nextEmit: Long, firstIdx: Long, buf: Seq[HampelBufRow])
   final case class HampelOut(

@@ -1760,6 +1760,46 @@ class StatefulStreamingSpec extends SparkSpec {
       s"stream kept set diverged from batch: ${got.head._4} vs $batch")
   }
 
+  test("hullStream: closed months emit batch-identical hull boundaries") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the ltss_geo_hull hand-walk fixture (user 0 under the skew
+    // mapping: boundary {e0, e100, e300, e359, e360-dup}, interior
+    // {e150, e200}) all in January, plus a February fix closing it
+    val jan = Seq(0L, 100L, 150L, 200L, 300L, 359L, 360L).zipWithIndex.map {
+      case (e, i) =>
+        val lat = ((0L + 7 * e) % 180 - 90).toDouble + 0.5
+        val lon = (e % 360 - 180).toDouble + 0.5
+        (ts(f"2024-01-01 1$i%01d:00:00"), 0L, e, lat, lon)
+    }
+    val feb = (ts("2024-02-01 10:00:00"), 0L, 720L, -89.5, 0.5)
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val q = StreamingOps.hullStream(
+      ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon"))
+      .writeStream.format("memory").queryName("hull_t").outputMode("append").start()
+    try {
+      ms.addData(jan: _*); q.processAllAvailable()
+      assert(spark.table("hull_t").count() == 0, "January is still open")
+      ms.addData(feb); q.processAllAvailable()
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"hullStream died: ${q.exception}")
+    val got = spark.table("hull_t")
+      .selectExpr("user_id", "n_fixes", "n_boundary",
+        "transform(boundary, f -> f.seq) AS seqs")
+      .as[(Long, Int, Int, Seq[Long])].collect().toSeq
+    assert(got == Seq((0L, 7, 5, Seq(0L, 100L, 300L, 359L, 360L))),
+      s"stream hull diverged from the hand walk: $got")
+    // batch parity: the registered query over the same January events
+    val dir = java.nio.file.Files.createTempDirectory("graft-hull-stream").toString
+    (jan :+ feb).map { case (t, u, e, _, _) => (e, t, u) }
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("ltss_geo_hull")(spark, dir)
+      .filter($"time" < ts("2024-02-01 00:00:00"))
+      .selectExpr("event_id").as[Long].collect().toSeq.sorted
+    assert(got.head._4.sorted == batch,
+      s"stream boundary diverged from batch: ${got.head._4} vs $batch")
+  }
+
   test("geoZonesStream: multi-zone enter/exit log, held sets equal the batch join per prefix") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val zones = graft.operators.Queries.ZoneDefs.map { case (id, _, vs) => (id, vs) }
