@@ -67,6 +67,83 @@ object LtssSink {
     }
   }
 
+  /** In-JVM registry of layout paths with a lifecycle mutation IN
+    * FLIGHT — the same-process face of the owner-token protocol (two
+    * threads of one JVM share a pid, so the pid-liveness probe alone
+    * cannot tell a concurrent sibling from this JVM's own crash
+    * residue). */
+  private val liveLifecycleOps =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** This process's lifecycle owner token: `host:pid:nonce`. A marker
+    * stamped `<op>:<token>` identifies WHO holds the layout, so a
+    * re-entrant runner can tell its predecessor's crash residue (safe
+    * to take over — the documented recovery is re-running the
+    * operation) from a LIVE concurrent appender (interleaving two
+    * stage/retire/swap sequences on the same dirs can lose data). */
+  private def ownerToken(): String = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "unknown-host" }
+    s"$host:${ProcessHandle.current().pid()}:${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+
+  /** May THIS runner take over a layout whose marker holds `op` residue
+    * stamped `residueToken`? Yes iff the stamp is provably not a live
+    * concurrent owner: a legacy un-tokened stamp (pre-token vintage —
+    * only crash residue survives without a process), a token whose pid
+    * on THIS host is no longer alive, or this process's own pid (a
+    * prior invocation in this JVM that threw; a live same-JVM sibling
+    * is excluded by [[liveLifecycleOps]] before this is consulted). A
+    * live pid on this host, or any token from ANOTHER host (no
+    * liveness probe is possible across hosts), refuses — the caller
+    * passes `force = true` only when the other runner is known dead. */
+  private def residueTakeoverAllowed(residueToken: String): Boolean = {
+    val parts = residueToken.split(':')
+    if (parts.length < 2) return true // legacy un-tokened residue
+    val (host, pidStr) = (parts(0), parts(1))
+    val self = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "unknown-host" }
+    if (host != self) return false
+    scala.util.Try(pidStr.toLong).toOption match {
+      case None => true
+      case Some(pid) =>
+        pid == ProcessHandle.current().pid() ||
+          !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+    }
+  }
+
+  /** Acquire the lifecycle lock for `op` ("appending", "zone-upsert")
+    * on the layout at `path`: refuses a same-JVM concurrent holder, a
+    * different in-flight operation, and live-owner residue (unless
+    * `force`); passes crash residue of the SAME op — recovery there is
+    * re-running it. Returns the marker to restamp. The caller MUST
+    * release via [[releaseLifecycleLock]] (or by writing the final
+    * marker and calling it) in a finally-free happy path — the in-JVM
+    * slot is what excludes same-process races. */
+  private def acquireLifecycleLock(
+      path: String, op: String, marker: LayoutMarker, force: Boolean): Unit = {
+    if (!liveLifecycleOps.add(s"$op@$path"))
+      throw new IllegalStateException(
+        s"a concurrent $op is already running against $path in this process")
+    try {
+      marker.migrating match {
+        case Some(stamp) if stamp == op || stamp.startsWith(s"$op:") =>
+          val residue = stamp.stripPrefix(op).stripPrefix(":")
+          if (!force && !residueTakeoverAllowed(residue))
+            throw new IllegalStateException(
+              s"layout at $path is locked by a live $op owner '$residue' — " +
+                "wait for it, or pass force=true only if that runner is known dead")
+        case _ =>
+          requireUnlocked(Some(marker), path, s"before $op")
+      }
+    } catch {
+      case e: Throwable => liveLifecycleOps.remove(s"$op@$path"); throw e
+    }
+  }
+
+  private def releaseLifecycleLock(path: String, op: String): Unit =
+    liveLifecycleOps.remove(s"$op@$path")
+
   /** Retention: drop whole chunks older than the cutoff — the
     * TimescaleDB `drop_chunks` analog (the retention policy every LTSS
     * deployment pairs with its hypertable). Deletion is partition-dir
@@ -726,7 +803,9 @@ object LtssSink {
     * schema. Caller contract: run under the SAME session timezone as
     * the layout's writer (month keys are session-tz calendar months,
     * the layout's own chunking policy). */
-  def appendTrackMonth(segments: DataFrame, path: String, parts: Int = 32): Unit = {
+  def appendTrackMonth(
+      segments: DataFrame, path: String, parts: Int = 32,
+      force: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     val spark = segments.sparkSession
     val incoming = segments.toDF("id", "chunk", "n_fixes", "seg")
@@ -735,13 +814,17 @@ object LtssSink {
       throw new IllegalStateException(
         s"track layout at $path has no marker — rebuild it with " +
           "writeTrackLayout before appending"))
-    // an "appending" lock is THIS operation's own crash residue — the
-    // recovery protocol is re-running the append, so it passes; any
-    // other lock (compaction, encoding migration) refuses as usual
-    if (!marker.migrating.contains("appending"))
-      requireUnlocked(Some(marker), path, "before appending track months")
+    // "appending:<owner>" residue from a DEAD owner is this protocol's
+    // own crash face — recovery is re-running the append, so it passes;
+    // a LIVE owner (same JVM, or a live pid on this host, or any other
+    // host absent `force`) refuses: two interleaved stage/retire/swap
+    // sequences on the same month dirs can lose a month. Any other lock
+    // (compaction, encoding migration) refuses as usual.
+    acquireLifecycleLock(path, "appending", marker, force)
+    try {
     writeLayoutMarker(spark, path, marker.copy(
-      generation = marker.generation + 1, migrating = Some("appending")))
+      generation = marker.generation + 1,
+      migrating = Some(s"appending:${ownerToken()}")))
     val (fs, root) = hadoopFs(spark, path)
     // crash restore: a retired month dir without a live twin holds the
     // ONLY copy of that month — restore it before reading
@@ -786,6 +869,7 @@ object LtssSink {
     fs.delete(staged, true)
     writeLayoutMarker(spark, path, marker.copy(
       generation = marker.generation + 2, migrating = None))
+    } finally releaseLifecycleLock(path, "appending")
   }
 
   /** STORED ZONES — polygon STORAGE (the last §7.4 PostGIS-geometry
@@ -806,7 +890,19 @@ object LtssSink {
     * column (models.py:35,44). Zones are a dimension table (a
     * deployment has thousands, not billions) — stored sorted by id,
     * always broadcast by consumers. */
-  def writeZoneLayout(zones: DataFrame, path: String): Unit = {
+  def writeZoneLayout(zones: DataFrame, path: String, version: Long = 1L): Unit = {
+    zoneLayoutFrame(zones).write.mode(SaveMode.Overwrite).parquet(path)
+    // marker AFTER the Overwrite (which clears the directory): the
+    // generation field IS the zone_version the streaming twins pin
+    // their bootstrapped containment state to (see geoZonesStream)
+    writeLayoutMarker(zones.sparkSession, path, LayoutMarker(0L, Nil, generation = version))
+  }
+
+  /** The validated, bbox-materialized zone frame both the full rebuild
+    * and the upsert stage write. EAGER validation (a planning-sized
+    * collect over the dimension): a bad ring refuses the call before
+    * any file moves. */
+  private def zoneLayoutFrame(zones: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val z = zones.toDF("zone_id", "name", "verts")
     val nxt = concat(expr("slice(verts, 2, size(verts) - 1)"),
@@ -827,7 +923,76 @@ object LtssSink {
       .withColumn("lon_min", array_min(transform(col("verts"), v => v("x"))))
       .withColumn("lon_max", array_max(transform(col("verts"), v => v("x"))))
       .orderBy(col("zone_id"))
-      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** The stored zone table's VERSION — the layout marker's generation,
+    * bumped by every [[upsertZones]] (a legacy un-markered layout reads
+    * 0). The streaming twins ([[graft.streaming.StreamingOps
+    * .geoZonesStream]], `zonesDwellStream`) stamp this into their per-
+    * entity state so held containment sets computed against retired
+    * rings are detected on restart instead of silently diffed against
+    * the redrawn table. */
+  def zoneLayoutVersion(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long =
+    readLayoutMarker(spark, path).map(_.generation).getOrElse(0L)
+
+  /** Driver-side read of the stored zone dimension as the `(zone_id,
+    * ring)` constant the streaming twins broadcast, plus its version —
+    * the bootstrap call of the zone-version contract. */
+  def readZones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[(Long, Seq[(Double, Double)])], Long) = {
+    val rows = spark.read.parquet(path)
+      .select(col("zone_id"), col("verts")).orderBy(col("zone_id")).collect()
+    val zones = rows.toIndexedSeq.map { r =>
+      val ring = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(v => (v.getDouble(0), v.getDouble(1)))
+      (r.getLong(0), ring)
+    }
+    (zones, zoneLayoutVersion(spark, path))
+  }
+
+  private val ZoneStageDir = ".zone_staged"
+  private val ZoneManifestName = ".zone_staged_manifest"
+
+  /** Roll FORWARD a committed zone-upsert swap (or discard an
+    * uncommitted stage). The manifest at the layout root is the commit
+    * point: written only after the staged layout is complete, it names
+    * the new data files and the new version, so at any crash point the
+    * swap is finishable deterministically — root data files NOT in the
+    * manifest are the retired layout (delete), manifest names still in
+    * the stage dir move in (names are unique per Spark write, so a
+    * half-moved stage never collides), and the final marker carries
+    * the manifest's version. No manifest = the stage never committed:
+    * discard it, the live layout was never touched. */
+  private def finishZoneSwap(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val manifest = new org.apache.hadoop.fs.Path(root, ZoneManifestName)
+    val staged = new org.apache.hadoop.fs.Path(root, ZoneStageDir)
+    if (!fs.exists(manifest)) { fs.delete(staged, true); return }
+    val in = fs.open(manifest)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    val version = lines.head.toLong
+    val names = lines.tail.filter(_.nonEmpty)
+    val nameSet = names.toSet
+    def isData(n: String) = !n.startsWith(".") && !n.startsWith("_")
+    fs.listStatus(root)
+      .filter(st => st.isFile && isData(st.getPath.getName) &&
+        !nameSet(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, false))
+    if (fs.exists(staged)) names.foreach { n =>
+      val from = new org.apache.hadoop.fs.Path(staged, n)
+      val to = new org.apache.hadoop.fs.Path(root, n)
+      if (fs.exists(from) && !fs.exists(to) && !fs.rename(from, to))
+        throw new java.io.IOException(s"zone swap could not move $from in")
+    }
+    fs.delete(staged, true)
+    writeLayoutMarker(spark, root.toString, LayoutMarker(0L, Nil, generation = version))
+    fs.delete(manifest, false)
   }
 
   /** ZONE-DIMENSION lifecycle — add, REPLACE (by id), and drop zones in
@@ -845,24 +1010,70 @@ object LtssSink {
     * atomically rewriting kilobytes beats partial-update machinery at
     * any deployment size (the same dimension-sized-collect class as
     * the centroid planning tables). Replaying the same upsert is a
-    * no-op by content. */
-  def upsertZones(zones: DataFrame, path: String, dropIds: Seq[Long] = Nil): Unit = {
-    import org.apache.spark.sql.functions._
+    * no-op by content (modulo one version bump per replay).
+    *
+    * Lifecycle contract (r16): incoming zone_ids must be DISTINCT — a
+    * batch carrying two versions of one zone is ambiguous and refuses
+    * before anything moves. The rewrite runs under the owner-token
+    * marker lock ([[acquireLifecycleLock]] — same protocol as
+    * [[appendTrackMonth]]), stages the merged layout under a hidden
+    * dot-dir, and COMMITS by writing a manifest (new version + staged
+    * file names) before any live file is touched; from the manifest on,
+    * the swap rolls FORWARD deterministically at any crash point
+    * ([[finishZoneSwap]], also run at entry to converge a predecessor's
+    * residue). Every successful upsert bumps the layout's zone_version
+    * (marker generation), which the streaming twins pin their state to. */
+  def upsertZones(
+      zones: DataFrame, path: String, dropIds: Seq[Long] = Nil,
+      force: Boolean = false): Unit = {
     val spark = zones.sparkSession
     val incoming = zones.toDF("zone_id", "name", "verts")
-    val gone = (dropIds ++ incoming.select(col("zone_id"))
-      .collect().map(_.getLong(0))).toSet
-    val kept = spark.read.parquet(path)
-      .select(col("zone_id"), col("name"), col("verts"))
-      .filter(!col("zone_id").isin(gone.toSeq: _*))
-    val merged = kept.unionByName(incoming)
-    // driver-side staging: the dimension is small by contract, and the
-    // overwrite below deletes the files `kept` was lazily reading from
-    val rows = merged.collect().toIndexedSeq
-    val staged = spark.createDataFrame(
-      new java.util.ArrayList(scala.jdk.CollectionConverters
-        .SeqHasAsJava(rows).asJava), merged.schema)
-    writeZoneLayout(staged, path)
+    val incomingIds = incoming.select(col("zone_id")).collect().map(_.getLong(0))
+    val dup = incomingIds.groupBy(identity).collect { case (id, hits) if hits.length > 1 => id }
+    require(dup.isEmpty,
+      s"upsertZones requires distinct incoming zone_ids — duplicated: " +
+        s"${dup.toSeq.sorted.mkString(", ")} (two versions of one zone in " +
+        "a batch is ambiguous; pre-reduce to the intended row per id)")
+    val marker0 = readLayoutMarker(spark, path)
+      .getOrElse(LayoutMarker(0L, Nil)) // legacy un-markered layout = version 0
+    acquireLifecycleLock(path, "zone-upsert", marker0, force)
+    try {
+      val (fs, root) = hadoopFs(spark, path)
+      finishZoneSwap(spark, fs, root) // converge any crashed predecessor first
+      val cur = readLayoutMarker(spark, path).getOrElse(LayoutMarker(0L, Nil))
+      writeLayoutMarker(spark, path, cur.copy(
+        migrating = Some(s"zone-upsert:${ownerToken()}")))
+      val staged = new org.apache.hadoop.fs.Path(root, ZoneStageDir)
+      val manifest = new org.apache.hadoop.fs.Path(root, ZoneManifestName)
+      try {
+        val gone = (dropIds ++ incomingIds).toSet
+        val kept = spark.read.parquet(path)
+          .select(col("zone_id"), col("name"), col("verts"))
+          .filter(!col("zone_id").isin(gone.toSeq: _*))
+        fs.delete(staged, true)
+        // the stage READS the live files (still untouched) and validates
+        // the merged set before the manifest commits anything
+        zoneLayoutFrame(kept.unionByName(incoming))
+          .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+        val names = fs.listStatus(staged).map(_.getPath.getName)
+          .filter(n => !n.startsWith(".") && !n.startsWith("_")).sorted
+        val out = fs.create(manifest, true)
+        try out.write(((cur.generation + 1) +: names.toSeq)
+          .mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        case e: Throwable =>
+          // an in-process refusal (e.g. the ring gate) is not a crash:
+          // nothing committed, so discard the stage and hand the layout
+          // back unlocked instead of leaving takeover residue
+          if (!fs.exists(manifest)) {
+            fs.delete(staged, true)
+            writeLayoutMarker(spark, path, cur)
+          }
+          throw e
+      }
+      finishZoneSwap(spark, fs, root) // the commit point has passed: swap
+    } finally releaseLifecycleLock(path, "zone-upsert")
   }
 
   /** Per-backend column types for the dynamic columns — the analog of
@@ -1494,14 +1705,29 @@ object LtssSink {
       case c: PgCopy => Some((sql, r) => c.copyIn(sql, r))
       case _ =>
         try {
-          val pgIface = Class.forName("org.postgresql.PGConnection")
+          // resolve against the CONNECTION's loader: that is where the
+          // driver (and so the interface) is guaranteed to live, even
+          // when pgjdbc is isolated from the application classloader
+          val pgIface = Class.forName(
+            "org.postgresql.PGConnection", false, conn.getClass.getClassLoader)
           if (conn.isWrapperFor(pgIface)) {
             val pg = conn.unwrap(pgIface)
             val mgr = pgIface.getMethod("getCopyAPI").invoke(pg)
             val m = mgr.getClass.getMethod(
               "copyIn", classOf[String], classOf[java.io.Reader])
-            Some((sql, r) =>
-              m.invoke(mgr, sql, r).asInstanceOf[java.lang.Long].longValue())
+            // unwrap the reflection envelope: Method.invoke wraps the
+            // server's SQLException in InvocationTargetException, which
+            // would never match copyIntoPg's `case e: SQLException if
+            // isConflict(e)` chunk fallback — the production pgjdbc
+            // path must surface the same exception type the direct
+            // PgCopy path throws
+            Some { (sql, r) =>
+              try m.invoke(mgr, sql, r).asInstanceOf[java.lang.Long].longValue()
+              catch {
+                case e: java.lang.reflect.InvocationTargetException =>
+                  throw Option(e.getCause).getOrElse(e)
+              }
+            }
           } else None
         } catch { case _: Exception => None }
     }

@@ -1527,7 +1527,8 @@ object StreamingOps {
   /** Last-fix state shared by the trajectory streams. */
   final case class OdoFix(lat: Double, lon: Double, tUs: Long)
 
-  final case class ZoneSetState(tUs: Long, seq: Long, inside: Seq[Long])
+  final case class ZoneSetState(
+      tUs: Long, seq: Long, inside: Seq[Long], version: Long)
   final case class ZoneTransition(
       user_id: Long, time: java.sql.Timestamp, event_id: Long,
       zone_id: Long, event: String)
@@ -1547,10 +1548,27 @@ object StreamingOps {
     * tables broadcast; the layout's write contract already guarantees
     * ray-cast-safe rings). Invariant, spec-pinned: after any in-order
     * prefix the held sets equal the batch `ltss_geo_zones` pairs over
-    * the same fixes' latest state. */
+    * the same fixes' latest state.
+    *
+    * ZONE-VERSION CONTRACT (r16): the stored zone dimension has a
+    * LIFECYCLE (`LtssSink.upsertZones` redraws rings and bumps the
+    * layout marker's zone_version), and a checkpoint restart can
+    * restore containment sets computed against RETIRED rings into a
+    * query reconstructed over the redrawn table — the enter/exit diff
+    * would then be against the wrong baseline, silently. So every held
+    * state carries the version it was computed under (`zoneVersion`,
+    * from [[graft.sources.LtssSink.zoneLayoutVersion]]; bootstrap via
+    * [[geoZonesStreamFromLayout]]), and an entity whose restored state
+    * predates the constructed version FAILS the query with the
+    * documented re-seed instruction on its first post-restart arrival
+    * — never a silent wrong transition. Restart rule: a zone redraw
+    * requires a fresh checkpoint (the state is dimension-bounded and
+    * rebuilds from the next fix per entity; the transition LOG before
+    * the redraw remains valid history). */
   def geoZonesStream(
       pts: DataFrame, // time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE
-      zones: Seq[(Long, Seq[(Double, Double)])]): Dataset[ZoneTransition] = {
+      zones: Seq[(Long, Seq[(Double, Double)])],
+      zoneVersion: Long = 0L): Dataset[ZoneTransition] = {
     import pts.sparkSession.implicits._
     val zs = zones.sortBy(_._1)
     pts
@@ -1562,6 +1580,7 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout) { (uid, rows, st) =>
         val sorted = rows.toSeq.sortBy(r => (micros(r._1), r._3))
         var s = st.getOption.orNull
+        requireZoneVersion(s == null, if (s == null) 0L else s.version, zoneVersion)
         val out = scala.collection.mutable.ArrayBuffer.empty[ZoneTransition]
         for ((t, _, eid, lat, lon) <- sorted) {
           val tus = micros(t)
@@ -1577,7 +1596,7 @@ object StreamingOps {
               out += ZoneTransition(uid, t, eid, z, "exit")
             for (z <- now if !before.contains(z))
               out += ZoneTransition(uid, t, eid, z, "enter")
-            s = ZoneSetState(tus, eid, now)
+            s = ZoneSetState(tus, eid, now, zoneVersion)
           }
         }
         if (s != null) st.update(s)
@@ -1585,10 +1604,26 @@ object StreamingOps {
       }
   }
 
+  /** The zone-version gate shared by the zone-table twins: a restored
+    * state stamped with a DIFFERENT version than the constructed query
+    * fails loudly (first arrival per entity) — its held containment
+    * sets were computed against retired rings. */
+  private def requireZoneVersion(
+      fresh: Boolean, stateVersion: Long, constructed: Long): Unit =
+    if (!fresh && stateVersion != constructed)
+      throw new IllegalStateException(
+        s"zone layout version changed: restored state was bootstrapped at " +
+          s"zone_version $stateVersion but this stream was constructed " +
+          s"against zone_version $constructed — the held containment sets " +
+          "were computed against retired rings. Restart the query with a " +
+          "fresh checkpoint to re-seed (state is dimension-bounded and " +
+          "rebuilds from each entity's next fix).")
+
   final case class ZoneLedger(
       dwellUs: Long, visits: Long, nObs: Long, firstUs: Long, lastUs: Long)
   final case class ZonesDwellState(
-      tUs: Long, seq: Long, lastZones: Seq[Long], ledgers: Map[Long, ZoneLedger])
+      tUs: Long, seq: Long, lastZones: Seq[Long], ledgers: Map[Long, ZoneLedger],
+      version: Long)
   final case class ZonesDwellRow(
       zone_id: Long, user_id: Long, n_inside_obs: Long, dwell_us: Long,
       n_visits: Long, first_inside: java.sql.Timestamp,
@@ -1614,7 +1649,8 @@ object StreamingOps {
     * fixes (spec-pinned against the registered query). */
   def zonesDwellStream(
       pts: DataFrame, // time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE
-      zones: Seq[(Long, Seq[(Double, Double)])]): Dataset[ZonesDwellRow] = {
+      zones: Seq[(Long, Seq[(Double, Double)])],
+      zoneVersion: Long = 0L): Dataset[ZonesDwellRow] = {
     import pts.sparkSession.implicits._
     val zs = zones.sortBy(_._1)
     pts
@@ -1626,6 +1662,7 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout) { (uid, rows, st) =>
         val sorted = rows.toSeq.sortBy(r => (micros(r._1), r._3))
         var s = st.getOption.orNull
+        requireZoneVersion(s == null, if (s == null) 0L else s.version, zoneVersion)
         for ((t, _, eid, lat, lon) <- sorted) {
           val tus = micros(t)
           if (s == null || tus > s.tUs || (tus == s.tUs && eid > s.seq)) {
@@ -1646,7 +1683,7 @@ object StreamingOps {
                 l.dwellUs, l.visits + (if (entered) 1L else 0L),
                 l.nObs + 1L, if (l.nObs == 0L) tus else l.firstUs, tus))
             }
-            s = ZonesDwellState(tus, eid, now, ledgers)
+            s = ZonesDwellState(tus, eid, now, ledgers, zoneVersion)
           }
         }
         if (s != null) st.update(s)
@@ -1656,6 +1693,22 @@ object StreamingOps {
             tsOfMicros(l.firstUs), tsOfMicros(l.lastUs))
         }
       }
+  }
+
+  /** Bootstrap [[geoZonesStream]] from the STORED zone layout: rings
+    * and the layout's zone_version read together, so the constructed
+    * query and its state share one dimension vintage — the intended
+    * production entry point of the zone-version contract. */
+  def geoZonesStreamFromLayout(pts: DataFrame, path: String): Dataset[ZoneTransition] = {
+    val (zones, v) = graft.sources.LtssSink.readZones(pts.sparkSession, path)
+    geoZonesStream(pts, zones, v)
+  }
+
+  /** Bootstrap [[zonesDwellStream]] from the stored zone layout (see
+    * [[geoZonesStreamFromLayout]]). */
+  def zonesDwellStreamFromLayout(pts: DataFrame, path: String): Dataset[ZonesDwellRow] = {
+    val (zones, v) = graft.sources.LtssSink.readZones(pts.sparkSession, path)
+    zonesDwellStream(pts, zones, v)
   }
 
   final case class StayState(

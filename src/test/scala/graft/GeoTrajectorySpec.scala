@@ -460,6 +460,115 @@ class GeoTrajectorySpec extends SparkSpec {
     assert(dump() == got, "a refused upsert must leave the layout untouched")
   }
 
+  test("upsertZones lifecycle: version bumps, duplicate ids refuse, live owner refuses, crashed swap rolls forward") {
+    import org.apache.spark.sql.functions.expr
+    import graft.sources.LtssSink
+    def zdf(rows: Seq[(Long, String, Seq[(Double, Double)])]) =
+      rows.toDF("zone_id", "name", "verts")
+        .withColumn("verts", expr("transform(verts, v -> struct(v._1 AS x, v._2 AS y))"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zone-vers").toString + "/z"
+    LtssSink.writeZoneLayout(zdf(graft.operators.Queries.ZoneDefs), dir)
+    assert(LtssSink.zoneLayoutVersion(spark, dir) == 1L, "a fresh draw is version 1")
+    val tri = Seq((7L, "tri", Seq((0.0, 0.0), (5.0, 0.0), (3.0, 4.0))))
+    LtssSink.upsertZones(zdf(tri), dir)
+    assert(LtssSink.zoneLayoutVersion(spark, dir) == 2L, "every upsert bumps the version")
+    // duplicate incoming ids refuse BEFORE anything moves, version unchanged
+    val dup = intercept[IllegalArgumentException] {
+      LtssSink.upsertZones(zdf(tri ++ tri), dir)
+    }
+    assert(dup.getMessage.contains("distinct incoming zone_ids"))
+    assert(LtssSink.zoneLayoutVersion(spark, dir) == 2L)
+    // a refused RING gate restores the unlocked marker (no takeover residue)
+    intercept[IllegalArgumentException] {
+      LtssSink.upsertZones(
+        zdf(Seq((8L, "flat", Seq((0.0, 0.0), (5.0, 5.0), (10.0, 10.0))))), dir)
+    }
+    assert(LtssSink.zoneLayoutVersion(spark, dir) == 2L)
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    def stampMarker(migrating: String): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_ltss_layout.json"),
+        (s"""{"chunkTimeIntervalUs":0,"attrKeys":[],"generation":2""" +
+          s""","migratingEncoding":"$migrating","attributesEncoding":"json"}""")
+          .getBytes("UTF-8"))
+      // raw write invalidates the local-FS checksum sidecar: drop it
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "._ltss_layout.json.crc"))
+    }
+    // a LIVE owner on this host (pid 1 is alive in this sandbox) refuses;
+    // force overrides when the operator knows better
+    stampMarker(s"zone-upsert:$host:1:livetok")
+    val live = intercept[IllegalStateException] { LtssSink.upsertZones(zdf(tri), dir) }
+    assert(live.getMessage.contains("live zone-upsert owner"))
+    LtssSink.upsertZones(zdf(tri), dir, force = true)
+    assert(LtssSink.zoneLayoutVersion(spark, dir) == 3L)
+    // crash roll-forward: a predecessor that died AFTER the commit point
+    // (staged layout + manifest on disk, marker stamped with a DEAD pid)
+    // is converged at entry — its swap finishes, THEN the new delta lands
+    val stagedSrc = java.nio.file.Files.createTempDirectory("graft-zone-src").toString + "/s"
+    LtssSink.writeZoneLayout(
+      zdf(Seq((50L, "ghost", Seq((0.0, 0.0), (2.0, 0.0), (1.0, 2.0))))), stagedSrc)
+    val stagedDir = java.nio.file.Paths.get(dir, ".zone_staged")
+    java.nio.file.Files.createDirectories(stagedDir)
+    val names = new java.io.File(stagedSrc).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .map { f =>
+        java.nio.file.Files.copy(f.toPath, stagedDir.resolve(f.getName))
+        f.getName
+      }.sorted
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".zone_staged_manifest"),
+      (("9" +: names.toSeq).mkString("\n")).getBytes("UTF-8"))
+    stampMarker(s"zone-upsert:$host:999999999:deadtok")
+    LtssSink.upsertZones(zdf(tri), dir)
+    // the ghost swap (version 9, zone 50 only) finished first, then the
+    // delta merged on top of IT: final = {50, 7} at version 10
+    val ids = spark.read.parquet(dir).select("zone_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(7L, 50L), s"roll-forward then merge diverged: $ids")
+    assert(LtssSink.zoneLayoutVersion(spark, dir) == 10L)
+  }
+
+  test("appendTrackMonth owner token: a live concurrent appender refuses, dead residue passes") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-track-tok").toString + "/t"
+    val fixes = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 1L, 10.0, 20.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-04 00:00:00"), 2L, 10.5, 20.5))
+      .toDF("id", "ts", "seq", "lat", "lon")
+    graft.sources.LtssSink.writeTrackLayout(fixes, dir, parts = 2)
+    // materialize driver-side: the appends below REWRITE the files a
+    // lazy read plan would re-open
+    val segLazy = spark.read.parquet(dir)
+      .select(col("id"), col("chunk"), col("n_fixes"), col("seg"))
+    val seg = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(segLazy.collect(): _*)),
+      segLazy.schema)
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    def stamp(tok: String): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_ltss_layout.json"),
+        (s"""{"chunkTimeIntervalUs":0,"attrKeys":[],"generation":1""" +
+          s""","migratingEncoding":"appending:$tok","attributesEncoding":"json"}""")
+          .getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "._ltss_layout.json.crc"))
+    }
+    stamp(s"$host:1:livetok") // pid 1 is alive: a live concurrent appender
+    val e = intercept[IllegalStateException] {
+      graft.sources.LtssSink.appendTrackMonth(seg, dir)
+    }
+    assert(e.getMessage.contains("live appending owner"))
+    stamp(s"$host:999999999:deadtok") // dead pid: crash residue, takeover OK
+    graft.sources.LtssSink.appendTrackMonth(seg, dir)
+    assert(spark.read.parquet(dir).count() == 1L)
+    // another host's token is indistinguishable from live: refuse sans force
+    stamp(s"elsewhere-${host}:42:othertok")
+    val e2 = intercept[IllegalStateException] {
+      graft.sources.LtssSink.appendTrackMonth(seg, dir)
+    }
+    assert(e2.getMessage.contains("live appending owner"))
+    graft.sources.LtssSink.appendTrackMonth(seg, dir, force = true)
+    assert(spark.read.parquet(dir).count() == 1L)
+  }
+
   test("writeZoneLayout rejects degenerate rings, stores axis-aligned ones") {
     import org.apache.spark.sql.functions.expr
     val dir = java.nio.file.Files.createTempDirectory("graft-zone-reject").toString

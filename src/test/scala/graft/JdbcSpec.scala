@@ -161,4 +161,49 @@ class JdbcSpec extends SparkSpec {
         maxConflictRounds = 2)
     }
   }
+
+  /** A java.sql.Connection + org.postgresql.PGConnection proxy whose
+    * reflective getCopyAPI returns the given fake manager — the exact
+    * shape `copyApiOf`'s production branch probes for. */
+  private def fakePgConnection(mgr: org.postgresql.FakeCopyManager): java.sql.Connection = {
+    val pgIface = classOf[org.postgresql.PGConnection]
+    val handler = new java.lang.reflect.InvocationHandler {
+      def invoke(proxy: AnyRef, m: java.lang.reflect.Method,
+          args: Array[AnyRef]): AnyRef = m.getName match {
+        case "isWrapperFor" =>
+          java.lang.Boolean.valueOf(args(0).asInstanceOf[Class[_]] == pgIface)
+        case "unwrap" => proxy
+        case "getCopyAPI" => mgr
+        case "close" => null
+        case "hashCode" => Integer.valueOf(System.identityHashCode(proxy))
+        case "equals" => java.lang.Boolean.valueOf(proxy eq args(0))
+        case "toString" => "fake-pg-connection"
+        case other => throw new UnsupportedOperationException(other)
+      }
+    }
+    java.lang.reflect.Proxy.newProxyInstance(
+      getClass.getClassLoader,
+      Array(classOf[java.sql.Connection], pgIface), handler)
+      .asInstanceOf[java.sql.Connection]
+  }
+
+  test("reflective pgjdbc COPY surface: conflict SQLException reaches the caller unwrapped") {
+    // the happy face: the reflective chain dispatches and returns the count
+    val okMgr = new org.postgresql.FakeCopyManager(None)
+    val ok = LtssSink.copyApiOf(fakePgConnection(okMgr))
+    assert(ok.isDefined, "reflective surface should be detected")
+    assert(ok.get("COPY t FROM STDIN", new java.io.StringReader("abc\n")) == 4L)
+    assert(okMgr.calls == 1)
+    // the conflict face: Method.invoke wraps the server's SQLException in
+    // InvocationTargetException; copyIntoPg's chunk fallback matches on
+    // `case e: SQLException if isConflict(e)` — the lambda must rethrow
+    // the CAUSE, or the production driver never falls back chunk-wise
+    val dupMgr = new org.postgresql.FakeCopyManager(Some("23505"))
+    val dup = LtssSink.copyApiOf(fakePgConnection(dupMgr)).get
+    val e = intercept[SQLException] {
+      dup("COPY t FROM STDIN", new java.io.StringReader("x\n"))
+    }
+    assert(LtssSink.isConflict(e),
+      "the unwrapped exception must classify as a PK conflict")
+  }
 }

@@ -209,6 +209,23 @@ class PostgresE2ESpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("COPY payload with a surrogate pair straddling the 64 KiB read boundary round-trips") {
+    withWire { w =>
+      w.query("DROP TABLE IF EXISTS copy_smp")
+      w.query("CREATE TABLE copy_smp (v text)")
+      // 65535 filler chars put the supplementary character's HIGH
+      // surrogate exactly last in the wire client's first 64 Ki-char
+      // read — the boundary that used to encode it alone as U+FFFD
+      val value = "a" * 65535 + "🙂" + "tail"
+      val n = w.copyIn("COPY copy_smp (v) FROM STDIN",
+        new java.io.StringReader(value + "\n"))
+      assert(n == 1L)
+      val got = w.query("SELECT v FROM copy_smp").rows.head.head
+      assert(got == value,
+        s"non-BMP char split across CopyData reads corrupted: tail=${got.takeRight(8)}")
+    }
+  }
+
   test("COPY vs batched INSERT throughput, measured on live PG 15") {
     LtssSink.bootstrapJdbc(cfg, table = "ltss_tp_ins", locationType = "VARCHAR(255)")
     LtssSink.bootstrapJdbc(cfg, table = "ltss_tp_cp", locationType = "VARCHAR(255)")

@@ -153,15 +153,30 @@ object PgWire {
       }
       if (inCopy) {
         try {
+          // each read's chars encode as one CopyData frame; a HIGH
+          // SURROGATE landing last in a read is held back and prepended
+          // to the next (encoding it alone would emit U+FFFD and corrupt
+          // any non-BMP code point that straddled the 64 KiB boundary) —
+          // only a genuinely unpaired surrogate at EOF still encodes as
+          // the replacement char, which is what it is
           val buf = new Array[Char](65536)
-          var n = data.read(buf)
-          while (n > 0) {
-            val bytes = new String(buf, 0, n).getBytes(UTF_8)
+          def frame(len: Int): Unit = if (len > 0) {
+            val bytes = new String(buf, 0, len).getBytes(UTF_8)
             out.writeByte('d') // CopyData
             out.writeInt(4 + bytes.length)
             out.write(bytes)
-            n = data.read(buf)
           }
+          var carry = 0
+          var n = data.read(buf, carry, buf.length - carry)
+          while (n > 0) {
+            val total = carry + n
+            val emit =
+              if (Character.isHighSurrogate(buf(total - 1))) total - 1 else total
+            frame(emit)
+            if (emit < total) { buf(0) = buf(total - 1); carry = 1 } else carry = 0
+            n = data.read(buf, carry, buf.length - carry)
+          }
+          frame(carry)
           out.writeByte('c') // CopyDone
           out.writeInt(4)
           out.flush()
