@@ -1853,6 +1853,63 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(implied(100L).isEmpty && implied(9L) == Set(2L))
   }
 
+  test("zone-version contract: an upsertZones mid-stream fails the restarted twin loudly, fresh checkpoint re-seeds") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-zonev").toString
+    val zdir = s"$root/zones"; val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    def zdf(rows: Seq[(Long, String, Seq[(Double, Double)])]) =
+      rows.toDF("zone_id", "name", "verts")
+        .withColumn("verts", expr("transform(verts, v -> struct(v._1 AS x, v._2 AS y))"))
+    graft.sources.LtssSink.writeZoneLayout(
+      zdf(graft.operators.Queries.ZoneDefs), zdir) // zone_version 1
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE")
+    def start(out: String, ckpt: String) = StreamingOps
+      .geoZonesStreamFromLayout(spark.readStream.schema(schema).json(in), zdir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    def fix(t: String, eid: Long, lon: Double) =
+      s"""{"time":"${t}Z","user_id":100,"event_id":$eid,"lat":10.5,"lon":$lon}"""
+    // batch 1 against version 1: user 100 enters zone 1; the held
+    // containment set lands in the checkpoint stamped version 1
+    Files.writeString(Paths.get(in, "b1.json"), fix("2024-01-01T10:00:00", 1L, -40.5))
+    val q1 = start(s"$root/out1", s"$root/ckpt1")
+    q1.processAllAvailable(); q1.stop()
+    assert(q1.exception.isEmpty, s"bootstrap run died: ${q1.exception}")
+    assert(spark.read.parquet(s"$root/out1").count() == 1L) // the enter row
+    // the dimension is REDRAWN mid-stream: version 2
+    graft.sources.LtssSink.upsertZones(
+      zdf(Seq((99L, "new_tri", Seq((0.0, 0.0), (5.0, 0.0), (3.0, 4.0))))), zdir)
+    assert(graft.sources.LtssSink.zoneLayoutVersion(spark, zdir) == 2L)
+    // restart over the same checkpoint: the twin reconstructs against
+    // version 2, the restored state says version 1 — the PINNED outcome
+    // is a loud failure on the entity's first arrival, never a silent
+    // enter/exit diff against the redrawn rings
+    Files.writeString(Paths.get(in, "b2.json"), fix("2024-01-01T11:00:00", 2L, 10.5))
+    val q2 = start(s"$root/out1", s"$root/ckpt1")
+    intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    val err = q2.exception.map(_.toString).getOrElse("")
+    assert(err.contains("zone layout version changed") &&
+      err.contains("bootstrapped at zone_version 1") &&
+      err.contains("constructed against zone_version 2"),
+      s"restart across an upsert must fail with the documented message: $err")
+    // the documented recovery: a FRESH checkpoint re-seeds from the next
+    // fix per entity and runs clean against the new table
+    val q3 = start(s"$root/out2", s"$root/ckpt2")
+    q3.processAllAvailable(); q3.stop()
+    assert(q3.exception.isEmpty, s"re-seeded run died: ${q3.exception}")
+    // re-seeded state has no pre-redraw baseline: both fixes replay —
+    // enter zone 1 at lon −40.5, then (still in 1) enter zone 3 at the
+    // 1∩3 overlap lon 10.5
+    val replay = spark.read.parquet(s"$root/out2")
+      .selectExpr("event_id", "zone_id", "event").as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(replay == Seq((1L, 1L, "enter"), (2L, 3L, "enter")),
+      s"re-seeded transitions diverged: $replay")
+  }
+
   test("zonesDwellStream: latest ledgers equal the batch multi-zone dwell report per prefix") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val zones = graft.operators.Queries.ZoneDefs.map { case (id, _, vs) => (id, vs) }
