@@ -228,6 +228,32 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nFailed = results.count(_._3.isDefined)
+    val baselineNames: Set[String] =
+      try {
+        val txt = new String(Files.readAllBytes(Paths.get("BASELINE_QUERIES.txt")), "UTF-8")
+        txt.split('\n').map(_.trim).filter(_.nonEmpty).toSet
+      } catch { case _: Exception => Set.empty }
+    // The ROUND-CLOSE GATE, automated (README "read totals
+    // canary-normalized"): the recorded r01 vintage measured the 33
+    // BASELINE_QUERIES at 28.251512628 s total (BENCH_r01.json); the
+    // first canary recording is r15's (jvm spin 0.840529/0.857951 s
+    // pre/post on a host whose raw gate read 0.56×). gate_ratio_raw is
+    // this run vs the r01 recording; gate_ratio_canary_normalized
+    // divides out this host's speed vs the r15 anchor vintage using the
+    // JVM canary pair (the Spark probe tiers up over the sweep and is
+    // not comparable pre-to-post — see SCALING.md). The 2× gate reads
+    // off gate_ratio_canary_normalized in one field.
+    val GateBaselineSec = 28.251512628
+    val AnchorCanaryJvm = (0.840529318 + 0.857951411) / 2
+    val gateResults = results.filter(r => baselineNames.contains(r._1))
+    val gateS = gateResults.map(_._2).sum
+    val gateRatioRaw = if (baselineNames.isEmpty) 0.0 else gateS / GateBaselineSec
+    val canaryFactor = ((canaryPreJvm + canaryPostJvm) / 2) / AnchorCanaryJvm
+    val gateRatioNorm = if (canaryFactor > 0) gateRatioRaw / canaryFactor else gateRatioRaw
+    val gateJson = s""""gate_s":$gateS,"gate_n":${gateResults.size},""" +
+      s""""gate_baseline_s":$GateBaselineSec,"gate_ratio_raw":$gateRatioRaw,""" +
+      s""""gate_canary_factor":$canaryFactor,""" +
+      s""""gate_ratio_canary_normalized":$gateRatioNorm"""
     val warm = warmBuilds.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     val warmE = warmErrs.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     val loads = loadAvgs.mkString("[", ",", "]")
@@ -235,7 +261,7 @@ object Bench {
       s""""errors":$errs,"failed":$nFailed,"runs_per_query":$Runs,""" +
       s""""aggregation":"median","warm_build":$warm,"warm_build_errors":$warmE,""" +
       s""""warm_load_avg":${warmLoads.mkString("[", ",", "]")},""" +
-      s""""load_avg":$loads,"canary_s":$canaryJson,"sf":${q(sfDir)}}"""
+      s""""load_avg":$loads,"canary_s":$canaryJson,$gateJson,"sf":${q(sfDir)}}"""
     // The FULL result goes to bench_out.json (committed per round — the
     // authoritative per-query record). stdout gets ONE line sized to
     // survive a bounded tail capture: the round-N bench artifact keeps
@@ -246,11 +272,6 @@ object Bench {
     // (BASELINE.json's r1 set), then the slowest others until the
     // budget, plus where the full map lives.
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
-    val baselineNames: Set[String] =
-      try {
-        val txt = new String(Files.readAllBytes(Paths.get("BASELINE_QUERIES.txt")), "UTF-8")
-        txt.split('\n').map(_.trim).filter(_.nonEmpty).toSet
-      } catch { case _: Exception => Set.empty }
     val budget = 1600
     def entry(k: String, v: Double): String = q(k) + ":" + math.rint(v * 1000) / 1000
     val gate = results.filter(r => baselineNames.contains(r._1))
@@ -273,7 +294,7 @@ object Bench {
       s""""runs_per_query":$Runs,"aggregation":"median",""" +
       s""""queries":${picked.mkString("{", ",", "}")},""" +
       s""""queries_elided":${results.size - picked.size}$errsCompact,""" +
-      s""""canary_s":$canaryJson,""" +
+      s""""canary_s":$canaryJson,$gateJson,""" +
       s""""full_results":"bench_out.json","sf":${q(sfDir)}}"""
     println(compact)
     if (nFailed > 0) System.err.println(s"[bench] $nFailed quer(ies) FAILED — see errors field")
