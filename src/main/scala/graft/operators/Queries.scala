@@ -1673,6 +1673,174 @@ object Queries {
         |ORDER BY t.user_id, time, t.event_id""".stripMargin
     })
 
+  /** Discrete Fréchet distance² between two ordered fix sequences —
+    * the Eiter–Mannila 1994 coupling DP, O(n·m) time / O(m) space (two
+    * rolling rows). Every operand is EXACT on the fixture lattice:
+    * coordinate differences are integer-valued doubles, d² their exact
+    * sums, and max/min never round — so the returned distance² is an
+    * exact integer-valued double and cross-engine comparisons are
+    * bit-stable. Exposed for the hand-trace spec. */
+  private[graft] def discreteFrechet2(
+      p: IndexedSeq[DpFix], q: IndexedSeq[DpFix]): Double = {
+    val n = p.length
+    val m = q.length
+    val prev = new Array[Double](m)
+    val cur = new Array[Double](m)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < m) {
+        val dx = p(i).lon - q(j).lon
+        val dy = p(i).lat - q(j).lat
+        val d2 = dx * dx + dy * dy
+        cur(j) =
+          if (i == 0 && j == 0) d2
+          else if (i == 0) math.max(cur(j - 1), d2)
+          else if (j == 0) math.max(prev(0), d2)
+          else math.max(d2, math.min(prev(j), math.min(prev(j - 1), cur(j - 1))))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m)
+      i += 1
+    }
+    prev(m - 1)
+  }
+
+  /** TRAJECTORY SIMILARITY over stored tracks — the PostGIS
+    * `ST_FrechetDistance` analog (the "which trackers moved together"
+    * query the track tier exists for): the 20 entity pairs whose month
+    * segments have the smallest discrete Fréchet distance, planar
+    * degrees on the fixture lattice. NEVER all-pairs: candidate pairs
+    * come from a LOSSLESS endpoint screen — max(d(starts), d(ends)) is
+    * a lower bound of the Fréchet distance (any coupling aligns the
+    * first points and the last points), so pairs screened out at
+    * D = 20° could never rank among pairs the screen admits below it —
+    * and the screen itself joins on a D-sized grid cell of the START
+    * point (3×3 neighbor expansion, the LSH-band shape: d(starts) ≤ D
+    * forces adjacent cells), so the candidate join fans out by
+    * spatial density, not corpus². Survivors broadcast back onto the
+    * layout (two dimension-sized joins), and each pair's DP runs as
+    * ONE compiled pass over its two month arrays ([[discreteFrechet2]]
+    * — the dpKeep precedent: data-dependent sequential folds belong in
+    * a typed map, not an expression tree), map-side over the
+    * range-partitioned layout. At 100× the screened-pair count grows
+    * with spatial co-location (measured in SCALING.md), never n².
+    * Decisions are exact on the lattice (integer-valued distance²);
+    * the output applies ONE closing sqrt. Oracle: the identical DP
+    * replayed in DuckDB as an ANTI-DIAGONAL recursive CTE — diagonal k
+    * cells depend only on diagonals k−1 and k−2, so the whole table
+    * advances as two carried lists per pair in n+m−1 iterations with
+    * the same exact arithmetic, over the raw ordered fixes (never the
+    * layout). */
+  val geoFrechet = OracleQuery(
+    "ltss_geo_frechet",
+    (s, d) => {
+      import s.implicits._
+      val D = 20.0
+      val D2 = D * D
+      val segs = s.read.parquet(trackLayout2dPath(s, d))
+        .select(col("id"), col("chunk"), col("seg"))
+      val ends = segs.select(col("id"), col("chunk"),
+          element_at(col("seg"), 1).as("p1"),
+          element_at(col("seg"), -1).as("pn"))
+        .select(col("id"), col("chunk"),
+          col("p1.lat").as("lat1"), col("p1.lon").as("lon1"),
+          col("pn.lat").as("latn"), col("pn.lon").as("lonn"))
+        .withColumn("cla", floor((col("lat1") + lit(90.0)) / lit(D)).cast("long"))
+        .withColumn("clo", floor((col("lon1") + lit(180.0)) / lit(D)).cast("long"))
+      val aSide = ends.select(col("chunk"), col("id").as("id_a"),
+          col("lat1").as("alat1"), col("lon1").as("alon1"),
+          col("latn").as("alatn"), col("lonn").as("alonn"),
+          col("cla"), col("clo"))
+        .withColumn("dla", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dlo", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("chunk"), col("id_a"),
+          col("alat1"), col("alon1"), col("alatn"), col("alonn"),
+          (col("cla") + col("dla")).as("jla"), (col("clo") + col("dlo")).as("jlo"))
+      val bSide = ends.select(col("chunk"), col("id").as("id_b"),
+        col("lat1").as("blat1"), col("lon1").as("blon1"),
+        col("latn").as("blatn"), col("lonn").as("blonn"),
+        col("cla").as("jla"), col("clo").as("jlo"))
+      val cand = aSide.join(bSide, Seq("chunk", "jla", "jlo"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(greatest(
+          (col("alat1") - col("blat1")) * (col("alat1") - col("blat1"))
+            + (col("alon1") - col("blon1")) * (col("alon1") - col("blon1")),
+          (col("alatn") - col("blatn")) * (col("alatn") - col("blatn"))
+            + (col("alonn") - col("blonn")) * (col("alonn") - col("blonn")))
+          <= lit(D2))
+        .select(col("chunk"), col("id_a"), col("id_b"))
+      val withA = segs
+        .select(col("id").as("id_a"), col("chunk"), col("seg").as("seg_a"))
+        .join(broadcast(cand), Seq("id_a", "chunk"))
+      val withB = segs
+        .select(col("id").as("id_b"), col("chunk"), col("seg").as("seg_b"))
+        .join(broadcast(withA), Seq("id_b", "chunk"))
+      withB.select(col("chunk").as("month"), col("id_a"), col("id_b"),
+          col("seg_a"), col("seg_b"))
+        .as[(java.sql.Timestamp, Long, Long, Seq[DpFix], Seq[DpFix])]
+        .map { case (m, a, b, sa, sb) =>
+          val fr2 = discreteFrechet2(sa.toIndexedSeq, sb.toIndexedSeq)
+          (m, a, b, sa.length.toLong, sb.length.toLong, fr2, math.sqrt(fr2))
+        }
+        .toDF("month", "id_a", "id_b", "n_a", "n_b",
+          "frechet_sq_deg", "frechet_deg")
+        .orderBy(col("frechet_sq_deg"), col("id_a"), col("id_b"), col("month"))
+        .limit(20)
+    },
+    Some {
+      s"""WITH RECURSIVE pts AS (
+        |  SELECT user_id, date_trunc('month', ts) AS chunk, ts, event_id,
+        |         CAST((user_id + event_id) % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+        |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+        |         row_number() OVER (PARTITION BY user_id, date_trunc('month', ts)
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |),
+        |tracks AS (
+        |  SELECT user_id, chunk, count(*) AS n,
+        |         list(lat ORDER BY rn) AS lats, list(lon ORDER BY rn) AS lons
+        |  FROM pts GROUP BY user_id, chunk
+        |),
+        |cand AS (
+        |  SELECT a.user_id AS id_a, b.user_id AS id_b, a.chunk,
+        |         a.n AS na, b.n AS nb,
+        |         a.lats AS alat, a.lons AS alon,
+        |         b.lats AS blat, b.lons AS blon
+        |  FROM tracks a JOIN tracks b
+        |    ON a.chunk = b.chunk AND a.user_id < b.user_id
+        |  WHERE greatest(
+        |    (a.lats[1] - b.lats[1]) * (a.lats[1] - b.lats[1])
+        |      + (a.lons[1] - b.lons[1]) * (a.lons[1] - b.lons[1]),
+        |    (a.lats[a.n] - b.lats[b.n]) * (a.lats[a.n] - b.lats[b.n])
+        |      + (a.lons[a.n] - b.lons[b.n]) * (a.lons[a.n] - b.lons[b.n])
+        |  ) <= 400.0
+        |),
+        |walk(id_a, id_b, chunk, na, nb, alat, alon, blat, blon, k, dk, dk1) AS (
+        |  SELECT id_a, id_b, chunk, na, nb, alat, alon, blat, blon, 1,
+        |         [(alat[1] - blat[1]) * (alat[1] - blat[1])
+        |          + (alon[1] - blon[1]) * (alon[1] - blon[1])],
+        |         CAST(NULL AS DOUBLE[])
+        |  FROM cand
+        |  UNION ALL
+        |  SELECT id_a, id_b, chunk, na, nb, alat, alon, blat, blon, k + 1,
+        |    list_transform(range(greatest(1, k + 2 - nb), least(na, k + 1) + 1), i ->
+        |      greatest(
+        |        (alat[i] - blat[k + 2 - i]) * (alat[i] - blat[k + 2 - i])
+        |          + (alon[i] - blon[k + 2 - i]) * (alon[i] - blon[k + 2 - i]),
+        |        least(
+        |          coalesce(dk[i - 1 - greatest(1, k + 1 - nb) + 1], 1e308),
+        |          coalesce(dk[i - greatest(1, k + 1 - nb) + 1], 1e308),
+        |          coalesce(dk1[i - 1 - greatest(1, k - nb) + 1], 1e308)))),
+        |    dk
+        |  FROM walk WHERE k < na + nb - 1
+        |)
+        |SELECT chunk AS month, id_a, id_b, na AS n_a, nb AS n_b,
+        |       dk[1] AS frechet_sq_deg, sqrt(dk[1]) AS frechet_deg
+        |FROM walk WHERE k = na + nb - 1
+        |ORDER BY frechet_sq_deg, id_a, id_b, month LIMIT 20""".stripMargin
+    })
+
   /** STAY-POINT DETECTION — the visits/stops primitive of trajectory
     * mining (Li et al., "Mining user similarity based on location
     * history", ACM GIS 2008 — the GeoLife stay-point algorithm): a
@@ -3901,5 +4069,5 @@ object Queries {
     kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn, geoDbscan,
     geoDbscanLatLon, geoTrack, geoSimplify, geoStaypoints, geoOdMatrix, geoMercator, geoHeading,
     zoneStats, zonesDwell, geoDouglasPeucker, zonesOverlap, zoneCentroid, zoneNearest,
-    geoHull)
+    geoHull, geoFrechet)
 }

@@ -425,6 +425,78 @@ class GeoTrajectorySpec extends SparkSpec {
       s"hull boundary diverged from the hand walk: $got")
   }
 
+  test("discreteFrechet2: hand-traced DP table and the coupling DEFINITION agree") {
+    import graft.operators.Queries.{DpFix, discreteFrechet2}
+    def fix(lon: Double, lat: Double) =
+      DpFix(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0L, lat, lon)
+    // hand trace: P = (0,0)→(4,0), Q = (0,3)→(2,3)→(4,3)
+    //   d² table:  9 13 25        ca: 9 13 25
+    //             25 13  9           25 13 13   → Fréchet² = 13
+    val p = IndexedSeq(fix(0, 0), fix(4, 0))
+    val q = IndexedSeq(fix(0, 3), fix(2, 3), fix(4, 3))
+    assert(discreteFrechet2(p, q) == 13.0, "hand-traced table diverged")
+    assert(discreteFrechet2(q, p) == 13.0, "Fréchet is symmetric")
+    // degenerate 1×m: the single point pairs with every q — max d²
+    assert(discreteFrechet2(IndexedSeq(fix(0, 0)),
+      IndexedSeq(fix(0, 3), fix(0, 5))) == 25.0)
+    // ADVERSARY: the DEFINITION — min over all monotone couplings of
+    // the max pair distance — enumerated exhaustively on random small
+    // lattice tracks (a different construction than the DP)
+    def couplingFrechet2(p: IndexedSeq[DpFix], q: IndexedSeq[DpFix]): Double = {
+      val memo = scala.collection.mutable.Map.empty[(Int, Int), Double]
+      def d2(i: Int, j: Int) = {
+        val dx = p(i).lon - q(j).lon; val dy = p(i).lat - q(j).lat
+        dx * dx + dy * dy
+      }
+      def go(i: Int, j: Int): Double = memo.getOrElseUpdate((i, j), {
+        val here = d2(i, j)
+        if (i == 0 && j == 0) here
+        else {
+          val opts = Seq(
+            if (i > 0) Some(go(i - 1, j)) else None,
+            if (j > 0) Some(go(i, j - 1)) else None,
+            if (i > 0 && j > 0) Some(go(i - 1, j - 1)) else None).flatten
+          math.max(here, opts.min)
+        }
+      })
+      go(p.length - 1, q.length - 1)
+    }
+    val rnd = new scala.util.Random(16)
+    for (t <- 1 to 200) {
+      def track(n: Int) = IndexedSeq.fill(n)(
+        fix(rnd.nextInt(21) - 10 + 0.5, rnd.nextInt(21) - 10 + 0.5))
+      val a = track(1 + rnd.nextInt(7))
+      val b = track(1 + rnd.nextInt(7))
+      assert(discreteFrechet2(a, b) == couplingFrechet2(a, b),
+        s"trial $t: DP diverged from the coupling definition on $a vs $b")
+    }
+  }
+
+  test("ltss_geo_frechet: an entity pair moving together ranks first at distance 0") {
+    // users 10 and 190 collide in the lattice's latitude map
+    // ((u+e)%180) and share every event id → IDENTICAL tracks, Fréchet
+    // 0; user 30 shares the events but walks a different latitude band
+    val dir = java.nio.file.Files.createTempDirectory("graft-frechet").toString
+    val events = (0 until 6).flatMap { k =>
+      Seq(10L, 190L, 30L).map { u =>
+        (180L + 3 * k, ts(s"2024-01-0${k + 1} 10:00:00"), u)
+      }
+    }
+    events.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("ltss_geo_frechet")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty && rows.head == ((10L, 190L, 0.0, 0.0)),
+      s"the twin tracks must rank first at 0: ${rows.toSeq}")
+    // the (10, 30) and (30, 190) pairs: same lon walk, latitude bands
+    // 20° apart (lat = (u+e)%180−90+.5 → users 10/30 differ by 20°) —
+    // every coupling pairs some fix at full band separation, and the
+    // aligned coupling achieves exactly that → Fréchet² = 400
+    assert(rows.toSet.contains((10L, 30L, 400.0, 20.0)) &&
+      rows.toSet.contains((30L, 190L, 400.0, 20.0)),
+      s"band-separated pairs diverged: ${rows.toSeq}")
+  }
+
   test("upsertZones: replace/add/drop with the write gate re-applied; a bad ring refuses the whole upsert") {
     import org.apache.spark.sql.functions.expr
     def zdf(rows: Seq[(Long, String, Seq[(Double, Double)])]) =

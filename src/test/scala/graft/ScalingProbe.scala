@@ -175,7 +175,7 @@ object ScalingProbe {
         n == "ltss_geo_staypoints" || n == "ltss_geo_od"))
       warmed("geo_track_layout")(
         graft.operators.Queries.trackLayoutPath(spark, sfDir))
-    if (names.contains("ltss_geo_dp"))
+    if (names.exists(n => n == "ltss_geo_dp" || n == "ltss_geo_frechet"))
       warmed("geo_track2d_layout")(
         graft.operators.Queries.trackLayout2dPath(spark, sfDir))
     if (names.contains("ltss_geo_hull"))
