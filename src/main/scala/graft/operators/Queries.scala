@@ -1413,6 +1413,8 @@ object Queries {
       graft.sources.LtssSink.writeTrackLayout(pts, p)
     }
 
+  final case class ZoneVert(x: Double, y: Double)
+
   final case class DpFix(
       ts: java.sql.Timestamp, seq: Long, lat: Double, lon: Double)
   final case class DpSeg(id: Long, chunk: java.sql.Timestamp, seg: Seq[DpFix])
@@ -2910,6 +2912,200 @@ object Queries {
       |GROUP BY c.zone_id, c.name, c.cx, c.cy
       |ORDER BY c.zone_id""".stripMargin))
 
+  /** Sutherland–Hodgman intersection AREA of two rings (planar
+    * degree²) — the `ST_Area(ST_Intersection(a, b))` kernel. The CLIP
+    * ring is normalized CCW by its exact shoelace sign and REQUIRED
+    * convex (the S–H contract — a reflex clip vertex would silently
+    * produce the wrong polygon, so it refuses instead); the subject
+    * may be any simple ring. Arithmetic discipline: every operand
+    * chain here is the IDENTICAL IEEE expression tree the DuckDB
+    * oracle evaluates (the ray-cast precedent — divided intersection
+    * coordinates feed later crossings in both engines alike), the
+    * shoelace folds left-associatively in ring order, and the single
+    * closing `/ 2.0` is correctly rounded — bit-stable cross-engine.
+    * Exposed for the closed-form and sampling adversary specs. */
+  private[graft] def clipIntersectionArea(
+      subject: IndexedSeq[(Double, Double)],
+      clip: IndexedSeq[(Double, Double)]): Double = {
+    def shoelaceSum(p: IndexedSeq[(Double, Double)]): Double = {
+      var s = 0.0
+      var i = 0
+      val n = p.length
+      while (i < n) {
+        val (x1, y1) = p(i)
+        val (x2, y2) = p((i + 1) % n)
+        s = s + (x1 * y2 - x2 * y1)
+        i += 1
+      }
+      s
+    }
+    val ring = if (shoelaceSum(clip) > 0) clip else clip.reverse
+    val m = ring.length
+    var c = 0
+    while (c < m) {
+      val (ax, ay) = ring(c)
+      val (bx, by) = ring((c + 1) % m)
+      val (cx, cy) = ring((c + 2) % m)
+      require((bx - ax) * (cy - ay) - (by - ay) * (cx - ax) >= 0,
+        s"clip ring must be CONVEX for Sutherland-Hodgman (reflex corner " +
+          s"at vertex ${(c + 1) % m})")
+      c += 1
+    }
+    var out = subject
+    var e = 0
+    while (e < m && out.nonEmpty) {
+      val (ax, ay) = ring(e)
+      val (bx, by) = ring((e + 1) % m)
+      val inp = out
+      val n = inp.length
+      val buf = Vector.newBuilder[(Double, Double)]
+      var i = 0
+      while (i < n) {
+        val (px, py) = inp(i)
+        val (qx, qy) = inp((i + 1) % n)
+        val pin = (bx - ax) * (py - ay) - (by - ay) * (px - ax) >= 0.0
+        val qin = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax) >= 0.0
+        def cross(): (Double, Double) = {
+          val c1 = px * qy - py * qx
+          val c2 = ax * by - ay * bx
+          val dd = (px - qx) * (ay - by) - (py - qy) * (ax - bx)
+          ((c1 * (ax - bx) - (px - qx) * c2) / dd,
+            (c1 * (ay - by) - (py - qy) * c2) / dd)
+        }
+        if (pin && qin) buf += ((qx, qy))
+        else if (pin && !qin) buf += cross()
+        else if (!pin && qin) { buf += cross(); buf += ((qx, qy)) }
+        i += 1
+      }
+      out = buf.result()
+      e += 1
+    }
+    if (out.length < 3) 0.0 else math.abs(shoelaceSum(out)) / 2.0
+  }
+
+  /** EXACT ZONE-PAIR INTERSECTION AREA — the true
+    * `ST_Area(ST_Intersection)` analog over the stored zone dimension
+    * ([[zonesOverlap]] finds shared POPULATION by evidence; this
+    * computes the geometric overlap itself, the number a coverage
+    * planner wants). Pairs come from the materialized bbox columns
+    * (SARGABLE prune — only rings whose boxes meet are clipped), each
+    * survivor clipped by ONE [[clipIntersectionArea]] pass:
+    * dimension-sized work end to end (thousands of zones, a handful
+    * of box-overlapping pairs — never data-sized), broadcast-joined
+    * like every zone consumer. A fully-contained ring reports its own
+    * area (zone 4 inside zone 1 → exactly 1220.0, spec-pinned);
+    * disjoint-but-box-touching pairs report 0. Oracle: the SAME clip
+    * replayed in SQL — a recursive CTE advances one clip edge per
+    * step, carrying the subject polygon as coordinate lists rebuilt
+    * by a flatten/list_transform comprehension with the identical
+    * IEEE trees, over the unrolled vertex VALUES (never the layout).
+    * Adversaries: the rectangle-overlap closed form (exact) and
+    * brute-force point sampling (tolerance), both spec-pinned. */
+  val zonesIntersect = OracleQuery(
+    "ltss_geo_zones_intersect",
+    (s, d) => {
+      import s.implicits._
+      val z = s.read.parquet(zoneLayoutPath(s, d))
+      val a = z.select(col("zone_id").as("zone_a"), col("name").as("name_a"),
+        col("verts").as("va"), col("lat_min").as("ay0"), col("lat_max").as("ay1"),
+        col("lon_min").as("ax0"), col("lon_max").as("ax1"))
+      val b = z.select(col("zone_id").as("zone_b"), col("name").as("name_b"),
+        col("verts").as("vb"), col("lat_min").as("by0"), col("lat_max").as("by1"),
+        col("lon_min").as("bx0"), col("lon_max").as("bx1"))
+      a.join(b, col("zone_a") < col("zone_b")
+          && col("ax0") <= col("bx1") && col("bx0") <= col("ax1")
+          && col("ay0") <= col("by1") && col("by0") <= col("ay1"))
+        .select(col("zone_a"), col("name_a"), col("zone_b"), col("name_b"),
+          col("va"), col("vb"))
+        .as[(Long, String, Long, String, Seq[ZoneVert], Seq[ZoneVert])]
+        .map { case (za, na, zb, nb, va, vb) =>
+          (za, na, zb, nb, clipIntersectionArea(
+            vb.map(v => (v.x, v.y)).toIndexedSeq,
+            va.map(v => (v.x, v.y)).toIndexedSeq))
+        }
+        .toDF("zone_a", "name_a", "zone_b", "name_b", "area_deg2")
+        .orderBy(col("zone_a"), col("zone_b"))
+    },
+    Some {
+      // the clip step's comprehension body: vertex i's successor is
+      // i % len + 1 (ring wrap); inside flags and the two-line
+      // determinant intersection are the kernel's IEEE trees verbatim
+      val pin = "(bx - ax) * (ys[i] - ay) - (by - ay) * (xs[i] - ax) >= 0.0"
+      val qin = "(bx - ax) * (ys[i % len(ys) + 1] - ay) " +
+        "- (by - ay) * (xs[i % len(xs) + 1] - ax) >= 0.0"
+      val ix = "((xs[i] * ys[i % len(ys) + 1] - ys[i] * xs[i % len(xs) + 1]) * (ax - bx) " +
+        "- (xs[i] - xs[i % len(xs) + 1]) * (ax * by - ay * bx)) " +
+        "/ ((xs[i] - xs[i % len(xs) + 1]) * (ay - by) " +
+        "- (ys[i] - ys[i % len(ys) + 1]) * (ax - bx))"
+      val iy = "((xs[i] * ys[i % len(ys) + 1] - ys[i] * xs[i % len(xs) + 1]) * (ay - by) " +
+        "- (ys[i] - ys[i % len(ys) + 1]) * (ax * by - ay * bx)) " +
+        "/ ((xs[i] - xs[i % len(xs) + 1]) * (ay - by) " +
+        "- (ys[i] - ys[i % len(ys) + 1]) * (ax - bx))"
+      s"""WITH RECURSIVE zv(zone_id, name, idx, x, y) AS (VALUES
+        |  $zoneVertsValues
+        |),
+        |rings AS (
+        |  SELECT zone_id, name, count(*) AS n,
+        |         list(CAST(x AS DOUBLE) ORDER BY idx) AS xs,
+        |         list(CAST(y AS DOUBLE) ORDER BY idx) AS ys,
+        |         min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
+        |  FROM zv GROUP BY zone_id, name
+        |),
+        |ccw AS (
+        |  SELECT zone_id, name, n, x0, x1, y0, y1,
+        |         CASE WHEN sl > 0 THEN xs ELSE list_reverse(xs) END AS xs,
+        |         CASE WHEN sl > 0 THEN ys ELSE list_reverse(ys) END AS ys
+        |  FROM (
+        |    SELECT *, list_reduce(list_transform(range(1, n + 1), i ->
+        |        xs[i] * ys[i % n + 1] - xs[i % n + 1] * ys[i]),
+        |      (a, b) -> a + b) AS sl
+        |    FROM rings)
+        |),
+        |pairs AS (
+        |  SELECT a.zone_id AS zone_a, a.name AS name_a,
+        |         b.zone_id AS zone_b, b.name AS name_b,
+        |         a.xs AS cxs, a.ys AS cys, a.n AS cn,
+        |         b.xs AS sxs, b.ys AS sys
+        |  FROM ccw a JOIN rings b ON a.zone_id < b.zone_id
+        |   AND a.x0 <= b.x1 AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1
+        |),
+        |walk(zone_a, name_a, zone_b, name_b, cxs, cys, cn, e, xs, ys) AS (
+        |  SELECT zone_a, name_a, zone_b, name_b, cxs, cys, cn, 0, sxs, sys
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT zone_a, name_a, zone_b, name_b, cxs, cys, cn, e + 1,
+        |         list_transform(pts, p -> p.px), list_transform(pts, p -> p.py)
+        |  FROM (
+        |    SELECT *, flatten(list_transform(range(1, len(xs) + 1), i ->
+        |      CASE
+        |        WHEN $pin AND $qin
+        |        THEN [{'px': xs[i % len(xs) + 1], 'py': ys[i % len(ys) + 1]}]
+        |        WHEN $pin
+        |        THEN [{'px': $ix, 'py': $iy}]
+        |        WHEN $qin
+        |        THEN [{'px': $ix, 'py': $iy},
+        |              {'px': xs[i % len(xs) + 1], 'py': ys[i % len(ys) + 1]}]
+        |        ELSE CAST([] AS STRUCT(px DOUBLE, py DOUBLE)[])
+        |      END)) AS pts
+        |    FROM (
+        |      SELECT *, cxs[e + 1] AS ax, cys[e + 1] AS ay,
+        |             cxs[(e + 1) % cn + 1] AS bx, cys[(e + 1) % cn + 1] AS by
+        |      FROM walk WHERE e < cn AND len(xs) > 0)
+        |  )
+        |),
+        |done AS (
+        |  SELECT zone_a, name_a, zone_b, name_b, xs, ys, len(xs) AS n
+        |  FROM walk WHERE e = cn OR (len(xs) = 0 AND e < cn)
+        |)
+        |SELECT zone_a, name_a, zone_b, name_b,
+        |  CASE WHEN n < 3 THEN 0.0 ELSE abs(list_reduce(
+        |    list_transform(range(1, n + 1), i ->
+        |      xs[i] * ys[i % n + 1] - xs[i % n + 1] * ys[i]),
+        |    (a, b) -> a + b)) / 2.0 END AS area_deg2
+        |FROM done
+        |ORDER BY zone_a, zone_b""".stripMargin
+    })
+
   /** The [[ZoneDefs]] rings as unrolled SQL VALUES rows — SHARED DATA
     * between both engines for every stored-zone oracle (the
     * [[PolygonVerts]] convention); each consumer remains a different
@@ -4069,5 +4265,5 @@ object Queries {
     kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn, geoDbscan,
     geoDbscanLatLon, geoTrack, geoSimplify, geoStaypoints, geoOdMatrix, geoMercator, geoHeading,
     zoneStats, zonesDwell, geoDouglasPeucker, zonesOverlap, zoneCentroid, zoneNearest,
-    geoHull, geoFrechet)
+    geoHull, geoFrechet, zonesIntersect)
 }

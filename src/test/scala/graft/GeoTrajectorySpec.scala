@@ -425,6 +425,96 @@ class GeoTrajectorySpec extends SparkSpec {
       s"hull boundary diverged from the hand walk: $got")
   }
 
+  test("clipIntersectionArea: rectangle closed form exact, sampling adversary, containment pin") {
+    import graft.operators.Queries.clipIntersectionArea
+    def rect(x0: Double, y0: Double, x1: Double, y1: Double) =
+      IndexedSeq((x0, y0), (x1, y0), (x1, y1), (x0, y1))
+    // hand-pinned rectangle overlap: (0,0)-(10,8) ∩ (4,3)-(20,9) =
+    // 6 × 5 = 30, in either subject/clip role and either orientation
+    val a = rect(0, 0, 10, 8)
+    val b = rect(4, 3, 20, 9)
+    assert(clipIntersectionArea(a, b) == 30.0)
+    assert(clipIntersectionArea(b, a) == 30.0)
+    assert(clipIntersectionArea(a.reverse, b) == 30.0)
+    // disjoint boxes clip to nothing; containment reports the inner area
+    assert(clipIntersectionArea(rect(0, 0, 2, 2), rect(5, 5, 8, 8)) == 0.0)
+    assert(clipIntersectionArea(rect(2, 2, 4, 4), rect(0, 0, 10, 10)) == 4.0)
+    // PROPERTY (exact): random lattice rectangle pairs vs the
+    // min/max closed form — a different construction than the clip
+    val rnd = new scala.util.Random(163)
+    for (t <- 1 to 300) {
+      def rrect() = {
+        val x0 = rnd.nextInt(40) - 20; val y0 = rnd.nextInt(40) - 20
+        (x0.toDouble, y0.toDouble, (x0 + 1 + rnd.nextInt(15)).toDouble,
+          (y0 + 1 + rnd.nextInt(15)).toDouble)
+      }
+      val (ax0, ay0, ax1, ay1) = rrect(); val (bx0, by0, bx1, by1) = rrect()
+      val expected = math.max(0.0, math.min(ax1, bx1) - math.max(ax0, bx0)) *
+        math.max(0.0, math.min(ay1, by1) - math.max(ay0, by0))
+      val got = clipIntersectionArea(
+        rect(ax0, ay0, ax1, ay1), rect(bx0, by0, bx1, by1))
+      assert(got == expected, s"trial $t: rect closed form diverged: $got vs $expected")
+    }
+    // PROPERTY (tolerance): random triangle ∩ rectangle vs brute-force
+    // point sampling on a fine grid — independent of the clip entirely
+    def insideRing(p: (Double, Double), ring: IndexedSeq[(Double, Double)]): Boolean = {
+      var c = false
+      val n = ring.length
+      var i = 0
+      while (i < n) {
+        val (x1, y1) = ring(i); val (x2, y2) = ring((i + 1) % n)
+        if ((y1 > p._2) != (y2 > p._2) &&
+          p._1 < (x2 - x1) * (p._2 - y1) / (y2 - y1) + x1) c = !c
+        i += 1
+      }
+      c
+    }
+    var tried = 0
+    while (tried < 25) {
+      val tri = IndexedSeq.fill(3)(
+        (rnd.nextInt(30) - 15.0, rnd.nextInt(30) - 15.0))
+      val cross = (tri(1)._1 - tri(0)._1) * (tri(2)._2 - tri(0)._2) -
+        (tri(1)._2 - tri(0)._2) * (tri(2)._1 - tri(0)._1)
+      if (cross != 0.0) { // non-degenerate triangles only
+        tried += 1
+        val box = rect(-8, -8, 8, 8)
+        val got = clipIntersectionArea(box, tri) // clip = triangle (convex)
+        val step = 0.125
+        var cnt = 0L
+        var y = -15.0 + step / 2
+        while (y < 15.0) {
+          var x = -15.0 + step / 2
+          while (x < 15.0) {
+            if (insideRing((x, y), tri) && insideRing((x, y), box)) cnt += 1
+            x += step
+          }
+          y += step
+        }
+        val est = cnt * step * step
+        assert(math.abs(got - est) <= 3.0,
+          s"sampling adversary diverged on $tri: clip=$got sampled=$est")
+      }
+    }
+    // a reflex clip ring refuses rather than silently mis-clipping
+    val reflex = IndexedSeq((0.0, 0.0), (10.0, 0.0), (5.0, 2.0), (10.0, 10.0), (0.0, 10.0))
+    val e = intercept[IllegalArgumentException] { clipIntersectionArea(a, reflex) }
+    assert(e.getMessage.contains("CONVEX"))
+  }
+
+  test("ltss_geo_zones_intersect: zone 4 inside zone 1 reports exactly its own 1220 area") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zclip").toString
+    Seq((1L, ts("2024-01-01 10:00:00"), 1L))
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("ltss_geo_zones_intersect")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSeq
+    assert(rows.map(p => (p._1, p._2)) == Seq((1L, 3L), (1L, 4L), (3L, 4L)),
+      s"bbox-flagged pair set diverged: $rows")
+    // zone 4 (the axis-aligned 40×30.5 rectangle) lies entirely inside
+    // zone 1 → the intersection is zone 4 itself: 40 × 30.5 = 1220
+    assert(rows.find(p => p._1 == 1L && p._2 == 4L).get._3 == 1220.0)
+  }
+
   test("discreteFrechet2: hand-traced DP table and the coupling DEFINITION agree") {
     import graft.operators.Queries.{DpFix, discreteFrechet2}
     def fix(lon: Double, lat: Double) =

@@ -183,7 +183,8 @@ object ScalingProbe {
         graft.operators.Queries.trackLayoutSkewPath(spark, sfDir))
     if (names.exists(n => n == "ltss_geo_zones" || n == "ltss_geo_zone_stats" ||
         n == "ltss_zones_dwell" || n == "ltss_geo_zones_overlap" ||
-        n == "ltss_geo_zone_centroid" || n == "ltss_geo_zone_nearest"))
+        n == "ltss_geo_zone_centroid" || n == "ltss_geo_zone_nearest" ||
+        n == "ltss_geo_zones_intersect"))
       warmed("geo_zone_layout")(
         graft.operators.Queries.zoneLayoutPath(spark, sfDir))
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
