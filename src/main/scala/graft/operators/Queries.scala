@@ -1864,10 +1864,14 @@ object Queries {
     * plus a GROUP BY over anchor runs — never sees the layout. */
   /** The filtered visit frame shared by [[geoStaypoints]] (which
     * presents it) and [[geoOdMatrix]] (which pairs it into trips). */
-  private[graft] def staypointVisits(s: SparkSession, d: String): DataFrame = {
-      val R = 2000000L
-      val T = 43200000000L // 12 h in µs
-      val seg = s.read.parquet(trackLayoutPath(s, d))
+  /** The anchor-run fold over one stored month segment for radius R —
+    * the stay-point state machine as a compiled `aggregate` over the
+    * `seg` array, returning the closed runs
+    * `array<struct<lat,lon,t_start,t_end,n_fixes>>` UNFILTERED (the
+    * visit thresholds are the caller's parameters — [[staypointVisits]]
+    * applies the canonical R/T pair, [[geoOdSensitivity]] re-runs the
+    * fold per grid cell). */
+  private def stayRunsFold(R: Long): Column = {
       def near(alat: Column, alon: Column, x: Column): Column =
         floor(graft.functions.Haversine.haversineKm(
           alat, alon, x("lat"), x("lon")) * 1000.0).cast("long") <= R
@@ -1881,7 +1885,7 @@ object Queries {
             "t_end:timestamp,n_fixes:bigint>>").as("stays"),
         first("lat").as("alat"), first("lon").as("alon"),
         first("ts").as("t0"), first("ts").as("t1"), lit(1L).as("n"))
-      val folded = aggregate(
+      aggregate(
         slice(col("seg"), lit(2), size(col("seg")) - 1),
         init,
         (acc, x) => when(near(acc("alat"), acc("alon"), x),
@@ -1895,6 +1899,12 @@ object Queries {
             x("ts").as("t0"), x("ts").as("t1"), lit(1L).as("n"))),
         acc => concat(acc("stays"), array(run(acc("alat"), acc("alon"),
           acc("t0"), acc("t1"), acc("n")))))
+  }
+
+  private[graft] def staypointVisits(s: SparkSession, d: String): DataFrame = {
+      val T = 43200000000L // 12 h in µs
+      val seg = s.read.parquet(trackLayoutPath(s, d))
+      val folded = stayRunsFold(2000000L)
       seg
         .select(col("id").as("user_id"), explode(folded).as("st"))
         .select(col("user_id"), col("st.t_start").as("t_start"),
@@ -2000,6 +2010,102 @@ object Queries {
       |FROM trips WHERE o_lat IS NOT NULL
       |GROUP BY 1, 2, 3, 4
       |ORDER BY 1, 2, 3, 4""".stripMargin))
+
+  /** The R-parameterized anchor walk + run aggregation as named CTEs —
+    * the oracle-side mirror of [[stayRunsFold]], one copy per sweep
+    * radius (suffix disambiguates within one WITH RECURSIVE list).
+    * Runs stay UNFILTERED; each sweep cell applies its own (n, T)
+    * thresholds downstream. */
+  private def stayWalkSql(suffix: String, rM: Long): String = {
+    val near = s"""CAST(floor(2 * 6371.0088 * asin(least(1.0, sqrt(
+      |      pow(sin(radians(p.lat - w.alat) / 2), 2)
+      |      + cos(radians(w.alat)) * cos(radians(p.lat))
+      |        * pow(sin(radians(p.lon - w.alon) / 2), 2)))) * 1000.0)
+      |      AS BIGINT) <= $rM""".stripMargin
+    s"""walk$suffix(user_id, chunk, rn, ts, arn, alat, alon) AS (
+      |  SELECT user_id, chunk, rn, ts, rn, lat, lon FROM pts WHERE rn = 1
+      |  UNION ALL
+      |  SELECT p.user_id, p.chunk, p.rn, p.ts,
+      |         CASE WHEN $near THEN w.arn ELSE p.rn END,
+      |         CASE WHEN $near THEN w.alat ELSE p.lat END,
+      |         CASE WHEN $near THEN w.alon ELSE p.lon END
+      |  FROM pts p JOIN walk$suffix w ON p.user_id = w.user_id
+      |   AND p.chunk = w.chunk AND p.rn = w.rn + 1
+      |),
+      |runs$suffix AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_fixes,
+      |         epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell_us
+      |  FROM walk$suffix
+      |  GROUP BY user_id, chunk, arn, alat, alon
+      |)""".stripMargin
+  }
+
+  /** STAY-POINT PARAMETER-SENSITIVITY panel — a mobility analyst's
+    * first question after [[geoStaypoints]]: how do visit/trip counts
+    * move with the (R, T) thresholds? One scan of the stored track
+    * layout re-runs the anchor fold per sweep RADIUS (the fold is
+    * radius-dependent; the dwell threshold is not, so each of the 3
+    * folds serves 3 dwell cells — 9 cells from 3 compiled passes over
+    * the same in-memory segment arrays, map-side, zero extra shuffle
+    * beyond the two tiny keyed aggregations that follow). Per cell:
+    * total visits, entities with ≥1 visit, and trips (consecutive
+    * visits per entity, the [[geoOdMatrix]] pairing rule — an entity
+    * with v visits makes v−1 trips). Oracle: the shared recursive-CTE
+    * anchor walk instantiated once per radius, each cell an aggregate
+    * arm over its runs table with that cell's thresholds. */
+  val geoOdSensitivity = OracleQuery(
+    "ltss_geo_od_sensitivity",
+    (s, d) => {
+      val Rs = Seq(1000000L, 2000000L, 4000000L)
+      val Ts = Seq(21600000000L, 43200000000L, 86400000000L)
+      val seg = s.read.parquet(trackLayoutPath(s, d))
+      val cells = Rs.flatMap { r =>
+        val stays = stayRunsFold(r)
+        Ts.map { t =>
+          struct(lit(r).as("radius_m"), lit(t).as("min_dwell_us"),
+            size(filter(stays, st => st("n_fixes") >= lit(2L) &&
+              (unix_micros(st("t_end")) - unix_micros(st("t_start"))) >= lit(t)))
+              .cast("long").as("nv"))
+        }
+      }
+      seg.select(col("id").as("user_id"), explode(array(cells: _*)).as("c"))
+        .groupBy(col("user_id"), col("c.radius_m").as("radius_m"),
+          col("c.min_dwell_us").as("min_dwell_us"))
+        .agg(sum(col("c.nv")).as("nv_e"))
+        .groupBy(col("radius_m"), col("min_dwell_us"))
+        .agg(sum(col("nv_e")).as("n_visits"),
+          count(when(col("nv_e") > 0, 1)).as("n_entities"),
+          sum(greatest(col("nv_e") - lit(1L), lit(0L))).as("n_trips"))
+        .orderBy(col("radius_m"), col("min_dwell_us"))
+    },
+    Some {
+      val Rs = Seq(1000000L, 2000000L, 4000000L)
+      val Ts = Seq(21600000000L, 43200000000L, 86400000000L)
+      val walks = Rs.map(r => stayWalkSql(s"_$r", r)).mkString(",\n|")
+      val arms = Rs.flatMap { r =>
+        Ts.map { t =>
+          s"""SELECT CAST($r AS BIGINT) AS radius_m,
+            |       CAST($t AS BIGINT) AS min_dwell_us,
+            |       CAST(coalesce(sum(nv), 0) AS BIGINT) AS n_visits,
+            |       CAST(count(*) AS BIGINT) AS n_entities,
+            |       CAST(coalesce(sum(nv - 1), 0) AS BIGINT) AS n_trips
+            |FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS nv
+            |      FROM runs_$r WHERE n_fixes >= 2 AND dwell_us >= $t
+            |      GROUP BY user_id)""".stripMargin
+        }
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE pts AS (
+        |  SELECT user_id, date_trunc('month', ts) AS chunk, ts, event_id,
+        |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+        |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+        |         row_number() OVER (PARTITION BY user_id, date_trunc('month', ts)
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |),
+        |$walks
+        |$arms
+        |ORDER BY radius_m, min_dwell_us""".stripMargin
+    })
 
   /** WEB-MERCATOR projection (`ST_Transform(location, 3857)`) of each
     * entity's latest fix — the one reprojection every slippy-map panel
@@ -4265,5 +4371,5 @@ object Queries {
     kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn, geoDbscan,
     geoDbscanLatLon, geoTrack, geoSimplify, geoStaypoints, geoOdMatrix, geoMercator, geoHeading,
     zoneStats, zonesDwell, geoDouglasPeucker, zonesOverlap, zoneCentroid, zoneNearest,
-    geoHull, geoFrechet, zonesIntersect)
+    geoHull, geoFrechet, zonesIntersect, geoOdSensitivity)
 }
