@@ -1961,6 +1961,60 @@ object StreamingOps {
     }
   }
 
+  /** PROGRESSIVE Douglas–Peucker — the live-map face
+    * [[dpSimplifyStream]] deliberately lacks (it emits only on month
+    * CLOSE, so an open month shows nothing): an Update-mode twin that
+    * re-simplifies the OPEN month's prefix every batch and emits it as
+    * a PROVISIONAL polyline, plus the final row the moment a month
+    * closes — an Update sink keyed `(user_id, chunk)` always holds the
+    * freshest simplification of every month, open or closed. State is
+    * exactly [[trackSegmentStream]]'s open segment (the month protocol
+    * verbatim — in-order months, free order within, late fixes for
+    * shipped months drop); the D-P worklist re-runs on the open prefix
+    * each batch, which is SEGMENT-BOUNDED work (the layout's own array
+    * cap), not stream-bounded. Invariant, spec-pinned: every emission
+    * equals the batch `ltss_geo_dp` over the same delivered prefix. */
+  def dpSimplifyLiveStream(
+      pts: DataFrame, // time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE
+      eps2: Double = 100.0): Dataset[DpSegment] = {
+    import pts.sparkSession.implicits._
+    val chunkUsOf = monthChunker(pts.sparkSession)
+    pts
+      .select(col("time"), col("user_id"), col("event_id"), col("lat"), col("lon"))
+      .as[(java.sql.Timestamp, Long, Long, Double, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[TrackSegState, DpSegment](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (uid, rows, st) =>
+        val sorted = rows.toSeq.sortBy(r => (micros(r._1), r._3))
+        var s = st.getOption.orNull
+        val out = scala.collection.mutable.ArrayBuffer.empty[DpSegment]
+        def simplified(state: TrackSegState): DpSegment = {
+          val seg = state.fixes.sortBy(f => (micros(f.ts), f.seq))
+          val keep = graft.operators.Queries.dpKeep(
+            seg.toIndexedSeq.map(f =>
+              graft.operators.Queries.DpFix(f.ts, f.seq, f.lat, f.lon)), eps2)
+          val kept = seg.indices.collect { case i if keep(i) => seg(i) }
+          DpSegment(uid, tsOfMicros(state.chunkUs), seg.size, kept.size, kept)
+        }
+        for ((t, _, eid, lat, lon) <- sorted) {
+          val cu = chunkUsOf(micros(t))
+          val fix = TrackFix(t, eid, lat, lon)
+          if (s == null) s = TrackSegState(cu, Seq(fix))
+          else if (cu > s.chunkUs) {
+            out += simplified(s) // the month's FINAL polyline
+            s = TrackSegState(cu, Seq(fix))
+          } else if (cu == s.chunkUs) s = s.copy(fixes = s.fixes :+ fix)
+          // cu < s.chunkUs: the month already closed and shipped — drop
+        }
+        if (s != null) {
+          st.update(s)
+          out += simplified(s) // the open month's PROVISIONAL polyline
+        }
+        out.iterator
+      }
+  }
+
   final case class HullSegment(
       user_id: Long, chunk: java.sql.Timestamp, n_fixes: Int, n_boundary: Int,
       boundary: Seq[TrackFix])

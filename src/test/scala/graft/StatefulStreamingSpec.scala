@@ -1760,6 +1760,61 @@ class StatefulStreamingSpec extends SparkSpec {
       s"stream kept set diverged from batch: ${got.head._4} vs $batch")
   }
 
+  test("dpSimplifyLiveStream: every batch emits the open month's provisional D-P equal to batch ltss_geo_dp on the prefix") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fixes = Seq(
+      (ts("2024-01-01 10:00:00"), 0L, 180L, -89.5, 0.5),
+      (ts("2024-01-01 11:00:00"), 0L, 200L, -69.5, 20.5),
+      (ts("2024-01-01 12:00:00"), 0L, 220L, -49.5, 40.5),
+      (ts("2024-01-01 13:00:00"), 0L, 370L, -79.5, -169.5),
+      (ts("2024-02-01 10:00:00"), 0L, 560L, -69.5, 20.5))
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val q = StreamingOps.dpSimplifyLiveStream(
+      ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon"))
+      .writeStream.format("memory").queryName("dplive_t").outputMode("update").start()
+    def emitted(): Seq[(Long, String, Int, Int, Seq[Long])] =
+      spark.table("dplive_t")
+        .selectExpr("user_id", "CAST(chunk AS STRING) AS chunk", "n_fixes",
+          "n_kept", "transform(kept, f -> f.seq) AS seqs")
+        .as[(Long, String, Int, Int, Seq[Long])].collect().toSeq
+    def batchDp(upTo: Int, month: String): Seq[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dplive").toString
+      fixes.take(upTo).map { case (t, u, e, _, _) => (e, t, u) }
+        .toDF("event_id", "ts", "user_id")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      SparkEntry.queries("ltss_geo_dp")(spark, dir)
+        .filter(expr(s"date_trunc('month', time) = TIMESTAMP '$month'"))
+        .selectExpr("event_id").as[Long].collect().toSeq.sorted
+    }
+    try {
+      // batch 1: the collinear prefix — a PROVISIONAL polyline emits
+      // NOW (the whole point vs dpSimplifyStream), interior point gone
+      ms.addData(fixes.take(3): _*); q.processAllAvailable()
+      val e1 = emitted()
+      assert(e1.map(r => (r._1, r._5)) == Seq((0L, Seq(180L, 220L))),
+        s"open-month provisional diverged: $e1")
+      assert(e1.head._5.sorted == batchDp(3, "2024-01-01 00:00:00"),
+        "provisional must equal batch ltss_geo_dp on the delivered prefix")
+      // batch 2: the max-deviation fix arrives — provisional re-simplifies
+      ms.addData(fixes(3)); q.processAllAvailable()
+      val e2 = emitted().drop(e1.size)
+      assert(e2.map(_._5) == Seq(Seq(180L, 220L, 370L)),
+        s"re-simplified provisional diverged: $e2")
+      assert(e2.head._5.sorted == batchDp(4, "2024-01-01 00:00:00"))
+      // batch 3: February opens — January's FINAL row plus the new
+      // month's single-fix provisional, in one batch
+      ms.addData(fixes(4)); q.processAllAvailable()
+      val e3 = emitted().drop(e1.size + e2.size)
+      assert(e3.map(r => (r._2, r._5)).sortBy(_._1) == Seq(
+        ("2024-01-01 00:00:00", Seq(180L, 220L, 370L)),
+        ("2024-02-01 00:00:00", Seq(560L))),
+        s"close+open emissions diverged: $e3")
+      assert(e3.find(_._2.startsWith("2024-02")).get._5.sorted ==
+        batchDp(5, "2024-02-01 00:00:00"))
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"dpSimplifyLiveStream died: ${q.exception}")
+  }
+
   test("hullStream: closed months emit batch-identical hull boundaries") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     // the ltss_geo_hull hand-walk fixture (user 0 under the skew
