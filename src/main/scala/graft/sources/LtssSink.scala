@@ -1497,7 +1497,8 @@ object LtssSink {
       sleep: Long => Unit = Thread.sleep,
       dropOnFailure: Boolean = false,
       maxConflictRounds: Int = 3,
-      bulkCopy: Boolean = false): Unit = {
+      bulkCopy: Boolean = false,
+      copyFormat: String = "text"): Unit = {
     var attempt = 0
     var conflictRounds = 0
     var batch = ltss
@@ -1511,7 +1512,7 @@ object LtssSink {
         // Semantics (at-least-once, conflict-skip, retry classes) are
         // identical to the INSERT path — measured vs it on live PG 15.
         if (bulkCopy && postgresDialect(cfg.dbUrl))
-          copyIntoPg(batch, cfg.dbUrl, table)
+          copyIntoPg(batch, cfg.dbUrl, table, format = copyFormat)
         else batch.write
           .mode(SaveMode.Append)
           .option("batchsize", 1000)
@@ -1732,6 +1733,145 @@ object LtssSink {
         } catch { case _: Exception => None }
     }
 
+  /** The BINARY COPY surface of a connection: a [[PgCopy]] driver's
+    * `copyInBinary`, or pgjdbc's `CopyManager.copyIn(sql, InputStream)`
+    * reached reflectively with the same InvocationTargetException
+    * unwrapping as [[copyApiOf]]. `None` = text tier only. */
+  private[graft] def copyBinaryApiOf(
+      conn: Connection): Option[(String, java.io.InputStream) => Long] =
+    conn match {
+      case c: PgCopy => Some((sql, in) => c.copyInBinary(sql, in))
+      case _ =>
+        try {
+          val pgIface = Class.forName(
+            "org.postgresql.PGConnection", false, conn.getClass.getClassLoader)
+          if (conn.isWrapperFor(pgIface)) {
+            val pg = conn.unwrap(pgIface)
+            val mgr = pgIface.getMethod("getCopyAPI").invoke(pg)
+            val m = mgr.getClass.getMethod(
+              "copyIn", classOf[String], classOf[java.io.InputStream])
+            Some { (sql, in) =>
+              try m.invoke(mgr, sql, in).asInstanceOf[java.lang.Long].longValue()
+              catch {
+                case e: java.lang.reflect.InvocationTargetException =>
+                  throw Option(e.getCause).getOrElse(e)
+              }
+            }
+          } else None
+        } catch { case _: Exception => None }
+    }
+
+  /** Per-column BINARY field encoders for `cols` of the LIVE table,
+    * derived from the server's own catalog (binary COPY field bytes
+    * feed each column TYPE's `recv` function, so the encoding must
+    * match the column as CREATED, not as this writer guesses — a
+    * JSONB column needs its version byte, a VARCHAR must not get one).
+    * `None` when any column's type has no encoder here — the caller
+    * degrades to the text tier, which is escape-complete for
+    * everything. Timestamps: PG binary timestamps are µs since
+    * 2000-01-01; `timestamp` (no tz) takes the WALL CLOCK in the JVM
+    * default zone — the same rendering `Timestamp.toString` feeds the
+    * text tier — and `timestamptz` takes UTC instant µs. */
+  private[graft] def pgBinaryEncoders(
+      conn: Connection, table: String, cols: Seq[String])
+      : Option[IndexedSeq[(Any, java.io.DataOutputStream) => Unit]] = {
+    val types = scala.collection.mutable.Map.empty[String, String]
+    val ps = conn.prepareStatement(
+      "SELECT column_name, data_type FROM information_schema.columns " +
+        "WHERE table_name = ?")
+    try {
+      ps.setString(1, table.toLowerCase)
+      val rs = ps.executeQuery()
+      while (rs.next()) types(rs.getString(1).toLowerCase) = rs.getString(2)
+      rs.close()
+    } finally ps.close()
+    val PgEpochUs = 946684800000000L // 2000-01-01T00:00:00Z in epoch µs
+    def utf8(v: Any, out: java.io.DataOutputStream): Unit = {
+      val b = v.toString.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b)
+    }
+    def micros(v: Any, utc: Boolean): Long = {
+      val ts = v.asInstanceOf[java.sql.Timestamp]
+      val us =
+        if (utc)
+          Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+        else {
+          val ldt = ts.toLocalDateTime
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            ldt.getNano / 1000L
+        }
+      us - PgEpochUs
+    }
+    val encs = cols.map { c =>
+      types.get(c.toLowerCase).flatMap {
+        case "character varying" | "text" | "character" =>
+          Some(utf8 _)
+        case "json" =>
+          Some(utf8 _)
+        case "jsonb" =>
+          Some { (v: Any, out: java.io.DataOutputStream) =>
+            val b = v.toString.getBytes("UTF-8")
+            out.writeInt(b.length + 1); out.writeByte(1); out.write(b)
+          }
+        case "timestamp without time zone" =>
+          Some { (v: Any, out: java.io.DataOutputStream) =>
+            out.writeInt(8); out.writeLong(micros(v, utc = false))
+          }
+        case "timestamp with time zone" =>
+          Some { (v: Any, out: java.io.DataOutputStream) =>
+            out.writeInt(8); out.writeLong(micros(v, utc = true))
+          }
+        case "bigint" =>
+          Some { (v: Any, out: java.io.DataOutputStream) =>
+            out.writeInt(8); out.writeLong(v.asInstanceOf[Number].longValue())
+          }
+        case "integer" =>
+          Some { (v: Any, out: java.io.DataOutputStream) =>
+            out.writeInt(4); out.writeInt(v.asInstanceOf[Number].intValue())
+          }
+        case "double precision" =>
+          Some { (v: Any, out: java.io.DataOutputStream) =>
+            out.writeInt(8); out.writeDouble(v.asInstanceOf[Number].doubleValue())
+          }
+        case "boolean" =>
+          Some { (v: Any, out: java.io.DataOutputStream) =>
+            out.writeInt(1); out.writeByte(if (v.asInstanceOf[Boolean]) 1 else 0)
+          }
+        case _ => None
+      }
+    }
+    if (encs.exists(_.isEmpty)) None else Some(encs.map(_.get).toIndexedSeq)
+  }
+
+  /** One COPY binary payload for a chunk of rows: the PGCOPY header
+    * (signature, flags 0, no extension), per tuple an int16 field
+    * count then length-prefixed fields (−1 = NULL), and the int16 −1
+    * trailer — one complete payload per `COPY … (FORMAT binary)`
+    * statement. */
+  private[graft] def copyBinaryChunk(
+      rows: Seq[org.apache.spark.sql.Row],
+      encs: IndexedSeq[(Any, java.io.DataOutputStream) => Unit]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(rows.length * 64 + 32)
+    val out = new java.io.DataOutputStream(bos)
+    out.write(Array[Byte]('P', 'G', 'C', 'O', 'P', 'Y', '\n',
+      0xFF.toByte, '\r', '\n', 0x00))
+    out.writeInt(0) // flags
+    out.writeInt(0) // header extension length
+    val n = encs.length
+    rows.foreach { r =>
+      out.writeShort(n)
+      var i = 0
+      while (i < n) {
+        val v = r.get(i)
+        if (v == null) out.writeInt(-1) else encs(i)(v, out)
+        i += 1
+      }
+    }
+    out.writeShort(-1) // trailer
+    out.flush()
+    bos.toByteArray
+  }
+
   /** One row as a COPY text-format line: tab-separated fields, `\N`
     * for SQL NULL, the four text-format escapes (backslash, tab,
     * newline, carriage return) applied to string renderings.
@@ -1780,24 +1920,45 @@ object LtssSink {
     * connection with no COPY surface degrades to that machinery for
     * the whole partition. */
   private[graft] def copyIntoPg(
-      batch: DataFrame, url: String, table: String, chunkRows: Int = 10000): Unit = {
+      batch: DataFrame, url: String, table: String, chunkRows: Int = 10000,
+      format: String = "text"): Unit = {
+    require(format == "text" || format == "binary",
+      s"copyIntoPg format must be 'text' or 'binary', got '$format'")
     val cols = batch.columns.toIndexedSeq
     val copySql = s"COPY $table (${cols.mkString(", ")}) FROM STDIN"
+    val copyBinSql = s"$copySql WITH (FORMAT binary)"
     val fallbackSql = insertSql(table, cols, " ON CONFLICT DO NOTHING")
     batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val conn = DriverManager.getConnection(url)
       try {
-        copyApiOf(conn) match {
-          case None =>
+        // binary tier: needs BOTH a byte-stream COPY surface and a
+        // full set of catalog-derived field encoders; anything missing
+        // degrades to the text tier below (escape-complete, portable)
+        val binary: Option[((String, java.io.InputStream) => Long,
+          IndexedSeq[(Any, java.io.DataOutputStream) => Unit])] =
+          if (format != "binary") None
+          else for {
+            api <- copyBinaryApiOf(conn)
+            encs <- pgBinaryEncoders(conn, table, cols)
+          } yield (api, encs)
+        (copyApiOf(conn), binary) match {
+          case (None, None) =>
             // no COPY on this connection: the whole partition lands
             // through the conflict-tolerant insert machinery
             insertRowsIgnoreConflicts(conn, fallbackSql, cols.length, rows)
-          case Some(copy) =>
+          case (text, bin) =>
             val chunk = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+            def copyChunk(): Unit = bin match {
+              case Some((copyB, encs)) =>
+                copyB(copyBinSql,
+                  new java.io.ByteArrayInputStream(copyBinaryChunk(chunk.toSeq, encs)))
+              case None =>
+                val sb = new java.lang.StringBuilder(chunk.length * 64)
+                chunk.foreach(copyTextLine(_, cols.length, sb))
+                text.get(copySql, new java.io.StringReader(sb.toString))
+            }
             def flush(): Unit = if (chunk.nonEmpty) {
-              val sb = new java.lang.StringBuilder(chunk.length * 64)
-              chunk.foreach(copyTextLine(_, cols.length, sb))
-              try copy(copySql, new java.io.StringReader(sb.toString))
+              try copyChunk()
               catch {
                 case e: SQLException if isConflict(e) =>
                   // replayed rows in THIS chunk: the database skips

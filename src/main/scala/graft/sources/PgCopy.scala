@@ -17,4 +17,13 @@ package graft.sources
   */
 trait PgCopy {
   def copyIn(sql: String, data: java.io.Reader): Long
+
+  /** The BINARY-format tier (`COPY … WITH (FORMAT binary)`): the same
+    * statement fed the PGCOPY binary payload as raw bytes — pgjdbc's
+    * `CopyManager.copyIn(sql, InputStream)` twin. Optional: a driver
+    * that only speaks text throws `0A000` and the sink degrades to the
+    * text tier (which is the portable default anyway). */
+  def copyInBinary(sql: String, data: java.io.InputStream): Long =
+    throw new java.sql.SQLException(
+      "binary COPY not supported by this driver", "0A000")
 }

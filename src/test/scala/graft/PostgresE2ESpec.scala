@@ -226,6 +226,83 @@ class PostgresE2ESpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("writeJdbc bulkCopy binary: catalog-typed PGCOPY payload lands; replay exactly-once; text parity") {
+    LtssSink.bootstrapJdbc(cfg, table = "ltss_copyb", locationType = "VARCHAR(255)")
+    // µs-precision timestamps, text-escape characters (no escaping
+    // exists in binary — they must land verbatim), NULL, non-ASCII,
+    // and a JSONB value (needs the version byte the catalog probe adds)
+    val rows = Seq(
+      (ts("2024-01-01 00:00:01.000001"), "sensor.1", "a\tb\\c", """{"i":1}"""),
+      (ts("2024-01-01 00:00:02.000002"), "sensor.2", "x\ny🙂", null),
+      (ts("2024-01-01 00:00:03.000003"), "sensor.3", "plain", """{"i":3}"""))
+    val batch = rows.toDF("time", "entity_id", "state", "attributes")
+    LtssSink.writeJdbc(batch, cfg, table = "ltss_copyb",
+      retryWaitMs = 1, sleep = _ => (), bulkCopy = true, copyFormat = "binary")
+    withWire { w =>
+      val got = w.query(
+        "SELECT entity_id, state, attributes, " +
+          "to_char(time, 'YYYY-MM-DD HH24:MI:SS.US') FROM ltss_copyb ORDER BY time").rows
+      assert(got.map(_(1)) == Vector("a\tb\\c", "x\ny🙂", "plain"),
+        s"binary COPY values diverged: $got")
+      assert(got(1)(2) == null, "NULL must land as SQL NULL (-1 length)")
+      assert(got(0)(2) == """{"i": 1}""", "jsonb must accept the versioned payload")
+      assert(got.map(_(3)) == Vector(
+        "2024-01-01 00:00:01.000001",
+        "2024-01-01 00:00:02.000002",
+        "2024-01-01 00:00:03.000003"),
+        s"binary timestamp µs diverged: ${got.map(_(3))}")
+    }
+    // full replay + one new row: the conflict fallback still lands
+    // exactly the remainder through the same machinery as text
+    val replay = (rows :+
+      ((ts("2024-01-01 00:00:04.000004"), "sensor.4", "late", """{"i":4}""")))
+      .toDF("time", "entity_id", "state", "attributes")
+    LtssSink.writeJdbc(replay, cfg, table = "ltss_copyb",
+      retryWaitMs = 1, sleep = _ => (), bulkCopy = true, copyFormat = "binary")
+    withWire { w =>
+      val got = w.query(
+        "SELECT entity_id FROM ltss_copyb ORDER BY time").rows.map(_(0))
+      assert(got == Vector("sensor.1", "sensor.2", "sensor.3", "sensor.4"),
+        s"binary replay must land exactly-once: $got")
+    }
+    // parity: the same batch through the TEXT tier reads back identical
+    LtssSink.bootstrapJdbc(cfg, table = "ltss_copyb_t", locationType = "VARCHAR(255)")
+    LtssSink.writeJdbc(replay, cfg, table = "ltss_copyb_t",
+      retryWaitMs = 1, sleep = _ => (), bulkCopy = true)
+    withWire { w =>
+      val q = "SELECT entity_id, state, attributes, " +
+        "to_char(time, 'YYYY-MM-DD HH24:MI:SS.US') FROM %s ORDER BY time"
+      assert(w.query(q.format("ltss_copyb")).rows ==
+        w.query(q.format("ltss_copyb_t")).rows,
+        "binary and text tiers must land byte-identical tables")
+    }
+  }
+
+  test("COPY text vs binary throughput, measured on live PG 15") {
+    LtssSink.bootstrapJdbc(cfg, table = "ltss_tpf_txt", locationType = "VARCHAR(255)")
+    LtssSink.bootstrapJdbc(cfg, table = "ltss_tpf_bin", locationType = "VARCHAR(255)")
+    val n = 20000
+    val batch = spark.range(n.toLong).selectExpr(
+      "timestampadd(MICROSECOND, CAST(id AS INT), TIMESTAMP '2024-01-01 00:00:00') AS time",
+      "concat('sensor.', CAST(id % 50 AS STRING)) AS entity_id",
+      "CAST(id AS STRING) AS state",
+      """concat('{"i":', id, '}') AS attributes""").coalesce(2)
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val tTxt = timed(LtssSink.writeJdbc(batch, cfg, table = "ltss_tpf_txt",
+      retryWaitMs = 1, sleep = _ => (), bulkCopy = true))
+    val tBin = timed(LtssSink.writeJdbc(batch, cfg, table = "ltss_tpf_bin",
+      retryWaitMs = 1, sleep = _ => (), bulkCopy = true, copyFormat = "binary"))
+    withWire { w =>
+      assert(w.query("SELECT count(*) FROM ltss_tpf_txt").rows.head.head == n.toString)
+      assert(w.query("SELECT count(*) FROM ltss_tpf_bin").rows.head.head == n.toString)
+    }
+    info(f"COPY text:   $n rows in $tTxt%.2f s = ${n / tTxt}%.0f rows/s")
+    info(f"COPY binary: $n rows in $tBin%.2f s = ${n / tBin}%.0f rows/s " +
+      f"(${tTxt / tBin}%.2fx vs text)")
+  }
+
   test("COPY vs batched INSERT throughput, measured on live PG 15") {
     LtssSink.bootstrapJdbc(cfg, table = "ltss_tp_ins", locationType = "VARCHAR(255)")
     LtssSink.bootstrapJdbc(cfg, table = "ltss_tp_cp", locationType = "VARCHAR(255)")

@@ -120,6 +120,23 @@ object PgWire {
       Result(cols, oids, rows.result(), tags.result(), txnStatus)
     }
 
+    /** COPY-IN with a BINARY payload: identical protocol flow to
+      * [[copyIn]], but the stream's bytes frame verbatim as CopyData —
+      * no charset, no escaping (the PGCOPY binary header/trailer are
+      * the CALLER's payload responsibility). */
+    def copyInBinary(sql: String, data: java.io.InputStream): Long = synchronized {
+      copyInFrames(sql) { () =>
+        val buf = new Array[Byte](65536)
+        var n = data.read(buf)
+        while (n > 0) {
+          out.writeByte('d') // CopyData
+          out.writeInt(4 + n)
+          out.write(buf, 0, n)
+          n = data.read(buf)
+        }
+      }
+    }
+
     /** COPY-IN subprotocol: run a `COPY … FROM STDIN` statement and
       * stream the reader's text-format payload as CopyData messages.
       * The server answers the Query with CopyInResponse ('G'); data
@@ -129,6 +146,41 @@ object PgWire {
       * drains, and THEN throws with the server's SQLSTATE, leaving the
       * connection usable. Returns the `COPY n` row count. */
     def copyIn(sql: String, data: java.io.Reader): Long = synchronized {
+      copyInFrames(sql) { () =>
+        // each read's chars encode as one CopyData frame; a HIGH
+        // SURROGATE landing last in a read is held back and prepended
+        // to the next (encoding it alone would emit U+FFFD and corrupt
+        // any non-BMP code point that straddled the 64 KiB boundary) —
+        // only a genuinely unpaired surrogate at EOF still encodes as
+        // the replacement char, which is what it is
+        val buf = new Array[Char](65536)
+        def frame(len: Int): Unit = if (len > 0) {
+          val bytes = new String(buf, 0, len).getBytes(UTF_8)
+          out.writeByte('d') // CopyData
+          out.writeInt(4 + bytes.length)
+          out.write(bytes)
+        }
+        var carry = 0
+        var n = data.read(buf, carry, buf.length - carry)
+        while (n > 0) {
+          val total = carry + n
+          val emit =
+            if (Character.isHighSurrogate(buf(total - 1))) total - 1 else total
+          frame(emit)
+          if (emit < total) { buf(0) = buf(total - 1); carry = 1 } else carry = 0
+          n = data.read(buf, carry, buf.length - carry)
+        }
+        frame(carry)
+      }
+    }
+
+    /** The COPY-IN protocol frame shared by the text and binary tiers:
+      * send the Query, await CopyInResponse, let `writeData` emit its
+      * CopyData frames, close with CopyDone (or CopyFail on an IO
+      * error), drain to ReadyForQuery collecting any ErrorResponse,
+      * THEN throw with the server's SQLSTATE — connection stays
+      * usable. Returns the `COPY n` count. */
+    private def copyInFrames(sql: String)(writeData: () => Unit): Long = {
       if (closed) throw new PgException("connection is closed", "08003")
       val b = sql.getBytes(UTF_8)
       out.writeByte('Q')
@@ -153,30 +205,7 @@ object PgWire {
       }
       if (inCopy) {
         try {
-          // each read's chars encode as one CopyData frame; a HIGH
-          // SURROGATE landing last in a read is held back and prepended
-          // to the next (encoding it alone would emit U+FFFD and corrupt
-          // any non-BMP code point that straddled the 64 KiB boundary) —
-          // only a genuinely unpaired surrogate at EOF still encodes as
-          // the replacement char, which is what it is
-          val buf = new Array[Char](65536)
-          def frame(len: Int): Unit = if (len > 0) {
-            val bytes = new String(buf, 0, len).getBytes(UTF_8)
-            out.writeByte('d') // CopyData
-            out.writeInt(4 + bytes.length)
-            out.write(bytes)
-          }
-          var carry = 0
-          var n = data.read(buf, carry, buf.length - carry)
-          while (n > 0) {
-            val total = carry + n
-            val emit =
-              if (Character.isHighSurrogate(buf(total - 1))) total - 1 else total
-            frame(emit)
-            if (emit < total) { buf(0) = buf(total - 1); carry = 1 } else carry = 0
-            n = data.read(buf, carry, buf.length - carry)
-          }
-          frame(carry)
+          writeData()
           out.writeByte('c') // CopyDone
           out.writeInt(4)
           out.flush()
@@ -413,6 +442,9 @@ object PgMiniDriver {
       case ("copyIn", Array(sql: String, data: java.io.Reader)) =>
         if (!autoCommit && wire.txnStatus == 'I') wire.query("BEGIN")
         Long.box(wire.copyIn(sql, data))
+      case ("copyInBinary", Array(sql: String, data: java.io.InputStream)) =>
+        if (!autoCommit && wire.txnStatus == 'I') wire.query("BEGIN")
+        Long.box(wire.copyInBinary(sql, data))
       case ("createStatement", _) => statement(exec)
       case ("prepareStatement", Array(sql: String)) => prepared(sql, exec)
       case ("prepareStatement", Array(sql: String, _: java.lang.Integer, _: java.lang.Integer)) =>
