@@ -1772,12 +1772,18 @@ object Queries {
             + (col("alonn") - col("blonn")) * (col("alonn") - col("blonn")))
           <= lit(D2))
         .select(col("chunk"), col("id_a"), col("id_b"))
+      // NO broadcast hints here: at fixture SF AQE broadcasts the tiny
+      // candidate table on its own, and at folded-100× density the
+      // candidate set (and a fortiori candidates WITH arrays attached)
+      // outgrows the driver — a forced broadcast was measured failing
+      // exactly there (maxResultSize, SCALING.md r16); the shuffle join
+      // on (id, chunk) is the honest shape
       val withA = segs
         .select(col("id").as("id_a"), col("chunk"), col("seg").as("seg_a"))
-        .join(broadcast(cand), Seq("id_a", "chunk"))
+        .join(cand, Seq("id_a", "chunk"))
       val withB = segs
         .select(col("id").as("id_b"), col("chunk"), col("seg").as("seg_b"))
-        .join(broadcast(withA), Seq("id_b", "chunk"))
+        .join(withA, Seq("id_b", "chunk"))
       withB.select(col("chunk").as("month"), col("id_a"), col("id_b"),
           col("seg_a"), col("seg_b"))
         .as[(java.sql.Timestamp, Long, Long, Seq[DpFix], Seq[DpFix])]

@@ -172,7 +172,8 @@ object ScalingProbe {
       warmed("geo_dbscan_latlon")(
         graft.operators.Queries.dbscanLatLonLabels(spark, sfDir).count())
     if (names.exists(n => n == "ltss_geo_track" || n == "ltss_geo_simplify" ||
-        n == "ltss_geo_staypoints" || n == "ltss_geo_od"))
+        n == "ltss_geo_staypoints" || n == "ltss_geo_od" ||
+        n == "ltss_geo_od_sensitivity"))
       warmed("geo_track_layout")(
         graft.operators.Queries.trackLayoutPath(spark, sfDir))
     if (names.exists(n => n == "ltss_geo_dp" || n == "ltss_geo_frechet"))
