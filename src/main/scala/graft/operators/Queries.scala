@@ -2740,6 +2740,86 @@ object Queries {
       |WHERE d2 <= 64
       |ORDER BY a_id, b_id""".stripMargin))
 
+  /** SPATIO-TEMPORAL CONTACT JOIN (`ST_DWithin` + time-window band
+    * join — the co-location/contact-mining primitive over the FULL fix
+    * history, where [[ltss_geo_pairs]] pairs only latest positions):
+    * every unordered pair of fixes from DIFFERENT entities within R
+    * degrees planar AND within T µs emits one contact event. NEVER
+    * all-pairs: both sides key on (time-bucket, R-sized grid cell);
+    * the EARLIER role explodes to 2 time buckets × 3×3 neighbor cells
+    * (0 ≤ Δt ≤ T pins the later fix to bucket k or k+1; d ≤ R pins it
+    * to an adjacent cell), the later role keeps its home key, and the
+    * strict lexicographic (t, user, event) orientation makes every
+    * pair match EXACTLY once (the reverse role is killed by the strict
+    * order; the 18 emitted keys are distinct, and a pair meets only at
+    * the later fix's home key). One equi-join shuffle keyed by
+    * (bucket, cell) — candidate volume scales with spatio-temporal
+    * CO-LOCATION density, output rows ARE the answer (output-driven at
+    * any scale). All decisions exact on the lattice: integer-valued d²
+    * vs R², integer µs vs T. The oracle deliberately SKIPS the
+    * bucketing — a direct band self-join (DuckDB's IEJoin) over the
+    * raw fixes proves the prune semantics-free. R = 8° / T = 2 h are
+    * fixture-scaled like [[ltss_geo_pairs]]; a deployment runs ~50 m
+    * and ~15 min — the JOIN SHAPE is what scales. */
+  val geoContacts = OracleQuery(
+    "ltss_geo_contacts",
+    (s, d) => {
+      val Tus = 7200000000L // 2 h
+      val cell = 8.0
+      val pts = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("user_id") % 180 - 90).cast("double") + 0.5).as("lat"),
+          ((col("event_id") % 360 - 180).cast("double") + 0.5).as("lon"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("cx", floor((col("lat") + lit(90.0)) / lit(cell)).cast("long"))
+        .withColumn("cy", floor((col("lon") + lit(180.0)) / lit(cell)).cast("long"))
+        .withColumn("tb", expr(s"tus div $Tus"))
+      val early = pts
+        .withColumn("dtb", explode(expr("sequence(0, 1)")))
+        .withColumn("dx", explode(expr("sequence(-1, 1)")))
+        .withColumn("dy", explode(expr("sequence(-1, 1)")))
+        .select(col("user_id").as("user_a"), col("ts").as("time_a"),
+          col("event_id").as("event_a"), col("lat").as("lat_a"),
+          col("lon").as("lon_a"), col("tus").as("tus_a"),
+          (col("tb") + col("dtb")).as("tb"),
+          (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+      val late = pts.select(col("user_id").as("user_b"), col("ts").as("time_b"),
+        col("event_id").as("event_b"), col("lat").as("lat_b"),
+        col("lon").as("lon_b"), col("tus").as("tus_b"),
+        col("tb"), col("cx"), col("cy"))
+      early.join(late, Seq("tb", "cx", "cy"))
+        .filter(struct(col("tus_a"), col("user_a"), col("event_a")) <
+          struct(col("tus_b"), col("user_b"), col("event_b")))
+        .filter(col("user_a") =!= col("user_b"))
+        .filter(col("tus_b") - col("tus_a") <= Tus)
+        .withColumn("d2",
+          (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b")) +
+            (col("lon_a") - col("lon_b")) * (col("lon_a") - col("lon_b")))
+        .filter(col("d2") <= lit(cell * cell))
+        .select(col("time_a"), col("user_a"), col("event_a"),
+          col("time_b"), col("user_b"), col("event_b"), col("d2"),
+          (col("tus_b") - col("tus_a")).as("dt_us"))
+        .orderBy(col("time_a"), col("user_a"), col("event_a"),
+          col("time_b"), col("user_b"), col("event_b"))
+    },
+    Some("""WITH pts AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+      |         epoch_us(ts) AS tus
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL)
+      |SELECT a.ts AS time_a, a.user_id AS user_a, a.event_id AS event_a,
+      |       b.ts AS time_b, b.user_id AS user_b, b.event_id AS event_b,
+      |       (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) AS d2,
+      |       b.tus - a.tus AS dt_us
+      |FROM pts a JOIN pts b
+      |  ON b.tus BETWEEN a.tus AND a.tus + 7200000000
+      | AND (a.tus, a.user_id, a.event_id) < (b.tus, b.user_id, b.event_id)
+      | AND a.user_id <> b.user_id
+      | AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) <= 64.0
+      |ORDER BY time_a, user_a, event_a, time_b, user_b, event_b""".stripMargin))
+
   /** The literal test polygon for [[geoPolygon]] — NON-convex (the
     * (15,18) vertex dents inward, so convex-hull shortcuts would get it
     * wrong) with no horizontal edge (a horizontal edge never crosses a
@@ -4377,5 +4457,5 @@ object Queries {
     kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn, geoDbscan,
     geoDbscanLatLon, geoTrack, geoSimplify, geoStaypoints, geoOdMatrix, geoMercator, geoHeading,
     zoneStats, zonesDwell, geoDouglasPeucker, zonesOverlap, zoneCentroid, zoneNearest,
-    geoHull, geoFrechet, zonesIntersect, geoOdSensitivity)
+    geoHull, geoFrechet, zonesIntersect, geoOdSensitivity, geoContacts)
 }

@@ -425,6 +425,35 @@ class GeoTrajectorySpec extends SparkSpec {
       s"hull boundary diverged from the hand walk: $got")
   }
 
+  test("ltss_geo_contacts: hand-traced contact log — window edges inclusive, self-pairs out, exactly-once") {
+    // users 10 (lat −79.5) and 12 (lat −77.5) move within 8° of each
+    // other; user 120 (lat 30.5) is 110° away. lon = eid%360−180+.5.
+    val dir = java.nio.file.Files.createTempDirectory("graft-contacts").toString
+    Seq(
+      (180L, ts("2024-01-01 10:00:00"), 10L),  // lon 0.5
+      (182L, ts("2024-01-01 11:30:00"), 12L),  // lon 2.5: d²=8, Δt=1.5h → contact
+      (184L, ts("2024-01-01 13:00:00"), 12L),  // lon 4.5
+      (186L, ts("2024-01-01 14:00:00"), 10L),  // lon 6.5: vs e184 d²=8, Δt=1h → contact
+      (188L, ts("2024-01-01 16:00:00"), 12L),  // lon 8.5: vs e186 d²=8, Δt=EXACTLY 2h → inclusive edge
+      (180L, ts("2024-01-01 10:30:00"), 120L)) // far: no contact
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("ltss_geo_contacts")(spark, dir)
+      .selectExpr("user_a", "event_a", "user_b", "event_b", "d2", "dt_us")
+      .as[(Long, Long, Long, Long, Double, Long)].collect().toSeq
+    assert(rows == rows.distinct, "every pair must emit exactly once")
+    // orientation is by TIME (earlier fix is the a-side), not by id:
+    // the 13:00→14:00 contact reads (12, 10)
+    assert(rows == Seq(
+      (10L, 180L, 12L, 182L, 8.0, 5400000000L),
+      (12L, 184L, 10L, 186L, 8.0, 3600000000L),
+      (10L, 186L, 12L, 188L, 8.0, 7200000000L)),
+      s"contact log diverged from the hand trace: $rows")
+    // absent by rule, not by accident: u12's own 11:30→13:00 fixes are
+    // inside both windows but share the entity (self-contact excluded),
+    // and u10 10:00 vs u12 14:00... exceeds T (Δt 2.5h > 2h)
+  }
+
   test("clipIntersectionArea: rectangle closed form exact, sampling adversary, containment pin") {
     import graft.operators.Queries.clipIntersectionArea
     def rect(x0: Double, y0: Double, x1: Double, y1: Double) =

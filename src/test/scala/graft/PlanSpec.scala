@@ -882,4 +882,37 @@ class PlanSpec extends SparkSpec {
     assert(nlj <= kmeansScoringJoins,
       s"unexpected nested-loop join beyond the centroid scoring ($nlj); plan:\n$plan")
   }
+
+  test("r16 geo additions: contacts/frechet join equi-keyed, zone clip dimension-sized, sweep join-free") {
+    val d = "/root/testdata/sf0.001"
+    // the contact join must be the (time-bucket, cell) EQUI-join — a
+    // nested-loop or cartesian here is the all-pairs scale killer
+    val contacts = graft.operators.Queries.geoContacts.run(spark, d)
+    contacts.count()
+    val cp = contacts.queryExecution.executedPlan.toString
+    assert(!cp.contains("CartesianProduct") && !cp.contains("BroadcastNestedLoopJoin"),
+      s"contact join must stay the (bucket, cell) equi-join; plan:\n$cp")
+    // frechet: the candidate screen joins on the start-cell grid key and
+    // the array attachments join on (id, chunk) — all equi, never a loop
+    val fr = graft.operators.Queries.geoFrechet.run(spark, d)
+    fr.count()
+    val fp = fr.queryExecution.executedPlan.toString
+    assert(!fp.contains("CartesianProduct") && !fp.contains("BroadcastNestedLoopJoin"),
+      s"frechet joins must stay equi-keyed; plan:\n$fp")
+    // zone intersection pairs a broadcast DIMENSION against itself on a
+    // bbox theta-predicate: a broadcast loop over thousands of rows is
+    // the intended shape, an unbroadcast cartesian is not
+    val zi = graft.operators.Queries.zonesIntersect.run(spark, d)
+    zi.count()
+    val zp = zi.queryExecution.executedPlan.toString
+    assert(!zp.contains("CartesianProduct"),
+      s"zone-pair clip must broadcast the dimension; plan:\n$zp")
+    // the sensitivity sweep is folds + two keyed aggregates over the
+    // stored layout — NO join may appear at any scale
+    val od = graft.operators.Queries.geoOdSensitivity.run(spark, d)
+    od.count()
+    val op = od.queryExecution.executedPlan.toString
+    assert(!op.contains("Join"),
+      s"the (R,T) sweep is fold+aggregate only; plan:\n$op")
+  }
 }
