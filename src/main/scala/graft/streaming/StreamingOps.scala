@@ -2295,4 +2295,88 @@ object StreamingOps {
           }.iterator
       }
   }
+
+  final case class ContactFix(
+      tUs: Long, uid: Long, eid: Long, lat: Double, lon: Double, home: Boolean)
+  final case class CellContactState(frontierUs: Long, fixes: Seq[ContactFix])
+  final case class ContactEvent(
+      time_a: java.sql.Timestamp, user_a: Long, event_a: Long,
+      time_b: java.sql.Timestamp, user_b: Long, event_b: Long,
+      d2: Double, dt_us: Long)
+
+  /** CONTINUOUS CONTACT MINING — the live face of the batch
+    * `ltss_geo_contacts` join (the alert a proximity/contact-tracing
+    * deployment actually wants: "these two trackers are together NOW"):
+    * each fix explodes MAP-SIDE to its 3×3 R-sized grid cells with a
+    * `home` flag, the stream groups BY CELL, and each cell's state
+    * holds the fixes of its last T µs (frontier = max event time seen;
+    * older fixes evict — state is cell co-location density × the T
+    * horizon, never the stream). On arrival a fix pairs against every
+    * held fix within T; a pair emits IFF the lexicographically LATER
+    * fix is HOME in this cell — the batch join's exactly-once device
+    * verbatim (the later fix has exactly one home cell, the earlier
+    * fix's 3×3 explosion is guaranteed to cover it when d ≤ R, and the
+    * pairing fires when the second of the two arrives), so no pair
+    * emits twice across the nine groups that see its members. Exact
+    * arithmetic is the batch join's (integer-valued d² vs R², integer
+    * µs vs T). Ordering contract: arrival order is FREE within the T
+    * horizon (out-of-order pairs still meet in state); a fix arriving
+    * more than T behind its cell's frontier DROPS — its partners may
+    * already be evicted, and a silent partial pairing would be wrong
+    * in a way a documented drop is not (the trajectory streams'
+    * in-order contract, horizon-widened). Invariant, spec-pinned:
+    * over any prefix delivered within the horizon the emitted set
+    * equals the batch `ltss_geo_contacts` rows on the same fixes. */
+  def contactsStream(
+      pts: DataFrame, // time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE
+      radiusDeg: Double = 8.0,
+      windowUs: Long = 7200000000L): Dataset[ContactEvent] = {
+    import pts.sparkSession.implicits._
+    val r2 = radiusDeg * radiusDeg
+    val exploded = pts
+      .select(col("time"), col("user_id"), col("event_id"), col("lat"), col("lon"))
+      .withColumn("cx", floor((col("lat") + lit(90.0)) / lit(radiusDeg)).cast("long"))
+      .withColumn("cy", floor((col("lon") + lit(180.0)) / lit(radiusDeg)).cast("long"))
+      .withColumn("dx", explode(expr("sequence(-1, 1)")))
+      .withColumn("dy", explode(expr("sequence(-1, 1)")))
+      .select(col("time"), col("user_id"), col("event_id"), col("lat"), col("lon"),
+        (col("cx") + col("dx")).as("gx"), (col("cy") + col("dy")).as("gy"),
+        (col("dx") === 0 && col("dy") === 0).as("home"))
+      .as[(java.sql.Timestamp, Long, Long, Double, Double, Long, Long, Boolean)]
+    exploded
+      .groupByKey(r => (r._6, r._7))
+      .flatMapGroupsWithState[CellContactState, ContactEvent](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (_, rows, st) =>
+        val sorted = rows.toSeq.sortBy(r => (micros(r._1), r._2, r._3))
+        var state = st.getOption.getOrElse(CellContactState(Long.MinValue, Seq.empty))
+        var frontier = state.frontierUs
+        var held = state.fixes
+        val out = scala.collection.mutable.ArrayBuffer.empty[ContactEvent]
+        for ((t, uid, eid, lat, lon, _, _, home) <- sorted) {
+          val tus = micros(t)
+          if (frontier == Long.MinValue || tus >= frontier - windowUs) {
+            val f = ContactFix(tus, uid, eid, lat, lon, home)
+            val ord = Ordering.Tuple3[Long, Long, Long]
+            for (g <- held) {
+              val (a, b) =
+                if (ord.lt((g.tUs, g.uid, g.eid), (f.tUs, f.uid, f.eid))) (g, f)
+                else (f, g)
+              if (a.uid != b.uid && b.tUs - a.tUs <= windowUs && b.home) {
+                val d2 = (a.lat - b.lat) * (a.lat - b.lat) +
+                  (a.lon - b.lon) * (a.lon - b.lon)
+                if (d2 <= r2)
+                  out += ContactEvent(tsOfMicros(a.tUs), a.uid, a.eid,
+                    tsOfMicros(b.tUs), b.uid, b.eid, d2, b.tUs - a.tUs)
+              }
+            }
+            held = held :+ f
+            if (tus > frontier) frontier = tus
+          } // else: beyond the horizon — documented drop
+        }
+        held = held.filter(_.tUs >= frontier - windowUs)
+        st.update(CellContactState(frontier, held))
+        out.iterator
+      }
+  }
 }

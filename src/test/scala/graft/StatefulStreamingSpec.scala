@@ -1760,6 +1760,49 @@ class StatefulStreamingSpec extends SparkSpec {
       s"stream kept set diverged from batch: ${got.head._4} vs $batch")
   }
 
+  test("contactsStream: out-of-order pairing within the horizon equals the batch join; beyond-horizon fixes drop") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def fix(eid: Long, t: String, uid: Long) = {
+      val lat = (uid % 180 - 90).toDouble + 0.5
+      val lon = (eid % 360 - 180).toDouble + 0.5
+      (ts(t), uid, eid, lat, lon)
+    }
+    // the batch hand-trace fixture, delivered ACROSS batches with one
+    // cross-batch out-of-order arrival (10:00 after 11:30 — inside the
+    // 2 h horizon, so the pair must still form in state)
+    val b1 = Seq(fix(182L, "2024-01-01 11:30:00", 12L), fix(180L, "2024-01-01 10:30:00", 120L))
+    val b2 = Seq(fix(180L, "2024-01-01 10:00:00", 10L))
+    val b3 = Seq(fix(184L, "2024-01-01 13:00:00", 12L), fix(186L, "2024-01-01 14:00:00", 10L))
+    // beyond the horizon: 08:00 arrives when the cell frontier is 14:00
+    // — 6 h behind, partners evicted; the documented outcome is a DROP
+    val late = fix(179L, "2024-01-01 08:00:00", 11L)
+    val b4 = Seq(fix(188L, "2024-01-01 16:00:00", 12L), late)
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val q = StreamingOps.contactsStream(
+      ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon"))
+      .writeStream.format("memory").queryName("contacts_t").outputMode("append").start()
+    try {
+      for (b <- Seq(b1, b2, b3, b4)) { ms.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"contactsStream died: ${q.exception}")
+    val got = spark.table("contacts_t")
+      .selectExpr("user_a", "event_a", "user_b", "event_b", "d2", "dt_us")
+      .as[(Long, Long, Long, Long, Double, Long)].collect().toSeq
+    assert(got == got.distinct, "the home-cell device must emit each pair once")
+    // parity with the registered batch query over the in-horizon fixes
+    val dir = java.nio.file.Files.createTempDirectory("graft-contacts-st").toString
+    (b1 ++ b2 ++ b3 ++ b4.take(1)).map { case (t, u, e, _, _) => (e, t, u) }
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("ltss_geo_contacts")(spark, dir)
+      .selectExpr("user_a", "event_a", "user_b", "event_b", "d2", "dt_us")
+      .as[(Long, Long, Long, Long, Double, Long)].collect().toSeq
+    assert(got.toSet == batch.toSet,
+      s"stream contacts diverged from the batch join: $got vs $batch")
+    assert(got.size == 3 && !got.exists(r => r._2 == 179L || r._4 == 179L),
+      s"the beyond-horizon fix must DROP, not partially pair: $got")
+  }
+
   test("dpSimplifyLiveStream: every batch emits the open month's provisional D-P equal to batch ltss_geo_dp on the prefix") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val fixes = Seq(
