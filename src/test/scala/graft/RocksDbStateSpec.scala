@@ -342,4 +342,38 @@ class RocksDbStateSpec extends SparkSpec {
         s"recovered zone set diverged: $log")
     }
   }
+
+  test("contact cell state + restart: an out-of-order partner pairs from RocksDB-recovered held fixes") {
+    withRocksDb {
+      val in = tmp("rdb-ct-in"); val out = tmp("rdb-ct-out"); val ckpt = tmp("rdb-ct-ckpt")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE")
+      def start() = StreamingOps
+        .contactsStream(spark.readStream.schema(schema).json(in))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      def fix(t: String, uid: Long, eid: Long) = {
+        val lat = (uid % 180 - 90).toDouble + 0.5
+        val lon = (eid % 360 - 180).toDouble + 0.5
+        s"""{"time":"${t}Z","user_id":$uid,"event_id":$eid,"lat":$lat,"lon":$lon}"""
+      }
+      // the 11:30 fix lands in state alone, then the query STOPS — the
+      // held cell fixes and frontier survive only in RocksDB
+      Files.writeString(Paths.get(in, "b1.json"), fix("2024-01-01T11:30:00", 12L, 182L))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // after restart its OUT-OF-ORDER partner (10:00, inside the 2 h
+      // horizon) arrives: the pair can only form from recovered state
+      Files.writeString(Paths.get(in, "b2.json"), fix("2024-01-01T10:00:00", 10L, 180L))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val got = spark.read.parquet(out)
+        .selectExpr("user_a", "event_a", "user_b", "event_b", "d2", "dt_us")
+        .as[(Long, Long, Long, Long, Double, Long)].collect().toSeq
+      assert(got == Seq((10L, 180L, 12L, 182L, 8.0, 5400000000L)),
+        s"recovered-state pairing diverged: $got")
+      val confLines = new String(Files.readAllBytes(
+        Paths.get(ckpt, "offsets", "0")), "UTF-8")
+      assert(confLines.contains("RocksDBStateStoreProvider"),
+        s"checkpoint does not record the RocksDB provider: $confLines")
+    }
+  }
 }
