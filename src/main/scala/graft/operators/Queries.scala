@@ -2820,6 +2820,49 @@ object Queries {
       | AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) <= 64.0
       |ORDER BY time_a, user_a, event_a, time_b, user_b, event_b""".stripMargin))
 
+  /** CONTACT-GRAPH rollup (`ltss_geo_contact_pairs`) — the analyst
+    * face of [[geoContacts]]: the event log aggregated into one edge
+    * per ENTITY PAIR (unordered — the event log orients by time, the
+    * graph by id) with contact count, closest approach (min d², exact),
+    * and the first/last contact span. The same staypoints→OD shape:
+    * the heavy lifting happened once in the bucketed contact join, the
+    * graph is one combinable groupBy over its output — output-driven
+    * like its source. Oracle rides the same band self-join with its
+    * own GROUP BY. */
+  val geoContactPairs = OracleQuery(
+    "ltss_geo_contact_pairs",
+    (s, d) => {
+      val ev = geoContacts.run(s, d)
+      ev.groupBy(
+          least(col("user_a"), col("user_b")).as("id_lo"),
+          greatest(col("user_a"), col("user_b")).as("id_hi"))
+        .agg(count(lit(1)).as("n_contacts"),
+          min(col("d2")).as("min_d2"),
+          min(col("time_a")).as("first_contact"),
+          max(col("time_b")).as("last_contact"))
+        .orderBy(col("id_lo"), col("id_hi"))
+    },
+    Some("""WITH pts AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+      |         epoch_us(ts) AS tus
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+      |ev AS (
+      |  SELECT a.ts AS time_a, a.user_id AS user_a,
+      |         b.ts AS time_b, b.user_id AS user_b,
+      |         (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) AS d2
+      |  FROM pts a JOIN pts b
+      |    ON b.tus BETWEEN a.tus AND a.tus + 7200000000
+      |   AND (a.tus, a.user_id, a.event_id) < (b.tus, b.user_id, b.event_id)
+      |   AND a.user_id <> b.user_id
+      |   AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) <= 64.0)
+      |SELECT least(user_a, user_b) AS id_lo, greatest(user_a, user_b) AS id_hi,
+      |       CAST(count(*) AS BIGINT) AS n_contacts, min(d2) AS min_d2,
+      |       min(time_a) AS first_contact, max(time_b) AS last_contact
+      |FROM ev GROUP BY 1, 2
+      |ORDER BY id_lo, id_hi""".stripMargin))
+
   /** The literal test polygon for [[geoPolygon]] — NON-convex (the
     * (15,18) vertex dents inward, so convex-hull shortcuts would get it
     * wrong) with no horizontal edge (a horizontal edge never crosses a
@@ -4457,5 +4500,6 @@ object Queries {
     kmvMerge, geohashPrefixQ, travelDist, geoSpeed, geoKnn, geoDbscan,
     geoDbscanLatLon, geoTrack, geoSimplify, geoStaypoints, geoOdMatrix, geoMercator, geoHeading,
     zoneStats, zonesDwell, geoDouglasPeucker, zonesOverlap, zoneCentroid, zoneNearest,
-    geoHull, geoFrechet, zonesIntersect, geoOdSensitivity, geoContacts)
+    geoHull, geoFrechet, zonesIntersect, geoOdSensitivity, geoContacts,
+    geoContactPairs)
 }

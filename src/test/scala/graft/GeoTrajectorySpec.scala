@@ -452,6 +452,15 @@ class GeoTrajectorySpec extends SparkSpec {
     // absent by rule, not by accident: u12's own 11:30→13:00 fixes are
     // inside both windows but share the entity (self-contact excluded),
     // and u10 10:00 vs u12 14:00... exceeds T (Δt 2.5h > 2h)
+    // the graph rollup folds the 3 time-oriented events into ONE
+    // unordered edge spanning first to last contact
+    val edges = SparkEntry.queries("ltss_geo_contact_pairs")(spark, dir)
+      .selectExpr("id_lo", "id_hi", "n_contacts", "min_d2",
+        "CAST(first_contact AS STRING)", "CAST(last_contact AS STRING)")
+      .as[(Long, Long, Long, Double, String, String)].collect().toSeq
+    assert(edges == Seq((10L, 12L, 3L, 8.0,
+      "2024-01-01 10:00:00", "2024-01-01 16:00:00")),
+      s"contact graph diverged from the hand trace: $edges")
   }
 
   test("clipIntersectionArea: rectangle closed form exact, sampling adversary, containment pin") {
