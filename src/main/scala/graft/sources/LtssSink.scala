@@ -890,12 +890,28 @@ object LtssSink {
     * column (models.py:35,44). Zones are a dimension table (a
     * deployment has thousands, not billions) — stored sorted by id,
     * always broadcast by consumers. */
-  def writeZoneLayout(zones: DataFrame, path: String, version: Long = 1L): Unit = {
+  def writeZoneLayout(zones: DataFrame, path: String, version: Long = 0L): Unit = {
+    // A REDRAW must advance zone_version like an upsert does: the
+    // version exists so a restarted stream whose checkpoint holds
+    // containment sets computed against the OLD rings fails the
+    // requireZoneVersion gate instead of silently diffing against the
+    // redrawn table. Default (0 = auto) reads the prior marker BEFORE
+    // the Overwrite clears it and stamps prior+1 (a fresh directory
+    // stamps 1, the historical default); an explicit version must
+    // exceed the stored one for the same reason.
+    val prior = readLayoutMarker(zones.sparkSession, path)
+      .map(_.generation).getOrElse(0L)
+    require(version == 0L || version > prior,
+      s"writeZoneLayout version $version must exceed the stored " +
+        s"zone_version $prior (a redraw that keeps or lowers the version " +
+        "would let restarted streams silently diff state held against " +
+        "the retired rings); pass 0 to auto-bump")
+    val v = if (version == 0L) prior + 1L else version
     zoneLayoutFrame(zones).write.mode(SaveMode.Overwrite).parquet(path)
     // marker AFTER the Overwrite (which clears the directory): the
     // generation field IS the zone_version the streaming twins pin
     // their bootstrapped containment state to (see geoZonesStream)
-    writeLayoutMarker(zones.sparkSession, path, LayoutMarker(0L, Nil, generation = version))
+    writeLayoutMarker(zones.sparkSession, path, LayoutMarker(0L, Nil, generation = v))
   }
 
   /** The validated, bbox-materialized zone frame both the full rebuild
@@ -971,12 +987,27 @@ object LtssSink {
       root: org.apache.hadoop.fs.Path): Unit = {
     val manifest = new org.apache.hadoop.fs.Path(root, ZoneManifestName)
     val staged = new org.apache.hadoop.fs.Path(root, ZoneStageDir)
+    // a crash between the temp write and its rename leaves an orphan
+    // .tmp — never a commit point, always residue to discard
+    fs.delete(new org.apache.hadoop.fs.Path(root, ZoneManifestName + ".tmp"), false)
     if (!fs.exists(manifest)) { fs.delete(staged, true); return }
     val in = fs.open(manifest)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
-    val version = lines.head.toLong
+    // the temp-write+rename protocol makes a half-written manifest
+    // unreachable, but defend in depth anyway: an UNPARSABLE manifest
+    // (empty, or a garbled version line) is treated as UNCOMMITTED —
+    // discard it and the stage, keep the live files — rather than
+    // wedging the layout on NumberFormatException or, worse, replaying
+    // a truncated name list as a committed swap
+    val parsed = lines.headOption.flatMap(h => h.toLongOption)
+    if (parsed.isEmpty) {
+      fs.delete(manifest, false)
+      fs.delete(staged, true)
+      return
+    }
+    val version = parsed.get
     val names = lines.tail.filter(_.nonEmpty)
     val nameSet = names.toSet
     def isData(n: String) = !n.startsWith(".") && !n.startsWith("_")
@@ -1057,16 +1088,30 @@ object LtssSink {
           .write.mode(SaveMode.Overwrite).parquet(staged.toString)
         val names = fs.listStatus(staged).map(_.getPath.getName)
           .filter(n => !n.startsWith(".") && !n.startsWith("_")).sorted
-        val out = fs.create(manifest, true)
+        // the manifest IS the commit point, so its WRITE must be atomic:
+        // create+write straight at the final name can crash mid-stream,
+        // and a truncated name list would read as a committed swap that
+        // deletes live files absent from it. Write to a temp name and
+        // rename in — rename is the atomic commit on HDFS and local —
+        // so the manifest either exists complete or not at all.
+        val tmp = new org.apache.hadoop.fs.Path(root, ZoneManifestName + ".tmp")
+        fs.delete(tmp, false)
+        val out = fs.create(tmp, true)
         try out.write(((cur.generation + 1) +: names.toSeq)
           .mkString("\n").getBytes("UTF-8"))
         finally out.close()
+        if (!fs.rename(tmp, manifest))
+          throw new java.io.IOException(
+            s"zone upsert could not commit the manifest at $manifest")
       } catch {
         case e: Throwable =>
           // an in-process refusal (e.g. the ring gate) is not a crash:
-          // nothing committed, so discard the stage and hand the layout
-          // back unlocked instead of leaving takeover residue
+          // nothing committed, so discard the stage (and any orphan
+          // manifest temp) and hand the layout back unlocked instead of
+          // leaving takeover residue
           if (!fs.exists(manifest)) {
+            fs.delete(new org.apache.hadoop.fs.Path(
+              root, ZoneManifestName + ".tmp"), false)
             fs.delete(staged, true)
             writeLayoutMarker(spark, path, cur)
           }
@@ -1775,16 +1820,41 @@ object LtssSink {
   private[graft] def pgBinaryEncoders(
       conn: Connection, table: String, cols: Seq[String])
       : Option[IndexedSeq[(Any, java.io.DataOutputStream) => Unit]] = {
+    // the lookup must name ONE relation: without a schema filter a
+    // same-named table in another schema makes the types map
+    // last-row-wins per column, and a wrong encoder corrupts stored
+    // bytes (e.g. a jsonb version byte prepended into a text column).
+    // A qualified "schema.table" argument filters on its own schema;
+    // a bare name filters on current_schema() — the relation COPY will
+    // actually hit via the search path. Any column still seen twice
+    // with conflicting types is ambiguous → None (text tier, which is
+    // catalog-independent).
+    val (schemaFilter, rel) = table.split("\\.") match {
+      case Array(sch, t) => ("table_schema = ?", t)
+      case _ => ("table_schema = current_schema()", table)
+    }
     val types = scala.collection.mutable.Map.empty[String, String]
+    var ambiguous = false
     val ps = conn.prepareStatement(
       "SELECT column_name, data_type FROM information_schema.columns " +
-        "WHERE table_name = ?")
+        s"WHERE table_name = ? AND $schemaFilter")
     try {
-      ps.setString(1, table.toLowerCase)
+      ps.setString(1, rel.stripPrefix("\"").stripSuffix("\"").toLowerCase)
+      if (schemaFilter.endsWith("?")) {
+        val sch = table.split("\\.")(0)
+        // strip quoting if the caller wrote "sch"."t"
+        ps.setString(2, sch.stripPrefix("\"").stripSuffix("\"").toLowerCase)
+      }
       val rs = ps.executeQuery()
-      while (rs.next()) types(rs.getString(1).toLowerCase) = rs.getString(2)
+      while (rs.next()) {
+        val c = rs.getString(1).toLowerCase
+        val t = rs.getString(2)
+        if (types.get(c).exists(_ != t)) ambiguous = true
+        types(c) = t
+      }
       rs.close()
     } finally ps.close()
+    if (ambiguous) return None
     val PgEpochUs = 946684800000000L // 2000-01-01T00:00:00Z in epoch µs
     def utf8(v: Any, out: java.io.DataOutputStream): Unit = {
       val b = v.toString.getBytes("UTF-8")
@@ -1948,10 +2018,23 @@ object LtssSink {
             insertRowsIgnoreConflicts(conn, fallbackSql, cols.length, rows)
           case (text, bin) =>
             val chunk = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-            def copyChunk(): Unit = bin match {
+            // the binary tier can be refused AT CALL TIME: PgCopy's
+            // default copyInBinary throws 0A000 (feature not supported),
+            // as would a server without binary COPY — the documented
+            // contract is DEGRADE to the text tier, not fail the write,
+            // so the first 0A000 turns binary off for this partition
+            // and replays the chunk through text (nothing landed: the
+            // refused COPY statement never consumed rows)
+            var binTier = bin
+            def copyChunk(): Unit = binTier match {
               case Some((copyB, encs)) =>
-                copyB(copyBinSql,
+                try copyB(copyBinSql,
                   new java.io.ByteArrayInputStream(copyBinaryChunk(chunk.toSeq, encs)))
+                catch {
+                  case e: SQLException if e.getSQLState == "0A000" && text.isDefined =>
+                    binTier = None
+                    copyChunk()
+                }
               case None =>
                 val sb = new java.lang.StringBuilder(chunk.length * 64)
                 chunk.foreach(copyTextLine(_, cols.length, sb))

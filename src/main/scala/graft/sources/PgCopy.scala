@@ -16,6 +16,13 @@ package graft.sources
   * it).
   */
 trait PgCopy {
+  // @throws matters: the contract says failures surface as checked
+  // SQLException, and a java.lang.reflect.Proxy implementing this
+  // trait (how a wire client mixes it onto Connection) can only
+  // rethrow a checked exception DECLARED on the method — without the
+  // clause it wraps in UndeclaredThrowableException and the sink's
+  // SQLSTATE classifiers never see it
+  @throws[java.sql.SQLException]
   def copyIn(sql: String, data: java.io.Reader): Long
 
   /** The BINARY-format tier (`COPY … WITH (FORMAT binary)`): the same
@@ -23,6 +30,7 @@ trait PgCopy {
     * `CopyManager.copyIn(sql, InputStream)` twin. Optional: a driver
     * that only speaks text throws `0A000` and the sink degrades to the
     * text tier (which is the portable default anyway). */
+  @throws[java.sql.SQLException]
   def copyInBinary(sql: String, data: java.io.InputStream): Long =
     throw new java.sql.SQLException(
       "binary COPY not supported by this driver", "0A000")

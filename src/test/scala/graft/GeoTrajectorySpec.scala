@@ -727,6 +727,59 @@ class GeoTrajectorySpec extends SparkSpec {
     assert(LtssSink.zoneLayoutVersion(spark, dir) == 10L)
   }
 
+  test("zone swap: an unparsable manifest is UNCOMMITTED (live files kept, stage discarded); a redraw bumps zone_version") {
+    import org.apache.spark.sql.functions.expr
+    import graft.sources.LtssSink
+    def zdf(rows: Seq[(Long, String, Seq[(Double, Double)])]) =
+      rows.toDF("zone_id", "name", "verts")
+        .withColumn("verts", expr("transform(verts, v -> struct(v._1 AS x, v._2 AS y))"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zone-trunc").toString + "/z"
+    LtssSink.writeZoneLayout(zdf(graft.operators.Queries.ZoneDefs), dir)
+    val liveIds = spark.read.parquet(dir).select("zone_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // a predecessor crashed MID-MANIFEST-WRITE in the pre-atomic
+    // protocol: a garbled version line (torn write) must read as
+    // "never committed" — discard stage + manifest, keep every live
+    // file — not wedge on NumberFormatException or delete live data
+    val stagedDir = java.nio.file.Paths.get(dir, ".zone_staged")
+    java.nio.file.Files.createDirectories(stagedDir)
+    java.nio.file.Files.write(stagedDir.resolve("part-fake.parquet"),
+      "not parquet".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".zone_staged_manifest"),
+      "9 garbled".getBytes("UTF-8"))
+    val tri = Seq((7L, "tri", Seq((0.0, 0.0), (5.0, 0.0), (3.0, 4.0))))
+    LtssSink.upsertZones(zdf(tri), dir) // entry convergence sees the garble
+    val ids = spark.read.parquet(dir).select("zone_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (liveIds :+ 7L).sorted,
+      s"an unparsable manifest must never cost live zones: $ids")
+    assert(!java.nio.file.Files.exists(stagedDir), "the orphan stage is discarded")
+    // an orphan manifest TEMP (crash between temp write and rename) is
+    // residue, never a commit point
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".zone_staged_manifest.tmp"),
+      "99\npart-x".getBytes("UTF-8"))
+    LtssSink.upsertZones(zdf(Seq((8L, "tri2", Seq((20.0, 0.0), (25.0, 0.0), (23.0, 4.0))))), dir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, ".zone_staged_manifest.tmp")))
+    val v = LtssSink.zoneLayoutVersion(spark, dir)
+    // a FULL REDRAW must advance the version like an upsert: a
+    // restarted stream holding state stamped against the old rings
+    // must fail the zone-version gate, not silently diff
+    LtssSink.writeZoneLayout(zdf(graft.operators.Queries.ZoneDefs), dir)
+    assert(LtssSink.zoneLayoutVersion(spark, dir) == v + 1,
+      "a redraw defaults to prior+1")
+    // an explicit stale version refuses (it would re-arm the silent
+    // wrong-transition the contract exists to prevent)
+    val e = intercept[IllegalArgumentException] {
+      LtssSink.writeZoneLayout(zdf(tri), dir, version = v)
+    }
+    assert(e.getMessage.contains("must exceed"))
+    // an explicit HIGHER version is honored
+    LtssSink.writeZoneLayout(zdf(tri), dir, version = v + 10)
+    assert(LtssSink.zoneLayoutVersion(spark, dir) == v + 10)
+  }
+
   test("appendTrackMonth owner token: a live concurrent appender refuses, dead residue passes") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-track-tok").toString + "/t"

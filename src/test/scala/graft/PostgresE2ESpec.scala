@@ -278,6 +278,33 @@ class PostgresE2ESpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("copyFormat=binary on a text-only COPY driver degrades to the text tier (0A000), never fails the write") {
+    // PgCopy.scala documents: a driver that only speaks text throws
+    // 0A000 from copyInBinary and the sink DEGRADES to the text tier.
+    // The ?binarycopy=off wire connection exposes exactly that face —
+    // copyBinaryApiOf still detects a surface (the method exists), so
+    // the refusal arrives AT CALL TIME and must be caught in the chunk
+    // flush, not assumed away at tier selection.
+    LtssSink.bootstrapJdbc(cfg, table = "ltss_copyb_deg", locationType = "VARCHAR(255)")
+    val rows = Seq(
+      (ts("2024-01-01 00:00:01.000001"), "sensor.1", "a\tb\\c", """{"i":1}"""),
+      (ts("2024-01-01 00:00:02.000002"), "sensor.2", "x\ny🙂", null))
+    val batch = rows.toDF("time", "entity_id", "state", "attributes")
+    val degUrl = server.url + (if (server.url.contains("?")) "&" else "?") + "binarycopy=off"
+    LtssSink.writeJdbc(batch, LtssConfig(dbUrl = degUrl), table = "ltss_copyb_deg",
+      retryWaitMs = 1, sleep = _ => (), bulkCopy = true, copyFormat = "binary")
+    withWire { w =>
+      val got = w.query(
+        "SELECT entity_id, state, attributes, " +
+          "to_char(time, 'YYYY-MM-DD HH24:MI:SS.US') FROM ltss_copyb_deg ORDER BY time").rows
+      assert(got.map(_(1)) == Vector("a\tb\\c", "x\ny🙂"),
+        s"degraded text tier must land the full batch: $got")
+      assert(got.map(_(3)) == Vector(
+        "2024-01-01 00:00:01.000001", "2024-01-01 00:00:02.000002"),
+        s"degraded tier timestamps diverged: ${got.map(_(3))}")
+    }
+  }
+
   test("COPY text vs binary throughput, measured on live PG 15") {
     LtssSink.bootstrapJdbc(cfg, table = "ltss_tpf_txt", locationType = "VARCHAR(255)")
     LtssSink.bootstrapJdbc(cfg, table = "ltss_tpf_bin", locationType = "VARCHAR(255)")

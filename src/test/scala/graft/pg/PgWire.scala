@@ -379,7 +379,11 @@ final class PgMiniDriver extends java.sql.Driver {
           throw new SQLException(s"could not connect to ${m.group(1)}:${m.group(2)}: " +
             e.getMessage, "08001", e)
       }
-    PgMiniDriver.connection(wire)
+    // ?binarycopy=off simulates a PgCopy driver that only speaks the
+    // text tier: copyInBinary falls back to the TRAIT DEFAULT (throws
+    // 0A000) — the face the sink's degrade contract is specified
+    // against (PgCopy.scala:24)
+    PgMiniDriver.connection(wire, binaryCopy = !url.contains("binarycopy=off"))
   }
 
   override def getMajorVersion: Int = 0
@@ -425,7 +429,8 @@ object PgMiniDriver {
     * commit()/rollback() close it — statement-level recovery inside an
     * aborted PostgreSQL transaction requires the SAVEPOINT surface,
     * which is wired through to the server verbatim. */
-  private[pg] def connection(wire: PgWire.Conn): Connection = {
+  private[pg] def connection(
+      wire: PgWire.Conn, binaryCopy: Boolean = true): Connection = {
     var autoCommit = true
     var spCounter = 0
 
@@ -443,6 +448,9 @@ object PgMiniDriver {
         if (!autoCommit && wire.txnStatus == 'I') wire.query("BEGIN")
         Long.box(wire.copyIn(sql, data))
       case ("copyInBinary", Array(sql: String, data: java.io.InputStream)) =>
+        if (!binaryCopy)
+          throw new SQLException(
+            "binary COPY not supported by this driver", "0A000")
         if (!autoCommit && wire.txnStatus == 'I') wire.query("BEGIN")
         Long.box(wire.copyInBinary(sql, data))
       case ("createStatement", _) => statement(exec)
