@@ -1849,6 +1849,162 @@ object Queries {
         |ORDER BY frechet_sq_deg, id_a, id_b, month LIMIT 20""".stripMargin
     })
 
+  /** Directed Hausdorff distance² — max over p∈P of min over q∈Q of
+    * d²(p, q), the classic point-set distance (the other trajectory
+    * distance next to [[discreteFrechet2]]; Hausdorff ignores ORDER
+    * where Fréchet couples it — a subset track has directed distance 0
+    * TO its superset but not back, the asymmetry the hand-trace spec
+    * pins). Every operand exact on the fixture lattice: integer-valued
+    * coordinate differences, exact d² sums, max/min never round.
+    * O(n·m), two tight loops. Exposed for the hand-trace spec. */
+  private[graft] def directedHausdorff2(
+      p: IndexedSeq[DpFix], q: IndexedSeq[DpFix]): Double = {
+    var h = 0.0
+    var i = 0
+    while (i < p.length) {
+      var mn = Double.MaxValue
+      var j = 0
+      while (j < q.length) {
+        val dx = p(i).lon - q(j).lon
+        val dy = p(i).lat - q(j).lat
+        val d2 = dx * dx + dy * dy
+        if (d2 < mn) mn = d2
+        j += 1
+      }
+      if (mn > h) h = mn
+      i += 1
+    }
+    h
+  }
+
+  /** TRAJECTORY SIMILARITY, the Hausdorff face — the PostGIS
+    * `ST_HausdorffDistance` analog over the stored tracks: the 20
+    * entity pairs whose month segments have the smallest SYMMETRIC
+    * Hausdorff distance max(h(A,B), h(B,A)), planar degrees on the
+    * fixture lattice, both directed distances reported (the asymmetry
+    * IS a datum — a detour shows up in one direction only). NEVER
+    * all-pairs, but the screen is NOT [[geoFrechet]]'s: max(d(starts),
+    * d(ends)) is NOT a lower bound of symmetric Hausdorff (Hausdorff
+    * never couples endpoints — a pair can have huge start separation
+    * and tiny Hausdorff). The bound that IS lossless: H(A,B) ≥
+    * h(A,B) ≥ d(A.start, B) = min over j of d(A.start, B[j]) — any
+    * point of A sits within H of SOME point of B, the start included.
+    * So candidates join A's START (3×3 neighbor-expanded on the
+    * D-sized grid, the LSH-band shape) against EVERY fix of B keyed by
+    * its home cell, keep the exact predicate d²(start_A, fix_B) ≤ D²,
+    * and DISTINCT down to pairs — admitted iff min_j d² ≤ D², a
+    * superset of {H ≤ D} by the bound, with candidate volume scaling
+    * by spatial co-location density (a start only meets fixes in its
+    * 3×3 cells), never corpus². Survivor pairs attach their two month
+    * arrays by equi-joins on (id, chunk) — NO broadcast hints, the
+    * frechet maxResultSize lesson — and each pair's max-min runs as
+    * ONE compiled pass ([[directedHausdorff2]] both ways), map-side.
+    * Exact lattice arithmetic end to end; ONE closing sqrt. Oracle:
+    * the identical max-min evaluated as nested list comprehensions
+    * over the raw ordered fixes (no recursion — max-min has no
+    * sequential dependence, the reason Hausdorff is an afternoon where
+    * Fréchet was a DP), with the SAME exact screen predicate. */
+  val geoHausdorff = OracleQuery(
+    "ltss_geo_hausdorff",
+    (s, d) => {
+      import s.implicits._
+      val D = 20.0
+      val D2 = D * D
+      val segs = s.read.parquet(trackLayout2dPath(s, d))
+        .select(col("id"), col("chunk"), col("seg"))
+      val starts = segs.select(col("id").as("id_a"), col("chunk"),
+          element_at(col("seg"), 1).as("p1"))
+        .select(col("id_a"), col("chunk"),
+          col("p1.lat").as("alat1"), col("p1.lon").as("alon1"))
+        .withColumn("cla", floor((col("alat1") + lit(90.0)) / lit(D)).cast("long"))
+        .withColumn("clo", floor((col("alon1") + lit(180.0)) / lit(D)).cast("long"))
+        .withColumn("dla", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dlo", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("chunk"), col("id_a"), col("alat1"), col("alon1"),
+          (col("cla") + col("dla")).as("jla"), (col("clo") + col("dlo")).as("jlo"))
+      val bFix = segs.select(col("id").as("id_b"), col("chunk"),
+          explode(col("seg")).as("f"))
+        .select(col("id_b"), col("chunk"),
+          col("f.lat").as("blat"), col("f.lon").as("blon"))
+        .withColumn("jla", floor((col("blat") + lit(90.0)) / lit(D)).cast("long"))
+        .withColumn("jlo", floor((col("blon") + lit(180.0)) / lit(D)).cast("long"))
+      val cand = starts.join(bFix, Seq("chunk", "jla", "jlo"))
+        .filter(col("id_a") < col("id_b"))
+        .filter((col("alat1") - col("blat")) * (col("alat1") - col("blat"))
+          + (col("alon1") - col("blon")) * (col("alon1") - col("blon")) <= lit(D2))
+        .select(col("chunk"), col("id_a"), col("id_b"))
+        .distinct()
+      val withA = segs
+        .select(col("id").as("id_a"), col("chunk"), col("seg").as("seg_a"))
+        .join(cand, Seq("id_a", "chunk"))
+      val withB = segs
+        .select(col("id").as("id_b"), col("chunk"), col("seg").as("seg_b"))
+        .join(withA, Seq("id_b", "chunk"))
+      withB.select(col("chunk").as("month"), col("id_a"), col("id_b"),
+          col("seg_a"), col("seg_b"))
+        .as[(java.sql.Timestamp, Long, Long, Seq[DpFix], Seq[DpFix])]
+        .map { case (m, a, b, sa, sb) =>
+          val pa = sa.toIndexedSeq
+          val pb = sb.toIndexedSeq
+          val hab = directedHausdorff2(pa, pb)
+          val hba = directedHausdorff2(pb, pa)
+          val h2 = math.max(hab, hba)
+          (m, a, b, pa.length.toLong, pb.length.toLong,
+            hab, hba, h2, math.sqrt(h2))
+        }
+        .toDF("month", "id_a", "id_b", "n_a", "n_b",
+          "h_ab_sq_deg", "h_ba_sq_deg", "hausdorff_sq_deg", "hausdorff_deg")
+        .orderBy(col("hausdorff_sq_deg"), col("id_a"), col("id_b"), col("month"))
+        .limit(20)
+    },
+    Some {
+      def d2(ai: String, bj: String) =
+        s"(alat[$ai] - blat[$bj]) * (alat[$ai] - blat[$bj]) " +
+          s"+ (alon[$ai] - blon[$bj]) * (alon[$ai] - blon[$bj])"
+      val hAB = s"""list_reduce(list_transform(range(1, na + 1), i ->
+        |      list_reduce(list_transform(range(1, nb + 1), j -> ${d2("i", "j")}),
+        |        (x, y) -> least(x, y))), (x, y) -> greatest(x, y))""".stripMargin
+      val hBA = s"""list_reduce(list_transform(range(1, nb + 1), j ->
+        |      list_reduce(list_transform(range(1, na + 1), i -> ${d2("i", "j")}),
+        |        (x, y) -> least(x, y))), (x, y) -> greatest(x, y))""".stripMargin
+      s"""WITH pts AS (
+        |  SELECT user_id, date_trunc('month', ts) AS chunk, ts, event_id,
+        |         CAST((user_id + event_id) % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+        |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+        |         row_number() OVER (PARTITION BY user_id, date_trunc('month', ts)
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |),
+        |tracks AS (
+        |  SELECT user_id, chunk, count(*) AS n,
+        |         list(lat ORDER BY rn) AS lats, list(lon ORDER BY rn) AS lons
+        |  FROM pts GROUP BY user_id, chunk
+        |),
+        |cand AS (
+        |  SELECT a.user_id AS id_a, b.user_id AS id_b, a.chunk,
+        |         a.n AS na, b.n AS nb,
+        |         a.lats AS alat, a.lons AS alon,
+        |         b.lats AS blat, b.lons AS blon
+        |  FROM tracks a JOIN tracks b
+        |    ON a.chunk = b.chunk AND a.user_id < b.user_id
+        |  WHERE list_reduce(list_transform(range(1, b.n + 1), j ->
+        |      (a.lats[1] - b.lats[j]) * (a.lats[1] - b.lats[j])
+        |        + (a.lons[1] - b.lons[j]) * (a.lons[1] - b.lons[j])),
+        |    (x, y) -> least(x, y)) <= 400.0
+        |),
+        |h AS (
+        |  SELECT chunk AS month, id_a, id_b, na AS n_a, nb AS n_b,
+        |    $hAB AS h_ab_sq_deg,
+        |    $hBA AS h_ba_sq_deg
+        |  FROM cand
+        |)
+        |SELECT month, id_a, id_b, n_a, n_b, h_ab_sq_deg, h_ba_sq_deg,
+        |       greatest(h_ab_sq_deg, h_ba_sq_deg) AS hausdorff_sq_deg,
+        |       sqrt(greatest(h_ab_sq_deg, h_ba_sq_deg)) AS hausdorff_deg
+        |FROM h
+        |ORDER BY hausdorff_sq_deg, id_a, id_b, month LIMIT 20""".stripMargin
+    })
+
   /** STAY-POINT DETECTION — the visits/stops primitive of trajectory
     * mining (Li et al., "Mining user similarity based on location
     * history", ACM GIS 2008 — the GeoLife stay-point algorithm): a
@@ -2862,6 +3018,209 @@ object Queries {
       |       min(time_a) AS first_contact, max(time_b) AS last_contact
       |FROM ev GROUP BY 1, 2
       |ORDER BY id_lo, id_hi""".stripMargin))
+
+  /** EXPOSURE CHAINS over the contact graph — the contact-tracing
+    * deliverable [[geoContactPairs]] stops short of: if A contacted B
+    * and B contacted C, then C is in A's exposure chain even though A
+    * and C never met (the TRANSITIVE closure, the first question asked
+    * of a contact log). Per entity: its connected COMPONENT over the
+    * pair edges (labeled by the component's min id — the seed), the
+    * component's member count, the entity's HOP distance from the seed
+    * (BFS shortest path — "how many intermediate contacts separate you
+    * from the index case"), and the component's first/last contact
+    * span. Machinery is the near-dup clustering's, reused verbatim:
+    * [[graft.operators.Dedup.connectedComponents]] (min-label
+    * propagation + pointer doubling, O(log diameter) rounds,
+    * lineage-truncated) runs on the pair frame — which is orders of
+    * magnitude smaller than the contact LOG (one edge per entity pair),
+    * itself output-driven from the bucketed join; the BFS that follows
+    * iterates O(seed eccentricity) frontier jobs over the same
+    * edge-sized frame with min-hop convergence (a settled node never
+    * re-enters: hop counts are final when first reached, the frontier
+    * only shrinks). At 100 TB the graph is |entity pairs that MET| —
+    * fleet-bounded, not corpus-bounded. Oracle: the DuckDB
+    * recursive-CTE closure (the `dedup_clusters` precedent) over the
+    * same band-join edges, plus a hop-bounded recursive BFS — both
+    * different constructions than the Spark loops they check. */
+  val geoExposure = OracleQuery(
+    "ltss_geo_exposure",
+    (s, d) => {
+      val pairs = geoContactPairs.run(s, d)
+        .select(col("id_lo"), col("id_hi"), col("first_contact"),
+          col("last_contact"))
+      val edges = pairs.select(col("id_lo"), col("id_hi"))
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val aqeWas = s.conf.get(aqeKey, "true")
+      s.conf.set(aqeKey, "false")
+      val (labels, dist) =
+        try {
+          val (lab, _) = graft.operators.Dedup.connectedComponents(edges)
+          val labC = lab.localCheckpoint(eager = false)
+          val sym = edges.select(col("id_lo").as("src"), col("id_hi").as("dst"))
+            .union(edges.select(col("id_hi"), col("id_lo")))
+            .localCheckpoint(eager = false)
+          // BFS from each component's seed (its min-id = its label):
+          // hop counts are SHORTEST paths, so a node's count is final
+          // the first time it enters — the frontier never revisits
+          var settled = labC.filter(col("id") === col("label"))
+            .select(col("id"), lit(0L).as("hops")).localCheckpoint(eager = false)
+          var frontier = settled
+          var more = frontier.limit(1).count() > 0
+          while (more) {
+            val next = frontier.join(sym, frontier("id") === sym("src"))
+              .select(col("dst").as("id"), (col("hops") + 1L).as("hops"))
+              .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+              .join(settled.select(col("id").as("seen")),
+                col("id") === col("seen"), "left_anti")
+              .localCheckpoint(eager = false)
+            more = next.limit(1).count() > 0
+            if (more) {
+              settled = settled.union(next).localCheckpoint(eager = false)
+              frontier = next
+            }
+          }
+          (labC, settled)
+        } finally s.conf.set(aqeKey, aqeWas)
+      val comp = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"))
+      val span = pairs
+        .join(labels.select(col("id").as("id_lo"), col("label")), "id_lo")
+        .groupBy(col("label"))
+        .agg(min(col("first_contact")).as("first_contact"),
+          max(col("last_contact")).as("last_contact"))
+      labels.join(dist, "id").join(comp, "label").join(span, "label")
+        .select(col("id").as("user_id"), col("label").as("component"),
+          col("n_members"), col("hops"), col("first_contact"),
+          col("last_contact"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH RECURSIVE pts AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+      |         epoch_us(ts) AS tus
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+      |ev AS (
+      |  SELECT a.ts AS time_a, a.user_id AS user_a,
+      |         b.ts AS time_b, b.user_id AS user_b
+      |  FROM pts a JOIN pts b
+      |    ON b.tus BETWEEN a.tus AND a.tus + 7200000000
+      |   AND (a.tus, a.user_id, a.event_id) < (b.tus, b.user_id, b.event_id)
+      |   AND a.user_id <> b.user_id
+      |   AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) <= 64.0),
+      |pairs AS (
+      |  SELECT least(user_a, user_b) AS id_lo, greatest(user_a, user_b) AS id_hi,
+      |         min(time_a) AS first_contact, max(time_b) AS last_contact
+      |  FROM ev GROUP BY 1, 2),
+      |sym AS (SELECT id_lo AS src, id_hi AS dst FROM pairs
+      |        UNION ALL SELECT id_hi, id_lo FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM sym),
+      |r(id, rid) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT sym.src, r.rid FROM sym JOIN r ON sym.dst = r.id
+      |),
+      |labels AS (SELECT id, min(rid) AS label FROM r GROUP BY id),
+      |walk(id, hops) AS (
+      |  SELECT id, 0 FROM labels WHERE id = label
+      |  UNION
+      |  SELECT s.dst, w.hops + 1
+      |  FROM sym s JOIN walk w ON s.src = w.id
+      |  WHERE w.hops < (SELECT count(*) FROM nodes)
+      |),
+      |hops AS (SELECT id, CAST(min(hops) AS BIGINT) AS hops FROM walk GROUP BY id),
+      |comp AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+      |         FROM labels GROUP BY label),
+      |span AS (
+      |  SELECT l.label, min(p.first_contact) AS first_contact,
+      |         max(p.last_contact) AS last_contact
+      |  FROM pairs p JOIN labels l ON l.id = p.id_lo
+      |  GROUP BY l.label)
+      |SELECT l.id AS user_id, l.label AS component, c.n_members, h.hops,
+      |       sp.first_contact, sp.last_contact
+      |FROM labels l
+      |JOIN hops h ON h.id = l.id
+      |JOIN comp c ON c.label = l.label
+      |JOIN span sp ON sp.label = l.label
+      |ORDER BY user_id""".stripMargin))
+
+  /** CONTACT-DENSITY AUDIT panel — the forecast a deployment consults
+    * BEFORE paying [[geoContacts]]: contacts and trajectory pairs are
+    * output/density-driven at scale (SCALING.md r16 measured 868 M
+    * contacts at the folded 100×), so the operator needs to SEE hot
+    * cells first. Per (time-bucket, home cell): fix count, distinct
+    * entities, the within-key all-pairs bound k·(k−1)/2, and the EXACT
+    * candidate-row count the contact join would enumerate at this key
+    * (early-exploded rows × late home rows — the early side's count at
+    * a key is the sum of the 18 source keys' home counts, computed by
+    * exploding the COUNT frame, 18 rows per KEY, never per fix). The
+    * whole panel is one combinable aggregate over the bucketed fixes
+    * plus a key-sized count self-join: O(fixes) scan + O(keys)
+    * arithmetic — NEVER O(pairs); the emitted-contact count per cell
+    * is deliberately NOT a column, because counting emissions costs
+    * the very join this panel exists to forecast (it is the join
+    * output's own rollup, available post-hoc from `ltss_geo_contacts`).
+    * Cell/bucket derivations are [[geoContacts]]'s verbatim, so the
+    * forecast prices the join actually run. */
+  val geoContactCells = OracleQuery(
+    "ltss_geo_contact_cells",
+    (s, d) => {
+      val Tus = 7200000000L
+      val cell = 8.0
+      val pts = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id"),
+          ((col("user_id") % 180 - 90).cast("double") + 0.5).as("lat"),
+          ((col("event_id") % 360 - 180).cast("double") + 0.5).as("lon"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("cx", floor((col("lat") + lit(90.0)) / lit(cell)).cast("long"))
+        .withColumn("cy", floor((col("lon") + lit(180.0)) / lit(cell)).cast("long"))
+        .withColumn("tb", expr(s"tus div $Tus"))
+      val home = pts.groupBy(col("tb"), col("cx"), col("cy"))
+        .agg(count(lit(1)).as("k"), countDistinct(col("user_id")).as("nu"))
+      val early = home.select(col("tb"), col("cx"), col("cy"), col("k"))
+        .withColumn("dtb", explode(expr("sequence(0, 1)")))
+        .withColumn("dx", explode(expr("sequence(-1, 1)")))
+        .withColumn("dy", explode(expr("sequence(-1, 1)")))
+        .groupBy((col("tb") + col("dtb")).as("tb"),
+          (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+        .agg(sum(col("k")).as("ek"))
+      home.join(early, Seq("tb", "cx", "cy"))
+        .select(col("tb"), col("cx"), col("cy"),
+          col("k").as("n_fixes"), col("nu").as("n_users"),
+          expr("k * (k - 1) div 2").as("n_pairs_within"),
+          (col("ek") * col("k")).as("n_candidates"))
+        .orderBy(col("tb"), col("cx"), col("cy"))
+    },
+    Some("""WITH pts AS (
+      |  SELECT user_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+      |         epoch_us(ts) AS tus
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+      |keyed AS (
+      |  SELECT user_id,
+      |         CAST(floor((lat + 90.0) / 8.0) AS BIGINT) AS cx,
+      |         CAST(floor((lon + 180.0) / 8.0) AS BIGINT) AS cy,
+      |         tus // 7200000000 AS tb
+      |  FROM pts),
+      |home AS (
+      |  SELECT tb, cx, cy, CAST(count(*) AS BIGINT) AS k,
+      |         CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+      |  FROM keyed GROUP BY 1, 2, 3),
+      |early AS (
+      |  SELECT h.tb + t.dtb AS tb, h.cx + xs.dx AS cx, h.cy + ys.dy AS cy,
+      |         sum(h.k) AS ek
+      |  FROM home h
+      |  CROSS JOIN (VALUES (0), (1)) t(dtb)
+      |  CROSS JOIN (VALUES (-1), (0), (1)) xs(dx)
+      |  CROSS JOIN (VALUES (-1), (0), (1)) ys(dy)
+      |  GROUP BY 1, 2, 3)
+      |SELECT h.tb, h.cx, h.cy, h.k AS n_fixes, h.nu AS n_users,
+      |       CAST(h.k * (h.k - 1) // 2 AS BIGINT) AS n_pairs_within,
+      |       CAST(e.ek * h.k AS BIGINT) AS n_candidates
+      |FROM home h JOIN early e ON e.tb = h.tb AND e.cx = h.cx AND e.cy = h.cy
+      |ORDER BY h.tb, h.cx, h.cy""".stripMargin))
 
   /** The literal test polygon for [[geoPolygon]] — NON-convex (the
     * (15,18) vertex dents inward, so convex-hull shortcuts would get it
@@ -4501,5 +4860,5 @@ object Queries {
     geoDbscanLatLon, geoTrack, geoSimplify, geoStaypoints, geoOdMatrix, geoMercator, geoHeading,
     zoneStats, zonesDwell, geoDouglasPeucker, zonesOverlap, zoneCentroid, zoneNearest,
     geoHull, geoFrechet, zonesIntersect, geoOdSensitivity, geoContacts,
-    geoContactPairs)
+    geoContactPairs, geoHausdorff, geoExposure, geoContactCells)
 }

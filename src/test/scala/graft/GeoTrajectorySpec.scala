@@ -625,6 +625,151 @@ class GeoTrajectorySpec extends SparkSpec {
       s"band-separated pairs diverged: ${rows.toSeq}")
   }
 
+  test("directedHausdorff2: hand-traced asymmetric subset pair; metric properties hold on random lattice tracks") {
+    import graft.operators.Queries.{DpFix, directedHausdorff2}
+    def fix(lon: Double, lat: Double) =
+      DpFix(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0L, lat, lon)
+    // hand trace: P = (0,0)→(4,0) is a SUBSET of
+    // Q = (0,0)→(2,0)→(4,0)→(4,3): every P point sits IN Q, so the
+    // directed distance P→Q is 0 — but Q's (2,0) is 4 away² from P's
+    // nearest and (4,3) is 9 away², so Q→P = 9. The asymmetry IS the
+    // point (Fréchet, which couples order, can never return 0 here
+    // without also being 0 the other way).
+    val p = IndexedSeq(fix(0, 0), fix(4, 0))
+    val q = IndexedSeq(fix(0, 0), fix(2, 0), fix(4, 0), fix(4, 3))
+    assert(directedHausdorff2(p, q) == 0.0, "subset direction must be 0")
+    assert(directedHausdorff2(q, p) == 9.0, "hand-traced reverse diverged")
+    // ADVERSARY: metric axioms on random lattice tracks — a different
+    // discipline than re-running max-min: symmetry of the symmetric
+    // form, identity (H=0 iff same point SET), and the triangle
+    // inequality on the square roots
+    val rnd = new scala.util.Random(17)
+    def track(n: Int) = IndexedSeq.fill(n)(
+      fix(rnd.nextInt(21) - 10 + 0.5, rnd.nextInt(21) - 10 + 0.5))
+    def sym(a: IndexedSeq[DpFix], b: IndexedSeq[DpFix]): Double =
+      math.sqrt(math.max(directedHausdorff2(a, b), directedHausdorff2(b, a)))
+    for (t <- 1 to 200) {
+      val a = track(1 + rnd.nextInt(7))
+      val b = track(1 + rnd.nextInt(7))
+      val c = track(1 + rnd.nextInt(7))
+      assert(sym(a, b) == sym(b, a), s"trial $t: symmetry broke")
+      val setsEqual = a.map(f => (f.lon, f.lat)).toSet == b.map(f => (f.lon, f.lat)).toSet
+      assert((sym(a, b) == 0.0) == setsEqual,
+        s"trial $t: identity of indiscernible point sets broke")
+      assert(sym(a, c) <= sym(a, b) + sym(b, c) + 1e-9,
+        s"trial $t: triangle inequality broke: ${sym(a, c)} > ${sym(a, b)} + ${sym(b, c)}")
+      // directed 0 iff subset (on exact lattice sets)
+      val aInB = a.map(f => (f.lon, f.lat)).toSet
+        .subsetOf(b.map(f => (f.lon, f.lat)).toSet)
+      assert((directedHausdorff2(a, b) == 0.0) == aInB,
+        s"trial $t: directed-zero iff subset broke")
+    }
+  }
+
+  test("ltss_geo_hausdorff: twin tracks rank first; a truncated twin shows the directed asymmetry") {
+    // users 10 and 190 collide in the latitude map ((u+e)%180); user
+    // 190 gets only the FIRST THREE of user 10's six events, so track
+    // 190 is a strict spatial SUBSET of track 10: directed 190→10 = 0,
+    // 10→190 = the tail's escape = (9² + 9²) = 162 (fix k sits at
+    // (3k+0.5, 3k−79.5); k=5 vs the subset's last k=2). User 30 walks
+    // the same lon ladder 20° of latitude above user 10: each track's
+    // START is the other's farthest point at exactly 20² = 400 (the
+    // interior points reach within 202 via the δ=3 diagonal, verified
+    // by the closed form 18δ²−120δ+400, but the endpoints pin the max).
+    val dir = java.nio.file.Files.createTempDirectory("graft-hausdorff").toString
+    val events =
+      (0 until 6).flatMap { k =>
+        Seq(10L, 30L).map(u => (180L + 3 * k, ts(s"2024-01-0${k + 1} 10:00:00"), u))
+      } ++ (0 until 3).map { k =>
+        (180L + 3 * k, ts(s"2024-01-0${k + 1} 10:00:00"), 190L)
+      }
+    events.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("ltss_geo_hausdorff")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.head == ((10L, 190L, 162.0, 0.0, 162.0)),
+      s"the subset pair must rank first with the asymmetric pair: ${rows.toSeq}")
+    assert(rows.toSet.contains((10L, 30L, 400.0, 400.0, 400.0)),
+      s"the band-separated pair diverged: ${rows.toSeq}")
+    // (30,190): 30's tail escapes the 3-fix subset to 922 (δ=3 from
+    // k=5: 9·9 + 29²), while every 190 fix stays within 400 of track 30
+    assert(rows.toSet.contains((30L, 190L, 922.0, 400.0, 922.0)),
+      s"the truncated cross pair diverged: ${rows.toSeq}")
+  }
+
+  test("ltss_geo_exposure: A-B-C chains transitively without an A-C contact; hops count the intermediaries") {
+    // contact lattice: lat = user%180−90+.5, lon = event%360−180+.5,
+    // R = 8°, T = 2 h. A(10) meets B(12) at 10:00/11:00 (d² = 2²+1² = 5,
+    // Δt = 1 h); B meets C(14) across town at 20:00/20:30 (d² = 5,
+    // Δt = 30 min); A and C are NEVER within R and T of each other —
+    // yet C is in A's exposure chain at hop 2. D(50) has one isolated
+    // fix: no contact, no exposure row.
+    val dir = java.nio.file.Files.createTempDirectory("graft-exposure").toString
+    val events = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 10L), // A at lon -79.5
+      (101L, ts("2024-01-01 11:00:00"), 12L), // B at lon -78.5 → A-B
+      (200L, ts("2024-01-01 20:00:00"), 12L), // B at lon 20.5
+      (201L, ts("2024-01-01 20:30:00"), 14L), // C at lon 21.5 → B-C
+      (300L, ts("2024-01-05 09:00:00"), 50L)) // D, isolated
+    events.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // no A-C edge exists in the pair graph...
+    val pairs = SparkEntry.queries("ltss_geo_contact_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 12L), (12L, 14L)),
+      s"fixture must have exactly the A-B and B-C edges: $pairs")
+    // ...but exposure closes the chain
+    val rows = SparkEntry.queries("ltss_geo_exposure")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getTimestamp(4), r.getTimestamp(5)))
+    val span = (ts("2024-01-01 10:00:00"), ts("2024-01-01 20:30:00"))
+    assert(rows.toSeq == Seq(
+      (10L, 10L, 3L, 0L, span._1, span._2),
+      (12L, 10L, 3L, 1L, span._1, span._2),
+      (14L, 10L, 3L, 2L, span._1, span._2)),
+      s"hand-pinned chain diverged: ${rows.toSeq}")
+  }
+
+  test("ltss_geo_contact_cells: hand-pinned density panel; candidates bound emissions without running the join") {
+    // the exposure-chain fixture: A+B co-locate in one (bucket, cell)
+    // key, B+C in another, D alone in a third — each meeting key reads
+    // k=2, within-pairs 1, and candidates ek·k = 2·2 = 4 (the join
+    // would enumerate both fixes' early explosions against both late
+    // homes; no neighboring key holds fixes in an adjacent bucket)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cellpanel").toString
+    val events = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 10L),
+      (101L, ts("2024-01-01 11:00:00"), 12L),
+      (200L, ts("2024-01-01 20:00:00"), 12L),
+      (201L, ts("2024-01-01 20:30:00"), 14L),
+      (300L, ts("2024-01-05 09:00:00"), 50L))
+    events.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def tb(t: java.sql.Timestamp) = t.getTime * 1000L / 7200000000L
+    def cellOf(u: Long, e: Long) = {
+      val lat = (u % 180 - 90).toDouble + 0.5
+      val lon = (e % 360 - 180).toDouble + 0.5
+      (math.floor((lat + 90.0) / 8.0).toLong, math.floor((lon + 180.0) / 8.0).toLong)
+    }
+    val (abx, aby) = cellOf(10L, 100L)
+    assert(cellOf(12L, 101L) == ((abx, aby)), "fixture: A and B share the cell")
+    val (bcx, bcy) = cellOf(12L, 200L)
+    val (dx0, dy0) = cellOf(50L, 300L)
+    val rows = SparkEntry.queries("ltss_geo_contact_cells")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(rows == Set(
+      (tb(ts("2024-01-01 10:00:00")), abx, aby, 2L, 2L, 1L, 4L),
+      (tb(ts("2024-01-01 20:00:00")), bcx, bcy, 2L, 2L, 1L, 4L),
+      (tb(ts("2024-01-05 09:00:00")), dx0, dy0, 1L, 1L, 0L, 1L)),
+      s"hand-pinned panel diverged: $rows")
+    // the panel's candidate total bounds what the join can emit
+    val emitted = SparkEntry.queries("ltss_geo_contacts")(spark, dir).count()
+    assert(emitted == 2L && emitted <= rows.toSeq.map(_._7).sum,
+      s"candidates must bound emissions: $emitted vs ${rows.toSeq.map(_._7).sum}")
+  }
+
   test("upsertZones: replace/add/drop with the write gate re-applied; a bad ring refuses the whole upsert") {
     import org.apache.spark.sql.functions.expr
     def zdf(rows: Seq[(Long, String, Seq[(Double, Double)])]) =
