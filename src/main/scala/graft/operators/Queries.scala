@@ -3342,6 +3342,24 @@ object Queries {
   /** The (zone, latest fix) containment frame shared by [[geoZones]]
     * (which presents it) and [[zonesOverlap]] (which pairs it):
     * broadcast zones, bbox prune, then the exact nested-gate ray cast. */
+  /** Even-odd ring crossings of the row's `verts` array against the
+    * point (`lat`, `lon`) — the stored-zone ray cast shared by every
+    * zone-containment consumer. The straddle gate NESTS the crossing
+    * test (explicit CASE short-circuit): a horizontal edge fails the
+    * gate for every ray, so its 0/0 slope is never evaluated —
+    * axis-aligned zones (zone 4) are first-class, not banned at
+    * write. */
+  private def ringCrossings(lat: Column, lon: Column): Column = {
+    val nxt = concat(expr("slice(verts, 2, size(verts) - 1)"),
+      expr("slice(verts, 1, 1)"))
+    aggregate(
+      zip_with(col("verts"), nxt, (a, b) =>
+        when((a("y") > lat) =!= (b("y") > lat),
+          when(lon < (b("x") - a("x")) * (lat - a("y")) /
+            (b("y") - a("y")) + a("x"), 1).otherwise(0)).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+  }
+
   private[graft] def zoneLatestHits(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
@@ -3353,18 +3371,7 @@ object Queries {
       .withColumn("lon", (col("event_id") % 360 - 180).cast("double") + 0.5)
       .select(col("user_id"), col("lat"), col("lon"))
     val zones = broadcast(s.read.parquet(zoneLayoutPath(s, d)))
-    val nxt = concat(expr("slice(verts, 2, size(verts) - 1)"),
-      expr("slice(verts, 1, 1)"))
-    // the straddle gate NESTS the crossing test (explicit CASE
-    // short-circuit): a horizontal edge fails the gate for every
-    // ray, so its 0/0 slope is never evaluated — axis-aligned
-    // zones (zone 4) are first-class, not banned at write
-    val crossings = aggregate(
-      zip_with(col("verts"), nxt, (a, b) =>
-        when((a("y") > col("lat")) =!= (b("y") > col("lat")),
-          when(col("lon") < (b("x") - a("x")) * (col("lat") - a("y")) /
-            (b("y") - a("y")) + a("x"), 1).otherwise(0)).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
+    val crossings = ringCrossings(col("lat"), col("lon"))
     fixes.join(zones,
         col("lat") >= col("lat_min") && col("lat") <= col("lat_max") &&
           col("lon") >= col("lon_min") && col("lon") <= col("lon_max"))
@@ -3721,6 +3728,111 @@ object Queries {
       |         coalesce(lead(y) OVER w, first_value(y) OVER w) AS y2
       |  FROM zv WINDOW w AS (PARTITION BY zone_id ORDER BY idx)
       |)""".stripMargin
+
+  /** ZONE-TO-ZONE OD MATRIX — [[geoOdMatrix]] with the analyst's
+    * vocabulary: flows between NAMED stored zones, not grid cells.
+    * Stay-point visits (the already-tiny frame the stay-point fold
+    * produced once) anchor to the zone dimension by the canonical
+    * dimension spatial join — broadcast zones, SARGABLE bbox prune,
+    * then the exact even-odd ray cast ([[ringCrossings]], the
+    * [[zoneLatestHits]] kernel) — with OVERLAPPING zones resolved to
+    * the SMALLEST containing zone_id (deterministic, the
+    * [[zoneNearest]] tie rule) and visits outside every zone bucketed
+    * as zone 0 "outside" (flows leak off the geofence map; hiding them
+    * would misreport totals). Consecutive visits per entity pair into
+    * trips (one lag window over the visit frame), flows aggregate per
+    * (origin zone, destination zone) with the origin-dwell sum. Scale:
+    * every stage after the stay-point fold is visit-sized — the zone
+    * join is dimension-broadcast, the window and rollup run on visits,
+    * never fixes. Oracle: the shared visits CTE chain + the unrolled
+    * vertex VALUES ray cast (no bbox prune — the prune is proven
+    * semantics-free by the comparison) + the same lag/rollup. */
+  val geoOdZones = OracleQuery(
+    "ltss_geo_od_zones",
+    (s, d) => {
+      import s.implicits._
+      val visits = staypointVisits(s, d)
+      val zonesDim = s.read.parquet(zoneLayoutPath(s, d))
+      val hit = visits.join(broadcast(zonesDim),
+          col("lat") >= col("lat_min") && col("lat") <= col("lat_max") &&
+            col("lon") >= col("lon_min") && col("lon") <= col("lon_max"))
+        .withColumn("crossings", ringCrossings(col("lat"), col("lon")))
+        .filter(col("crossings") % 2 === 1)
+        .groupBy(col("user_id"), col("t_start"), col("t_end"))
+        .agg(min(col("zone_id")).as("zid"))
+      val anch = visits.join(hit, Seq("user_id", "t_start", "t_end"), "left")
+        .withColumn("zone", coalesce(col("zid"), lit(0L)))
+      val zn = zonesDim.select(col("zone_id"), col("name"))
+        .unionByName(Seq((0L, "outside")).toDF("zone_id", "name"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_start"), col("t_end"))
+      val flows = anch
+        .withColumn("o_zone", lag(col("zone"), 1).over(w))
+        .withColumn("o_dwell", lag(col("dwell_us"), 1).over(w))
+        .filter(col("o_zone").isNotNull)
+        .groupBy(col("o_zone"), col("zone").as("d_zone"))
+        .agg(count(lit(1)).as("n_trips"),
+          sum(col("o_dwell")).as("origin_dwell_us"))
+      // no explicit hint on the name joins: zn is a dimension-sized
+      // union AQE broadcasts on its own, and a hint on the union's
+      // projection does not attach to the join (HintErrorLogger warns)
+      flows
+        .join(zn.select(col("zone_id").as("o_zone"),
+          col("name").as("o_zone_name")), "o_zone")
+        .join(zn.select(col("zone_id").as("d_zone"),
+          col("name").as("d_zone_name")), "d_zone")
+        .select(col("o_zone"), col("o_zone_name"), col("d_zone"),
+          col("d_zone_name"), col("n_trips"), col("origin_dwell_us"))
+        .orderBy(col("o_zone"), col("d_zone"))
+    },
+    Some(s"""WITH RECURSIVE $staypointVisitsSql,
+      |zv(zone_id, name, idx, x, y) AS (VALUES
+      |  $zoneVertsValues
+      |), $zoneEdgesCte,
+      |vhits AS (
+      |  SELECT v.user_id, v.t_start, v.t_end, e.zone_id,
+      |         sum(CASE WHEN (e.y1 > v.lat) <> (e.y2 > v.lat)
+      |             THEN CASE WHEN v.lon < (e.x2 - e.x1) * (v.lat - e.y1)
+      |                                    / (e.y2 - e.y1) + e.x1
+      |                  THEN 1 ELSE 0 END
+      |             ELSE 0 END) AS crossings
+      |  FROM visits v CROSS JOIN edges e
+      |  GROUP BY v.user_id, v.t_start, v.t_end, e.zone_id
+      |),
+      |inz AS (
+      |  SELECT user_id, t_start, t_end, min(zone_id) AS zid
+      |  FROM vhits WHERE crossings % 2 = 1
+      |  GROUP BY 1, 2, 3
+      |),
+      |anch AS (
+      |  SELECT v.user_id, v.t_start, v.t_end, v.dwell_us,
+      |         coalesce(i.zid, 0) AS zone
+      |  FROM visits v LEFT JOIN inz i
+      |    ON i.user_id = v.user_id AND i.t_start = v.t_start
+      |   AND i.t_end = v.t_end
+      |),
+      |zn AS (
+      |  SELECT DISTINCT zone_id, name FROM zv
+      |  UNION ALL SELECT 0, 'outside'
+      |),
+      |flows AS (
+      |  SELECT o_zone, zone AS d_zone,
+      |         CAST(count(*) AS BIGINT) AS n_trips,
+      |         CAST(sum(o_dwell) AS BIGINT) AS origin_dwell_us
+      |  FROM (
+      |    SELECT user_id, zone, dwell_us,
+      |           lag(zone) OVER w AS o_zone, lag(dwell_us) OVER w AS o_dwell
+      |    FROM anch WINDOW w AS (PARTITION BY user_id ORDER BY t_start, t_end))
+      |  WHERE o_zone IS NOT NULL
+      |  GROUP BY 1, 2
+      |)
+      |SELECT CAST(f.o_zone AS BIGINT) AS o_zone, zo.name AS o_zone_name,
+      |       CAST(f.d_zone AS BIGINT) AS d_zone, zd.name AS d_zone_name,
+      |       f.n_trips, f.origin_dwell_us
+      |FROM flows f
+      |JOIN zn zo ON zo.zone_id = f.o_zone
+      |JOIN zn zd ON zd.zone_id = f.d_zone
+      |ORDER BY o_zone, d_zone""".stripMargin))
 
   /** ZONE STATISTICS — the `ST_Area` / `ST_Perimeter` / `ST_NPoints`
     * panel over the stored-zone dimension (the audit a deployment runs
@@ -4860,5 +4972,6 @@ object Queries {
     geoDbscanLatLon, geoTrack, geoSimplify, geoStaypoints, geoOdMatrix, geoMercator, geoHeading,
     zoneStats, zonesDwell, geoDouglasPeucker, zonesOverlap, zoneCentroid, zoneNearest,
     geoHull, geoFrechet, zonesIntersect, geoOdSensitivity, geoContacts,
-    geoContactPairs, geoHausdorff, geoExposure, geoContactCells)
+    geoContactPairs, geoHausdorff, geoExposure, geoContactCells,
+    geoOdZones)
 }

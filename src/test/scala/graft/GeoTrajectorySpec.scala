@@ -196,6 +196,18 @@ class GeoTrajectorySpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(od.toSeq == Seq((0L, 0L, 0L, 6L, 1L, 13L * 3600000000L)),
       s"OD matrix diverged from the hand trace: ${od.toSeq}")
+    // the ZONE-NAMED rollup over the same visits: the origin visit at
+    // (lat 7.5, lon 0.5) hand-walks INSIDE zones 1 and 4 (zone 1:
+    // only the (20,-35)→(25,40) edge crosses at xint 22.83; zone 4:
+    // only the x=10 vertical edge; zone 3 gets TWO xints 48.2 and 2.5
+    // → outside) and anchors to the SMALLEST id, zone 1; the
+    // destination at (7.5, 60.5) is east of every ring → the
+    // outside bucket. One trip, atlantic → outside, 13 h origin dwell.
+    val odz = SparkEntry.queries("ltss_geo_od_zones")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5)))
+    assert(odz.toSeq == Seq((1L, "atlantic", 0L, "outside", 1L, 13L * 3600000000L)),
+      s"zone OD diverged from the hand trace: ${odz.toSeq}")
   }
 
   test("ltss_geo_zones: hand-walked containment — overlap double-hit, bbox-hit-but-outside excluded, rectangle half-open edge") {
