@@ -3,8 +3,47 @@
 against DuckDB executing oracle_sql.json on the same parquet tables.
 
 Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir> [query ...]
+       python3 scripts/selfcheck.py --gate [bench_out.json]
+
+--gate is the ROUND-CLOSE PERFORMANCE ASSERTION: it reads the bench
+output's gate_ratio_canary_normalized (this run's BASELINE_QUERIES
+total vs the recorded r01 vintage, host-normalized by the JVM canary
+pair) and exits nonzero when the 2.0x ceiling is breached or the field
+is missing — a regression fails loudly instead of being a JSON field
+someone must remember to read.
 """
 import sys, json, glob, os
+
+GATE_CEILING = 2.0
+
+def gate(path: str) -> int:
+    try:
+        bench = json.load(open(path))
+    except Exception as e:
+        print(f"GATE FAIL: cannot read {path}: {type(e).__name__}: {e}")
+        return 1
+    ratio = bench.get("gate_ratio_canary_normalized")
+    if not isinstance(ratio, (int, float)):
+        print(f"GATE FAIL: {path} has no numeric gate_ratio_canary_normalized "
+              "(run graft.Bench with BASELINE_QUERIES.txt present)")
+        return 1
+    n = bench.get("gate_n", 0)
+    if not n:
+        print(f"GATE FAIL: {path} measured zero baseline queries (gate_n=0)")
+        return 1
+    if ratio > GATE_CEILING:
+        print(f"GATE FAIL: gate_ratio_canary_normalized={ratio:.3f} > "
+              f"{GATE_CEILING} over {n} baseline queries "
+              f"(raw={bench.get('gate_ratio_raw')}, "
+              f"canary_factor={bench.get('gate_canary_factor')})")
+        return 1
+    print(f"GATE PASS: gate_ratio_canary_normalized={ratio:.3f} <= "
+          f"{GATE_CEILING} over {n} baseline queries")
+    return 0
+
+if len(sys.argv) > 1 and sys.argv[1] == "--gate":
+    sys.exit(gate(sys.argv[2] if len(sys.argv) > 2 else "bench_out.json"))
+
 import duckdb
 import pandas as pd
 
