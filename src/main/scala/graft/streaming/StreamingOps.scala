@@ -2326,15 +2326,35 @@ object StreamingOps {
     * in a way a documented drop is not (the trajectory streams'
     * in-order contract, horizon-widened). Invariant, spec-pinned:
     * over any prefix delivered within the horizon the emitted set
-    * equals the batch `ltss_geo_contacts` rows on the same fixes. */
+    * equals the batch `ltss_geo_contacts` rows on the same fixes.
+    *
+    * IDLE-CELL EVICTION (r17): the stream carries a watermark whose
+    * lateness defaults to the T horizon itself (so every in-horizon
+    * out-of-order arrival still reaches state — `latenessUs`
+    * overrides), and each cell arms an EVENT-TIME TIMEOUT at
+    * frontier + T + lateness: once the watermark passes that, the
+    * oldest admissible future arrival (watermark − lateness) is
+    * already beyond T of every held fix (all ≤ frontier), so the cell
+    * drops its state whole with NO pair lost (spec-pinned). Without
+    * this a dead grid cell's last T of fixes would persist forever;
+    * with it total state is bounded by the ACTIVE cells of the
+    * watermark window, not by every cell ever touched. A fix older
+    * than the watermark is dropped by the watermark itself — the same
+    * documented drop as the in-state frontier check, one stage
+    * earlier. (Checkpoint note: pre-r17 contactsStream checkpoints
+    * used NoTimeout and cannot be restored by this build — restart
+    * from a fresh checkpoint dir; see SURVEY.md §2.2 state notes.) */
   def contactsStream(
       pts: DataFrame, // time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE
       radiusDeg: Double = 8.0,
-      windowUs: Long = 7200000000L): Dataset[ContactEvent] = {
+      windowUs: Long = 7200000000L,
+      latenessUs: Long = -1L): Dataset[ContactEvent] = {
     import pts.sparkSession.implicits._
     val r2 = radiusDeg * radiusDeg
+    val lateUs = if (latenessUs < 0L) windowUs else latenessUs
     val exploded = pts
       .select(col("time"), col("user_id"), col("event_id"), col("lat"), col("lon"))
+      .withWatermark("time", s"${lateUs / 1000000L} seconds")
       .withColumn("cx", floor((col("lat") + lit(90.0)) / lit(radiusDeg)).cast("long"))
       .withColumn("cy", floor((col("lon") + lit(180.0)) / lit(radiusDeg)).cast("long"))
       .withColumn("dx", explode(expr("sequence(-1, 1)")))
@@ -2347,7 +2367,9 @@ object StreamingOps {
       .groupByKey(r => (r._6, r._7))
       .flatMapGroupsWithState[CellContactState, ContactEvent](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) { (_, rows, st) =>
+        GroupStateTimeout.EventTimeTimeout) { (_, rows, st) =>
+        if (st.hasTimedOut) { st.remove(); Iterator.empty }
+        else {
         val sorted = rows.toSeq.sortBy(r => (micros(r._1), r._2, r._3))
         var state = st.getOption.getOrElse(CellContactState(Long.MinValue, Seq.empty))
         var frontier = state.frontierUs
@@ -2376,7 +2398,15 @@ object StreamingOps {
         }
         held = held.filter(_.tUs >= frontier - windowUs)
         st.update(CellContactState(frontier, held))
+        // evict this cell whole once the watermark passes
+        // frontier + T + lateness — only then is every held fix beyond
+        // T of the oldest admissible future arrival (clamped above the
+        // current watermark as the API requires)
+        st.setTimeoutTimestamp(math.max(
+          frontier / 1000L + (windowUs + lateUs) / 1000L,
+          st.getCurrentWatermarkMs() + 1L))
         out.iterator
+        }
       }
   }
 }

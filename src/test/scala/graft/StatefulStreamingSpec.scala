@@ -1803,6 +1803,51 @@ class StatefulStreamingSpec extends SparkSpec {
       s"the beyond-horizon fix must DROP, not partially pair: $got")
   }
 
+  test("contactsStream: an idle cell's state evicts once the watermark passes frontier + T + lateness") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def fix(eid: Long, t: String, uid: Long) = {
+      val lat = (uid % 180 - 90).toDouble + 0.5
+      val lon = (eid % 360 - 180).toDouble + 0.5
+      (ts(t), uid, eid, lat, lon)
+    }
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val q = StreamingOps.contactsStream(
+      ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon"))
+      .writeStream.format("memory").queryName("contacts_ttl_t")
+      .outputMode("append").start()
+    def stateRows(): Long = {
+      val p = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .getOrElse(fail("no state operator progress recorded"))
+      p.stateOperators.head.numRowsTotal
+    }
+    try {
+      // batch 1: one fix in cell A — explodes to its 3×3 neighborhood
+      ms.addData(fix(180L, "2024-01-01 10:00:00", 12L)); q.processAllAvailable()
+      assert(stateRows() == 9L, s"cell A should hold 9 exploded keys: ${stateRows()}")
+      // batch 2: a DISTANT fix drives the watermark to 18:00 — past cell
+      // A's eviction point 10:00 + T(2h) + lateness(2h) = 14:00. A
+      // post-batch no-data micro-batch MAY already fire the timeout
+      // here, so accept either 18 (not yet fired) or 9 (fired)
+      ms.addData(fix(90L, "2024-01-01 20:00:00", 100L)); q.processAllAvailable()
+      assert(Set(9L, 18L).contains(stateRows()),
+        s"unexpected state size after the watermark advance: ${stateRows()}")
+      // batch 3: the timeout fires against the 18:00 watermark — cell
+      // A's nine keys drop whole; the distant cell's pairing is intact
+      ms.addData(fix(90L, "2024-01-01 20:30:00", 101L)); q.processAllAvailable()
+      assert(stateRows() == 9L,
+        s"the idle neighborhood must evict, the active one must stay: ${stateRows()}")
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"contactsStream died: ${q.exception}")
+    // pairing within the horizon is untouched by eviction: the two
+    // distant fixes (30 min apart, same spot) paired
+    val got = spark.table("contacts_ttl_t")
+      .selectExpr("user_a", "user_b", "dt_us")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((100L, 101L, 1800000000L)),
+      s"in-horizon pairing diverged under eviction: $got")
+  }
+
   test("dpSimplifyLiveStream: every batch emits the open month's provisional D-P equal to batch ltss_geo_dp on the prefix") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val fixes = Seq(
