@@ -1682,8 +1682,11 @@ object Dedup {
     * mass being real 16–49-token duplication the 50-token threshold
     * ignores. Measured on the fixture: 2 647 flagged tokens at W = 16
     * vs 2 237 under the true ≥ 50-token criterion — precision 0.845
-    * (sf0.001; 0.672 at sf0.01). A consumer wanting the paper's exact
-    * granularity calls [[substringSpanStats]] with `width = 50`. */
+    * (sf0.001; 0.672 at sf0.01). r17: the paper-exact tier is now a
+    * registered query of its own — `dedup_substring_spans50`
+    * ([[substringSpans50]], the same stats at `width = 50`), so a
+    * pipeline picks its granularity by name: W = 16 stays the
+    * sensitive default, W = 50 matches Lee et al. verbatim. */
   /** The span computation over a (doc_id, text) frame — see
     * [[substringSpans]] for semantics and the scale argument. */
   private[graft] def substringSpanStats(docs: DataFrame, width: Int = 16): DataFrame = {
@@ -1724,39 +1727,50 @@ object Dedup {
         (col("mx") + W).cast("long").as("end_tok"), col("n_windows"))
   }
 
-  val substringSpans = {
-    val W = 16
-    OracleQuery(
-      "dedup_substring_spans",
-      (s, d) => substringSpanStats(Tables.documents(s, d), W)
-        .orderBy(col("doc_id"), col("span_id")),
-      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |wins AS (
-        |  SELECT doc_id, i, substring(md5(array_to_string(w[i+1:i+$W], ' ')), 1, 15) AS fp
-        |  FROM (SELECT doc_id, w, unnest(generate_series(0, len(w) - $W)) AS i
-        |        FROM w WHERE len(w) >= $W)
-        |),
-        |hot AS (SELECT fp FROM wins GROUP BY fp HAVING count(*) > 1),
-        |dup AS (SELECT doc_id, i FROM wins JOIN hot USING (fp)),
-        |flg AS (
-        |  SELECT doc_id, i,
-        |         CASE WHEN i > COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), ${-(W + 1)}) + $W
-        |              THEN 1 ELSE 0 END AS new_span
-        |  FROM dup
-        |),
-        |sp AS (
-        |  SELECT doc_id, i,
-        |         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
-        |  FROM flg
-        |)
-        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
-        |       CAST(min(i) AS BIGINT) AS start_tok,
-        |       CAST(max(i) + $W AS BIGINT) AS end_tok,
-        |       CAST(count(*) AS BIGINT) AS n_windows
-        |FROM sp GROUP BY doc_id, span_id
-        |ORDER BY doc_id, span_id""".stripMargin))
-  }
+  private def substringSpansSql(W: Int): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |wins AS (
+      |  SELECT doc_id, i, substring(md5(array_to_string(w[i+1:i+$W], ' ')), 1, 15) AS fp
+      |  FROM (SELECT doc_id, w, unnest(generate_series(0, len(w) - $W)) AS i
+      |        FROM w WHERE len(w) >= $W)
+      |),
+      |hot AS (SELECT fp FROM wins GROUP BY fp HAVING count(*) > 1),
+      |dup AS (SELECT doc_id, i FROM wins JOIN hot USING (fp)),
+      |flg AS (
+      |  SELECT doc_id, i,
+      |         CASE WHEN i > COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), ${-(W + 1)}) + $W
+      |              THEN 1 ELSE 0 END AS new_span
+      |  FROM dup
+      |),
+      |sp AS (
+      |  SELECT doc_id, i,
+      |         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      |  FROM flg
+      |)
+      |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+      |       CAST(min(i) AS BIGINT) AS start_tok,
+      |       CAST(max(i) + $W AS BIGINT) AS end_tok,
+      |       CAST(count(*) AS BIGINT) AS n_windows
+      |FROM sp GROUP BY doc_id, span_id
+      |ORDER BY doc_id, span_id""".stripMargin
+
+  val substringSpans = OracleQuery(
+    "dedup_substring_spans",
+    (s, d) => substringSpanStats(Tables.documents(s, d), 16)
+      .orderBy(col("doc_id"), col("span_id")),
+    Some(substringSpansSql(16)))
+
+  /** The paper-exact ≥ 50-token tier of [[substringSpans]] (Lee et
+    * al.'s excision criterion verbatim — see the FIDELITY note above):
+    * the identical stats, window, merge rule, and oracle at W = 50.
+    * Same scale shape — W only widens the window each fingerprint
+    * hashes, the row counts and shuffles are the W = 16 tier's. */
+  val substringSpans50 = OracleQuery(
+    "dedup_substring_spans50",
+    (s, d) => substringSpanStats(Tables.documents(s, d), 50)
+      .orderBy(col("doc_id"), col("span_id")),
+    Some(substringSpansSql(50)))
 
   /** Benchmark-contamination SPANS — decontamination at token
     * granularity, where `contamination_check` only counts doc-level
@@ -2321,6 +2335,7 @@ object Dedup {
       allPairs,
       lshScurve, graphStats, overflowVerify, crosscheck,
       simhashPairs, simhash64Pairs, sourceOverlap, passage, substringSpans,
+      substringSpans50,
       substringExcise, contaminationSpans, incremental, containment,
       docNovelty, bbitMinhash, corpusDiff)
 }

@@ -1708,6 +1708,42 @@ object Queries {
     prev(m - 1)
   }
 
+  /** Dynamic-time-warping alignment COST² between two ordered fix
+    * sequences (Sakoe–Chiba 1978) — the SUM-of-d² sibling of
+    * [[discreteFrechet2]]'s max: dtw[i][j] = d²(i,j) + min(dtw[i−1][j],
+    * dtw[i][j−1], dtw[i−1][j−1]), the minimum total squared distance
+    * over all monotone warping paths. O(n·m) time / O(m) space (two
+    * rolling rows). Every partial sum is a sum of integer-valued d²
+    * doubles on the fixture lattice — exact well below 2⁵³ — so the
+    * returned cost is an exact integer-valued double and cross-engine
+    * comparisons are bit-stable. Exposed for the hand-trace and
+    * exhaustive-path adversary specs. */
+  private[graft] def discreteDtw2(
+      p: IndexedSeq[DpFix], q: IndexedSeq[DpFix]): Double = {
+    val n = p.length
+    val m = q.length
+    val prev = new Array[Double](m)
+    val cur = new Array[Double](m)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < m) {
+        val dx = p(i).lon - q(j).lon
+        val dy = p(i).lat - q(j).lat
+        val d2 = dx * dx + dy * dy
+        cur(j) =
+          if (i == 0 && j == 0) d2
+          else if (i == 0) d2 + cur(j - 1)
+          else if (j == 0) d2 + prev(0)
+          else d2 + math.min(prev(j), math.min(prev(j - 1), cur(j - 1)))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m)
+      i += 1
+    }
+    prev(m - 1)
+  }
+
   /** TRAJECTORY SIMILARITY over stored tracks — the PostGIS
     * `ST_FrechetDistance` analog (the "which trackers moved together"
     * query the track tier exists for): the 20 entity pairs whose month
@@ -1849,6 +1885,142 @@ object Queries {
         |ORDER BY frechet_sq_deg, id_a, id_b, month LIMIT 20""".stripMargin
     })
 
+  /** TRAJECTORY SIMILARITY, the DTW face — the third classic
+    * trajectory distance next to [[geoFrechet]] (max-coupling) and
+    * [[geoHausdorff]] (order-free max-min): DYNAMIC TIME WARPING, the
+    * minimum SUM of squared distances over all monotone alignments
+    * ([[discreteDtw2]]) — the distance that forgives SPEED differences
+    * (a tracker driving the same route twice as fast warps onto it at
+    * near-zero cost, where Fréchet only forgives pauses and Hausdorff
+    * ignores order entirely). Top-20 pairs by alignment cost among the
+    * ADMITTED candidates, with the per-step normalization reported
+    * beside the raw sum (cost / (n+m) — the usual length correction,
+    * one closing division). The candidate screen is [[geoFrechet]]'s
+    * VERBATIM, and it is lossless here for the same reason: every
+    * warping path aligns the two start points and the two end points,
+    * so DTW cost ≥ max(d²(starts), d²(ends)) — a pair screened out at
+    * D² has cost > D², and the contract is threshold-then-rank exactly
+    * like the Fréchet/Hausdorff faces (admitted iff the endpoint bound
+    * passes, ranked within the admitted set). Same plan shape: D-sized
+    * start-cell grid join (3×3 expansion, the LSH-band shape), NO
+    * broadcast hints (the frechet maxResultSize lesson), survivors
+    * equi-join their month arrays, ONE compiled O(n·m)/O(m) pass per
+    * pair, map-side over the range-partitioned layout. Every DP cell
+    * is an exact integer-valued double (sums of lattice d² — far below
+    * 2⁵³), so cross-engine comparisons are bit-stable with no IEEE
+    * tree discipline needed beyond the one closing division. Oracle:
+    * the identical DP replayed as the ANTI-DIAGONAL recursive CTE of
+    * the Fréchet oracle with `+ least` in place of `greatest(…,
+    * least(…))` — diagonal k depends only on diagonals k−1 and k−2. */
+  val geoDtw = OracleQuery(
+    "ltss_geo_dtw",
+    (s, d) => {
+      import s.implicits._
+      val D = 20.0
+      val D2 = D * D
+      val segs = s.read.parquet(trackLayout2dPath(s, d))
+        .select(col("id"), col("chunk"), col("seg"))
+      val ends = segs.select(col("id"), col("chunk"),
+          element_at(col("seg"), 1).as("p1"),
+          element_at(col("seg"), -1).as("pn"))
+        .select(col("id"), col("chunk"),
+          col("p1.lat").as("lat1"), col("p1.lon").as("lon1"),
+          col("pn.lat").as("latn"), col("pn.lon").as("lonn"))
+        .withColumn("cla", floor((col("lat1") + lit(90.0)) / lit(D)).cast("long"))
+        .withColumn("clo", floor((col("lon1") + lit(180.0)) / lit(D)).cast("long"))
+      val aSide = ends.select(col("chunk"), col("id").as("id_a"),
+          col("lat1").as("alat1"), col("lon1").as("alon1"),
+          col("latn").as("alatn"), col("lonn").as("alonn"),
+          col("cla"), col("clo"))
+        .withColumn("dla", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dlo", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("chunk"), col("id_a"),
+          col("alat1"), col("alon1"), col("alatn"), col("alonn"),
+          (col("cla") + col("dla")).as("jla"), (col("clo") + col("dlo")).as("jlo"))
+      val bSide = ends.select(col("chunk"), col("id").as("id_b"),
+        col("lat1").as("blat1"), col("lon1").as("blon1"),
+        col("latn").as("blatn"), col("lonn").as("blonn"),
+        col("cla").as("jla"), col("clo").as("jlo"))
+      val cand = aSide.join(bSide, Seq("chunk", "jla", "jlo"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(greatest(
+          (col("alat1") - col("blat1")) * (col("alat1") - col("blat1"))
+            + (col("alon1") - col("blon1")) * (col("alon1") - col("blon1")),
+          (col("alatn") - col("blatn")) * (col("alatn") - col("blatn"))
+            + (col("alonn") - col("blonn")) * (col("alonn") - col("blonn")))
+          <= lit(D2))
+        .select(col("chunk"), col("id_a"), col("id_b"))
+      val withA = segs
+        .select(col("id").as("id_a"), col("chunk"), col("seg").as("seg_a"))
+        .join(cand, Seq("id_a", "chunk"))
+      val withB = segs
+        .select(col("id").as("id_b"), col("chunk"), col("seg").as("seg_b"))
+        .join(withA, Seq("id_b", "chunk"))
+      withB.select(col("chunk").as("month"), col("id_a"), col("id_b"),
+          col("seg_a"), col("seg_b"))
+        .as[(java.sql.Timestamp, Long, Long, Seq[DpFix], Seq[DpFix])]
+        .map { case (m, a, b, sa, sb) =>
+          val c2 = discreteDtw2(sa.toIndexedSeq, sb.toIndexedSeq)
+          (m, a, b, sa.length.toLong, sb.length.toLong, c2)
+        }
+        .toDF("month", "id_a", "id_b", "n_a", "n_b", "dtw_sq_sum")
+        .withColumn("dtw_per_step",
+          col("dtw_sq_sum") / (col("n_a") + col("n_b")))
+        .orderBy(col("dtw_sq_sum"), col("id_a"), col("id_b"), col("month"))
+        .limit(20)
+    },
+    Some {
+      s"""WITH RECURSIVE pts AS (
+        |  SELECT user_id, date_trunc('month', ts) AS chunk, ts, event_id,
+        |         CAST((user_id + event_id) % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+        |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+        |         row_number() OVER (PARTITION BY user_id, date_trunc('month', ts)
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |),
+        |tracks AS (
+        |  SELECT user_id, chunk, count(*) AS n,
+        |         list(lat ORDER BY rn) AS lats, list(lon ORDER BY rn) AS lons
+        |  FROM pts GROUP BY user_id, chunk
+        |),
+        |cand AS (
+        |  SELECT a.user_id AS id_a, b.user_id AS id_b, a.chunk,
+        |         a.n AS na, b.n AS nb,
+        |         a.lats AS alat, a.lons AS alon,
+        |         b.lats AS blat, b.lons AS blon
+        |  FROM tracks a JOIN tracks b
+        |    ON a.chunk = b.chunk AND a.user_id < b.user_id
+        |  WHERE greatest(
+        |    (a.lats[1] - b.lats[1]) * (a.lats[1] - b.lats[1])
+        |      + (a.lons[1] - b.lons[1]) * (a.lons[1] - b.lons[1]),
+        |    (a.lats[a.n] - b.lats[b.n]) * (a.lats[a.n] - b.lats[b.n])
+        |      + (a.lons[a.n] - b.lons[b.n]) * (a.lons[a.n] - b.lons[b.n])
+        |  ) <= 400.0
+        |),
+        |walk(id_a, id_b, chunk, na, nb, alat, alon, blat, blon, k, dk, dk1) AS (
+        |  SELECT id_a, id_b, chunk, na, nb, alat, alon, blat, blon, 1,
+        |         [(alat[1] - blat[1]) * (alat[1] - blat[1])
+        |          + (alon[1] - blon[1]) * (alon[1] - blon[1])],
+        |         CAST(NULL AS DOUBLE[])
+        |  FROM cand
+        |  UNION ALL
+        |  SELECT id_a, id_b, chunk, na, nb, alat, alon, blat, blon, k + 1,
+        |    list_transform(range(greatest(1, k + 2 - nb), least(na, k + 1) + 1), i ->
+        |      (alat[i] - blat[k + 2 - i]) * (alat[i] - blat[k + 2 - i])
+        |        + (alon[i] - blon[k + 2 - i]) * (alon[i] - blon[k + 2 - i])
+        |      + least(
+        |          coalesce(dk[i - 1 - greatest(1, k + 1 - nb) + 1], 1e308),
+        |          coalesce(dk[i - greatest(1, k + 1 - nb) + 1], 1e308),
+        |          coalesce(dk1[i - 1 - greatest(1, k - nb) + 1], 1e308))),
+        |    dk
+        |  FROM walk WHERE k < na + nb - 1
+        |)
+        |SELECT chunk AS month, id_a, id_b, na AS n_a, nb AS n_b,
+        |       dk[1] AS dtw_sq_sum, dk[1] / (na + nb) AS dtw_per_step
+        |FROM walk WHERE k = na + nb - 1
+        |ORDER BY dtw_sq_sum, id_a, id_b, month LIMIT 20""".stripMargin
+    })
+
   /** Directed Hausdorff distance² — max over p∈P of min over q∈Q of
     * d²(p, q), the classic point-set distance (the other trajectory
     * distance next to [[discreteFrechet2]]; Hausdorff ignores ORDER
@@ -1890,12 +2062,19 @@ object Queries {
     * h(A,B) ≥ d(A.start, B) = min over j of d(A.start, B[j]) — any
     * point of A sits within H of SOME point of B, the start included.
     * So candidates join A's START (3×3 neighbor-expanded on the
-    * D-sized grid, the LSH-band shape) against EVERY fix of B keyed by
-    * its home cell, keep the exact predicate d²(start_A, fix_B) ≤ D²,
-    * and DISTINCT down to pairs — admitted iff min_j d² ≤ D², a
-    * superset of {H ≤ D} by the bound, with candidate volume scaling
-    * by spatial co-location density (a start only meets fixes in its
-    * 3×3 cells), never corpus². Survivor pairs attach their two month
+    * D-sized grid, the LSH-band shape) against B's per-(track, cell)
+    * DISTINCT-position arrays — one row per segment per touched cell,
+    * the Fréchet screen's segment × segment join shape (r17: the
+    * first cut joined raw exploded fixes, |starts| × |fixes| per
+    * cell, and the 100× probe measured it filling the disk; min over
+    * a set equals min over its distinct values and a qualifying fix's
+    * cell is always inside the start's 3×3 expansion, so the grouped
+    * screen admits the IDENTICAL pair set) — keep the exact
+    * `exists(bpts, d² ≤ D²)` predicate, and DISTINCT down to pairs —
+    * admitted iff min_j d² ≤ D², a superset of {H ≤ D} by the bound,
+    * with candidate volume scaling by spatial co-location density (a
+    * start only meets tracks touching its 3×3 cells), never corpus².
+    * Survivor pairs attach their two month
     * arrays by equi-joins on (id, chunk) — NO broadcast hints, the
     * frechet maxResultSize lesson — and each pair's max-min runs as
     * ONE compiled pass ([[directedHausdorff2]] both ways), map-side.
@@ -1922,16 +2101,30 @@ object Queries {
         .withColumn("dlo", explode(array(lit(-1L), lit(0L), lit(1L))))
         .select(col("chunk"), col("id_a"), col("alat1"), col("alon1"),
           (col("cla") + col("dla")).as("jla"), (col("clo") + col("dlo")).as("jlo"))
-      val bFix = segs.select(col("id").as("id_b"), col("chunk"),
+      // the B side GROUPS to one row per (track, cell) carrying its
+      // DISTINCT fix positions as an array (min over a set = min over
+      // its distinct values, and a qualifying fix's cell is always in
+      // the start's 3×3 expansion — the admitted set is IDENTICAL to
+      // joining raw fixes): the screen join is then segment × segment
+      // per cell, the Fréchet shape, where the raw-fix join's output
+      // is |starts| × |fixes| per cell — measured filling the disk at
+      // the folded 100× (SCALING.md r17). Each array is bounded by
+      // one month-track's distinct positions inside one D-cell —
+      // construction-bounded, never corpus-bounded.
+      val bCells = segs.select(col("id").as("id_b"), col("chunk"),
           explode(col("seg")).as("f"))
         .select(col("id_b"), col("chunk"),
           col("f.lat").as("blat"), col("f.lon").as("blon"))
+        .distinct()
         .withColumn("jla", floor((col("blat") + lit(90.0)) / lit(D)).cast("long"))
         .withColumn("jlo", floor((col("blon") + lit(180.0)) / lit(D)).cast("long"))
-      val cand = starts.join(bFix, Seq("chunk", "jla", "jlo"))
+        .groupBy(col("id_b"), col("chunk"), col("jla"), col("jlo"))
+        .agg(collect_list(struct(col("blat"), col("blon"))).as("bpts"))
+      val cand = starts.join(bCells, Seq("chunk", "jla", "jlo"))
         .filter(col("id_a") < col("id_b"))
-        .filter((col("alat1") - col("blat")) * (col("alat1") - col("blat"))
-          + (col("alon1") - col("blon")) * (col("alon1") - col("blon")) <= lit(D2))
+        .filter(expr(s"exists(bpts, p -> " +
+          s"(alat1 - p.blat) * (alat1 - p.blat) " +
+          s"+ (alon1 - p.blon) * (alon1 - p.blon) <= $D2)"))
         .select(col("chunk"), col("id_a"), col("id_b"))
         .distinct()
       val withA = segs
@@ -3045,42 +3238,92 @@ object Queries {
   val geoExposure = OracleQuery(
     "ltss_geo_exposure",
     (s, d) => {
+      // ONE contact-join compute: the pair rollup materializes once
+      // (eager truncation) and every consumer below — the CC edges,
+      // the BFS's sym frame, the span join — reads its blocks instead
+      // of replaying the bucketed contact join per consumer
       val pairs = geoContactPairs.run(s, d)
         .select(col("id_lo"), col("id_hi"), col("first_contact"),
           col("last_contact"))
+        .localCheckpoint(eager = true)
       val edges = pairs.select(col("id_lo"), col("id_hi"))
       val aqeKey = "spark.sql.adaptive.enabled"
       val aqeWas = s.conf.get(aqeKey, "true")
+      val partsKey = "spark.sql.shuffle.partitions"
+      val partsWas = s.conf.get(partsKey, "32")
       s.conf.set(aqeKey, "false")
       val (labels, dist) =
         try {
+          // loop parallelism sized to the EDGE frame (the CC
+          // discipline): session-default-width stages would pay their
+          // task launches per iteration for a graph orders of
+          // magnitude smaller than the corpus. The shuffle width is
+          // set session-wide BEFORE the CC loop (and restored after)
+          // so both the CC iterations and the BFS hops run their
+          // join/agg/anti stages at the sized width with aligned
+          // partitionings.
+          val nEdges = pairs.count()
+          val maxParts = partsWas.toInt
+          val parts = math.max(1L,
+            math.min(maxParts.toLong, (2L * nEdges) / 100000L + 1L)).toInt
+          s.conf.set(partsKey, parts.toString)
           val (lab, _) = graft.operators.Dedup.connectedComponents(edges)
           val labC = lab.localCheckpoint(eager = false)
           val sym = edges.select(col("id_lo").as("src"), col("id_hi").as("dst"))
             .union(edges.select(col("id_hi"), col("id_lo")))
+            .repartition(parts, col("src"))
             .localCheckpoint(eager = false)
           // BFS from each component's seed (its min-id = its label):
           // hop counts are SHORTEST paths, so a node's count is final
           // the first time it enters — the frontier never revisits
           var settled = labC.filter(col("id") === col("label"))
-            .select(col("id"), lit(0L).as("hops")).localCheckpoint(eager = false)
+            .select(col("id"), lit(0L).as("hops"))
+            .repartition(parts, col("id"))
+            .localCheckpoint(eager = false)
           var frontier = settled
-          var more = frontier.limit(1).count() > 0
+          var more = settled.count() > 0
+          // BFS rounds are inherently O(seed eccentricity) driver
+          // round-trips (shortest paths have no pointer-doubling
+          // shortcut on a general graph), so each JOB expands SIX
+          // layers: layer h is exactly distance k+h because it
+          // anti-joins settled (≤ k) plus this job's earlier layers,
+          // and min-hops within a layer is the groupBy. Each layer is
+          // lazily truncated so later layers (and the round union)
+          // read its blocks instead of recomputing the chain — ONE
+          // count materializes the whole round and decides
+          // convergence (the CC discipline, amortized 6 deep).
+          val HopsPerJob = 6
           while (more) {
-            val next = frontier.join(sym, frontier("id") === sym("src"))
-              .select(col("dst").as("id"), (col("hops") + 1L).as("hops"))
-              .groupBy(col("id")).agg(min(col("hops")).as("hops"))
-              .join(settled.select(col("id").as("seen")),
-                col("id") === col("seen"), "left_anti")
+            var block = settled.select(col("id").as("seen"))
+            var cur = frontier
+            val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+            for (_ <- 1 to HopsPerJob) {
+              val nxt = cur.join(sym, cur("id") === sym("src"))
+                .select(col("dst").as("id"), (col("hops") + 1L).as("hops"))
+                .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+                .join(block, col("id") === col("seen"), "left_anti")
+                .localCheckpoint(eager = false)
+              layers += nxt
+              block = block.union(nxt.select(col("id").as("seen")))
+              cur = nxt
+            }
+            val roundNew = layers.reduce(_ union _)
+              .repartition(parts, col("id"))
               .localCheckpoint(eager = false)
-            more = next.limit(1).count() > 0
+            // an empty TRAILING layer with earlier layers non-empty
+            // costs exactly one extra (empty, cheap) round before the
+            // count reads zero and the loop stops
+            more = roundNew.count() > 0
             if (more) {
-              settled = settled.union(next).localCheckpoint(eager = false)
-              frontier = next
+              settled = settled.union(roundNew).localCheckpoint(eager = false)
+              frontier = layers.last
             }
           }
           (labC, settled)
-        } finally s.conf.set(aqeKey, aqeWas)
+        } finally {
+          s.conf.set(aqeKey, aqeWas)
+          s.conf.set(partsKey, partsWas)
+        }
       val comp = labels.groupBy(col("label"))
         .agg(count(lit(1)).as("n_members"))
       val span = pairs
@@ -3513,45 +3756,80 @@ object Queries {
       |GROUP BY c.zone_id, c.name, c.cx, c.cy
       |ORDER BY c.zone_id""".stripMargin))
 
-  /** Sutherland–Hodgman intersection AREA of two rings (planar
-    * degree²) — the `ST_Area(ST_Intersection(a, b))` kernel. The CLIP
-    * ring is normalized CCW by its exact shoelace sign and REQUIRED
-    * convex (the S–H contract — a reflex clip vertex would silently
-    * produce the wrong polygon, so it refuses instead); the subject
-    * may be any simple ring. Arithmetic discipline: every operand
-    * chain here is the IDENTICAL IEEE expression tree the DuckDB
+  /** Intersection AREA of two rings (planar degree²) — the
+    * `ST_Area(ST_Intersection(a, b))` kernel. The clip ring is
+    * normalized CCW by its exact shoelace sign; a CONVEX clip takes
+    * ONE Sutherland–Hodgman pass (the r16 path, bit-unchanged), and a
+    * REFLEX clip (r17, closing the convexity-REQUIRED cut) decomposes
+    * into its SIGNED FAN from vertex 0 — the generalized-shoelace
+    * identity χ_P = Σᵢ sign(Tᵢ)·χ_{Tᵢ} for Tᵢ = (v₀, vᵢ, vᵢ₊₁) holds
+    * a.e. for ANY simple ring, so area(S ∩ P) = Σᵢ signᵢ·area(S ∩ Tᵢ)
+    * with each triangle a convex S–H clip (CCW-oriented; negative
+    * triangles clip the reversed ring and subtract). The subject may
+    * be any simple ring in either branch (S–H's zero-width bridge
+    * edges cancel in the shoelace). Arithmetic discipline: every
+    * operand chain is the IDENTICAL IEEE expression tree the DuckDB
     * oracle evaluates (the ray-cast precedent — divided intersection
     * coordinates feed later crossings in both engines alike), the
-    * shoelace folds left-associatively in ring order, and the single
+    * shoelace folds left-associatively in ring order, the signed fan
+    * folds in triangle order with a closing `+ 0.0` (normalizing a
+    * possible −0.0 from an empty negative triangle), and the single
     * closing `/ 2.0` is correctly rounded — bit-stable cross-engine.
     * Exposed for the closed-form and sampling adversary specs. */
   private[graft] def clipIntersectionArea(
       subject: IndexedSeq[(Double, Double)],
       clip: IndexedSeq[(Double, Double)]): Double = {
-    def shoelaceSum(p: IndexedSeq[(Double, Double)]): Double = {
-      var s = 0.0
-      var i = 0
-      val n = p.length
-      while (i < n) {
-        val (x1, y1) = p(i)
-        val (x2, y2) = p((i + 1) % n)
-        s = s + (x1 * y2 - x2 * y1)
-        i += 1
-      }
-      s
-    }
     val ring = if (shoelaceSum(clip) > 0) clip else clip.reverse
     val m = ring.length
+    var convex = true
     var c = 0
     while (c < m) {
       val (ax, ay) = ring(c)
       val (bx, by) = ring((c + 1) % m)
       val (cx, cy) = ring((c + 2) % m)
-      require((bx - ax) * (cy - ay) - (by - ay) * (cx - ax) >= 0,
-        s"clip ring must be CONVEX for Sutherland-Hodgman (reflex corner " +
-          s"at vertex ${(c + 1) % m})")
+      if ((bx - ax) * (cy - ay) - (by - ay) * (cx - ax) < 0) convex = false
       c += 1
     }
+    if (convex) shPassArea(subject, ring)
+    else {
+      val (x0, y0) = ring(0)
+      var acc = 0.0
+      var i = 1
+      while (i < m - 1) {
+        val (xi, yi) = ring(i)
+        val (xj, yj) = ring(i + 1)
+        val cr = (xi - x0) * (yj - y0) - (yi - y0) * (xj - x0)
+        if (cr > 0)
+          acc = acc + shPassArea(subject, Vector((x0, y0), (xi, yi), (xj, yj)))
+        else if (cr < 0)
+          acc = acc - shPassArea(subject, Vector((x0, y0), (xj, yj), (xi, yi)))
+        i += 1
+      }
+      acc + 0.0
+    }
+  }
+
+  /** Left-associative shoelace fold in ring order — shared by the S–H
+    * pass and the clip normalization, one IEEE tree cross-engine. */
+  private[graft] def shoelaceSum(p: IndexedSeq[(Double, Double)]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = p.length
+    while (i < n) {
+      val (x1, y1) = p(i)
+      val (x2, y2) = p((i + 1) % n)
+      s = s + (x1 * y2 - x2 * y1)
+      i += 1
+    }
+    s
+  }
+
+  /** One Sutherland–Hodgman pass of `subject` against a CCW CONVEX
+    * `ring`, returning abs(shoelace)/2 of the output chain. */
+  private def shPassArea(
+      subject: IndexedSeq[(Double, Double)],
+      ring: IndexedSeq[(Double, Double)]): Double = {
+    val m = ring.length
     var out = subject
     var e = 0
     while (e < m && out.nonEmpty) {
@@ -3595,13 +3873,18 @@ object Queries {
     * of box-overlapping pairs — never data-sized), broadcast-joined
     * like every zone consumer. A fully-contained ring reports its own
     * area (zone 4 inside zone 1 → exactly 1220.0, spec-pinned);
-    * disjoint-but-box-touching pairs report 0. Oracle: the SAME clip
-    * replayed in SQL — a recursive CTE advances one clip edge per
-    * step, carrying the subject polygon as coordinate lists rebuilt
-    * by a flatten/list_transform comprehension with the identical
-    * IEEE trees, over the unrolled vertex VALUES (never the layout).
-    * Adversaries: the rectangle-overlap closed form (exact) and
-    * brute-force point sampling (tolerance), both spec-pinned. */
+    * disjoint-but-box-touching pairs report 0. r17: a REFLEX clip
+    * ring no longer refuses — [[clipIntersectionArea]]'s signed-fan
+    * decomposition handles any simple ring (exercised end-to-end by
+    * the concave sibling `ltss_geo_zones_intersect_concave`, whose
+    * fixture set is deliberately reflex). Oracle: the SAME clip
+    * replayed in SQL — each clip piece (the whole ring when convex,
+    * the signed fan triangles when reflex) advances one clip edge per
+    * recursive-CTE step, carrying the subject polygon as coordinate
+    * lists rebuilt by a flatten/list_transform comprehension with the
+    * identical IEEE trees, over the unrolled vertex VALUES (never the
+    * layout). Adversaries: the rectangle-overlap closed form (exact)
+    * and brute-force point sampling (tolerance), both spec-pinned. */
   val zonesIntersect = OracleQuery(
     "ltss_geo_zones_intersect",
     (s, d) => {
@@ -3627,92 +3910,205 @@ object Queries {
         .toDF("zone_a", "name_a", "zone_b", "name_b", "area_deg2")
         .orderBy(col("zone_a"), col("zone_b"))
     },
-    Some {
-      // the clip step's comprehension body: vertex i's successor is
-      // i % len + 1 (ring wrap); inside flags and the two-line
-      // determinant intersection are the kernel's IEEE trees verbatim
-      val pin = "(bx - ax) * (ys[i] - ay) - (by - ay) * (xs[i] - ax) >= 0.0"
-      val qin = "(bx - ax) * (ys[i % len(ys) + 1] - ay) " +
-        "- (by - ay) * (xs[i % len(xs) + 1] - ax) >= 0.0"
-      val ix = "((xs[i] * ys[i % len(ys) + 1] - ys[i] * xs[i % len(xs) + 1]) * (ax - bx) " +
-        "- (xs[i] - xs[i % len(xs) + 1]) * (ax * by - ay * bx)) " +
-        "/ ((xs[i] - xs[i % len(xs) + 1]) * (ay - by) " +
-        "- (ys[i] - ys[i % len(ys) + 1]) * (ax - bx))"
-      val iy = "((xs[i] * ys[i % len(ys) + 1] - ys[i] * xs[i % len(xs) + 1]) * (ay - by) " +
-        "- (ys[i] - ys[i % len(ys) + 1]) * (ax * by - ay * bx)) " +
-        "/ ((xs[i] - xs[i % len(xs) + 1]) * (ay - by) " +
-        "- (ys[i] - ys[i % len(ys) + 1]) * (ax - bx))"
-      s"""WITH RECURSIVE zv(zone_id, name, idx, x, y) AS (VALUES
-        |  $zoneVertsValues
-        |),
-        |rings AS (
-        |  SELECT zone_id, name, count(*) AS n,
-        |         list(CAST(x AS DOUBLE) ORDER BY idx) AS xs,
-        |         list(CAST(y AS DOUBLE) ORDER BY idx) AS ys,
-        |         min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
-        |  FROM zv GROUP BY zone_id, name
-        |),
-        |ccw AS (
-        |  SELECT zone_id, name, n, x0, x1, y0, y1,
-        |         CASE WHEN sl > 0 THEN xs ELSE list_reverse(xs) END AS xs,
-        |         CASE WHEN sl > 0 THEN ys ELSE list_reverse(ys) END AS ys
-        |  FROM (
-        |    SELECT *, list_reduce(list_transform(range(1, n + 1), i ->
-        |        xs[i] * ys[i % n + 1] - xs[i % n + 1] * ys[i]),
-        |      (a, b) -> a + b) AS sl
-        |    FROM rings)
-        |),
-        |pairs AS (
-        |  SELECT a.zone_id AS zone_a, a.name AS name_a,
-        |         b.zone_id AS zone_b, b.name AS name_b,
-        |         a.xs AS cxs, a.ys AS cys, a.n AS cn,
-        |         b.xs AS sxs, b.ys AS sys
-        |  FROM ccw a JOIN rings b ON a.zone_id < b.zone_id
-        |   AND a.x0 <= b.x1 AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1
-        |),
-        |walk(zone_a, name_a, zone_b, name_b, cxs, cys, cn, e, xs, ys) AS (
-        |  SELECT zone_a, name_a, zone_b, name_b, cxs, cys, cn, 0, sxs, sys
-        |  FROM pairs
-        |  UNION ALL
-        |  SELECT zone_a, name_a, zone_b, name_b, cxs, cys, cn, e + 1,
-        |         list_transform(pts, p -> p.px), list_transform(pts, p -> p.py)
-        |  FROM (
-        |    SELECT *, flatten(list_transform(range(1, len(xs) + 1), i ->
-        |      CASE
-        |        WHEN $pin AND $qin
-        |        THEN [{'px': xs[i % len(xs) + 1], 'py': ys[i % len(ys) + 1]}]
-        |        WHEN $pin
-        |        THEN [{'px': $ix, 'py': $iy}]
-        |        WHEN $qin
-        |        THEN [{'px': $ix, 'py': $iy},
-        |              {'px': xs[i % len(xs) + 1], 'py': ys[i % len(ys) + 1]}]
-        |        ELSE CAST([] AS STRUCT(px DOUBLE, py DOUBLE)[])
-        |      END)) AS pts
-        |    FROM (
-        |      SELECT *, cxs[e + 1] AS ax, cys[e + 1] AS ay,
-        |             cxs[(e + 1) % cn + 1] AS bx, cys[(e + 1) % cn + 1] AS by
-        |      FROM walk WHERE e < cn AND len(xs) > 0)
-        |  )
-        |),
-        |done AS (
-        |  SELECT zone_a, name_a, zone_b, name_b, xs, ys, len(xs) AS n
-        |  FROM walk WHERE e = cn OR (len(xs) = 0 AND e < cn)
-        |)
-        |SELECT zone_a, name_a, zone_b, name_b,
-        |  CASE WHEN n < 3 THEN 0.0 ELSE abs(list_reduce(
-        |    list_transform(range(1, n + 1), i ->
-        |      xs[i] * ys[i % n + 1] - xs[i % n + 1] * ys[i]),
-        |    (a, b) -> a + b)) / 2.0 END AS area_deg2
-        |FROM done
-        |ORDER BY zone_a, zone_b""".stripMargin
-    })
+    Some(zonesIntersectOracleSql(zoneVertsValues)))
+
+  /** A deliberately REFLEX zone fixture set — its own layout, so the
+    * shared convex [[ZoneDefs]] (whose containment/dwell/OD outputs
+    * are hand-pinned across many specs) stays untouched: an L (one
+    * reflex vertex), a U-notch (two reflex vertices, so the L∩U pair
+    * is concave×concave and the true intersection region of the
+    * U∩mid-box pair is the notch-subtracted band), a convex mid box
+    * overlapping both (a reflex-CLIP × convex-subject pair), an inner
+    * box fully inside the L's lower arm (containment through the fan
+    * path), and the mid box EDGE-TOUCHING the inner box (a surviving
+    * bbox pair whose true area is 0). All vertices on the integer
+    * lattice; hand areas: L=400, U=470 (600 − 130 notch),
+    * L∩U=150, L∩mid=116, L∩inner=36, U∩mid=250, U∩inner=9,
+    * mid∩inner=0 — spec-pinned to 1e-9 (the fan's divided
+    * intersection coordinates are non-dyadic rationals). */
+  val ZoneDefsConcave: Seq[(Long, String, Seq[(Double, Double)])] = Seq(
+    (1L, "l_shape", Seq((0.0, 0.0), (20.0, 0.0), (20.0, 10.0), (10.0, 10.0),
+      (10.0, 30.0), (0.0, 30.0))),
+    (2L, "u_notch", Seq((5.0, 5.0), (35.0, 5.0), (35.0, 25.0), (25.0, 25.0),
+      (25.0, 12.0), (15.0, 12.0), (15.0, 25.0), (5.0, 25.0))),
+    (3L, "mid_box", Seq((8.0, 2.0), (30.0, 2.0), (30.0, 20.0), (8.0, 20.0))),
+    (4L, "inner_box", Seq((2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0))))
+
+  /** The concave-zone layout, materialized once per dataset like
+    * [[zoneLayoutPath]]. */
+  def zoneLayoutConcavePath(s: SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("geo_zone_layout_concave", d) { p =>
+      import s.implicits._
+      val df = ZoneDefsConcave.toDF("zone_id", "name", "verts")
+        .withColumn("verts", expr("transform(verts, v -> struct(v._1 AS x, v._2 AS y))"))
+      graft.sources.LtssSink.writeZoneLayout(df, p)
+    }
+
+  /** [[zonesIntersect]] over the REFLEX fixture layout — the query
+    * that exercises the signed-fan branch end to end (plan, layout
+    * read, bbox prune, kernel, oracle): every clip ring here except
+    * the boxes is concave, including a concave×concave pair and a
+    * containment resolved entirely through fan triangles. Identical
+    * plan shape and oracle construction to the convex sibling —
+    * dimension-sized, broadcast, SARGABLE bbox prune. */
+  val zonesIntersectConcave = OracleQuery(
+    "ltss_geo_zones_intersect_concave",
+    (s, d) => {
+      import s.implicits._
+      val z = s.read.parquet(zoneLayoutConcavePath(s, d))
+      val a = z.select(col("zone_id").as("zone_a"), col("name").as("name_a"),
+        col("verts").as("va"), col("lat_min").as("ay0"), col("lat_max").as("ay1"),
+        col("lon_min").as("ax0"), col("lon_max").as("ax1"))
+      val b = z.select(col("zone_id").as("zone_b"), col("name").as("name_b"),
+        col("verts").as("vb"), col("lat_min").as("by0"), col("lat_max").as("by1"),
+        col("lon_min").as("bx0"), col("lon_max").as("bx1"))
+      a.join(b, col("zone_a") < col("zone_b")
+          && col("ax0") <= col("bx1") && col("bx0") <= col("ax1")
+          && col("ay0") <= col("by1") && col("by0") <= col("ay1"))
+        .select(col("zone_a"), col("name_a"), col("zone_b"), col("name_b"),
+          col("va"), col("vb"))
+        .as[(Long, String, Long, String, Seq[ZoneVert], Seq[ZoneVert])]
+        .map { case (za, na, zb, nb, va, vb) =>
+          (za, na, zb, nb, clipIntersectionArea(
+            vb.map(v => (v.x, v.y)).toIndexedSeq,
+            va.map(v => (v.x, v.y)).toIndexedSeq))
+        }
+        .toDF("zone_a", "name_a", "zone_b", "name_b", "area_deg2")
+        .orderBy(col("zone_a"), col("zone_b"))
+    },
+    Some(zonesIntersectOracleSql(zoneVertsValuesOf(ZoneDefsConcave))))
+
+  /** The zone-pair intersection ORACLE, shared by the convex and
+    * concave fixture queries — parameterized only by the unrolled
+    * vertex VALUES. Mirrors [[clipIntersectionArea]] branch for
+    * branch: a `pieces` stage expands each box-surviving pair into
+    * its clip pieces (the whole CCW ring when convex — sign 1.0 — or
+    * the signed fan triangles from vertex 1 when reflex, zero-area
+    * fan triangles skipped), the recursive `walk` advances one clip
+    * edge of the PIECE per step with the kernel's IEEE trees
+    * verbatim, and per pair the signed piece areas fold in triangle
+    * order with the closing `+ 0.0` the kernel applies. */
+  private def zonesIntersectOracleSql(vertsValues: String): String = {
+    // the clip step's comprehension body: vertex i's successor is
+    // i % len + 1 (ring wrap); inside flags and the two-line
+    // determinant intersection are the kernel's IEEE trees verbatim
+    val pin = "(bx - ax) * (ys[i] - ay) - (by - ay) * (xs[i] - ax) >= 0.0"
+    val qin = "(bx - ax) * (ys[i % len(ys) + 1] - ay) " +
+      "- (by - ay) * (xs[i % len(xs) + 1] - ax) >= 0.0"
+    val ix = "((xs[i] * ys[i % len(ys) + 1] - ys[i] * xs[i % len(xs) + 1]) * (ax - bx) " +
+      "- (xs[i] - xs[i % len(xs) + 1]) * (ax * by - ay * bx)) " +
+      "/ ((xs[i] - xs[i % len(xs) + 1]) * (ay - by) " +
+      "- (ys[i] - ys[i % len(ys) + 1]) * (ax - bx))"
+    val iy = "((xs[i] * ys[i % len(ys) + 1] - ys[i] * xs[i % len(xs) + 1]) * (ay - by) " +
+      "- (ys[i] - ys[i % len(ys) + 1]) * (ax * by - ay * bx)) " +
+      "/ ((xs[i] - xs[i % len(xs) + 1]) * (ay - by) " +
+      "- (ys[i] - ys[i % len(ys) + 1]) * (ax - bx))"
+    s"""WITH RECURSIVE zv(zone_id, name, idx, x, y) AS (VALUES
+      |  $vertsValues
+      |),
+      |rings AS (
+      |  SELECT zone_id, name, count(*) AS n,
+      |         list(CAST(x AS DOUBLE) ORDER BY idx) AS xs,
+      |         list(CAST(y AS DOUBLE) ORDER BY idx) AS ys,
+      |         min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
+      |  FROM zv GROUP BY zone_id, name
+      |),
+      |ccw AS (
+      |  SELECT zone_id, name, n, x0, x1, y0, y1,
+      |         CASE WHEN sl > 0 THEN xs ELSE list_reverse(xs) END AS xs,
+      |         CASE WHEN sl > 0 THEN ys ELSE list_reverse(ys) END AS ys
+      |  FROM (
+      |    SELECT *, list_reduce(list_transform(range(1, n + 1), i ->
+      |        xs[i] * ys[i % n + 1] - xs[i % n + 1] * ys[i]),
+      |      (a, b) -> a + b) AS sl
+      |    FROM rings)
+      |),
+      |pairs AS (
+      |  SELECT a.zone_id AS zone_a, a.name AS name_a,
+      |         b.zone_id AS zone_b, b.name AS name_b,
+      |         a.xs AS cxs, a.ys AS cys, a.n AS cn,
+      |         list_reduce(list_transform(range(1, a.n + 1), i ->
+      |           CASE WHEN (a.xs[i % a.n + 1] - a.xs[i])
+      |                       * (a.ys[(i % a.n + 1) % a.n + 1] - a.ys[i])
+      |                   - (a.ys[i % a.n + 1] - a.ys[i])
+      |                       * (a.xs[(i % a.n + 1) % a.n + 1] - a.xs[i]) >= 0
+      |                THEN 1 ELSE 0 END),
+      |           (s, t) -> s * t) = 1 AS convex,
+      |         b.xs AS sxs, b.ys AS sys
+      |  FROM ccw a JOIN rings b ON a.zone_id < b.zone_id
+      |   AND a.x0 <= b.x1 AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1
+      |),
+      |pieces AS (
+      |  SELECT zone_a, name_a, zone_b, name_b, 0 AS t, 1.0 AS sgn,
+      |         cxs AS pxs, cys AS pys, cn AS pcn, sxs, sys
+      |  FROM pairs WHERE convex
+      |  UNION ALL
+      |  SELECT zone_a, name_a, zone_b, name_b, t,
+      |         CASE WHEN cr > 0 THEN 1.0 ELSE -1.0 END AS sgn,
+      |         CASE WHEN cr > 0 THEN [cxs[1], cxs[t + 1], cxs[t + 2]]
+      |              ELSE [cxs[1], cxs[t + 2], cxs[t + 1]] END AS pxs,
+      |         CASE WHEN cr > 0 THEN [cys[1], cys[t + 1], cys[t + 2]]
+      |              ELSE [cys[1], cys[t + 2], cys[t + 1]] END AS pys,
+      |         3 AS pcn, sxs, sys
+      |  FROM (
+      |    SELECT *, (cxs[t + 1] - cxs[1]) * (cys[t + 2] - cys[1])
+      |            - (cys[t + 1] - cys[1]) * (cxs[t + 2] - cxs[1]) AS cr
+      |    FROM (SELECT *, unnest(range(1, cn - 1)) AS t
+      |          FROM pairs WHERE NOT convex))
+      |  WHERE cr <> 0
+      |),
+      |walk(zone_a, name_a, zone_b, name_b, t, sgn, pxs, pys, pcn, e, xs, ys) AS (
+      |  SELECT zone_a, name_a, zone_b, name_b, t, sgn, pxs, pys, pcn, 0, sxs, sys
+      |  FROM pieces
+      |  UNION ALL
+      |  SELECT zone_a, name_a, zone_b, name_b, t, sgn, pxs, pys, pcn, e + 1,
+      |         list_transform(pts, p -> p.px), list_transform(pts, p -> p.py)
+      |  FROM (
+      |    SELECT *, flatten(list_transform(range(1, len(xs) + 1), i ->
+      |      CASE
+      |        WHEN $pin AND $qin
+      |        THEN [{'px': xs[i % len(xs) + 1], 'py': ys[i % len(ys) + 1]}]
+      |        WHEN $pin
+      |        THEN [{'px': $ix, 'py': $iy}]
+      |        WHEN $qin
+      |        THEN [{'px': $ix, 'py': $iy},
+      |              {'px': xs[i % len(xs) + 1], 'py': ys[i % len(ys) + 1]}]
+      |        ELSE CAST([] AS STRUCT(px DOUBLE, py DOUBLE)[])
+      |      END)) AS pts
+      |    FROM (
+      |      SELECT *, pxs[e + 1] AS ax, pys[e + 1] AS ay,
+      |             pxs[(e + 1) % pcn + 1] AS bx, pys[(e + 1) % pcn + 1] AS by
+      |      FROM walk WHERE e < pcn AND len(xs) > 0)
+      |  )
+      |),
+      |done AS (
+      |  SELECT zone_a, name_a, zone_b, name_b, t, sgn, xs, ys, len(xs) AS n
+      |  FROM walk WHERE e = pcn OR (len(xs) = 0 AND e < pcn)
+      |),
+      |areas AS (
+      |  SELECT zone_a, name_a, zone_b, name_b, t,
+      |    sgn * (CASE WHEN n < 3 THEN 0.0 ELSE abs(list_reduce(
+      |      list_transform(range(1, n + 1), i ->
+      |        xs[i] * ys[i % n + 1] - xs[i % n + 1] * ys[i]),
+      |      (a, b) -> a + b)) / 2.0 END) AS sa
+      |  FROM done
+      |)
+      |SELECT zone_a, name_a, zone_b, name_b,
+      |       list_reduce(list(sa ORDER BY t), (a, b) -> a + b) + 0.0 AS area_deg2
+      |FROM areas
+      |GROUP BY zone_a, name_a, zone_b, name_b
+      |ORDER BY zone_a, zone_b""".stripMargin
+  }
 
   /** The [[ZoneDefs]] rings as unrolled SQL VALUES rows — SHARED DATA
     * between both engines for every stored-zone oracle (the
     * [[PolygonVerts]] convention); each consumer remains a different
     * CONSTRUCTION than the Spark side it checks. */
-  private def zoneVertsValues: String =
-    ZoneDefs.flatMap { case (id, nm, vs) =>
+  private def zoneVertsValues: String = zoneVertsValuesOf(ZoneDefs)
+
+  private def zoneVertsValuesOf(
+      defs: Seq[(Long, String, Seq[(Double, Double)])]): String =
+    defs.flatMap { case (id, nm, vs) =>
       vs.zipWithIndex.map { case ((x, y), i) => s"($id, '$nm', $i, $x, $y)" }
     }.mkString(",\n      |  ")
 
@@ -4973,5 +5369,5 @@ object Queries {
     zoneStats, zonesDwell, geoDouglasPeucker, zonesOverlap, zoneCentroid, zoneNearest,
     geoHull, geoFrechet, zonesIntersect, geoOdSensitivity, geoContacts,
     geoContactPairs, geoHausdorff, geoExposure, geoContactCells,
-    geoOdZones)
+    geoOdZones, zonesIntersectConcave, geoDtw)
 }

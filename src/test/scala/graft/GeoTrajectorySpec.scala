@@ -545,10 +545,72 @@ class GeoTrajectorySpec extends SparkSpec {
           s"sampling adversary diverged on $tri: clip=$got sampled=$est")
       }
     }
-    // a reflex clip ring refuses rather than silently mis-clipping
+    // a REFLEX clip ring takes the signed-fan path (r17 — the r16
+    // refusal closed): the dart (0,0)(10,0)(5,2)(10,10)(0,10) clipped
+    // against a big box is its own area — box 10×10 minus the notch
+    // triangle (10,0)(5,2)(10,10): area = 100 − |shoelace|/2 = 100 − 25
     val reflex = IndexedSeq((0.0, 0.0), (10.0, 0.0), (5.0, 2.0), (10.0, 10.0), (0.0, 10.0))
-    val e = intercept[IllegalArgumentException] { clipIntersectionArea(a, reflex) }
-    assert(e.getMessage.contains("CONVEX"))
+    val big = rect(-5, -5, 15, 15)
+    assert(math.abs(clipIntersectionArea(big, reflex) - 75.0) < 1e-9,
+      s"reflex containment: ${clipIntersectionArea(big, reflex)}")
+    // concave×concave: two interlocking darts — pinned by the sampling
+    // adversary below instead of a closed form
+    val reflex2 = IndexedSeq((2.0, -3.0), (12.0, -3.0), (7.0, 1.0), (12.0, 7.0), (2.0, 7.0))
+    val ccGot = clipIntersectionArea(reflex2, reflex)
+    // PROPERTY (tolerance): random star-shaped (usually reflex) rings ∩
+    // random rectangle vs brute-force point sampling
+    def sampleArea(r1: IndexedSeq[(Double, Double)],
+        r2: IndexedSeq[(Double, Double)]): Double = {
+      val step = 0.125
+      var cnt = 0L
+      var y = -15.0 + step / 2
+      while (y < 15.0) {
+        var x = -15.0 + step / 2
+        while (x < 15.0) {
+          if (insideRing((x, y), r1) && insideRing((x, y), r2)) cnt += 1
+          x += step
+        }
+        y += step
+      }
+      cnt * step * step
+    }
+    assert(math.abs(ccGot - sampleArea(reflex2, reflex)) <= 3.0,
+      s"concave x concave diverged from sampling: $ccGot vs ${sampleArea(reflex2, reflex)}")
+    for (t <- 1 to 20) {
+      // a star polygon: random radii at sorted random angles around a
+      // center — simple by construction, reflex with high probability
+      val k = 5 + rnd.nextInt(4)
+      val angles = IndexedSeq.fill(k)(rnd.nextDouble() * 2 * math.Pi).sorted
+      val star = angles.map(a => (2.0 + 10.0 * rnd.nextDouble()) match {
+        case r => (r * math.cos(a), r * math.sin(a))
+      })
+      if (angles.distinct.length == k && math.abs(
+          graft.operators.Queries.shoelaceSum(star)) > 1.0) {
+        val box = rect(-6, -4, 7, 9)
+        val got = clipIntersectionArea(box, star)
+        val est = sampleArea(box, star)
+        assert(math.abs(got - est) <= 3.0,
+          s"trial $t: star-clip diverged from sampling: $got vs $est ($star)")
+      }
+    }
+  }
+
+  test("ltss_geo_zones_intersect_concave: the reflex fixture matches its hand-computed areas") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zclip-cc").toString
+    Seq((1L, ts("2024-01-01 10:00:00"), 1L))
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("ltss_geo_zones_intersect_concave")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(4))).toMap
+    // hand areas (see ZoneDefsConcave scaladoc): L∩U concave×concave,
+    // L∩mid reflex-clip×convex, L∩inner containment via fan triangles,
+    // U∩mid the notch-subtracted band, mid∩inner a box-surviving
+    // edge-touch with true area 0
+    val expected = Map((1L, 2L) -> 150.0, (1L, 3L) -> 116.0, (1L, 4L) -> 36.0,
+      (2L, 3L) -> 250.0, (2L, 4L) -> 9.0, (3L, 4L) -> 0.0)
+    assert(rows.keySet == expected.keySet, s"pair set diverged: $rows")
+    for ((k, v) <- expected)
+      assert(math.abs(rows(k) - v) < 1e-9, s"pair $k: ${rows(k)} vs $v")
   }
 
   test("ltss_geo_zones_intersect: zone 4 inside zone 1 reports exactly its own 1220 area") {
@@ -635,6 +697,107 @@ class GeoTrajectorySpec extends SparkSpec {
     assert(rows.toSet.contains((10L, 30L, 400.0, 20.0)) &&
       rows.toSet.contains((30L, 190L, 400.0, 20.0)),
       s"band-separated pairs diverged: ${rows.toSeq}")
+  }
+
+  test("discreteDtw2: hand-traced table; exhaustive path enumeration agrees; warping forgives speed") {
+    import graft.operators.Queries.{DpFix, discreteDtw2}
+    def fix(lon: Double, lat: Double) =
+      DpFix(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0L, lat, lon)
+    // hand trace on the Fréchet fixture: P = (0,0)→(4,0),
+    // Q = (0,3)→(2,3)→(4,3); d² table 9 13 25 / 25 13 9
+    //   c: 9 22 47
+    //     34 22 31   → DTW² sum = 31 (diagonal 9+13, then the 9)
+    val p = IndexedSeq(fix(0, 0), fix(4, 0))
+    val q = IndexedSeq(fix(0, 3), fix(2, 3), fix(4, 3))
+    assert(discreteDtw2(p, q) == 31.0, "hand-traced table diverged")
+    assert(discreteDtw2(q, p) == 31.0, "DTW is symmetric (path reversal)")
+    // degenerate 1×m: the single point pairs with every q — the SUM
+    assert(discreteDtw2(IndexedSeq(fix(0, 0)),
+      IndexedSeq(fix(0, 3), fix(0, 5))) == 34.0)
+    // the DTW point: a slower traversal of the SAME route warps on at
+    // zero cost (repeats align with their source point)
+    val a = IndexedSeq(fix(0, 0), fix(2, 0), fix(4, 0))
+    val aSlow = IndexedSeq(fix(0, 0), fix(0, 0), fix(2, 0),
+      fix(2, 0), fix(4, 0), fix(4, 0))
+    assert(discreteDtw2(a, aSlow) == 0.0, "speed warping must be free")
+    // ADVERSARY: the DEFINITION — min total d² over ALL monotone
+    // warping paths, enumerated explicitly (no memo, no DP — a
+    // different construction; exact equality holds because every sum
+    // is integer-valued)
+    def pathMin(p: IndexedSeq[DpFix], q: IndexedSeq[DpFix]): Double = {
+      def d2(i: Int, j: Int) = {
+        val dx = p(i).lon - q(j).lon; val dy = p(i).lat - q(j).lat
+        dx * dx + dy * dy
+      }
+      var best = Double.MaxValue
+      def walk(i: Int, j: Int, acc: Double): Unit = {
+        val s = acc + d2(i, j)
+        if (i == p.length - 1 && j == q.length - 1) best = math.min(best, s)
+        else {
+          if (i + 1 < p.length) walk(i + 1, j, s)
+          if (j + 1 < q.length) walk(i, j + 1, s)
+          if (i + 1 < p.length && j + 1 < q.length) walk(i + 1, j + 1, s)
+        }
+      }
+      walk(0, 0, 0.0)
+      best
+    }
+    val rnd = new scala.util.Random(18)
+    for (t <- 1 to 200) {
+      def track(n: Int) = IndexedSeq.fill(n)(
+        fix(rnd.nextInt(21) - 10 + 0.5, rnd.nextInt(21) - 10 + 0.5))
+      val x = track(1 + rnd.nextInt(5))
+      val y = track(1 + rnd.nextInt(5))
+      assert(discreteDtw2(x, y) == pathMin(x, y),
+        s"trial $t: DP diverged from exhaustive path enumeration on $x vs $y")
+    }
+  }
+
+  test("ltss_geo_dtw: twin tracks rank first at 0; the warped band cost matches exhaustive enumeration") {
+    import graft.operators.Queries.DpFix
+    // the Fréchet fixture: users 10/190 collide in the latitude map
+    // ((u+e)%180) and share every event → identical tracks, DTW 0;
+    // user 30 walks the same lon ladder 20° above
+    val dir = java.nio.file.Files.createTempDirectory("graft-dtw").toString
+    val events = (0 until 6).flatMap { k =>
+      Seq(10L, 190L, 30L).map { u =>
+        (180L + 3 * k, ts(s"2024-01-0${k + 1} 10:00:00"), u)
+      }
+    }
+    events.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("ltss_geo_dtw")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty && rows.head == ((10L, 190L, 0.0, 0.0)),
+      s"the twin tracks must rank first at 0: ${rows.toSeq}")
+    // the band pair's minimal warp, computed by explicit enumeration
+    // over the same 6+6 tracks (the unit adversary's construction)
+    def fix(u: Long, k: Int) = DpFix(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0L,
+      ((u + 180 + 3 * k) % 180 - 90).toDouble + 0.5,
+      ((180 + 3 * k) % 360 - 180).toDouble + 0.5)
+    val t10 = (0 until 6).map(fix(10L, _)).toIndexedSeq
+    val t30 = (0 until 6).map(fix(30L, _)).toIndexedSeq
+    var best = Double.MaxValue
+    def d2(i: Int, j: Int) = {
+      val dx = t10(i).lon - t30(j).lon; val dy = t10(i).lat - t30(j).lat
+      dx * dx + dy * dy
+    }
+    def walk(i: Int, j: Int, acc: Double): Unit = {
+      val s = acc + d2(i, j)
+      if (i == 5 && j == 5) best = math.min(best, s)
+      else {
+        if (i < 5) walk(i + 1, j, s)
+        if (j < 5) walk(i, j + 1, s)
+        if (i < 5 && j < 5) walk(i + 1, j + 1, s)
+      }
+    }
+    walk(0, 0, 0.0)
+    val got = rows.find(r => r._1 == 10L && r._2 == 30L)
+    assert(got.exists(_._3 == best),
+      s"band-pair warp cost diverged from enumeration: $got vs $best")
+    assert(got.exists(_._4 == best / 12L),
+      s"per-step normalization diverged: $got vs ${best / 12L}")
   }
 
   test("directedHausdorff2: hand-traced asymmetric subset pair; metric properties hold on random lattice tracks") {

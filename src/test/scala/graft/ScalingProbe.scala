@@ -173,10 +173,11 @@ object ScalingProbe {
         graft.operators.Queries.dbscanLatLonLabels(spark, sfDir).count())
     if (names.exists(n => n == "ltss_geo_track" || n == "ltss_geo_simplify" ||
         n == "ltss_geo_staypoints" || n == "ltss_geo_od" ||
-        n == "ltss_geo_od_sensitivity"))
+        n == "ltss_geo_od_sensitivity" || n == "ltss_geo_od_zones"))
       warmed("geo_track_layout")(
         graft.operators.Queries.trackLayoutPath(spark, sfDir))
-    if (names.exists(n => n == "ltss_geo_dp" || n == "ltss_geo_frechet"))
+    if (names.exists(n => n == "ltss_geo_dp" || n == "ltss_geo_frechet" ||
+        n == "ltss_geo_hausdorff" || n == "ltss_geo_dtw"))
       warmed("geo_track2d_layout")(
         graft.operators.Queries.trackLayout2dPath(spark, sfDir))
     if (names.contains("ltss_geo_hull"))
@@ -185,9 +186,12 @@ object ScalingProbe {
     if (names.exists(n => n == "ltss_geo_zones" || n == "ltss_geo_zone_stats" ||
         n == "ltss_zones_dwell" || n == "ltss_geo_zones_overlap" ||
         n == "ltss_geo_zone_centroid" || n == "ltss_geo_zone_nearest" ||
-        n == "ltss_geo_zones_intersect"))
+        n == "ltss_geo_zones_intersect" || n == "ltss_geo_od_zones"))
       warmed("geo_zone_layout")(
         graft.operators.Queries.zoneLayoutPath(spark, sfDir))
+    if (names.contains("ltss_geo_zones_intersect_concave"))
+      warmed("geo_zone_layout_concave")(
+        graft.operators.Queries.zoneLayoutConcavePath(spark, sfDir))
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
     warmed("kmeans_train")(
       graft.operators.Similarity.kmeansAssignments(spark, sfDir,
