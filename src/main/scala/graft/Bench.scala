@@ -147,6 +147,8 @@ object Bench {
     warmed("ltss_attr_layout")(graft.operators.Queries.ltssAttrLayoutPath(spark, sfDir))
     warmed("geo_layout")(graft.operators.Queries.geoLayoutPath(spark, sfDir))
     warmed("geo_zone_layout")(graft.operators.Queries.zoneLayoutPath(spark, sfDir))
+    warmed("geo_zone_layout_concave")(
+      graft.operators.Queries.zoneLayoutConcavePath(spark, sfDir))
     warmed("kmeans_train")(
       graft.operators.Similarity.kmeansAssignments(spark, sfDir,
         graft.operators.Similarity.KmIters).count())
