@@ -3212,6 +3212,89 @@ object Queries {
       |FROM ev GROUP BY 1, 2
       |ORDER BY id_lo, id_hi""".stripMargin))
 
+  /** CO-TRAVEL EPISODES (the pair form of convoy/flock mining — Jeung
+    * et al., "Discovery of convoys in trajectory databases", VLDB
+    * 2008): [[geoContactPairs]] says WHO met; this says who STAYED
+    * TOGETHER — per unordered entity pair, the maximal runs of
+    * CONSECUTIVE hours with at least one contact (the earlier fix's
+    * hour buckets the contact), reported when the run spans ≥ 3 hours:
+    * episode start hour, hour count, contact count, and the actual
+    * first/last contact stamps. The k-member convoy is a clique over
+    * these pair episodes; the pair episode is the deliverable building
+    * block (and the alert — "these two trackers have been together
+    * three hours"). Plan shape: rides the output-driven bucketed
+    * contact join, one combinable (pair, hour) rollup, then ONE keyed
+    * lag window over the per-pair-hour frame (orders of magnitude
+    * smaller than the contact log) with the rn-gap episode rule the
+    * sessionize/staypoint family uses — integer hour indexes, every
+    * decision exact. Oracle: the direct band self-join (IEJoin) plus
+    * the same window construction over integer-divided epoch hours. */
+  val geoConvoys = OracleQuery(
+    "ltss_geo_convoys",
+    (s, d) => {
+      val ev = geoContacts.run(s, d)
+      val w = Window.partitionBy(col("id_lo"), col("id_hi")).orderBy(col("hr"))
+      ev.select(
+          least(col("user_a"), col("user_b")).as("id_lo"),
+          greatest(col("user_a"), col("user_b")).as("id_hi"),
+          expr("unix_micros(time_a) div 3600000000").as("hr"),
+          col("time_a"), col("time_b"))
+        .groupBy(col("id_lo"), col("id_hi"), col("hr"))
+        .agg(count(lit(1)).as("nc"),
+          min(col("time_a")).as("fc"), max(col("time_b")).as("lc"))
+        .withColumn("new_ep",
+          (col("hr") > coalesce(lag(col("hr"), 1).over(w), lit(-2L)) + 1L)
+            .cast("int"))
+        .withColumn("ep", sum(col("new_ep")).over(w))
+        .groupBy(col("id_lo"), col("id_hi"), col("ep"))
+        .agg(min(col("hr")).as("hr_start"),
+          count(lit(1)).as("n_hours"),
+          sum(col("nc")).as("n_contacts"),
+          min(col("fc")).as("first_contact"),
+          max(col("lc")).as("last_contact"))
+        .filter(col("n_hours") >= 3)
+        .select(col("id_lo"), col("id_hi"), col("hr_start"),
+          col("n_hours"), col("n_contacts"),
+          col("first_contact"), col("last_contact"))
+        .orderBy(col("id_lo"), col("id_hi"), col("hr_start"))
+    },
+    Some("""WITH pts AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+      |         epoch_us(ts) AS tus
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+      |ev AS (
+      |  SELECT a.ts AS time_a, a.user_id AS user_a,
+      |         b.ts AS time_b, b.user_id AS user_b,
+      |         a.tus AS tus_a
+      |  FROM pts a JOIN pts b
+      |    ON b.tus BETWEEN a.tus AND a.tus + 7200000000
+      |   AND (a.tus, a.user_id, a.event_id) < (b.tus, b.user_id, b.event_id)
+      |   AND a.user_id <> b.user_id
+      |   AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) <= 64.0),
+      |hrs AS (
+      |  SELECT least(user_a, user_b) AS id_lo, greatest(user_a, user_b) AS id_hi,
+      |         tus_a // 3600000000 AS hr,
+      |         count(*) AS nc, min(time_a) AS fc, max(time_b) AS lc
+      |  FROM ev GROUP BY 1, 2, 3),
+      |flg AS (
+      |  SELECT *, CASE WHEN hr > COALESCE(
+      |      lag(hr) OVER (PARTITION BY id_lo, id_hi ORDER BY hr), -2) + 1
+      |    THEN 1 ELSE 0 END AS new_ep
+      |  FROM hrs),
+      |eps AS (
+      |  SELECT *, SUM(new_ep) OVER (PARTITION BY id_lo, id_hi ORDER BY hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ep
+      |  FROM flg)
+      |SELECT id_lo, id_hi, CAST(min(hr) AS BIGINT) AS hr_start,
+      |       CAST(count(*) AS BIGINT) AS n_hours,
+      |       CAST(sum(nc) AS BIGINT) AS n_contacts,
+      |       min(fc) AS first_contact, max(lc) AS last_contact
+      |FROM eps GROUP BY id_lo, id_hi, ep
+      |HAVING count(*) >= 3
+      |ORDER BY id_lo, id_hi, hr_start""".stripMargin))
+
   /** EXPOSURE CHAINS over the contact graph — the contact-tracing
     * deliverable [[geoContactPairs]] stops short of: if A contacted B
     * and B contacted C, then C is in A's exposure chain even though A
@@ -3562,6 +3645,38 @@ object Queries {
       graft.sources.LtssSink.writeZoneLayout(df, p)
     }
 
+  /** A deliberately REFLEX zone fixture set — its own layout, so the
+    * shared convex [[ZoneDefs]] (whose containment/dwell/OD outputs
+    * are hand-pinned across many specs) stays untouched: an L (one
+    * reflex vertex), a U-notch (two reflex vertices, so the L∩U pair
+    * is concave×concave and the true intersection region of the
+    * U∩mid-box pair is the notch-subtracted band), a convex mid box
+    * overlapping both (a reflex-CLIP × convex-subject pair), an inner
+    * box fully inside the L's lower arm (containment through the fan
+    * path), and the mid box EDGE-TOUCHING the inner box (a surviving
+    * bbox pair whose true area is 0). All vertices on the integer
+    * lattice; hand areas: L=400, U=470 (600 − 130 notch),
+    * L∩U=150, L∩mid=116, L∩inner=36, U∩mid=250, U∩inner=9,
+    * mid∩inner=0 — spec-pinned to 1e-9 (the fan's divided
+    * intersection coordinates are non-dyadic rationals). */
+  val ZoneDefsConcave: Seq[(Long, String, Seq[(Double, Double)])] = Seq(
+    (1L, "l_shape", Seq((0.0, 0.0), (20.0, 0.0), (20.0, 10.0), (10.0, 10.0),
+      (10.0, 30.0), (0.0, 30.0))),
+    (2L, "u_notch", Seq((5.0, 5.0), (35.0, 5.0), (35.0, 25.0), (25.0, 25.0),
+      (25.0, 12.0), (15.0, 12.0), (15.0, 25.0), (5.0, 25.0))),
+    (3L, "mid_box", Seq((8.0, 2.0), (30.0, 2.0), (30.0, 20.0), (8.0, 20.0))),
+    (4L, "inner_box", Seq((2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0))))
+
+  /** The concave-zone layout, materialized once per dataset like
+    * [[zoneLayoutPath]]. */
+  def zoneLayoutConcavePath(s: SparkSession, d: String): String =
+    graft.ScratchDirs.materializedPath("geo_zone_layout_concave", d) { p =>
+      import s.implicits._
+      val df = ZoneDefsConcave.toDF("zone_id", "name", "verts")
+        .withColumn("verts", expr("transform(verts, v -> struct(v._1 AS x, v._2 AS y))"))
+      graft.sources.LtssSink.writeZoneLayout(df, p)
+    }
+
   /** MULTI-GEOFENCE spatial join — `ST_Within(point, zone.geom)` against
     * a TABLE of stored polygons (closing §7.4's polygon-STORAGE cut;
     * [[geoPolygon]] is the single-LITERAL form): which zones contain
@@ -3706,10 +3821,13 @@ object Queries {
     * even-odd crossing test), and a real datum: a concave zone's
     * centroid can land outside. Map-side over the broadcast-sized
     * dimension, like [[zoneStats]]. */
-  val zoneCentroid = OracleQuery(
-    "ltss_geo_zone_centroid",
+  private def zoneCentroidQuery(
+      qname: String,
+      layout: (SparkSession, String) => String,
+      vertsValues: => String): OracleQuery = OracleQuery(
+    qname,
     (s, d) => {
-      val zones = s.read.parquet(zoneLayoutPath(s, d))
+      val zones = s.read.parquet(layout(s, d))
       val nxt = concat(expr("slice(verts, 2, size(verts) - 1)"),
         expr("slice(verts, 1, 1)"))
       def crossTerm(a: Column, b: Column): Column =
@@ -3737,7 +3855,7 @@ object Queries {
         .orderBy(col("zone_id"))
     },
     Some(s"""WITH zv(zone_id, name, idx, x, y) AS (VALUES
-      |  $zoneVertsValues
+      |  $vertsValues
       |), $zoneEdgesCte, cent AS (
       |  SELECT zone_id, name,
       |         sum((x1 + x2) * (x1 * y2 - x2 * y1))
@@ -3755,6 +3873,20 @@ object Queries {
       |FROM cent c JOIN edges e ON e.zone_id = c.zone_id
       |GROUP BY c.zone_id, c.name, c.cx, c.cy
       |ORDER BY c.zone_id""".stripMargin))
+
+  val zoneCentroid: OracleQuery =
+    zoneCentroidQuery("ltss_geo_zone_centroid", zoneLayoutPath, zoneVertsValues)
+
+  /** [[zoneCentroid]] over the REFLEX fixture layout — the query where
+    * the `inside_own_ring` consistency flag earns its keep: a CONVEX
+    * polygon's centroid is always inside (the convex fixture can never
+    * exercise the 0 branch), but the U-notch zone's centroid lands
+    * INSIDE ITS OWN NOTCH — outside the ring (cy = 6595/470 ≈ 14.03,
+    * within the notch's [12, 25] × [15, 25]) — so this fixture pins
+    * the flag's 0 branch end to end in both engines. */
+  val zoneCentroidConcave: OracleQuery =
+    zoneCentroidQuery("ltss_geo_zone_centroid_concave",
+      zoneLayoutConcavePath, zoneVertsValuesOf(ZoneDefsConcave))
 
   /** Intersection AREA of two rings (planar degree²) — the
     * `ST_Area(ST_Intersection(a, b))` kernel. The clip ring is
@@ -3911,38 +4043,6 @@ object Queries {
         .orderBy(col("zone_a"), col("zone_b"))
     },
     Some(zonesIntersectOracleSql(zoneVertsValues)))
-
-  /** A deliberately REFLEX zone fixture set — its own layout, so the
-    * shared convex [[ZoneDefs]] (whose containment/dwell/OD outputs
-    * are hand-pinned across many specs) stays untouched: an L (one
-    * reflex vertex), a U-notch (two reflex vertices, so the L∩U pair
-    * is concave×concave and the true intersection region of the
-    * U∩mid-box pair is the notch-subtracted band), a convex mid box
-    * overlapping both (a reflex-CLIP × convex-subject pair), an inner
-    * box fully inside the L's lower arm (containment through the fan
-    * path), and the mid box EDGE-TOUCHING the inner box (a surviving
-    * bbox pair whose true area is 0). All vertices on the integer
-    * lattice; hand areas: L=400, U=470 (600 − 130 notch),
-    * L∩U=150, L∩mid=116, L∩inner=36, U∩mid=250, U∩inner=9,
-    * mid∩inner=0 — spec-pinned to 1e-9 (the fan's divided
-    * intersection coordinates are non-dyadic rationals). */
-  val ZoneDefsConcave: Seq[(Long, String, Seq[(Double, Double)])] = Seq(
-    (1L, "l_shape", Seq((0.0, 0.0), (20.0, 0.0), (20.0, 10.0), (10.0, 10.0),
-      (10.0, 30.0), (0.0, 30.0))),
-    (2L, "u_notch", Seq((5.0, 5.0), (35.0, 5.0), (35.0, 25.0), (25.0, 25.0),
-      (25.0, 12.0), (15.0, 12.0), (15.0, 25.0), (5.0, 25.0))),
-    (3L, "mid_box", Seq((8.0, 2.0), (30.0, 2.0), (30.0, 20.0), (8.0, 20.0))),
-    (4L, "inner_box", Seq((2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0))))
-
-  /** The concave-zone layout, materialized once per dataset like
-    * [[zoneLayoutPath]]. */
-  def zoneLayoutConcavePath(s: SparkSession, d: String): String =
-    graft.ScratchDirs.materializedPath("geo_zone_layout_concave", d) { p =>
-      import s.implicits._
-      val df = ZoneDefsConcave.toDF("zone_id", "name", "verts")
-        .withColumn("verts", expr("transform(verts, v -> struct(v._1 AS x, v._2 AS y))"))
-      graft.sources.LtssSink.writeZoneLayout(df, p)
-    }
 
   /** [[zonesIntersect]] over the REFLEX fixture layout — the query
     * that exercises the signed-fan branch end to end (plan, layout
@@ -5369,5 +5469,6 @@ object Queries {
     zoneStats, zonesDwell, geoDouglasPeucker, zonesOverlap, zoneCentroid, zoneNearest,
     geoHull, geoFrechet, zonesIntersect, geoOdSensitivity, geoContacts,
     geoContactPairs, geoHausdorff, geoExposure, geoContactCells,
-    geoOdZones, zonesIntersectConcave, geoDtw)
+    geoOdZones, zonesIntersectConcave, geoDtw, zoneCentroidConcave,
+    geoConvoys)
 }

@@ -699,6 +699,53 @@ class GeoTrajectorySpec extends SparkSpec {
       s"band-separated pairs diverged: ${rows.toSeq}")
   }
 
+  test("ltss_geo_zone_centroid_concave: the U-notch centroid lands outside its own ring") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zcent-cc").toString
+    Seq((1L, ts("2024-01-01 10:00:00"), 1L))
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("ltss_geo_zone_centroid_concave")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+      .toSeq
+    // l_shape decomposes into two 200-area arms with centroids (10,5)
+    // and (5,20) → ((7.5, 12.5)), inside the vertical arm
+    assert(rows.find(_._1 == 1L).contains((1L, 7.5, 12.5, 1)),
+      s"l_shape centroid diverged: $rows")
+    // u_notch: cx = 20 by symmetry; cy = (600·15 − 130·18.5)/470 =
+    // 6595/470 ≈ 14.03 — INSIDE the notch [15,25]×[12,25], so OUTSIDE
+    // the ring: the consistency flag's 0 branch, unreachable on any
+    // convex fixture
+    val u = rows.find(_._1 == 2L).get
+    assert(u._2 == 20.0 && math.abs(u._3 - 6595.0 / 470.0) < 1e-12 && u._4 == 0,
+      s"u_notch centroid must land outside its own ring: $u")
+    // the convex boxes stay inside
+    assert(rows.find(_._1 == 3L).exists(_._4 == 1) &&
+      rows.find(_._1 == 4L).exists(_._4 == 1), s"boxes must be inside: $rows")
+  }
+
+  test("ltss_geo_convoys: three consecutive contact hours form one episode; an isolated hour filters") {
+    // u10 and u12 exchange close fixes at 10:15, 11:20, 12:05 — hours
+    // 10..12 consecutive → ONE episode (8 contact rows: the same-stamp
+    // pairs plus the within-2h cross pairs). u10 and u11 meet only at
+    // 15:00 — a 1-hour run, below the 3-hour rule.
+    val dir = java.nio.file.Files.createTempDirectory("graft-convoy").toString
+    val events = Seq(
+      (180L, ts("2024-01-01 10:15:00"), 10L), (182L, ts("2024-01-01 10:15:00"), 12L),
+      (184L, ts("2024-01-01 11:20:00"), 10L), (186L, ts("2024-01-01 11:20:00"), 12L),
+      (188L, ts("2024-01-01 12:05:00"), 10L), (190L, ts("2024-01-01 12:05:00"), 12L),
+      (194L, ts("2024-01-01 15:00:00"), 11L), (196L, ts("2024-01-01 15:00:00"), 10L))
+    events.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("ltss_geo_convoys")(spark, dir)
+      .selectExpr("id_lo", "id_hi", "hr_start", "n_hours", "n_contacts",
+        "CAST(first_contact AS STRING)", "CAST(last_contact AS STRING)")
+      .as[(Long, Long, Long, Long, Long, String, String)].collect().toSeq
+    val hr10 = ts("2024-01-01 10:15:00").getTime / 3600000L
+    assert(rows == Seq((10L, 12L, hr10, 3L, 8L,
+      "2024-01-01 10:15:00", "2024-01-01 12:05:00")),
+      s"convoy episode diverged from the hand trace: $rows")
+  }
+
   test("discreteDtw2: hand-traced table; exhaustive path enumeration agrees; warping forgives speed") {
     import graft.operators.Queries.{DpFix, discreteDtw2}
     def fix(lon: Double, lat: Double) =
