@@ -2409,4 +2409,116 @@ object StreamingOps {
         }
       }
   }
+
+  final case class ConvoyPend(hr: Long, cnt: Long, minUs: Long, maxUs: Long)
+  final case class ConvoyRun(
+      startHr: Long, endHr: Long, nHours: Long, nContacts: Long,
+      firstUs: Long, lastUs: Long)
+  final case class ConvoyState(
+      frontierHr: Long, pend: Seq[ConvoyPend], run: Option[ConvoyRun])
+  final case class ConvoyEpisode(
+      id_lo: Long, id_hi: Long, hr_start: Long, n_hours: Long,
+      n_contacts: Long, first_contact: java.sql.Timestamp,
+      last_contact: java.sql.Timestamp)
+
+  /** CONTINUOUS CO-TRAVEL EPISODES — the live face of the batch
+    * `ltss_geo_convoys` rollup (the 45th twin), composed ON a contact
+    * stream ([[contactsStream]]'s output, or any replayed contact
+    * log): per unordered pair, a maximal run of CONSECUTIVE contact
+    * hours (the earlier fix's hour buckets the contact, the batch
+    * rule) EMITS as an episode when it CLOSES — by a later contact
+    * opening a gap, or by the event-time timeout once the watermark
+    * proves no future arrival can extend it — and only at
+    * ≥ `minHours` (the batch threshold). State per pair is CONSTANT:
+    * the pending ledger holds at most the 5 hours ≥ frontier − 4 (a
+    * contact's time_a lags its time_b by at most the contact window
+    * T = 2 h, and its ARRIVAL may lag event time by the fix lateness —
+    * another ≤ 2 h under contactsStream's defaults — so older hours
+    * are FINAL and fold into the one open run as they age out; gaps
+    * between folded hours close and emit by the batch rn-gap rule);
+    * arrival order is FREE within that window (the fixture feeds hour
+    * 12 before hour 11), and a contact more than 4 hours behind the
+    * pair's frontier DROPS — documented, unreachable for
+    * contactsStream-fed input at the default horizons. The per-pair
+    * timeout arms at (lastHr + 2 h) + contactWindow + lateness — only
+    * past that watermark is every admissible future time_a at least
+    * two hours after the run's end, i.e. a guaranteed gap. Once every
+    * pair's timeout has fired, the emitted set equals the batch
+    * `ltss_geo_convoys` rows on the same contacts (spec-pinned
+    * against the registered query's hand trace). */
+  def convoysStream(
+      contacts: Dataset[ContactEvent],
+      minHours: Long = 3L,
+      latenessUs: Long = 7200000000L,
+      contactWindowUs: Long = 7200000000L): Dataset[ConvoyEpisode] = {
+    import contacts.sparkSession.implicits._
+    val HrUs = 3600000000L
+    val PendBack = 4L
+    contacts
+      .withWatermark("time_b", s"${latenessUs / 1000000L} seconds")
+      .groupByKey(c => (math.min(c.user_a, c.user_b), math.max(c.user_a, c.user_b)))
+      .flatMapGroupsWithState[ConvoyState, ConvoyEpisode](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) { (key, rows, st) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[ConvoyEpisode]
+        def emitRun(r: ConvoyRun): Unit =
+          if (r.nHours >= minHours)
+            out += ConvoyEpisode(key._1, key._2, r.startHr, r.nHours,
+              r.nContacts, tsOfMicros(r.firstUs), tsOfMicros(r.lastUs))
+        // fold one FINAL hour into the open run: consecutive extends,
+        // a gap closes (emits) and reopens — the batch rn-gap rule
+        def fold(run: Option[ConvoyRun], p: ConvoyPend): Option[ConvoyRun] =
+          run match {
+            case Some(r) if p.hr == r.endHr + 1L =>
+              Some(ConvoyRun(r.startHr, p.hr, r.nHours + 1L,
+                r.nContacts + p.cnt, math.min(r.firstUs, p.minUs),
+                math.max(r.lastUs, p.maxUs)))
+            case Some(r) =>
+              emitRun(r)
+              Some(ConvoyRun(p.hr, p.hr, 1L, p.cnt, p.minUs, p.maxUs))
+            case None =>
+              Some(ConvoyRun(p.hr, p.hr, 1L, p.cnt, p.minUs, p.maxUs))
+          }
+        if (st.hasTimedOut) {
+          // the watermark passed lastHr + 2 h + lateness: every future
+          // contact opens a gap, so everything held is final — fold,
+          // close, emit, drop the pair
+          val s = st.get
+          var run = s.run
+          for (p <- s.pend.sortBy(_.hr)) run = fold(run, p)
+          run.foreach(emitRun)
+          st.remove()
+        } else {
+          var s = st.getOption.getOrElse(
+            ConvoyState(Long.MinValue, Seq.empty, None))
+          val sorted = rows.toSeq.sortBy(c => (micros(c.time_a), micros(c.time_b)))
+          for (c <- sorted) {
+            val aUs = micros(c.time_a)
+            val hr = aUs / HrUs
+            if (s.frontierHr == Long.MinValue || hr >= s.frontierHr - PendBack) {
+              val bUs = micros(c.time_b)
+              val np = s.pend.find(_.hr == hr) match {
+                case Some(p) => s.pend.filterNot(_.hr == hr) :+
+                  ConvoyPend(hr, p.cnt + 1L, math.min(p.minUs, aUs),
+                    math.max(p.maxUs, bUs))
+                case None => s.pend :+ ConvoyPend(hr, 1L, aUs, bUs)
+              }
+              val nf = math.max(s.frontierHr, hr)
+              val (fin, keep) = np.partition(_.hr < nf - PendBack)
+              var run = s.run
+              for (p <- fin.sortBy(_.hr)) run = fold(run, p)
+              s = ConvoyState(nf, keep, run)
+            } // else: beyond the pair's pending window — documented drop
+          }
+          st.update(s)
+          val lastHr = (s.pend.map(_.hr) ++ s.run.map(_.endHr))
+            .foldLeft(Long.MinValue)(math.max)
+          if (lastHr != Long.MinValue)
+            st.setTimeoutTimestamp(math.max(
+              (lastHr + 2L) * 3600000L + (latenessUs + contactWindowUs) / 1000L,
+              st.getCurrentWatermarkMs() + 1L))
+        }
+        out.iterator
+      }
+  }
 }

@@ -915,4 +915,34 @@ class PlanSpec extends SparkSpec {
     assert(!op.contains("Join"),
       s"the (R,T) sweep is fold+aggregate only; plan:\n$op")
   }
+
+  test("r17 geo additions: hausdorff/dtw screens equi-keyed, convoy window over the bucketed join") {
+    val d = "/root/testdata/sf0.001"
+    // hausdorff: the screen joins A-starts against per-(track, cell)
+    // position arrays on the (chunk, cell) grid key, and the DP joins
+    // attach arrays on (id, chunk) — all equi, never a loop (the
+    // raw-fix |starts|×|fixes| shape this replaced filled the disk at
+    // the folded 100×)
+    val h = graft.operators.Queries.geoHausdorff.run(spark, d)
+    h.count()
+    val hp = h.queryExecution.executedPlan.toString
+    assert(!hp.contains("CartesianProduct") && !hp.contains("BroadcastNestedLoopJoin"),
+      s"hausdorff joins must stay equi-keyed; plan:\n$hp")
+    // dtw rides the frechet screen verbatim — same contract
+    val t = graft.operators.Queries.geoDtw.run(spark, d)
+    t.count()
+    val tp = t.queryExecution.executedPlan.toString
+    assert(!tp.contains("CartesianProduct") && !tp.contains("BroadcastNestedLoopJoin"),
+      s"dtw joins must stay equi-keyed; plan:\n$tp")
+    // convoys: the only join is the contact join itself (equi on
+    // bucket+cell); episodes are one combinable rollup + one keyed
+    // window on top
+    val c = graft.operators.Queries.geoConvoys.run(spark, d)
+    c.count()
+    val cp2 = c.queryExecution.executedPlan.toString
+    assert(!cp2.contains("CartesianProduct") && !cp2.contains("BroadcastNestedLoopJoin"),
+      s"convoy episodes must ride the bucketed equi-join; plan:\n$cp2")
+    assert("WindowExec|Window\\b".r.findAllIn(cp2).nonEmpty,
+      s"the episode rule is a keyed window; plan:\n$cp2")
+  }
 }

@@ -1848,6 +1848,62 @@ class StatefulStreamingSpec extends SparkSpec {
       s"in-horizon pairing diverged under eviction: $got")
   }
 
+  test("convoysStream: closed episodes equal the batch convoy rows; the timeout closes the abandoned run") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingOps.ContactEvent
+    def ce(ta: String, ua: Long, ea: Long, tb: String, ub: Long, eb: Long) =
+      ContactEvent(ts(ta), ua, ea, ts(tb), ub, eb, 8.0,
+        (ts(tb).getTime - ts(ta).getTime) * 1000L)
+    // the batch hand-trace contact set: 8 rows for pair (10,12) over
+    // hours 10..12 (see the ltss_geo_convoys fixture), 1 row for
+    // (10,11) at hour 15 — delivered with the hour-12 contact BEFORE
+    // the hour-11 rows (in-window out-of-order)
+    val b1 = Seq(
+      ce("2024-01-01 10:15:00", 10L, 180L, "2024-01-01 10:15:00", 12L, 182L),
+      ce("2024-01-01 10:15:00", 10L, 180L, "2024-01-01 11:20:00", 12L, 186L),
+      ce("2024-01-01 10:15:00", 12L, 182L, "2024-01-01 11:20:00", 10L, 184L),
+      ce("2024-01-01 10:15:00", 12L, 182L, "2024-01-01 12:05:00", 10L, 188L),
+      ce("2024-01-01 12:05:00", 10L, 188L, "2024-01-01 12:05:00", 12L, 190L))
+    val b2 = Seq(
+      ce("2024-01-01 11:20:00", 10L, 184L, "2024-01-01 11:20:00", 12L, 186L),
+      ce("2024-01-01 11:20:00", 10L, 184L, "2024-01-01 12:05:00", 12L, 190L),
+      ce("2024-01-01 11:20:00", 12L, 186L, "2024-01-01 12:05:00", 10L, 188L),
+      ce("2024-01-01 15:00:00", 10L, 196L, "2024-01-01 15:00:00", 11L, 194L))
+    // far-future contacts of an unrelated pair advance the watermark
+    // past every timeout; the second batch lets the timeouts FIRE
+    val b3 = Seq(ce("2024-01-05 10:00:00", 50L, 300L, "2024-01-05 10:00:00", 51L, 302L))
+    val b4 = Seq(ce("2024-01-06 10:00:00", 50L, 304L, "2024-01-06 10:00:00", 51L, 306L))
+    val ms = MemoryStream[ContactEvent]
+    val q = StreamingOps.convoysStream(ms.toDS())
+      .writeStream.format("memory").queryName("convoys_t")
+      .outputMode("append").start()
+    try {
+      for (b <- Seq(b1, b2, b3, b4)) { ms.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"convoysStream died: ${q.exception}")
+    val got = spark.table("convoys_t")
+      .selectExpr("id_lo", "id_hi", "hr_start", "n_hours", "n_contacts",
+        "CAST(first_contact AS STRING)", "CAST(last_contact AS STRING)")
+      .as[(Long, Long, Long, Long, Long, String, String)].collect().toSeq
+    // parity with the registered batch query over the SAME underlying
+    // fixes (the (10,11) single hour and the far pair's single hours
+    // stay below minHours in both engines)
+    val dir = java.nio.file.Files.createTempDirectory("graft-convoy-st").toString
+    Seq(
+      (180L, ts("2024-01-01 10:15:00"), 10L), (182L, ts("2024-01-01 10:15:00"), 12L),
+      (184L, ts("2024-01-01 11:20:00"), 10L), (186L, ts("2024-01-01 11:20:00"), 12L),
+      (188L, ts("2024-01-01 12:05:00"), 10L), (190L, ts("2024-01-01 12:05:00"), 12L),
+      (194L, ts("2024-01-01 15:00:00"), 11L), (196L, ts("2024-01-01 15:00:00"), 10L))
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("ltss_geo_convoys")(spark, dir)
+      .selectExpr("id_lo", "id_hi", "hr_start", "n_hours", "n_contacts",
+        "CAST(first_contact AS STRING)", "CAST(last_contact AS STRING)")
+      .as[(Long, Long, Long, Long, Long, String, String)].collect().toSeq
+    assert(got == batch && got.size == 1,
+      s"closed stream episodes diverged from batch: $got vs $batch")
+  }
+
   test("dpSimplifyLiveStream: every batch emits the open month's provisional D-P equal to batch ltss_geo_dp on the prefix") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val fixes = Seq(
