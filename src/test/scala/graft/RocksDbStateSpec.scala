@@ -343,6 +343,54 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("convoy pair state + restart: the episode closes from the RocksDB-recovered ledger and run") {
+    withRocksDb {
+      val in = tmp("rdb-cv-in"); val out = tmp("rdb-cv-out"); val ckpt = tmp("rdb-cv-ckpt")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "time_a TIMESTAMP, user_a LONG, event_a LONG, " +
+          "time_b TIMESTAMP, user_b LONG, event_b LONG, d2 DOUBLE, dt_us LONG")
+      def start() = {
+        import spark.implicits._
+        StreamingOps.convoysStream(
+          spark.readStream.schema(schema).json(in)
+            .as[graft.streaming.StreamingOps.ContactEvent])
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+      }
+      def ce(ta: String, ua: Long, ea: Long, tb: String, ub: Long, eb: Long) =
+        s"""{"time_a":"${ta}Z","user_a":$ua,"event_a":$ea,""" +
+          s""""time_b":"${tb}Z","user_b":$ub,"event_b":$eb,"d2":8.0,"dt_us":0}"""
+      // hours 10 and 11 land in state, then the query STOPS — the pend
+      // ledger and frontier survive only in RocksDB
+      Files.writeString(Paths.get(in, "b1.json"), Seq(
+        ce("2024-01-01T10:15:00", 10L, 180L, "2024-01-01T10:15:00", 12L, 182L),
+        ce("2024-01-01T11:20:00", 10L, 184L, "2024-01-01T11:20:00", 12L, 186L))
+        .mkString("\n"))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // after restart: hour 12 completes the 3-hour run, and a far pair
+      // advances the watermark past the (10,12) timeout
+      Files.writeString(Paths.get(in, "b2.json"), Seq(
+        ce("2024-01-01T12:05:00", 10L, 188L, "2024-01-01T12:05:00", 12L, 190L),
+        ce("2024-01-05T10:00:00", 50L, 300L, "2024-01-05T10:00:00", 51L, 302L))
+        .mkString("\n"))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      // one more batch lets the timeout FIRE against the advanced
+      // watermark — the emitted episode can only assemble from the
+      // recovered hours 10–11 plus the post-restart hour 12
+      Files.writeString(Paths.get(in, "b3.json"),
+        ce("2024-01-06T10:00:00", 50L, 304L, "2024-01-06T10:00:00", 51L, 306L))
+      val q3 = start(); q3.processAllAvailable(); q3.stop()
+      val got = spark.read.parquet(out)
+        .selectExpr("id_lo", "id_hi", "hr_start", "n_hours", "n_contacts",
+          "CAST(first_contact AS STRING)", "CAST(last_contact AS STRING)")
+        .as[(Long, Long, Long, Long, Long, String, String)].collect().toSeq
+      val hr10 = java.sql.Timestamp.valueOf("2024-01-01 10:15:00").getTime / 3600000L
+      assert(got == Seq((10L, 12L, hr10, 3L, 3L,
+        "2024-01-01 10:15:00", "2024-01-01 12:05:00")),
+        s"recovered convoy episode diverged: $got")
+    }
+  }
+
   test("contact cell state + restart: an out-of-order partner pairs from RocksDB-recovered held fixes") {
     withRocksDb {
       val in = tmp("rdb-ct-in"); val out = tmp("rdb-ct-out"); val ckpt = tmp("rdb-ct-ckpt")
