@@ -1770,59 +1770,72 @@ object Queries {
     * advances as two carried lists per pair in n+m−1 iterations with
     * the same exact arithmetic, over the raw ordered fixes (never the
     * layout). */
+  /** The endpoint-screened candidate-pair frame SHARED by
+    * [[geoFrechet]] and [[geoDtw]] (the screen is lossless for both —
+    * every Fréchet coupling and every DTW warping path aligns the two
+    * start points and the two end points, so max(d²(starts),
+    * d²(ends)) lower-bounds each distance): candidates from a D-sized
+    * start-cell grid (3×3 neighbor expansion, the LSH-band shape),
+    * the exact endpoint predicate, survivor pairs equi-joined to
+    * their month arrays. NO broadcast hints: at fixture SF AQE
+    * broadcasts the tiny candidate table on its own, and at
+    * folded-100× density the candidate set (a fortiori with arrays
+    * attached) outgrows the driver — a forced broadcast was measured
+    * failing exactly there (maxResultSize, SCALING.md r16); the
+    * shuffle join on (id, chunk) is the honest shape. */
+  private def endpointScreenedPairs(s: SparkSession, d: String, D: Double)
+      : org.apache.spark.sql.Dataset[
+        (java.sql.Timestamp, Long, Long, Seq[DpFix], Seq[DpFix])] = {
+    import s.implicits._
+    val D2 = D * D
+    val segs = s.read.parquet(trackLayout2dPath(s, d))
+      .select(col("id"), col("chunk"), col("seg"))
+    val ends = segs.select(col("id"), col("chunk"),
+        element_at(col("seg"), 1).as("p1"),
+        element_at(col("seg"), -1).as("pn"))
+      .select(col("id"), col("chunk"),
+        col("p1.lat").as("lat1"), col("p1.lon").as("lon1"),
+        col("pn.lat").as("latn"), col("pn.lon").as("lonn"))
+      .withColumn("cla", floor((col("lat1") + lit(90.0)) / lit(D)).cast("long"))
+      .withColumn("clo", floor((col("lon1") + lit(180.0)) / lit(D)).cast("long"))
+    val aSide = ends.select(col("chunk"), col("id").as("id_a"),
+        col("lat1").as("alat1"), col("lon1").as("alon1"),
+        col("latn").as("alatn"), col("lonn").as("alonn"),
+        col("cla"), col("clo"))
+      .withColumn("dla", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dlo", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("chunk"), col("id_a"),
+        col("alat1"), col("alon1"), col("alatn"), col("alonn"),
+        (col("cla") + col("dla")).as("jla"), (col("clo") + col("dlo")).as("jlo"))
+    val bSide = ends.select(col("chunk"), col("id").as("id_b"),
+      col("lat1").as("blat1"), col("lon1").as("blon1"),
+      col("latn").as("blatn"), col("lonn").as("blonn"),
+      col("cla").as("jla"), col("clo").as("jlo"))
+    val cand = aSide.join(bSide, Seq("chunk", "jla", "jlo"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(greatest(
+        (col("alat1") - col("blat1")) * (col("alat1") - col("blat1"))
+          + (col("alon1") - col("blon1")) * (col("alon1") - col("blon1")),
+        (col("alatn") - col("blatn")) * (col("alatn") - col("blatn"))
+          + (col("alonn") - col("blonn")) * (col("alonn") - col("blonn")))
+        <= lit(D2))
+      .select(col("chunk"), col("id_a"), col("id_b"))
+    val withA = segs
+      .select(col("id").as("id_a"), col("chunk"), col("seg").as("seg_a"))
+      .join(cand, Seq("id_a", "chunk"))
+    val withB = segs
+      .select(col("id").as("id_b"), col("chunk"), col("seg").as("seg_b"))
+      .join(withA, Seq("id_b", "chunk"))
+    withB.select(col("chunk").as("month"), col("id_a"), col("id_b"),
+        col("seg_a"), col("seg_b"))
+      .as[(java.sql.Timestamp, Long, Long, Seq[DpFix], Seq[DpFix])]
+  }
+
   val geoFrechet = OracleQuery(
     "ltss_geo_frechet",
     (s, d) => {
       import s.implicits._
-      val D = 20.0
-      val D2 = D * D
-      val segs = s.read.parquet(trackLayout2dPath(s, d))
-        .select(col("id"), col("chunk"), col("seg"))
-      val ends = segs.select(col("id"), col("chunk"),
-          element_at(col("seg"), 1).as("p1"),
-          element_at(col("seg"), -1).as("pn"))
-        .select(col("id"), col("chunk"),
-          col("p1.lat").as("lat1"), col("p1.lon").as("lon1"),
-          col("pn.lat").as("latn"), col("pn.lon").as("lonn"))
-        .withColumn("cla", floor((col("lat1") + lit(90.0)) / lit(D)).cast("long"))
-        .withColumn("clo", floor((col("lon1") + lit(180.0)) / lit(D)).cast("long"))
-      val aSide = ends.select(col("chunk"), col("id").as("id_a"),
-          col("lat1").as("alat1"), col("lon1").as("alon1"),
-          col("latn").as("alatn"), col("lonn").as("alonn"),
-          col("cla"), col("clo"))
-        .withColumn("dla", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .withColumn("dlo", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .select(col("chunk"), col("id_a"),
-          col("alat1"), col("alon1"), col("alatn"), col("alonn"),
-          (col("cla") + col("dla")).as("jla"), (col("clo") + col("dlo")).as("jlo"))
-      val bSide = ends.select(col("chunk"), col("id").as("id_b"),
-        col("lat1").as("blat1"), col("lon1").as("blon1"),
-        col("latn").as("blatn"), col("lonn").as("blonn"),
-        col("cla").as("jla"), col("clo").as("jlo"))
-      val cand = aSide.join(bSide, Seq("chunk", "jla", "jlo"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(greatest(
-          (col("alat1") - col("blat1")) * (col("alat1") - col("blat1"))
-            + (col("alon1") - col("blon1")) * (col("alon1") - col("blon1")),
-          (col("alatn") - col("blatn")) * (col("alatn") - col("blatn"))
-            + (col("alonn") - col("blonn")) * (col("alonn") - col("blonn")))
-          <= lit(D2))
-        .select(col("chunk"), col("id_a"), col("id_b"))
-      // NO broadcast hints here: at fixture SF AQE broadcasts the tiny
-      // candidate table on its own, and at folded-100× density the
-      // candidate set (and a fortiori candidates WITH arrays attached)
-      // outgrows the driver — a forced broadcast was measured failing
-      // exactly there (maxResultSize, SCALING.md r16); the shuffle join
-      // on (id, chunk) is the honest shape
-      val withA = segs
-        .select(col("id").as("id_a"), col("chunk"), col("seg").as("seg_a"))
-        .join(cand, Seq("id_a", "chunk"))
-      val withB = segs
-        .select(col("id").as("id_b"), col("chunk"), col("seg").as("seg_b"))
-        .join(withA, Seq("id_b", "chunk"))
-      withB.select(col("chunk").as("month"), col("id_a"), col("id_b"),
-          col("seg_a"), col("seg_b"))
-        .as[(java.sql.Timestamp, Long, Long, Seq[DpFix], Seq[DpFix])]
+      endpointScreenedPairs(s, d, 20.0)
         .map { case (m, a, b, sa, sb) =>
           val fr2 = discreteFrechet2(sa.toIndexedSeq, sb.toIndexedSeq)
           (m, a, b, sa.length.toLong, sb.length.toLong, fr2, math.sqrt(fr2))
@@ -1916,49 +1929,7 @@ object Queries {
     "ltss_geo_dtw",
     (s, d) => {
       import s.implicits._
-      val D = 20.0
-      val D2 = D * D
-      val segs = s.read.parquet(trackLayout2dPath(s, d))
-        .select(col("id"), col("chunk"), col("seg"))
-      val ends = segs.select(col("id"), col("chunk"),
-          element_at(col("seg"), 1).as("p1"),
-          element_at(col("seg"), -1).as("pn"))
-        .select(col("id"), col("chunk"),
-          col("p1.lat").as("lat1"), col("p1.lon").as("lon1"),
-          col("pn.lat").as("latn"), col("pn.lon").as("lonn"))
-        .withColumn("cla", floor((col("lat1") + lit(90.0)) / lit(D)).cast("long"))
-        .withColumn("clo", floor((col("lon1") + lit(180.0)) / lit(D)).cast("long"))
-      val aSide = ends.select(col("chunk"), col("id").as("id_a"),
-          col("lat1").as("alat1"), col("lon1").as("alon1"),
-          col("latn").as("alatn"), col("lonn").as("alonn"),
-          col("cla"), col("clo"))
-        .withColumn("dla", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .withColumn("dlo", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .select(col("chunk"), col("id_a"),
-          col("alat1"), col("alon1"), col("alatn"), col("alonn"),
-          (col("cla") + col("dla")).as("jla"), (col("clo") + col("dlo")).as("jlo"))
-      val bSide = ends.select(col("chunk"), col("id").as("id_b"),
-        col("lat1").as("blat1"), col("lon1").as("blon1"),
-        col("latn").as("blatn"), col("lonn").as("blonn"),
-        col("cla").as("jla"), col("clo").as("jlo"))
-      val cand = aSide.join(bSide, Seq("chunk", "jla", "jlo"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(greatest(
-          (col("alat1") - col("blat1")) * (col("alat1") - col("blat1"))
-            + (col("alon1") - col("blon1")) * (col("alon1") - col("blon1")),
-          (col("alatn") - col("blatn")) * (col("alatn") - col("blatn"))
-            + (col("alonn") - col("blonn")) * (col("alonn") - col("blonn")))
-          <= lit(D2))
-        .select(col("chunk"), col("id_a"), col("id_b"))
-      val withA = segs
-        .select(col("id").as("id_a"), col("chunk"), col("seg").as("seg_a"))
-        .join(cand, Seq("id_a", "chunk"))
-      val withB = segs
-        .select(col("id").as("id_b"), col("chunk"), col("seg").as("seg_b"))
-        .join(withA, Seq("id_b", "chunk"))
-      withB.select(col("chunk").as("month"), col("id_a"), col("id_b"),
-          col("seg_a"), col("seg_b"))
-        .as[(java.sql.Timestamp, Long, Long, Seq[DpFix], Seq[DpFix])]
+      endpointScreenedPairs(s, d, 20.0)
         .map { case (m, a, b, sa, sb) =>
           val c2 = discreteDtw2(sa.toIndexedSeq, sb.toIndexedSeq)
           (m, a, b, sa.length.toLong, sb.length.toLong, c2)

@@ -899,19 +899,55 @@ object LtssSink {
     // the Overwrite clears it and stamps prior+1 (a fresh directory
     // stamps 1, the historical default); an explicit version must
     // exceed the stored one for the same reason.
-    val prior = readLayoutMarker(zones.sparkSession, path)
-      .map(_.generation).getOrElse(0L)
+    //
+    // CRASH WINDOW: the marker lives INSIDE the directory the
+    // Overwrite clears, so a crash between the Overwrite and the
+    // marker write would lose the generation — the NEXT redraw would
+    // read prior = 0 and stamp 1 again, re-arming the silent-diff
+    // hazard for any state pinned to the original version 1. The
+    // intended version therefore persists in a SIDECAR next to the
+    // layout (temp write + atomic rename) BEFORE the Overwrite and is
+    // removed only after the marker lands; version reads take the MAX
+    // of marker and surviving sidecar, so a torn redraw can only skip
+    // version numbers forward, never reuse one.
+    val spark = zones.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val intentPath = new org.apache.hadoop.fs.Path(path + ".zver_intent")
+    val fs = intentPath.getFileSystem(conf)
+    def readIntent(): Long =
+      if (!fs.exists(intentPath)) 0L
+      else {
+        val len = fs.getFileStatus(intentPath).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(intentPath)
+        try in.readFully(0, buf) finally in.close()
+        // unparsable torn write reads as absent
+        new String(buf, "UTF-8").trim.toLongOption.getOrElse(0L)
+      }
+    val prior = math.max(
+      readLayoutMarker(spark, path).map(_.generation).getOrElse(0L),
+      readIntent())
     require(version == 0L || version > prior,
       s"writeZoneLayout version $version must exceed the stored " +
         s"zone_version $prior (a redraw that keeps or lowers the version " +
         "would let restarted streams silently diff state held against " +
         "the retired rings); pass 0 to auto-bump")
     val v = if (version == 0L) prior + 1L else version
-    zoneLayoutFrame(zones).write.mode(SaveMode.Overwrite).parquet(path)
+    val frame = zoneLayoutFrame(zones) // validate BEFORE staking the intent
+    locally {
+      val tmp = new org.apache.hadoop.fs.Path(path + ".zver_intent.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(intentPath, false)
+      if (!fs.rename(tmp, intentPath))
+        throw new java.io.IOException(s"could not stake $intentPath")
+    }
+    frame.write.mode(SaveMode.Overwrite).parquet(path)
     // marker AFTER the Overwrite (which clears the directory): the
     // generation field IS the zone_version the streaming twins pin
     // their bootstrapped containment state to (see geoZonesStream)
-    writeLayoutMarker(zones.sparkSession, path, LayoutMarker(0L, Nil, generation = v))
+    writeLayoutMarker(spark, path, LayoutMarker(0L, Nil, generation = v))
+    fs.delete(intentPath, false)
   }
 
   /** The validated, bbox-materialized zone frame both the full rebuild

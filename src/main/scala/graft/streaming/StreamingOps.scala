@@ -2354,7 +2354,9 @@ object StreamingOps {
     val lateUs = if (latenessUs < 0L) windowUs else latenessUs
     val exploded = pts
       .select(col("time"), col("user_id"), col("event_id"), col("lat"), col("lon"))
-      .withWatermark("time", s"${lateUs / 1000000L} seconds")
+      // ceil to whole seconds: truncating would SHORTEN the promised
+      // lateness and drop in-horizon out-of-order rows at the watermark
+      .withWatermark("time", s"${(lateUs + 999999L) / 1000000L} seconds")
       .withColumn("cx", floor((col("lat") + lit(90.0)) / lit(radiusDeg)).cast("long"))
       .withColumn("cy", floor((col("lon") + lit(180.0)) / lit(radiusDeg)).cast("long"))
       .withColumn("dx", explode(expr("sequence(-1, 1)")))
@@ -2430,16 +2432,17 @@ object StreamingOps {
     * opening a gap, or by the event-time timeout once the watermark
     * proves no future arrival can extend it — and only at
     * ≥ `minHours` (the batch threshold). State per pair is CONSTANT:
-    * the pending ledger holds at most the 5 hours ≥ frontier − 4 (a
-    * contact's time_a lags its time_b by at most the contact window
-    * T = 2 h, and its ARRIVAL may lag event time by the fix lateness —
-    * another ≤ 2 h under contactsStream's defaults — so older hours
-    * are FINAL and fold into the one open run as they age out; gaps
-    * between folded hours close and emit by the batch rn-gap rule);
-    * arrival order is FREE within that window (the fixture feeds hour
-    * 12 before hour 11), and a contact more than 4 hours behind the
-    * pair's frontier DROPS — documented, unreachable for
-    * contactsStream-fed input at the default horizons. The per-pair
+    * the pending ledger holds only hours ≥ frontier − P where P is
+    * DERIVED from the caller's horizons, ⌈(lateness + contactWindow)
+    * / 1 h⌉ + slack (a contact's time_a lags its time_b by at most
+    * the contact window, and its ARRIVAL may lag event time by the
+    * fix lateness — 6 hours at contactsStream's 2 h + 2 h defaults) —
+    * so older hours are FINAL and fold into the one open run as they
+    * age out; gaps between folded hours close and emit by the batch
+    * rn-gap rule. Arrival order is FREE within that window (the
+    * fixture feeds hour 12 before hour 11), and a contact more than P
+    * hours behind the pair's frontier DROPS — documented, unreachable
+    * for input within the declared horizons. The per-pair
     * timeout arms at (lastHr + 2 h) + contactWindow + lateness — only
     * past that watermark is every admissible future time_a at least
     * two hours after the run's end, i.e. a guaranteed gap. Once every
@@ -2453,9 +2456,18 @@ object StreamingOps {
       contactWindowUs: Long = 7200000000L): Dataset[ConvoyEpisode] = {
     import contacts.sparkSession.implicits._
     val HrUs = 3600000000L
-    val PendBack = 4L
+    // the pending window must cover how far a watermark-admissible
+    // contact's time_a can trail the pair's frontier: time_a lags its
+    // time_b by ≤ contactWindow and arrival lags event time by ≤
+    // lateness — DERIVED from the caller's horizons (hardcoding the
+    // default 4 would silently drop admissible contacts under wider
+    // horizons and break the stream==batch contract), +2 hour-boundary
+    // slack. Constant per pair at any setting.
+    val PendBack = (latenessUs + contactWindowUs) / HrUs + 2L
     contacts
-      .withWatermark("time_b", s"${latenessUs / 1000000L} seconds")
+      // ceil to whole seconds — truncation would shorten the promised
+      // lateness at the watermark
+      .withWatermark("time_b", s"${(latenessUs + 999999L) / 1000000L} seconds")
       .groupByKey(c => (math.min(c.user_a, c.user_b), math.max(c.user_a, c.user_b)))
       .flatMapGroupsWithState[ConvoyState, ConvoyEpisode](
         org.apache.spark.sql.streaming.OutputMode.Append(),

@@ -1145,6 +1145,25 @@ class GeoTrajectorySpec extends SparkSpec {
     // an explicit HIGHER version is honored
     LtssSink.writeZoneLayout(zdf(tri), dir, version = v + 10)
     assert(LtssSink.zoneLayoutVersion(spark, dir) == v + 10)
+    // CRASH WINDOW: a redraw that died between the Overwrite (which
+    // clears the marker) and the marker write leaves only the version
+    // INTENT sidecar — the next redraw must resume ABOVE it, never
+    // reset to 1 (which would re-arm the silent-diff hazard for state
+    // pinned to the original version 1)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir + ".zver_intent"),
+      (v + 11).toString.getBytes("UTF-8"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_ltss_layout.json"))
+    LtssSink.writeZoneLayout(zdf(tri), dir)
+    assert(LtssSink.zoneLayoutVersion(spark, dir) == v + 12,
+      "a torn redraw's intent must floor the next version")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".zver_intent")),
+      "a completed redraw clears its intent sidecar")
+    // a GARBLED intent (torn sidecar write pre-rename is impossible,
+    // but defend anyway) reads as absent, not a wedge
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir + ".zver_intent"),
+      "garbled".getBytes("UTF-8"))
+    LtssSink.writeZoneLayout(zdf(tri), dir)
+    assert(LtssSink.zoneLayoutVersion(spark, dir) == v + 13)
   }
 
   test("appendTrackMonth owner token: a live concurrent appender refuses, dead residue passes") {

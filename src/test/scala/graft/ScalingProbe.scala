@@ -189,7 +189,8 @@ object ScalingProbe {
         n == "ltss_geo_zones_intersect" || n == "ltss_geo_od_zones"))
       warmed("geo_zone_layout")(
         graft.operators.Queries.zoneLayoutPath(spark, sfDir))
-    if (names.contains("ltss_geo_zones_intersect_concave"))
+    if (names.exists(n => n == "ltss_geo_zones_intersect_concave" ||
+        n == "ltss_geo_zone_centroid_concave"))
       warmed("geo_zone_layout_concave")(
         graft.operators.Queries.zoneLayoutConcavePath(spark, sfDir))
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
