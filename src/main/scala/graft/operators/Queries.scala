@@ -2026,98 +2026,119 @@ object Queries {
     * Hausdorff distance max(h(A,B), h(B,A)), planar degrees on the
     * fixture lattice, both directed distances reported (the asymmetry
     * IS a datum — a detour shows up in one direction only). NEVER
-    * all-pairs, but the screen is NOT [[geoFrechet]]'s: max(d(starts),
-    * d(ends)) is NOT a lower bound of symmetric Hausdorff (Hausdorff
-    * never couples endpoints — a pair can have huge start separation
-    * and tiny Hausdorff). The bound that IS lossless: H(A,B) ≥
-    * h(A,B) ≥ d(A.start, B) = min over j of d(A.start, B[j]) — any
-    * point of A sits within H of SOME point of B, the start included.
-    * So candidates join A's START (3×3 neighbor-expanded on the
-    * D-sized grid, the LSH-band shape) against B's per-(track, cell)
-    * DISTINCT-position arrays — one row per segment per touched cell,
-    * the Fréchet screen's segment × segment join shape (r17: the
-    * first cut joined raw exploded fixes, |starts| × |fixes| per
-    * cell, and the 100× probe measured it filling the disk; min over
-    * a set equals min over its distinct values and a qualifying fix's
-    * cell is always inside the start's 3×3 expansion, so the grouped
-    * screen admits the IDENTICAL pair set) — keep the exact
-    * `exists(bpts, d² ≤ D²)` predicate, and DISTINCT down to pairs —
-    * admitted iff min_j d² ≤ D², a superset of {H ≤ D} by the bound,
-    * with candidate volume scaling by spatial co-location density (a
-    * start only meets tracks touching its 3×3 cells), never corpus².
-    * Survivor pairs attach their two month
-    * arrays by equi-joins on (id, chunk) — NO broadcast hints, the
-    * frechet maxResultSize lesson — and each pair's max-min runs as
-    * ONE compiled pass ([[directedHausdorff2]] both ways), map-side.
-    * Exact lattice arithmetic end to end; ONE closing sqrt. Oracle:
-    * the identical max-min evaluated as nested list comprehensions
-    * over the raw ordered fixes (no recursion — max-min has no
-    * sequential dependence, the reason Hausdorff is an afternoon where
-    * Fréchet was a DP), with the SAME exact screen predicate. */
+    * all-pairs — and unlike [[geoFrechet]] (whose DP genuinely needs
+    * the coupled arrays) the bucketed D-grid join EVALUATES Hausdorff
+    * rather than merely screening it (r18; r17 screened on the single
+    * lossless start-bound d(A.start, B) ≤ D — admitted 5× the true
+    * set at the folded 10×, the flagged loosest screen of the
+    * trajectory trio — then attached both fix arrays to every
+    * survivor and ran the max-min per pair). The geometry that makes
+    * the join EXACT: any point within D of a fix lies inside the
+    * fix's 3×3 block on the D-sized grid, and on the half-integer
+    * fixture lattice the gap from a fix to its block's edge is
+    * ≥ D + 0.5 — so the min d² from an A-fix to the B-fixes VISIBLE
+    * from its cell (B's per-(track, viewer-cell) 3×3-neighborhood
+    * DISTINCT-position arrays, the LSH-band shape) equals the TRUE
+    * min_j d²(a, B[j]) whenever that min ≤ D², and a cell-local
+    * min > D² certifies the true min > D (everything outside the
+    * block is farther still). So ONE skinny row per co-located
+    * (A-fix, B-track) — a compiled `aggregate` over the neighborhood
+    * array, map-side, no per-probe state — rolls up COMBINABLY by
+    * (chunk, pair): a directed h(A,B) is admitted iff every distinct
+    * A-position matched (row count == the track's distinct-position
+    * count) with max(min d²) ≤ D², and that max IS h(A,B)² exactly;
+    * the symmetric pair is the equi-join of the two directed frames.
+    * The admitted set is EXACTLY {H ≤ D} — output-driven, the
+    * tightest admissible — and both the per-survivor O(n·m) max-min
+    * and the survivor-with-arrays shuffle that exceeded the box's
+    * scratch at the folded 100× (SCALING.md r17) are GONE; what
+    * remains scales with spatial CO-LOCATION density (A-fixes ×
+    * B-tracks per cell), the contact-join regime, never corpus².
+    * Exact lattice arithmetic end to end (min/max are selections,
+    * never accumulations — the d² values compare bit-identically to
+    * the oracle's); ONE closing sqrt. Oracle: the nested max-min list
+    * comprehensions over the raw ordered fixes BOTH directions with
+    * the exact closing filter H² ≤ D² (the two lossless directed
+    * start-bound screens kept in its cand stage purely as a speedup —
+    * supersets of the exact filter, they cannot change the set). */
   val geoHausdorff = OracleQuery(
     "ltss_geo_hausdorff",
     (s, d) => {
-      import s.implicits._
       val D = 20.0
       val D2 = D * D
       val segs = s.read.parquet(trackLayout2dPath(s, d))
         .select(col("id"), col("chunk"), col("seg"))
-      val starts = segs.select(col("id").as("id_a"), col("chunk"),
-          element_at(col("seg"), 1).as("p1"))
+      val sizes = segs.select(col("id"), col("chunk"),
+        size(col("seg")).cast("long").as("n"))
+      // DISTINCT A-positions: max over a multiset = max over its set,
+      // and the per-direction match count compares against the same
+      // distinct count below, so duplicates neither miss nor double
+      val aFix = segs.select(col("id").as("id_a"), col("chunk"),
+          explode(col("seg")).as("f"))
         .select(col("id_a"), col("chunk"),
-          col("p1.lat").as("alat1"), col("p1.lon").as("alon1"))
-        .withColumn("cla", floor((col("alat1") + lit(90.0)) / lit(D)).cast("long"))
-        .withColumn("clo", floor((col("alon1") + lit(180.0)) / lit(D)).cast("long"))
-        .withColumn("dla", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .withColumn("dlo", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .select(col("chunk"), col("id_a"), col("alat1"), col("alon1"),
-          (col("cla") + col("dla")).as("jla"), (col("clo") + col("dlo")).as("jlo"))
-      // the B side GROUPS to one row per (track, cell) carrying its
-      // DISTINCT fix positions as an array (min over a set = min over
-      // its distinct values, and a qualifying fix's cell is always in
-      // the start's 3×3 expansion — the admitted set is IDENTICAL to
-      // joining raw fixes): the screen join is then segment × segment
-      // per cell, the Fréchet shape, where the raw-fix join's output
-      // is |starts| × |fixes| per cell — measured filling the disk at
-      // the folded 100× (SCALING.md r17). Each array is bounded by
-      // one month-track's distinct positions inside one D-cell —
-      // construction-bounded, never corpus-bounded.
-      val bCells = segs.select(col("id").as("id_b"), col("chunk"),
+          col("f.lat").as("alat"), col("f.lon").as("alon"))
+        .distinct()
+      val nDistinct = aFix.groupBy(col("id_a"), col("chunk"))
+        .agg(count(lit(1)).as("nd"))
+      val aHome = aFix
+        .withColumn("jla", floor((col("alat") + lit(90.0)) / lit(D)).cast("long"))
+        .withColumn("jlo", floor((col("alon") + lit(180.0)) / lit(D)).cast("long"))
+      // B side: one row per (track, VIEWER cell) carrying the track's
+      // DISTINCT fixes lying in that cell's 3×3 neighborhood — each
+      // fix fans out to the 9 cells it is visible FROM, then groups.
+      // Each array is bounded by one month-track's distinct positions
+      // inside one 3×3 block — construction-bounded, never corpus-
+      // bounded (the r17 lesson: never join raw fix × raw fix).
+      val bNbr = segs.select(col("id").as("id_b"), col("chunk"),
           explode(col("seg")).as("f"))
         .select(col("id_b"), col("chunk"),
           col("f.lat").as("blat"), col("f.lon").as("blon"))
         .distinct()
-        .withColumn("jla", floor((col("blat") + lit(90.0)) / lit(D)).cast("long"))
-        .withColumn("jlo", floor((col("blon") + lit(180.0)) / lit(D)).cast("long"))
-        .groupBy(col("id_b"), col("chunk"), col("jla"), col("jlo"))
+        .withColumn("cla", floor((col("blat") + lit(90.0)) / lit(D)).cast("long"))
+        .withColumn("clo", floor((col("blon") + lit(180.0)) / lit(D)).cast("long"))
+        .withColumn("dla", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dlo", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .groupBy(col("id_b"), col("chunk"),
+          (col("cla") + col("dla")).as("jla"),
+          (col("clo") + col("dlo")).as("jlo"))
         .agg(collect_list(struct(col("blat"), col("blon"))).as("bpts"))
-      val cand = starts.join(bCells, Seq("chunk", "jla", "jlo"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(expr(s"exists(bpts, p -> " +
-          s"(alat1 - p.blat) * (alat1 - p.blat) " +
-          s"+ (alon1 - p.blon) * (alon1 - p.blon) <= $D2)"))
-        .select(col("chunk"), col("id_a"), col("id_b"))
-        .distinct()
-      val withA = segs
-        .select(col("id").as("id_a"), col("chunk"), col("seg").as("seg_a"))
-        .join(cand, Seq("id_a", "chunk"))
-      val withB = segs
-        .select(col("id").as("id_b"), col("chunk"), col("seg").as("seg_b"))
-        .join(withA, Seq("id_b", "chunk"))
-      withB.select(col("chunk").as("month"), col("id_a"), col("id_b"),
-          col("seg_a"), col("seg_b"))
-        .as[(java.sql.Timestamp, Long, Long, Seq[DpFix], Seq[DpFix])]
-        .map { case (m, a, b, sa, sb) =>
-          val pa = sa.toIndexedSeq
-          val pb = sb.toIndexedSeq
-          val hab = directedHausdorff2(pa, pb)
-          val hba = directedHausdorff2(pb, pa)
-          val h2 = math.max(hab, hba)
-          (m, a, b, pa.length.toLong, pb.length.toLong,
-            hab, hba, h2, math.sqrt(h2))
-        }
-        .toDF("month", "id_a", "id_b", "n_a", "n_b",
-          "h_ab_sq_deg", "h_ba_sq_deg", "hausdorff_sq_deg", "hausdorff_deg")
+      // ONE skinny row per co-located (A-fix, B-track): the cell-local
+      // min d² — EXACT as the true min_j whenever ≤ D² (scaladoc), a
+      // compiled aggregate over the neighborhood array, map-side
+      val probes = aHome.join(bNbr, Seq("chunk", "jla", "jlo"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("chunk"), col("id_a"), col("id_b"),
+          aggregate(col("bpts"), lit(Double.PositiveInfinity),
+            (acc, p) => least(acc,
+              (col("alat") - p.getField("blat")) *
+                (col("alat") - p.getField("blat")) +
+                (col("alon") - p.getField("blon")) *
+                (col("alon") - p.getField("blon")))).as("m"))
+      // directed h(A,B)²: admitted iff EVERY distinct A-position found
+      // a visible B-fix (count == nd) and the max cell-local min ≤ D²
+      // — in which case that max IS h(A,B)² exactly
+      val directed = probes.groupBy(col("chunk"), col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("nm"), max(col("m")).as("h2"))
+        .join(nDistinct, Seq("id_a", "chunk"))
+        .filter(col("nm") === col("nd") && col("h2") <= lit(D2))
+        .select(col("chunk"), col("id_a"), col("id_b"), col("h2"))
+      val fwd = directed.filter(col("id_a") < col("id_b"))
+        .select(col("chunk"), col("id_a"), col("id_b"),
+          col("h2").as("h_ab_sq_deg"))
+      val bwd = directed.filter(col("id_a") > col("id_b"))
+        .select(col("chunk"), col("id_b").as("id_a"), col("id_a").as("id_b"),
+          col("h2").as("h_ba_sq_deg"))
+      fwd.join(bwd, Seq("chunk", "id_a", "id_b"))
+        .join(sizes.select(col("id").as("id_a"), col("chunk"),
+          col("n").as("n_a")), Seq("id_a", "chunk"))
+        .join(sizes.select(col("id").as("id_b"), col("chunk"),
+          col("n").as("n_b")), Seq("id_b", "chunk"))
+        .select(col("chunk").as("month"), col("id_a"), col("id_b"),
+          col("n_a"), col("n_b"), col("h_ab_sq_deg"), col("h_ba_sq_deg"),
+          greatest(col("h_ab_sq_deg"), col("h_ba_sq_deg"))
+            .as("hausdorff_sq_deg"),
+          sqrt(greatest(col("h_ab_sq_deg"), col("h_ba_sq_deg")))
+            .as("hausdorff_deg"))
         .orderBy(col("hausdorff_sq_deg"), col("id_a"), col("id_b"), col("month"))
         .limit(20)
     },
@@ -2155,6 +2176,10 @@ object Queries {
         |      (a.lats[1] - b.lats[j]) * (a.lats[1] - b.lats[j])
         |        + (a.lons[1] - b.lons[j]) * (a.lons[1] - b.lons[j])),
         |    (x, y) -> least(x, y)) <= 400.0
+        |    AND list_reduce(list_transform(range(1, a.n + 1), i ->
+        |      (a.lats[i] - b.lats[1]) * (a.lats[i] - b.lats[1])
+        |        + (a.lons[i] - b.lons[1]) * (a.lons[i] - b.lons[1])),
+        |    (x, y) -> least(x, y)) <= 400.0
         |),
         |h AS (
         |  SELECT chunk AS month, id_a, id_b, na AS n_a, nb AS n_b,
@@ -2166,6 +2191,7 @@ object Queries {
         |       greatest(h_ab_sq_deg, h_ba_sq_deg) AS hausdorff_sq_deg,
         |       sqrt(greatest(h_ab_sq_deg, h_ba_sq_deg)) AS hausdorff_deg
         |FROM h
+        |WHERE h_ab_sq_deg <= 400.0 AND h_ba_sq_deg <= 400.0
         |ORDER BY hausdorff_sq_deg, id_a, id_b, month LIMIT 20""".stripMargin
     })
 
@@ -3315,7 +3341,12 @@ object Queries {
           // set session-wide BEFORE the CC loop (and restored after)
           // so both the CC iterations and the BFS hops run their
           // join/agg/anti stages at the sized width with aligned
-          // partitionings.
+          // partitionings. CAVEAT: like the AQE toggle above this is a
+          // SESSION-GLOBAL mutation — any query running concurrently
+          // on the same SparkSession during the loops executes at the
+          // edge-sized shuffle width. Fine for a dedicated job/bench
+          // session; on a shared session run this query on its own
+          // `spark.newSession()` (the confs are session-scoped).
           val nEdges = pairs.count()
           val maxParts = partsWas.toInt
           val parts = math.max(1L,
@@ -3853,7 +3884,8 @@ object Queries {
     * polygon's centroid is always inside (the convex fixture can never
     * exercise the 0 branch), but the U-notch zone's centroid lands
     * INSIDE ITS OWN NOTCH — outside the ring (cy = 6595/470 ≈ 14.03,
-    * within the notch's [12, 25] × [15, 25]) — so this fixture pins
+    * within the notch's [15, 25] × [12, 25] (x × y)) — so this fixture
+    * pins
     * the flag's 0 branch end to end in both engines. */
   val zoneCentroidConcave: OracleQuery =
     zoneCentroidQuery("ltss_geo_zone_centroid_concave",

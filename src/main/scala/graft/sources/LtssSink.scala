@@ -914,19 +914,7 @@ object LtssSink {
     val conf = spark.sparkContext.hadoopConfiguration
     val intentPath = new org.apache.hadoop.fs.Path(path + ".zver_intent")
     val fs = intentPath.getFileSystem(conf)
-    def readIntent(): Long =
-      if (!fs.exists(intentPath)) 0L
-      else {
-        val len = fs.getFileStatus(intentPath).getLen.toInt
-        val buf = new Array[Byte](len)
-        val in = fs.open(intentPath)
-        try in.readFully(0, buf) finally in.close()
-        // unparsable torn write reads as absent
-        new String(buf, "UTF-8").trim.toLongOption.getOrElse(0L)
-      }
-    val prior = math.max(
-      readLayoutMarker(spark, path).map(_.generation).getOrElse(0L),
-      readIntent())
+    val prior = zoneLayoutVersion(spark, path)
     require(version == 0L || version > prior,
       s"writeZoneLayout version $version must exceed the stored " +
         s"zone_version $prior (a redraw that keeps or lowers the version " +
@@ -977,16 +965,43 @@ object LtssSink {
       .orderBy(col("zone_id"))
   }
 
+  /** The surviving `.zver_intent` sidecar's staked version — 0 when
+    * absent or unparsable (a torn temp-write reads as absent). Written
+    * by [[writeZoneLayout]] BEFORE the Overwrite, removed only after
+    * the marker lands, so in the torn window it alone carries the
+    * generation. */
+  private def readZoneVersionIntent(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val intentPath = new org.apache.hadoop.fs.Path(path + ".zver_intent")
+    val fs = intentPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(intentPath)) 0L
+    else {
+      val len = fs.getFileStatus(intentPath).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(intentPath)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8").trim.toLongOption.getOrElse(0L)
+    }
+  }
+
   /** The stored zone table's VERSION — the layout marker's generation,
     * bumped by every [[upsertZones]] (a legacy un-markered layout reads
     * 0). The streaming twins ([[graft.streaming.StreamingOps
     * .geoZonesStream]], `zonesDwellStream`) stamp this into their per-
     * entity state so held containment sets computed against retired
     * rings are detected on restart instead of silently diffed against
-    * the redrawn table. */
+    * the redrawn table. Reads take the MAX of the marker and any
+    * surviving `.zver_intent` sidecar: in [[writeZoneLayout]]'s torn
+    * window (Overwrite done, marker not yet written) the marker reads
+    * absent but the sidecar holds the staked version, so a stream
+    * bootstrapping mid-redraw stamps the INTENDED version instead of 0
+    * and skips the spurious full state rebuild it would otherwise take
+    * once the marker lands. */
   def zoneLayoutVersion(
       spark: org.apache.spark.sql.SparkSession, path: String): Long =
-    readLayoutMarker(spark, path).map(_.generation).getOrElse(0L)
+    math.max(
+      readLayoutMarker(spark, path).map(_.generation).getOrElse(0L),
+      readZoneVersionIntent(spark, path))
 
   /** Driver-side read of the stored zone dimension as the `(zone_id,
     * ring)` constant the streaming twins broadcast, plus its version —

@@ -2338,10 +2338,20 @@ object StreamingOps {
     * drops its state whole with NO pair lost (spec-pinned). Without
     * this a dead grid cell's last T of fixes would persist forever;
     * with it total state is bounded by the ACTIVE cells of the
-    * watermark window, not by every cell ever touched. A fix older
-    * than the watermark is dropped by the watermark itself — the same
-    * documented drop as the in-state frontier check, one stage
-    * earlier. (Checkpoint note: pre-r17 contactsStream checkpoints
+    * watermark window, not by every cell ever touched. CAVEAT — the
+    * watermark NARROWS the drop bound from per-cell to GLOBAL: the
+    * in-state frontier check drops a fix more than T behind ITS OWN
+    * cell's frontier, but the watermark is computed as the max event
+    * time across ALL cells minus lateness, so a cell (region) whose
+    * event-time progress lags the globally most-recent fix by more
+    * than `latenessUs` loses in-horizon out-of-order fixes AT THE
+    * WATERMARK that the in-state check alone would have paired. For
+    * feeds with skewed per-region event-time progress, raise
+    * `latenessUs` to cover the worst cross-region lag (state cost
+    * grows linearly with it), and watch the query's
+    * `numRowsDroppedByWatermark` progress metric — a nonzero value
+    * there is exactly this global-frontier drop firing.
+    * (Checkpoint note: pre-r17 contactsStream checkpoints
     * used NoTimeout and cannot be restored by this build — restart
     * from a fresh checkpoint dir; see SURVEY.md §2.2 state notes.) */
   def contactsStream(

@@ -912,12 +912,20 @@ class GeoTrajectorySpec extends SparkSpec {
         r.getDouble(5), r.getDouble(6), r.getDouble(7)))
     assert(rows.head == ((10L, 190L, 162.0, 0.0, 162.0)),
       s"the subset pair must rank first with the asymmetric pair: ${rows.toSeq}")
+    // (10,30) sits EXACTLY on the admission boundary H² = D² = 400 —
+    // pins the ≤ (not <) of the exact admitted set {H ≤ D}
     assert(rows.toSet.contains((10L, 30L, 400.0, 400.0, 400.0)),
       s"the band-separated pair diverged: ${rows.toSeq}")
     // (30,190): 30's tail escapes the 3-fix subset to 922 (δ=3 from
-    // k=5: 9·9 + 29²), while every 190 fix stays within 400 of track 30
-    assert(rows.toSet.contains((30L, 190L, 922.0, 400.0, 922.0)),
-      s"the truncated cross pair diverged: ${rows.toSeq}")
+    // k=5: 9·9 + 29²) — H² = 922 > D² = 400, so the r18 exact admitted
+    // set EXCLUDES the pair (the r17 start-bound screen admitted it and
+    // surfaced a supra-D ranking the screen never guaranteed; the
+    // contract is now exactly "top 20 of {H ≤ D}")
+    assert(!rows.exists(r => r._1 == 30L && r._2 == 190L),
+      s"a supra-D pair must not surface from the exact screen: ${rows.toSeq}")
+    assert(rows.toSeq.map(t => (t._1, t._2)).toSet ==
+      Set((10L, 190L), (10L, 30L)),
+      s"exactly the two sub-D pairs must surface: ${rows.toSeq}")
   }
 
   test("ltss_geo_exposure: A-B-C chains transitively without an A-C contact; hops count the intermediaries") {
