@@ -1744,6 +1744,47 @@ object Queries {
     prev(m - 1)
   }
 
+  /** [[discreteDtw2]] under a Sakoe–Chiba band: the warping path may
+    * only visit cells with |i − j| ≤ w (w widened to |n − m| when the
+    * length gap exceeds it — otherwise the corner is unreachable), the
+    * standard production DTW constraint (Sakoe & Chiba, IEEE TASSP
+    * 1978): O(n·w) per pair instead of O(n·m), and the constrained
+    * cost UPPER-BOUNDS the free one (the band only removes paths).
+    * Out-of-band cells are +∞; every in-band cell has an in-band
+    * predecessor (the band is contiguous and shifts by ≤1 per row), so
+    * no ∞ ever reaches a reported value. Exact lattice arithmetic as
+    * the free DP. */
+  private[graft] def discreteDtwBand2(
+      p: IndexedSeq[DpFix], q: IndexedSeq[DpFix], w0: Int): Double = {
+    val n = p.length
+    val m = q.length
+    val w = math.max(w0, math.abs(n - m))
+    val Inf = Double.PositiveInfinity
+    val prev = Array.fill(m)(Inf)
+    val cur = Array.fill(m)(Inf)
+    var i = 0
+    while (i < n) {
+      java.util.Arrays.fill(cur, Inf)
+      val jLo = math.max(0, i - w)
+      val jHi = math.min(m - 1, i + w)
+      var j = jLo
+      while (j <= jHi) {
+        val dx = p(i).lon - q(j).lon
+        val dy = p(i).lat - q(j).lat
+        val d2 = dx * dx + dy * dy
+        cur(j) =
+          if (i == 0 && j == 0) d2
+          else if (i == 0) d2 + cur(j - 1)
+          else if (j == 0) d2 + prev(0)
+          else d2 + math.min(prev(j), math.min(prev(j - 1), cur(j - 1)))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m)
+      i += 1
+    }
+    prev(m - 1)
+  }
+
   /** TRAJECTORY SIMILARITY over stored tracks — the PostGIS
     * `ST_FrechetDistance` analog (the "which trackers moved together"
     * query the track tier exists for): the 20 entity pairs whose month
@@ -1992,6 +2033,92 @@ object Queries {
         |ORDER BY dtw_sq_sum, id_a, id_b, month LIMIT 20""".stripMargin
     })
 
+  /** [[geoDtw]] under the Sakoe–Chiba band |i − j| ≤ w (w = 8,
+    * widened per pair to |n − m| so the corner stays reachable) — THE
+    * standard production DTW knob (r17 VERDICT's optional #8): O(n·w)
+    * per pair instead of O(n·m), and the banded cost UPPER-BOUNDS the
+    * free one (the band only removes warping paths), so ranking by it
+    * is the usual accuracy/cost trade made explicit. The endpoint
+    * screen stays lossless: every banded path still aligns the two
+    * starts and the two ends ((1,1) and (n,m) are always in band), so
+    * banded cost ≥ max(d²(starts), d²(ends)) exactly as the free DP.
+    * Same plan shape as [[geoDtw]] — screen join, survivors equi-join
+    * arrays, ONE compiled O(n·w)/O(m) pass per pair
+    * ([[discreteDtwBand2]]), map-side. Oracle: the identical
+    * anti-diagonal recursive CTE with out-of-band cells pinned to
+    * 1e308 (diagonal k holds j = k + 2 − i, so the band test is
+    * |2i − k − 2| ≤ w; ∞ never reaches a reported value — every
+    * in-band cell has an in-band predecessor). */
+  val geoDtwBand = OracleQuery(
+    "ltss_geo_dtw_band",
+    (s, d) => {
+      import s.implicits._
+      endpointScreenedPairs(s, d, 20.0)
+        .map { case (m, a, b, sa, sb) =>
+          val c2 = discreteDtwBand2(sa.toIndexedSeq, sb.toIndexedSeq, 8)
+          (m, a, b, sa.length.toLong, sb.length.toLong, c2)
+        }
+        .toDF("month", "id_a", "id_b", "n_a", "n_b", "dtw_band_sq_sum")
+        .withColumn("dtw_band_per_step",
+          col("dtw_band_sq_sum") / (col("n_a") + col("n_b")))
+        .orderBy(col("dtw_band_sq_sum"), col("id_a"), col("id_b"), col("month"))
+        .limit(20)
+    },
+    Some {
+      s"""WITH RECURSIVE pts AS (
+        |  SELECT user_id, date_trunc('month', ts) AS chunk, ts, event_id,
+        |         CAST((user_id + event_id) % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+        |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+        |         row_number() OVER (PARTITION BY user_id, date_trunc('month', ts)
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |),
+        |tracks AS (
+        |  SELECT user_id, chunk, count(*) AS n,
+        |         list(lat ORDER BY rn) AS lats, list(lon ORDER BY rn) AS lons
+        |  FROM pts GROUP BY user_id, chunk
+        |),
+        |cand AS (
+        |  SELECT a.user_id AS id_a, b.user_id AS id_b, a.chunk,
+        |         a.n AS na, b.n AS nb,
+        |         greatest(8, abs(a.n - b.n)) AS w,
+        |         a.lats AS alat, a.lons AS alon,
+        |         b.lats AS blat, b.lons AS blon
+        |  FROM tracks a JOIN tracks b
+        |    ON a.chunk = b.chunk AND a.user_id < b.user_id
+        |  WHERE greatest(
+        |    (a.lats[1] - b.lats[1]) * (a.lats[1] - b.lats[1])
+        |      + (a.lons[1] - b.lons[1]) * (a.lons[1] - b.lons[1]),
+        |    (a.lats[a.n] - b.lats[b.n]) * (a.lats[a.n] - b.lats[b.n])
+        |      + (a.lons[a.n] - b.lons[b.n]) * (a.lons[a.n] - b.lons[b.n])
+        |  ) <= 400.0
+        |),
+        |walk(id_a, id_b, chunk, na, nb, w, alat, alon, blat, blon, k, dk, dk1) AS (
+        |  SELECT id_a, id_b, chunk, na, nb, w, alat, alon, blat, blon, 1,
+        |         [(alat[1] - blat[1]) * (alat[1] - blat[1])
+        |          + (alon[1] - blon[1]) * (alon[1] - blon[1])],
+        |         CAST(NULL AS DOUBLE[])
+        |  FROM cand
+        |  UNION ALL
+        |  SELECT id_a, id_b, chunk, na, nb, w, alat, alon, blat, blon, k + 1,
+        |    list_transform(range(greatest(1, k + 2 - nb), least(na, k + 1) + 1), i ->
+        |      CASE WHEN abs(2 * i - k - 2) <= w THEN
+        |        (alat[i] - blat[k + 2 - i]) * (alat[i] - blat[k + 2 - i])
+        |          + (alon[i] - blon[k + 2 - i]) * (alon[i] - blon[k + 2 - i])
+        |        + least(
+        |            coalesce(dk[i - 1 - greatest(1, k + 1 - nb) + 1], 1e308),
+        |            coalesce(dk[i - greatest(1, k + 1 - nb) + 1], 1e308),
+        |            coalesce(dk1[i - 1 - greatest(1, k - nb) + 1], 1e308))
+        |      ELSE 1e308 END),
+        |    dk
+        |  FROM walk WHERE k < na + nb - 1
+        |)
+        |SELECT chunk AS month, id_a, id_b, na AS n_a, nb AS n_b,
+        |       dk[1] AS dtw_band_sq_sum, dk[1] / (na + nb) AS dtw_band_per_step
+        |FROM walk WHERE k = na + nb - 1
+        |ORDER BY dtw_band_sq_sum, id_a, id_b, month LIMIT 20""".stripMargin
+    })
+
   /** Directed Hausdorff distance² — max over p∈P of min over q∈Q of
     * d²(p, q), the classic point-set distance (the other trajectory
     * distance next to [[discreteFrechet2]]; Hausdorff ignores ORDER
@@ -2026,119 +2153,123 @@ object Queries {
     * Hausdorff distance max(h(A,B), h(B,A)), planar degrees on the
     * fixture lattice, both directed distances reported (the asymmetry
     * IS a datum — a detour shows up in one direction only). NEVER
-    * all-pairs — and unlike [[geoFrechet]] (whose DP genuinely needs
-    * the coupled arrays) the bucketed D-grid join EVALUATES Hausdorff
-    * rather than merely screening it (r18; r17 screened on the single
-    * lossless start-bound d(A.start, B) ≤ D — admitted 5× the true
-    * set at the folded 10×, the flagged loosest screen of the
-    * trajectory trio — then attached both fix arrays to every
-    * survivor and ran the max-min per pair). The geometry that makes
-    * the join EXACT: any point within D of a fix lies inside the
-    * fix's 3×3 block on the D-sized grid, and on the half-integer
-    * fixture lattice the gap from a fix to its block's edge is
-    * ≥ D + 0.5 — so the min d² from an A-fix to the B-fixes VISIBLE
-    * from its cell (B's per-(track, viewer-cell) 3×3-neighborhood
-    * DISTINCT-position arrays, the LSH-band shape) equals the TRUE
-    * min_j d²(a, B[j]) whenever that min ≤ D², and a cell-local
-    * min > D² certifies the true min > D (everything outside the
-    * block is farther still). So ONE skinny row per co-located
-    * (A-fix, B-track) — a compiled `aggregate` over the neighborhood
-    * array, map-side, no per-probe state — rolls up COMBINABLY by
-    * (chunk, pair): a directed h(A,B) is admitted iff every distinct
-    * A-position matched (row count == the track's distinct-position
-    * count) with max(min d²) ≤ D², and that max IS h(A,B)² exactly;
-    * the symmetric pair is the equi-join of the two directed frames.
-    * The admitted set is EXACTLY {H ≤ D} — output-driven, the
-    * tightest admissible — and both the per-survivor O(n·m) max-min
-    * and the survivor-with-arrays shuffle that exceeded the box's
-    * scratch at the folded 100× (SCALING.md r17) are GONE; what
-    * remains scales with spatial CO-LOCATION density (A-fixes ×
-    * B-tracks per cell), the contact-join regime, never corpus².
-    * Exact lattice arithmetic end to end (min/max are selections,
-    * never accumulations — the d² values compare bit-identically to
-    * the oracle's); ONE closing sqrt. Oracle: the nested max-min list
-    * comprehensions over the raw ordered fixes BOTH directions with
-    * the exact closing filter H² ≤ D² (the two lossless directed
-    * start-bound screens kept in its cand stage purely as a speedup —
-    * supersets of the exact filter, they cannot change the set). */
+    * all-pairs, but the screen is NOT [[geoFrechet]]'s: max(d(starts),
+    * d(ends)) is NOT a lower bound of symmetric Hausdorff (Hausdorff
+    * never couples endpoints — a pair can have huge start separation
+    * and tiny Hausdorff). The bounds that ARE lossless: H(A,B) ≥
+    * h(A,B) ≥ d(A.start, B) AND H(A,B) ≥ h(B,A) ≥ d(B.start, A) —
+    * any point of either track sits within H of SOME point of the
+    * other, the start included — and r18 intersects BOTH (r17 used
+    * only the first, the flagged loosest screen of the trajectory
+    * trio; the second is FREE because the grid join below already
+    * enumerates every ordered (start, segment) pair — r17 just
+    * discarded half pre-exists with an id < id filter — so both
+    * directions ride ONE join, one extra compiled exists per row,
+    * intersected by a count-2 rollup over 8-byte pair keys).
+    * Candidates join each track's START (3×3 neighbor-expanded on the
+    * D-sized grid, the LSH-band shape) against B's per-(track, cell)
+    * DISTINCT-position arrays — one row per segment per touched cell,
+    * the Fréchet screen's segment × segment join shape (r17: the
+    * first cut joined raw exploded fixes, |starts| × |fixes| per
+    * cell, and the 100× probe measured it filling the disk; min over
+    * a set equals min over its distinct values and a qualifying fix's
+    * cell is always inside the start's 3×3 expansion, so the grouped
+    * screen admits the IDENTICAL pair set). Survivor pairs attach
+    * their two month arrays by equi-joins on (id, chunk) — NO
+    * broadcast hints, the frechet maxResultSize lesson — and each
+    * pair's max-min runs as ONE compiled pass ([[directedHausdorff2]]
+    * both ways), map-side. DESIGN NOTE (r18, measured): evaluating h
+    * INSIDE the grid join (per-(A-fix, B-track) cell-local min d²,
+    * which is exact below D on this lattice) was built and probed —
+    * it matches at sf0.1 but the join output is fixes × tracks-per-
+    * block, and the density fold SQUARES it (the folded 10× probe ran
+    * 10× past r17's 88 s before being killed); the track-level screen
+    * + compiled per-pair DP keeps the join segment × segment and the
+    * quadratic term confined to ADMITTED pairs, which the two-sided
+    * screen is for. Exact lattice arithmetic end to end; ONE closing
+    * sqrt. Oracle: the identical max-min evaluated as nested list
+    * comprehensions over the raw ordered fixes (no recursion — max-min
+    * has no sequential dependence), with the SAME two exact screen
+    * predicates in its cand stage. */
   val geoHausdorff = OracleQuery(
     "ltss_geo_hausdorff",
     (s, d) => {
+      import s.implicits._
       val D = 20.0
       val D2 = D * D
       val segs = s.read.parquet(trackLayout2dPath(s, d))
         .select(col("id"), col("chunk"), col("seg"))
-      val sizes = segs.select(col("id"), col("chunk"),
-        size(col("seg")).cast("long").as("n"))
-      // DISTINCT A-positions: max over a multiset = max over its set,
-      // and the per-direction match count compares against the same
-      // distinct count below, so duplicates neither miss nor double
-      val aFix = segs.select(col("id").as("id_a"), col("chunk"),
-          explode(col("seg")).as("f"))
+      val starts = segs.select(col("id").as("id_a"), col("chunk"),
+          element_at(col("seg"), 1).as("p1"))
         .select(col("id_a"), col("chunk"),
-          col("f.lat").as("alat"), col("f.lon").as("alon"))
-        .distinct()
-      val nDistinct = aFix.groupBy(col("id_a"), col("chunk"))
-        .agg(count(lit(1)).as("nd"))
-      val aHome = aFix
-        .withColumn("jla", floor((col("alat") + lit(90.0)) / lit(D)).cast("long"))
-        .withColumn("jlo", floor((col("alon") + lit(180.0)) / lit(D)).cast("long"))
-      // B side: one row per (track, VIEWER cell) carrying the track's
-      // DISTINCT fixes lying in that cell's 3×3 neighborhood — each
-      // fix fans out to the 9 cells it is visible FROM, then groups.
-      // Each array is bounded by one month-track's distinct positions
-      // inside one 3×3 block — construction-bounded, never corpus-
-      // bounded (the r17 lesson: never join raw fix × raw fix).
-      val bNbr = segs.select(col("id").as("id_b"), col("chunk"),
+          col("p1.lat").as("alat1"), col("p1.lon").as("alon1"))
+        .withColumn("cla", floor((col("alat1") + lit(90.0)) / lit(D)).cast("long"))
+        .withColumn("clo", floor((col("alon1") + lit(180.0)) / lit(D)).cast("long"))
+        .withColumn("dla", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dlo", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("chunk"), col("id_a"), col("alat1"), col("alon1"),
+          (col("cla") + col("dla")).as("jla"), (col("clo") + col("dlo")).as("jlo"))
+      // the B side GROUPS to one row per (track, cell) carrying its
+      // DISTINCT fix positions as an array (min over a set = min over
+      // its distinct values, and a qualifying fix's cell is always in
+      // the start's 3×3 expansion — the admitted set is IDENTICAL to
+      // joining raw fixes): the screen join is then segment × segment
+      // per cell, the Fréchet shape, where the raw-fix join's output
+      // is |starts| × |fixes| per cell — measured filling the disk at
+      // the folded 100× (SCALING.md r17). Each array is bounded by
+      // one month-track's distinct positions inside one D-cell —
+      // construction-bounded, never corpus-bounded.
+      val bCells = segs.select(col("id").as("id_b"), col("chunk"),
           explode(col("seg")).as("f"))
         .select(col("id_b"), col("chunk"),
           col("f.lat").as("blat"), col("f.lon").as("blon"))
         .distinct()
-        .withColumn("cla", floor((col("blat") + lit(90.0)) / lit(D)).cast("long"))
-        .withColumn("clo", floor((col("blon") + lit(180.0)) / lit(D)).cast("long"))
-        .withColumn("dla", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .withColumn("dlo", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .groupBy(col("id_b"), col("chunk"),
-          (col("cla") + col("dla")).as("jla"),
-          (col("clo") + col("dlo")).as("jlo"))
+        .withColumn("jla", floor((col("blat") + lit(90.0)) / lit(D)).cast("long"))
+        .withColumn("jlo", floor((col("blon") + lit(180.0)) / lit(D)).cast("long"))
+        .groupBy(col("id_b"), col("chunk"), col("jla"), col("jlo"))
         .agg(collect_list(struct(col("blat"), col("blon"))).as("bpts"))
-      // ONE skinny row per co-located (A-fix, B-track): the cell-local
-      // min d² — EXACT as the true min_j whenever ≤ D² (scaladoc), a
-      // compiled aggregate over the neighborhood array, map-side
-      val probes = aHome.join(bNbr, Seq("chunk", "jla", "jlo"))
+      // r18: BOTH directed start-bounds intersect. The join already
+      // enumerates every ORDERED (start, segment) pair — r17 merely
+      // dropped half of them with an id_a < id_b filter before the
+      // exists — so keeping both orders through the screen is free
+      // (one extra compiled exists per surviving row), and a pair is
+      // admitted only when d(A.start, B) ≤ D AND d(B.start, A) ≤ D
+      // (each lossless: H ≥ h(X,Y) ≥ d(X.start, Y)); the intersection
+      // is the count-2 group below.
+      val dirAdm = starts.join(bCells, Seq("chunk", "jla", "jlo"))
         .filter(col("id_a") =!= col("id_b"))
-        .select(col("chunk"), col("id_a"), col("id_b"),
-          aggregate(col("bpts"), lit(Double.PositiveInfinity),
-            (acc, p) => least(acc,
-              (col("alat") - p.getField("blat")) *
-                (col("alat") - p.getField("blat")) +
-                (col("alon") - p.getField("blon")) *
-                (col("alon") - p.getField("blon")))).as("m"))
-      // directed h(A,B)²: admitted iff EVERY distinct A-position found
-      // a visible B-fix (count == nd) and the max cell-local min ≤ D²
-      // — in which case that max IS h(A,B)² exactly
-      val directed = probes.groupBy(col("chunk"), col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("nm"), max(col("m")).as("h2"))
-        .join(nDistinct, Seq("id_a", "chunk"))
-        .filter(col("nm") === col("nd") && col("h2") <= lit(D2))
-        .select(col("chunk"), col("id_a"), col("id_b"), col("h2"))
-      val fwd = directed.filter(col("id_a") < col("id_b"))
-        .select(col("chunk"), col("id_a"), col("id_b"),
-          col("h2").as("h_ab_sq_deg"))
-      val bwd = directed.filter(col("id_a") > col("id_b"))
-        .select(col("chunk"), col("id_b").as("id_a"), col("id_a").as("id_b"),
-          col("h2").as("h_ba_sq_deg"))
-      fwd.join(bwd, Seq("chunk", "id_a", "id_b"))
-        .join(sizes.select(col("id").as("id_a"), col("chunk"),
-          col("n").as("n_a")), Seq("id_a", "chunk"))
-        .join(sizes.select(col("id").as("id_b"), col("chunk"),
-          col("n").as("n_b")), Seq("id_b", "chunk"))
-        .select(col("chunk").as("month"), col("id_a"), col("id_b"),
-          col("n_a"), col("n_b"), col("h_ab_sq_deg"), col("h_ba_sq_deg"),
-          greatest(col("h_ab_sq_deg"), col("h_ba_sq_deg"))
-            .as("hausdorff_sq_deg"),
-          sqrt(greatest(col("h_ab_sq_deg"), col("h_ba_sq_deg")))
-            .as("hausdorff_deg"))
+        .filter(expr(s"exists(bpts, p -> " +
+          s"(alat1 - p.blat) * (alat1 - p.blat) " +
+          s"+ (alon1 - p.blon) * (alon1 - p.blon) <= $D2)"))
+        .select(col("chunk"),
+          least(col("id_a"), col("id_b")).as("id_lo"),
+          greatest(col("id_a"), col("id_b")).as("id_hi"),
+          (col("id_a") < col("id_b")).as("fwd"))
+        .distinct()
+      val cand = dirAdm.groupBy(col("chunk"), col("id_lo"), col("id_hi"))
+        .agg(count(lit(1)).as("ndir"))
+        .filter(col("ndir") === 2)
+        .select(col("chunk"), col("id_lo").as("id_a"), col("id_hi").as("id_b"))
+      val withA = segs
+        .select(col("id").as("id_a"), col("chunk"), col("seg").as("seg_a"))
+        .join(cand, Seq("id_a", "chunk"))
+      val withB = segs
+        .select(col("id").as("id_b"), col("chunk"), col("seg").as("seg_b"))
+        .join(withA, Seq("id_b", "chunk"))
+      withB.select(col("chunk").as("month"), col("id_a"), col("id_b"),
+          col("seg_a"), col("seg_b"))
+        .as[(java.sql.Timestamp, Long, Long, Seq[DpFix], Seq[DpFix])]
+        .map { case (m, a, b, sa, sb) =>
+          val pa = sa.toIndexedSeq
+          val pb = sb.toIndexedSeq
+          val hab = directedHausdorff2(pa, pb)
+          val hba = directedHausdorff2(pb, pa)
+          val h2 = math.max(hab, hba)
+          (m, a, b, pa.length.toLong, pb.length.toLong,
+            hab, hba, h2, math.sqrt(h2))
+        }
+        .toDF("month", "id_a", "id_b", "n_a", "n_b",
+          "h_ab_sq_deg", "h_ba_sq_deg", "hausdorff_sq_deg", "hausdorff_deg")
         .orderBy(col("hausdorff_sq_deg"), col("id_a"), col("id_b"), col("month"))
         .limit(20)
     },
@@ -2191,7 +2322,6 @@ object Queries {
         |       greatest(h_ab_sq_deg, h_ba_sq_deg) AS hausdorff_sq_deg,
         |       sqrt(greatest(h_ab_sq_deg, h_ba_sq_deg)) AS hausdorff_deg
         |FROM h
-        |WHERE h_ab_sq_deg <= 400.0 AND h_ba_sq_deg <= 400.0
         |ORDER BY hausdorff_sq_deg, id_a, id_b, month LIMIT 20""".stripMargin
     })
 
@@ -3292,6 +3422,134 @@ object Queries {
       |HAVING count(*) >= 3
       |ORDER BY id_lo, id_hi, hr_start""".stripMargin))
 
+  /** K-MEMBER CONVOY GROUPS — the full Jeung et al. deliverable
+    * [[geoConvoys]] stops one step short of (r17 VERDICT gap #1): the
+    * pair episode says two trackers stayed together; the GROUP says
+    * which trackers — per hour, the connected components over the
+    * pairs in CONTACT that hour (the density-connected cluster of
+    * Jeung's per-timestamp stage, at the contact join's R), reported
+    * as maximal runs of consecutive hours over which the component's
+    * member set is IDENTICAL, kept at k ≥ 3 members and m ≥ 2 hours
+    * (a 2-member group is just the pair episode again; the same-set
+    * rule is the strict variant of Jeung's cluster-intersection —
+    * when a member joins or leaves, one group episode closes and
+    * another opens, which is the alert an analyst wants; m is
+    * fixture-scaled — same-set k-groups are strictly rarer than pair
+    * episodes, and the synthetic fleet's triple co-locations are
+    * fleeting — a real deployment raises it). Machinery: the hourly
+    * pair-contact rollup (8-byte keys, combinable, output-driven from
+    * the bucketed join); per-hour components come from ONE global
+    * [[graft.operators.Dedup.connectedComponents]] call over
+    * COMPOSITE-ENCODED nodes hr·10⁹ + member — edges never span hours,
+    * so the global fixpoint IS the per-hour partition (the encoding
+    * holds for member ids < 10⁹ and epoch-hours < 9.2·10⁹ — any real
+    * fleet; a larger id space would remap through a planning-sized
+    * dense-rank dimension first). Group identity = the sorted member
+    * list (canonical string); episodes close over the same rn-gap
+    * window the pair form uses. Everything downstream of the CC is
+    * combinable aggregates + ONE keyed window over the per-(hour,
+    * group) frame — orders of magnitude smaller than the contact log,
+    * which is itself output-driven. Oracle: the hour-carrying
+    * recursive-CTE closure (the exposure precedent with hr in the
+    * recursion key) over the same hourly contact edges. */
+  val geoConvoyGroups = OracleQuery(
+    "ltss_geo_convoy_groups",
+    (s, d) => {
+      val Enc = 1000000000L
+      val ev = geoContacts.run(s, d)
+      val hours = ev.select(
+          least(col("user_a"), col("user_b")).as("id_lo"),
+          greatest(col("user_a"), col("user_b")).as("id_hi"),
+          expr("unix_micros(time_a) div 3600000000").as("hr"))
+        .distinct()
+      val edges = hours.select(
+        (col("hr") * Enc + col("id_lo")).as("a_id"),
+        (col("hr") * Enc + col("id_hi")).as("b_id"))
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val aqeWas = s.conf.get(aqeKey, "true")
+      s.conf.set(aqeKey, "false")
+      val labels =
+        try Dedup.connectedComponents(edges)._1
+        finally s.conf.set(aqeKey, aqeWas)
+      val perHr = labels.select(
+        expr(s"id div $Enc").as("hr"),
+        expr(s"id % $Enc").as("member"),
+        expr(s"label % $Enc").as("gid"))
+      val grp = perHr.groupBy(col("hr"), col("gid"))
+        .agg(sort_array(collect_set(col("member"))).as("mem"))
+        .filter(size(col("mem")) >= 3)
+        .select(col("hr"), col("gid"),
+          size(col("mem")).cast("long").as("n_members"),
+          concat_ws(",", transform(col("mem"), m => m.cast("string")))
+            .as("members"))
+      val w = Window.partitionBy(col("members")).orderBy(col("hr"))
+      grp.withColumn("new_ep",
+          (col("hr") > coalesce(lag(col("hr"), 1).over(w), lit(-2L)) + 1L)
+            .cast("int"))
+        .withColumn("ep", sum(col("new_ep")).over(w))
+        .groupBy(col("members"), col("ep"))
+        .agg(min(col("gid")).as("group_id"),
+          max(col("n_members")).as("n_members"),
+          min(col("hr")).as("hr_start"),
+          count(lit(1)).as("n_hours"))
+        .filter(col("n_hours") >= 2L)
+        .select(col("group_id"), col("n_members"), col("members"),
+          col("hr_start"), col("n_hours"),
+          (col("hr_start") + col("n_hours") - lit(1L)).as("hr_end"))
+        .orderBy(col("group_id"), col("hr_start"), col("members"))
+    },
+    Some("""WITH RECURSIVE pts AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+      |         epoch_us(ts) AS tus
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+      |ev AS (
+      |  SELECT a.ts AS time_a, a.user_id AS user_a,
+      |         b.ts AS time_b, b.user_id AS user_b,
+      |         a.tus AS tus_a
+      |  FROM pts a JOIN pts b
+      |    ON b.tus BETWEEN a.tus AND a.tus + 7200000000
+      |   AND (a.tus, a.user_id, a.event_id) < (b.tus, b.user_id, b.event_id)
+      |   AND a.user_id <> b.user_id
+      |   AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) <= 64.0),
+      |hrs AS (
+      |  SELECT DISTINCT least(user_a, user_b) AS id_lo,
+      |         greatest(user_a, user_b) AS id_hi,
+      |         tus_a // 3600000000 AS hr
+      |  FROM ev),
+      |sym AS (SELECT hr, id_lo AS src, id_hi AS dst FROM hrs
+      |        UNION ALL SELECT hr, id_hi, id_lo FROM hrs),
+      |nodes AS (SELECT DISTINCT hr, src AS id FROM sym),
+      |r(hr, id, rid) AS (
+      |  SELECT hr, id, id FROM nodes
+      |  UNION
+      |  SELECT s.hr, s.src, r.rid
+      |  FROM sym s JOIN r ON s.hr = r.hr AND s.dst = r.id),
+      |lab AS (SELECT hr, id AS member, min(rid) AS gid FROM r GROUP BY hr, id),
+      |grp AS (
+      |  SELECT hr, gid, CAST(count(*) AS BIGINT) AS n_members,
+      |         string_agg(CAST(member AS VARCHAR), ',' ORDER BY member) AS members
+      |  FROM lab GROUP BY hr, gid
+      |  HAVING count(*) >= 3),
+      |flg2 AS (
+      |  SELECT *, CASE WHEN hr > COALESCE(
+      |      lag(hr) OVER (PARTITION BY members ORDER BY hr), -2) + 1
+      |    THEN 1 ELSE 0 END AS new_ep
+      |  FROM grp),
+      |geps AS (
+      |  SELECT *, SUM(new_ep) OVER (PARTITION BY members ORDER BY hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ep
+      |  FROM flg2)
+      |SELECT CAST(min(gid) AS BIGINT) AS group_id,
+      |       CAST(max(n_members) AS BIGINT) AS n_members, members,
+      |       CAST(min(hr) AS BIGINT) AS hr_start,
+      |       CAST(count(*) AS BIGINT) AS n_hours,
+      |       CAST(min(hr) + count(*) - 1 AS BIGINT) AS hr_end
+      |FROM geps GROUP BY members, ep
+      |HAVING count(*) >= 2
+      |ORDER BY group_id, hr_start, members""".stripMargin))
+
   /** EXPOSURE CHAINS over the contact graph — the contact-tracing
     * deliverable [[geoContactPairs]] stops short of: if A contacted B
     * and B contacted C, then C is in A's exposure chain even though A
@@ -3314,18 +3572,43 @@ object Queries {
     * fleet-bounded, not corpus-bounded. Oracle: the DuckDB
     * recursive-CTE closure (the `dedup_clusters` precedent) over the
     * same band-join edges, plus a hop-bounded recursive BFS — both
-    * different constructions than the Spark loops they check. */
-  val geoExposure = OracleQuery(
-    "ltss_geo_exposure",
-    (s, d) => {
+    * different constructions than the Spark loops they check.
+    * ([[exposureFrame]] below is the engine; [[geoExposure]] presents
+    * it unfiltered, [[geoExposureFiltered]] with practice thresholds.)
+    *
+    * Shared engine of [[geoExposure]] and [[geoExposureFiltered]]:
+    * the CC + BFS machinery over the contact-pair graph, parameterized
+    * by an optional EDGE predicate (evaluated on the pair rollup's
+    * columns — n_contacts, min_d2, first/last_contact — epidemiological
+    * practice thresholds edges before tracing: repeated contact,
+    * close approach, time-boxed) and by the TRUNCATION TIER:
+    * `localCheckpoint` blocks live only on their executor — fine on
+    * one box, but on a real cluster a lost executor kills the only
+    * copy of a lineage-free frame mid-loop and the whole query with
+    * it; `reliable = true` switches every truncation here AND inside
+    * [[graft.operators.Dedup.connectedComponents]] to reliable
+    * checkpoints (requires `sc.setCheckpointDir`; one extra
+    * write-to-DFS per round is the availability price). 100 TB
+    * deployments pass true — the connectedComponents contract,
+    * plumbed through the BFS as r17's VERDICT asked. */
+  private[graft] def exposureFrame(
+      s: SparkSession, d: String,
+      edgeFilter: Option[Column] = None,
+      reliable: Boolean = false): DataFrame = {
+      def truncE(df: DataFrame): DataFrame =
+        if (reliable) df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true)
+      def trunc(df: DataFrame): DataFrame =
+        if (reliable) df.checkpoint(eager = false)
+        else df.localCheckpoint(eager = false)
       // ONE contact-join compute: the pair rollup materializes once
       // (eager truncation) and every consumer below — the CC edges,
       // the BFS's sym frame, the span join — reads its blocks instead
       // of replaying the bucketed contact join per consumer
-      val pairs = geoContactPairs.run(s, d)
-        .select(col("id_lo"), col("id_hi"), col("first_contact"),
-          col("last_contact"))
-        .localCheckpoint(eager = true)
+      val pairs = truncE(
+        edgeFilter.foldLeft(geoContactPairs.run(s, d))((f, c) => f.filter(c))
+          .select(col("id_lo"), col("id_hi"), col("first_contact"),
+            col("last_contact")))
       val edges = pairs.select(col("id_lo"), col("id_hi"))
       val aqeKey = "spark.sql.adaptive.enabled"
       val aqeWas = s.conf.get(aqeKey, "true")
@@ -3352,19 +3635,19 @@ object Queries {
           val parts = math.max(1L,
             math.min(maxParts.toLong, (2L * nEdges) / 100000L + 1L)).toInt
           s.conf.set(partsKey, parts.toString)
-          val (lab, _) = graft.operators.Dedup.connectedComponents(edges)
-          val labC = lab.localCheckpoint(eager = false)
-          val sym = edges.select(col("id_lo").as("src"), col("id_hi").as("dst"))
-            .union(edges.select(col("id_hi"), col("id_lo")))
-            .repartition(parts, col("src"))
-            .localCheckpoint(eager = false)
+          val (lab, _) =
+            graft.operators.Dedup.connectedComponents(edges, reliable)
+          val labC = trunc(lab)
+          val sym = trunc(
+            edges.select(col("id_lo").as("src"), col("id_hi").as("dst"))
+              .union(edges.select(col("id_hi"), col("id_lo")))
+              .repartition(parts, col("src")))
           // BFS from each component's seed (its min-id = its label):
           // hop counts are SHORTEST paths, so a node's count is final
           // the first time it enters — the frontier never revisits
-          var settled = labC.filter(col("id") === col("label"))
+          var settled = trunc(labC.filter(col("id") === col("label"))
             .select(col("id"), lit(0L).as("hops"))
-            .repartition(parts, col("id"))
-            .localCheckpoint(eager = false)
+            .repartition(parts, col("id")))
           var frontier = settled
           var more = settled.count() > 0
           // BFS rounds are inherently O(seed eccentricity) driver
@@ -3383,24 +3666,22 @@ object Queries {
             var cur = frontier
             val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
             for (_ <- 1 to HopsPerJob) {
-              val nxt = cur.join(sym, cur("id") === sym("src"))
+              val nxt = trunc(cur.join(sym, cur("id") === sym("src"))
                 .select(col("dst").as("id"), (col("hops") + 1L).as("hops"))
                 .groupBy(col("id")).agg(min(col("hops")).as("hops"))
-                .join(block, col("id") === col("seen"), "left_anti")
-                .localCheckpoint(eager = false)
+                .join(block, col("id") === col("seen"), "left_anti"))
               layers += nxt
               block = block.union(nxt.select(col("id").as("seen")))
               cur = nxt
             }
-            val roundNew = layers.reduce(_ union _)
-              .repartition(parts, col("id"))
-              .localCheckpoint(eager = false)
+            val roundNew = trunc(layers.reduce(_ union _)
+              .repartition(parts, col("id")))
             // an empty TRAILING layer with earlier layers non-empty
             // costs exactly one extra (empty, cheap) round before the
             // count reads zero and the loop stops
             more = roundNew.count() > 0
             if (more) {
-              settled = settled.union(roundNew).localCheckpoint(eager = false)
+              settled = trunc(settled.union(roundNew))
               frontier = layers.last
             }
           }
@@ -3421,7 +3702,11 @@ object Queries {
           col("n_members"), col("hops"), col("first_contact"),
           col("last_contact"))
         .orderBy(col("user_id"))
-    },
+  }
+
+  val geoExposure = OracleQuery(
+    "ltss_geo_exposure",
+    (s, d) => exposureFrame(s, d),
     Some("""WITH RECURSIVE pts AS (
       |  SELECT user_id, ts, event_id,
       |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
@@ -3440,6 +3725,76 @@ object Queries {
       |  SELECT least(user_a, user_b) AS id_lo, greatest(user_a, user_b) AS id_hi,
       |         min(time_a) AS first_contact, max(time_b) AS last_contact
       |  FROM ev GROUP BY 1, 2),
+      |sym AS (SELECT id_lo AS src, id_hi AS dst FROM pairs
+      |        UNION ALL SELECT id_hi, id_lo FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM sym),
+      |r(id, rid) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT sym.src, r.rid FROM sym JOIN r ON sym.dst = r.id
+      |),
+      |labels AS (SELECT id, min(rid) AS label FROM r GROUP BY id),
+      |walk(id, hops) AS (
+      |  SELECT id, 0 FROM labels WHERE id = label
+      |  UNION
+      |  SELECT s.dst, w.hops + 1
+      |  FROM sym s JOIN walk w ON s.src = w.id
+      |  WHERE w.hops < (SELECT count(*) FROM nodes)
+      |),
+      |hops AS (SELECT id, CAST(min(hops) AS BIGINT) AS hops FROM walk GROUP BY id),
+      |comp AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+      |         FROM labels GROUP BY label),
+      |span AS (
+      |  SELECT l.label, min(p.first_contact) AS first_contact,
+      |         max(p.last_contact) AS last_contact
+      |  FROM pairs p JOIN labels l ON l.id = p.id_lo
+      |  GROUP BY l.label)
+      |SELECT l.id AS user_id, l.label AS component, c.n_members, h.hops,
+      |       sp.first_contact, sp.last_contact
+      |FROM labels l
+      |JOIN hops h ON h.id = l.id
+      |JOIN comp c ON c.label = l.label
+      |JOIN span sp ON sp.label = l.label
+      |ORDER BY user_id""".stripMargin))
+
+  /** [[geoExposure]] with the edge thresholds epidemiological practice
+    * applies BEFORE tracing (r17 VERDICT's optional #7): an edge
+    * qualifies only with REPEATED contact (n_contacts ≥ 2 — a single
+    * co-location is noise at fleet scale) at CLOSE approach
+    * (min_d² ≤ 32, half the contact join's R² = 64). The pair rollup
+    * already carries both columns, so the filter costs a predicate on
+    * the materialize-once frame — the CC + BFS machinery, hop
+    * semantics, and output shape are [[exposureFrame]]'s verbatim; the
+    * traced GRAPH just gets sparser (components split where their only
+    * bridge was a weak edge — the reason the filtered trace is a
+    * separate deliverable, not a WHERE on the unfiltered one: hop
+    * counts and component labels both change). Oracle: the same
+    * recursive closure + hop walk with the thresholds as a HAVING on
+    * the pair rollup. */
+  val geoExposureFiltered = OracleQuery(
+    "ltss_geo_exposure_filtered",
+    (s, d) => exposureFrame(s, d,
+      edgeFilter = Some(col("n_contacts") >= 2L && col("min_d2") <= 32.0)),
+    Some("""WITH RECURSIVE pts AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST(event_id % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+      |         epoch_us(ts) AS tus
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+      |ev AS (
+      |  SELECT a.ts AS time_a, a.user_id AS user_a,
+      |         b.ts AS time_b, b.user_id AS user_b,
+      |         (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) AS d2
+      |  FROM pts a JOIN pts b
+      |    ON b.tus BETWEEN a.tus AND a.tus + 7200000000
+      |   AND (a.tus, a.user_id, a.event_id) < (b.tus, b.user_id, b.event_id)
+      |   AND a.user_id <> b.user_id
+      |   AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) <= 64.0),
+      |pairs AS (
+      |  SELECT least(user_a, user_b) AS id_lo, greatest(user_a, user_b) AS id_hi,
+      |         min(time_a) AS first_contact, max(time_b) AS last_contact
+      |  FROM ev GROUP BY 1, 2
+      |  HAVING count(*) >= 2 AND min(d2) <= 32.0),
       |sym AS (SELECT id_lo AS src, id_hi AS dst FROM pairs
       |        UNION ALL SELECT id_hi, id_lo FROM pairs),
       |nodes AS (SELECT DISTINCT src AS id FROM sym),
@@ -5473,5 +5828,5 @@ object Queries {
     geoHull, geoFrechet, zonesIntersect, geoOdSensitivity, geoContacts,
     geoContactPairs, geoHausdorff, geoExposure, geoContactCells,
     geoOdZones, zonesIntersectConcave, geoDtw, zoneCentroidConcave,
-    geoConvoys)
+    geoConvoys, geoConvoyGroups, geoExposureFiltered, geoDtwBand)
 }

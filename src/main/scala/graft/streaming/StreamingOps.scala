@@ -2543,4 +2543,93 @@ object StreamingOps {
         out.iterator
       }
   }
+
+  final case class CellPanelState(ek: Long, k: Long, users: Seq[Long])
+  final case class CellPanelRow(
+      tb: Long, cx: Long, cy: Long, n_fixes: Long, n_users: Long,
+      n_pairs_within: Long, n_candidates: Long)
+
+  /** LIVE CONTACT-DENSITY panel — the streaming twin of the batch
+    * `ltss_geo_contact_cells` forecast (r17 VERDICT gap #2): the
+    * hot-cell panel is most valuable ON the live feed driving
+    * [[contactsStream]], BEFORE the contact join pays those cells.
+    * Same derivations as the batch panel, verbatim: each fix explodes
+    * to its 18 (bucket ∈ {tb, tb+1}, 3×3 cell) CANDIDATE-TARGET keys
+    * with a home flag on the (tb, 0, 0) copy; per key the state is
+    * three counters and the home user set — `ek` (all arrivals = the
+    * early-side candidate rows the join would enumerate here), `k`
+    * (home fixes), `users` (distinct home entities — kept exactly in
+    * state, which is what the batch `countDistinct` cannot do inside
+    * a streaming agg; bounded by the entities active in one cell-
+    * window). The row EMITS ON WINDOW CLOSE, exactly once, when the
+    * watermark passes the key's last admissible contributor — end of
+    * bucket tb+1, i.e. (tb+1)·T — so the emitted panel equals the
+    * batch panel row for every closed key (spec-pinned); keys with no
+    * HOME fixes emit nothing (the batch inner join's contract) and
+    * just drop their state. A fix older than the watermark drops one
+    * stage early — the global-frontier caveat documented on
+    * [[contactsStream]] applies here identically (same default
+    * lateness = the T horizon; raise `latenessUs` for skewed feeds).
+    * State is bounded by ACTIVE cell-windows × (3 counters + the
+    * cell's entity set) — never by history. */
+  def contactCellsStream(
+      pts: DataFrame, // time TIMESTAMP, user_id LONG, lat DOUBLE, lon DOUBLE
+      radiusDeg: Double = 8.0,
+      windowUs: Long = 7200000000L,
+      latenessUs: Long = -1L): Dataset[CellPanelRow] = {
+    import pts.sparkSession.implicits._
+    val lateUs = if (latenessUs < 0L) windowUs else latenessUs
+    val exploded = pts
+      .select(col("time"), col("user_id"), col("lat"), col("lon"))
+      // ceil to whole seconds — truncation would shorten the promise
+      .withWatermark("time", s"${(lateUs + 999999L) / 1000000L} seconds")
+      .withColumn("cx", floor((col("lat") + lit(90.0)) / lit(radiusDeg)).cast("long"))
+      .withColumn("cy", floor((col("lon") + lit(180.0)) / lit(radiusDeg)).cast("long"))
+      .withColumn("tb", expr(s"unix_micros(time) div $windowUs"))
+      .withColumn("dtb", explode(expr("sequence(0, 1)")))
+      .withColumn("dx", explode(expr("sequence(-1, 1)")))
+      .withColumn("dy", explode(expr("sequence(-1, 1)")))
+      .select(col("time"), col("user_id"),
+        (col("tb") + col("dtb")).as("gtb"),
+        (col("cx") + col("dx")).as("gx"),
+        (col("cy") + col("dy")).as("gy"),
+        (col("dtb") === 0 && col("dx") === 0 && col("dy") === 0).as("home"))
+      .as[(java.sql.Timestamp, Long, Long, Long, Long, Boolean)]
+    exploded
+      .groupByKey(r => (r._3, r._4, r._5))
+      .flatMapGroupsWithState[CellPanelState, CellPanelRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) { (key, rows, st) =>
+        if (st.hasTimedOut) {
+          val s0 = st.get
+          st.remove()
+          val k = s0.k
+          // the batch panel inner-joins home × early: a key that never
+          // saw a HOME fix has no batch row — emit nothing
+          if (k == 0L) Iterator.empty
+          else Iterator.single(CellPanelRow(key._1, key._2, key._3,
+            k, s0.users.length.toLong, k * (k - 1L) / 2L, s0.ek * k))
+        } else {
+          var s0 = st.getOption.getOrElse(CellPanelState(0L, 0L, Seq.empty))
+          var users = s0.users
+          var ek = s0.ek
+          var k = s0.k
+          for (r <- rows) {
+            ek += 1L
+            if (r._6) {
+              k += 1L
+              if (!users.contains(r._2)) users = users :+ r._2
+            }
+          }
+          st.update(CellPanelState(ek, k, users))
+          // close when the watermark passes the key's last admissible
+          // contributor: sources tb and tb−1 both end by (gtb+1)·T
+          // (clamped above the current watermark as the API requires)
+          st.setTimeoutTimestamp(math.max(
+            (key._1 + 1L) * (windowUs / 1000L),
+            st.getCurrentWatermarkMs() + 1L))
+          Iterator.empty
+        }
+      }
+  }
 }

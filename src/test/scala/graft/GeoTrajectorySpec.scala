@@ -912,20 +912,15 @@ class GeoTrajectorySpec extends SparkSpec {
         r.getDouble(5), r.getDouble(6), r.getDouble(7)))
     assert(rows.head == ((10L, 190L, 162.0, 0.0, 162.0)),
       s"the subset pair must rank first with the asymmetric pair: ${rows.toSeq}")
-    // (10,30) sits EXACTLY on the admission boundary H² = D² = 400 —
-    // pins the ≤ (not <) of the exact admitted set {H ≤ D}
     assert(rows.toSet.contains((10L, 30L, 400.0, 400.0, 400.0)),
       s"the band-separated pair diverged: ${rows.toSeq}")
     // (30,190): 30's tail escapes the 3-fix subset to 922 (δ=3 from
-    // k=5: 9·9 + 29²) — H² = 922 > D² = 400, so the r18 exact admitted
-    // set EXCLUDES the pair (the r17 start-bound screen admitted it and
-    // surfaced a supra-D ranking the screen never guaranteed; the
-    // contract is now exactly "top 20 of {H ≤ D}")
-    assert(!rows.exists(r => r._1 == 30L && r._2 == 190L),
-      s"a supra-D pair must not surface from the exact screen: ${rows.toSeq}")
-    assert(rows.toSeq.map(t => (t._1, t._2)).toSet ==
-      Set((10L, 190L), (10L, 30L)),
-      s"exactly the two sub-D pairs must surface: ${rows.toSeq}")
+    // k=5: 9·9 + 29²), while every 190 fix stays within 400 of track
+    // 30 — and the pair pins the r18 TWO-SIDED screen's boundary:
+    // d(190.start, track30)² = 400 passes at EXACTLY ≤ D² while
+    // d(30.start, track190)² = 232, so both directed bounds admit
+    assert(rows.toSet.contains((30L, 190L, 922.0, 400.0, 922.0)),
+      s"the truncated cross pair diverged: ${rows.toSeq}")
   }
 
   test("ltss_geo_exposure: A-B-C chains transitively without an A-C contact; hops count the intermediaries") {
@@ -1252,5 +1247,155 @@ class GeoTrajectorySpec extends SparkSpec {
       .collect().head
     assert((row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3)) ==
       ((0.0, 8.0, 0.0, 10.0)))
+  }
+
+  test("discreteDtwBand2: band-constrained enumeration agrees; band cost upper-bounds free; wide band equals free") {
+    import graft.operators.Queries.{DpFix, discreteDtw2, discreteDtwBand2}
+    def fix(lon: Double, lat: Double) =
+      DpFix(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0L, lat, lon)
+    // ADVERSARY: the band DEFINITION — min total d2 over all monotone
+    // paths RESTRICTED to |i - j| <= w, enumerated explicitly (no DP)
+    def pathMinBand(p: IndexedSeq[DpFix], q: IndexedSeq[DpFix], w0: Int): Double = {
+      val w = math.max(w0, math.abs(p.length - q.length))
+      def d2(i: Int, j: Int) = {
+        val dx = p(i).lon - q(j).lon; val dy = p(i).lat - q(j).lat
+        dx * dx + dy * dy
+      }
+      var best = Double.PositiveInfinity
+      def walk(i: Int, j: Int, acc: Double): Unit =
+        if (math.abs(i - j) <= w) {
+          val s = acc + d2(i, j)
+          if (i == p.length - 1 && j == q.length - 1) best = math.min(best, s)
+          else {
+            if (i + 1 < p.length) walk(i + 1, j, s)
+            if (j + 1 < q.length) walk(i, j + 1, s)
+            if (i + 1 < p.length && j + 1 < q.length) walk(i + 1, j + 1, s)
+          }
+        }
+      walk(0, 0, 0.0)
+      best
+    }
+    val rnd = new scala.util.Random(19)
+    def track(n: Int) = IndexedSeq.fill(n)(
+      fix(rnd.nextInt(21) - 10 + 0.5, rnd.nextInt(21) - 10 + 0.5))
+    for (t <- 1 to 200) {
+      val x = track(1 + rnd.nextInt(5))
+      val y = track(1 + rnd.nextInt(5))
+      val w = rnd.nextInt(4) // 0..3, widened internally to |n - m|
+      val banded = discreteDtwBand2(x, y, w)
+      assert(banded == pathMinBand(x, y, w),
+        s"trial $t: band DP diverged from banded enumeration on $x vs $y w=$w")
+      // the band only REMOVES paths: constrained cost >= free cost
+      assert(banded >= discreteDtw2(x, y),
+        s"trial $t: band cost fell below the free DP")
+      // a band covering the whole table IS the free DP
+      assert(discreteDtwBand2(x, y, math.max(x.length, y.length)) ==
+        discreteDtw2(x, y),
+        s"trial $t: full-width band diverged from the free DP")
+    }
+  }
+
+  test("ltss_geo_dtw_band: twin tracks still rank at 0; a forced detour pays where the free warp dodges") {
+    // the DTW fixture: identical twins 10/190 must still cost 0 under
+    // any band (the diagonal path is always in band)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dtw-band").toString
+    val events = (0 until 6).flatMap { k =>
+      Seq(10L, 190L, 30L).map { u =>
+        (180L + 3 * k, ts(s"2024-01-0${k + 1} 10:00:00"), u)
+      }
+    }
+    events.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("ltss_geo_dtw_band")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(rows.nonEmpty && rows.head == ((10L, 190L, 0.0)),
+      s"the twin tracks must rank first at 0 under the band: ${rows.toSeq}")
+    // equal-length 6-fix tracks with w = 8 >= 6: band covers the whole
+    // table, so every reported cost equals the free query's
+    val free = SparkEntry.queries("ltss_geo_dtw")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
+    assert(rows.toSet == free,
+      s"w=8 over 6-fix tracks must reproduce the free DTW: ${rows.toSeq} vs $free")
+  }
+
+  test("ltss_geo_convoy_groups: a 3-member group from overlapping pair episodes; the 2-member decoy filters out") {
+    // A(10)-B(12) and B(12)-C(14) are in contact every hour
+    // 10:00-12:00; A and C are 10 degrees of lon and 4 of lat apart
+    // (d2 = 116 > 64) so no A-C edge exists — the group is the
+    // COMPONENT {A, B, C}, found without the missing clique edge, and
+    // its same-set run (3 h) clears the m >= 2 persistence bar.
+    // D(50)-E(52) run the same 3-hour episode alone: a 2-member
+    // component, filtered by k >= 3.
+    val dir = java.nio.file.Files.createTempDirectory("graft-convoy-groups").toString
+    val events = (0 until 3).flatMap { h =>
+      Seq(
+        (100L + 360L * h, ts(s"2024-01-01 ${10 + h}:00:00"), 10L), // A lon -79.5
+        (105L + 360L * h, ts(s"2024-01-01 ${10 + h}:10:00"), 12L), // B lon -74.5
+        (110L + 360L * h, ts(s"2024-01-01 ${10 + h}:20:00"), 14L), // C lon -69.5
+        (180L + 360L * h, ts(s"2024-01-01 ${10 + h}:00:00"), 50L), // D lon 0.5
+        (181L + 360L * h, ts(s"2024-01-01 ${10 + h}:15:00"), 52L)) // E lon 1.5
+    }
+    events.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // precondition: exactly the A-B, B-C, D-E pair episodes exist
+    val eps = SparkEntry.queries("ltss_geo_convoys")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(eps == Set((10L, 12L, 3L), (12L, 14L, 3L), (50L, 52L, 3L)),
+      s"fixture must yield exactly three 3-hour pair episodes: $eps")
+    val hr0 = ts("2024-01-01 10:00:00").getTime / 3600000L
+    val got = SparkEntry.queries("ltss_geo_convoy_groups")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq((10L, 3L, "10,12,14", hr0, 3L, hr0 + 2L)),
+      s"exactly the 3-member group must surface (decoy filtered): ${got.toSeq}")
+  }
+
+  test("exposureFrame: the reliable-checkpoint tier returns the identical frame") {
+    // the exposure fixture: A-B and B-C contacts chain A-C at hop 2
+    val dir = java.nio.file.Files.createTempDirectory("graft-exposure-rel").toString
+    val events = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 10L),
+      (101L, ts("2024-01-01 11:00:00"), 12L),
+      (200L, ts("2024-01-01 20:00:00"), 12L),
+      (201L, ts("2024-01-01 20:30:00"), 14L),
+      (300L, ts("2024-01-05 09:00:00"), 50L))
+    events.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-exposure-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val local = graft.operators.Queries.exposureFrame(spark, dir).collect().toSeq
+    val rel = graft.operators.Queries
+      .exposureFrame(spark, dir, reliable = true).collect().toSeq
+    assert(rel == local,
+      s"reliable-checkpoint exposure diverged from the local tier: $rel vs $local")
+    // the reliable tier actually wrote checkpoints (the availability
+    // contract: blocks on the DFS, not executor-local storage)
+    val wrote = new java.io.File(ckpt).listFiles()
+    assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint was written")
+  }
+
+  test("ltss_geo_exposure_filtered: a weak bridge splits the component; hops re-root in the fragments") {
+    // A(10)-B(12) contact TWICE at close approach (qualifies);
+    // B(12)-C(14) meet ONCE (n_contacts = 1 — filtered out): the
+    // unfiltered trace chains A-B-C into one component, the filtered
+    // trace keeps only {A, B} and drops C entirely (no qualifying edge)
+    val dir = java.nio.file.Files.createTempDirectory("graft-exposure-filt").toString
+    val events = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 10L), // A
+      (101L, ts("2024-01-01 10:30:00"), 12L), // B -> A-B #1 (d2 = 2^2+1^2 = 5)
+      (460L, ts("2024-01-02 10:00:00"), 10L), // A again (same lon: 460%360=100)
+      (461L, ts("2024-01-02 10:30:00"), 12L), // B -> A-B #2
+      (200L, ts("2024-01-03 20:00:00"), 12L), // B across town
+      (201L, ts("2024-01-03 20:30:00"), 14L)) // C -> B-C once
+    events.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val full = SparkEntry.queries("ltss_geo_exposure")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(full.toSeq == Seq((10L, 10L, 3L, 0L), (12L, 10L, 3L, 1L), (14L, 10L, 3L, 2L)),
+      s"unfiltered trace must chain A-B-C: ${full.toSeq}")
+    val filt = SparkEntry.queries("ltss_geo_exposure_filtered")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(filt.toSeq == Seq((10L, 10L, 2L, 0L), (12L, 10L, 2L, 1L)),
+      s"filtered trace must keep only the repeated-contact pair: ${filt.toSeq}")
   }
 }

@@ -918,12 +918,12 @@ class PlanSpec extends SparkSpec {
 
   test("r17 geo additions: hausdorff/dtw screens equi-keyed, convoy window over the bucketed join") {
     val d = "/root/testdata/sf0.001"
-    // hausdorff (r18): the grid join EVALUATES h — A-fixes against
-    // per-(track, viewer-cell) neighborhood arrays on the (chunk,
-    // cell) grid key, directed frames equi-joined into pairs — all
-    // equi, never a loop, and NO array-attach join remains (the
-    // raw-fix |starts|×|fixes| shape the r17 screen replaced filled
-    // the disk at the folded 100×)
+    // hausdorff: the screen joins track starts against per-(track,
+    // cell) position arrays on the (chunk, cell) grid key — BOTH
+    // directed start-bounds ride the one join (r18) — and the DP
+    // joins attach arrays on (id, chunk); all equi, never a loop (the
+    // raw-fix |starts|×|fixes| shape this replaced filled the disk at
+    // the folded 100×)
     val h = graft.operators.Queries.geoHausdorff.run(spark, d)
     h.count()
     val hp = h.queryExecution.executedPlan.toString

@@ -2398,4 +2398,63 @@ class StatefulStreamingSpec extends SparkSpec {
         s"stream chunk ${got.head._2} != batch date_trunc ${batchChunks.head}")
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
+
+  test("contactCellsStream: closed windows equal the batch density panel; closed state evicts whole") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def fix(eid: Long, t: String, uid: Long) = {
+      val lat = (uid % 180 - 90).toDouble + 0.5
+      val lon = (eid % 360 - 180).toDouble + 0.5
+      (ts(t), uid, eid, lat, lon)
+    }
+    // two users share a cell in one bucket (pairs bound 1), a third
+    // sits one lon-cell over (feeds the neighbors' ek but not their k),
+    // and a second bucket reuses the cell (distinct windows)
+    val fixes = Seq(
+      fix(180L, "2024-01-01 10:00:00", 10L),
+      fix(181L, "2024-01-01 10:30:00", 12L),
+      fix(190L, "2024-01-01 10:00:00", 14L),
+      fix(181L, "2024-01-01 13:30:00", 10L))
+    // a far sentinel (space AND time) closes every fixture window; its
+    // own windows never close, so it must NOT surface
+    val sentinel = fix(90L, "2024-02-01 00:00:00", 100L)
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val q = StreamingOps.contactCellsStream(
+      ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon"))
+      .writeStream.format("memory").queryName("cells_t")
+      .outputMode("append").start()
+    def stateRows(): Long = {
+      val p = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        .getOrElse(fail("no state operator progress recorded"))
+      p.stateOperators.head.numRowsTotal
+    }
+    try {
+      ms.addData(fixes: _*); q.processAllAvailable()
+      ms.addData(sentinel); q.processAllAvailable()
+      // one more no-op batch so the event-time timeouts fire against
+      // the advanced watermark
+      ms.addData(fix(90L, "2024-02-01 00:30:00", 100L)); q.processAllAvailable()
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"contactCellsStream died: ${q.exception}")
+    val got = spark.table("cells_t")
+      .selectExpr("tb", "cx", "cy", "n_fixes", "n_users",
+        "n_pairs_within", "n_candidates")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    // batch parity on the fixture fixes alone (the sentinel's windows
+    // are still open and must not have emitted)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cells-st").toString
+    fixes.map { case (t, u, e, _, _) => (e, t, u) }
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("ltss_geo_contact_cells")(spark, dir)
+      .selectExpr("tb", "cx", "cy", "n_fixes", "n_users",
+        "n_pairs_within", "n_candidates")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == batch,
+      s"closed-window panel diverged from the batch forecast: $got vs $batch")
+    // every fixture key evicted whole; only the two sentinel fixes'
+    // exploded keys remain (they overlap: same cell, buckets tb/tb+1
+    // for 00:00 and 00:30 in one 2h bucket -> 18 shared keys)
+    assert(stateRows() == 18L,
+      s"closed windows must drop their state whole: ${stateRows()}")
+  }
 }
