@@ -1760,13 +1760,22 @@ object Queries {
     val m = q.length
     val w = math.max(w0, math.abs(n - m))
     val Inf = Double.PositiveInfinity
-    val prev = Array.fill(m)(Inf)
-    val cur = Array.fill(m)(Inf)
+    // per-row work is O(w), NOT O(m): rows hand off by POINTER SWAP
+    // (no arraycopy) and only the two boundary cells a later read can
+    // touch are reset — row i reads prev(j), prev(j−1), cur(j−1) for
+    // j in its band, so the only out-of-band cells ever read are
+    // cur(jLo−1) (reset before the row) and prev(jHi_prev+1) (reset
+    // after the previous row); everything else in the buffers is
+    // stale-but-unread. The first 100× probe used fill+copy and
+    // measured SLOWER than the free DP — the O(n·m) buffer traffic
+    // was the whole cost.
+    var prev = Array.fill(m)(Inf)
+    var cur = Array.fill(m)(Inf)
     var i = 0
     while (i < n) {
-      java.util.Arrays.fill(cur, Inf)
       val jLo = math.max(0, i - w)
       val jHi = math.min(m - 1, i + w)
+      if (jLo > 0) cur(jLo - 1) = Inf
       var j = jLo
       while (j <= jHi) {
         val dx = p(i).lon - q(j).lon
@@ -1779,7 +1788,8 @@ object Queries {
           else d2 + math.min(prev(j), math.min(prev(j - 1), cur(j - 1)))
         j += 1
       }
-      System.arraycopy(cur, 0, prev, 0, m)
+      if (jHi + 1 < m) cur(jHi + 1) = Inf
+      val t = prev; prev = cur; cur = t
       i += 1
     }
     prev(m - 1)
@@ -2231,11 +2241,18 @@ object Queries {
       // r18: BOTH directed start-bounds intersect. The join already
       // enumerates every ORDERED (start, segment) pair — r17 merely
       // dropped half of them with an id_a < id_b filter before the
-      // exists — so keeping both orders through the screen is free
-      // (one extra compiled exists per surviving row), and a pair is
-      // admitted only when d(A.start, B) ≤ D AND d(B.start, A) ≤ D
-      // (each lossless: H ≥ h(X,Y) ≥ d(X.start, Y)); the intersection
-      // is the count-2 group below.
+      // exists — so keeping both orders costs no extra enumeration,
+      // and a pair is admitted only when d(A.start, B) ≤ D AND
+      // d(B.start, A) ≤ D (each lossless: H ≥ h(X,Y) ≥ d(X.start, Y));
+      // the intersection is the count-2 group below. Measured trade
+      // (SCALING.md r18): the exists is a higher-order function —
+      // interpreted, never codegen'd — so evaluating it on both
+      // orders costs ~20% at the key-folded 10× density while the
+      // admitted set (the survivor-with-arrays scratch term the r17
+      // VERDICT flagged) shrinks ~6%; a compiled min/max-box pre-gate
+      // was probed and REJECTED — it prunes well at production
+      // density but a folded track's per-cell box fills the cell, so
+      // at the documented scale it was pure per-row overhead.
       val dirAdm = starts.join(bCells, Seq("chunk", "jla", "jlo"))
         .filter(col("id_a") =!= col("id_b"))
         .filter(expr(s"exists(bpts, p -> " +

@@ -177,7 +177,8 @@ object ScalingProbe {
       warmed("geo_track_layout")(
         graft.operators.Queries.trackLayoutPath(spark, sfDir))
     if (names.exists(n => n == "ltss_geo_dp" || n == "ltss_geo_frechet" ||
-        n == "ltss_geo_hausdorff" || n == "ltss_geo_dtw"))
+        n == "ltss_geo_hausdorff" || n == "ltss_geo_dtw" ||
+        n == "ltss_geo_dtw_band"))
       warmed("geo_track2d_layout")(
         graft.operators.Queries.trackLayout2dPath(spark, sfDir))
     if (names.contains("ltss_geo_hull"))
