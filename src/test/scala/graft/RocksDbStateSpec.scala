@@ -424,4 +424,47 @@ class RocksDbStateSpec extends SparkSpec {
         s"checkpoint does not record the RocksDB provider: $confLines")
     }
   }
+
+  test("contact-cell panel counters + restart: the window closes from RocksDB-recovered counts and user set") {
+    withRocksDb {
+      val in = tmp("rdb-cp-in"); val out = tmp("rdb-cp-out"); val ckpt = tmp("rdb-cp-ckpt")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "time TIMESTAMP, user_id LONG, event_id LONG, lat DOUBLE, lon DOUBLE")
+      def start() = StreamingOps
+        .contactCellsStream(spark.readStream.schema(schema).json(in))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      def fix(t: String, uid: Long, eid: Long) = {
+        val lat = (uid % 180 - 90).toDouble + 0.5
+        val lon = (eid % 360 - 180).toDouble + 0.5
+        s"""{"time":"${t}Z","user_id":$uid,"event_id":$eid,"lat":$lat,"lon":$lon}"""
+      }
+      // two home fixes land in the cell-window's counters, then the
+      // query STOPS — ek/k and the user set survive only in RocksDB
+      Files.writeString(Paths.get(in, "b1.json"), Seq(
+        fix("2024-01-01T10:00:00", 10L, 180L),
+        fix("2024-01-01T10:30:00", 12L, 181L)).mkString("\n"))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // after restart a THIRD entity joins the same window, and a far
+      // sentinel advances the watermark past the window close
+      Files.writeString(Paths.get(in, "b2.json"), Seq(
+        fix("2024-01-01T11:00:00", 14L, 182L),
+        fix("2024-02-01T00:00:00", 100L, 90L)).mkString("\n"))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      // one more batch fires the event-time timeout: the emitted panel
+      // row can only assemble from the recovered counters + user set
+      Files.writeString(Paths.get(in, "b3.json"),
+        fix("2024-02-01T00:30:00", 100L, 90L))
+      val q3 = start(); q3.processAllAvailable(); q3.stop()
+      val got = spark.read.parquet(out)
+        .selectExpr("tb", "cx", "cy", "n_fixes", "n_users",
+          "n_pairs_within", "n_candidates")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      val tb = ts("2024-01-01 10:00:00").getTime * 1000L / 7200000000L
+      // k = 3 home fixes across the restart, 3 distinct users, pair
+      // bound 3, ek = 3 (no neighbor-cell contributors) -> candidates 9
+      assert(got == Seq((tb, 1L, 22L, 3L, 3L, 3L, 9L)),
+        s"recovered panel row diverged: $got")
+    }
+  }
 }
