@@ -168,11 +168,9 @@ object Bench {
     // uses, since AQE wrappers change the codegen boundaries
     locally {
       import spark.implicits._
-      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try graft.operators.Dedup.connectedComponents(
-        Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id"))._1.count()
-      finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      graft.operators.Dedup.withAqeOff(spark)(
+        graft.operators.Dedup.connectedComponents(
+          Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id"))._1.count())
       ()
     }
     // Per-query MEDIAN of 3 runs taken as INTERLEAVED full passes over

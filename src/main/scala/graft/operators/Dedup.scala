@@ -297,6 +297,19 @@ object Dedup {
     * the loop (see
     * [[clusters]]): the plan is fixed and hand-partitioned, so adaptive
     * replanning only adds per-iteration stage jobs. */
+  /** Runs `body` with AQE disabled on the session conf, restoring the
+    * prior value after — the shared discipline around every
+    * [[connectedComponents]] loop (the plan is fixed, tiny, and
+    * hand-partitioned; adaptive replanning only adds per-iteration
+    * stage jobs). One definition instead of the toggle copied at each
+    * call site. */
+  def withAqeOff[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val was = s.conf.get(key, "true")
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, was)
+  }
+
   def connectedComponents(pairs: DataFrame, reliable: Boolean = false): (DataFrame, Int) = {
     val s = pairs.sparkSession
     def truncate(df: DataFrame): DataFrame =
@@ -358,11 +371,7 @@ object Dedup {
   private[graft] def ccLabels(s: SparkSession, d: String): DataFrame =
     graft.CachedFrames.getOrBuild(
       s"cc_labels|${graft.CachedFrames.sessionKey(s)}|$d") {
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val aqeWas = s.conf.get(aqeKey, "true")
-      s.conf.set(aqeKey, "false")
-      try connectedComponents(lshCandidateEdges(s, d))._1
-      finally s.conf.set(aqeKey, aqeWas)
+      withAqeOff(s)(connectedComponents(lshCandidateEdges(s, d))._1)
     }
 
   /** Canonical (min-doc_id) cluster per near-dup doc — the final stage

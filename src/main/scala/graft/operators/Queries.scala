@@ -1008,12 +1008,7 @@ object Queries {
       .select(col("a_pid"), col("b_pid"))
     // fixed tiny hand-partitioned CC plan: AQE off for the loop, restored
     // after — same policy (and reason) as Dedup.ccLabels
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = s.conf.get(aqeKey, "true")
-    s.conf.set(aqeKey, "false")
-    val labels =
-      try Dedup.connectedComponents(coreEdges)._1
-      finally s.conf.set(aqeKey, aqeWas)
+    val labels = Dedup.withAqeOff(s)(Dedup.connectedComponents(coreEdges)._1)
     // isolated core POSITION (no core neighbor position) self-labels
     // with its pid = min co-located id — exactly the id-graph label,
     // where its co-located points form a distance-0 clique labeled min id
@@ -3459,9 +3454,13 @@ object Queries {
     * [[graft.operators.Dedup.connectedComponents]] call over
     * COMPOSITE-ENCODED nodes hr·10⁹ + member — edges never span hours,
     * so the global fixpoint IS the per-hour partition (the encoding
-    * holds for member ids < 10⁹ and epoch-hours < 9.2·10⁹ — any real
-    * fleet; a larger id space would remap through a planning-sized
-    * dense-rank dimension first). Group identity = the sorted member
+    * holds for member ids < 10⁹ and 0 ≤ epoch-hours < 9.2·10⁹ — any
+    * real fleet; a NEGATIVE hour (pre-1970 event time) would decode
+    * wrongly under truncating div/%, the same truncation-vs-floor
+    * caveat the whole contact family's `tus div 3600000000` hour
+    * already carries; a larger id space would remap through a
+    * planning-sized dense-rank dimension first). Group identity = the
+    * sorted member
     * list (canonical string); episodes close over the same rn-gap
     * window the pair form uses. Everything downstream of the CC is
     * combinable aggregates + ONE keyed window over the per-(hour,
@@ -3482,12 +3481,7 @@ object Queries {
       val edges = hours.select(
         (col("hr") * Enc + col("id_lo")).as("a_id"),
         (col("hr") * Enc + col("id_hi")).as("b_id"))
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val aqeWas = s.conf.get(aqeKey, "true")
-      s.conf.set(aqeKey, "false")
-      val labels =
-        try Dedup.connectedComponents(edges)._1
-        finally s.conf.set(aqeKey, aqeWas)
+      val labels = Dedup.withAqeOff(s)(Dedup.connectedComponents(edges)._1)
       val perHr = labels.select(
         expr(s"id div $Enc").as("hr"),
         expr(s"id % $Enc").as("member"),
@@ -3627,12 +3621,9 @@ object Queries {
           .select(col("id_lo"), col("id_hi"), col("first_contact"),
             col("last_contact")))
       val edges = pairs.select(col("id_lo"), col("id_hi"))
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val aqeWas = s.conf.get(aqeKey, "true")
       val partsKey = "spark.sql.shuffle.partitions"
       val partsWas = s.conf.get(partsKey, "32")
-      s.conf.set(aqeKey, "false")
-      val (labels, dist) =
+      val (labels, dist) = Dedup.withAqeOff(s) {
         try {
           // loop parallelism sized to the EDGE frame (the CC
           // discipline): session-default-width stages would pay their
@@ -3641,7 +3632,8 @@ object Queries {
           // set session-wide BEFORE the CC loop (and restored after)
           // so both the CC iterations and the BFS hops run their
           // join/agg/anti stages at the sized width with aligned
-          // partitionings. CAVEAT: like the AQE toggle above this is a
+          // partitionings. CAVEAT: like the AQE toggle wrapping this
+          // block, this is a
           // SESSION-GLOBAL mutation — any query running concurrently
           // on the same SparkSession during the loops executes at the
           // edge-sized shuffle width. Fine for a dedicated job/bench
@@ -3703,10 +3695,8 @@ object Queries {
             }
           }
           (labC, settled)
-        } finally {
-          s.conf.set(aqeKey, aqeWas)
-          s.conf.set(partsKey, partsWas)
-        }
+        } finally s.conf.set(partsKey, partsWas)
+      }
       val comp = labels.groupBy(col("label"))
         .agg(count(lit(1)).as("n_members"))
       val span = pairs

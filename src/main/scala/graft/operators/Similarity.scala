@@ -801,10 +801,7 @@ object Similarity {
     "dedup_semantic",
     (s, d) => {
       val minCos = 0.2 // the dedupEmbeddingIvf near-dup threshold
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val aqeWas = s.conf.get(aqeKey, "true")
-      s.conf.set(aqeKey, "false") // fixed tiny plan for the CC loop
-      try {
+      Dedup.withAqeOff(s) { // fixed tiny plan for the CC loop
         val pairs = withinClusterPairs(s, d, minCos)
           .select(col("a_id"), col("b_id"))
         val (labels, _) = Dedup.connectedComponents(pairs)
@@ -815,7 +812,7 @@ object Similarity {
             (col("vec_id") === coalesce(col("rep"), col("vec_id")))
               .cast("int").as("keep"))
           .orderBy(col("vec_id"))
-      } finally s.conf.set(aqeKey, aqeWas)
+      }
     },
     Some {
       val cos = DetMath.cosinePreSql(

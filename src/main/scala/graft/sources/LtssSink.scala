@@ -914,7 +914,13 @@ object LtssSink {
     val conf = spark.sparkContext.hadoopConfiguration
     val intentPath = new org.apache.hadoop.fs.Path(path + ".zver_intent")
     val fs = intentPath.getFileSystem(conf)
-    val prior = zoneLayoutVersion(spark, path)
+    // WRITE-path prior takes the MAX of marker and surviving intent
+    // (unlike the read path, which prefers a present marker): a torn
+    // prior redraw may have left intent > marker, and the next stamp
+    // must skip past BOTH so no version number is ever reused
+    val prior = math.max(
+      readLayoutMarker(spark, path).map(_.generation).getOrElse(0L),
+      readZoneVersionIntent(spark, path))
     require(version == 0L || version > prior,
       s"writeZoneLayout version $version must exceed the stored " +
         s"zone_version $prior (a redraw that keeps or lowers the version " +
@@ -974,13 +980,21 @@ object LtssSink {
       spark: org.apache.spark.sql.SparkSession, path: String): Long = {
     val intentPath = new org.apache.hadoop.fs.Path(path + ".zver_intent")
     val fs = intentPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(intentPath)) 0L
-    else {
-      val len = fs.getFileStatus(intentPath).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = fs.open(intentPath)
-      try in.readFully(0, buf) finally in.close()
-      new String(buf, "UTF-8").trim.toLongOption.getOrElse(0L)
+    // exists-then-open races the writer's final delete (the sidecar is
+    // removed the instant the marker lands) — a file vanishing between
+    // the two calls means the marker now carries the version, so
+    // "absent" is the correct answer, not an exception
+    try {
+      if (!fs.exists(intentPath)) 0L
+      else {
+        val len = fs.getFileStatus(intentPath).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(intentPath)
+        try in.readFully(0, buf) finally in.close()
+        new String(buf, "UTF-8").trim.toLongOption.getOrElse(0L)
+      }
+    } catch {
+      case _: java.io.FileNotFoundException => 0L
     }
   }
 
@@ -990,18 +1004,23 @@ object LtssSink {
     * .geoZonesStream]], `zonesDwellStream`) stamp this into their per-
     * entity state so held containment sets computed against retired
     * rings are detected on restart instead of silently diffed against
-    * the redrawn table. Reads take the MAX of the marker and any
-    * surviving `.zver_intent` sidecar: in [[writeZoneLayout]]'s torn
-    * window (Overwrite done, marker not yet written) the marker reads
-    * absent but the sidecar holds the staked version, so a stream
-    * bootstrapping mid-redraw stamps the INTENDED version instead of 0
-    * and skips the spurious full state rebuild it would otherwise take
-    * once the marker lands. */
+    * the redrawn table. The `.zver_intent` sidecar is consulted ONLY
+    * when the marker is ABSENT — [[writeZoneLayout]]'s torn window
+    * (Overwrite done, marker not yet written), where the sidecar alone
+    * holds the staked version, so a stream bootstrapping there stamps
+    * the INTENDED version instead of 0 and skips the spurious full
+    * rebuild it would otherwise take once the marker lands. A PRESENT
+    * marker always wins: in the pre-Overwrite window (intent staked,
+    * old rings still live) the reader gets the OLD rings and must get
+    * the OLD version with them — maxing in the intent there would pin
+    * retired-ring state to the NEW version and silently defeat the
+    * requireZoneVersion gate the stamp exists for. (The WRITE path's
+    * skip-forward still takes the max of both — see writeZoneLayout —
+    * so a torn redraw can never reuse a version number.) */
   def zoneLayoutVersion(
       spark: org.apache.spark.sql.SparkSession, path: String): Long =
-    math.max(
-      readLayoutMarker(spark, path).map(_.generation).getOrElse(0L),
-      readZoneVersionIntent(spark, path))
+    readLayoutMarker(spark, path).map(_.generation)
+      .getOrElse(readZoneVersionIntent(spark, path))
 
   /** Driver-side read of the stored zone dimension as the `(zone_id,
     * ring)` constant the streaming twins broadcast, plus its version —

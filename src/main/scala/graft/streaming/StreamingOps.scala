@@ -2610,23 +2610,32 @@ object StreamingOps {
           else Iterator.single(CellPanelRow(key._1, key._2, key._3,
             k, s0.users.length.toLong, k * (k - 1L) / 2L, s0.ek * k))
         } else {
-          var s0 = st.getOption.getOrElse(CellPanelState(0L, 0L, Seq.empty))
-          var users = s0.users
+          val s0 = st.getOption.getOrElse(CellPanelState(0L, 0L, Seq.empty))
+          // set semantics on a Seq-encoded state: merge the batch into
+          // a LinkedHashSet ONCE (insertion-ordered, so the stored Seq
+          // is deterministic) — a per-row Seq.contains would be O(k²)
+          // per batch on exactly the hot cells this panel exists for
+          val users = scala.collection.mutable.LinkedHashSet.empty[Long]
+          users ++= s0.users
           var ek = s0.ek
           var k = s0.k
           for (r <- rows) {
             ek += 1L
             if (r._6) {
               k += 1L
-              if (!users.contains(r._2)) users = users :+ r._2
+              users += r._2
             }
           }
-          st.update(CellPanelState(ek, k, users))
+          st.update(CellPanelState(ek, k, users.toSeq))
           // close when the watermark passes the key's last admissible
-          // contributor: sources tb and tb−1 both end by (gtb+1)·T
-          // (clamped above the current watermark as the API requires)
+          // contributor: sources tb and tb−1 both end by (gtb+1)·T.
+          // CEIL the µs→ms conversion ((gtb+1)·windowUs first, divide
+          // last) — multiplying a truncated windowUs/1000 would close
+          // early by (gtb+1)·(windowUs mod 1000) µs and double-emit a
+          // key that a late in-horizon fix recreates. (Clamped above
+          // the current watermark as the API requires.)
           st.setTimeoutTimestamp(math.max(
-            (key._1 + 1L) * (windowUs / 1000L),
+            ((key._1 + 1L) * windowUs + 999L) / 1000L,
             st.getCurrentWatermarkMs() + 1L))
           Iterator.empty
         }

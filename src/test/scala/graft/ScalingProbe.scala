@@ -203,11 +203,9 @@ object ScalingProbe {
       graft.operators.Pipeline.stageFrame(spark, sfDir).count())
     locally {
       import spark.implicits._
-      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try graft.operators.Dedup.connectedComponents(
-        Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id"))._1.count()
-      finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      graft.operators.Dedup.withAqeOff(spark)(
+        graft.operators.Dedup.connectedComponents(
+          Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id"))._1.count())
       ()
     }
     val Runs = 3
