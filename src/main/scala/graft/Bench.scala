@@ -136,6 +136,8 @@ object Bench {
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
     warmed("recall_truth")(graft.operators.Dedup.warmRecallTruth(spark, sfDir))
     warmed("cc_labels")(graft.operators.Dedup.ccLabels(spark, sfDir).count())
+    warmed("contact_pairs")(
+      graft.operators.Queries.contactPairFrame(spark, sfDir).count())
     warmed("geo_dbscan")(graft.operators.Queries.dbscanLabels(spark, sfDir).count())
     warmed("geo_dbscan_latlon")(
       graft.operators.Queries.dbscanLatLonLabels(spark, sfDir).count())

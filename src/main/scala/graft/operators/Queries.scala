@@ -3317,19 +3317,33 @@ object Queries {
     * graph is one combinable groupBy over its output — output-driven
     * like its source. Oracle rides the same band self-join with its
     * own GROUP BY. */
-  val geoContactPairs = OracleQuery(
-    "ltss_geo_contact_pairs",
-    (s, d) => {
-      val ev = geoContacts.run(s, d)
-      ev.groupBy(
+  /** The contact-pair GRAPH frame — one edge per unordered entity pair
+    * with contact count, exact closest approach, and first/last span —
+    * shared per (session, dataset) via CachedFrames, the [[
+    * graft.operators.Dedup.ccLabels]] shared-artifact policy (r18):
+    * [[geoContactPairs]] PRESENTS it, and [[exposureFrame]] (both
+    * exposure variants) traces over it, where each previously replayed
+    * the identical bucketed contact join + combinable rollup.
+    * Fleet-bounded (one row per pair that MET — never the contact
+    * LOG), so the persisted frame is dimension-sized; a deployment
+    * materializes exactly this graph once and serves every trace
+    * from it. */
+  private[graft] def contactPairFrame(s: SparkSession, d: String): DataFrame =
+    graft.CachedFrames.getOrBuild(
+      s"contact_pairs|${graft.CachedFrames.sessionKey(s)}|$d") {
+      geoContacts.run(s, d)
+        .groupBy(
           least(col("user_a"), col("user_b")).as("id_lo"),
           greatest(col("user_a"), col("user_b")).as("id_hi"))
         .agg(count(lit(1)).as("n_contacts"),
           min(col("d2")).as("min_d2"),
           min(col("time_a")).as("first_contact"),
           max(col("time_b")).as("last_contact"))
-        .orderBy(col("id_lo"), col("id_hi"))
-    },
+    }
+
+  val geoContactPairs = OracleQuery(
+    "ltss_geo_contact_pairs",
+    (s, d) => contactPairFrame(s, d).orderBy(col("id_lo"), col("id_hi")),
     Some("""WITH pts AS (
       |  SELECT user_id, ts, event_id,
       |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,
@@ -3613,13 +3627,24 @@ object Queries {
         if (reliable) df.checkpoint(eager = false)
         else df.localCheckpoint(eager = false)
       // ONE contact-join compute: the pair rollup materializes once
-      // (eager truncation) and every consumer below — the CC edges,
-      // the BFS's sym frame, the span join — reads its blocks instead
-      // of replaying the bucketed contact join per consumer
-      val pairs = truncE(
-        edgeFilter.foldLeft(geoContactPairs.run(s, d))((f, c) => f.filter(c))
-          .select(col("id_lo"), col("id_hi"), col("first_contact"),
-            col("last_contact")))
+      // and every consumer below — the CC edges, the BFS's sym frame,
+      // the span join — reads its blocks instead of replaying the
+      // bucketed contact join per consumer. The local tier reads the
+      // SESSION-SHARED persisted frame ([[contactPairFrame]] — both
+      // exposure variants and the pair query serve from one build);
+      // the reliable tier builds its own copy under reliable
+      // checkpointing (a cluster must not hang the trace off
+      // executor-local persisted blocks).
+      val pairs =
+        if (reliable)
+          truncE(edgeFilter.foldLeft(geoContactPairs.run(s, d))(
+              (f, c) => f.filter(c))
+            .select(col("id_lo"), col("id_hi"), col("first_contact"),
+              col("last_contact")))
+        else
+          edgeFilter.foldLeft(contactPairFrame(s, d))((f, c) => f.filter(c))
+            .select(col("id_lo"), col("id_hi"), col("first_contact"),
+              col("last_contact"))
       val edges = pairs.select(col("id_lo"), col("id_hi"))
       val partsKey = "spark.sql.shuffle.partitions"
       val partsWas = s.conf.get(partsKey, "32")

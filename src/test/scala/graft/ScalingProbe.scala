@@ -165,6 +165,10 @@ object ScalingProbe {
         graft.operators.TimeSeries.denseDevCached(spark, sfDir).count())
     if (names.exists(n => n.startsWith("ltss_cagg")))
       warmed("cagg_layout")(graft.operators.TimeSeries.caggLayoutPath(spark, sfDir))
+    if (names.exists(n => n == "ltss_geo_contact_pairs" ||
+        n == "ltss_geo_exposure" || n == "ltss_geo_exposure_filtered"))
+      warmed("contact_pairs")(
+        graft.operators.Queries.contactPairFrame(spark, sfDir).count())
     if (names.contains("ltss_geo_dbscan"))
       warmed("geo_dbscan")(
         graft.operators.Queries.dbscanLabels(spark, sfDir).count())
