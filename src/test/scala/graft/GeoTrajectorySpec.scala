@@ -1398,4 +1398,86 @@ class GeoTrajectorySpec extends SparkSpec {
     assert(filt.toSeq == Seq((10L, 10L, 2L, 0L), (12L, 10L, 2L, 1L)),
       s"filtered trace must keep only the repeated-contact pair: ${filt.toSeq}")
   }
+
+  test("ltss_geo_convoy_groups_core: a churning 4th member does not close the 3-core episode the strict rule fragments") {
+    // The convoy travels 20 degrees of lon per hour (so no cross-hour
+    // contacts exist and each hour's component is spatially isolated):
+    // A(10), B(12), C(14) ride together hours 10-12 (A-B and B-C in
+    // range, A-C not — the component, not the clique); D(16) appears
+    // ONLY at hour 11, in range of C alone (d2 = 8; D-B reads 65 > 64).
+    // Components: hr10 {A,B,C}, hr11 {A,B,C,D}, hr12 {A,B,C}.
+    val dir = java.nio.file.Files.createTempDirectory("graft-convoy-core").toString
+    val events = (0 until 3).flatMap { h =>
+      Seq(
+        (30L + 20L * h, ts(s"2024-01-01 ${10 + h}:00:00"), 10L), // A
+        (35L + 20L * h, ts(s"2024-01-01 ${10 + h}:10:00"), 12L), // B
+        (40L + 20L * h, ts(s"2024-01-01 ${10 + h}:20:00"), 14L)) // C
+    } :+ ((62L, ts("2024-01-01 11:25:00"), 16L)) // D, hour 11 only
+    events.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val hr0 = ts("2024-01-01 10:00:00").getTime / 3600000L
+    // the STRICT same-set rule fragments: {A,B,C} holds at hr10 and
+    // hr12 but not hr11 (the set there is {A,B,C,D}) — three 1-hour
+    // runs, all under the m >= 2 bar
+    val strict = SparkEntry.queries("ltss_geo_convoy_groups")(spark, dir)
+      .collect()
+    assert(strict.isEmpty,
+      s"fixture must fragment under the strict rule: ${strict.toSeq}")
+    // the Jeung cluster-intersection core rides through the churn:
+    // one 3-hour {A,B,C} episode; the 1-hour {A,B,C,D} candidate
+    // closes below m >= 2 and its {A,B,C} piece merges into the
+    // older class (min-start dedup)
+    val core = SparkEntry.queries("ltss_geo_convoy_groups_core")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(core.toSeq == Seq((10L, 3L, "10,12,14", hr0, 3L, hr0 + 2L)),
+      s"the 3-core must persist through the hour-11 churn: ${core.toSeq}")
+  }
+
+  test("convoy composite encoding guard: out-of-range member ids and pre-1970 hours fail loudly") {
+    // member id >= 1e9 — the silent-mislabel case the r18 VERDICT
+    // flagged: must throw with the dense-rank remap pointer, not
+    // produce wrong groups
+    val dirBig = java.nio.file.Files.createTempDirectory("graft-convoy-bigid").toString
+    Seq(
+      (100L, ts("2024-01-01 10:00:00"), 2000000000L),
+      (101L, ts("2024-01-01 10:10:00"), 2000000002L))
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dirBig/events.parquet")
+    val eBig = intercept[IllegalArgumentException] {
+      SparkEntry.queries("ltss_geo_convoy_groups")(spark, dirBig).collect()
+    }
+    assert(eBig.getMessage.contains("dense_rank"),
+      s"guard must point at the remap: ${eBig.getMessage}")
+    // pre-1970 event time — negative hour decodes wrongly under
+    // truncating div/%
+    val dirNeg = java.nio.file.Files.createTempDirectory("graft-convoy-neghr").toString
+    Seq(
+      (100L, ts("1969-12-30 10:00:00"), 10L),
+      (101L, ts("1969-12-30 10:10:00"), 12L))
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dirNeg/events.parquet")
+    val eNeg = intercept[IllegalArgumentException] {
+      SparkEntry.queries("ltss_geo_convoy_groups_core")(spark, dirNeg).collect()
+    }
+    assert(eNeg.getMessage.contains("pre-1970"),
+      s"guard must name the negative-hour cause: ${eNeg.getMessage}")
+  }
+
+  test("convoyCoreEpisodes kernel: hour gaps close episodes; min-start dedup survives a merge") {
+    import graft.operators.Queries.{ConvoyHourRow, convoyCoreEpisodes}
+    // hours 1-2: {1,2,3} together; hour 4 (GAP at 3): together again —
+    // two separate 2-hour and 1-hour episodes, the 1-hour one dropped
+    val rows = Seq(
+      ConvoyHourRow(0L, 1L, 1L, 1L), ConvoyHourRow(0L, 1L, 1L, 2L),
+      ConvoyHourRow(0L, 1L, 1L, 3L),
+      ConvoyHourRow(0L, 2L, 1L, 1L), ConvoyHourRow(0L, 2L, 1L, 2L),
+      ConvoyHourRow(0L, 2L, 1L, 3L),
+      ConvoyHourRow(0L, 4L, 1L, 1L), ConvoyHourRow(0L, 4L, 1L, 2L),
+      ConvoyHourRow(0L, 4L, 1L, 3L))
+    val eps = convoyCoreEpisodes(rows.iterator, 3, 2).toSeq
+    assert(eps.map(e => (e.members, e.hr_start, e.n_hours)) ==
+      Seq(("1,2,3", 1L, 2L)),
+      s"the gap must close the run and the 1-hour tail must drop: $eps")
+  }
 }
