@@ -136,8 +136,14 @@ object Bench {
     warmed("dedup_bands")(graft.operators.Dedup.warmShared(spark, sfDir))
     warmed("recall_truth")(graft.operators.Dedup.warmRecallTruth(spark, sfDir))
     warmed("cc_labels")(graft.operators.Dedup.ccLabels(spark, sfDir).count())
+    // the hourly rollup first (one contact-join compute), then the
+    // pair fold and the per-hour component labels that derive from it
+    warmed("contact_pair_hours")(
+      graft.operators.Queries.contactPairHourFrame(spark, sfDir).count())
     warmed("contact_pairs")(
       graft.operators.Queries.contactPairFrame(spark, sfDir).count())
+    warmed("convoy_hour_labels")(
+      graft.operators.Queries.convoyHourLabels(spark, sfDir).count())
     warmed("geo_dbscan")(graft.operators.Queries.dbscanLabels(spark, sfDir).count())
     warmed("geo_dbscan_latlon")(
       graft.operators.Queries.dbscanLatLonLabels(spark, sfDir).count())

@@ -178,4 +178,47 @@ object StreamingIngest {
     q.stop()
     q.awaitTermination(30000)
   }
+
+  final case class DrainStateOp(
+      operator: String, numRowsTotal: Long, numRowsDroppedByWatermark: Long)
+  final case class DrainManifest(
+      drained: Boolean,
+      watermarkMs: Option[Long],
+      frontierMs: Option[Long],
+      stateOperators: Seq[DrainStateOp],
+      sourceEndOffsets: Seq[String])
+
+  /** Steps 1 + 3 of the CHECKPOINT DRAIN-AND-CUTOVER RUNBOOK (SURVEY
+    * §2.2), mechanized (r18 VERDICT optional #7): drain the source
+    * (`processAllAvailable`), then read the manifest off
+    * `lastProgress` — the recorded watermark, each state operator's
+    * `numRowsTotal` AND its `numRowsDroppedByWatermark` (the
+    * global-frontier drop the contact-family scaladocs point at — a
+    * nonzero value here is the observable form of "a fix older than
+    * the watermark dropped one stage early"), and the sources' end
+    * offsets (the rewind targets). `frontierMs` = watermark −
+    * `horizonMs`, the runbook's cutover frontier F: pass the op's
+    * admission horizon (T + lateness for the contact family, the
+    * pending window for convoys, 0 for frontier-gated layout streams).
+    * `drained` reads the engine's own no-data signal
+    * (`status.isDataAvailable == false` after the drain — the
+    * two-consecutive-empty-reports rule expressed through the API
+    * instead of report counting, since a drained stationary query
+    * emits no further reports to count). A watermark still at the
+    * epoch (no event-time row processed yet) reports as None, so a
+    * caller cannot mistake "never watermarked" for a real frontier. */
+  def drainManifest(q: StreamingQuery, horizonMs: Long = 0L): DrainManifest = {
+    q.processAllAvailable()
+    val drained = !q.status.isDataAvailable
+    val lp = Option(q.lastProgress)
+    val wm = lp.flatMap(p => Option(p.eventTime.get("watermark")))
+      .map(s => java.time.Instant.parse(s).toEpochMilli)
+      .filter(_ > 0L)
+    val ops = lp.toSeq.flatMap(_.stateOperators.toSeq).map(o =>
+      DrainStateOp(Option(o.operatorName).getOrElse(""),
+        o.numRowsTotal, o.numRowsDroppedByWatermark))
+    val offs = lp.toSeq.flatMap(_.sources.toSeq)
+      .map(s => String.valueOf(s.endOffset))
+    DrainManifest(drained, wm, wm.map(_ - horizonMs), ops, offs)
+  }
 }

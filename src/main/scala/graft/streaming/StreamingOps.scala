@@ -2572,14 +2572,14 @@ object StreamingOps {
     * lateness = the T horizon; raise `latenessUs` for skewed feeds).
     * State is bounded by ACTIVE cell-windows × (3 counters + the
     * cell's entity set) — never by history. */
-  def contactCellsStream(
-      pts: DataFrame, // time TIMESTAMP, user_id LONG, lat DOUBLE, lon DOUBLE
-      radiusDeg: Double = 8.0,
-      windowUs: Long = 7200000000L,
-      latenessUs: Long = -1L): Dataset[CellPanelRow] = {
+  /** The shared candidate-key explosion of [[contactCellsStream]] and
+    * [[contactCellsStreamLive]]: each fix to its 18 (bucket, 3×3 cell)
+    * target keys with the home flag on the (tb, 0, 0) copy. */
+  private def cellPanelExploded(
+      pts: DataFrame, radiusDeg: Double, windowUs: Long, lateUs: Long)
+      : Dataset[(java.sql.Timestamp, Long, Long, Long, Long, Boolean)] = {
     import pts.sparkSession.implicits._
-    val lateUs = if (latenessUs < 0L) windowUs else latenessUs
-    val exploded = pts
+    pts
       .select(col("time"), col("user_id"), col("lat"), col("lon"))
       // ceil to whole seconds — truncation would shorten the promise
       .withWatermark("time", s"${(lateUs + 999999L) / 1000000L} seconds")
@@ -2595,7 +2595,16 @@ object StreamingOps {
         (col("cy") + col("dy")).as("gy"),
         (col("dtb") === 0 && col("dx") === 0 && col("dy") === 0).as("home"))
       .as[(java.sql.Timestamp, Long, Long, Long, Long, Boolean)]
-    exploded
+  }
+
+  def contactCellsStream(
+      pts: DataFrame, // time TIMESTAMP, user_id LONG, lat DOUBLE, lon DOUBLE
+      radiusDeg: Double = 8.0,
+      windowUs: Long = 7200000000L,
+      latenessUs: Long = -1L): Dataset[CellPanelRow] = {
+    import pts.sparkSession.implicits._
+    val lateUs = if (latenessUs < 0L) windowUs else latenessUs
+    cellPanelExploded(pts, radiusDeg, windowUs, lateUs)
       .groupByKey(r => (r._3, r._4, r._5))
       .flatMapGroupsWithState[CellPanelState, CellPanelRow](
         org.apache.spark.sql.streaming.OutputMode.Append(),
@@ -2638,6 +2647,74 @@ object StreamingOps {
             ((key._1 + 1L) * windowUs + 999L) / 1000L,
             st.getCurrentWatermarkMs() + 1L))
           Iterator.empty
+        }
+      }
+  }
+
+  final case class CellPanelLiveRow(
+      tb: Long, cx: Long, cy: Long, n_fixes: Long, n_users: Long,
+      n_pairs_within: Long, n_candidates: Long, is_final: Boolean)
+
+  /** PROVISIONAL-EMISSION variant of [[contactCellsStream]] (r18
+    * VERDICT missing #2): the exactly-once-on-close twin is correct vs
+    * the batch panel, but a dashboard watching for hot cells LIVE
+    * wants the running counts BEFORE the watermark closes the window —
+    * the whole point of the panel is to see the cell heat up before
+    * the contact join pays for it. Every micro-batch that touches a
+    * key with ≥ 1 HOME fix emits one `is_final = false` row with the
+    * key's RUNNING counters (merged through the same state — so
+    * provisional rows are MONOTONE prefixes of the close row: the
+    * counters only grow, spec-pinned); window close emits the one
+    * `is_final = true` row, bit-identical in its counter columns to
+    * [[contactCellsStream]]'s close row (and so to the batch panel).
+    * The sink contract is append-with-refinement: a consumer keeps the
+    * max-per-key row (or filters `is_final` for the exact panel) — the
+    * same convention as Spark's own update-mode aggregations, expressed
+    * in Append because flatMapGroupsWithState owns the state here.
+    * Keys that never see a home fix stay silent in BOTH phases (the
+    * batch inner join's contract). State, timeout, and the µs→ms CEIL
+    * close rule are [[contactCellsStream]]'s verbatim. */
+  def contactCellsStreamLive(
+      pts: DataFrame, // time TIMESTAMP, user_id LONG, lat DOUBLE, lon DOUBLE
+      radiusDeg: Double = 8.0,
+      windowUs: Long = 7200000000L,
+      latenessUs: Long = -1L): Dataset[CellPanelLiveRow] = {
+    import pts.sparkSession.implicits._
+    val lateUs = if (latenessUs < 0L) windowUs else latenessUs
+    cellPanelExploded(pts, radiusDeg, windowUs, lateUs)
+      .groupByKey(r => (r._3, r._4, r._5))
+      .flatMapGroupsWithState[CellPanelState, CellPanelLiveRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) { (key, rows, st) =>
+        if (st.hasTimedOut) {
+          val s0 = st.get
+          st.remove()
+          val k = s0.k
+          if (k == 0L) Iterator.empty
+          else Iterator.single(CellPanelLiveRow(key._1, key._2, key._3,
+            k, s0.users.length.toLong, k * (k - 1L) / 2L, s0.ek * k,
+            is_final = true))
+        } else {
+          val s0 = st.getOption.getOrElse(CellPanelState(0L, 0L, Seq.empty))
+          val users = scala.collection.mutable.LinkedHashSet.empty[Long]
+          users ++= s0.users
+          var ek = s0.ek
+          var k = s0.k
+          for (r <- rows) {
+            ek += 1L
+            if (r._6) {
+              k += 1L
+              users += r._2
+            }
+          }
+          st.update(CellPanelState(ek, k, users.toSeq))
+          st.setTimeoutTimestamp(math.max(
+            ((key._1 + 1L) * windowUs + 999L) / 1000L,
+            st.getCurrentWatermarkMs() + 1L))
+          if (k == 0L) Iterator.empty
+          else Iterator.single(CellPanelLiveRow(key._1, key._2, key._3,
+            k, users.size.toLong, k * (k - 1L) / 2L, ek * k,
+            is_final = false))
         }
       }
   }

@@ -166,9 +166,19 @@ object ScalingProbe {
     if (names.exists(n => n.startsWith("ltss_cagg")))
       warmed("cagg_layout")(graft.operators.TimeSeries.caggLayoutPath(spark, sfDir))
     if (names.exists(n => n == "ltss_geo_contact_pairs" ||
+        n == "ltss_geo_exposure" || n == "ltss_geo_exposure_filtered" ||
+        n == "ltss_geo_convoys" || n == "ltss_geo_convoy_groups" ||
+        n == "ltss_geo_convoy_groups_core"))
+      warmed("contact_pair_hours")(
+        graft.operators.Queries.contactPairHourFrame(spark, sfDir).count())
+    if (names.exists(n => n == "ltss_geo_contact_pairs" ||
         n == "ltss_geo_exposure" || n == "ltss_geo_exposure_filtered"))
       warmed("contact_pairs")(
         graft.operators.Queries.contactPairFrame(spark, sfDir).count())
+    if (names.exists(n => n == "ltss_geo_convoy_groups" ||
+        n == "ltss_geo_convoy_groups_core"))
+      warmed("convoy_hour_labels")(
+        graft.operators.Queries.convoyHourLabels(spark, sfDir).count())
     if (names.contains("ltss_geo_dbscan"))
       warmed("geo_dbscan")(
         graft.operators.Queries.dbscanLabels(spark, sfDir).count())

@@ -2457,4 +2457,132 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(stateRows() == 18L,
       s"closed windows must drop their state whole: ${stateRows()}")
   }
+
+  test("contactCellsStreamLive: provisional rows are monotone prefixes; the close row equals the batch panel") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def fix(eid: Long, t: String, uid: Long) = {
+      val lat = (uid % 180 - 90).toDouble + 0.5
+      val lon = (eid % 360 - 180).toDouble + 0.5
+      (ts(t), uid, eid, lat, lon)
+    }
+    // batch 1: two users share a cell-bucket; batch 2: a neighbor-cell
+    // fix feeds that key's candidate counter (ek) without touching its
+    // home count, plus a second bucket opens — so the hot key emits
+    // TWO provisional rows with growing counters before its close
+    val batch1 = Seq(
+      fix(180L, "2024-01-01 10:00:00", 10L),
+      fix(181L, "2024-01-01 10:30:00", 12L))
+    val batch2 = Seq(
+      fix(190L, "2024-01-01 10:00:00", 14L),
+      fix(181L, "2024-01-01 13:30:00", 10L))
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val q = StreamingOps.contactCellsStreamLive(
+      ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon"))
+      .writeStream.format("memory").queryName("cells_live_t")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1: _*); q.processAllAvailable()
+      ms.addData(batch2: _*); q.processAllAvailable()
+      ms.addData(fix(90L, "2024-02-01 00:00:00", 100L)); q.processAllAvailable()
+      ms.addData(fix(90L, "2024-02-01 00:30:00", 100L)); q.processAllAvailable()
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"contactCellsStreamLive died: ${q.exception}")
+    val rows = spark.table("cells_live_t")
+      .selectExpr("tb", "cx", "cy", "n_fixes", "n_users",
+        "n_pairs_within", "n_candidates", "is_final")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    val fin = rows.filter(_._8).map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7))
+    val prov = rows.filterNot(_._8)
+    // (b) the close rows equal the batch panel on the fixture fixes
+    val dir = java.nio.file.Files.createTempDirectory("graft-cells-live").toString
+    (batch1 ++ batch2).map { case (t, u, e, _, _) => (e, t, u) }
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("ltss_geo_contact_cells")(spark, dir)
+      .selectExpr("tb", "cx", "cy", "n_fixes", "n_users",
+        "n_pairs_within", "n_candidates")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(fin.toSet == batch,
+      s"live close rows diverged from the batch panel: ${fin.toSet} vs $batch")
+    // (a) provisional rows form a monotone chain per key, each below
+    // its final row — counters only grow toward the close
+    val finByKey = fin.map(r => (r._1, r._2, r._3) -> r).toMap
+    prov.groupBy(r => (r._1, r._2, r._3)).foreach { case (key, ps) =>
+      val chain = ps.sortBy(_._7)
+      chain.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4 <= b._4 && a._5 <= b._5 && a._6 <= b._6 && a._7 <= b._7,
+            s"provisional counters regressed for $key: $a then $b")
+        case _ => ()
+      }
+      finByKey.get(key).foreach { f =>
+        val last = chain.last
+        assert(last._4 <= f._4 && last._5 <= f._5 &&
+          last._6 <= f._6 && last._7 <= f._7,
+          s"provisional overshot the close row for $key: $last vs $f")
+      }
+    }
+    // the hot key's two provisional snapshots, pinned: batch 1 sees
+    // both home fixes (2 fixes, 1 pair, ek=2 -> 4 candidates); batch 2
+    // adds only the neighbor's candidate copy (ek=3 -> 6)
+    val hot = prov.filter(p => finByKey.get((p._1, p._2, p._3))
+        .exists(f => f._6 == 1L))
+      .map(p => (p._4, p._5, p._6, p._7)).sortBy(_._4)
+    assert(hot.toList == List((2L, 2L, 1L, 4L), (2L, 2L, 1L, 6L)),
+      s"hot-key provisional snapshots diverged: $hot")
+  }
+
+  test("drainManifest: watermark, frontier arithmetic, state rows, and the watermark-drop counter off a drained stream") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def fix(eid: Long, t: String, uid: Long) = {
+      val lat = (uid % 180 - 90).toDouble + 0.5
+      val lon = (eid % 360 - 180).toDouble + 0.5
+      (ts(t), uid, eid, lat, lon)
+    }
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double, Double)]
+    val q = StreamingOps.contactCellsStream(
+      ms.toDF.toDF("time", "user_id", "event_id", "lat", "lon"))
+      .writeStream.format("memory").queryName("drain_t")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        fix(180L, "2024-01-01 10:00:00", 10L),
+        fix(181L, "2024-01-01 10:30:00", 12L))
+      q.processAllAvailable()
+      ms.addData(fix(181L, "2024-01-01 13:30:00", 10L))
+      val horizonMs = (7200L + 7200L) * 1000L // T + default lateness
+      val m = graft.streaming.StreamingIngest.drainManifest(q, horizonMs)
+      assert(m.drained, s"source must read drained: $m")
+      // the watermark is a REAL parsed event-time frontier: at least
+      // batch 1's (10:30 − 2 h lateness), at most batch 2's (13:30 −
+      // 2 h) — which of the two lastProgress carries depends on
+      // whether the trailing no-data batch committed, both are
+      // legitimate drain points
+      val lo = ts("2024-01-01 08:30:00").getTime
+      val hi = ts("2024-01-01 11:30:00").getTime
+      val w = m.watermarkMs.getOrElse(fail(s"no watermark in $m"))
+      assert(w >= lo && w <= hi, s"watermark out of range: $w not in [$lo, $hi]")
+      assert(m.frontierMs.contains(w - horizonMs),
+        s"frontier must be watermark minus the horizon: $m")
+      assert(m.stateOperators.nonEmpty &&
+        m.stateOperators.head.numRowsTotal > 0L,
+        s"state operator rows must be recorded: $m")
+      assert(m.stateOperators.forall(_.numRowsDroppedByWatermark == 0L),
+        s"nothing was late yet: $m")
+      assert(m.sourceEndOffsets.nonEmpty, s"rewind offsets missing: $m")
+      // now a genuinely LATE fix (behind the far-future watermark):
+      // the global-frontier drop becomes observable in the progress
+      // history the manifest field surfaces
+      ms.addData(fix(90L, "2024-03-01 00:00:00", 100L))
+      q.processAllAvailable()
+      ms.addData(fix(180L, "2024-01-01 10:00:00", 11L))
+      val m2 = graft.streaming.StreamingIngest.drainManifest(q, horizonMs)
+      assert(m2.drained)
+      val droppedMax = q.recentProgress.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsDroppedByWatermark).foldLeft(0L)(math.max)
+      assert(droppedMax >= 1L,
+        s"the late fix must show in numRowsDroppedByWatermark: $droppedMax")
+    } finally q.stop()
+  }
 }
