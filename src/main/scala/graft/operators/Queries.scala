@@ -3502,8 +3502,18 @@ object Queries {
     * recursive-CTE closure (the exposure precedent with hr in the
     * recursion key) over the same hourly contact edges. */
   /** Composite-encoding modulus for the convoy hour·member node ids —
-    * member ids must be < Enc and epoch-hours in [0, Long.Max/Enc). */
+    * member ids must be in [0, Enc) and epoch-hours in
+    * [0, Long.Max/Enc). */
   private[graft] val ConvoyEnc = 1000000000L
+
+  /** Convoy thresholds: k = minimum core members, m = minimum
+    * consecutive hours. ONE definition for both group variants AND the
+    * core variant's meta-edge prune — the meta-graph decomposition is
+    * sound only while the ≥ k overlap threshold equals the kernel's k
+    * (a ≥ k piece crossing hours is exactly what forces the link), so
+    * the two sites must never drift apart. */
+  private[graft] val ConvoyK = 3
+  private[graft] val ConvoyM = 2
 
   /** Per-(hour, member) contact-component labels — the per-hour
     * partition both convoy-group variants ([[geoConvoyGroups]],
@@ -3525,13 +3535,16 @@ object Queries {
       val Enc = ConvoyEnc
       val hours = contactPairHourFrame(s, d)
         .select(col("id_lo"), col("id_hi"), col("hr"))
-      val b = hours.agg(min(col("hr")), max(col("id_hi"))).head()
+      val b = hours.agg(min(col("hr")), max(col("id_hi")), min(col("id_lo")))
+        .head()
       if (!b.isNullAt(0)) {
-        val (mnHr, mxId) = (b.getLong(0), b.getLong(1))
-        require(mnHr >= 0L && mxId < Enc,
+        val (mnHr, mxId, mnId) = (b.getLong(0), b.getLong(1), b.getLong(2))
+        require(mnHr >= 0L && mxId < Enc && mnId >= 0L,
           s"convoy composite encoding out of bounds: min hour $mnHr " +
             s"(needs >= 0 — a pre-1970 event time decodes wrongly under " +
-            s"truncating div/%) / max member id $mxId (needs < $Enc) — " +
+            s"truncating div/%) / member id range [$mnId, $mxId] (needs " +
+            s"[0, $Enc) — a negative id lands in the previous hour's " +
+            "band and div/% decode it as the wrong (hour, member)) — " +
             "remap member ids through a dense_rank dimension " +
             "(planning-sized) before the component pass")
       }
@@ -3551,7 +3564,7 @@ object Queries {
       val perHr = convoyHourLabels(s, d)
       val grp = perHr.groupBy(col("hr"), col("gid"))
         .agg(sort_array(collect_set(col("member"))).as("mem"))
-        .filter(size(col("mem")) >= 3)
+        .filter(size(col("mem")) >= ConvoyK)
         .select(col("hr"), col("gid"),
           size(col("mem")).cast("long").as("n_members"),
           concat_ws(",", transform(col("mem"), m => m.cast("string")))
@@ -3566,7 +3579,7 @@ object Queries {
           max(col("n_members")).as("n_members"),
           min(col("hr")).as("hr_start"),
           count(lit(1)).as("n_hours"))
-        .filter(col("n_hours") >= 2L)
+        .filter(col("n_hours") >= ConvoyM.toLong)
         .select(col("group_id"), col("n_members"), col("members"),
           col("hr_start"), col("n_hours"),
           (col("hr_start") + col("n_hours") - lit(1L)).as("hr_end"))
@@ -3630,6 +3643,16 @@ object Queries {
       group_id: Long, n_members: Long, members: String,
       hr_start: Long, n_hours: Long, hr_end: Long)
 
+  /** Sorted-member-array class key: value equality + cached hash, so
+    * the candidate map never re-hashes an unchanged class. */
+  private[graft] final class ConvoyCls(val mem: Array[Long]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(mem)
+    override def equals(o: Any): Boolean = o match {
+      case c: ConvoyCls => java.util.Arrays.equals(mem, c.mem)
+      case _ => false
+    }
+  }
+
   /** The CMC state machine over ONE convoy neighborhood's (hr, gid,
     * member) rows — the sequential kernel of [[geoConvoyGroupsCore]].
     * State: the distinct candidate member-sets alive at the current
@@ -3644,46 +3667,113 @@ object Queries {
     * start (Jeung's V.start = c.start); every ≥ k component opens as
     * a fresh candidate unless the set is already alive with an
     * earlier start. A missing hour (gap) closes everything — convoy
-    * hours are CONSECUTIVE. */
+    * hours are CONSECUTIVE.
+    *
+    * COST (the r19 folded-probe lesson — the first cut ground a
+    * single core for 30+ minutes at the folded 10×): alive classes
+    * form a LAMINAR family (two classes sharing a member are classes
+    * of that member over nested intervals, hence nested; disjoint
+    * otherwise), so when a class survives intact every class BELOW it
+    * survives for the same reason — all its members sit in the same
+    * component. Checking classes in DESCENDING size and marking the
+    * members of each full-checked survivor lets every nested class
+    * pass by ONE covered-representative lookup, collapsing the
+    * per-hour cost from Σ|class| (members × chain depth — the naive
+    * candidate-set CMC, quadratic on a stable fleet) to
+    * O(members + churn): survivors mark ≤ N members once, and full
+    * member scans happen only at chain TOPS (component-sized, Σ ≤ N)
+    * and on classes that actually split (churn-bounded, each paying
+    * its own size once at close). Dense folded fleets — thousands of
+    * members co-located for hundreds of hours — run in seconds where
+    * the set-allocating version took tens of minutes. */
   private[graft] def convoyCoreEpisodes(
       rows: Iterator[ConvoyHourRow], k: Int, m: Int): Iterator[ConvoyCoreEp] = {
     val byHr = rows.toArray.groupBy(_.hr)
     val hours = byHr.keys.toArray.sorted
     val out = scala.collection.mutable.ArrayBuffer.empty[ConvoyCoreEp]
-    def emit(set: Set[Long], s: Long, e: Long): Unit =
-      if (set.size >= k && e - s + 1 >= m) {
-        val sorted = set.toArray.sorted
-        out += ConvoyCoreEp(sorted.head, sorted.length.toLong,
-          sorted.mkString(","), s, e - s + 1, e)
-      }
-    var state = Map.empty[Set[Long], Long]
+    def emit(mem: Array[Long], s: Long, e: Long): Unit =
+      if (mem.length >= k && e - s + 1 >= m)
+        out += ConvoyCoreEp(mem.head, mem.length.toLong,
+          mem.mkString(","), s, e - s + 1, e)
+    var state = scala.collection.mutable.HashMap.empty[ConvoyCls, Long]
     var prev = Long.MinValue
     for (h <- hours) {
       if (prev != Long.MinValue && h != prev + 1) {
-        state.foreach { case (set, st) => emit(set, st, prev) }
-        state = Map.empty
+        state.foreach { case (c, st) => emit(c.mem, st, prev) }
+        state = scala.collection.mutable.HashMap.empty
       }
-      val gidOf: Map[Long, Long] =
-        byHr(h).iterator.map(r => r.member -> r.gid).toMap
-      val next = scala.collection.mutable.Map.empty[Set[Long], Long]
-      state.foreach { case (set, st) =>
-        val pieces = set.iterator
-          .flatMap(mm => gidOf.get(mm).map(g => (g, mm)))
-          .toSeq.groupBy(_._1).values.map(_.map(_._2).toSet)
-        if (!pieces.exists(_ == set)) emit(set, st, prev)
-        pieces.foreach { p =>
-          if (p.size >= k)
-            next(p) = next.get(p).fold(st)(math.min(_, st))
+      val rowsH = byHr(h)
+      val gidOf = scala.collection.mutable.LongMap.empty[Long]
+      rowsH.foreach(r => gidOf(r.member) = r.gid)
+      val next = scala.collection.mutable.HashMap.empty[ConvoyCls, Long]
+      def mergeMin(c: ConvoyCls, s: Long): Unit =
+        next.get(c) match {
+          case Some(s0) => if (s < s0) next(c) = s
+          case None => next(c) = s
+        }
+      // a member is covered once some survivor (a SUPERSET, by
+      // laminarity) proved its whole class sits in one component
+      val covered = scala.collection.mutable.LongMap.empty[Boolean]
+      // descending size: chain tops first, nested classes ride free
+      val ordered = state.toArray.sortBy(-_._1.mem.length)
+      for ((cls, since) <- ordered) {
+        val mem = cls.mem
+        if (covered.contains(mem(0))) {
+          // nested inside a proven survivor: survives with its start
+          next(cls) = since
+        } else {
+          // gid ≥ 0 always (the encoding guard), so −1 is a safe
+          // absent sentinel — no Option allocation in the hot loop
+          var ok = true
+          var g0 = -1L
+          var i = 0
+          while (ok && i < mem.length) {
+            val g = gidOf.getOrElse(mem(i), -1L)
+            if (g < 0L) ok = false
+            else if (i == 0) g0 = g
+            else if (g != g0) ok = false
+            i += 1
+          }
+          if (ok) {
+            next(cls) = since
+            var j = 0
+            while (j < mem.length) { covered(mem(j)) = true; j += 1 }
+          } else {
+            emit(mem, since, prev)
+            // pieces: partition the (sorted) members by current gid —
+            // in-order appends keep each piece sorted
+            val pieces = scala.collection.mutable.LongMap
+              .empty[scala.collection.mutable.ArrayBuffer[Long]]
+            var j = 0
+            while (j < mem.length) {
+              val g = gidOf.getOrElse(mem(j), -1L)
+              if (g >= 0L)
+                pieces.getOrElseUpdate(g,
+                  scala.collection.mutable.ArrayBuffer.empty[Long]) += mem(j)
+              j += 1
+            }
+            pieces.foreach { case (_, buf) =>
+              if (buf.length >= k) mergeMin(new ConvoyCls(buf.toArray), since)
+            }
+          }
         }
       }
-      byHr(h).groupBy(_.gid).values.foreach { cRows =>
-        val c = cRows.iterator.map(_.member).toSet
-        if (c.size >= k && !next.contains(c)) next(c) = h
+      // every ≥ k component opens as a fresh candidate unless the set
+      // is already alive with an earlier start
+      val comps = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      rowsH.foreach(r => comps.getOrElseUpdate(r.gid,
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += r.member)
+      comps.foreach { case (_, buf) =>
+        if (buf.length >= k) {
+          val c = new ConvoyCls(buf.sorted.toArray)
+          if (!next.contains(c)) next(c) = h
+        }
       }
-      state = next.toMap
+      state = next
       prev = h
     }
-    state.foreach { case (set, st) => emit(set, st, prev) }
+    state.foreach { case (c, st) => emit(c.mem, st, prev) }
     out.iterator
   }
 
@@ -3741,7 +3831,7 @@ object Queries {
         .join(nxt, Seq("hr", "member"))
         .groupBy(col("hr"), col("gid"), col("gid_n"))
         .agg(count(lit(1)).as("ov"))
-        .filter(col("ov") >= 3L)
+        .filter(col("ov") >= ConvoyK.toLong)
         .select((col("hr") * Enc + col("gid")).as("a_id"),
           ((col("hr") + 1L) * Enc + col("gid_n")).as("b_id"))
       val metaLab =
@@ -3751,7 +3841,7 @@ object Queries {
         .select(col("label").as("meta"), col("hr"), col("gid"), col("member"))
         .as[ConvoyHourRow]
         .groupByKey(_.meta)
-        .flatMapGroups((_, it) => convoyCoreEpisodes(it, 3, 2))
+        .flatMapGroups((_, it) => convoyCoreEpisodes(it, ConvoyK, ConvoyM))
         .toDF()
         .orderBy(col("group_id"), col("hr_start"), col("members"))
     },

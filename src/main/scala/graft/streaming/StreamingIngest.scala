@@ -206,7 +206,16 @@ object StreamingIngest {
     * instead of report counting, since a drained stationary query
     * emits no further reports to count). A watermark still at the
     * epoch (no event-time row processed yet) reports as None, so a
-    * caller cannot mistake "never watermarked" for a real frontier. */
+    * caller cannot mistake "never watermarked" for a real frontier.
+    * `numRowsDroppedByWatermark` is a PER-BATCH counter and the drain
+    * usually ends on a trailing no-data batch reporting 0 — reading
+    * `lastProgress` alone would silently miss the drop the field
+    * exists to surface — so the manifest SUMS it per operator across
+    * the RETAINED progress history (`recentProgress`, a bounded
+    * buffer: drops older than its window — default ~100 batches — age
+    * out; a zero therefore means "none retained", not "none ever").
+    * `numRowsTotal` stays the latest reading (it is already
+    * cumulative state size, not a per-batch delta). */
   def drainManifest(q: StreamingQuery, horizonMs: Long = 0L): DrainManifest = {
     q.processAllAvailable()
     val drained = !q.status.isDataAvailable
@@ -214,9 +223,15 @@ object StreamingIngest {
     val wm = lp.flatMap(p => Option(p.eventTime.get("watermark")))
       .map(s => java.time.Instant.parse(s).toEpochMilli)
       .filter(_ > 0L)
-    val ops = lp.toSeq.flatMap(_.stateOperators.toSeq).map(o =>
-      DrainStateOp(Option(o.operatorName).getOrElse(""),
-        o.numRowsTotal, o.numRowsDroppedByWatermark))
+    val droppedByOp = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq)
+      .groupBy(o => Option(o.operatorName).getOrElse(""))
+      .map { case (n, os) => n -> os.map(_.numRowsDroppedByWatermark).sum }
+    val ops = lp.toSeq.flatMap(_.stateOperators.toSeq).map { o =>
+      val n = Option(o.operatorName).getOrElse("")
+      DrainStateOp(n, o.numRowsTotal,
+        droppedByOp.getOrElse(n, o.numRowsDroppedByWatermark))
+    }
     val offs = lp.toSeq.flatMap(_.sources.toSeq)
       .map(s => String.valueOf(s.endOffset))
     DrainManifest(drained, wm, wm.map(_ - horizonMs), ops, offs)

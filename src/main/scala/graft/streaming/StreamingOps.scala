@@ -2603,52 +2603,16 @@ object StreamingOps {
       windowUs: Long = 7200000000L,
       latenessUs: Long = -1L): Dataset[CellPanelRow] = {
     import pts.sparkSession.implicits._
-    val lateUs = if (latenessUs < 0L) windowUs else latenessUs
-    cellPanelExploded(pts, radiusDeg, windowUs, lateUs)
-      .groupByKey(r => (r._3, r._4, r._5))
-      .flatMapGroupsWithState[CellPanelState, CellPanelRow](
-        org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.EventTimeTimeout) { (key, rows, st) =>
-        if (st.hasTimedOut) {
-          val s0 = st.get
-          st.remove()
-          val k = s0.k
-          // the batch panel inner-joins home × early: a key that never
-          // saw a HOME fix has no batch row — emit nothing
-          if (k == 0L) Iterator.empty
-          else Iterator.single(CellPanelRow(key._1, key._2, key._3,
-            k, s0.users.length.toLong, k * (k - 1L) / 2L, s0.ek * k))
-        } else {
-          val s0 = st.getOption.getOrElse(CellPanelState(0L, 0L, Seq.empty))
-          // set semantics on a Seq-encoded state: merge the batch into
-          // a LinkedHashSet ONCE (insertion-ordered, so the stored Seq
-          // is deterministic) — a per-row Seq.contains would be O(k²)
-          // per batch on exactly the hot cells this panel exists for
-          val users = scala.collection.mutable.LinkedHashSet.empty[Long]
-          users ++= s0.users
-          var ek = s0.ek
-          var k = s0.k
-          for (r <- rows) {
-            ek += 1L
-            if (r._6) {
-              k += 1L
-              users += r._2
-            }
-          }
-          st.update(CellPanelState(ek, k, users.toSeq))
-          // close when the watermark passes the key's last admissible
-          // contributor: sources tb and tb−1 both end by (gtb+1)·T.
-          // CEIL the µs→ms conversion ((gtb+1)·windowUs first, divide
-          // last) — multiplying a truncated windowUs/1000 would close
-          // early by (gtb+1)·(windowUs mod 1000) µs and double-emit a
-          // key that a late in-horizon fix recreates. (Clamped above
-          // the current watermark as the API requires.)
-          st.setTimeoutTimestamp(math.max(
-            ((key._1 + 1L) * windowUs + 999L) / 1000L,
-            st.getCurrentWatermarkMs() + 1L))
-          Iterator.empty
-        }
-      }
+    // the exactly-once twin IS the live variant's close rows: one
+    // state machine, one close rule — the filter keeps the r19 twins
+    // from drifting (state shape, timeout, and emission all shared;
+    // the stateful operator and its CellPanelState schema are
+    // unchanged, so r18 checkpoints restore — the filter/map sit
+    // downstream of the state store)
+    contactCellsStreamLive(pts, radiusDeg, windowUs, latenessUs)
+      .filter(_.is_final)
+      .map(r => CellPanelRow(r.tb, r.cx, r.cy, r.n_fixes, r.n_users,
+        r.n_pairs_within, r.n_candidates))
   }
 
   final case class CellPanelLiveRow(
@@ -2690,12 +2654,18 @@ object StreamingOps {
           val s0 = st.get
           st.remove()
           val k = s0.k
+          // the batch panel inner-joins home × early: a key that never
+          // saw a HOME fix has no batch row — emit nothing
           if (k == 0L) Iterator.empty
           else Iterator.single(CellPanelLiveRow(key._1, key._2, key._3,
             k, s0.users.length.toLong, k * (k - 1L) / 2L, s0.ek * k,
             is_final = true))
         } else {
           val s0 = st.getOption.getOrElse(CellPanelState(0L, 0L, Seq.empty))
+          // set semantics on a Seq-encoded state: merge the batch into
+          // a LinkedHashSet ONCE (insertion-ordered, so the stored Seq
+          // is deterministic) — a per-row Seq.contains would be O(k²)
+          // per batch on exactly the hot cells this panel exists for
           val users = scala.collection.mutable.LinkedHashSet.empty[Long]
           users ++= s0.users
           var ek = s0.ek
@@ -2708,6 +2678,13 @@ object StreamingOps {
             }
           }
           st.update(CellPanelState(ek, k, users.toSeq))
+          // close when the watermark passes the key's last admissible
+          // contributor: sources tb and tb−1 both end by (gtb+1)·T.
+          // CEIL the µs→ms conversion ((gtb+1)·windowUs first, divide
+          // last) — multiplying a truncated windowUs/1000 would close
+          // early by (gtb+1)·(windowUs mod 1000) µs and double-emit a
+          // key that a late in-horizon fix recreates. (Clamped above
+          // the current watermark as the API requires.)
           st.setTimeoutTimestamp(math.max(
             ((key._1 + 1L) * windowUs + 999L) / 1000L,
             st.getCurrentWatermarkMs() + 1L))

@@ -1462,6 +1462,20 @@ class GeoTrajectorySpec extends SparkSpec {
     }
     assert(eNeg.getMessage.contains("pre-1970"),
       s"guard must name the negative-hour cause: ${eNeg.getMessage}")
+    // NEGATIVE member id — passes the max-id and hour checks but lands
+    // in the previous hour's encoding band (the review-found gap): the
+    // id-range lower bound must catch it
+    val dirNegId = java.nio.file.Files.createTempDirectory("graft-convoy-negid").toString
+    Seq(
+      (100L, ts("2024-01-01 10:00:00"), -5L),
+      (101L, ts("2024-01-01 10:10:00"), -3L))
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dirNegId/events.parquet")
+    val eNegId = intercept[IllegalArgumentException] {
+      SparkEntry.queries("ltss_geo_convoy_groups")(spark, dirNegId).collect()
+    }
+    assert(eNegId.getMessage.contains("member id range"),
+      s"guard must catch a negative member id: ${eNegId.getMessage}")
   }
 
   test("convoyCoreEpisodes kernel: hour gaps close episodes; min-start dedup survives a merge") {

@@ -2579,10 +2579,11 @@ class StatefulStreamingSpec extends SparkSpec {
       ms.addData(fix(180L, "2024-01-01 10:00:00", 11L))
       val m2 = graft.streaming.StreamingIngest.drainManifest(q, horizonMs)
       assert(m2.drained)
-      val droppedMax = q.recentProgress.flatMap(_.stateOperators.toSeq)
-        .map(_.numRowsDroppedByWatermark).foldLeft(0L)(math.max)
-      assert(droppedMax >= 1L,
-        s"the late fix must show in numRowsDroppedByWatermark: $droppedMax")
+      // the MANIFEST itself must surface the drop even though the
+      // drain's trailing no-data batch reports 0 for that field — the
+      // helper sums the per-batch counter over the retained history
+      assert(m2.stateOperators.exists(_.numRowsDroppedByWatermark >= 1L),
+        s"the late fix must show in the manifest's drop counter: $m2")
     } finally q.stop()
   }
 }
