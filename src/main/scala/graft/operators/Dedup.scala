@@ -312,8 +312,17 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, reliable: Boolean = false): (DataFrame, Int) = {
     val s = pairs.sparkSession
+    // freshFrame strips the checkpoint's ORIGIN STATS: the
+    // pointer-doubling round joins a frame with a projection of itself,
+    // which otherwise SQUARES the CBO sizeInBytes every iteration —
+    // bit counts double per round and deep graphs (the convoy
+    // meta-graph's ~20+ rounds) melt the driver in megabit BigInteger
+    // products during planning (see GraftLineage's scaladoc for the
+    // measured pathology)
     def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+      org.apache.spark.sql.GraftLineage.freshFrame(
+        if (reliable) df.checkpoint(eager = false)
+        else df.localCheckpoint(eager = false))
     val edges = truncate(pairs.toDF("a_id", "b_id"))
     // one job: materializes the edge checkpoint (the union below would
     // otherwise run the pair join twice) AND sizes the loop's parallelism

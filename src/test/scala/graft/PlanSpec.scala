@@ -583,6 +583,31 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  test("connected components: deep-graph planning stats stay bounded (no sizeInBytes compounding)") {
+    // r19 (found by the folded-10× convoy probe melting the driver):
+    // Dataset.localCheckpoint preserves the origin plan's CBO stats,
+    // and the pointer-doubling round joins the frame with a projection
+    // of ITSELF — sizeInBytes SQUARES per iteration (bit count doubles:
+    // measured 11 → 2.4 million bits in 18 rounds), and planning then
+    // pays megabit BigInteger products on the driver. GraftLineage
+    // .freshFrame strips the origin stats at each truncation; the
+    // converged labels must report a leaf-default size, not a product.
+    import spark.implicits._
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val edges = (1L until 1024L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+      val (labels, iters) = Dedup.connectedComponents(edges)
+      val bits = labels.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+      assert(bits <= 128,
+        s"stats compounded through the loop: sizeInBytes is a $bits-bit " +
+          s"number after $iters iterations — the freshFrame strip is gone")
+      val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.size == 1024 && out.values.forall(_ == 1L),
+        s"chain must still collapse to its head: ${out.values.toSet.take(5)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   test("connected components: reliable checkpoint variant produces the same labels") {
     import spark.implicits._
     spark.sparkContext.setCheckpointDir(
