@@ -3759,11 +3759,14 @@ object Queries {
         }
       }
       // every ≥ k component opens as a fresh candidate unless the set
-      // is already alive with an earlier start
+      // is already alive with an earlier start. Built from gidOf (one
+      // entry per member, last row wins — the old toMap tolerance), so
+      // a duplicate (hr, member) input row can neither inflate a
+      // component past k nor duplicate an id in the members string.
       val comps = scala.collection.mutable.LongMap
         .empty[scala.collection.mutable.ArrayBuffer[Long]]
-      rowsH.foreach(r => comps.getOrElseUpdate(r.gid,
-        scala.collection.mutable.ArrayBuffer.empty[Long]) += r.member)
+      gidOf.foreach { case (m, g) => comps.getOrElseUpdate(g,
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += m }
       comps.foreach { case (_, buf) =>
         if (buf.length >= k) {
           val c = new ConvoyCls(buf.sorted.toArray)

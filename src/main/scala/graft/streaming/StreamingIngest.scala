@@ -223,14 +223,17 @@ object StreamingIngest {
     val wm = lp.flatMap(p => Option(p.eventTime.get("watermark")))
       .map(s => java.time.Instant.parse(s).toEpochMilli)
       .filter(_ > 0L)
-    val droppedByOp = q.recentProgress.toSeq
-      .flatMap(_.stateOperators.toSeq)
-      .groupBy(o => Option(o.operatorName).getOrElse(""))
-      .map { case (n, os) => n -> os.map(_.numRowsDroppedByWatermark).sum }
-    val ops = lp.toSeq.flatMap(_.stateOperators.toSeq).map { o =>
-      val n = Option(o.operatorName).getOrElse("")
-      DrainStateOp(n, o.numRowsTotal,
-        droppedByOp.getOrElse(n, o.numRowsDroppedByWatermark))
+    // keyed by OPERATOR INDEX, not name: two same-named stateful ops in
+    // one query (e.g. chained dedupes) must not merge and double-count
+    // — per-progress operator order is the plan order, stable across
+    // batches of a fixed query
+    val histories = q.recentProgress.toSeq.map(_.stateOperators.toSeq)
+    val ops = lp.toSeq.flatMap(_.stateOperators.toSeq.zipWithIndex).map {
+      case (o, i) =>
+        val dropped =
+          histories.flatMap(_.lift(i)).map(_.numRowsDroppedByWatermark).sum
+        DrainStateOp(Option(o.operatorName).getOrElse(""),
+          o.numRowsTotal, dropped)
     }
     val offs = lp.toSeq.flatMap(_.sources.toSeq)
       .map(s => String.valueOf(s.endOffset))

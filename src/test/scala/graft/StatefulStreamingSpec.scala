@@ -2586,4 +2586,29 @@ class StatefulStreamingSpec extends SparkSpec {
         s"the late fix must show in the manifest's drop counter: $m2")
     } finally q.stop()
   }
+
+  test("drainManifest: chained same-name stateful operators keep per-operator drop counts") {
+    // two dedupe stages share the operator NAME — the manifest must key
+    // its history sum by operator INDEX, or both rows would report the
+    // combined total and a consumer summing the manifest double-counts
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = ms.toDF.toDF("time", "id")
+      .withWatermark("time", "1 second")
+      .dropDuplicates("id", "time")
+      .dropDuplicates("id")
+    val q = df.writeStream.format("memory").queryName("drain_dup_t")
+      .outputMode("append").start()
+    try {
+      ms.addData((ts("2024-01-01 10:00:00"), 1L)); q.processAllAvailable()
+      ms.addData((ts("2024-02-01 10:00:00"), 2L)); q.processAllAvailable()
+      ms.addData((ts("2024-01-01 09:00:00"), 3L)) // late: dropped once
+      val m = graft.streaming.StreamingIngest.drainManifest(q)
+      assert(m.drained && m.stateOperators.size == 2,
+        s"two dedupe operators expected: $m")
+      val drops = m.stateOperators.map(_.numRowsDroppedByWatermark)
+      assert(drops.sum == 1L && drops.count(_ == 1L) == 1,
+        s"the late row must count ONCE, on the operator that dropped it: $m")
+    } finally q.stop()
+  }
 }
