@@ -136,13 +136,19 @@ object ScalingProbe {
     val sfDir = args(0)
     val outPath = args(1)
     val names = args.drop(2).toSeq.sorted
-    val spark = SparkSession.builder()
+    // ad-hoc conf overrides for probe experiments (e.g. the folded-30×
+    // heap probe runs with spill read-ahead buffers off):
+    //   SPARK_GRAFT_EXTRA_CONF="spark.a=1;spark.b=2"
+    val extra = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains('='))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val spark = extra.foldLeft(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))((b, kv) => b.config(kv._1, kv._2))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
