@@ -3529,9 +3529,9 @@ object Queries {
     * (snowflake-style id spaces must remap through a dense_rank
     * dimension first), instead of silently producing wrong groups.
     * `gid` is the component's min member id within its hour. */
-  private[graft] def convoyHourLabels(s: SparkSession, d: String): DataFrame =
-    graft.CachedFrames.getOrBuild(
-      s"convoy_hour_labels|${graft.CachedFrames.sessionKey(s)}|$d") {
+  private[graft] def convoyHourLabels(
+      s: SparkSession, d: String, reliable: Boolean = false): DataFrame = {
+    def build(): DataFrame = {
       val Enc = ConvoyEnc
       val hours = contactPairHourFrame(s, d)
         .select(col("id_lo"), col("id_hi"), col("hr"))
@@ -3551,12 +3551,22 @@ object Queries {
       val edges = hours.select(
         (col("hr") * Enc + col("id_lo")).as("a_id"),
         (col("hr") * Enc + col("id_hi")).as("b_id"))
-      val labels = Dedup.withAqeOff(s)(Dedup.connectedComponents(edges)._1)
+      val labels =
+        Dedup.withAqeOff(s)(Dedup.connectedComponents(edges, reliable)._1)
       labels.select(
         expr(s"id div $Enc").as("hr"),
         expr(s"id % $Enc").as("member"),
         expr(s"label % $Enc").as("gid"))
     }
+    // the RELIABLE tier (cluster availability: the CC fixpoint's
+    // truncations write to the DFS instead of executor-local storage —
+    // the exposureFrame contract, requires sc.setCheckpointDir) builds
+    // its own copy: executor-local persisted blocks must not be the
+    // only home of a cluster run's labels
+    if (reliable) build()
+    else graft.CachedFrames.getOrBuild(
+      s"convoy_hour_labels|${graft.CachedFrames.sessionKey(s)}|$d")(build())
+  }
 
   val geoConvoyGroups = OracleQuery(
     "ltss_geo_convoy_groups",
@@ -3822,32 +3832,42 @@ object Queries {
     * min-start fold per (core, close) — a genuinely different
     * construction from the Spark meta-partitioned machine (verified
     * equal row-for-row at sf0.01 during design, 34 episodes). */
+  /** The core-convoy engine with the availability knob: `reliable`
+    * routes BOTH fixpoints (the per-hour labels and the meta-graph CC)
+    * through reliable checkpoints and skips the executor-local cache —
+    * the [[exposureFrame]] contract, for cluster runs where a lost
+    * executor must not kill the only copy of a truncated frame
+    * mid-loop (requires `sc.setCheckpointDir`). The registered query
+    * is the local tier. */
+  private[graft] def convoyGroupsCoreFrame(
+      s: SparkSession, d: String, reliable: Boolean = false): DataFrame = {
+    import s.implicits._
+    val Enc = ConvoyEnc
+    val perHr = convoyHourLabels(s, d, reliable)
+    val nxt = perHr.select((col("hr") - 1L).as("hr"),
+      col("gid").as("gid_n"), col("member"))
+    val metaEdges = perHr.select(col("hr"), col("gid"), col("member"))
+      .join(nxt, Seq("hr", "member"))
+      .groupBy(col("hr"), col("gid"), col("gid_n"))
+      .agg(count(lit(1)).as("ov"))
+      .filter(col("ov") >= ConvoyK.toLong)
+      .select((col("hr") * Enc + col("gid")).as("a_id"),
+        ((col("hr") + 1L) * Enc + col("gid_n")).as("b_id"))
+    val metaLab =
+      Dedup.withAqeOff(s)(Dedup.connectedComponents(metaEdges, reliable)._1)
+        .withColumnRenamed("id", "node")
+    perHr.join(metaLab, (col("hr") * Enc + col("gid")) === col("node"))
+      .select(col("label").as("meta"), col("hr"), col("gid"), col("member"))
+      .as[ConvoyHourRow]
+      .groupByKey(_.meta)
+      .flatMapGroups((_, it) => convoyCoreEpisodes(it, ConvoyK, ConvoyM))
+      .toDF()
+  }
+
   val geoConvoyGroupsCore = OracleQuery(
     "ltss_geo_convoy_groups_core",
-    (s, d) => {
-      import s.implicits._
-      val Enc = ConvoyEnc
-      val perHr = convoyHourLabels(s, d)
-      val nxt = perHr.select((col("hr") - 1L).as("hr"),
-        col("gid").as("gid_n"), col("member"))
-      val metaEdges = perHr.select(col("hr"), col("gid"), col("member"))
-        .join(nxt, Seq("hr", "member"))
-        .groupBy(col("hr"), col("gid"), col("gid_n"))
-        .agg(count(lit(1)).as("ov"))
-        .filter(col("ov") >= ConvoyK.toLong)
-        .select((col("hr") * Enc + col("gid")).as("a_id"),
-          ((col("hr") + 1L) * Enc + col("gid_n")).as("b_id"))
-      val metaLab =
-        Dedup.withAqeOff(s)(Dedup.connectedComponents(metaEdges)._1)
-          .withColumnRenamed("id", "node")
-      perHr.join(metaLab, (col("hr") * Enc + col("gid")) === col("node"))
-        .select(col("label").as("meta"), col("hr"), col("gid"), col("member"))
-        .as[ConvoyHourRow]
-        .groupByKey(_.meta)
-        .flatMapGroups((_, it) => convoyCoreEpisodes(it, ConvoyK, ConvoyM))
-        .toDF()
-        .orderBy(col("group_id"), col("hr_start"), col("members"))
-    },
+    (s, d) => convoyGroupsCoreFrame(s, d)
+      .orderBy(col("group_id"), col("hr_start"), col("members")),
     Some("""WITH RECURSIVE pts AS (
       |  SELECT user_id, ts, event_id,
       |         CAST(user_id % 180 - 90 AS DOUBLE) + 0.5 AS lat,

@@ -1478,6 +1478,34 @@ class GeoTrajectorySpec extends SparkSpec {
       s"guard must catch a negative member id: ${eNegId.getMessage}")
   }
 
+  test("convoyGroupsCoreFrame: the reliable-checkpoint tier returns the identical episodes") {
+    // the churn fixture again (A,B,C hours 10-12 with D only at 11):
+    // both fixpoints (hour labels + meta CC) run under reliable
+    // checkpoints and must reproduce the local tier bit-for-bit, with
+    // checkpoint files actually written to the DFS stand-in
+    val dir = java.nio.file.Files.createTempDirectory("graft-convoy-rel").toString
+    val events = (0 until 3).flatMap { h =>
+      Seq(
+        (30L + 20L * h, ts(s"2024-01-01 ${10 + h}:00:00"), 10L),
+        (35L + 20L * h, ts(s"2024-01-01 ${10 + h}:10:00"), 12L),
+        (40L + 20L * h, ts(s"2024-01-01 ${10 + h}:20:00"), 14L))
+    } :+ ((62L, ts("2024-01-01 11:25:00"), 16L))
+    events.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-convoy-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val order = Seq("group_id", "hr_start", "members").map(col)
+    val local = graft.operators.Queries.convoyGroupsCoreFrame(spark, dir)
+      .orderBy(order: _*).collect().toSeq
+    val rel = graft.operators.Queries
+      .convoyGroupsCoreFrame(spark, dir, reliable = true)
+      .orderBy(order: _*).collect().toSeq
+    assert(rel == local && local.nonEmpty,
+      s"reliable tier diverged from local: $rel vs $local")
+    val wrote = new java.io.File(ckpt).listFiles()
+    assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint was written")
+  }
+
   test("convoyCoreEpisodes kernel: hour gaps close episodes; min-start dedup survives a merge") {
     import graft.operators.Queries.{ConvoyHourRow, convoyCoreEpisodes}
     // hours 1-2: {1,2,3} together; hour 4 (GAP at 3): together again —

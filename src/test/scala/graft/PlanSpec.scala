@@ -507,6 +507,18 @@ class PlanSpec extends SparkSpec {
       s"point-in-polygon must not shuffle; plan:\n$plan")
   }
 
+  test("core convoy meta-join plans as equi-joins — never a nested loop or cartesian") {
+    // the meta-graph edge build is a self-join on (hr+1, member) and
+    // the label attach an equi-join on the composite node key — at
+    // fleet scale neither may degrade to a nested loop
+    val df = graft.operators.Queries.geoConvoyGroupsCore
+      .run(spark, "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"core convoy leaked a non-equi join; plan:\n$plan")
+  }
+
   test("range join plans as an equi-join on bucket keys — never a nested loop") {
     val df = graft.operators.Queries.rangeJoin.run(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
