@@ -48,12 +48,22 @@ object CachedFrames {
   /** The persisted frame for `key`, built (and persisted
     * MEMORY_AND_DISK) only on the first request — later callers get the
     * SAME DataFrame instance, so downstream plans share one cache entry
-    * by construction instead of relying on plan canonicalization. */
-  def getOrBuild(key: String)(build: => DataFrame): DataFrame = synchronized {
+    * by construction instead of relying on plan canonicalization.
+    *
+    * `level` tiers the entry: a frame that is CHEAPLY DERIVABLE from
+    * another cached frame (one combinable fold — e.g. the contact pair
+    * graph from the hourly rollup) passes MEMORY_ONLY, so under memory
+    * pressure it is the first to yield and costs a one-stage recompute
+    * instead of holding a second disk copy of information the cache
+    * already has (r19 ADVICE: the MEMORY_AND_DISK default doubled the
+    * contact family's executor-storage footprint). */
+  def getOrBuild(key: String,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK)(
+      build: => DataFrame): DataFrame = synchronized {
     val hit = cache.get(key)
     if (hit != null) hit
     else {
-      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val df = build.persist(level)
       cache.put(key, df)
       df
     }

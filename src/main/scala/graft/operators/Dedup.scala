@@ -271,6 +271,10 @@ object Dedup {
 
   /** Connected components by min-label propagation to fixpoint over an
     * (a_id, b_id) pair frame → (id, label) plus the iteration count.
+    * The returned frame carries HONEST leaf statistics (row count from
+    * the convergence job, size = rows × width), so dimension-sized
+    * label frames auto-broadcast at consumers while corpus-sized ones
+    * honestly shuffle — see [[org.apache.spark.sql.GraftLineage]].
     *
     * Efficiency shape (one job per iteration — pinned by PlanSpec):
     *  - seed label = min(id, min neighbor): the first propagation round
@@ -312,17 +316,15 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, reliable: Boolean = false): (DataFrame, Int) = {
     val s = pairs.sparkSession
-    // freshFrame strips the checkpoint's ORIGIN STATS: the
+    // GraftLineage.truncate strips the checkpoint's ORIGIN STATS: the
     // pointer-doubling round joins a frame with a projection of itself,
     // which otherwise SQUARES the CBO sizeInBytes every iteration —
-    // bit counts double per round and deep graphs (the convoy
-    // meta-graph's ~20+ rounds) melt the driver in megabit BigInteger
-    // products during planning (see GraftLineage's scaladoc for the
-    // measured pathology)
+    // bit counts double per round and deep graphs (~20+ rounds) melt
+    // the driver in megabit BigInteger products during planning — while
+    // KEEPING the hand-set hash partitioning the built-in checkpoint
+    // drops (see GraftLineage's scaladoc for both measured pathologies)
     def truncate(df: DataFrame): DataFrame =
-      org.apache.spark.sql.GraftLineage.freshFrame(
-        if (reliable) df.checkpoint(eager = false)
-        else df.localCheckpoint(eager = false))
+      org.apache.spark.sql.GraftLineage.truncate(df, reliable)
     val edges = truncate(pairs.toDF("a_id", "b_id"))
     // one job: materializes the edge checkpoint (the union below would
     // otherwise run the pair join twice) AND sizes the loop's parallelism
@@ -336,6 +338,7 @@ object Dedup {
       .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
     var iters = 0
     var changed = 1L
+    var nNodes = 0L
     while (changed > 0) {
       iters += 1
       val nbr = sym.join(labels.select(col("id").as("dst"), col("label")), "dst")
@@ -363,11 +366,22 @@ object Dedup {
             (doubled < col("old")).cast("long").as("chg"))
           .repartition(parts, col("id")))
       // THE one job: propagate + jump + materialize the checkpoint +
-      // converge-check
-      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
+      // converge-check + node count (rides the same pass — it prices
+      // the honest-stats re-attach below at zero extra jobs)
+      val conv = next.agg(coalesce(sum(col("chg")), lit(0L)),
+        count(lit(1))).head()
+      changed = conv.getLong(0)
+      nNodes = conv.getLong(1)
       labels = next.drop("chg")
     }
-    (labels, iters)
+    // The in-loop truncate discipline strips stats so the self-join
+    // rounds can't compound them — but handing a no-stats frame BACK to
+    // callers silently demoted every downstream label join from
+    // broadcast to shuffle (r19 VERDICT finding #1: dedup_semantic
+    // +60%). Re-attach the exact converged row count so Catalyst
+    // auto-broadcasts a dimension-sized label frame — and, just as
+    // honestly, shuffles a corpus-sized one at 100 TB.
+    (org.apache.spark.sql.GraftLineage.frameWithRowCount(labels, nNodes), iters)
   }
 
   /** The CONVERGED near-dup component labels (id → min-label), shared

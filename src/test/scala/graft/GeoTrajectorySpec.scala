@@ -1434,48 +1434,122 @@ class GeoTrajectorySpec extends SparkSpec {
       s"the 3-core must persist through the hour-11 churn: ${core.toSeq}")
   }
 
-  test("convoy composite encoding guard: out-of-range member ids and pre-1970 hours fail loudly") {
-    // member id >= 1e9 — the silent-mislabel case the r18 VERDICT
-    // flagged: must throw with the dense-rank remap pointer, not
-    // produce wrong groups
+  test("convoy encoding bounds: union-find labels out-of-encoding ids correctly; core meta + fallback keep the loud guard") {
+    // r20: the hour-partitioned union-find needs no composite encoding,
+    // so ids the r19 global fixpoint REJECTED (snowflake-sized, negative)
+    // and pre-1970 hours now label CORRECTLY on the strict variant. The
+    // guard survives where the hr·10⁹+id encoding does: the core
+    // variant's meta nodes and the global-CC fallback path.
+    // (a) member ids >= 1e9 — a real 3-member, 3-hour convoy
     val dirBig = java.nio.file.Files.createTempDirectory("graft-convoy-bigid").toString
-    Seq(
-      (100L, ts("2024-01-01 10:00:00"), 2000000000L),
-      (101L, ts("2024-01-01 10:10:00"), 2000000002L))
-      .toDF("event_id", "ts", "user_id")
+    val bigIds = Seq(2000000000L, 2000000002L, 2000000004L)
+    (0 until 3).flatMap { h =>
+      Seq(
+        (30L + 20L * h, ts(s"2024-01-01 ${10 + h}:00:00"), bigIds(0)),
+        (35L + 20L * h, ts(s"2024-01-01 ${10 + h}:10:00"), bigIds(1)),
+        (40L + 20L * h, ts(s"2024-01-01 ${10 + h}:20:00"), bigIds(2)))
+    }.toDF("event_id", "ts", "user_id")
       .write.mode("overwrite").parquet(s"$dirBig/events.parquet")
+    val hrBig = ts("2024-01-01 10:00:00").getTime / 3600000L
+    val big = SparkEntry.queries("ltss_geo_convoy_groups")(spark, dirBig)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(big.toSeq == Seq((bigIds(0), 3L, bigIds.mkString(","),
+        hrBig, 3L, hrBig + 2L)),
+      s"snowflake-sized ids must label correctly on the UF path: ${big.toSeq}")
+    // ... but the CORE variant composite-encodes (hr, gid) for its meta
+    // nodes, so it must still throw with the dense-rank remap pointer
     val eBig = intercept[IllegalArgumentException] {
-      SparkEntry.queries("ltss_geo_convoy_groups")(spark, dirBig).collect()
+      SparkEntry.queries("ltss_geo_convoy_groups_core")(spark, dirBig).collect()
     }
     assert(eBig.getMessage.contains("dense_rank"),
-      s"guard must point at the remap: ${eBig.getMessage}")
-    // pre-1970 event time — negative hour decodes wrongly under
-    // truncating div/%
+      s"core guard must point at the remap: ${eBig.getMessage}")
+    // ... and so must the global-CC fallback for the strict variant
+    val gccWas = spark.conf.get("graft.convoy.globalCc", "false")
+    spark.conf.set("graft.convoy.globalCc", "true")
+    try {
+      val eFall = intercept[IllegalArgumentException] {
+        SparkEntry.queries("ltss_geo_convoy_groups")(spark, dirBig).collect()
+      }
+      assert(eFall.getMessage.contains("dense_rank"),
+        s"fallback guard must point at the remap: ${eFall.getMessage}")
+    } finally spark.conf.set("graft.convoy.globalCc", gccWas)
+    // (b) pre-1970 event times: buckets come from TRUNCATING div, so
+    // keep all three fixes inside one truncated hour (offsets past the
+    // exact hour boundary); the strict variant labels them, the core
+    // variant throws naming the cause
     val dirNeg = java.nio.file.Files.createTempDirectory("graft-convoy-neghr").toString
-    Seq(
-      (100L, ts("1969-12-30 10:00:00"), 10L),
-      (101L, ts("1969-12-30 10:10:00"), 12L))
-      .toDF("event_id", "ts", "user_id")
+    (0 until 3).flatMap { h =>
+      Seq(
+        (30L + 20L * h, ts(s"1969-12-30 ${10 + h}:10:00"), 10L),
+        (35L + 20L * h, ts(s"1969-12-30 ${10 + h}:20:00"), 12L),
+        (40L + 20L * h, ts(s"1969-12-30 ${10 + h}:30:00"), 14L))
+    }.toDF("event_id", "ts", "user_id")
       .write.mode("overwrite").parquet(s"$dirNeg/events.parquet")
+    val neg = SparkEntry.queries("ltss_geo_convoy_groups")(spark, dirNeg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(4)))
+    assert(neg.toSeq == Seq((10L, 3L, "10,12,14", 3L)),
+      s"pre-1970 hours must label correctly on the UF path: ${neg.toSeq}")
     val eNeg = intercept[IllegalArgumentException] {
       SparkEntry.queries("ltss_geo_convoy_groups_core")(spark, dirNeg).collect()
     }
     assert(eNeg.getMessage.contains("pre-1970"),
-      s"guard must name the negative-hour cause: ${eNeg.getMessage}")
-    // NEGATIVE member id — passes the max-id and hour checks but lands
-    // in the previous hour's encoding band (the review-found gap): the
-    // id-range lower bound must catch it
+      s"core guard must name the negative-hour cause: ${eNeg.getMessage}")
+    // (c) NEGATIVE member ids — correct on the UF path, loud on the core
     val dirNegId = java.nio.file.Files.createTempDirectory("graft-convoy-negid").toString
-    Seq(
-      (100L, ts("2024-01-01 10:00:00"), -5L),
-      (101L, ts("2024-01-01 10:10:00"), -3L))
-      .toDF("event_id", "ts", "user_id")
+    val negIds = Seq(-5L, -3L, -1L)
+    (0 until 3).flatMap { h =>
+      Seq(
+        (30L + 20L * h, ts(s"2024-01-01 ${10 + h}:00:00"), negIds(0)),
+        (35L + 20L * h, ts(s"2024-01-01 ${10 + h}:10:00"), negIds(1)),
+        (40L + 20L * h, ts(s"2024-01-01 ${10 + h}:20:00"), negIds(2)))
+    }.toDF("event_id", "ts", "user_id")
       .write.mode("overwrite").parquet(s"$dirNegId/events.parquet")
+    val negId = SparkEntry.queries("ltss_geo_convoy_groups")(spark, dirNegId)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(4)))
+    assert(negId.toSeq == Seq((-5L, 3L, "-5,-3,-1", 3L)),
+      s"negative ids must label correctly on the UF path: ${negId.toSeq}")
     val eNegId = intercept[IllegalArgumentException] {
-      SparkEntry.queries("ltss_geo_convoy_groups")(spark, dirNegId).collect()
+      SparkEntry.queries("ltss_geo_convoy_groups_core")(spark, dirNegId).collect()
     }
     assert(eNegId.getMessage.contains("member id range"),
-      s"guard must catch a negative member id: ${eNegId.getMessage}")
+      s"core guard must catch a negative member id: ${eNegId.getMessage}")
+  }
+
+  test("convoyHourLabels: hour-partitioned union-find equals the global-CC fallback label-for-label") {
+    // the churn fixture (A,B,C hours 10-12, D only at 11): both paths
+    // must produce the identical (hr, member, gid) set — gid is the
+    // component's min member under either construction
+    val dir = java.nio.file.Files.createTempDirectory("graft-convoy-uf").toString
+    val events = (0 until 3).flatMap { h =>
+      Seq(
+        (30L + 20L * h, ts(s"2024-01-01 ${10 + h}:00:00"), 10L),
+        (35L + 20L * h, ts(s"2024-01-01 ${10 + h}:10:00"), 12L),
+        (40L + 20L * h, ts(s"2024-01-01 ${10 + h}:20:00"), 14L))
+    } :+ ((62L, ts("2024-01-01 11:25:00"), 16L))
+    events.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // reliable = true on BOTH calls: skips the shared cache (so the
+    // conf flip actually routes) and needs a checkpoint dir for the
+    // fallback's reliable fixpoint
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-convoy-uf-ckpt").toString)
+    def labelSet(): Set[(Long, Long, Long)] =
+      graft.operators.Queries.convoyHourLabels(spark, dir, reliable = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val uf = labelSet()
+    val gccWas = spark.conf.get("graft.convoy.globalCc", "false")
+    spark.conf.set("graft.convoy.globalCc", "true")
+    val global = try labelSet()
+      finally spark.conf.set("graft.convoy.globalCc", gccWas)
+    assert(uf == global && uf.nonEmpty,
+      s"paths diverged: uf-only ${(uf -- global).take(5)}, " +
+        s"global-only ${(global -- uf).take(5)}")
+    val hr0 = ts("2024-01-01 10:00:00").getTime / 3600000L
+    assert(uf((hr0 + 1L, 16L, 10L)),
+      s"hour-11 churn member must join the min-10 component: $uf")
   }
 
   test("convoyGroupsCoreFrame: the reliable-checkpoint tier returns the identical episodes") {

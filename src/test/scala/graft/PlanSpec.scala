@@ -602,8 +602,9 @@ class PlanSpec extends SparkSpec {
     // of ITSELF — sizeInBytes SQUARES per iteration (bit count doubles:
     // measured 11 → 2.4 million bits in 18 rounds), and planning then
     // pays megabit BigInteger products on the driver. GraftLineage
-    // .freshFrame strips the origin stats at each truncation; the
-    // converged labels must report a leaf-default size, not a product.
+    // .truncate strips the origin stats at each truncation; the
+    // converged labels must report their honest (tiny) size, never a
+    // compounded product.
     import spark.implicits._
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -613,10 +614,97 @@ class PlanSpec extends SparkSpec {
       val bits = labels.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
       assert(bits <= 128,
         s"stats compounded through the loop: sizeInBytes is a $bits-bit " +
-          s"number after $iters iterations — the freshFrame strip is gone")
+          s"number after $iters iterations — the stats strip is gone")
       val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(out.size == 1024 && out.values.forall(_ == 1L),
         s"chain must still collapse to its head: ${out.values.toSet.take(5)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("connected components: converged labels carry honest row-count stats and auto-broadcast at consumers") {
+    // r19 VERDICT finding #1: the freshFrame no-stats discipline leaked
+    // OUT of the loop — the returned label frame read as unknown/huge
+    // and every consumer's label join silently demoted from broadcast
+    // to shuffle (dedup_semantic 1.63 → 2.62 s). The fix counts rows in
+    // the convergence job and re-attaches honest Statistics on return,
+    // so a dimension-sized label frame auto-broadcasts again — and a
+    // corpus-sized one honestly shuffles.
+    import spark.implicits._
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val edges = (1L until 64L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+      val (labels, _) = Dedup.connectedComponents(edges)
+      val stats = labels.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(64)),
+        s"labels must carry the converged row count: ${stats.rowCount}")
+      // the dedup_semantic join shape: corpus LEFT JOIN labels
+      val corpus = spark.range(0, 100000).select($"id".as("vec_id"))
+      val joined = corpus.join(
+        labels.select($"id".as("vec_id"), $"label".as("rep")),
+        Seq("vec_id"), "left")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"dimension-sized label frame must auto-broadcast; plan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("GraftLineage.truncate preserves the hand-set output partitioning (no re-shuffle inside fixpoint loops)") {
+    // r19 ADVICE: the first cut composed Dataset.localCheckpoint with a
+    // stats-stripping rebuild — but this Spark's built-in checkpoint
+    // returns UnknownPartitioning in EVERY eager/lazy × AQE mode
+    // (measured), so every CC iteration re-shuffled frames the loop had
+    // JUST hash-repartitioned. GraftLineage.truncate captures the
+    // pre-checkpoint plan's partitioning into the leaf it builds,
+    // defaulting only the stats — and the rows must survive the
+    // defensive copy (unsafe-row buffers are reused).
+    import spark.implicits._
+    val df = spark.range(0, 1000).select($"id").repartition(8, $"id")
+    // the loops truncate under withAqeOff — that's where preservation
+    // must hold (an ADAPTIVE plan deliberately degrades to Unknown:
+    // AQE may still replan its exchanges after the read)
+    val fresh = Dedup.withAqeOff(spark)(
+      org.apache.spark.sql.GraftLineage.truncate(df))
+    fresh.queryExecution.executedPlan.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        assert(h.numPartitions == 8, s"wrong partition count: $h")
+      case other => fail(s"truncate dropped the partitioning: $other")
+    }
+    val adaptive = {
+      val was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // a FRESH dataset: df's executedPlan was already planned (and
+      // cached) under the AQE-off block above
+      try org.apache.spark.sql.GraftLineage.truncate(
+        spark.range(0, 1000).select($"id").repartition(8, $"id"))
+      finally spark.conf.set("spark.sql.adaptive.enabled", was)
+    }
+    assert(adaptive.queryExecution.executedPlan.outputPartitioning ==
+      org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0),
+      "an adaptive plan must degrade to Unknown, not over-promise")
+    // stats must be leaf-default (no origin carry-over)...
+    val bits = fresh.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    assert(bits <= 128, s"truncate leaked origin stats ($bits-bit size)")
+    // ...the data intact after the checkpoint materializes (two reads:
+    // the first computes + caches the blocks, the second reads them)
+    assert(fresh.agg(org.apache.spark.sql.functions.sum($"id")).head().getLong(0) == 499500L)
+    assert(fresh.count() == 1000L)
+    // ...and a self-join keyed on the preserved partitioning must plan
+    // WITHOUT a fresh exchange under either input
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = fresh.join(fresh.select($"id".as("id2")),
+          $"id" === $"id2")
+        val nExchanges = "Exchange".r
+          .findAllIn(joined.queryExecution.executedPlan.toString).size
+        assert(nExchanges <= 1, // only the renamed side may re-key
+          s"preserved partitioning must be reused; " +
+            s"plan:\n${joined.queryExecution.executedPlan}")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastWas)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
