@@ -2584,6 +2584,15 @@ class StatefulStreamingSpec extends SparkSpec {
       // helper sums the per-batch counter over the retained history
       assert(m2.stateOperators.exists(_.numRowsDroppedByWatermark >= 1L),
         s"the late fix must show in the manifest's drop counter: $m2")
+      // r19 ADVICE: the sum is cumulative-within-buffer, so a caller
+      // diffing successive manifests baselines on the previous
+      // manifest's lastBatchId — nothing arrived since m2, so the
+      // since-filtered sum must read ZERO instead of re-reporting m2's
+      // drop
+      val m3 = graft.streaming.StreamingIngest.drainManifest(q, horizonMs,
+        sinceBatchId = m2.lastBatchId.getOrElse(fail(s"no batchId: $m2")))
+      assert(m3.stateOperators.forall(_.numRowsDroppedByWatermark == 0L),
+        s"since-baseline must exclude already-reported batches: $m3")
     } finally q.stop()
   }
 
