@@ -4,6 +4,7 @@ against DuckDB executing oracle_sql.json on the same parquet tables.
 
 Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir> [query ...]
        python3 scripts/selfcheck.py --gate [bench_out.json]
+       python3 scripts/selfcheck.py --selftest
 
 --gate is the ROUND-CLOSE PERFORMANCE ASSERTION: it reads the bench
 output's gate_ratio_canary_normalized (this run's BASELINE_QUERIES
@@ -11,10 +12,30 @@ total vs the recorded r01 vintage, host-normalized by the JVM canary
 pair) and exits nonzero when the 2.0x ceiling is breached or the field
 is missing — a regression fails loudly instead of being a JSON field
 someone must remember to read.
+
+--gate also CODIFIES THE HOST-PHASE RULE (r19 drift verdict, README
+"drift verdict" note): the post-sweep JVM-spin canary's steady band on
+this box is 0.76-0.85 s. A vintage whose post_jvm canary reads below
+0.70 s is a host FAST PHASE (r17's 0.596 s flattered its raw gate by
+~20%); above 0.90 s is load inflation (r18's post-probe snapshots).
+The verdict is WRITTEN BACK into the bench JSON as "host_phase"
+("steady" | "fast" | "loaded" | "unmeasured"), so the artifact itself
+answers the next cross-vintage drift scare — raw-ratio comparisons are
+only meaningful between two "steady" vintages. A non-steady phase
+annotates and warns; it does not fail the gate (the normalized ratio
+already divides the host factor out for the CEILING check).
 """
 import sys, json, glob, os
 
 GATE_CEILING = 2.0
+HOST_STEADY_BAND = (0.70, 0.90)  # post-sweep jvm-spin canary, seconds
+
+def host_phase(bench: dict) -> str:
+    post = (bench.get("canary_s") or {}).get("post_jvm")
+    if not isinstance(post, (int, float)):
+        return "unmeasured"
+    lo, hi = HOST_STEADY_BAND
+    return "fast" if post < lo else ("loaded" if post > hi else "steady")
 
 def gate(path: str) -> int:
     try:
@@ -22,6 +43,20 @@ def gate(path: str) -> int:
     except Exception as e:
         print(f"GATE FAIL: cannot read {path}: {type(e).__name__}: {e}")
         return 1
+    phase = host_phase(bench)
+    if bench.get("host_phase") != phase:
+        bench["host_phase"] = phase
+        try:  # annotate the artifact itself — it must answer drift scares
+            with open(path, "w") as f:
+                json.dump(bench, f)
+                f.write("\n")
+        except Exception as e:
+            print(f"GATE WARN: could not annotate {path} with host_phase: {e}")
+    if phase != "steady":
+        post = (bench.get("canary_s") or {}).get("post_jvm")
+        print(f"GATE WARN: host_phase={phase} (post_jvm canary={post}; "
+              f"steady band {HOST_STEADY_BAND[0]}-{HOST_STEADY_BAND[1]} s) — "
+              "gate_ratio_raw is NOT comparable across vintages for this run")
     ratio = bench.get("gate_ratio_canary_normalized")
     if not isinstance(ratio, (int, float)):
         print(f"GATE FAIL: {path} has no numeric gate_ratio_canary_normalized "
@@ -35,14 +70,49 @@ def gate(path: str) -> int:
         print(f"GATE FAIL: gate_ratio_canary_normalized={ratio:.3f} > "
               f"{GATE_CEILING} over {n} baseline queries "
               f"(raw={bench.get('gate_ratio_raw')}, "
-              f"canary_factor={bench.get('gate_canary_factor')})")
+              f"canary_factor={bench.get('gate_canary_factor')}, "
+              f"host_phase={phase})")
         return 1
     print(f"GATE PASS: gate_ratio_canary_normalized={ratio:.3f} <= "
-          f"{GATE_CEILING} over {n} baseline queries")
+          f"{GATE_CEILING} over {n} baseline queries (host_phase={phase})")
+    return 0
+
+def selftest() -> int:
+    """Synthetic-fixture checks for the gate (no Spark, no DuckDB)."""
+    import tempfile
+    fails = []
+    def run(tag, doc, want_exit, want_phase):
+        with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+            json.dump(doc, f)
+            p = f.name
+        got = gate(p)
+        back = json.load(open(p))
+        os.unlink(p)
+        if got != want_exit:
+            fails.append(f"{tag}: exit {got} != {want_exit}")
+        if back.get("host_phase") != want_phase:
+            fails.append(f"{tag}: host_phase {back.get('host_phase')!r} != {want_phase!r}")
+    base = {"gate_ratio_canary_normalized": 0.5, "gate_ratio_raw": 0.45,
+            "gate_canary_factor": 0.9, "gate_n": 33}
+    run("steady", dict(base, canary_s={"post_jvm": 0.80}), 0, "steady")
+    # the r17 shape: a fast-phase canary must be named in the artifact
+    run("fast", dict(base, canary_s={"post_jvm": 0.596}), 0, "fast")
+    # the r18 post-probe shape
+    run("loaded", dict(base, canary_s={"post_jvm": 1.05}), 0, "loaded")
+    run("unmeasured", dict(base), 0, "unmeasured")
+    # the phase never rescues a ceiling breach
+    run("breach", dict(base, gate_ratio_canary_normalized=2.5,
+                       canary_s={"post_jvm": 0.80}), 1, "steady")
+    if fails:
+        print("SELFTEST FAIL: " + "; ".join(fails))
+        return 1
+    print("SELFTEST PASS: 5 gate fixtures")
     return 0
 
 if len(sys.argv) > 1 and sys.argv[1] == "--gate":
     sys.exit(gate(sys.argv[2] if len(sys.argv) > 2 else "bench_out.json"))
+if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+    sys.exit(selftest())
 
 import duckdb
 import pandas as pd
