@@ -3736,7 +3736,9 @@ object Queries {
 
   private[graft] final case class ConvoyHourRow(
       meta: Long, hr: Long, gid: Long, member: Long)
-  private[graft] final case class ConvoyCoreEp(
+  /** Public: also the row type of the streaming twin
+    * ([[graft.streaming.StreamingOps.convoyGroupsCoreStream]]). */
+  final case class ConvoyCoreEp(
       group_id: Long, n_members: Long, members: String,
       hr_start: Long, n_hours: Long, hr_end: Long)
 
@@ -3802,79 +3804,96 @@ object Queries {
       val rowsH = byHr(h)
       val gidOf = scala.collection.mutable.LongMap.empty[Long]
       rowsH.foreach(r => gidOf(r.member) = r.gid)
-      val next = scala.collection.mutable.HashMap.empty[ConvoyCls, Long]
-      def mergeMin(c: ConvoyCls, s: Long): Unit =
-        next.get(c) match {
-          case Some(s0) => if (s < s0) next(c) = s
-          case None => next(c) = s
-        }
-      // a member is covered once some survivor (a SUPERSET, by
-      // laminarity) proved its whole class sits in one component
-      val covered = scala.collection.mutable.LongMap.empty[Boolean]
-      // descending size: chain tops first, nested classes ride free
-      val ordered = state.toArray.sortBy(-_._1.mem.length)
-      for ((cls, since) <- ordered) {
-        val mem = cls.mem
-        if (covered.contains(mem(0))) {
-          // nested inside a proven survivor: survives with its start
-          next(cls) = since
-        } else {
-          // gid ≥ 0 always (the encoding guard), so −1 is a safe
-          // absent sentinel — no Option allocation in the hot loop
-          var ok = true
-          var g0 = -1L
-          var i = 0
-          while (ok && i < mem.length) {
-            val g = gidOf.getOrElse(mem(i), -1L)
-            if (g < 0L) ok = false
-            else if (i == 0) g0 = g
-            else if (g != g0) ok = false
-            i += 1
-          }
-          if (ok) {
-            next(cls) = since
-            var j = 0
-            while (j < mem.length) { covered(mem(j)) = true; j += 1 }
-          } else {
-            emit(mem, since, prev)
-            // pieces: partition the (sorted) members by current gid —
-            // in-order appends keep each piece sorted
-            val pieces = scala.collection.mutable.LongMap
-              .empty[scala.collection.mutable.ArrayBuffer[Long]]
-            var j = 0
-            while (j < mem.length) {
-              val g = gidOf.getOrElse(mem(j), -1L)
-              if (g >= 0L)
-                pieces.getOrElseUpdate(g,
-                  scala.collection.mutable.ArrayBuffer.empty[Long]) += mem(j)
-              j += 1
-            }
-            pieces.foreach { case (_, buf) =>
-              if (buf.length >= k) mergeMin(new ConvoyCls(buf.toArray), since)
-            }
-          }
-        }
-      }
-      // every ≥ k component opens as a fresh candidate unless the set
-      // is already alive with an earlier start. Built from gidOf (one
-      // entry per member, last row wins — the old toMap tolerance), so
-      // a duplicate (hr, member) input row can neither inflate a
-      // component past k nor duplicate an id in the members string.
-      val comps = scala.collection.mutable.LongMap
-        .empty[scala.collection.mutable.ArrayBuffer[Long]]
-      gidOf.foreach { case (m, g) => comps.getOrElseUpdate(g,
-        scala.collection.mutable.ArrayBuffer.empty[Long]) += m }
-      comps.foreach { case (_, buf) =>
-        if (buf.length >= k) {
-          val c = new ConvoyCls(buf.sorted.toArray)
-          if (!next.contains(c)) next(c) = h
-        }
-      }
-      state = next
+      state = convoyCoreHourStep(state, gidOf, h, prev, k, emit)
       prev = h
     }
     state.foreach { case (c, st) => emit(c.mem, st, prev) }
     out.iterator
+  }
+
+  /** ONE hour of the CMC machine — the laminar descending-size fold of
+    * an hour's member→component map into the alive-class state (the
+    * cost argument lives on [[convoyCoreEpisodes]]'s scaladoc). Shared
+    * verbatim by the batch kernel and the streaming twin
+    * ([[graft.streaming.StreamingOps.convoyGroupsCoreStream]]), so the
+    * two engines cannot drift: `close(mem, since, endHr)` fires for
+    * every class that fails to continue into hour `h` (the caller
+    * filters k/m), and the returned map is the new alive state. */
+  private[graft] def convoyCoreHourStep(
+      state: scala.collection.mutable.HashMap[ConvoyCls, Long],
+      gidOf: scala.collection.mutable.LongMap[Long],
+      h: Long, prev: Long, k: Int,
+      close: (Array[Long], Long, Long) => Unit)
+      : scala.collection.mutable.HashMap[ConvoyCls, Long] = {
+    val next = scala.collection.mutable.HashMap.empty[ConvoyCls, Long]
+    def mergeMin(c: ConvoyCls, s: Long): Unit =
+      next.get(c) match {
+        case Some(s0) => if (s < s0) next(c) = s
+        case None => next(c) = s
+      }
+    // a member is covered once some survivor (a SUPERSET, by
+    // laminarity) proved its whole class sits in one component
+    val covered = scala.collection.mutable.LongMap.empty[Boolean]
+    // descending size: chain tops first, nested classes ride free
+    val ordered = state.toArray.sortBy(-_._1.mem.length)
+    for ((cls, since) <- ordered) {
+      val mem = cls.mem
+      if (covered.contains(mem(0))) {
+        // nested inside a proven survivor: survives with its start
+        next(cls) = since
+      } else {
+        // gid ≥ 0 always (the encoding guard), so −1 is a safe
+        // absent sentinel — no Option allocation in the hot loop
+        var ok = true
+        var g0 = -1L
+        var i = 0
+        while (ok && i < mem.length) {
+          val g = gidOf.getOrElse(mem(i), -1L)
+          if (g < 0L) ok = false
+          else if (i == 0) g0 = g
+          else if (g != g0) ok = false
+          i += 1
+        }
+        if (ok) {
+          next(cls) = since
+          var j = 0
+          while (j < mem.length) { covered(mem(j)) = true; j += 1 }
+        } else {
+          close(mem, since, prev)
+          // pieces: partition the (sorted) members by current gid —
+          // in-order appends keep each piece sorted
+          val pieces = scala.collection.mutable.LongMap
+            .empty[scala.collection.mutable.ArrayBuffer[Long]]
+          var j = 0
+          while (j < mem.length) {
+            val g = gidOf.getOrElse(mem(j), -1L)
+            if (g >= 0L)
+              pieces.getOrElseUpdate(g,
+                scala.collection.mutable.ArrayBuffer.empty[Long]) += mem(j)
+            j += 1
+          }
+          pieces.foreach { case (_, buf) =>
+            if (buf.length >= k) mergeMin(new ConvoyCls(buf.toArray), since)
+          }
+        }
+      }
+    }
+    // every ≥ k component opens as a fresh candidate unless the set
+    // is already alive with an earlier start. Built from gidOf (one
+    // entry per member, last row wins — the old toMap tolerance), so
+    // a duplicate (hr, member) input row can neither inflate a
+    // component past k nor duplicate an id in the members string.
+    val comps = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    gidOf.foreach { case (m, g) => comps.getOrElseUpdate(g,
+      scala.collection.mutable.ArrayBuffer.empty[Long]) += m }
+    comps.foreach { case (_, buf) =>
+      if (buf.length >= k) {
+        val c = new ConvoyCls(buf.sorted.toArray)
+        if (!next.contains(c)) next(c) = h
+      }
+    }
+    next
   }
 
   /** JEUNG CLUSTER-INTERSECTION CONVOYS (`ltss_geo_convoy_groups_core`)

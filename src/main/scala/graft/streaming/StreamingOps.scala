@@ -2544,6 +2544,175 @@ object StreamingOps {
       }
   }
 
+  final case class HourEdgeState(edges: Seq[(Long, Long)])
+  final case class HourGroupRow(
+      hr: Long, gid: Long, n_members: Long, members: String)
+
+  /** SEALED PER-HOUR CONTACT COMPONENTS — stage 1 of the convoy-GROUP
+    * twins (r19 VERDICT optional #6), on a contact stream
+    * ([[contactsStream]]'s output or a replayed contact log): keyed by
+    * the contact's earlier-fix HOUR (the batch bucketing rule), the op
+    * holds the hour's DISTINCT pair set and, once the watermark proves
+    * the hour can receive no further contact (wm past hour end +
+    * contact window + lateness — [[convoysStream]]'s arming rule at
+    * hour granularity), runs the same min-root union-find the batch
+    * [[graft.operators.Queries.convoyHourLabels]] runs per hour and
+    * emits one SEALED row per ≥ k component: (hr, gid = min member,
+    * n_members, sorted members csv) — bit-compatible with the batch
+    * per-hour groups, and emitted in watermark (hence hour) order,
+    * which is what lets [[convoyGroupsCoreStream]] fold them with the
+    * batch kernel's own hour step. State per hour is its distinct pair
+    * set — fleet-bounded, the batch task's bound; the hour key also
+    * makes the shuffle the same ONE-shuffle shape as the batch path.
+    * Member ids must be ≥ 0 (asserted — the shared CMC hour step uses
+    * −1 as its absent sentinel, the batch core variant's same
+    * contract). */
+  def convoyHourGroupsStream(
+      contacts: Dataset[ContactEvent],
+      k: Int = 3,
+      latenessUs: Long = 7200000000L,
+      contactWindowUs: Long = 7200000000L): Dataset[HourGroupRow] = {
+    import contacts.sparkSession.implicits._
+    val HrUs = 3600000000L
+    contacts
+      .withWatermark("time_b", s"${(latenessUs + 999999L) / 1000000L} seconds")
+      .groupByKey(c => micros(c.time_a) / HrUs)
+      .flatMapGroupsWithState[HourEdgeState, HourGroupRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) { (hr, rows, st) =>
+        if (st.hasTimedOut) {
+          val edges = st.get.edges
+          st.remove()
+          // the batch per-hour task verbatim: min-root union-find with
+          // path halving — the root IS the component's min member
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x0: Long): Long =
+            if (!parent.contains(x0)) { parent(x0) = x0; x0 }
+            else {
+              var x = x0
+              var p = parent(x)
+              while (p != x) {
+                val gp = parent(p)
+                parent(x) = gp
+                x = gp
+                p = parent(x)
+              }
+              x
+            }
+          edges.foreach { case (lo, hi) =>
+            val ra = find(lo)
+            val rb = find(hi)
+            if (ra < rb) parent(rb) = ra
+            else if (rb < ra) parent(ra) = rb
+          }
+          val comps = scala.collection.mutable.LongMap
+            .empty[scala.collection.mutable.ArrayBuffer[Long]]
+          parent.keysIterator.toArray.foreach { m =>
+            comps.getOrElseUpdate(find(m),
+              scala.collection.mutable.ArrayBuffer.empty[Long]) += m
+          }
+          comps.iterator.collect {
+            case (gid, buf) if buf.length >= k =>
+              HourGroupRow(hr, gid, buf.length.toLong,
+                buf.sorted.mkString(","))
+          }
+        } else {
+          val set = scala.collection.mutable.HashSet
+            .empty[(Long, Long)] ++= st.getOption.map(_.edges).getOrElse(Nil)
+          rows.foreach { c =>
+            require(c.user_a >= 0L && c.user_b >= 0L,
+              "convoy-group twins need non-negative member ids (the " +
+                "shared CMC hour step's −1 absent sentinel — remap " +
+                "through a dense_rank dimension first, the batch core " +
+                "variant's contract)")
+            val lo = math.min(c.user_a, c.user_b)
+            val hi = math.max(c.user_a, c.user_b)
+            if (lo != hi) set += ((lo, hi))
+          }
+          st.update(HourEdgeState(set.toSeq))
+          // seal once no admissible contact can land in this hour:
+          // time_a < hour end, time_b ≤ time_a + window, and arrival
+          // lags event time by ≤ lateness
+          st.setTimeoutTimestamp(math.max(
+            (hr + 1L) * 3600000L + (contactWindowUs + latenessUs) / 1000L,
+            st.getCurrentWatermarkMs() + 1L))
+          Iterator.empty
+        }
+      }
+  }
+
+  /** JEUNG CORE-CONVOY EPISODES, LIVE — the streaming twin of the batch
+    * `ltss_geo_convoy_groups_core` (stage 2 over
+    * [[convoyHourGroupsStream]]'s sealed hourly groups, which arrive in
+    * watermark order): ONE global CMC state machine folds each sealed
+    * hour with the batch kernel's OWN hour step
+    * ([[graft.operators.Queries.convoyCoreHourStep]] — shared code, so
+    * the engines cannot drift), closing and emitting episodes exactly
+    * when the batch closes them (split / absence / hour gap; k and m
+    * are the batch thresholds). The batch path partitions the kernel by
+    * meta-component for parallelism; the twin's input is the
+    * DIMENSION-SIZED sealed-group stream (≥ k groups per hour — fleet-,
+    * never contact-log-bounded), so the single key holds exactly the
+    * union of alive classes the batch kernel holds across all
+    * neighborhoods at one hour, and the serialized step is priced by
+    * that fleet bound. Hours arriving ≤ the processed frontier (a
+    * replay) DROP — stage 1 seals each hour exactly once. Classes
+    * alive at the stream frontier emit once a later sealed hour closes
+    * them; a far-future heartbeat contact through stage 1 flushes
+    * everything at cutover (runbook step 2's trick). Composition is
+    * two queries (stage 1's sink feeding stage 2's source) — chaining
+    * two flatMapGroupsWithState ops in one plan is not a supported
+    * streaming shape. */
+  def convoyGroupsCoreStream(
+      groups: Dataset[HourGroupRow],
+      k: Int = 3,
+      m: Int = 2): Dataset[graft.operators.Queries.ConvoyCoreEp] = {
+    import groups.sparkSession.implicits._
+    groups
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[CoreTwinState,
+        graft.operators.Queries.ConvoyCoreEp](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (_, rows, st) =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[graft.operators.Queries.ConvoyCoreEp]
+        def close(mem: Array[Long], s: Long, e: Long): Unit =
+          if (mem.length >= k && e - s + 1 >= m)
+            out += graft.operators.Queries.ConvoyCoreEp(
+              mem.head, mem.length.toLong, mem.mkString(","),
+              s, e - s + 1, e)
+        val s0 = st.getOption.getOrElse(CoreTwinState(Long.MinValue, Nil))
+        var prev = s0.prev
+        var state = scala.collection.mutable.HashMap.empty[
+          graft.operators.Queries.ConvoyCls, Long]
+        s0.alive.foreach(a => state(
+          new graft.operators.Queries.ConvoyCls(a.members.toArray)) = a.since)
+        val byHr = rows.toSeq.groupBy(_.hr)
+        for (h <- byHr.keys.toSeq.sorted if h > prev) {
+          if (prev != Long.MinValue && h != prev + 1L) {
+            // the gap rule: the skipped hours sealed with no >= k
+            // component, so every alive class already ended at `prev`
+            state.foreach { case (c, since) => close(c.mem, since, prev) }
+            state = scala.collection.mutable.HashMap.empty
+          }
+          val gidOf = scala.collection.mutable.LongMap.empty[Long]
+          byHr(h).foreach { g =>
+            g.members.split(',').foreach(ms => gidOf(ms.toLong) = g.gid)
+          }
+          state = graft.operators.Queries.convoyCoreHourStep(
+            state, gidOf, h, prev, k, close)
+          prev = h
+        }
+        st.update(CoreTwinState(prev,
+          state.toSeq.map { case (c, since) =>
+            CoreAlive(c.mem.toSeq, since) }))
+        out.iterator
+      }
+  }
+
+  final case class CoreAlive(members: Seq[Long], since: Long)
+  final case class CoreTwinState(prev: Long, alive: Seq[CoreAlive])
+
   final case class CellPanelState(ek: Long, k: Long, users: Seq[Long])
   final case class CellPanelRow(
       tb: Long, cx: Long, cy: Long, n_fixes: Long, n_users: Long,

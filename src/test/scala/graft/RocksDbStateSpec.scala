@@ -73,6 +73,42 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("core-convoy twin alive classes survive a checkpoint restart on RocksDB state") {
+    withRocksDb {
+      import graft.streaming.StreamingOps.HourGroupRow
+      val in = tmp("rdb-core-in"); val out = tmp("rdb-core-out")
+      val ckpt = tmp("rdb-core-ckpt")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "hr LONG, gid LONG, n_members LONG, members STRING")
+      def start() = StreamingOps.convoyGroupsCoreStream(
+        spark.readStream.schema(schema).json(in).as[HourGroupRow])
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      def row(hr: Long, gid: Long, mem: String) =
+        s"""{"hr":$hr,"gid":$gid,"n_members":${mem.split(',').length},"members":"$mem"}"""
+      // run 1: the 3-core opens at hour 100 and survives hour 101 —
+      // the alive class (and the processed frontier) park in RocksDB
+      Files.writeString(Paths.get(in, "b1.json"),
+        row(100L, 1L, "1,2,3") + "\n" + row(101L, 1L, "1,2,3"))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // run 2, cold start: hour 102 must CONTINUE the recovered class
+      // (a lost since-hour would misdate the episode), then the gap
+      // hour closes it
+      Files.writeString(Paths.get(in, "b2.json"), row(102L, 1L, "1,2,3"))
+      Files.writeString(Paths.get(in, "b3.json"), row(200L, 9L, "7,8,9"))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val confLines = new String(Files.readAllBytes(
+        Paths.get(ckpt, "offsets", "0")), "UTF-8")
+      assert(confLines.contains("RocksDBStateStoreProvider"),
+        s"checkpoint does not record the RocksDB provider: $confLines")
+      val eps = spark.read.parquet(out)
+        .as[graft.operators.Queries.ConvoyCoreEp].collect().toSeq
+      assert(eps == Seq(graft.operators.Queries.ConvoyCoreEp(
+        1L, 3L, "1,2,3", 100L, 3L, 102L)),
+        s"RocksDB-recovered core class diverged: $eps")
+    }
+  }
+
   test("cagg maintenance partials + restart recover on RocksDB state") {
     withRocksDb {
       val in = tmp("rdb-cg-in"); val out = tmp("rdb-cg-out"); val ckpt = tmp("rdb-cg-ckpt")

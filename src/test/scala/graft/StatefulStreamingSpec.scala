@@ -1904,6 +1904,82 @@ class StatefulStreamingSpec extends SparkSpec {
       s"closed stream episodes diverged from batch: $got vs $batch")
   }
 
+  test("convoy-group core twin: sealed hourly groups feed the shared CMC hour step; closed episodes equal the batch core rows") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingOps.{ContactEvent, HourGroupRow}
+    def ce(ta: String, ua: Long, tb: String, ub: Long) =
+      ContactEvent(ts(ta), ua, 0L, ts(tb), ub, 1L, 8.0,
+        (ts(tb).getTime - ts(ta).getTime) * 1000L)
+    // the churn fixture as a CONTACT stream (A=10, B=12, C=14 in a
+    // chain A-B, B-C each of hours 10-12; D=16 touches C at hour 11
+    // only) — the strict rule fragments it, the Jeung core rides it
+    val contacts = (0 until 3).flatMap { h =>
+      Seq(
+        ce(s"2024-01-01 ${10 + h}:00:00", 10L, s"2024-01-01 ${10 + h}:10:00", 12L),
+        ce(s"2024-01-01 ${10 + h}:10:00", 12L, s"2024-01-01 ${10 + h}:20:00", 14L))
+    } :+ ce("2024-01-01 11:20:00", 14L, "2024-01-01 11:25:00", 16L)
+    // STAGE 1: per-hour components seal on the watermark
+    val ms = MemoryStream[ContactEvent]
+    val q1 = graft.streaming.StreamingOps.convoyHourGroupsStream(ms.toDS())
+      .writeStream.format("memory").queryName("hgrp_t")
+      .outputMode("append").start()
+    try {
+      ms.addData(contacts: _*); q1.processAllAvailable()
+      // nothing seals until the watermark proves the hours closed —
+      // the monotone-prefix rule
+      assert(spark.table("hgrp_t").count() == 0,
+        "hours sealed before the watermark could prove them final")
+      ms.addData(ce("2024-01-05 10:00:00", 50L, "2024-01-05 10:00:00", 51L))
+      q1.processAllAvailable()
+      ms.addData(ce("2024-01-06 10:00:00", 50L, "2024-01-06 10:00:00", 51L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(q1.exception.isEmpty, s"stage 1 died: ${q1.exception}")
+    val hr0 = ts("2024-01-01 10:00:00").getTime / 3600000L
+    val sealedRows = spark.table("hgrp_t").as[HourGroupRow]
+      .collect().sortBy(_.hr).toSeq
+    // the pair (50,51) hour stays below k — only the fixture hours seal
+    assert(sealedRows.map(r => (r.hr - hr0, r.gid, r.n_members, r.members)) ==
+      Seq((0L, 10L, 3L, "10,12,14"), (1L, 10L, 4L, "10,12,14,16"),
+        (2L, 10L, 3L, "10,12,14")),
+      s"sealed hourly groups diverged from the batch per-hour components: $sealedRows")
+    // STAGE 2: the shared CMC hour step over the sealed rows
+    val ms2 = MemoryStream[HourGroupRow]
+    val q2 = graft.streaming.StreamingOps.convoyGroupsCoreStream(ms2.toDS())
+      .writeStream.format("memory").queryName("coreep_t")
+      .outputMode("append").start()
+    try {
+      ms2.addData(sealedRows: _*); q2.processAllAvailable()
+      // the 3-core is alive at the frontier: nothing closed yet
+      assert(spark.table("coreep_t").count() == 0,
+        "an alive class emitted before anything closed it")
+      // a later sealed hour (gap) closes everything held — the
+      // far-future heartbeat of runbook step 2
+      ms2.addData(HourGroupRow(hr0 + 100L, 900L, 3L, "900,901,902"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(q2.exception.isEmpty, s"stage 2 died: ${q2.exception}")
+    val got = spark.table("coreep_t")
+      .as[graft.operators.Queries.ConvoyCoreEp].collect().toSeq
+      .sortBy(e => (e.group_id, e.hr_start, e.members))
+    // parity with the registered batch query over the SAME fixes: the
+    // churn fixture's events table, through the full batch path
+    val dir = java.nio.file.Files.createTempDirectory("graft-coretwin").toString
+    ((0 until 3).flatMap { h =>
+      Seq(
+        (30L + 20L * h, ts(s"2024-01-01 ${10 + h}:00:00"), 10L),
+        (35L + 20L * h, ts(s"2024-01-01 ${10 + h}:10:00"), 12L),
+        (40L + 20L * h, ts(s"2024-01-01 ${10 + h}:20:00"), 14L))
+    } :+ ((62L, ts("2024-01-01 11:25:00"), 16L)))
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("ltss_geo_convoy_groups_core")(spark, dir)
+      .as[graft.operators.Queries.ConvoyCoreEp].collect().toSeq
+      .sortBy(e => (e.group_id, e.hr_start, e.members))
+    assert(got == batch && got.size == 1,
+      s"twin episodes diverged from batch: $got vs $batch")
+  }
+
   test("dpSimplifyLiveStream: every batch emits the open month's provisional D-P equal to batch ltss_geo_dp on the prefix") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val fixes = Seq(
