@@ -3572,7 +3572,15 @@ object Queries {
     * encoding → pre-1970 hours and negative/snowflake member ids now
     * label correctly on this path (spec-pinned); the asserted bound
     * moves to the two places the encoding survives
-    * ([[assertConvoyEncodingBounds]]).
+    * ([[assertConvoyEncodingBounds]]). One documented epoch quirk
+    * (review r20): the family's hour bucket is TRUNCATING `div`
+    * (matching the oracle's integer `//` — verified to truncate
+    * identically), so bucket 0 spans (−1 h, +1 h) around the 1970
+    * epoch — contacts in 1969-12-31 23:xx and 1970-01-01 00:xx share
+    * one double-width bucket on BOTH engines. Harmless for real data
+    * (no fleet telemetry straddles the epoch); a deployment that
+    * genuinely needs epoch-straddling hours should bucket by
+    * `floor(micros / 3.6e9)` across the whole family instead.
     *
     * `graft.convoy.globalCc=true` routes to the retained distributed
     * fixpoint ([[globalCcHourLabels]]) — the documented fallback for a
@@ -3581,6 +3589,53 @@ object Queries {
     * per-hour labels can't split). The flag participates in the cache
     * key so flipping it mid-session rebuilds rather than serving the
     * other path's frame. */
+  /** Min-root union-find (path halving; union-by-min, so every tree's
+    * root IS its component's minimum member) over an edge stream —
+    * returns the member → component-min map. ONE definition shared by
+    * the batch per-hour labels and the streaming stage-1 seal
+    * ([[graft.streaming.StreamingOps.convoyHourGroupsStream]]), so the
+    * two engines' per-hour components cannot drift (review-found r20 —
+    * the convoyCoreHourStep extraction's own rationale). Memory is
+    * O(distinct members); edges stream from the iterator. */
+  private[graft] def minRootComponents(
+      edges: Iterator[(Long, Long)]): scala.collection.mutable.LongMap[Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long =
+      if (!parent.contains(x0)) { parent(x0) = x0; x0 }
+      else {
+        var x = x0
+        var p = parent(x)
+        while (p != x) {
+          val gp = parent(p)
+          parent(x) = gp // path halving
+          x = gp
+          p = parent(x)
+        }
+        x
+      }
+    edges.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    // snapshot the keys: the resolve pass path-compresses (value
+    // updates only, but keep iteration and mutation apart)
+    val members = parent.keysIterator.toArray
+    val out = scala.collection.mutable.LongMap.empty[Long]
+    members.foreach(m => out(m) = find(m))
+    out
+  }
+
+  /** The k/m-filtered episode row both core-convoy engines emit —
+    * `None` below either threshold. */
+  private[graft] def coreEpisode(
+      mem: Array[Long], s: Long, e: Long, k: Int, m: Int): Option[ConvoyCoreEp] =
+    if (mem.length >= k && e - s + 1 >= m)
+      Some(ConvoyCoreEp(mem.head, mem.length.toLong, mem.mkString(","),
+        s, e - s + 1, e))
+    else None
+
   private[graft] def convoyHourLabels(
       s: SparkSession, d: String, reliable: Boolean = false): DataFrame = {
     val viaGlobal = s.conf.get("graft.convoy.globalCc", "false").toBoolean
@@ -3593,32 +3648,8 @@ object Queries {
           .as[(Long, Long, Long)]
           .groupByKey(_._1)
           .flatMapGroups { (hr: Long, it: Iterator[(Long, Long, Long)]) =>
-            val parent = scala.collection.mutable.LongMap.empty[Long]
-            def find(x0: Long): Long =
-              if (!parent.contains(x0)) { parent(x0) = x0; x0 }
-              else {
-                var x = x0
-                var p = parent(x)
-                while (p != x) {
-                  val gp = parent(p)
-                  parent(x) = gp // path halving
-                  x = gp
-                  p = parent(x)
-                }
-                x
-              }
-            it.foreach { e =>
-              val ra = find(e._2)
-              val rb = find(e._3)
-              // union by min root: the smaller id absorbs, so every
-              // tree's root is its component's minimum member
-              if (ra < rb) parent(rb) = ra
-              else if (rb < ra) parent(ra) = rb
-            }
-            // snapshot the keys: the emit pass path-compresses (value
-            // updates only, but keep iteration and mutation apart)
-            val members = parent.keysIterator.toArray
-            members.iterator.map(m => (hr, m, find(m)))
+            minRootComponents(it.map(e => (e._2, e._3)))
+              .iterator.map { case (m, gid) => (hr, m, gid) }
           }
           .toDF("hr", "member", "gid")
       }
@@ -3791,9 +3822,7 @@ object Queries {
     val hours = byHr.keys.toArray.sorted
     val out = scala.collection.mutable.ArrayBuffer.empty[ConvoyCoreEp]
     def emit(mem: Array[Long], s: Long, e: Long): Unit =
-      if (mem.length >= k && e - s + 1 >= m)
-        out += ConvoyCoreEp(mem.head, mem.length.toLong,
-          mem.mkString(","), s, e - s + 1, e)
+      coreEpisode(mem, s, e, k, m).foreach(out += _)
     var state = scala.collection.mutable.HashMap.empty[ConvoyCls, Long]
     var prev = Long.MinValue
     for (h <- hours) {

@@ -263,7 +263,7 @@ object StreamingIngest {
 
   final case class CutoverResult(
       manifest: DrainManifest,
-      rollbackCheckpoint: Option[String],
+      rollbackCheckpoint: String,
       restarted: StreamingQuery)
 
   /** Steps 4 + 5 of the CHECKPOINT DRAIN-AND-CUTOVER RUNBOOK (SURVEY
@@ -276,9 +276,11 @@ object StreamingIngest {
     *  2. stop the query;
     *  3. move the old checkpoint dir ASIDE — it is the rollback, never
     *     deleted here (`<checkpoint>.rollback`, numbered if a previous
-    *     cutover left one; the move is refused loudly on failure — a
-    *     restart over a half-renamed checkpoint would replay from a
-    *     state the caller thinks was retired);
+    *     cutover left one; the move is refused loudly on failure, on a
+    *     stop that does not complete, AND on a checkpoint the local
+    *     filesystem cannot see — a DFS/object-store checkpoint must be
+    *     moved aside with the store's own rename, because silently
+    *     skipping the move would restart over the retired state);
     *  4. invoke `restart(frontierMs, checkpoint)` — the SOURCE REWIND
     *     is the one genuinely source-specific step, so the caller
     *     supplies it: Kafka `startingOffsets` from
@@ -304,21 +306,31 @@ object StreamingIngest {
       restart: (Option[Long], String) => StreamingQuery): CutoverResult = {
     val manifest = drainManifest(q, horizonMs)
     q.stop()
-    q.awaitTermination(30000)
+    // a query that fails to stop may still be committing into the
+    // checkpoint — renaming it out from under a live writer is exactly
+    // the torn state the move-aside exists to prevent (review r20)
+    require(q.awaitTermination(30000),
+      "cutover refused: the query did not terminate within 30 s — " +
+        "moving its checkpoint aside would race a live writer")
     val dir = new java.io.File(checkpoint)
-    val rollback =
-      if (dir.exists()) {
-        def cand(i: Int) = new java.io.File(
-          s"$checkpoint.rollback" + (if (i == 0) "" else s".$i"))
-        var n = 0
-        while (cand(n).exists()) n += 1
-        val target = cand(n)
-        require(dir.renameTo(target),
-          s"cutover refused: could not move the old checkpoint aside " +
-            s"($checkpoint -> $target) — restarting over a live " +
-            "checkpoint would resume the retired state")
-        Some(target.getPath)
-      } else None
-    CutoverResult(manifest, rollback, restart(manifest.frontierMs, checkpoint))
+    // the move-aside handles LOCAL checkpoints only; a DFS/object-store
+    // path is invisible to java.io.File and silently skipping the move
+    // would restart the query over the retired state (review r20)
+    require(dir.exists(),
+      s"cutover refused: checkpoint not found on the local filesystem " +
+        s"($checkpoint) — for a DFS/object-store checkpoint, move it " +
+        "aside with the store's own rename and call the restart " +
+        "directly; the manifest's frontier and offsets still apply")
+    def cand(i: Int) = new java.io.File(
+      s"$checkpoint.rollback" + (if (i == 0) "" else s".$i"))
+    var n = 0
+    while (cand(n).exists()) n += 1
+    val target = cand(n)
+    require(dir.renameTo(target),
+      s"cutover refused: could not move the old checkpoint aside " +
+        s"($checkpoint -> $target) — restarting over a live " +
+        "checkpoint would resume the retired state")
+    CutoverResult(manifest, target.getPath,
+      restart(manifest.frontierMs, checkpoint))
   }
 }

@@ -2554,8 +2554,8 @@ object StreamingOps {
     * the contact's earlier-fix HOUR (the batch bucketing rule), the op
     * holds the hour's DISTINCT pair set and, once the watermark proves
     * the hour can receive no further contact (wm past hour end +
-    * contact window + lateness — [[convoysStream]]'s arming rule at
-    * hour granularity), runs the same min-root union-find the batch
+    * contact window — lateness already lives inside the watermark's
+    * own definition), runs the same min-root union-find the batch
     * [[graft.operators.Queries.convoyHourLabels]] runs per hour and
     * emits one SEALED row per ≥ k component: (hr, gid = min member,
     * n_members, sorted members csv) — bit-compatible with the batch
@@ -2583,32 +2583,14 @@ object StreamingOps {
         if (st.hasTimedOut) {
           val edges = st.get.edges
           st.remove()
-          // the batch per-hour task verbatim: min-root union-find with
-          // path halving — the root IS the component's min member
-          val parent = scala.collection.mutable.LongMap.empty[Long]
-          def find(x0: Long): Long =
-            if (!parent.contains(x0)) { parent(x0) = x0; x0 }
-            else {
-              var x = x0
-              var p = parent(x)
-              while (p != x) {
-                val gp = parent(p)
-                parent(x) = gp
-                x = gp
-                p = parent(x)
-              }
-              x
-            }
-          edges.foreach { case (lo, hi) =>
-            val ra = find(lo)
-            val rb = find(hi)
-            if (ra < rb) parent(rb) = ra
-            else if (rb < ra) parent(ra) = rb
-          }
+          // the batch per-hour task's OWN union-find (shared code —
+          // the engines' components cannot drift)
+          val roots = graft.operators.Queries.minRootComponents(
+            edges.iterator)
           val comps = scala.collection.mutable.LongMap
             .empty[scala.collection.mutable.ArrayBuffer[Long]]
-          parent.keysIterator.toArray.foreach { m =>
-            comps.getOrElseUpdate(find(m),
+          roots.foreach { case (m, gid) =>
+            comps.getOrElseUpdate(gid,
               scala.collection.mutable.ArrayBuffer.empty[Long]) += m
           }
           comps.iterator.collect {
@@ -2631,10 +2613,15 @@ object StreamingOps {
           }
           st.update(HourEdgeState(set.toSeq))
           // seal once no admissible contact can land in this hour:
-          // time_a < hour end, time_b ≤ time_a + window, and arrival
-          // lags event time by ≤ lateness
+          // time_a < hour end and time_b ≤ time_a + window, so every
+          // such row is watermark-dropped once wm ≥ hour end + window.
+          // The lateness horizon is NOT added here — it already lives
+          // inside the watermark's definition (wm = max time_b −
+          // lateness); adding it again would delay every seal (and
+          // every downstream core episode) by a full lateness for
+          // nothing (review-found r20)
           st.setTimeoutTimestamp(math.max(
-            (hr + 1L) * 3600000L + (contactWindowUs + latenessUs) / 1000L,
+            (hr + 1L) * 3600000L + contactWindowUs / 1000L,
             st.getCurrentWatermarkMs() + 1L))
           Iterator.empty
         }
@@ -2655,14 +2642,26 @@ object StreamingOps {
     * never contact-log-bounded), so the single key holds exactly the
     * union of alive classes the batch kernel holds across all
     * neighborhoods at one hour, and the serialized step is priced by
-    * that fleet bound. Hours arriving ≤ the processed frontier (a
-    * replay) DROP — stage 1 seals each hour exactly once. Classes
-    * alive at the stream frontier emit once a later sealed hour closes
-    * them; a far-future heartbeat contact through stage 1 flushes
-    * everything at cutover (runbook step 2's trick). Composition is
-    * two queries (stage 1's sink feeding stage 2's source) — chaining
-    * two flatMapGroupsWithState ops in one plan is not a supported
-    * streaming shape. */
+    * that fleet bound.
+    *
+    * DELIVERY CONTRACT (review-found r20): stage 1 emits hours in
+    * order, but a transport may split ONE hour's rows across two
+    * micro-batches (file-listing boundaries, `maxOffsetsPerTrigger`) —
+    * folding a partial hour would wrongly close classes and drop the
+    * remainder as a replay. The machine therefore HOLDS the newest
+    * pending hour and folds an hour only once a LATER hour's row
+    * proves it fully delivered (stage 1's in-order emission makes
+    * "h seen" ⇒ "all h' < h complete" on any order-preserving log —
+    * single Kafka partition, file source; a multi-partition topic
+    * needs a repartition-to-one or per-hour keys). The holdback costs
+    * nothing observable: a close always needs later-hour evidence
+    * anyway. Rows for hours already FOLDED (a replay) still drop.
+    * Classes alive at the stream frontier emit once a later sealed
+    * hour closes them; a far-future heartbeat contact through stage 1
+    * flushes everything at cutover (runbook step 2's trick).
+    * Composition is two queries (stage 1's sink feeding stage 2's
+    * source) — chaining two flatMapGroupsWithState ops in one plan is
+    * not a supported streaming shape. */
   def convoyGroupsCoreStream(
       groups: Dataset[HourGroupRow],
       k: Int = 3,
@@ -2677,33 +2676,46 @@ object StreamingOps {
         val out = scala.collection.mutable.ArrayBuffer
           .empty[graft.operators.Queries.ConvoyCoreEp]
         def close(mem: Array[Long], s: Long, e: Long): Unit =
-          if (mem.length >= k && e - s + 1 >= m)
-            out += graft.operators.Queries.ConvoyCoreEp(
-              mem.head, mem.length.toLong, mem.mkString(","),
-              s, e - s + 1, e)
-        val s0 = st.getOption.getOrElse(CoreTwinState(Long.MinValue, Nil))
+          graft.operators.Queries.coreEpisode(mem, s, e, k, m).foreach(out += _)
+        val s0 = st.getOption.getOrElse(
+          CoreTwinState(Long.MinValue, Nil, Nil))
         var prev = s0.prev
         var state = scala.collection.mutable.HashMap.empty[
           graft.operators.Queries.ConvoyCls, Long]
         s0.alive.foreach(a => state(
           new graft.operators.Queries.ConvoyCls(a.members.toArray)) = a.since)
-        val byHr = rows.toSeq.groupBy(_.hr)
-        for (h <- byHr.keys.toSeq.sorted if h > prev) {
-          if (prev != Long.MinValue && h != prev + 1L) {
-            // the gap rule: the skipped hours sealed with no >= k
-            // component, so every alive class already ended at `prev`
+        // pending = sealed rows not yet provably complete; rows at or
+        // below the folded frontier are a genuine replay and drop
+        val pendAll = s0.pend ++ rows.filter(_.hr > prev)
+        var keep = pendAll
+        if (pendAll.nonEmpty) {
+          val maxHr = pendAll.iterator.map(_.hr).max
+          val ready = pendAll.filter(_.hr < maxHr)
+          keep = pendAll.filter(_.hr == maxHr)
+          val byHr = ready.groupBy(_.hr)
+          for (h <- byHr.keys.toSeq.sorted) {
+            if (prev != Long.MinValue && h != prev + 1L) {
+              // the gap rule: the skipped hours sealed with no >= k
+              // component, so every alive class already ended at `prev`
+              state.foreach { case (c, since) => close(c.mem, since, prev) }
+              state = scala.collection.mutable.HashMap.empty
+            }
+            val gidOf = scala.collection.mutable.LongMap.empty[Long]
+            byHr(h).foreach { g =>
+              g.members.split(',').foreach(ms => gidOf(ms.toLong) = g.gid)
+            }
+            state = graft.operators.Queries.convoyCoreHourStep(
+              state, gidOf, h, prev, k, close)
+            prev = h
+          }
+          // a gap BEFORE the held hour is already provable — close
+          // through it now instead of waiting for the hold to release
+          if (prev != Long.MinValue && maxHr > prev + 1L) {
             state.foreach { case (c, since) => close(c.mem, since, prev) }
             state = scala.collection.mutable.HashMap.empty
           }
-          val gidOf = scala.collection.mutable.LongMap.empty[Long]
-          byHr(h).foreach { g =>
-            g.members.split(',').foreach(ms => gidOf(ms.toLong) = g.gid)
-          }
-          state = graft.operators.Queries.convoyCoreHourStep(
-            state, gidOf, h, prev, k, close)
-          prev = h
         }
-        st.update(CoreTwinState(prev,
+        st.update(CoreTwinState(prev, keep,
           state.toSeq.map { case (c, since) =>
             CoreAlive(c.mem.toSeq, since) }))
         out.iterator
@@ -2711,7 +2723,8 @@ object StreamingOps {
   }
 
   final case class CoreAlive(members: Seq[Long], since: Long)
-  final case class CoreTwinState(prev: Long, alive: Seq[CoreAlive])
+  final case class CoreTwinState(
+      prev: Long, pend: Seq[HourGroupRow], alive: Seq[CoreAlive])
 
   final case class CellPanelState(ek: Long, k: Long, users: Seq[Long])
   final case class CellPanelRow(

@@ -1474,10 +1474,13 @@ class GeoTrajectorySpec extends SparkSpec {
       assert(eFall.getMessage.contains("dense_rank"),
         s"fallback guard must point at the remap: ${eFall.getMessage}")
     } finally spark.conf.set("graft.convoy.globalCc", gccWas)
-    // (b) pre-1970 event times: buckets come from TRUNCATING div, so
-    // keep all three fixes inside one truncated hour (offsets past the
-    // exact hour boundary); the strict variant labels them, the core
-    // variant throws naming the cause
+    // (b) pre-1970 event times: buckets come from TRUNCATING div (the
+    // oracle's integer // truncates identically), so keep each hour's
+    // fixes inside one truncated bucket — offsets past the exact hour
+    // boundary. (The epoch itself gets a documented double-width
+    // bucket 0 spanning (-1h, +1h) on BOTH engines — see the
+    // convoyHourLabels scaladoc.) The strict variant labels these
+    // correctly; the core variant throws naming the cause
     val dirNeg = java.nio.file.Files.createTempDirectory("graft-convoy-neghr").toString
     (0 until 3).flatMap { h =>
       Seq(

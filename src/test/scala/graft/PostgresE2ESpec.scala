@@ -548,7 +548,7 @@ class PostgresE2ESpec extends SparkSpec with BeforeAndAfterAll {
     assert(res.manifest.drained && res.manifest.sourceEndOffsets.nonEmpty,
       s"manifest incomplete: ${res.manifest}")
     // the old checkpoint is the rollback — moved aside, intact
-    val rb = res.rollbackCheckpoint.getOrElse(fail("no rollback recorded"))
+    val rb = res.rollbackCheckpoint
     assert(new java.io.File(rb).isDirectory &&
       new java.io.File(rb).listFiles().nonEmpty,
       s"rollback checkpoint must survive the cutover: $rb")

@@ -1980,6 +1980,41 @@ class StatefulStreamingSpec extends SparkSpec {
       s"twin episodes diverged from batch: $got vs $batch")
   }
 
+  test("core twin holds a split-delivered hour until a later hour proves it complete") {
+    // review-found r20: a transport may split ONE sealed hour's rows
+    // across micro-batches (file-listing boundary, maxOffsetsPerTrigger)
+    // — folding the partial hour would wrongly close {1,2,3} at hour
+    // 101 (a 2-hour episode) and drop the remainder as a replay. The
+    // machine must HOLD hour 102 until a later hour proves it complete.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingOps.HourGroupRow
+    val ms = MemoryStream[HourGroupRow]
+    val q = graft.streaming.StreamingOps.convoyGroupsCoreStream(ms.toDS())
+      .writeStream.format("memory").queryName("coresplit_t")
+      .outputMode("append").start()
+    try {
+      ms.addData(HourGroupRow(100L, 1L, 3L, "1,2,3")); q.processAllAvailable()
+      ms.addData(HourGroupRow(101L, 1L, 3L, "1,2,3")); q.processAllAvailable()
+      // hour 102 arrives SPLIT: first only the unrelated group...
+      ms.addData(HourGroupRow(102L, 7L, 3L, "7,8,9")); q.processAllAvailable()
+      // ...the {1,2,3} piece lands one batch later
+      ms.addData(HourGroupRow(102L, 1L, 3L, "1,2,3")); q.processAllAvailable()
+      assert(spark.table("coresplit_t").count() == 0,
+        "a held (possibly-partial) hour must not close anything")
+      // a later hour releases the hold; the gap closes the survivors
+      ms.addData(HourGroupRow(200L, 50L, 3L, "50,51,52"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"split-hour twin died: ${q.exception}")
+    val eps = spark.table("coresplit_t")
+      .as[graft.operators.Queries.ConvoyCoreEp].collect().toSeq
+    // {1,2,3} rode THROUGH the split hour (3 hours, not a premature 2);
+    // {7,8,9} held one hour only — below m
+    assert(eps == Seq(graft.operators.Queries.ConvoyCoreEp(
+      1L, 3L, "1,2,3", 100L, 3L, 102L)),
+      s"split-delivered hour mishandled: $eps")
+  }
+
   test("dpSimplifyLiveStream: every batch emits the open month's provisional D-P equal to batch ltss_geo_dp on the prefix") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val fixes = Seq(
