@@ -2726,6 +2726,84 @@ object StreamingOps {
   final case class CoreTwinState(
       prev: Long, pend: Seq[HourGroupRow], alive: Seq[CoreAlive])
 
+  final case class GroupRunState(
+      gidMin: Long, nMembers: Long, startHr: Long, lastHr: Long)
+  final case class GroupEpisode(
+      group_id: Long, n_members: Long, members: String,
+      hr_start: Long, n_hours: Long, hr_end: Long)
+
+  /** STRICT SAME-SET CONVOY GROUPS, LIVE — the streaming twin of the
+    * batch `ltss_geo_convoy_groups` (the 50th twin; with the core twin
+    * the whole convoy-group family now has live faces): rides
+    * [[convoyHourGroupsStream]]'s sealed hourly ≥ k groups KEYED BY THE
+    * MEMBER SET itself — the batch rule's `partitionBy(members)` made a
+    * state key. Each key holds one open run of consecutive hours; a
+    * sealed row at `lastHr + 1` extends it, a later row closes it
+    * (emits at ≥ m hours, the batch rn-gap rule) and reopens. Because a
+    * key only ever sees ITS OWN set's rows, absence (the set dissolving)
+    * arrives as an event-time TIMEOUT, not a row: the sealed rows carry
+    * their hour-end as event time (derived from `hr` — zero-lateness
+    * watermark, since stage 1 emits in hour order), and the timeout
+    * arms at the END of hour `lastHr + 2` — strictly after every
+    * possible `lastHr + 1` row for this key has arrived under the
+    * order-preserving transport contract ([[convoyGroupsCoreStream]]'s
+    * same contract). State per key is four longs — member strings live
+    * only in the key space, which is the alive-group dimension. */
+  def convoyGroupsStream(
+      groups: Dataset[HourGroupRow],
+      m: Int = 2): Dataset[GroupEpisode] = {
+    import groups.sparkSession.implicits._
+    groups
+      .withColumn("seal_ts",
+        (col("hr") * 3600L + 3599L).cast("timestamp"))
+      .withWatermark("seal_ts", "0 seconds")
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[GroupRunState, GroupEpisode](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) { (members, rows, st) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[GroupEpisode]
+        def emit(r: GroupRunState): Unit =
+          if (r.lastHr - r.startHr + 1 >= m)
+            out += GroupEpisode(r.gidMin, r.nMembers, members,
+              r.startHr, r.lastHr - r.startHr + 1, r.lastHr)
+        if (st.hasTimedOut) {
+          // the watermark passed the end of lastHr + 2: had the set
+          // held at lastHr + 1, stage 1's sealed row would have
+          // arrived — the run is closed by ABSENCE
+          emit(st.get)
+          st.remove()
+        } else {
+          var run = st.getOption
+          for (r <- rows.toSeq.sortBy(_._1)) {
+            val h = r._1
+            run match {
+              case Some(g) if h == g.lastHr + 1L =>
+                run = Some(g.copy(gidMin = math.min(g.gidMin, r._2),
+                  nMembers = math.max(g.nMembers, r._3), lastHr = h))
+              case Some(g) if h > g.lastHr + 1L =>
+                emit(g) // the batch rn-gap rule: close, then reopen
+                run = Some(GroupRunState(r._2, r._3, h, h))
+              case Some(_) => // h <= lastHr: stage-1 replay — drop
+              case None =>
+                run = Some(GroupRunState(r._2, r._3, h, h))
+            }
+          }
+          run.foreach { g =>
+            st.update(g)
+            // fires once the watermark carries ANY sealed hour ≥
+            // lastHr + 2 (its seal_ts = hr·3600+3599 s first reaches
+            // this value at hr = lastHr + 2) — the earliest moment
+            // "no lastHr + 1 row arrived" is evidence of absence
+            st.setTimeoutTimestamp(math.max(
+              (g.lastHr + 2L) * 3600000L,
+              st.getCurrentWatermarkMs() + 1L))
+          }
+        }
+        out.iterator
+      }
+  }
+
   final case class CellPanelState(ek: Long, k: Long, users: Seq[Long])
   final case class CellPanelRow(
       tb: Long, cx: Long, cy: Long, n_fixes: Long, n_users: Long,

@@ -1980,6 +1980,73 @@ class StatefulStreamingSpec extends SparkSpec {
       s"twin episodes diverged from batch: $got vs $batch")
   }
 
+  test("strict convoy-group twin: same-set runs close by timeout-absence; episodes equal the batch strict rows; churn fragments on both engines") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingOps.{GroupEpisode, HourGroupRow}
+    val hr0 = ts("2024-01-01 10:00:00").getTime / 3600000L
+    // (a) a STABLE set over 3 consecutive sealed hours: one episode,
+    // emitted only once the watermark proves hour hr0+3 held no row
+    // for the key (absence-by-timeout — a members key never sees other
+    // sets' rows)
+    val ms = MemoryStream[HourGroupRow]
+    val q = graft.streaming.StreamingOps.convoyGroupsStream(ms.toDS())
+      .writeStream.format("memory").queryName("sgrp_t")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        HourGroupRow(hr0, 10L, 3L, "10,12,14"),
+        HourGroupRow(hr0 + 1L, 10L, 3L, "10,12,14"),
+        HourGroupRow(hr0 + 2L, 10L, 3L, "10,12,14"))
+      q.processAllAvailable()
+      assert(spark.table("sgrp_t").count() == 0,
+        "an open run must not emit before absence is provable")
+      // two far sealed hours: the first advances the watermark source
+      // value, the second lets the (one-batch-lagged) watermark fire
+      // the timeout
+      ms.addData(HourGroupRow(hr0 + 10L, 50L, 3L, "50,51,52"))
+      q.processAllAvailable()
+      ms.addData(HourGroupRow(hr0 + 11L, 50L, 3L, "50,51,52"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(q.exception.isEmpty, s"strict twin died: ${q.exception}")
+    val got = spark.table("sgrp_t").as[GroupEpisode].collect().toSeq
+    // batch parity: the same stable fleet through the full batch path
+    val dir = java.nio.file.Files.createTempDirectory("graft-sgrp").toString
+    (0 until 3).flatMap { h =>
+      Seq(
+        (30L + 20L * h, ts(s"2024-01-01 ${10 + h}:00:00"), 10L),
+        (35L + 20L * h, ts(s"2024-01-01 ${10 + h}:10:00"), 12L),
+        (40L + 20L * h, ts(s"2024-01-01 ${10 + h}:20:00"), 14L))
+    }.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("ltss_geo_convoy_groups")(spark, dir)
+      .as[GroupEpisode].collect().toSeq
+    assert(got == batch && got.size == 1 &&
+      got.head == GroupEpisode(10L, 3L, "10,12,14", hr0, 3L, hr0 + 2L),
+      s"strict twin diverged from batch: $got vs $batch")
+    // (b) the churn fixture: the set CHANGES at hour hr0+1, so the
+    // strict rule fragments into sub-m runs — EMPTY on both engines
+    // (the batch assertion lives in the churn fixture test)
+    val ms2 = MemoryStream[HourGroupRow]
+    val q2 = graft.streaming.StreamingOps.convoyGroupsStream(ms2.toDS())
+      .writeStream.format("memory").queryName("sgrp_churn_t")
+      .outputMode("append").start()
+    try {
+      ms2.addData(
+        HourGroupRow(hr0, 10L, 3L, "10,12,14"),
+        HourGroupRow(hr0 + 1L, 10L, 4L, "10,12,14,16"),
+        HourGroupRow(hr0 + 2L, 10L, 3L, "10,12,14"))
+      q2.processAllAvailable()
+      ms2.addData(HourGroupRow(hr0 + 10L, 50L, 3L, "50,51,52"))
+      q2.processAllAvailable()
+      ms2.addData(HourGroupRow(hr0 + 11L, 50L, 3L, "50,51,52"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(q2.exception.isEmpty, s"strict churn twin died: ${q2.exception}")
+    assert(spark.table("sgrp_churn_t").count() == 0,
+      "the strict rule must fragment the churn fixture below m on the twin too")
+  }
+
   test("core twin holds a split-delivered hour until a later hour proves it complete") {
     // review-found r20: a transport may split ONE sealed hour's rows
     // across micro-batches (file-listing boundary, maxOffsetsPerTrigger)
