@@ -4,7 +4,15 @@ against DuckDB executing oracle_sql.json on the same parquet tables.
 
 Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir> [query ...]
        python3 scripts/selfcheck.py --gate [bench_out.json]
+       python3 scripts/selfcheck.py --snapshot-check [repoDir]
        python3 scripts/selfcheck.py --selftest
+
+--snapshot-check guards the END-OF-ROUND SNAPSHOT COMMIT (r19 VERDICT
+finding #3: a snapshot commit carried a non-trivial refactor): the
+working tree's uncommitted changes must touch ONLY *.json / *.md
+artifacts. Run it immediately before `git commit` of the round-close
+snapshot; a .scala (or any other source) file in the diff fails loudly
+— land code in its own reviewed commit first.
 
 --gate is the ROUND-CLOSE PERFORMANCE ASSERTION: it reads the bench
 output's gate_ratio_canary_normalized (this run's BASELINE_QUERIES
@@ -77,6 +85,31 @@ def gate(path: str) -> int:
           f"{GATE_CEILING} over {n} baseline queries (host_phase={phase})")
     return 0
 
+def snapshot_check(repo: str = ".") -> int:
+    import subprocess
+    try:
+        out = subprocess.run(["git", "-C", repo, "status", "--porcelain"],
+                             capture_output=True, text=True, check=True).stdout
+    except Exception as e:
+        print(f"SNAPSHOT FAIL: git status failed in {repo}: {e}")
+        return 1
+    files = []
+    for line in out.splitlines():
+        if len(line) < 4:
+            continue
+        path = line[3:]
+        if " -> " in path:  # rename: the new path is what the commit carries
+            path = path.split(" -> ", 1)[1]
+        files.append(path.strip().strip('"'))
+    bad = [f for f in files if not f.endswith((".json", ".md"))]
+    if bad:
+        print("SNAPSHOT FAIL: the round-close snapshot must be artifact-only "
+              "(*.json / *.md); land these in their own commit first: "
+              + ", ".join(sorted(bad)))
+        return 1
+    print(f"SNAPSHOT PASS: {len(files)} artifact file(s) pending, no source")
+    return 0
+
 def selftest() -> int:
     """Synthetic-fixture checks for the gate (no Spark, no DuckDB)."""
     import tempfile
@@ -103,14 +136,39 @@ def selftest() -> int:
     # the phase never rescues a ceiling breach
     run("breach", dict(base, gate_ratio_canary_normalized=2.5,
                        canary_s={"post_jvm": 0.80}), 1, "steady")
+    # snapshot-check fixtures: a scratch repo with (a) artifact-only
+    # changes passes, (b) a source file in the diff fails
+    import subprocess, tempfile, shutil
+    repo = tempfile.mkdtemp(prefix="snapcheck-")
+    try:
+        def g(*a):
+            subprocess.run(["git", "-C", repo] + list(a), check=True,
+                           capture_output=True,
+                           env=dict(os.environ,
+                                    GIT_AUTHOR_NAME="t", GIT_AUTHOR_EMAIL="t@t",
+                                    GIT_COMMITTER_NAME="t", GIT_COMMITTER_EMAIL="t@t"))
+        g("init", "-q")
+        open(os.path.join(repo, "a.md"), "w").write("x\n")
+        g("add", "."); g("commit", "-qm", "seed")
+        open(os.path.join(repo, "BENCH.json"), "w").write("{}\n")
+        open(os.path.join(repo, "a.md"), "w").write("y\n")
+        if snapshot_check(repo) != 0:
+            fails.append("snapshot: artifact-only diff must pass")
+        open(os.path.join(repo, "X.scala"), "w").write("object X\n")
+        if snapshot_check(repo) != 1:
+            fails.append("snapshot: a source file in the diff must fail")
+    finally:
+        shutil.rmtree(repo, ignore_errors=True)
     if fails:
         print("SELFTEST FAIL: " + "; ".join(fails))
         return 1
-    print("SELFTEST PASS: 5 gate fixtures")
+    print("SELFTEST PASS: 5 gate + 2 snapshot fixtures")
     return 0
 
 if len(sys.argv) > 1 and sys.argv[1] == "--gate":
     sys.exit(gate(sys.argv[2] if len(sys.argv) > 2 else "bench_out.json"))
+if len(sys.argv) > 1 and sys.argv[1] == "--snapshot-check":
+    sys.exit(snapshot_check(sys.argv[2] if len(sys.argv) > 2 else "."))
 if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
     sys.exit(selftest())
 
