@@ -4074,38 +4074,55 @@ object Queries {
     * component's member count, the entity's HOP distance from the seed
     * (BFS shortest path — "how many intermediate contacts separate you
     * from the index case"), and the component's first/last contact
-    * span. Machinery is the near-dup clustering's, reused verbatim:
-    * [[graft.operators.Dedup.connectedComponents]] (min-label
-    * propagation + pointer doubling, O(log diameter) rounds,
-    * lineage-truncated) runs on the pair frame — which is orders of
-    * magnitude smaller than the contact LOG (one edge per entity pair),
-    * itself output-driven from the bucketed join; the BFS that follows
-    * iterates O(seed eccentricity) frontier jobs over the same
-    * edge-sized frame with min-hop convergence (a settled node never
-    * re-enters: hop counts are final when first reached, the frontier
-    * only shrinks). At 100 TB the graph is |entity pairs that MET| —
-    * fleet-bounded, not corpus-bounded. Oracle: the DuckDB
-    * recursive-CTE closure (the `dedup_clusters` precedent) over the
-    * same band-join edges, plus a hop-bounded recursive BFS — both
-    * different constructions than the Spark loops they check.
+    * span. At 100 TB the graph is
+    * |entity pairs that MET| — fleet-bounded, not corpus-bounded.
+    * Oracle: the DuckDB recursive-CTE closure (the `dedup_clusters`
+    * precedent) over the same band-join edges, plus a hop-bounded
+    * recursive BFS — both different constructions than the Spark
+    * engine they check.
     * ([[exposureFrame]] below is the engine; [[geoExposure]] presents
     * it unfiltered, [[geoExposureFiltered]] with practice thresholds.)
     *
     * Shared engine of [[geoExposure]] and [[geoExposureFiltered]]:
-    * the CC + BFS machinery over the contact-pair graph, parameterized
-    * by an optional EDGE predicate (evaluated on the pair rollup's
-    * columns — n_contacts, min_d2, first/last_contact — epidemiological
-    * practice thresholds edges before tracing: repeated contact,
-    * close approach, time-boxed) and by the TRUNCATION TIER:
-    * `localCheckpoint` blocks live only on their executor — fine on
-    * one box, but on a real cluster a lost executor kills the only
-    * copy of a lineage-free frame mid-loop and the whole query with
-    * it; `reliable = true` switches every truncation here AND inside
-    * [[graft.operators.Dedup.connectedComponents]] to reliable
-    * checkpoints (requires `sc.setCheckpointDir`; one extra
-    * write-to-DFS per round is the availability price). 100 TB
-    * deployments pass true — the connectedComponents contract,
-    * plumbed through the BFS as r17's VERDICT asked. */
+    * labels + hops over the contact-pair graph, parameterized by an
+    * optional EDGE predicate (evaluated on the pair rollup's columns —
+    * n_contacts, min_d2, first/last_contact — epidemiological practice
+    * thresholds edges before tracing: repeated contact, close
+    * approach, time-boxed) and by the TRUNCATION TIER (`reliable` —
+    * the connectedComponents contract: on a cluster, loop truncations
+    * go to reliable checkpoints via `sc.setCheckpointDir` instead of
+    * executor-local blocks; 100 TB deployments pass true).
+    *
+    * CAP-AND-ROUTE (r20, guide §1.2 "the distributed algorithm"; the
+    * [[convoyHourLabels]] union-find precedent). The r19 shape ran a
+    * distributed CC fixpoint plus a layered distributed BFS for EVERY
+    * input; measured at sf0.1 that was 3–4.5 s of CC rounds plus
+    * 13–17 s of BFS layer jobs (eccentricity 36–48 ÷ 6 layers/job,
+    * each layer a join+agg+anti-join with a driver round-trip) over a
+    * graph of 1,500 nodes / 37 k edges — pure per-job overhead, zero
+    * compute. Routing, decided by the MEASURED edge count the engine
+    * already takes (`nEdges`, the loop-width input):
+    *  - `nEdges ≤ graft.exposure.localGraphCapEdges` (default 4 M
+    *    edges ≈ 64 MB of (lo, hi) pairs, a comfortable single-task
+    *    graph — UF + BFS over 4 M edges is ~1 s of in-task compute):
+    *    ONE task computes labels and hops in one pass
+    *    ([[localGraphNodes]] — min-root union-find, then BFS per
+    *    component root), exactly the local algorithm the DuckDB
+    *    oracle's recursive CTEs run. No iteration jobs at all.
+    *  - above the cap: the distributed CC fixpoint labels the graph,
+    *    then components route INDIVIDUALLY — a component within the
+    *    cap gets an in-task BFS (`groupByKey(label)`, per-task memory
+    *    = that component's edges), and only OVERSIZED components (a
+    *    giant component is a real phenomenon in contact graphs) pay
+    *    the layered distributed BFS, restricted to their edges. The
+    *    long tail of small components — the vast majority by count —
+    *    never enters the loop.
+    * Both routes produce bit-identical rows: component labels are the
+    * min member id and hop counts are shortest paths — both unique,
+    * construction-independent (spec-pinned by a forced-route equality
+    * fixture). 100 TB deployments keep the default cap; the conf
+    * exists to size task memory (16 B/edge + adjacency ≈ 48 B/edge)
+    * and to force the distributed route in tests (cap 0). */
   private[graft] def exposureFrame(
       s: SparkSession, d: String,
       edgeFilter: Option[Column] = None,
@@ -4137,99 +4154,203 @@ object Queries {
               col("last_contact"))
       val edges = pairs.select(col("id_lo"), col("id_hi"))
       // Materialize the (filtered) pair frame — and, through it, the
-      // session-shared contact-pair build — BEFORE the AQE toggle: on a
+      // session-shared contact-pair build — BEFORE any AQE toggle: on a
       // cold session the first action on the frame executes the bucketed
       // contact join, which must plan ADAPTIVELY (r18 ADVICE: moving the
       // count inside withAqeOff made unwarmed callers pay the heaviest
-      // join in the family without AQE). Also the CC loop-width input.
+      // join in the family without AQE). Also the ROUTE input.
       val nEdges = pairs.count()
-      val partsKey = "spark.sql.shuffle.partitions"
-      val partsWas = s.conf.get(partsKey, "32")
-      val (labels, dist) = Dedup.withAqeOff(s) {
-        try {
-          // loop parallelism sized to the EDGE frame (the CC
-          // discipline): session-default-width stages would pay their
-          // task launches per iteration for a graph orders of
-          // magnitude smaller than the corpus. The shuffle width is
-          // set session-wide BEFORE the CC loop (and restored after)
-          // so both the CC iterations and the BFS hops run their
-          // join/agg/anti stages at the sized width with aligned
-          // partitionings. CAVEAT: like the AQE toggle wrapping this
-          // block, this is a
-          // SESSION-GLOBAL mutation — any query running concurrently
-          // on the same SparkSession during the loops executes at the
-          // edge-sized shuffle width. Fine for a dedicated job/bench
-          // session; on a shared session run this query on its own
-          // `spark.newSession()` (the confs are session-scoped).
-          val maxParts = partsWas.toInt
-          val parts = math.max(1L,
-            math.min(maxParts.toLong, (2L * nEdges) / 100000L + 1L)).toInt
-          s.conf.set(partsKey, parts.toString)
-          val (lab, _) =
-            graft.operators.Dedup.connectedComponents(edges, reliable)
-          val labC = trunc(lab)
-          val sym = trunc(
-            edges.select(col("id_lo").as("src"), col("id_hi").as("dst"))
-              .union(edges.select(col("id_hi"), col("id_lo")))
-              .repartition(parts, col("src")))
-          // BFS from each component's seed (its min-id = its label):
-          // hop counts are SHORTEST paths, so a node's count is final
-          // the first time it enters — the frontier never revisits
-          var settled = trunc(labC.filter(col("id") === col("label"))
-            .select(col("id"), lit(0L).as("hops"))
-            .repartition(parts, col("id")))
-          var frontier = settled
-          var more = settled.count() > 0
-          // BFS rounds are inherently O(seed eccentricity) driver
-          // round-trips (shortest paths have no pointer-doubling
-          // shortcut on a general graph), so each JOB expands SIX
-          // layers: layer h is exactly distance k+h because it
-          // anti-joins settled (≤ k) plus this job's earlier layers,
-          // and min-hops within a layer is the groupBy. Each layer is
-          // lazily truncated so later layers (and the round union)
-          // read its blocks instead of recomputing the chain — ONE
-          // count materializes the whole round and decides
-          // convergence (the CC discipline, amortized 6 deep).
-          val HopsPerJob = 6
-          while (more) {
-            var block = settled.select(col("id").as("seen"))
-            var cur = frontier
-            val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-            for (_ <- 1 to HopsPerJob) {
-              val nxt = trunc(cur.join(sym, cur("id") === sym("src"))
-                .select(col("dst").as("id"), (col("hops") + 1L).as("hops"))
-                .groupBy(col("id")).agg(min(col("hops")).as("hops"))
-                .join(block, col("id") === col("seen"), "left_anti"))
-              layers += nxt
-              block = block.union(nxt.select(col("id").as("seen")))
-              cur = nxt
-            }
-            val roundNew = trunc(layers.reduce(_ union _)
-              .repartition(parts, col("id")))
-            // an empty TRAILING layer with earlier layers non-empty
-            // costs exactly one extra (empty, cheap) round before the
-            // count reads zero and the loop stops
-            more = roundNew.count() > 0
-            if (more) {
-              settled = trunc(settled.union(roundNew))
-              frontier = layers.last
-            }
-          }
-          (labC, settled)
-        } finally s.conf.set(partsKey, partsWas)
-      }
-      val comp = labels.groupBy(col("label"))
+      val localCap =
+        s.conf.get("graft.exposure.localGraphCapEdges", "4000000").toLong
+      val nodes = truncE(
+        if (nEdges <= localCap) {
+          // single-task route: labels + hops in ONE pass over the whole
+          // graph. coalesce(1) merges the materialized pair blocks into
+          // one task — no shuffle, no iteration jobs; the eager truncate
+          // materializes the pass once for the three consumers below.
+          import s.implicits._
+          edges.as[(Long, Long)].coalesce(1)
+            .mapPartitions(it => localGraphNodes(it.toArray))
+            .toDF("id", "label", "hops")
+        } else distributedGraphNodes(s, edges, nEdges, localCap, reliable))
+      val comp = nodes.groupBy(col("label"))
         .agg(count(lit(1)).as("n_members"))
       val span = pairs
-        .join(labels.select(col("id").as("id_lo"), col("label")), "id_lo")
+        .join(nodes.select(col("id").as("id_lo"), col("label")), "id_lo")
         .groupBy(col("label"))
         .agg(min(col("first_contact")).as("first_contact"),
           max(col("last_contact")).as("last_contact"))
-      labels.join(dist, "id").join(comp, "label").join(span, "label")
+      nodes.join(comp, "label").join(span, "label")
         .select(col("id").as("user_id"), col("label").as("component"),
           col("n_members"), col("hops"), col("first_contact"),
           col("last_contact"))
         .orderBy(col("user_id"))
+  }
+
+  /** Labels + hops over an in-memory edge array, one pass: min-root
+    * union-find ([[minRootComponents]] — the convoyHourLabels kernel)
+    * for component labels, then one multi-source BFS from every root
+    * (components are disjoint, so a single frontier serves all seeds)
+    * for hop counts. One (id, label, hops) row per node. Memory is
+    * edges + adjacency, ~48 B/edge — callers cap the edge count
+    * (`graft.exposure.localGraphCapEdges`). */
+  private[graft] def localGraphNodes(
+      es: Array[(Long, Long)]): Iterator[(Long, Long, Long)] = {
+    val labelOf = minRootComponents(es.iterator)
+    val hops = localBfsHops(es.iterator,
+      labelOf.iterator.collect { case (m, root) if m == root => m })
+    hops.iterator.map { case (id, h) => (id, labelOf(id), h) }
+  }
+
+  /** Multi-source BFS hop counts over an edge iterator: builds the
+    * adjacency once, settles every node at its SHORTEST distance from
+    * the nearest seed (seeds sit in distinct components here, so
+    * "nearest" is "its component's"). LongMap + ArrayDeque — no
+    * allocation per visited node beyond the two maps. */
+  private[graft] def localBfsHops(
+      edges: Iterator[(Long, Long)], seeds: Iterator[Long])
+      : scala.collection.mutable.LongMap[Long] = {
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    def nbrs(x: Long) = adj.getOrElseUpdate(
+      x, new scala.collection.mutable.ArrayBuffer[Long](4))
+    edges.foreach { case (a, b) => nbrs(a) += b; nbrs(b) += a }
+    val hops = scala.collection.mutable.LongMap.empty[Long]
+    val q = new java.util.ArrayDeque[java.lang.Long]()
+    seeds.foreach { r => hops(r) = 0L; q.add(r) }
+    while (!q.isEmpty) {
+      val x = q.poll().longValue()
+      val h = hops(x) + 1L
+      adj.get(x).foreach { ns =>
+        var i = 0
+        while (i < ns.length) {
+          val y = ns(i)
+          if (!hops.contains(y)) { hops(y) = h; q.add(y) }
+          i += 1
+        }
+      }
+    }
+    hops
+  }
+
+  /** The above-cap route of [[exposureFrame]]: distributed CC labels
+    * the graph, then components route individually — in-task BFS for
+    * components within the cap, the r19 layered distributed BFS only
+    * for oversized ones, restricted to their edges. Returns one
+    * (id, label, hops) row per node. */
+  private def distributedGraphNodes(
+      s: SparkSession, edges: DataFrame, nEdges: Long,
+      localCap: Long, reliable: Boolean): DataFrame = {
+    import s.implicits._
+    def trunc(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsWas = s.conf.get(partsKey, "32")
+    Dedup.withAqeOff(s) {
+      try {
+        // loop parallelism sized to the EDGE frame (the CC
+        // discipline): session-default-width stages would pay their
+        // task launches per iteration for a graph orders of magnitude
+        // smaller than the corpus. Session-global mutation caveat: a
+        // query running concurrently on this SparkSession executes at
+        // the edge-sized width — dedicated job/bench sessions only; a
+        // shared session should run this on its own `spark.newSession()`.
+        val maxParts = partsWas.toInt
+        val parts = math.max(1L,
+          math.min(maxParts.toLong, (2L * nEdges) / 100000L + 1L)).toInt
+        s.conf.set(partsKey, parts.toString)
+        val (lab, _) =
+          graft.operators.Dedup.connectedComponents(edges, reliable)
+        val labC = trunc(lab)
+        // attach each undirected edge to its component (edges never
+        // cross components) — the per-component group key
+        val edgeComp = trunc(edges
+          .join(labC.select(col("id").as("id_lo"), col("label")), "id_lo")
+          .select(col("label"), col("id_lo"), col("id_hi")))
+        // oversized components: at most nEdges / cap labels exist, so
+        // the collected set is driver-bounded by construction (2,500
+        // labels at 10^10 edges under the default cap)
+        val big = edgeComp.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_edges"))
+          .filter(col("n_edges") > localCap)
+          .select(col("label")).as[Long].collect().toSet
+        val smallNodes = (if (big.isEmpty) edgeComp
+          else edgeComp.filter(!col("label").isInCollection(big)))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (lbl: Long, it: Iterator[(Long, Long, Long)]) =>
+            val hops = localBfsHops(
+              it.map(e => (e._2, e._3)), Iterator.single(lbl))
+            hops.iterator.map { case (id, h) => (id, lbl, h) }
+          }
+          .toDF("id", "label", "hops")
+        if (big.isEmpty) smallNodes
+        else smallNodes.union(
+          layeredBfsNodes(trunc(
+            edgeComp.filter(col("label").isInCollection(big))), parts, trunc))
+      } finally s.conf.set(partsKey, partsWas)
+    }
+  }
+
+  /** The r19 layered distributed BFS, retained for components too big
+    * for one task: seeds are the component labels themselves (the
+    * min-id members), each job expands [[exposureHopsPerJob]] layers —
+    * layer h is exactly distance k+h because it anti-joins settled
+    * (≤ k) plus this job's earlier layers — and ONE count per job
+    * materializes the round and decides convergence. BFS rounds are
+    * inherently O(seed eccentricity) driver round-trips (shortest
+    * paths have no pointer-doubling shortcut on a general graph); the
+    * 6-layer amortization bounds the round-trip count. Input is the
+    * (label, id_lo, id_hi) edge frame of the routed components; the
+    * label rides every frontier row, so the output is (id, label,
+    * hops) like the in-task route. */
+  private def layeredBfsNodes(
+      edgeComp: DataFrame, parts: Int,
+      trunc: DataFrame => DataFrame): DataFrame = {
+    // sym's columns are ALIASED (slabel/src/dst): the seed frame below
+    // shares edgeComp's lineage, and dataset-qualified refs across two
+    // frames with common attribute ids trip the ambiguous-self-join
+    // detector — fresh names + name-based refs keep the join resolvable
+    val sym = trunc(
+      edgeComp.select(col("label").as("slabel"), col("id_lo").as("src"),
+          col("id_hi").as("dst"))
+        .union(edgeComp.select(col("label"), col("id_hi"), col("id_lo")))
+        .repartition(parts, col("src")))
+    var settled = trunc(edgeComp.select(col("label")).distinct()
+      .select(col("label").as("id"), col("label"), lit(0L).as("hops"))
+      .repartition(parts, col("id")))
+    var frontier = settled
+    var more = settled.count() > 0
+    val HopsPerJob = 6
+    while (more) {
+      var block = settled.select(col("id").as("seen"))
+      var cur = frontier
+      val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (_ <- 1 to HopsPerJob) {
+        val nxt = trunc(cur.join(sym, col("id") === col("src"))
+          .select(col("dst").as("nid"), col("slabel").as("nlabel"),
+            (col("hops") + 1L).as("nhops"))
+          .groupBy(col("nid"), col("nlabel")).agg(min(col("nhops")).as("nhops"))
+          .select(col("nid").as("id"), col("nlabel").as("label"),
+            col("nhops").as("hops"))
+          .join(block, col("id") === col("seen"), "left_anti"))
+        layers += nxt
+        block = block.union(nxt.select(col("id").as("seen")))
+        cur = nxt
+      }
+      val roundNew = trunc(layers.reduce(_ union _)
+        .repartition(parts, col("id")))
+      // an empty TRAILING layer with earlier layers non-empty costs
+      // exactly one extra (empty, cheap) round before the count reads
+      // zero and the loop stops
+      more = roundNew.count() > 0
+      if (more) {
+        settled = trunc(settled.union(roundNew))
+        frontier = layers.last
+      }
+    }
+    settled.select(col("id"), col("label"), col("hops"))
   }
 
   val geoExposure = OracleQuery(

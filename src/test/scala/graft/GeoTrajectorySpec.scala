@@ -1374,6 +1374,52 @@ class GeoTrajectorySpec extends SparkSpec {
     assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint was written")
   }
 
+  test("exposureFrame: every cap-and-route path returns the identical frame") {
+    // r20 route-equality pin: labels are min member ids and hops are
+    // shortest paths — unique regardless of construction — so the
+    // single-task route (default cap), the fully distributed route
+    // (cap 0: every component exceeds it → the r19 CC + layered BFS),
+    // and the MIXED route (cap 1: the 1-edge component goes in-task,
+    // the 2-edge chain rides the layered loop) must return the same
+    // rows. Fixture: chain A(10)-B(12)-C(14) (hops 0/1/2), pair
+    // D(60)-E(62), and one isolated fix (50, no rows).
+    val dir = java.nio.file.Files.createTempDirectory("graft-exposure-route").toString
+    val events = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 10L),
+      (101L, ts("2024-01-01 11:00:00"), 12L),
+      (200L, ts("2024-01-01 20:00:00"), 12L),
+      (201L, ts("2024-01-01 20:30:00"), 14L),
+      (300L, ts("2024-01-05 09:00:00"), 50L),
+      (400L, ts("2024-01-06 09:00:00"), 60L),
+      (401L, ts("2024-01-06 09:30:00"), 62L))
+    events.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val capKey = "graft.exposure.localGraphCapEdges"
+    def run(): Seq[(Long, Long, Long, Long)] =
+      graft.operators.Queries.exposureFrame(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val local = run()
+    assert(local == Seq(
+      (10L, 10L, 3L, 0L), (12L, 10L, 3L, 1L), (14L, 10L, 3L, 2L),
+      (60L, 60L, 2L, 0L), (62L, 60L, 2L, 1L)),
+      s"single-task route rows: $local")
+    val wasCap = spark.conf.getOption(capKey)
+    try {
+      spark.conf.set(capKey, "0") // every component oversized → layered BFS
+      val distributed = run()
+      assert(distributed == local,
+        s"fully distributed route diverged: $distributed vs $local")
+      spark.conf.set(capKey, "1") // 1-edge component in-task, chain layered
+      val mixed = run()
+      assert(mixed == local, s"mixed route diverged: $mixed vs $local")
+    } finally {
+      wasCap match {
+        case Some(v) => spark.conf.set(capKey, v)
+        case None => spark.conf.unset(capKey)
+      }
+    }
+  }
+
   test("ltss_geo_exposure_filtered: a weak bridge splits the component; hops re-root in the fragments") {
     // A(10)-B(12) contact TWICE at close approach (qualifies);
     // B(12)-C(14) meet ONCE (n_contacts = 1 — filtered out): the
