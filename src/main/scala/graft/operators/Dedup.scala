@@ -269,8 +269,13 @@ object Dedup {
         |ORDER BY a_id, b_id""".stripMargin
     })
 
-  /** Connected components by min-label propagation to fixpoint over an
-    * (a_id, b_id) pair frame → (id, label) plus the iteration count.
+  /** Connected components over an (a_id, b_id) pair frame → (id, label)
+    * plus the iteration count (0 on the single-task route). CAP-AND-
+    * ROUTE (r20): graphs at or under `graft.cc.localCapEdges` (default
+    * 4 M edges) are labeled by ONE task's min-root union-find — the
+    * fixpoint loop's per-iteration driver round-trips and shuffles are
+    * pure overhead at that size; bigger graphs run the distributed
+    * min-label propagation fixpoint below.
     * The returned frame carries HONEST leaf statistics (row count from
     * the convergence job, size = rows × width), so dimension-sized
     * label frames auto-broadcast at consumers while corpus-sized ones
@@ -328,7 +333,31 @@ object Dedup {
     val edges = truncate(pairs.toDF("a_id", "b_id"))
     // one job: materializes the edge checkpoint (the union below would
     // otherwise run the pair join twice) AND sizes the loop's parallelism
+    // — and, first, ROUTES (r20, guide §1.2; the exposureFrame /
+    // convoyHourLabels cap-and-route discipline): at or under
+    // `graft.cc.localCapEdges` (default 4 M edges ≈ 64 MB of id pairs,
+    // ~1 s of single-task union-find) the fixpoint loop is pure per-job
+    // overhead — every iteration costs a driver round-trip plus 3
+    // shuffles regardless of graph size (measured 0.7-0.9 s/round on a
+    // 37 k-edge graph) — so ONE task computes the identical labels
+    // (min-root union-find; min-label propagation converges to the same
+    // component minimum) in a single pass. Above the cap: the
+    // distributed loop below, unchanged. Both routes return honest
+    // row-count stats; route equality is spec-pinned (PlanSpec), and
+    // the loop-shape pins force `graft.cc.localCapEdges=0`.
     val nEdges = edges.count()
+    val localCap = s.conf.get("graft.cc.localCapEdges", "4000000").toLong
+    if (nEdges <= localCap) {
+      import s.implicits._
+      val lab = truncate(edges.as[(Long, Long)].coalesce(1)
+        .mapPartitions(it =>
+          graft.operators.Queries.minRootComponents(it).iterator)
+        .toDF("id", "label"))
+      // one job: materializes the label blocks AND counts the nodes for
+      // the honest-stats re-attach (the convergence-job discipline)
+      val nNodes = lab.count()
+      return (org.apache.spark.sql.GraftLineage.frameWithRowCount(lab, nNodes), 0)
+    }
     val maxParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val parts = math.max(1L, math.min(maxParts.toLong, (2L * nEdges) / 100000L + 1L)).toInt
     val sym = truncate(

@@ -536,6 +536,20 @@ class PlanSpec extends SparkSpec {
       s"expected a window operator; plan:\n$plan")
   }
 
+  /** Forces the DISTRIBUTED fixpoint route of connectedComponents
+    * (graft.cc.localCapEdges=0) for the tests that pin the LOOP's
+    * shape — the default cap routes fixture-sized graphs to the
+    * single-task union-find (r20 cap-and-route). */
+  private def withCcDistributed[T](body: => T): T = {
+    val key = "graft.cc.localCapEdges"
+    val was = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    try body finally was match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("connected components: ONE job per iteration, convergence folded into propagation") {
     import spark.implicits._
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -557,7 +571,7 @@ class PlanSpec extends SparkSpec {
     try {
       // a diameter-4 path (several rounds) plus a separate 2-cycle
       val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("a_id", "b_id")
-      val (labels, iters) = Dedup.connectedComponents(edges)
+      val (labels, iters) = withCcDistributed(Dedup.connectedComponents(edges))
       // listener events are async — wait for the count to settle
       val deadline = System.nanoTime() + 5000000000L
       var last = -1
@@ -587,11 +601,39 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val edges = (1L until 512L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-      val (labels, iters) = Dedup.connectedComponents(edges)
+      val (labels, iters) = withCcDistributed(Dedup.connectedComponents(edges))
       val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(out.size == 512 && out.values.forall(_ == 1L),
         s"chain must collapse to its head; distinct labels: ${out.values.toSet.take(5)}")
       assert(iters <= 12, s"pointer doubling must converge logarithmically, took $iters")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("connected components: the single-task route returns the distributed fixpoint's exact labels") {
+    // r20 cap-and-route equality pin: component minima are unique, so
+    // the union-find route (default cap) and the min-label-propagation
+    // fixpoint (cap 0) must label identically — on a graph that mixes
+    // a chain, a cycle, a star, duplicate edges and reversed pairs.
+    import spark.implicits._
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val edges = ((1L until 40L).map(i => (i, i + 1)) ++      // chain
+        Seq((100L, 101L), (101L, 102L), (102L, 100L)) ++       // cycle
+        (1 to 8).map(i => (200L, 200L + i)) ++                 // star
+        Seq((300L, 301L), (301L, 300L), (300L, 301L))          // dup + reversed
+        ).toDF("a_id", "b_id")
+      val (localLab, localIters) = Dedup.connectedComponents(edges)
+      assert(localIters == 0, s"fixture must take the single-task route: $localIters")
+      assert(localLab.queryExecution.optimizedPlan.stats.rowCount.isDefined,
+        "single-task route must attach honest row-count stats")
+      val local = localLab.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val dist = withCcDistributed(Dedup.connectedComponents(edges))._1
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(local == dist, s"routes diverged:\n local=$local\n dist=$dist")
+      assert(local.count(_._2 == 1L) == 40 && local.count(_._2 == 100L) == 3 &&
+        local.count(_._2 == 200L) == 9 && local.count(_._2 == 300L) == 2,
+        s"component minima wrong: $local")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
@@ -610,7 +652,7 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val edges = (1L until 1024L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-      val (labels, iters) = Dedup.connectedComponents(edges)
+      val (labels, iters) = withCcDistributed(Dedup.connectedComponents(edges))
       val bits = labels.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
       assert(bits <= 128,
         s"stats compounded through the loop: sizeInBytes is a $bits-bit " +
