@@ -2152,6 +2152,38 @@ object Queries {
     h
   }
 
+  /** [[directedHausdorff2]] on primitive coordinate arrays with the
+    * classic EARLY-ABANDON cut (r20, measured: the admitted-pair DP —
+    * 310 k pairs × 67 × 67 points × 2 directions at sf0.1 — was the
+    * query's cost center, not the screen): the inner min-scan stops as
+    * soon as its running min reaches the running max h, because a
+    * point whose min distance is ≤ h can never RAISE the max — the
+    * returned h is bit-identical (each d² is computed by the same
+    * expression; min/max are comparisons, not accumulations; skipped
+    * work is exactly the work that cannot change the answer).
+    * Property-pinned equal to the naive form. Primitive arrays keep
+    * the per-row decode flat (no per-point struct objects). */
+  private[graft] def directedHausdorff2Arrays(
+      plat: Array[Double], plon: Array[Double],
+      qlat: Array[Double], qlon: Array[Double]): Double = {
+    var h = 0.0
+    var i = 0
+    while (i < plat.length) {
+      var mn = Double.MaxValue
+      var j = 0
+      while (j < qlat.length && mn > h) {
+        val dx = plon(i) - qlon(j)
+        val dy = plat(i) - qlat(j)
+        val d2 = dx * dx + dy * dy
+        if (d2 < mn) mn = d2
+        j += 1
+      }
+      if (mn > h) h = mn
+      i += 1
+    }
+    h
+  }
+
   /** TRAJECTORY SIMILARITY, the Hausdorff face — the PostGIS
     * `ST_HausdorffDistance` analog over the stored tracks: the 20
     * entity pairs whose month segments have the smallest SYMMETRIC
@@ -2262,23 +2294,45 @@ object Queries {
         .agg(count(lit(1)).as("ndir"))
         .filter(col("ndir") === 2)
         .select(col("chunk"), col("id_lo").as("id_a"), col("id_hi").as("id_b"))
-      val withA = segs
-        .select(col("id").as("id_a"), col("chunk"), col("seg").as("seg_a"))
+      // DISTINCT positions per track, computed ONCE per (id, chunk) —
+      // never per pair (r20, measured: the admitted-pair DP was the
+      // query's cost center — 310 k pairs × avg 67 × 67 points × 2
+      // directions at sf0.1 — and the raw fixes carry ~2.5× duplicate
+      // positions, a ~6× multiplier on the pairwise distance count).
+      // Hausdorff is a point-SET distance: max-min over a multiset
+      // equals max-min over its distinct values, so h is bit-identical;
+      // n_a/n_b keep reporting the ORIGINAL segment lengths. The
+      // distinct arrays also shrink the bytes the two attach joins
+      // shuffle by the same factor (guide §2.3).
+      val tracks = segs.select(col("id"), col("chunk"),
+        size(col("seg")).cast("long").as("n"),
+        array_distinct(arrays_zip(
+          col("seg.lat").as("lat"), col("seg.lon").as("lon"))).as("pts"))
+      val withA = tracks
+        .select(col("id").as("id_a"), col("chunk"),
+          col("n").as("na"), col("pts").as("pa"))
         .join(cand, Seq("id_a", "chunk"))
-      val withB = segs
-        .select(col("id").as("id_b"), col("chunk"), col("seg").as("seg_b"))
+      val withB = tracks
+        .select(col("id").as("id_b"), col("chunk"),
+          col("n").as("nb"), col("pts").as("pb"))
         .join(withA, Seq("id_b", "chunk"))
+      // pa.lat on an array<struct> is GetArrayStructFields — a
+      // codegen'd columnar field extraction, NOT an interpreted
+      // transform() lambda (probed: the HOF form cost MORE than the
+      // struct decode it replaced); the map kernel runs the
+      // early-abandon cut ([[directedHausdorff2Arrays]], bit-identical
+      // h, property-pinned)
       withB.select(col("chunk").as("month"), col("id_a"), col("id_b"),
-          col("seg_a"), col("seg_b"))
-        .as[(java.sql.Timestamp, Long, Long, Seq[DpFix], Seq[DpFix])]
-        .map { case (m, a, b, sa, sb) =>
-          val pa = sa.toIndexedSeq
-          val pb = sb.toIndexedSeq
-          val hab = directedHausdorff2(pa, pb)
-          val hba = directedHausdorff2(pb, pa)
+          col("na"), col("nb"),
+          col("pa.lat").as("ala"), col("pa.lon").as("alo"),
+          col("pb.lat").as("bla"), col("pb.lon").as("blo"))
+        .as[(java.sql.Timestamp, Long, Long, Long, Long,
+          Array[Double], Array[Double], Array[Double], Array[Double])]
+        .map { case (m, a, b, na, nb, ala, alo, bla, blo) =>
+          val hab = directedHausdorff2Arrays(ala, alo, bla, blo)
+          val hba = directedHausdorff2Arrays(bla, blo, ala, alo)
           val h2 = math.max(hab, hba)
-          (m, a, b, pa.length.toLong, pb.length.toLong,
-            hab, hba, h2, math.sqrt(h2))
+          (m, a, b, na, nb, hab, hba, h2, math.sqrt(h2))
         }
         .toDF("month", "id_a", "id_b", "n_a", "n_b",
           "h_ab_sq_deg", "h_ba_sq_deg", "hausdorff_sq_deg", "hausdorff_deg")

@@ -885,6 +885,19 @@ class GeoTrajectorySpec extends SparkSpec {
         .subsetOf(b.map(f => (f.lon, f.lat)).toSet)
       assert((directedHausdorff2(a, b) == 0.0) == aInB,
         s"trial $t: directed-zero iff subset broke")
+      // r20: the early-abandon primitive-array kernel (the production
+      // path since the DP-cost fix) must return the BIT-IDENTICAL
+      // directed value as the naive full scan, both directions
+      def arrs(x: IndexedSeq[DpFix]) =
+        (x.map(_.lat).toArray, x.map(_.lon).toArray)
+      val (alat, alon) = arrs(a)
+      val (blat, blon) = arrs(b)
+      assert(graft.operators.Queries.directedHausdorff2Arrays(
+          alat, alon, blat, blon) == directedHausdorff2(a, b),
+        s"trial $t: early-abandon kernel diverged a->b")
+      assert(graft.operators.Queries.directedHausdorff2Arrays(
+          blat, blon, alat, alon) == directedHausdorff2(b, a),
+        s"trial $t: early-abandon kernel diverged b->a")
     }
   }
 
