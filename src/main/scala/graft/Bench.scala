@@ -275,13 +275,44 @@ object Bench {
     // survive a bounded tail capture: the round-N bench artifact keeps
     // only the LAST ~2000 stdout chars, and with 180+ queries the full
     // line decapitates there and parses as nothing (r8 and r10 both
-    // lost their per-query stdout record exactly this way). The compact
-    // line always carries the recorded-baseline gate queries
-    // (BASELINE.json's r1 set), then the slowest others until the
-    // budget, plus where the full map lives.
+    // lost their per-query stdout record exactly this way — and the r19
+    // round-over-round PERF comparison came back EMPTY because the r20
+    // compact line, at ~2.4 KB, ALSO lost its head to the same capture:
+    // the whole line must fit the tail, so it is sized to a hard 1.5 KB
+    // ceiling with the query-list budget derived from what the fixed
+    // fields actually take, not a constant that drifts as fields grow).
+    // The compact line always carries the recorded-baseline gate
+    // queries (BASELINE.json's r1 set), then the slowest others until
+    // the budget, plus where the full map lives.
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
-    val budget = 1600
     def entry(k: String, v: Double): String = q(k) + ":" + math.rint(v * 1000) / 1000
+    val errsCompact =
+      if (nFailed == 0 && warmErrs.isEmpty) ""
+      else {
+        val head = (results.collect { case (k, _, Some(e)) => q(k) + ":" + q(e.take(60)) } ++
+          warmErrs.map { case (k, e) => q(s"warm:$k") + ":" + q(e.take(60)) }).take(3)
+        s""","errors_head":${head.mkString("{", ",", "}")}"""
+      }
+    // canary/gate doubles rounded to 6 decimals on the compact line only
+    // (bench_out.json keeps full precision) — sub-microsecond digits buy
+    // nothing against a byte-bounded capture
+    def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
+    val canaryCompact = s"""{"pre_jvm":${r6(canaryPreJvm)},"pre_spark":${r6(canaryPreSpark)},""" +
+      s""""post_jvm":${r6(canaryPostJvm)},"post_spark":${r6(canaryPostSpark)}}"""
+    val gateCompact = s""""gate_s":${r6(gateS)},"gate_n":${gateResults.size},""" +
+      s""""gate_baseline_s":$GateBaselineSec,"gate_ratio_raw":${r6(gateRatioRaw)},""" +
+      s""""gate_canary_factor":${r6(canaryFactor)},""" +
+      s""""gate_ratio_canary_normalized":${r6(gateRatioNorm)}"""
+    def assemble(queriesJson: String, elided: Int): String =
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},""" +
+        s""""unit":"sec","n_queries":${results.size},"failed":$nFailed,""" +
+        s""""runs_per_query":$Runs,"aggregation":"median",""" +
+        s""""queries":$queriesJson,""" +
+        s""""queries_elided":$elided$errsCompact,""" +
+        s""""canary_s":$canaryCompact,$gateCompact,""" +
+        s""""full_results":"bench_out.json","sf":${q(sfDir)}}"""
+    val LineCeiling = 1500
+    val budget = LineCeiling - assemble("{}", results.size).length
     val gate = results.filter(r => baselineNames.contains(r._1))
     val rest = results.filterNot(r => baselineNames.contains(r._1)).sortBy(-_._2)
     val picked = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -290,20 +321,8 @@ object Bench {
       val e = entry(k, v)
       if (used + e.length + 1 <= budget) { picked += e; used += e.length + 1 }
     }
-    val errsCompact =
-      if (nFailed == 0 && warmErrs.isEmpty) ""
-      else {
-        val head = (results.collect { case (k, _, Some(e)) => q(k) + ":" + q(e.take(60)) } ++
-          warmErrs.map { case (k, e) => q(s"warm:$k") + ":" + q(e.take(60)) }).take(3)
-        s""","errors_head":${head.mkString("{", ",", "}")}"""
-      }
-    val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},""" +
-      s""""unit":"sec","n_queries":${results.size},"failed":$nFailed,""" +
-      s""""runs_per_query":$Runs,"aggregation":"median",""" +
-      s""""queries":${picked.mkString("{", ",", "}")},""" +
-      s""""queries_elided":${results.size - picked.size}$errsCompact,""" +
-      s""""canary_s":$canaryJson,$gateJson,""" +
-      s""""full_results":"bench_out.json","sf":${q(sfDir)}}"""
+    val compact = assemble(
+      picked.mkString("{", ",", "}"), results.size - picked.size)
     println(compact)
     if (nFailed > 0) System.err.println(s"[bench] $nFailed quer(ies) FAILED — see errors field")
     if (warmErrs.nonEmpty) System.err.println(

@@ -2162,13 +2162,21 @@ object Queries {
     * expression; min/max are comparisons, not accumulations; skipped
     * work is exactly the work that cannot change the answer).
     * Property-pinned equal to the naive form. Primitive arrays keep
-    * the per-row decode flat (no per-point struct objects). */
+    * the per-row decode flat (no per-point struct objects).
+    *
+    * `cut` (r21): abandon the WHOLE pair once the running max h
+    * exceeds it — h only grows, so a return value > cut certifies the
+    * exact h is also > cut (the value itself is then a lower bound,
+    * not the exact h); a return ≤ cut is the exact h, bit-identical
+    * to the default-cut run. The top-k route uses its running 20th-
+    * best as the cut. */
   private[graft] def directedHausdorff2Arrays(
       plat: Array[Double], plon: Array[Double],
-      qlat: Array[Double], qlon: Array[Double]): Double = {
+      qlat: Array[Double], qlon: Array[Double],
+      cut: Double = Double.MaxValue): Double = {
     var h = 0.0
     var i = 0
-    while (i < plat.length) {
+    while (i < plat.length && h <= cut) {
       var mn = Double.MaxValue
       var j = 0
       while (j < qlat.length && mn > h) {
@@ -2182,6 +2190,80 @@ object Queries {
       i += 1
     }
     h
+  }
+
+  /** Single-task top-k smallest symmetric Hausdorff over ONE chunk's
+    * tracks (the local route of [[geoHausdorff]], r21): replays the
+    * distributed screen's admission EXACTLY — a pair qualifies iff
+    * d²(A.start, B) ≤ d2Cap AND d²(B.start, A) ≤ d2Cap, the same two
+    * lossless start-bounds (the grid join's 3×3 cell expansion admits
+    * precisely the points within D of the start, so the cell-local
+    * exists and this direct scan accept the identical pair set) — and
+    * keeps a running top-k heap whose current k-th best h² feeds
+    * [[directedHausdorff2Arrays]] as the abandon cut: a pair whose
+    * running max exceeds the current k-th best can never enter the
+    * chunk's top k, and the global top k is a subset of the per-chunk
+    * top k's (the ordering restricted to a chunk is the ordering).
+    * Every EMITTED value is the exact full-DP value (the cut abandons
+    * strictly above the k-th best h², and ties fall through to the
+    * (h², id_a, id_b) tuple comparison, so an equal-h² pair is always
+    * fully computed). `pts` arrays are the per-track DISTINCT
+    * positions in first-occurrence order, so pts(0) is the track's
+    * start; `n` is the ORIGINAL segment length (the reported n_a/n_b).
+    * Tracks sort by id in-task — pair enumeration, heap content and
+    * output are deterministic. */
+  private[graft] def localHausdorffTopK(
+      chunk: java.sql.Timestamp,
+      tracks: Array[(java.sql.Timestamp, Long, Long, Array[Double], Array[Double])],
+      d2Cap: Double, k: Int)
+      : Iterator[(java.sql.Timestamp, Long, Long, Long, Long,
+        Double, Double, Double, Double)] = {
+    val ts = tracks.sortBy(_._2)
+    // d²(point, track) ≤ cap? — early-true scan (the exists)
+    def startNear(lat0: Double, lon0: Double,
+        lats: Array[Double], lons: Array[Double]): Boolean = {
+      var j = 0
+      while (j < lats.length) {
+        val dx = lon0 - lons(j)
+        val dy = lat0 - lats(j)
+        if (dx * dx + dy * dy <= d2Cap) return true
+        j += 1
+      }
+      false
+    }
+    // worst-on-top heap of (h2, idA, idB, na, nb, hab, hba) — the k-th
+    // best h2 is the abandon cut once the heap fills
+    val ord = Ordering.by[(Double, Long, Long, Long, Long, Double, Double),
+      (Double, Long, Long)](e => (e._1, e._2, e._3))
+    val heap = scala.collection.mutable.PriorityQueue.empty[
+      (Double, Long, Long, Long, Long, Double, Double)](ord)
+    var i = 0
+    while (i < ts.length) {
+      val (_, idA, na, alats, alons) = ts(i)
+      var j = i + 1
+      while (j < ts.length) {
+        val (_, idB, nb, blats, blons) = ts(j)
+        if (startNear(alats(0), alons(0), blats, blons) &&
+            startNear(blats(0), blons(0), alats, alons)) {
+          val cut = if (heap.size < k) Double.MaxValue else heap.head._1
+          val hab = directedHausdorff2Arrays(alats, alons, blats, blons, cut)
+          if (hab <= cut) {
+            val hba = directedHausdorff2Arrays(blats, blons, alats, alons, cut)
+            if (hba <= cut) {
+              val h2 = math.max(hab, hba)
+              val e = (h2, idA, idB, na, nb, hab, hba)
+              if (heap.size < k) heap.enqueue(e)
+              else if (ord.lt(e, heap.head)) { heap.dequeue(); heap.enqueue(e) }
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    heap.iterator.map { case (h2, idA, idB, na, nb, hab, hba) =>
+      (chunk, idA, idB, na, nb, hab, hba, h2, math.sqrt(h2))
+    }
   }
 
   /** TRAJECTORY SIMILARITY, the Hausdorff face — the PostGIS
@@ -2236,6 +2318,61 @@ object Queries {
       val D2 = D * D
       val segs = s.read.parquet(trackLayout2dPath(s, d))
         .select(col("id"), col("chunk"), col("seg"))
+      // CAP-AND-ROUTE (r21, the exposureFrame/connectedComponents
+      // precedent, guide §1.2): pairs never cross chunks, so a chunk
+      // whose track count fits one task runs the WHOLE screen + top-k
+      // selection as one in-task pass ([[localHausdorffTopK]] — the
+      // identical start-bound admission, plus the running 20th-best as
+      // the DP abandon cut, which no precomputed threshold can beat;
+      // r20 measured the all-admitted-pair DP at ~3 s and the grid
+      // screen's small-shuffle stages at ~3.5 s of the query's 6.9 s,
+      // and a r21 probe of a precomputed start-bound threshold pruned
+      // only 9% — the bound is far below H on dispersed tracks).
+      // Chunks above the cap keep the r17–r20 distributed grid screen
+      // + broadcast-attach DP verbatim. The route reads a MEASURED
+      // per-chunk track count (one small agg on the layout — the
+      // nEdges precedent); the conf exists to size the single task
+      // (pairs grow as tracks², ~27 distinct points/track at sf0.1)
+      // and to force the distributed route in tests (cap 0, equality
+      // spec-pinned).
+      val capTracks =
+        s.conf.get("graft.hausdorff.localChunkCapTracks", "4000").toLong
+      val maxPerChunk = segs.groupBy(col("chunk"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(max(col("n")), lit(0L))).as[Long].head()
+      if (maxPerChunk <= capTracks) {
+        segs.select(col("chunk"), col("id"),
+            size(col("seg")).cast("long").as("n"),
+            array_distinct(arrays_zip(
+              col("seg.lat").as("lat"), col("seg.lon").as("lon"))).as("pts"))
+          .select(col("chunk"), col("id"), col("n"),
+            col("pts.lat").as("lats"), col("pts.lon").as("lons"))
+          .as[(java.sql.Timestamp, Long, Long, Array[Double], Array[Double])]
+          .groupByKey(_._1)
+          .flatMapGroups((chunk: java.sql.Timestamp,
+              it: Iterator[(java.sql.Timestamp, Long, Long,
+                Array[Double], Array[Double])]) =>
+            localHausdorffTopK(chunk, it.toArray, D2, 20))
+          .toDF("month", "id_a", "id_b", "n_a", "n_b",
+            "h_ab_sq_deg", "h_ba_sq_deg", "hausdorff_sq_deg", "hausdorff_deg")
+          .orderBy(col("hausdorff_sq_deg"), col("id_a"), col("id_b"),
+            col("month"))
+          .limit(20)
+      } else geoHausdorffDistributed(s, segs, D, D2)
+    },
+    geoHausdorffOracleSql)
+
+  /** The above-cap route of [[geoHausdorff]] — the r17–r20 distributed
+    * shape, verbatim: grid screen (start × per-(track, cell) distinct
+    * positions, both directed start-bounds on one join, count-2
+    * rollup), then the admitted pairs attach their two distinct-
+    * position arrays by equi-joins and run the early-abandon DP
+    * map-side. See [[geoHausdorff]]'s scaladoc for the full history
+    * and the audit trail of rejected rewrites. */
+  private def geoHausdorffDistributed(
+      s: SparkSession, segs: DataFrame, D: Double, D2: Double)
+      : DataFrame = {
+      import s.implicits._
       val starts = segs.select(col("id").as("id_a"), col("chunk"),
           element_at(col("seg"), 1).as("p1"))
         .select(col("id_a"), col("chunk"),
@@ -2338,7 +2475,11 @@ object Queries {
           "h_ab_sq_deg", "h_ba_sq_deg", "hausdorff_sq_deg", "hausdorff_deg")
         .orderBy(col("hausdorff_sq_deg"), col("id_a"), col("id_b"), col("month"))
         .limit(20)
-    },
+  }
+
+  /** [[geoHausdorff]]'s DuckDB oracle — a def (not a val) because the
+    * OracleQuery above initializes before later vals in this object. */
+  private def geoHausdorffOracleSql: Option[String] =
     Some {
       def d2(ai: String, bj: String) =
         s"(alat[$ai] - blat[$bj]) * (alat[$ai] - blat[$bj]) " +
@@ -2389,7 +2530,7 @@ object Queries {
         |       sqrt(greatest(h_ab_sq_deg, h_ba_sq_deg)) AS hausdorff_deg
         |FROM h
         |ORDER BY hausdorff_sq_deg, id_a, id_b, month LIMIT 20""".stripMargin
-    })
+    }
 
   /** STAY-POINT DETECTION — the visits/stops primitive of trajectory
     * mining (Li et al., "Mining user similarity based on location

@@ -936,6 +936,35 @@ class GeoTrajectorySpec extends SparkSpec {
       s"the truncated cross pair diverged: ${rows.toSeq}")
   }
 
+  test("ltss_geo_hausdorff: forced distributed route returns the identical top 20 (r21 cap-and-route equality)") {
+    // the real sf0.001 fixture, both routes: default cap → single-task
+    // per-chunk top-k; cap 0 → every chunk oversized → the r17–r20
+    // distributed grid screen + attach DP. Same 20 rows, bit-identical
+    // (the local route's abandon cut only skips pairs that provably
+    // cannot enter the top 20; emitted values come from the same
+    // kernel at full precision).
+    val capKey = "graft.hausdorff.localChunkCapTracks"
+    val d = "/root/testdata/sf0.001"
+    def run(): Seq[Seq[Any]] =
+      SparkEntry.queries("ltss_geo_hausdorff")(spark, d)
+        .collect().map(_.toSeq.toList).toSeq
+    val local = run()
+    assert(local.size == 20, s"expected a full top 20, got ${local.size}")
+    val wasCap = spark.conf.getOption(capKey)
+    try {
+      spark.conf.set(capKey, "0")
+      val distributed = run()
+      assert(distributed == local,
+        s"distributed route diverged from the single-task route:\n" +
+          s"$distributed\nvs\n$local")
+    } finally {
+      wasCap match {
+        case Some(v) => spark.conf.set(capKey, v)
+        case None => spark.conf.unset(capKey)
+      }
+    }
+  }
+
   test("ltss_geo_exposure: A-B-C chains transitively without an A-C contact; hops count the intermediaries") {
     // contact lattice: lat = user%180−90+.5, lon = event%360−180+.5,
     // R = 8°, T = 2 h. A(10) meets B(12) at 10:00/11:00 (d² = 2²+1² = 5,
