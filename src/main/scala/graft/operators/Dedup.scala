@@ -822,26 +822,76 @@ object Dedup {
     * truth keeps the count-join form while this operator ships the
     * large-vocabulary shape as `dedup_allpairs`. */
   private[graft] def exactJaccardPairs(sh: DataFrame, p: Int, q: Int): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val dfCnt = sh.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("dfc"), col("fp"))
+    // prefix materializes ONCE (r21): both sides of the candidate
+    // self-join and the plan audit below otherwise replicate the
+    // sh⋈df⋈sizes window subtree wholesale (measured: the executed
+    // plan carried 64 exchanges; checkpointing prefix and cand cuts it
+    // to single digits). The frame is |docs| × prefix-length — the
+    // same rows the self-join was already going to shuffle twice.
     val prefix = sh.join(dfCnt, "fp").join(sizes, "doc_id")
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= col("nsh") - expr(s"(nsh * $p + ${q - 1}) div $q") + 1)
       .select(col("doc_id"), col("fp"), col("nsh"))
+      .localCheckpoint(true)
     val cand = prefix.toDF("a_id", "fp", "na")
       .join(prefix.toDF("b_id", "fp", "nb"), "fp")
       .filter(col("a_id") < col("b_id") &&
         col("na") * q >= col("nb") * p && col("nb") * q >= col("na") * p)
       .select(col("a_id"), col("b_id")).distinct()
-    cand
-      .join(sh.toDF("a_id", "fp"), "a_id")
-      .join(sh.toDF("b_id", "fp"), Seq("b_id", "fp"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.toDF("a_id", "na")), "a_id")
-      .join(broadcast(sizes.toDF("b_id", "nb")), "b_id")
+      .localCheckpoint(true)
+    // VERIFY by sorted-array intersection (r21, guide §2.3): the
+    // candidate set is UNCHANGED (prefix filter + length filter above —
+    // the Bayardo identity of this operator); only the intersection
+    // COUNT mechanism changes. The former explode join shipped
+    // Σ_cand n̄_a element rows through a shuffle+count (~55 M rows at
+    // sf0.1 on this hot-vocabulary fixture — the REGIME scaladoc's
+    // measured verify cost); attaching each doc's sorted distinct-fp
+    // array once per candidate side and counting the intersection
+    // with a two-pointer merge moves the same integer count map-side —
+    // the per-pair work is identical (|a|+|b| element visits), the
+    // shuffle is per-PAIR instead of per-ELEMENT. `sh` is distinct by
+    // construction, so the merge count equals the join count exactly.
+    val arrs = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("fp"))).as("fps"),
+        count(lit(1)).as("nsh"))
+    val withA = arrs.select(col("doc_id").as("a_id"),
+        col("fps").as("afps"), col("nsh").as("na"))
+      .join(cand, "a_id")
+    val withB = arrs.select(col("doc_id").as("b_id"),
+        col("fps").as("bfps"), col("nsh").as("nb"))
+      .join(withA, "b_id")
+    withB.select(col("a_id"), col("b_id"), col("na"), col("nb"),
+        col("afps"), col("bfps"))
+      .as[(Long, Long, Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, na, nb, af, bf) =>
+        (a, b, sortedIntersectCount(af, bf), na, nb)
+      }
+      .toDF("a_id", "b_id", "inter", "na", "nb")
       .filter(col("inter") * (p + q) >= (col("na") + col("nb")) * p)
       .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"))
+  }
+
+  /** Count of common elements of two SORTED arrays of distinct longs —
+    * the two-pointer merge; equals the equi-join count over the same
+    * element sets by definition of a merge. */
+  private[graft] def sortedIntersectCount(
+      a: Array[Long], b: Array[Long]): Long = {
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < a.length && j < b.length) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { n += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
   }
 
   /** Distinct `(doc_id, fp)` 2-shingle element frame over a
