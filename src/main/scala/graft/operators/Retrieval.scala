@@ -299,24 +299,50 @@ object Retrieval {
           .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
         e.join(e.groupBy(col("src")).agg(sum(col("w")).as("wout")), "src")
       }
-      val nodes = edges.select(col("src").as("tok")).distinct()
-      // vocabulary count: a k-row driver aggregate (planning artifact,
-      // same class as the IVF probe argmax / search-term buckets)
-      val nn = nodes.count()
-      val base = (15L * S) / (100L * nn)
-      val r0 = nodes.withColumn("r", lit(S / nn))
-      val r3 = (1 to 3).foldLeft(r0) { (prev, _) =>
-        val contrib = edges
-          .join(prev.withColumnRenamed("tok", "src"), "src")
-          .groupBy(col("dst").as("tok"))
-          .agg(sum(expr("(r * w) div wout")).as("contrib"))
-        nodes.join(contrib, Seq("tok"), "left")
-          .select(col("tok"),
-            (lit(base) + expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100")).as("r"))
+      // CAP-AND-ROUTE (r21, the connectedComponents/exposure/hausdorff
+      // precedent, guide §1.2): the rank fixpoint runs over the
+      // vocab-bounded EDGE frame, orders of magnitude below the corpus;
+      // when the measured edge count fits one task, the 3 power
+      // iterations run as in-task integer array passes
+      // ([[localTextRank]] — the IDENTICAL integer recurrence, whose
+      // long sums are order-independent) instead of 3 rounds of
+      // join+agg jobs whose per-stage launch overhead dwarfs the
+      // arithmetic (measured at sf0.1: 2.5 s steady-state for a ~3 k
+      // token vocabulary). Above the cap the distributed fixpoint is
+      // kept verbatim (forced in tests via cap 0, equality
+      // spec-pinned). The count is the same planning artifact the
+      // route always took (the IVF probe argmax class).
+      val nE = edges.count()
+      val localCap =
+        s.conf.get("graft.textrank.localCapEdges", "4000000").toLong
+      if (nE <= localCap) {
+        import s.implicits._
+        val ranked = edges.select(col("src"), col("dst"), col("w"), col("wout"))
+          .as[(String, String, Long, Long)]
+          .coalesce(1)
+          .mapPartitions(it => localTextRank(it, S))
+          .toDF("tok", "rank_scaled")
+        ranked.orderBy(col("rank_scaled").desc, col("tok")).limit(20)
+      } else {
+        val nodes = edges.select(col("src").as("tok")).distinct()
+        // vocabulary count: a k-row driver aggregate (planning artifact,
+        // same class as the IVF probe argmax / search-term buckets)
+        val nn = nodes.count()
+        val base = (15L * S) / (100L * nn)
+        val r0 = nodes.withColumn("r", lit(S / nn))
+        val r3 = (1 to 3).foldLeft(r0) { (prev, _) =>
+          val contrib = edges
+            .join(prev.withColumnRenamed("tok", "src"), "src")
+            .groupBy(col("dst").as("tok"))
+            .agg(sum(expr("(r * w) div wout")).as("contrib"))
+          nodes.join(contrib, Seq("tok"), "left")
+            .select(col("tok"),
+              (lit(base) + expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100")).as("r"))
+        }
+        r3.select(col("tok"), col("r").as("rank_scaled"))
+          .orderBy(col("rank_scaled").desc, col("tok"))
+          .limit(20)
       }
-      r3.select(col("tok"), col("r").as("rank_scaled"))
-        .orderBy(col("rank_scaled").desc, col("tok"))
-        .limit(20)
     },
     Some {
       val S = RankScale
@@ -360,6 +386,65 @@ object Retrieval {
          |SELECT tok, CAST(r AS BIGINT) AS rank_scaled FROM r3
          |ORDER BY r DESC, tok LIMIT 20""".stripMargin
     })
+
+  /** In-task replay of the text_rank power iterations over a collected
+    * edge list — the SAME integer recurrence as the distributed route:
+    * nodes = distinct edge sources, r0 = S div n, and per iteration
+    * contrib(dst) = Σ (r(src)·w) div wout over the edges (a sum of
+    * longs — order-independent), r' = base + (85·contrib) div 100 with
+    * base = (15·S) div (100·n). Java long `/` and Spark's `div` both
+    * truncate toward zero, so every intermediate is bit-identical to
+    * the join+agg fixpoint. Contributions to a dst that never appears
+    * as a src are dropped, exactly as the distributed route's left join
+    * from `nodes` drops them (moot for the symmetric co-occurrence
+    * graph, where every dst is a src, but kept for strict equality).
+    * Memory: one boxed tuple array plus four primitive arrays over the
+    * edge count — bounded by the route cap. */
+  private[graft] def localTextRank(
+      it: Iterator[(String, String, Long, Long)],
+      S: Long): Iterator[(String, Long)] = {
+    val edges = it.toArray
+    val idx = new java.util.HashMap[String, Integer]()
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    edges.foreach { case (src, _, _, _) =>
+      if (!idx.containsKey(src)) { idx.put(src, toks.length); toks += src }
+    }
+    val n = toks.length
+    if (n == 0) return Iterator.empty
+    val m = edges.length
+    val es = new Array[Int](m)
+    val ed = new Array[Int](m) // -1 = dst is not a node (no src row)
+    val ew = new Array[Long](m)
+    val ewout = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      val (src, dst, w, wout) = edges(k)
+      es(k) = idx.get(src).intValue
+      val d = idx.get(dst)
+      ed(k) = if (d == null) -1 else d.intValue
+      ew(k) = w
+      ewout(k) = wout
+      k += 1
+    }
+    val base = (15L * S) / (100L * n)
+    var r = Array.fill(n)(S / n)
+    var iter = 0
+    while (iter < 3) {
+      val contrib = new Array[Long](n)
+      var i = 0
+      while (i < m) {
+        val d = ed(i)
+        if (d >= 0) contrib(d) += (r(es(i)) * ew(i)) / ewout(i)
+        i += 1
+      }
+      val next = new Array[Long](n)
+      var j = 0
+      while (j < n) { next(j) = base + (85L * contrib(j)) / 100L; j += 1 }
+      r = next
+      iter += 1
+    }
+    toks.iterator.zipWithIndex.map { case (t, i) => (t, r(i)) }
+  }
 
   // ---------------------------------------------------------------------
   // BPE merge training

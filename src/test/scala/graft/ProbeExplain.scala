@@ -13,7 +13,15 @@ object ProbeExplain {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    val only = args.drop(2).toSet
+    // `--conf key=value` args seed session confs before planning — the
+    // r21 way to dump a forced-route "before" plan (e.g. a cap 0)
+    val (confArgs, queryArgs) = args.drop(2).partition(_.startsWith("--conf"))
+    val confs = confArgs.map { a =>
+      val kv = a.stripPrefix("--conf").stripPrefix("=")
+      val Array(k, v) = kv.split("=", 2)
+      (k, v)
+    }
+    val only = queryArgs.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -24,6 +32,7 @@ object ProbeExplain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     Files.createDirectories(Paths.get(outDir))
     val names = SparkEntry.queries.keySet
     val missing = only -- names
