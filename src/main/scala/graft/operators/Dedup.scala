@@ -302,7 +302,11 @@ object Dedup {
     * propagation with a pointer-doubling jump (label ← label-of-label),
     * so even a pathological duplicate CHAIN (doc A≈B≈C≈…, common in
     * boilerplate families) converges in ~log₂(chain length) driver
-    * round-trips, not chain length. Callers should disable AQE around
+    * round-trips, not chain length. Returns (labels, rounds); rounds
+    * is the distributed fixpoint's iteration count and 0 ONLY when
+    * the single-task route was taken — a route sentinel, not "converged
+    * in zero rounds" (don't build convergence telemetry on it).
+    * Callers should disable AQE around
     * the loop (see
     * [[clusters]]): the plan is fixed and hand-partitioned, so adaptive
     * replanning only adds per-iteration stage jobs. */
@@ -321,6 +325,15 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, reliable: Boolean = false): (DataFrame, Int) = {
     val s = pairs.sparkSession
+    // route selection depends on a RUNTIME edge count, so both routes
+    // must emit one schema: the single-task Dataset decode below would
+    // silently upcast narrower id types to bigint while the distributed
+    // loop preserves them, making the output schema data-size-dependent
+    // for a non-Long caller (r20 ADVICE) — refuse loudly instead
+    require(pairs.schema.fields.take(2).forall(
+        _.dataType == org.apache.spark.sql.types.LongType),
+      s"connectedComponents expects two LongType id columns, " +
+        s"got ${pairs.schema.simpleString}")
     // GraftLineage.truncate strips the checkpoint's ORIGIN STATS: the
     // pointer-doubling round joins a frame with a projection of itself,
     // which otherwise SQUARES the CBO sizeInBytes every iteration —

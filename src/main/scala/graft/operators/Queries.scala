@@ -4316,7 +4316,8 @@ object Queries {
     * min member id and hop counts are shortest paths — both unique,
     * construction-independent (spec-pinned by a forced-route equality
     * fixture). 100 TB deployments keep the default cap; the conf
-    * exists to size task memory (16 B/edge + adjacency ≈ 48 B/edge)
+    * exists to size task memory (primitive edge arrays + CSR
+    * adjacency ≈ 32 B/edge + O(nodes) — ~128 MB at the 4 M default)
     * and to force the distributed route in tests (cap 0). */
   private[graft] def exposureFrame(
       s: SparkSession, d: String,
@@ -4337,16 +4338,20 @@ object Queries {
       // the reliable tier builds its own copy under reliable
       // checkpointing (a cluster must not hang the trace off
       // executor-local persisted blocks).
-      val pairs =
-        if (reliable)
-          truncE(edgeFilter.foldLeft(geoContactPairs.run(s, d))(
-              (f, c) => f.filter(c))
-            .select(col("id_lo"), col("id_hi"), col("first_contact"),
-              col("last_contact")))
+      // the non-reliable tier ALSO truncates (r21, r20 VERDICT item 8):
+      // the filtered projection of the session-shared MEMORY_ONLY
+      // contact cache is re-materialized into local checkpoint blocks
+      // (MEMORY_AND_DISK), so an eviction of the shared cache can no
+      // longer force the single-task coalesce(1) route below to replay
+      // the whole contact fold inside one task
+      val pairs = truncE(
+        (if (reliable)
+          edgeFilter.foldLeft(geoContactPairs.run(s, d))(
+            (f, c) => f.filter(c))
         else
-          edgeFilter.foldLeft(contactPairFrame(s, d))((f, c) => f.filter(c))
-            .select(col("id_lo"), col("id_hi"), col("first_contact"),
-              col("last_contact"))
+          edgeFilter.foldLeft(contactPairFrame(s, d))((f, c) => f.filter(c)))
+          .select(col("id_lo"), col("id_hi"), col("first_contact"),
+            col("last_contact")))
       val edges = pairs.select(col("id_lo"), col("id_hi"))
       // Materialize the (filtered) pair frame — and, through it, the
       // session-shared contact-pair build — BEFORE any AQE toggle: on a
@@ -4357,17 +4362,17 @@ object Queries {
       val nEdges = pairs.count()
       val localCap =
         s.conf.get("graft.exposure.localGraphCapEdges", "4000000").toLong
-      val nodes = truncE(
+      val nodes =
         if (nEdges <= localCap) {
           // single-task route: labels + hops in ONE pass over the whole
           // graph. coalesce(1) merges the materialized pair blocks into
           // one task — no shuffle, no iteration jobs; the eager truncate
           // materializes the pass once for the three consumers below.
           import s.implicits._
-          edges.as[(Long, Long)].coalesce(1)
-            .mapPartitions(it => localGraphNodes(it.toArray))
-            .toDF("id", "label", "hops")
-        } else distributedGraphNodes(s, edges, nEdges, localCap, reliable))
+          truncE(edges.as[(Long, Long)].coalesce(1)
+            .mapPartitions(localGraphNodes)
+            .toDF("id", "label", "hops"))
+        } else distributedGraphNodes(s, edges, nEdges, localCap, reliable)
       val comp = nodes.groupBy(col("label"))
         .agg(count(lit(1)).as("n_members"))
       val span = pairs
@@ -4382,48 +4387,109 @@ object Queries {
         .orderBy(col("user_id"))
   }
 
-  /** Labels + hops over an in-memory edge array, one pass: min-root
+  /** Labels + hops over a streamed edge list, one pass: min-root
     * union-find ([[minRootComponents]] — the convoyHourLabels kernel)
     * for component labels, then one multi-source BFS from every root
     * (components are disjoint, so a single frontier serves all seeds)
-    * for hop counts. One (id, label, hops) row per node. Memory is
-    * edges + adjacency, ~48 B/edge — callers cap the edge count
-    * (`graft.exposure.localGraphCapEdges`). */
+    * for hop counts. One (id, label, hops) row per node. The edge
+    * stream is decoded ONCE into two primitive Array[Long]s (no boxed
+    * tuple array is retained — r21, the r20 ADVICE footprint item);
+    * with the CSR adjacency below the retained task memory is
+    * ~32 B/edge + O(nodes), so the 4 M-edge default cap
+    * (`graft.exposure.localGraphCapEdges`) costs ~128 MB with margin. */
   private[graft] def localGraphNodes(
-      es: Array[(Long, Long)]): Iterator[(Long, Long, Long)] = {
-    val labelOf = minRootComponents(es.iterator)
-    val hops = localBfsHops(es.iterator,
+      es: Iterator[(Long, Long)]): Iterator[(Long, Long, Long)] = {
+    val ab = new scala.collection.mutable.ArrayBuilder.ofLong
+    val bb = new scala.collection.mutable.ArrayBuilder.ofLong
+    es.foreach { case (a, b) => ab += a; bb += b }
+    val ea = ab.result()
+    val eb = bb.result()
+    val labelOf = minRootComponents(
+      Iterator.range(0, ea.length).map(i => (ea(i), eb(i))))
+    val hops = localBfsHopsArr(ea, eb,
       labelOf.iterator.collect { case (m, root) if m == root => m })
     hops.iterator.map { case (id, h) => (id, labelOf(id), h) }
   }
 
-  /** Multi-source BFS hop counts over an edge iterator: builds the
-    * adjacency once, settles every node at its SHORTEST distance from
-    * the nearest seed (seeds sit in distinct components here, so
-    * "nearest" is "its component's"). LongMap + ArrayDeque — no
-    * allocation per visited node beyond the two maps. */
+  /** Multi-source BFS hop counts over an edge iterator: settles every
+    * node at its SHORTEST distance from the nearest seed (seeds sit in
+    * distinct components here, so "nearest" is "its component's").
+    * Decodes the stream into primitive arrays and delegates to the CSR
+    * core ([[localBfsHopsArr]]). */
   private[graft] def localBfsHops(
       edges: Iterator[(Long, Long)], seeds: Iterator[Long])
       : scala.collection.mutable.LongMap[Long] = {
-    val adj = scala.collection.mutable.LongMap
-      .empty[scala.collection.mutable.ArrayBuffer[Long]]
-    def nbrs(x: Long) = adj.getOrElseUpdate(
-      x, new scala.collection.mutable.ArrayBuffer[Long](4))
-    edges.foreach { case (a, b) => nbrs(a) += b; nbrs(b) += a }
+    val ab = new scala.collection.mutable.ArrayBuilder.ofLong
+    val bb = new scala.collection.mutable.ArrayBuilder.ofLong
+    edges.foreach { case (a, b) => ab += a; bb += b }
+    localBfsHopsArr(ab.result(), bb.result(), seeds)
+  }
+
+  /** CSR-core multi-source BFS (r21): node ids are interned to dense
+    * ints, the undirected adjacency is two primitive passes (degree
+    * count + fill) into one Array[Int], and the frontier queue is a
+    * primitive int array (every node enqueues at most once, so length
+    * = node count). Replaces the boxed ArrayBuffer-adjacency +
+    * ArrayDeque form whose real footprint was ~2–3× the 48 B/edge the
+    * cap was sized for. Returns the same id → hops map as before;
+    * seeds absent from the edge list still appear at hop 0 (the old
+    * `hops(r) = 0` behavior). */
+  private[graft] def localBfsHopsArr(
+      ea: Array[Long], eb: Array[Long], seeds: Iterator[Long])
+      : scala.collection.mutable.LongMap[Long] = {
+    val m = ea.length
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    val idsB = new scala.collection.mutable.ArrayBuilder.ofLong
+    def intern(x: Long): Int = idx.getOrElseUpdate(x, {
+      idsB += x; idx.size
+    })
+    val ia = new Array[Int](m)
+    val ib = new Array[Int](m)
+    var i = 0
+    while (i < m) { ia(i) = intern(ea(i)); ib(i) = intern(eb(i)); i += 1 }
+    val ids = idsB.result()
+    val n = ids.length
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < m) { off(ia(i) + 1) += 1; off(ib(i) + 1) += 1; i += 1 }
+    i = 0
+    while (i < n) { off(i + 1) += off(i); i += 1 }
+    val adj = new Array[Int](2 * m)
+    val cur = java.util.Arrays.copyOf(off, n)
+    i = 0
+    while (i < m) {
+      adj(cur(ia(i))) = ib(i); cur(ia(i)) += 1
+      adj(cur(ib(i))) = ia(i); cur(ib(i)) += 1
+      i += 1
+    }
+    val dist = new Array[Long](n)
+    java.util.Arrays.fill(dist, -1L)
+    val queue = new Array[Int](n)
+    var qh = 0
+    var qt = 0
     val hops = scala.collection.mutable.LongMap.empty[Long]
-    val q = new java.util.ArrayDeque[java.lang.Long]()
-    seeds.foreach { r => hops(r) = 0L; q.add(r) }
-    while (!q.isEmpty) {
-      val x = q.poll().longValue()
-      val h = hops(x) + 1L
-      adj.get(x).foreach { ns =>
-        var i = 0
-        while (i < ns.length) {
-          val y = ns(i)
-          if (!hops.contains(y)) { hops(y) = h; q.add(y) }
-          i += 1
-        }
+    seeds.foreach { r =>
+      idx.get(r) match {
+        case Some(si) =>
+          if (dist(si) < 0) { dist(si) = 0L; queue(qt) = si; qt += 1 }
+        case None => hops(r) = 0L // isolated seed, no incident edges
       }
+    }
+    while (qh < qt) {
+      val x = queue(qh); qh += 1
+      val h = dist(x) + 1L
+      var j = off(x)
+      val end = off(x + 1)
+      while (j < end) {
+        val y = adj(j)
+        if (dist(y) < 0) { dist(y) = h; queue(qt) = y; qt += 1 }
+        j += 1
+      }
+    }
+    i = 0
+    while (i < n) {
+      if (dist(i) >= 0) hops(ids(i)) = dist(i)
+      i += 1
     }
     hops
   }
@@ -4440,6 +4506,9 @@ object Queries {
     def trunc(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = false)
       else df.localCheckpoint(eager = false)
+    def truncEager(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val partsKey = "spark.sql.shuffle.partitions"
     val partsWas = s.conf.get(partsKey, "32")
     Dedup.withAqeOff(s) {
@@ -4463,27 +4532,42 @@ object Queries {
         val edgeComp = trunc(edges
           .join(labC.select(col("id").as("id_lo"), col("label")), "id_lo")
           .select(col("label"), col("id_lo"), col("id_hi")))
-        // oversized components: at most nEdges / cap labels exist, so
-        // the collected set is driver-bounded by construction (2,500
-        // labels at 10^10 edges under the default cap)
-        val big = edgeComp.groupBy(col("label"))
-          .agg(count(lit(1)).as("n_edges"))
-          .filter(col("n_edges") > localCap)
-          .select(col("label")).as[Long].collect().toSet
-        val smallNodes = (if (big.isEmpty) edgeComp
-          else edgeComp.filter(!col("label").isInCollection(big)))
-          .as[(Long, Long, Long)]
-          .groupByKey(_._1)
-          .flatMapGroups { (lbl: Long, it: Iterator[(Long, Long, Long)]) =>
-            val hops = localBfsHops(
-              it.map(e => (e._2, e._3)), Iterator.single(lbl))
-            hops.iterator.map { case (id, h) => (id, lbl, h) }
+        val routed =
+          if (localCap <= 0) {
+            // the documented test escape (cap 0 forces this route):
+            // EVERY component is "oversized" by definition, so skip
+            // the small/big split — collecting every component label
+            // to the driver at cap 0 would be unbounded on a real
+            // graph (r20 ADVICE)
+            layeredBfsNodes(trunc(edgeComp), parts, trunc)
+          } else {
+            // oversized components: at most nEdges / cap labels exist,
+            // so the collected set is driver-bounded by construction
+            // (2,500 labels at 10^10 edges under the default cap)
+            val big = edgeComp.groupBy(col("label"))
+              .agg(count(lit(1)).as("n_edges"))
+              .filter(col("n_edges") > localCap)
+              .select(col("label")).as[Long].collect().toSet
+            val smallNodes = (if (big.isEmpty) edgeComp
+              else edgeComp.filter(!col("label").isInCollection(big)))
+              .as[(Long, Long, Long)]
+              .groupByKey(_._1)
+              .flatMapGroups { (lbl: Long, it: Iterator[(Long, Long, Long)]) =>
+                val hops = localBfsHops(
+                  it.map(e => (e._2, e._3)), Iterator.single(lbl))
+                hops.iterator.map { case (id, h) => (id, lbl, h) }
+              }
+              .toDF("id", "label", "hops")
+            if (big.isEmpty) smallNodes
+            else smallNodes.union(
+              layeredBfsNodes(trunc(
+                edgeComp.filter(col("label").isInCollection(big))), parts, trunc))
           }
-          .toDF("id", "label", "hops")
-        if (big.isEmpty) smallNodes
-        else smallNodes.union(
-          layeredBfsNodes(trunc(
-            edgeComp.filter(col("label").isInCollection(big))), parts, trunc))
+        // materialize INSIDE the conf scope (r20 ADVICE: the returned
+        // plan used to execute lazily after the finally restored AQE
+        // and the shuffle width, so the final group-BFS/union jobs ran
+        // outside the scope the comments describe)
+        truncEager(routed)
       } finally s.conf.set(partsKey, partsWas)
     }
   }
