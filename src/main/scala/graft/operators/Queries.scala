@@ -3097,6 +3097,35 @@ object Queries {
           .withColumn("sv", expr("try_cast(state as decimal(12,2))"))
           .groupBy(col("domain"), col("sv")).agg(count(lit(1)).as("cnt"))
       }
+      // CAP-AND-ROUTE (r21, the exposure/CC/hausdorff/text_rank
+      // precedent, guide §1.2): everything below the first aggregate
+      // runs on the value HISTOGRAM — ≤|distinct values|·|domains| rows,
+      // render-scale at any corpus size (49 k rows at sf0.1). The
+      // distributed form pays ~6 window/join/agg stages over that tiny
+      // frame (measured 1.2–1.6 s warm at 32 cores, ProbeMadPhases —
+      // pure per-stage overhead); when the measured histogram row count
+      // fits one task the medians, deviations, and the rollup run as a
+      // single in-task pass over integer CENTS ([[localMadRollup]] —
+      // DECIMAL(12,2) is exactly the unscaled-long cents value, so every
+      // comparison and the ceil(n/2) thresholds are the identical
+      // integers, and the final double casts go through the same
+      // BigDecimal.doubleValue both engines use). Above the cap the
+      // window form below is kept verbatim (forced in tests via cap 0,
+      // equality spec-pinned). The count doubles as the cached frame's
+      // warm materialization.
+      val nHist = counts.count()
+      val localCap = s.conf.get("graft.mad.localCapRows", "4000000").toLong
+      if (nHist <= localCap) {
+        import s.implicits._
+        counts
+          .select(col("domain"),
+            expr("CAST(sv * 100 AS BIGINT)").as("sv_c"), col("cnt"))
+          .as[(String, Option[Long], Long)]
+          .coalesce(1)
+          .mapPartitions(localMadRollup)
+          .toDF("domain", "n", "med", "mad", "n_anomalies", "max_dev")
+          .orderBy(col("domain"))
+      } else {
       def weightedMedian(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
         val wc = Window.partitionBy(col("domain")).orderBy(col(valueCol))
         df.withColumn("cum", sum(col("cnt")).over(wc))
@@ -3122,6 +3151,7 @@ object Queries {
           col("n_anomalies"),
           col("max_dev").cast("double").as("max_dev"))
         .orderBy(col("domain"))
+      }
     },
     Some(s"""$ltssCte,
       |counts AS (
@@ -3162,6 +3192,69 @@ object Queries {
       |FROM devcounts d JOIN mad USING (domain)
       |GROUP BY d.domain, d.med, mad.mad
       |ORDER BY d.domain""".stripMargin))
+
+  /** In-task replay of the ltss_anomaly_mad rollup over the collected
+    * (domain, sv·100, cnt) histogram — the SAME selections as the
+    * distributed window form: med = smallest value whose cumulative
+    * count reaches ceil(n/2) (computed as (n+1)/2 — identical for any
+    * nonnegative n in double-exact range), MAD = the same selection
+    * over the |sv − med| deviation histogram (total count unchanged),
+    * anomalies = Σ cnt where dev > 3·MAD. Values travel as unscaled
+    * DECIMAL(12,2) cents, so every comparison is the identical integer
+    * the decimal form compares, and the final double casts go through
+    * BigDecimal.doubleValue — the same conversion Spark's
+    * Decimal→double cast performs. A null value (impossible for the
+    * ltss projection, whose state is a decimal rendering by
+    * construction) fails loudly rather than silently diverging from
+    * the window form's nulls-first ordering. */
+  private[graft] def localMadRollup(
+      rows: Iterator[(String, Option[Long], Long)])
+      : Iterator[(String, Long, Double, Double, Long, Double)] = {
+    val byDom = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+    rows.foreach { case (dom, svc, cnt) =>
+      require(svc.isDefined,
+        s"ltss_anomaly_mad local route: null state value in domain $dom")
+      byDom.getOrElseUpdate(dom,
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]) +=
+        ((svc.get, cnt))
+    }
+    def weightedMedian(
+        vals: Array[Long], cnts: Long => Long, thr: Long): Long = {
+      var cum = 0L
+      var i = 0
+      while (i < vals.length) {
+        cum += cnts(vals(i))
+        if (cum >= thr) return vals(i)
+        i += 1
+      }
+      vals(vals.length - 1) // unreachable: thr <= total count
+    }
+    def d2(cents: Long): Double =
+      java.math.BigDecimal.valueOf(cents, 2).doubleValue
+    byDom.toArray.sortBy(_._1).iterator.map { case (dom, vs) =>
+      val sorted = vs.toArray.sortBy(_._1)
+      val svCnt = scala.collection.mutable.LongMap.empty[Long]
+      sorted.foreach { case (v, c) => svCnt(v) = svCnt.getOrElse(v, 0L) + c }
+      var n = 0L
+      sorted.foreach(n += _._2)
+      val thr = (n + 1L) / 2L // == ceil(n * 0.5)
+      val med = weightedMedian(sorted.map(_._1), svCnt, thr)
+      val devCnt = scala.collection.mutable.LongMap.empty[Long]
+      var maxDev = 0L
+      sorted.foreach { case (v, c) =>
+        val dv = math.abs(v - med)
+        devCnt(dv) = devCnt.getOrElse(dv, 0L) + c
+        if (dv > maxDev) maxDev = dv
+      }
+      val devs = devCnt.keysIterator.toArray
+      java.util.Arrays.sort(devs)
+      val mad = weightedMedian(devs, devCnt, thr)
+      var nAnom = 0L
+      devCnt.foreach { case (dv, c) => if (dv > 3L * mad) nAnom += c }
+      (dom, n, d2(med), d2(mad), nAnom, d2(maxDev))
+    }
+  }
 
   /** Fixed-bucket value histogram per domain (dashboard heat strip):
     * bucket = floor(sv / 20), pure arithmetic — exact on both engines,
