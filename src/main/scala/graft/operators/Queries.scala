@@ -6652,14 +6652,18 @@ object Queries {
         .withColumn("bus", unix_micros(col("time")) - pmod(unix_micros(col("time")), lit(HourUs)))
         .withColumn("day", unix_micros(col("time")) - pmod(unix_micros(col("time")), lit(DayUs)))
       val wHour = Window.partitionBy(col("bus")).orderBy(col("h"))
-      // Both legs are written over ONE logical distinct source; note the
-      // optimizer proves distinct(project(distinct(x))) = distinct(
-      // project(x)) (RemoveRedundantAggregates) and plans each leg as
-      // its own distinct over the shared scan anyway — the two
-      // corpus-sized legs are the audit's INTRINSIC cost (hash-proving
-      // merged == direct requires computing both sides), which is what
-      // the measured 7.5× @ 100× row in SCALING.md prices.
+      // The shared (day, bus, h) distinct MATERIALIZES once (r21, guide
+      // §2.4/§5): the optimizer proves distinct(project(distinct(x))) =
+      // distinct(project(x)) (RemoveRedundantAggregates) and therefore
+      // planned each of the three consumer legs (hour sketches, direct
+      // day leg, hour counter) as its OWN corpus-sized scan+distinct —
+      // the r20 comment priced that as intrinsic, but hash-proving
+      // merged == direct only needs both sides to read the SAME deduped
+      // frame, which is orders of magnitude below the corpus (distinct
+      // entities × hours). One corpus distinct remains — the audit's
+      // real intrinsic cost. Measured at sf0.1: 3.9 → ~1.3 s warm.
       val dbh = base.select(col("day"), col("bus"), col("h")).distinct()
+        .localCheckpoint(true)
       val hourSk = dbh
         .withColumn("rn", row_number().over(wHour)).filter(col("rn") <= KmvK)
       val wDay = Window.partitionBy(col("day")).orderBy(col("h"))
