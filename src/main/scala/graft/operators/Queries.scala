@@ -3551,30 +3551,44 @@ object Queries {
         .withColumn("cx", floor((col("lat") + lit(90.0)) / lit(cell)).cast("long"))
         .withColumn("cy", floor((col("lon") + lit(180.0)) / lit(cell)).cast("long"))
         .withColumn("tb", expr(s"tus div $Tus"))
+      // Shuffle KEYS AND TIME ONLY (r21, guide §2.3 "shuffle keys and
+      // metadata instead of payloads"): lat/lon/ts are pure functions
+      // of (user_id, event_id, tus), so the 18×-exploded early side —
+      // the join's dominant shuffle — carries 3 longs + the key instead
+      // of also shipping two doubles and a timestamp per copy (~40%
+      // fewer bytes); both sides' coordinates and the output timestamps
+      // re-derive AFTER the join by the IDENTICAL integer-lattice
+      // expressions (and timestamp_micros∘unix_micros is exact on the
+      // µs-normalized ts), so every decision and output value is
+      // bit-identical.
       val early = pts
         .withColumn("dtb", explode(expr("sequence(0, 1)")))
         .withColumn("dx", explode(expr("sequence(-1, 1)")))
         .withColumn("dy", explode(expr("sequence(-1, 1)")))
-        .select(col("user_id").as("user_a"), col("ts").as("time_a"),
-          col("event_id").as("event_a"), col("lat").as("lat_a"),
-          col("lon").as("lon_a"), col("tus").as("tus_a"),
+        .select(col("user_id").as("user_a"),
+          col("event_id").as("event_a"), col("tus").as("tus_a"),
           (col("tb") + col("dtb")).as("tb"),
           (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
-      val late = pts.select(col("user_id").as("user_b"), col("ts").as("time_b"),
-        col("event_id").as("event_b"), col("lat").as("lat_b"),
-        col("lon").as("lon_b"), col("tus").as("tus_b"),
+      val late = pts.select(col("user_id").as("user_b"),
+        col("event_id").as("event_b"), col("tus").as("tus_b"),
         col("tb"), col("cx"), col("cy"))
       early.join(late, Seq("tb", "cx", "cy"))
         .filter(struct(col("tus_a"), col("user_a"), col("event_a")) <
           struct(col("tus_b"), col("user_b"), col("event_b")))
         .filter(col("user_a") =!= col("user_b"))
         .filter(col("tus_b") - col("tus_a") <= Tus)
+        .withColumn("lat_a", (col("user_a") % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon_a", (col("event_a") % 360 - 180).cast("double") + 0.5)
+        .withColumn("lat_b", (col("user_b") % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon_b", (col("event_b") % 360 - 180).cast("double") + 0.5)
         .withColumn("d2",
           (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b")) +
             (col("lon_a") - col("lon_b")) * (col("lon_a") - col("lon_b")))
         .filter(col("d2") <= lit(cell * cell))
-        .select(col("time_a"), col("user_a"), col("event_a"),
-          col("time_b"), col("user_b"), col("event_b"), col("d2"),
+        .select(timestamp_micros(col("tus_a")).as("time_a"),
+          col("user_a"), col("event_a"),
+          timestamp_micros(col("tus_b")).as("time_b"),
+          col("user_b"), col("event_b"), col("d2"),
           (col("tus_b") - col("tus_a")).as("dt_us"))
         .orderBy(col("time_a"), col("user_a"), col("event_a"),
           col("time_b"), col("user_b"), col("event_b"))
