@@ -29,12 +29,32 @@ object CachedFrames {
     * MEMORY_AND_DISK, so a large cap costs spill space, not OOM risk. */
   private[graft] val MaxEntries = 64
 
+  /** One registry slot: the build thunk runs under the ENTRY's lock
+    * (first caller builds, concurrent same-key callers block on it),
+    * not the registry's — so independent artifacts can build
+    * CONCURRENTLY (r21, guide §2.6: the PQ sub-codebook trainings are 8
+    * independent job chains that the old whole-registry lock
+    * serialized). Eviction unpersists only an already-built frame —
+    * forcing an unbuilt thunk just to drop it would train an artifact
+    * nobody asked for. */
+  private final class Entry(build0: () => DataFrame, level: StorageLevel) {
+    @volatile private var res: DataFrame = null
+    def df: DataFrame = this.synchronized {
+      if (res == null) res = build0().persist(level)
+      res
+    }
+    def unpersistIfBuilt(): Unit = {
+      val r = res
+      if (r != null) r.unpersist(blocking = false)
+    }
+  }
+
   private val cache =
-    new java.util.LinkedHashMap[String, DataFrame](MaxEntries, 0.75f, true) {
+    new java.util.LinkedHashMap[String, Entry](MaxEntries, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, DataFrame]): Boolean =
+          e: java.util.Map.Entry[String, Entry]): Boolean =
         if (this.size() > MaxEntries) {
-          e.getValue.unpersist(blocking = false)
+          e.getValue.unpersistIfBuilt()
           true
         } else false
     }
@@ -59,14 +79,23 @@ object CachedFrames {
     * contact family's executor-storage footprint). */
   def getOrBuild(key: String,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK)(
-      build: => DataFrame): DataFrame = synchronized {
-    val hit = cache.get(key)
-    if (hit != null) hit
-    else {
-      val df = build.persist(level)
-      cache.put(key, df)
-      df
+      build: => DataFrame): DataFrame = {
+    // registry lock held only for the map access; the (possibly slow)
+    // build itself runs under the per-entry lock so distinct keys never
+    // serialize on each other. Nested getOrBuild from inside a build
+    // (pq codes → sub-codebooks) takes entry locks in caller→callee
+    // order only, and the registry section takes no entry lock, so the
+    // ordering is acyclic.
+    val entry = synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val e = new Entry(() => build, level)
+        cache.put(key, e)
+        e
+      }
     }
+    entry.df
   }
 
   private[graft] def size: Int = synchronized(cache.size())

@@ -195,9 +195,21 @@ object Dedup {
     * at scale the signature set is computed once per corpus by the
     * pipeline, not per query. */
   def warmShared(s: SparkSession, d: String): Unit = {
-    guardedBands(s, d).count()
-    simhashBands(s, d, 16).count()
-    simhashBands(s, d, 64).count()
+    // the three band artifacts are independent builds — overlap them
+    // (r21, guide §2.6); each still lands in its own CachedFrames
+    // entry, built under that entry's lock
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      Seq(
+        () => guardedBands(s, d).count(),
+        () => simhashBands(s, d, 16).count(),
+        () => simhashBands(s, d, 64).count()
+      ).map { f =>
+        pool.submit(new java.util.concurrent.Callable[AnyRef] {
+          def call(): AnyRef = java.lang.Long.valueOf(f())
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
     ()
   }
 
@@ -913,7 +925,7 @@ object Dedup {
     * [[graft.CachedFrames]]: the consumers scan it 2–5× (sizes, df
     * table, both join legs), and re-deriving the explode+distinct per
     * scan was measured at ~4× the whole join cost (r10). */
-  private def sampleShingleFrame(s: SparkSession, d: String, bound: String): DataFrame =
+  private[graft] def sampleShingleFrame(s: SparkSession, d: String, bound: String): DataFrame =
     graft.CachedFrames.getOrBuild(
       s"sample_shingles$bound|${graft.CachedFrames.sessionKey(s)}|$d") {
       import org.apache.spark.sql.GraftColumns.{columnOf, expressionOf}

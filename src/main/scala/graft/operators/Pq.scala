@@ -170,6 +170,25 @@ object Pq {
     val P = params(s, d)
     graft.CachedFrames.getOrBuild(
       s"pq_codes_${P.m}x${P.k}_$PqIters|${graft.CachedFrames.sessionKey(s)}|$d") {
+      // train the M sub-codebooks CONCURRENTLY (r21, guide §2.6
+      // "overlap independent jobs"): each training is an independent
+      // chain of small driver-coordinated jobs (2 Lloyd rounds of
+      // crossJoin+argmax+collect over a bounded sample) that leaves
+      // most cores idle — measured 1.6–2.9 s each, ~16 s sequential at
+      // sf0.1 (ProbePqPhases); submitted together the scheduler
+      // back-fills and the wall time is the slowest chain. Training
+      // math is untouched — same jobs, same per-key cache entries
+      // (CachedFrames builds under per-entry locks).
+      locally {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(P.m)
+        try {
+          (0 until P.m).map { m =>
+            pool.submit(new java.util.concurrent.Callable[AnyRef] {
+              def call(): AnyRef = pqCentroids(s, d, m)
+            })
+          }.foreach(_.get())
+        } finally pool.shutdown()
+      }
       val cents = (0 until P.m).map(m =>
         pqCentroids(s, d, m).withColumn("m", lit(m))).reduce(_ unionByName _)
       val e = Similarity.embWithCodes(s, d).select(
@@ -368,8 +387,14 @@ object Pq {
     graft.ScratchDirs.materializedPath(s"ivfpq_m${P.m}k${P.k}", d) { p =>
       val asg = Similarity.kmeansAssignments(s, d, Similarity.KmIters)
         .select(col("vec_id"), col("cid"))
-      pqCodes(s, d).join(asg, "vec_id")
-        .write.mode("overwrite").partitionBy("cid").parquet(p)
+      // cluster the write by cid (r21, guide §6): without it every one
+      // of the join's shuffle-partition tasks opened a file in every
+      // cid directory (~tasks × clusters tiny files — measured 7.2 s of
+      // commit overhead for a 2,000-row write, ProbePqWrite); hashing
+      // rows to tasks by cid writes each cluster's codes from one task
+      val parted = pqCodes(s, d).join(asg, "vec_id")
+        .repartition(col("cid"))
+      parted.write.mode("overwrite").partitionBy("cid").parquet(p)
     }
   }
 

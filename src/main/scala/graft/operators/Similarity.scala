@@ -412,6 +412,10 @@ object Similarity {
       // each probed cluster's scan, not via a post-search join
       embNorm(s, d).join(asg, "vec_id")
         .select(col("vec_id"), col("label"), col("embedding"), col("nrm"), col("cid"))
+        // cluster by cid before the partitioned write (r21, guide §6 —
+        // the ivfpq-layout lesson: unclustered dynamic-partition writes
+        // open tasks × clusters tiny files)
+        .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(p)
     }
 
