@@ -1591,11 +1591,17 @@ object Dedup {
       // never leaves RAM); at 100 TB the 8-byte key wins the network
       // shuffle and the join hashing, which is why the fingerprint
       // stays.
+      // the distinct (source, fp) frame materializes once (r21, guide
+      // §2.4/§5): three consumers below (the counts rollup and both
+      // self-join legs) otherwise each re-plan the corpus-sized
+      // explode+distinct; the deduped frame is |sources|·|distinct
+      // shingles| — far below the corpus element stream
       val srcSh = Tables.documents(s, d)
         .select(col("source"), explode(array_distinct(sh3)).as("sh"))
         .select(col("source"),
           columnOf(graft.functions.Md5Prefix64(expressionOf(col("sh")))).as("sh"))
         .distinct()
+        .localCheckpoint(true)
       val counts = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
       srcSh.toDF("a_src", "sh").join(srcSh.toDF("b_src", "sh"), "sh")
         .filter(col("a_src") < col("b_src"))

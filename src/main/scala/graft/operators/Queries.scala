@@ -5640,7 +5640,12 @@ object Queries {
     "ltss_geo_od_zones",
     (s, d) => {
       import s.implicits._
-      val visits = staypointVisits(s, d)
+      // visits materialize once (r21, guide §2.4/§5): the stay-point
+      // fold over the track layout otherwise re-plans for BOTH consumers
+      // below (the zone-hit leg and the anchor join) — the visit frame
+      // is tiny (314 rows at sf0.1) while the fold it truncates is a
+      // full track-layout pass
+      val visits = staypointVisits(s, d).localCheckpoint(true)
       val zonesDim = s.read.parquet(zoneLayoutPath(s, d))
       val hit = visits.join(broadcast(zonesDim),
           col("lat") >= col("lat_min") && col("lat") <= col("lat_max") &&

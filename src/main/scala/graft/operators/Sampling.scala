@@ -314,11 +314,16 @@ object Sampling {
       // histogram is a rollup of the per-doc bucket counts, not a
       // second scan) — and the explode itself is shared with the other
       // shingle-profile consumers via TextOps.shinglePairs
+      // the per-doc bucket profile materializes once (r21, guide
+      // §2.4/§5): the target histogram and the scoring pass otherwise
+      // each re-plan the md5+groupBy over the cached shingle pair
+      // frame; the profile is ≤ |docs|·256 rows
       val docBuckets = TextOps.shinglePairs(s, d)
         .select(col("doc_id"), col("source"),
           substring(md5(col("sh")), 1, 2).as("b"), col("k"))
         .groupBy(col("doc_id"), col("source"), col("b"))
         .agg(sum(col("k")).as("c"))
+        .localCheckpoint(true)
       val target = docBuckets.filter(col("source") === ImportanceTarget)
         .groupBy(col("b")).agg(sum(col("c")).as("t"))
       docBuckets
