@@ -1842,9 +1842,15 @@ object Dedup {
       .select(col("doc_id"), col("i"),
         columnOf(graft.functions.Md5Prefix64(expressionOf(
           expr(s"concat_ws(' ', slice(w, i + 1, $W))")))).as("fp"))
-    val hot = wins.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+    // duplicated windows by ONE count-over-fp window (r21, guide §2.4):
+    // the former groupBy(fp)+semi-join shape computed the corpus-wide
+    // explode+md5 TWICE (once per consumer) and shuffled it twice; a
+    // window count over the same fp partitioning is the identical
+    // "fp occurs more than once" predicate in one pass and one shuffle
+    val dup = wins
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("fp"))))
       .filter(col("cnt") > 1)
-    val dup = wins.join(hot.select(col("fp")), "fp")
       .select(col("doc_id"), col("i"))
     mergeSpans(dup, W)
   }
