@@ -2277,8 +2277,21 @@ object Dedup {
   val bbitMinhash = OracleQuery(
     "dedup_bbit_minhash",
     (s, d) => {
+      // the candidate pair frame materializes once (r21): three
+      // consumers below (the doc-id scope, the signature attach, the
+      // exact leg) otherwise each re-plan the banded self-join
       val pairs = lshPairFrame(s, d).select(col("a_id"), col("b_id"))
-      val sig = minhashFrame(Tables.documents(s, d))
+        .localCheckpoint(true)
+      val pairDocs = pairs.select(col("a_id").as("doc_id"))
+        .union(pairs.select(col("b_id").as("doc_id")))
+        .distinct()
+      // signatures recompute the MinHash8 kernel over the docs frame —
+      // restrict it to the CANDIDATE docs before the kernel runs (r21):
+      // the attach joins only ever read pair docs' rows, and the two
+      // sig copies below otherwise each re-ran the md5 kernel over the
+      // whole corpus
+      val sig = minhashFrame(
+        Tables.documents(s, d).join(broadcast(pairDocs), "doc_id"))
       val aSig = sig.toDF(sig.columns.toIndexedSeq
         .map(c => if (c == "doc_id") "a_id" else s"a_$c"): _*)
       val bSig = sig.toDF(sig.columns.toIndexedSeq
@@ -2293,10 +2306,18 @@ object Dedup {
           .otherwise(0))
         .reduceLeft(_ + _)
       val ssh = sampleShingleFrame(s, d, "g") // bound 'g' > 'f': full corpus, cached
-      val sz = ssh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // scope the exact leg to the CANDIDATE docs before any join or
+      // size aggregate (r21, guide §3.2's semi-join idea): the audit
+      // only reads sizes and intersections for docs that appear in a
+      // candidate pair — a broadcast-sized id set — so the corpus-wide
+      // shingle frame never enters the exact-leg shuffles. Values are
+      // unchanged: sz and inter are only ever consumed keyed by pair
+      // doc ids.
+      val cssh = ssh.join(broadcast(pairDocs), "doc_id")
+      val sz = cssh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = pairs
-        .join(ssh.toDF("a_id", "fp"), "a_id")
-        .join(ssh.toDF("b_id", "fp"), Seq("b_id", "fp"))
+        .join(cssh.toDF("a_id", "fp"), "a_id")
+        .join(cssh.toDF("b_id", "fp"), Seq("b_id", "fp"))
         .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
       pairs
         .join(aSig, "a_id").join(bSig, "b_id")
