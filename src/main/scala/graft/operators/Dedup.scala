@@ -849,6 +849,32 @@ object Dedup {
   private[graft] def exactJaccardPairs(sh: DataFrame, p: Int, q: Int): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
+    // CAP-AND-ROUTE (r21, the text_rank/MAD precedent, guide §1.2): the
+    // DIRECT all-pairs merge-count costs exactly (nDocs−1)·Σ|doc|
+    // element visits; when that fits one task
+    // (graft.allpairs.localCapWork, default 5·10⁸ visits ≈ 1-2 s of
+    // in-task merge) the whole prefix + candidate-join + verify
+    // pipeline — measured at ~10 small stages of mostly launch overhead
+    // over a 42 k-row cached frame (ProbeAllpairsPhases) — collapses
+    // into ONE pass over the element frame. Exact by the same theorem
+    // the prefix filter rests on: prefix filtering is a LOSSLESS cut of
+    // this very output (Bayardo), so the uncut form returns the
+    // identical pair set; PrefixFilterSpec pins both routes against
+    // brute force. Above the cap (any real corpus sample) the
+    // prefix-filtered join below runs unchanged.
+    locally {
+      val st = sh.agg(count(lit(1)), countDistinct(col("doc_id"))).head()
+      val nRows = st.getLong(0)
+      val nDocs = st.getLong(1)
+      val capWork =
+        s.conf.get("graft.allpairs.localCapWork", "500000000").toLong
+      if (nDocs <= capWork / math.max(nRows, 1L)) {
+        return sh.select(col("doc_id"), col("fp")).as[(Long, Long)]
+          .coalesce(1)
+          .mapPartitions(it => localAllPairs(it, p, q))
+          .toDF("a_id", "b_id", "inter", "na", "nb")
+      }
+    }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val dfCnt = sh.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("dfc"), col("fp"))
@@ -899,6 +925,50 @@ object Dedup {
       .toDF("a_id", "b_id", "inter", "na", "nb")
       .filter(col("inter") * (p + q) >= (col("na") + col("nb")) * p)
       .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"))
+  }
+
+  /** In-task all-pairs exact Jaccard over a collected distinct
+    * (doc_id, fp) element stream — the below-cap route of
+    * [[exactJaccardPairs]]: per-doc sorted fp arrays, every unordered
+    * doc pair intersection-counted by the two-pointer merge, the same
+    * integer τ = p/q decision. Emits (a_id, b_id, inter, na, nb) with
+    * a_id < b_id, exactly the distributed form's qualifying rows
+    * (prefix filtering is a lossless cut of this output, so skipping
+    * it cannot change the set). Work = (nDocs−1)·Σ|doc| element
+    * visits — callers cap it before routing here. */
+  private[graft] def localAllPairs(
+      it: Iterator[(Long, Long)], p: Int, q: Int)
+      : Iterator[(Long, Long, Long, Long, Long)] = {
+    val byDoc = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuilder.ofLong]
+    it.foreach { case (d, fp) =>
+      byDoc.getOrElseUpdate(d, new scala.collection.mutable.ArrayBuilder.ofLong) += fp
+    }
+    val ids = byDoc.keysIterator.toArray
+    java.util.Arrays.sort(ids)
+    val arrs = ids.map { id =>
+      val a = byDoc(id).result()
+      java.util.Arrays.sort(a)
+      a
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    var i = 0
+    while (i < ids.length) {
+      val ai = arrs(i)
+      val na = ai.length.toLong
+      var j = i + 1
+      while (j < ids.length) {
+        val bj = arrs(j)
+        val nb = bj.length.toLong
+        val inter = sortedIntersectCount(ai, bj)
+        if (inter * (p + q) >= (na + nb) * p)
+          out += ((ids(i), ids(j), inter, na, nb))
+        j += 1
+      }
+      i += 1
+    }
+    out.iterator
   }
 
   /** Count of common elements of two SORTED arrays of distinct longs —

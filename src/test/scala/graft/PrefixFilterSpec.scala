@@ -60,8 +60,16 @@ class PrefixFilterSpec extends SparkSpec {
       val df = elementFrame(sets)
       val (p, q) = Seq((1, 2), (7, 10), (1, 3), (9, 10))(trial % 4)
       val expected = bruteForce(sets, p, q)
-      val viaPrefix = collectPairs(graft.operators.Dedup.exactJaccardPairs(df, p, q))
+      // default cap → the r21 in-task all-pairs route
+      val viaLocal = collectPairs(graft.operators.Dedup.exactJaccardPairs(df, p, q))
+      // cap 0 → the distributed prefix-filtered join, forced
+      val capKey = "graft.allpairs.localCapWork"
+      spark.conf.set(capKey, "0")
+      val viaPrefix =
+        try collectPairs(graft.operators.Dedup.exactJaccardPairs(df, p, q))
+        finally spark.conf.unset(capKey)
       val viaCount = collectPairs(graft.operators.Dedup.invertedCountPairs(df, p, q))
+      assert(viaLocal === expected, s"local all-pairs route, trial $trial tau=$p/$q")
       assert(viaPrefix === expected, s"prefix path, trial $trial tau=$p/$q")
       assert(viaCount === expected, s"count path, trial $trial tau=$p/$q")
     }
